@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface of the engine: the reference's two pure scalar
+  * behaviors (duration formatting, shell-glob matching) plus vector helpers
+  * used by the similarity operators.
+  */
+object Functions {
+
+  /** Format a duration in seconds as e.g. "2d 3h 4m 5s".
+    *
+    * Exact port of the reference semantics (reference: gluettalax.py:91-119):
+    *   - greedy decomposition over (d, h, m, s);
+    *   - zero components are omitted, except "0s" when everything is zero;
+    *   - negative inputs put a '-' sign on EVERY emitted component
+    *     (e.g. -3661 -> "-1h -1m -1s"), matching the reference exactly.
+    */
+  def formatTime(seconds: Long): String = {
+    val negative = seconds < 0
+    var rest = math.abs(seconds)
+    val labels = Seq(("d", 86400L), ("h", 3600L), ("m", 60L), ("s", 1L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (((lbl, interval), idx) <- labels.zipWithIndex) {
+      val a = rest / interval
+      if (a > 0 || (idx == labels.size - 1 && out.isEmpty)) {
+        out += (if (negative) s"-$a$lbl" else s"$a$lbl")
+        rest -= a * interval
+      }
+    }
+    out.mkString(" ")
+  }
+
+  /** Translate a shell glob (fnmatch dialect — `*`, `?`, `[seq]`, `[!seq]`,
+    * case-sensitive, whole-string anchored) to a Java regex.
+    * This is the compat contract for all four reference list commands
+    * (reference: gluettalax.py:33,654,678,742,799 use fnmatch.fnmatch).
+    */
+  def globToRegex(pattern: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = pattern.length
+    while (i < n) {
+      val c = pattern.charAt(i)
+      i += 1
+      c match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append(".")
+        case '[' =>
+          var j = i
+          if (j < n && (pattern.charAt(j) == '!' || pattern.charAt(j) == '^')) j += 1
+          if (j < n && pattern.charAt(j) == ']') j += 1
+          while (j < n && pattern.charAt(j) != ']') j += 1
+          if (j >= n) sb.append("\\[") // unterminated class: literal '['
+          else {
+            val inner0 = pattern.substring(i, j)
+            val inner =
+              if (inner0.startsWith("!")) "^" + inner0.substring(1) else inner0
+            // escape backslashes inside the class like fnmatch.translate does
+            sb.append('[').append(inner.replace("\\", "\\\\")).append(']')
+            i = j + 1
+          }
+        case other =>
+          if ("\\.[]{}()*+?^$|".indexOf(other) >= 0) sb.append('\\')
+          sb.append(other)
+      }
+    }
+    // fnmatch matches the whole string, '*' crosses newlines (DOTALL)
+    "(?s)" + sb.toString
+  }
+
+  /** Column form of the fnmatch filter: `c` matches shell glob `pattern`. */
+  def globMatch(c: Column, pattern: String): Column = c.rlike("^" + globToRegex(pattern) + "$")
+
+  /** format_time as a Column function (registered UDF for SQL use).
+    * A plain UDF is acceptable here: it formats already-aggregated display
+    * values, never sits in a hot scan path.
+    */
+  def format_time(c: Column): Column = formatTimeUdf(c)
+
+  private lazy val formatTimeUdf = udf((s: java.lang.Long) =>
+    if (s == null) null else formatTime(s.longValue()))
+
+  /** Register SQL-callable functions on a session. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("format_time", (s: java.lang.Long) =>
+      if (s == null) null else formatTime(s.longValue()))
+  }
+
+  // ---- vector helpers (composed from codegen'd higher-order functions; no
+  // UDF in the hot path — these stay inside whole-stage codegen) ----
+
+  /** Dot product of two float-array columns, accumulated in double,
+    * left-to-right (parity with the DuckDB oracle's accumulation order). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of a float-array column (double). */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity of two float-array columns (double). */
+  def cosine(a: Column, b: Column): Column = dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+}

@@ -1,0 +1,504 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Functions.globMatch
+
+/** Relational operator surface (SURVEY.md §2 Layer B): scans, projections,
+  * filters, joins, aggregations, windows, sort/limit, set ops.
+  *
+  * Every query reads the driver parquet tables, produces a deterministic
+  * result (explicit orderBy on a unique key, rounded doubles, UTC), and is
+  * paired with an equivalent DuckDB oracle. Scale posture: filters/projections
+  * are plain Catalyst expressions (pushed to the parquet scan), dimension
+  * joins are broadcast explicitly, fact-fact joins shuffle on their keys.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary — the flagship query.
+    * scan → filter (pushed) → hash agg (partial+final) → sort.
+    */
+  val q1 = GraftQuery(
+    "q1_pricing_summary",
+    "Pricing summary report: filtered scan + hash aggregate + sort (TPC-H Q1 shape)",
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1999-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          // Money columns are 2-decimal fixed point: aggregate them in
+          // DECIMAL (exact, summation-order-independent — deterministic on a
+          // 1000-executor shuffle too), then surface as double.
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount")))).cast("double").as("sum_disc_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount"))) * (lit(1) + dec4(col("l_tax")))).cast("double").as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1999-06-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Projection + computed column + range/IN predicates (pushed to scan). */
+  val q2 = GraftQuery(
+    "q2_filter_project",
+    "Filtered projection with computed revenue column; predicates push to the parquet scan",
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-03-01").cast("timestamp")
+          && col("l_discount").between(0.02, 0.09)
+          && col("l_returnflag").isin("A", "R"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (dec2(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount")))).cast("double").as("revenue"),
+          col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+             l_quantity
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+        AND l_discount BETWEEN 0.02 AND 0.09
+        AND l_returnflag IN ('A', 'R')
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Conditional projection (when/otherwise) + coalesce default — the shape of
+    * the reference's list_crawlers display column (gluettalax.py:654-657) and
+    * list_jobs nested default (gluettalax.py:678). */
+  val q3 = GraftQuery(
+    "q3_conditional_project",
+    "CASE WHEN + COALESCE(NULLIF(...)) defaults, reference list-command projection shape",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderstatus") === "O", lit("open"))
+            .when(col("o_orderstatus") === "F", lit("finished"))
+            .otherwise(lit("other")).as("status_label"),
+          coalesce(nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")), lit("-")).as("priority_or_dash"),
+          when(col("o_totalprice") > 200000.0, col("o_totalprice"))
+            .otherwise(lit(null).cast("double")).as("price_if_big"))
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'O' THEN 'open'
+                  WHEN o_orderstatus = 'F' THEN 'finished'
+                  ELSE 'other' END AS status_label,
+             COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), '-') AS priority_or_dash,
+             CASE WHEN o_totalprice > 200000.0 THEN o_totalprice
+                  ELSE NULL END AS price_if_big
+      FROM orders
+      ORDER BY o_orderkey"""))
+
+  /** Shell-glob filter (fnmatch → rlike), the reference's pattern filter for
+    * the list commands (gluettalax.py:799 / A17). */
+  val q4 = GraftQuery(
+    "q4_glob_filter",
+    "fnmatch-style glob filter compiled to rlike (reference list_* pattern arg)",
+    (s, dir) =>
+      table(s, dir, "part")
+        .filter(globMatch(col("p_name"), "large*"))
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey"),
+    Some("""
+      SELECT p_partkey, p_name, p_brand
+      FROM part
+      WHERE p_name LIKE 'large%'
+      ORDER BY p_partkey"""))
+
+  /** Any-column-matches OR filter — reference list_partitions row filter
+    * (gluettalax.py:742: keep row if ANY column matches the glob). */
+  val q5 = GraftQuery(
+    "q5_any_column_match",
+    "OR-across-columns glob match (reference list_partitions row filter)",
+    (s, dir) => {
+      val c = table(s, dir, "customer")
+      val cols = Seq(col("c_name").cast("string"), col("c_mktsegment").cast("string"),
+        col("c_custkey").cast("string"))
+      c.filter(cols.map(x => globMatch(x, "*1?")).reduce(_ || _))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE regexp_matches(c_name, '^.*1.$')
+         OR regexp_matches(c_mktsegment, '^.*1.$')
+         OR regexp_matches(CAST(c_custkey AS VARCHAR), '^.*1.$')
+      ORDER BY c_custkey"""))
+
+  /** Broadcast dimension join: nation ⋈ region (both tiny → broadcast, no
+    * shuffle of the probe side at scale). */
+  val q6 = GraftQuery(
+    "q6_join_broadcast",
+    "Explicit broadcast hash join of two dimension tables",
+    (s, dir) => {
+      val nation = table(s, dir, "nation")
+      val region = table(s, dir, "region")
+      nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name").as("region_name"))
+        .orderBy("n_nationkey")
+    },
+    Some("""
+      SELECT n_nationkey, n_name, r_name AS region_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      ORDER BY n_nationkey"""))
+
+  /** 3-way join: customer(filtered, broadcast-able) ⋈ orders ⋈ lineitem with
+    * aggregation — TPC-H Q3 shape. Facts shuffle on the join key; AQE picks
+    * broadcast for the filtered customer side at bench scale. */
+  val q7 = GraftQuery(
+    "q7_join_3way_topk",
+    "customer ⋈ orders ⋈ lineitem revenue top-10 (TPC-H Q3 shape)",
+    (s, dir) => {
+      val cust = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount")))).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, o_orderdate,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""))
+
+  /** Left outer join + per-customer order count (TPC-H Q13 shape). */
+  val q8 = GraftQuery(
+    "q8_left_outer_count",
+    "customer LEFT OUTER orders, orders-per-customer histogram",
+    (s, dir) => {
+      val cust = table(s, dir, "customer")
+      val ord = table(s, dir, "orders")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(desc("n_customers"), desc("n_orders"))
+    },
+    Some("""
+      SELECT n_orders, count(*) AS n_customers
+      FROM (
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey)
+      GROUP BY n_orders
+      ORDER BY n_customers DESC, n_orders DESC"""))
+
+  /** Left semi join — EXISTS. */
+  val q9 = GraftQuery(
+    "q9_semi_join",
+    "Customers having at least one 'F' order (LEFT SEMI = EXISTS)",
+    (s, dir) => {
+      val cust = table(s, dir, "customer")
+      val ord = table(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      ORDER BY c_custkey"""))
+
+  /** Left anti join — NOT EXISTS. */
+  val q10 = GraftQuery(
+    "q10_anti_join",
+    "Customers with no orders at all (LEFT ANTI = NOT EXISTS)",
+    (s, dir) => {
+      val cust = table(s, dir, "customer")
+      val ord = table(s, dir, "orders")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** Theta/range join: pairs of events by the same user within 10 minutes.
+    * Equi on user_id (shuffles on user, bounded per-user fan-out) + range
+    * predicate on ts — the scalable band-join shape. */
+  val q11 = GraftQuery(
+    "q11_range_join",
+    "Self band-join: event pairs of one user within a 10-minute window",
+    (s, dir) => {
+      val e = events(s, dir)
+      val e1 = e.select(col("user_id"), col("event_id").as("id1"), col("ts").as("ts1"))
+      val e2 = e.select(col("user_id"), col("event_id").as("id2"), col("ts").as("ts2"))
+      e1.join(e2, Seq("user_id"))
+        .filter(col("id1") < col("id2")
+          && col("ts2") >= col("ts1")
+          && col("ts2") < col("ts1") + expr("INTERVAL 10 MINUTES"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT e1.user_id, count(*) AS n_pairs
+      FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+      WHERE e1.event_id < e2.event_id
+        AND e2.ts >= e1.ts
+        AND e2.ts < e1.ts + INTERVAL 10 MINUTE
+      GROUP BY e1.user_id
+      ORDER BY e1.user_id"""))
+
+  /** Bounded cross join (cartesian of two tiny dims). */
+  val q12 = GraftQuery(
+    "q12_cross_join",
+    "Bounded cartesian product of two dimension tables",
+    (s, dir) => {
+      val nation = table(s, dir, "nation").select(col("n_name"))
+      val region = table(s, dir, "region").select(col("r_name"))
+      nation.crossJoin(region)
+        .select(col("n_name"), col("r_name"))
+        .orderBy("n_name", "r_name")
+    },
+    Some("""
+      SELECT n_name, r_name
+      FROM nation CROSS JOIN region
+      ORDER BY n_name, r_name"""))
+
+  /** Exact count-distinct per group. */
+  val q13 = GraftQuery(
+    "q13_count_distinct",
+    "COUNT(DISTINCT) per group (expand + two-phase hash agg)",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus"),
+    Some("""
+      SELECT o_orderstatus,
+             count(DISTINCT o_custkey) AS n_customers,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
+  /** Approximate count-distinct (HyperLogLog++). Sketch values are
+    * engine-specific → no SQL oracle; driver does the rows-only check. */
+  val q14 = GraftQuery(
+    "q14_approx_count_distinct",
+    "approx_count_distinct (HLL++) per group — constant-memory distinct at scale",
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .orderBy("l_returnflag"),
+    None)
+
+  /** ROLLUP with grouping_id — hierarchical totals. */
+  val q15 = GraftQuery(
+    "q15_rollup",
+    "ROLLUP(status, priority) with grouping id and subtotal rows",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  /** CUBE — all grouping-set combinations. */
+  val q16 = GraftQuery(
+    "q16_cube",
+    "CUBE(status, priority): all grouping sets in one pass",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+             count(*) AS n
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  /** Window top-1-per-group: the reference's "most recent run per job"
+    * (print_job_runs, gluettalax.py:329-345 / A8). */
+  val q17 = GraftQuery(
+    "q17_latest_per_group",
+    "row_number window: latest order per customer (reference print_job_runs shape)",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+        .orderBy("o_custkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+      FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders)
+      WHERE rn = 1
+      ORDER BY o_custkey"""))
+
+  /** lag/lead: millisecond gap to the previous event of the same user. */
+  val q18 = GraftQuery(
+    "q18_lag_lead",
+    "LAG window: per-user inter-event gap in milliseconds",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("next_id", lead(col("event_id"), 1).over(w))
+        .select(col("event_id"), col("user_id"),
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))).as("gap_ms"),
+          col("next_id"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id,
+             epoch_ms(CAST(ts AS TIMESTAMP)) - epoch_ms(lag(CAST(ts AS TIMESTAMP), 1)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_ms,
+             lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id
+      FROM events
+      ORDER BY event_id"""))
+
+  /** Running sum over an explicit rows frame. */
+  val q19 = GraftQuery(
+    "q19_running_sum",
+    "Cumulative sum per customer over a rows-unbounded-preceding frame",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      FROM orders
+      ORDER BY o_orderkey"""))
+
+  /** ORDER BY + LIMIT → TakeOrderedAndProject (no global sort at scale). */
+  val q20 = GraftQuery(
+    "q20_topk",
+    "Global top-20 by price (plans as TakeOrderedAndProject, not a full sort)",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(20),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20"""))
+
+  /** DISTINCT (the reference's dirname dedup, gluettalax.py:405 / A13). */
+  val q21 = GraftQuery(
+    "q21_distinct",
+    "DISTINCT projection + sort (reference bulk-discovery dirname dedup)",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority"),
+    Some("""
+      SELECT DISTINCT o_orderstatus, o_orderpriority
+      FROM orders
+      ORDER BY o_orderstatus, o_orderpriority"""))
+
+  /** UNION (set semantics). */
+  val q22 = GraftQuery(
+    "q22_union",
+    "UNION of customer and supplier nation keys (dedup union)",
+    (s, dir) =>
+      table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey"),
+    Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey FROM supplier
+      ORDER BY nationkey"""))
+
+  /** INTERSECT. */
+  val q23 = GraftQuery(
+    "q23_intersect",
+    "INTERSECT of customer and supplier nation keys",
+    (s, dir) =>
+      table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+    Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+      ORDER BY nationkey"""))
+
+  /** EXCEPT. */
+  val q24 = GraftQuery(
+    "q24_except",
+    "EXCEPT: nations with customers but no suppliers",
+    (s, dir) =>
+      table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(table(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+    Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+      ORDER BY nationkey"""))
+
+  val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
+    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+}
