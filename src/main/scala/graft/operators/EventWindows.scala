@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-window aggregations over the `events` table (SURVEY.md §2 Layer B
+  * "Streaming"). These use the exact same `window`/`session_window`
+  * expressions Structured Streaming uses, run here in batch mode so the
+  * driver's DuckDB oracle can check them; `graft.streaming.Streams` runs the
+  * same shapes incrementally with watermarks (MemoryStream-tested, per the
+  * contract's streaming exclusion from oracleSql).
+  */
+object EventWindows {
+
+  /** Tumbling window: 1-day buckets per event type. */
+  val q32 = GraftQuery(
+    "q32_tumbling_window",
+    "Tumbling 1-day window count/sum per event_type (batch form of the streaming agg)",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type"),
+    Some("""
+      SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY window_start, event_type
+      ORDER BY window_start, event_type"""))
+
+  /** Sliding window: 1-day length, 12-hour slide → each event lands in two
+    * overlapping buckets (epoch-aligned grids, exactly as Structured
+    * Streaming assigns them). */
+  val q33 = GraftQuery(
+    "q33_sliding_window",
+    "Sliding window (1 day / 12 h): overlapping bucket counts per event_type",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type"),
+    Some("""
+      WITH assigned AS (
+        SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start, event_type
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP), INTERVAL '12 hours') AS window_start, event_type
+        FROM events)
+      SELECT window_start, event_type, count(*) AS n
+      FROM assigned
+      GROUP BY window_start, event_type
+      ORDER BY window_start, event_type"""))
+
+  /** Session window: per-user sessions with a 30-minute inactivity gap.
+    * Oracle is the classic gaps-and-islands rewrite: a session breaks when
+    * the gap to the previous event is >= the timeout (Spark session windows
+    * are [start, last+gap) half-open). */
+  val q34 = GraftQuery(
+    "q34_session_window",
+    "Per-user session windows (30-minute gap): session start, size, value sum",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(dec2(col("value"))).cast("double").as("session_value"))
+        .select(col("session_window.start").as("session_start"), col("user_id"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start"),
+    Some("""
+      WITH o AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                    WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                         >= INTERVAL '30 minutes' THEN 1
+                    ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      g AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM o)
+      SELECT min(ts) AS session_start, user_id,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS session_value
+      FROM g
+      GROUP BY user_id, grp
+      ORDER BY user_id, session_start"""))
+
+  /** Deterministic dedup: first event per (user_id, event_type) — the batch
+    * form of streaming dropDuplicates-within-watermark (made deterministic
+    * with an explicit total order, unlike bare dropDuplicates). */
+  val q35 = GraftQuery(
+    "q35_dedup_first_event",
+    "Keep earliest event per (user_id, event_type) — deterministic dedup",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""
+      SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rn
+            FROM events)
+      WHERE rn = 1
+      ORDER BY user_id, event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35)
+}
