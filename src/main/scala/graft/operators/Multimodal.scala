@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Multimodal-column operators (BASELINE.json north star): media payloads
+  * are opaque `binary` columns with typed metadata structs; decode /
+  * feature-extraction runs per-partition at the Dataset seam where a real
+  * codec would sit. The container has no image/audio libraries, so the
+  * decode step is a clearly-marked deterministic fake — the Spark-side
+  * plumbing (schema, join, binary handling, partition-wise batch shape) is
+  * real and oracle-checked.
+  */
+object Multimodal {
+
+  /** Input row for the fake decoder: payload as raw bytes. */
+  final case class MediaRow(doc_id: Long, content: Array[Byte])
+
+  /** Output of the fake decoder: deterministic pseudo-features. A real
+    * implementation would decode image bytes here (per-partition, so codec
+    * state is reused across rows — the mapInPandas batch shape in Scala
+    * form). */
+  final case class DecodedMedia(doc_id: Long, width: Long, height: Long,
+      byte_len: Long, byte_sum: Long)
+
+  /** STUB decoder — deterministic fake standing in for an image codec. */
+  private def fakeDecode(r: MediaRow): DecodedMedia = {
+    val b = r.content
+    DecodedMedia(
+      doc_id = r.doc_id,
+      width = if (b.nonEmpty) (b(0) & 0xff) % 64 + 1 else 0L,
+      height = if (b.length > 1) (b(1) & 0xff).toLong else 0L,
+      byte_len = b.length.toLong,
+      byte_sum = b.map(x => (x & 0xff).toLong).sum)
+  }
+
+  /** Multimodal record assembly: documents ⋈ embeddings into one row of
+    * (metadata struct, binary payload, embedding), with digest/size
+    * features computed Spark-side. */
+  val m1 = GraftQuery(
+    "m1_multimodal_struct",
+    "documents ⋈ embeddings as a multimodal record: binary payload + metadata + digest",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .withColumn("meta", struct(col("lang"), col("source"), col("n_chars")))
+        .withColumn("content", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          col("meta.lang").as("lang"),
+          col("meta.source").as("source"),
+          length(col("content")).cast(LongType).as("byte_len"),
+          md5(col("content")).as("content_md5"),
+          size(col("embedding")).cast(LongType).as("emb_dim"),
+          col("label").cast(LongType).as("label"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT d.doc_id, d.lang, d.source,
+             length(d.text) AS byte_len,
+             md5(d.text) AS content_md5,
+             len(e.embedding) AS emb_dim,
+             CAST(e.label AS BIGINT) AS label
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      ORDER BY d.doc_id"""))
+
+  /** Per-partition decode of the binary payload through the typed Dataset
+    * seam (mapPartitions — where a real codec plugs in). The fake features
+    * are integer-exact, so the oracle can replay them in SQL. */
+  val m2 = GraftQuery(
+    "m2_decode_features",
+    "Binary payload → per-partition (stub) decode → typed feature rows",
+    (s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[MediaRow]
+        .mapPartitions(rows => rows.map(fakeDecode))
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             (ascii(substring(text, 1, 1)) % 64) + 1 AS width,
+             ascii(substring(text, 2, 1)) AS height,
+             length(text) AS byte_len,
+             list_aggregate(list_transform(string_split(text, ''),
+               c -> ascii(c)), 'sum') AS byte_sum
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(m1, m2)
+}

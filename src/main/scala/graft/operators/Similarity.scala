@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Functions.{cosine, dotProduct, l2Norm}
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64).
+  *
+  * Scale posture: s1 is the brute-force baseline — correct everywhere, but
+  * O(queries × corpus); it is only acceptable because the query set is a
+  * small broadcast side (the corpus streams through unreplicated, no
+  * shuffle). s2 is the scale path: random-hyperplane LSH buckets the corpus
+  * once (one narrow projection), and search touches only same-bucket
+  * candidates. s3 (threshold pairs) is bounded like d3 and serves as the
+  * oracle-checked ground truth.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: queries (vec_id < 20, broadcast) × corpus.
+    * Norms computed once per side before the join; dot/norm stay in
+    * codegen'd higher-order functions. */
+  val s1 = GraftQuery(
+    "s1_cosine_topk",
+    "Brute-force cosine top-5 neighbors for 20 query vectors (broadcast × corpus)",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val sim = broadcast(q).crossJoin(emb)
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("sim"))
+      val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+      sim.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH n AS (SELECT vec_id, embedding,
+                        sqrt(list_aggregate(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+                 FROM embeddings),
+      sims AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                      list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                        / (q.nrm * c.nrm) AS sim
+               FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+      ranked AS (SELECT query_id, vec_id, sim,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id) AS rank
+                 FROM sims)
+      SELECT query_id, rank, vec_id, round(sim, 4) AS sim
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  /** ANN via random-hyperplane LSH: 6-bit signature (sign of 6 fixed
+    * pseudo-random projections) buckets the corpus into ~64 cells; per-query
+    * search is confined to its own bucket, then exact cosine ranks in-bucket
+    * candidates. Bucket count scales with corpus size in production (the
+    * bits/corpus ratio sets candidate-set size). Recall < 1 by design (ANN);
+    * the hyperplanes are a deterministic seeded literal so results are
+    * stable — but bucketing is engine-specific, so rows-only check (s1 is
+    * the exact baseline). */
+  val s2 = GraftQuery(
+    "s2_ann_lsh_topk",
+    "LSH-bucketed ANN top-3: 6 hyperplane sign bits → bucket join → exact rerank",
+    (s, dir) => {
+      val rnd = new scala.util.Random(42)
+      val planes = Array.fill(6, 64)(rnd.nextGaussian())
+      val planesCol = array(planes.map(p => array(p.map(v => lit(v)): _*)): _*)
+      val emb = table(s, dir, "embeddings")
+        .withColumn("planes", planesCol)
+        .withColumn("bucket",
+          aggregate(sequence(lit(0), lit(5)), lit(0L),
+            (acc, j) => acc * 2 + when(
+              dotProduct(element_at(col("planes"), j + 1), col("embedding")) > 0,
+              lit(1L)).otherwise(lit(0L))))
+        .drop("planes")
+        .withColumn("nrm", l2Norm(col("embedding")))
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("bucket"))
+      val sim = q.join(emb, Seq("bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("sim"))
+      val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+      sim.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  /** Embedding-cosine near-duplicate pairs on a bounded subset — exact,
+    * oracle-checked (the embedding analog of d3). */
+  val s3 = GraftQuery(
+    "s3_cosine_pairs",
+    "All-pairs cosine ≥ 0.35 over vec_id < 300 (bounded exact ground truth)",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      val a = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("nrm").as("n1"))
+      val b = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"), col("nrm").as("n2"))
+      a.crossJoin(broadcast(b))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          (dotProduct(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"))
+        .filter(col("sim") >= 0.35)
+        .select(col("id1"), col("id2"), round(col("sim"), 4).as("sim"))
+        .orderBy("id1", "id2")
+    },
+    Some("""
+      WITH n AS (SELECT vec_id, embedding,
+                        sqrt(list_aggregate(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+                 FROM embeddings WHERE vec_id < 300)
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             round(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+               / (a.nrm * b.nrm), 4) AS sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+              / (a.nrm * b.nrm) >= 0.35
+      ORDER BY id1, id2"""))
+
+  /** Per-label centroid then nearest-centroid assignment — the IVF
+    * coarse-quantizer building block (train step ≈ this aggregation). */
+  val s4 = GraftQuery(
+    "s4_centroid_assign",
+    "Per-label centroids (avg of embeddings) + cosine of each vector to its own centroid",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      // mean vector per label: element-wise sum via aggregate over the
+      // group's arrays, then divide by count
+      val summed = emb.groupBy("label").agg(
+        count(lit(1)).as("n"),
+        array((0 until 64).map(i =>
+          sum(element_at(col("embedding"), i + 1).cast("double"))): _*).as("sumvec"))
+      val centroids = summed.select(col("label"),
+        transform(col("sumvec"), x => x / col("n")).as("centroid"))
+      emb.join(broadcast(centroids), "label")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          round(cosine(col("embedding"), col("centroid")), 4).as("sim_to_centroid"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH ex AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+                  FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
+      sums AS (SELECT label, i, sum(v) AS sv, count(*) AS n
+               FROM ex GROUP BY label, i),
+      centroids AS (SELECT label, list(sv / n ORDER BY i) AS centroid
+                    FROM sums GROUP BY label)
+      SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+             round(
+               list_aggregate(list_transform(list_zip(e.embedding, c.centroid),
+                 p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+               / (sqrt(list_aggregate(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                  * sqrt(list_aggregate(list_transform(c.centroid,
+                      x -> x * x), 'sum'))), 4) AS sim_to_centroid
+      FROM embeddings e JOIN centroids c ON e.label = c.label
+      ORDER BY e.vec_id"""))
+
+  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4)
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators over `documents` (BASELINE.json north star):
+  * language ID, quality scoring, token counting, fingerprinting. All
+  * single-pass projections/aggregations — embarrassingly parallel, no
+  * shuffle except the final presentation sort.
+  */
+object TextAnalysis {
+
+  private def words(c: Column): Column = split(lower(c), " ")
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une"),
+    "es" -> Seq("el", "los", "de", "y", "un", "una", "es"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "不"))
+
+  private def hits(ws: Column, lang: String): Column =
+    size(filter(ws, w => array_contains(typedLit(stopwords(lang)), w))).cast(LongType)
+
+  private def sqlHits(lang: String): String = {
+    val list = stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split(lower(text), ' '), w -> list_contains($list, w)))"
+  }
+
+  /** N-gram/stopword-heuristic language ID: score = stopword hits per
+    * language, argmax with a fixed preference order for ties. */
+  val t1 = GraftQuery(
+    "t1_lang_id",
+    "Stopword-heuristic language identification + agreement with the labeled lang",
+    (s, dir) => {
+      val langs = Seq("en", "de", "fr", "es", "zh")
+      val d = table(s, dir, "documents")
+        .withColumn("ws", words(col("text")))
+      val scored = langs.foldLeft(d)((df, l) => df.withColumn(s"s_$l", hits(col("ws"), l)))
+      scored
+        .withColumn("predicted",
+          // explicit argmax with first-wins tiebreak (en, de, fr, es, zh)
+          when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es"), col("s_zh")), "en")
+            .when(col("s_de") >= greatest(col("s_fr"), col("s_es"), col("s_zh")), "de")
+            .when(col("s_fr") >= greatest(col("s_es"), col("s_zh")), "fr")
+            .when(col("s_es") >= col("s_zh"), "es")
+            .otherwise("zh"))
+        .select(col("doc_id"), col("lang"), col("predicted"),
+          (col("predicted") === col("lang")).as("agree"),
+          col("s_en"), col("s_de"), col("s_fr"), col("s_es"), col("s_zh"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               ${sqlHits("en")} AS s_en,
+               ${sqlHits("de")} AS s_de,
+               ${sqlHits("fr")} AS s_fr,
+               ${sqlHits("es")} AS s_es,
+               ${sqlHits("zh")} AS s_zh
+        FROM documents)
+      SELECT doc_id, lang,
+             CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+                  WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+                  WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+                  WHEN s_es >= s_zh THEN 'es'
+                  ELSE 'zh' END AS predicted,
+             (CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+                   WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+                   WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+                   WHEN s_es >= s_zh THEN 'es'
+                   ELSE 'zh' END) = lang AS agree,
+             s_en, s_de, s_fr, s_es, s_zh
+      FROM scored
+      ORDER BY doc_id"""))
+
+  /** Quality scoring: length/word/stopword-ratio features + a composite
+    * score — the standard pre-training corpus filter shape. */
+  val t2 = GraftQuery(
+    "t2_quality_score",
+    "Document quality features (length, word count, stopword ratio) + composite score",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("ws", words(col("text")))
+        .withColumn("n_words", size(col("ws")).cast(LongType))
+        .withColumn("sum_word_len",
+          aggregate(transform(col("ws"), w => length(w).cast("long")), lit(0L), (a, x) => a + x))
+        .withColumn("stop_hits", hits(col("ws"), "en"))
+        .select(
+          col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars"),
+          col("n_words"),
+          col("sum_word_len"),
+          round(col("sum_word_len").cast("double") / col("n_words"), 4).as("avg_word_len"),
+          round(col("stop_hits").cast("double") / col("n_words"), 4).as("stop_ratio"),
+          round(least(lit(1.0), col("n_words").cast("double") / 50.0) * 0.5
+            + (col("stop_hits").cast("double") / col("n_words")) * 0.5, 4).as("quality_score"))
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH f AS (
+        SELECT doc_id, length(text) AS n_chars,
+               len(string_split(lower(text), ' ')) AS n_words,
+               list_aggregate(list_transform(string_split(lower(text), ' '),
+                 w -> length(w)), 'sum') AS sum_word_len,
+               ${sqlHits("en")} AS stop_hits
+        FROM documents)
+      SELECT doc_id, n_chars, n_words, sum_word_len,
+             round(CAST(sum_word_len AS DOUBLE) / n_words, 4) AS avg_word_len,
+             round(CAST(stop_hits AS DOUBLE) / n_words, 4) AS stop_ratio,
+             round(least(1.0, CAST(n_words AS DOUBLE) / 50.0) * 0.5
+               + (CAST(stop_hits AS DOUBLE) / n_words) * 0.5, 4) AS quality_score
+      FROM f
+      ORDER BY doc_id"""))
+
+  /** Token counting: whitespace tokens, regex (BPE-ish word/number/symbol)
+    * tokens, and the chars/4 BPE estimate. */
+  val t3 = GraftQuery(
+    "t3_token_count",
+    "Whitespace + regex tokenizer counts and chars/4 BPE estimate",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast(LongType).as("re_tokens"),
+          ceil(length(col("text")) / 4.0).cast(LongType).as("bpe_estimate"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS ws_tokens,
+             len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_estimate
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** Polynomial rolling-hash fingerprint over the character stream
+    * (mod 1e9+7, base 31) — deterministic, engine-independent, exact. */
+  val t4 = GraftQuery(
+    "t4_fingerprint",
+    "Rolling-hash document fingerprint + duplicate-fingerprint count",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          aggregate(
+            transform(split(col("text"), ""), c => ascii(c).cast("long")),
+            lit(0L),
+            (acc, x) => (acc * 31 + x) % 1000000007L).as("fingerprint"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4)
+}
