@@ -1,0 +1,124 @@
+package graft.catalog
+
+import java.util.concurrent.atomic.AtomicReference
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+import scala.util.{Failure, Success}
+import org.apache.spark.sql.SparkSession
+import graft._
+
+/** Crawler registry & runner — the reference's Crawler lifecycle (A3/A4/A15,
+  * gluettalax.py:184-224) restated as schema inference + table registration.
+  *
+  * "Running a crawler" natively means: infer the schema by reading the
+  * target path, register/refresh the table in the catalog, and recover
+  * partitions from the directory layout (Spark's FileIndex does the
+  * reference's S3-listing work). The observable contract is preserved:
+  * READY/RUNNING states, start silently skipped when already RUNNING
+  * (gluettalax.py:216-217), async returns immediately, sync polls with a
+  * timeout → CrawlerTimeout, unknown name → CrawlerNotFound.
+  */
+final class Crawlers(spark: SparkSession) {
+
+  /** What a crawler crawls: a path in a format, into a target table. */
+  final case class CrawlerSpec(
+      name: String,
+      path: String,
+      format: String,
+      database: String,
+      table: String)
+
+  sealed trait State
+  case object Ready extends State
+  case object Running extends State
+
+  private final case class Entry(spec: CrawlerSpec,
+      state: AtomicReference[State], lastStartedMs: AtomicReference[Option[Long]])
+
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+  private implicit val ec: ExecutionContext = ExecutionContext.global
+
+  val DefaultDelaySec = 10   // reference DEFAULT_CRAWLER_DELAY (gluettalax.py:81)
+  val DefaultTimeoutSec = 600 // reference DEFAULT_CRAWLER_TIMEOUT (gluettalax.py:82)
+
+  def register(spec: CrawlerSpec): Unit =
+    registry.put(spec.name, Entry(spec, new AtomicReference(Ready), new AtomicReference(None)))
+
+  def list(): Seq[CrawlerSpec] = {
+    import scala.jdk.CollectionConverters._
+    registry.values().asScala.map(_.spec).toSeq.sortBy(_.name)
+  }
+
+  private def entry(name: String): Entry = {
+    val e = registry.get(name)
+    if (e == null) throw CrawlerNotFound(s"Crawler $name not found")
+    e
+  }
+
+  def state(name: String): State = entry(name).state.get()
+  def isReady(name: String): Boolean = state(name) == Ready
+
+  /** Elapsed ms of the current crawl, 0 when READY — the reference's
+    * CrawlElapsedTime display input (gluettalax.py:656). */
+  def crawlElapsedMs(name: String): Long = {
+    val e = entry(name)
+    if (e.state.get() == Running)
+      e.lastStartedMs.get().map(t => System.currentTimeMillis() - t).getOrElse(0L)
+    else 0L
+  }
+
+  /** The crawl itself: infer schema (incl. Hive-style partition columns
+    * from the directory layout), register the external table with its
+    * partitioning, and recover partitions — the reference's crawler job
+    * (schema inference + partition discovery) done by Spark's FileIndex.
+    * Runs on the calling thread (driven by `run` via a Future). */
+  private def crawl(spec: CrawlerSpec): Unit = {
+    val df = spark.read.format(spec.format).load(spec.path) // schema inference
+    // partition keys, in directory order, from any one leaf path
+    val partKeys = df.inputFiles.headOption.toSeq.flatMap { f =>
+      "([^/=]+)=[^/]*/".r.findAllMatchIn(f).map(_.group(1)).toSeq
+    }.distinct.filter(k => df.schema.fieldNames.contains(k))
+    val dataDdl = org.apache.spark.sql.types.StructType(
+      df.schema.filterNot(f => partKeys.contains(f.name))).toDDL
+    val partDdl = partKeys.map(k => s"`$k` ${df.schema(k).dataType.sql}")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `${spec.database}`")
+    spark.sql(s"DROP TABLE IF EXISTS `${spec.database}`.`${spec.table}`")
+    val cols = (dataDdl +: partDdl).mkString(", ")
+    val partClause =
+      if (partKeys.nonEmpty) s"PARTITIONED BY (${partKeys.map(k => s"`$k`").mkString(", ")})"
+      else ""
+    spark.sql(
+      s"""CREATE TABLE `${spec.database}`.`${spec.table}` ($cols)
+         |USING ${spec.format} $partClause LOCATION '${spec.path}'""".stripMargin)
+    if (partKeys.nonEmpty)
+      spark.catalog.recoverPartitions(s"${spec.database}.${spec.table}")
+  }
+
+  /** A15: run semantics (gluettalax.py:205-224). Returns true if a crawl was
+    * started (false when skipped because already RUNNING). */
+  def run(name: String, async: Boolean = false,
+      timeoutSec: Int = DefaultTimeoutSec, rerun: Boolean = false): Boolean = {
+    val e = entry(name)
+    if (rerun) waitReady(name, timeoutSec)
+    val started =
+      if (e.state.compareAndSet(Ready, Running)) {
+        e.lastStartedMs.set(Some(System.currentTimeMillis()))
+        Future(crawl(e.spec)).onComplete {
+          case Success(_) => e.state.set(Ready)
+          case Failure(_) => e.state.set(Ready)
+        }
+        true
+      } else false // silently skip start when already RUNNING
+    if (!async) waitReady(name, timeoutSec)
+    started
+  }
+
+  private def waitReady(name: String, timeoutSec: Int): Unit = {
+    val deadline = System.nanoTime() + timeoutSec.seconds.toNanos
+    while (!isReady(name)) {
+      if (System.nanoTime() > deadline)
+        throw CrawlerTimeout(s"Crawler $name timeout")
+      Thread.sleep(50) // poll interval; reference uses 10 s against a remote API
+    }
+  }
+}

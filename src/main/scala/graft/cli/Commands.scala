@@ -1,0 +1,237 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import graft._
+import graft.catalog.{Crawlers, GraftCatalog}
+import graft.jobs.JobRunner
+import graft.functions.Functions.{formatTime, globToRegex}
+import ArgParser.parseArgs
+
+/** Engine facade: one SparkSession + the catalog/crawler/job surfaces. */
+final class GraftEngine(val spark: SparkSession) {
+  val catalog = new GraftCatalog(spark)
+  val crawlers = new Crawlers(spark)
+  val jobs = new JobRunner(spark)
+}
+
+/** Command registry and dispatch — the reference's @cmd/@alias/@usage
+  * machinery (A21-A23, gluettalax.py:517-563, 803-862) as a plain Scala
+  * registry. Same command names, aliases, usage grammar, help rendering and
+  * exit-code contract: no args → help + exit 2; GraftWarning → print +
+  * exit 0; GraftException → print + exit 1; engine (Spark) errors → exit 1.
+  */
+object Commands {
+
+  final case class Command(
+      name: String,
+      aliases: Seq[String],
+      usage: String,
+      doc: String,
+      handler: (GraftEngine, Seq[String], String => Unit) => Unit)
+
+  private def globKeep(pattern: Option[String], value: String): Boolean =
+    pattern.filter(_.nonEmpty).forall(p =>
+      ("^" + globToRegex(p) + "$").r.matches(value))
+
+  val all: Seq[Command] = Seq(
+    Command("list_tables", Seq("lst"), "[pattern] [--noheaders]",
+      "List tables. Example: list_tables 'test*' --noheaders",
+      (e, argv, out) => {
+        val r = parseArgs(argv, "[pattern] [--noheaders]", Map("op_noheaders" -> false))
+        val pattern = r.positional1
+        if (r.kargs("op_noheaders") == false) {
+          out(f"${"Database"}%-40s Name"); out("-" * 70)
+        }
+        e.catalog.listTables(pattern).collect().foreach { row =>
+          out(f"${row.getString(0)}%-40s ${row.getString(1)}")
+        }
+      }),
+
+    Command("list_crawlers", Seq("lsc"), "[pattern] [--noheaders]",
+      "List crawlers. Example: list_crawlers 'test*' --noheaders",
+      (e, argv, out) => {
+        val r = parseArgs(argv, "[pattern] [--noheaders]", Map("op_noheaders" -> false))
+        if (r.kargs("op_noheaders") == false) {
+          out(f"${"Name"}%-40s ${"Status"}%-10s "); out("-" * 70)
+        }
+        e.crawlers.list().filter(c => globKeep(r.positional1, c.name)).foreach { c =>
+          val state = if (e.crawlers.isReady(c.name)) "READY" else "RUNNING"
+          val elapsed = // conditional projection, gluettalax.py:654-657
+            if (state == "RUNNING") formatTime(e.crawlers.crawlElapsedMs(c.name) / 1000)
+            else ""
+          out(f"${c.name}%-40s $state%-10s $elapsed")
+        }
+      }),
+
+    Command("list_jobs", Seq("lsj"), "[pattern] [--noheaders]",
+      "List jobs. Example: list_jobs 'test*'",
+      (e, argv, out) => {
+        val r = parseArgs(argv, "[pattern] [--noheaders]", Map("op_noheaders" -> false))
+        if (r.kargs("op_noheaders") == false) {
+          out(f"${"Name"}%-40s ${"Capacity"}%-8s  ${"Max concurrent"}%-10s"); out("-" * 70)
+        }
+        e.jobs.listJobs().filter(j => globKeep(r.positional1, j.name)).foreach { j =>
+          out(f"${j.name}%-40s ${j.allocatedCapacity}%-8s  ${j.maxConcurrentRuns}%-10s")
+        }
+      }),
+
+    Command("run_crawler", Seq("runc"), "<crawler_name> [--async] [--timeout=seconds]",
+      "Run a crawler. If not async, wait until execution is finished.",
+      (e, argv, out) => {
+        val r = parseArgs(argv, "<crawler_name> [--async] [--timeout=seconds]",
+          Map("op_async" -> false, "timeout" -> 600))
+        val timeout = r.kargs("timeout").toString.toInt
+        e.crawlers.run(r.positional1.get, async = r.kargs("op_async") == true,
+          timeoutSec = timeout)
+      }),
+
+    Command("list_runs", Seq("lsr"), "[job_name] [--lines=num] [--noheaders]",
+      "Print job run history. Example: list_runs my_batch_job --lines 10",
+      (e, argv, out) => {
+        val r = parseArgs(argv, "[job_name] [--lines=num] [--noheaders]",
+          Map("lines" -> null, "op_noheaders" -> false))
+        val lines = Option(r.kargs("lines")).map(_.toString.toInt)
+        if (r.kargs("op_noheaders") == false) {
+          out(f"${"Job"}%-30s ${"State"}%-10s ${"Time"}%-10s ${"Started"}%-20s Arguments")
+          out("-" * 70)
+        }
+        e.jobs.printJobRuns(r.positional1, lines).collect().foreach { row =>
+          out(f"${row.getString(0)}%-30s ${row.getString(1)}%-10s ${row.getString(2)}%-10s ${row.getString(3)}%-20s ${row.getString(4)}")
+        }
+      }),
+
+    Command("run_job", Seq("runj"), "<job_name> [--async] [--param1=value...]",
+      "Run a job. If not async, wait until execution is finished.",
+      (e, argv, out) => {
+        val r = parseArgs(argv, "<job_name> [--async] [--param1=value...]",
+          Map("op_async" -> false))
+        val params = (r.kargs - "op_async").collect {
+          case (k, v) if v != null => k -> v.toString
+        }
+        val name = r.positional1.get
+        val ok = e.jobs.runJob(name, params, async = r.kargs("op_async") == true)
+        // deliberate fix of the reference's `return 0 if ... else 0` bug
+        // (gluettalax.py:720): a FAILED sync run exits 1
+        if (!ok) throw JobFailed(s"Job $name failed")
+      }),
+
+    Command("list_partitions", Seq("lsp"), "<db> <table> [pattern] [--noheaders]",
+      "List the partitions in a table. Example: list_partitions datalake usage",
+      (e, argv, out) => {
+        val r = parseArgs(argv, "<db> <table> [pattern] [--noheaders]",
+          Map("op_noheaders" -> false))
+        val List(db, table, pattern) = r.positionals.take(3)
+        val listing = e.catalog.listPartitions(db.get, table.get)
+        val fmt = listing.maxLengths.map(w => s"%-${w}s").mkString("  ") + "  %s"
+        if (r.kargs("op_noheaders") == false && listing.partitionKeys.nonEmpty) {
+          out(fmt.format(listing.partitionKeys :+ "Location": _*)); out("-" * 70)
+        }
+        e.catalog.filterPartitions(listing, pattern).foreach { row =>
+          out(fmt.format(row: _*))
+        }
+      }),
+
+    Command("add_partition", Seq("addp"), "<db> <table> [--partition1=value...] [--location=path]",
+      "Create a new partition. Example: add_partition datalake usage --year=2019 --month=09",
+      (e, argv, out) => {
+        val r = parseArgs(argv, "<db> <table> [--partition1=value...] [--location=path]")
+        val List(db, table) = r.positionals.take(2)
+        val location = r.kargs.get("location").map(_.toString)
+        val kargs = (r.kargs - "location").map { case (k, v) => k -> v.toString }
+        e.catalog.addPartition(db.get, table.get, kargs, location)
+        out("Partition added")
+      }),
+
+    Command("add_partitions", Seq(), "<db> <table> [path]",
+      "Create partitions discovered under a location. Example: add_partitions datalake usage /data/usage/year=2020/month=10",
+      (e, argv, out) => {
+        val r = parseArgs(argv, "<db> <table> [path]")
+        val List(db, table, path) = r.positionals.take(3)
+        e.catalog.addPartitionsByLocation(db.get, table.get, path.get).foreach {
+          case (dir, e.catalog.Added)         => out(s"Partition [$dir] added")
+          case (dir, e.catalog.AlreadyExists) => out(s"Partition [$dir] already exists")
+          case (dir, e.catalog.Skipped)       => out(s"Skip $dir")
+        }
+      }),
+
+    Command("del_partition", Seq("rmp"), "<db> <table> [--partition1=value...]",
+      "Delete a partition. Example: del_partition datalake usage --year=2019 --month=09",
+      (e, argv, out) => {
+        val r = parseArgs(argv, "<db> <table> [--partition1=value...]")
+        val List(db, table) = r.positionals.take(2)
+        val kargs = r.kargs.map { case (k, v) => k -> v.toString }
+        e.catalog.deletePartition(db.get, table.get, kargs)
+        out("Partition deleted")
+      }),
+
+    Command("help", Seq("-h"), "[command]",
+      "Display information about commands.",
+      (e, argv, out) => {
+        val r = parseArgs(argv, "[command]")
+        r.positional1 match {
+          case Some(c) =>
+            val cmd = lookup(c)
+            out(s"usage: graft ${cmd.name} ${cmd.usage} ${cmd.doc}")
+          case None =>
+            out("usage: graft <command> [parameters]"); out("")
+            out("Commands:")
+            all.sortBy(_.name).foreach { c =>
+              out(s" ${c.name} ${c.usage} ${c.doc}"); out("")
+            }
+            out("Command aliases:")
+            all.filter(c => c.aliases.nonEmpty && c.name != "help").foreach { c =>
+              out(s" ${c.aliases.sorted.mkString(" ")} -> ${c.name}")
+            }
+        }
+      }))
+
+  /** A21: name-or-alias lookup (gluettalax.py:832-836). */
+  def lookup(cmd: String): Command =
+    all.find(c => c.name == cmd || c.aliases.contains(cmd))
+      .getOrElse(throw GraftCommandNotFound(
+        s"""Invalid command "$cmd"; use "help" for a list."""))
+
+  /** A23: dispatch with the exit-code contract (gluettalax.py:839-857). */
+  def main(engine: GraftEngine, argv: Seq[String], out: String => Unit = println): Int = {
+    if (argv.isEmpty) {
+      lookup("help").handler(engine, Seq("help"), out)
+      return 2
+    }
+    try {
+      val cmd = lookup(argv.head)
+      cmd.handler(engine, argv, out)
+      0
+    } catch {
+      case w: GraftWarning   => out(w.getMessage); 0
+      case x: GraftException => out(x.getMessage); 1
+      case x: org.apache.spark.sql.AnalysisException => out(x.getMessage); 1
+      case x: org.apache.spark.SparkException => out(x.getMessage); 1
+    }
+  }
+}
+
+/** CLI entry point: builds a local engine, registers the engine's named
+  * queries as jobs (the Glue-job analog), dispatches, exits with the
+  * reference's code contract. */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val engine = new GraftEngine(spark)
+    val defaultDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    graft.SparkEntry.registry.foreach { q =>
+      engine.jobs.register(engine.jobs.JobSpec(q.name,
+        (s, params) => q.build(s, params.getOrElse("dir", defaultDir))))
+    }
+    val code = Commands.main(engine, args.toSeq)
+    spark.stop()
+    sys.exit(code)
+  }
+}

@@ -21,4 +21,8 @@ final case class TableNotFound(msg: String) extends GraftException(msg)
 final case class PartitionNotFound(msg: String) extends GraftException(msg)
 final case class PartitionAlreadyExists(msg: String) extends GraftWarning(msg)
 final case class InvalidOption(msg: String) extends GraftException(msg)
+/** Not in the reference taxonomy: raised by the CLI when a synchronous run
+  * ends FAILED, so failure exits 1 — the deliberate fix of the reference's
+  * always-exit-0 `cmd_run_job` bug (gluettalax.py:720, SURVEY §3.2). */
+final case class JobFailed(msg: String) extends GraftException(msg)
 final case class GraftCommandNotFound(msg: String) extends GraftException(msg)

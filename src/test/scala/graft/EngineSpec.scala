@@ -1,0 +1,261 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.cli.{Commands, GraftEngine}
+
+/** E2E engine tests: catalog/partition surface (A9-A14), crawler lifecycle
+  * (A15), job runner (A16, A5-A8) and the CLI exit-code contract (A23) —
+  * mirroring the reference's test_crawler.py exit-code assertions with a
+  * temp local-fs warehouse standing in for the mocked Glue backend.
+  */
+class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val tmp = Files.createTempDirectory("graft_test").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", s"$tmp/warehouse")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  lazy val engine = new GraftEngine(spark)
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val partedDir = {
+    // partitioned parquet layout: year=YYYY/month=MM from events
+    val dir = s"$tmp/events_parted"
+    val ev = graft.operators.events(spark, sfDir)
+      .withColumn("year", year(col("ts")).cast("string"))
+      .withColumn("month", lpad(month(col("ts")).cast("string"), 2, "0"))
+    ev.write.partitionBy("year", "month").mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def run(args: String*): (Int, Seq[String]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Commands.main(engine, args, out += _)
+    (code, out.toSeq)
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sparkContext.setLogLevel("WARN")
+    // external partitioned table over the layout, no partitions registered yet
+    spark.sql("CREATE DATABASE IF NOT EXISTS datalake")
+    val ev = spark.read.parquet(partedDir)
+    val dataDdl = org.apache.spark.sql.types.StructType(
+      ev.schema.filterNot(f => Seq("year", "month").contains(f.name))).toDDL
+    spark.sql(
+      s"""CREATE TABLE datalake.usage ($dataDdl, year STRING, month STRING)
+         |USING parquet PARTITIONED BY (year, month) LOCATION '$partedDir'""".stripMargin)
+    spark.sql(s"CREATE TABLE datalake.hive_t (v BIGINT, year STRING, month STRING) " +
+      s"USING parquet PARTITIONED BY (year, month) LOCATION '$tmp/hive_table'")
+    spark.sql(s"CREATE TABLE datalake.pos_t (v BIGINT, partition_0 STRING, partition_1 STRING) " +
+      s"USING parquet PARTITIONED BY (partition_0, partition_1) LOCATION '$tmp/pos_table'")
+    // jobs: one fast, one failing, one slow
+    engine.jobs.register(engine.jobs.JobSpec("quick_job",
+      (s, p) => s.range(p.getOrElse("n", "10").toLong).toDF()))
+    engine.jobs.register(engine.jobs.JobSpec("failing_job",
+      (s, _) => s.range(1).selectExpr("no_such_column")))
+    engine.jobs.register(engine.jobs.JobSpec("slow_job",
+      (s, _) => { Thread.sleep(2500); s.range(1).toDF() }, maxConcurrentRuns = 1))
+    // crawler over the partitioned layout
+    engine.crawlers.register(engine.crawlers.CrawlerSpec(
+      "events_crawler", partedDir, "parquet", "datalake", "crawled_events"))
+  }
+
+  // ---- catalog / partitions (A9-A14) ----
+
+  test("A13 bulk discovery: skip-and-continue + per-dir outcomes") {
+    val outcomes = engine.catalog.addPartitionsByLocation("datalake", "usage", partedDir)
+    val added = outcomes.count(_._2 == engine.catalog.Added)
+    assert(added > 0)
+    // _SUCCESS marker at the root has no year= segment → Skipped, not fatal
+    assert(outcomes.exists(_._2 == engine.catalog.Skipped))
+    // idempotent second pass: everything already exists
+    val second = engine.catalog.addPartitionsByLocation("datalake", "usage", partedDir)
+    assert(second.count(_._2 == engine.catalog.AlreadyExists) == added)
+  }
+
+  test("A9 listPartitions: width agg + sort by location") {
+    engine.catalog.addPartitionsByLocation("datalake", "usage", partedDir)
+    val listing = engine.catalog.listPartitions("datalake", "usage")
+    assert(listing.partitionKeys == Seq("year", "month"))
+    assert(listing.data.nonEmpty)
+    assert(listing.data == listing.data.sortBy(_.last)) // sorted by location
+    // width: at least the label length, at least the longest value
+    assert(listing.maxLengths.head >= "year".length)
+    assert(listing.maxLengths.head >= listing.data.map(_.head.length).max)
+  }
+
+  test("A10 any-column glob filter") {
+    val listing = engine.catalog.listPartitions("datalake", "usage")
+    val filtered = engine.catalog.filterPartitions(listing, Some("01"))
+    assert(filtered.nonEmpty)
+    assert(filtered.forall(row => row.exists(_ == "01")))
+    assert(engine.catalog.filterPartitions(listing, Some("*2024*")).nonEmpty)
+  }
+
+  test("A12 addPartition: Hive dialect location derivation + already-exists warning") {
+    engine.catalog.addPartition("datalake", "hive_t", Map("year" -> "2030", "month" -> "12"))
+    val listing = engine.catalog.listPartitions("datalake", "hive_t")
+    assert(listing.data.head.last.endsWith("hive_table/year=2030/month=12"))
+    assertThrows[PartitionAlreadyExists] {
+      engine.catalog.addPartition("datalake", "hive_t", Map("year" -> "2030", "month" -> "12"))
+    }
+  }
+
+  test("A12 addPartition: positional partition_* dialect") {
+    engine.catalog.addPartition("datalake", "pos_t",
+      Map("partition_0" -> "2031", "partition_1" -> "07"))
+    val listing = engine.catalog.listPartitions("datalake", "pos_t")
+    // positional dialect: values only, no k= prefix (gluettalax.py:463-465)
+    assert(listing.data.head.last.endsWith("pos_table/2031/07"))
+  }
+
+  test("A11 partition-arg validation errors") {
+    assertThrows[InvalidOption] { // wrong arity
+      engine.catalog.addPartition("datalake", "hive_t", Map("year" -> "1999"))
+    }
+    assertThrows[InvalidOption] { // wrong key names
+      engine.catalog.addPartition("datalake", "hive_t", Map("y" -> "1999", "m" -> "01"))
+    }
+  }
+
+  test("A14 deletePartition + PartitionNotFound") {
+    engine.catalog.addPartition("datalake", "hive_t", Map("year" -> "2040", "month" -> "01"))
+    engine.catalog.deletePartition("datalake", "hive_t", Map("year" -> "2040", "month" -> "01"))
+    assertThrows[PartitionNotFound] {
+      engine.catalog.deletePartition("datalake", "hive_t", Map("year" -> "2040", "month" -> "01"))
+    }
+  }
+
+  test("TableNotFound is typed") {
+    assertThrows[TableNotFound] {
+      engine.catalog.listPartitions("datalake", "nope")
+    }
+  }
+
+  // ---- crawler (A15) ----
+
+  test("A15 crawler: sync run infers schema, registers table, recovers partitions") {
+    assert(engine.crawlers.isReady("events_crawler"))
+    val started = engine.crawlers.run("events_crawler", timeoutSec = 120)
+    assert(started)
+    assert(engine.crawlers.isReady("events_crawler"))
+    val crawled = spark.table("datalake.crawled_events")
+    assert(crawled.count() == 1000)
+    assert(crawled.schema.fieldNames.contains("year")) // partition col inferred
+    val parts = spark.sql("SHOW PARTITIONS datalake.crawled_events").count()
+    assert(parts > 0)
+  }
+
+  test("A15 crawler: unknown name is typed") {
+    assertThrows[CrawlerNotFound] { engine.crawlers.run("nope") }
+  }
+
+  // ---- jobs (A16, A5-A8) ----
+
+  test("A16 runJob sync returns success bool and ledgers SUCCEEDED") {
+    assert(engine.jobs.runJob("quick_job", Map("n" -> "5")))
+    val runs = engine.jobs.listRuns("quick_job")
+    assert(runs.filter(col("state") === "SUCCEEDED").count() >= 1)
+  }
+
+  test("A16 failing job: sync false + FAILED in ledger") {
+    assert(!engine.jobs.runJob("failing_job"))
+    val runs = engine.jobs.listRuns("failing_job", includeSucceeded = false)
+    assert(runs.filter(col("state") === "FAILED").count() >= 1)
+  }
+
+  test("A16 unknown job is typed") {
+    assertThrows[JobNotFound] { engine.jobs.runJob("nope") }
+  }
+
+  test("A16 concurrency cap") {
+    engine.jobs.runJob("slow_job", async = true)
+    assertThrows[JobConcurrentRunsExceeded] { engine.jobs.runJob("slow_job") }
+    Thread.sleep(3000) // let the async run drain
+  }
+
+  test("A16 sync timeout raises JobTimeout (run keeps going)") {
+    assertThrows[JobTimeout] {
+      engine.jobs.runJob("slow_job", timeoutSec = Some(1))
+    }
+    Thread.sleep(3000)
+  }
+
+  test("A7/A8 listRuns ordering + top-1-per-group") {
+    engine.jobs.runJob("quick_job")
+    engine.jobs.runJob("quick_job")
+    val runs = engine.jobs.listRuns("quick_job", lines = Some(2)).collect()
+    assert(runs.length == 2)
+    val latest = engine.jobs.printJobRuns(None, None).collect()
+    // one row per job that has runs
+    assert(latest.map(_.getString(0)).distinct.length == latest.length)
+  }
+
+  // ---- CLI exit-code contract (A23), mirroring test_crawler.py ----
+
+  test("no args → help, exit 2") {
+    val (code, out) = run()
+    assert(code == 2)
+    assert(out.exists(_.contains("usage: graft")))
+  }
+
+  test("help → 0; help with command → 0") {
+    assert(run("help")._1 == 0)
+    assert(run("-h")._1 == 0)
+    val (c, out) = run("help", "list_partitions")
+    assert(c == 0 && out.exists(_.contains("<db> <table>")))
+  }
+
+  test("list commands → 0, with and without glob") {
+    assert(run("list_tables")._1 == 0)
+    assert(run("lst", "usag*")._1 == 0)
+    assert(run("list_crawlers")._1 == 0)
+    assert(run("list_jobs", "quick*", "--noheaders")._1 == 0)
+    assert(run("list_partitions", "datalake", "usage")._1 == 0)
+    assert(run("lsp", "datalake", "usage", "*2024*", "--noheaders")._1 == 0)
+  }
+
+  test("unknown command → 1") {
+    assert(run("frobnicate")._1 == 1)
+  }
+
+  test("async crawler run → 0") {
+    assert(run("run_crawler", "events_crawler", "--async")._1 == 0)
+    Thread.sleep(2000)
+  }
+
+  test("add_partition already exists → warning, exit 0") {
+    run("add_partition", "datalake", "hive_t", "--year=2050", "--month=01")
+    val (code, out) = run("addp", "datalake", "hive_t", "--year=2050", "--month=01")
+    assert(code == 0)
+    assert(out.exists(_.contains("already exists")))
+  }
+
+  test("del_partition missing → exit 1") {
+    assert(run("rmp", "datalake", "hive_t", "--year=1900", "--month=01")._1 == 1)
+  }
+
+  test("run_job: success → 0, failure → 1 (deliberate fix of reference bug)") {
+    assert(run("run_job", "quick_job", "--n=3")._1 == 0)
+    assert(run("runj", "failing_job")._1 == 1)
+  }
+
+  test("invalid option → exit 1") {
+    assert(run("list_partitions")._1 == 1) // missing required positionals
+  }
+
+  override def afterAll(): Unit = {
+    try spark.stop() finally super.afterAll()
+  }
+}
