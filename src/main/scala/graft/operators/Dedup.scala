@@ -59,44 +59,83 @@ object Dedup {
 
   /** MinHash + LSH banding near-dup detection.
     *
-    * signature[j] = min over shingles of xxhash64(j || shingle) — the
-    * "hash with seed j" formulation avoids modular arithmetic entirely
-    * (no overflow under ANSI, stays in codegen). 64 hashes × 16 bands ×
-    * 4 rows; band-bucket equi-join generates candidates, exact Jaccard
-    * over shingle sets confirms. Hash values are engine-specific → no SQL
+    * Each shingle is murmur-hashed ONCE to a 32-bit value; the 64 minhash
+    * signatures are affine permutations (a_j·h + b_j) mod p over that value
+    * (products stay < 2^62 — no overflow under ANSI, everything in
+    * whole-stage codegen, no per-permutation string hashing). The 16
+    * band-bucket rows per doc carry ONLY (doc_id, band, bucket) — the
+    * candidate self-join shuffles 24 bytes per row, never the shingle
+    * arrays; shingles are joined back for exact-Jaccard confirmation only
+    * for the (rare) candidate pairs. This is the shuffle discipline that
+    * holds at 100 TB: LSH fan-out is O(docs × bands), verification cost is
+    * O(true-duplicate pairs). Hash values are engine-specific → no SQL
     * oracle (d3 is the oracle-checked ground truth on a subset).
     */
   val d2 = GraftQuery(
     "d2_minhash_lsh",
     "MinHash(64) + LSH(16 bands × 4) candidate generation + exact-Jaccard confirm ≥ 0.5",
     (s, dir) => {
-      val docs = table(s, dir, "documents")
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val sig = docs.withColumn("sig",
-        transform(sequence(lit(0), lit(63)),
-          j => array_min(transform(col("sh"),
-            sh => xxhash64(concat(j.cast("string"), lit("_"), sh))))))
-      val banded = sig.select(
-        col("doc_id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(15)),
-          b => xxhash64(concat_ws(",",
-            element_at(col("sig"), b * 4 + 1).cast("string"),
-            element_at(col("sig"), b * 4 + 2).cast("string"),
-            element_at(col("sig"), b * 4 + 3).cast("string"),
-            element_at(col("sig"), b * 4 + 4).cast("string")))))
-      ).withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val left = banded.select(col("band"), col("bucket"), col("doc_id").as("doc1"), col("sh").as("sh1"))
-      val right = banded.select(col("band"), col("bucket"), col("doc_id").as("doc2"), col("sh").as("sh2"))
-      left.join(right, Seq("band", "bucket"))
-        .filter(col("doc1") < col("doc2"))
-        .select(col("doc1"), col("doc2"), col("sh1"), col("sh2"))
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.storage.StorageLevel
+      val P = 4294967311L // prime > 2^32
+      val rnd = new scala.util.Random(7)
+      val A = Array.fill(64)(1L + rnd.nextInt(1 << 30).toLong * 2) // odd, < 2^31
+      val B = Array.fill(64)(rnd.nextInt(1 << 30).toLong)
+      // Row-based shingling (posexplode + window lead): stays entirely in
+      // whole-stage codegen — array higher-order functions would run
+      // interpreted per element and dominate the runtime. The shingle table
+      // is the pipeline's shared intermediate (used by the signature pass,
+      // the size aggregate and both verification sides) → persist it, the
+      // row-count is O(corpus tokens), exactly what a production pipeline
+      // would materialize.
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val shRows = table(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
+        .withColumn("w1", lead("word", 1).over(w))
+        .withColumn("w2", lead("word", 2).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("word"), col("w1"), col("w2")).as("sh"))
         .distinct()
-        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
-        .withColumn("un", (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("long"))
-        .withColumn("jaccard", round(col("inter").cast("double") / col("un"), 4))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hs = shRows.select(col("doc_id"),
+        hash(col("sh")).cast("long").bitwiseAND(lit(0xFFFFFFFFL)).as("h"))
+      // 64 affine minhashes in one codegen'd hash aggregate, one shuffle
+      val sigCols = (0 until 64).map(j =>
+        min((lit(A(j)) * col("h") + lit(B(j))) % lit(P)).as(s"g$j"))
+      val sig = hs.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val buckets = sig.select(col("doc_id"),
+        posexplode(array((0 until 16).map(b =>
+          xxhash64(col(s"g${4 * b}"), col(s"g${4 * b + 1}"),
+            col(s"g${4 * b + 2}"), col(s"g${4 * b + 3}"))): _*)))
+        .toDF("doc_id", "band", "bucket")
+      // candidate pairs via bucket grouping, NOT a self-join: the signature
+      // pipeline is evaluated once, pair fan-out happens inside each bucket
+      val cand = buckets.groupBy("band", "bucket")
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(flatten(transform(col("ids"),
+          x => transform(filter(col("ids"), y => y > x),
+            y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
+        .select(col("p.doc1"), col("p.doc2"))
+        .distinct()
+      // exact-Jaccard confirm, row-based: candidates are rare → broadcast;
+      // intersection = count of shared shingle rows per pair
+      val sizes = shRows.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = shRows.as("s1")
+        .join(broadcast(cand), col("s1.doc_id") === col("doc1"))
+        .join(shRows.as("s2"),
+          col("s2.doc_id") === col("doc2") && col("s1.sh") === col("s2.sh"))
+        .groupBy("doc1", "doc2")
+        .agg(count(lit(1)).as("inter"))
+      // inter (confirmed-candidate counts) is the tiny side — broadcast it,
+      // never the corpus-wide size table
+      broadcast(inter)
+        .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
+        .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+        .withColumn("un", (col("n1") + col("n2") - col("inter")).cast("long"))
         .filter(col("inter").cast("double") / col("un") >= 0.5)
-        .select("doc1", "doc2", "inter", "un", "jaccard")
+        .select(col("doc1"), col("doc2"), col("inter"), col("un"),
+          round(col("inter").cast("double") / col("un"), 4).as("jaccard"))
         .orderBy("doc1", "doc2")
     },
     None)
@@ -166,11 +205,16 @@ object Dedup {
         posexplode(array((0 until 4).map(k =>
           shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(0xFFFFL)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val l = banded.select(col("band"), col("bucket"), col("doc_id").as("doc1"), col("simhash").as("h1"))
-      val r = banded.select(col("band"), col("bucket"), col("doc_id").as("doc2"), col("simhash").as("h2"))
-      l.join(r, Seq("band", "bucket"))
-        .filter(col("doc1") < col("doc2"))
-        .select("doc1", "doc2", "h1", "h2")
+      // single-pass bucket grouping (carrying the signature alongside the
+      // id) instead of a self-join — upstream evaluated once, as in d2
+      banded.groupBy("band", "bucket")
+        .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+        .filter(size(col("members")) > 1)
+        .select(explode(flatten(transform(col("members"),
+          x => transform(filter(col("members"), y => y("doc_id") > x("doc_id")),
+            y => struct(x("doc_id").as("doc1"), y("doc_id").as("doc2"),
+              x("simhash").as("h1"), y("simhash").as("h2")))))).as("p"))
+        .select(col("p.doc1"), col("p.doc2"), col("p.h1"), col("p.h2"))
         .distinct()
         .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
         .filter(col("hamming") <= 8)
