@@ -91,15 +91,18 @@ object Functions {
   // ---- vector helpers (composed from codegen'd higher-order functions; no
   // UDF in the hot path — these stay inside whole-stage codegen) ----
 
-  /** Dot product of two float-array columns, accumulated in double,
-    * left-to-right (parity with the DuckDB oracle's accumulation order). */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two numeric-array columns, accumulated in double,
+    * left-to-right (parity with the DuckDB oracle's accumulation order).
+    * Backed by the native codegen'd DotProduct expression — the HOF
+    * formulation (`aggregate(zip_with(...))`) evaluates its lambda
+    * interpreted per element and is ~10× slower in the similarity path. */
+  def dotProduct(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.DotProduct(expression(a), expression(b)))
+  }
 
-  /** L2 norm of a float-array column (double). */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  /** L2 norm of a numeric-array column (double). */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
   /** Cosine similarity of two float-array columns (double). */
   def cosine(a: Column, b: Column): Column = dotProduct(a, b) / (l2Norm(a) * l2Norm(b))

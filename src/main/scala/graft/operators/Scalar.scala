@@ -208,5 +208,26 @@ object Scalar {
         AND regexp_extract(dirname, 'month=([^/]+)', 1) <> ''
       ORDER BY dirname"""))
 
-  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q30, q31)
+  /** Typed Aggregator UDAF (the extension seam for custom aggregates):
+    * exact weighted average of price by quantity — BigDecimal buffer, so
+    * partial-aggregation order cannot perturb the result. */
+  val q36 = GraftQuery(
+    "q36_weighted_avg_udaf",
+    "Custom typed Aggregator (UDAF): quantity-weighted average price per return flag",
+    (s, dir) => {
+      val wavg = udaf(graft.functions.WeightedAvg)
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(wavg(col("l_quantity"), col("l_extendedprice")).as("wavg_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               / CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS wavg_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q30, q31, q36)
 }
