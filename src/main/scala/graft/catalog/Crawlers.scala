@@ -20,13 +20,16 @@ import graft._
   */
 final class Crawlers(spark: SparkSession) {
 
-  /** What a crawler crawls: a path in a format, into a target table. */
+  /** What a crawler crawls: a path in a format, into a target table.
+    * `options` are reader options (e.g. csv header/inferSchema), inherited
+    * by the registered table. */
   final case class CrawlerSpec(
       name: String,
       path: String,
       format: String,
       database: String,
-      table: String)
+      table: String,
+      options: Map[String, String] = Map.empty)
 
   sealed trait State
   case object Ready extends State
@@ -73,7 +76,8 @@ final class Crawlers(spark: SparkSession) {
     * (schema inference + partition discovery) done by Spark's FileIndex.
     * Runs on the calling thread (driven by `run` via a Future). */
   private def crawl(spec: CrawlerSpec): Unit = {
-    val df = spark.read.format(spec.format).load(spec.path) // schema inference
+    val df = spark.read.format(spec.format).options(spec.options)
+      .load(spec.path) // schema inference
     // partition keys, in directory order, from any one leaf path
     val partKeys = df.inputFiles.headOption.toSeq.flatMap { f =>
       "([^/=]+)=[^/]*/".r.findAllMatchIn(f).map(_.group(1)).toSeq
@@ -87,9 +91,12 @@ final class Crawlers(spark: SparkSession) {
     val partClause =
       if (partKeys.nonEmpty) s"PARTITIONED BY (${partKeys.map(k => s"`$k`").mkString(", ")})"
       else ""
+    val optClause =
+      if (spec.options.isEmpty) ""
+      else spec.options.map { case (k, v) => s"'$k' '$v'" }.mkString("OPTIONS (", ", ", ")")
     spark.sql(
       s"""CREATE TABLE `${spec.database}`.`${spec.table}` ($cols)
-         |USING ${spec.format} $partClause LOCATION '${spec.path}'""".stripMargin)
+         |USING ${spec.format} $optClause $partClause LOCATION '${spec.path}'""".stripMargin)
     if (partKeys.nonEmpty)
       spark.catalog.recoverPartitions(s"${spec.database}.${spec.table}")
   }

@@ -83,17 +83,24 @@ object Scalar {
       events(s, dir)
         .withColumn("parsed",
           from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+        .withColumn("as_map", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)))
         .select(
           col("event_id"),
           get_json_object(col("props"), "$.k").as("k_str"),
           col("parsed.k").as("k_val"),
-          (col("parsed.k") * 2).as("k_doubled"))
+          (col("parsed.k") * 2).as("k_doubled"),
+          array_join(map_keys(col("as_map")), ",").as("json_keys"),
+          element_at(map_values(col("as_map")), 1).as("first_val"))
         .orderBy("event_id"),
     Some("""
       SELECT event_id,
              regexp_extract(props, '"k":\s*(-?\d+)', 1) AS k_str,
              CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k_val,
-             CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) * 2 AS k_doubled
+             CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) * 2 AS k_doubled,
+             'k' AS json_keys,
+             CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS first_val
       FROM events
       ORDER BY event_id"""))
 

@@ -161,6 +161,43 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[CrawlerNotFound] { engine.crawlers.run("nope") }
   }
 
+  test("source formats: crawler infers CSV and JSON-lines layouts too") {
+    // SURVEY §2 Layer B scans: csv with inferSchema + json-lines. Convert a
+    // slice of the parquet fixture, crawl each, compare the registered
+    // tables' contents against the source of truth.
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    src.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$tmp/nation_csv")
+    src.coalesce(1).write.mode("overwrite").json(s"$tmp/nation_json")
+    engine.crawlers.register(engine.crawlers.CrawlerSpec(
+      "csv_crawler", s"$tmp/nation_csv", "csv", "datalake", "nation_csv",
+      Map("header" -> "true", "inferSchema" -> "true")))
+    engine.crawlers.register(engine.crawlers.CrawlerSpec(
+      "json_crawler", s"$tmp/nation_json", "json", "datalake", "nation_json"))
+    engine.crawlers.run("csv_crawler", timeoutSec = 120)
+    engine.crawlers.run("json_crawler", timeoutSec = 120)
+    assert(spark.table("datalake.nation_csv").count() == 25)
+    assert(spark.table("datalake.nation_json").count() == 25)
+    val jsonNames = spark.table("datalake.nation_json")
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(jsonNames == src.select("n_name").collect().map(_.getString(0)).toSet)
+  }
+
+  test("partitioned scan prunes partitions (filter reaches PartitionFilters)") {
+    val typeDir = s"$tmp/events_by_type"
+    graft.operators.events(spark, sfDir)
+      .write.partitionBy("event_type").mode("overwrite").parquet(typeDir)
+    engine.crawlers.register(engine.crawlers.CrawlerSpec(
+      "type_crawler", typeDir, "parquet", "datalake", "usage_by_type"))
+    engine.crawlers.run("type_crawler", timeoutSec = 120)
+    val q = spark.table("datalake.usage_by_type").filter(col("event_type") === "click")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition pruning in plan:\n$physical")
+    assert(q.count() > 0)
+    assert(q.count() < spark.table("datalake.usage_by_type").count())
+  }
+
   // ---- jobs (A16, A5-A8) ----
 
   test("A16 runJob sync returns success bool and ledgers SUCCEEDED") {
