@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // micros parquet output: the driver's DuckDB oracle produces us-precision
+      // timestamps; INT96 (the default) round-trips as ns and can skew a
+      // dtype-sensitive compare
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

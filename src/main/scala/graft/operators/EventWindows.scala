@@ -22,7 +22,7 @@ object EventWindows {
         .agg(
           count(lit(1)).as("n"),
           sum(dec2(col("value"))).cast("double").as("total_value"))
-        .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"), col("event_type"), col("n"), col("total_value"))
         .orderBy("window_start", "event_type"),
     Some("""
       SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
@@ -43,7 +43,7 @@ object EventWindows {
       events(s, dir)
         .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"), col("event_type"), col("n"))
         .orderBy("window_start", "event_type"),
     Some("""
       WITH assigned AS (
@@ -70,7 +70,7 @@ object EventWindows {
         .agg(
           count(lit(1)).as("n_events"),
           sum(dec2(col("value"))).cast("double").as("session_value"))
-        .select(col("session_window.start").as("session_start"), col("user_id"),
+        .select(col("session_window.start").cast("timestamp_ntz").as("session_start"), col("user_id"),
           col("n_events"), col("session_value"))
         .orderBy("user_id", "session_start"),
     Some("""
@@ -105,7 +105,7 @@ object EventWindows {
       events(s, dir)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts").cast("timestamp_ntz").as("ts"))
         .orderBy("user_id", "event_type")
     },
     Some("""

@@ -499,6 +499,30 @@ object Relational {
       SELECT s_nationkey FROM supplier
       ORDER BY nationkey"""))
 
+  /** Explicit GROUPING SETS (the general form of rollup/cube), via SQL. */
+  val q37 = GraftQuery(
+    "q37_grouping_sets",
+    "GROUPING SETS ((status), (priority), ()) in one aggregation pass",
+    (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
-    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24)
+    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37)
 }

@@ -56,7 +56,7 @@ object Scalar {
           month(col("o_orderdate")).cast(LongType).as("m"),
           dayofmonth(col("o_orderdate")).cast(LongType).as("d"),
           (weekday(col("o_orderdate")) + 1).cast(LongType).as("isodow"),
-          date_trunc("month", col("o_orderdate")).as("month_start"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
           // o_orderdate is parquet TIMESTAMP_NTZ; session tz is UTC, so the
           // cast to instant-typed TIMESTAMP is lossless.
           unix_millis(col("o_orderdate").cast("timestamp")).as("epoch_ms"))
