@@ -106,4 +106,23 @@ object Functions {
 
   /** Cosine similarity of two float-array columns (double). */
   def cosine(a: Column, b: Column): Column = dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** 64-permutation MinHash signature of a text column (null for texts with
+    * < 3 words) — one zero-shuffle row-level pass. */
+  def minhashSignature(text: Column, numHashes: Int = 64, seed: Int = 7): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.MinHashSignature(expression(text), numHashes, seed))
+  }
+
+  /** 64-bit SimHash of a text column — one zero-shuffle row-level pass. */
+  def simhash64(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.SimHash64(expression(text)))
+  }
+
+  /** Exact 3-gram Jaccard of two texts → struct(inter, un, jaccard). */
+  def shingleJaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.ShingleJaccard(expression(a), expression(b)))
+  }
 }

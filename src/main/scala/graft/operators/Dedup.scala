@@ -22,10 +22,11 @@ object Dedup {
 
   /** Canonicalization key for exact dedup: here the 5-word prefix (the
     * fixture's near-duplicates share prefixes); production would use the
-    * whole normalized text. Grouping happens on the sha2 digest so the
-    * shuffle key is fixed-width. */
+    * whole normalized text. substring_index stays in codegen (an array
+    * slice HOF would run interpreted); grouping happens on the sha2 digest
+    * so the shuffle key is fixed-width. */
   private def canonKey(c: Column): Column =
-    sha2(concat_ws(" ", slice(words(c), 1, 5)), 256)
+    sha2(substring_index(lower(c), " ", 5), 256)
 
   /** 3-word shingles (distinct) of a text column. */
   private def shingles(c: Column): Column = {
@@ -75,41 +76,25 @@ object Dedup {
     "d2_minhash_lsh",
     "MinHash(64) + LSH(16 bands × 4) candidate generation + exact-Jaccard confirm ≥ 0.5",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.storage.StorageLevel
-      val P = 4294967311L // prime > 2^32
-      val rnd = new scala.util.Random(7)
-      val A = Array.fill(64)(1L + rnd.nextInt(1 << 30).toLong * 2) // odd, < 2^31
-      val B = Array.fill(64)(rnd.nextInt(1 << 30).toLong)
-      // Row-based shingling (posexplode + window lead): stays entirely in
-      // whole-stage codegen — array higher-order functions would run
-      // interpreted per element and dominate the runtime. The shingle table
-      // is the pipeline's shared intermediate (used by the signature pass,
-      // the size aggregate and both verification sides) → persist it, the
-      // row-count is O(corpus tokens), exactly what a production pipeline
-      // would materialize.
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val shRows = table(s, dir, "documents")
-        .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
-        .withColumn("w1", lead("word", 1).over(w))
-        .withColumn("w2", lead("word", 2).over(w))
-        .filter(col("w2").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("word"), col("w1"), col("w2")).as("sh"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val hs = shRows.select(col("doc_id"),
-        hash(col("sh")).cast("long").bitwiseAND(lit(0xFFFFFFFFL)).as("h"))
-      // 64 affine minhashes in one codegen'd hash aggregate, one shuffle
-      val sigCols = (0 until 64).map(j =>
-        min((lit(A(j)) * col("h") + lit(B(j))) % lit(P)).as(s"g$j"))
-      val sig = hs.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      import graft.functions.Functions.{minhashSignature, shingleJaccard}
+      // Signature = ONE zero-shuffle row-level pass (native MinHashSignature
+      // expression: shingle → murmur3 → 64 affine minima). The only shuffle
+      // in the whole pipeline is the band-bucket groupBy; verification
+      // evaluates exact Jaccard only for the O(candidate) pairs via two
+      // broadcast-candidate joins against the raw texts. This is the 100 TB
+      // shape: per-row signatures, 24-byte bucket rows, no corpus-wide
+      // shingle materialization.
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val sig = docs
+        .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+        .filter(col("sig").isNotNull)
       val buckets = sig.select(col("doc_id"),
         posexplode(array((0 until 16).map(b =>
-          xxhash64(col(s"g${4 * b}"), col(s"g${4 * b + 1}"),
-            col(s"g${4 * b + 2}"), col(s"g${4 * b + 3}"))): _*)))
+          xxhash64(element_at(col("sig"), 4 * b + 1), element_at(col("sig"), 4 * b + 2),
+            element_at(col("sig"), 4 * b + 3), element_at(col("sig"), 4 * b + 4))): _*)))
         .toDF("doc_id", "band", "bucket")
-      // candidate pairs via bucket grouping, NOT a self-join: the signature
-      // pipeline is evaluated once, pair fan-out happens inside each bucket
+      // candidate pairs via bucket grouping, NOT a self-join: upstream is
+      // evaluated once, pair fan-out happens inside each bucket
       val cand = buckets.groupBy("band", "bucket")
         .agg(collect_list(col("doc_id")).as("ids"))
         .filter(size(col("ids")) > 1)
@@ -118,24 +103,13 @@ object Dedup {
             y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
         .select(col("p.doc1"), col("p.doc2"))
         .distinct()
-      // exact-Jaccard confirm, row-based: candidates are rare → broadcast;
-      // intersection = count of shared shingle rows per pair
-      val sizes = shRows.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = shRows.as("s1")
-        .join(broadcast(cand), col("s1.doc_id") === col("doc1"))
-        .join(shRows.as("s2"),
-          col("s2.doc_id") === col("doc2") && col("s1.sh") === col("s2.sh"))
-        .groupBy("doc1", "doc2")
-        .agg(count(lit(1)).as("inter"))
-      // inter (confirmed-candidate counts) is the tiny side — broadcast it,
-      // never the corpus-wide size table
-      broadcast(inter)
-        .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
-        .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
-        .withColumn("un", (col("n1") + col("n2") - col("inter")).cast("long"))
-        .filter(col("inter").cast("double") / col("un") >= 0.5)
-        .select(col("doc1"), col("doc2"), col("inter"), col("un"),
-          round(col("inter").cast("double") / col("un"), 4).as("jaccard"))
+      broadcast(cand)
+        .join(docs.select(col("doc_id").as("doc1"), col("text").as("t1")), "doc1")
+        .join(docs.select(col("doc_id").as("doc2"), col("text").as("t2")), "doc2")
+        .withColumn("j", shingleJaccard(col("t1"), col("t2")))
+        .filter(col("j.jaccard") >= 0.5)
+        .select(col("doc1"), col("doc2"), col("j.inter").as("inter"),
+          col("j.un").as("un"), round(col("j.jaccard"), 4).as("jaccard"))
         .orderBy("doc1", "doc2")
     },
     None)
@@ -191,16 +165,11 @@ object Dedup {
     "d4_simhash",
     "SimHash(64-bit) + 16-bit band LSH + Hamming ≤ 8 confirm",
     (s, dir) => {
-      val tok = table(s, dir, "documents")
-        .select(col("doc_id"), explode(words(col("text"))).as("w"))
-        .withColumn("h", xxhash64(col("w")))
-      val voteExprs = (0 until 64).map { j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-      }
-      val votes = tok.groupBy("doc_id").agg(voteExprs.head, voteExprs.tail: _*)
-      val sim = votes.select(col("doc_id"),
-        (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
+      // one zero-shuffle row pass via the native SimHash64 expression (the
+      // explode + 64-column vote aggregate it replaces cost a full shuffle
+      // of every token)
+      val sim = table(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.Functions.simhash64(col("text")).as("simhash"))
       val banded = sim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(k =>
           shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(0xFFFFL)): _*)))
