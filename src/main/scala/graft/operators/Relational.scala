@@ -523,6 +523,76 @@ object Relational {
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
 
+  /** TPC-H Q5-shaped 5-way join: region→nation (broadcast dims) ⋈ customer
+    * ⋈ orders ⋈ lineitem, revenue per nation. Dim chain broadcasts; the
+    * two fact joins shuffle on their keys. */
+  val q38 = GraftQuery(
+    "q38_tpch_q5_multijoin",
+    "5-table star join with broadcast dims + fact shuffles (TPC-H Q5 shape)",
+    (s, dir) => {
+      val region = table(s, dir, "region").filter(col("r_name").isin("ASIA", "EUROPE"))
+      val nation = table(s, dir, "nation")
+      val cust = table(s, dir, "customer")
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = table(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount")))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""
+      SELECT r_name, n_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name IN ('ASIA', 'EUROPE')
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""))
+
+  /** As-of join: for each event, the most recent order of the same
+    * customer at-or-before the event time (the reference's
+    * latest-run-per-job generalized to two tables). Equi on the key +
+    * window top-1 over the time predicate — no custom operator needed at
+    * this density; at heavy skew the band-bucketing of q11 applies. */
+  val q39 = GraftQuery(
+    "q39_asof_join",
+    "As-of join: latest order at-or-before each event per user",
+    (s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+      val o = table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      val w = Window.partitionBy("event_id").orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, o_orderkey, o_orderdate
+      FROM (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                   row_number() OVER (PARTITION BY e.event_id
+                     ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+            FROM events e
+            JOIN orders o ON e.user_id = o.o_custkey
+                         AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+      WHERE rn = 1
+      ORDER BY event_id"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
-    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37)
+    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39)
 }

@@ -229,6 +229,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Thread.sleep(3000)
   }
 
+  test("M5 streaming job runs through the M3 job runner (sync + ledger)") {
+    // SURVEY §7 M5: streams are orchestrated through the job runner, so the
+    // run/poll/timeout semantics of A15/A16 apply to streaming too. The job
+    // starts an AvailableNow file-source stream, drains it to a memory
+    // sink, and returns the sink for the runner's action.
+    engine.jobs.register(engine.jobs.JobSpec("streaming_tumbling", (s, _) => {
+      val src = s.readStream
+        .schema(graft.operators.events(s, sfDir).schema)
+        .parquet(partedDir)
+      val q = graft.streaming.Streams.tumblingCounts(src)
+        .writeStream.format("memory").queryName("job_stream_sink")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("job_stream_sink")
+    }, timeoutMinutes = 2))
+    assert(engine.jobs.runJob("streaming_tumbling"))
+    val runs = engine.jobs.listRuns("streaming_tumbling")
+    assert(runs.filter(col("state") === "SUCCEEDED").count() == 1)
+  }
+
   test("A7/A8 listRuns ordering + top-1-per-group") {
     engine.jobs.runJob("quick_job")
     engine.jobs.runJob("quick_job")

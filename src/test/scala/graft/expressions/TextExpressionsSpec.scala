@@ -1,0 +1,77 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.functions.Functions.{minhashSignature, shingleJaccard, simhash64, dotProduct}
+
+/** Edge cases for the native text/vector expressions (the oracle checks
+  * cover the happy path at corpus scale).
+  */
+class TextExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def one(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Row =
+    df.collect().head
+
+  test("minhash: identical texts yield identical signatures") {
+    import spark.implicits._
+    val df = Seq(("a b c d e", "a b c d e"), ("a b c d e", "x y z w v")).toDF("t1", "t2")
+      .select(minhashSignature(col("t1")).as("s1"), minhashSignature(col("t2")).as("s2"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[Long](0) == rows(0).getSeq[Long](1))
+    assert(rows(1).getSeq[Long](0) != rows(1).getSeq[Long](1))
+  }
+
+  test("minhash: short or null text is null") {
+    import spark.implicits._
+    val df = Seq(Some("two words"), Some(""), None).toDF("t")
+      .select(minhashSignature(col("t")).as("s"))
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+
+  test("jaccard: identical = 1.0, disjoint = 0.0, order-symmetric") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c d", "a b c d"),
+      ("a b c d", "w x y z"),
+      ("a b c d e", "b c d e f")).toDF("t1", "t2")
+      .select(shingleJaccard(col("t1"), col("t2")).as("j"),
+        shingleJaccard(col("t2"), col("t1")).as("jr"))
+    val rows = df.collect()
+    assert(rows(0).getStruct(0).getDouble(2) == 1.0)
+    assert(rows(1).getStruct(0).getDouble(2) == 0.0)
+    // symmetric
+    rows.foreach(r => assert(r.getStruct(0).getDouble(2) == r.getStruct(1).getDouble(2)))
+    // "a b c d e" vs "b c d e f": shingles {abc,bcd,cde} vs {bcd,cde,def} → 2/4
+    assert(rows(2).getStruct(0).getDouble(2) == 0.5)
+  }
+
+  test("simhash: identical texts equal, case-insensitive, different texts differ") {
+    import spark.implicits._
+    val df = Seq(("spark scan table", "SPARK SCAN TABLE"), ("spark scan table", "zeta eta theta"))
+      .toDF("t1", "t2")
+      .select(simhash64(col("t1")).as("h1"), simhash64(col("t2")).as("h2"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) == rows(0).getLong(1))
+    assert(rows(1).getLong(0) != rows(1).getLong(1))
+  }
+
+  test("dot product: known value, empty arrays, interpreted path parity") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f)), (Array.empty[Float], Array.empty[Float]))
+      .toDF("a", "b").select(dotProduct(col("a"), col("b")).as("d"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) == 11.0)
+    assert(rows(1).getDouble(0) == 0.0)
+  }
+
+  override def afterAll(): Unit = {
+    try spark.stop() finally super.afterAll()
+  }
+}
