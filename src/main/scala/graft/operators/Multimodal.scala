@@ -90,5 +90,44 @@ object Multimodal {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(m1, m2)
+  /** Frame sampling over a "video" payload: slice the binary into
+    * fixed-size windows, keep every 2nd window ("frame"), emit one row per
+    * sampled frame with offset + deterministic pseudo-features. The
+    * explode fan-out is the real shape of production frame extraction
+    * (rows stay bounded by payload size / frame stride); the byte-level
+    * features stand in for the codec. */
+  val m3 = GraftQuery(
+    "m3_frame_sample",
+    "Binary payload → fixed-stride frame sampling → per-frame feature rows",
+    (s, dir) => {
+      val frameLen = 32
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .withColumn("n_frames", floor(length(col("content")) / frameLen).cast("int"))
+        .filter(col("n_frames") > 0)
+      docs
+        .select(col("doc_id"), col("content"),
+          posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("idx", "frame_no")))
+        .filter(col("frame_no") % 2 === 0) // sample every 2nd frame
+        .select(
+          col("doc_id"),
+          col("frame_no").cast("long").as("frame_no"),
+          (col("frame_no") * frameLen).cast("long").as("byte_offset"),
+          length(col("content").substr(col("frame_no") * frameLen + 1, lit(frameLen))).cast("long").as("frame_len"),
+          md5(col("content").substr(col("frame_no") * frameLen + 1, lit(frameLen))).as("frame_md5"))
+        .orderBy("doc_id", "frame_no")
+    },
+    Some("""
+      SELECT doc_id,
+             frame_no,
+             frame_no * 32 AS byte_offset,
+             length(substring(text, CAST(frame_no * 32 + 1 AS INTEGER), 32)) AS frame_len,
+             md5(substring(text, CAST(frame_no * 32 + 1 AS INTEGER), 32)) AS frame_md5
+      FROM (SELECT doc_id, text, unnest(range(0, length(text) // 32)) AS frame_no
+            FROM documents
+            WHERE length(text) // 32 > 0)
+      WHERE frame_no % 2 = 0
+      ORDER BY doc_id, frame_no"""))
+
+  val all: Seq[GraftQuery] = Seq(m1, m2, m3)
 }

@@ -236,5 +236,34 @@ object Scalar {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
-  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q30, q31, q36)
+  /** Two-stage salted aggregation — the skew pattern for hot keys at 100 TB
+    * (event_type has only 5 values, so a naive groupBy sends each key's
+    * entire volume to one reducer). Stage 1 aggregates (key, salt) over 16
+    * salts; stage 2 merges the 16 partials per key. Results are identical
+    * to the naive plan (counts and DECIMAL sums are associative), checked
+    * by the oracle's plain GROUP BY. */
+  val q40 = GraftQuery(
+    "q40_salted_skew_agg",
+    "Salted two-stage aggregation over a hot-key column (skew pattern)",
+    (s, dir) => {
+      val salted = events(s, dir)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(
+          count(lit(1)).as("pn"),
+          sum(dec2(col("value"))).as("pv"))
+      salted.groupBy("event_type")
+        .agg(
+          sum(col("pn")).as("n"),
+          sum(col("pv")).cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q30, q31, q36, q40)
 }
