@@ -168,5 +168,81 @@ object Similarity {
       FROM embeddings e JOIN centroids c ON e.label = c.label
       ORDER BY e.vec_id"""))
 
-  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4)
+  /** Full IVF ANN: coarse quantizer = per-label centroids (the s4 train
+    * step), nprobe=2 — each query scores the 10 centroids, probes its 2
+    * nearest cells, and exact-reranks only those cells' members. Search
+    * cost is O(queries × (centroids + corpus·nprobe/cells)) instead of
+    * O(queries × corpus); the centroid table broadcasts. Fully
+    * deterministic → oracle-checked end to end. */
+  val s5 = GraftQuery(
+    "s5_ivf_topk",
+    "IVF ANN (nprobe=2): centroid quantizer → probe 2 cells → exact rerank top-3",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .withColumn("nrm", l2Norm(col("embedding")))
+      val summed = emb.groupBy("label").agg(
+        count(lit(1)).as("cnt"),
+        array((0 until 64).map(i =>
+          sum(element_at(col("embedding"), i + 1).cast("double"))): _*).as("sumvec"))
+      val centroids = summed.select(col("label").as("c_label"),
+        transform(col("sumvec"), x => x / col("cnt")).as("centroid"))
+        .withColumn("cnrm", l2Norm(col("centroid")))
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val q2c = q.crossJoin(broadcast(centroids))
+        .select(col("query_id"), col("qe"), col("qn"), col("c_label"),
+          (dotProduct(col("qe"), col("centroid")) / (col("qn") * col("cnrm"))).as("csim"))
+      val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), col("c_label"))
+      val probed = q2c.withColumn("cr", row_number().over(wProbe))
+        .filter(col("cr") <= 2)
+        .select(col("query_id"), col("qe"), col("qn"), col("c_label").as("label"))
+      val sims = probed.join(emb, "label")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("sim"))
+      val wRank = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+      sims.withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH emb AS (
+        SELECT vec_id, embedding, label,
+               sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        FROM embeddings),
+      ex AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+             FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
+      sums AS (SELECT label, i, sum(v) AS sv, count(*) AS cnt
+               FROM ex GROUP BY label, i),
+      centroids AS (SELECT label AS c_label, list(sv / cnt ORDER BY i) AS centroid
+                    FROM sums GROUP BY label),
+      cn AS (SELECT c_label, centroid,
+                    sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnrm
+             FROM centroids),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+            FROM emb WHERE vec_id < 20),
+      q2c AS (SELECT q.query_id, q.qe, q.qn, c.c_label,
+                     list_aggregate(list_transform(list_zip(q.qe, c.centroid),
+                       p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum') / (q.qn * c.cnrm) AS csim
+              FROM q CROSS JOIN cn c),
+      probed AS (SELECT query_id, qe, qn, c_label AS label
+                 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY csim DESC, c_label) AS cr FROM q2c)
+                 WHERE cr <= 2),
+      sims AS (SELECT p.query_id, e.vec_id,
+                      list_aggregate(list_transform(list_zip(p.qe, e.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+                        / (p.qn * e.nrm) AS sim
+               FROM probed p JOIN emb e ON p.label = e.label
+               WHERE p.query_id <> e.vec_id)
+      SELECT query_id, rank, vec_id, round(sim, 4) AS sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, vec_id) AS rank FROM sims)
+      WHERE rank <= 3
+      ORDER BY query_id, rank"""))
+
+  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5)
 }
