@@ -593,6 +593,53 @@ object Relational {
       WHERE rn = 1
       ORDER BY event_id"""))
 
+  /** Pivot: order counts per priority × status (wide form). */
+  val q41 = GraftQuery(
+    "q41_pivot",
+    "Pivot o_orderstatus into columns: counts per priority × status",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+        .orderBy("o_orderpriority"),
+    Some("""
+      SELECT o_orderpriority,
+             count(*) FILTER (o_orderstatus = 'F') AS n_f,
+             count(*) FILTER (o_orderstatus = 'O') AS n_o,
+             count(*) FILTER (o_orderstatus = 'P') AS n_p
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** Exact percentiles + min/max/stddev per group. */
+  val q42 = GraftQuery(
+    "q42_percentiles",
+    "Exact interpolated percentiles (median, p90) + stddev per return flag",
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+             min(l_extendedprice) AS min_price,
+             max(l_extendedprice) AS max_price,
+             round(stddev_samp(l_extendedprice), 2) AS sd_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
-    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39)
+    q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
+    q41, q42)
 }
