@@ -12,19 +12,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query isn't charged for it
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // two timed runs per query, report the min: steady-state throughput,
-    // not scheduler/GC noise
+    // two timed runs per query, report the min successful time (steady
+    // state, not scheduler/GC noise); a query with no successful run
+    // reports -1 so breakage is visible instead of looking fast
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

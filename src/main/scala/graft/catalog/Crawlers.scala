@@ -36,7 +36,8 @@ final class Crawlers(spark: SparkSession) {
   case object Running extends State
 
   private final case class Entry(spec: CrawlerSpec,
-      state: AtomicReference[State], lastStartedMs: AtomicReference[Option[Long]])
+      state: AtomicReference[State], lastStartedMs: AtomicReference[Option[Long]],
+      lastError: AtomicReference[Option[Throwable]])
 
   private val registry = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
   private implicit val ec: ExecutionContext = ExecutionContext.global
@@ -44,8 +45,16 @@ final class Crawlers(spark: SparkSession) {
   val DefaultDelaySec = 10   // reference DEFAULT_CRAWLER_DELAY (gluettalax.py:81)
   val DefaultTimeoutSec = 600 // reference DEFAULT_CRAWLER_TIMEOUT (gluettalax.py:82)
 
+  /** Register or update a crawler spec. Re-registering preserves the live
+    * state machine (a concurrent crawl keeps its RUNNING guard — replacing
+    * the state atomics would let a second crawl race the first through the
+    * DROP/CREATE of the same table). */
   def register(spec: CrawlerSpec): Unit =
-    registry.put(spec.name, Entry(spec, new AtomicReference(Ready), new AtomicReference(None)))
+    registry.compute(spec.name, (_, old) =>
+      if (old == null)
+        Entry(spec, new AtomicReference(Ready), new AtomicReference(None),
+          new AtomicReference(None))
+      else old.copy(spec = spec))
 
   def list(): Seq[CrawlerSpec] = {
     import scala.jdk.CollectionConverters._
@@ -75,12 +84,20 @@ final class Crawlers(spark: SparkSession) {
     * partitioning, and recover partitions — the reference's crawler job
     * (schema inference + partition discovery) done by Spark's FileIndex.
     * Runs on the calling thread (driven by `run` via a Future). */
+  /** Escape a string for inclusion in a single-quoted Spark SQL literal. */
+  private def sqlLit(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+
   private def crawl(spec: CrawlerSpec): Unit = {
     val df = spark.read.format(spec.format).options(spec.options)
       .load(spec.path) // schema inference
-    // partition keys, in directory order, from any one leaf path
+    // partition keys, in directory order, from any one leaf path — looking
+    // only BELOW the crawl root (a k=v segment in the path above the root
+    // is not a partition of this table)
+    val rootNorm = spec.path.stripSuffix("/")
     val partKeys = df.inputFiles.headOption.toSeq.flatMap { f =>
-      "([^/=]+)=[^/]*/".r.findAllMatchIn(f).map(_.group(1)).toSeq
+      val idx = f.indexOf(rootNorm)
+      val below = if (idx >= 0) f.substring(idx + rootNorm.length) else f
+      "([^/=]+)=[^/]*/".r.findAllMatchIn(below).map(_.group(1)).toSeq
     }.distinct.filter(k => df.schema.fieldNames.contains(k))
     val dataDdl = org.apache.spark.sql.types.StructType(
       df.schema.filterNot(f => partKeys.contains(f.name))).toDDL
@@ -93,10 +110,11 @@ final class Crawlers(spark: SparkSession) {
       else ""
     val optClause =
       if (spec.options.isEmpty) ""
-      else spec.options.map { case (k, v) => s"'$k' '$v'" }.mkString("OPTIONS (", ", ", ")")
+      else spec.options.map { case (k, v) => s"'${sqlLit(k)}' '${sqlLit(v)}'" }
+        .mkString("OPTIONS (", ", ", ")")
     spark.sql(
       s"""CREATE TABLE `${spec.database}`.`${spec.table}` ($cols)
-         |USING ${spec.format} $optClause $partClause LOCATION '${spec.path}'""".stripMargin)
+         |USING ${spec.format} $optClause $partClause LOCATION '${sqlLit(spec.path)}'""".stripMargin)
     if (partKeys.nonEmpty)
       spark.catalog.recoverPartitions(s"${spec.database}.${spec.table}")
   }
@@ -110,15 +128,25 @@ final class Crawlers(spark: SparkSession) {
     val started =
       if (e.state.compareAndSet(Ready, Running)) {
         e.lastStartedMs.set(Some(System.currentTimeMillis()))
+        e.lastError.set(None)
         Future(crawl(e.spec)).onComplete {
           case Success(_) => e.state.set(Ready)
-          case Failure(_) => e.state.set(Ready)
+          case Failure(t) => e.lastError.set(Some(t)); e.state.set(Ready)
         }
         true
       } else false // silently skip start when already RUNNING
-    if (!async) waitReady(name, timeoutSec)
+    if (!async) {
+      waitReady(name, timeoutSec)
+      // surface crawl failure to the synchronous caller (the reference's
+      // boto errors unwind to the CLI's exit-1 ladder; ours do too)
+      e.lastError.get().foreach(t => throw t)
+    }
     started
   }
+
+  /** Last failure of a crawler's most recent run, if any (async callers
+    * poll this alongside isReady). */
+  def lastError(name: String): Option[Throwable] = entry(name).lastError.get()
 
   private def waitReady(name: String, timeoutSec: Int): Unit = {
     val deadline = System.nanoTime() + timeoutSec.seconds.toNanos

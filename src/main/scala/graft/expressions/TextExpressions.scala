@@ -36,7 +36,7 @@ private[expressions] object Shingling {
 
 /** 64-permutation MinHash signature of a text column, computed in one
   * row-level pass: shingle → murmur3 → 64 affine minima ((a·h+b) mod p,
-  * products < 2^62, ANSI-safe). Replaces a 3-shuffle pipeline
+  * products < 2^63−1, ANSI-safe). Replaces a 3-shuffle pipeline
   * (explode + window + distinct + hash agg) with a zero-shuffle projection —
   * the shape that scales to a 100 TB corpus (signatures are embarrassingly
   * parallel; only the 16 band buckets ever shuffle).
@@ -57,6 +57,9 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // returns null for non-null input (< 3 words) → must not inherit the
+  // child's nullability or NullPropagation folds isNotNull filters away
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val hs = Shingling.shingleHashes(input.asInstanceOf[UTF8String])

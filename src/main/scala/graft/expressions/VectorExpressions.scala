@@ -40,10 +40,17 @@ case class DotProduct(left: Expression, right: Expression)
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  // dimension mismatch yields null (matching the aggregate(zip_with(...))
+  // formulation this replaces — a silent truncated dot product would give
+  // plausible-but-wrong similarities), so the result is nullable even for
+  // non-null inputs
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var acc = 0.0
@@ -66,12 +73,16 @@ case class DotProduct(left: Expression, right: Expression)
         if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)"
         else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (${get(a, left)}) * (${get(b, right)});
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (${get(a, left)}) * (${get(b, right)});
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -12,7 +12,10 @@ import org.apache.spark.sql.{Encoder, Encoders}
 object WeightedAvg extends Aggregator[(Double, Double), (JBigDecimal, JBigDecimal), Double] {
 
   private def dec2(d: Double): JBigDecimal =
-    new JBigDecimal(d).setScale(2, RoundingMode.HALF_UP)
+    // valueOf (shortest decimal string) — matches Spark's double→decimal
+    // cast; new BigDecimal(d) would expand the exact binary value and round
+    // differently at scale-2 boundaries (0.615 → 0.61 instead of 0.62)
+    JBigDecimal.valueOf(d).setScale(2, RoundingMode.HALF_UP)
 
   /** (weight, value) → buffer (Σ w·x, Σ w); inputs are 2-decimal fixed
     * point, so both sums are exact. */

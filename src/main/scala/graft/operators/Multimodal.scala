@@ -100,27 +100,30 @@ object Multimodal {
     "m3_frame_sample",
     "Binary payload → fixed-stride frame sampling → per-frame feature rows",
     (s, dir) => {
+      // character-based framing (frames and lengths in chars, digest over
+      // the substring's UTF-8 bytes) — byte-based framing would diverge
+      // from the oracle on multi-byte characters and could split codepoints
       val frameLen = 32
       val docs = table(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("content"))
-        .withColumn("n_frames", floor(length(col("content")) / frameLen).cast("int"))
+        .select(col("doc_id"), col("text"))
+        .withColumn("n_frames", floor(length(col("text")) / frameLen).cast("int"))
         .filter(col("n_frames") > 0)
       docs
-        .select(col("doc_id"), col("content"),
+        .select(col("doc_id"), col("text"),
           posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("idx", "frame_no")))
         .filter(col("frame_no") % 2 === 0) // sample every 2nd frame
         .select(
           col("doc_id"),
           col("frame_no").cast("long").as("frame_no"),
-          (col("frame_no") * frameLen).cast("long").as("byte_offset"),
-          length(col("content").substr(col("frame_no") * frameLen + 1, lit(frameLen))).cast("long").as("frame_len"),
-          md5(col("content").substr(col("frame_no") * frameLen + 1, lit(frameLen))).as("frame_md5"))
+          (col("frame_no") * frameLen).cast("long").as("char_offset"),
+          length(col("text").substr(col("frame_no") * frameLen + 1, lit(frameLen))).cast("long").as("frame_len"),
+          md5(col("text").substr(col("frame_no") * frameLen + 1, lit(frameLen)).cast("binary")).as("frame_md5"))
         .orderBy("doc_id", "frame_no")
     },
     Some("""
       SELECT doc_id,
              frame_no,
-             frame_no * 32 AS byte_offset,
+             frame_no * 32 AS char_offset,
              length(substring(text, CAST(frame_no * 32 + 1 AS INTEGER), 32)) AS frame_len,
              md5(substring(text, CAST(frame_no * 32 + 1 AS INTEGER), 32)) AS frame_md5
       FROM (SELECT doc_id, text, unnest(range(0, length(text) // 32)) AS frame_no

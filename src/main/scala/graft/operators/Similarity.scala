@@ -143,8 +143,11 @@ object Similarity {
         count(lit(1)).as("n"),
         array((0 until 64).map(i =>
           sum(element_at(col("embedding"), i + 1).cast("double"))): _*).as("sumvec"))
+      // centroid components quantized at 6 decimals: double sums are
+      // partial-aggregation-order dependent at the ulp level, and the
+      // oracle's sum order differs — rounding removes the sensitivity
       val centroids = summed.select(col("label"),
-        transform(col("sumvec"), x => x / col("n")).as("centroid"))
+        transform(col("sumvec"), x => round(x / col("n"), 6)).as("centroid"))
       emb.join(broadcast(centroids), "label")
         .select(col("vec_id"), col("label").cast("long").as("label"),
           round(cosine(col("embedding"), col("centroid")), 4).as("sim_to_centroid"))
@@ -155,7 +158,7 @@ object Similarity {
                   FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
       sums AS (SELECT label, i, sum(v) AS sv, count(*) AS n
                FROM ex GROUP BY label, i),
-      centroids AS (SELECT label, list(sv / n ORDER BY i) AS centroid
+      centroids AS (SELECT label, list(round(sv / n, 6) ORDER BY i) AS centroid
                     FROM sums GROUP BY label)
       SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
              round(
@@ -185,7 +188,7 @@ object Similarity {
         array((0 until 64).map(i =>
           sum(element_at(col("embedding"), i + 1).cast("double"))): _*).as("sumvec"))
       val centroids = summed.select(col("label").as("c_label"),
-        transform(col("sumvec"), x => x / col("cnt")).as("centroid"))
+        transform(col("sumvec"), x => round(x / col("cnt"), 6)).as("centroid"))
         .withColumn("cnrm", l2Norm(col("centroid")))
       val q = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -217,7 +220,7 @@ object Similarity {
              FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
       sums AS (SELECT label, i, sum(v) AS sv, count(*) AS cnt
                FROM ex GROUP BY label, i),
-      centroids AS (SELECT label AS c_label, list(sv / cnt ORDER BY i) AS centroid
+      centroids AS (SELECT label AS c_label, list(round(sv / cnt, 6) ORDER BY i) AS centroid
                     FROM sums GROUP BY label),
       cn AS (SELECT c_label, centroid,
                     sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnrm

@@ -161,6 +161,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[CrawlerNotFound] { engine.crawlers.run("nope") }
   }
 
+  test("A15 crawler: sync run surfaces crawl failure instead of silent success") {
+    engine.crawlers.register(engine.crawlers.CrawlerSpec(
+      "broken_crawler", s"$tmp/does_not_exist", "parquet", "datalake", "broken_t"))
+    assertThrows[Throwable] { engine.crawlers.run("broken_crawler", timeoutSec = 60) }
+    assert(engine.crawlers.lastError("broken_crawler").isDefined)
+    assert(engine.crawlers.isReady("broken_crawler")) // state machine recovered
+  }
+
   test("source formats: crawler infers CSV and JSON-lines layouts too") {
     // SURVEY §2 Layer B scans: csv with inferSchema + json-lines. Convert a
     // slice of the parquet fixture, crawl each, compare the registered

@@ -71,6 +71,23 @@ class TextExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getDouble(0) == 0.0)
   }
 
+  test("dot product: dimension mismatch is null, not a truncated value") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f)))
+      .toDF("a", "b").select(dotProduct(col("a"), col("b")).as("d"))
+    assert(df.collect().head.isNullAt(0))
+  }
+
+  test("minhash null result survives a non-nullable input column") {
+    import spark.implicits._
+    // coalesce makes the text column non-nullable; the expression must
+    // still declare itself nullable or isNotNull filters get folded away
+    val df = Seq("a b", "x y z w").toDF("t")
+      .select(minhashSignature(coalesce(col("t"), lit(""))).as("s"))
+      .filter(col("s").isNotNull)
+    assert(df.count() == 1)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
