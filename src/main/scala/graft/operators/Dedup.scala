@@ -5,6 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` (BASELINE.json north star).
   *
+  * Algorithms (public literature): MinHash resemblance sketching — Broder,
+  * "On the resemblance and containment of documents" (1997); LSH banding —
+  * Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3; SimHash —
+  * Charikar, "Similarity estimation techniques from rounding algorithms"
+  * (STOC 2002), applied to web-scale dedup in Manku et al. (WWW 2007).
+  *
   * Scale posture (100 TB): every variant reduces to hash → shuffle-on-key →
   * per-bucket work. Exact dedup groups on a 256-bit digest (never the full
   * text — the shuffle carries 32 bytes + ids, not documents). Near-dup

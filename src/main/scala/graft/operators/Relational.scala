@@ -639,7 +639,48 @@ object Relational {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** Scalar + correlated subqueries (SQL surface). */
+  val q43 = GraftQuery(
+    "q43_scalar_subquery",
+    "Orders above the global average price; per-status share via scalar subquery",
+    (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      s.sql("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders_sq
+        WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders_sq)
+        ORDER BY o_orderkey""")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+      ORDER BY o_orderkey"""))
+
+  /** Multiset (bag) set ops: UNION ALL / EXCEPT ALL keep duplicates. */
+  val q44 = GraftQuery(
+    "q44_multiset_ops",
+    "UNION ALL + EXCEPT ALL (bag semantics) over nation keys",
+    (s, dir) => {
+      val c = table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = table(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.union(sup) // bag union
+        .exceptAll(sup) // removes one occurrence per supplier row
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("nationkey")
+    },
+    Some("""
+      SELECT nationkey, count(*) AS n
+      FROM (SELECT c_nationkey AS nationkey FROM customer
+            UNION ALL
+            SELECT s_nationkey FROM supplier
+            EXCEPT ALL
+            SELECT s_nationkey FROM supplier)
+      GROUP BY nationkey
+      ORDER BY nationkey"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
-    q41, q42)
+    q41, q42, q43, q44)
 }
