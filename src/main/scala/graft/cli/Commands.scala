@@ -7,11 +7,36 @@ import graft.jobs.JobRunner
 import graft.functions.Functions.{formatTime, globToRegex}
 import ArgParser.parseArgs
 
-/** Engine facade: one SparkSession + the catalog/crawler/job surfaces. */
-final class GraftEngine(val spark: SparkSession) {
+/** Engine facade: one SparkSession + the catalog/crawler/job surfaces.
+  * `crawlerStore` (set when a persistent warehouse is configured) makes
+  * crawler definitions durable across engine instances, the way the
+  * reference's crawlers pre-exist in the Glue backend. */
+final class GraftEngine(val spark: SparkSession,
+    val crawlerStore: Option[java.nio.file.Path] = None) {
   val catalog = new GraftCatalog(spark)
   val crawlers = new Crawlers(spark)
   val jobs = new JobRunner(spark)
+
+  // restore persisted crawler definitions (TSV: name path format db table)
+  crawlerStore.filter(java.nio.file.Files.exists(_)).foreach { p =>
+    scala.jdk.CollectionConverters.IteratorHasAsScala(
+      java.nio.file.Files.lines(p).iterator()).asScala
+      .map(_.split('\t')).filter(_.length >= 5)
+      .foreach(f => crawlers.register(
+        crawlers.CrawlerSpec(f(0), f(1), f(2), f(3), f(4))))
+  }
+
+  /** Register a crawler and, when a store is configured, persist it. */
+  def defineCrawler(spec: Crawlers#CrawlerSpec): Unit = {
+    crawlers.register(crawlers.CrawlerSpec(
+      spec.name, spec.path, spec.format, spec.database, spec.table, spec.options))
+    crawlerStore.foreach { p =>
+      val line = Seq(spec.name, spec.path, spec.format, spec.database, spec.table)
+        .mkString("\t") + "\n"
+      java.nio.file.Files.writeString(p, line,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
 }
 
 /** Command registry and dispatch — the reference's @cmd/@alias/@usage
@@ -73,6 +98,17 @@ object Commands {
         e.jobs.listJobs().filter(j => globKeep(r.positional1, j.name)).foreach { j =>
           out(f"${j.name}%-40s ${j.allocatedCapacity}%-8s  ${j.maxConcurrentRuns}%-10s")
         }
+      }),
+
+    Command("add_crawler", Seq("addc"), "<crawler_name> <path> <db> <table> [--format=fmt]",
+      "Define a crawler over a path (persisted when a warehouse is configured).",
+      (e, argv, out) => {
+        val r = parseArgs(argv, "<crawler_name> <path> <db> <table> [--format=fmt]",
+          Map("format" -> "parquet"))
+        val List(name, path, db, table) = r.positionals.take(4)
+        e.defineCrawler(e.crawlers.CrawlerSpec(
+          name.get, path.get, r.kargs("format").toString, db.get, table.get))
+        out(s"Crawler ${name.get} added")
       }),
 
     Command("run_crawler", Seq("runc"), "<crawler_name> [--async] [--timeout=seconds]",
@@ -216,15 +252,29 @@ object Commands {
 object Main {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GRAFT_WAREHOUSE=<dir> → Hive metastore (embedded Derby) under the
+    // dir, so tables/partitions registered by one CLI invocation are
+    // visible to the next — the durable-catalog behavior of the reference's
+    // Glue backend. Unset → session-scoped in-memory catalog.
+    val spark = sys.env.get("GRAFT_WAREHOUSE") match {
+      case Some(dir) =>
+        builder
+          .config("spark.sql.warehouse.dir", s"$dir/warehouse")
+          .config("javax.jdo.option.ConnectionURL",
+            s"jdbc:derby:;databaseName=$dir/metastore_db;create=true")
+          .config("spark.sql.catalogImplementation", "hive")
+          .getOrCreate()
+      case None => builder.getOrCreate()
+    }
     spark.sparkContext.setLogLevel("WARN")
-    val engine = new GraftEngine(spark)
+    val engine = new GraftEngine(spark,
+      sys.env.get("GRAFT_WAREHOUSE").map(d => java.nio.file.Paths.get(d, "crawlers.tsv")))
     val defaultDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     graft.SparkEntry.registry.foreach { q =>
       engine.jobs.register(engine.jobs.JobSpec(q.name,

@@ -680,7 +680,56 @@ object Relational {
       GROUP BY nationkey
       ORDER BY nationkey"""))
 
+  /** RANGE frame: for each order, total of the customer's orders within
+    * the preceding 90 days (value-based frame, vs q19's rows frame). */
+  val q45 = GraftQuery(
+    "q45_range_frame",
+    "RANGE BETWEEN window frame: 90-day trailing spend per customer",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-90L * 86400, 0)
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double").as("trailing_90d"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_90d
+      FROM orders
+      ORDER BY o_orderkey"""))
+
+  /** Value window functions: first/last/nth value + ntile. */
+  val q46 = GraftQuery(
+    "q46_value_windows",
+    "first_value/last_value/nth_value/ntile over per-customer order history",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(wFull).as("first_order"),
+          last(col("o_orderkey")).over(wFull).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_order"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             first_value(o_orderkey) OVER w_full AS first_order,
+             last_value(o_orderkey) OVER w_full AS last_order,
+             nth_value(o_orderkey, 2) OVER w_full AS second_order,
+             ntile(4) OVER w_ord AS quartile
+      FROM orders
+      WINDOW w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
-    q41, q42, q43, q44)
+    q41, q42, q43, q44, q45, q46)
 }

@@ -68,13 +68,19 @@ object Similarity {
     "s2_ann_lsh_topk",
     "LSH-bucketed ANN top-3: 6 hyperplane sign bits → bucket join → exact rerank",
     (s, dir) => {
+      // bucket width derived from corpus size: target ~32 vectors per cell
+      // (the count() is a cheap metadata action; production would use table
+      // stats). More corpus → more bits → candidate sets stay bounded.
+      val n = table(s, dir, "embeddings").count()
+      val bits = math.max(2, math.min(16,
+        math.round(math.log(math.max(1.0, n / 32.0)) / math.log(2)).toInt))
       val rnd = new scala.util.Random(42)
-      val planes = Array.fill(6, 64)(rnd.nextGaussian())
+      val planes = Array.fill(bits, 64)(rnd.nextGaussian())
       val planesCol = array(planes.map(p => array(p.map(v => lit(v)): _*)): _*)
       val emb = table(s, dir, "embeddings")
         .withColumn("planes", planesCol)
         .withColumn("bucket",
-          aggregate(sequence(lit(0), lit(5)), lit(0L),
+          aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
             (acc, j) => acc * 2 + when(
               dotProduct(element_at(col("planes"), j + 1), col("embedding")) > 0,
               lit(1L)).otherwise(lit(0L))))
