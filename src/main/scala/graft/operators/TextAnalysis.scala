@@ -156,5 +156,66 @@ object TextAnalysis {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4)
+  /** Character-bigram profiles per language (fixed literal profiles, the
+    * classic Cavnar–Trenkle n-gram-profile shape reduced to a deterministic
+    * scoring rule). Occurrence counting via length arithmetic keeps the
+    * whole thing in codegen'd string ops and makes the oracle exact. */
+  private val bigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "he", "in", "er", "an", "re"),
+    "de" -> Seq("ch", "ei", "ie", "un", "sc", "de"),
+    "fr" -> Seq("le", "es", "ou", "qu", "ai", "en"),
+    "es" -> Seq("la", "os", "el", "ar", "ad", "do"),
+    "zh" -> Seq("zh", "xi", "ng", "ao", "uo", "ji"))
+
+  private def bigramHits(c: Column, lang: String): Column =
+    bigramProfiles(lang).map { b =>
+      ((length(c) - length(regexp_replace(c, b, ""))) / 2).cast(LongType)
+    }.reduce(_ + _)
+
+  private def sqlBigramHits(lang: String): String =
+    bigramProfiles(lang).map { b =>
+      s"(length(t) - length(replace(t, '$b', ''))) // 2"
+    }.mkString(" + ")
+
+  /** Character-n-gram language ID — the profile-based variant of t1
+    * (stopword heuristic); same argmax/tiebreak contract. */
+  val t5 = GraftQuery(
+    "t5_lang_ngram",
+    "Char-bigram-profile language identification (Cavnar–Trenkle shape)",
+    (s, dir) => {
+      val d = table(s, dir, "documents").withColumn("t", lower(col("text")))
+      val scored = Seq("en", "de", "fr", "es", "zh")
+        .foldLeft(d)((df, l) => df.withColumn(s"g_$l", bigramHits(col("t"), l)))
+      scored
+        .withColumn("predicted",
+          when(col("g_en") >= greatest(col("g_de"), col("g_fr"), col("g_es"), col("g_zh")), "en")
+            .when(col("g_de") >= greatest(col("g_fr"), col("g_es"), col("g_zh")), "de")
+            .when(col("g_fr") >= greatest(col("g_es"), col("g_zh")), "fr")
+            .when(col("g_es") >= col("g_zh"), "es")
+            .otherwise("zh"))
+        .select(col("doc_id"), col("lang"), col("predicted"),
+          col("g_en"), col("g_de"), col("g_fr"), col("g_es"), col("g_zh"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH lowered AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+      scored AS (
+        SELECT doc_id, lang,
+               ${sqlBigramHits("en")} AS g_en,
+               ${sqlBigramHits("de")} AS g_de,
+               ${sqlBigramHits("fr")} AS g_fr,
+               ${sqlBigramHits("es")} AS g_es,
+               ${sqlBigramHits("zh")} AS g_zh
+        FROM lowered)
+      SELECT doc_id, lang,
+             CASE WHEN g_en >= greatest(g_de, g_fr, g_es, g_zh) THEN 'en'
+                  WHEN g_de >= greatest(g_fr, g_es, g_zh) THEN 'de'
+                  WHEN g_fr >= greatest(g_es, g_zh) THEN 'fr'
+                  WHEN g_es >= g_zh THEN 'es'
+                  ELSE 'zh' END AS predicted,
+             g_en, g_de, g_fr, g_es, g_zh
+      FROM scored
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5)
 }
