@@ -84,19 +84,25 @@ final class Crawlers(spark: SparkSession) {
     * partitioning, and recover partitions — the reference's crawler job
     * (schema inference + partition discovery) done by Spark's FileIndex.
     * Runs on the calling thread (driven by `run` via a Future). */
-  /** Escape a string for inclusion in a single-quoted Spark SQL literal. */
-  private def sqlLit(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+  import graft.functions.Functions.sqlLit
 
   private def crawl(spec: CrawlerSpec): Unit = {
     val df = spark.read.format(spec.format).options(spec.options)
       .load(spec.path) // schema inference
     // partition keys, in directory order, from any one leaf path — looking
     // only BELOW the crawl root (a k=v segment in the path above the root
-    // is not a partition of this table)
-    val rootNorm = spec.path.stripSuffix("/")
+    // is not a partition of this table). Both sides go through
+    // Path(...).toUri so dialect differences ('file:///x' vs 'file:/x' vs
+    // bare '/x') can't defeat the prefix match and leak above-root
+    // k=v segments in as partition keys.
+    val rootHp = new org.apache.hadoop.fs.Path(spec.path)
+    val rootPath = rootHp.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(rootHp).toUri.getPath.stripSuffix("/")
     val partKeys = df.inputFiles.headOption.toSeq.flatMap { f =>
-      val idx = f.indexOf(rootNorm)
-      val below = if (idx >= 0) f.substring(idx + rootNorm.length) else f
+      val fPath = new org.apache.hadoop.fs.Path(f).toUri.getPath
+      val below =
+        if (fPath.startsWith(rootPath + "/")) fPath.substring(rootPath.length)
+        else fPath
       "([^/=]+)=[^/]*/".r.findAllMatchIn(below).map(_.group(1)).toSeq
     }.distinct.filter(k => df.schema.fieldNames.contains(k))
     val dataDdl = org.apache.spark.sql.types.StructType(

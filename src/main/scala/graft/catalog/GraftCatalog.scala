@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.analysis.{NoSuchPartitionException, NoSuchPartitionsException, NoSuchTableException, PartitionsAlreadyExistException}
 import org.apache.spark.sql.functions._
 import graft._
-import graft.functions.Functions.globMatch
+import graft.functions.Functions.{globMatch, sqlLit}
 
 /** Partition listing result — the reference's `Partitions` namedtuple
   * (gluettalax.py:371): key names, per-column display widths (max value
@@ -115,9 +115,10 @@ final class GraftCatalog(spark: SparkSession) {
           keys.map(k => s"$k=${kargs(k)}").mkString("/") + "/"
       tableLocation + path
     }
-    val spec = keys.zip(values).map { case (k, v) => s"$k='$v'" }.mkString(", ")
+    val spec = keys.zip(values)
+      .map { case (k, v) => s"`$k`='${sqlLit(v)}'" }.mkString(", ")
     try spark.sql(
-      s"ALTER TABLE `$db`.`$table` ADD PARTITION ($spec) LOCATION '$loc'")
+      s"ALTER TABLE `$db`.`$table` ADD PARTITION ($spec) LOCATION '${sqlLit(loc)}'")
     catch {
       case _: PartitionsAlreadyExistException =>
         throw PartitionAlreadyExists(s"Partition [${values.mkString(", ")}] already exists")
@@ -129,7 +130,8 @@ final class GraftCatalog(spark: SparkSession) {
     val meta = getTable(db, table)
     val keys = meta.partitionColumnNames
     val values = getPartitionValues(kargs, keys)
-    val spec = keys.zip(values).map { case (k, v) => s"$k='$v'" }.mkString(", ")
+    val spec = keys.zip(values)
+      .map { case (k, v) => s"`$k`='${sqlLit(v)}'" }.mkString(", ")
     try spark.sql(s"ALTER TABLE `$db`.`$table` DROP PARTITION ($spec)")
     catch {
       case _: NoSuchPartitionException | _: NoSuchPartitionsException =>

@@ -17,22 +17,42 @@ final class GraftEngine(val spark: SparkSession,
   val crawlers = new Crawlers(spark)
   val jobs = new JobRunner(spark)
 
-  // restore persisted crawler definitions (TSV: name path format db table)
+  // Store fields are URL-encoded so values containing tab/newline/'=' can't
+  // corrupt the TSV; reader options travel as a sixth `k=v&k=v` field.
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  // restore persisted crawler definitions
+  // (TSV: name path format db table options) — later lines win (register
+  // replaces the spec), matching append-on-redefine below
   crawlerStore.filter(java.nio.file.Files.exists(_)).foreach { p =>
     scala.jdk.CollectionConverters.IteratorHasAsScala(
       java.nio.file.Files.lines(p).iterator()).asScala
       .map(_.split('\t')).filter(_.length >= 5)
-      .foreach(f => crawlers.register(
-        crawlers.CrawlerSpec(f(0), f(1), f(2), f(3), f(4))))
+      .foreach { f =>
+        val options =
+          if (f.length >= 6 && f(5).nonEmpty)
+            f(5).split('&').filter(_.nonEmpty).map { kv =>
+              val Array(k, v) = kv.split("=", 2)
+              dec(k) -> dec(v)
+            }.toMap
+          else Map.empty[String, String]
+        crawlers.register(crawlers.CrawlerSpec(
+          dec(f(0)), dec(f(1)), dec(f(2)), dec(f(3)), dec(f(4)), options))
+      }
   }
 
-  /** Register a crawler and, when a store is configured, persist it. */
+  /** Register a crawler and, when a store is configured, persist it
+    * (including reader options — a csv crawler with header/inferSchema must
+    * behave identically after an engine restart). */
   def defineCrawler(spec: Crawlers#CrawlerSpec): Unit = {
     crawlers.register(crawlers.CrawlerSpec(
       spec.name, spec.path, spec.format, spec.database, spec.table, spec.options))
     crawlerStore.foreach { p =>
-      val line = Seq(spec.name, spec.path, spec.format, spec.database, spec.table)
-        .mkString("\t") + "\n"
+      val opts = spec.options.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+      val line = (Seq(spec.name, spec.path, spec.format, spec.database, spec.table)
+        .map(enc) :+ opts).mkString("\t") + "\n"
       java.nio.file.Files.writeString(p, line,
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     }
@@ -100,14 +120,17 @@ object Commands {
         }
       }),
 
-    Command("add_crawler", Seq("addc"), "<crawler_name> <path> <db> <table> [--format=fmt]",
-      "Define a crawler over a path (persisted when a warehouse is configured).",
+    Command("add_crawler", Seq("addc"), "<crawler_name> <path> <db> <table> [--format=fmt] [--option1=value...]",
+      "Define a crawler over a path (persisted when a warehouse is configured); extra --k=v become reader options.",
       (e, argv, out) => {
-        val r = parseArgs(argv, "<crawler_name> <path> <db> <table> [--format=fmt]",
+        val r = parseArgs(argv, "<crawler_name> <path> <db> <table> [--format=fmt] [--option1=value...]",
           Map("format" -> "parquet"))
         val List(name, path, db, table) = r.positionals.take(4)
+        val options = (r.kargs - "format").collect {
+          case (k, v) if v != null => k -> v.toString
+        }
         e.defineCrawler(e.crawlers.CrawlerSpec(
-          name.get, path.get, r.kargs("format").toString, db.get, table.get))
+          name.get, path.get, r.kargs("format").toString, db.get, table.get, options))
         out(s"Crawler ${name.get} added")
       }),
 

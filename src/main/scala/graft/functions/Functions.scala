@@ -73,6 +73,11 @@ object Functions {
   /** Column form of the fnmatch filter: `c` matches shell glob `pattern`. */
   def globMatch(c: Column, pattern: String): Column = c.rlike("^" + globToRegex(pattern) + "$")
 
+  /** Escape a string for inclusion in a single-quoted Spark SQL literal —
+    * shared by every DDL builder that interpolates user-supplied values
+    * (partition specs, locations, reader options). */
+  def sqlLit(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+
   /** format_time as a Column function (registered UDF for SQL use).
     * A plain UDF is acceptable here: it formats already-aggregated display
     * values, never sits in a hot scan path.

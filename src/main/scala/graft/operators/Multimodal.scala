@@ -82,11 +82,11 @@ object Multimodal {
     },
     Some("""
       SELECT doc_id,
-             (ascii(substring(text, 1, 1)) % 64) + 1 AS width,
-             ascii(substring(text, 2, 1)) AS height,
+             CAST((ascii(substring(text, 1, 1)) % 64) + 1 AS BIGINT) AS width,
+             CAST(ascii(substring(text, 2, 1)) AS BIGINT) AS height,
              length(text) AS byte_len,
-             list_aggregate(list_transform(string_split(text, ''),
-               c -> ascii(c)), 'sum') AS byte_sum
+             CAST(list_aggregate(list_transform(string_split(text, ''),
+               c -> ascii(c)), 'sum') AS BIGINT) AS byte_sum
       FROM documents
       ORDER BY doc_id"""))
 

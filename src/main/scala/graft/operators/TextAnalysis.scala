@@ -101,8 +101,8 @@ object TextAnalysis {
       WITH f AS (
         SELECT doc_id, length(text) AS n_chars,
                len(string_split(lower(text), ' ')) AS n_words,
-               list_aggregate(list_transform(string_split(lower(text), ' '),
-                 w -> length(w)), 'sum') AS sum_word_len,
+               CAST(list_aggregate(list_transform(string_split(lower(text), ' '),
+                 w -> length(w)), 'sum') AS BIGINT) AS sum_word_len,
                ${sqlHits("en")} AS stop_hits
         FROM documents)
       SELECT doc_id, n_chars, n_words, sum_word_len,

@@ -143,6 +143,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("A12/A14 partition values with quotes/backslashes are escaped, not injected") {
+    val spec = Map("year" -> "20'30", "month" -> "0\\1")
+    engine.catalog.addPartition("datalake", "hive_t", spec)
+    val listing = engine.catalog.listPartitions("datalake", "hive_t")
+    assert(listing.data.exists(r => r.head == "20'30" && r(1) == "0\\1"))
+    engine.catalog.deletePartition("datalake", "hive_t", spec)
+    assertThrows[PartitionNotFound] {
+      engine.catalog.deletePartition("datalake", "hive_t", spec)
+    }
+  }
+
   // ---- crawler (A15) ----
 
   test("A15 crawler: sync run infers schema, registers table, recovers partitions") {
@@ -189,6 +200,36 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val jsonNames = spark.table("datalake.nation_json")
       .select("n_name").collect().map(_.getString(0)).toSet
     assert(jsonNames == src.select("n_name").collect().map(_.getString(0)).toSet)
+  }
+
+  test("crawler store round-trips reader options and hostile characters") {
+    val store = java.nio.file.Paths.get(tmp, "crawlers_rt.tsv")
+    val e1 = new GraftEngine(spark, Some(store))
+    e1.defineCrawler(e1.crawlers.CrawlerSpec(
+      "csv_opts", s"$tmp/nation_csv", "csv", "datalake", "nation_csv_rt",
+      Map("header" -> "true", "inferSchema" -> "true", "sep" -> "\t", "quote" -> "'")))
+    val e2 = new GraftEngine(spark, Some(store)) // fresh engine, same store
+    val restored = e2.crawlers.list().find(_.name == "csv_opts").get
+    assert(restored.options == Map(
+      "header" -> "true", "inferSchema" -> "true", "sep" -> "\t", "quote" -> "'"))
+    assert(restored.path == s"$tmp/nation_csv" && restored.format == "csv")
+  }
+
+  test("crawl root URI dialect: above-root k=v segments never become partition keys") {
+    // a data column `v` whose name also appears as a k=v directory ABOVE the
+    // crawl root; the crawl is registered with a file:// URI while
+    // inputFiles come back as file:/ — the prefix match must still anchor
+    val root = s"$tmp/v=7/evp3"
+    spark.range(10).toDF("v")
+      .withColumn("year", (col("v") % 2).cast("string"))
+      .write.partitionBy("year").mode("overwrite").parquet(root)
+    engine.crawlers.register(engine.crawlers.CrawlerSpec(
+      "dialect_crawler", "file://" + root, "parquet", "datalake", "dialect_t"))
+    engine.crawlers.run("dialect_crawler", timeoutSec = 120)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("dialect_t", Some("datalake")))
+    assert(meta.partitionColumnNames == Seq("year"))
+    assert(spark.table("datalake.dialect_t").count() == 10)
   }
 
   test("partitioned scan prunes partitions (filter reaches PartitionFilters)") {
