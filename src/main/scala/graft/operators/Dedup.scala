@@ -198,5 +198,52 @@ object Dedup {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4)
+  /** Embedding-cosine near-dup — the semantic-dedup variant: candidates are
+    * confined to a coarse cell (here the `label` column, standing in for the
+    * IVF coarse-quantizer cell of s4/s5), then confirmed by exact cosine ≥
+    * 0.35; keeper = smallest id among confirmed neighbors. Search cost is
+    * O(Σ cell²) instead of O(n²): at 100 TB the quantizer's cell count grows
+    * with the corpus so cells stay bounded, and the equi-join on cell id is
+    * a plain shuffle join (each side carries the 256-byte vector + id, no
+    * text). Fully deterministic → oracle-checked. */
+  val d5 = GraftQuery(
+    "d5_embedding_neardup",
+    "Embedding-cosine near-dup: cell-local candidates + cosine ≥ 0.35 confirm, keeper = min id",
+    (s, dir) => {
+      import graft.functions.Functions.{dotProduct, l2Norm}
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          l2Norm(col("embedding")).as("nrm"))
+      val a = emb.select(col("label"), col("vec_id").as("id1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      val b = emb.select(col("label"), col("vec_id").as("id2"),
+        col("embedding").as("e2"), col("nrm").as("n2"))
+      a.join(b, Seq("label"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          (dotProduct(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"))
+        .filter(col("sim") >= 0.35)
+        .groupBy(col("id2").as("doc_id"))
+        .agg(min(col("id1")).as("keep_id"),
+          count(lit(1)).as("n_neighbors"),
+          round(max(col("sim")), 4).as("max_sim"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH n AS (SELECT vec_id, label, embedding,
+                        sqrt(list_aggregate(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+                 FROM embeddings),
+      p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                     q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), 'sum')
+                     / (a.nrm * b.nrm) AS sim
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      SELECT id2 AS doc_id, min(id1) AS keep_id, count(*) AS n_neighbors,
+             round(max(sim), 4) AS max_sim
+      FROM p WHERE sim >= 0.35
+      GROUP BY id2
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5)
 }

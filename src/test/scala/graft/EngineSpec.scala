@@ -363,6 +363,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("list_partitions")._1 == 1) // missing required positionals
   }
 
+  test("d5 embedding near-dup: keeper precedes doc, sim within cosine bounds") {
+    val rows = graft.operators.Dedup.d5.build(spark, sfDir)
+      .select("doc_id", "keep_id", "max_sim").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(0)) // keeper = min id among neighbors
+      assert(r.getDouble(2) <= 1.0001 && r.getDouble(2) >= 0.35)
+    }
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
