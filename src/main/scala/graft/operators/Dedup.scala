@@ -245,5 +245,85 @@ object Dedup {
       GROUP BY id2
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5)
+  /** Near-dup CLUSTERS: connected components over the d3-style Jaccard
+    * pair graph (looser 0.3 threshold for richer components), so "keep one
+    * per cluster" works even when duplicates chain A~B~C with A̸~C — the
+    * step pairwise dedup (d1-d5 keep min-per-pair) cannot express.
+    *
+    * Spark side: iterative min-label propagation — labels(id) := min(own,
+    * neighbors') until fixpoint, each round one shuffle join + hash agg,
+    * rounds ≤ graph diameter. At 100 TB the same loop runs with the
+    * alternating large-star/small-star optimization (Kiveris et al.,
+    * "Connected components in MapReduce", SoCC 2014) for O(log n) rounds;
+    * the fixture graphs are shallow so plain propagation converges in 2-3.
+    * Deterministic (min-id labels) → fully oracle-checked against a DuckDB
+    * recursive-CTE transitive closure. */
+  val d6 = GraftQuery(
+    "d6_neardup_clusters",
+    "Connected-component duplicate clusters over Jaccard ≥ 0.3 pairs (min-label propagation)",
+    (s, dir) => {
+      val sh = table(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
+        .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+        .filter(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")) >= 0.3)
+        .select(col("doc1"), col("doc2"))
+      // symmetric edge list, materialized once (reused every iteration)
+      val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+        .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+        .cache()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val prop = edges.join(labels, edges("src") === labels("id"))
+          .select(col("dst").as("id"), col("label"))
+        val next = labels.union(prop).groupBy("id").agg(min("label").as("label"))
+          .cache()
+        converged = next.join(labels.select(col("id"), col("label").as("old")), "id")
+          .filter(col("label") < col("old")).isEmpty
+        labels = next
+        rounds += 1
+      }
+      val sizesByCluster = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizesByCluster, "label")
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy("cluster_id", "doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents WHERE doc_id < 300),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      good AS (SELECT doc1, doc2 FROM pairs
+               JOIN sizes na ON na.doc_id = doc1
+               JOIN sizes nb ON nb.doc_id = doc2
+               WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.3),
+      edges AS (SELECT doc1 AS src, doc2 AS dst FROM good
+                UNION ALL SELECT doc2, doc1 FROM good),
+      reach AS (SELECT src AS id, src AS label FROM edges
+                UNION
+                SELECT e.dst AS id, r.label FROM reach r
+                JOIN edges e ON e.src = r.id),
+      labeled AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+      SELECT l.id AS doc_id, l.cluster_id, c.cluster_size
+      FROM labeled l
+      JOIN (SELECT cluster_id, count(*) AS cluster_size
+            FROM labeled GROUP BY cluster_id) c USING (cluster_id)
+      ORDER BY cluster_id, doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6)
 }

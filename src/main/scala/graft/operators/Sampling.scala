@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sampling + distribution operators — the training-data-pipeline analog of
+  * the reference's job parameterization (`gluettalax.py:254`: a Glue job's
+  * `--ARG=value` knobs routinely carry sample rates / class mixes).
+  *
+  * All sampling here is HASH-CONSISTENT, not RNG-based (`df.sample` draws
+  * from a per-partition RNG): membership of a row depends only on its key,
+  * so the sample is (a) reproducible across runs/engines — our DuckDB
+  * oracle replays it exactly, (b) stable under repartitioning — at 100 TB
+  * the sample survives AQE re-plans, retries, and incremental reruns,
+  * (c) consistent across tables — sampling lineitem and orders by the same
+  * order key keeps referential integrity in the sample (the classic
+  * "consistent sampling" trick, see Broder's min-wise hashing literature).
+  * The predicate is a codegen'd projection on the scan — no shuffle, and at
+  * a 16 % rate the downstream aggregate touches 6× less data.
+  */
+object Sampling {
+
+  /** First hex byte of md5(key) — a uniform deterministic [0,256) draw,
+    * identical in Spark and DuckDB (both emit lowercase hex). */
+  private def hashByte(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 2)
+
+  /** Consistent ~16 % sample of lineitem keyed on l_orderkey (all lines of
+    * an order are kept or dropped together), then the q1-shape aggregate
+    * over the sample. */
+  val q47 = GraftQuery(
+    "q47_consistent_sample",
+    "Hash-consistent 16% sample by order key (reproducible, repartition-stable) + aggregate",
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(hashByte(col("l_orderkey")) <= "28")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             count(*) AS n_rows,
+             count(DISTINCT l_orderkey) AS n_orders,
+             CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+      FROM lineitem
+      WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) <= '28'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  /** Stratified sample of documents with a per-language rate (the training
+    * class-mix knob: keep 50 % en, 25 % de/fr, 12.5 % es/zh). Same hash
+    * draw, per-stratum threshold — one scan, no shuffle before the
+    * per-stratum audit aggregate. */
+  val q48 = GraftQuery(
+    "q48_stratified_sample",
+    "Stratified hash-sample (per-language rate) + per-stratum audit counts",
+    (s, dir) => {
+      val threshold = when(col("lang") === "en", "7f")
+        .when(col("lang").isin("de", "fr"), "3f")
+        .otherwise("1f")
+      table(s, dir, "documents")
+        .withColumn("picked", hashByte(col("doc_id")) <= threshold)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("picked"), 1L).otherwise(0L)).as("n_sampled"),
+          min(when(col("picked"), col("doc_id"))).as("first_doc"),
+          max(when(col("picked"), col("doc_id"))).as("last_doc"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT lang, doc_id,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+                 CASE WHEN lang = 'en' THEN '7f'
+                      WHEN lang IN ('de', 'fr') THEN '3f'
+                      ELSE '1f' END AS picked
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+             min(CASE WHEN picked THEN doc_id END) AS first_doc,
+             max(CASE WHEN picked THEN doc_id END) AS last_doc
+      FROM flagged
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  /** Decile binning + distribution ranks over customer balance — the
+    * "bucket the corpus by quality score, inspect each decile" step of a
+    * data-curation pipeline. Single window sort; at scale deciles come from
+    * approx_percentile cut-points instead of a global sort (q42 covers the
+    * sketch path). percent_rank/cume_dist are exact integer ratios —
+    * bit-identical in both engines, no rounding needed. */
+  val q49 = GraftQuery(
+    "q49_ntile_deciles",
+    "ntile(10) + percent_rank + cume_dist over customer balance",
+    (s, dir) => {
+      val w = Window.orderBy(col("bal").desc, col("c_custkey"))
+      table(s, dir, "customer")
+        .select(col("c_custkey"), dec2(col("c_acctbal")).as("bal"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .select(col("c_custkey"), col("bal").cast("double").as("acctbal"),
+          col("decile"), col("pct_rank"), col("cume"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey,
+             CAST(CAST(c_acctbal AS DECIMAL(14,2)) AS DOUBLE) AS acctbal,
+             ntile(10) OVER w AS decile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
+      FROM customer
+      WINDOW w AS (ORDER BY CAST(c_acctbal AS DECIMAL(14,2)) DESC, c_custkey)
+      ORDER BY c_custkey"""))
+
+  val all: Seq[GraftQuery] = Seq(q47, q48, q49)
+}

@@ -253,5 +253,58 @@ object Similarity {
       WHERE rank <= 3
       ORDER BY query_id, rank"""))
 
-  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5)
+  /** Int8 scalar quantization + quantized top-k — the memory-bound scale
+    * play: a 64-dim float32 vector is 256 B, its int8 form 64 B, so 4× more
+    * corpus fits per executor and the scan reads 4× fewer bytes (at 100 TB
+    * the re-rank then touches only the top candidates at full precision —
+    * s1/s5 are that exact path). Quantize q_i = floor(clamp(x,-1,1)·127 +
+    * 0.5); dot products and norms over int8 codes are exact integer sums,
+    * so the quantized cosine is bit-identical in Spark and DuckDB — fully
+    * oracle-checked (unlike float-sum paths which need rounding). */
+  val s6 = GraftQuery(
+    "s6_quantized_cosine",
+    "Int8 scalar-quantized cosine top-3 (4× memory/scan reduction; integer-exact)",
+    (s, dir) => {
+      val qz = table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x =>
+            floor(greatest(lit(-1.0), least(lit(1.0), x.cast("double"))) * 127 + 0.5)
+              .cast("long")).as("code"))
+        .withColumn("qn", aggregate(col("code"), lit(0L), (a, x) => a + x * x))
+      val q = qz.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("code").as("qc"), col("qn").as("qqn"))
+      val sims = broadcast(q).crossJoin(qz)
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          (aggregate(zip_with(col("qc"), col("code"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).cast("double")
+            / sqrt(col("qqn").cast("double") * col("qn").cast("double"))).as("qsim"))
+      val w = Window.partitionBy("query_id").orderBy(desc("qsim"), col("vec_id"))
+      sims.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("qsim"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH qz AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(floor(
+                 greatest(-1.0, least(1.0, CAST(x AS DOUBLE))) * 127 + 0.5) AS BIGINT)) AS code
+        FROM embeddings),
+      n AS (SELECT vec_id, code,
+                   list_aggregate(list_transform(code, x -> x * x), 'sum') AS qn
+            FROM qz),
+      sims AS (SELECT q.vec_id AS query_id, c.vec_id,
+                      CAST(list_aggregate(list_transform(list_zip(q.code, c.code),
+                        p -> p[1] * p[2]), 'sum') AS DOUBLE)
+                        / sqrt(CAST(q.qn AS DOUBLE) * CAST(c.qn AS DOUBLE)) AS qsim
+               FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      SELECT query_id, rank, vec_id, qsim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY qsim DESC, vec_id) AS rank FROM sims)
+      WHERE rank <= 3
+      ORDER BY query_id, rank"""))
+
+  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6)
 }

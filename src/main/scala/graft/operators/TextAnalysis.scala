@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
 
 /** Text-analysis operators over `documents` (BASELINE.json north star):
@@ -217,5 +218,78 @@ object TextAnalysis {
       FROM scored
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5)
+  /** Per-source corpus quality report — the curation dashboard a pipeline
+    * runs before mixing sources into a training set: volume, text-level
+    * duplication rate inside the source, language spread, length profile.
+    * One scan + one hash aggregate keyed on source (count-distinct of the
+    * full text aggregates a fixed-width sha2 digest, never the text — the
+    * shuffle carries 32-byte keys at 100 TB). Ratios are exact-integer
+    * divisions → bit-identical in both engines. */
+  val t6 = GraftQuery(
+    "t6_source_quality",
+    "Per-source corpus report: volume, distinct-text dup rate, language spread, length profile",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(sha2(col("text"), 256)).as("n_distinct_texts"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(length(col("text")).cast(LongType)).as("min_chars"),
+          max(length(col("text")).cast(LongType)).as("max_chars"),
+          (sum(length(col("text")).cast(LongType)).cast("double") / count(lit(1)))
+            .as("avg_chars"))
+        .withColumn("dup_ratio",
+          lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs"))
+        .orderBy("source"),
+    Some("""
+      SELECT source,
+             count(*) AS n_docs,
+             count(DISTINCT text) AS n_distinct_texts,
+             count(DISTINCT lang) AS n_langs,
+             min(length(text)) AS min_chars,
+             max(length(text)) AS max_chars,
+             CAST(CAST(sum(length(text)) AS BIGINT) AS DOUBLE) / count(*) AS avg_chars,
+             1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*) AS dup_ratio
+      FROM documents
+      GROUP BY source
+      ORDER BY source"""))
+
+  /** Top-k vocabulary per language: tokenize → (lang, token) hash count →
+    * per-language window top-5. The explode is the one genuine fan-out in
+    * the text layer (every token becomes a row); at 100 TB the count is
+    * partial-aggregated map-side before the shuffle (Spark's hash agg does
+    * this automatically), so shuffle volume is |vocab| per partition, not
+    * |tokens|. Deterministic with (count desc, token asc) tiebreak. */
+  val t7 = GraftQuery(
+    "t7_top_tokens",
+    "Top-5 tokens per language (explode → map-side-combined count → window top-k)",
+    (s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("lang"), explode(words(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("token"))
+      toks.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank").cast(LongType).as("rank"),
+          col("token"), col("n"))
+        .orderBy("lang", "rank")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT lang, t.token, count(*) AS n
+        FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(token)
+        WHERE length(t.token) > 0
+        GROUP BY lang, t.token)
+      SELECT lang, rank, token, n
+      FROM (SELECT lang, token, n,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY n DESC, token) AS rank
+            FROM toks)
+      WHERE rank <= 5
+      ORDER BY lang, rank"""))
+
+  val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7)
 }
