@@ -15,7 +15,11 @@ object Bench {
     // two timed runs per query, report the min successful time (steady
     // state, not scheduler/GC noise); a query with no successful run
     // reports -1 so breakage is visible instead of looking fast
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated filter for targeted perf iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
