@@ -13,7 +13,8 @@ object SparkEntry {
   /** Every named query the engine implements, in registration order. */
   def registry: Seq[GraftQuery] =
     Relational.all ++ Scalar.all ++ EventWindows.all ++ Sampling.all ++
-      Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Multimodal.all
+      Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
+      StreamingOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

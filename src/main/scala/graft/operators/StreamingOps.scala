@@ -1,0 +1,114 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Structured Streaming queries in the graded registry: each replays the
+  * events table through a real `readStream` file source and must produce
+  * EXACTLY the batch answer — the unified-model guarantee that makes the
+  * streaming surface oracle-checkable at all (the DuckDB oracle is plain
+  * batch SQL over the same rows).
+  *
+  * Scale posture: the file source is the production shape (a directory
+  * partitioned by arrival time at 100 TB; `maxFilesPerTrigger` paces
+  * ingestion), windows + watermark bound state, and `Trigger.AvailableNow`
+  * is the catch-up/backfill mode — the same pipeline then runs unmodified
+  * with a micro-batch trigger on live data. Reference hook: the crawler/job
+  * sync-run poll loop (`gluettalax.py:220-224,266-271`) is exactly
+  * "start, process all available, reach terminal state"; AvailableNow is
+  * its Spark-native form.
+  */
+object StreamingOps {
+
+  private val runSeq = new AtomicInteger(0)
+
+  /** Replay a batch DataFrame through a parquet `readStream` source and
+    * run `transform` on it to a memory sink until all input is processed;
+    * returns the sink contents. Each call uses a fresh spool dir + sink
+    * name so reruns (Bench times every query twice) are independent. */
+  private def replay(spark: SparkSession, batch: DataFrame,
+      transform: DataFrame => DataFrame, mode: OutputMode): DataFrame = {
+    val id = runSeq.incrementAndGet()
+    val spool = Files.createTempDirectory(s"graft_stream_$id").toString
+    batch.coalesce(4).write.mode("overwrite").parquet(spool)
+    val src = spark.readStream.schema(batch.schema).parquet(spool)
+    val sink = s"graft_stream_sink_$id"
+    // state-store partition count follows shuffle.partitions at query
+    // start; a replay's state volume doesn't need the batch-engine fan-out,
+    // and each extra partition is a per-micro-batch fixed cost (store open,
+    // snapshot, commit). Lower it for the stream, restore after.
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = transform(src).writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    spark.table(sink)
+  }
+
+  /** q32's tumbling-window aggregate, computed by the streaming engine:
+    * identical windows, counts and DECIMAL-exact sums as the batch plan,
+    * checked against the same batch oracle. */
+  val st1 = GraftQuery(
+    "st1_stream_tumbling",
+    "Streaming replay of the tumbling 1-day window agg == batch answer (unified model)",
+    (s, dir) => {
+      val batch = events(s, dir).select("event_id", "ts", "user_id", "event_type", "value")
+      replay(s, batch,
+        src => src
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("value"))).cast("double").as("total_value")),
+        OutputMode.Complete())
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("""
+      SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY window_start, event_type
+      ORDER BY window_start, event_type"""))
+
+  /** At-least-once delivery repair: the source replays every event TWICE
+    * (duplicated spool); stateful `dropDuplicates("event_id")` inside the
+    * watermark horizon collapses redeliveries, and the per-type counts must
+    * equal the batch answer on the original, uduplicated table. */
+  val st2 = GraftQuery(
+    "st2_stream_dedup",
+    "Streaming dedup of a duplicated (at-least-once) replay == batch counts on clean input",
+    (s, dir) => {
+      val batch = events(s, dir).select("event_id", "ts", "user_id", "event_type", "value")
+      val duplicated = batch.union(batch)
+      replay(s, duplicated,
+        src => src
+          .withWatermark("ts", "1 hour")
+          .dropDuplicates("event_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("value"))).cast("double").as("total_value")),
+        OutputMode.Complete())
+        .select(col("event_type"), col("n"), col("total_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(st1, st2)
+}
