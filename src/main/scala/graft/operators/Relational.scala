@@ -757,7 +757,37 @@ object Relational {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY o_orderkey"""))
 
+  /** rank vs dense_rank (SURVEY §2 windows row): gap semantics on ties.
+    * Price ties make the two diverge; output holds every row with
+    * rank ≤ 3 (a tie-closed set, deterministic without a tiebreak — unlike
+    * row_number, which is why it's absent here and q17 carries one). */
+  val q50 = GraftQuery(
+    "q50_rank_dense_rank",
+    "rank + dense_rank per order priority (tie-gap semantics, top-3 by rank)",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("price").desc)
+      table(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          dec2(col("o_totalprice")).as("price"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("price").cast("double").as("price"), col("rnk"), col("drnk"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    Some("""
+      SELECT o_orderpriority, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS price,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY CAST(o_totalprice AS DECIMAL(14,2)) DESC)
+      QUALIFY rnk <= 3
+      ORDER BY o_orderpriority, o_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
-    q41, q42, q43, q44, q45, q46)
+    q41, q42, q43, q44, q45, q46, q50)
 }

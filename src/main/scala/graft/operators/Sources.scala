@@ -1,0 +1,79 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Non-parquet source coverage in the graded registry (SURVEY §2 "Scans /
+  * sources": JSON-lines scan, CSV scan with inferSchema — the crawler
+  * analog A15). Each query spools a slice of the events table into the
+  * format under test, then reads it back through the real `spark.read`
+  * inference path and aggregates; the oracle runs on the original parquet,
+  * so a round-trip/inference bug (type widening, header handling, quoting)
+  * breaks the hash.
+  *
+  * Only integer/string columns travel through the text formats — float
+  * formatting is engine-specific, and the point here is the source plumbing,
+  * not decimal round-tripping (the parquet queries cover numeric exactness).
+  * Scale: schema inference samples the files (driver-side, bounded);
+  * the subsequent scan/agg is an ordinary distributed plan.
+  */
+object Sources {
+
+  private val runSeq = new AtomicInteger(0)
+
+  /** JSON-lines: write → infer → aggregate. */
+  val q51 = GraftQuery(
+    "q51_jsonl_scan",
+    "JSON-lines round-trip: write events slice, re-read with schema inference, aggregate",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val spool = Files.createTempDirectory(
+        s"graft_jsonl_${runSeq.incrementAndGet()}").toString
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .coalesce(4).write.mode("overwrite").json(spool)
+      s.read.json(spool)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          max(col("event_id")).as("max_event"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             count(DISTINCT user_id) AS n_users,
+             max(event_id) AS max_event
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** CSV with header + inferSchema (the reference crawler's bread and
+    * butter: `Crawlers` registers csv tables exactly this way). */
+  val q52 = GraftQuery(
+    "q52_csv_infer_scan",
+    "CSV round-trip with header + inferSchema, then aggregate",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val spool = Files.createTempDirectory(
+        s"graft_csv_${runSeq.incrementAndGet()}").toString
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .coalesce(4).write.mode("overwrite")
+        .option("header", "true").csv(spool)
+      s.read.option("header", "true").option("inferSchema", "true").csv(spool)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_id")).as("sum_users"),
+          min(col("event_id")).as("min_event"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(user_id) AS BIGINT) AS sum_users,
+             min(event_id) AS min_event
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(q51, q52)
+}
