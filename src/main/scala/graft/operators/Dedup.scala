@@ -289,9 +289,14 @@ object Dedup {
           .cache()
         converged = next.join(labels.select(col("id"), col("label").as("old")), "id")
           .filter(col("label") < col("old")).isEmpty
+        // next is materialized by the convergence check; the previous
+        // round's cache (and eventually the edge list) can go — repeated
+        // invocations must not accumulate executor storage
+        labels.unpersist(false)
         labels = next
         rounds += 1
       }
+      edges.unpersist(false)
       val sizesByCluster = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
       labels.join(sizesByCluster, "label")
         .select(col("id").as("doc_id"), col("label").as("cluster_id"),
