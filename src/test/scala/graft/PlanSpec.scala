@@ -98,6 +98,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Union"), p)
   }
 
+  test("bucketed fact-fact join: co-located buckets eliminate both shuffle exchanges") {
+    // the 100 TB play for repeated fact-fact joins: pay the shuffle once at
+    // write time (bucketBy on the join key), then every subsequent join is
+    // exchange-free — Spark trusts the bucket layout on both sides
+    val wh = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS buckets LOCATION '$wh'")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("buckets.lineitem_b")
+    ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("buckets.orders_b")
+    val joined = spark.table("buckets.lineitem_b")
+      .join(spark.table("buckets.orders_b"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    // disable broadcast so the join genuinely exercises the bucket layout
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      joined.collect()
+      // AdaptiveSparkPlan's toString appends the pre-AQE "Initial Plan";
+      // assert on the final section only
+      val p = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      // the join inputs come straight from the bucketed scans: the only
+      // hash exchange allowed is the groupBy ABOVE the join (o_custkey)
+      val totalHashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(totalHashExchanges <= 1,
+        s"bucket join should not shuffle its inputs ($totalHashExchanges exchanges)\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
