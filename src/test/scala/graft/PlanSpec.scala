@@ -136,6 +136,42 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    import org.apache.spark.sql.functions._
+    // one key carries ~100k rows, the rest 1 each — the shape that strands
+    // a single straggler task at scale. With AQE skew handling the runtime
+    // plan marks the join skew=true and splits the oversized partition.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    // the downstream agg reuses the join's partitioning, so splitting the
+    // skewed partition costs an extra shuffle — AQE declines unless forced;
+    // at real scale the straggler dwarfs that extra shuffle
+    conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    try {
+      // xxhash64 payload defeats shuffle compression so the skewed
+      // partition's on-disk size actually exceeds the threshold
+      val skewed = spark.range(100000)
+        .select(lit(0L).as("k"), xxhash64(col("id")).as("v"))
+        .union(spark.range(1, 50).select(col("id").as("k"), xxhash64(col("id")).as("v")))
+      val dim = spark.range(0, 50).select(col("id").as("k"), (col("id") * 10).as("w"))
+      val joined = skewed.join(dim, "k").groupBy("k").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("skew=true"), s"expected AQE skew-split join\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
