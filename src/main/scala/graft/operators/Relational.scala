@@ -757,6 +757,64 @@ object Relational {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY o_orderkey"""))
 
+  /** Approximate percentiles — the sketch path of q42: exact percentile
+    * needs the group's values materialized (a sort or full collection per
+    * group); approx_percentile merges bounded KLL-style sketches map-side,
+    * so memory is O(sketch) however large the group — the only viable
+    * quantile at 100 TB. Sketch merge order varies with partitioning →
+    * rows-only check (q42 is the exact oracle-checked twin; accuracy is
+    * bounded by the 1000 accuracy parameter). */
+  val q53 = GraftQuery(
+    "q53_approx_percentiles",
+    "approx_percentile (mergeable sketch) per return flag — the scale path of q42",
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").as("pcts"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          element_at(col("pcts"), 1).as("median_approx"),
+          element_at(col("pcts"), 2).as("p90_approx"),
+          col("n"))
+        .orderBy("l_returnflag"),
+    None)
+
+  /** Schema evolution union: two batches with different column sets
+    * (a new pipeline version added a column) combined by NAME, missing
+    * columns null-filled — `union` by position would silently mis-align.
+    * The daily reality of long-lived ingestion at scale. */
+  val q54 = GraftQuery(
+    "q54_union_by_name",
+    "unionByName(allowMissingColumns) across evolved schemas + per-batch audit",
+    (s, dir) => {
+      val v1 = table(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), lit("v1").as("batch"))
+      val v2 = table(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          dec2(col("o_totalprice")).cast("double").as("total"), lit("v2").as("batch"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n"),
+          count(col("total")).as("n_with_total"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("batch")
+    },
+    Some("""
+      WITH u AS (
+        SELECT o_orderkey, o_orderpriority, 'v1' AS batch, NULL::DOUBLE AS total
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL BY NAME
+        SELECT o_orderpriority, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS total,
+               'v2' AS batch
+        FROM orders WHERE o_orderkey % 2 = 1)
+      SELECT batch, count(*) AS n, count(total) AS n_with_total,
+             max(o_orderkey) AS max_key
+      FROM u GROUP BY batch ORDER BY batch"""))
+
   /** rank vs dense_rank (SURVEY §2 windows row): gap semantics on ties.
     * Price ties make the two diverge; output holds every row with
     * rank ≤ 3 (a tie-closed set, deterministic without a tiebreak — unlike
@@ -789,5 +847,5 @@ object Relational {
 
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
-    q41, q42, q43, q44, q45, q46, q50)
+    q41, q42, q43, q44, q45, q46, q50, q53, q54)
 }
