@@ -110,5 +110,58 @@ object StreamingOps {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  val all: Seq[GraftQuery] = Seq(st1, st2)
+  /** Session windows in APPEND mode — the production emit semantics: a
+    * session row is final (and emitted) only once the watermark passes its
+    * close, so downstream consumers never see a session twice. A replayed
+    * bounded source leaves the tail sessions stranded in state (the
+    * watermark stops at max(ts) − delay), so the replay appends one
+    * sentinel "punctuation" event far past the data (the flush trick used
+    * with bounded reprocessing); the sentinel's own session is filtered
+    * from the output. Result must equal the batch session windows of q34's
+    * oracle exactly. */
+  val st3 = GraftQuery(
+    "st3_stream_sessions",
+    "Append-mode session windows over a replay (sentinel-flushed watermark) == batch sessions",
+    (s, dir) => {
+      val batch = events(s, dir).select("event_id", "ts", "user_id", "event_type", "value")
+      val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 365L * 24 * 3600 * 1000)).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"))
+      replay(s, batch.union(sentinel),
+        src => src
+          .withWatermark("ts", "30 minutes")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec2(col("value"))).cast("double").as("session_value")),
+        OutputMode.Append())
+        .filter(col("user_id") =!= -1L)
+        .select(col("session_window.start").cast("timestamp_ntz").as("session_start"),
+          col("user_id"), col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""
+      WITH o AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                    WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                         >= INTERVAL '30 minutes' THEN 1
+                    ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      g AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM o)
+      SELECT min(ts) AS session_start, user_id,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS session_value
+      FROM g
+      GROUP BY user_id, grp
+      ORDER BY user_id, session_start"""))
+
+  val all: Seq[GraftQuery] = Seq(st1, st2, st3)
 }
