@@ -41,7 +41,7 @@ object StreamingOps {
     // and each extra partition is a per-micro-batch fixed cost (store open,
     // snapshot, commit). Lower it for the stream, restore after.
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = transform(src).writeStream
         .format("memory")
