@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.{DotProduct, MinHashSignature, ShingleJaccard, SimHash64}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * Catalyst expressions as SQL functions, so a pure-SQL user of the library
+  * (e.g. a notebook running `spark.sql(...)`) gets the same codegen'd
+  * kernels as the DataFrame API — no UDF tax, no Scala required:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * SELECT dot_product(a.embedding, b.embedding) FROM ...
+  * }}}
+  *
+  * This is the extension seam the reference exposes through Glue job
+  * parameters (`gluettalax.py:254` — the job's SQL runs against whatever
+  * functions the remote Spark registers); our engine registers them
+  * in-process. Injection happens at session build, so the functions are
+  * present on every cloned session (`newSession`, streaming query sessions).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "_FUNC_(a, b) - dot product of two float/double arrays (codegen)"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "_FUNC_(text) - 64-permutation MinHash signature of 3-word shingles"),
+      (args: Seq[Expression]) => MinHashSignature(args.head, 64, 7)))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "_FUNC_(text) - 64-bit SimHash of the whitespace tokens"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((FunctionIdentifier("shingle_jaccard"),
+      info("shingle_jaccard", "_FUNC_(a, b) - exact 3-gram Jaccard struct(inter, un, jaccard)"),
+      (args: Seq[Expression]) => ShingleJaccard(args(0), args(1))))
+  }
+}

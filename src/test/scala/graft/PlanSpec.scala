@@ -136,6 +136,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q17: rank-limit filter plans WindowGroupLimit (partial per-partition top-k)") {
+    // Spark's WindowGroupLimit prunes each map partition to its local top-k
+    // BEFORE the window shuffle — the difference between shuffling k rows
+    // per group and shuffling the whole table at scale
+    val p = plan(operators.Relational.q17.build(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     import org.apache.spark.sql.functions._
     // one key carries ~100k rows, the rest 1 each — the shape that strands
