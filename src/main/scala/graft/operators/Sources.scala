@@ -75,5 +75,42 @@ object Sources {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  val all: Seq[GraftQuery] = Seq(q51, q52)
+  /** Partitioned sink + partition-pruned read-back: write events laid out
+    * Hive-style by month (the layout A12/A13 discover and register), then
+    * read the dataset back with a partition-value filter — the scan must
+    * touch only the 3 selected directories (PlanSpec pins the
+    * PartitionFilters/pruning behavior; here the oracle pins the values).
+    * At 100 TB this layout choice IS the dominant performance decision:
+    * a time-partitioned corpus turns month-scoped queries from full scans
+    * into directory listings. */
+  val q55 = GraftQuery(
+    "q55_partitioned_write_prune",
+    "partitionBy(day) write → partition-pruned scan of 1 week of 30 dirs → aggregate",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val spool = Files.createTempDirectory(
+        s"graft_parted_${runSeq.incrementAndGet()}").toString
+      events(s, dir)
+        .withColumn("day", dayofmonth(col("ts")))
+        .write.partitionBy("day").mode("overwrite").parquet(spool)
+      s.read.parquet(spool)
+        .filter(col("day") <= 7)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(dec2(col("value"))).cast("double").as("total_value"))
+        .select(col("day").cast("long").as("day"), col("n"),
+          col("n_users"), col("total_value"))
+        .orderBy("day")
+    },
+    Some("""
+      SELECT day(CAST(ts AS TIMESTAMP)) AS day, count(*) AS n,
+             count(DISTINCT user_id) AS n_users,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      FROM events
+      WHERE day(CAST(ts AS TIMESTAMP)) <= 7
+      GROUP BY day
+      ORDER BY day"""))
+
+  val all: Seq[GraftQuery] = Seq(q51, q52, q55)
 }

@@ -136,6 +136,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q55: day predicate lands in PartitionFilters (directory pruning, not row filter)") {
+    val p = plan(operators.Sources.q55.build(spark, sfDir))
+    val pf = p.linesIterator.find(_.trim.startsWith("PartitionFilters")).getOrElse("")
+    assert(pf.contains("day"), s"expected day in PartitionFilters\n$p")
+  }
+
   test("q17: rank-limit filter plans WindowGroupLimit (partial per-partition top-k)") {
     // Spark's WindowGroupLimit prunes each map partition to its local top-k
     // BEFORE the window shuffle — the difference between shuffling k rows
