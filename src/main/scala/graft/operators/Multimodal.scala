@@ -132,5 +132,30 @@ object Multimodal {
       WHERE frame_no % 2 = 0
       ORDER BY doc_id, frame_no"""))
 
-  val all: Seq[GraftQuery] = Seq(m1, m2, m3)
+  /** Resize/downsample stub: stride-4 resampling of the payload (keep the
+    * first unit of every 4) — the shape of a thumbnail/low-res pass where a
+    * real resizer would sit. One regex projection, no shuffle; output size
+    * and digest are oracle-replayable because the stride rule is engine-
+    * neutral. At 100 TB this is the cheap pre-pass that lets the expensive
+    * full-res decode (m2) run only on rows that survive downstream filters. */
+  val m4 = GraftQuery(
+    "m4_resize_stub",
+    "Stride-4 payload downsample (resize stub): resized length + digest per doc",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("orig_len"),
+          regexp_replace(col("text"), "(.)(.{0,3})", "$1").as("resized"))
+        .select(col("doc_id"), col("orig_len"),
+          length(col("resized")).cast(LongType).as("resized_len"),
+          md5(col("resized").cast("binary")).as("resized_md5"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, length(text) AS orig_len,
+             length(regexp_replace(text, '(.)(.{0,3})', '\1', 'g')) AS resized_len,
+             md5(regexp_replace(text, '(.)(.{0,3})', '\1', 'g')) AS resized_md5
+      FROM documents
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4)
 }
