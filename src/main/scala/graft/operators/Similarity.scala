@@ -201,14 +201,24 @@ object Similarity {
       ORDER BY e.vec_id"""))
 
   /** Full IVF ANN: coarse quantizer = per-label centroids (the s4 train
-    * step), nprobe=2 — each query scores the 10 centroids, probes its 2
+    * step), nprobe=4 — each query scores the 10 centroids, probes its 4
     * nearest cells, and exact-reranks only those cells' members. Search
     * cost is O(queries × (centroids + corpus·nprobe/cells)) instead of
     * O(queries × corpus); the centroid table broadcasts. Fully
-    * deterministic → oracle-checked end to end. */
+    * deterministic → oracle-checked end to end.
+    *
+    * Recall caveat (measured, see QualitySpec): IVF recall is a property
+    * of QUANTIZER QUALITY × nprobe. This fixture's `label` column is not a
+    * geometric clustering (within-label cosine ≈ across-label ≈ 0), so
+    * label-cell IVF recalls ≈ nprobe/cells no matter the algorithm — the
+    * structural floor. In production the quantizer is k-means-trained on
+    * the corpus (near-dup pairs then co-locate and recall jumps); here s5
+    * stays the oracle-checked IVF *plumbing* (train → assign → probe →
+    * rerank), while s2's multi-probe LSH is the recall-bearing ANN path
+    * (0.93 measured). */
   val s5 = GraftQuery(
     "s5_ivf_topk",
-    "IVF ANN (nprobe=2): centroid quantizer → probe 2 cells → exact rerank top-3",
+    "IVF ANN (nprobe=4): centroid quantizer → probe 4 cells → exact rerank top-3",
     (s, dir) => {
       val emb = table(s, dir, "embeddings")
         .withColumn("nrm", l2Norm(col("embedding")))
@@ -226,7 +236,7 @@ object Similarity {
           (dotProduct(col("qe"), col("centroid")) / (col("qn") * col("cnrm"))).as("csim"))
       val wProbe = Window.partitionBy("query_id").orderBy(desc("csim"), col("c_label"))
       val probed = q2c.withColumn("cr", row_number().over(wProbe))
-        .filter(col("cr") <= 2)
+        .filter(col("cr") <= 4)
         .select(col("query_id"), col("qe"), col("qn"), col("c_label").as("label"))
       val sims = probed.join(emb, "label")
         .filter(col("query_id") =!= col("vec_id"))
@@ -263,7 +273,7 @@ object Similarity {
       probed AS (SELECT query_id, qe, qn, c_label AS label
                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                          ORDER BY csim DESC, c_label) AS cr FROM q2c)
-                 WHERE cr <= 2),
+                 WHERE cr <= 4),
       sims AS (SELECT p.query_id, e.vec_id,
                       list_aggregate(list_transform(list_zip(p.qe, e.embedding),
                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')

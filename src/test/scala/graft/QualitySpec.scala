@@ -54,6 +54,43 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mean >= 0.6, s"mean ANN recall $mean over ${recalls.size} queries")
   }
 
+  test("s5: IVF (nprobe=4 of 10 cells) recalls >= 40% of the exact cosine top-3") {
+    // structural context (measured): the fixture's label column is NOT a
+    // geometric clustering (within-label cosine ~ across-label ~ 0), so
+    // label-cell IVF recall ~ nprobe/cells — this floor pins the plumbing
+    // plus probe accounting, not quantizer quality (s2 carries the
+    // high-recall ANN contract; a k-means quantizer is the production fix)
+    val exact = operators.Similarity.s1.build(spark, sfDir).collect()
+      .filter(_.getLong(1) <= 3)
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val ivf = operators.Similarity.s5.build(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recalls = exact.map { case (q, ex) =>
+      ivf.get(q).map(a => (a & ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean IVF recall $mean")
+  }
+
+  test("d4: the 16-bit banding guarantee — no pair with SimHash Hamming <= 3 is missed") {
+    // pigeonhole: <= 3 differing bits across 4 bands leave >= 1 band
+    // identical, so banding MUST surface the pair as a candidate
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Functions.simhash64
+    val sigs = operators.table(spark, sfDir, "documents")
+      .select(col("doc_id"), simhash64(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val close = (for {
+      (i, hi) <- sigs; (j, hj) <- sigs
+      if i < j && java.lang.Long.bitCount(hi ^ hj) <= 3
+    } yield (i, j)).toSet
+    assert(close.nonEmpty, "fixture should contain hamming<=3 pairs")
+    val found = operators.Dedup.d4.build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = close -- found
+    assert(missed.isEmpty, s"banding missed guaranteed pairs: $missed")
+  }
+
   test("d2: MinHash-LSH finds every ground-truth pair with Jaccard >= 0.6") {
     // banding theory: 16 bands x 4 rows catches J=0.6 pairs w.p. ~0.9997;
     // with the fixed seed the fixture's high-J pairs are all caught
