@@ -82,7 +82,7 @@ object Similarity {
       val bits = math.max(2, math.min(16,
         math.round(math.log(math.max(1.0, n / 32.0)) / math.log(2)).toInt))
       val rnd = new scala.util.Random(42)
-      val planes = Array.fill(L * bits, 64)(rnd.nextGaussian())
+      val planes = Seq.fill(L * bits, 64)(rnd.nextGaussian())
       val planesCol = array(planes.map(p => array(p.map(v => lit(v)): _*)): _*)
       def bucket(t: Int) =
         aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
