@@ -339,5 +339,72 @@ object Similarity {
       WHERE rank <= 3
       ORDER BY query_id, rank"""))
 
-  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6)
+  /** IVF with a TRAINED coarse quantizer — the production fix for s5's
+    * recall caveat: 3 Lloyd iterations of k-means (k=10, deterministic
+    * init = the 10 lowest vec_ids, cosine-normalized means) learn cells
+    * that follow the data's geometry, so near-duplicate pairs co-locate
+    * and probing nprobe cells recovers them. Training is the distributed
+    * k-means loop (assign = broadcast-centroid argmax projection, update =
+    * one hash agg per iteration — the exact shape MLlib's KMeans runs);
+    * search is identical to s5. Engine-specific float iteration → rows-only
+    * check; QualitySpec pins recall ≥ s5's structural floor. */
+  val s7 = GraftQuery(
+    "s7_ivf_kmeans_topk",
+    "IVF ANN with k-means-trained quantizer (3 Lloyd iterations) + nprobe=4 + exact rerank",
+    (s, dir) => {
+      val k = 10
+      val emb = table(s, dir, "embeddings")
+        .withColumn("nrm", l2Norm(col("embedding")))
+      // normalized vectors so k-means optimizes cosine geometry
+      val unit = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
+      var centroids: Array[Seq[Double]] = unit.orderBy("vec_id").limit(k)
+        .collect().map(_.getSeq[Double](1))
+      for (_ <- 1 to 3) {
+        val cCol = array(centroids.toSeq.map(c => array(c.map(lit): _*)): _*)
+        val assigned = unit
+          .withColumn("cs", cCol)
+          .withColumn("sims", transform(col("cs"), c => dotProduct(col("u"), c)))
+          .withColumn("cell",
+            array_position(col("sims"), array_max(col("sims"))).cast("int"))
+          .drop("cs", "sims")
+        val means = assigned.groupBy("cell").agg(
+          array((0 until 64).map(i => avg(element_at(col("u"), i + 1))): _*).as("m"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        centroids = centroids.indices.map(i => means.getOrElse(i + 1, centroids(i))).toArray
+      }
+      val cCol = array(centroids.toSeq.map(c => array(c.map(lit): _*)): _*)
+      val cells = unit
+        .withColumn("cs", cCol)
+        .withColumn("sims", transform(col("cs"), c => dotProduct(col("u"), c)))
+        .select(col("vec_id"), col("sims"))
+      // corpus: exact cell = argmax; queries: the nprobe=4 top cells
+      val corpusCells = cells.select(col("vec_id"),
+        array_position(col("sims"), array_max(col("sims"))).cast("int").as("cell"))
+      val probeCells = cells.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), posexplode(col("sims")))
+        .withColumn("pr", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("col"), col("pos"))))
+        .filter(col("pr") <= 4)
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("cell"))
+      val pairs = probeCells.join(corpusCells, "cell")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select("query_id", "vec_id").distinct()
+      val qv = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val sim = broadcast(pairs)
+        .join(broadcast(qv), "query_id")
+        .join(emb.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+        .select(col("query_id"), col("vec_id"),
+          (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("sim"))
+      val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+      sim.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7)
 }
