@@ -163,5 +163,36 @@ object StreamingOps {
       GROUP BY user_id, grp
       ORDER BY user_id, session_start"""))
 
-  val all: Seq[GraftQuery] = Seq(st1, st2, st3)
+  /** Stream-static enrichment: the replayed event stream joins a static
+    * dimension (customer) that is broadcast per micro-batch — no state, no
+    * shuffle of the stream side; the 100 TB pattern for attaching slowly-
+    * changing dimensions to a firehose. Left join keeps events without a
+    * matching customer (segment null-bucketed as '-'), mirroring the
+    * reference's nested-default projection (gluettalax.py:678). */
+  val st4 = GraftQuery(
+    "st4_stream_static_join",
+    "Streaming replay x broadcast static dim (left join) -> per-segment counts == batch",
+    (s, dir) => {
+      val batch = events(s, dir).select("event_id", "ts", "user_id", "event_type", "value")
+      val customer = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      replay(s, batch,
+        src => src
+          .join(broadcast(customer), src("user_id") === customer("c_custkey"), "left_outer")
+          .select(coalesce(col("c_mktsegment"), lit("-")).as("segment"),
+            col("value"))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("value"))).cast("double").as("total_value")),
+        OutputMode.Complete())
+        .orderBy("segment")
+    },
+    Some("""
+      SELECT COALESCE(c_mktsegment, '-') AS segment, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      FROM events LEFT JOIN customer ON user_id = c_custkey
+      GROUP BY segment
+      ORDER BY segment"""))
+
+  val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4)
 }
