@@ -252,15 +252,19 @@ object Dedup {
     *
     * Spark side: iterative min-label propagation — labels(id) := min(own,
     * neighbors') until fixpoint, each round one shuffle join + hash agg,
-    * rounds ≤ graph diameter. At 100 TB the same loop runs with the
-    * alternating large-star/small-star optimization (Kiveris et al.,
-    * "Connected components in MapReduce", SoCC 2014) for O(log n) rounds;
-    * the fixture graphs are shallow so plain propagation converges in 2-3.
+    * rounds: the alternating large-star/small-star algorithm (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * large-star hangs every larger neighbor of u under min(N(u) ∪ {u}),
+    * small-star re-hangs the smaller ones; alternation provably converges
+    * to per-component stars in O(log n) rounds (vs O(diameter) for plain
+    * min-label propagation — the difference between 8 and 500 shuffles on
+    * a 100 TB chain-shaped graph). Each round is two hash aggs + a join on
+    * the CURRENT edge set, which only shrinks toward star form.
     * Deterministic (min-id labels) → fully oracle-checked against a DuckDB
     * recursive-CTE transitive closure. */
   val d6 = GraftQuery(
     "d6_neardup_clusters",
-    "Connected-component duplicate clusters over Jaccard ≥ 0.3 pairs (min-label propagation)",
+    "Connected-component duplicate clusters over Jaccard ≥ 0.3 pairs (large-star/small-star)",
     (s, dir) => {
       val sh = table(s, dir, "documents")
         .filter(col("doc_id") < 300)
@@ -274,29 +278,71 @@ object Dedup {
         .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
         .filter(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")) >= 0.3)
         .select(col("doc1"), col("doc2"))
-      // symmetric edge list, materialized once (reused every iteration)
-      val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
-        .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
-        .cache()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
+      val nodes = pairs.select(col("doc1").as("id"))
+        .union(pairs.select(col("doc2").as("id"))).distinct().cache()
+      // one star round: hang the selected (pred) neighbors of every node u
+      // under m(u) = min(N(u) ∪ {u}); returns the new undirected edge set
+      def star(es: org.apache.spark.sql.DataFrame, large: Boolean) = {
+        val sym = es.union(es.select(col("v").as("u"), col("u").as("v")))
+        val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        val picked = if (large) sym.filter(col("v") > col("u"))
+                     else sym.filter(col("v") <= col("u"))
+        val hung = picked.join(mins, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+        // small-star also re-hangs u itself under m(u) (Kiveris §3) — without
+        // it u loses its link to the minimum and components fracture
+        val all = if (large) hung
+                  else hung.union(mins.select(col("u"), col("m").as("v")))
+        all.filter(col("u") =!= col("v"))
+          .select(least(col("u"), col("v")).as("u"),
+            greatest(col("u"), col("v")).as("v"))
+          .distinct()
+      }
+      def t0 = System.nanoTime()
+      def dbg(msg: String, start: Long): Unit =
+        if (sys.props.contains("graft.d6.debug"))
+          println(s"[d6] $msg ${(System.nanoTime() - start) / 1e9}s")
+      var es = pairs.select(col("doc1").as("u"), col("doc2").as("v")).cache()
+      def fingerprint(e: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        // bit_xor: order-independent and overflow-free under ANSI (a long
+        // SUM of 64-bit hashes overflows); edges are distinct so xor is a
+        // sound set fingerprint
+        val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      val tFp = t0
+      var fp = fingerprint(es)
+      dbg("initial pairs+fingerprint", tFp)
       var converged = false
       var rounds = 0
-      while (!converged && rounds < 20) {
-        val prop = edges.join(labels, edges("src") === labels("id"))
-          .select(col("dst").as("id"), col("label"))
-        val next = labels.union(prop).groupBy("id").agg(min("label").as("label"))
-          .cache()
-        converged = next.join(labels.select(col("id"), col("label").as("old")), "id")
-          .filter(col("label") < col("old")).isEmpty
-        // next is materialized by the convergence check; the previous
-        // round's cache (and eventually the edge list) can go — repeated
-        // invocations must not accumulate executor storage
-        labels.unpersist(false)
-        labels = next
+      while (!converged && rounds < 12) {
+        val tR = t0
+        // localCheckpoint TRUNCATES the logical plan (cache alone does
+        // not): without it each round doubles the plan tree and every
+        // subsequent action re-pays catalyst analysis on the whole
+        // history — measured minutes of driver time by round 3
+        val next = star(star(es, large = true), large = false)
+          .localCheckpoint(true)
+        // fixpoint check by (count, order-independent hash-sum) — one O(1)
+        // aggregate instead of two exceptAll set differences per round; a
+        // collision is astronomically unlikely and the oracle still guards
+        val nfp = fingerprint(next)
+        dbg(s"round ${rounds + 1} compute", tR)
+        converged = nfp == fp
+        fp = nfp
+        es = next
         rounds += 1
+        if (sys.props.contains("graft.d6.debug"))
+          println(s"[d6] round $rounds fp=$nfp converged=$converged")
       }
-      edges.unpersist(false)
+      // at the star fixpoint every non-root points at its component root
+      val tL = t0
+      val labels = nodes
+        .join(es.select(col("v").as("id"), col("u").as("root")), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("root"), col("id")).as("label"))
+      dbg("labels built", tL)
+      nodes.unpersist(false)
       val sizesByCluster = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
       labels.join(sizesByCluster, "label")
         .select(col("id").as("doc_id"), col("label").as("cluster_id"),
