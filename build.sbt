@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route the forked JVM's stdout straight through instead of re-logging each
+// line with an "[info] " prefix: the bench harness json-parses Bench's final
+// stdout line, and the prefix broke that in rounds 1-2 (BENCH_r0{1,2}.json
+// "parsed": null even when the line fit the captured tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

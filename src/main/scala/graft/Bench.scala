@@ -38,7 +38,10 @@ object Bench {
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      // "filtered":true whenever SPARK_GRAFT_ONLY restricted the run, so a
+      // stray env var can't masquerade as full coverage (ADVICE r2)
+      val filteredTag = if (only.isDefined) """"filtered":true,""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$filteredTag"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
     }
     // full per-query detail for humans, one line each (may scroll off the tail)
     results.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"# bench $k ${fmt(v)}") }
