@@ -23,22 +23,31 @@ final class GraftEngine(val spark: SparkSession,
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
   // restore persisted crawler definitions
-  // (TSV: name path format db table options) — later lines win (register
-  // replaces the spec), matching append-on-redefine below
+  // (TSV: [v2] name path format db table options) — later lines win
+  // (register replaces the spec), matching append-on-redefine below.
+  // Lines written by the current format lead with a "v2" marker field and
+  // are URL-decoded; lines without it predate the encoding and must be
+  // taken verbatim — decoding them would corrupt '+' to ' ' and throw on a
+  // literal '%' (ADVICE r2), killing the engine constructor.
   crawlerStore.filter(java.nio.file.Files.exists(_)).foreach { p =>
     scala.jdk.CollectionConverters.IteratorHasAsScala(
       java.nio.file.Files.lines(p).iterator()).asScala
-      .map(_.split('\t')).filter(_.length >= 5)
-      .foreach { f =>
-        val options =
-          if (f.length >= 6 && f(5).nonEmpty)
-            f(5).split('&').filter(_.nonEmpty).map { kv =>
-              val Array(k, v) = kv.split("=", 2)
-              dec(k) -> dec(v)
-            }.toMap
-          else Map.empty[String, String]
-        crawlers.register(crawlers.CrawlerSpec(
-          dec(f(0)), dec(f(1)), dec(f(2)), dec(f(3)), dec(f(4)), options))
+      .map(_.split('\t'))
+      .foreach { raw =>
+        val v2 = raw.headOption.contains("v2")
+        val f = if (v2) raw.drop(1) else raw
+        def field(s: String) = if (v2) dec(s) else s
+        if (f.length >= 5) {
+          val options =
+            if (f.length >= 6 && f(5).nonEmpty)
+              f(5).split('&').filter(_.nonEmpty).map { kv =>
+                val Array(k, v) = kv.split("=", 2)
+                field(k) -> field(v)
+              }.toMap
+            else Map.empty[String, String]
+          crawlers.register(crawlers.CrawlerSpec(
+            field(f(0)), field(f(1)), field(f(2)), field(f(3)), field(f(4)), options))
+        }
       }
   }
 
@@ -51,8 +60,8 @@ final class GraftEngine(val spark: SparkSession,
     crawlerStore.foreach { p =>
       val opts = spec.options.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
-      val line = (Seq(spec.name, spec.path, spec.format, spec.database, spec.table)
-        .map(enc) :+ opts).mkString("\t") + "\n"
+      val line = ("v2" +: (Seq(spec.name, spec.path, spec.format, spec.database, spec.table)
+        .map(enc) :+ opts)).mkString("\t") + "\n"
       java.nio.file.Files.writeString(p, line,
         java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     }

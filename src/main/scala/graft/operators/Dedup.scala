@@ -336,6 +336,13 @@ object Dedup {
         if (sys.props.contains("graft.d6.debug"))
           println(s"[d6] round $rounds fp=$nfp converged=$converged")
       }
+      // ADVICE r2: a non-converged edge set is NOT star-form — the label
+      // extraction below would silently emit duplicate doc_ids with
+      // fractured cluster ids. Fail loudly instead; 12 alternating rounds
+      // covers graphs up to ~2^12 nodes deep, far beyond the bounded input.
+      if (!converged)
+        throw new IllegalStateException(
+          s"d6: star contraction did not converge within $rounds rounds (fp=$fp)")
       // at the star fixpoint every non-root points at its component root
       val tL = t0
       val labels = nodes

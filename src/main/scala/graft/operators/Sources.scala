@@ -1,8 +1,5 @@
 package graft.operators
 
-import java.nio.file.Files
-import java.util.concurrent.atomic.AtomicInteger
-
 /** Non-parquet source coverage in the graded registry (SURVEY §2 "Scans /
   * sources": JSON-lines scan, CSV scan with inferSchema — the crawler
   * analog A15). Each query spools a slice of the events table into the
@@ -19,16 +16,13 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 object Sources {
 
-  private val runSeq = new AtomicInteger(0)
-
   /** JSON-lines: write → infer → aggregate. */
   val q51 = GraftQuery(
     "q51_jsonl_scan",
     "JSON-lines round-trip: write events slice, re-read with schema inference, aggregate",
     (s, dir) => {
       import org.apache.spark.sql.functions._
-      val spool = Files.createTempDirectory(
-        s"graft_jsonl_${runSeq.incrementAndGet()}").toString
+      val spool = spoolDir("q51_jsonl")
       events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"))
         .coalesce(4).write.mode("overwrite").json(spool)
@@ -54,8 +48,7 @@ object Sources {
     "CSV round-trip with header + inferSchema, then aggregate",
     (s, dir) => {
       import org.apache.spark.sql.functions._
-      val spool = Files.createTempDirectory(
-        s"graft_csv_${runSeq.incrementAndGet()}").toString
+      val spool = spoolDir("q52_csv")
       events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"))
         .coalesce(4).write.mode("overwrite")
@@ -88,8 +81,7 @@ object Sources {
     "partitionBy(day) write → partition-pruned scan of 1 week of 30 dirs → aggregate",
     (s, dir) => {
       import org.apache.spark.sql.functions._
-      val spool = Files.createTempDirectory(
-        s"graft_parted_${runSeq.incrementAndGet()}").toString
+      val spool = spoolDir("q55_parted")
       events(s, dir)
         .withColumn("day", dayofmonth(col("ts")))
         .write.partitionBy("day").mode("overwrite").parquet(spool)

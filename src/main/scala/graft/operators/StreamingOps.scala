@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -32,7 +31,7 @@ object StreamingOps {
   private def replay(spark: SparkSession, batch: DataFrame,
       transform: DataFrame => DataFrame, mode: OutputMode): DataFrame = {
     val id = runSeq.incrementAndGet()
-    val spool = Files.createTempDirectory(s"graft_stream_$id").toString
+    val spool = spoolDir(s"stream_$id")
     batch.coalesce(4).write.mode("overwrite").parquet(spool)
     val src = spark.readStream.schema(batch.schema).parquet(spool)
     val sink = s"graft_stream_sink_$id"
@@ -51,7 +50,15 @@ object StreamingOps {
         .start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
-    spark.table(sink)
+    // The replay is over; the sink holds the (small, aggregated) result.
+    // Materialize it into a LocalRelation so the spool directory and the
+    // memory-sink temp view can be cleaned up HERE instead of leaking one
+    // full events copy + one cached table per run (ADVICE r2; LEAKCHECK).
+    val out = spark.table(sink)
+    val rows = out.collect()
+    spark.catalog.dropTempView(sink)
+    deleteRecursively(java.nio.file.Paths.get(spool))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** q32's tumbling-window aggregate, computed by the streaming engine:

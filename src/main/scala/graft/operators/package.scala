@@ -19,6 +19,31 @@ package object operators {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(root)) {
+      val all = java.nio.file.Files.walk(root).iterator().asScala.toSeq
+      all.sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Scratch directory for queries that spool data into another format
+    * before reading it back (Sources, streaming replays). One FIXED dir per
+    * caller-chosen name — re-runs overwrite instead of accumulating copies
+    * (ADVICE r2) — and the whole root is removed on JVM exit. */
+  def spoolDir(name: String): String =
+    spoolRoot.resolve(name).toString
+
+  private lazy val spoolRoot: java.nio.file.Path = {
+    val root = java.nio.file.Paths
+      .get(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_spool")
+    java.nio.file.Files.createDirectories(root)
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(root)))
+    root
+  }
+
   /** Exact fixed-point views of the 2-decimal money columns. Aggregating in
     * DECIMAL instead of double makes results independent of float summation
     * order — identical across Spark partitions/shuffles and the DuckDB

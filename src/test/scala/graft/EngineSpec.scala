@@ -215,6 +215,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(restored.path == s"$tmp/nation_csv" && restored.format == "csv")
   }
 
+  test("crawler store: legacy (pre-v2, unencoded) lines restore verbatim") {
+    // a store written by the previous format: raw TSV, no v2 marker, with
+    // '%' and '+' in fields — URL-decoding these must NOT happen ('%' would
+    // throw in the engine constructor, '+' would silently become a space)
+    val store = java.nio.file.Paths.get(tmp, "crawlers_legacy.tsv")
+    java.nio.file.Files.writeString(store,
+      "pct%20name\t/data/a+b/100%\tcsv\tdatalake\tt_legacy\tsep=|\n")
+    val e = new GraftEngine(spark, Some(store))
+    val restored = e.crawlers.list().find(_.name == "pct%20name").get
+    assert(restored.path == "/data/a+b/100%")
+    assert(restored.options == Map("sep" -> "|"))
+    // a v2 line appended to the same store still decodes
+    e.defineCrawler(e.crawlers.CrawlerSpec(
+      "enc name", "/data/x y", "csv", "datalake", "t_v2", Map("quote" -> "'")))
+    val e2 = new GraftEngine(spark, Some(store))
+    assert(e2.crawlers.list().exists(c => c.name == "enc name" && c.path == "/data/x y"))
+    assert(e2.crawlers.list().exists(_.name == "pct%20name"))
+  }
+
   test("crawl root URI dialect: above-root k=v segments never become partition keys") {
     // a data column `v` whose name also appears as a k=v directory ABOVE the
     // crawl root; the crawl is registered with a file:// URI while
