@@ -14,7 +14,7 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     Relational.all ++ Scalar.all ++ EventWindows.all ++ Sampling.all ++
       Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
-      StreamingOps.all ++ Sources.all
+      StreamingOps.all ++ Sources.all ++ Warehouse.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -120,5 +120,37 @@ object Sampling {
       WINDOW w AS (ORDER BY CAST(c_acctbal AS DECIMAL(14,2)) DESC, c_custkey)
       ORDER BY c_custkey"""))
 
-  val all: Seq[GraftQuery] = Seq(q47, q48, q49)
+  /** Mergeable-sketch cardinality (Apache DataSketches HLL, built into
+    * Spark 3.5+): one sketch per event_type, then hll_union_agg merges the
+    * per-group sketches into the global count — the composability that
+    * bounded-memory distinct counting at 100 TB requires (per-partition /
+    * per-day sketches roll up without re-scanning; approx_count_distinct's
+    * internal HLL±± state, by contrast, never leaves the aggregate).
+    * Estimates are sketch-version-specific → rows-only gate; QualitySpec
+    * pins the relative-error floor against exact counts. */
+  val q62 = GraftQuery(
+    "q62_hll_sketch_union",
+    "HLL sketch per event_type + hll_union_agg rollup == mergeable distinct-count at scale",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val perType = events(s, dir)
+        .groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      // rollup row: merge the per-group sketches (never re-scans events);
+      // the exact global count rides along via a 1-row cross join
+      val global = perType
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+        .crossJoin(events(s, dir)
+          .agg(countDistinct(col("user_id")).as("exact_users")))
+        .select(lit("ALL").as("event_type"), col("est_users"), col("exact_users"))
+      perType
+        .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est_users"),
+          col("exact_users"))
+        .unionByName(global)
+        .orderBy("event_type")
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62)
 }

@@ -268,5 +268,41 @@ object Scalar {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q30, q31, q36, q40)
+  /** Semi-structured VARIANT path: build a nested JSON document per event,
+    * parse it to Spark 4's VariantType (binary-encoded, no schema
+    * inference pass), extract typed paths with variant_get, and probe a
+    * missing path with try_variant_get. Variant is the at-scale answer to
+    * ragged JSON: one parse, columnar binary storage, per-path typed
+    * access — vs from_json's fixed schema or per-path get_json_object
+    * re-parses. Longs/strings only in the round-trip (float formatting is
+    * engine-specific; q27 covers numeric JSON exactness separately). */
+  val q57 = GraftQuery(
+    "q57_variant_json",
+    "VARIANT semi-structured path: parse_json + typed variant_get paths + try_variant_get miss",
+    (s, dir) =>
+      events(s, dir)
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k"))
+        .withColumn("j", to_json(struct(
+          struct(col("event_type").as("type"), dayofmonth(col("ts")).as("day")).as("meta"),
+          col("k"),
+          array(col("k"), col("k") * 2).as("vals"))))
+        .withColumn("v", parse_json(col("j")))
+        .select(
+          col("event_id"),
+          variant_get(col("v"), "$.meta.type", "string").as("vtype"),
+          variant_get(col("v"), "$.meta.day", "long").as("vday"),
+          variant_get(col("v"), "$.vals[1]", "long").as("vk2"),
+          try_variant_get(col("v"), "$.missing", "string").as("vmissing"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             event_type AS vtype,
+             CAST(day(CAST(ts AS TIMESTAMP)) AS BIGINT) AS vday,
+             2 * CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS vk2,
+             CAST(NULL AS VARCHAR) AS vmissing
+      FROM events
+      ORDER BY event_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q30, q31, q36, q40, q57)
 }

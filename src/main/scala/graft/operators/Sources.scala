@@ -104,5 +104,66 @@ object Sources {
       GROUP BY day
       ORDER BY day"""))
 
-  val all: Seq[GraftQuery] = Seq(q51, q52, q55)
+  /** ORC round-trip: the other columnar format a lake migration meets.
+    * Unlike the text formats ORC is typed, so the value column travels
+    * too (decimal-cast at the aggregate for engine-portable sums). */
+  val q56 = GraftQuery(
+    "q56_orc_scan",
+    "ORC round-trip: write events slice as ORC, read back, aggregate",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val spool = spoolDir("q56_orc")
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .coalesce(4).write.mode("overwrite").orc(spool)
+      s.read.orc(spool)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("total_value"),
+          max(col("event_id")).as("max_event"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value,
+             max(event_id) AS max_event
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** Raw text lines + regexp field extraction — the weblog-shaped source
+    * every lake ingests before it has schema: spark.read.text gives one
+    * `value` column, regexp_extract recovers the fields, and the rest is an
+    * ordinary plan. The regexes stay in whole-stage codegen; at scale this
+    * is a single distributed pass with no inference step. */
+  val q64 = GraftQuery(
+    "q64_text_regexp_scan",
+    "text-line round-trip: pipe-delimited lines -> spark.read.text -> regexp_extract -> aggregate",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val spool = spoolDir("q64_text")
+      events(s, dir)
+        .select(concat_ws("|", col("event_id"), col("user_id"), col("event_type"))
+          .as("value"))
+        .coalesce(4).write.mode("overwrite").text(spool)
+      s.read.text(spool)
+        .select(
+          regexp_extract(col("value"), "^(\\d+)\\|", 1).cast("long").as("event_id"),
+          regexp_extract(col("value"), "^\\d+\\|(\\d+)\\|", 1).cast("long").as("user_id"),
+          regexp_extract(col("value"), "\\|([^|]+)$", 1).as("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          max(col("event_id")).as("max_event"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             count(DISTINCT user_id) AS n_users,
+             max(event_id) AS max_event
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64)
 }

@@ -61,6 +61,59 @@ object StreamingOps {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Like replay(), but the input arrives as an ORDERED sequence of files —
+    * one micro-batch each (`maxFilesPerTrigger=1`, modification-time order
+    * pinned explicitly) — so a query can observe watermark state BETWEEN
+    * deliveries. This is how late-data semantics become deterministic and
+    * testable: whatever the watermark was after file N is what file N+1's
+    * rows are judged against. */
+  private def replayFiles(spark: SparkSession, files: Seq[DataFrame],
+      transform: DataFrame => DataFrame, mode: OutputMode): DataFrame = {
+    val id = runSeq.incrementAndGet()
+    val spool = java.nio.file.Paths.get(spoolDir(s"stream_seq_$id"))
+    java.nio.file.Files.createDirectories(spool)
+    val t0 = java.nio.file.attribute.FileTime.fromMillis(1000000000000L)
+    files.zipWithIndex.foreach { case (df, i) =>
+      val stage = spool.resolve(s"_stage_$i")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val target = spool.resolve(f"$i%04d.parquet")
+      java.nio.file.Files.move(part, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      deleteRecursively(stage)
+      // FileStreamSource orders by modification time; pin it so delivery
+      // order is the list order, never filesystem luck
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(t0.toMillis + i * 60000L))
+    }
+    val src = spark.readStream.schema(files.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(spool.toString)
+    val sink = s"graft_stream_sink_$id"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = transform(src).writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => println(
+          s"[replayFiles] batch=${p.batchId} rows=${p.numInputRows} watermark=${p.eventTime.get("watermark")}" +
+            p.stateOperators.map(o =>
+              s" dropped=${o.numRowsDroppedByWatermark} state=${o.numRowsTotal}").mkString))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    val out = spark.table(sink)
+    val rows = out.collect()
+    spark.catalog.dropTempView(sink)
+    deleteRecursively(spool)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** q32's tumbling-window aggregate, computed by the streaming engine:
     * identical windows, counts and DECIMAL-exact sums as the batch plan,
     * checked against the same batch oracle. */
@@ -201,5 +254,61 @@ object StreamingOps {
       GROUP BY segment
       ORDER BY segment"""))
 
-  val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4)
+  /** Watermark LATE-DATA DROP, made deterministic: delivery 1 is the whole
+    * events table (the stream catches up to max(ts), watermark advances to
+    * max(ts) − 30 min); delivery 2 re-sends copies of the oldest week's
+    * events — every one of them now lands in a day-window that closed long
+    * ago, so the state store must drop them all; delivery 3 is a far-future
+    * sentinel that flushes the append-mode windows. The result must equal
+    * the batch aggregate over the ORIGINAL rows only — if even one stale
+    * redelivery leaks into a closed window, a count inflates and the hash
+    * breaks. This is the semantics that bounds state at 100 TB: without the
+    * drop, every window stays resident forever. */
+  val st5 = GraftQuery(
+    "st5_stream_late_data",
+    "Late-data drop: stale redeliveries after watermark advance are excluded from closed windows",
+    (s, dir) => {
+      val batch = events(s, dir).select("event_id", "ts", "user_id", "event_type", "value")
+      val bounds = batch.agg(min(col("ts")), max(col("ts"))).head()
+      val (minTs, maxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+      // stale redeliveries: the oldest week, arriving after full catch-up
+      val late = batch.filter(
+        col("ts") < lit(new java.sql.Timestamp(minTs.getTime + 7L * 24 * 3600 * 1000)))
+      // one on-time synthetic row (filtered from the output with the
+      // sentinel), delivered between catch-up and the stale replay: its
+      // batch lets the aggregation EVICT the closed windows first, so the
+      // late rows arrive against watermark-cleaned state (Spark merges late
+      // rows into still-resident state within the same batch as the
+      // eviction — delivering one batch apart makes the drop observable)
+      val cycle = s.range(1).select(
+        lit(-2L).as("event_id"), lit(maxTs).as("ts"),
+        lit(-2L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"))
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 365L * 24 * 3600 * 1000)).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"))
+      replayFiles(s, Seq(batch, cycle, late, sentinel),
+        src => src
+          .withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("value"))).cast("double").as("total_value")),
+        OutputMode.Append())
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("""
+      SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY window_start, event_type
+      ORDER BY window_start, event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5)
 }

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators: the mutation/evolution patterns a
+  * catalog-backed lake needs beyond pure queries — MERGE-style upsert,
+  * slowly-changing-dimension (SCD2) history, correlated lateral top-k, and
+  * bucketed co-located joins.
+  *
+  * Reference hooks: the reference's add/delete partition DDL surface
+  * (gluettalax.py:444-497) is table maintenance at partition granularity;
+  * these queries are the row-granularity equivalents its delegated Glue
+  * jobs perform (gluettalax.py:256). All expressed as pure-join dataflows
+  * (the Delta/Iceberg MERGE physical shape) so the same plan runs on a
+  * plain parquet lake.
+  */
+object Warehouse {
+
+  /** MERGE INTO as a dataflow: FULL OUTER join of target and change-set,
+    * then per-branch WHEN MATCHED (update) / NOT MATCHED BY SOURCE (keep) /
+    * NOT MATCHED BY TARGET (insert). This is exactly the join Delta Lake
+    * plans for a non-file-pruned MERGE; on 100 TB the join is a plain
+    * shuffle on the merge key, and AQE handles the (typically tiny)
+    * change-set side by broadcasting it. Balances stay DECIMAL through the
+    * arithmetic (order-independent, engine-portable), cast to double only
+    * at the edge. */
+  val q58 = GraftQuery(
+    "q58_merge_upsert",
+    "MERGE-shaped upsert: customer balances + order spend (update) + supplier accounts (insert)",
+    (s, dir) => {
+      val tgt = table(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          dec2(col("c_acctbal")).as("balance"))
+      val upd = table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("id"))
+        .agg(sum(dec2(col("o_totalprice"))).as("delta"))
+        .select(col("id"), lit(null).cast("string").as("name_src"), col("delta"))
+      val ins = table(s, dir, "supplier")
+        .select((col("s_suppkey") + 1000000L).as("id"), col("s_name").as("name_src"),
+          dec2(col("s_acctbal")).cast("decimal(24,2)").as("delta"))
+      val src = upd.unionByName(ins)
+      tgt.join(src, Seq("id"), "full_outer")
+        .select(
+          col("id"),
+          coalesce(col("name"), col("name_src")).as("name"),
+          when(col("balance").isNotNull && col("delta").isNotNull,
+              col("balance") + col("delta"))
+            .when(col("balance").isNotNull, col("balance"))
+            .otherwise(col("delta")).cast("double").as("balance"),
+          when(col("balance").isNotNull && col("delta").isNotNull, "U")
+            .when(col("balance").isNotNull, "-")
+            .otherwise("I").as("action"))
+        .orderBy("id")
+    },
+    Some("""
+      WITH tgt AS (SELECT c_custkey AS id, c_name AS name,
+                          CAST(c_acctbal AS DECIMAL(14,2)) AS balance
+                   FROM customer),
+      src AS (SELECT o_custkey AS id, CAST(NULL AS VARCHAR) AS name_src,
+                     sum(CAST(o_totalprice AS DECIMAL(14,2))) AS delta
+              FROM orders GROUP BY 1
+              UNION ALL
+              SELECT s_suppkey + 1000000, s_name, CAST(s_acctbal AS DECIMAL(14,2))
+              FROM supplier)
+      SELECT COALESCE(t.id, s.id) AS id,
+             COALESCE(t.name, s.name_src) AS name,
+             CAST(CASE WHEN t.id IS NOT NULL AND s.id IS NOT NULL
+                         THEN t.balance + s.delta
+                       WHEN t.id IS NOT NULL THEN t.balance
+                       ELSE s.delta END AS DOUBLE) AS balance,
+             CASE WHEN t.id IS NOT NULL AND s.id IS NOT NULL THEN 'U'
+                  WHEN t.id IS NOT NULL THEN '-' ELSE 'I' END AS action
+      FROM tgt t FULL JOIN src s ON t.id = s.id
+      ORDER BY id"""))
+
+  /** SCD type-2 history build: collapse each user's event stream to its
+    * type-transition rows, then stitch validity intervals with lead().
+    * Two window passes over the same (user_id, ts) ordering — one shuffle,
+    * both windows reuse the partitioning. The history table IS the
+    * dimension-table pattern for replayable feature pipelines at scale.
+    * NTZ output + event_id tiebreak keep both engines byte-identical. */
+  val q59 = GraftQuery(
+    "q59_scd2_intervals",
+    "SCD2 validity intervals from event-type transitions per user (lag filter + lead stitch)",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").cast("timestamp_ntz").as("valid_from"),
+          col("valid_to").cast("timestamp_ntz").as("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "state")
+    },
+    Some("""
+      WITH o AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                        lag(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS prev
+                 FROM events),
+      chg AS (SELECT user_id, event_type, ts, event_id FROM o
+              WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER w AS valid_to,
+             (lead(ts) OVER w IS NULL) AS is_current
+      FROM chg
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, valid_from, state"""))
+
+  /** Correlated LATERAL top-k: for every nation the 2 richest customers,
+    * written as a dependent join (the SQL-standard LATERAL form the
+    * reference's users would write). Catalyst rewrites the correlated
+    * ORDER BY/LIMIT subquery into a partitioned window top-k — same
+    * physical plan as q20's explicit Window, no per-row re-execution. */
+  val q60 = GraftQuery(
+    "q60_lateral_topk",
+    "LATERAL (correlated ORDER BY/LIMIT subquery): top-2 customers per nation",
+    (s, dir) => {
+      table(s, dir, "nation").createOrReplaceTempView("nation_lv")
+      table(s, dir, "customer").createOrReplaceTempView("customer_lv")
+      s.sql("""
+        SELECT n.n_name AS nation, t.c_name AS customer,
+               round(t.c_acctbal, 2) AS acctbal
+        FROM nation_lv n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer_lv c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY nation, acctbal DESC, customer""")
+    },
+    Some("""
+      SELECT n.n_name AS nation, t.c_name AS customer,
+             round(t.c_acctbal, 2) AS acctbal
+      FROM nation n,
+      LATERAL (SELECT c_name, c_acctbal FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      ORDER BY nation, acctbal DESC, customer"""))
+
+  /** Bucketed co-located join: both sides written with bucketBy on the
+    * join key, so the join reads pre-shuffled buckets — zero Exchange on
+    * either side (PlanSpec pins this with broadcast disabled). THE layout
+    * decision for a 100 TB fact table that is joined on the same key every
+    * day: the shuffle is paid once at write time, never again at read.
+    * Result is layout-independent, so the oracle is the plain join. */
+  val q61 = GraftQuery(
+    "q61_bucketed_join",
+    "bucketBy(8, custkey) both sides -> co-located join with no shuffle exchange",
+    (s, dir) => {
+      // a fresh session's in-memory catalog doesn't know about table dirs a
+      // previous JVM left in the warehouse — clear both name and location,
+      // or managed-table creation trips LOCATION_ALREADY_EXISTS
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val whPath = java.nio.file.Paths.get(
+        if (wh.getScheme == null) wh.getPath else new java.net.URI(wh.getScheme, wh.getPath, null).getPath)
+      Seq("g_orders_bkt", "g_customer_bkt").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        deleteRecursively(whPath.resolve(t))
+      }
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+        .write.format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("g_orders_bkt")
+      table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("g_customer_bkt")
+      s.table("g_orders_bkt")
+        .join(s.table("g_customer_bkt"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy("segment")
+    },
+    Some("""
+      SELECT c_mktsegment AS segment, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY segment
+      ORDER BY segment"""))
+
+  val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61)
+}

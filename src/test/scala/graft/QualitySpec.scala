@@ -120,6 +120,14 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(missed.isEmpty, s"LSH missed ground-truth pairs: $missed")
   }
 
+  test("q62: DataSketches HLL estimates within 5% per group AND for the merged rollup") {
+    operators.Sampling.q62.build(spark, sfDir).collect().foreach { r =>
+      val (key, est, exact) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(math.abs(est - exact.toDouble) / exact <= 0.05,
+        s"$key: sketch=$est exact=$exact")
+    }
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
