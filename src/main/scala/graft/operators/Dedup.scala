@@ -303,6 +303,15 @@ object Dedup {
       def dbg(msg: String, start: Long): Unit =
         if (sys.props.contains("graft.d6.debug"))
           println(s"[d6] $msg ${(System.nanoTime() - start) / 1e9}s")
+      // the contraction loop runs on the CONFIRMED-duplicate edge set —
+      // orders of magnitude smaller than the corpus (here ≤300 nodes by
+      // construction; at scale, proportional to true duplicate density).
+      // Narrow the loop's shuffles to match: 6 shuffles/round × 32 near-empty
+      // tasks is pure scheduler overhead (this is what AQE would pick for
+      // these sizes; set explicitly because localCheckpoint materialization
+      // pins each round's partitioning). Restored after the loop.
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       var es = pairs.select(col("doc1").as("u"), col("doc2").as("v")).cache()
       def fingerprint(e: org.apache.spark.sql.DataFrame): (Long, Long) = {
         // bit_xor: order-independent and overflow-free under ANSI (a long
@@ -336,6 +345,7 @@ object Dedup {
         if (sys.props.contains("graft.d6.debug"))
           println(s"[d6] round $rounds fp=$nfp converged=$converged")
       }
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
       // ADVICE r2: a non-converged edge set is NOT star-form — the label
       // extraction below would silently emit duplicate doc_ids with
       // fractured cluster ids. Fail loudly instead; 12 alternating rounds

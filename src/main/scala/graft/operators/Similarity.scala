@@ -355,9 +355,14 @@ object Similarity {
       val k = 10
       val emb = table(s, dir, "embeddings")
         .withColumn("nrm", l2Norm(col("embedding")))
-      // normalized vectors so k-means optimizes cosine geometry
+      // normalized vectors so k-means optimizes cosine geometry; CACHED —
+      // every Lloyd iteration + the final assignment re-scans this
+      // projection, and the interpreted-HOF normalization is the expensive
+      // part. (Spark keys cached data by canonicalized plan, so repeated
+      // builds of this query reuse one entry instead of accumulating.)
       val unit = emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
+        .cache()
       var centroids: Array[Seq[Double]] = unit.orderBy("vec_id").limit(k)
         .collect().map(_.getSeq[Double](1))
       for (_ <- 1 to 3) {
