@@ -845,7 +845,54 @@ object Relational {
       QUALIFY rnk <= 3
       ORDER BY o_orderpriority, o_orderkey"""))
 
+  /** UNPIVOT (melt): the inverse of q41's pivot — wide per-nation metric
+    * columns back to (nation, metric, value) long form. Spark's native
+    * unpivot is a zero-shuffle projection+generate (each input row emits
+    * its metric rows locally), so at scale it's embarrassingly parallel —
+    * the shape that matters when normalizing thousands of metric columns
+    * into a feature store. */
+  val q63 = GraftQuery(
+    "q63_unpivot",
+    "unpivot/melt wide per-nation metrics to long (nation, metric, value) form",
+    (s, dir) => {
+      val c = table(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dec2(col("c_acctbal"))).cast("double").as("customer_balance"))
+      val sup = table(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(dec2(col("s_acctbal"))).cast("double").as("supplier_balance"))
+      c.join(sup, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_customers").cast("double"), lit(0.0)).as("n_customers"),
+          coalesce(col("customer_balance"), lit(0.0)).as("customer_balance"),
+          coalesce(col("n_suppliers").cast("double"), lit(0.0)).as("n_suppliers"),
+          coalesce(col("supplier_balance"), lit(0.0)).as("supplier_balance"))
+        .unpivot(Array(col("nationkey")), "metric", "value")
+        .orderBy("nationkey", "metric")
+    },
+    Some("""
+      WITH w AS (
+        SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+               COALESCE(CAST(c.n_customers AS DOUBLE), 0.0) AS n_customers,
+               COALESCE(c.customer_balance, 0.0) AS customer_balance,
+               COALESCE(CAST(s.n_suppliers AS DOUBLE), 0.0) AS n_suppliers,
+               COALESCE(s.supplier_balance, 0.0) AS supplier_balance
+        FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers,
+                     CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS customer_balance
+              FROM customer GROUP BY 1) c
+        FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers,
+                          CAST(sum(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS supplier_balance
+                   FROM supplier GROUP BY 1) s USING (nationkey))
+      SELECT nationkey, metric, value FROM (
+        SELECT nationkey, 'n_customers' AS metric, n_customers AS value FROM w
+        UNION ALL SELECT nationkey, 'customer_balance', customer_balance FROM w
+        UNION ALL SELECT nationkey, 'n_suppliers', n_suppliers FROM w
+        UNION ALL SELECT nationkey, 'supplier_balance', supplier_balance FROM w)
+      ORDER BY nationkey, metric"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
-    q41, q42, q43, q44, q45, q46, q50, q53, q54)
+    q41, q42, q43, q44, q45, q46, q50, q53, q54, q63)
 }

@@ -182,5 +182,39 @@ object Warehouse {
       GROUP BY segment
       ORDER BY segment"""))
 
-  val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61)
+  /** Recursive CTE (Spark 4's native iterative plan): every supplier key
+    * walks its halving chain k → k div 2 → … → 1, the binary-tree ancestry.
+    * The recursion executes INSIDE the engine (UnionLoop), unlike d6's
+    * driver-coordinated contraction loop — the two deliberately bracket
+    * the design space for iterative dataflows at scale (engine-managed
+    * fixpoint vs explicit O(log n) rounds with checkpointed state). */
+  val q65 = GraftQuery(
+    "q65_recursive_cte",
+    "WITH RECURSIVE halving-chain walk per supplier: depth to root + path length",
+    (s, dir) => {
+      table(s, dir, "supplier").createOrReplaceTempView("supplier_rc")
+      s.sql("""
+        WITH RECURSIVE walk(start_key, k, depth) AS (
+          SELECT s_suppkey, s_suppkey, 0 FROM supplier_rc
+          UNION ALL
+          SELECT start_key, k DIV 2, depth + 1 FROM walk WHERE k > 1
+        )
+        SELECT start_key, CAST(max(depth) AS BIGINT) AS depth_to_root,
+               count(*) AS path_len
+        FROM walk
+        GROUP BY start_key
+        ORDER BY start_key""")
+    },
+    Some("""
+      WITH RECURSIVE walk(start_key, k, depth) AS (
+        SELECT s_suppkey, s_suppkey, 0 FROM supplier
+        UNION ALL
+        SELECT start_key, k // 2, depth + 1 FROM walk WHERE k > 1
+      )
+      SELECT start_key, CAST(max(depth) AS BIGINT) AS depth_to_root, count(*) AS path_len
+      FROM walk
+      GROUP BY start_key
+      ORDER BY start_key"""))
+
+  val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65)
 }

@@ -186,6 +186,41 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q59: both SCD2 window passes reuse ONE shuffle (same partitioning)") {
+    val p = plan(operators.Warehouse.q59.build(spark, sfDir))
+    // lag-filter pass and lead-stitch pass both partition by user_id and
+    // order by (ts, event_id): Catalyst must plan a single Exchange for
+    // them — a second shuffle would double the 100 TB cost for nothing
+    // formatted mode repeats node names in the details section; count the
+    // detail headers ("(n) Exchange") whose Arguments are a hash partition
+    val exchanges = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges\n$p")
+  }
+
+  test("q60: correlated LATERAL top-k rewrites to a window, not a per-row join loop") {
+    val p = plan(operators.Warehouse.q60.build(spark, sfDir))
+    assert(p.contains("Window"), s"expected window rewrite\n$p")
+    assert(!p.contains("CartesianProduct"), s"lateral must not plan a cartesian product\n$p")
+  }
+
+  test("q58: MERGE-shaped upsert joins once (single full-outer join, no re-read of target)") {
+    val p = plan(operators.Warehouse.q58.build(spark, sfDir))
+    // count detail headers only — formatted mode names each node twice
+    // (tree + "(n) <Node>" details)
+    val joins = p.linesIterator.count(l =>
+      l.matches("^\\(\\d+\\) .*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*"))
+    assert(joins == 1, s"expected exactly 1 join in the merge plan, got $joins\n$p")
+    assert(p.contains("FullOuter"), s"merge join must be full outer\n$p")
+  }
+
+  test("q63: unpivot is a zero-shuffle local expand (no Exchange before the sort)") {
+    val p = plan(operators.Relational.q63.build(spark, sfDir))
+    // the melt itself must not shuffle: the only exchanges allowed are the
+    // two upstream aggs + their join and the final global orderBy range
+    assert(p.contains("Expand") || p.contains("Generate"),
+      s"expected Expand/Generate for unpivot\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
