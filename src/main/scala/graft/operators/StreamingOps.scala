@@ -326,5 +326,78 @@ object StreamingOps {
       GROUP BY window_start, event_type
       ORDER BY window_start, event_type"""))
 
-  val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5)
+  /** foreachBatch incremental upsert — the production sink seam when the
+    * target isn't a streaming-native sink (JDBC, a lake table, an index):
+    * each micro-batch's partial aggregate is MERGEd into the running
+    * target (full-outer join + coalesced sums, the q58 merge shape), so the
+    * target stays correct after every batch. Batch boundaries are pinned
+    * (3 ordered deliveries split by event_id), and the final target must
+    * equal the one-shot batch aggregate — the exactly-once contract that
+    * makes restarts safe. localCheckpoint per merge keeps the iterative
+    * target's lineage constant, same pattern as d6's contraction loop. */
+  val st6 = GraftQuery(
+    "st6_stream_foreachbatch_upsert",
+    "foreachBatch MERGE-upsert per micro-batch; final target == one-shot batch aggregate",
+    (s, dir) => {
+      val batch = events(s, dir).select("event_id", "ts", "user_id", "event_type", "value")
+      val parts = (0 until 3).map(i => batch.filter(pmod(col("event_id"), lit(3)) === i))
+      val spoolStr = spoolOnce(s"replayseq_st6_${dir.replaceAll("[^A-Za-z0-9.]", "_")}", ps => {
+        val sp = java.nio.file.Paths.get(ps)
+        java.nio.file.Files.createDirectories(sp)
+        parts.zipWithIndex.foreach { case (df, i) =>
+          val stage = sp.resolve(s"_stage_$i")
+          df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          import scala.jdk.CollectionConverters._
+          val part = java.nio.file.Files.list(stage).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, sp.resolve(f"$i%04d.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          deleteRecursively(stage)
+          java.nio.file.Files.setLastModifiedTime(sp.resolve(f"$i%04d.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        }
+        java.nio.file.Files.createFile(sp.resolve("_SUCCESS"))
+      })
+      val src = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(spoolStr)
+      // running target, merged under the driver's lock per micro-batch
+      var target: DataFrame = s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type STRING, n BIGINT, total_value DECIMAL(24,2)"))
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = src.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val delta = b.groupBy("event_type")
+              .agg(count(lit(1)).as("n"),
+                sum(dec2(col("value"))).cast("decimal(24,2)").as("total_value"))
+            target = target.as("t")
+              .join(delta.as("d"), Seq("event_type"), "full_outer")
+              .select(col("event_type"),
+                (coalesce(col("t.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"),
+                (coalesce(col("t.total_value"), lit(BigDecimal(0)).cast("decimal(24,2)"))
+                  + coalesce(col("d.total_value"), lit(BigDecimal(0)).cast("decimal(24,2)")))
+                  .cast("decimal(24,2)").as("total_value"))
+              .localCheckpoint(true)
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      target
+        .select(col("event_type"), col("n"),
+          col("total_value").cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6)
 }
