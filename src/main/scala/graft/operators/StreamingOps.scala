@@ -399,5 +399,50 @@ object StreamingOps {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6)
+  /** Stream-stream INNER JOIN (attribution): purchases matched to the same
+    * user's clicks in the preceding hour, both sides watermarked, the join
+    * condition time-bounded — exactly what lets Spark expire join state
+    * (a side's row can be dropped once the watermark passes its last
+    * possible match). Without the time bound, stream-stream join state
+    * grows forever — THE 100 TB streaming failure mode. Inner-join matches
+    * emit as both sides arrive, so a bounded replay needs no sentinel
+    * flush; the result must equal the batch self-join exactly. */
+  val st7 = GraftQuery(
+    "st7_stream_stream_join",
+    "Watermarked stream-stream interval join (click->purchase attribution) == batch self-join",
+    (s, dir) => {
+      val batch = events(s, dir).select("event_id", "ts", "user_id", "event_type", "value")
+      replay(s, "st7", dir, batch,
+        src => {
+          val p = src.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"),
+              col("value").as("amount"))
+            .withWatermark("p_ts", "1 hour")
+          val c = src.filter(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("c_id"))
+            .withWatermark("c_ts", "1 hour")
+          p.join(c,
+            col("user_id") === col("c_user") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+              col("c_ts") < col("p_ts"))
+        },
+        OutputMode.Append())
+        .select(col("p_id"), col("c_id"), col("user_id"),
+          col("p_ts").cast("timestamp_ntz").as("p_ts"),
+          round(dec2(col("amount")).cast("double"), 2).as("amount"))
+        .orderBy("p_id", "c_id")
+    },
+    Some("""
+      SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+             CAST(p.ts AS TIMESTAMP) AS p_ts,
+             round(CAST(CAST(p.value AS DECIMAL(14,2)) AS DOUBLE), 2) AS amount
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL '1 hour'
+       AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+      ORDER BY p_id, c_id"""))
+
+  val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7)
 }
