@@ -444,5 +444,129 @@ object StreamingOps {
        AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
       ORDER BY p_id, c_id"""))
 
-  val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7)
+  /** Input row / state / output types for st8's custom-state sessionizer.
+    * State is one OPEN session per user (bounded!), not the event history —
+    * the discipline that keeps mapGroupsWithState state O(groups) at 100 TB. */
+  case class StEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String, cents: Long)
+  case class StSession(startMs: Long, lastMs: Long, n: Long, cents: Long,
+      firstType: String, lastType: String)
+  case class StOut(user_id: Long, session_start_ms: Long, n_events: Long,
+      first_type: String, last_type: String, session_cents: Long)
+
+  /** Custom per-key state machine via flatMapGroupsWithState — the seam for
+    * session semantics the built-in session_window cannot express (here:
+    * per-session FIRST and LAST event type ride along with the aggregate).
+    * Completed sessions emit as soon as the gap closes them inside a batch;
+    * the tail session per user stays in state under an event-time timeout
+    * and is flushed when the watermark passes its close (sentinel-driven in
+    * the bounded replay, exactly like st3). Oracle: the same gap-split
+    * sessionization in window SQL. */
+  val st8 = GraftQuery(
+    "st8_stream_custom_state",
+    "flatMapGroupsWithState sessionizer (30-min gaps) with first/last-type per session == batch",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+      val gapUs = 30L * 60 * 1000 * 1000
+      val batch = events(s, dir).select("event_id", "ts", "user_id", "event_type", "value")
+      val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 365L * 24 * 3600 * 1000)).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"))
+      // full microsecond precision: getTime() is millis-only, the sub-ms
+      // micros live in getNanos (DuckDB sessionizes at micros precision)
+      def us(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+      def sessionize(user: Long, input: Iterator[StEvent],
+          state: GroupState[StSession]): Iterator[StOut] = {
+        def out(ss: StSession) =
+          StOut(user, ss.startMs, ss.n, ss.firstType, ss.lastType, ss.cents)
+        if (state.hasTimedOut) {
+          // watermark passed the open session's close: final emit
+          val done = state.get
+          state.remove()
+          Iterator.single(out(done))
+        } else {
+          // within a batch events arrive unsorted; order them (ts, event_id)
+          // before folding — state carries only the open session across
+          // batches, never the events
+          val evs = input.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var open = state.getOption
+          val completed = scala.collection.mutable.ArrayBuffer.empty[StOut]
+          evs.foreach { e =>
+            val t = us(e.ts)
+            open match {
+              case Some(ss) if t - ss.lastMs < gapUs =>
+                open = Some(ss.copy(lastMs = t, n = ss.n + 1,
+                  cents = ss.cents + e.cents, lastType = e.event_type))
+              case Some(ss) =>
+                completed += out(ss)
+                open = Some(StSession(t, t, 1, e.cents, e.event_type, e.event_type))
+              case None =>
+                open = Some(StSession(t, t, 1, e.cents, e.event_type, e.event_type))
+            }
+          }
+          open.foreach { ss =>
+            state.update(ss)
+            state.setTimeoutTimestamp(ss.lastMs / 1000 + gapUs / 1000)
+          }
+          completed.iterator
+        }
+      }
+      replay(s, "st8", dir, batch.union(sentinel),
+        src => src
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            (dec2(col("value")) * 100).cast("long").as("cents"))
+          .as[(Long, java.sql.Timestamp, Long, String, Long)]
+          .map(r => StEvent(r._1, r._2, r._3, r._4, r._5))
+          // watermark AFTER the typed map: the event-time column must
+          // survive to the stateful operator for event-time timeouts
+          .withWatermark("ts", "30 minutes")
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState(
+            org.apache.spark.sql.streaming.OutputMode.Append(),
+            GroupStateTimeout.EventTimeTimeout())(sessionize)
+          .toDF(),
+        OutputMode.Append())
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"),
+          timestamp_micros(col("session_start_ms")).cast("timestamp_ntz").as("session_start"),
+          col("n_events"), col("first_type"), col("last_type"),
+          (col("session_cents").cast("double") / 100).as("session_value"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""
+      WITH o AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+                    WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                         >= INTERVAL '30 minutes' THEN 1
+                    ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      g AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM o),
+      fl AS (
+        SELECT user_id, grp, ts, event_type,
+               first_value(event_type) OVER (PARTITION BY user_id, grp
+                 ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING) AS first_type,
+               last_value(event_type) OVER (PARTITION BY user_id, grp
+                 ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING) AS last_type,
+               value
+        FROM g)
+      SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+             any_value(first_type) AS first_type, any_value(last_type) AS last_type,
+             CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS DOUBLE) / 100
+               AS session_value
+      FROM fl
+      GROUP BY user_id, grp
+      ORDER BY user_id, session_start"""))
+
+  val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8)
 }
