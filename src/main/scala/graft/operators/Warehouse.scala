@@ -216,5 +216,51 @@ object Warehouse {
       GROUP BY start_key
       ORDER BY start_key"""))
 
-  val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65)
+  /** Single-pass column profiler — the data-quality report a crawler run
+    * would attach to a freshly registered table: per column, null count and
+    * exact distinct count. All metrics come from ONE scan (Catalyst plans
+    * the multi-distinct agg as a single Expand + aggregate); the long-form
+    * rows are then peeled off the 1-row metric record, so profiling a
+    * 100 TB table costs one pass regardless of column count. */
+  val q66 = GraftQuery(
+    "q66_column_profile",
+    "one-pass per-column profile of orders: null count + exact distinct count",
+    (s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__distinct")))
+      val metrics = table(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+      cols.map(c => metrics.select(
+          lit(c).as("col_name"), col("n_rows"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__distinct").as("n_distinct")))
+        .reduce(_.unionByName(_))
+        .orderBy("col_name")
+    },
+    Some("""
+      SELECT col AS col_name, n_rows, n_nulls, n_distinct FROM (
+        SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+               count(*) - count(o_orderkey) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+               count(DISTINCT o_custkey) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+               count(DISTINCT o_orderstatus) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+               count(DISTINCT o_totalprice) FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+               count(DISTINCT o_orderdate) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+               count(DISTINCT o_orderpriority) FROM orders)
+      ORDER BY col_name"""))
+
+  val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66)
 }
