@@ -116,5 +116,62 @@ object EventWindows {
       WHERE rn = 1
       ORDER BY user_id, event_type"""))
 
-  val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35)
+  /** Time-series regularization: resample the per-type event series onto a
+    * complete hourly spine (generated, exploded — no driver loop), left
+    * join the actual hourly aggregates, and carry the last observation
+    * forward across the gaps (`last(_, ignoreNulls)` over an unbounded
+    * preceding frame). THE preprocessing step before any windowed feature
+    * or forecasting job: at 100 TB the spine is generated per partition
+    * key, the join is a shuffle on (type, hour), and LOCF is one window
+    * pass — no per-gap iteration anywhere. */
+  val q69 = GraftQuery(
+    "q69_gap_fill_locf",
+    "hourly spine + gap fill + last-observation-carried-forward per event_type",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val hourly = ev
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("hour_value"))
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val spine = bounds
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+        .crossJoin(ev.select("event_type").distinct())
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "hour"), "left_outer")
+        .select(col("event_type"),
+          col("hour").cast("timestamp_ntz").as("hour"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("hour_value"), ignoreNulls = true).over(w).as("locf_value"))
+        .orderBy("event_type", "hour")
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS hour_value
+        FROM events GROUP BY 1, 2),
+      bounds AS (
+        SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS lo,
+               date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS hi
+        FROM events),
+      spine AS (
+        SELECT t.event_type, g.hour
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour
+              FROM bounds) g)
+      SELECT s.event_type, s.hour,
+             COALESCE(h.n, 0) AS n,
+             last_value(h.hour_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.hour
+               ROWS UNBOUNDED PRECEDING) AS locf_value
+      FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+      ORDER BY event_type, hour"""))
+
+  val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69)
 }

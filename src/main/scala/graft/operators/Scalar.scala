@@ -304,5 +304,35 @@ object Scalar {
       FROM events
       ORDER BY event_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q30, q31, q36, q40, q57)
+  /** ANSI-mode error-safe scalar functions — the dirty-data cleaning
+    * surface: under Spark 4's default ANSI semantics a divide-by-zero or
+    * bad cast THROWS (killing a 100 TB job at row 3 trillion), so cleaning
+    * pipelines use the try_* family to turn row-level poison into NULLs
+    * that downstream aggregates skip. */
+  val q67 = GraftQuery(
+    "q67_try_functions",
+    "ANSI-safe cleaning: try_divide / try_cast poison rows -> NULL, not job failure",
+    (s, dir) =>
+      events(s, dir)
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k"))
+        .select(
+          col("event_id"),
+          try_divide(dec2(col("value")), col("k")).cast("double").as("per_k"),
+          try_element_at(split(col("event_type"), "_"), lit(2)).as("type_suffix"),
+          expr("try_cast(event_type AS BIGINT)").as("bad_cast"),
+          try_divide(lit(1.0), col("k") - col("k")).as("div_zero"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             CAST(CAST(value AS DECIMAL(14,2))
+                  / NULLIF(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT), 0)
+                  AS DOUBLE) AS per_k,
+             string_split(event_type, '_')[2] AS type_suffix,
+             TRY_CAST(event_type AS BIGINT) AS bad_cast,
+             CAST(NULL AS DOUBLE) AS div_zero
+      FROM events
+      ORDER BY event_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q25, q26, q27, q28, q29, q30, q31, q36, q40, q57, q67)
 }
