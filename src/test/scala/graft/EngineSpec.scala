@@ -215,6 +215,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(restored.path == s"$tmp/nation_csv" && restored.format == "csv")
   }
 
+  test("Observation API: run metrics ride the job's single pass (no second scan)") {
+    // the run-ledger analog of Glue job metrics: counters computed inside
+    // the same action that produces the result, the way a 100 TB job must
+    // collect its stats (a separate count() would double the scan)
+    val obs = new org.apache.spark.sql.Observation("q1_metrics")
+    val df = graft.operators.Relational.q1.build(spark, sfDir)
+      .observe(obs, count(lit(1)).as("out_rows"), sum(col("count_order")).as("in_rows"))
+    val n = df.count()
+    assert(obs.get("out_rows").asInstanceOf[Long] == n)
+    assert(obs.get("in_rows").asInstanceOf[Long] > n) // aggregated down
+  }
+
   test("crawler store: legacy (pre-v2, unencoded) lines restore verbatim") {
     // a store written by the previous format: raw TSV, no v2 marker, with
     // '%' and '+' in fields — URL-decoding these must NOT happen ('%' would
@@ -351,6 +363,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("list_jobs", "quick*", "--noheaders")._1 == 0)
     assert(run("list_partitions", "datalake", "usage")._1 == 0)
     assert(run("lsp", "datalake", "usage", "*2024*", "--noheaders")._1 == 0)
+    // the glob must actually FILTER through the CLI path (A2/A17), not just
+    // exit 0: every printed job row starts with the pattern's prefix
+    val (cj, jobs) = run("list_jobs", "quick*", "--noheaders")
+    assert(cj == 0 && jobs.nonEmpty && jobs.forall(_.startsWith("quick")), jobs)
+    val (cn, none) = run("list_jobs", "zzz*", "--noheaders")
+    assert(cn == 0 && none.isEmpty, none)
   }
 
   test("unknown command → 1") {
