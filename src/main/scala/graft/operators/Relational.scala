@@ -260,10 +260,21 @@ object Relational {
     "q11_range_join",
     "Self band-join: event pairs of one user within a 10-minute window",
     (s, dir) => {
+      // Banded interval join: joining on user_id alone pairs ALL of a
+      // user's events (O(k²) per user — a hot user with 10^6 events at
+      // 100 TB means 10^12 candidates) before the time filter prunes.
+      // Bucketing time at the band width bounds candidates to genuinely
+      // nearby events: ts2 ∈ [ts1, ts1+10m) ⇒ bucket(ts2) ∈ {b1, b1+1},
+      // so e1 is replicated to 2 bucket keys and the join key becomes
+      // (user_id, bucket) — each true pair matches exactly once, fan-out
+      // follows the 20-minute event density, not per-user history size.
+      val bucket = (t: org.apache.spark.sql.Column) => floor(unix_micros(t) / (600L * 1000 * 1000))
       val e = events(s, dir)
-      val e1 = e.select(col("user_id"), col("event_id").as("id1"), col("ts").as("ts1"))
-      val e2 = e.select(col("user_id"), col("event_id").as("id2"), col("ts").as("ts2"))
-      e1.join(e2, Seq("user_id"))
+      val e1 = e.select(col("user_id"), col("event_id").as("id1"), col("ts").as("ts1"),
+          explode(array(bucket(col("ts")), bucket(col("ts")) + 1)).as("b"))
+      val e2 = e.select(col("user_id"), col("event_id").as("id2"), col("ts").as("ts2"),
+          bucket(col("ts")).as("b"))
+      e1.join(e2, Seq("user_id", "b"))
         .filter(col("id1") < col("id2")
           && col("ts2") >= col("ts1")
           && col("ts2") < col("ts1") + expr("INTERVAL 10 MINUTES"))
