@@ -173,5 +173,80 @@ object EventWindows {
       FROM spine s LEFT JOIN hourly h USING (event_type, hour)
       ORDER BY event_type, hour"""))
 
-  val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69)
+  /** Sequential funnel: how many users progressed view → click → purchase
+    * IN ORDER (each stage strictly after the previous one's first hit).
+    * Three per-user min-aggregates chained by time conditions — each stage
+    * is one shuffle on user_id and the stage tables shrink monotonically;
+    * no per-user event-history sort anywhere, which is what keeps the
+    * funnel O(events) at 100 TB. */
+  val q70 = GraftQuery(
+    "q70_funnel",
+    "Ordered view->click->purchase funnel: users reaching each stage (strictly sequential)",
+    (s, dir) => {
+      val ev = events(s, dir).select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      val stages = Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+      stages.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      }.reduce(_.unionByName(_)).orderBy("stage")
+    },
+    Some("""
+      WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+                 FROM events WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+            GROUP BY 1),
+      p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+            GROUP BY 1)
+      SELECT stage, n_users FROM (
+        SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        UNION ALL SELECT '2_click', count(*) FROM c
+        UNION ALL SELECT '3_purchase', count(*) FROM p)
+      ORDER BY stage"""))
+
+  /** Cohort retention: users grouped by first-seen week, activity counted
+    * per week offset — the (cohort × age) retention triangle. Two shuffles
+    * total (first-seen agg, distinct activity), then a join and one count
+    * per cell. The analytics-engine staple for any event corpus. */
+  val q71 = GraftQuery(
+    "q71_retention_cohorts",
+    "Weekly cohort retention triangle: first-seen week x week offset -> distinct users",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      val active = ev.distinct()
+      active.join(cohort, "user_id")
+        .select(col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_n"))
+        .groupBy("cohort_week", "week_n")
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+          col("week_n"), col("n_users"))
+        .orderBy("cohort_week", "week_n")
+    },
+    Some("""
+      WITH ev AS (SELECT user_id,
+                         date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+                  FROM events),
+      cohort AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+      active AS (SELECT DISTINCT user_id, week FROM ev)
+      SELECT cohort_week,
+             CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_n,
+             count(*) AS n_users
+      FROM active JOIN cohort USING (user_id)
+      GROUP BY cohort_week, week_n
+      ORDER BY cohort_week, week_n"""))
+
+  val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71)
 }
