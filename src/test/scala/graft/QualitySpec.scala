@@ -120,6 +120,19 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(missed.isEmpty, s"LSH missed ground-truth pairs: $missed")
   }
 
+  test("s8: PQ/ADC (8 bytes per vector, 32x compression) recalls >= 60% of exact top-3") {
+    val exact = operators.Similarity.s1.build(spark, sfDir).collect()
+      .filter(_.getLong(1) <= 3)
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val pq = operators.Similarity.s8.build(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recalls = exact.map { case (q, ex) =>
+      pq.get(q).map(a => (a & ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean PQ/ADC recall $mean over ${recalls.size} queries")
+  }
+
   test("q62: DataSketches HLL estimates within 5% per group AND for the merged rollup") {
     operators.Sampling.q62.build(spark, sfDir).collect().foreach { r =>
       val (key, est, exact) = (r.getString(0), r.getLong(1), r.getLong(2))
