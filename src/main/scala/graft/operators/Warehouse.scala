@@ -262,5 +262,70 @@ object Warehouse {
                count(DISTINCT o_orderpriority) FROM orders)
       ORDER BY col_name"""))
 
-  val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66)
+  /** Snapshot diff — the reconciliation op behind every CDC/backfill
+    * validation: old vs new table version, full-outer join on the key,
+    * rows classified added / removed / changed / unchanged by comparing a
+    * row digest (never column-by-column — the digest keeps the compare one
+    * fixed-width expression regardless of schema width, and changed-column
+    * detail is recomputed only for the tiny 'changed' slice downstream).
+    * The "new" snapshot is derived deterministically from the old one
+    * (drop BUILDING-segment customers, bump a price band, add synthetic
+    * rows) so the diff is oracle-checkable. */
+  val q72 = GraftQuery(
+    "q72_snapshot_diff",
+    "CDC-style snapshot diff: added/removed/changed/unchanged via full-outer join + row digest",
+    (s, dir) => {
+      val old = table(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_mktsegment").as("segment"), dec2(col("c_acctbal")).as("balance"))
+      val neu = old
+        .filter(col("segment") =!= "BUILDING")
+        .withColumn("balance",
+          when(col("balance") < 0, (col("balance") + 100).cast("decimal(14,2)"))
+            .otherwise(col("balance")))
+        .unionByName(
+          table(s, dir, "supplier").select(
+            (col("s_suppkey") + 9000000L).as("key"), col("s_name").as("name"),
+            lit("NEW").as("segment"), dec2(col("s_acctbal")).as("balance")))
+      def digest(df: org.apache.spark.sql.DataFrame) =
+        sha2(concat_ws("|", col("name"), col("segment"), col("balance").cast("string")), 256)
+      val a = old.withColumn("h_old", digest(old)).select("key", "h_old")
+      val b = neu.withColumn("h_new", digest(neu)).select("key", "h_new")
+      a.join(b, Seq("key"), "full_outer")
+        .select(col("key"),
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") === col("h_new"), "unchanged")
+            .otherwise("changed").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+        .orderBy("status")
+    },
+    Some("""
+      WITH old AS (SELECT c_custkey AS key, c_name AS name,
+                          c_mktsegment AS segment,
+                          CAST(c_acctbal AS DECIMAL(14,2)) AS balance
+                   FROM customer),
+      neu AS (SELECT key, name, segment,
+                     CASE WHEN balance < 0 THEN CAST(balance + 100 AS DECIMAL(14,2))
+                          ELSE balance END AS balance
+              FROM old WHERE segment <> 'BUILDING'
+              UNION ALL
+              SELECT s_suppkey + 9000000, s_name, 'NEW',
+                     CAST(s_acctbal AS DECIMAL(14,2))
+              FROM supplier),
+      a AS (SELECT key, name || '|' || segment || '|' || CAST(balance AS VARCHAR) AS sig FROM old),
+      b AS (SELECT key, name || '|' || segment || '|' || CAST(balance AS VARCHAR) AS sig FROM neu)
+      SELECT CASE WHEN a.key IS NULL THEN 'added'
+                  WHEN b.key IS NULL THEN 'removed'
+                  WHEN a.sig = b.sig THEN 'unchanged'
+                  ELSE 'changed' END AS status,
+             count(*) AS n,
+             min(COALESCE(a.key, b.key)) AS min_key,
+             max(COALESCE(a.key, b.key)) AS max_key
+      FROM a FULL JOIN b ON a.key = b.key
+      GROUP BY status
+      ORDER BY status"""))
+
+  val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72)
 }
