@@ -157,5 +157,46 @@ object Multimodal {
       FROM documents
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4)
+  /** Overlapping window extraction — the audio/STFT frame shape (hop <
+    * window, unlike m3's tumbling frames): 32-unit windows every 16 units,
+    * one row per window with offset, per-window energy (sum of unit codes —
+    * the codec stand-in) and digest. The fan-out is (len/hop) rows per
+    * payload, generated by sequence+posexplode entirely inside codegen —
+    * no per-row loop, no shuffle before the final sort. */
+  val m5 = GraftQuery(
+    "m5_audio_windows",
+    "Overlapping (hop=16, win=32) window extraction with per-window energy + digest",
+    (s, dir) => {
+      val win = 32; val hop = 16
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("n_win",
+          (floor((length(col("text")) - win) / hop) + 1).cast("int"))
+        .filter(col("n_win") > 0)
+      docs
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(0), col("n_win") - 1)).as(Seq("idx", "win_no")))
+        .withColumn("w", col("text").substr(col("win_no") * hop + 1, lit(win)))
+        .select(
+          col("doc_id"),
+          col("win_no").cast("long").as("win_no"),
+          (col("win_no") * hop).cast("long").as("offset"),
+          aggregate(transform(split(col("w"), ""), c => ascii(c).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("energy"),
+          md5(col("w").cast("binary")).as("win_md5"))
+        .orderBy("doc_id", "win_no")
+    },
+    Some("""
+      SELECT doc_id, win_no, win_no * 16 AS offset,
+             CAST(list_aggregate(list_transform(
+               string_split(substring(text, CAST(win_no * 16 + 1 AS INTEGER), 32), ''),
+               c -> ascii(c)), 'sum') AS BIGINT) AS energy,
+             md5(substring(text, CAST(win_no * 16 + 1 AS INTEGER), 32)) AS win_md5
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, (length(text) - 32) // 16 + 1)) AS win_no
+            FROM documents
+            WHERE (length(text) - 32) // 16 + 1 > 0)
+      ORDER BY doc_id, win_no"""))
+
+  val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5)
 }

@@ -568,5 +568,37 @@ object StreamingOps {
       GROUP BY user_id, grp
       ORDER BY user_id, session_start"""))
 
-  val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8)
+  /** dropDuplicatesWithinWatermark — st2's API sibling with the state
+    * bound that matters at 100 TB: plain dropDuplicates keeps every key
+    * seen FOREVER (state grows with the corpus), while the WithinWatermark
+    * variant expires a key once the watermark passes its event time — so
+    * state is bounded by the lateness horizon, the correct contract when
+    * redeliveries arrive within a bounded delay. The replay duplicates
+    * every event (at-least-once) and the deduped stream must reproduce the
+    * clean batch counts; the aggregation runs on the materialized sink
+    * output, keeping the stream single-stateful-operator. */
+  val st9 = GraftQuery(
+    "st9_stream_dedup_ttl",
+    "dropDuplicatesWithinWatermark: at-least-once replay deduped with watermark-bounded state",
+    (s, dir) => {
+      val batch = events(s, dir).select("event_id", "ts", "user_id", "event_type", "value")
+      val duplicated = batch.union(batch)
+      replay(s, "st9", dir, duplicated,
+        src => src
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id"),
+        OutputMode.Append())
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9)
 }
