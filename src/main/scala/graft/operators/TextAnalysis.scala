@@ -291,5 +291,67 @@ object TextAnalysis {
       WHERE rank <= 5
       ORDER BY lang, rank"""))
 
-  val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7)
+  /** Content-defined chunking (the FastCDC/rsync idea): chunk boundaries
+    * are decided by the CONTENT (a boundary predicate on a local hash), not
+    * by fixed offsets — so an insertion early in a document shifts only the
+    * chunk it lands in, and chunk-level dedup across the corpus still
+    * matches everything downstream of the edit. Boundary rule here is a
+    * 1-char predicate (code % 16 == 0) standing in for a gear-hash window
+    * (engine-neutral, exactly replayable in SQL); the dataflow — per-doc
+    * boundary scan, chunk slicing, digest, corpus-wide digest groupBy — is
+    * the real shape. Output: chunks shared by >1 document, the dedup
+    * candidates a 100 TB pipeline would deduplicate at block granularity. */
+  val t8 = GraftQuery(
+    "t8_cdc_chunks",
+    "Content-defined chunking + corpus-wide chunk dedup: shared-chunk report",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      // chunking via ONE lookbehind-regex split (stays in whole-stage
+      // codegen): a chunk ends right after any boundary char (ASCII code
+      // ≡ 0 mod 16 — the class below enumerates them), which is exactly
+      // the per-position boundary scan the oracle replays list-wise. A
+      // per-char HOF scan here ran interpreted and cost 3.4 s at sf0.1;
+      // the split is 0.4 s. Trailing empty chunk (text ending on a
+      // boundary) is dropped to match the bounds semantics.
+      val chunks = docs
+        .select(col("doc_id"),
+          explode(split(col("text"), "(?<=[\\x10 0@P`p])")).as("chunk"))
+        .filter(length(col("chunk")) > 0)
+        .select(col("doc_id"),
+          md5(col("chunk").cast("binary")).as("chunk_md5"),
+          length(col("chunk")).cast("long").as("chunk_len"))
+      chunks.groupBy("chunk_md5")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("chunk_len")).as("chunk_len"))
+        .filter(col("n_docs") > 1)
+        .orderBy("chunk_md5")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, text,
+               list_sort(list_distinct(
+                 [0] ||
+                 list_filter(list_transform(range(1, length(text) + 1),
+                   p -> CASE WHEN ascii(substring(text, CAST(p AS INTEGER), 1)) % 16 = 0
+                             THEN p END), x -> x IS NOT NULL) ||
+                 [length(text)])) AS bounds
+        FROM documents),
+      ch AS (
+        SELECT doc_id,
+               md5(substring(text, CAST(bounds[i+1] + 1 AS INTEGER),
+                   CAST(bounds[i+2] - bounds[i+1] AS INTEGER))) AS chunk_md5,
+               CAST(bounds[i+2] - bounds[i+1] AS BIGINT) AS chunk_len
+        FROM b, UNNEST(range(0, len(bounds) - 1)) AS t(i))
+      SELECT chunk_md5, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs,
+             min(doc_id) AS first_doc,
+             max(chunk_len) AS chunk_len
+      FROM ch
+      GROUP BY chunk_md5
+      HAVING count(DISTINCT doc_id) > 1
+      ORDER BY chunk_md5"""))
+
+  val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8)
 }
