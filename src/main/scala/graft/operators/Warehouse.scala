@@ -327,5 +327,37 @@ object Warehouse {
       GROUP BY status
       ORDER BY status"""))
 
-  val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72)
+  /** Nested-result aggregation: per nation, the per-segment customer
+    * counts collected into ONE sorted array-of-structs column, serialized
+    * as canonical JSON — the denormalized document shape a serving layer
+    * or feature store ingests (one row per entity, facts nested inside).
+    * collect_list is safe here because the inner cardinality is bounded
+    * (segments per nation), and the array is sorted so the result is
+    * shuffle-order independent. */
+  val q74 = GraftQuery(
+    "q74_nested_agg_json",
+    "collect_list into sorted array-of-structs per nation, serialized as canonical JSON",
+    (s, dir) => {
+      val seg = table(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nationkey"), col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"))
+      seg.groupBy("nationkey")
+        .agg(to_json(array_sort(collect_list(struct(col("segment"), col("n")))))
+          .as("segments_json"),
+          sum(col("n")).as("n_customers"))
+        .orderBy("nationkey")
+    },
+    Some("""
+      WITH seg AS (SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+                          count(*) AS n
+                   FROM customer GROUP BY 1, 2)
+      SELECT nationkey,
+             CAST(to_json(list_sort(list(struct_pack(segment := segment, n := n))))
+               AS VARCHAR) AS segments_json,
+             sum(n) AS n_customers
+      FROM seg
+      GROUP BY nationkey
+      ORDER BY nationkey"""))
+
+  val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74)
 }
