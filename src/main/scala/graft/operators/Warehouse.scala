@@ -354,7 +354,7 @@ object Warehouse {
       SELECT nationkey,
              CAST(to_json(list_sort(list(struct_pack(segment := segment, n := n))))
                AS VARCHAR) AS segments_json,
-             sum(n) AS n_customers
+             CAST(sum(n) AS BIGINT) AS n_customers
       FROM seg
       GROUP BY nationkey
       ORDER BY nationkey"""))

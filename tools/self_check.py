@@ -54,10 +54,22 @@ def main():
         for c in got.columns:
             a, b = got[c], want[c]
             try:
-                if a.dtype.kind == 'f' or b.dtype.kind == 'f':
-                    import numpy as np
-                    same = ((a.isna() & b.isna()) | (np.isclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9))).all()
+                ak, bk = a.dtype.kind, b.dtype.kind
+                if {ak, bk} <= set('if') and ak != bk:
+                    # Numeric KIND mismatch (e.g. Spark BIGINT vs DuckDB
+                    # HUGEINT->float64): the values may compare equal but the
+                    # driver's hash sees different types — that's exactly the
+                    # canonicalization bug class this gate must catch.
+                    same = False
+                    print(f"FAIL {name}: column {c} numeric kind mismatch "
+                          f"(spark {a.dtype} vs oracle {b.dtype}) — cast the oracle side")
+                elif ak == 'f' or bk == 'f':
+                    # Driver-strict: floats must be BIT-exact; queries that
+                    # aggregate doubles must round on both sides (SURVEY §2).
+                    af, bf = a.astype(float), b.astype(float)
+                    same = bool(((a.isna() & b.isna()) | (af.values == bf.values)).all())
                 else:
+                    # str() of int/str/bool/date is an exact rendering.
                     same = (a.astype(str).fillna("<null>") == b.astype(str).fillna("<null>")).all()
             except Exception as e:
                 same = False
