@@ -318,20 +318,20 @@ object Scalar {
           org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k"))
         .select(
           col("event_id"),
-          // per_k is computed in DOUBLE and rounded to 6 places on BOTH the
-          // Spark and oracle sides: a DECIMAL quotient is rounded at Spark's
-          // decimal scale but at DuckDB's, so the low-order float bits drift.
-          // Rounding the IEEE quotient is the SURVEY §2 determinism rule.
-          round(try_divide(col("value").cast("double"), col("k")), 6).as("per_k"),
+          // per_k is a PLAIN IEEE double quotient on BOTH sides: double/long
+          // division is bit-deterministic across engines, whereas any decimal
+          // rescale (r3) or round() (r4 — Spark rounds doubles through
+          // BigDecimal HALF_UP, DuckDB natively) drifts in the last bit.
+          try_divide(col("value"), col("k")).as("per_k"),
           try_element_at(split(col("event_type"), "_"), lit(2)).as("type_suffix"),
           expr("try_cast(event_type AS BIGINT)").as("bad_cast"),
           try_divide(lit(1.0), col("k") - col("k")).as("div_zero"))
         .orderBy("event_id"),
     Some("""
       SELECT event_id,
-             round(CAST(value AS DOUBLE)
-                   / NULLIF(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT), 0),
-                   6) AS per_k,
+             CAST(value AS DOUBLE)
+               / NULLIF(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT), 0)
+               AS per_k,
              string_split(event_type, '_')[2] AS type_suffix,
              TRY_CAST(event_type AS BIGINT) AS bad_cast,
              CAST(NULL AS DOUBLE) AS div_zero
