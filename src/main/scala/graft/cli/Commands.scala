@@ -159,13 +159,19 @@ object Commands {
         val r = parseArgs(argv, "[job_name] [--lines=num] [--noheaders]",
           Map("lines" -> null, "op_noheaders" -> false))
         val lines = Option(r.kargs("lines")).map(_.toString.toInt)
+        // reference row format (gluettalax.py:330):
+        //   '{JobRunState:>10} {AllocatedCapacity:>4} {ExecutionTime:10}  {StartedOn:19}   {JobName} {Arguments}'
+        val fmt = "%10s %4s %-10s  %-19s   %s %s"
         if (r.kargs("op_noheaders") == false) {
-          out(f"${"Job"}%-30s ${"State"}%-10s ${"Time"}%-10s ${"Started"}%-20s Arguments")
+          out(fmt.format("Status", "Cap", "Exec time", "Start time", "Name and arguments", ""))
           out("-" * 70)
         }
-        e.jobs.printJobRuns(r.positional1, lines).collect().foreach { row =>
-          out(f"${row.getString(0)}%-30s ${row.getString(1)}%-10s ${row.getString(2)}%-10s ${row.getString(3)}%-20s ${row.getString(4)}")
-        }
+        // the reference swallows IOError (broken pipe) at the print sink
+        // (gluettalax.py:353-354) so `... | head` doesn't surface an error
+        try e.jobs.printJobRuns(r.positional1, lines).collect().foreach { row =>
+          out(fmt.format(row.getString(0), row.getInt(1).toString, row.getString(2),
+            row.getString(3), row.getString(4), row.getString(5)))
+        } catch { case _: java.io.IOException => () }
       }),
 
     Command("run_job", Seq("runj"), "<job_name> [--async] [--param1=value...]",
@@ -173,11 +179,19 @@ object Commands {
       (e, argv, out) => {
         val r = parseArgs(argv, "<job_name> [--async] [--param1=value...]",
           Map("op_async" -> false))
-        val params = (r.kargs - "op_async").collect {
+        // `timeout` and `delay` are RESERVED: the reference binds them to
+        // run_job's named params (gluettalax.py:290-291 `run_job(name, delay=,
+        // timeout=, **kargs)`), so they bound the sync poll loop and must NOT
+        // be forwarded to the job as arguments. `delay` is the reference's
+        // poll-sleep; our sync wait is event-driven (Await), so it is accepted
+        // for CLI compatibility and has no further effect.
+        val timeoutSec = Option(r.kargs.getOrElse("timeout", null)).map(_.toString.toInt)
+        val params = (r.kargs - "op_async" - "timeout" - "delay").collect {
           case (k, v) if v != null => k -> v.toString
         }
         val name = r.positional1.get
-        val ok = e.jobs.runJob(name, params, async = r.kargs("op_async") == true)
+        val ok = e.jobs.runJob(name, params, async = r.kargs("op_async") == true,
+          timeoutSec = timeoutSec)
         // deliberate fix of the reference's `return 0 if ... else 0` bug
         // (gluettalax.py:720): a FAILED sync run exits 1
         if (!ok) throw JobFailed(s"Job $name failed")

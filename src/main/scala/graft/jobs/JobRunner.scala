@@ -159,11 +159,14 @@ final class JobRunner(spark: SparkSession) {
           .filter(col("rn") <= lines.getOrElse(1))
           .drop("rn")
     }
+    // column order mirrors the reference display row (gluettalax.py:330):
+    // Status, Cap (AllocatedCapacity), Exec time, Start time, Name, Arguments
     base.select(
-      col("job_name"), col("state"),
+      col("state"),
+      col("allocated_capacity").as("cap"),
       graft.functions.Functions.format_time(col("execution_time_sec")).as("execution_time"),
       date_format(col("started_on"), "yyyy-MM-dd'T'HH:mm:ss").as("started_on"),
-      col("arguments"))
+      col("job_name"), col("arguments"))
       .orderBy(col("job_name"), desc("started_on"))
   }
 }

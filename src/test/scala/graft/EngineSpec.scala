@@ -337,8 +337,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val runs = engine.jobs.listRuns("quick_job", lines = Some(2)).collect()
     assert(runs.length == 2)
     val latest = engine.jobs.printJobRuns(None, None).collect()
-    // one row per job that has runs
-    assert(latest.map(_.getString(0)).distinct.length == latest.length)
+    // one row per job that has runs (job_name is col 4 in display order)
+    assert(latest.map(_.getString(4)).distinct.length == latest.length)
+    // display schema mirrors the reference row (gluettalax.py:330)
+    assert(engine.jobs.printJobRuns(None, None).columns.toSeq ==
+      Seq("state", "cap", "execution_time", "started_on", "job_name", "arguments"))
+  }
+
+  test("A8 list_runs CLI golden format: Status/Cap header + capacity column") {
+    engine.jobs.runJob("quick_job", Map("n" -> "4"))
+    val (code, out) = run("list_runs", "quick_job", "--lines=1")
+    assert(code == 0)
+    assert(out.head == "%10s %4s %-10s  %-19s   %s %s".format(
+      "Status", "Cap", "Exec time", "Start time", "Name and arguments", ""))
+    val dataRow = out.drop(2).head
+    assert(dataRow.trim.startsWith("SUCCEEDED"))
+    // Cap column renders the spec's allocatedCapacity (default 2) right-aligned
+    assert(dataRow.contains("SUCCEEDED    2 "))
+    assert(dataRow.contains("quick_job --n 4"))
+  }
+
+  test("A16 run_job CLI: --timeout is a reserved poll param, not a job arg") {
+    // sync run with --timeout=1 on a slow job exits via JobTimeout (exit 1)…
+    val (code, _) = run("run_job", "slow_job", "--timeout=1", "--delay=1")
+    assert(code == 1)
+    Thread.sleep(3000) // drain the still-running job
+    // …and neither reserved param leaked into the run's arguments
+    val args = engine.jobs.listRuns("slow_job").orderBy(desc("run_id"))
+      .select("arguments").collect().head.getString(0)
+    assert(!args.contains("timeout") && !args.contains("delay"))
   }
 
   // ---- CLI exit-code contract (A23), mirroring test_crawler.py ----
