@@ -58,9 +58,16 @@ object StreamingOps {
         .format("memory")
         .queryName(sink)
         .outputMode(mode)
+        // checkpoint on the spool medium (tmpfs when available): the
+        // offset/commit/state logs fsync every micro-batch, and that fsync
+        // is pure fixed cost for a same-JVM replay
+        .option("checkpointLocation", spoolDir(s"ckpt_$id"))
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => println(
+          s"[replay:$name] batch=${p.batchId} rows=${p.numInputRows} durations=${p.durationMs}"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     // The replay is over; the sink holds the (small, aggregated) result.
     // Materialize it into a LocalRelation and drop the memory-sink view so
@@ -115,6 +122,7 @@ object StreamingOps {
         .format("memory")
         .queryName(sink)
         .outputMode(mode)
+        .option("checkpointLocation", spoolDir(s"ckpt_$id"))
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -383,6 +391,7 @@ object StreamingOps {
               .localCheckpoint(true)
             ()
           }
+          .option("checkpointLocation", spoolDir(s"ckpt_st6_${runSeq.incrementAndGet()}"))
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()

@@ -36,8 +36,17 @@ package object operators {
     spoolRoot.resolve(name).toString
 
   private lazy val spoolRoot: java.nio.file.Path = {
-    val root = java.nio.file.Paths
-      .get(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_spool")
+    // Prefer tmpfs (/dev/shm) when present: spools and streaming
+    // checkpoints are ephemeral by construction (removed on JVM exit), and
+    // the streaming micro-batch commit path fsyncs its offset/state logs —
+    // on a disk-backed /tmp that fsync is a fixed per-batch cost the replay
+    // doesn't need to pay. Production pipelines put checkpoints on durable
+    // storage; a same-JVM replay keeps the same code path, faster medium.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    val root = base.resolve("graft_spool")
     java.nio.file.Files.createDirectories(root)
     Runtime.getRuntime.addShutdownHook(
       new Thread(() => deleteRecursively(root)))
