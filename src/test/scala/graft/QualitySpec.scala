@@ -107,6 +107,28 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(missed.isEmpty, s"banding missed guaranteed pairs: $missed")
   }
 
+  test("d4: banding recall >= 0.9 on the full exact Hamming <= 8 truth set") {
+    // beyond the <= 3 guarantee, banding is probabilistic: a pair at
+    // Hamming h survives with P ~= sum over bands of (band unscathed).
+    // Pin measured recall against the EXACT truth set (all-pairs over the
+    // same signatures, the in-engine analogue of d7's oracle-checked twin).
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Functions.simhash64
+    val sigs = operators.table(spark, sfDir, "documents")
+      .select(col("doc_id"), simhash64(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (i, hi) <- sigs; (j, hj) <- sigs
+      if i < j && java.lang.Long.bitCount(hi ^ hj) <= 8
+    } yield (i, j)).toSet
+    assert(truth.nonEmpty, "fixture should contain hamming<=8 pairs")
+    val found = operators.Dedup.d4.build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & found).size.toDouble / truth.size
+    info(f"d4 recall on hamming<=8 truth: $recall%.3f (${truth.size} truth pairs)")
+    assert(recall >= 0.9, f"banding recall $recall%.3f below 0.9 floor")
+  }
+
   test("d2: MinHash-LSH finds every ground-truth pair with Jaccard >= 0.6") {
     // banding theory: 16 bands x 4 rows catches J=0.6 pairs w.p. ~0.9997;
     // with the fixed seed the fixture's high-J pairs are all caught
