@@ -172,7 +172,8 @@ object Dedup {
     * the ≤ 8 truth set from 0.43 to ≥ 0.9 (QualitySpec). Cost: 17 probe
     * rows per band instead of 1 — 68 × 20-byte rows per doc through the
     * shuffle, still orders of magnitude under reshuffling the text, and the
-    * scale posture is unchanged (one groupBy, candidates-only verify).
+    * scale posture is unchanged (one equi-join on the band buckets,
+    * candidates-only verify).
     * Hash-specific → rows-only check; exact twin = d7 (cross-engine) and
     * the QualitySpec all-pairs truth set (same-hash). */
   val d4 = GraftQuery(
@@ -184,50 +185,43 @@ object Dedup {
       // of every token)
       val sim = table(s, dir, "documents")
         .select(col("doc_id"), graft.functions.Functions.simhash64(col("text")).as("simhash"))
-      val banded = sim.select(col("doc_id"), col("simhash"),
+      // cache the 16-byte/doc signature projection: both join sides below
+      // scan it, and without the cache the text pass would run twice (at
+      // corpus scale you'd persist this tiny frame the same way)
+      val cached = sim.cache()
+      val bands = cached.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(k =>
           shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(0xFFFFL)): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "exact")
-        // ASYMMETRIC multi-probe: every doc posts its band value (flag
-        // false) plus the 16 one-bit flips (flag true). Two docs whose
-        // band values differ by ≤ 1 bit meet in the group where one side
-        // is exact; restricting pairs to "at least one exact side" below
-        // keeps the ≤ 1-bit guarantee while skipping probe×probe pairs
-        // (2-bit band diffs) — those are what made symmetric probing
-        // quadratic (~17× the candidates for the same guarantee).
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      // ASYMMETRIC multi-probe as a codegen'd equi-join: the probe side
+      // posts each band value plus its 16 one-bit flips (17 rows/band —
+      // flips are involutive, so a ≤ 1-bit band difference always pairs
+      // one exact row with one probe row in BOTH id orders, and the
+      // doc_id < doc_id filter keeps exactly one); the exact side posts
+      // the band value alone. Joining exact×probe on (band, bucket)
+      // skips probe×probe meetings (2-bit band diffs, ~17× the
+      // candidates for no recall gain) and replaces the earlier
+      // per-bucket collect_list + interpreted HOF pair enumeration —
+      // a hash join pairs members in generated code and needs no
+      // skew-prone array materialization (3× faster at sf0.1).
+      val probes = bands
         .select(col("doc_id"), col("simhash"), col("band"),
-          posexplode(expr(
-            "concat(array(exact), transform(sequence(0, 15), i -> exact ^ shiftleft(CAST(1 AS BIGINT), i)))")))
-        .select(col("doc_id"), col("simhash"), col("band"),
-          col("col").as("bucket"), (col("pos") > 0).as("probe"))
-      // single-pass bucket grouping (carrying the signature alongside the
-      // id) instead of a self-join — upstream evaluated once, as in d2.
-      // exact and probe members are collected into SEPARATE lists
-      // (collect_list skips the nulls the `when` produces) so the pair
-      // enumeration anchors only on exact members: the HOF lambdas are
-      // interpreted, and scanning members×members would evaluate the ~17×
-      // larger probe list quadratically for pairs that are filtered out
-      // anyway. Anchoring on exacts costs exacts×(exacts+probes).
-      banded.groupBy("band", "bucket")
-        .agg(
-          collect_list(when(!col("probe"), struct(col("doc_id"), col("simhash")))).as("exacts"),
-          collect_list(when(col("probe"), struct(col("doc_id"), col("simhash")))).as("probes"))
-        .filter(size(col("exacts")) > 0 && size(col("exacts")) + size(col("probes")) > 1)
-        .select(explode(flatten(transform(col("exacts"),
-          x => transform(filter(concat(col("exacts"), col("probes")),
-              y => y("doc_id") =!= x("doc_id")),
-            y => struct(
-              least(x("doc_id"), y("doc_id")).as("doc1"),
-              greatest(x("doc_id"), y("doc_id")).as("doc2"),
-              when(x("doc_id") < y("doc_id"), x("simhash"))
-                .otherwise(y("simhash")).as("h1"),
-              when(x("doc_id") < y("doc_id"), y("simhash"))
-                .otherwise(x("simhash")).as("h2")))))).as("p"))
-        .select(col("p.doc1"), col("p.doc2"), col("p.h1"), col("p.h2"))
+          explode(expr(
+            "concat(array(bucket), transform(sequence(0, 15), i -> bucket ^ shiftleft(CAST(1 AS BIGINT), i)))"))
+            .as("bucket"))
+      bands.as("a")
+        .join(probes.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        // Hamming confirm BEFORE the distinct: bit_count is a codegen'd
+        // per-row op, so filtering inside the join stage shrinks the
+        // distinct's shuffle from every candidate meeting (dense fixture:
+        // millions) to just the confirmed pairs
+        .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 8)
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            .cast("long").as("hamming"))
         .distinct()
-        .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
-        .filter(col("hamming") <= 8)
-        .select("doc1", "doc2", "hamming")
         .orderBy("doc1", "doc2")
     },
     None)

@@ -155,6 +155,28 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mean >= 0.6, s"mean PQ/ADC recall $mean over ${recalls.size} queries")
   }
 
+  test("s9: IVF-PQ recalls >= 60% of exact top-3 while scoring < 50% of the corpus") {
+    val exact = operators.Similarity.s1.build(spark, sfDir).collect()
+      .filter(_.getLong(1) <= 3)
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val (scored, result) = operators.Similarity.ivfPqParts(spark, sfDir)
+    val got = result.collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recalls = exact.map { case (q, ex) =>
+      got.get(q).map(a => (a & ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    // the point of composing IVF with PQ: the ADC scan is restricted to the
+    // probed cells, so the per-query candidate set must be a strict
+    // fraction of the corpus (s8's ADC scans 100% of it)
+    val corpus = operators.table(spark, sfDir, "embeddings").count()
+    val nQueries = got.size
+    val frac = scored.count().toDouble / (nQueries.toDouble * (corpus - 1))
+    info(f"s9 recall@3=$mean%.3f, scored fraction=$frac%.3f over $nQueries queries")
+    assert(mean >= 0.6, s"mean IVF-PQ recall $mean over ${recalls.size} queries")
+    assert(frac < 0.5, f"IVF-PQ scored $frac%.3f of the corpus — probing is not pruning")
+  }
+
   test("q62: DataSketches HLL estimates within 5% per group AND for the merged rollup") {
     operators.Sampling.q62.build(spark, sfDir).collect().foreach { r =>
       val (key, est, exact) = (r.getString(0), r.getLong(1), r.getLong(2))
