@@ -52,7 +52,7 @@ object StreamingOps {
     // and each extra partition is a per-micro-batch fixed cost (store open,
     // snapshot, commit). Lower it for the stream, restore after.
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = transform(src).writeStream
         .format("memory")
@@ -116,7 +116,7 @@ object StreamingOps {
       .option("maxFilesPerTrigger", "1").parquet(spool.toString)
     val sink = s"graft_stream_sink_$id"
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = transform(src).writeStream
         .format("memory")
@@ -374,7 +374,7 @@ object StreamingOps {
         org.apache.spark.sql.types.StructType.fromDDL(
           "event_type STRING, n BIGINT, total_value DECIMAL(24,2)"))
       val saved = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val q = src.writeStream
           .foreachBatch { (b: DataFrame, _: Long) =>
