@@ -61,6 +61,11 @@ final class Crawlers(spark: SparkSession) {
     registry.values().asScala.map(_.spec).toSeq.sortBy(_.name)
   }
 
+  /** The reference's `list_crawlers()` DEFAULT (full=False) mode: names
+    * only (gluettalax.py:279-287). `list()` above is its full=True mode —
+    * the typed CrawlerSpec stands in for the boto3 dict. */
+  def listNames(): Seq[String] = list().map(_.name)
+
   private def entry(name: String): Entry = {
     val e = registry.get(name)
     if (e == null) throw CrawlerNotFound(s"Crawler $name not found")

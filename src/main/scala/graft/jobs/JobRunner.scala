@@ -58,8 +58,12 @@ final class JobRunner(spark: SparkSession) {
     inFlight.getOrElseUpdate(spec.name, new AtomicInteger(0))
   }
 
-  /** A5: job registry scan. */
+  /** A5: job registry scan — the reference's `list_jobs(full=True)`
+    * (gluettalax.py:294-302), with the typed JobSpec as the dict. */
   def listJobs(): Seq[JobSpec] = synchronized { registry.values.toSeq }
+
+  /** `list_jobs()` default (full=False) mode: names only. */
+  def listJobNames(): Seq[String] = listJobs().map(_.name)
 
   def getJob(name: String): JobSpec = synchronized {
     registry.getOrElse(name, throw JobNotFound(s"Job $name not found"))

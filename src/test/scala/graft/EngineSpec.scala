@@ -280,6 +280,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---- jobs (A16, A5-A8) ----
 
+  test("A3/A5 names-mode listing == full-mode listing's names (reference full=False)") {
+    assert(engine.crawlers.listNames() === engine.crawlers.list().map(_.name))
+    assert(engine.jobs.listJobNames() === engine.jobs.listJobs().map(_.name))
+    assert(engine.jobs.listJobNames().contains("quick_job"))
+  }
+
   test("A16 runJob sync returns success bool and ledgers SUCCEEDED") {
     assert(engine.jobs.runJob("quick_job", Map("n" -> "5")))
     val runs = engine.jobs.listRuns("quick_job")
