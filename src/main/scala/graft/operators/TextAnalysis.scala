@@ -353,5 +353,154 @@ object TextAnalysis {
       HAVING count(DISTINCT doc_id) > 1
       ORDER BY chunk_md5"""))
 
-  val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8)
+  /** Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+    * Models", table A1): documents dominated by repeated n-grams or by one
+    * word are boilerplate/spam and get filtered before training. Two rules
+    * per doc: the fraction of bigram OCCURRENCES that are repeats
+    * (1 − distinct/total) and the most-frequent-word share of all words.
+    * Dataflow is two skinny aggregations — the shuffle carries (doc_id,
+    * hashed gram, count) partial aggregates with map-side combine, never
+    * text — then a per-doc join of the two 1-row-per-doc summaries. At
+    * 100 TB every stage is key-partitioned on doc_id with bounded rows per
+    * doc (vocab-bounded), no driver state. */
+  val t9 = GraftQuery(
+    "t9_repetition_filter",
+    "Gopher repetition rules: duplicate-bigram fraction + top-word share + keep/drop flag",
+    (s, dir) => {
+      val ws = table(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+      val bigrams = ws.select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))"))
+            .as("bg"))
+        .groupBy("doc_id", "bg").count()
+        .groupBy("doc_id")
+        .agg((lit(1.0) - count(lit(1)) / sum(col("count"))).as("raw_dup"))
+        .select(col("doc_id"), round(col("raw_dup"), 4).as("dup_bigram_frac"))
+      val topword = ws.select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy("doc_id", "w").count()
+        .groupBy("doc_id")
+        .agg((max(col("count")) / sum(col("count"))).as("raw_top"))
+        .select(col("doc_id"), round(col("raw_top"), 4).as("top_word_frac"))
+      bigrams.join(topword, "doc_id")
+        .withColumn("keep",
+          col("dup_bigram_frac") <= 0.4 && col("top_word_frac") <= 0.2)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      bg AS (SELECT doc_id,
+                    ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i + 1 AS INTEGER)] AS bg
+             FROM ws, UNNEST(range(1, len(ws))) AS t(i)),
+      bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+      dup AS (SELECT doc_id, round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 4)
+                       AS dup_bigram_frac
+              FROM bgc GROUP BY doc_id),
+      wc AS (SELECT doc_id, w, count(*) AS c
+             FROM (SELECT doc_id, unnest(ws) AS w FROM ws) GROUP BY doc_id, w),
+      top AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_word_frac
+              FROM wc GROUP BY doc_id)
+      SELECT dup.doc_id, dup_bigram_frac, top_word_frac,
+             dup_bigram_frac <= 0.4 AND top_word_frac <= 0.2 AS keep
+      FROM dup JOIN top ON dup.doc_id = top.doc_id
+      ORDER BY dup.doc_id"""))
+
+  /** Benchmark-contamination scan (the GPT-3 appendix-C method, scaled
+    * down: overlap of held-out eval n-grams against the training corpus).
+    * The "benchmark" side is a deterministic slice (doc_id % 50 = 0); its
+    * distinct 5-grams are a SMALL set that Spark broadcasts, so the corpus
+    * side streams through one hash semi-join probe per 5-gram — no shuffle
+    * of corpus text, no pairwise comparison. Output: per contaminated doc,
+    * how many benchmark 5-grams it shares and with how many benchmark
+    * docs. At 100 TB the benchmark set is fixed-size (an eval suite), so
+    * the broadcast stays constant while the corpus scan parallelizes
+    * freely — the shape this check has in production pipelines. */
+  val t10 = GraftQuery(
+    "t10_contamination",
+    "Benchmark-contamination scan: corpus docs sharing 5-grams with the benchmark slice",
+    (s, dir) => {
+      val grams = table(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, greatest(size(ws) - 4, 0)), i -> concat_ws(' ', slice(ws, i, 5)))"))
+            .as("gram"))
+      val bench = grams.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bench_id"), col("gram")).distinct()
+      grams.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_shared_grams"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+        .filter(col("n_shared_grams") >= 2)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      g AS (SELECT doc_id,
+                   array_to_string(list_slice(ws, CAST(i AS INTEGER),
+                     CAST(i + 4 AS INTEGER)), ' ') AS gram
+            FROM ws, UNNEST(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)),
+      bench AS (SELECT DISTINCT doc_id AS bench_id, gram FROM g WHERE doc_id % 50 = 0)
+      SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams,
+             count(DISTINCT bench_id) AS n_bench_docs
+      FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % 50 <> 0
+      GROUP BY g.doc_id
+      HAVING count(DISTINCT g.gram) >= 2
+      ORDER BY g.doc_id"""))
+
+  /** BM25 keyword search (Robertson & Zaragoza 2009; k1=1.2, b=0.75) —
+    * the lexical-retrieval complement to the s* embedding queries. The
+    * plan is the inverted-index shape: one token explode FILTERED to the
+    * query terms (the "posting list" scan — everything else drops before
+    * any shuffle), per-(doc, term) tf aggregation, and two broadcast-sized
+    * side inputs (per-term document frequencies and the corpus-wide
+    * average doc length). Nothing driver-side; corpus text never
+    * reshuffles. Scores are IEEE doubles rounded to 4 on both engines. */
+  val t11 = GraftQuery(
+    "t11_bm25_search",
+    "BM25 top-20 over documents for query terms {merge, hash, stream}",
+    (s, dir) => {
+      val terms = Seq("merge", "hash", "stream")
+      val ws = table(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"), size(col("ws")).cast("long").as("dl"), col("ws"))
+      val corpus = ws.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      val tf = ws.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf
+        .join(broadcast(df), "term")
+        .crossJoin(broadcast(corpus))
+        .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("contrib", col("idf") * (col("tf") * 2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(round(sum(col("contrib")), 4).as("bm25"),
+          count(lit(1)).as("n_terms"))
+      scored
+        .orderBy(desc("bm25"), col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("bm25"), col("n_terms"))
+    },
+    Some("""
+      WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      d AS (SELECT doc_id, len(ws) AS dl, ws FROM ws),
+      corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+      tf AS (SELECT doc_id, dl, term, count(*) AS tf
+             FROM (SELECT doc_id, dl, unnest(ws) AS term FROM d)
+             WHERE term IN ('merge', 'hash', 'stream')
+             GROUP BY doc_id, dl, term),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+      SELECT doc_id,
+             round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25,
+             count(*) AS n_terms
+      FROM tf JOIN df USING (term) CROSS JOIN corpus
+      GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20"""))
+
+  val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11)
 }
