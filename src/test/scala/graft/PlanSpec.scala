@@ -221,6 +221,42 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected Expand/Generate for unpivot\n$p")
   }
 
+  test("t10: benchmark gram set joins as broadcast (corpus side never shuffles)") {
+    val p = plan(operators.TextAnalysis.t10.build(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t11: query-term filter drops non-matching tokens BEFORE any exchange") {
+    val p = plan(operators.TextAnalysis.t11.build(spark, sfDir))
+    // the inverted-index shape: Filter(term IN ...) must sit below the
+    // first Exchange in the tf branch — a plan that shuffles all tokens
+    // and filters after would move the whole corpus
+    val tree = p.linesIterator.toSeq
+    // in the rendered tree a Filter node must sit DIRECTLY on the token
+    // Generate (explode) — i.e. tokens drop before the tf aggregation's
+    // Exchange ever sees them
+    val ok = tree.sliding(2).exists(w =>
+      w.head.contains("Filter") && w.last.contains("Generate"))
+    assert(ok, s"no Filter directly above Generate\n$p")
+    assert(p.contains("merge"), p) // the IN-list made it into the plan
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d4: multi-probe candidate pairing is a hash join, never a cartesian") {
+    val p = plan(operators.Dedup.d4.build(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
+  test("s9: ADC scoring joins codes on cell (equi-join), not a full-corpus cross join") {
+    val (scored, _) = operators.Similarity.ivfPqParts(spark, sfDir)
+    val p = plan(scored)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
