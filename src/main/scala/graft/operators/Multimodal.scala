@@ -198,5 +198,59 @@ object Multimodal {
             WHERE (length(text) - 32) // 16 + 1 > 0)
       ORDER BY doc_id, win_no"""))
 
-  val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5)
+  /** Cross-video frame-level dedup — m3's framing composed with d1's
+    * digest-groupBy discipline, reported as PAIRS of payloads sharing
+    * frames (the video analogue of t8's shared text chunks). Shape at
+    * 100 TB: the shuffle carries 16-byte frame digests (never payload
+    * bytes); pair enumeration happens inside digest groups whose size is
+    * bounded by the dedup candidates themselves; the Jaccard-style overlap
+    * ratio then confirms on counts alone — no second payload pass. The
+    * byte-stride "frames" stand in for codec output; the dataflow is the
+    * real one. */
+  val m6 = GraftQuery(
+    "m6_frame_dedup",
+    "Cross-payload frame dedup: pairs sharing ≥ 4 distinct frames + overlap ratio",
+    (s, dir) => {
+      val frameLen = 32
+      val frames = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("n_frames", floor(length(col("text")) / frameLen).cast("int"))
+        .filter(col("n_frames") > 0)
+        .select(col("doc_id"), col("text"), col("n_frames"),
+          posexplode(sequence(lit(0), col("n_frames") - 1)).as(Seq("idx", "frame_no")))
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+          md5(col("text").substr(col("frame_no") * frameLen + 1, lit(frameLen))
+            .cast("binary")).as("frame_md5"))
+        .distinct() // per-doc distinct frames: repeated frames count once
+      val shared = frames.as("a")
+        .join(frames.as("b"),
+          col("a.frame_md5") === col("b.frame_md5") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+          col("a.n_frames").as("n1"), col("b.n_frames").as("n2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 4)
+      shared.select(col("doc1"), col("doc2"), col("n_shared"),
+          round(col("n_shared").cast("double")
+            / (col("n1") + col("n2") - col("n_shared")), 4).as("overlap"))
+        .orderBy("doc1", "doc2")
+    },
+    Some("""
+      WITH f AS (
+        SELECT DISTINCT doc_id,
+               length(text) // 32 AS n_frames,
+               md5(substring(text, CAST(frame_no * 32 + 1 AS INTEGER), 32)) AS frame_md5
+        FROM (SELECT doc_id, text, unnest(range(0, length(text) // 32)) AS frame_no
+              FROM documents
+              WHERE length(text) // 32 > 0))
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             count(*) AS n_shared,
+             round(count(*) / CAST(a.n_frames + b.n_frames - count(*) AS DOUBLE), 4)
+               AS overlap
+      FROM f a JOIN f b ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n_frames, b.n_frames
+      HAVING count(*) >= 4
+      ORDER BY doc1, doc2"""))
+
+  val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6)
 }

@@ -903,7 +903,43 @@ object Relational {
         UNION ALL SELECT nationkey, 'supplier_balance', supplier_balance FROM w)
       ORDER BY nationkey, metric"""))
 
+  /** Salted skew join — the MANUAL hot-key mitigation for when AQE can't
+    * help (skew introduced upstream of the join, or a streaming/bucketed
+    * stage where runtime re-planning is off). The hot side's key space is
+    * widened with a DETERMINISTIC salt (hash-derived, so replays agree),
+    * the small side is replicated once per salt value, and the join runs
+    * on (key, salt) — a hot key's rows now land on SALT shuffle partitions
+    * instead of one. Results are provably identical to the unsalted join
+    * (the oracle IS the plain join), and the replicated side's size grows
+    * only SALT× — the knob a 100 TB pipeline turns when one user_id holds
+    * 1% of all events. */
+  val q75 = GraftQuery(
+    "q75_salted_join",
+    "Skew-salted equi-join (salt=8): events ⋈ customer revenue by segment == plain join",
+    (s, dir) => {
+      val salt = 8
+      val ev = events(s, dir)
+        .select(col("user_id"), col("value"))
+        // deterministic per-row salt: same row -> same salt on every replay
+        .withColumn("salt", pmod(xxhash64(col("user_id"), col("value")), lit(salt)))
+      val cust = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("salt", explode(sequence(lit(0L), lit((salt - 1).toLong))))
+      ev.join(cust,
+          ev("user_id") === cust("c_custkey") && ev("salt") === cust("salt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
-    q41, q42, q43, q44, q45, q46, q50, q53, q54, q63)
+    q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75)
 }

@@ -644,5 +644,45 @@ object Similarity {
     (s, dir) => ivfPqParts(s, dir)._2,
     None)
 
-  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9)
+  /** Embedding outlier screen — the data-quality gate an embedding corpus
+    * runs before ANN indexing or clustering: vectors far from the corpus
+    * centroid are mis-embeddings / garbage inputs. One 1-row per-dim-mean
+    * aggregate broadcast back over the corpus, then a global top-k (Spark
+    * plans TakeOrderedAndProject — per-partition partial top-k, no global
+    * sort) — no collect, no pairwise anything, O(dim) state. Distances are
+    * rounded BEFORE ranking so the shortlist boundary is insensitive to
+    * cross-engine float noise → oracle-checked. */
+  val s10 = GraftQuery(
+    "s10_embedding_outliers",
+    "Centroid-distance outlier shortlist: top-20 vectors farthest from the corpus mean",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+      val mean = emb.agg(
+        array((0 until 64).map(i => avg(element_at(col("e"), i + 1))): _*).as("m"))
+      // rank on the ROUNDED distance (vec_id tiebreak) so the shortlist
+      // boundary is insensitive to 1e-13 cross-engine float noise
+      emb.crossJoin(broadcast(mean))
+        .select(col("vec_id"),
+          round(sqrt(aggregate(zip_with(col("e"), col("m"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x)), 4).as("dist"))
+        .orderBy(desc("dist"), col("vec_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      m AS (SELECT j, avg(embedding[CAST(j AS INTEGER)]) AS mu
+            FROM e, UNNEST(range(1, 65)) AS t(j) GROUP BY j),
+      d AS (SELECT vec_id,
+                   round(sqrt(sum((embedding[CAST(j AS INTEGER)] - mu)
+                          * (embedding[CAST(j AS INTEGER)] - mu))), 4) AS dist
+            FROM e, UNNEST(range(1, 65)) AS t(j) JOIN m USING (j)
+            GROUP BY vec_id)
+      SELECT vec_id, dist
+      FROM d
+      ORDER BY dist DESC, vec_id
+      LIMIT 20"""))
+
+  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10)
 }

@@ -257,6 +257,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q75: salted join stays an equi hash join on (key, salt)") {
+    val p = plan(operators.Relational.q75.build(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin"), p)
+    assert(p.contains("salt"), p) // the salt is part of the join keys
+  }
+
+  test("s10: outlier shortlist plans TakeOrderedAndProject (no global sort)") {
+    val p = plan(operators.Similarity.s10.build(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
