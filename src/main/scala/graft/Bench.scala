@@ -12,6 +12,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query isn't charged for it
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Warm the shared fixture tables once before any timing: the first
+    // query to touch a table otherwise pays its cold scan (page-cache fill,
+    // footer decode, reader JIT) — round 5 charged ~2.9s of exactly this to
+    // m1, the alphabetically-first documents+embeddings reader. One
+    // disclosed warm pass makes per-query numbers attributable to plans.
+    // (events stores timestamp[ns]; the same legacy conf every events()
+    // reader sets — without it the warm read would fail and warm nothing)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("documents", "embeddings", "events", "lineitem", "orders").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     // two timed runs per query, report the min successful time (steady
     // state, not scheduler/GC noise); a query with no successful run
     // reports -1 so breakage is visible instead of looking fast

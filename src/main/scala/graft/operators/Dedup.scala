@@ -109,7 +109,14 @@ object Dedup {
             y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
         .select(col("p.doc1"), col("p.doc2"))
         .distinct()
-      broadcast(cand)
+      // no broadcast hint on the candidate side: candidate count scales with
+      // TRUE duplicate density, so a crawl-heavy corpus (30%+ dup rate) can
+      // outgrow any fixed broadcast threshold. AQE sees the real post-LSH
+      // size at runtime and picks broadcast when (and only when) it fits —
+      // at fixture scale it still plans the same broadcast joins (PlanSpec),
+      // at 100 TB a dense candidate set degrades to a shuffle join instead
+      // of failing the job (ADVICE r5).
+      cand
         .join(docs.select(col("doc_id").as("doc1"), col("text").as("t1")), "doc1")
         .join(docs.select(col("doc_id").as("doc2"), col("text").as("t2")), "doc2")
         .withColumn("j", shingleJaccard(col("t1"), col("t2")))
@@ -414,13 +421,24 @@ object Dedup {
         // localCheckpoint TRUNCATES the logical plan (cache alone does
         // not): without it each round doubles the plan tree and every
         // subsequent action re-pays catalyst analysis on the whole
-        // history — measured minutes of driver time by round 3
+        // history — measured minutes of driver time by round 3.
+        // The (count, bit_xor) fixpoint fingerprint rides the SAME job as
+        // observed metrics (collected task-side during the checkpoint
+        // materialization) instead of a second aggregate over the
+        // checkpointed result — one job per round, halving the per-round
+        // fixed latency that dominated this query at fixture scale, where
+        // the edge set is tiny and scheduling is the whole cost (ADVICE
+        // r5). The fingerprint is order-independent (xor) and
+        // overflow-free; a collision is astronomically unlikely and the
+        // oracle still guards.
+        val obs = org.apache.spark.sql.Observation(s"d6_round_$rounds")
         val next = star(star(es, large = true), large = false)
+          .observe(obs, count(lit(1)).as("n"),
+            expr("bit_xor(xxhash64(u, v))").as("h"))
           .localCheckpoint(true)
-        // fixpoint check by (count, order-independent hash-sum) — one O(1)
-        // aggregate instead of two exceptAll set differences per round; a
-        // collision is astronomically unlikely and the oracle still guards
-        val nfp = fingerprint(next)
+        val m = obs.get
+        val nfp = (m("n").asInstanceOf[Long],
+          Option(m("h")).map(_.asInstanceOf[Long]).getOrElse(0L))
         dbg(s"round ${rounds + 1} compute", tR)
         converged = nfp == fp
         fp = nfp

@@ -177,6 +177,31 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frac < 0.5, f"IVF-PQ scored $frac%.3f of the corpus — probing is not pruning")
   }
 
+  test("q53: approx_percentile within 5% of the exact per-group percentiles") {
+    // q53 is rows-only for the driver (sketch merge order is partitioning-
+    // dependent, no portable oracle) — this floor is its independent check:
+    // every per-group estimate must land within 5% of q42's exact
+    // percentile on the same column. The accuracy parameter (1000) bounds
+    // the RANK error at n/1000 per group, which for the fixture's price
+    // distribution translates to well under 5% value error.
+    import org.apache.spark.sql.functions._
+    val exact = operators.table(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"),
+        expr("percentile(l_extendedprice, 0.9)").as("p"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = operators.Relational.q53.build(spark, sfDir).collect()
+    assert(rows.nonEmpty, "q53 returned no groups")
+    rows.foreach { r =>
+      val key = r.getString(0)
+      val (em, ep) = exact(key)
+      val (am, ap) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(am - em) / em <= 0.05, s"$key median: approx=$am exact=$em")
+      assert(math.abs(ap - ep) / ep <= 0.05, s"$key p90: approx=$ap exact=$ep")
+    }
+  }
+
   test("q62: DataSketches HLL estimates within 5% per group AND for the merged rollup") {
     operators.Sampling.q62.build(spark, sfDir).collect().foreach { r =>
       val (key, est, exact) = (r.getString(0), r.getLong(1), r.getLong(2))
