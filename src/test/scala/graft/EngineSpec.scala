@@ -408,6 +408,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("frobnicate")._1 == 1)
   }
 
+  test("A2/§4 glob pushdown: catalog-dialect patterns prune during the listing; fnmatch stays the contract") {
+    // '*'-only patterns are handed to the session catalog's listing call
+    // (pruned during the scan); '?'/'[seq]' are not expressible there and
+    // keep the full listing + residual filter — all three classes must
+    // return exactly the fnmatch answer
+    def names(p: String) = engine.catalog.listTables(Some(p))
+      .select("table_name").collect().map(_.getString(0)).toSet
+    assert(names("hive*") == Set("hive_t"))
+    assert(names("?os_t") == Set("pos_t"))
+    assert(names("[hp]*_t") == Set("hive_t", "pos_t"))
+    // and the exact fnmatch predicate sits INSIDE the listing DataFrame
+    // (below the collect), never applied client-side on materialized rows
+    val plan = engine.catalog.listTables(Some("hive*"))
+      .queryExecution.analyzed.toString
+    assert(plan.toUpperCase.contains("RLIKE"), plan)
+  }
+
   test("async crawler run → 0") {
     assert(run("run_crawler", "events_crawler", "--async")._1 == 0)
     Thread.sleep(2000)
