@@ -502,5 +502,110 @@ object TextAnalysis {
       ORDER BY bm25 DESC, doc_id
       LIMIT 20"""))
 
-  val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11)
+  /** Sequence packing for LLM pretraining — the concat-and-chunk shape
+    * (GPT-style): per source, document token streams are concatenated in
+    * doc_id order and cut every B=512 tokens into fixed-length training
+    * sequences; a document whose span crosses a cut contributes to both
+    * neighboring chunks. The dataflow is one window cumsum per source (a
+    * single shuffle on the group key) plus a bounded explode of each doc's
+    * chunk span — no sequential fold, no driver loop; the straddle-allowed
+    * contract is exactly what makes packing window-expressible (first-fit
+    * bin packing without straddling is a sequential fold and would not
+    * distribute). At 100 TB the group key becomes (source, shard) so each
+    * cumsum is partition-local and chunk ids stay deterministic in doc_id
+    * order. Tokenization matches t3's whitespace contract. Fully
+    * deterministic → oracle-checked. */
+  val t12 = GraftQuery(
+    "t12_sequence_packing",
+    "Concat-and-chunk packing: 512-token training sequences per source; docs straddle cuts",
+    (s, dir) => {
+      val B = 512
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val spans = table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("tok"))
+        .withColumn("e", sum(col("tok")).over(w))
+        .withColumn("b", col("e") - col("tok"))
+      spans
+        .select(col("source"), col("doc_id"), col("b"), col("e"),
+          explode(sequence(floor(col("b") / B), floor((col("e") - 1) / B)))
+            .as("chunk_id"))
+        // tokens this doc contributes to this chunk = span ∩ chunk window
+        .withColumn("fill",
+          least(col("e"), (col("chunk_id") + 1) * B)
+            - greatest(col("b"), col("chunk_id") * B))
+        .groupBy("source", "chunk_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"),
+          sum("fill").as("chunk_tokens"))
+        .orderBy("source", "chunk_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS tok,
+               CAST(sum(len(string_split(text, ' '))) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+        FROM documents),
+      spans AS (SELECT source, doc_id, e - tok AS b, e FROM toks),
+      ex AS (SELECT source, doc_id, b, e, chunk_id
+             FROM spans, UNNEST(range(b // 512, (e - 1) // 512 + 1)) AS t(chunk_id))
+      SELECT source, chunk_id,
+             count(*) AS n_docs,
+             min(doc_id) AS first_doc,
+             max(doc_id) AS last_doc,
+             CAST(sum(least(e, (chunk_id + 1) * 512) - greatest(b, chunk_id * 512))
+               AS BIGINT) AS chunk_tokens
+      FROM ex
+      GROUP BY source, chunk_id
+      ORDER BY source, chunk_id"""))
+
+  /** Domain-mixture resampling — the data-mixing step of a corpus build
+    * (the recipe shape of The Pile / DoReMi mixtures): each language keeps
+    * min(round(share × budget), available) documents, chosen by md5 rank —
+    * a deterministic, seedless, engine-portable "shuffle" both engines
+    * order identically, so the EXACT same documents are selected
+    * everywhere. Unlike q48's Bernoulli stratified sample (expected
+    * fractions), a token-budgeted mixture needs exact per-domain counts.
+    * One row_number window per language = one shuffle on the group key; at
+    * 100 TB the same rank runs per (lang, shard) with the budget split
+    * proportionally across shards, and the md5 order makes the kept set
+    * independent of physical row order. Fully deterministic →
+    * oracle-checked. */
+  val t13 = GraftQuery(
+    "t13_mixture_resample",
+    "Exact-count mixture resampling to target language shares (md5-rank selection, capped)",
+    (s, dir) => {
+      // budget 400 docs; en down-weighted to 0.30, the rest 0.175 each —
+      // at sf0.01 en (218 avail) truncates to 120 while fr (64 avail) caps
+      // below its 70-doc allocation: both sides of min() are exercised
+      val budget = 400
+      val weights = Seq("en" -> 0.30, "zh" -> 0.175, "es" -> 0.175,
+        "de" -> 0.175, "fr" -> 0.175)
+      val wmap = map(weights.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+      table(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("target",
+          round(element_at(wmap, col("lang")) * budget, 0).cast(LongType))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= col("target"))
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy("lang", "doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+               CASE lang WHEN 'en' THEN 120 WHEN 'zh' THEN 70 WHEN 'es' THEN 70
+                         WHEN 'de' THEN 70 WHEN 'fr' THEN 70 END AS target,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      SELECT lang, doc_id, rk FROM t WHERE rk <= target
+      ORDER BY lang, doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
+    t12, t13)
 }
