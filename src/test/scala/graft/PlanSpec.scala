@@ -270,6 +270,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("t12: packing is window + span explode, no cartesian and no driver loop") {
+    val p = plan(operators.TextAnalysis.t12.build(spark, sfDir))
+    // the packing claim: one cumsum window per source + a bounded explode
+    // of each doc's chunk span — a plan that pairs docs against chunks via
+    // a join would be quadratic in chunk count
+    assert(p.contains("Window"), p)
+    assert(p.contains("Generate"), p) // the sequence() span explode
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t12: scan reads only (source, doc_id, text) of the documents table") {
+    val p = plan(operators.TextAnalysis.t12.build(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang"), readSchema)
+    assert(!readSchema.contains("quality"), readSchema)
+  }
+
+  test("t13: mixture resample is one row_number shuffle, rank filter below the sort") {
+    val p = plan(operators.TextAnalysis.t13.build(spark, sfDir))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p) // weights resolve as a literal map lookup
+    // exactly one exchange feeds the window (the lang hash partitioning);
+    // the final orderBy adds a range exchange — no third shuffle
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"$exchanges exchanges\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
