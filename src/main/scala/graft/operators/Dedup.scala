@@ -495,5 +495,65 @@ object Dedup {
             FROM labeled GROUP BY cluster_id) c USING (cluster_id)
       ORDER BY cluster_id, doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7)
+  /** Dedup-pipeline keep-list: d6's duplicate clusters resolved to one
+    * representative each — the step that turns "these documents are
+    * duplicates" into "keep THIS one, drop the rest", which is what a
+    * corpus build actually consumes. Representative = longest text
+    * (n_chars), tie → lowest doc_id; singletons (no near-dup) keep
+    * themselves with cluster_id = doc_id. One row_number window over the
+    * cluster labels + a left join of the (bounded) label set against the
+    * corpus slice — at 100 TB the label table is proportional to true
+    * duplicate density (far smaller than the corpus) and broadcasts; the
+    * window shuffles only (doc_id, cluster_id, n_chars). Deterministic →
+    * oracle-checked against the same recursive-CTE closure as d6. */
+  val d8 = GraftQuery(
+    "d8_cluster_representatives",
+    "Keep-list from duplicate clusters: longest doc per cluster kept, rest dropped",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val labels = d6.build(s, dir).select(col("doc_id"), col("cluster_id"))
+      val docs = table(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("n_chars"))
+      val labeled = docs.join(labels, Seq("doc_id"), "left_outer")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labeled
+        .withColumn("keep", row_number().over(w) === 1)
+        .select(col("doc_id"), col("cluster_id"), col("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents WHERE doc_id < 300),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      good AS (SELECT doc1, doc2 FROM pairs
+               JOIN sizes na ON na.doc_id = doc1
+               JOIN sizes nb ON nb.doc_id = doc2
+               WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.3),
+      edges AS (SELECT doc1 AS src, doc2 AS dst FROM good
+                UNION ALL SELECT doc2, doc1 FROM good),
+      reach AS (SELECT src AS id, src AS label FROM edges
+                UNION
+                SELECT e.dst AS id, r.label FROM reach r
+                JOIN edges e ON e.src = r.id),
+      labeled AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+      docs AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                      d.n_chars
+               FROM documents d LEFT JOIN labeled l ON l.id = d.doc_id
+               WHERE d.doc_id < 300)
+      SELECT doc_id, cluster_id,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id) = 1 AS keep
+      FROM docs
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8)
 }

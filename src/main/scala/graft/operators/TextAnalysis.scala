@@ -606,6 +606,148 @@ object TextAnalysis {
       SELECT lang, doc_id, rk FROM t WHERE rk <= target
       ORDER BY lang, doc_id"""))
 
+  /** CCNet-style boilerplate removal: text is split into 10-token "lines",
+    * a line duplicated across ≥2 DISTINCT documents is boilerplate (nav
+    * bars, cookie banners, license headers at web scale) and is dropped
+    * from every document; the cleaned text is reassembled in line order.
+    * Dataflow: posexploded lines → per-line distinct-doc count (one
+    * map-side-combined shuffle keyed on the 16-byte line digest, never the
+    * corpus text) → digest join back → ordered per-doc reassembly (one
+    * shuffle on doc_id). The line-frequency table follows boilerplate
+    * density, not corpus size, so at 100 TB the digest join's build side
+    * stays proportionally small; both shuffles carry digests + bounded
+    * line text. Deterministic → oracle-checked (reassembly included). */
+  val t14 = GraftQuery(
+    "t14_boilerplate_lines",
+    "Corpus-frequency line dedup: drop 10-token lines shared by ≥2 docs, reassemble text",
+    (s, dir) => {
+      val L = 10
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val lines = toks
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0L), floor((size(col("ws")) + (L - 1)) / lit(L)) - 1),
+            i => concat_ws(" ", slice(col("ws"), (i * L + 1).cast("int"), lit(L))))))
+        .withColumnRenamed("col", "line")
+        .withColumn("h", md5(col("line")))
+      val dfreq = lines.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("dfreq"))
+      lines.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(col("dfreq") < 2, 1L).otherwise(0L)).as("kept_lines"),
+          array_join(transform(
+            array_sort(collect_list(when(col("dfreq") < 2,
+              struct(col("pos"), col("line"))))),
+            s => s("line")), " ").as("text_clean"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      lines AS (SELECT doc_id, i AS pos,
+                       array_to_string(ws[i*10+1 : i*10+10], ' ') AS line
+                FROM toks, UNNEST(range(0, (len(ws)+9)//10)) t(i)),
+      df AS (SELECT line, count(DISTINCT doc_id) AS dfreq
+             FROM lines GROUP BY line)
+      SELECT l.doc_id, count(*) AS n_lines,
+             CAST(sum(CASE WHEN d.dfreq < 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept_lines,
+             coalesce(string_agg(CASE WHEN d.dfreq < 2 THEN l.line END, ' '
+               ORDER BY l.pos), '') AS text_clean
+      FROM lines l JOIN df d USING (line)
+      GROUP BY l.doc_id
+      ORDER BY l.doc_id"""))
+
+  /** Unigram-LM surprisal scoring — the perplexity-shaped quality filter
+    * (CCNet trains KenLM; the unigram LM is the distribution-mechanics
+    * stand-in): P(w) estimated from corpus counts, each doc scored by its
+    * mean token surprisal -avg(ln P(w)). Low = common-word soup, high =
+    * rare-token junk; corpus builds drop both tails. Dataflow: token
+    * counts are one map-side-combined shuffle (Zipf-bounded vocabulary —
+    * orders of magnitude smaller than the corpus, so the LM side of the
+    * scoring join is broadcast-sized at any corpus scale; AQE picks the
+    * strategy at runtime per the d2 lesson, no hint). Scores rounded to 4
+    * decimals so float reduction order can't flip the hash. */
+  val t15 = GraftQuery(
+    "t15_unigram_surprisal",
+    "Mean unigram surprisal per doc (-avg ln P(token), corpus-estimated LM)",
+    (s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      val lm = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .withColumn("logp",
+          log(col("cnt").cast("double") / sum(col("cnt")).over(Window.partitionBy())))
+      toks.join(lm.select(col("w"), col("logp")), "w")
+        .groupBy("doc_id")
+        .agg(round(-avg(col("logp")), 4).as("surprisal"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents),
+      lm AS (SELECT w, count(*) AS cnt,
+                    ln(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE)) AS logp
+             FROM toks GROUP BY w)
+      SELECT doc_id, round(-avg(lm.logp), 4) AS surprisal,
+             count(*) AS n_tokens
+      FROM toks JOIN lm USING (w)
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  /** PII redaction. The fixture text contains no PII, so the query PLANTS
+    * deterministic markers first — every doc_id % 7 == 0 gets an email and
+    * a phone appended — then proves the redactor strips them; the planting
+    * is part of the query contract (both engines derive the identical
+    * input), the operator under test is the redaction itself. Patterns are
+    * RE2-safe (no backrefs/lookbehind) so Java and DuckDB agree; redaction
+    * and counting are row-local `regexp_replace`/`regexp_count` — pure
+    * codegen, no shuffle beyond the presentation sort. At 100 TB this is
+    * the cheapest class of operator in the engine: embarrassingly parallel
+    * over whatever partitioning the scan already has. */
+  val t16 = GraftQuery(
+    "t16_pii_redact",
+    "Regex PII redaction (emails, phones) with per-doc redaction counts",
+    (s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+      val planted = table(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com or +1-555-"),
+              lpad(col("doc_id").cast("string"), 4, "0")))
+            .otherwise(col("text")).as("text"))
+      planted
+        .select(col("doc_id"),
+          (regexp_count(col("text"), lit(email))
+            + regexp_count(col("text"), lit(phone))).as("n_redacted"),
+          regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+            phone, "<PHONE>").as("text_redacted"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || doc_id
+                         || '@example.com or +1-555-'
+                         || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                    ELSE text END AS text
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                + len(regexp_extract_all(text, '\+1-[0-9]{3}-[0-9]{4}'))
+               AS BIGINT) AS n_redacted,
+             regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text_redacted
+      FROM planted
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
-    t12, t13)
+    t12, t13, t14, t15, t16)
 }

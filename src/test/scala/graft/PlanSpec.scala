@@ -289,6 +289,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!readSchema.contains("quality"), readSchema)
   }
 
+  test("t14: line-frequency count is map-side combined (partial agg below the digest shuffle)") {
+    val p = plan(operators.TextAnalysis.t14.build(spark, sfDir))
+    // the 100 TB claim: per-line doc counts partial-aggregate before the
+    // exchange so the shuffle carries (digest, partial count), not every
+    // line occurrence
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t16: PII redaction is row-local — no exchange except the presentation sort") {
+    val p = plan(operators.TextAnalysis.t16.build(spark, sfDir))
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"$exchanges exchanges\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("t13: mixture resample is one row_number shuffle, rank filter below the sort") {
     val p = plan(operators.TextAnalysis.t13.build(spark, sfDir))
     assert(p.contains("Window"), p)
