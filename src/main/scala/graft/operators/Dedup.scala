@@ -555,5 +555,53 @@ object Dedup {
       FROM docs
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8)
+  /** Containment detection — Broder's ASYMMETRIC resemblance variant:
+    * c(A,B) = |S(A) ∩ S(B)| / |S(A)| finds documents SUBSUMED by another
+    * (quotes, excerpts, page-of-a-book) that symmetric Jaccard misses —
+    * a short excerpt of a long doc has tiny Jaccard but containment ≈ 1,
+    * and a corpus build drops the excerpt, not the book. Same bounded
+    * exact-ground-truth role (and cost shape) as d3: shingle equi-join,
+    * per-pair intersection counts, normalized by the CONTAINED side only;
+    * the LSH production path for this is d2's bucketing with the same
+    * asymmetric normalization at verify time. Deterministic →
+    * oracle-checked. Reference: Broder, "On the resemblance and
+    * containment of documents" (1997), §2. */
+  val d9 = GraftQuery(
+    "d9_containment",
+    "Asymmetric containment c(A,B)=|S(A)∩S(B)|/|S(A)| ≥ 0.8 on bounded range (excerpt detection)",
+    (s, dir) => {
+      val sh = table(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("contained"), col("b.doc_id").as("container"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("contained"), col("n").as("na")), "contained")
+        .withColumn("c_raw", col("inter").cast("double") / col("na"))
+        // filter on the UNROUNDED value (as the oracle does) — rounding
+        // first would admit 0.79996 on one engine only
+        .filter(col("c_raw") >= 0.8)
+        .select(col("contained"), col("container"),
+          round(col("c_raw"), 4).as("containment"))
+        .orderBy("contained", "container")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                 FROM documents WHERE doc_id < 300),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS contained, b.doc_id AS container,
+                       count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2)
+      SELECT contained, container,
+             round(CAST(inter AS DOUBLE) / sz.n, 4) AS containment
+      FROM pairs JOIN sizes sz ON sz.doc_id = contained
+      WHERE CAST(inter AS DOUBLE) / sz.n >= 0.8
+      ORDER BY contained, container"""))
+
+  val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9)
 }

@@ -748,6 +748,52 @@ object TextAnalysis {
       FROM planted
       ORDER BY doc_id"""))
 
+  /** Source-distribution drift: KL(source ‖ corpus) over unigram
+    * distributions — the monitoring statistic a corpus build tracks per
+    * ingest source (a crawler whose token distribution diverges from the
+    * corpus is surfacing boilerplate, spam, or a language shift). Every
+    * source token appears in the corpus distribution by construction, so
+    * KL is finite and exactly defined — no smoothing term to disagree on.
+    * Dataflow: two skinny map-side-combined count aggs off one token
+    * explode + a vocab-sized join — the same Zipf-bounded shapes as t15;
+    * nothing scales with corpus size except the explode itself. Rounded
+    * to 4 decimals so float reduction order can't flip the hash. */
+  val t17 = GraftQuery(
+    "t17_source_drift",
+    "Per-source unigram KL divergence vs the corpus distribution (drift monitor)",
+    (s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("source"), explode(words(col("text"))).as("w"))
+      val bySrc = toks.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+        .withColumn("tot_s", sum(col("c_sw")).over(Window.partitionBy("source")))
+      val corpus = toks.groupBy("w").agg(count(lit(1)).as("c_w"))
+        .withColumn("tot", sum(col("c_w")).over(Window.partitionBy()))
+      bySrc.join(corpus, "w")
+        .groupBy("source")
+        .agg(
+          round(sum((col("c_sw") / col("tot_s"))
+            * log((col("c_sw") / col("tot_s")) / (col("c_w") / col("tot")))), 4)
+            .as("kl"),
+          max(col("tot_s")).as("n_tokens"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH toks AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents),
+      by_src AS (SELECT source, w, count(*) AS c_sw,
+                        sum(count(*)) OVER (PARTITION BY source) AS tot_s
+                 FROM toks GROUP BY source, w),
+      corpus AS (SELECT w, count(*) AS c_w, sum(count(*)) OVER () AS tot
+                 FROM toks GROUP BY w)
+      SELECT source,
+             round(sum((CAST(c_sw AS DOUBLE) / tot_s)
+               * ln((CAST(c_sw AS DOUBLE) / tot_s)
+                    / (CAST(c_w AS DOUBLE) / tot))), 4) AS kl,
+             CAST(max(tot_s) AS BIGINT) AS n_tokens
+      FROM by_src JOIN corpus USING (w)
+      GROUP BY source
+      ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
-    t12, t13, t14, t15, t16)
+    t12, t13, t14, t15, t16, t17)
 }

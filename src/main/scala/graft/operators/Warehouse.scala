@@ -359,5 +359,48 @@ object Warehouse {
       GROUP BY nationkey
       ORDER BY nationkey"""))
 
-  val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74)
+  /** Z-order (Morton-curve) layout clustering — the multi-dimensional data
+    * layout that makes min/max data skipping work on MORE THAN ONE column:
+    * interleaving the bits of (partkey, suppkey) and range-bucketing on
+    * the interleaved code tiles the 2-D key space, so every bucket's
+    * min/max envelope is narrow in BOTH dimensions (a sort by partkey
+    * alone leaves suppkey's envelope spanning the full domain in every
+    * file — predicates on the second column prune nothing). The emitted
+    * per-bucket envelopes ARE the demonstration: with 16 buckets over a
+    * 256×256 tile space each envelope spans ≤ 1/4 of each domain. At
+    * 100 TB this is `repartitionByRange(zvalue).write` before a parquet
+    * sink; the z computation itself is pure codegen'd bit arithmetic.
+    * Reference: Morton (1966); layout use as in public lakehouse docs. */
+  private def zOrderBits = 8
+  private def zTerms(x: String, y: String): Seq[String] =
+    (0 until zOrderBits).flatMap(i => Seq(
+      s"(($x >> $i) & 1) * ${1L << (2 * i)}",
+      s"(($y >> $i) & 1) * ${1L << (2 * i + 1)}"))
+  val q76 = GraftQuery(
+    "q76_zorder_layout",
+    "Z-order clustering of lineitem by (partkey, suppkey): per-bucket min/max envelopes bounded in BOTH dims",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(256)).as("x"),
+          pmod(col("l_suppkey"), lit(256)).as("y"))
+      val z = zTerms("x", "y").map(expr).reduce(_ + _)
+      li.withColumn("z", z)
+        .withColumn("bucket", floor(col("z") / 4096))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("bucket")
+    },
+    Some(s"""
+      WITH k AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+      zc AS (SELECT x, y, ${zTerms("x", "y").mkString(" + ")} AS z FROM k)
+      SELECT z // 4096 AS bucket, count(*) AS n,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y
+      FROM zc
+      GROUP BY bucket
+      ORDER BY bucket"""))
+
+  val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76)
 }

@@ -306,6 +306,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), p)
   }
 
+  test("q76: z-order bucketing is one partial-agg shuffle of pure bit arithmetic") {
+    val p = plan(operators.Warehouse.q76.build(spark, sfDir))
+    assert(p.contains("partial_"), p) // map-side combine before the bucket shuffle
+    assert(!p.contains("Join"), p)
+    // the bit interleave folds into a single Project over the scan — no
+    // expansion into a per-bit explode or join
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("t17: both drift count aggs are map-side combined; LM join is not a cartesian") {
+    val p = plan(operators.TextAnalysis.t17.build(spark, sfDir))
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t13: mixture resample is one row_number shuffle, rank filter below the sort") {
     val p = plan(operators.TextAnalysis.t13.build(spark, sfDir))
     assert(p.contains("Window"), p)
