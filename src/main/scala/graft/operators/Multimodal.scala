@@ -252,5 +252,61 @@ object Multimodal {
       HAVING count(*) >= 4
       ORDER BY doc1, doc2"""))
 
-  val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6)
+  /** Cross-modal alignment scoring — the CLIP-score filter shape: each
+    * (text, media-embedding) pair gets a cosine alignment score and
+    * misaligned pairs are flagged for drop. The text side uses a
+    * deterministic 8-dim hashed bag-of-words projection (token → md5
+    * bucket, the feature-hashing trick — honestly labeled stand-in for a
+    * text encoder, same contract as m2/m4's fake codec); the media side
+    * takes the first 8 embedding dims. Everything is row-local after one
+    * token-bucket aggregation: at 100 TB the encoder swaps in at the same
+    * seam (a mapInPandas batch over the text column) and the join/score/
+    * filter plumbing — which is what this query pins — is unchanged.
+    * Deterministic → oracle-checked, scores rounded to 4 decimals. */
+  val m7 = GraftQuery(
+    "m7_crossmodal_align",
+    "CLIP-shaped alignment score: hashed-BoW text vector vs embedding head, cosine + keep flag",
+    (s, dir) => {
+      val dims = 0 until 8
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .withColumn("b", ascii(substring(md5(col("w")), 1, 1)) % 8)
+      val tCols = dims.map(j =>
+        sum(when(col("b") === j, 1L).otherwise(0L)).cast("double").as(s"t$j"))
+      val tv = toks.groupBy("doc_id").agg(tCols.head, tCols.tail: _*)
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id") +:
+          dims.map(j => element_at(col("embedding"), j + 1).cast("double").as(s"e$j")): _*)
+      val dot = dims.map(j => col(s"t$j") * col(s"e$j")).reduce(_ + _)
+      val tn = sqrt(dims.map(j => col(s"t$j") * col(s"t$j")).reduce(_ + _))
+      val en = sqrt(dims.map(j => col(s"e$j") * col(s"e$j")).reduce(_ + _))
+      tv.join(emb, "doc_id")
+        .withColumn("align", round(dot / (tn * en), 4))
+        .select(col("doc_id"), col("align"), (col("align") >= 0.0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val dims = 0 until 8
+      val tcols = dims.map(j =>
+        s"CAST(sum(CASE WHEN ascii(substr(md5(w),1,1)) % 8 = $j THEN 1 ELSE 0 END) AS DOUBLE) AS t$j")
+        .mkString(",\n               ")
+      val dot = dims.map(j => s"t$j * CAST(e.embedding[${j + 1}] AS DOUBLE)").mkString(" + ")
+      val tn = dims.map(j => s"t$j * t$j").mkString(" + ")
+      val en = dims.map(j => s"CAST(e.embedding[${j + 1}] AS DOUBLE) * CAST(e.embedding[${j + 1}] AS DOUBLE)").mkString(" + ")
+      s"""
+      WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents),
+      tv AS (SELECT doc_id,
+               $tcols
+             FROM toks GROUP BY doc_id),
+      scored AS (
+        SELECT tv.doc_id,
+               round(($dot) / (sqrt($tn) * sqrt($en)), 4) AS align
+        FROM tv JOIN embeddings e ON e.vec_id = tv.doc_id)
+      SELECT doc_id, align, align >= 0.0 AS keep
+      FROM scored
+      ORDER BY doc_id"""
+    })
+
+  val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7)
 }

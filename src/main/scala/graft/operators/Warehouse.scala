@@ -402,5 +402,48 @@ object Warehouse {
       GROUP BY bucket
       ORDER BY bucket"""))
 
-  val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76)
+  /** Incremental view maintenance — the mergeable-aggregate algebra that
+    * lets a 100 TB warehouse update a materialized daily rollup from the
+    * day's delta instead of rescanning history: state carries the MERGEABLE
+    * partials (count, sum), never derived values, and avg is computed from
+    * merged sums at READ time (avg-of-avgs is the classic IVM bug — two
+    * partitions of unequal size average to the wrong number; summing
+    * partials cannot). The query materializes the "existing" rollup from
+    * the pre-cutoff history, aggregates only the post-cutoff delta, merges
+    * by re-aggregation, and the oracle is the full recompute — equality IS
+    * the maintenance-correctness proof. At scale the base side is the
+    * stored rollup (group-cardinality-sized, no history scan); here both
+    * sides derive from the fixture so the whole contract is checkable. */
+  val q77 = GraftQuery(
+    "q77_incremental_rollup",
+    "Incremental view maintenance: merge(base rollup, delta rollup) == full recompute; avg from merged sums",
+    (s, dir) => {
+      val cutoff = "2024-03-01"
+      val ev = events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          dec2(col("value")).as("v"))
+      def rollup(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      val base = rollup(ev.filter(col("day") < lit(cutoff)))
+      val delta = rollup(ev.filter(col("day") >= lit(cutoff)))
+      base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+        .select(col("event_type"), col("day"), col("n"),
+          col("total").cast("double").as("total"),
+          round(col("total").cast("double") / col("n"), 4).as("avg_value"))
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total,
+             round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*), 4)
+               AS avg_value
+      FROM events
+      GROUP BY event_type, day
+      ORDER BY event_type, day"""))
+
+  val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
+    q77)
 }

@@ -322,6 +322,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q77: base/delta cutoff filters are pushed to the events scan") {
+    val p = plan(operators.Warehouse.q77.build(spark, sfDir))
+    // incremental maintenance only pays for the delta if the date filter
+    // reaches the scan (at scale: partition pruning on the date column)
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("Join"), p) // merge is a union + re-agg, not a join
+  }
+
+  test("m7: alignment scoring joins on doc_id (equi hash join, no cartesian)") {
+    val p = plan(operators.Multimodal.m7.build(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
   test("t13: mixture resample is one row_number shuffle, rank filter below the sort") {
     val p = plan(operators.TextAnalysis.t13.build(spark, sfDir))
     assert(p.contains("Window"), p)
