@@ -31,7 +31,7 @@ object Dedup {
     * whole normalized text. substring_index stays in codegen (an array
     * slice HOF would run interpreted); grouping happens on the sha2 digest
     * so the shuffle key is fixed-width. */
-  private def canonKey(c: Column): Column =
+  private[operators] def canonKey(c: Column): Column =
     sha2(substring_index(lower(c), " ", 5), 256)
 
   /** 3-word shingles (distinct) of a text column. */

@@ -794,6 +794,105 @@ object TextAnalysis {
       GROUP BY source
       ORDER BY source"""))
 
+  /** End-to-end corpus selection — the capstone composition: exact dedup
+    * (d1's canonical key), quality floor (t2's score), Gopher repetition
+    * rules (t9), and surprisal band (t15) fused into one per-doc verdict
+    * with FIRST-FAILING-STAGE attribution — the funnel accounting a corpus
+    * build reports ("how many docs did each filter cost me?"). Stage order
+    * is the production order: dedup first (cheapest key, biggest win),
+    * distribution filters last. One query proves the operators COMPOSE:
+    * all four metrics derive from the same scan and meet in a single
+    * doc_id join fan-in; nothing here shuffles corpus text except the
+    * bounded metric tables. Thresholds sit far from the fixture's value
+    * mass so last-ulp float divergence can't flip a verdict; surprisal is
+    * rounded to 4 decimals before comparison on both engines. */
+  val t18 = GraftQuery(
+    "t18_corpus_select",
+    "Composed keep/drop pipeline: dup → quality → repetition → surprisal, first-failing-stage attribution",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      // stage 1: exact-dup rank on d1's canonical key
+      val dupRank = docs.select(col("doc_id"),
+        row_number().over(Window.partitionBy(Dedup.canonKey(col("text")))
+          .orderBy("doc_id")).as("rk"))
+      // stage 2: t2's quality score
+      val ws = docs.withColumn("ws", words(col("text")))
+      val quality = ws.select(col("doc_id"),
+        (least(lit(1.0), size(col("ws")).cast("double") / 50.0) * 0.5
+          + (hits(col("ws"), "en").cast("double") / size(col("ws"))) * 0.5).as("q"))
+      // stage 3: t9's repetition metrics
+      val bigrams = ws.select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")).as("bg"))
+        .groupBy("doc_id", "bg").count()
+        .groupBy("doc_id")
+        .agg((lit(1.0) - count(lit(1)) / sum(col("count"))).as("dup_frac"))
+      val topword = ws.select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy("doc_id", "w").count()
+        .groupBy("doc_id")
+        .agg((max(col("count")) / sum(col("count"))).as("top_frac"))
+      // stage 4: t15's surprisal
+      val toks = ws.select(col("doc_id"), explode(col("ws")).as("w"))
+      val lm = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .withColumn("logp",
+          log(col("cnt").cast("double") / sum(col("cnt")).over(Window.partitionBy())))
+      val surprisal = toks.join(lm.select(col("w"), col("logp")), "w")
+        .groupBy("doc_id").agg(round(-avg(col("logp")), 4).as("surp"))
+      dupRank.join(quality, "doc_id").join(bigrams, "doc_id")
+        .join(topword, "doc_id").join(surprisal, "doc_id")
+        .withColumn("stage",
+          when(col("rk") > 1, "dup")
+            .when(col("q") < 0.25, "quality")
+            .when(!(col("dup_frac") <= 0.4 && col("top_frac") <= 0.2), "repetition")
+            .when(!col("surp").between(3.40, 3.55), "surprisal")
+            .otherwise("keep"))
+        .select(col("doc_id"), col("stage"), (col("stage") === "keep").as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH ws AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+                  FROM documents),
+      dup AS (SELECT doc_id,
+                     row_number() OVER (
+                       PARTITION BY array_to_string(ws[1:5], ' ')
+                       ORDER BY doc_id) AS rk
+              FROM ws),
+      quality AS (SELECT doc_id,
+                         least(1.0, len(ws) / 50.0) * 0.5
+                           + (len(list_filter(ws, w -> list_contains(
+                               ['the','a','and','of','to','is','in'], w)))
+                              * 1.0 / len(ws)) * 0.5 AS q
+                  FROM ws),
+      bg AS (SELECT doc_id,
+                    ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i + 1 AS INTEGER)] AS bg
+             FROM ws, UNNEST(range(1, len(ws))) AS t(i)),
+      bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+      dupfrac AS (SELECT doc_id, 1.0 - count(*) / CAST(sum(c) AS DOUBLE) AS dup_frac
+                  FROM bgc GROUP BY doc_id),
+      wc AS (SELECT doc_id, w, count(*) AS c
+             FROM (SELECT doc_id, unnest(ws) AS w FROM ws) GROUP BY doc_id, w),
+      top AS (SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS top_frac
+              FROM wc GROUP BY doc_id),
+      toks AS (SELECT doc_id, unnest(ws) AS w FROM ws),
+      lm AS (SELECT w, ln(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE)) AS logp
+             FROM toks GROUP BY w),
+      surp AS (SELECT doc_id, round(-avg(lm.logp), 4) AS surp
+               FROM toks JOIN lm USING (w) GROUP BY doc_id),
+      v AS (SELECT d.doc_id,
+                   CASE WHEN d.rk > 1 THEN 'dup'
+                        WHEN q.q < 0.25 THEN 'quality'
+                        WHEN NOT (df.dup_frac <= 0.4 AND tp.top_frac <= 0.2)
+                          THEN 'repetition'
+                        WHEN NOT (sp.surp BETWEEN 3.40 AND 3.55) THEN 'surprisal'
+                        ELSE 'keep' END AS stage
+            FROM dup d
+            JOIN quality q USING (doc_id)
+            JOIN dupfrac df USING (doc_id)
+            JOIN top tp USING (doc_id)
+            JOIN surp sp USING (doc_id))
+      SELECT doc_id, stage, stage = 'keep' AS keep
+      FROM v
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
-    t12, t13, t14, t15, t16, t17)
+    t12, t13, t14, t15, t16, t17, t18)
 }

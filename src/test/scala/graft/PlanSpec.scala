@@ -337,6 +337,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("HashJoin"), p)
   }
 
+  test("t18: pipeline composition fans in on doc_id equi-joins only (no cartesian)") {
+    val p = plan(operators.TextAnalysis.t18.build(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t13: mixture resample is one row_number shuffle, rank filter below the sort") {
     val p = plan(operators.TextAnalysis.t13.build(spark, sfDir))
     assert(p.contains("Window"), p)
