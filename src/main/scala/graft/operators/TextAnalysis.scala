@@ -676,9 +676,13 @@ object TextAnalysis {
     (s, dir) => {
       val toks = table(s, dir, "documents")
         .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      val lm = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
-        .withColumn("logp",
-          log(col("cnt").cast("double") / sum(col("cnt")).over(Window.partitionBy())))
+      // corpus total as a broadcast 1-row frame, NOT a global window — an
+      // empty-partition Window funnels the whole vocab table through one
+      // partition (fine at fixture scale, a straggler at a 100 TB vocab)
+      val counts = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val lm = counts
+        .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("tot"))))
+        .withColumn("logp", log(col("cnt").cast("double") / col("tot")))
       toks.join(lm.select(col("w"), col("logp")), "w")
         .groupBy("doc_id")
         .agg(round(-avg(col("logp")), 4).as("surprisal"),
@@ -766,8 +770,11 @@ object TextAnalysis {
         .select(col("source"), explode(words(col("text"))).as("w"))
       val bySrc = toks.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
         .withColumn("tot_s", sum(col("c_sw")).over(Window.partitionBy("source")))
-      val corpus = toks.groupBy("w").agg(count(lit(1)).as("c_w"))
-        .withColumn("tot", sum(col("c_w")).over(Window.partitionBy()))
+      // corpus total via broadcast 1-row frame (see t15 — a partition-less
+      // Window would single-thread the vocab table)
+      val corpusCounts = toks.groupBy("w").agg(count(lit(1)).as("c_w"))
+      val corpus = corpusCounts
+        .crossJoin(broadcast(corpusCounts.agg(sum(col("c_w")).as("tot"))))
       bySrc.join(corpus, "w")
         .groupBy("source")
         .agg(
@@ -832,9 +839,10 @@ object TextAnalysis {
         .agg((max(col("count")) / sum(col("count"))).as("top_frac"))
       // stage 4: t15's surprisal
       val toks = ws.select(col("doc_id"), explode(col("ws")).as("w"))
-      val lm = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
-        .withColumn("logp",
-          log(col("cnt").cast("double") / sum(col("cnt")).over(Window.partitionBy())))
+      val counts = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val lm = counts
+        .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("tot"))))
+        .withColumn("logp", log(col("cnt").cast("double") / col("tot")))
       val surprisal = toks.join(lm.select(col("w"), col("logp")), "w")
         .groupBy("doc_id").agg(round(-avg(col("logp")), 4).as("surp"))
       dupRank.join(quality, "doc_id").join(bigrams, "doc_id")

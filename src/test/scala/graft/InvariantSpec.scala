@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Structural invariants of the deterministic pipeline operators — the
+  * properties the row-hash oracle implies but does not STATE. The oracle
+  * proves "same answer as DuckDB"; these prove the answer has the shape the
+  * operator's contract promises (packing fills chunks, mixtures hit exact
+  * counts, every cluster keeps exactly one doc, envelopes tile). A future
+  * edit that breaks a contract while staying cross-engine-consistent (e.g.
+  * both sides drifting to a wrong threshold) fails here, not in CI's diff.
+  */
+class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-invariant-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  test("t12: every chunk except a source's last holds exactly 512 tokens, and fills partition the stream") {
+    val rows = operators.TextAnalysis.t12.build(spark, sfDir).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    bySource.foreach { case (src, chunks) =>
+      val sorted = chunks.sortBy(_.getLong(1))
+      sorted.init.foreach { r =>
+        assert(r.getLong(5) == 512L,
+          s"$src chunk ${r.getLong(1)}: ${r.getLong(5)} tokens (not 512)")
+      }
+      assert(sorted.last.getLong(5) <= 512L)
+      // chunk ids are dense from 0 — no gaps in the packed stream
+      assert(sorted.map(_.getLong(1)).toSeq == sorted.indices.map(_.toLong),
+        s"$src chunk ids not dense")
+    }
+  }
+
+  test("t13: per-language kept counts equal min(target, available) exactly") {
+    val docs = operators.table(spark, sfDir, "documents")
+    val avail = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = 400
+    val weights = Map("en" -> 0.30, "zh" -> 0.175, "es" -> 0.175,
+      "de" -> 0.175, "fr" -> 0.175)
+    val kept = operators.TextAnalysis.t13.build(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    weights.foreach { case (lang, w) =>
+      val target = math.round(w * budget)
+      val expected = math.min(target, avail.getOrElse(lang, 0L))
+      assert(kept.getOrElse(lang, 0L) == expected,
+        s"$lang: kept ${kept.getOrElse(lang, 0L)} != min($target, ${avail.getOrElse(lang, 0L)})")
+    }
+  }
+
+  test("d8: every cluster keeps exactly one representative, and it maximizes n_chars") {
+    val rows = operators.Dedup.d8.build(spark, sfDir).collect()
+    val nchars = operators.table(spark, sfDir, "documents")
+      .filter(col("doc_id") < 300)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(1)).foreach { case (cluster, members) =>
+      val keepers = members.filter(_.getBoolean(2))
+      assert(keepers.length == 1, s"cluster $cluster keeps ${keepers.length}")
+      val kept = keepers.head.getLong(0)
+      assert(members.forall(m => nchars(kept) >= nchars(m.getLong(0))),
+        s"cluster $cluster kept $kept but a longer member exists")
+    }
+  }
+
+  test("t14: a document with no shared lines reassembles to its original text") {
+    val out = operators.TextAnalysis.t14.build(spark, sfDir)
+    val docs = operators.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val untouched = out.filter(col("n_lines") === col("kept_lines"))
+      .join(docs, "doc_id")
+    assert(untouched.count() > 0, "fixture has no fully-unique doc — test is vacuous")
+    val broken = untouched.filter(col("text_clean") =!= col("text")).count()
+    assert(broken == 0, s"$broken unaffected docs did not reassemble to their original text")
+  }
+
+  test("t16: redacted text contains no residual PII pattern; counts follow the plant rule") {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+    val out = operators.TextAnalysis.t16.build(spark, sfDir)
+    val residual = out.filter(
+      regexp_count(col("text_redacted"), lit(email)) > 0 ||
+        regexp_count(col("text_redacted"), lit(phone)) > 0).count()
+    assert(residual == 0, s"$residual docs still contain PII after redaction")
+    val wrong = out.filter(
+      (col("doc_id") % 7 === 0 && col("n_redacted") =!= 2) ||
+        (col("doc_id") % 7 =!= 0 && col("n_redacted") =!= 0)).count()
+    assert(wrong == 0, s"$wrong docs have counts inconsistent with the plant rule")
+  }
+
+  test("q76: every z-order bucket envelope tiles to <= 64 in BOTH dimensions") {
+    // 16 buckets over a 256x256 key space = 64x64 Morton tiles; a sort by
+    // one key would leave the other dimension spanning ~the full domain
+    val rows = operators.Warehouse.q76.build(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (b, xSpan) = (r.getLong(0), r.getLong(3) - r.getLong(2))
+      val ySpan = r.getLong(5) - r.getLong(4)
+      assert(xSpan <= 63 && ySpan <= 63,
+        s"bucket $b envelope spans x=$xSpan y=$ySpan (not a 64x64 tile)")
+    }
+  }
+
+  test("m7: alignment scores are valid cosines in [-1, 1]") {
+    val bad = operators.Multimodal.m7.build(spark, sfDir)
+      .filter(col("align") < -1.0 || col("align") > 1.0).count()
+    assert(bad == 0, s"$bad out-of-range cosine scores")
+  }
+
+  test("t18: stage attribution is consistent with keep, and dup stage matches d1's survivor set") {
+    val rows = operators.TextAnalysis.t18.build(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(2) == (r.getString(1) == "keep"))
+    }
+    // d1 keeps the smallest doc_id per canonical key; t18's 'dup' stage
+    // must be exactly the complement of that survivor set
+    val survivors = operators.Dedup.d1.build(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dupDocs = rows.filter(_.getString(1) == "dup").map(_.getLong(0)).toSet
+    val allDocs = rows.map(_.getLong(0)).toSet
+    assert(dupDocs == allDocs -- survivors,
+      s"dup stage (${dupDocs.size}) != non-survivors (${(allDocs -- survivors).size})")
+  }
+
+  override def afterAll(): Unit = {
+    try spark.stop() finally super.afterAll()
+  }
+}
