@@ -34,7 +34,10 @@ object Bench {
       .map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); false
+        }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       // Several queries cache intermediate state (d2/d6/s7/s8/s9 model

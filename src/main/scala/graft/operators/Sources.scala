@@ -165,5 +165,102 @@ object Sources {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64)
+  /** Schema evolution across parquet generations — the table whose columns
+    * changed mid-history (the norm, not the exception, for a 100 TB table
+    * written over years): generation 1 carries (orderkey, custkey, price),
+    * generation 2 drops custkey and adds orderstatus. `mergeSchema=true`
+    * unions the schemas at read time (absent columns read as NULL), which
+    * is what lets ONE query span the whole history without rewriting old
+    * files — the alternative at scale is a petabyte rewrite per column
+    * add. Per-generation null accounting is the output: it proves which
+    * columns exist where. Reference hook: the crawler re-inference path
+    * (A15) is exactly schema-drift discovery. */
+  val q78 = GraftQuery(
+    "q78_schema_evolution",
+    "mergeSchema over two parquet generations with drifted columns: unified scan + null accounting",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val spool = spoolDir("q78_evolve")
+      val o = table(s, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .coalesce(2).write.mode("overwrite").parquet(s"$spool/gen=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .coalesce(2).write.mode("overwrite").parquet(s"$spool/gen=2")
+      s.read.option("mergeSchema", "true").parquet(spool)
+        .groupBy("gen")
+        .agg(count(lit(1)).as("n"),
+          count(col("o_custkey")).as("n_custkey"),
+          count(col("o_orderstatus")).as("n_status"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("gen")
+    },
+    Some("""
+      WITH g AS (
+        SELECT 1 AS gen, o_custkey, CAST(NULL AS VARCHAR) AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT 2, NULL, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1)
+      SELECT gen, count(*) AS n,
+             count(o_custkey) AS n_custkey,
+             count(o_orderstatus) AS n_status,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      FROM g
+      GROUP BY gen
+      ORDER BY gen"""))
+
+  /** Malformed-input tolerance — the crawler-ingestion reality that a
+    * 100 TB feed ALWAYS contains broken records, and one poison line must
+    * not kill a billion-row job (the same contract as q67's try_* family,
+    * at the PARSER level): PERMISSIVE json parsing routes unparseable
+    * lines into a corrupt-record column instead of throwing, the query
+    * quarantines them with a count (the dead-letter audit), and the clean
+    * rows aggregate normally. Corruption here is planted deterministically
+    * (every event_id % 10 == 0 line is truncated mid-object) so both
+    * engines derive the identical input — the operator under test is the
+    * parse-and-quarantine, same plant contract as t16. */
+  val q79 = GraftQuery(
+    "q79_corrupt_records",
+    "PERMISSIVE JSON scan: poison lines quarantined to a corrupt-record column, clean rows aggregate",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val spool = spoolDir("q79_corrupt")
+      events(s, dir)
+        .select(when(col("event_id") % 10 === 0,
+            concat(lit("{\"event_id\":"), col("event_id").cast("string"), lit(",TRUNC")))
+          .otherwise(to_json(struct(col("event_id"), col("user_id"),
+            col("event_type"), dec2(col("value")).as("value")))).as("value"))
+        .coalesce(2).write.mode("overwrite").text(spool)
+      // localCheckpoint materializes the parse ONCE and detaches the JSON
+      // relation from the plan: Spark refuses plans whose pruned schema is
+      // the corrupt-record column alone (QUERY_ONLY_CORRUPT_RECORD_COLUMN),
+      // and a downstream count() prunes exactly that way
+      val parsed = s.read
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DECIMAL(14,2), _bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(spool)
+        .localCheckpoint(true)
+      parsed
+        .groupBy(col("_bad").isNotNull.as("quarantined"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value")).cast("double").as("total_value"))
+        .orderBy("quarantined")
+    },
+    Some("""
+      SELECT event_id % 10 = 0 AS quarantined, count(*) AS n,
+             count(DISTINCT CASE WHEN event_id % 10 <> 0 THEN user_id END)
+               AS n_users,
+             CAST(sum(CASE WHEN event_id % 10 <> 0
+                           THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE)
+               AS total_value
+      FROM events
+      GROUP BY 1
+      ORDER BY 1"""))
+
+  val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79)
 }

@@ -302,17 +302,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[JobNotFound] { engine.jobs.runJob("nope") }
   }
 
+  /** Poll the ledger until no run of `name` is RUNNING (bounded). Fixed
+    * sleeps flaked under machine load: a 2.5 s slow_job can outlive a 3 s
+    * drain when the box is contended, and the NEXT slow_job test then dies
+    * on the concurrency cap instead of its own assertion. */
+  private def drainJob(name: String, maxMs: Long = 30000): Unit = {
+    val deadline = System.currentTimeMillis() + maxMs
+    while (engine.jobs.listRuns(name).filter(col("state") === "RUNNING")
+        .count() > 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(System.currentTimeMillis() < deadline, s"$name did not drain in ${maxMs}ms")
+  }
+
   test("A16 concurrency cap") {
     engine.jobs.runJob("slow_job", async = true)
     assertThrows[JobConcurrentRunsExceeded] { engine.jobs.runJob("slow_job") }
-    Thread.sleep(3000) // let the async run drain
+    drainJob("slow_job")
   }
 
   test("A16 sync timeout raises JobTimeout (run keeps going)") {
     assertThrows[JobTimeout] {
       engine.jobs.runJob("slow_job", timeoutSec = Some(1))
     }
-    Thread.sleep(3000)
+    drainJob("slow_job")
   }
 
   test("M5 streaming job runs through the M3 job runner (sync + ledger)") {
@@ -367,7 +379,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sync run with --timeout=1 on a slow job exits via JobTimeout (exit 1)…
     val (code, _) = run("run_job", "slow_job", "--timeout=1", "--delay=1")
     assert(code == 1)
-    Thread.sleep(3000) // drain the still-running job
+    drainJob("slow_job")
     // …and neither reserved param leaked into the run's arguments
     val args = engine.jobs.listRuns("slow_job").orderBy(desc("run_id"))
       .select("arguments").collect().head.getString(0)
@@ -427,7 +439,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("async crawler run → 0") {
     assert(run("run_crawler", "events_crawler", "--async")._1 == 0)
-    Thread.sleep(2000)
+    // bounded poll, not a fixed sleep — see drainJob
+    val deadline = System.currentTimeMillis() + 30000
+    while (!engine.crawlers.isReady("events_crawler")
+        && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(engine.crawlers.isReady("events_crawler"), "crawler did not drain")
   }
 
   test("add_partition already exists → warning, exit 0") {
