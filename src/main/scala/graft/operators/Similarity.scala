@@ -684,5 +684,106 @@ object Similarity {
       ORDER BY dist DESC, vec_id
       LIMIT 20"""))
 
-  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10)
+  /** Hybrid retrieval — the production search stack's fusion step: a
+    * lexical leg (t11's BM25 over query terms) and a vector leg (cosine
+    * against a query embedding) each produce a bounded top-50 candidate
+    * list, then Reciprocal Rank Fusion (k=60) merges them:
+    * rrf(d) = Σ_legs 1/(60 + rank_leg(d)). RRF needs only RANKS — no score
+    * normalization across incomparable scales (BM25 ~[0,10] vs cosine
+    * [-1,1]), which is exactly why it is the standard fusion choice. Both
+    * legs bound their lists BEFORE the fusion join, so the merge touches
+    * ≤100 rows regardless of corpus size; each leg keeps its own
+    * scale-path (t11's pre-shuffle term filter, s5/s9's cell probing would
+    * replace the brute-force leg at 100 TB). Scores are rounded before
+    * ranking (s10's lesson) so leg boundaries are float-noise-insensitive.
+    * Reference: Cormack, Clarke & Büttcher, "Reciprocal rank fusion
+    * outperforms Condorcet" (SIGIR 2009). */
+  val s11 = GraftQuery(
+    "s11_hybrid_rrf",
+    "Hybrid search: BM25 leg + cosine leg fused by Reciprocal Rank Fusion (k=60), top-10",
+    (s, dir) => {
+      val terms = Seq("merge", "hash", "stream")
+      // lexical leg == t11's scoring, bounded to top-50 ranks
+      val ws = table(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .select(col("doc_id"), size(col("ws")).cast("long").as("dl"), col("ws"))
+      val corpus = ws.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      val tf = ws.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val bm25 = tf.join(broadcast(df), "term").crossJoin(broadcast(corpus))
+        .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("contrib", col("idf") * (col("tf") * 2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id").agg(round(sum(col("contrib")), 4).as("bm25"))
+      // bound each leg with orderBy+limit FIRST (TakeOrderedAndProject —
+      // distributed partial top-k), then rank the ≤50-row result; a global
+      // row_number over the unbounded leg would single-partition the corpus
+      val lex = bm25.orderBy(desc("bm25"), col("doc_id")).limit(50)
+        .withColumn("r_lex", row_number().over(
+          Window.orderBy(desc("bm25"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r_lex"))
+      // vector leg: query = embedding 0, cosine vs the rest, top-50 ranks
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val vec = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4)
+            .as("sim"))
+        .orderBy(desc("sim"), col("doc_id")).limit(50)
+        .withColumn("r_vec", row_number().over(
+          Window.orderBy(desc("sim"), col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6))
+        .orderBy(desc("rrf"), col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("r_lex"), col("r_vec"), col("rrf"))
+    },
+    Some("""
+      WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      d AS (SELECT doc_id, len(ws) AS dl, ws FROM ws),
+      corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+      tf AS (SELECT doc_id, dl, term, count(*) AS tf
+             FROM (SELECT doc_id, dl, unnest(ws) AS term FROM d)
+             WHERE term IN ('merge', 'hash', 'stream')
+             GROUP BY doc_id, dl, term),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      bm AS (SELECT doc_id,
+                    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4)
+                      AS bm25
+             FROM tf JOIN df USING (term) CROSS JOIN corpus
+             GROUP BY doc_id),
+      lex AS (SELECT doc_id, r_lex FROM (
+                SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                         AS r_lex
+                FROM bm) WHERE r_lex <= 50),
+      n AS (SELECT vec_id, embedding,
+                   sqrt(list_aggregate(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+            FROM embeddings),
+      sims AS (SELECT c.vec_id AS doc_id,
+                      round(list_aggregate(list_transform(
+                        list_zip(q.embedding, c.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                        / (q.nrm * c.nrm), 4) AS sim
+               FROM n q JOIN n c ON q.vec_id = 0 AND c.vec_id <> 0),
+      vec AS (SELECT doc_id, r_vec FROM (
+                SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id)
+                         AS r_vec
+                FROM sims) WHERE r_vec <= 50)
+      SELECT doc_id, r_lex, r_vec,
+             round(coalesce(1.0 / (60 + r_lex), 0)
+               + coalesce(1.0 / (60 + r_vec), 0), 6) AS rrf
+      FROM lex FULL OUTER JOIN vec USING (doc_id)
+      ORDER BY rrf DESC, doc_id
+      LIMIT 10"""))
+
+  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11)
 }

@@ -349,6 +349,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bnlj <= 1, s"$bnlj nested-loop joins\n$p")
   }
 
+  test("s11: both hybrid legs bound via TakeOrderedAndProject before fusion") {
+    val p = plan(operators.Similarity.s11.build(spark, sfDir))
+    val topk = p.linesIterator.count(l =>
+      l.trim.startsWith("(") && l.contains("TakeOrderedAndProject"))
+    assert(topk >= 2, s"expected both legs to plan TakeOrderedAndProject, got $topk\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t13: mixture resample is one row_number shuffle, rank filter below the sort") {
     val p = plan(operators.TextAnalysis.t13.build(spark, sfDir))
     assert(p.contains("Window"), p)
