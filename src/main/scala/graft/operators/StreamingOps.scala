@@ -792,6 +792,103 @@ object StreamingOps {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** UPDATE output mode — the third emission contract (complete: st1/st2;
+    * append: st3/st5/st10): each micro-batch emits ONLY the keys whose
+    * aggregate changed, which is what a downstream keyed store (Redis, a
+    * serving index) actually wants — re-emitting every key per batch
+    * (complete) doesn't scale past a small key space, and append can't
+    * revise. The replay delivers three TIME-ORDERED tranches, so early
+    * windows stop updating after their tranche passes; the runtime guard
+    * pins the contract itself: total emissions must be strictly fewer than
+    * batches × keys (complete-mode behavior would emit exactly that).
+    * Final state = latest emission per key, and must equal the batch
+    * tumbling aggregate — same oracle as st1. */
+  val st12 = GraftQuery(
+    "st12_stream_update_mode",
+    "Update-mode windowed agg: only changed keys re-emit per batch; latest-per-key == batch agg",
+    (s, dir) => {
+      val batch = ev5(s, dir)
+      val spoolStr = spoolOnce("st12ts", dir) { ps =>
+        val sp = java.nio.file.Paths.get(ps)
+        java.nio.file.Files.createDirectories(sp)
+        // three time-ordered tranches (ntile over ts) — one-time spool cost
+        val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+        val sliced = batch.withColumn("tranche", ntile(3).over(w))
+        (1 to 3).foreach { i =>
+          val stage = sp.resolve(s"_stage_$i")
+          sliced.filter(col("tranche") === i).drop("tranche")
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          import scala.jdk.CollectionConverters._
+          val part = java.nio.file.Files.list(stage).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, sp.resolve(f"$i%04d.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          deleteRecursively(stage)
+          java.nio.file.Files.setLastModifiedTime(sp.resolve(f"$i%04d.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        }
+        java.nio.file.Files.createFile(sp.resolve("_SUCCESS"))
+      }
+      val src = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(spoolStr)
+      val emissions = scala.collection.mutable.ListBuffer
+        .empty[(Long, org.apache.spark.sql.Row)]
+      var nBatches = 0L
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      val savedNoData = s.conf.getOption(
+        "spark.sql.streaming.noDataMicroBatches.enabled").getOrElse("true")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // update mode needs no trailing empty batch: changed keys emit with
+      // their data batch; the watermark only bounds state
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val q = src
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("value"))).cast("double").as("total_value"))
+          .writeStream
+          .outputMode(OutputMode.Update())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val rows = b.select(col("window.start").cast("timestamp_ntz"),
+              col("event_type"), col("n"), col("total_value")).collect()
+            emissions.synchronized {
+              emissions ++= rows.map(r => (id, r)); nBatches += 1
+            }
+            ()
+          }
+          .option("checkpointLocation", spoolDir(s"ckpt_st12_${runSeq.incrementAndGet()}"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", saved)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+      }
+      // latest emission per key is the final aggregate value
+      val latest = emissions.groupBy(e => (e._2.get(0), e._2.getString(1)))
+        .map { case (_, es) => es.maxBy(_._1)._2 }.toSeq
+      val nKeys = latest.size.toLong
+      // the update-mode contract: strictly fewer emissions than a
+      // complete-mode replay (batches × keys) would produce, i.e. early
+      // windows STOPPED re-emitting once their tranche passed
+      require(nBatches >= 2 && emissions.size < nBatches * nKeys,
+        s"st12: ${emissions.size} emissions over $nBatches batches × $nKeys keys — not incremental")
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(latest.asJava,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "window_start TIMESTAMP_NTZ, event_type STRING, n BIGINT, total_value DOUBLE"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("""
+      SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY window_start, event_type
+      ORDER BY window_start, event_type"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
-    st10, st11)
+    st10, st11, st12)
 }
