@@ -939,7 +939,42 @@ object Relational {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
 
+  /** ANSI three-valued NULL semantics in negated membership — the classic
+    * production data-loss trap: `NOT IN (subquery)` returns ZERO rows the
+    * moment the subquery yields a single NULL (x <> NULL is UNKNOWN, so no
+    * row can prove membership-absence), while `NOT EXISTS` with an
+    * equality correlation is null-safe and returns the true complement.
+    * Both engines implement the standard, so the oracle pins BOTH counts:
+    * a query rewrite (or an engine that "fixed" NOT IN) would break the
+    * hash. Catalyst plans the NOT IN as a null-aware anti join — the
+    * single-key form stays a hash join, not the O(n²) fallback. */
+  val q80 = GraftQuery(
+    "q80_null_semantics_antijoin",
+    "NOT IN vs NOT EXISTS under a NULL-bearing subquery: poisoned 0 vs true complement",
+    (s, dir) => {
+      table(s, dir, "customer").createOrReplaceTempView("g80_customer")
+      table(s, dir, "orders").createOrReplaceTempView("g80_orders")
+      s.sql("""
+        WITH excl AS (
+          SELECT o_custkey AS k FROM g80_orders WHERE o_totalprice > 250000
+          UNION ALL SELECT CAST(NULL AS BIGINT)),
+        a AS (SELECT count(*) AS n_not_in FROM g80_customer
+              WHERE c_custkey NOT IN (SELECT k FROM excl)),
+        b AS (SELECT count(*) AS n_not_exists FROM g80_customer c
+              WHERE NOT EXISTS (SELECT 1 FROM excl e WHERE e.k = c.c_custkey))
+        SELECT a.n_not_in, b.n_not_exists FROM a CROSS JOIN b""")
+    },
+    Some("""
+      WITH excl AS (
+        SELECT o_custkey AS k FROM orders WHERE o_totalprice > 250000
+        UNION ALL SELECT CAST(NULL AS BIGINT)),
+      a AS (SELECT count(*) AS n_not_in FROM customer
+            WHERE c_custkey NOT IN (SELECT k FROM excl)),
+      b AS (SELECT count(*) AS n_not_exists FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM excl e WHERE e.k = c.c_custkey))
+      SELECT a.n_not_in, b.n_not_exists FROM a CROSS JOIN b"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
-    q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75)
+    q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80)
 }
