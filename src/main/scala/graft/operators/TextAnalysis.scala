@@ -901,6 +901,48 @@ object TextAnalysis {
       FROM v
       ORDER BY doc_id"""))
 
+  /** Overlapping fixed-size chunking — the RAG indexing shape (vs t8's
+    * content-defined boundaries and t12's no-overlap packing): 128-token
+    * windows every 96 tokens, so a fact straddling a cut appears intact in
+    * the neighboring chunk — retrieval can't lose it to a boundary. Pure
+    * row-local span arithmetic (`sequence` + `slice` inside codegen), no
+    * shuffle except the presentation sort; chunk digests feed the same
+    * dedup/embedding stages downstream (d1/s-family take chunk_id where
+    * they took doc_id). Window 32 / stride 24 (25% overlap) so the fixture's
+    * ~60-token docs genuinely split and straddle. Deterministic →
+    * oracle-checked including the digest of every chunk's text. */
+  val t19 = GraftQuery(
+    "t19_rag_chunks",
+    "Fixed-size overlapping chunks (32 tokens, stride 24) with per-chunk digests",
+    (s, dir) => {
+      val (w, stride) = (32, 24)
+      table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), size(col("ws")).as("n"),
+          posexplode(transform(
+            // chunk starts at i*stride while i*stride < n (last window may
+            // be short; a doc shorter than one window yields one chunk)
+            sequence(lit(0L), greatest(ceil((size(col("ws")) - w).cast("double") / stride)
+              .cast("long"), lit(0L))),
+            i => concat_ws(" ", slice(col("ws"), (i * stride + 1).cast("int"), lit(w))))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          size(split(col("col"), " ")).cast("long").as("chunk_tokens"),
+          md5(col("col")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""
+      WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      spans AS (SELECT doc_id, i AS chunk_id,
+                       array_to_string(ws[CAST(i*24+1 AS INTEGER) :
+                                          CAST(i*24+32 AS INTEGER)], ' ') AS chunk
+                FROM ws, UNNEST(range(0,
+                  greatest(CAST(ceil((len(ws) - 32.0) / 24) AS BIGINT), 0) + 1)) t(i))
+      SELECT doc_id, chunk_id,
+             len(string_split(chunk, ' ')) AS chunk_tokens,
+             md5(chunk) AS chunk_md5
+      FROM spans
+      ORDER BY doc_id, chunk_id"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
-    t12, t13, t14, t15, t16, t17, t18)
+    t12, t13, t14, t15, t16, t17, t18, t19)
 }
