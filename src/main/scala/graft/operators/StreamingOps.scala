@@ -889,6 +889,100 @@ object StreamingOps {
       GROUP BY window_start, event_type
       ORDER BY window_start, event_type"""))
 
+  case class StTally(n: Long, cents: Long, lastUs: Long)
+  case class StTallyOut(user_id: Long, n_events: Long, total_cents: Long,
+      last_us: Long)
+
+  /** transformWithState (Spark 4's arbitrary-state API, successor to
+    * flatMapGroupsWithState) — the inactivity-flush shape: per-user
+    * running tally held in a typed `ValueState`, emitted ONCE per user by
+    * an EVENT-TIME TIMER that fires when the watermark proves the user
+    * quiesced (abandoned-cart / end-of-session notification semantics).
+    * What the new API adds over st8's GroupState: named state variables
+    * with per-variable encoders/TTL, explicit timer registration (many per
+    * key, deleted and re-armed as activity continues), and the RocksDB
+    * state store it requires — O(groups) state off-heap, the 100 TB state
+    * backend. The sentinel raises the final watermark so every timer
+    * fires; result == the batch per-user aggregate, oracle-checked. */
+  val st13 = GraftQuery(
+    "st13_transform_with_state",
+    "transformWithState + event-time timers (RocksDB): inactivity-flushed per-user tallies == batch agg",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig}
+      import org.apache.spark.sql.Encoders
+      val gapMs = 30L * 60 * 1000
+      class TallyProcessor extends StatefulProcessor[Long, StEvent, StTallyOut] {
+        @transient private var tally: org.apache.spark.sql.streaming.ValueState[StTally] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          tally = getHandle.getValueState[StTally]("tally",
+            Encoders.product[StTally], TTLConfig.NONE)
+        override def handleInputRows(key: Long, rows: Iterator[StEvent],
+            timers: TimerValues): Iterator[StTallyOut] = {
+          var t = if (tally.exists()) tally.get() else StTally(0L, 0L, 0L)
+          rows.foreach { e =>
+            // epoch MICROS (getTime is millis; the fixture ts has micros)
+            val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+            t = StTally(t.n + 1, t.cents + e.cents, math.max(t.lastUs, us))
+          }
+          tally.update(t)
+          // re-arm the single quiesce timer at last-activity + gap
+          getHandle.listTimers().foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(t.lastUs / 1000 + gapMs)
+          Iterator.empty
+        }
+        override def handleExpiredTimer(key: Long, timers: TimerValues,
+            expired: ExpiredTimerInfo): Iterator[StTallyOut] = {
+          val t = tally.get()
+          tally.clear()
+          Iterator.single(StTallyOut(key, t.n, t.cents, t.lastUs))
+        }
+      }
+      val batch = ev5(s, dir)
+      val savedProvider = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      // transformWithState requires the RocksDB provider (the off-heap
+      // backend you'd run at scale anyway); restored after the replay
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        replay(s, "events5sent", dir, batch.schema,
+          batch.union(sentinels(s, "sentinel")),
+          src => {
+            import s.implicits._
+            src
+              .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+                (dec2(col("value")) * 100).cast("long").as("cents"))
+              .as[(Long, java.sql.Timestamp, Long, String, Long)]
+              .map(r => StEvent(r._1, r._2, r._3, r._4, r._5))
+              .withWatermark("ts", "30 minutes")
+              .groupByKey(_.user_id)
+              .transformWithState(new TallyProcessor,
+                TimeMode.EventTime(), OutputMode.Append(),
+                Encoders.product[StTallyOut])
+              .toDF()
+          },
+          OutputMode.Append())
+          .filter(col("user_id") =!= -1L)
+          .select(col("user_id"), col("n_events"),
+            (col("total_cents").cast("double") / 100).as("total_value"),
+            timestamp_micros(col("last_us")).cast("timestamp_ntz").as("last_ts"))
+          .orderBy("user_id")
+      } finally {
+        savedProvider match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    },
+    Some("""
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS DOUBLE)
+               / 100 AS total_value,
+             max(CAST(ts AS TIMESTAMP)) AS last_ts
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
-    st10, st11, st12)
+    st10, st11, st12, st13)
 }
