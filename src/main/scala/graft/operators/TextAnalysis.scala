@@ -631,15 +631,22 @@ object TextAnalysis {
             i => concat_ws(" ", slice(col("ws"), (i * L + 1).cast("int"), lit(L))))))
         .withColumnRenamed("col", "line")
         .withColumn("h", md5(col("line")))
-      val dfreq = lines.groupBy("h")
+      // keep ONLY the boilerplate digests (dfreq ≥ 2) as the join side —
+      // that set follows boilerplate density, not corpus size, so the join
+      // back to lines is broadcast-sized at scale; a non-match means the
+      // line is unique and kept
+      val boiler = lines.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("dfreq"))
-      lines.join(dfreq, "h")
+        .filter(col("dfreq") >= 2)
+        .select(col("h"), lit(true).as("is_boiler"))
+      lines.join(boiler, Seq("h"), "left_outer")
+        .withColumn("keep", col("is_boiler").isNull)
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_lines"),
-          sum(when(col("dfreq") < 2, 1L).otherwise(0L)).as("kept_lines"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("kept_lines"),
           array_join(transform(
-            array_sort(collect_list(when(col("dfreq") < 2,
+            array_sort(collect_list(when(col("keep"),
               struct(col("pos"), col("line"))))),
             s => s("line")), " ").as("text_clean"))
         .orderBy("doc_id")
