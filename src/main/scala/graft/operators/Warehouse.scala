@@ -444,6 +444,70 @@ object Warehouse {
       GROUP BY event_type, day
       ORDER BY event_type, day"""))
 
+  /** Data-quality constraint validation — the Deequ/dbt-test shape: a
+    * declared check suite (uniqueness, referential integrity, null rate,
+    * value range, accepted set) evaluated over the warehouse in ONE pass
+    * per table side, emitting the per-check report a pipeline gates on.
+    * Everything folds into plain aggregates: uniqueness = count vs
+    * count(distinct); RI = anti-join count via null-preserving left join;
+    * range/set checks = conditional counts — all map-side combined, no
+    * row-level verdict materialized (at 100 TB you ship the REPORT, not a
+    * flagged copy of the table). The check list is data, not code: adding
+    * a check is one row in the output contract. Reference hook: the
+    * crawler's post-registration validation surface (A15). */
+  val q81 = GraftQuery(
+    "q81_constraint_report",
+    "Deequ-style check suite: uniqueness, referential integrity, null rate, range, accepted set",
+    (s, dir) => {
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer").select(col("c_custkey"))
+      val joined = o.join(c, o("o_custkey") === c("c_custkey"), "left_outer")
+      val m = joined.agg(
+        count(lit(1)).as("rows"),
+        countDistinct(col("o_orderkey")).as("distinct_keys"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("ri_orphans"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_price"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("bad_status")).head()
+      val rows = Seq(
+        ("orderkey_unique", m.getLong(1), m.getLong(0),
+          m.getLong(1) == m.getLong(0)),
+        ("custkey_ri", m.getLong(0) - m.getLong(2), m.getLong(0),
+          m.getLong(2) == 0L),
+        ("price_not_null", m.getLong(0) - m.getLong(3), m.getLong(0),
+          m.getLong(3) == 0L),
+        ("price_positive", m.getLong(0) - m.getLong(4), m.getLong(0),
+          m.getLong(4) == 0L),
+        ("status_in_set", m.getLong(0) - m.getLong(5), m.getLong(0),
+          m.getLong(5) == 0L))
+      import s.implicits._
+      rows.toDF("check_name", "passing", "total", "ok").orderBy("check_name")
+    },
+    Some("""
+      WITH j AS (SELECT o.*, c.c_custkey AS ck
+                 FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey),
+      m AS (SELECT count(*) AS n,
+                   count(DISTINCT o_orderkey) AS dk,
+                   sum(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS orphans,
+                   sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS np,
+                   sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos,
+                   sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                            THEN 1 ELSE 0 END) AS badst
+            FROM j)
+      SELECT * FROM (
+        SELECT 'orderkey_unique' AS check_name, CAST(dk AS BIGINT) AS passing,
+               CAST(n AS BIGINT) AS total, dk = n AS ok FROM m
+        UNION ALL SELECT 'custkey_ri', CAST(n - orphans AS BIGINT),
+               CAST(n AS BIGINT), orphans = 0 FROM m
+        UNION ALL SELECT 'price_not_null', CAST(n - np AS BIGINT),
+               CAST(n AS BIGINT), np = 0 FROM m
+        UNION ALL SELECT 'price_positive', CAST(n - nonpos AS BIGINT),
+               CAST(n AS BIGINT), nonpos = 0 FROM m
+        UNION ALL SELECT 'status_in_set', CAST(n - badst AS BIGINT),
+               CAST(n AS BIGINT), badst = 0 FROM m)
+      ORDER BY check_name"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
-    q77)
+    q77, q81)
 }
