@@ -262,5 +262,47 @@ object Sources {
       GROUP BY 1
       ORDER BY 1"""))
 
-  val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79)
+  /** File provenance via the hidden `_metadata` struct — the lineage
+    * audit every regulated pipeline needs: which INPUT FILE did each row
+    * come from, row counts and key ranges per file, without any
+    * application-level bookkeeping columns baked into the data. Spark
+    * exposes `_metadata.file_path` (+ size/mod-time) on every file-source
+    * scan for free; the query normalizes the nondeterministic part-file
+    * names to their Hive partition directory so the report is
+    * deterministic and oracle-checkable (the oracle derives the same dirs
+    * from the partition values). Reference hook: A13's
+    * add_partitions_by_location walks exactly these directories. */
+  val q82 = GraftQuery(
+    "q82_file_provenance",
+    "_metadata.file_path lineage: per-input-file row counts and key ranges",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val spool = spoolDir("q82_prov")
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .coalesce(1).write.mode("overwrite")
+        .partitionBy("event_type").parquet(spool)
+      s.read.parquet(spool)
+        .select(col("event_id"), col("event_type"),
+          col("_metadata.file_path").as("fp"))
+        .withColumn("partition_dir",
+          regexp_extract(col("fp"), "(event_type=[^/]+)", 1))
+        .groupBy("partition_dir")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("fp")).as("n_files"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"))
+        .orderBy("partition_dir")
+    },
+    Some("""
+      SELECT 'event_type=' || event_type AS partition_dir,
+             count(*) AS n_rows,
+             CAST(1 AS BIGINT) AS n_files,
+             min(event_id) AS min_event,
+             max(event_id) AS max_event
+      FROM events
+      GROUP BY event_type
+      ORDER BY partition_dir"""))
+
+  val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82)
 }
