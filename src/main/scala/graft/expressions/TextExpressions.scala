@@ -1,7 +1,8 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -152,4 +153,47 @@ case class ShingleJaccard(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native table-generating function — the third extension seam (scalar
+  * Expression: DotProduct; typed Aggregator: WeightedAvg; Generator: this):
+  * emits one (pos, ngram) row per word n-gram of the input text, planned by
+  * Catalyst as a `Generate` node exactly like `explode`, but WITHOUT first
+  * materializing an intermediate array-of-strings per row — the HOF route
+  * (`explode(transform(sequence(...)))`) allocates the whole gram array
+  * before the explode copies it again; this streams grams straight into the
+  * Generate output. On a 100 TB text corpus that intermediate is corpus-
+  * sized allocation pressure for nothing. Non-distinct by design (t7-style
+  * counting wants every occurrence); `n` is bound at function-registration
+  * time from the SQL literal. */
+case class NGrams(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("ngram", StringType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else {
+      val words = t.asInstanceOf[UTF8String].toString.split(' ')
+      if (words.length < n) Nil
+      else new Iterator[InternalRow] {
+        private var i = 0
+        override def hasNext: Boolean = i <= words.length - n
+        override def next(): InternalRow = {
+          val sb = new java.lang.StringBuilder(words(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+          val row = InternalRow(i, UTF8String.fromString(sb.toString))
+          i += 1
+          row
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NGrams =
+    copy(child = newChild)
 }

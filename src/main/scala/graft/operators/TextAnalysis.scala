@@ -950,6 +950,40 @@ object TextAnalysis {
       FROM spans
       ORDER BY doc_id, chunk_id"""))
 
+  /** Corpus trigram vocabulary via the NATIVE `NGrams` Generator (the
+    * engine's table-function extension seam): Catalyst plans it as the
+    * same `Generate` node as `explode`, but grams stream straight into the
+    * generator output instead of materializing a per-row array first —
+    * the HOF route allocates a corpus-sized intermediate at 100 TB for
+    * nothing. Counting is non-distinct (every occurrence), map-side
+    * combined on the gram key. Oracle recomputes the grams in portable
+    * SQL → fully hash-checked, which also pins the generator's semantics
+    * (positions, short-doc edge, space joining) cross-engine. */
+  val t20 = GraftQuery(
+    "t20_native_ngram_vocab",
+    "Top-20 corpus trigrams via the native ngrams() Generator (no intermediate array)",
+    (s, dir) => {
+      import org.apache.spark.sql.GraftColumnBridge
+      val g = GraftColumnBridge.column(graft.expressions.NGrams(
+        GraftColumnBridge.expression(lower(col("text"))), 3))
+      table(s, dir, "documents")
+        .select(col("doc_id"), g.as(Seq("pos", "ngram")))
+        .groupBy("ngram")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(desc("n"), col("ngram"))
+        .limit(20)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                 FROM documents),
+      g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
+            FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i))
+      SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      FROM g
+      GROUP BY ngram
+      ORDER BY n DESC, ngram
+      LIMIT 20"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
-    t12, t13, t14, t15, t16, t17, t18, t19)
+    t12, t13, t14, t15, t16, t17, t18, t19, t20)
 }

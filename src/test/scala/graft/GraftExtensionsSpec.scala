@@ -50,6 +50,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s2.sql("SELECT dot_product(array(1.0F), array(2.0F))").head().getDouble(0) == 2.0)
   }
 
+  test("ngrams is callable as a SQL table function (LATERAL VIEW Generate)") {
+    val rows = spark.sql(
+      "SELECT g.* FROM (SELECT 'p q r' AS t) LATERAL VIEW ngrams(t, 2) g AS pos, ngram")
+      .collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((0, "p q"), (1, "q r")))
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }

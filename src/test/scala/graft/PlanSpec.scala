@@ -357,6 +357,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t20: native ngrams generator plans a Generate node with no array materialization") {
+    val p = plan(operators.TextAnalysis.t20.build(spark, sfDir))
+    assert(p.contains("Generate"), p)
+    assert(p.contains("ngrams") || p.contains("NGrams"), p)
+    // no transform/sequence HOF building an intermediate array below the Generate
+    assert(!p.contains("transform("), p)
+  }
+
   test("t13: mixture resample is one row_number shuffle, rank filter below the sort") {
     val p = plan(operators.TextAnalysis.t13.build(spark, sfDir))
     assert(p.contains("Window"), p)

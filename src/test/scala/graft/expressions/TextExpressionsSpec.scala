@@ -88,6 +88,21 @@ class TextExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 1)
   }
 
+  test("ngrams generator: positions, contents, short-doc and null edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    def grams(n: Int) = GraftColumnBridge.column(
+      NGrams(GraftColumnBridge.expression(col("t")), n))
+    val rows = Seq(Some("a b c d"), Some("a b"), None).toDF("t")
+      .select(grams(3).as(Seq("pos", "ngram"))).collect()
+    // "a b c d" -> (0, "a b c"), (1, "b c d"); "a b" too short; null skipped
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((0, "a b c"), (1, "b c d")))
+    val bi = Seq("x y z").toDF("t")
+      .select(grams(2).as(Seq("pos", "ngram"))).collect()
+    assert(bi.map(_.getString(1)).toSeq == Seq("x y", "y z"))
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
