@@ -785,5 +785,85 @@ object Similarity {
       ORDER BY rrf DESC, doc_id
       LIMIT 10"""))
 
-  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11)
+  /** Binary (1-bit) sign quantization + Hamming shortlist + exact rerank —
+    * the last rung of the compression ladder (float32 s1 → int8 s6 → PQ
+    * 8 B s8 → 8 B/vector here as ONE 64-bit word): candidate generation
+    * costs one XOR + popcount per comparison (SIMD-trivial, no float math
+    * at all), then only the 32-deep shortlist touches the float vectors.
+    * At 100 TB the code column is 64× smaller than the embeddings and the
+    * Hamming scan is the memory-bandwidth-optimal first pass; the same
+    * shortlist+rerank contract as s8. Every step is integer-exact or
+    * rounded-before-ranking → fully oracle-checked (no recall floor
+    * needed — the oracle IS the same algorithm cross-engine). */
+  val s12 = GraftQuery(
+    "s12_binary_hamming",
+    "1-bit sign codes (64 dims → one long): Hamming top-32 shortlist + exact cosine rerank top-3",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"),
+          expr("""aggregate(transform(sequence(1, 64),
+                    j -> IF(CAST(element_at(embedding, j) AS DOUBLE) > 0D,
+                            shiftleft(1L, j - 1), 0L)),
+                  0L, (a, x) -> a + x)""").as("code"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("code").as("qcode"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val short = broadcast(q.select(col("query_id"), col("qcode"))).crossJoin(
+          emb.select(col("vec_id"), col("code")))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          expr("bit_count(qcode ^ code)").as("hamming"))
+        .withColumn("hrank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("hamming"), col("vec_id"))))
+        .filter(col("hrank") <= 32)
+      short
+        .join(emb.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+        .join(q.select(col("query_id"), col("qe"), col("qn")), "query_id")
+        .select(col("query_id"), col("vec_id"), col("hamming"),
+          round(dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4)
+            .as("sim"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("hamming"), col("sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH c AS (
+        SELECT vec_id, embedding,
+               sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+               CAST(list_aggregate(list_transform(range(1, 65),
+                 j -> CASE WHEN CAST(embedding[CAST(j AS INTEGER)] AS DOUBLE) <= 0
+                           THEN 0
+                           -- DuckDB refuses 1<<63 (overflow-checked): the
+                           -- sign bit is spelled as long-min directly
+                           WHEN j = 64 THEN CAST(-9223372036854775808 AS BIGINT)
+                           ELSE (CAST(1 AS BIGINT) << (j - 1)) END),
+                 'sum') AS BIGINT) AS code
+        FROM embeddings),
+      short AS (
+        SELECT * FROM (
+          SELECT q.vec_id AS query_id, t.vec_id,
+                 bit_count(xor(q.code, t.code)) AS hamming,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY bit_count(xor(q.code, t.code)), t.vec_id) AS hrank
+          FROM c q JOIN c t ON q.vec_id < 10 AND q.vec_id <> t.vec_id)
+        WHERE hrank <= 32),
+      rer AS (
+        SELECT s.query_id, s.vec_id, s.hamming,
+               round(list_aggregate(list_transform(list_zip(q.embedding, t.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                 / (q.nrm * t.nrm), 4) AS sim
+        FROM short s
+        JOIN c q ON q.vec_id = s.query_id
+        JOIN c t ON t.vec_id = s.vec_id)
+      SELECT query_id, rank, vec_id, hamming, sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, vec_id) AS rank FROM rer)
+      WHERE rank <= 3
+      ORDER BY query_id, rank"""))
+
+  val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
+    s12)
 }
