@@ -603,5 +603,51 @@ object Dedup {
       WHERE CAST(inter AS DOUBLE) / sz.n >= 0.8
       ORDER BY contained, container"""))
 
-  val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9)
+  /** Incremental ingest dedup — the shape d1 (global batch) doesn't cover
+    * and the one a production corpus actually runs daily: an incoming
+    * batch is deduped (a) against the EXISTING corpus and (b) within
+    * itself, without ever re-scanning or re-writing the corpus. The
+    * corpus side reduces to its digest set (32 bytes/doc — at 100 TB this
+    * is the only thing the join touches, and it's exactly the d1 keep-list
+    * materialized once); the batch side left-anti-joins it, then keeps
+    * first-by-doc_id within its own digest groups. Fixture split: docs
+    * < 400 are "the corpus", ≥ 400 are "today's crawl". Deterministic →
+    * oracle-checked with per-doc verdicts. */
+  val d10 = GraftQuery(
+    "d10_incremental_dedup",
+    "New-batch vs existing-corpus dedup: anti-join on digests + first-within-batch",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), canonKey(col("text")).as("k"))
+      val corpus = docs.filter(col("doc_id") < 400).select(col("k")).distinct()
+      val batch = docs.filter(col("doc_id") >= 400)
+      batch
+        .join(corpus.withColumn("in_corpus", lit(true)), Seq("k"), "left_outer")
+        .withColumn("batch_rank",
+          row_number().over(Window.partitionBy("k").orderBy("doc_id")))
+        .select(col("doc_id"),
+          coalesce(col("in_corpus"), lit(false)).as("dup_of_corpus"),
+          (col("batch_rank") > 1).as("dup_in_batch"),
+          (col("in_corpus").isNull && col("batch_rank") === 1).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH k AS (SELECT doc_id,
+                        array_to_string((string_split(lower(text), ' '))[1:5], ' ')
+                          AS k
+                 FROM documents),
+      corpus AS (SELECT DISTINCT k FROM k WHERE doc_id < 400),
+      batch AS (SELECT doc_id, k.k,
+                       row_number() OVER (PARTITION BY k.k ORDER BY doc_id)
+                         AS batch_rank
+                FROM k WHERE doc_id >= 400)
+      SELECT b.doc_id,
+             c.k IS NOT NULL AS dup_of_corpus,
+             b.batch_rank > 1 AS dup_in_batch,
+             (c.k IS NULL AND b.batch_rank = 1) AS keep
+      FROM batch b LEFT JOIN corpus c ON c.k = b.k
+      ORDER BY b.doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10)
 }
