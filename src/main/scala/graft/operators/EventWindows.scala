@@ -248,5 +248,78 @@ object EventWindows {
       GROUP BY cohort_week, week_n
       ORDER BY cohort_week, week_n"""))
 
-  val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71)
+  /** Time-weighted average over IRREGULAR samples — the metric that plain
+    * avg() gets wrong the moment observations aren't equally spaced (a
+    * sensor reading held for 50 minutes must weigh 50× one held for a
+    * minute — TWAP in finance, duty-cycle in telemetry). Each reading's
+    * weight is its holding interval (lead(ts) − ts, last reading weightless
+    * by convention); one lead() window per user = one shuffle, then a plain
+    * weighted-sum aggregate. DECIMAL-exact weighted sums so partial-agg
+    * order can't move the result; micros-integer durations. */
+  val q83 = GraftQuery(
+    "q83_time_weighted_avg",
+    "Time-weighted average per user over irregular event samples (interval-weighted, TWAP shape)",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), dec2(col("value")).as("v"))
+        .withColumn("held_us",
+          (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))))
+        .filter(col("held_us").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("held_us")).as("observed_us"),
+          round((sum(col("v") * col("held_us")) / sum(col("held_us")))
+            .cast("double"), 4).as("twap"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH o AS (
+        SELECT user_id, CAST(value AS DECIMAL(14,2)) AS v,
+               epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id))
+                 - epoch_us(CAST(ts AS TIMESTAMP)) AS held_us
+        FROM events)
+      SELECT user_id, count(*) AS n_intervals,
+             CAST(sum(held_us) AS BIGINT) AS observed_us,
+             round(CAST(sum(v * held_us) / sum(held_us) AS DOUBLE), 4) AS twap
+      FROM o
+      WHERE held_us IS NOT NULL
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  /** Equi-width histogram via width_bucket — the profiling visualization
+    * primitive (q66 profiles nulls/distincts; this profiles the value
+    * DISTRIBUTION): 10 fixed bins over the declared domain plus the two
+    * out-of-range gutters width_bucket defines (bin 0 and n+1). One
+    * map-side-combined groupBy on (event_type, bin); bin edges are
+    * data-independent so the same report composes across corpus shards by
+    * addition — the mergeable-histogram property monitoring needs. */
+  val q84 = GraftQuery(
+    "q84_value_histogram",
+    "10-bin equi-width histogram of value per event_type (width_bucket, mergeable bins)",
+    (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          width_bucket(dec2(col("value")).cast("double"),
+            lit(0.0), lit(500.0), lit(10)).as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin"),
+    Some("""
+      -- DuckDB has no width_bucket: its exact semantics spelled out
+      -- (bin 0 below the domain, 1..10 inside at width 50, 11 at/above max)
+      WITH v AS (SELECT event_type,
+                        CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE) AS x
+                 FROM events)
+      SELECT event_type,
+             CASE WHEN x < 0.0 THEN 0
+                  WHEN x >= 500.0 THEN 11
+                  ELSE CAST(floor(x / 50.0) AS BIGINT) + 1 END AS bin,
+             count(*) AS n
+      FROM v
+      GROUP BY event_type, bin
+      ORDER BY event_type, bin"""))
+
+  val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84)
 }
