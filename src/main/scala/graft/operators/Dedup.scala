@@ -649,5 +649,61 @@ object Dedup {
       FROM batch b LEFT JOIN corpus c ON c.k = b.k
       ORDER BY b.doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10)
+  /** Leakage-free train/test split — the evaluation-hygiene op ML teams
+    * botch by splitting per-document: near-duplicates of a test doc left
+    * in train leak the answer (the same failure t10 scans for against
+    * EXTERNAL benchmarks, here against the corpus's own held-out split).
+    * The split unit is therefore the d6 duplicate CLUSTER: every member
+    * of a cluster lands in the same split by construction, singletons are
+    * their own unit, and assignment hashes the CLUSTER id (m7's portable
+    * ascii-of-md5-prefix trick — engine-portable, corpus-order
+    * independent). ~75/25 by cluster count at this threshold; the
+    * no-straddle property is structural (one hash per cluster), not
+    * sampled. Deterministic → oracle-checked per doc. */
+  val d11 = GraftQuery(
+    "d11_leakage_split",
+    "Cluster-granular train/test split: near-dups never straddle (hash on cluster id)",
+    (s, dir) => {
+      val labels = d6.build(s, dir).select(col("doc_id"), col("cluster_id"))
+      val docs = table(s, dir, "documents")
+        .filter(col("doc_id") < 300).select(col("doc_id"))
+      docs.join(labels, Seq("doc_id"), "left_outer")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("split",
+          when(ascii(substring(md5(col("cluster_id").cast("string")), 1, 1)) % 10 < 8,
+            "train").otherwise("test"))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents WHERE doc_id < 300),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      good AS (SELECT doc1, doc2 FROM pairs
+               JOIN sizes na ON na.doc_id = doc1
+               JOIN sizes nb ON nb.doc_id = doc2
+               WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.3),
+      edges AS (SELECT doc1 AS src, doc2 AS dst FROM good
+                UNION ALL SELECT doc2, doc1 FROM good),
+      reach AS (SELECT src AS id, src AS label FROM edges
+                UNION
+                SELECT e.dst AS id, r.label FROM reach r
+                JOIN edges e ON e.src = r.id),
+      labeled AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+      docs AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+               FROM documents d LEFT JOIN labeled l ON l.id = d.doc_id
+               WHERE d.doc_id < 300)
+      SELECT doc_id, cluster_id,
+             CASE WHEN ascii(substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) % 10 < 8
+                  THEN 'train' ELSE 'test' END AS split
+      FROM docs
+      ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11)
 }

@@ -137,6 +137,19 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"dup stage (${dupDocs.size}) != non-survivors (${(allDocs -- survivors).size})")
   }
 
+  test("d11: no duplicate cluster straddles the train/test boundary") {
+    val rows = operators.Dedup.d11.build(spark, sfDir).collect()
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cluster, members) =>
+      assert(members.map(_.getString(2)).distinct.length == 1,
+        s"cluster $cluster straddles splits — evaluation leakage")
+    }
+    // both splits are non-empty (a degenerate all-train split would
+    // trivially satisfy no-straddle)
+    val splits = rows.map(_.getString(2)).distinct.toSet
+    assert(splits == Set("train", "test"), s"splits: $splits")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
