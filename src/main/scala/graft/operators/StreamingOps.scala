@@ -983,6 +983,58 @@ object StreamingOps {
       GROUP BY user_id
       ORDER BY user_id"""))
 
+  /** Durable file sink + exactly-once commit log — every other st* query
+    * lands in a memory sink or foreachBatch; this one exercises the sink a
+    * production pipeline actually writes: `writeStream.format("parquet")`
+    * with partitionBy. The sink's `_spark_metadata` transaction log is the
+    * exactly-once mechanism: a batch's files become VISIBLE only when its
+    * commit record lands, and a batch read of the output directory
+    * consults that log — half-written files from a crashed batch are
+    * invisible to readers (the file-sink contract that makes streaming
+    * output safely re-readable at 100 TB). The replay writes partitioned
+    * parquet, the result is the batch re-read of the committed set, and
+    * the guard asserts the metadata log actually governs the read. */
+  val st14 = GraftQuery(
+    "st14_stream_file_sink",
+    "Parquet file sink with _spark_metadata commit log: committed-set read-back == batch agg",
+    (s, dir) => {
+      val batch = ev5(s, dir)
+      val id = runSeq.incrementAndGet()
+      val out = spoolDir(s"filesink_$id")
+      val ckpt = spoolDir(s"ckpt_filesink_$id")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt))
+      val spool = spoolOnce("events5", dir)(p =>
+        batch.coalesce(4).write.mode("overwrite").parquet(p))
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.schema(batch.schema).parquet(spool)
+          .writeStream.format("parquet")
+          .partitionBy("event_type")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      // the sink's exactly-once contract: the batch read below must be
+      // governed by the _spark_metadata commit log, not a directory listing
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(out, "_spark_metadata")),
+        "st14: file sink wrote no _spark_metadata commit log")
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
-    st10, st11, st12, st13)
+    st10, st11, st12, st13, st14)
 }
