@@ -254,35 +254,39 @@ object EventWindows {
     * minute — TWAP in finance, duty-cycle in telemetry). Each reading's
     * weight is its holding interval (lead(ts) − ts, last reading weightless
     * by convention); one lead() window per user = one shuffle, then a plain
-    * weighted-sum aggregate. DECIMAL-exact weighted sums so partial-agg
-    * order can't move the result; micros-integer durations. */
+    * weighted-sum aggregate. ENTIRELY integer arithmetic — cents × micros
+    * summed exactly, TWAP emitted in cents via integer floor division —
+    * because a double divide + round(4) sat exactly on a .5 boundary at
+    * sf0.1 and Spark (HALF_UP) and DuckDB (binary) rounded it apart; no
+    * float ever touches the result now. */
   val q83 = GraftQuery(
     "q83_time_weighted_avg",
     "Time-weighted average per user over irregular event samples (interval-weighted, TWAP shape)",
     (s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"), dec2(col("value")).as("v"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (dec2(col("value")) * 100).cast("long").as("cents"))
         .withColumn("held_us",
           (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))))
         .filter(col("held_us").isNotNull)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_intervals"),
           sum(col("held_us")).as("observed_us"),
-          round((sum(col("v") * col("held_us")) / sum(col("held_us")))
-            .cast("double"), 4).as("twap"))
+          expr("sum(cents * held_us) DIV sum(held_us)").as("twap_cents"))
         .orderBy("user_id")
     },
     Some("""
       WITH o AS (
-        SELECT user_id, CAST(value AS DECIMAL(14,2)) AS v,
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
                epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id))
                  - epoch_us(CAST(ts AS TIMESTAMP)) AS held_us
         FROM events)
       SELECT user_id, count(*) AS n_intervals,
              CAST(sum(held_us) AS BIGINT) AS observed_us,
-             round(CAST(sum(v * held_us) / sum(held_us) AS DOUBLE), 4) AS twap
+             CAST(sum(cents * held_us) // sum(held_us) AS BIGINT) AS twap_cents
       FROM o
       WHERE held_us IS NOT NULL
       GROUP BY user_id
