@@ -20,16 +20,37 @@ object Bench {
     // (events stores timestamp[ns]; the same legacy conf every events()
     // reader sets — without it the warm read would fail and warm nothing)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Seq("documents", "embeddings", "events", "lineitem", "orders").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+    // every fixture table in the sf dir (ADVICE r6: a hardcoded list missed
+    // customer, so its first reader still paid the cold scan)
+    val tables = Option(new java.io.File(sfDir).list()).getOrElse(Array.empty)
+      .filter(_.endsWith(".parquet")).sorted
+    tables.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t").count()
       catch { case _: Throwable => () }
     }
+    // optional comma-separated filter for targeted perf iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Shared-artifact pre-pass: build every spool / trained model ONCE,
+    // timed, each reported as its own x_* line in the output. Without this
+    // the min-of-2 policy charged the build to nobody (the first run of
+    // the building query was discarded) — VERDICT r6 item 2. Skipped under
+    // a filter unless explicitly selected, so targeted runs still see
+    // first-consumer-builds semantics.
+    val artifactTimes = SparkEntry.artifacts
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, build) =>
+        val t0 = System.nanoTime()
+        val ok = try { build(spark, sfDir); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    spark.catalog.clearCache()
     // two timed runs per query, report the min successful time (steady
     // state, not scheduler/GC noise); a query with no successful run
     // reports -1 so breakage is visible instead of looking fast
-    // optional comma-separated filter for targeted perf iteration
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
@@ -49,7 +70,8 @@ object Bench {
       // bounding session-wide growth.
       spark.catalog.clearCache()
       name -> (if (times.nonEmpty) times.min else -1.0)
-    }.toMap
+    }
+    val results = (artifactTimes ++ queryResults).toMap
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     // The harness captures only a bounded tail of stdout (2000 chars observed
     // in round 1, where the full-precision 63-query line overflowed and failed
@@ -62,9 +84,12 @@ object Bench {
       val qs = entries.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       // "filtered":true whenever SPARK_GRAFT_ONLY restricted the run, so a
-      // stray env var can't masquerade as full coverage (ADVICE r2)
+      // stray env var can't masquerade as full coverage (ADVICE r2).
+      // n_queries counts REAL queries; the x_* shared-artifact builds are
+      // extra map entries counted by n_artifacts and included in "value",
+      // so the total accounts for every job the suite runs.
       val filteredTag = if (only.isDefined) """"filtered":true,""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$filteredTag"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$filteredTag"n_queries":${queryResults.size},"n_artifacts":${artifactTimes.size},"queries":$qs,"sf":"$sfDir"}"""
     }
     // full per-query detail for humans, one line each (may scroll off the tail)
     results.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"# bench $k ${fmt(v)}") }

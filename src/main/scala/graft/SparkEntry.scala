@@ -28,4 +28,24 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
+
+  /** Shared artifacts built once per (sf, JVM) and reused across queries:
+    * replay spools, the d6 cluster-label spool, and the trained ANN index
+    * models (unit-vector spool, k-means centroids, PQ codebooks). Bench
+    * runs and times each BEFORE the query loop, reporting it as its own
+    * `x_*` line, so the build cost stays attributable instead of being
+    * discarded by the min-of-2 policy (VERDICT r6 item 2). Each build is
+    * idempotent; consumers trigger it lazily anyway if Bench didn't. */
+  def artifacts: Seq[(String, (SparkSession, String) => Unit)] =
+    operators.StreamingOps.spoolArtifacts ++ Seq[(String, (SparkSession, String) => Unit)](
+      "x_d6_labels_spool" ->
+        ((s, d) => { operators.Dedup.clusterLabels(s, d).count(); () }),
+      "x_ann_unit_spool" ->
+        ((s, d) => { operators.Similarity.unitVectors(s, d).count(); () }),
+      "x_ann_kmeans_train" ->
+        ((s, d) => { operators.Similarity.coarseCentroids(s, d); () }),
+      "x_ann_pq_train" ->
+        ((s, d) => { operators.Similarity.s8Codebooks(s, d); () }),
+      "x_ann_ivfpq_train" ->
+        ((s, d) => { operators.Similarity.s9Codebooks(s, d); () }))
 }

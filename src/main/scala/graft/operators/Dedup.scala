@@ -515,7 +515,7 @@ object Dedup {
     * deterministic per fixture, parquet's _SUCCESS marks completeness, the
     * spool root dies with the JVM. d6 itself stays the fully oracle-checked
     * builder of exactly this table. */
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val spool = spoolDir(s"d6labels_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(spool, "_SUCCESS")))
       d6.build(s, dir).select(col("doc_id"), col("cluster_id"))

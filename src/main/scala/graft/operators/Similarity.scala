@@ -339,49 +339,102 @@ object Similarity {
       WHERE rank <= 3
       ORDER BY query_id, rank"""))
 
-  /** IVF with a TRAINED coarse quantizer — the production fix for s5's
-    * recall caveat: 3 Lloyd iterations of k-means (k=10, deterministic
-    * init = the 10 lowest vec_ids, cosine-normalized means) learn cells
-    * that follow the data's geometry, so near-duplicate pairs co-locate
-    * and probing nprobe cells recovers them. Training is the distributed
-    * k-means loop (assign = broadcast-centroid argmax projection, update =
-    * one hash agg per iteration — the exact shape MLlib's KMeans runs);
-    * search is identical to s5. Engine-specific float iteration → rows-only
-    * check; QualitySpec pins recall ≥ s5's structural floor. */
-  val s7 = GraftQuery(
-    "s7_ivf_kmeans_topk",
-    "IVF ANN with k-means-trained quantizer (3 Lloyd iterations) + nprobe=4 + exact rerank",
-    (s, dir) => {
-      val k = 10
-      val emb = table(s, dir, "embeddings")
+  // ---------------------------------------------------------------------
+  // Shared ANN index artifacts, built ONCE per (sf, JVM) — the persisted
+  // intermediates a production ANN pipeline keeps anyway: you normalize the
+  // corpus once and TRAIN an index offline, then every query probes the
+  // stored model; nobody re-runs Lloyd iterations per search. Same contract
+  // as d6's cluster-label spool (Dedup.scala): content is deterministic per
+  // fixture, parquet's _SUCCESS marks completeness, the spool root dies
+  // with the JVM, and Bench charges each build as its own line
+  // (`x_ann_*`) so the cost stays attributable (VERDICT r6 item 2).
+  // ---------------------------------------------------------------------
+
+  /** Cosine-normalized unit vectors (vec_id, u: array<double>), spooled to
+    * parquet. The interpreted-HOF normalization `transform(e, x/nrm)` was
+    * the dominant re-paid cost in s7/s8/s9 (VERDICT r6 item 1: four
+    * re-scans per query); now it runs once per (sf, JVM). */
+  private[graft] def unitVectors(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val spool = spoolDir(s"ann_unit_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(spool, "_SUCCESS")))
+      table(s, dir, "embeddings")
         .withColumn("nrm", l2Norm(col("embedding")))
-      // normalized vectors so k-means optimizes cosine geometry; CACHED —
-      // every Lloyd iteration + the final assignment re-scans this
-      // projection, and the interpreted-HOF normalization is the expensive
-      // part. (Spark keys cached data by canonicalized plan, so repeated
-      // builds of this query reuse one entry instead of accumulating.)
-      val unit = emb.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
-        .cache()
-      var centroids: Array[Seq[Double]] = unit.orderBy("vec_id").limit(k)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
+        .write.mode("overwrite").parquet(spool)
+    s.read.parquet(spool)
+  }
+
+  /** Trained coarse quantizer (k=10, deterministic init = the 10 lowest
+    * vec_ids, 3 Lloyd rounds over the unit spool), memoized per (sf, JVM)
+    * and shared by s7 and s9 — identical to what each trained separately
+    * before (same init, same data, same rounds → same centroids). Assign =
+    * broadcast-centroid argmax projection, update = one 64-column hash agg
+    * per round: the exact shape MLlib's KMeans runs. Driver state is 10
+    * rows of model parameters. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private[graft] def coarseCentroids(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Array[Seq[Double]] =
+    modelCache.computeIfAbsent("coarse:" + dir, _ => {
+      val unit = unitVectors(s, dir).cache()
+      var centroids: Array[Seq[Double]] = unit.orderBy("vec_id").limit(10)
         .collect().map(_.getSeq[Double](1))
       for (_ <- 1 to 3) {
-        val cCol = array(centroids.toSeq.map(c => array(c.map(lit): _*)): _*)
         val assigned = unit
-          .withColumn("cs", cCol)
-          .withColumn("sims", transform(col("cs"), c => dotProduct(col("u"), c)))
+          .withColumn("sims", centroidSims(centroids))
           .withColumn("cell",
             array_position(col("sims"), array_max(col("sims"))).cast("int"))
-          .drop("cs", "sims")
         val means = assigned.groupBy("cell").agg(
           array((0 until 64).map(i => avg(element_at(col("u"), i + 1))): _*).as("m"))
           .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
         centroids = centroids.indices.map(i => means.getOrElse(i + 1, centroids(i))).toArray
       }
-      val cCol = array(centroids.toSeq.map(c => array(c.map(lit): _*)): _*)
+      unit.unpersist()
+      centroids
+    }).asInstanceOf[Array[Seq[Double]]]
+
+  /** Per-centroid similarity column: one codegen'd DotProduct per centroid
+    * instead of `transform(centroidArray, c => dot(u, c))` — HOF lambda
+    * bodies evaluate interpreted per element, outside whole-stage codegen,
+    * and this projection runs over the full corpus every Lloyd round and
+    * every assignment. k is bounded model state (10), so unrolling is k
+    * fused loops in one stage. */
+  private def centroidSims(centroids: Array[Seq[Double]]) =
+    array(centroids.toSeq.map(c =>
+      dotProduct(col("u"), array(c.map(lit): _*))): _*)
+
+  // PQ codebook plumbing shared by s8 (raw unit subvectors) and s9
+  // (residual subvectors): literal codebook column, per-subspace distance
+  // table, argmin code. cb(j)(k) = the k-th centroid of subspace j.
+  private def cbsCol(cb: Array[Array[Array[Double]]]) =
+    array(cb.map(jc => array(jc.map(kc => array(kc.map(lit): _*)): _*)): _*)
+  private def pqDistsCol(cb: Array[Array[Array[Double]]],
+      sv: org.apache.spark.sql.Column) =
+    transform(element_at(cbsCol(cb), col("j") + 1),
+      c => aggregate(zip_with(sv, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+  private def pqCodeCol(cb: Array[Array[Array[Double]]]) = {
+    val d = pqDistsCol(cb, col("sv"))
+    array_position(d, array_min(d)).cast("int")
+  }
+
+  /** IVF with a TRAINED coarse quantizer — the production fix for s5's
+    * recall caveat: k-means-learned cells follow the data's geometry, so
+    * near-duplicate pairs co-locate and probing nprobe cells recovers
+    * them. Training lives in [[coarseCentroids]] (built once per sf/JVM,
+    * shared with s9); search is identical to s5. Engine-specific float
+    * iteration → rows-only check; QualitySpec pins recall ≥ s5's
+    * structural floor. */
+  val s7 = GraftQuery(
+    "s7_ivf_kmeans_topk",
+    "IVF ANN with k-means-trained quantizer (3 Lloyd iterations) + nprobe=4 + exact rerank",
+    (s, dir) => {
+      val centroids = coarseCentroids(s, dir)
+      val unit = unitVectors(s, dir)
       val cells = unit
-        .withColumn("cs", cCol)
-        .withColumn("sims", transform(col("cs"), c => dotProduct(col("u"), c)))
+        .withColumn("sims", centroidSims(centroids))
         .select(col("vec_id"), col("sims"))
       // corpus: exact cell = argmax; queries: the nprobe=4 top cells
       val corpusCells = cells.select(col("vec_id"),
@@ -395,13 +448,14 @@ object Similarity {
       val pairs = probeCells.join(corpusCells, "cell")
         .filter(col("query_id") =!= col("vec_id"))
         .select("query_id", "vec_id").distinct()
-      val qv = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      // rerank on unit vectors: dot of units IS cosine, no norms needed
+      val qv = unit.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("u").as("qu"))
       val sim = broadcast(pairs)
         .join(broadcast(qv), "query_id")
-        .join(emb.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+        .join(unit, "vec_id")
         .select(col("query_id"), col("vec_id"),
-          (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("sim"))
+          dotProduct(col("qu"), col("u")).as("sim"))
       val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
       sim.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
@@ -424,39 +478,27 @@ object Similarity {
     * story at 100 TB: the full corpus of codes fits where 3% of the raw
     * embeddings would. Codebooks are data-derived → rows-only gate;
     * QualitySpec pins recall@3 against the exact cosine ranking. */
-  val s8 = GraftQuery(
-    "s8_pq_adc_topk",
-    "Product quantization (8 x 8-dim, 16-entry codebooks) + ADC lookup top-3",
-    (s, dir) => {
+  /** s8's 8 subspace codebooks (16 entries each), trained by 2 Lloyd
+    * rounds over the exploded (vec, subspace) frame — ONE distributed pass
+    * per round trains all 8 jointly; init = the first 16 vectors'
+    * subvectors. Memoized per (sf, JVM): codebooks are the trained-index
+    * artifact a PQ pipeline persists. Driver state = 128 8-dim rows. */
+  private[graft] def s8Codebooks(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Array[Array[Array[Double]]] =
+    modelCache.computeIfAbsent("pq8:" + dir, _ => {
       val M = 8; val D = 8; val K = 16
-      val emb = table(s, dir, "embeddings")
-        .withColumn("nrm", l2Norm(col("embedding")))
-      val unit = emb.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
-        .cache()
-      // (vec_id, subspace j, 8-dim subvector) — training + encoding frame
+      val unit = unitVectors(s, dir)
       val sub = unit.select(col("vec_id"), posexplode(
           array((0 until M).map(j => slice(col("u"), j * D + 1, D)): _*)))
         .toDF("vec_id", "j", "sv")
-        .cache() // scanned 4x: 2 training rounds + encode + query LUTs
-      def cbsCol(cb: Array[Array[Array[Double]]]) =
-        array(cb.map(jc => array(jc.map(kc => array(kc.map(lit): _*)): _*)): _*)
-      def distsCol(cb: Array[Array[Array[Double]]]) = transform(
-        element_at(cbsCol(cb), col("j") + 1),
-        c => aggregate(zip_with(col("sv"), c, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
-      def codeCol(cb: Array[Array[Array[Double]]]) = {
-        val d = distsCol(cb)
-        array_position(d, array_min(d)).cast("int")
-      }
-      // init: the first K vectors' subvectors seed each subspace codebook
+        .cache() // scanned twice (2 training rounds)
       var cb: Array[Array[Array[Double]]] = {
         val seed = unit.orderBy("vec_id").limit(K).collect()
           .map(_.getSeq[Double](1).toArray)
         Array.tabulate(M)(j => Array.tabulate(K)(k => seed(k).slice(j * D, j * D + D)))
       }
       for (_ <- 1 to 2) { // Lloyd rounds: assign (distributed) + mean (128 tiny rows)
-        val means = sub.withColumn("code", codeCol(cb))
+        val means = sub.withColumn("code", pqCodeCol(cb))
           .groupBy("j", "code")
           .agg(array((0 until D).map(i => avg(element_at(col("sv"), i + 1))): _*).as("m"))
           .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
@@ -464,14 +506,31 @@ object Similarity {
         cb = Array.tabulate(M)(j => Array.tabulate(K)(k =>
           means.getOrElse((j, k + 1), cb(j)(k))))
       }
+      sub.unpersist()
+      cb
+    }).asInstanceOf[Array[Array[Array[Double]]]]
+
+  val s8 = GraftQuery(
+    "s8_pq_adc_topk",
+    "Product quantization (8 x 8-dim, 16-entry codebooks) + ADC lookup top-3",
+    (s, dir) => {
+      val M = 8; val D = 8
+      val unit = unitVectors(s, dir)
+      val cb = s8Codebooks(s, dir)
+      // (vec_id, subspace j, 8-dim subvector) — encoding + query-LUT frame
+      val sub = unit.select(col("vec_id"), posexplode(
+          array((0 until M).map(j => slice(col("u"), j * D + 1, D)): _*)))
+        .toDF("vec_id", "j", "sv")
+        .cache() // scanned 2x: encode + query LUTs (training is memoized)
       // encode: 8 codes per corpus vector (the 8-byte representation)
-      val coded = sub.withColumn("code", codeCol(cb))
+      val coded = sub.withColumn("code", pqCodeCol(cb))
         .groupBy("vec_id")
         .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
           x => x("code")).as("codes"))
       // per-query ADC lookup tables: exact distance to every centroid
       val luts = sub.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("j"), distsCol(cb).as("dists"))
+        .select(col("vec_id").as("query_id"), col("j"),
+          pqDistsCol(cb, col("sv")).as("dists"))
         .groupBy("query_id")
         .agg(transform(array_sort(collect_list(struct(col("j"), col("dists")))),
           x => x("dists")).as("luts"))
@@ -522,71 +581,65 @@ object Similarity {
     *
     * Returns (scored candidate pairs, final top-3) so the spec can measure
     * the candidate fraction on the same plan the query runs. */
-  private[graft] def ivfPqParts(s: org.apache.spark.sql.SparkSession, dir: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val KCELLS = 10; val NPROBE = 4; val M = 8; val D = 8; val K = 16
-    val emb = table(s, dir, "embeddings")
-      .withColumn("nrm", l2Norm(col("embedding")))
-    val unit = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
-      .cache()
-    // --- coarse quantizer: s7's k-means loop (deterministic init, 3 rounds)
-    var centroids: Array[Seq[Double]] = unit.orderBy("vec_id").limit(KCELLS)
-      .collect().map(_.getSeq[Double](1))
-    for (_ <- 1 to 3) {
-      val cCol = array(centroids.toSeq.map(c => array(c.map(lit): _*)): _*)
-      val assigned = unit
-        .withColumn("sims", transform(cCol, c => dotProduct(col("u"), c)))
-        .withColumn("cell",
-          array_position(col("sims"), array_max(col("sims"))).cast("int"))
-      val means = assigned.groupBy("cell").agg(
-        array((0 until 64).map(i => avg(element_at(col("u"), i + 1))): _*).as("m"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      centroids = centroids.indices.map(i => means.getOrElse(i + 1, centroids(i))).toArray
-    }
+  /** The residual (vec, cell, subspace, 8-dim subvector) frame s9 trains
+    * and encodes over: r = u − centroid[argmax cell], exploded per
+    * subspace. Derived from the shared unit spool + coarse centroids. */
+  private def residSub(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val M = 8; val D = 8
+    val centroids = coarseCentroids(s, dir)
     val cCol = array(centroids.toSeq.map(c => array(c.map(lit): _*)): _*)
-    val sims = unit
-      .withColumn("sims", transform(cCol, c => dotProduct(col("u"), c)))
-    // --- residual frame: r = u − centroid[argmax cell], exploded into the
-    // (vec, cell, subspace, 8-dim subvector) shape s8 trains/encodes over
-    val resid = sims
+    val resid = unitVectors(s, dir)
+      .withColumn("sims", centroidSims(centroids))
       .withColumn("cell",
         array_position(col("sims"), array_max(col("sims"))).cast("int"))
       .withColumn("r", zip_with(col("u"), element_at(cCol, col("cell")),
         (a, b) => a - b))
-    val sub = resid.select(col("vec_id"), col("cell"), posexplode(
+    resid.select(col("vec_id"), col("cell"), posexplode(
         array((0 until M).map(j => slice(col("r"), j * D + 1, D)): _*)))
       .toDF("vec_id", "cell", "j", "sv")
-      .cache() // scanned 3x: 2 PQ training rounds + encode
-    def cbsCol(cb: Array[Array[Array[Double]]]) =
-      array(cb.map(jc => array(jc.map(kc => array(kc.map(lit): _*)): _*)): _*)
-    def distsCol(cb: Array[Array[Array[Double]]], sv: org.apache.spark.sql.Column) =
-      transform(element_at(cbsCol(cb), col("j") + 1),
-        c => aggregate(zip_with(sv, c, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x))
-    def codeCol(cb: Array[Array[Array[Double]]]) = {
-      val d = distsCol(cb, col("sv"))
-      array_position(d, array_min(d)).cast("int")
-    }
-    // init each subspace codebook from the first K residual subvectors
-    var cb: Array[Array[Array[Double]]] = {
-      val seed = sub.filter(col("vec_id") < K)
-        .select(col("vec_id"), col("j"), col("sv")).collect()
-        .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
-      val ids = seed.keys.map(_._1).toSeq.sorted
-      Array.tabulate(M)(j => Array.tabulate(K)(k => seed((ids(k), j))))
-    }
-    for (_ <- 1 to 2) {
-      val means = sub.withColumn("code", codeCol(cb))
-        .groupBy("j", "code")
-        .agg(array((0 until D).map(i => avg(element_at(col("sv"), i + 1))): _*).as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
-        .toMap
-      cb = Array.tabulate(M)(j => Array.tabulate(K)(k =>
-        means.getOrElse((j, k + 1), cb(j)(k))))
-    }
+  }
+
+  /** s9's residual codebooks (8 subspaces × 16 entries over residual
+    * subvectors), memoized per (sf, JVM); init = the first 16 vectors'
+    * residual subvectors, 2 Lloyd rounds — identical to what s9 trained
+    * inline before. */
+  private[graft] def s9Codebooks(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Array[Array[Array[Double]]] =
+    modelCache.computeIfAbsent("pq9:" + dir, _ => {
+      val M = 8; val D = 8; val K = 16
+      val sub = residSub(s, dir).cache() // scanned 3x: seed + 2 training rounds
+      var cb: Array[Array[Array[Double]]] = {
+        val seed = sub.filter(col("vec_id") < K)
+          .select(col("vec_id"), col("j"), col("sv")).collect()
+          .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+        val ids = seed.keys.map(_._1).toSeq.sorted
+        Array.tabulate(M)(j => Array.tabulate(K)(k => seed((ids(k), j))))
+      }
+      for (_ <- 1 to 2) {
+        val means = sub.withColumn("code", pqCodeCol(cb))
+          .groupBy("j", "code")
+          .agg(array((0 until D).map(i => avg(element_at(col("sv"), i + 1))): _*).as("m"))
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+          .toMap
+        cb = Array.tabulate(M)(j => Array.tabulate(K)(k =>
+          means.getOrElse((j, k + 1), cb(j)(k))))
+      }
+      sub.unpersist()
+      cb
+    }).asInstanceOf[Array[Array[Array[Double]]]]
+
+  private[graft] def ivfPqParts(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val NPROBE = 4; val M = 8; val D = 8
+    val centroids = coarseCentroids(s, dir)
+    val cCol = array(centroids.toSeq.map(c => array(c.map(lit): _*)): _*)
+    val unit = unitVectors(s, dir)
+    val sims = unit
+      .withColumn("sims", centroidSims(centroids))
+    val cb = s9Codebooks(s, dir)
     // encode: (vec_id, cell, 8 codes) — the 8-byte-per-vector inverted file
-    val coded = sub.withColumn("code", codeCol(cb))
+    val coded = residSub(s, dir).withColumn("code", pqCodeCol(cb))
       .groupBy("vec_id", "cell")
       .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
         x => x("code")).as("codes"))
@@ -607,7 +660,7 @@ object Similarity {
       .toDF("query_id", "cell", "j", "sv")
     val luts = qsub
       .select(col("query_id"), col("cell"), col("j"),
-        distsCol(cb, col("sv")).as("dists"))
+        pqDistsCol(cb, col("sv")).as("dists"))
       .groupBy("query_id", "cell")
       .agg(transform(array_sort(collect_list(struct(col("j"), col("dists")))),
         x => x("dists")).as("luts"))
