@@ -31,11 +31,19 @@ final class GraftCatalog(spark: SparkSession) {
 
   private def sessionCatalog = spark.sessionState.catalog
 
-  /** A pattern of plain characters and `*` wildcards is expressible in the
-    * session catalog's own listing dialect (`StringUtils.filterPattern`:
-    * `*` and `|` only); `?` and `[seq]` fnmatch forms are not. */
-  private def catalogPushable(p: String): Boolean =
-    !p.exists(c => c == '?' || c == '[' || c == '|')
+  /** A pattern is handed to the session catalog's own listing ONLY when
+    * every non-`*` character is a regex-safe literal. The catalog dialect
+    * (`StringUtils.filterPattern`) treats the pattern as a REGEX with
+    * `*`→`.*`: any other metachar (`+` `(` `)` `{` `^` `$` `\` …) would
+    * prune names the fnmatch contract keeps — e.g. `a+b*` as a regex
+    * misses table `a+b_x` — and an INVALID regex silently yields an empty
+    * listing; the residual filter can only prune, never restore (ADVICE
+    * r6). Over-matching is safe (the residual fnmatch filter prunes the
+    * extras), which is why `.` — any-char in regex, literal in fnmatch —
+    * and the dialect's case-insensitivity are fine; under-matching is the
+    * only unsafe direction. */
+  private[graft] def catalogPushable(p: String): Boolean =
+    p.forall(c => c.isLetterOrDigit || c == '_' || c == '*' || c == '.' || c == '-')
 
   /** A1/A2: all tables of all databases, optionally glob-filtered on the
     * table name (fnmatch dialect).

@@ -177,7 +177,11 @@ case class NGrams(child: Expression, n: Int)
     val t = child.eval(input)
     if (t == null) Nil
     else {
-      val words = t.asInstanceOf[UTF8String].toString.split(' ')
+      // limit -1 keeps trailing empty tokens — the contract DuckDB's
+      // string_split and Spark's split() HOF both follow; the default
+      // limit-0 split silently drops them, so a doc ending in a space
+      // would yield different gram counts cross-engine (ADVICE r6)
+      val words = t.asInstanceOf[UTF8String].toString.split(" ", -1)
       if (words.length < n) Nil
       else new Iterator[InternalRow] {
         private var i = 0

@@ -437,6 +437,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.toUpperCase.contains("RLIKE"), plan)
   }
 
+  test("A2/§4 pushdown decision: only regex-safe-literal patterns are pushed (ADVICE r6)") {
+    // The catalog listing treats the pattern as a regex ('*'→'.*'): a
+    // pushed pattern with any other metachar would under-match — prune
+    // names the fnmatch contract keeps — and the residual filter can't
+    // restore pruned rows. Pin the decision both ways.
+    val pushable = Seq("hive*", "*", "a_b*", "t.2024*", "a-b*", "Abc123*")
+    val unpushable = Seq("?os_t", "[hp]*_t", "a|b*", "a+b*", "a(b*", "a)b*",
+      "a{b*", "a}b*", "a^b*", "a$b*", "a\\b*")
+    pushable.foreach(p =>
+      assert(engine.catalog.catalogPushable(p), s"$p should push down"))
+    unpushable.foreach(p =>
+      assert(!engine.catalog.catalogPushable(p), s"$p must NOT push down"))
+    // behavioral: a regex-metachar pattern still returns the exact fnmatch
+    // answer via the unfiltered listing + residual ('+' is literal in
+    // fnmatch; as a pushed regex 'hive+*' would mean 'hiv' + 1+ 'e's and
+    // 'a{b*' would be an invalid regex yielding an EMPTY listing)
+    def names(p: String) = engine.catalog.listTables(Some(p))
+      .select("table_name").collect().map(_.getString(0)).toSet
+    assert(names("hive+*") == Set.empty)
+    assert(names("a{b*") == Set.empty)
+    assert(names("hive_t") == Set("hive_t")) // no wildcard at all: pushable literal
+  }
+
   test("async crawler run → 0") {
     assert(run("run_crawler", "events_crawler", "--async")._1 == 0)
     // bounded poll, not a fixed sleep — see drainJob

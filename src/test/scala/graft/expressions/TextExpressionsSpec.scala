@@ -101,6 +101,12 @@ class TextExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bi = Seq("x y z").toDF("t")
       .select(grams(2).as(Seq("pos", "ngram"))).collect()
     assert(bi.map(_.getString(1)).toSeq == Seq("x y", "y z"))
+    // trailing-space contract (ADVICE r6): trailing empty tokens are KEPT,
+    // matching split() HOF / DuckDB string_split — "x y " tokenizes to
+    // ["x","y",""] so bigrams are "x y" and "y " (y + empty)
+    val trail = Seq("x y ").toDF("t")
+      .select(grams(2).as(Seq("pos", "ngram"))).collect()
+    assert(trail.map(_.getString(1)).toSeq == Seq("x y", "y "))
   }
 
   override def afterAll(): Unit = {
