@@ -978,6 +978,166 @@ object StreamingOps {
       GROUP BY user_id
       ORDER BY user_id"""))
 
+  case class St15Log(us: Long, event_id: Long, cents: Long)
+  case class St15Out(user_id: Long, n_events: Long, n_types: Long,
+      total_cents: Long, top3_cents: Long, last_us: Long)
+
+  /** The rest of the arbitrary-state surface st13 opened: ListState,
+    * MapState and TTLConfig on the same transformWithState + RocksDB
+    * runtime — the feature-store shape a real pipeline keeps per key
+    * (a feature MAP keyed by event_type, an append-only event LOG, both
+    * TTL'd). State TTL is processing-time-based and requires
+    * TimeMode.ProcessingTime (the engine rejects TTL under EventTime —
+    * st13 keeps the event-time-timer half of the surface), so instead of
+    * a timer flush each batch emits a SNAPSHOT of the key's full state;
+    * n_events strictly grows per key, so the final state is the max-
+    * n_events row per user — selected by a window, arrival-order-free.
+    * The replay is st12's time-ordered tranche spool (3 micro-batches),
+    * so every user's map/log provably persists across batches.
+    *
+    * Both states stay BOUNDED per key — the MapState at one entry per
+    * event type (batch-local pre-aggregation, one read-modify-write per
+    * type per batch), the ListState at 3 entries (running top-3 by value,
+    * maintained read-merge-put; top-3 of stored∪batch tops is the global
+    * top-3 since batches partition the input) — the state discipline that
+    * survives 100 TB, vs an append-only log re-read per batch.
+    *
+    * TTL is exercised in BOTH directions, guarded by accumulators:
+    * the 1-hour TTL on the map/log must never expire mid-replay (revisits
+    * counter: keys that find their map alive in a later batch), while a
+    * 1-millisecond TTL ValueState written every batch must ALWAYS be
+    * expired by the time the key returns (any survival fails the run). */
+  val st15 = GraftQuery(
+    "st15_state_variables",
+    "transformWithState ListState+MapState+TTL (RocksDB): bounded per-user feature map & top-k log == batch agg",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+      import org.apache.spark.sql.Encoders
+      val revisits = s.sparkContext.longAccumulator("st15_ttl_live_revisits")
+      val flashHits = s.sparkContext.longAccumulator("st15_ttl_expired_hits")
+      class FeatureProcessor extends StatefulProcessor[Long, StEvent, St15Out] {
+        @transient private var perType: org.apache.spark.sql.streaming.MapState[String, StTally] = _
+        @transient private var log: org.apache.spark.sql.streaming.ListState[St15Log] = _
+        @transient private var flash: org.apache.spark.sql.streaming.ValueState[Long] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+          // 1h processing-time TTL — far beyond the replay: the feature
+          // map and log MUST survive every micro-batch or output breaks
+          perType = getHandle.getMapState[String, StTally]("perType",
+            Encoders.STRING, Encoders.product[StTally],
+            TTLConfig(java.time.Duration.ofHours(1)))
+          log = getHandle.getListState[St15Log]("log",
+            Encoders.product[St15Log], TTLConfig(java.time.Duration.ofHours(1)))
+          // 1ms TTL — stale long before the key's next micro-batch
+          flash = getHandle.getValueState[Long]("flash",
+            Encoders.scalaLong, TTLConfig(java.time.Duration.ofMillis(1)))
+        }
+        override def handleInputRows(key: Long, rows: Iterator[StEvent],
+            timers: TimerValues): Iterator[St15Out] = {
+          if (perType.exists()) revisits.add(1) // long-TTL state carried over
+          if (flash.exists()) flashHits.add(1)  // 1ms TTL failed to expire
+          // aggregate the batch LOCALLY first: state-store traffic is one
+          // read-modify-write per (key, event_type), never per row
+          val local = scala.collection.mutable.HashMap.empty[String, StTally]
+          val batchTop = scala.collection.mutable.ArrayBuffer.empty[St15Log]
+          rows.foreach { e =>
+            val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+            val cur = local.getOrElse(e.event_type, StTally(0L, 0L, 0L))
+            local(e.event_type) =
+              StTally(cur.n + 1, cur.cents + e.cents, math.max(cur.lastUs, us))
+            batchTop += St15Log(us, e.event_id, e.cents)
+          }
+          local.foreach { case (t, b) =>
+            val cur = if (perType.containsKey(t)) perType.getValue(t)
+                      else StTally(0L, 0L, 0L)
+            perType.updateValue(t,
+              StTally(cur.n + b.n, cur.cents + b.cents, math.max(cur.lastUs, b.lastUs)))
+          }
+          // BOUNDED top-k log via read-merge-put: top-3 of (stored top-3 ∪
+          // batch top-3) IS the global top-3 (batches partition the input).
+          // An append-only log re-read per batch is the unbounded-state
+          // anti-pattern this surface exists to avoid at 100 TB.
+          val merged = (log.get().toSeq ++
+              batchTop.sortBy(l => (-l.cents, l.event_id)).take(3))
+            .sortBy(l => (-l.cents, l.event_id)).take(3)
+          log.put(merged.toArray)
+          flash.update(1L)
+          // snapshot of the key's bounded state; n_events strictly grows,
+          // so the final state is the max-n_events snapshot per key, and
+          // nothing here depends on within-batch arrival order
+          val types = perType.iterator().toSeq
+          Iterator.single(St15Out(key,
+            types.map(_._2.n).sum, types.size.toLong,
+            types.map(_._2.cents).sum, merged.map(_.cents).sum,
+            types.map(_._2.lastUs).foldLeft(0L)(math.max)))
+        }
+      }
+      val savedProvider = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val out = try {
+        val snaps = replayFiles(s, "st12ts", dir,
+          src => {
+            import s.implicits._
+            src
+              // cohort bound, pushed to the spool scan: this op grades the
+              // per-key state machinery; throughput is st1-st3's business
+              .filter(col("user_id") < 50)
+              .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+                (dec2(col("value")) * 100).cast("long").as("cents"))
+              .as[(Long, java.sql.Timestamp, Long, String, Long)]
+              .map(r => StEvent(r._1, r._2, r._3, r._4, r._5))
+              .groupByKey(_.user_id)
+              .transformWithState(new FeatureProcessor,
+                TimeMode.ProcessingTime(), OutputMode.Append(),
+                Encoders.product[St15Out])
+              .toDF()
+          },
+          OutputMode.Append(), noDataBatch = false, parts = 2)
+        // final state per user = the snapshot with the highest n_events
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(desc("n_events"))
+        snaps.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("user_id"), col("n_events"), col("n_types"),
+            (col("total_cents").cast("double") / 100).as("total_value"),
+            (col("top3_cents").cast("double") / 100).as("top3_value"),
+            timestamp_micros(col("last_us")).cast("timestamp_ntz").as("last_ts"))
+          .orderBy("user_id")
+      } finally {
+        savedProvider match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+      // TTL contract, both directions (replay-time guards)
+      require(revisits.value > 0,
+        "st15: no key found its 1h-TTL state alive in a later batch — state did not carry")
+      require(flashHits.value == 0,
+        s"st15: 1ms-TTL state survived ${flashHits.value} revisit(s) — TTL expiry not enforced")
+      out
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, event_type,
+                        CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+                        CAST(ts AS TIMESTAMP) AS ts
+                 FROM events WHERE user_id < 50),
+      agg AS (SELECT user_id, count(*) AS n_events,
+                     count(DISTINCT event_type) AS n_types,
+                     sum(cents) AS total_cents, max(ts) AS last_ts
+              FROM e GROUP BY user_id),
+      ranked AS (SELECT user_id, cents,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY cents DESC, event_id) AS rk
+                 FROM e),
+      top3 AS (SELECT user_id, sum(cents) AS top3_cents
+               FROM ranked WHERE rk <= 3 GROUP BY user_id)
+      SELECT a.user_id, a.n_events, a.n_types,
+             CAST(a.total_cents AS DOUBLE) / 100 AS total_value,
+             CAST(t.top3_cents AS DOUBLE) / 100 AS top3_value,
+             a.last_ts
+      FROM agg a JOIN top3 t USING (user_id)
+      ORDER BY a.user_id"""))
+
   /** Durable file sink + exactly-once commit log — every other st* query
     * lands in a memory sink or foreachBatch; this one exercises the sink a
     * production pipeline actually writes: `writeStream.format("parquet")`
@@ -1042,5 +1202,5 @@ object StreamingOps {
         ((s: SparkSession, d: String) => { fileSpool(s, k, d); () }))
 
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
-    st10, st11, st12, st13, st14)
+    st10, st11, st12, st13, st14, st15)
 }
