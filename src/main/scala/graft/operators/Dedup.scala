@@ -722,5 +722,90 @@ object Dedup {
       FROM docs
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11)
+  /** Exact MinHash+LSH ground truth — d2's oracle-checked twin, completing
+    * the d3↔d2 / d7↔d4 pattern for the BANDING pipeline itself: d2's
+    * signature (murmur3 + native expression) is engine-specific, so this
+    * twin derives shingle hashes from md5 (the hash both engines share,
+    * d7's idiom) and runs the exact same architecture — k=16 affine
+    * permutation minima, 4 bands × 4 rows, candidates = pairs sharing a
+    * band, plus the MinHash Jaccard ESTIMATE (equal-minima fraction) —
+    * every step in portable integer arithmetic, hash-checkable end-to-end.
+    * All moduli keep products under 2^62: h is folded to h32 < 2^32 and
+    * a_j < 2^30, so both engines stay in exact signed-64 range. Counts and
+    * sixteenths (k/16 is exact in binary) make the output float-safe.
+    * Bounded range like d3/d7; the scale path remains d2's banding over
+    * the native signature. */
+  val d12 = {
+    val P = 4294967291L  // modulus: smallest prime above 2^32
+    val A = 1073741789L  // a_j/b_j domain: prime below 2^30 (overflow-safe)
+    GraftQuery(
+      "d12_minhash_exact",
+      "Exact md5-MinHash(16) + 4×4 LSH banding + estimate over doc_id < 300 (d2's cross-engine twin)",
+      (s, dir) => {
+        val sh = table(s, dir, "documents")
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+        val h = sh.select(col("doc_id"),
+          expr(s"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $P").as("h32"))
+        // per-(doc, permutation) minima: the explode runs pre-aggregation
+        // with map-side combine (d7's vote shape) — the shuffle carries
+        // ≤ 16 rows per doc, not 16 rows per shingle
+        // j as BIGINT: the permutation arithmetic below overflows INT range
+        val m = h.select(col("doc_id"), col("h32"),
+            explode(sequence(lit(0L), lit(15L))).as("j"))
+          .groupBy("doc_id", "j")
+          .agg(min(expr(
+            s"(((1103515245 * (j + 1) + 12345) % $A) * h32 + ((12345 * (j + 7) + 6789) % $A)) % $P"))
+            .as("m"))
+          .cache() // tiny (docs × 16); read by banding AND the estimate join
+        val sig = m.withColumn("band", (col("j") / 4).cast("int"))
+          .groupBy("doc_id", "band")
+          .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("m")))),
+            x => x("m").cast("string")), ":").as("bucket"))
+        val cand = sig.as("a").join(sig.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+          .distinct()
+        cand
+          .join(m.select(col("doc_id").as("doc1"), col("j"), col("m").as("ma")), Seq("doc1"))
+          .join(m.select(col("doc_id").as("doc2"), col("j"), col("m").as("mb")), Seq("doc2", "j"))
+          .groupBy("doc1", "doc2")
+          .agg(sum(when(col("ma") === col("mb"), 1).otherwise(0)).as("n_equal"))
+          .select(col("doc1"), col("doc2"), col("n_equal"),
+            round(col("n_equal").cast("double") / 16, 4).as("est_jaccard"))
+          .orderBy("doc1", "doc2")
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                   FROM documents WHERE doc_id < 300),
+        sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+               FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        h AS (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $P AS h32
+              FROM sh),
+        m AS (SELECT doc_id, j,
+                     min((((1103515245 * (j + 1) + 12345) % $A) * h32
+                          + ((12345 * (j + 7) + 6789) % $A)) % $P) AS m
+              FROM h, UNNEST(range(16)) AS t(j)
+              GROUP BY doc_id, j),
+        sig AS (SELECT doc_id, j // 4 AS band,
+                       string_agg(CAST(m AS VARCHAR), ':' ORDER BY j) AS bucket
+                FROM m GROUP BY doc_id, j // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                 FROM sig a JOIN sig b
+                   ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id)
+        SELECT c.doc1, c.doc2,
+               CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS BIGINT) AS n_equal,
+               round(CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE) / 16,
+                     4) AS est_jaccard
+        FROM cand c
+        JOIN m ma ON ma.doc_id = c.doc1
+        JOIN m mb ON mb.doc_id = c.doc2 AND mb.j = ma.j
+        GROUP BY c.doc1, c.doc2
+        ORDER BY doc1, doc2"""))
+  }
+
+  val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12)
 }
