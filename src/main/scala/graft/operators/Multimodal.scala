@@ -34,6 +34,25 @@ object Multimodal {
       byte_sum = b.map(x => (x & 0xff).toLong).sum)
   }
 
+  /** The decoder at the codec seam: a REAL image decode first
+    * (javax.imageio — PNG/JPEG/GIF/BMP readers ship with the JVM, no
+    * external libs), falling back to the labeled deterministic fake for
+    * payloads that aren't decodable images. The driver fixture stores
+    * text bytes, so every fixture row takes the fake path and the oracle
+    * stays SQL-replayable; the real path (true pixel dimensions from the
+    * decoded frame) is pinned by MultimodalDecodeSpec on a PNG synthesized
+    * in memory. ImageIO probes magic bytes before committing a reader, so
+    * the non-image rejection is cheap per row. */
+  private[graft] def decode(r: MediaRow): DecodedMedia = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      catch { case _: Throwable => null }
+    if (img != null)
+      DecodedMedia(r.doc_id, img.getWidth.toLong, img.getHeight.toLong,
+        r.content.length.toLong, r.content.map(x => (x & 0xff).toLong).sum)
+    else fakeDecode(r)
+  }
+
   /** Multimodal record assembly: documents ⋈ embeddings into one row of
     * (metadata struct, binary payload, embedding), with digest/size
     * features computed Spark-side. */
@@ -66,17 +85,19 @@ object Multimodal {
       ORDER BY d.doc_id"""))
 
   /** Per-partition decode of the binary payload through the typed Dataset
-    * seam (mapPartitions — where a real codec plugs in). The fake features
-    * are integer-exact, so the oracle can replay them in SQL. */
+    * seam (mapPartitions — codec state reused across a partition's rows).
+    * The decode itself is real (ImageIO) with a deterministic fake
+    * fallback for non-image payloads; the fixture is all-text, so its
+    * features stay integer-exact and the oracle replays them in SQL. */
   val m2 = GraftQuery(
     "m2_decode_features",
-    "Binary payload → per-partition (stub) decode → typed feature rows",
+    "Binary payload → per-partition decode (ImageIO, fake fallback) → typed feature rows",
     (s, dir) => {
       import s.implicits._
       table(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("content"))
         .as[MediaRow]
-        .mapPartitions(rows => rows.map(fakeDecode))
+        .mapPartitions(rows => rows.map(decode))
         .toDF()
         .orderBy("doc_id")
     },

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Pins the REAL half of the m2 codec seam: payloads that are decodable
+  * images go through javax.imageio and report true pixel dimensions;
+  * anything else falls back to the labeled deterministic fake the oracle
+  * replays in SQL. The fixture tables contain only text payloads, so this
+  * is the one place the image path is exercised — on a PNG synthesized in
+  * memory, through the same mapPartitions pipeline m2 runs. */
+class MultimodalDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-multimodal-decode-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("m2 decode: real PNG payloads report true pixel dimensions via ImageIO") {
+    import spark.implicits._
+    val payload = png(7, 3)
+    val textBytes = "plain text payload".getBytes("UTF-8")
+    val rows = Seq(
+      operators.Multimodal.MediaRow(1L, payload),
+      operators.Multimodal.MediaRow(2L, textBytes))
+    val out = rows.toDS()
+      .mapPartitions(rs => rs.map(operators.Multimodal.decode))
+      .collect().map(d => d.doc_id -> d).toMap
+    // image path: dimensions come from the decoded frame, not byte games
+    assert(out(1L).width == 7 && out(1L).height == 3)
+    assert(out(1L).byte_len == payload.length)
+    // non-image path: the deterministic fake (first-byte arithmetic)
+    assert(out(2L).width == (textBytes(0) & 0xff) % 64 + 1)
+    assert(out(2L).height == (textBytes(1) & 0xff).toLong)
+    assert(out(2L).byte_sum == textBytes.map(b => (b & 0xff).toLong).sum)
+  }
+
+  test("m2 decode: corrupt image header falls back to the fake, never throws") {
+    val broken = png(4, 4).take(16) // valid PNG magic, truncated body
+    val d = operators.Multimodal.decode(operators.Multimodal.MediaRow(9L, broken))
+    assert(d.byte_len == 16)
+    assert(d.width == (broken(0) & 0xff) % 64 + 1)
+  }
+
+  override def afterAll(): Unit = {
+    try spark.stop() finally super.afterAll()
+  }
+}
