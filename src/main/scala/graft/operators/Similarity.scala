@@ -917,6 +917,86 @@ object Similarity {
       WHERE rank <= 3
       ORDER BY query_id, rank"""))
 
+  /** Matryoshka / truncated-dimension retrieval (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022 — the pattern
+    * OpenAI/Cohere embedding APIs expose as `dimensions=`): score a cheap
+    * PREFIX of the embedding first (here 16 of 64 dims — 4× less compute
+    * and memory bandwidth per candidate), keep a top-32 shortlist per
+    * query, then rerank only the shortlist with full-dimension cosine.
+    * Same two-stage contract as s8/s12, but the first stage needs no
+    * training and no extra index — just a sliced column — which is why
+    * it has become the default cheap ANN on MRL-trained embeddings. At
+    * 100 TB the prefix scan reads 1/4 of the vector bytes (or a separate
+    * 16-dim column written at ingest) and the full vectors are fetched
+    * for 32 rows/query. Prefix scores are rounded BEFORE the shortlist
+    * rank (s10's lesson) and ties break on vec_id, so the boundary is
+    * float-noise-insensitive → fully oracle-checked. */
+  val s13 = GraftQuery(
+    "s13_matryoshka_prefix",
+    "Matryoshka ANN: 16-dim prefix cosine top-32 shortlist + full 64-dim exact rerank top-3",
+    (s, dir) => {
+      val PRE = 16
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          l2Norm(col("embedding")).as("nrm"),
+          slice(col("embedding"), 1, PRE).as("pre"))
+        .withColumn("pnrm", l2Norm(col("pre")))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("pre").as("qpre"),
+          col("pnrm").as("qpn"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val short = broadcast(q.select(col("query_id"), col("qpre"), col("qpn")))
+        .crossJoin(emb.select(col("vec_id"), col("pre"), col("pnrm")))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(dotProduct(col("qpre"), col("pre")) / (col("qpn") * col("pnrm")), 4)
+            .as("psim"))
+        .withColumn("prank", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("psim"), col("vec_id"))))
+        .filter(col("prank") <= 32)
+      short
+        .join(emb.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+        .join(q.select(col("query_id"), col("qe"), col("qn")), "query_id")
+        .select(col("query_id"), col("vec_id"), col("psim"),
+          round(dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 4)
+            .as("sim"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("psim"), col("sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH c AS (
+        SELECT vec_id, embedding,
+               sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+               embedding[1:16] AS pre,
+               sqrt(list_aggregate(list_transform(embedding[1:16],
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS pnrm
+        FROM embeddings),
+      short AS (
+        SELECT * FROM (
+          SELECT q.vec_id AS query_id, t.vec_id,
+                 round(list_aggregate(list_transform(list_zip(q.pre, t.pre),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                   / (q.pnrm * t.pnrm), 4) AS psim
+          FROM c q JOIN c t ON q.vec_id < 10 AND q.vec_id <> t.vec_id)
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                  ORDER BY psim DESC, vec_id) <= 32),
+      rer AS (
+        SELECT s.query_id, s.vec_id, s.psim,
+               round(list_aggregate(list_transform(list_zip(q.embedding, t.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                 / (q.nrm * t.nrm), 4) AS sim
+        FROM short s
+        JOIN c q ON q.vec_id = s.query_id
+        JOIN c t ON t.vec_id = s.vec_id)
+      SELECT query_id, rank, vec_id, psim, sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, vec_id) AS rank FROM rer)
+      WHERE rank <= 3
+      ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
-    s12)
+    s12, s13)
 }

@@ -984,6 +984,73 @@ object TextAnalysis {
       ORDER BY n DESC, ngram
       LIMIT 20"""))
 
+  /** Interpolated bigram LM surprisal — t15's unigram score upgraded to
+    * the shape real quality filtering uses (KenLM-style n-gram scoring à
+    * la CCNet/Gopher: low perplexity ≈ fluent text, high ≈ garbage):
+    * P(w|prev) from corpus bigram counts, linearly interpolated with the
+    * unigram distribution (λ=0.7) so unseen-context tokens never hit
+    * log(0), then mean −ln P per doc over bigram positions.
+    *
+    * Scale posture: bigrams are built ROW-LOCALLY from the token array
+    * (a transform over adjacent pairs — no window shuffle, no self-join);
+    * the LM tables are Zipf-bounded aggregates (bigram vocab ≪ corpus) and
+    * the scoring join keys on (prev, cur) — text itself never re-shuffles,
+    * t15's discipline. The conditioning count is Σ_cur C(prev, cur) (prev
+    * as a bigram PREFIX), so probabilities sum to 1 per context by
+    * construction. */
+  val t21 = GraftQuery(
+    "t21_bigram_surprisal",
+    "Mean interpolated bigram surprisal per doc (0.7·P(w|prev) + 0.3·P(w), corpus LM)",
+    (s, dir) => {
+      val ws = table(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+      val bi = ws.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+             i -> struct(element_at(ws, i) AS prev, element_at(ws, i + 1) AS cur))"""))
+          .as("b"))
+        .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+      val toks = ws.select(explode(col("ws")).as("w"))
+      val uniP = toks.groupBy("w").agg(count(lit(1)).as("ucnt"))
+        .crossJoin(broadcast(toks.agg(count(lit(1)).as("tot"))))
+        .select(col("w").as("cur"),
+          (col("ucnt").cast("double") / col("tot")).as("puni"))
+      val biCnt = bi.groupBy("prev", "cur").agg(count(lit(1)).as("bcnt"))
+      val prevCnt = biCnt.groupBy("prev").agg(sum("bcnt").as("pcnt"))
+      val lm = biCnt.join(prevCnt, "prev")
+        .select(col("prev"), col("cur"),
+          (col("bcnt").cast("double") / col("pcnt")).as("pbi"))
+      bi.join(lm, Seq("prev", "cur"))
+        .join(uniP, Seq("cur"))
+        .select(col("doc_id"),
+          log(lit(0.7) * col("pbi") + lit(0.3) * col("puni")).as("lp"))
+        .groupBy("doc_id")
+        .agg(round(-avg(col("lp")), 4).as("bigram_surprisal"),
+          count(lit(1)).as("n_bigrams"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                 FROM documents),
+      bi AS (SELECT doc_id, ws[CAST(i AS INTEGER)] AS prev,
+                    ws[CAST(i + 1 AS INTEGER)] AS cur
+             FROM w, UNNEST(range(1, len(ws))) AS t(i)
+             WHERE len(ws) >= 2),
+      toks AS (SELECT unnest(ws) AS w FROM w),
+      uni AS (SELECT w AS cur,
+                     count(*) / CAST(sum(count(*)) OVER () AS DOUBLE) AS puni
+              FROM toks GROUP BY w),
+      bc AS (SELECT prev, cur, count(*) AS bcnt FROM bi GROUP BY prev, cur),
+      pc AS (SELECT prev, sum(bcnt) AS pcnt FROM bc GROUP BY prev),
+      lm AS (SELECT prev, cur, bcnt / CAST(pcnt AS DOUBLE) AS pbi
+             FROM bc JOIN pc USING (prev))
+      SELECT doc_id,
+             round(-avg(ln(0.7 * pbi + 0.3 * puni)), 4) AS bigram_surprisal,
+             count(*) AS n_bigrams
+      FROM bi JOIN lm USING (prev, cur) JOIN uni USING (cur)
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
-    t12, t13, t14, t15, t16, t17, t18, t19, t20)
+    t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
 }
