@@ -6,10 +6,14 @@ import org.apache.spark.sql.types.LongType
 /** Multimodal-column operators (BASELINE.json north star): media payloads
   * are opaque `binary` columns with typed metadata structs; decode /
   * feature-extraction runs per-partition at the Dataset seam where a real
-  * codec would sit. The container has no image/audio libraries, so the
-  * decode step is a clearly-marked deterministic fake — the Spark-side
-  * plumbing (schema, join, binary handling, partition-wise batch shape) is
-  * real and oracle-checked.
+  * codec sits. m2's image decode IS real (javax.imageio, JVM-built-in)
+  * with a clearly-marked deterministic fake as the non-image fallback —
+  * the driver fixture stores text payloads, so fixture rows take the fake
+  * path and stay SQL-oracle-checkable, while the image path is spec-pinned
+  * on synthesized PNGs. Audio/video remain byte-level stand-ins (no codecs
+  * in the JVM); their Spark-side plumbing (schema, join, binary handling,
+  * partition-wise batch shape, window/frame fan-out) is real and
+  * oracle-checked.
   */
 object Multimodal {
 
@@ -329,5 +333,79 @@ object Multimodal {
       ORDER BY doc_id"""
     })
 
-  val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7)
+  /** Energy-gated segment extraction — the VAD (voice-activity-detection)
+    * shape of an audio pipeline: m5's overlapping windows are thresholded
+    * against the payload's mean energy, and runs of consecutive active
+    * windows merge into segments (gaps-and-islands: win_no − row_number
+    * is constant within a run). The threshold compare is INTEGER
+    * cross-multiplication (energy·n > total ⇔ energy > mean — text char
+    * codes are low-variance, so the gate is the doc's own mean; a real
+    * VAD would use a noise-floor multiplier the same way) so no float
+    * ever enters the gate → fully oracle-checked. Shape at
+    * 100 TB: windows shuffle once on doc_id for the per-doc stats and
+    * island numbering (both in the same window exchange), segments are
+    * one partial-agg groupBy — payload bytes never move after the scan.
+    * A real pipeline swaps the char-code energy for codec RMS; the gate,
+    * merge, and segment accounting are the production dataflow. */
+  val m8 = GraftQuery(
+    "m8_active_segments",
+    "Energy gate (> doc mean) + contiguous-window merge → active segments per payload",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val win = 32; val hop = 16
+      val w = table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("n_win",
+          (floor((length(col("text")) - win) / hop) + 1).cast("int"))
+        .filter(col("n_win") > 0)
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(0), col("n_win") - 1)).as(Seq("idx", "win_no")))
+        .select(col("doc_id"), col("win_no").cast("long").as("win_no"),
+          aggregate(transform(split(col("text").substr(col("win_no") * hop + 1, lit(win)), ""),
+            c => ascii(c).cast("long")), lit(0L), (acc, x) => acc + x).as("energy"))
+      val byDoc = Window.partitionBy("doc_id")
+      val gated = w
+        .withColumn("tot", sum("energy").over(byDoc))
+        .withColumn("nw", count(lit(1)).over(byDoc))
+        .filter(col("energy") * col("nw") > col("tot"))
+        .withColumn("grp", col("win_no") -
+          row_number().over(Window.partitionBy("doc_id").orderBy("win_no")))
+      gated.groupBy("doc_id", "grp")
+        .agg(min("win_no").as("w0"), max("win_no").as("w1"),
+          count(lit(1)).as("n_windows"),
+          max("energy").as("peak_energy"), sum("energy").as("seg_energy"))
+        .select(col("doc_id"),
+          (col("w0") * hop).cast("long").as("start_offset"),
+          (col("w1") * hop + win).cast("long").as("end_offset"),
+          col("n_windows"), col("peak_energy"), col("seg_energy"))
+        .orderBy("doc_id", "start_offset")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, win_no,
+               CAST(list_aggregate(list_transform(
+                 string_split(substring(text, CAST(win_no * 16 + 1 AS INTEGER), 32), ''),
+                 c -> ascii(c)), 'sum') AS BIGINT) AS energy
+        FROM (SELECT doc_id, text,
+                     unnest(range(0, (length(text) - 32) // 16 + 1)) AS win_no
+              FROM documents
+              WHERE (length(text) - 32) // 16 + 1 > 0)),
+      tot AS (SELECT doc_id, sum(energy) AS tot, count(*) AS nw
+              FROM w GROUP BY doc_id),
+      act AS (SELECT w.doc_id, win_no, energy,
+                     win_no - row_number() OVER (PARTITION BY w.doc_id
+                       ORDER BY win_no) AS grp
+              FROM w JOIN tot USING (doc_id)
+              WHERE energy * nw > tot)
+      SELECT doc_id,
+             min(win_no) * 16 AS start_offset,
+             max(win_no) * 16 + 32 AS end_offset,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             max(energy) AS peak_energy,
+             CAST(sum(energy) AS BIGINT) AS seg_energy
+      FROM act
+      GROUP BY doc_id, grp
+      ORDER BY doc_id, start_offset"""))
+
+  val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8)
 }

@@ -508,6 +508,93 @@ object Warehouse {
                CAST(n AS BIGINT), badst = 0 FROM m)
       ORDER BY check_name"""))
 
+  /** Right-to-erasure (GDPR art. 17) delete cascade — the warehouse op a
+    * privacy request actually triggers: a delete-list of subject keys is
+    * propagated through the FK chain (customer → orders → lineitem) with
+    * semi/anti joins, and the result is the per-table AUDIT a compliance
+    * pipeline must emit (rows before, purged, after, and orphans left
+    * behind — the orphan columns are the contract: a buggy cascade shows
+    * nonzero there). Shape at 100 TB: the delete-list broadcasts (it is
+    * per-request small); the order-key set derived from it shuffles only
+    * keys; each fact table is touched once by a semi join (purged count)
+    * and once by an anti join (survivors) that AQE plans as broadcast
+    * joins off the same small sides — no fact-to-fact join anywhere. */
+  val q85 = GraftQuery(
+    "q85_delete_cascade",
+    "GDPR delete cascade: delete-list → orders → lineitem semi/anti propagation + per-table audit",
+    (s, dir) => {
+      val cust = table(s, dir, "customer")
+      val orders = table(s, dir, "orders")
+      val li = table(s, dir, "lineitem")
+      val del = cust.filter(col("c_custkey") % 97 === 0).select("c_custkey")
+      val delOrders = orders
+        .join(broadcast(del), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey")
+      def audit(tbl: String, before: org.apache.spark.sql.DataFrame,
+          purged: org.apache.spark.sql.DataFrame,
+          orphans: org.apache.spark.sql.DataFrame) =
+        before.agg(count(lit(1)).as("rows_before"))
+          .crossJoin(purged.agg(count(lit(1)).as("rows_purged")))
+          .crossJoin(orphans.agg(count(lit(1)).as("orphans_after")))
+          .select(lit(tbl).as("tbl"), col("rows_before"), col("rows_purged"),
+            (col("rows_before") - col("rows_purged")).as("rows_after"),
+            col("orphans_after"))
+      // orphans = rows that SURVIVE the purge but still reference a purged
+      // parent; structurally zero here, and exactly what the audit pins
+      val survOrders = orders
+        .join(broadcast(del), col("o_custkey") === col("c_custkey"), "left_anti")
+      val survLi = li
+        .join(delOrders.as("do1"), col("l_orderkey") === col("do1.o_orderkey"), "left_anti")
+      audit("customer", cust,
+          cust.join(broadcast(del.select(col("c_custkey").as("dk"))),
+            col("c_custkey") === col("dk"), "left_semi"),
+          cust.join(broadcast(del.select(col("c_custkey").as("dk"))),
+            col("c_custkey") === col("dk"), "left_anti")
+            .filter(col("c_custkey") % 97 === 0))
+        .unionAll(audit("orders", orders,
+          orders.join(broadcast(del), col("o_custkey") === col("c_custkey"), "left_semi"),
+          survOrders.join(broadcast(del), col("o_custkey") === col("c_custkey"), "left_semi")))
+        .unionAll(audit("lineitem", li,
+          li.join(delOrders.as("do2"), col("l_orderkey") === col("do2.o_orderkey"), "left_semi"),
+          survLi.join(delOrders.as("do3"), col("l_orderkey") === col("do3.o_orderkey"), "left_semi")))
+        .orderBy("tbl")
+    },
+    Some("""
+      WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      delo AS (SELECT o_orderkey FROM orders
+               WHERE o_custkey IN (SELECT c_custkey FROM del))
+      SELECT * FROM (
+        SELECT 'customer' AS tbl,
+               (SELECT count(*) FROM customer) AS rows_before,
+               (SELECT count(*) FROM del) AS rows_purged,
+               (SELECT count(*) FROM customer) - (SELECT count(*) FROM del) AS rows_after,
+               (SELECT count(*) FROM customer
+                WHERE c_custkey NOT IN (SELECT c_custkey FROM del)
+                  AND c_custkey % 97 = 0) AS orphans_after
+        UNION ALL
+        SELECT 'orders',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM del)),
+               (SELECT count(*) FROM orders)
+                 - (SELECT count(*) FROM orders
+                    WHERE o_custkey IN (SELECT c_custkey FROM del)),
+               (SELECT count(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM del)
+                  AND o_custkey IN (SELECT c_custkey FROM del))
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
+               (SELECT count(*) FROM lineitem)
+                 - (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
+               (SELECT count(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM delo)
+                  AND l_orderkey IN (SELECT o_orderkey FROM delo)))
+      ORDER BY tbl"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
-    q77, q81)
+    q77, q81, q85)
 }
