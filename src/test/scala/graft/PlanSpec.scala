@@ -375,6 +375,41 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 2, s"$exchanges exchanges\n$p")
   }
 
+  test("s13: matryoshka prefix prescreen — corpus side unshuffled, both stages rank-bounded") {
+    val p = plan(operators.Similarity.s13.build(spark, sfDir))
+    // the ≤10-row query side broadcasts into the prefix scan (BNLJ like s1/
+    // s12); the full-dim rerank joins only the bounded shortlist
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no sort-merge join anywhere: nothing in this query shuffles the corpus
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q85: delete cascade has no fact-to-fact join — every purge join broadcasts a key list") {
+    val p = plan(operators.Warehouse.q85.build(spark, sfDir))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), s"fact-to-fact shuffle join in cascade\n$p")
+  }
+
+  test("m8: segment merge shuffles windows once per doc (stats + islands share the exchange)") {
+    val p = plan(operators.Multimodal.m8.build(spark, sfDir))
+    // one hash exchange on doc_id feeds both window functions and the
+    // segment groupBy (partial agg on the same partitioning); the final
+    // orderBy adds one range exchange — nothing else moves
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"$exchanges exchanges\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("t21: bigram build is row-local (no window shuffle); text joins only the LM tables") {
+    val p = plan(operators.TextAnalysis.t21.build(spark, sfDir))
+    // bigrams come from a transform over the token array inside the scan
+    // projection — a lag() window implementation would show a Window node
+    // ABOVE the documents scan before any aggregation
+    assert(p.contains("Generate"), p) // the explode of adjacent pairs
+    assert(!p.contains("Window"), p)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
