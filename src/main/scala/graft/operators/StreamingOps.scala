@@ -1143,6 +1143,41 @@ object StreamingOps {
       FROM agg a JOIN top3 t USING (user_id)
       ORDER BY a.user_id"""))
 
+  /** Sliding-window streaming aggregate — completes the window-type triad
+    * (tumbling st1, session st3, SLIDING here, q33's batch twin): each
+    * event lands in two overlapping (1 day / 12 h) buckets, so the state
+    * store carries 2× the tumbling row count and append-mode emission is
+    * watermark-driven per window END — the sentinel flush releases every
+    * real window while the sentinel's own windows stay unemitted (their
+    * end is past the final watermark) and are filtered for explicitness.
+    * Result must equal the batch sliding aggregate exactly. */
+  val st16 = GraftQuery(
+    "st16_stream_sliding",
+    "Streaming sliding (1 day / 12 h) window counts (sentinel-flushed append) == batch sliding agg",
+    (s, dir) => {
+      replay(s, "events5sent", dir,
+        src => src
+          .withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n")),
+        OutputMode.Append())
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("""
+      WITH assigned AS (
+        SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start, event_type
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP), INTERVAL '12 hours') AS window_start, event_type
+        FROM events)
+      SELECT window_start, event_type, count(*) AS n
+      FROM assigned
+      GROUP BY window_start, event_type
+      ORDER BY window_start, event_type"""))
+
   /** Durable file sink + exactly-once commit log — every other st* query
     * lands in a memory sink or foreachBatch; this one exercises the sink a
     * production pipeline actually writes: `writeStream.format("parquet")`
@@ -1207,5 +1242,5 @@ object StreamingOps {
         ((s: SparkSession, d: String) => { fileSpool(s, k, d); () }))
 
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
-    st10, st11, st12, st13, st14, st15)
+    st10, st11, st12, st13, st14, st15, st16)
 }
