@@ -325,5 +325,47 @@ object EventWindows {
       GROUP BY event_type, bin
       ORDER BY event_type, bin"""))
 
-  val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84)
+  /** Rolling engagement — DAU / WAU(7d) / MAU(30d) distinct users as of
+    * each day. COUNT(DISTINCT) cannot ride a range window, so the scale
+    * idiom is explode-dedup: reduce events to distinct (user, day) pairs
+    * FIRST (the only pass over raw events), then fan each pair out to the
+    * n window-end days it supports, dedup (user, window-day), and count.
+    * Shuffle volume is distinct-user-days × window length in 16-byte
+    * rows — independent of raw event count, which is what survives 100 TB
+    * of events (the alternative per-day × range self-join is the ORACLE
+    * here, fine at fixture scale, quadratic in days at none). Reported
+    * days are the observed activity days (inner join with DAU). */
+  val q86 = GraftQuery(
+    "q86_active_users",
+    "DAU / WAU(7d) / MAU(30d) distinct users per day via explode-dedup rolling windows",
+    (s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      def rolling(n: Int, name: String) = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), n - 1))).as("day"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as(name))
+      ud.groupBy("day").agg(count(lit(1)).as("dau"))
+        .join(rolling(7, "wau"), Seq("day"))
+        .join(rolling(30, "mau"), Seq("day"))
+        .select(col("day"), col("dau"), col("wau"), col("mau"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id,
+                         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+                  FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day)
+      SELECT d.day, d.dau,
+             (SELECT count(DISTINCT u.user_id) FROM ud u
+              WHERE u.day <= d.day AND u.day >= d.day - INTERVAL '6 days') AS wau,
+             (SELECT count(DISTINCT u.user_id) FROM ud u
+              WHERE u.day <= d.day AND u.day >= d.day - INTERVAL '29 days') AS mau
+      FROM dau d
+      ORDER BY d.day"""))
+
+  val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
+    q86)
 }
