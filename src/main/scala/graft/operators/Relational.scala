@@ -974,7 +974,92 @@ object Relational {
             WHERE NOT EXISTS (SELECT 1 FROM excl e WHERE e.k = c.c_custkey))
       SELECT a.n_not_in, b.n_not_exists FROM a CROSS JOIN b"""))
 
+  /** As-of join, full direction surface (the pandas `merge_asof` API q39
+    * only covers the default of): BACKWARD (latest order at-or-before),
+    * FORWARD (earliest strictly-after), NEAREST (smaller absolute gap,
+    * tie → backward), all under a 7-day tolerance that nulls matches
+    * outside the horizon. Same union-merge shape as q39 — both directions
+    * come from ONE sort: the merged stream is windowed once per user and
+    * backward/forward are `last`/`first` over the preceding/following
+    * frames of the same ordering, so there is no per-event fan-out join
+    * and no second shuffle. Gap arithmetic is integer epoch-micros →
+    * deterministic tie-breaks, fully oracle-checked. At equal timestamps
+    * an order sorts before the event: backward is inclusive, forward is
+    * strictly-after — one consistent rule in both engines. */
+  val q87 = GraftQuery(
+    "q87_asof_directions",
+    "As-of join backward/forward/nearest with 7-day tolerance (one sort, no fan-out)",
+    (s, dir) => {
+      val tolUs = 7L * 24 * 3600 * 1000000L
+      val e = events(s, dir).select(
+        col("user_id"),
+        col("ts").as("t"),
+        col("event_id"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(0).as("is_order"))
+      val o = table(s, dir, "orders").select(
+        col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("t"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey"),
+        lit(1).as("is_order"))
+      val base = Window.partitionBy("user_id")
+        .orderBy(col("t"), desc("is_order"), col("o_orderkey"))
+      val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val orderStruct = when(col("is_order") === 1,
+        struct(unix_micros(col("t")).as("tu"), col("o_orderkey")))
+      o.union(e)
+        .withColumn("bo", last(orderStruct, ignoreNulls = true).over(wb))
+        .withColumn("fo", first(orderStruct, ignoreNulls = true).over(wf))
+        .filter(col("is_order") === 0)
+        .withColumn("etu", unix_micros(col("t")))
+        .withColumn("back_key",
+          when(col("bo").isNotNull && col("etu") - col("bo.tu") <= tolUs,
+            col("bo.o_orderkey")))
+        .withColumn("fwd_key",
+          when(col("fo").isNotNull && col("fo.tu") - col("etu") <= tolUs,
+            col("fo.o_orderkey")))
+        .withColumn("near_key",
+          when(col("back_key").isNotNull && (col("fwd_key").isNull ||
+              col("etu") - col("bo.tu") <= col("fo.tu") - col("etu")),
+            col("back_key")).otherwise(col("fwd_key")))
+        .select(col("event_id"), col("user_id"),
+          col("back_key"), col("fwd_key"), col("near_key"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+                 FROM events),
+      b AS (SELECT event_id, o_orderkey AS back_key, bt FROM (
+              SELECT e.event_id, o.o_orderkey,
+                     CAST(o.o_orderdate AS TIMESTAMP) AS bt,
+                     row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM e JOIN orders o ON o.o_custkey = e.user_id
+                AND CAST(o.o_orderdate AS TIMESTAMP) <= e.t
+                AND CAST(o.o_orderdate AS TIMESTAMP) >= e.t - INTERVAL '7 days')
+            WHERE rn = 1),
+      f AS (SELECT event_id, o_orderkey AS fwd_key, ft FROM (
+              SELECT e.event_id, o.o_orderkey,
+                     CAST(o.o_orderdate AS TIMESTAMP) AS ft,
+                     row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+              FROM e JOIN orders o ON o.o_custkey = e.user_id
+                AND CAST(o.o_orderdate AS TIMESTAMP) > e.t
+                AND CAST(o.o_orderdate AS TIMESTAMP) <= e.t + INTERVAL '7 days')
+            WHERE rn = 1)
+      SELECT e.event_id, e.user_id, b.back_key, f.fwd_key,
+             CASE WHEN b.back_key IS NOT NULL AND (f.fwd_key IS NULL OR
+                       epoch_us(e.t) - epoch_us(b.bt)
+                         <= epoch_us(f.ft) - epoch_us(e.t))
+                  THEN b.back_key ELSE f.fwd_key END AS near_key
+      FROM e
+      LEFT JOIN b USING (event_id)
+      LEFT JOIN f USING (event_id)
+      ORDER BY event_id"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
-    q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80)
+    q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87)
 }
