@@ -997,6 +997,60 @@ object Similarity {
       WHERE rank <= 3
       ORDER BY query_id, rank"""))
 
+  /** Filtered vector search — the capability every vector store names
+    * (Qdrant/Milvus/pgvector "filtered ANN"): top-k neighbors restricted
+    * to vectors passing a METADATA predicate (here: a label subset and an
+    * id horizon — the tenant/namespace shape). This is PRE-filtering: the
+    * predicate reaches the parquet scan (PlanSpec pins PushedFilters), so
+    * the vector math only ever touches surviving rows — at 100 TB the
+    * difference between scanning a tenant's slice and scoring the whole
+    * corpus then discarding 99% (post-filtering, which also breaks top-k
+    * guarantees when the filter is selective). Queries come from the
+    * unfiltered table (a query vector need not satisfy its own filter).
+    * Exact within the filtered set → fully oracle-checked; s5's label
+    * cells show how the same predicate composes with IVF at scale. */
+  val s14 = GraftQuery(
+    "s14_filtered_search",
+    "Pre-filtered vector search: cosine top-5 among label%3=0, vec_id>=100 rows only",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val corpus = emb
+        .filter(col("label") % 3 === 0 && col("vec_id") >= 100)
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          l2Norm(col("embedding")).as("qn"))
+      val sim = broadcast(q).crossJoin(corpus)
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("sim"))
+      val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+      sim.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH n AS (SELECT vec_id, label, embedding,
+                        sqrt(list_aggregate(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+                 FROM embeddings),
+      sims AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                      list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                        / (q.nrm * c.nrm) AS sim
+               FROM n q JOIN n c
+                 ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+                AND c.label % 3 = 0 AND c.vec_id >= 100),
+      ranked AS (SELECT query_id, vec_id, sim,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id) AS rank
+                 FROM sims)
+      SELECT query_id, rank, vec_id, round(sim, 4) AS sim
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
-    s12, s13)
+    s12, s13, s14)
 }

@@ -401,6 +401,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Window"), p)
   }
 
+  test("s14: filter reaches the parquet scan BEFORE any vector math (pre-filtering)") {
+    val p = plan(operators.Similarity.s14.build(spark, sfDir))
+    // the corpus scan must carry the pushed metadata predicates — a
+    // post-filtering plan scores the whole corpus then discards
+    val scanLines = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scanLines.exists(l => l.contains("vec_id") && l.contains("GreaterThanOrEqual")),
+      s"corpus id horizon not pushed\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t21: bigram build is row-local (no window shuffle); text joins only the LM tables") {
     val p = plan(operators.TextAnalysis.t21.build(spark, sfDir))
     // bigrams come from a transform over the token array inside the scan
