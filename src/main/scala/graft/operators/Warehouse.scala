@@ -595,6 +595,73 @@ object Warehouse {
                   AND l_orderkey IN (SELECT o_orderkey FROM delo)))
       ORDER BY tbl"""))
 
+  /** Join-key skew diagnosis — the report you run BEFORE choosing q75's
+    * salting factor or trusting AQE's skew threshold: per-key row counts
+    * summarized as exact percentiles, max, and the heavy-hitter list.
+    * Exact percentiles of per-key counts at 100 TB without a global sort:
+    * the per-key count table may have billions of rows, but its
+    * COUNTS-OF-COUNTS histogram is tiny (distinct count values repeat),
+    * so percentiles come from a cumulative sum over that bounded
+    * histogram — the only global window in the query runs on it, never
+    * on keys. Heavy hitters are a bounded TakeOrdered. All outputs are
+    * integers (skew ratio as ×100 integer division) → hash-exact. */
+  val q88 = GraftQuery(
+    "q88_skew_report",
+    "Join-key skew report on orders.o_custkey: exact count percentiles via counts-of-counts + heavy hitters",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("c"))
+      val tot = counts.agg(count(lit(1)).as("n"), sum("c").as("tot"),
+        max("c").as("mx"))
+      // counts-of-counts histogram (bounded cardinality) + cumulative keys
+      val cum = counts.groupBy("c").agg(count(lit(1)).as("nk"))
+        .withColumn("cum", sum("nk").over(
+          Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+      def pct(q: Double, name: String) = cum
+        .filter(col("cum") >= ceil(lit(q) * col("n")))
+        .agg(min("c").as(name))
+      val scalars = tot
+        .crossJoin(pct(0.5, "p50")).crossJoin(pct(0.9, "p90")).crossJoin(pct(0.99, "p99"))
+        .select(expr("""stack(7,
+          'n_keys', n, 'total_rows', tot, 'max_rows', mx,
+          'p50_rows', p50, 'p90_rows', p90, 'p99_rows', p99,
+          'skew_max_over_p50_x100', CAST(mx * 100 / p50 AS BIGINT))
+          AS (metric, value)"""))
+      val top = counts.orderBy(desc("c"), col("k")).limit(3)
+        .withColumn("r", row_number().over(Window.orderBy(desc("c"), col("k"))))
+        .select(expr("""stack(2,
+          concat('top', r, '_key'), k,
+          concat('top', r, '_rows'), c) AS (metric, value)"""))
+      scalars.unionAll(top).orderBy("metric")
+    },
+    Some("""
+      WITH counts AS (SELECT o_custkey AS k, count(*) AS c
+                      FROM orders GROUP BY o_custkey),
+      tot AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS tot,
+                     max(c) AS mx FROM counts),
+      hist AS (SELECT c, count(*) AS nk FROM counts GROUP BY c),
+      cum AS (SELECT c, sum(nk) OVER (ORDER BY c) AS cum FROM hist),
+      p AS (SELECT
+              (SELECT min(c) FROM cum, tot WHERE cum >= ceil(0.5 * n)) AS p50,
+              (SELECT min(c) FROM cum, tot WHERE cum >= ceil(0.9 * n)) AS p90,
+              (SELECT min(c) FROM cum, tot WHERE cum >= ceil(0.99 * n)) AS p99),
+      topk AS (SELECT k, c, row_number() OVER (ORDER BY c DESC, k) AS r
+               FROM counts ORDER BY c DESC, k LIMIT 3)
+      SELECT metric, value FROM (
+        SELECT 'n_keys' AS metric, n AS value FROM tot
+        UNION ALL SELECT 'total_rows', tot FROM tot
+        UNION ALL SELECT 'max_rows', mx FROM tot
+        UNION ALL SELECT 'p50_rows', p50 FROM p
+        UNION ALL SELECT 'p90_rows', p90 FROM p
+        UNION ALL SELECT 'p99_rows', p99 FROM p
+        UNION ALL SELECT 'skew_max_over_p50_x100',
+                         CAST(mx * 100 // p50 AS BIGINT) FROM tot, p
+        UNION ALL SELECT concat('top', r, '_key'), k FROM topk
+        UNION ALL SELECT concat('top', r, '_rows'), c FROM topk)
+      ORDER BY metric"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
-    q77, q81, q85)
+    q77, q81, q85, q88)
 }
