@@ -407,5 +407,70 @@ object Multimodal {
       GROUP BY doc_id, grp
       ORDER BY doc_id, start_offset"""))
 
-  val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8)
+  /** Content-type sniffing / modality routing — the dispatch step in
+    * front of every decode (m2) in a mixed-media lake: payloads are routed
+    * by MAGIC BYTES (PNG \x89PNG\r\n\x1a\n, JPEG \xFF\xD8\xFF, RIFF/WAVE),
+    * never by file extension or metadata, which lie. The fixture is
+    * all-text, so the query PLANTS deterministic magic prefixes first
+    * (t16's planting contract: doc_id%5 picks the modality, both engines
+    * derive the identical payload) — the operator under test is the
+    * sniffer. Sniffing compares hex prefixes of the binary (row-local
+    * codegen, identical uppercase hex in both engines); the routing
+    * report is the per-modality row/byte accounting a pipeline uses to
+    * fan out to per-modality decoders. At 100 TB: one scan, no shuffle
+    * except the 4-group aggregate. */
+  val m9 = GraftQuery(
+    "m9_modality_routing",
+    "Magic-byte content sniffing: route planted PNG/JPEG/WAVE/text payloads, per-modality accounting",
+    (s, dir) => {
+      val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      val jpg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+      val wav = "RIFF    WAVE".getBytes("ISO-8859-1")
+      val planted = table(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(lit(png), col("text").cast("binary")))
+            .when(col("doc_id") % 5 === 1, concat(lit(jpg), col("text").cast("binary")))
+            .when(col("doc_id") % 5 === 2, concat(lit(wav), col("text").cast("binary")))
+            .otherwise(col("text").cast("binary")).as("b"))
+      planted
+        .withColumn("h", hex(col("b")))
+        .withColumn("modality",
+          when(col("h").startsWith("89504E470D0A1A0A"), "image/png")
+            .when(col("h").startsWith("FFD8FF"), "image/jpeg")
+            .when(col("h").startsWith("52494646") &&
+              substring(col("h"), 17, 8) === "57415645", "audio/wav")
+            .otherwise("text/plain"))
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("b"))).cast("long").as("total_bytes"),
+          min("doc_id").as("first_doc"))
+        .orderBy("modality")
+    },
+    Some("""
+      WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                      THEN '\x89PNG\x0D\x0A\x1A\x0A'::BLOB || encode(text)
+                    WHEN doc_id % 5 = 1
+                      THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+                    WHEN doc_id % 5 = 2
+                      THEN 'RIFF    WAVE'::BLOB || encode(text)
+                    ELSE encode(text) END AS b
+        FROM documents),
+      sniffed AS (
+        SELECT doc_id, b, hex(b) AS h,
+               CASE WHEN starts_with(hex(b), '89504E470D0A1A0A') THEN 'image/png'
+                    WHEN starts_with(hex(b), 'FFD8FF') THEN 'image/jpeg'
+                    WHEN starts_with(hex(b), '52494646')
+                         AND substr(hex(b), 17, 8) = '57415645' THEN 'audio/wav'
+                    ELSE 'text/plain' END AS modality
+        FROM planted)
+      SELECT modality, count(*) AS n_docs,
+             CAST(sum(octet_length(b)) AS BIGINT) AS total_bytes,
+             min(doc_id) AS first_doc
+      FROM sniffed
+      GROUP BY modality
+      ORDER BY modality"""))
+
+  val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9)
 }
