@@ -366,6 +366,72 @@ object EventWindows {
       FROM dau d
       ORDER BY d.day"""))
 
+  /** Ordered event-chain matching (CEP-lite — the pattern-match shape of
+    * MATCH_RECOGNIZE / FlinkCEP, batch form): for every CLICK, the chain
+    * is complete iff the nearest VIEW at-or-before it is within 1 day
+    * AND the first PURCHASE strictly after it is within 1 day (bounds
+    * sized to the fixture's ~2-day inter-event gaps; the operator is the
+    * same at any horizon) — q70's
+    * funnel counts users who EVER did all steps; this matches each
+    * instance under per-step time bounds. One sorted window pass per user
+    * produces both neighbors (last/first over preceding-exclusive /
+    * following-exclusive row frames of the SAME ordering — q87's
+    * union-merge discipline without the union, since all three roles live
+    * in one stream); tie-breaks are the lexicographic (ts, event_id) sort
+    * both engines replay, gaps are integer epoch-micros. No self-join,
+    * no per-event fan-out → the shuffle is one per-user sort. */
+  val q89 = GraftQuery(
+    "q89_event_chains",
+    "CEP-lite chain match: view ≤1d before click, first purchase ≤1d after — one window pass",
+    (s, dir) => {
+      val vTolUs = 24L * 3600 * 1000000L
+      val pTolUs = 24L * 3600 * 1000000L
+      val e = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("tu", unix_micros(col("ts")))
+      val base = Window.partitionBy("user_id").orderBy(col("tu"), col("event_id"))
+      val wb = base.rowsBetween(Window.unboundedPreceding, -1)
+      val wf = base.rowsBetween(1, Window.unboundedFollowing)
+      e
+        .withColumn("pv", last(when(col("event_type") === "view",
+          struct(col("tu"), col("event_id"))), ignoreNulls = true).over(wb))
+        .withColumn("np", first(when(col("event_type") === "purchase",
+          struct(col("tu"), col("event_id"))), ignoreNulls = true).over(wf))
+        .filter(col("event_type") === "click" &&
+          col("pv").isNotNull && col("tu") - col("pv.tu") <= vTolUs &&
+          col("np").isNotNull && col("np.tu") - col("tu") <= pTolUs)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("pv.event_id").as("view_id"), col("np.event_id").as("purchase_id"))
+        .orderBy("click_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, event_type,
+                        epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+                 FROM events),
+      c AS (SELECT event_id AS click_id, user_id, tu FROM e
+            WHERE event_type = 'click'),
+      pv AS (SELECT click_id, view_id FROM (
+               SELECT c.click_id, v.event_id AS view_id,
+                      row_number() OVER (PARTITION BY c.click_id
+                        ORDER BY v.tu DESC, v.event_id DESC) AS rn
+               FROM c JOIN e v ON v.user_id = c.user_id
+                 AND v.event_type = 'view'
+                 AND (v.tu < c.tu OR (v.tu = c.tu AND v.event_id < c.click_id))
+                 AND c.tu - v.tu <= CAST(24 AS BIGINT) * 3600 * 1000000)
+             WHERE rn = 1),
+      np AS (SELECT click_id, purchase_id FROM (
+               SELECT c.click_id, p.event_id AS purchase_id,
+                      row_number() OVER (PARTITION BY c.click_id
+                        ORDER BY p.tu ASC, p.event_id ASC) AS rn
+               FROM c JOIN e p ON p.user_id = c.user_id
+                 AND p.event_type = 'purchase'
+                 AND (p.tu > c.tu OR (p.tu = c.tu AND p.event_id > c.click_id))
+                 AND p.tu - c.tu <= CAST(24 AS BIGINT) * 3600 * 1000000)
+             WHERE rn = 1)
+      SELECT c.click_id, c.user_id, pv.view_id, np.purchase_id
+      FROM c JOIN pv USING (click_id) JOIN np USING (click_id)
+      ORDER BY click_id"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
-    q86)
+    q86, q89)
 }
