@@ -1051,6 +1051,44 @@ object TextAnalysis {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** Temperature-scaled source mixture design (the Gopher / LLaMA data-mix
+    * step that FEEDS t13's resampler): sampling weight w_s ∝ n_s^α with
+    * α = 0.5, which up-weights small sources relative to proportional
+    * sampling without letting any source dominate (α=1 is proportional,
+    * α=0 uniform). Output per source: corpus stats, the normalized mixture
+    * share, and the upsample factor vs natural share — exactly the table a
+    * training-data config encodes. One tiny groupBy + a broadcast 1-row
+    * total; rounded doubles over a ~20-term sum (t15's float discipline). */
+  val t22 = GraftQuery(
+    "t22_mixture_weights",
+    "Temperature mixture design (α=0.5): per-source share and upsample factor vs natural",
+    (s, dir) => {
+      val stats = table(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"))
+        .withColumn("w", sqrt(col("n_docs").cast("double")))
+      val tot = stats.agg(sum("n_docs").as("tot_docs"), sum("w").as("tot_w"))
+      stats.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          round(col("w") / col("tot_w"), 6).as("share"),
+          round((col("w") / col("tot_w"))
+            / (col("n_docs").cast("double") / col("tot_docs")), 4).as("upsample"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH s AS (SELECT source, count(*) AS n_docs,
+                        CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                        sqrt(count(*)) AS w
+                 FROM documents GROUP BY source),
+      t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs, sum(w) AS tot_w
+            FROM s)
+      SELECT source, n_docs, n_chars,
+             round(w / tot_w, 6) AS share,
+             round((w / tot_w) / (n_docs / CAST(tot_docs AS DOUBLE)), 4) AS upsample
+      FROM s, t
+      ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
-    t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
+    t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22)
 }
