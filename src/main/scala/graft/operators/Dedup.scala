@@ -733,17 +733,18 @@ object Dedup {
     * All moduli keep products under 2^62: h is folded to h32 < 2^32 and
     * a_j < 2^30, so both engines stay in exact signed-64 range. Counts and
     * sixteenths (k/16 is exact in binary) make the output float-safe.
-    * Bounded range like d3/d7; the scale path remains d2's banding over
+    * Bounded range (wider than d3/d7 so the sf0.1 sweep also
+    * exercises collisions); the scale path remains d2's banding over
     * the native signature. */
   val d12 = {
     val P = 4294967291L  // modulus: smallest prime above 2^32
     val A = 1073741789L  // a_j/b_j domain: prime below 2^30 (overflow-safe)
     GraftQuery(
       "d12_minhash_exact",
-      "Exact md5-MinHash(16) + 4×4 LSH banding + estimate over doc_id < 300 (d2's cross-engine twin)",
+      "Exact md5-MinHash(16) + 4×4 LSH banding + estimate over doc_id < 2000 (d2's cross-engine twin)",
       (s, dir) => {
         val sh = table(s, dir, "documents")
-          .filter(col("doc_id") < 300)
+          .filter(col("doc_id") < 2000)
           .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
         val h = sh.select(col("doc_id"),
           expr(s"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $P").as("h32"))
@@ -778,7 +779,7 @@ object Dedup {
       },
       Some(s"""
         WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
-                   FROM documents WHERE doc_id < 300),
+                   FROM documents WHERE doc_id < 2000),
         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
                FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
         h AS (SELECT doc_id,
