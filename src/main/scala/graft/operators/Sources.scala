@@ -304,5 +304,42 @@ object Sources {
       GROUP BY event_type
       ORDER BY partition_dir"""))
 
-  val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82)
+  /** XML round-trip — Spark 4's built-in XML datasource (the spark-xml
+    * package merged into core), the format enterprise feeds still arrive
+    * in: write a region/nation join as XML rows, read back with an
+    * explicit schema (no inference pass — at 100 TB schema-on-read with a
+    * declared schema is one distributed scan; `rowTag` selects the record
+    * element). Numeric + string fields round-trip typed; the aggregate
+    * matches the same join computed straight from parquet. */
+  val q90 = GraftQuery(
+    "q90_xml_scan",
+    "XML round-trip: nation⋈region rows as XML (rowTag) → declared-schema read → aggregate",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val spool = spoolDir("q90_xml")
+      table(s, dir, "nation")
+        .join(table(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .coalesce(1).write.mode("overwrite")
+        .option("rowTag", "nation").option("rootTag", "nations")
+        .format("xml").save(spool)
+      s.read
+        .schema("n_nationkey LONG, n_name STRING, r_name STRING")
+        .option("rowTag", "nation")
+        .format("xml").load(spool)
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_nations"),
+          max(col("n_nationkey")).as("max_key"),
+          min(col("n_name")).as("first_nation"))
+        .orderBy("r_name")
+    },
+    Some("""
+      SELECT r.r_name, count(*) AS n_nations,
+             max(n.n_nationkey) AS max_key,
+             min(n.n_name) AS first_nation
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name
+      ORDER BY r.r_name"""))
+
+  val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90)
 }
