@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProduct, MinHashSignature, NGrams, ShingleJaccard, SimHash64}
+import graft.expressions.{CharCodeSum, DotProduct, MinHashSignature, NGrams, ShingleJaccard, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so a pure-SQL user of the library
@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("shingle_jaccard"),
       info("shingle_jaccard", "_FUNC_(a, b) - exact 3-gram Jaccard struct(inter, un, jaccard)"),
       (args: Seq[Expression]) => ShingleJaccard(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("char_code_sum"),
+      info("char_code_sum", "_FUNC_(s) - sum of Unicode code points (codegen)"),
+      (args: Seq[Expression]) => CharCodeSum(args.head)))
     ext.injectFunction((FunctionIdentifier("ngrams"),
       info("ngrams", "_FUNC_(text, n) - table function: one (pos, ngram) row per word n-gram"),
       (args: Seq[Expression]) =>

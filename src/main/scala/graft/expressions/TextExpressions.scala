@@ -155,6 +155,43 @@ case class ShingleJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sum of Unicode CODE POINTS of a string — the "energy" reduction the
+  * media-window operators (m5/m8) compute per 32-char window. Replaces the
+  * interpreted `aggregate(transform(split(s, ''), ascii), 0, +)` HOF chain
+  * (three interpreted lambda evaluations PER CHARACTER) with one call per
+  * row into a JIT'd loop, staying inside whole-stage codegen. Code-point
+  * semantics match DuckDB's `string_split(s,'') + ascii` exactly —
+  * including non-BMP characters, where the Spark HOF route would sum lone
+  * surrogate values instead (the fixture is ASCII, so results are
+  * identical there; the native form is the one that also generalizes). */
+case class CharCodeSum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    CharCodeSum.sum(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.CharCodeSum.sum($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharCodeSum =
+    copy(child = newChild)
+}
+
+object CharCodeSum {
+  def sum(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc += cp
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
 /** Native table-generating function — the third extension seam (scalar
   * Expression: DotProduct; typed Aggregator: WeightedAvg; Generator: this):
   * emits one (pos, ngram) row per word n-gram of the input text, planned by

@@ -130,4 +130,11 @@ object Functions {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     column(graft.expressions.ShingleJaccard(expression(a), expression(b)))
   }
+
+  /** Sum of Unicode code points of a string (the media-window "energy"
+    * reduction) — codegen'd, one JIT'd loop per row. */
+  def charCodeSum(s: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.CharCodeSum(expression(s)))
+  }
 }

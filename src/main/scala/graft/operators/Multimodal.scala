@@ -206,8 +206,9 @@ object Multimodal {
           col("doc_id"),
           col("win_no").cast("long").as("win_no"),
           (col("win_no") * hop).cast("long").as("offset"),
-          aggregate(transform(split(col("w"), ""), c => ascii(c).cast("long")),
-            lit(0L), (acc, x) => acc + x).as("energy"),
+          // codegen'd code-point sum — the HOF chain it replaces ran three
+          // interpreted lambdas per character (see CharCodeSum)
+          graft.functions.Functions.charCodeSum(col("w")).as("energy"),
           md5(col("w").cast("binary")).as("win_md5"))
         .orderBy("doc_id", "win_no")
     },
@@ -361,8 +362,8 @@ object Multimodal {
         .select(col("doc_id"), col("text"),
           posexplode(sequence(lit(0), col("n_win") - 1)).as(Seq("idx", "win_no")))
         .select(col("doc_id"), col("win_no").cast("long").as("win_no"),
-          aggregate(transform(split(col("text").substr(col("win_no") * hop + 1, lit(win)), ""),
-            c => ascii(c).cast("long")), lit(0L), (acc, x) => acc + x).as("energy"))
+          graft.functions.Functions.charCodeSum(
+            col("text").substr(col("win_no") * hop + 1, lit(win))).as("energy"))
       val byDoc = Window.partitionBy("doc_id")
       val gated = w
         .withColumn("tot", sum("energy").over(byDoc))

@@ -109,6 +109,28 @@ class TextExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(trail.map(_.getString(1)).toSeq == Seq("x y", "y "))
   }
 
+  test("char_code_sum: code-point sum matches the HOF route on ASCII/BMP; null/empty edges") {
+    import spark.implicits._
+    import graft.functions.Functions.charCodeSum
+    val df = Seq(Some("abc"), Some(""), Some("héllo"), None).toDF("t")
+      .select(col("t"), charCodeSum(col("t")).as("native"),
+        aggregate(transform(split(col("t"), ""), c => ascii(c).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("hof"))
+      .collect()
+    val byIn = df.map(r => Option(r.getString(0)) -> r).toMap
+    assert(byIn(Some("abc")).getLong(1) == 97 + 98 + 99)
+    assert(byIn(Some("")).getLong(1) == 0L)
+    // BMP non-ASCII: é = U+00E9 — both routes agree
+    assert(byIn(Some("héllo")).getLong(1) == byIn(Some("héllo")).getLong(2))
+    byIn.collect { case (Some(_), r) => assert(r.getLong(1) == r.getLong(2)) }
+    assert(byIn(None).isNullAt(1))
+    // non-BMP: the native form sums the CODE POINT (DuckDB semantics);
+    // U+1F600 = 128512
+    val emoji = Seq("😀").toDF("t")
+      .select(charCodeSum(col("t"))).head().getLong(0)
+    assert(emoji == 128512L)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
