@@ -157,24 +157,66 @@ object Multimodal {
       WHERE frame_no % 2 = 0
       ORDER BY doc_id, frame_no"""))
 
-  /** Resize/downsample stub: stride-4 resampling of the payload (keep the
-    * first unit of every 4) — the shape of a thumbnail/low-res pass where a
-    * real resizer would sit. One regex projection, no shuffle; output size
-    * and digest are oracle-replayable because the stride rule is engine-
-    * neutral. At 100 TB this is the cheap pre-pass that lets the expensive
-    * full-res decode (m2) run only on rows that survive downstream filters. */
+  /** Output of the resize seam: payload sizes + digest of the downsampled
+    * form. `orig_len` is characters for text payloads (matching the SQL
+    * oracle), bytes for binary images. */
+  final case class ResizedMedia(doc_id: Long, orig_len: Long,
+      resized_len: Long, resized_md5: String)
+
+  /** The resizer at the codec seam — m2's pattern applied to the thumbnail
+    * pass: a decodable image is REALLY resized (half each dimension via
+    * Graphics2D, re-encoded as PNG — java.awt, JVM-built-in, headless-safe);
+    * any other payload takes the labeled deterministic fake — the SAME
+    * stride-4 regex the SQL oracle replays (`java.util.regex` IS Spark's
+    * regexp_replace engine, so the fake is bit-identical to the previous
+    * pure-SQL form, newlines and all). Real-path behavior is pinned by
+    * MultimodalDecodeSpec on a synthesized PNG. */
+  private[graft] def resize(r: MediaRow): ResizedMedia = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      catch { case _: Throwable => null }
+    if (img != null) {
+      val w = math.max(1, img.getWidth / 2)
+      val h = math.max(1, img.getHeight / 2)
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      val bytes = bos.toByteArray
+      ResizedMedia(r.doc_id, r.content.length.toLong, bytes.length.toLong,
+        java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString)
+    } else {
+      val str = new String(r.content, java.nio.charset.StandardCharsets.UTF_8)
+      val resized = str.replaceAll("(.)(.{0,3})", "$1")
+      val rb = resized.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ResizedMedia(r.doc_id, str.length.toLong, resized.length.toLong,
+        java.security.MessageDigest.getInstance("MD5").digest(rb)
+          .map("%02x".format(_)).mkString)
+    }
+  }
+
+  /** Resize/downsample at the typed Dataset seam: real thumbnail for
+    * decodable images, stride-4 resampling (keep the first unit of every
+    * 4) for everything else — the cheap pre-pass that lets the expensive
+    * full-res decode (m2) run only on rows that survive downstream
+    * filters. The all-text fixture takes the fake path, so output and
+    * oracle are unchanged from the pure-SQL form this replaces. */
   val m4 = GraftQuery(
     "m4_resize_stub",
-    "Stride-4 payload downsample (resize stub): resized length + digest per doc",
-    (s, dir) =>
+    "Payload downsample (real thumbnail for images, stride-4 fake for text): resized length + digest",
+    (s, dir) => {
+      import s.implicits._
       table(s, dir, "documents")
-        .select(col("doc_id"),
-          length(col("text")).cast(LongType).as("orig_len"),
-          regexp_replace(col("text"), "(.)(.{0,3})", "$1").as("resized"))
-        .select(col("doc_id"), col("orig_len"),
-          length(col("resized")).cast(LongType).as("resized_len"),
-          md5(col("resized").cast("binary")).as("resized_md5"))
-        .orderBy("doc_id"),
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[MediaRow]
+        .mapPartitions(rows => rows.map(resize))
+        .toDF()
+        .orderBy("doc_id")
+    },
     Some("""
       SELECT doc_id, length(text) AS orig_len,
              length(regexp_replace(text, '(.)(.{0,3})', '\1', 'g')) AS resized_len,

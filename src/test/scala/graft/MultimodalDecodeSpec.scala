@@ -53,6 +53,31 @@ class MultimodalDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L).byte_sum == textBytes.map(b => (b & 0xff).toLong).sum)
   }
 
+  test("m4 resize: real PNG halves its dimensions; text takes the stride-4 fake") {
+    val payload = png(8, 6)
+    val real = operators.Multimodal.resize(operators.Multimodal.MediaRow(1L, payload))
+    assert(real.orig_len == payload.length)
+    // independently compute the expected 4×3 thumbnail PNG; ImageIO's PNG
+    // encoder is deterministic, so the digests must match exactly
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val out = new java.awt.image.BufferedImage(4, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics(); g.drawImage(img, 0, 0, 4, 3, null); g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    val expected = bos.toByteArray
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(expected))
+    assert(back.getWidth == 4 && back.getHeight == 3)
+    assert(real.resized_len == expected.length)
+    assert(real.resized_md5 ==
+      java.security.MessageDigest.getInstance("MD5").digest(expected)
+        .map("%02x".format(_)).mkString)
+    // text path reproduces the SQL stride rule exactly
+    val fake = operators.Multimodal.resize(
+      operators.Multimodal.MediaRow(2L, "abcdefghij".getBytes("UTF-8")))
+    assert(fake.orig_len == 10 && fake.resized_len == 3) // a, e, i
+  }
+
   test("m2 decode: corrupt image header falls back to the fake, never throws") {
     val broken = png(4, 4).take(16) // valid PNG magic, truncated body
     val d = operators.Multimodal.decode(operators.Multimodal.MediaRow(9L, broken))
