@@ -808,5 +808,77 @@ object Dedup {
         ORDER BY doc1, doc2"""))
   }
 
-  val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11, d12)
+  /** Transitivity audit of the near-dup graph — triangle count vs open
+    * wedges (2-paths that DON'T close): the structural signal for whether
+    * pairwise dedup suffices or duplicates CHAIN (A~B~C with A̸~C), which
+    * is exactly when d6's cluster-level dedup is required. High closure ⇒
+    * near-dups form tight cliques (pairwise keep-min is safe); low closure
+    * ⇒ chains (keep-min per pair leaves transitive duplicates behind).
+    * Triangle enumeration is the standard two-join over ordered edges
+    * (a<b<c counts each triangle once); wedges come from per-vertex
+    * degrees (Σ deg·(deg−1)/2 counts each 2-path once at its center).
+    * Both are joins on ids only — at 100 TB this runs on the (duplicate-
+    * density-bounded) edge list, never the corpus. Global closure is
+    * reported ×10000 as an integer (3·triangles / wedges). */
+  val d13 = GraftQuery(
+    "d13_dup_graph_triangles",
+    "Near-dup graph transitivity: triangles, open wedges, global closure ×10000",
+    (s, dir) => {
+      val sh = table(s, dir, "documents")
+        .filter(col("doc_id") < 2000)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val edges = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("u"), col("b.doc_id").as("v"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("u"), col("n").as("nu")), "u")
+        .join(sizes.select(col("doc_id").as("v"), col("n").as("nv")), "v")
+        .filter(col("inter").cast("double") /
+          (col("nu") + col("nv") - col("inter")) >= 0.3)
+        .select("u", "v")
+        .cache() // tiny (true-duplicate pairs); scanned by triangles + degrees
+      val tri = edges.as("e1")
+        .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+        .join(edges.as("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .agg(count(lit(1)).as("triangles"))
+      val deg = edges.select(col("u").as("id")).unionAll(edges.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val wedges = deg.agg(sum(col("d") * (col("d") - 1) / 2).cast("long").as("wedges"))
+      tri.crossJoin(wedges)
+        .select(col("triangles"), col("wedges"),
+          when(col("wedges") > 0,
+            (col("triangles") * 3 * 10000 / col("wedges")).cast("long"))
+            .otherwise(0L).as("closure_x10000"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                 FROM documents WHERE doc_id < 2000),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      edges AS (SELECT u, v FROM pairs
+                JOIN sizes su ON su.doc_id = u
+                JOIN sizes sv ON sv.doc_id = v
+                WHERE CAST(inter AS DOUBLE) / (su.n + sv.n - inter) >= 0.3),
+      tri AS (SELECT count(*) AS triangles
+              FROM edges e1
+              JOIN edges e2 ON e2.u = e1.v
+              JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+      deg AS (SELECT id, count(*) AS d FROM (
+                SELECT u AS id FROM edges UNION ALL SELECT v FROM edges)
+              GROUP BY id),
+      wg AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg)
+      SELECT CAST(triangles AS BIGINT) AS triangles, wedges,
+             CASE WHEN wedges > 0
+                  THEN CAST(triangles * 3 * 10000 // wedges AS BIGINT)
+                  ELSE 0 END AS closure_x10000
+      FROM tri, wg"""))
+
+  val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
+    d12, d13)
 }

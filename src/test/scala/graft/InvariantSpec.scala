@@ -150,6 +150,36 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(splits == Set("train", "test"), s"splits: $splits")
   }
 
+  test("q86: engagement monotonicity — dau ≤ wau ≤ mau every day, windows only widen") {
+    val rows = operators.EventWindows.q86.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau, mau) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dau >= 1 && dau <= wau && wau <= mau,
+        s"day ${r.get(0)}: dau=$dau wau=$wau mau=$mau — a wider window lost users")
+    }
+  }
+
+  test("q88: skew report percentile ordering — p50 ≤ p90 ≤ p99 ≤ max ≤ total") {
+    val m = operators.Warehouse.q88.build(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("p50_rows") <= m("p90_rows"), m.toString)
+    assert(m("p90_rows") <= m("p99_rows"), m.toString)
+    assert(m("p99_rows") <= m("max_rows"), m.toString)
+    assert(m("max_rows") == m("top1_rows"), "max must equal the top heavy hitter")
+    assert(m("top1_rows") >= m("top2_rows") && m("top2_rows") >= m("top3_rows"), m.toString)
+    assert(m("n_keys") <= m("total_rows"), m.toString)
+  }
+
+  test("d13: closure accounting — every triangle contributes exactly 3 closed wedges") {
+    val r = operators.Dedup.d13.build(spark, sfDir).head()
+    val (tri, wedges, closure) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(tri * 3 <= wedges || wedges == 0,
+      s"$tri triangles need ${tri * 3} wedges, only $wedges exist")
+    if (wedges > 0)
+      assert(closure == tri * 3 * 10000 / wedges, s"closure=$closure tri=$tri wedges=$wedges")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
