@@ -420,6 +420,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("frobnicate")._1 == 1)
   }
 
+  test("registry consistency: query and artifact names unique, disjoint, and convention-clean") {
+    val qNames = SparkEntry.registry.map(_.name)
+    assert(qNames.distinct.size == qNames.size, "duplicate query names")
+    val aNames = SparkEntry.artifacts.map(_._1)
+    assert(aNames.distinct.size == aNames.size, "duplicate artifact names")
+    assert(aNames.forall(_.startsWith("x_")), "artifact lines must be x_-prefixed")
+    assert(qNames.forall(!_.startsWith("x_")), "query names must not collide with artifact prefix")
+    assert((qNames.toSet & aNames.toSet).isEmpty)
+    // every oracle key refers to a registered query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qNames.toSet))
+  }
+
   test("A2/§4 glob pushdown: catalog-dialect patterns prune during the listing; fnmatch stays the contract") {
     // '*'-only patterns are handed to the session catalog's listing call
     // (pruned during the scan); '?'/'[seq]' are not expressible there and
