@@ -432,6 +432,68 @@ object EventWindows {
       FROM c JOIN pv USING (click_id) JOIN np USING (click_id)
       ORDER BY click_id"""))
 
+  /** Marketing attribution (first-touch AND last-touch models): every
+    * PURCHASE credits its revenue to a non-purchase touch within a 7-day
+    * lookback — `lt` = the latest such touch, `ft` = the earliest INSIDE the
+    * horizon. A rows-frame can express `lt` (q89's pattern) but not `ft`:
+    * "first event satisfying tu >= cur−tol" depends on the CURRENT row, which
+    * a frame aggregate can't see. The scale idiom is a RANGE frame over a
+    * collision-free surrogate clock u = epoch_micros·4096 + event_id mod 4096
+    * (micros ~1.8e15 → u < 7.4e18, no Long overflow; unique because
+    * event_ids are unique per fixture and micros collisions would need equal
+    * low bits too — and even then both engines replay the identical frame).
+    * Both models come out of ONE per-user sort — no self-join, no per-event
+    * fan-out; the final rollup is a ~10-row aggregate. Revenue sums in
+    * DECIMAL(14,2) (the q83 lesson: never hash-compare float sums). */
+  val q91 = GraftQuery(
+    "q91_attribution",
+    "First/last-touch revenue attribution within a 7-day lookback — one range-frame window pass",
+    (s, dir) => {
+      val tolU = 7L * 86400L * 1000000L * 4096L
+      val e = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          (unix_micros(col("ts")) * 4096L + col("event_id") % 4096L).as("u"))
+      val w = Window.partitionBy("user_id").orderBy("u").rangeBetween(-tolU, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      val p = e
+        .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+        .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+      p.select(lit("last_touch").as("model"),
+          coalesce(col("lt"), lit("direct")).as("channel"), col("value"))
+        .unionAll(p.select(lit("first_touch").as("model"),
+          coalesce(col("ft"), lit("direct")).as("channel"), col("value")))
+        .groupBy("model", "channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(dec2(col("value"))).cast("double").as("revenue"))
+        .orderBy("model", "channel")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, event_type, value,
+                        epoch_us(CAST(ts AS TIMESTAMP)) * 4096
+                          + event_id % 4096 AS u
+                 FROM events),
+      t AS (SELECT *,
+              last_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY u
+                      RANGE BETWEEN 2477260800000000 PRECEDING
+                            AND 1 PRECEDING) AS lt,
+              first_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY u
+                      RANGE BETWEEN 2477260800000000 PRECEDING
+                            AND 1 PRECEDING) AS ft
+            FROM e),
+      p AS (SELECT * FROM t WHERE event_type = 'purchase'),
+      m AS (SELECT 'last_touch' AS model, coalesce(lt, 'direct') AS channel,
+                   value FROM p
+            UNION ALL
+            SELECT 'first_touch', coalesce(ft, 'direct'), value FROM p)
+      SELECT model, channel, count(*) AS n_purchases,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+      FROM m GROUP BY model, channel ORDER BY model, channel"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
-    q86, q89)
+    q86, q89, q91)
 }
