@@ -1089,6 +1089,97 @@ object TextAnalysis {
       FROM s, t
       ORDER BY source"""))
 
+  /** Filter-rule ablation report: the diagnostic a corpus owner reads to
+    * TUNE a rule battery before running it (t9/t18 apply filters; this
+    * explains them). For each rule: how many docs it kills, how many it
+    * kills EXCLUSIVELY (every other rule passes — the rule's marginal
+    * contribution, the number that says whether dropping it changes the
+    * corpus), and the chars lost; plus the union row. All four rules are
+    * row-local projections — one scan, one conditional aggregate to a
+    * single wide row, `stack` to unpivot; no explode, no join, no per-doc
+    * output. Thresholds are integer cross-multiplications (sl·100 > 465·nw,
+    * nd·10 < 4·nw) — never a float ratio compare (the q83 lesson). */
+  val t23 = GraftQuery(
+    "t23_rule_ablation",
+    "Quality-rule ablation: per-rule kill/exclusive-kill/chars-lost + union — one pass, no explode",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("ws", words(col("text")))
+        .withColumn("nw", size(col("ws")).cast(LongType))
+        .withColumn("sl",
+          aggregate(transform(col("ws"), w => length(w).cast("long")), lit(0L), (a, x) => a + x))
+        .withColumn("nd", size(array_distinct(col("ws"))).cast(LongType))
+        .withColumn("st", hits(col("ws"), "en"))
+        .withColumn("f1", col("nw") < 20 || col("nw") > 90)
+        .withColumn("f2", col("sl") * 100 > col("nw") * 465)
+        .withColumn("f3", col("st") < 2)
+        .withColumn("f4", col("nd") * 10 < col("nw") * 4)
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      def chars(c: Column) = sum(when(c, col("n_chars")).otherwise(0L))
+      val Seq(f1, f2, f3, f4) = Seq("f1", "f2", "f3", "f4").map(col)
+      val excl = Seq(
+        f1 && !f2 && !f3 && !f4, f2 && !f1 && !f3 && !f4,
+        f3 && !f1 && !f2 && !f4, f4 && !f1 && !f2 && !f3)
+      val any = f1 || f2 || f3 || f4
+      val one = d.agg(
+        cnt(f1).as("a1"), cnt(excl(0)).as("x1"), chars(f1).as("c1"),
+        cnt(f2).as("a2"), cnt(excl(1)).as("x2"), chars(f2).as("c2"),
+        cnt(f3).as("a3"), cnt(excl(2)).as("x3"), chars(f3).as("c3"),
+        cnt(f4).as("a4"), cnt(excl(3)).as("x4"), chars(f4).as("c4"),
+        cnt(any).as("aa"), cnt(excl.reduce(_ || _)).as("xa"), chars(any).as("ca"))
+      one.selectExpr(
+        """stack(5,
+             'r1_word_count',    a1, x1, c1,
+             'r2_mean_word_len', a2, x2, c2,
+             'r3_stopwords',     a3, x3, c3,
+             'r4_diversity',     a4, x4, c4,
+             'any_rule',         aa, xa, ca)
+           AS (rule, n_failed, n_exclusive, chars_lost)""")
+        .orderBy("rule")
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, n_chars,
+               len(string_split(lower(text), ' ')) AS nw,
+               CAST(list_aggregate(list_transform(string_split(lower(text), ' '),
+                 w -> length(w)), 'sum') AS BIGINT) AS sl,
+               len(list_distinct(string_split(lower(text), ' '))) AS nd,
+               len(list_filter(string_split(lower(text), ' '),
+                 w -> list_contains(['the', 'a', 'and', 'of', 'to', 'is', 'in'], w))) AS st
+        FROM documents),
+      r AS (SELECT n_chars,
+                   (nw < 20 OR nw > 90) AS f1,
+                   (sl * 100 > nw * 465) AS f2,
+                   (st < 2) AS f3,
+                   (nd * 10 < nw * 4) AS f4
+            FROM f),
+      agg AS (SELECT
+        CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        CAST(sum(CASE WHEN f1 AND NOT f2 AND NOT f3 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        CAST(sum(CASE WHEN f1 THEN n_chars ELSE 0 END) AS BIGINT) AS c1,
+        CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+        CAST(sum(CASE WHEN f2 AND NOT f1 AND NOT f3 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+        CAST(sum(CASE WHEN f2 THEN n_chars ELSE 0 END) AS BIGINT) AS c2,
+        CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS a3,
+        CAST(sum(CASE WHEN f3 AND NOT f1 AND NOT f2 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS x3,
+        CAST(sum(CASE WHEN f3 THEN n_chars ELSE 0 END) AS BIGINT) AS c3,
+        CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS a4,
+        CAST(sum(CASE WHEN f4 AND NOT f1 AND NOT f2 AND NOT f3 THEN 1 ELSE 0 END) AS BIGINT) AS x4,
+        CAST(sum(CASE WHEN f4 THEN n_chars ELSE 0 END) AS BIGINT) AS c4,
+        CAST(sum(CASE WHEN f1 OR f2 OR f3 OR f4 THEN 1 ELSE 0 END) AS BIGINT) AS aa,
+        CAST(sum(CASE WHEN (f1 AND NOT f2 AND NOT f3 AND NOT f4)
+                   OR (f2 AND NOT f1 AND NOT f3 AND NOT f4)
+                   OR (f3 AND NOT f1 AND NOT f2 AND NOT f4)
+                   OR (f4 AND NOT f1 AND NOT f2 AND NOT f3) THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+        CAST(sum(CASE WHEN f1 OR f2 OR f3 OR f4 THEN n_chars ELSE 0 END) AS BIGINT) AS ca
+        FROM r)
+      SELECT 'r1_word_count' AS rule, a1 AS n_failed, x1 AS n_exclusive, c1 AS chars_lost FROM agg
+      UNION ALL SELECT 'r2_mean_word_len', a2, x2, c2 FROM agg
+      UNION ALL SELECT 'r3_stopwords', a3, x3, c3 FROM agg
+      UNION ALL SELECT 'r4_diversity', a4, x4, c4 FROM agg
+      UNION ALL SELECT 'any_rule', aa, xa, ca FROM agg
+      ORDER BY rule"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
-    t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22)
+    t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
 }
