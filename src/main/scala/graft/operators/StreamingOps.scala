@@ -1241,6 +1241,52 @@ object StreamingOps {
       .map(k => s"x_spool_$k" ->
         ((s: SparkSession, d: String) => { fileSpool(s, k, d); () }))
 
+  /** Stream-stream LEFT SEMI interval join — the third stream-stream join
+    * shape (inner st7, left outer st10): "which clicks were followed by a
+    * purchase within the hour", i.e. a streaming EXISTS. Semi is the one
+    * whose OUTPUT is bounded by the left side no matter how hot the match
+    * side gets (inner fans out per match; semi emits each click at most
+    * once, on its FIRST match) — the shape for "flag the event, don't
+    * enumerate the evidence" triggers. State stays bounded exactly as in
+    * st7: both sides watermarked, the interval condition gives the engine
+    * the eviction bound. Shares st7's `events5` spool (content-keyed). */
+  val st17 = GraftQuery(
+    "st17_stream_semi_join",
+    "Watermarked stream-stream LEFT SEMI interval join (clicks with a purchase ≤1h after) == batch EXISTS",
+    (s, dir) => {
+      replay(s, "events5", dir,
+        src => {
+          val c = src.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts").as("c_ts"),
+              col("event_id").as("c_id"))
+            .withWatermark("c_ts", "1 hour")
+          val p = src.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+            .withWatermark("p_ts", "1 hour")
+          c.join(p,
+            col("user_id") === col("p_user") &&
+              col("p_ts") > col("c_ts") &&
+              col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+            "left_semi")
+        },
+        // same 4-stores-per-partition fixed-cost argument as st7/st10
+        OutputMode.Append(), noDataBatch = false, parts = 2)
+        .select(col("c_id"), col("user_id"),
+          col("c_ts").cast("timestamp_ntz").as("c_ts"))
+        .orderBy("c_id")
+    },
+    Some("""
+      SELECT c.event_id AS c_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS c_ts
+      FROM events c
+      WHERE c.event_type = 'click'
+        AND EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+            AND CAST(p.ts AS TIMESTAMP) > CAST(c.ts AS TIMESTAMP)
+            AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+                  + INTERVAL '1 hour')
+      ORDER BY c_id"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
-    st10, st11, st12, st13, st14, st15, st16)
+    st10, st11, st12, st13, st14, st15, st16, st17)
 }
