@@ -1051,6 +1051,64 @@ object Similarity {
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Mutual k-NN graph — the structure diversity-aware sampling and
+    * agglomerative dedup consume (a near-dup PAIR list says "these two
+    * match"; the mutual-kNN graph says "these two pick EACH OTHER", which
+    * suppresses hub nodes that appear in everyone's top-k without being
+    * anyone's genuine neighbor). Candidates are cell-local exactly as d5:
+    * the labeled cell bounds the n² to (cell size)², and at corpus scale
+    * the cells are the trained IVF partitions (s7) — never an all-pairs
+    * join. Per-node top-3 by cosine (row_number, deterministic vec_id
+    * tie-break), then the mutuality filter is a self-join of the ≤3n
+    * directed edge list on the reversed pair — bounded by construction.
+    * Fully oracle-checked: cells, cosine, ranks, and mutuality are all
+    * portable arithmetic. */
+  val s15 = GraftQuery(
+    "s15_knn_graph",
+    "Mutual top-3 kNN graph within label cells: directed ranks + reversed-pair self-join",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          l2Norm(col("embedding")).as("nrm"))
+      val a = emb.select(col("label"), col("vec_id").as("id1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      val b = emb.select(col("label"), col("vec_id").as("id2"),
+        col("embedding").as("e2"), col("nrm").as("n2"))
+      val w = Window.partitionBy("id1").orderBy(desc("sim"), col("id2"))
+      val directed = a.join(b, Seq("label"))
+        .filter(col("id1") =!= col("id2"))
+        .select(col("id1"), col("id2"),
+          (dotProduct(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("id1", "id2", "sim")
+      val rev = directed.select(col("id2").as("id1"), col("id1").as("id2"))
+      directed.join(rev, Seq("id1", "id2"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), round(col("sim"), 4).as("sim"))
+        .orderBy("id1", "id2")
+    },
+    Some("""
+      WITH n AS (SELECT vec_id, label, embedding,
+                        sqrt(list_aggregate(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+                 FROM embeddings),
+      p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                     q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), 'sum')
+                     / (a.nrm * b.nrm) AS sim
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      d AS (SELECT id1, id2, sim FROM (
+              SELECT id1, id2, sim,
+                     row_number() OVER (PARTITION BY id1
+                       ORDER BY sim DESC, id2) AS rank
+              FROM p)
+            WHERE rank <= 3)
+      SELECT d.id1, d.id2, round(d.sim, 4) AS sim
+      FROM d JOIN d r ON r.id1 = d.id2 AND r.id2 = d.id1
+      WHERE d.id1 < d.id2
+      ORDER BY d.id1, d.id2"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
-    s12, s13, s14)
+    s12, s13, s14, s15)
 }
