@@ -420,6 +420,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), p)
   }
 
+  test("q91: both attribution models ride window passes — no self-join, no fan-out") {
+    val p = plan(operators.EventWindows.q91.build(spark, sfDir))
+    // a join-based attribution (purchase × touches) would fan out per
+    // event; the range-frame formulation has no join anywhere
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"attribution must not plan a join\n$p")
+  }
+
+  test("t23: rule ablation is one scan, no explode, no join") {
+    val p = plan(operators.TextAnalysis.t23.build(spark, sfDir))
+    // all four rules are array-expression projections — a word-histogram
+    // implementation would Generate (explode) per token BELOW the
+    // aggregate. The one legitimate Generate is stack()'s 5-row unpivot
+    // ABOVE it (node ids number bottom-up: above = larger id).
+    val genIds = "\\((\\d+)\\) Generate".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val aggIds = "\\((\\d+)\\) HashAggregate".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(genIds.size == 1 && aggIds.nonEmpty && genIds.head > aggIds.max,
+      s"expected only stack's post-aggregate unpivot Generate\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected a single scan, got $scans\n$p")
+  }
+
+  test("s15: kNN-graph candidates are cell-keyed equi-joins, never cartesian") {
+    val p = plan(operators.Similarity.s15.build(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
