@@ -515,5 +515,130 @@ object Multimodal {
       GROUP BY modality
       ORDER BY modality"""))
 
-  val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9)
+  /** Output of the perceptual-hash seam: 56-bit dHash per payload. */
+  final case class PHashRow(doc_id: Long, dhash: Long)
+
+  /** Perceptual dHash at the codec seam — m2's pattern applied to
+    * NEAR-duplicate image detection (m6 dedups frames by EXACT digest; a
+    * re-encoded or slightly-edited image defeats that). Real path: decode
+    * via ImageIO, Graphics2D-downsample to an 8×8 grayscale grid, hash =
+    * the 56 horizontal gradient signs (7 per row) — the standard dHash
+    * construction (difference hash; per Krawetz's public description),
+    * robust to re-encode/resize because only relative brightness order
+    * survives. Fake path (non-image payloads): the SAME construction over
+    * char-code "pixels" sampled on the same 8×8 grid across the text
+    * (char-based indexing, BMP code units — the m3/m4 portability
+    * contract), so fixture rows are SQL-replayable AND structurally
+    * correlated: identical payloads hash identically, small edits move few
+    * grid samples. 56 bits (not 64) keeps every band shift inside a
+    * non-negative Long in both engines (d4's range(60) lesson). */
+  private[graft] def dhash(r: MediaRow): PHashRow = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      catch { case _: Throwable => null }
+    val gray: (Int, Int) => Int =
+      if (img != null) {
+        val small = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = small.createGraphics()
+        g.drawImage(img, 0, 0, 8, 8, null)
+        g.dispose()
+        val raster = small.getRaster
+        (row, c) => raster.getSample(c, row, 0)
+      } else {
+        val str = new String(r.content, java.nio.charset.StandardCharsets.UTF_8)
+        val len = str.length
+        (row, c) => str.charAt(((row * 8 + c) * len) / 64).toInt
+      }
+    var h = 0L
+    var row = 0
+    while (row < 8) {
+      var c = 0
+      while (c < 7) {
+        if (gray(row, c) > gray(row, c + 1)) h |= 1L << (row * 7 + c)
+        c += 1
+      }
+      row += 1
+    }
+    PHashRow(r.doc_id, h)
+  }
+
+  /** Perceptual near-dup index over the payload column: per-doc dHash,
+    * plus the two numbers a dedup pipeline reads off the index — band-mate
+    * count (candidate tier: docs sharing any of the 4 14-bit bands; the
+    * LSH discipline, pigeonhole-lossless for Hamming ≤ 3) and confirmed
+    * near-dup count (Hamming ≤ 3 over the full 56 bits). Candidates come
+    * from a band-keyed equi-join — never an all-pairs join — and band
+    * WIDTH is the occupancy dial (d4/s2's discipline: bits scale with
+    * log(corpus) so bucket occupancy — and thus candidates per doc — stays
+    * bounded; 8-bit bands measured 260 candidates/doc on the 5k fixture,
+    * 14-bit bands ~1), so the verify join cost tracks duplicate density,
+    * not corpus². The all-text fixture takes the fake
+    * path end-to-end (oracle-checked); the real-image path is pinned by
+    * MultimodalDecodeSpec on synthesized PNGs. */
+  val m10 = GraftQuery(
+    "m10_perceptual_hash",
+    "Perceptual dHash index: per-doc 56-bit hash + band-mate and Hamming≤3 near-dup counts",
+    (s, dir) => {
+      import s.implicits._
+      val hashes = table(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[MediaRow]
+        .mapPartitions(rows => rows.map(dhash))
+        .toDF()
+      val bands = hashes.select(col("doc_id"), explode(array((0 until 4).map(k =>
+          struct(lit(k).as("k"),
+            shiftright(col("dhash"), k * 14).bitwiseAND(lit(16383L)).as("v"))): _*)).as("e"))
+        .select(col("doc_id"), col("e.k").as("k"), col("e.v").as("v"))
+      val cand = bands.as("a").join(bands.as("b"), Seq("k", "v"))
+        .filter(col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("mate"))
+        .distinct()
+      val verified = cand
+        .join(hashes.select(col("doc_id"), col("dhash").as("h1")), "doc_id")
+        .join(hashes.select(col("doc_id").as("mate"), col("dhash").as("h2")), "mate")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_band_mates"),
+          sum(when(bit_count(col("h1").bitwiseXOR(col("h2"))) <= 3, 1L)
+            .otherwise(0L)).as("n_near_dups"))
+      hashes.join(verified, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dhash"),
+          coalesce(col("n_band_mates"), lit(0L)).as("n_band_mates"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH g AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      px AS (SELECT doc_id, b,
+                    ascii(substring(text,
+                      CAST((b * len) // 64 AS INTEGER) + 1, 1)) AS p
+             FROM g, UNNEST(range(64)) AS t(b)),
+      bits AS (SELECT a.doc_id, (a.b // 8) * 7 + (a.b % 8) AS bit
+               FROM px a JOIN px n ON n.doc_id = a.doc_id AND n.b = a.b + 1
+               WHERE a.b % 8 < 7 AND a.p > n.p),
+      h AS (SELECT g.doc_id,
+                   CAST(coalesce(sum(1::BIGINT << CAST(bit AS INTEGER)), 0)
+                     AS BIGINT) AS dhash
+            FROM g LEFT JOIN bits ON bits.doc_id = g.doc_id
+            GROUP BY g.doc_id),
+      bands AS (SELECT doc_id, k, (dhash >> CAST(k * 14 AS INTEGER)) & 16383 AS v
+                FROM h, UNNEST(range(4)) AS t(k)),
+      cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS mate
+               FROM bands a JOIN bands b ON a.k = b.k AND a.v = b.v
+                AND a.doc_id <> b.doc_id),
+      verified AS (SELECT c.doc_id,
+                          CAST(count(*) AS BIGINT) AS n_band_mates,
+                          CAST(sum(CASE WHEN bit_count(xor(h1.dhash, h2.dhash)) <= 3
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups
+                   FROM cand c
+                   JOIN h h1 ON h1.doc_id = c.doc_id
+                   JOIN h h2 ON h2.doc_id = c.mate
+                   GROUP BY c.doc_id)
+      SELECT h.doc_id, h.dhash,
+             coalesce(v.n_band_mates, 0) AS n_band_mates,
+             coalesce(v.n_near_dups, 0) AS n_near_dups
+      FROM h LEFT JOIN verified v ON v.doc_id = h.doc_id
+      ORDER BY h.doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10)
 }

@@ -85,6 +85,55 @@ class MultimodalDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d.width == (broken(0) & 0xff) % 64 + 1)
   }
 
+  /** A PNG with a controlled horizontal brightness ramp per row: cell
+    * (r, c) of an 8×8 grid gets gray value ramp(r)(c), so the expected
+    * dHash gradient bits are known exactly after the 8×8 downsample
+    * (each grid cell IS one pixel here — no resampling ambiguity). */
+  private def grayPng(ramp: Array[Array[Int]]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 8).foreach(r => (0 until 8).foreach(c =>
+      img.getRaster.setSample(c, r, 0, ramp(r)(c))))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("m10 dhash: real image path — known gradients, edit-tolerance, discrimination") {
+    // strictly increasing rows → every gradient bit is 0 (g(c) < g(c+1))
+    val inc = Array.tabulate(8, 8)((_, c) => c * 30)
+    // strictly decreasing rows → all 56 bits set
+    val dec = Array.tabulate(8, 8)((_, c) => (7 - c) * 30)
+    val hInc = operators.Multimodal.dhash(
+      operators.Multimodal.MediaRow(1L, grayPng(inc))).dhash
+    val hDec = operators.Multimodal.dhash(
+      operators.Multimodal.MediaRow(2L, grayPng(dec))).dhash
+    assert(hInc == 0L, s"increasing ramp must hash to 0, got $hInc")
+    assert(hDec == (1L << 56) - 1, s"decreasing ramp must set all 56 bits")
+    // one-cell edit flips at most 2 gradient bits (its two adjacent pairs)
+    val edited = inc.map(_.clone()); edited(3)(4) = 255
+    val hEdit = operators.Multimodal.dhash(
+      operators.Multimodal.MediaRow(3L, grayPng(edited))).dhash
+    assert(java.lang.Long.bitCount(hInc ^ hEdit) <= 2 &&
+      java.lang.Long.bitCount(hInc ^ hEdit) >= 1,
+      s"single-cell edit must flip 1-2 bits, flipped ${java.lang.Long.bitCount(hInc ^ hEdit)}")
+  }
+
+  test("m10 dhash: text fallback replays the SQL grid arithmetic exactly") {
+    val txt = "the quick brown fox jumps over the lazy dog and keeps running"
+    val h = operators.Multimodal.dhash(
+      operators.Multimodal.MediaRow(4L, txt.getBytes("UTF-8"))).dhash
+    // independent reimplementation of the oracle's arithmetic
+    var expected = 0L
+    val len = txt.length
+    for (r <- 0 until 8; c <- 0 until 7) {
+      val a = txt.charAt(((r * 8 + c) * len) / 64).toInt
+      val b = txt.charAt(((r * 8 + c + 1) * len) / 64).toInt
+      if (a > b) expected |= 1L << (r * 7 + c)
+    }
+    assert(h == expected)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
