@@ -494,6 +494,65 @@ object EventWindows {
              CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS revenue
       FROM m GROUP BY model, channel ORDER BY model, channel"""))
 
+  /** Rolling z-score anomaly screen — the monitoring tier of the event
+    * pipeline: each event judged against ITS OWN user's trailing 30-day
+    * history (frame excludes the current row — the test statistic must not
+    * contaminate the baseline), flagged when |z| > 2 with ≥ 5 priors.
+    * Same surrogate-clock range frame as q91; the three moments (count,
+    * sum, sum of squares) come out of ONE window pass. Cross-engine float
+    * discipline: the moment sums are DECIMAL-exact, and z is derived from
+    * them with an identical expression tree, so both engines produce the
+    * same IEEE doubles — the hash compares rounded z but the FLAG
+    * comparison |z| > 2 is also deterministic because its inputs are. */
+  val q92 = GraftQuery(
+    "q92_rolling_zscore",
+    "Per-user rolling z-score (30-day trailing baseline, current row excluded): |z| > 2 outliers",
+    (s, dir) => {
+      val tolU = 30L * 86400L * 1000000L * 4096L
+      val e = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          (unix_micros(col("ts")) * 4096L + col("event_id") % 4096L).as("u"))
+        .withColumn("v", dec2(col("value")))
+      val w = Window.partitionBy("user_id").orderBy("u").rangeBetween(-tolU, -1)
+      e.withColumn("n_prior", count(col("v")).over(w))
+        .withColumn("s1", sum(col("v")).over(w))
+        .withColumn("s2", sum(col("v") * col("v")).over(w))
+        .filter(col("n_prior") >= 5)
+        .withColumn("mean", col("s1").cast("double") / col("n_prior"))
+        .withColumn("varr",
+          greatest(col("s2").cast("double") / col("n_prior")
+            - col("mean") * col("mean"), lit(0.0)))
+        .filter(col("varr") > 0.0)
+        .withColumn("z", (col("value") - col("mean")) / sqrt(col("varr")))
+        .filter(abs(col("z")) > 2.0)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("n_prior"), round(col("z"), 4).as("z"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, value,
+                        CAST(value AS DECIMAL(14,2)) AS v,
+                        epoch_us(CAST(ts AS TIMESTAMP)) * 4096
+                          + event_id % 4096 AS u
+                 FROM events),
+      t AS (SELECT *,
+              count(v) OVER w AS n_prior,
+              sum(v) OVER w AS s1,
+              sum(v * v) OVER w AS s2
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY u
+              RANGE BETWEEN 10616832000000000 PRECEDING AND 1 PRECEDING)),
+      m AS (SELECT *, CAST(s1 AS DOUBLE) / n_prior AS mean,
+                   greatest(CAST(s2 AS DOUBLE) / n_prior
+                     - (CAST(s1 AS DOUBLE) / n_prior)
+                       * (CAST(s1 AS DOUBLE) / n_prior), 0.0) AS varr
+            FROM t WHERE n_prior >= 5)
+      SELECT event_id, user_id, value, n_prior,
+             round((value - mean) / sqrt(varr), 4) AS z
+      FROM m
+      WHERE varr > 0.0 AND abs((value - mean) / sqrt(varr)) > 2.0
+      ORDER BY event_id"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
-    q86, q89, q91)
+    q86, q89, q91, q92)
 }
