@@ -662,6 +662,52 @@ object Warehouse {
         UNION ALL SELECT concat('top', r, '_rows'), c FROM topk)
       ORDER BY metric"""))
 
+  /** Compaction planning — the OPTIMIZE / rewrite-data-files decision in
+    * portable form: a date-partitioned ingest leaves one small file per
+    * day (~6 rows/day here); the planner packs CONSECUTIVE days into
+    * right-sized output files without splitting a day. The greedy
+    * first-fit pack is not a driver loop: bin = floor(exclusive-cumsum /
+    * target) — one window over the per-day inventory, which is partition
+    * METADATA scale (thousands of rows regardless of data volume), so the
+    * unpartitioned cumsum window is a bounded presentation-side sort, the
+    * same class as a CLI sink. A bin may overflow target by less than one
+    * day (first-fit semantics); fill is reported in integer basis points
+    * (floor division — identical in both engines on non-negatives). */
+  val q93 = GraftQuery(
+    "q93_compaction_plan",
+    "Small-file compaction plan: per-day inventory packed into ~1000-row bins by cumulative sum",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val target = 1000L
+      val inv = table(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+      inv.withColumn("before", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("bin", floor(col("before") / target))
+        .groupBy("bin")
+        .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+          count(lit(1)).as("n_days"), sum(col("n")).as("n_rows"))
+        .withColumn("fill_bp", expr(s"n_rows * 10000 div $target"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH inv AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM orders GROUP BY day),
+      planned AS (SELECT day, n,
+                         coalesce(CAST(sum(n) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS BIGINT), 0) AS before
+                  FROM inv),
+      bins AS (SELECT CAST(floor(before / 1000.0) AS BIGINT) AS bin, day, n
+               FROM planned)
+      SELECT bin, min(day) AS first_day, max(day) AS last_day,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum(n) AS BIGINT) * 10000 // 1000 AS fill_bp
+      FROM bins GROUP BY bin ORDER BY bin"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
-    q77, q81, q85, q88)
+    q77, q81, q85, q88, q93)
 }
