@@ -180,6 +180,67 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(closure == tri * 3 * 10000 / wedges, s"closure=$closure tri=$tri wedges=$wedges")
   }
 
+  test("q91: both attribution models conserve total purchase revenue exactly") {
+    val rows = operators.EventWindows.q91.build(spark, sfDir).collect()
+    val byModel = rows.groupBy(_.getString(0))
+    assert(byModel.keySet == Set("first_touch", "last_touch"))
+    // revenue is DECIMAL-exact in cents, so the per-model totals must be
+    // IDENTICAL — attribution reassigns revenue, it never creates or
+    // destroys it
+    val totals = byModel.view.mapValues(_.map(r =>
+      math.round(r.getDouble(3) * 100)).sum).toMap
+    assert(totals("first_touch") == totals("last_touch"),
+      s"models disagree on total revenue: $totals")
+    val counts = byModel.view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(counts("first_touch") == counts("last_touch"),
+      s"models disagree on purchase count: $counts")
+  }
+
+  test("q92: every flagged event has the contract's baseline support") {
+    val rows = operators.EventWindows.q92.build(spark, sfDir).collect()
+    assert(rows.nonEmpty, "z-score screen returned no outliers at sf0.001")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 5L, s"event ${r.getLong(0)}: n_prior ${r.getLong(3)} < 5")
+      assert(math.abs(r.getDouble(4)) > 2.0,
+        s"event ${r.getLong(0)}: |z| ${r.getDouble(4)} not > 2")
+    }
+  }
+
+  test("q93: bins are contiguous, ordered, and conserve the inventory") {
+    val rows = operators.Warehouse.q93.build(spark, sfDir).collect()
+    val nOrders = operators.table(spark, sfDir, "orders").count()
+    assert(rows.map(_.getLong(4)).sum == nOrders, "bins must conserve total rows")
+    // day ranges don't overlap and appear in bin order
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(0) < b.getLong(0))
+        assert(a.getDate(2).before(b.getDate(1)),
+          s"bin ${a.getLong(0)} last_day not before bin ${b.getLong(0)} first_day")
+      case _ =>
+    }
+    // fill_bp is the definitional floor(n_rows·10000/target) — not a
+    // re-derived float
+    rows.foreach(r => assert(r.getLong(5) == r.getLong(4) * 10000 / 1000,
+      s"bin ${r.getLong(0)}: fill_bp ${r.getLong(5)} != ${r.getLong(4) * 10}"))
+  }
+
+  test("s15: mutual edges are symmetric-by-construction and ordered") {
+    val edges = operators.Similarity.s15.build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.forall { case (a, b) => a < b }, "edges must be emitted i<j")
+    assert(edges.distinct.length == edges.length, "duplicate edges")
+  }
+
+  test("m10: hash fits 56 bits; near-dups are a subset of band mates") {
+    val rows = operators.Multimodal.m10.build(spark, sfDir).collect()
+    rows.foreach { r =>
+      val h = r.getLong(1)
+      assert(h >= 0L && h < (1L << 56), s"doc ${r.getLong(0)}: hash out of range")
+      assert(r.getLong(3) <= r.getLong(2),
+        s"doc ${r.getLong(0)}: near-dups exceed band mates")
+    }
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
