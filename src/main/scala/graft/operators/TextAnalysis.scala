@@ -1180,6 +1180,64 @@ object TextAnalysis {
       UNION ALL SELECT 'any_rule', aa, xa, ca FROM agg
       ORDER BY rule"""))
 
+  /** Duplicate-n-gram fraction — the corpus-overlap quality metric of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022): per document, the share of its DISTINCT 5-grams
+    * that also occur in at least one OTHER document. Complements t9
+    * (intra-doc repetition) and t10 (overlap vs a fixed benchmark): this
+    * is all-corpus-vs-all-corpus, the signal a dedup pass is graded on.
+    *
+    * Scale shape: the only thing that ever shuffles is (doc_id, 60-bit
+    * md5 gram digest) — raw 5-gram text dies in the same stage that
+    * explodes it. Per-digest doc counts are a hash agg with map-side
+    * combine; the join back to per-doc grams is digest-keyed. Because
+    * grams are distinct-per-doc first, count(*) per digest IS the
+    * document frequency (no countDistinct shuffle of doc ids). Digest
+    * collisions are engine-identical (same md5 prefix both sides), so
+    * the oracle comparison is exact by construction. */
+  val t24 = GraftQuery(
+    "t24_dup_ngram_fraction",
+    "Per-doc duplicate 5-gram fraction (share of distinct grams seen in another doc), basis points",
+    (s, dir) => {
+      // distinct-per-doc happens ROW-LOCALLY: a doc's grams all live in its
+      // own array, so array_distinct over the digests replaces a corpus-wide
+      // distinct() shuffle; dedup is on digests (not gram text) so it is
+      // by-construction identical to the oracle's DISTINCT(doc_id, gh)
+      val grams = table(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          explode(array_distinct(expr(
+            """transform(sequence(1, greatest(size(ws) - 4, 0)),
+               i -> CAST(conv(substring(md5(concat_ws(' ', slice(ws, i, 5))), 1, 15), 16, 10) AS BIGINT))""")))
+            .as("gh"))
+      val docFreq = grams.groupBy("gh").agg(count(lit(1)).as("n_docs"))
+      grams.join(docFreq, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_grams"))
+        .select(col("doc_id"), col("n_grams"), col("dup_grams"),
+          floor(col("dup_grams") * 10000.0 / col("n_grams")).as("dup_frac_bp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      g0 AS (SELECT doc_id,
+                    array_to_string(list_slice(ws, CAST(i AS INTEGER),
+                      CAST(i + 4 AS INTEGER)), ' ') AS gram
+             FROM ws, UNNEST(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)),
+      g AS (SELECT DISTINCT doc_id,
+                   CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gh
+            FROM g0),
+      c AS (SELECT gh, count(*) AS n_docs FROM g GROUP BY gh)
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             CAST(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+             CAST(floor(sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) * 10000.0
+                        / count(*)) AS BIGINT) AS dup_frac_bp
+      FROM g JOIN c USING (gh)
+      GROUP BY g.doc_id
+      ORDER BY g.doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
-    t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
+    t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }

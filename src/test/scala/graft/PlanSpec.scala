@@ -411,6 +411,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("t24: per-doc gram dedup is row-local; only digest-keyed shuffles remain") {
+    val p = plan(operators.TextAnalysis.t24.build(spark, sfDir))
+    // the array_distinct-before-explode formulation needs exactly 3 shuffles
+    // (per-digest doc-frequency agg, digest join, per-doc agg); a global
+    // distinct() on exploded grams would add a 4th over the whole gram set
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"expected <=3 digest-keyed shuffles, got $exchanges\n$p")
+    // gram text is digested inside the generator expression — no column of
+    // raw gram strings ever reaches an Exchange
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange rangepartitioning(gram"), p)
+  }
+
   test("t21: bigram build is row-local (no window shuffle); text joins only the LM tables") {
     val p = plan(operators.TextAnalysis.t21.build(spark, sfDir))
     // bigrams come from a transform over the token array inside the scan
