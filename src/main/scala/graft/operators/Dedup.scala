@@ -879,6 +879,103 @@ object Dedup {
                   ELSE 0 END AS closure_x10000
       FROM tri, wg"""))
 
+  /** Semantic dedup, SemDeDup shape (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * 2023): cluster the embedding space, and within each cluster drop
+    * near-duplicate pairs keeping the member FARTHEST from the cluster
+    * centroid (the paper's keep rule — extreme points carry more signal
+    * than the cluster's dense core). Differs from d5 on exactly that axis:
+    * d5's keeper is min-id (arbitrary), d14's is the semantic criterion.
+    *
+    * Decision rule (greedy pairwise, no transitive closure): vector i is
+    * REMOVED iff some j in its cluster has cosine(i,j) ≥ τ and j is more
+    * keepable — lower centroid-cosine, ties by lower id. Per removed
+    * vector we report how many dominators it had and which one ultimately
+    * keeps it (the most-keepable dominator).
+    *
+    * Scale shape: clusters here are the label cells (standing in for the
+    * k-means coarse cells s7 trains — same machinery, deterministic for
+    * the oracle). Pairwise work is CELL-LOCAL — fan-out follows cell
+    * population, never n² over the corpus; centroids broadcast (10 rows);
+    * after the pair filter only (id, rounded-float) tuples shuffle.
+    * Centroid cosines round to 6dp before any comparison so the keepable
+    * ordering is engine-identical. */
+  val d14 = GraftQuery(
+    "d14_semdedup",
+    "SemDeDup keep-list: cell-local near-dups removed in favor of the member farthest from centroid",
+    (s, dir) => {
+      import graft.functions.Functions.{dotProduct, l2Norm}
+      val emb = table(s, dir, "embeddings")
+      val summed = emb.groupBy("label").agg(
+        count(lit(1)).as("n"),
+        array((0 until 64).map(i =>
+          sum(element_at(col("embedding"), i + 1).cast("double"))): _*).as("sumvec"))
+      // centroid components quantized at 6 decimals (the s4 rationale:
+      // double sums are partial-aggregation-order dependent at ulp level)
+      val centroids = summed.select(col("label"),
+        transform(col("sumvec"), x => round(x / col("n"), 6)).as("centroid"))
+      val scored = emb.join(broadcast(centroids), "label")
+        .select(col("label"), col("vec_id"), col("embedding"),
+          l2Norm(col("embedding")).as("nrm"),
+          round(dotProduct(col("embedding"), col("centroid"))
+            / (l2Norm(col("embedding")) * l2Norm(col("centroid"))), 6).as("c_sim"))
+      val a = scored.select(col("label"), col("vec_id").as("id_i"),
+        col("embedding").as("e_i"), col("nrm").as("n_i"), col("c_sim").as("cs_i"))
+      val b = scored.select(col("label"), col("vec_id").as("id_j"),
+        col("embedding").as("e_j"), col("nrm").as("n_j"), col("c_sim").as("cs_j"))
+      val dom = a.join(b, Seq("label"))
+        .filter(col("id_i") =!= col("id_j"))
+        .filter(dotProduct(col("e_i"), col("e_j")) / (col("n_i") * col("n_j")) >= 0.35)
+        .filter(col("cs_j") < col("cs_i") ||
+          (col("cs_j") === col("cs_i") && col("id_j") < col("id_i")))
+        .select(col("label"), col("id_i"), col("id_j"), col("cs_j"))
+        .cache() // tiny (true near-dup pairs); scanned by agg + keeper pick
+      val agg1 = dom.groupBy("label", "id_i")
+        .agg(count(lit(1)).as("n_dominators"), min(col("cs_j")).as("m"))
+      val keeper = dom.join(
+          agg1.select(col("id_i"), col("m")), Seq("id_i"))
+        .filter(col("cs_j") === col("m"))
+        .groupBy("id_i").agg(min(col("id_j")).as("kept_by"))
+      agg1.join(keeper, Seq("id_i"))
+        .select(col("id_i").as("vec_id"), col("label").cast("long").as("label"),
+          col("n_dominators"), col("kept_by"), col("m").as("keeper_csim"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH ex AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+                  FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
+      sums AS (SELECT label, i, sum(v) AS sv, count(*) AS n
+               FROM ex GROUP BY label, i),
+      centroids AS (SELECT label, list(round(sv / n, 6) ORDER BY i) AS centroid
+                    FROM sums GROUP BY label),
+      scored AS (SELECT e.vec_id, e.label, e.embedding,
+                        sqrt(list_aggregate(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+                        round(
+                          list_aggregate(list_transform(list_zip(e.embedding, c.centroid),
+                            p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+                          / (sqrt(list_aggregate(list_transform(e.embedding,
+                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                             * sqrt(list_aggregate(list_transform(c.centroid,
+                                 x -> x * x), 'sum'))), 6) AS c_sim
+                 FROM embeddings e JOIN centroids c ON e.label = c.label),
+      dom AS (SELECT a.label, a.vec_id AS id_i, b.vec_id AS id_j, b.c_sim AS cs_j
+              FROM scored a JOIN scored b
+                ON a.label = b.label AND a.vec_id <> b.vec_id
+              WHERE list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                    / (a.nrm * b.nrm) >= 0.35
+                AND (b.c_sim < a.c_sim OR (b.c_sim = a.c_sim AND b.vec_id < a.vec_id))),
+      agg1 AS (SELECT label, id_i, count(*) AS n_dominators, min(cs_j) AS m
+               FROM dom GROUP BY label, id_i),
+      keeper AS (SELECT d.id_i, min(d.id_j) AS kept_by
+                 FROM dom d JOIN agg1 g ON d.id_i = g.id_i AND d.cs_j = g.m
+                 GROUP BY d.id_i)
+      SELECT a.id_i AS vec_id, CAST(a.label AS BIGINT) AS label,
+             a.n_dominators, k.kept_by, a.m AS keeper_csim
+      FROM agg1 a JOIN keeper k ON a.id_i = k.id_i
+      ORDER BY vec_id"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
-    d12, d13)
+    d12, d13, d14)
 }

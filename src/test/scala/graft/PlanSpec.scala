@@ -250,6 +250,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Join") || p.contains("HashJoin"), p)
   }
 
+  test("d14: semantic-dedup pairing is cell-keyed (equi-join on label), never a cartesian") {
+    val p = plan(operators.Dedup.d14.build(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the 10-row centroid side broadcasts; the pairwise stage hash-joins
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("s9: ADC scoring joins codes on cell (equi-join), not a full-corpus cross join") {
     val (scored, _) = operators.Similarity.ivfPqParts(spark, sfDir)
     val p = plan(scored)
