@@ -708,6 +708,77 @@ object Warehouse {
              CAST(sum(n) AS BIGINT) * 10000 // 1000 AS fill_bp
       FROM bins GROUP BY bin ORDER BY bin"""))
 
+  /** Zone-map (per-file min/max) data-skipping report — "small
+    * materialized aggregates" (Moerkotte, VLDB 1998), the stats engine
+    * behind parquet row-group pruning and lakehouse file skipping. For a
+    * 16-file simulated layout we build the zone maps and evaluate three
+    * range predicates against them: a file is skippable iff its [min,max]
+    * envelope is disjoint from the predicate range. Two layouts side by
+    * side — `insertion` (key-mod assignment, the order rows arrived) vs
+    * `clustered` (equal-width value ranges, what OPTIMIZE...ORDER BY
+    * produces) — so the report quantifies exactly how much scan volume
+    * layout clustering saves per predicate (the decision input for a q76
+    * z-order / q93 compaction pass).
+    *
+    * Scale shape: one pass computes both layouts' zone maps (explode to
+    * (layout, file) then a map-side-combined hash agg); the clustered
+    * assignment uses a broadcast 1-row (lo, hi) bounds row — the same
+    * boundary-then-bucket shape a range-partitioned write uses, no global
+    * sort window. The report stage is a 32-row zone table × 3 broadcast
+    * predicates. File counts and min/max are comparison-only picks (no
+    * float summation), so doubles are engine-exact. */
+  val q94 = GraftQuery(
+    "q94_zonemap_skip",
+    "Zone-map skipping report: files skipped + rows scanned per predicate, insertion vs clustered layout",
+    (s, dir) => {
+      import s.implicits._
+      val o = table(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val bounds = o.agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      val files = o.crossJoin(broadcast(bounds))
+        .select(col("o_totalprice"),
+          pmod(col("o_orderkey"), lit(16)).cast("long").as("f_ins"),
+          least(floor((col("o_totalprice") - col("lo")) * 16 / (col("hi") - col("lo"))),
+            lit(15L)).as("f_clu"))
+      val zones = files.select(explode(array(
+          struct(lit("insertion").as("layout"), col("f_ins").as("file_id"), col("o_totalprice").as("p")),
+          struct(lit("clustered").as("layout"), col("f_clu").as("file_id"), col("o_totalprice").as("p"))))
+          .as("z"))
+        .select(col("z.layout").as("layout"), col("z.file_id").as("file_id"), col("z.p").as("p"))
+        .groupBy("layout", "file_id")
+        .agg(min(col("p")).as("mn"), max(col("p")).as("mx"), count(lit(1)).as("n_rows"))
+      val preds = Seq((1L, 1000.0, 50000.0), (2L, 100000.0, 200000.0),
+        (3L, 400000.0, 600000.0)).toDF("pred_id", "lo_p", "hi_p")
+      val skip = col("mx") < col("lo_p") || col("mn") > col("hi_p")
+      zones.crossJoin(broadcast(preds))
+        .groupBy("pred_id", "layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(skip, 1L).otherwise(0L)).as("n_skipped"),
+          sum(when(skip, 0L).otherwise(col("n_rows"))).as("rows_scanned"))
+        .orderBy("pred_id", "layout")
+    },
+    Some("""
+      WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+      f AS (SELECT o_totalprice,
+                   o_orderkey % 16 AS f_ins,
+                   least(CAST(floor((o_totalprice - lo) * 16 / (hi - lo)) AS BIGINT),
+                         15) AS f_clu
+            FROM orders, b),
+      z AS (SELECT layout, file_id,
+                   min(p) AS mn, max(p) AS mx, count(*) AS n_rows
+            FROM (SELECT 'insertion' AS layout, f_ins AS file_id, o_totalprice AS p FROM f
+                  UNION ALL
+                  SELECT 'clustered', f_clu, o_totalprice FROM f)
+            GROUP BY layout, file_id),
+      p AS (SELECT * FROM (VALUES (1, 1000.0, 50000.0), (2, 100000.0, 200000.0),
+                                  (3, 400000.0, 600000.0)) AS t(pred_id, lo_p, hi_p))
+      SELECT CAST(pred_id AS BIGINT) AS pred_id, layout,
+             count(*) AS n_files,
+             CAST(sum(CASE WHEN mx < lo_p OR mn > hi_p THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+             CAST(sum(CASE WHEN mx < lo_p OR mn > hi_p THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned
+      FROM z, p
+      GROUP BY pred_id, layout
+      ORDER BY pred_id, layout"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
-    q77, q81, q85, q88, q93)
+    q77, q81, q85, q88, q93, q94)
 }
