@@ -1109,6 +1109,126 @@ object Similarity {
       WHERE d.id1 < d.id2
       ORDER BY d.id1, d.id2"""))
 
+  /** Recall@10-vs-nprobe tuning curve for the IVF index — the report every
+    * ANN deployment runs before picking its speed/quality operating point
+    * (Jégou et al. IVF evaluation protocol: sweep nprobe, measure recall
+    * against exact search on a held-out query sample). One pass computes
+    * the exact top-10 ground truth AND every per-cell candidate score; the
+    * four nprobe settings {1,2,4,8} are then just filters over the cell
+    * RANK each candidate came from — the corpus is never re-scanned per
+    * setting. candidates_scanned quantifies the cost axis (rows scored if
+    * only cr ≤ nprobe cells are probed), so the output IS the
+    * recall/cost trade-off table.
+    *
+    * Everything is deterministic (fixed query sample, mean centroids,
+    * (sim, vec_id) tie-breaks) → fully hash-checkable cross-engine, unlike
+    * the trained-index queries (s7–s9) whose recall floors live in
+    * QualitySpec. Ground truth is a 20-query × corpus scan — the bounded
+    * offline-tuning role (s1's posture), not a serving path. */
+  val s16 = GraftQuery(
+    "s16_recall_curve",
+    "IVF tuning curve: recall@10 and candidate volume at nprobe = 1, 2, 4, 8",
+    (s, dir) => {
+      import s.implicits._
+      val emb = table(s, dir, "embeddings").withColumn("nrm", l2Norm(col("embedding")))
+      val summed = emb.groupBy("label").agg(
+        count(lit(1)).as("cnt"),
+        array((0 until 64).map(i =>
+          sum(element_at(col("embedding"), i + 1).cast("double"))): _*).as("sumvec"))
+      val centroids = summed.select(col("label").as("c_label"),
+        transform(col("sumvec"), x => round(x / col("cnt"), 6)).as("centroid"))
+        .withColumn("cnrm", l2Norm(col("centroid")))
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val sims = emb.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), col("label"),
+          (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("sim"))
+      val wx = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+      val exact = sims.withColumn("xr", row_number().over(wx))
+        .filter(col("xr") <= 10).select(col("query_id"), col("vec_id"))
+      val q2c = q.crossJoin(broadcast(centroids))
+        .select(col("query_id"), col("c_label"),
+          (dotProduct(col("qe"), col("centroid")) / (col("qn") * col("cnrm"))).as("csim"))
+      val wc = Window.partitionBy("query_id").orderBy(desc("csim"), col("c_label"))
+      val cellrank = q2c.withColumn("cr", row_number().over(wc))
+        .select(col("query_id"), col("c_label").as("label"), col("cr"))
+      val np = Seq(1, 2, 4, 8).toDF("nprobe")
+      val cand = sims.join(cellrank, Seq("query_id", "label"))
+        .crossJoin(broadcast(np))
+        .filter(col("cr") <= col("nprobe"))
+        .cache() // 4 × (queries × probed cells) scored rows; read twice
+      val wa = Window.partitionBy("nprobe", "query_id").orderBy(desc("sim"), col("vec_id"))
+      val approx = cand.withColumn("ar", row_number().over(wa))
+        .filter(col("ar") <= 10)
+        .select(col("nprobe"), col("query_id"), col("vec_id"))
+      val hits = approx.join(exact, Seq("query_id", "vec_id"))
+        .groupBy("nprobe").agg(count(lit(1)).as("h"))
+      val scanned = cand.groupBy("nprobe").agg(count(lit(1)).as("cscan"))
+      val nq = q.agg(count(lit(1)).as("n"))
+      hits.join(scanned, "nprobe").crossJoin(broadcast(nq))
+        .select(col("nprobe").cast("long").as("nprobe"),
+          col("n").as("n_queries"),
+          expr("h * 10000 div (n * 10)").as("recall_bp"),
+          col("cscan").as("candidates_scanned"))
+        .orderBy("nprobe")
+    },
+    Some("""
+      WITH emb AS (
+        SELECT vec_id, embedding, label,
+               sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        FROM embeddings),
+      ex AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+             FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
+      sums AS (SELECT label, i, sum(v) AS sv, count(*) AS cnt
+               FROM ex GROUP BY label, i),
+      centroids AS (SELECT label AS c_label, list(round(sv / cnt, 6) ORDER BY i) AS centroid
+                    FROM sums GROUP BY label),
+      cn AS (SELECT c_label, centroid,
+                    sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnrm
+             FROM centroids),
+      q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+            FROM emb WHERE vec_id < 20),
+      sims AS (SELECT q.query_id, e.vec_id, e.label,
+                      list_aggregate(list_transform(list_zip(q.qe, e.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+                        / (q.qn * e.nrm) AS sim
+               FROM q CROSS JOIN emb e WHERE e.vec_id <> q.query_id),
+      exact AS (SELECT query_id, vec_id
+                FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, vec_id) AS xr FROM sims)
+                WHERE xr <= 10),
+      q2c AS (SELECT q.query_id, c.c_label,
+                     list_aggregate(list_transform(list_zip(q.qe, c.centroid),
+                       p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum') / (q.qn * c.cnrm) AS csim
+              FROM q CROSS JOIN cn c),
+      cellrank AS (SELECT query_id, c_label AS label,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY csim DESC, c_label) AS cr
+                   FROM q2c),
+      np AS (SELECT * FROM (VALUES (1), (2), (4), (8)) AS t(nprobe)),
+      cand AS (SELECT n.nprobe, s.query_id, s.vec_id, s.sim
+               FROM sims s
+               JOIN cellrank c ON s.query_id = c.query_id AND s.label = c.label
+               JOIN np n ON c.cr <= n.nprobe),
+      approx AS (SELECT nprobe, query_id, vec_id
+                 FROM (SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+                         ORDER BY sim DESC, vec_id) AS ar FROM cand)
+                 WHERE ar <= 10),
+      hits AS (SELECT a.nprobe, count(*) AS h
+               FROM approx a JOIN exact e
+                 ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+               GROUP BY a.nprobe),
+      scanned AS (SELECT nprobe, count(*) AS cscan FROM cand GROUP BY nprobe),
+      nq AS (SELECT count(*) AS n FROM q)
+      SELECT CAST(h.nprobe AS BIGINT) AS nprobe,
+             CAST(nq.n AS BIGINT) AS n_queries,
+             CAST(h.h * 10000 // (nq.n * 10) AS BIGINT) AS recall_bp,
+             CAST(s.cscan AS BIGINT) AS candidates_scanned
+      FROM hits h JOIN scanned s ON h.nprobe = s.nprobe CROSS JOIN nq
+      ORDER BY nprobe"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
-    s12, s13, s14, s15)
+    s12, s13, s14, s15, s16)
 }
