@@ -1059,7 +1059,57 @@ object Relational {
       LEFT JOIN f USING (event_id)
       ORDER BY event_id"""))
 
+  /** Correlated subquery decorrelation: q43 covers the UNcorrelated scalar
+    * subquery; this exercises the two rewrites Catalyst applies to
+    * correlated ones — RewriteCorrelatedScalarSubquery (each correlated
+    * aggregate becomes a per-key aggregate joined back on the correlation
+    * key) and RewritePredicateSubquery (EXISTS becomes a left-semi join).
+    * Orders that exceed 1.5× their own customer's average order value, for
+    * customers that also have at least one OTHER order in status 'F'.
+    *
+    * The threshold compare is an integer cross-multiplication in cents
+    * (2·p·n > 3·Σp), never a float avg — a double avg's partial-sum order
+    * differs between engines at the ulp and can flip boundary rows (the
+    * q83/t23 lesson applied to a correlated predicate). At scale the
+    * decorrelated shape is three shuffles on o_custkey (agg + two joins),
+    * which AQE collapses onto one exchange reuse — the reason to WANT the
+    * rewrite rather than per-row subquery execution. */
+  val q95 = GraftQuery(
+    "q95_correlated_agg",
+    "Correlated scalar-agg + EXISTS decorrelation: orders above 1.5x their customer's average",
+    (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_ca")
+      s.sql("""
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice
+        FROM orders_ca o
+        WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * 2 *
+                (SELECT count(*) FROM orders_ca o2
+                 WHERE o2.o_custkey = o.o_custkey)
+              > 3 * (SELECT sum(CAST(round(o3.o_totalprice * 100) AS BIGINT))
+                     FROM orders_ca o3
+                     WHERE o3.o_custkey = o.o_custkey)
+          AND EXISTS (SELECT 1 FROM orders_ca o4
+                      WHERE o4.o_custkey = o.o_custkey
+                        AND o4.o_orderkey <> o.o_orderkey
+                        AND o4.o_orderstatus = 'F')
+        ORDER BY o.o_orderkey""")
+    },
+    Some("""
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice
+      FROM orders o
+      WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * 2 *
+              (SELECT count(*) FROM orders o2
+               WHERE o2.o_custkey = o.o_custkey)
+            > 3 * (SELECT CAST(sum(CAST(round(o3.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   FROM orders o3
+                   WHERE o3.o_custkey = o.o_custkey)
+        AND EXISTS (SELECT 1 FROM orders o4
+                    WHERE o4.o_custkey = o.o_custkey
+                      AND o4.o_orderkey <> o.o_orderkey
+                      AND o4.o_orderstatus = 'F')
+      ORDER BY o.o_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
-    q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87)
+    q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95)
 }

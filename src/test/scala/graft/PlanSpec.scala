@@ -265,6 +265,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q95: correlated subqueries decorrelate to key-joins (semi for EXISTS, no nested loops)") {
+    val p = plan(operators.Relational.q95.build(spark, sfDir))
+    assert(p.toLowerCase.contains("leftsemi"), p) // EXISTS → left-semi join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q75: salted join stays an equi hash join on (key, salt)") {
     val p = plan(operators.Relational.q75.build(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
