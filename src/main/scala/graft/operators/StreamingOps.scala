@@ -1239,7 +1239,24 @@ object StreamingOps {
         ((s: SparkSession, d: String) => { batchSpool(s, k, d); () })) ++
     Seq("st5seq", "st6seq", "st12ts")
       .map(k => s"x_spool_$k" ->
-        ((s: SparkSession, d: String) => { fileSpool(s, k, d); () }))
+        ((s: SparkSession, d: String) => { fileSpool(s, k, d); () })) ++
+    Seq("x_spool_st18dlq" ->
+      ((s: SparkSession, d: String) => { dlqSpool(s, d); () }))
+
+  /** st18's corrupted-JSON text spool (q79's poison shape). Keyed by sf
+    * dir via the spool name; built once per (sf, JVM) — the _SUCCESS
+    * marker Spark's own text committer writes is the guard. */
+  private def dlqSpool(s: SparkSession, dir: String): String = {
+    val spool = spoolDir(s"st18_dlq_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(spool, "_SUCCESS")))
+      events(s, dir)
+        .select(when(col("event_id") % 10 === 0,
+            concat(lit("{\"event_id\":"), col("event_id").cast("string"), lit(",TRUNC")))
+          .otherwise(to_json(struct(col("event_id"), col("user_id"),
+            col("event_type"), dec2(col("value")).as("value")))).as("value"))
+        .coalesce(3).write.mode("overwrite").text(spool)
+    spool
+  }
 
   /** Stream-stream LEFT SEMI interval join — the third stream-stream join
     * shape (inner st7, left outer st10): "which clicks were followed by a
@@ -1287,6 +1304,78 @@ object StreamingOps {
                   + INTERVAL '1 hour')
       ORDER BY c_id"""))
 
+  /** Streaming dead-letter-queue routing — q79's corrupt-record
+    * quarantine under a live stream: raw JSON lines arrive as text
+    * micro-batches, each batch parses with from_json, good rows land in a
+    * typed parquet sink and unparseable lines in a raw-text DLQ, and the
+    * final sinks must reproduce the batch quarantine report exactly.
+    *
+    * Sink writes are IDEMPOTENT by construction: each micro-batch
+    * overwrites its own `batch=<id>` partition (the documented
+    * foreachBatch exactly-once pattern) — a retried batch re-lands on the
+    * same directory instead of double-appending, which is what makes this
+    * safe under Spark's at-least-once foreachBatch contract at scale.
+    * Routing is stateless per row, so the report is independent of file
+    * delivery order — no watermark, no sentinel machinery needed. */
+  val st18 = GraftQuery(
+    "st18_stream_dlq",
+    "Streaming corrupt-record DLQ via foreachBatch; sinks == q79's batch quarantine report",
+    (s, dir) => {
+      // text spool: q79's poison shape (every 10th event truncated JSON)
+      val spool = dlqSpool(s, dir)
+      val id = runSeq.incrementAndGet()
+      val goodDir = spoolDir(s"st18_good_$id")
+      val badDir = spoolDir(s"st18_bad_$id")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DECIMAL(14,2)")
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      val savedNoData = s.conf.getOption(
+        "spark.sql.streaming.noDataMicroBatches.enabled").getOrElse("true")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val q = s.readStream.option("maxFilesPerTrigger", "1").text(spool)
+          .writeStream
+          .foreachBatch { (b: DataFrame, bid: Long) =>
+            val parsed = b.select(col("value"),
+              from_json(col("value"), schema).as("j")).localCheckpoint(true)
+            // good rows carry an event_id; malformed JSON parses to a
+            // null/empty struct
+            parsed.filter(col("j.event_id").isNotNull).select(col("j.*"))
+              .write.mode("overwrite").parquet(s"$goodDir/batch=$bid")
+            parsed.filter(col("j.event_id").isNull).select(col("value"))
+              .write.mode("overwrite").text(s"$badDir/batch=$bid")
+            ()
+          }
+          .option("checkpointLocation", spoolDir(s"ckpt_st18_$id"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", saved)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+      }
+      val good = s.read.parquet(s"$goodDir/*")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+          sum(col("value")).cast("double").as("total_value"))
+        .select(lit(false).as("quarantined"), col("n"), col("n_users"), col("total_value"))
+      val bad = s.read.text(s"$badDir/*")
+        .agg(count(lit(1)).as("n"))
+        .select(lit(true).as("quarantined"), col("n"),
+          lit(0L).as("n_users"), lit(null).cast("double").as("total_value"))
+      good.union(bad).orderBy("quarantined")
+    },
+    Some("""
+      SELECT event_id % 10 = 0 AS quarantined, count(*) AS n,
+             count(DISTINCT CASE WHEN event_id % 10 <> 0 THEN user_id END)
+               AS n_users,
+             CAST(sum(CASE WHEN event_id % 10 <> 0
+                           THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE)
+               AS total_value
+      FROM events
+      GROUP BY 1
+      ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
-    st10, st11, st12, st13, st14, st15, st16, st17)
+    st10, st11, st12, st13, st14, st15, st16, st17, st18)
 }
