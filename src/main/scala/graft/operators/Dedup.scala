@@ -976,6 +976,99 @@ object Dedup {
       FROM agg1 a JOIN keeper k ON a.id_i = k.id_i
       ORDER BY vec_id"""))
 
+  /** Incremental NEAR-dup ingest — d10's anti-join covers exact digests;
+    * this is the nightly-batch near-dup analog: an incoming slice is
+    * checked against the EXISTING corpus's LSH band index without ever
+    * comparing incoming×incoming or rescanning existing×existing. In
+    * production the existing side's band table is the persisted index
+    * (dedup's durable output, the d6-labels posture); here it is
+    * recomputed deterministically so the whole pipeline stays
+    * hash-checkable cross-engine (d12's portable md5-MinHash, same
+    * constants). Candidates come ONLY from band-bucket equality between
+    * the two sides, so ingest cost follows the incoming batch's size and
+    * true duplicate density — the corpus contributes index lookups, not a
+    * scan. Verdict per incoming doc: the existing doc with the highest
+    * signature agreement (ties → lowest id), reported when the MinHash
+    * estimate clears 8/16 ≈ Jaccard 0.5. */
+  val d15 = {
+    val P = 4294967291L
+    val A = 1073741789L
+    GraftQuery(
+      "d15_incremental_lsh",
+      "Incremental LSH ingest: new slice (doc_id%4=0) probes the existing corpus band index",
+      (s, dir) => {
+        val sh = table(s, dir, "documents")
+          .filter(col("doc_id") < 2000)
+          .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+        val h = sh.select(col("doc_id"),
+          expr(s"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $P").as("h32"))
+        val m = h.select(col("doc_id"), col("h32"),
+            explode(sequence(lit(0L), lit(15L))).as("j"))
+          .groupBy("doc_id", "j")
+          .agg(min(expr(
+            s"(((1103515245 * (j + 1) + 12345) % $A) * h32 + ((12345 * (j + 7) + 6789) % $A)) % $P"))
+            .as("m"))
+          .cache() // docs × 16; read by banding AND the agreement join
+        val sig = m.withColumn("band", (col("j") / 4).cast("int"))
+          .groupBy("doc_id", "band")
+          .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("m")))),
+            x => x("m").cast("string")), ":").as("bucket"))
+        val newSig = sig.filter(col("doc_id") % 4 === 0)
+        val oldSig = sig.filter(col("doc_id") % 4 =!= 0)
+        val cand = newSig.as("a").join(oldSig.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+          .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+          .distinct()
+        val scored = cand
+          .join(m.select(col("doc_id").as("new_id"), col("j"), col("m").as("ma")), Seq("new_id"))
+          .join(m.select(col("doc_id").as("old_id"), col("j"), col("m").as("mb")), Seq("old_id", "j"))
+          .groupBy("new_id", "old_id")
+          .agg(sum(when(col("ma") === col("mb"), 1).otherwise(0)).as("n_equal"))
+          .filter(col("n_equal") >= 8)
+        val best = scored.groupBy("new_id").agg(max(col("n_equal")).as("best"))
+        scored.join(best, "new_id")
+          .filter(col("n_equal") === col("best"))
+          .groupBy("new_id")
+          .agg(min(col("old_id")).as("dup_of"), max(col("n_equal")).as("n_equal"))
+          .select(col("new_id"), col("dup_of"), col("n_equal"),
+            round(col("n_equal").cast("double") / 16, 4).as("est_jaccard"))
+          .orderBy("new_id")
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                   FROM documents WHERE doc_id < 2000),
+        sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+               FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        h AS (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $P AS h32
+              FROM sh),
+        m AS (SELECT doc_id, j,
+                     min((((1103515245 * (j + 1) + 12345) % $A) * h32
+                          + ((12345 * (j + 7) + 6789) % $A)) % $P) AS m
+              FROM h, UNNEST(range(16)) AS t(j)
+              GROUP BY doc_id, j),
+        sig AS (SELECT doc_id, j // 4 AS band,
+                       string_agg(CAST(m AS VARCHAR), ':' ORDER BY j) AS bucket
+                FROM m GROUP BY doc_id, j // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+                 FROM sig a JOIN sig b
+                   ON a.band = b.band AND a.bucket = b.bucket
+                 WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0),
+        scored AS (SELECT c.new_id, c.old_id,
+                          CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS BIGINT) AS n_equal
+                   FROM cand c
+                   JOIN m ma ON ma.doc_id = c.new_id
+                   JOIN m mb ON mb.doc_id = c.old_id AND mb.j = ma.j
+                   GROUP BY c.new_id, c.old_id
+                   HAVING sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) >= 8),
+        best AS (SELECT new_id, max(n_equal) AS best FROM scored GROUP BY new_id)
+        SELECT s.new_id, min(s.old_id) AS dup_of, max(s.n_equal) AS n_equal,
+               round(CAST(max(s.n_equal) AS DOUBLE) / 16, 4) AS est_jaccard
+        FROM scored s JOIN best b ON s.new_id = b.new_id AND s.n_equal = b.best
+        GROUP BY s.new_id
+        ORDER BY s.new_id"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
-    d12, d13, d14)
+    d12, d13, d14, d15)
 }
