@@ -1229,6 +1229,94 @@ object Similarity {
       FROM hits h JOIN scanned s ON h.nprobe = s.nprobe CROSS JOIN nq
       ORDER BY nprobe"""))
 
+  /** ANN index maintenance without retraining — the nightly-ingest
+    * counterpart to s16's tuning curve: new vectors (vec_id % 4 = 0,
+    * standing in for the day's batch) are assigned to the EXISTING coarse
+    * cells, whose centroids were computed from the old corpus only. The
+    * report is the retrain trigger every IVF deployment watches: per cell,
+    * old vs new population, growth in basis points, and the new members'
+    * mean centroid cosine (×10⁴, integer) — a cell that balloons or whose
+    * arrivals sit far from its centroid is where recall quietly dies and
+    * a re-train (s7) is due.
+    *
+    * Scale shape: centroids are a 10-row broadcast; assignment is one
+    * argmax pass over the incoming batch (cost ∝ batch, corpus untouched);
+    * the report is a 10-row join of two map-side-combined aggregates. The
+    * mean cosine avoids float-summation divergence by rounding each
+    * member's cosine to an integer ×10⁴ FIRST and averaging with integer
+    * sum / count (floored) — the q83 lesson applied to a drift metric. */
+  val s17 = GraftQuery(
+    "s17_index_drift",
+    "IVF index drift: new batch assigned to old-corpus cells; per-cell growth + arrival cosine",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings").withColumn("nrm", l2Norm(col("embedding")))
+      val old = emb.filter(col("vec_id") % 4 =!= 0)
+      val nw = emb.filter(col("vec_id") % 4 === 0)
+      val summed = old.groupBy("label").agg(
+        count(lit(1)).as("cnt"),
+        array((0 until 64).map(i =>
+          sum(element_at(col("embedding"), i + 1).cast("double"))): _*).as("sumvec"))
+      val centroids = summed.select(col("label").as("c_label"),
+        transform(col("sumvec"), x => round(x / col("cnt"), 6)).as("centroid"))
+        .withColumn("cnrm", l2Norm(col("centroid")))
+      val scoredNew = nw.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("c_label"),
+          (dotProduct(col("embedding"), col("centroid")) / (col("nrm") * col("cnrm"))).as("csim"))
+      val wA = Window.partitionBy("vec_id").orderBy(desc("csim"), col("c_label"))
+      val assigned = scoredNew.withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label").as("cell"),
+          round(col("csim") * 10000).cast("long").as("csim_x1e4"))
+      val newAgg = assigned.groupBy("cell")
+        .agg(count(lit(1)).as("n_new"),
+          floor(sum(col("csim_x1e4")) / count(lit(1))).as("mean_csim_x1e4"))
+      val oldAgg = old.groupBy(col("label").as("cell"))
+        .agg(count(lit(1)).as("n_old"))
+      oldAgg.join(newAgg, Seq("cell"), "left")
+        .select(col("cell").cast("long").as("cell"), col("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          floor(coalesce(col("n_new"), lit(0L)) * 10000 / col("n_old")).as("growth_bp"),
+          col("mean_csim_x1e4"))
+        .orderBy("cell")
+    },
+    Some("""
+      WITH emb AS (
+        SELECT vec_id, embedding, label,
+               sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        FROM embeddings),
+      exi AS (SELECT e.label, t.i, CAST(e.embedding[t.i] AS DOUBLE) AS v
+              FROM embeddings e, UNNEST(range(1, 65)) AS t(i)
+              WHERE e.vec_id % 4 <> 0),
+      sums AS (SELECT label, i, sum(v) AS sv, count(*) AS cnt
+               FROM exi GROUP BY label, i),
+      centroids AS (SELECT label AS c_label, list(round(sv / cnt, 6) ORDER BY i) AS centroid
+                    FROM sums GROUP BY label),
+      cn AS (SELECT c_label, centroid,
+                    sqrt(list_aggregate(list_transform(centroid, x -> x * x), 'sum')) AS cnrm
+             FROM centroids),
+      scorednew AS (SELECT e.vec_id, c.c_label,
+                           list_aggregate(list_transform(list_zip(e.embedding, c.centroid),
+                             p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum') / (e.nrm * c.cnrm) AS csim
+                    FROM emb e CROSS JOIN cn c
+                    WHERE e.vec_id % 4 = 0),
+      assigned AS (SELECT vec_id, c_label AS cell,
+                          CAST(round(csim * 10000) AS BIGINT) AS csim_x1e4
+                   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY csim DESC, c_label) AS rn FROM scorednew)
+                   WHERE rn = 1),
+      newagg AS (SELECT cell, count(*) AS n_new,
+                        CAST(floor(sum(csim_x1e4) / count(*)) AS BIGINT) AS mean_csim_x1e4
+                 FROM assigned GROUP BY cell),
+      oldagg AS (SELECT label AS cell, count(*) AS n_old
+                 FROM embeddings WHERE vec_id % 4 <> 0 GROUP BY label)
+      SELECT CAST(o.cell AS BIGINT) AS cell, o.n_old,
+             coalesce(n.n_new, 0) AS n_new,
+             CAST(floor(coalesce(n.n_new, 0) * 10000 / o.n_old) AS BIGINT) AS growth_bp,
+             n.mean_csim_x1e4
+      FROM oldagg o LEFT JOIN newagg n ON o.cell = n.cell
+      ORDER BY cell"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
-    s12, s13, s14, s15, s16)
+    s12, s13, s14, s15, s16, s17)
 }
