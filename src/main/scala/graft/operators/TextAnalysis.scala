@@ -1238,6 +1238,79 @@ object TextAnalysis {
       GROUP BY g.doc_id
       ORDER BY g.doc_id"""))
 
+  /** Classifier disagreement matrix — t1 (word-level stopword argmax) vs
+    * t5 (char-bigram profile argmax) cross-tabulated, with each method's
+    * label agreement inside every cell. This is the standard QA artifact
+    * for running two cheap classifiers side by side: the diagonal is
+    * consensus volume, off-diagonal cells are exactly the documents to
+    * audit, and the per-cell label-match counts say WHICH method to trust
+    * per confusion pair (route-to-the-better-model, ensemble-style).
+    * One scan computes all ten scores row-locally; the only shuffle is the
+    * ≤25-row cross-tab aggregate — at 100 TB this is a map-side-combined
+    * hash agg over a fixed 25-key space. */
+  val t25 = GraftQuery(
+    "t25_langid_confusion",
+    "Lang-ID disagreement matrix: stopword vs char-bigram argmax, per-cell label agreement",
+    (s, dir) => {
+      val langs = Seq("en", "de", "fr", "es", "zh")
+      val d0 = table(s, dir, "documents")
+        .withColumn("ws", words(col("text")))
+        .withColumn("t", lower(col("text")))
+      val d1 = langs.foldLeft(d0)((df, l) => df.withColumn(s"s_$l", hits(col("ws"), l)))
+      val d2 = langs.foldLeft(d1)((df, l) => df.withColumn(s"g_$l", bigramHits(col("t"), l)))
+      d2
+        .withColumn("p_stop",
+          when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es"), col("s_zh")), "en")
+            .when(col("s_de") >= greatest(col("s_fr"), col("s_es"), col("s_zh")), "de")
+            .when(col("s_fr") >= greatest(col("s_es"), col("s_zh")), "fr")
+            .when(col("s_es") >= col("s_zh"), "es")
+            .otherwise("zh"))
+        .withColumn("p_gram",
+          when(col("g_en") >= greatest(col("g_de"), col("g_fr"), col("g_es"), col("g_zh")), "en")
+            .when(col("g_de") >= greatest(col("g_fr"), col("g_es"), col("g_zh")), "de")
+            .when(col("g_fr") >= greatest(col("g_es"), col("g_zh")), "fr")
+            .when(col("g_es") >= col("g_zh"), "es")
+            .otherwise("zh"))
+        .groupBy("p_stop", "p_gram")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === col("p_stop"), 1L).otherwise(0L)).as("stop_correct"),
+          sum(when(col("lang") === col("p_gram"), 1L).otherwise(0L)).as("gram_correct"))
+        .orderBy("p_stop", "p_gram")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               ${sqlHits("en")} AS s_en,
+               ${sqlHits("de")} AS s_de,
+               ${sqlHits("fr")} AS s_fr,
+               ${sqlHits("es")} AS s_es,
+               ${sqlHits("zh")} AS s_zh,
+               ${sqlBigramHits("en")} AS g_en,
+               ${sqlBigramHits("de")} AS g_de,
+               ${sqlBigramHits("fr")} AS g_fr,
+               ${sqlBigramHits("es")} AS g_es,
+               ${sqlBigramHits("zh")} AS g_zh
+        FROM (SELECT doc_id, lang, text, lower(text) AS t FROM documents)),
+      pred AS (
+        SELECT lang,
+               CASE WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+                    WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+                    WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+                    WHEN s_es >= s_zh THEN 'es'
+                    ELSE 'zh' END AS p_stop,
+               CASE WHEN g_en >= greatest(g_de, g_fr, g_es, g_zh) THEN 'en'
+                    WHEN g_de >= greatest(g_fr, g_es, g_zh) THEN 'de'
+                    WHEN g_fr >= greatest(g_es, g_zh) THEN 'fr'
+                    WHEN g_es >= g_zh THEN 'es'
+                    ELSE 'zh' END AS p_gram
+        FROM scored)
+      SELECT p_stop, p_gram, count(*) AS n,
+             CAST(sum(CASE WHEN lang = p_stop THEN 1 ELSE 0 END) AS BIGINT) AS stop_correct,
+             CAST(sum(CASE WHEN lang = p_gram THEN 1 ELSE 0 END) AS BIGINT) AS gram_correct
+      FROM pred
+      GROUP BY p_stop, p_gram
+      ORDER BY p_stop, p_gram"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
-    t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
+    t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
 }
