@@ -241,6 +241,75 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s16: recall and candidate volume are monotone non-decreasing in nprobe") {
+    val rows = operators.Similarity.s16.build(spark, sfDir).collect()
+      .sortBy(_.getLong(0)) // nprobe asc
+    assert(rows.length == 4)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) <= b.getLong(2),
+        s"recall fell ${a.getLong(0)}→${b.getLong(0)}: ${a.getLong(2)} > ${b.getLong(2)}")
+      assert(a.getLong(3) <= b.getLong(3),
+        s"candidate volume fell ${a.getLong(0)}→${b.getLong(0)}")
+    }
+    rows.foreach(r => assert(r.getLong(2) <= 10000L, s"recall_bp > 10000: $r"))
+  }
+
+  test("t24: duplicate grams never exceed total grams; fraction stays in [0, 10000]") {
+    operators.TextAnalysis.t24.build(spark, sfDir).collect().foreach { r =>
+      val (n, dup, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dup <= n, s"doc ${r.getLong(0)}: dup_grams $dup > n_grams $n")
+      assert(bp >= 0 && bp <= 10000, s"doc ${r.getLong(0)}: dup_frac_bp $bp")
+      assert(bp == dup * 10000 / n, s"doc ${r.getLong(0)}: bp arithmetic")
+    }
+  }
+
+  test("q94: skipped + scanned accounting closes against the 16-file layout") {
+    val o = operators.table(spark, sfDir, "orders").count()
+    operators.Warehouse.q94.build(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(2) == 16L, s"n_files: $r")
+      assert(r.getLong(3) <= 16L, s"n_skipped > n_files: $r")
+      assert(r.getLong(4) <= o, s"rows_scanned exceeds the table: $r")
+      // zero skipped files must mean the full table scans
+      if (r.getLong(3) == 0L) assert(r.getLong(4) == o, s"0 skipped but partial scan: $r")
+    }
+  }
+
+  test("s17: new-batch assignment conserves the incoming count across cells") {
+    val emb = operators.table(spark, sfDir, "embeddings")
+    val incoming = emb.filter(col("vec_id") % 4 === 0).count()
+    val rows = operators.Similarity.s17.build(spark, sfDir).collect()
+    assert(rows.map(_.getLong(2)).sum == incoming,
+      s"sum(n_new) != incoming batch size $incoming")
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * 10000 / r.getLong(1),
+        s"cell ${r.getLong(0)}: growth_bp arithmetic")
+      if (!r.isNullAt(4))
+        assert(math.abs(r.getLong(4)) <= 10000L, s"cell ${r.getLong(0)}: cosine out of range")
+    }
+  }
+
+  test("d15: every verdict names an existing-side doc for a new-side doc, estimate >= 0.5") {
+    operators.Dedup.d15.build(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(0) % 4 == 0, s"new_id ${r.getLong(0)} not in the incoming slice")
+      assert(r.getLong(1) % 4 != 0, s"dup_of ${r.getLong(1)} not in the existing corpus")
+      assert(r.getLong(2) >= 8 && r.getLong(2) <= 16, s"n_equal out of range: $r")
+    }
+  }
+
+  test("t25: confusion matrix conserves the corpus and bounds per-cell agreement") {
+    val docs = operators.table(spark, sfDir, "documents").count()
+    val rows = operators.TextAnalysis.t25.build(spark, sfDir).collect()
+    assert(rows.map(_.getLong(2)).sum == docs, "matrix cells don't sum to the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(4) <= r.getLong(2),
+        s"cell (${r.getString(0)}, ${r.getString(1)}): correct counts exceed n")
+      // off-diagonal cells: at most one method can match the label per doc
+      if (r.getString(0) != r.getString(1))
+        assert(r.getLong(3) + r.getLong(4) <= r.getLong(2),
+          s"off-diagonal cell (${r.getString(0)}, ${r.getString(1)}): both methods right?")
+    }
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
