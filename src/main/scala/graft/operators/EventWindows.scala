@@ -553,6 +553,51 @@ object EventWindows {
       WHERE varr > 0.0 AND abs((value - mean) / sqrt(varr)) > 2.0
       ORDER BY event_id"""))
 
+  /** Inter-arrival profile — the capacity-planning / anomaly-baseline
+    * report behind every streaming SLA: per event type, the distribution
+    * of gaps between a user's consecutive events (attributed to the LATER
+    * event's type — "how long since this user's previous activity when a
+    * purchase happens"). Gaps are integer epoch-micros from one per-user
+    * sorted window pass (lag with (ts, event_id) tie-break, q18's
+    * discipline); exact interpolated percentiles over those integers are
+    * rational → identical cross-engine (q42's idiom), converted to seconds
+    * only at the rounded output. One shuffle on user_id for the lag, one
+    * bounded agg on the ~5-key event_type space. */
+  val q96 = GraftQuery(
+    "q96_interarrival",
+    "Per-event-type inter-arrival gap profile: n, median/p90/max gap seconds",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) - unix_micros(col("prev"))).as("gap_us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(expr("percentile(gap_us, 0.5)") / 1000000, 4).as("median_gap_s"),
+          round(expr("percentile(gap_us, 0.9)") / 1000000, 4).as("p90_gap_s"),
+          round(max(col("gap_us")) / 1000000.0, 4).as("max_gap_s"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (
+                     PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+                 AS gap_us
+        FROM events)
+      SELECT event_type, count(*) AS n_gaps,
+             round(quantile_cont(gap_us, 0.5) / 1000000, 4) AS median_gap_s,
+             round(quantile_cont(gap_us, 0.9) / 1000000, 4) AS p90_gap_s,
+             round(max(gap_us) / 1000000.0, 4) AS max_gap_s
+      FROM g
+      WHERE gap_us IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
-    q86, q89, q91, q92)
+    q86, q89, q91, q92, q96)
 }
