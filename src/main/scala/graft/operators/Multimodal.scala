@@ -640,5 +640,55 @@ object Multimodal {
       FROM h LEFT JOIN verified v ON v.doc_id = h.doc_id
       ORDER BY h.doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10)
+  /** Chunk-digest manifest — the content-addressable-store layout every
+    * deduplicating blob system uses (backup stores, OCI image layers,
+    * artifact caches): each payload splits into fixed 64-byte chunks,
+    * chunks are addressed by digest, and storage is charged once per
+    * DISTINCT chunk — so payloads sharing prefixes (the fixture's
+    * near-dup shape) share their leading chunks. The report is the dedup
+    * ratio a CAS quotes: per payload, chunk count, chunks also present in
+    * another payload, and the shared fraction in basis points. Fixed
+    * stride is the binary complement of t8's content-defined chunking
+    * (stride survives any payload type; CDC beats it only on insertions).
+    *
+    * Binary chunking is expressed over the payload's HEX image (2 chars
+    * per byte) because the oracle's engine has no BLOB substring — both
+    * engines hex uppercase, so chunk digests agree by construction.
+    * Per-payload chunk dedup is ROW-LOCAL (t24's array_distinct-before-
+    * explode); only (doc_id, 32-char digest) rows ever shuffle. */
+  val m11 = GraftQuery(
+    "m11_chunk_manifest",
+    "CAS chunk manifest: 64-byte chunk digests, cross-payload sharing in basis points",
+    (s, dir) => {
+      val chunks = table(s, dir, "documents")
+        .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
+        .select(col("doc_id"),
+          explode(array_distinct(expr(
+            """transform(sequence(0, CAST(greatest(ceil(length(hx) / 128.0), 1) AS INT) - 1),
+               i -> md5(substring(hx, i * 128 + 1, 128)))"""))).as("ch"))
+      val freq = chunks.groupBy("ch").agg(count(lit(1)).as("n_payloads"))
+      chunks.join(freq, "ch")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_payloads") >= 2, 1L).otherwise(0L)).as("n_shared"),
+          floor(sum(when(col("n_payloads") >= 2, 1L).otherwise(0L)) * 10000.0
+            / count(lit(1))).as("shared_bp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH hx AS (SELECT doc_id, hex(text) AS hx FROM documents),
+      c0 AS (SELECT doc_id, md5(substr(hx, CAST(i * 128 + 1 AS INTEGER), 128)) AS ch
+             FROM hx, UNNEST(range(0, greatest(CAST(ceil(length(hx) / 128.0) AS BIGINT), 1)))
+                        AS t(i)),
+      c AS (SELECT DISTINCT doc_id, ch FROM c0),
+      f AS (SELECT ch, count(*) AS n_payloads FROM c GROUP BY ch)
+      SELECT c.doc_id, count(*) AS n_chunks,
+             CAST(sum(CASE WHEN f.n_payloads >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             CAST(floor(sum(CASE WHEN f.n_payloads >= 2 THEN 1 ELSE 0 END) * 10000.0
+                        / count(*)) AS BIGINT) AS shared_bp
+      FROM c JOIN f USING (ch)
+      GROUP BY c.doc_id
+      ORDER BY c.doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11)
 }
