@@ -1311,6 +1311,62 @@ object TextAnalysis {
       GROUP BY p_stop, p_gram
       ORDER BY p_stop, p_gram"""))
 
+  /** Per-document keyword extraction — TF-IDF's ranking core with the
+    * transcendental stripped out: score = tf · N / df is order-isomorphic
+    * to tf · log-free idf within a document (log is monotone), and unlike
+    * log() it is an exact rational of integers → bit-identical
+    * cross-engine, so the top-3 CUT is hash-checkable (t11's BM25 needs
+    * the log for cross-term calibration; a per-doc top-k does not).
+    * Ubiquitous terms drop by integer document-frequency test
+    * (df·10 ≤ N — the data-driven stopword cut, no curated list).
+    *
+    * Scale shape: tf is a (doc, term) hash agg with map-side combine; df
+    * rides t24's row-local array_distinct (one row per distinct term per
+    * doc, no corpus-wide distinct); the df table is Zipf-bounded (t9/t15
+    * posture) and N is a 1-row broadcast. Text itself never shuffles —
+    * only (doc_id, term, count) rows. */
+  val t26 = GraftQuery(
+    "t26_keywords",
+    "Top-3 TF-IDF keywords per doc (rational score, df-based stopword cut)",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val tf = docs.select(col("doc_id"), explode(col("ws")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = docs.select(col("doc_id"), explode(array_distinct(col("ws"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .filter(col("df") * 10 <= col("n"))
+        .select(col("doc_id"), col("term"),
+          (col("tf") * col("n") / col("df")).as("score"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      n AS (SELECT count(*) AS n FROM d),
+      tfa AS (SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(ws) AS term FROM d)
+              GROUP BY doc_id, term),
+      dfa AS (SELECT term, count(*) AS df
+              FROM (SELECT doc_id, unnest(list_distinct(ws)) AS term FROM d)
+              GROUP BY term),
+      scored AS (SELECT t.doc_id, t.term, t.tf * n.n / f.df AS score
+                 FROM tfa t JOIN dfa f USING (term) CROSS JOIN n
+                 WHERE f.df * 10 <= n.n),
+      r AS (SELECT doc_id, term, score,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, term) AS rank
+            FROM scored)
+      SELECT doc_id, rank, term, round(score, 4) AS score
+      FROM r WHERE rank <= 3
+      ORDER BY doc_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
-    t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
+    t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
 }
