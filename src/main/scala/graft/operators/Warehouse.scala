@@ -779,6 +779,63 @@ object Warehouse {
       GROUP BY pred_id, layout
       ORDER BY pred_id, layout"""))
 
+  /** Full CDC MERGE — q58 covers update/keep/insert; this adds the clause
+    * real change-data-capture feeds need most: WHEN MATCHED AND op = 'D'
+    * THEN DELETE. A deterministic change feed (key mod 5: 0 → delete,
+    * 1 → update +100.00; suppliers under shifted keys → insert) applies
+    * in ONE full-outer join pass — deletes are rows the projection drops,
+    * never a second anti-join scan of the target; the action column keeps
+    * the audit trail (D rows are counted in the summary row rather than
+    * emitted, so the "deleted" evidence survives in the output).
+    * DECIMAL arithmetic end to end (the q58/dec2 discipline). */
+  val q97 = GraftQuery(
+    "q97_merge_delete",
+    "CDC MERGE with delete clause: update/delete/insert/keep in one full-outer pass",
+    (s, dir) => {
+      val tgt = table(s, dir, "customer")
+        .select(col("c_custkey").as("id"), dec2(col("c_acctbal")).as("balance"))
+      val chg = table(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(5)) <= 1)
+        .select(col("c_custkey").as("id"),
+          when(pmod(col("c_custkey"), lit(5)) === 0, "D").otherwise("U").as("op"),
+          lit(BigDecimal(100.00)).cast("decimal(14,2)").as("delta"))
+        .unionByName(table(s, dir, "supplier")
+          .select((col("s_suppkey") + 1000000L).as("id"), lit("I").as("op"),
+            dec2(col("s_acctbal")).as("delta")))
+      val merged = tgt.join(chg, Seq("id"), "full_outer")
+        .select(col("id"),
+          when(col("op") === "U", col("balance") + col("delta"))
+            .when(col("op") === "I", col("delta"))
+            .otherwise(col("balance")).cast("double").as("balance"),
+          coalesce(col("op"), lit("-")).as("action"))
+      val survivors = merged.filter(col("action") =!= "D")
+      val audit = merged.groupBy("action").agg(count(lit(1)).as("n"))
+        .select(lit(-1L).as("id"), col("n").cast("double").as("balance"),
+          concat(lit("#"), col("action")).as("action"))
+      survivors.unionByName(audit).orderBy("id", "action")
+    },
+    Some("""
+      WITH tgt AS (SELECT c_custkey AS id, CAST(c_acctbal AS DECIMAL(14,2)) AS balance
+                   FROM customer),
+      chg AS (SELECT c_custkey AS id,
+                     CASE WHEN c_custkey % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+                     CAST(100.00 AS DECIMAL(14,2)) AS delta
+              FROM customer WHERE c_custkey % 5 <= 1
+              UNION ALL
+              SELECT s_suppkey + 1000000, 'I', CAST(s_acctbal AS DECIMAL(14,2))
+              FROM supplier),
+      merged AS (SELECT COALESCE(t.id, c.id) AS id,
+                        CAST(CASE WHEN c.op = 'U' THEN t.balance + c.delta
+                                  WHEN c.op = 'I' THEN c.delta
+                                  ELSE t.balance END AS DOUBLE) AS balance,
+                        COALESCE(c.op, '-') AS action
+                 FROM tgt t FULL JOIN chg c ON t.id = c.id)
+      SELECT id, balance, action FROM merged WHERE action <> 'D'
+      UNION ALL
+      SELECT -1, CAST(n AS DOUBLE), '#' || action
+      FROM (SELECT action, count(*) AS n FROM merged GROUP BY action)
+      ORDER BY id, action"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
-    q77, q81, q85, q88, q93, q94)
+    q77, q81, q85, q88, q93, q94, q97)
 }
