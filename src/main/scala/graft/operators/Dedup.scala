@@ -1077,6 +1077,87 @@ object Dedup {
         ORDER BY s.new_id"""))
   }
 
+  /** The dedup funnel end to end — the composition a corpus build actually
+    * runs, with per-stage attrition the way t18 attributes quality
+    * filters: stage 1 exact dedup on the FULL normalized text digest (the
+    * production norm d1's doc notes — d1's 5-word-prefix key would subsume
+    * stage 2 on this fixture, hiding the near-dup stage's contribution),
+    * stage 2 near-dup cluster dedup over stage-1 survivors (d6's cluster
+    * labels via the shared spool, d8's longest-doc keep rule), plus the
+    * total row. Attrition numbers are what the pipeline's owner reports
+    * ("exact removed 4%, near-dup another 2%") and what makes a dedup
+    * regression visible as a VOLUME change, not just a membership diff.
+    * Bounded to the d6/d8 domain (doc_id < 300) so the oracle's recursive
+    * closure stays cheap; at scale each stage is the corresponding
+    * operator's own plan (digest groupBy; label join + per-cluster
+    * window). */
+  val d16 = GraftQuery(
+    "d16_dedup_funnel",
+    "Dedup funnel: exact → near-dup cluster stages with per-stage attrition + total",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("n_chars"), col("text"))
+      val keep1 = docs.groupBy(sha2(lower(col("text")), 256).as("key"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val s1 = docs.join(keep1, Seq("doc_id")) // stage-1 survivors
+      val labeled = s1.join(clusterLabels(s, dir), Seq("doc_id"), "left_outer")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val s2 = labeled.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val (n0, n1, n2) = (docs.count(), s1.count(), s2.count())
+      import s.implicits._
+      Seq(
+        ("1_exact", n0, n0 - n1, n1),
+        ("2_neardup_cluster", n1, n1 - n2, n2),
+        ("3_total", n0, n0 - n2, n2))
+        .toDF("stage", "docs_in", "docs_removed", "docs_out")
+        .orderBy("stage")
+    },
+    Some("""
+      WITH RECURSIVE
+      d0 AS (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS ws
+             FROM documents WHERE doc_id < 300),
+      k AS (SELECT min(d.doc_id) AS doc_id
+            FROM documents d WHERE d.doc_id < 300
+            GROUP BY lower(d.text)),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM d0, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      good AS (SELECT doc1, doc2 FROM pairs
+               JOIN sizes na ON na.doc_id = doc1
+               JOIN sizes nb ON nb.doc_id = doc2
+               WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.3),
+      edges AS (SELECT doc1 AS src, doc2 AS dst FROM good
+                UNION ALL SELECT doc2, doc1 FROM good),
+      reach AS (SELECT src AS id, src AS label FROM edges
+                UNION
+                SELECT e.dst AS id, r.label FROM reach r
+                JOIN edges e ON e.src = r.id),
+      labeled AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+      s1 AS (SELECT d0.doc_id, d0.n_chars,
+                    coalesce(l.cluster_id, d0.doc_id) AS cluster_id
+             FROM d0 JOIN k USING (doc_id)
+             LEFT JOIN labeled l ON l.id = d0.doc_id),
+      s2 AS (SELECT doc_id FROM (
+               SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+                 ORDER BY n_chars DESC, doc_id) AS rn FROM s1)
+             WHERE rn = 1),
+      c AS (SELECT (SELECT count(*) FROM d0) AS n0,
+                   (SELECT count(*) FROM s1) AS n1,
+                   (SELECT count(*) FROM s2) AS n2)
+      SELECT '1_exact' AS stage, n0 AS docs_in, n0 - n1 AS docs_removed, n1 AS docs_out FROM c
+      UNION ALL
+      SELECT '2_neardup_cluster', n1, n1 - n2, n2 FROM c
+      UNION ALL
+      SELECT '3_total', n0, n0 - n2, n2 FROM c
+      ORDER BY stage"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
-    d12, d13, d14, d15)
+    d12, d13, d14, d15, d16)
 }
