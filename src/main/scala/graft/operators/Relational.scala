@@ -1109,7 +1109,83 @@ object Relational {
                       AND o4.o_orderstatus = 'F')
       ORDER BY o.o_orderkey"""))
 
+  /** Fuzzy entity resolution — the record-linkage join family the rest of
+    * the join surface doesn't reach. A dirty side is derived by deleting one
+    * md5-determined character from each distinct part name (the corrupted-
+    * duplicate protocol record-linkage benchmarks use), then resolved back:
+    * candidate pairs come ONLY from equality on a 3-char prefix or suffix
+    * blocking key — a single deletion in a name of length ≥ 6 always leaves
+    * at least one of the two intact (pigeonhole, the d4/m10 argument), so
+    * blocking recall is 1.0 by construction, never sampled — and the O(n²)
+    * levenshtein verify runs on blocked candidates only. Best match per
+    * dirty name = (distance, name) argmin, deterministic. At scale both
+    * blocking joins are plain equi-joins keyed on the 3-char block; only
+    * (name, block-key) pairs shuffle, and the edit-distance never leaves
+    * the candidate set.
+    */
+  val q98 = GraftQuery(
+    "q98_fuzzy_match",
+    "Fuzzy entity resolution: deletion-dirtied names via prefix/suffix blocking + levenshtein verify",
+    (s, dir) => {
+      val clean = table(s, dir, "part").select(col("p_name")).distinct()
+      val dirty = clean
+        .withColumn("pos",
+          (expr("CAST(conv(substring(md5(p_name), 1, 15), 16, 10) AS BIGINT)")
+            % length(col("p_name")) + 1).cast("int"))
+        .select(expr(
+          "concat(substring(p_name, 1, pos - 1), substring(p_name, pos + 1))")
+          .as("dirty_name"))
+        .distinct()
+      def blocked(df: org.apache.spark.sql.DataFrame, c: String) =
+        df.select(col(c), substring(col(c), 1, 3).as("bk"))
+          .union(df.select(col(c),
+            expr(s"substring($c, length($c) - 2, 3)").as("bk")))
+      val cands = blocked(dirty, "dirty_name")
+        .join(blocked(clean, "p_name"), "bk")
+        .select("dirty_name", "p_name").distinct()
+      cands
+        .withColumn("dist", levenshtein(col("dirty_name"), col("p_name")))
+        .filter(col("dist") <= 2)
+        .groupBy("dirty_name")
+        .agg(
+          min(struct(col("dist"), col("p_name"))).as("b"),
+          count(lit(1)).as("n_candidates"))
+        .select(
+          col("dirty_name"),
+          col("b.p_name").as("best_match"),
+          col("b.dist").cast("long").as("best_distance"),
+          col("n_candidates"))
+        .orderBy("dirty_name")
+    },
+    Some("""
+      WITH clean AS (SELECT DISTINCT p_name FROM part),
+      d0 AS (SELECT p_name,
+               CAST((CAST(concat('0x', substr(md5(p_name), 1, 15)) AS BIGINT)
+                     % length(p_name)) + 1 AS INT) AS pos
+             FROM clean),
+      dirty AS (SELECT DISTINCT
+                  substr(p_name, 1, pos - 1) || substr(p_name, pos + 1) AS dirty_name
+                FROM d0),
+      dk AS (SELECT dirty_name, substr(dirty_name, 1, 3) AS bk FROM dirty
+             UNION
+             SELECT dirty_name, substr(dirty_name, length(dirty_name) - 2, 3) FROM dirty),
+      ck AS (SELECT p_name, substr(p_name, 1, 3) AS bk FROM clean
+             UNION
+             SELECT p_name, substr(p_name, length(p_name) - 2, 3) FROM clean),
+      cand AS (SELECT DISTINCT dirty_name, p_name FROM dk JOIN ck USING (bk)),
+      v AS (SELECT dirty_name, p_name,
+                   CAST(levenshtein(dirty_name, p_name) AS BIGINT) AS dist
+            FROM cand WHERE levenshtein(dirty_name, p_name) <= 2),
+      b AS (SELECT dirty_name, p_name, dist,
+                   row_number() OVER (PARTITION BY dirty_name
+                                      ORDER BY dist, p_name) AS rn,
+                   count(*) OVER (PARTITION BY dirty_name) AS n_candidates
+            FROM v)
+      SELECT dirty_name, p_name AS best_match, dist AS best_distance, n_candidates
+      FROM b WHERE rn = 1
+      ORDER BY dirty_name"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
-    q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95)
+    q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98)
 }

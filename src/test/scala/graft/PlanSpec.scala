@@ -250,6 +250,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Join") || p.contains("HashJoin"), p)
   }
 
+  test("q98: fuzzy-match candidates come from the blocking equi-join, never a cartesian") {
+    val p = plan(operators.Relational.q98.build(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
   test("d14: semantic-dedup pairing is cell-keyed (equi-join on label), never a cartesian") {
     val p = plan(operators.Dedup.d14.build(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
