@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,8 +29,8 @@ object Bench {
     // footer decode, reader JIT) — round 5 charged ~2.9s of exactly this to
     // m1, the alphabetically-first documents+embeddings reader. One
     // disclosed warm pass makes per-query numbers attributable to plans.
-    // (events stores timestamp[ns]; the same legacy conf every events()
-    // reader sets — without it the warm read would fail and warm nothing)
+    // (a ns-generation events fixture only loads under the legacy conf
+    // every events() reader sets; it's a no-op for the us generation)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // every fixture table in the sf dir (ADVICE r6: a hardcoded list missed
     // customer, so its first reader still paid the cold scan)
@@ -114,7 +115,17 @@ object Bench {
       // extra map entries counted by n_artifacts and included in "value",
       // so the total accounts for every job the suite runs.
       val filteredTag = if (only.isDefined) """"filtered":true,""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$filteredTag"n_queries":${queryResults.size},"n_artifacts":${artifactTimes.size},"queries":$qs,"sf":"$sfDir"}"""
+      // Failures must be LOUD in the artifact (VERDICT r7 item 4): "value"
+      // excludes failed entries, so without this list a wiped suite still
+      // yields a plausible-looking total. Bounded so the line stays parseable.
+      val failedNames = results.toSeq.filter(_._2 < 0).map(_._1).sorted
+      val failedTag =
+        if (failedNames.isEmpty) ""
+        else {
+          val shown = failedNames.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+          s""""n_failed":${failedNames.size},"failed":$shown,"""
+        }
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$filteredTag$failedTag"n_queries":${queryResults.size},"n_artifacts":${artifactTimes.size},"queries":$qs,"sf":"$sfDir"}"""
     }
     // full per-query detail for humans, one line each (may scroll off the tail)
     results.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"# bench $k ${fmt(v)}") }

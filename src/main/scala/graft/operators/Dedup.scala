@@ -1184,6 +1184,18 @@ object Dedup {
     "Exact Jaccard ≥ 0.6 join via PPJoin prefix + positional filtering, full corpus",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // Short-doc convention (ADVICE r7): greatest(size-2, 1) keeps docs
+      // under 3 words as ONE partial shingle (they can still pair at
+      // Jaccard 1.0), unlike t24 which drops them. Deliberate — an exact
+      // join should not silently lose short docs — and NOT switchable to
+      // greatest(..., 0): Spark's sequence(1, 0) yields the DESCENDING
+      // [1, 0] rather than DuckDB range()'s empty set, so the 0-floor
+      // would hash-diverge from the oracle on every sub-3-word doc.
+      // Persisted because four plan subtrees consume it (the df join, tr,
+      // and both sides of the verify join): without this the most
+      // expensive stage — explode + md5 over the whole corpus — would be
+      // re-executed up to 4× at scale (ADVICE r7). Bench/tests clear the
+      // cache between queries, so the pin does not outlive the query.
       val g = table(s, dir, "documents")
         .select(col("doc_id"), words(col("text")).as("ws"))
         .select(col("doc_id"),
@@ -1191,6 +1203,7 @@ object Dedup {
             """transform(sequence(1, greatest(size(ws) - 2, 1)),
                i -> CAST(conv(substring(md5(concat_ws(' ', slice(ws, i, 3))), 1, 15), 16, 10) AS BIGINT))""")))
             .as("gh"))
+        .persist()
       val df = g.groupBy("gh").agg(count(lit(1)).as("df"))
       val byDoc = Window.partitionBy("doc_id")
       val tr = g.join(df, "gh")

@@ -516,9 +516,10 @@ object Warehouse {
     * behind — the orphan columns are the contract: a buggy cascade shows
     * nonzero there). Shape at 100 TB: the delete-list broadcasts (it is
     * per-request small); the order-key set derived from it shuffles only
-    * keys; each fact table is touched once by a semi join (purged count)
-    * and once by an anti join (survivors) that AQE plans as broadcast
-    * joins off the same small sides — no fact-to-fact join anywhere. */
+    * keys; each fact table is touched ONCE — a LEFT join against the
+    * (broadcast) delete-key set flags every row and a single conditional
+    * aggregate emits all four audit columns (fused from separate semi/anti
+    * jobs per VERDICT r7 item 6) — no fact-to-fact join anywhere. */
   val q85 = GraftQuery(
     "q85_delete_cascade",
     "GDPR delete cascade: delete-list → orders → lineitem semi/anti propagation + per-table audit",
@@ -526,37 +527,36 @@ object Warehouse {
       val cust = table(s, dir, "customer")
       val orders = table(s, dir, "orders")
       val li = table(s, dir, "lineitem")
-      val del = cust.filter(col("c_custkey") % 97 === 0).select("c_custkey")
+      val del = cust.filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("dk"), lit(true).as("m"))
       val delOrders = orders
-        .join(broadcast(del), col("o_custkey") === col("c_custkey"), "left_semi")
-        .select("o_orderkey")
-      def audit(tbl: String, before: org.apache.spark.sql.DataFrame,
-          purged: org.apache.spark.sql.DataFrame,
-          orphans: org.apache.spark.sql.DataFrame) =
-        before.agg(count(lit(1)).as("rows_before"))
-          .crossJoin(purged.agg(count(lit(1)).as("rows_purged")))
-          .crossJoin(orphans.agg(count(lit(1)).as("orphans_after")))
+        .join(broadcast(del), col("o_custkey") === col("dk"), "left_semi")
+        .select(col("o_orderkey").as("dok"), lit(true).as("mo"))
+      // One pass per table: `purged` is delete-set membership from the join
+      // flag; `orphan` = survives the purge yet still references a purged
+      // parent. For customer the orphan predicate RE-DERIVES membership
+      // from the subject predicate (independent of the flag), so a buggy
+      // delete-list join surfaces as a nonzero orphan count; for the fact
+      // tables the membership flag is the only key-set source, mirroring
+      // the oracle's structurally-contradictory NOT IN ∧ IN check.
+      def audit(tbl: String, flagged: org.apache.spark.sql.DataFrame,
+          purged: Column, orphan: Column) =
+        flagged.agg(
+          count(lit(1)).as("rows_before"),
+          sum(when(purged, 1L).otherwise(0L)).as("rows_purged"),
+          sum(when(!purged && orphan, 1L).otherwise(0L)).as("orphans_after"))
           .select(lit(tbl).as("tbl"), col("rows_before"), col("rows_purged"),
             (col("rows_before") - col("rows_purged")).as("rows_after"),
             col("orphans_after"))
-      // orphans = rows that SURVIVE the purge but still reference a purged
-      // parent; structurally zero here, and exactly what the audit pins
-      val survOrders = orders
-        .join(broadcast(del), col("o_custkey") === col("c_custkey"), "left_anti")
-      val survLi = li
-        .join(delOrders.as("do1"), col("l_orderkey") === col("do1.o_orderkey"), "left_anti")
-      audit("customer", cust,
-          cust.join(broadcast(del.select(col("c_custkey").as("dk"))),
-            col("c_custkey") === col("dk"), "left_semi"),
-          cust.join(broadcast(del.select(col("c_custkey").as("dk"))),
-            col("c_custkey") === col("dk"), "left_anti")
-            .filter(col("c_custkey") % 97 === 0))
-        .unionAll(audit("orders", orders,
-          orders.join(broadcast(del), col("o_custkey") === col("c_custkey"), "left_semi"),
-          survOrders.join(broadcast(del), col("o_custkey") === col("c_custkey"), "left_semi")))
-        .unionAll(audit("lineitem", li,
-          li.join(delOrders.as("do2"), col("l_orderkey") === col("do2.o_orderkey"), "left_semi"),
-          survLi.join(delOrders.as("do3"), col("l_orderkey") === col("do3.o_orderkey"), "left_semi")))
+      audit("customer",
+          cust.join(broadcast(del), col("c_custkey") === col("dk"), "left"),
+          col("m").isNotNull, col("c_custkey") % 97 === 0)
+        .unionAll(audit("orders",
+          orders.join(broadcast(del), col("o_custkey") === col("dk"), "left"),
+          col("m").isNotNull, col("m").isNotNull))
+        .unionAll(audit("lineitem",
+          li.join(delOrders, col("l_orderkey") === col("dok"), "left"),
+          col("mo").isNotNull, col("mo").isNotNull))
         .orderBy("tbl")
     },
     Some("""

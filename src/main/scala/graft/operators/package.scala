@@ -62,16 +62,34 @@ package object operators {
   def dec4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast("decimal(4,2)")
 
-  /** The `events` table with its nanosecond-precision `ts` normalized to
-    * Spark's microsecond TimestampType. The driver parquet stores
-    * timestamp[ns], which Spark only reads as a nano-epoch long via the
-    * legacy conf; we floor-divide to micros (same truncation DuckDB applies
-    * when casting TIMESTAMP_NS → TIMESTAMP, keeping oracles comparable).
+  /** The `events` table with `ts` normalized to Spark's session-zoned
+    * microsecond TimestampType, whatever physical type the fixture
+    * generation stored. Driver fixtures have shipped two generations:
+    *
+    *   - timestamp[ns]: Spark reads it only as a nano-epoch long via the
+    *     legacy conf; floor-divide to micros (the same truncation DuckDB
+    *     applies casting TIMESTAMP_NS → TIMESTAMP, keeping oracles equal).
+    *   - timestamp[us] (isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ;
+    *     cast to TimestampType, which under the UTC session timezone every
+    *     comparing entry point sets preserves the stored micros exactly —
+    *     matching DuckDB's naive TIMESTAMP read of the same file.
+    *
+    * Branching on the LOADED schema (not a fixed assumption) keeps every
+    * events consumer working across driver-side fixture regenerations.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // No-op for non-ns files; lets a ns-generation fixture load as long.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unexpected physical type $other — fixture generation changed again?")
+    }
   }
 }
