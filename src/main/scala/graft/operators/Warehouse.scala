@@ -540,7 +540,8 @@ object Warehouse {
       // tables the membership flag is the only key-set source, mirroring
       // the oracle's structurally-contradictory NOT IN ∧ IN check.
       def audit(tbl: String, flagged: org.apache.spark.sql.DataFrame,
-          purged: Column, orphan: Column) =
+          purged: org.apache.spark.sql.Column,
+          orphan: org.apache.spark.sql.Column) =
         flagged.agg(
           count(lit(1)).as("rows_before"),
           sum(when(purged, 1L).otherwise(0L)).as("rows_purged"),

@@ -409,8 +409,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("q85: delete cascade has no fact-to-fact join — every purge join broadcasts a key list") {
     val p = plan(operators.Warehouse.q85.build(spark, sfDir))
-    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    // delete-set derivation stays a semi join; each audit is ONE left
+    // outer flag join + conditional agg (fused from semi+anti pairs,
+    // VERDICT r7 item 6) — so the biggest fact table is scanned exactly
+    // once, and nothing shuffles fact-to-fact
+    assert(p.contains("LeftSemi") && p.contains("LeftOuter"), p)
     assert(!p.contains("SortMergeJoin"), s"fact-to-fact shuffle join in cascade\n$p")
+    // 7 scan nodes: each audit branch scans its fact table ONCE (the fused
+    // form's whole point — lineitem was scanned 3× pre-fusion) plus the
+    // tiny rebuilt broadcast delete-list sides (customer ×3, orders ×1)
+    val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 7, s"$scans parquet scan nodes, expected 7 (audit not fused)\n$p")
   }
 
   test("m8: segment merge shuffles windows once per doc (stats + islands share the exchange)") {

@@ -203,10 +203,16 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q62: DataSketches HLL estimates within 5% per group AND for the merged rollup") {
-    operators.Sampling.q62.build(spark, sfDir).collect().foreach { r =>
-      val (key, est, exact) = (r.getString(0), r.getLong(1), r.getLong(2))
-      assert(math.abs(est - exact.toDouble) / exact <= 0.05,
-        s"$key: sketch=$est exact=$exact")
+    // est_ok folds |est−exact|/exact ≤ 5% into the hash-gated output (the
+    // raw estimate is sketch-version-specific); every row must hold it,
+    // including the 'ALL' union-merge rollup row.
+    val rows = operators.Sampling.q62.build(spark, sfDir).collect()
+    assert(rows.length >= 2, "q62 must emit per-type rows plus the ALL rollup")
+    assert(rows.exists(_.getString(0) == "ALL"), "missing the union-merge rollup row")
+    rows.foreach { r =>
+      val (key, exact, ok) = (r.getString(0), r.getLong(1), r.getBoolean(2))
+      assert(exact > 0, s"$key: exact distinct count must be positive")
+      assert(ok, s"$key: HLL estimate drifted >5% from exact=$exact")
     }
   }
 
