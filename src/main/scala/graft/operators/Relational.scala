@@ -1185,7 +1185,55 @@ object Relational {
       FROM b WHERE rn = 1
       ORDER BY dirty_name"""))
 
+  /** Full second-moment statistical profile in ONE aggregation pass — the
+    * column-relationship report a feature-engineering or drift pipeline
+    * computes before trusting a numeric column pair: correlation,
+    * covariances, both stddev forms, and the least-squares line
+    * (slope/intercept/R²) per group. Every statistic is a moment sketch
+    * (sums of x, y, x², y², xy, n) — Spark's partial-aggregate machinery
+    * merges them map-side, so at 100 TB this is one scan + one tiny
+    * shuffle of 6 doubles per group, NOT seven separate jobs; adding a
+    * statistic is free once the moments flow. Magnitude discipline: the
+    * profiled pair is (quantity ∈ [1,50], discount ∈ [0,0.1]) so every
+    * output is O(1)–O(15) and a 4-decimal round sits ~8 orders of
+    * magnitude above float-summation-order noise — the same reasoning as
+    * dec2 for money sums, applied to moment ratios. */
+  val q99 = GraftQuery(
+    "q99_stats_moments",
+    "Single-pass statistical profile per group: corr, covar, stddev, OLS slope/intercept/R²",
+    (s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("l_quantity")), 4).as("mean_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(stddev_pop(col("l_quantity")), 4).as("sdp_qty"),
+          round(corr(col("l_quantity"), col("l_discount")), 4).as("corr_qty_disc"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"),
+          round(covar_pop(col("l_quantity"), col("l_discount")), 4).as("covp_qty_disc"),
+          round(expr("regr_slope(l_discount, l_quantity)"), 6).as("ols_slope"),
+          round(expr("regr_intercept(l_discount, l_quantity)"), 6).as("ols_intercept"),
+          round(expr("regr_r2(l_discount, l_quantity)"), 6).as("ols_r2"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             count(*) AS n,
+             round(avg(l_quantity), 4) AS mean_qty,
+             round(stddev_samp(l_quantity), 4) AS sd_qty,
+             round(stddev_pop(l_quantity), 4) AS sdp_qty,
+             round(corr(l_quantity, l_discount), 4) AS corr_qty_disc,
+             round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+             round(covar_pop(l_quantity, l_discount), 4) AS covp_qty_disc,
+             round(regr_slope(l_discount, l_quantity), 6) AS ols_slope,
+             round(regr_intercept(l_discount, l_quantity), 6) AS ols_intercept,
+             round(regr_r2(l_discount, l_quantity), 6) AS ols_r2
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
-    q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98)
+    q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
+    q99)
 }

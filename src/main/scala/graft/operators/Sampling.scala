@@ -166,5 +166,40 @@ object Sampling {
       FROM events
       ORDER BY event_type"""))
 
-  val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62)
+  /** Weight-proportional sampling without an RNG — Priority Sampling
+    * (Duffield, Lund & Thorup, JACM 2007): each item draws u ~ Uniform
+    * from a hash of its key and gets priority w/u; the k highest
+    * priorities form a sample whose inclusion probability is ∝ weight,
+    * with provably near-optimal variance for subset-sum estimation. The
+    * training-data use: sample documents proportional to length (token
+    * budget ∝ n_chars) reproducibly — same sample across reruns, engines,
+    * and repartitioning, the q47 argument with weights. All arithmetic is
+    * INTEGER (u is a 40-bit md5 slice; priority = w·2⁴⁰ div (h+1), max
+    * ~10⁴·2⁴⁰ ≈ 10¹⁶ « 2⁶³) so Spark and DuckDB agree bit-for-bit — no
+    * float ln/pow whose last-ulp could flip a rank. At 100 TB: priority
+    * is a row-local projection; top-k is TakeOrdered (per-partition heaps,
+    * no global sort); nothing else moves. */
+  val q100 = GraftQuery(
+    "q100_priority_sample",
+    "Priority sampling (DLT'07): length-weighted top-k by w·2^40 div hash, integer-exact",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 10), 16, 10) AS BIGINT)")
+            .as("h"))
+        .withColumn("priority",
+          expr("n_chars * CAST(1099511627776 AS BIGINT) div (h + 1)"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("n_chars"), col("priority")),
+    Some("""
+      SELECT doc_id, n_chars,
+             n_chars * CAST(1099511627776 AS BIGINT)
+               // (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) + 1)
+               AS priority
+      FROM documents
+      ORDER BY priority DESC, doc_id
+      LIMIT 50"""))
+
+  val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62, q100)
 }

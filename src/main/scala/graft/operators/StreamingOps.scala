@@ -24,6 +24,15 @@ object StreamingOps {
 
   private val runSeq = new AtomicInteger(0)
 
+  /** Scratch-dir suffix unique ACROSS JVMs, not just within one: two
+    * concurrent Verify/Bench processes share the spool root (tmpfs), and a
+    * bare per-JVM counter made both claim `ckpt_1` — the second then died
+    * on "does not support recovering from checkpoint location". Streaming
+    * checkpoints are never meant to be shared between runs here (each
+    * replay is a fresh query), so pid+counter is the correct key. */
+  private def runTag(): String =
+    s"${ProcessHandle.current().pid()}_${runSeq.incrementAndGet()}"
+
   /** Fixed far-future sentinel timestamp (fixture events live in 2024).
     * A LITERAL, not max(ts)+1y: deriving the sentinel from max(ts) cost a
     * full scan of the input per replay BEFORE the stream even started —
@@ -74,7 +83,7 @@ object StreamingOps {
       schema: org.apache.spark.sql.types.StructType,
       transform: DataFrame => DataFrame, mode: OutputMode,
       ordered: Boolean, noDataBatch: Boolean, parts: Int): DataFrame = {
-    val id = runSeq.incrementAndGet()
+    val id = runTag()
     val reader = spark.readStream.schema(schema)
     val src = (if (ordered) reader.option("maxFilesPerTrigger", "1") else reader)
       .parquet(spool)
@@ -455,7 +464,7 @@ object StreamingOps {
               .localCheckpoint(true)
             ()
           }
-          .option("checkpointLocation", spoolDir(s"ckpt_st6_${runSeq.incrementAndGet()}"))
+          .option("checkpointLocation", spoolDir(s"ckpt_st6_${runTag()}"))
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -754,7 +763,7 @@ object StreamingOps {
     "Stop/restart from checkpoint across two delivery tranches: recovered state == batch agg",
     (s, dir) => {
       val batch = ev5(s, dir)
-      val id = runSeq.incrementAndGet()
+      val id = runTag()
       val spool = spoolDir(s"restart_spool_$id")
       val ckpt = spoolDir(s"restart_ckpt_$id")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt))
@@ -853,7 +862,7 @@ object StreamingOps {
             }
             ()
           }
-          .option("checkpointLocation", spoolDir(s"ckpt_st12_${runSeq.incrementAndGet()}"))
+          .option("checkpointLocation", spoolDir(s"ckpt_st12_${runTag()}"))
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -1194,7 +1203,7 @@ object StreamingOps {
     "Parquet file sink with _spark_metadata commit log: committed-set read-back == batch agg",
     (s, dir) => {
       val batch = ev5(s, dir)
-      val id = runSeq.incrementAndGet()
+      val id = runTag()
       val out = spoolDir(s"filesink_$id")
       val ckpt = spoolDir(s"ckpt_filesink_$id")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt))
@@ -1323,7 +1332,7 @@ object StreamingOps {
     (s, dir) => {
       // text spool: q79's poison shape (every 10th event truncated JSON)
       val spool = dlqSpool(s, dir)
-      val id = runSeq.incrementAndGet()
+      val id = runTag()
       val goodDir = spoolDir(s"st18_good_$id")
       val badDir = spoolDir(s"st18_bad_$id")
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -1376,6 +1385,55 @@ object StreamingOps {
       GROUP BY 1
       ORDER BY 1"""))
 
+  /** Streaming top-k per closed window — the trending-now / leaderboard
+    * shape: windowed counts accumulate incrementally under a watermark and
+    * are emitted EXACTLY ONCE when their window closes (append mode, st3's
+    * sentinel-flush for the bounded replay); ranking to top-3 runs over
+    * the emitted (closed, immutable) rows downstream — at scale that
+    * downstream rank is a foreachBatch over each batch of closed windows,
+    * a per-window-key heap over a bounded set, NOT a second global stage.
+    * The streaming engine does the heavy lifting (the counts over the
+    * unbounded input); state is bounded by windows-in-horizon × types.
+    * Result must equal the batch top-3-per-day of the same table. */
+  val st19 = GraftQuery(
+    "st19_stream_windowed_topk",
+    "Append-mode windowed counts + top-3 rank over closed windows == batch top-k per day",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // The sentinel must flow INTO the watermark (it's what closes the
+      // final day's windows on a bounded replay); its own group row is
+      // filtered from the OUTPUT, never from the input — st3's contract.
+      val counts = replay(s, "events5sent", dir,
+        src => src
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n")),
+        OutputMode.Append(), noDataBatch = true)
+      val w = Window.partitionBy("window_start")
+        .orderBy(col("n").desc, col("event_type"))
+      counts
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("window_start", "rank")
+    },
+    Some("""
+      WITH c AS (
+        SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type, count(*) AS n
+        FROM events
+        GROUP BY window_start, event_type),
+      r AS (
+        SELECT window_start, event_type, n,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY n DESC, event_type) AS rank
+        FROM c)
+      SELECT window_start, event_type, n, rank
+      FROM r WHERE rank <= 3
+      ORDER BY window_start, rank"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
-    st10, st11, st12, st13, st14, st15, st16, st17, st18)
+    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19)
 }

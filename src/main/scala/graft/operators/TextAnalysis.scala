@@ -1367,6 +1367,70 @@ object TextAnalysis {
       FROM r WHERE rank <= 3
       ORDER BY doc_id, rank"""))
 
+  /** Collocation mining — the phrase-discovery pass (Church & Hanks 1990
+    * PMI, the NLP classic) that feeds tokenizer-vocab and stop-phrase
+    * lists: word pairs that co-occur adjacently far more than their
+    * unigram frequencies predict. Scored by INTEGER lift,
+    * c_ab·N·10⁴ div (c_a·c_b) — a monotone transform of PMI (PMI =
+    * ln(lift/10⁴)), so the ranking is PMI's ranking but every score is
+    * exact 64-bit arithmetic both engines agree on, no ln() whose
+    * last-ulp could flip a rank (the q100 argument applied to scores).
+    * Min-support c_ab ≥ 5 kills the hapax-pair noise PMI is notorious
+    * for. Shape at 100 TB: bigrams are t21's row-local adjacent
+    * transform (no window, no shuffle to form pairs); the three count
+    * tables are Zipf-bounded aggregates; scoring joins key on words.
+    * Overflow bound: c_ab·N·10⁴ ≤ N²·10⁴ needs N ≤ ~10⁷ tokens per
+    * corpus shard — at scale the lift is computed per-shard from
+    * shard-local counts or the factors are pre-divided; here N fits. */
+  val t27 = GraftQuery(
+    "t27_pmi_collocations",
+    "PMI collocations via integer lift (c_ab*N*10^4 div c_a*c_b), min-support 5, top-30",
+    (s, dir) => {
+      val ws = table(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+      val bi = ws.filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+             i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val toks = ws.select(explode(col("ws")).as("w"))
+      val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val n = toks.agg(count(lit(1)).as("n_tot"))
+      bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+        .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+        .crossJoin(broadcast(n))
+        .withColumn("lift",
+          expr("c_ab * n_tot * CAST(10000 AS BIGINT) div (c_a * c_b)"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(30)
+        .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+          col("lift"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                 FROM documents),
+      bi AS (SELECT ws[CAST(i AS INTEGER)] AS w1,
+                    ws[CAST(i + 1 AS INTEGER)] AS w2
+             FROM w, UNNEST(range(1, len(ws))) AS t(i)
+             WHERE len(ws) >= 2),
+      toks AS (SELECT unnest(ws) AS w FROM w),
+      uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM toks),
+      bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+             FROM bi GROUP BY w1, w2 HAVING count(*) >= 5)
+      SELECT bc.w1, bc.w2, bc.c_ab, a.c AS c_a, b.c AS c_b,
+             bc.c_ab * n.n_tot * CAST(10000 AS BIGINT) // (a.c * b.c) AS lift
+      FROM bc
+      JOIN uni a ON a.w = bc.w1
+      JOIN uni b ON b.w = bc.w2
+      CROSS JOIN n
+      ORDER BY lift DESC, bc.w1, bc.w2
+      LIMIT 30"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
-    t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
+    t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
+    t27)
 }

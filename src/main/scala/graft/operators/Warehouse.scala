@@ -837,6 +837,55 @@ object Warehouse {
       FROM (SELECT action, count(*) AS n FROM merged GROUP BY action)
       ORDER BY id, action"""))
 
+  /** Robust per-group outlier report via median/MAD — the data-cleaning
+    * pass that survives the outliers it hunts (mean/stddev thresholds are
+    * dragged by the very tails they're meant to flag; median and MAD have
+    * a 50% breakdown point — Hampel's classic identifier). Per event_type:
+    * exact median, MAD (median of |v − med|), and how many rows sit
+    * outside med ± 3·MAD. Shape at 100 TB: event_type cardinality is
+    * bounded, so the per-group medians are a tiny aggregate that
+    * BROADCASTS back onto the fact table — two scans of events total
+    * (one per percentile level), never a per-row window, and the final
+    * count is a map-side-combined conditional agg. Exact `percentile`
+    * (sort-based within each bounded group) matches DuckDB's
+    * quantile_cont linear interpolation. */
+  val q101 = GraftQuery(
+    "q101_mad_outliers",
+    "Hampel outlier audit per event_type: exact median + MAD broadcast back, |v-med| > 3*MAD counts",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("event_type"), col("value"))
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(first(col("med")), 4).as("median_value"),
+          round(first(col("mad")), 4).as("mad_value"),
+          sum(when(col("dev") > lit(3) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                   FROM events GROUP BY event_type),
+      dev AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+              FROM events e JOIN med m USING (event_type)),
+      mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+              FROM dev GROUP BY event_type)
+      SELECT d.event_type,
+             count(*) AS n,
+             round(any_value(d.med), 4) AS median_value,
+             round(any_value(a.mad), 4) AS mad_value,
+             CAST(sum(CASE WHEN d.dev > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad a USING (event_type)
+      GROUP BY d.event_type
+      ORDER BY d.event_type"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
-    q77, q81, q85, q88, q93, q94, q97)
+    q77, q81, q85, q88, q93, q94, q97, q101)
 }

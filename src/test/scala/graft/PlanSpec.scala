@@ -496,6 +496,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q99: all ten statistics ride ONE aggregation pass (single hash exchange)") {
+    val p = plan(operators.Relational.q99.build(spark, sfDir))
+    // moments merge map-side: exactly one hashpartitioning exchange (the
+    // group-by), plus the presentation sort's range exchange — 7 separate
+    // stats jobs would show as 7
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"$hashEx hash exchanges, expected 1\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q100: priority sample is TakeOrdered (per-partition heaps), not a global sort") {
+    val p = plan(operators.Sampling.q100.build(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"global sort where a bounded top-k suffices\n$p")
+  }
+
+  test("q101: group medians broadcast back onto events — no shuffle join, no window") {
+    val p = plan(operators.Warehouse.q101.build(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"fact-side shuffle join\n$p")
+    assert(!p.contains("Window"), s"per-row window where a broadcast agg suffices\n$p")
+  }
+
+  test("t27: collocation scoring is equi-joins + bounded top-k; only the 1-row N broadcasts nested-loop") {
+    val p = plan(operators.TextAnalysis.t27.build(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // details-section headers only (a tree line + its header would double-count)
+    val bnl = p.linesIterator.count(_.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
+    assert(bnl <= 1, s"$bnl nested-loop joins (only the 1-row total may)\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
