@@ -598,6 +598,53 @@ object EventWindows {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Calendar gap-fill + day-over-day deltas — the scaffold join every
+    * time-series report needs before trend math is trustworthy: a daily
+    * count series SKIPS days with zero events, so lag()-based deltas
+    * silently compare non-adjacent days and monitoring misses the outage
+    * day entirely (the zero row IS the signal). Scaffold = full
+    * [min_day, max_day] range × event_type, built row-local from one
+    * 1-row bounds agg (sequence + explode — no driver loop); daily
+    * counts left-join onto it, absent days coalesce to 0, deltas lag
+    * over the filled series. Shape at 100 TB: the fact table aggregates
+    * ONCE to |days|×|types| rows; scaffold, join, and window all run on
+    * that tiny frame — broadcast join, bounded window partitions. */
+  val q102 = GraftQuery(
+    "q102_gap_fill",
+    "Calendar scaffold gap-fill: zero rows for eventless days + day-over-day deltas",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val scaffold = daily
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        .crossJoin(broadcast(events(s, dir).select("event_type").distinct()))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      scaffold.join(daily, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .withColumn("delta", col("n") - lag(col("n"), 1).over(w))
+        .orderBy("day", "event_type")
+    },
+    Some("""
+      WITH c AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                        event_type, count(*) AS n
+                 FROM events GROUP BY day, event_type),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+      days AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                        CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+               FROM b),
+      scaffold AS (SELECT day, event_type
+                   FROM days CROSS JOIN (SELECT DISTINCT event_type FROM events)),
+      f AS (SELECT s.day, s.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM scaffold s LEFT JOIN c ON s.day = c.day
+                                       AND s.event_type = c.event_type)
+      SELECT day, event_type, n,
+             n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS delta
+      FROM f
+      ORDER BY day, event_type"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
-    q86, q89, q91, q92, q96)
+    q86, q89, q91, q92, q96, q102)
 }

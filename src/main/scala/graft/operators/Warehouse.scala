@@ -886,6 +886,56 @@ object Warehouse {
       GROUP BY d.event_type
       ORDER BY d.event_type"""))
 
+  /** SCD Type-2 dimension build — Kimball's slowly-changing-dimension
+    * history table, derived from an event log: consecutive same-state
+    * rows collapse, each retained change opens a validity interval
+    * [valid_from, valid_to) closed by the NEXT change (NULL = current
+    * row), plus a per-entity version number. This is the change-data →
+    * warehouse-dimension materialization every lakehouse runs (and the
+    * read side of q97's MERGE). Shape at 100 TB: one shuffle on the
+    * entity key — the change-detection lag, the interval lead, and the
+    * version row_number all ride the SAME (user_id, ts) sort, so
+    * Catalyst plans one Exchange + one Sort feeding three window
+    * functions with a filter between; no self-join (the naive SQL pairs
+    * each row with its successor by join — O(n²) on hot entities). */
+  val q103 = GraftQuery(
+    "q103_scd2_build",
+    "SCD Type-2 history from the event log: collapse runs, open/close validity intervals, version per entity",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .filter(col("user_id") % 23 === 0)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_state").isNull ||
+          col("event_type") =!= col("prev_state"))
+        .withColumn("valid_to_raw", lead(col("ts"), 1).over(w))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").cast("timestamp_ntz").as("valid_from"),
+          col("valid_to_raw").cast("timestamp_ntz").as("valid_to"),
+          col("version"),
+          col("valid_to_raw").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                        event_id
+                 FROM events WHERE user_id % 23 = 0),
+      m AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev_state
+            FROM e),
+      c AS (SELECT * FROM m
+            WHERE prev_state IS NULL OR event_type <> prev_state)
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER w AS valid_to,
+             CAST(row_number() OVER w AS BIGINT) AS version,
+             lead(ts) OVER w IS NULL AS is_current
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, version"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
-    q77, q81, q85, q88, q93, q94, q97, q101)
+    q77, q81, q85, q88, q93, q94, q97, q101, q103)
 }

@@ -530,6 +530,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bnl <= 1, s"$bnl nested-loop joins (only the 1-row total may)\n$p")
   }
 
+  test("q102: fact table aggregates once; scaffold join/window run on the tiny filled frame") {
+    val p = plan(operators.EventWindows.q102.build(spark, sfDir))
+    // only the 1-row bounds × distinct-types scaffold may nested-loop
+    val bnl = p.linesIterator.count(_.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
+    assert(bnl <= 1, s"$bnl nested-loop joins\n$p")
+    assert(!p.contains("SortMergeJoin"), s"shuffle join on the tiny scaffold\n$p")
+  }
+
+  test("q103: SCD2 needs ONE entity-key exchange and no self-join") {
+    val p = plan(operators.Warehouse.q103.build(spark, sfDir))
+    // change-detect lag, interval lead, and version row_number all ride
+    // the same (user_id, ts) sort; the naive successor-pairing join shape
+    // would show a Join node and a second exchange
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"$hashEx hash exchanges, expected 1\n$p")
+    assert(!p.contains("Join"), s"self-join in SCD2 build\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
