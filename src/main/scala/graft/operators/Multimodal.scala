@@ -690,5 +690,69 @@ object Multimodal {
       GROUP BY c.doc_id
       ORDER BY c.doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11)
+  /** One histogram row: bucket ∈ [0,8), cnt = samples landing in it. */
+  final case class LumaBucket(doc_id: Long, is_image: Boolean,
+      bucket: Long, cnt: Long)
+
+  /** Brightness histogram at the codec seam — m2's decode contract applied
+    * to pixel STATISTICS rather than dimensions: a decodable image yields
+    * an 8-bucket histogram of Rec.601 luma over its pixels (stride-sampled
+    * to ≤4096 so a huge frame costs the same as a thumbnail — the
+    * bounded-work-per-row rule that keeps a decode stage schedulable);
+    * any other payload takes the labeled fake (byte>>5 buckets), which the
+    * SQL oracle replays over the text fixture. Spec-pinned on synthesized
+    * gray PNGs for the real path. */
+  private[graft] def lumaHistogram(r: MediaRow): Seq[LumaBucket] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      catch { case _: Throwable => null }
+    val counts = new Array[Long](8)
+    val isImage = img != null
+    if (isImage) {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val stride = math.max(1, math.sqrt(w.toLong * h / 4096.0).toInt)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          counts(luma >> 5) += 1
+          x += stride
+        }
+        y += stride
+      }
+    } else r.content.foreach(b => counts((b & 0xff) >> 5) += 1)
+    (0 until 8).filter(counts(_) > 0)
+      .map(k => LumaBucket(r.doc_id, isImage, k.toLong, counts(k)))
+  }
+
+  /** Per-payload brightness histogram rows (empty buckets omitted — the
+    * group-by shape the oracle produces). The fan-out is ≤8 rows per
+    * payload, so the decode stage's output stays bounded regardless of
+    * media size — the histogram, not the pixels, is what shuffles. */
+  val m12 = GraftQuery(
+    "m12_luma_histogram",
+    "Payload → 8-bucket luma histogram at the decode seam (real pixels for images, byte fake for text)",
+    (s, dir) => {
+      import s.implicits._
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[MediaRow]
+        .mapPartitions(rows => rows.flatMap(lumaHistogram))
+        .toDF()
+        .orderBy("doc_id", "bucket")
+    },
+    Some("""
+      SELECT doc_id, FALSE AS is_image,
+             CAST(ascii(c) // 32 AS BIGINT) AS bucket,
+             count(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents)
+      GROUP BY doc_id, bucket
+      ORDER BY doc_id, bucket"""))
+
+  val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11,
+    m12)
 }

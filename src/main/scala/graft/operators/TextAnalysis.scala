@@ -1430,7 +1430,65 @@ object TextAnalysis {
       ORDER BY lift DESC, bc.w1, bc.w2
       LIMIT 30"""))
 
+  /** Vocabulary growth curve (Heaps' law V ≈ K·nᵝ) — the corpus-scaling
+    * diagnostic behind tokenizer-vocab sizing and dedup health checks: a
+    * deduplicated corpus grows vocabulary along a smooth power law, while
+    * a curve that flattens early signals duplication and one that jumps
+    * signals contamination by a new domain. Computed WITHOUT a global
+    * rank: each word's first-occurrence doc (a Zipf-bounded min-agg) and
+    * each doc's token count are joined against the 10 decile cutoffs of
+    * doc_id (one exact-percentile row, broadcast) — vocabulary at cutoff
+    * c is just count(first_doc ≤ c). One explode pass over text; the
+    * growth math runs on vocab-sized frames. */
+  val t28 = GraftQuery(
+    "t28_vocab_growth",
+    "Heaps-law curve: docs/tokens/vocabulary at each doc_id decile, via first-occurrence mins",
+    (s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      val firstDoc = toks.groupBy("w").agg(min(col("doc_id")).as("fd"))
+      val docTok = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val cuts = table(s, dir, "documents")
+        .agg(expr(
+          "percentile(doc_id, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D,1.0D))")
+          .as("cs"))
+        .select(posexplode(col("cs")).as(Seq("i", "c")))
+        .select((col("i") + 1).cast("long").as("decile"),
+          floor(col("c")).cast("long").as("cutoff"))
+      val vocabAt = firstDoc.crossJoin(broadcast(cuts))
+        .filter(col("fd") <= col("cutoff"))
+        .groupBy("decile", "cutoff").agg(count(lit(1)).as("vocab"))
+      val docsAt = docTok.crossJoin(broadcast(cuts))
+        .filter(col("doc_id") <= col("cutoff"))
+        .groupBy("decile", "cutoff")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      docsAt.join(vocabAt, Seq("decile", "cutoff"))
+        .select("decile", "cutoff", "n_docs", "n_tokens", "vocab")
+        .orderBy("decile")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                 FROM documents),
+      fd AS (SELECT w, min(doc_id) AS fd FROM w GROUP BY w),
+      dt AS (SELECT doc_id, count(*) AS nt FROM w GROUP BY doc_id),
+      cuts AS (SELECT CAST(i AS BIGINT) AS decile,
+                      CAST(floor(q[CAST(i AS INTEGER)]) AS BIGINT) AS cutoff
+               FROM (SELECT quantile_cont(doc_id,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS q
+                     FROM documents),
+                    UNNEST(range(1, 11)) AS t(i)),
+      va AS (SELECT decile, cutoff, count(*) AS vocab
+             FROM fd JOIN cuts ON fd.fd <= cuts.cutoff
+             GROUP BY decile, cutoff),
+      da AS (SELECT decile, cutoff, count(*) AS n_docs,
+                    CAST(sum(nt) AS BIGINT) AS n_tokens
+             FROM dt JOIN cuts ON dt.doc_id <= cuts.cutoff
+             GROUP BY decile, cutoff)
+      SELECT decile, cutoff, n_docs, n_tokens, vocab
+      FROM da JOIN va USING (decile, cutoff)
+      ORDER BY decile"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    t27)
+    t27, t28)
 }

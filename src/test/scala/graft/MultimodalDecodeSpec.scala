@@ -134,6 +134,30 @@ class MultimodalDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h == expected)
   }
 
+  test("m12 luma histogram: uniform-gray PNG lands every pixel in one bucket; text takes the byte fake") {
+    // gray 100 → luma 100 → bucket 100 >> 5 = 3, for every pixel
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(x => (0 until 16).foreach(y =>
+      img.setRGB(x, y, (100 << 16) | (100 << 8) | 100)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val real = operators.Multimodal.lumaHistogram(
+      operators.Multimodal.MediaRow(1L, out.toByteArray))
+    assert(real.map(_.bucket) == Seq(3L), s"buckets ${real.map(_.bucket)}")
+    assert(real.head.is_image && real.head.cnt == 256L, real.head)
+
+    val txt = "Mixed CASE text 0123"
+    val fake = operators.Multimodal.lumaHistogram(
+      operators.Multimodal.MediaRow(2L, txt.getBytes("UTF-8")))
+    assert(fake.forall(!_.is_image))
+    // independent recount of the oracle's ascii//32 grouping
+    val expected = txt.getBytes("UTF-8").groupBy(b => ((b & 0xff) >> 5).toLong)
+      .view.mapValues(_.length.toLong).toMap
+    assert(fake.map(b => b.bucket -> b.cnt).toMap == expected)
+    assert(fake.map(_.cnt).sum == txt.length.toLong)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
