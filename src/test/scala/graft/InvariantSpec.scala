@@ -310,6 +310,83 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q100: priority sample is weight-biased — sampled mean weight exceeds corpus mean") {
+    val sample = operators.Sampling.q100.build(spark, sfDir).collect()
+    assert(sample.length == 50)
+    assert(sample.forall(_.getLong(2) > 0), "non-positive priority")
+    val sampleMean = sample.map(_.getLong(1)).sum.toDouble / sample.length
+    val corpusMean = operators.table(spark, sfDir, "documents")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    // inclusion ∝ weight: the length-weighted sample must skew long
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean — not weight-proportional")
+  }
+
+  test("q102: the filled series has exactly days×types rows and zero-count days survive") {
+    val rows = operators.EventWindows.q102.build(spark, sfDir).collect()
+    val days = rows.map(_.getDate(0).toLocalDate).distinct.sorted
+    val types = rows.map(_.getString(1)).distinct
+    assert(rows.length == days.length * types.length,
+      s"${rows.length} rows != ${days.length} days × ${types.length} types — scaffold leaked")
+    // the scaffold is gap-free: every calendar day between min and max present
+    val span = java.time.temporal.ChronoUnit.DAYS.between(days.head, days.last) + 1
+    assert(days.length.toLong == span, s"${days.length} days over a $span-day span")
+    // delta is defined everywhere except each type's first day
+    assert(rows.count(_.isNullAt(3)) == types.length)
+  }
+
+  test("q103: SCD2 intervals chain per entity — versions dense, valid_to equals next valid_from, one current row") {
+    val rows = operators.Warehouse.q103.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (user, hist) =>
+      val sorted = hist.sortBy(_.getLong(4))
+      assert(sorted.map(_.getLong(4)).toSeq == (1L to sorted.length).toSeq,
+        s"user $user: versions not dense")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // timestamp_ntz surfaces as LocalDateTime — compare generically
+          assert(a.get(3) == b.get(2),
+            s"user $user v${a.getLong(4)}: valid_to != next valid_from")
+          assert(a.getString(1) != b.getString(1),
+            s"user $user v${a.getLong(4)}: consecutive rows share state (run not collapsed)")
+        case _ => ()
+      }
+      assert(sorted.count(_.getBoolean(5)) == 1 && sorted.last.getBoolean(5),
+        s"user $user: exactly the last row must be current")
+    }
+  }
+
+  test("t28: vocabulary and token counts grow monotonically, vocab sublinear in tokens by decile 10") {
+    val rows = operators.TextAnalysis.t28.build(spark, sfDir).collect().sortBy(_.getLong(0))
+    assert(rows.length == 10)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) >= a.getLong(2) && b.getLong(3) >= a.getLong(3) &&
+          b.getLong(4) >= a.getLong(4),
+          s"decile ${b.getLong(0)}: growth not monotone")
+      case _ => ()
+    }
+    // Heaps: vocabulary grows slower than tokens (β < 1) — by the last
+    // decile the vocab/token ratio must have dropped from the first's
+    val (first, last) = (rows.head, rows.last)
+    assert(last.getLong(4).toDouble / last.getLong(3) <
+      first.getLong(4).toDouble / first.getLong(3),
+      "vocab/token ratio did not fall — no sublinear growth")
+  }
+
+  test("m12: per-doc histogram counts sum to the payload length") {
+    val rows = operators.Multimodal.m12.build(spark, sfDir).collect()
+    val byDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).sum).toMap
+    val lens = operators.table(spark, sfDir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.keySet == lens.keySet)
+    byDoc.foreach { case (d, n) =>
+      assert(n == lens(d), s"doc $d: histogram mass $n != ${lens(d)} chars")
+    }
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 8))
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
