@@ -1317,6 +1317,161 @@ object Similarity {
       FROM oldagg o LEFT JOIN newagg n ON o.cell = n.cell
       ORDER BY cell"""))
 
+  /** Int8 scalar quantization audit — the embedding-storage compression
+    * every production vector store applies before anything fancier (4×
+    * smaller than fp32, SIMD-friendly dot products): per-vector absmax
+    * scale s = max|v|/127, code cᵢ = round(vᵢ/s) ∈ [−127,127], and the
+    * audit a pipeline must emit before flipping the switch — per-vector
+    * scale, worst and mean-square dequantization error, and how many
+    * components saturate. Everything is ROW-LOCAL (higher-order functions
+    * over the embedding array, no shuffle but the presentation sort);
+    * per-element folds run sequentially over the list in BOTH engines, so
+    * the float arithmetic is order-identical and 6-decimal rounds are
+    * stable. s8/s9's PQ is the codebook tier; this is the zero-training
+    * tier a 100 TB re-embed job actually ships first. */
+  val s18 = GraftQuery(
+    "s18_int8_quantization",
+    "Per-vector int8 absmax quantization audit: scale, max/mse dequant error, saturation count",
+    (s, dir) =>
+      table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("scale",
+          expr("greatest(aggregate(e, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x))), CAST(1e-12 AS DOUBLE)) / 127.0"))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          round(expr(
+            "aggregate(e, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(round(x / scale) * scale - x)))"),
+            6).as("max_err"),
+          round(expr(
+            "aggregate(e, CAST(0.0 AS DOUBLE), (a, x) -> a + pow(round(x / scale) * scale - x, 2)) / size(e)"),
+            8).as("mse"),
+          expr(
+            "aggregate(e, 0L, (n, x) -> n + CAST(abs(round(x / scale)) >= 127 AS LONG))")
+            .as("n_saturated"))
+        .orderBy("vec_id"),
+    Some("""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               greatest(list_aggregate(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-12) / 127.0 AS scale
+        FROM embeddings)
+      SELECT vec_id,
+             round(scale, 6) AS scale,
+             round(list_aggregate(list_transform(e,
+               x -> abs(round(x / scale) * scale - x)), 'max'), 6) AS max_err,
+             round(list_aggregate(list_transform(e,
+               x -> pow(round(x / scale) * scale - x, 2)), 'sum')
+               / len(e), 8) AS mse,
+             CAST(list_aggregate(list_transform(e,
+               x -> CASE WHEN abs(round(x / scale)) >= 127 THEN 1 ELSE 0 END),
+               'sum') AS BIGINT) AS n_saturated
+      FROM q
+      ORDER BY vec_id"""))
+
+  /** PageRank centrality over the mutual-kNN graph — the graph-analytics
+    * step a curation pipeline runs on s15's output: within a semantic
+    * neighborhood, high-centrality nodes are the representative exemplars
+    * (pick for few-shot pools) and rank sinks are the isolates worth an
+    * audit. Three UNROLLED power iterations (d = 0.85, uniform start) —
+    * each iteration is the canonical Pregel-on-a-DataFrame step: ranks
+    * join edges on src, contributions r/deg aggregate per dst (map-side
+    * combined), the new vector is (1−d)/N + d·Σ. The mutual graph has no
+    * dangling nodes by construction (mutuality ⇒ degree ≥ 1 both ways),
+    * so no dangling-mass correction clutters the recurrence. At 100 TB
+    * scale each iteration is ONE shuffle keyed by node — the join/agg
+    * pattern d6's connected components already proved out, with bounded
+    * degree (≤3) keeping contribution fan-out constant. Per-node sums
+    * have ≤3 float terms; 8-decimal rounds sit ~10 orders above
+    * summation-order noise. */
+  val s19 = GraftQuery(
+    "s19_pagerank_centrality",
+    "PageRank (3 unrolled iterations, d=0.85) over the mutual top-3 kNN graph",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          l2Norm(col("embedding")).as("nrm"))
+      val a = emb.select(col("label"), col("vec_id").as("id1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      val b = emb.select(col("label"), col("vec_id").as("id2"),
+        col("embedding").as("e2"), col("nrm").as("n2"))
+      val w = Window.partitionBy("id1").orderBy(desc("sim"), col("id2"))
+      val directed = a.join(b, Seq("label"))
+        .filter(col("id1") =!= col("id2"))
+        .select(col("id1"), col("id2"),
+          (dotProduct(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("id1", "id2")
+      val rev = directed.select(col("id2").as("id1"), col("id1").as("id2"))
+      val mutual = directed.join(rev, Seq("id1", "id2"))
+        .filter(col("id1") < col("id2"))
+      val edges = mutual.select(col("id1").as("src"), col("id2").as("dst"))
+        .union(mutual.select(col("id2").as("src"), col("id1").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nRow = broadcast(deg.agg(count(lit(1)).as("n")))
+      var ranks = deg.crossJoin(nRow)
+        .select(col("src").as("id"), col("deg"), col("n"),
+          (lit(1.0) / col("n")).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(ranks.select(col("id"), (col("r") / col("deg")).as("c")),
+            col("src") === col("id"))
+          .groupBy("dst").agg(sum(col("c")).as("csum"))
+        ranks = deg.crossJoin(nRow)
+          .join(contrib, col("src") === col("dst"), "left")
+          .select(col("src").as("id"), col("deg"), col("n"),
+            (lit(0.15) / col("n") +
+              lit(0.85) * coalesce(col("csum"), lit(0.0))).as("r"))
+      }
+      ranks.select(col("id").as("vec_id"), col("deg").as("degree"),
+        round(col("r"), 8).as("pagerank"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH nv AS (SELECT vec_id, label, embedding,
+                         sqrt(list_aggregate(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+                  FROM embeddings),
+      p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                     q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), 'sum')
+                     / (a.nrm * b.nrm) AS sim
+            FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      dd AS (SELECT id1, id2 FROM (
+               SELECT id1, id2,
+                      row_number() OVER (PARTITION BY id1
+                        ORDER BY sim DESC, id2) AS rank
+               FROM p)
+             WHERE rank <= 3),
+      mu AS (SELECT d.id1, d.id2 FROM dd d
+             JOIN dd r ON r.id1 = d.id2 AND r.id2 = d.id1
+             WHERE d.id1 < d.id2),
+      e AS (SELECT id1 AS src, id2 AS dst FROM mu
+            UNION ALL SELECT id2, id1 FROM mu),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+      r0 AS (SELECT src AS id, deg, 1.0 / n AS r FROM deg CROSS JOIN nn),
+      c1 AS (SELECT e.dst, sum(r0.r / r0.deg) AS s
+             FROM e JOIN r0 ON e.src = r0.id GROUP BY e.dst),
+      r1 AS (SELECT d.src AS id, d.deg,
+                    0.15 / nn.n + 0.85 * coalesce(c1.s, 0) AS r
+             FROM deg d CROSS JOIN nn LEFT JOIN c1 ON c1.dst = d.src),
+      c2 AS (SELECT e.dst, sum(r1.r / r1.deg) AS s
+             FROM e JOIN r1 ON e.src = r1.id GROUP BY e.dst),
+      r2 AS (SELECT d.src AS id, d.deg,
+                    0.15 / nn.n + 0.85 * coalesce(c2.s, 0) AS r
+             FROM deg d CROSS JOIN nn LEFT JOIN c2 ON c2.dst = d.src),
+      c3 AS (SELECT e.dst, sum(r2.r / r2.deg) AS s
+             FROM e JOIN r2 ON e.src = r2.id GROUP BY e.dst),
+      r3 AS (SELECT d.src AS id, d.deg,
+                    0.15 / nn.n + 0.85 * coalesce(c3.s, 0) AS r
+             FROM deg d CROSS JOIN nn LEFT JOIN c3 ON c3.dst = d.src)
+      SELECT id AS vec_id, CAST(deg AS BIGINT) AS degree,
+             round(r, 8) AS pagerank
+      FROM r3
+      ORDER BY vec_id"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
-    s12, s13, s14, s15, s16, s17)
+    s12, s13, s14, s15, s16, s17, s18, s19)
 }

@@ -374,6 +374,31 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       "vocab/token ratio did not fall — no sublinear growth")
   }
 
+  test("s18: every vector saturates at least its absmax component; errors bounded by scale/2") {
+    val rows = operators.Similarity.s18.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the component at ±absmax quantizes to exactly ±127 by construction
+      assert(r.getLong(4) >= 1, s"vec ${r.getLong(0)}: no saturated component")
+      // absmax rounding error ≤ scale/2 (+ rounding slack on both columns)
+      assert(r.getDouble(2) <= r.getDouble(1) / 2 + 1e-6,
+        s"vec ${r.getLong(0)}: max_err ${r.getDouble(2)} > scale/2")
+    }
+  }
+
+  test("s19: PageRank mass is conserved — ranks sum to 1 over the mutual graph") {
+    val rows = operators.Similarity.s19.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val mass = rows.map(_.getDouble(2)).sum
+    // no dangling nodes ⇒ each iteration preserves total mass exactly;
+    // tolerance covers the 8-decimal output rounding × node count
+    assert(math.abs(mass - 1.0) < rows.length * 1e-8 + 1e-6,
+      s"rank mass $mass != 1")
+    assert(rows.forall(_.getDouble(2) > 0), "non-positive rank")
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 3),
+      "degree outside [1,3] in a mutual top-3 graph")
+  }
+
   test("m12: per-doc histogram counts sum to the payload length") {
     val rows = operators.Multimodal.m12.build(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).sum).toMap
