@@ -1488,7 +1488,97 @@ object TextAnalysis {
       FROM da JOIN va USING (decile, cutoff)
       ORDER BY decile"""))
 
+  /** Bloom-filter contamination pre-screen + its false-positive audit —
+    * how t10's exact 5-gram scan actually deploys at 100 TB: the
+    * benchmark gram set compiles into a Bloom filter (m = 2¹⁶ positions,
+    * k = 3 md5-derived hashes — deterministic, no RNG, both engines
+    * compute identical positions), the corpus probes the broadcast
+    * position set, and ONLY bloom-positive grams would proceed to the
+    * exact verify — the filter does the 99% rejection without ever
+    * shuffling text. This query emits the audit that sizes m: per
+    * flagged doc, gram count, bloom hits, exact hits, and the
+    * false-positive overshoot. No false negatives by construction (every
+    * exact hit's positions are in the filter) — InvariantSpec pins
+    * exact ≤ bloom per doc. Every output is an integer count. */
+  val t29 = GraftQuery(
+    "t29_bloom_prescreen",
+    "Bloom-filter (m=65536, k=3) contamination pre-screen with per-doc false-positive audit",
+    (s, dir) => {
+      val grams = table(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          explode(array_distinct(expr(
+            "transform(sequence(1, greatest(size(ws) - 4, 0)), i -> concat_ws(' ', slice(ws, i, 5)))")))
+            .as("gram"))
+      val bench = grams.filter(col("doc_id") % 50 === 0)
+        .select("gram").distinct()
+      val corpus = grams.filter(col("doc_id") % 50 =!= 0)
+      def positions(df: org.apache.spark.sql.DataFrame) = df.select(
+        df.columns.map(col) :+
+          explode(expr(
+            """transform(sequence(0, 2), j -> named_struct(
+               'j', j,
+               'pos', CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', gram)), 1, 15), 16, 10) AS BIGINT) % 65536))"""))
+            .as("h"): _*)
+        .withColumn("j", col("h.j")).withColumn("pos", col("h.pos")).drop("h")
+      val filterSet = positions(bench).select("pos").distinct()
+      val bloomHits = positions(corpus)
+        .join(broadcast(filterSet), "pos")
+        .groupBy("doc_id", "gram")
+        .agg(countDistinct(col("j")).as("nj"))
+        .filter(col("nj") === 3)
+        .select(col("doc_id"), col("gram"), lit(1L).as("bloom_hit"))
+      val exactHits = corpus.join(broadcast(bench), "gram")
+        .select(col("doc_id"), col("gram"), lit(1L).as("exact_hit"))
+      corpus
+        .join(bloomHits, Seq("doc_id", "gram"), "left")
+        .join(exactHits, Seq("doc_id", "gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("bloom_hit"), lit(0L))).as("n_bloom_hits"),
+          sum(coalesce(col("exact_hit"), lit(0L))).as("n_exact_hits"),
+          sum(coalesce(col("bloom_hit"), lit(0L)) -
+            coalesce(col("exact_hit"), lit(0L))).as("n_false_positives"))
+        .filter(col("n_bloom_hits") >= 1)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      g0 AS (SELECT doc_id,
+                    array_to_string(list_slice(ws, CAST(i AS INTEGER),
+                      CAST(i + 4 AS INTEGER)), ' ') AS gram
+             FROM ws, UNNEST(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)),
+      g AS (SELECT DISTINCT doc_id, gram FROM g0),
+      bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+      corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
+      fpos AS (SELECT DISTINCT
+                 CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || gram), 1, 15)) AS BIGINT)
+                   % 65536 AS pos
+               FROM bench, UNNEST(range(0, 3)) AS t(j)),
+      cpos AS (SELECT doc_id, gram, j,
+                 CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || gram), 1, 15)) AS BIGINT)
+                   % 65536 AS pos
+               FROM corpus, UNNEST(range(0, 3)) AS t(j)),
+      bh AS (SELECT doc_id, gram, 1 AS bloom_hit
+             FROM cpos JOIN fpos USING (pos)
+             GROUP BY doc_id, gram
+             HAVING count(DISTINCT j) = 3),
+      eh AS (SELECT c.doc_id, c.gram, 1 AS exact_hit
+             FROM corpus c JOIN bench b USING (gram))
+      SELECT c.doc_id,
+             count(*) AS n_grams,
+             CAST(sum(coalesce(bh.bloom_hit, 0)) AS BIGINT) AS n_bloom_hits,
+             CAST(sum(coalesce(eh.exact_hit, 0)) AS BIGINT) AS n_exact_hits,
+             CAST(sum(coalesce(bh.bloom_hit, 0) - coalesce(eh.exact_hit, 0))
+               AS BIGINT) AS n_false_positives
+      FROM corpus c
+      LEFT JOIN bh ON bh.doc_id = c.doc_id AND bh.gram = c.gram
+      LEFT JOIN eh ON eh.doc_id = c.doc_id AND eh.gram = c.gram
+      GROUP BY c.doc_id
+      HAVING sum(coalesce(bh.bloom_hit, 0)) >= 1
+      ORDER BY c.doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    t27, t28)
+    t27, t28, t29)
 }

@@ -399,6 +399,20 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       "degree outside [1,3] in a mutual top-3 graph")
   }
 
+  test("t29: Bloom pre-screen has no false negatives — exact hits ⊆ bloom hits per doc") {
+    val rows = operators.TextAnalysis.t29.build(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2),
+        s"doc ${r.getLong(0)}: exact ${r.getLong(3)} > bloom ${r.getLong(2)} — a false negative")
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3), "FP arithmetic broken")
+      assert(r.getLong(2) <= r.getLong(1), "more hits than grams")
+    }
+    // the filter must also CATCH every exactly-contaminated doc t10-style
+    val exactDocs = rows.filter(_.getLong(3) > 0).map(_.getLong(0)).toSet
+    val flagged = rows.map(_.getLong(0)).toSet
+    assert(exactDocs.subsetOf(flagged))
+  }
+
   test("m12: per-doc histogram counts sum to the payload length") {
     val rows = operators.Multimodal.m12.build(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).sum).toMap
