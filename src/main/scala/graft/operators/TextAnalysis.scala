@@ -1578,7 +1578,65 @@ object TextAnalysis {
       HAVING sum(coalesce(bh.bloom_hit, 0)) >= 1
       ORDER BY c.doc_id"""))
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): per doc, hash every 4-word
+    * shingle, slide a window of 5 hashes, keep each window's MINIMUM —
+    * the provable-guarantee fingerprinting (any shared run of ≥ w+k−1
+    * words yields a shared fingerprint) at a fraction of t24's
+    * full-gram volume. The whole selection is ROW-LOCAL array algebra
+    * (transform + slice + array_min — no explode until the final
+    * distinct fingerprints), so a doc's text is read once and only
+    * (doc_id, fingerprint) longs ever shuffle; overlap detection is a
+    * fingerprint-keyed self-join — d17's bounded-candidates argument
+    * with winnowing's density guarantee (≈ 2/(w+1)) bounding the join
+    * input. Docs shorter than k+w−1 = 8 words cannot fill one window
+    * and are excluded on BOTH engines (the Spark sequence(1,0)
+    * descending gotcha makes an explicit length filter the only safe
+    * encoding). */
+  val t30 = GraftQuery(
+    "t30_winnowing",
+    "MOSS winnowing (k=4, w=5): row-local min-hash-per-window fingerprints + overlap pairs ≥ 3",
+    (s, dir) => {
+      val fps = table(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), expr(
+          """transform(sequence(1, size(ws) - 3),
+             i -> CAST(conv(substring(md5(concat_ws(' ', slice(ws, i, 4))), 1, 15), 16, 10) AS BIGINT))""")
+          .as("hs"))
+        .select(col("doc_id"),
+          explode(array_distinct(expr(
+            "transform(sequence(1, size(hs) - 4), j -> array_min(slice(hs, j, 5)))")))
+            .as("fp"))
+      fps.select(col("doc_id").as("d1"), col("fp"))
+        .join(fps.select(col("doc_id").as("d2"), col("fp")), "fp")
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("d1", "d2")
+    },
+    Some("""
+      WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                  FROM documents),
+      hs AS (SELECT doc_id,
+                    list_transform(range(1, len(ws) - 2),
+                      i -> CAST(concat('0x', substr(md5(array_to_string(
+                             list_slice(ws, CAST(i AS INTEGER), CAST(i + 3 AS INTEGER)), ' ')),
+                             1, 15)) AS BIGINT)) AS hs
+             FROM ws WHERE len(ws) >= 8),
+      fp AS (SELECT DISTINCT doc_id,
+                    unnest(list_distinct(list_transform(range(1, len(hs) - 3),
+                      j -> list_aggregate(list_slice(hs, CAST(j AS INTEGER),
+                             CAST(j + 4 AS INTEGER)), 'min')))) AS fp
+             FROM hs)
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY d1, d2
+      HAVING count(*) >= 3
+      ORDER BY d1, d2"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    t27, t28, t29)
+    t27, t28, t29, t30)
 }
