@@ -1491,8 +1491,9 @@ object TextAnalysis {
   /** Bloom-filter contamination pre-screen + its false-positive audit —
     * how t10's exact 5-gram scan actually deploys at 100 TB: the
     * benchmark gram set compiles into a Bloom filter (m = 2¹⁶ positions,
-    * k = 3 md5-derived hashes — deterministic, no RNG, both engines
-    * compute identical positions), the corpus probes the broadcast
+    * k = 3 hashes sliced from ONE md5 digest per gram — the
+    * Kirsch–Mitzenmacher construction; deterministic, no RNG, both
+    * engines compute identical positions), the corpus probes the broadcast
     * position set, and ONLY bloom-positive grams would proceed to the
     * exact verify — the filter does the 99% rejection without ever
     * shuffling text. This query emits the audit that sizes m: per
@@ -1513,12 +1514,16 @@ object TextAnalysis {
       val bench = grams.filter(col("doc_id") % 50 === 0)
         .select("gram").distinct()
       val corpus = grams.filter(col("doc_id") % 50 =!= 0)
+      // all k positions from ONE digest (Kirsch–Mitzenmacher: slices of a
+      // single hash behave as independent hash functions for Bloom
+      // filters) — 3 md5 calls per gram collapse to 1, the dominant cost
+      // of this query at scale
       def positions(df: org.apache.spark.sql.DataFrame) = df.select(
         df.columns.map(col) :+
           explode(expr(
             """transform(sequence(0, 2), j -> named_struct(
                'j', j,
-               'pos', CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', gram)), 1, 15), 16, 10) AS BIGINT) % 65536))"""))
+               'pos', CAST(conv(substring(md5(gram), j * 5 + 1, 5), 16, 10) AS BIGINT) % 65536))"""))
             .as("h"): _*)
         .withColumn("j", col("h.j")).withColumn("pos", col("h.pos")).drop("h")
       val filterSet = positions(bench).select("pos").distinct()
@@ -1552,11 +1557,11 @@ object TextAnalysis {
       bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
       corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
       fpos AS (SELECT DISTINCT
-                 CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || gram), 1, 15)) AS BIGINT)
+                 CAST(concat('0x', substr(md5(gram), CAST(j * 5 + 1 AS INTEGER), 5)) AS BIGINT)
                    % 65536 AS pos
                FROM bench, UNNEST(range(0, 3)) AS t(j)),
       cpos AS (SELECT doc_id, gram, j,
-                 CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || gram), 1, 15)) AS BIGINT)
+                 CAST(concat('0x', substr(md5(gram), CAST(j * 5 + 1 AS INTEGER), 5)) AS BIGINT)
                    % 65536 AS pos
                FROM corpus, UNNEST(range(0, 3)) AS t(j)),
       bh AS (SELECT doc_id, gram, 1 AS bloom_hit
