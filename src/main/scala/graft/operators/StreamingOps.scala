@@ -1434,6 +1434,56 @@ object StreamingOps {
       FROM r WHERE rank <= 3
       ORDER BY window_start, rank"""))
 
+  /** Stream-stream FULL OUTER interval join — completing the
+    * stream-stream join family (inner st7, left-outer st10, semi st17):
+    * BOTH sides null-pad once the watermark proves no match can still
+    * arrive, which is the reconciliation shape — "every purchase with
+    * its click AND every orphaned click" in one pass, the streaming form
+    * of an audit join. State bounds are the same as st10's (both sides
+    * watermarked, interval condition gives the eviction bound); what
+    * full-outer adds is eviction-time emission on BOTH stores. Shares
+    * the events5outer spool (sentinels on both types flush both sides'
+    * final state). */
+  val st20 = GraftQuery(
+    "st20_stream_full_outer_join",
+    "Watermarked stream-stream FULL OUTER interval join: both sides null-pad on watermark passage == batch full join",
+    (s, dir) => {
+      replay(s, "events5outer", dir,
+        src => {
+          val p = src.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("p_ts"),
+              col("event_id").as("p_id"))
+            .withWatermark("p_ts", "1 hour")
+          val c = src.filter(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("c_id"))
+            .withWatermark("c_ts", "1 hour")
+          p.join(c,
+            col("user_id") === col("c_user") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+              col("c_ts") < col("p_ts"),
+            "full_outer")
+        },
+        OutputMode.Append(), parts = 2)
+        .filter(coalesce(col("user_id"), col("c_user")) =!= -1L)
+        .select(col("p_id"), col("c_id"),
+          coalesce(col("user_id"), col("c_user")).as("uid"),
+          col("p_ts").cast("timestamp_ntz").as("p_ts"),
+          col("c_ts").cast("timestamp_ntz").as("c_ts"))
+        .orderBy("p_id", "c_id")
+    },
+    Some("""
+      SELECT p.event_id AS p_id, c.event_id AS c_id,
+             coalesce(p.user_id, c.user_id) AS uid,
+             CAST(p.ts AS TIMESTAMP) AS p_ts,
+             CAST(c.ts AS TIMESTAMP) AS c_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL '1 hour'
+       AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+      ORDER BY p_id NULLS FIRST, c_id NULLS FIRST"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
-    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19)
+    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20)
 }
