@@ -1472,6 +1472,85 @@ object Similarity {
       FROM r3
       ORDER BY vec_id"""))
 
+  /** Recall@10 of int8-quantized search vs exact fp32 — the quality half
+    * of s18's compression decision (s16's recall-curve protocol applied
+    * to scalar quantization): 20 query vectors rank the corpus twice in
+    * ONE pass, once by exact dot product (row-local sequential fold —
+    * order-identical cross-engine) and once by the quantized score
+    * dot_int8 · scale_q · scale_c, whose integer core (Σ c_q·c_c, ≤
+    * 64·127² per term — exact in 64 bits) makes the approximate ranking
+    * deterministic enough to hash-check, unlike the trained-index recalls
+    * (s7–s9) that live in QualitySpec. Overlap of the two top-10 sets is
+    * the per-query recall; the corpus streams through the broadcast-query
+    * join once, unshuffled (s1's posture — offline tuning, not serving). */
+  val s20 = GraftQuery(
+    "s20_int8_recall",
+    "Recall@10 of s18's int8 quantization vs exact fp32 dot product, per query, one pass",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("scale",
+          expr("greatest(aggregate(e, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x))), CAST(1e-12 AS DOUBLE)) / 127.0"))
+        .withColumn("c", expr("transform(e, x -> CAST(round(x / scale) AS BIGINT))"))
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("scale").as("qs"), col("c").as("qc"))
+      val scored = broadcast(q).crossJoin(emb)
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          expr("aggregate(zip_with(qe, e, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+            .as("exact_dot"),
+          (expr("aggregate(zip_with(qc, c, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+            * col("qs") * col("scale")).as("int8_dot"))
+      val we = Window.partitionBy("query_id").orderBy(desc("exact_dot"), col("vec_id"))
+      val wq = Window.partitionBy("query_id").orderBy(desc("int8_dot"), col("vec_id"))
+      scored
+        .withColumn("re", row_number().over(we))
+        .withColumn("rq", row_number().over(wq))
+        .filter(col("re") <= 10 || col("rq") <= 10)
+        .groupBy("query_id")
+        .agg(
+          sum(when(col("re") <= 10 && col("rq") <= 10, 1L).otherwise(0L))
+            .as("recall10"),
+          max(when(col("re") === 1, col("vec_id"))).as("exact_top1"),
+          max(when(col("rq") === 1, col("vec_id"))).as("int8_top1"))
+        .orderBy("query_id")
+    },
+    Some("""
+      WITH emb AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               greatest(list_aggregate(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-12) / 127.0 AS scale
+        FROM embeddings),
+      cc AS (SELECT vec_id, e, scale,
+                    list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS c
+             FROM emb),
+      scored AS (
+        SELECT q.vec_id AS query_id, t.vec_id,
+               list_aggregate(list_transform(list_zip(q.e, t.e),
+                 z -> z[1] * z[2]), 'sum') AS exact_dot,
+               CAST(list_aggregate(list_transform(list_zip(q.c, t.c),
+                 z -> z[1] * z[2]), 'sum') AS BIGINT) * q.scale * t.scale
+                 AS int8_dot
+        FROM cc q JOIN cc t ON q.vec_id < 20 AND t.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY exact_dot DESC, vec_id) AS re,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY int8_dot DESC, vec_id) AS rq
+        FROM scored)
+      SELECT query_id,
+             CAST(sum(CASE WHEN re <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+               AS BIGINT) AS recall10,
+             max(CASE WHEN re = 1 THEN vec_id END) AS exact_top1,
+             max(CASE WHEN rq = 1 THEN vec_id END) AS int8_top1
+      FROM ranked
+      WHERE re <= 10 OR rq <= 10
+      GROUP BY query_id
+      ORDER BY query_id"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
-    s12, s13, s14, s15, s16, s17, s18, s19)
+    s12, s13, s14, s15, s16, s17, s18, s19, s20)
 }

@@ -413,6 +413,16 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exactDocs.subsetOf(flagged))
   }
 
+  test("s20: int8 recall@10 is bounded and high — compression must not wreck retrieval") {
+    val rows = operators.Similarity.s20.build(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) <= 10))
+    val mean = rows.map(_.getLong(1)).sum.toDouble / rows.length
+    // 8-bit absmax quantization of 64-dim vectors loses ~0.4% dot-product
+    // precision — recall@10 collapsing below 8 means the quantizer broke
+    assert(mean >= 8.0, s"mean recall@10 $mean < 8 — int8 path degraded")
+  }
+
   test("m12: per-doc histogram counts sum to the payload length") {
     val rows = operators.Multimodal.m12.build(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).sum).toMap
