@@ -548,6 +548,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), s"self-join in SCD2 build\n$p")
   }
 
+  test("q104: Catalyst decorrelates the LATERAL LIMIT into a window rank, not a per-row rescan") {
+    val p = plan(operators.Relational.q104.build(spark, sfDir))
+    // the naive reading is O(customers × orders-scan); the decorrelated
+    // plan runs ONE window over orders then an equi hash join
+    assert(p.contains("Window"), s"no window — where did the per-key LIMIT go?\n$p")
+    val bnl = p.linesIterator.count(_.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
+    assert(bnl == 0 && !p.contains("CartesianProduct"),
+      s"non-equi join in decorrelated lateral\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
