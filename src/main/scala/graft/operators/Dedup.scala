@@ -1261,6 +1261,92 @@ object Dedup {
       WHERE 8*i >= 3*(n1 + n2)
       ORDER BY doc1, doc2"""))
 
+  /** LSH banding evaluation harness — the precision/recall scorecard a
+    * dedup owner publishes before trusting d12's index: banding candidates
+    * (4 bands × 4 rows ⇒ S-curve threshold ≈ (1/4)^(1/4) ≈ 0.71) scored
+    * against the EXACT 3-shingle Jaccard ≥ 0.5 truth set on the same
+    * corpus slice. Recall < 100% here is not a bug, it is the S-curve
+    * doing its job on 0.5-0.71 similarity pairs — this report is how you
+    * SEE that trade-off before re-tuning bands/rows. The threshold test
+    * is integer-exact (J ≥ 0.5 ⇔ 3·inter ≥ n₁+n₂), all outputs integer
+    * counts/bp. Reuses the x_minhash_sig_spool signature table; the truth
+    * side is d13's bounded shingle self-join. One row out. */
+  val d18 = {
+    val P = MhP
+    val A = MhA
+    GraftQuery(
+      "d18_lsh_eval",
+      "Banding P/R scorecard: d12 candidates vs exact Jaccard ≥ 0.5 truth, precision/recall bp",
+      (s, dir) => {
+        val m = minhashSigs(s, dir)
+        val sig = m.withColumn("band", (col("j") / 4).cast("int"))
+          .groupBy("doc_id", "band")
+          .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("m")))),
+            x => x("m").cast("string")), ":").as("bucket"))
+        val cand = sig.as("a").join(sig.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+          .distinct()
+        val sh = table(s, dir, "documents")
+          .filter(col("doc_id") < 2000)
+          .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val truth = sh.as("a").join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
+          .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+          .filter(col("inter") * 3 >= col("n1") + col("n2"))
+          .select("doc1", "doc2")
+        val tp = cand.join(truth, Seq("doc1", "doc2"))
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+          .select(col("n_candidates"), col("n_truth"), col("n_tp"),
+            expr("n_tp * 10000 div n_candidates").as("precision_bp"),
+            expr("n_tp * 10000 div n_truth").as("recall_bp"))
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                   FROM documents WHERE doc_id < 2000),
+        sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+               FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        h AS (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $P AS h32
+              FROM sh),
+        m AS (SELECT doc_id, j,
+                     min((((1103515245 * (j + 1) + 12345) % $A) * h32
+                          + ((12345 * (j + 7) + 6789) % $A)) % $P) AS m
+              FROM h, UNNEST(range(16)) AS t(j)
+              GROUP BY doc_id, j),
+        sig AS (SELECT doc_id, j // 4 AS band,
+                       string_agg(CAST(m AS VARCHAR), ':' ORDER BY j) AS bucket
+                FROM m GROUP BY doc_id, j // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                 FROM sig a JOIN sig b
+                   ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        truth AS (SELECT p.doc1, p.doc2 FROM (
+                    SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2) p
+                  JOIN sizes s1 ON s1.doc_id = p.doc1
+                  JOIN sizes s2 ON s2.doc_id = p.doc2
+                  WHERE p.inter * 3 >= s1.n + s2.n),
+        tp AS (SELECT count(*) AS n_tp FROM cand JOIN truth USING (doc1, doc2)),
+        nc AS (SELECT count(*) AS n_candidates FROM cand),
+        nt AS (SELECT count(*) AS n_truth FROM truth)
+        SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(n_tp AS BIGINT) AS n_tp,
+               CAST(n_tp * 10000 // n_candidates AS BIGINT) AS precision_bp,
+               CAST(n_tp * 10000 // n_truth AS BIGINT) AS recall_bp
+        FROM nc, nt, tp"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
-    d12, d13, d14, d15, d16, d17)
+    d12, d13, d14, d15, d16, d17, d18)
 }

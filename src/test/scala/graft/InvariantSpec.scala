@@ -423,6 +423,17 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mean >= 8.0, s"mean recall@10 $mean < 8 — int8 path degraded")
   }
 
+  test("d18: P/R arithmetic is sound and the S-curve never misses above-threshold pairs badly") {
+    val r = operators.Dedup.d18.build(spark, sfDir).head()
+    val (cand, truth, tp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(tp <= cand && tp <= truth, "more true positives than either set")
+    assert(r.getLong(3) == tp * 10000 / cand && r.getLong(4) == tp * 10000 / truth)
+    // 16 minhashes at J ≥ 0.5 collide in ≥1 of 4 bands with prob ≥ 1−(1−0.5⁴)⁴
+    // ≈ 23% per pair floor — in practice fixture truth pairs are near-exact
+    // dupes, so recall below 80% means the banding or signatures broke
+    assert(r.getLong(4) >= 8000, s"recall ${r.getLong(4)}bp collapsed")
+  }
+
   test("m12: per-doc histogram counts sum to the payload length") {
     val rows = operators.Multimodal.m12.build(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).sum).toMap
