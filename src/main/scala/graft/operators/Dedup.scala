@@ -1288,9 +1288,12 @@ object Dedup {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
           .distinct()
+        // persisted: the shingle explode feeds sizes + BOTH truth-join
+        // sides (d17's 4-subtree argument on the bounded slice)
         val sh = table(s, dir, "documents")
           .filter(col("doc_id") < 2000)
           .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+          .persist()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val truth = sh.as("a").join(sh.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
