@@ -615,7 +615,12 @@ object Warehouse {
         .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("c"))
       val tot = counts.agg(count(lit(1)).as("n"), sum("c").as("tot"),
         max("c").as("mx"))
-      // counts-of-counts histogram (bounded cardinality) + cumulative keys
+      // counts-of-counts histogram (bounded cardinality) + cumulative keys.
+      // The UNPARTITIONED window (and its WindowExec "moving all data to a
+      // single partition" warning) is deliberate and scale-safe: it runs
+      // over the histogram of DISTINCT COUNT VALUES, whose cardinality is
+      // bounded by the count distribution (hundreds of rows at any corpus
+      // size), never over keys or facts.
       val cum = counts.groupBy("c").agg(count(lit(1)).as("nk"))
         .withColumn("cum", sum("nk").over(
           Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -630,6 +635,7 @@ object Warehouse {
           'p50_rows', p50, 'p90_rows', p90, 'p99_rows', p99,
           'skew_max_over_p50_x100', CAST(mx * 100 / p50 AS BIGINT))
           AS (metric, value)"""))
+      // global window on a LIMIT-3 frame — three rows, any scale
       val top = counts.orderBy(desc("c"), col("k")).limit(3)
         .withColumn("r", row_number().over(Window.orderBy(desc("c"), col("k"))))
         .select(expr("""stack(2,
@@ -683,6 +689,10 @@ object Warehouse {
       val inv = table(s, dir, "orders")
         .groupBy(col("o_orderdate").cast("date").as("day"))
         .agg(count(lit(1)).as("n"))
+      // unpartitioned cumulative sum over the PER-DAY aggregate (one row
+      // per calendar day — thousands of rows at any corpus size); the
+      // WindowExec single-partition warning is about this bounded frame,
+      // not the fact table, which aggregated away one step earlier
       val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
       inv.withColumn("before", coalesce(sum(col("n")).over(w), lit(0L)))
         .withColumn("bin", floor(col("before") / target))
@@ -936,6 +946,66 @@ object Warehouse {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY user_id, version"""))
 
+  /** Temporal join against the SCD2 dimension — the read side of q103's
+    * build and the reason SCD2 exists at all: each fact row joins the
+    * dimension VERSION that was valid at event time (valid_from ≤ ts <
+    * valid_to, open-ended current rows via NULL), so historical facts
+    * report the attribute they had THEN, not the attribute the entity
+    * has now. Implemented as the interval join q38/q87's range-join
+    * machinery handles: equi on the entity key + the validity range
+    * predicate; the dimension is per-entity bounded (change counts, not
+    * event counts) so at 100 TB it broadcasts or buckets by entity while
+    * facts stream through. Validation column: every event matches
+    * EXACTLY one interval (the intervals tile by q103's invariant), so
+    * n_versions_matched is constant 1 and the hash gate would catch a
+    * gappy or overlapping dimension immediately. */
+  val q105 = GraftQuery(
+    "q105_scd2_temporal_join",
+    "Fact-to-SCD2 as-of interval join: each event joined to the dimension version valid at its timestamp",
+    (s, dir) => {
+      val dim = q103.build(s, dir)
+        .select(col("user_id"), col("state"), col("valid_from"),
+          col("valid_to"), col("version"))
+      val facts = events(s, dir)
+        .filter(col("user_id") % 23 === 0)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("event_type"))
+      facts.join(dim,
+          facts("user_id") === dim("user_id") &&
+            col("valid_from") <= col("ts") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .groupBy(col("event_id"), facts("user_id").as("user_id"),
+          col("event_type"))
+        .agg(max(col("state")).as("state_at_event"),
+          max(col("version")).as("dim_version"),
+          count(lit(1)).as("n_versions_matched"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                        event_id
+                 FROM events WHERE user_id % 23 = 0),
+      m AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev_state
+            FROM e),
+      c AS (SELECT * FROM m
+            WHERE prev_state IS NULL OR event_type <> prev_state),
+      dim AS (SELECT user_id, event_type AS state, ts AS valid_from,
+                     lead(ts) OVER w AS valid_to,
+                     CAST(row_number() OVER w AS BIGINT) AS version
+              FROM c
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT f.event_id, f.user_id, f.event_type,
+             max(d.state) AS state_at_event,
+             max(d.version) AS dim_version,
+             count(*) AS n_versions_matched
+      FROM e f JOIN dim d
+        ON f.user_id = d.user_id
+       AND d.valid_from <= f.ts
+       AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+      GROUP BY f.event_id, f.user_id, f.event_type
+      ORDER BY f.event_id"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
-    q77, q81, q85, q88, q93, q94, q97, q101, q103)
+    q77, q81, q85, q88, q93, q94, q97, q101, q103, q105)
 }
