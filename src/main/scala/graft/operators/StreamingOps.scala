@@ -1484,6 +1484,61 @@ object StreamingOps {
        AND CAST(c.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
       ORDER BY p_id NULLS FIRST, c_id NULLS FIRST"""))
 
+  /** Streaming temporal enrichment against the SCD2 dimension — q105's
+    * as-of interval join with the FACTS as a live stream (st4's
+    * stream-static shape plus a validity-range predicate): each arriving
+    * event joins the dimension version valid at ITS event time, so late
+    * or backfilled events still pick up the historically-correct
+    * attribute — the lookup a streaming feature pipeline runs against a
+    * warehouse dimension. The static side is per-entity bounded (change
+    * counts) and broadcast into every micro-batch; the join is stateless
+    * per batch (no watermark, no state store) — the 100 TB posture is a
+    * periodically-refreshed broadcast dim, facts never buffered. Result
+    * must equal the batch as-of join row-for-row. */
+  val st21 = GraftQuery(
+    "st21_stream_scd2_enrich",
+    "Stream-static SCD2 as-of enrichment: each streamed event joins its historically-valid dimension version",
+    (s, dir) => {
+      val dim = graft.operators.Warehouse.q103.build(s, dir)
+        .select(col("user_id").as("d_user"), col("state"),
+          col("valid_from"), col("valid_to"), col("version"))
+      replay(s, "events5", dir,
+        src => src
+          .filter(col("user_id") % 23 === 0)
+          .withColumn("ts_ntz", col("ts").cast("timestamp_ntz"))
+          .join(broadcast(dim),
+            col("user_id") === col("d_user") &&
+              col("valid_from") <= col("ts_ntz") &&
+              (col("valid_to").isNull || col("ts_ntz") < col("valid_to"))),
+        OutputMode.Append(), noDataBatch = false)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("state").as("state_at_event"),
+          col("version").as("dim_version"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                        event_id
+                 FROM events WHERE user_id % 23 = 0),
+      m AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev_state
+            FROM e),
+      c AS (SELECT * FROM m
+            WHERE prev_state IS NULL OR event_type <> prev_state),
+      dim AS (SELECT user_id, event_type AS state, ts AS valid_from,
+                     lead(ts) OVER w AS valid_to,
+                     CAST(row_number() OVER w AS BIGINT) AS version
+              FROM c
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT f.event_id, f.user_id, f.event_type,
+             d.state AS state_at_event,
+             d.version AS dim_version
+      FROM e f JOIN dim d
+        ON f.user_id = d.user_id
+       AND d.valid_from <= f.ts
+       AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+      ORDER BY event_id"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
-    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20)
+    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21)
 }
