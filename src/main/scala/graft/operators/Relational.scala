@@ -1232,47 +1232,8 @@ object Relational {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
-  /** Correlated LATERAL top-N — the table-valued sibling of q95's scalar
-    * decorrelation: "each customer with their 2 priciest orders" written
-    * the way an analyst writes it (a correlated subquery with ORDER BY +
-    * LIMIT per outer row), which Catalyst decorrelates into the
-    * rank-filter plan q17 builds by hand — window over the orders side
-    * partitioned by the join key, filter rank ≤ 2, then the join. The
-    * point at 100 TB: the NAIVE reading (re-run the subquery per
-    * customer) would be O(customers × orders-scan); the decorrelated
-    * plan is one shuffle each side. INNER lateral (customers with no
-    * orders drop) keeps the oracle's CROSS JOIN LATERAL semantics
-    * aligned. */
-  val q104 = GraftQuery(
-    "q104_lateral_topn",
-    "Correlated LATERAL (ORDER BY + LIMIT 2 per customer) — decorrelated to a rank filter by Catalyst",
-    (s, dir) => {
-      table(s, dir, "customer").createOrReplaceTempView("customer_lat")
-      table(s, dir, "orders").createOrReplaceTempView("orders_lat")
-      s.sql("""
-        SELECT c.c_custkey, t.o_orderkey,
-               CAST(CAST(t.o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS price
-        FROM customer_lat c,
-        LATERAL (SELECT o_orderkey, o_totalprice
-                 FROM orders_lat o
-                 WHERE o.o_custkey = c.c_custkey
-                 ORDER BY o_totalprice DESC, o_orderkey
-                 LIMIT 2) t
-        ORDER BY c.c_custkey, price DESC, t.o_orderkey""")
-    },
-    Some("""
-      SELECT c.c_custkey, t.o_orderkey,
-             CAST(CAST(t.o_totalprice AS DECIMAL(14,2)) AS DOUBLE) AS price
-      FROM customer c,
-      LATERAL (SELECT o_orderkey, o_totalprice
-               FROM orders o
-               WHERE o.o_custkey = c.c_custkey
-               ORDER BY o_totalprice DESC, o_orderkey
-               LIMIT 2) t
-      ORDER BY c.c_custkey, price DESC, t.o_orderkey"""))
-
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
-    q99, q104)
+    q99)
 }

@@ -1499,7 +1499,7 @@ object StreamingOps {
     "st21_stream_scd2_enrich",
     "Stream-static SCD2 as-of enrichment: each streamed event joins its historically-valid dimension version",
     (s, dir) => {
-      val dim = graft.operators.Warehouse.q103.build(s, dir)
+      val dim = graft.operators.Warehouse.scd2Dim(s, dir)
         .select(col("user_id").as("d_user"), col("state"),
           col("valid_from"), col("valid_to"), col("version"))
       replay(s, "events5", dir,

@@ -896,74 +896,53 @@ object Warehouse {
       GROUP BY d.event_type
       ORDER BY d.event_type"""))
 
-  /** SCD Type-2 dimension build — Kimball's slowly-changing-dimension
-    * history table, derived from an event log: consecutive same-state
-    * rows collapse, each retained change opens a validity interval
-    * [valid_from, valid_to) closed by the NEXT change (NULL = current
-    * row), plus a per-entity version number. This is the change-data →
-    * warehouse-dimension materialization every lakehouse runs (and the
-    * read side of q97's MERGE). Shape at 100 TB: one shuffle on the
-    * entity key — the change-detection lag, the interval lead, and the
-    * version row_number all ride the SAME (user_id, ts) sort, so
-    * Catalyst plans one Exchange + one Sort feeding three window
-    * functions with a filter between; no self-join (the naive SQL pairs
-    * each row with its successor by join — O(n²) on hot entities). */
-  val q103 = GraftQuery(
-    "q103_scd2_build",
-    "SCD Type-2 history from the event log: collapse runs, open/close validity intervals, version per entity",
-    (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-      events(s, dir)
-        .filter(col("user_id") % 23 === 0)
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-        .withColumn("prev_state", lag(col("event_type"), 1).over(w))
-        .filter(col("prev_state").isNull ||
-          col("event_type") =!= col("prev_state"))
-        .withColumn("valid_to_raw", lead(col("ts"), 1).over(w))
-        .withColumn("version", row_number().over(w).cast("long"))
-        .select(col("user_id"), col("event_type").as("state"),
-          col("ts").cast("timestamp_ntz").as("valid_from"),
-          col("valid_to_raw").cast("timestamp_ntz").as("valid_to"),
-          col("version"),
-          col("valid_to_raw").isNull.as("is_current"))
-        .orderBy("user_id", "version")
-    },
-    Some("""
-      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
-                        event_id
-                 FROM events WHERE user_id % 23 = 0),
-      m AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id) AS prev_state
-            FROM e),
-      c AS (SELECT * FROM m
-            WHERE prev_state IS NULL OR event_type <> prev_state)
-      SELECT user_id, event_type AS state, ts AS valid_from,
-             lead(ts) OVER w AS valid_to,
-             CAST(row_number() OVER w AS BIGINT) AS version,
-             lead(ts) OVER w IS NULL AS is_current
-      FROM c
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-      ORDER BY user_id, version"""))
+  /** Versioned SCD2 dimension over the sampled entity set — the build
+    * side q105/st21 join against. NOT a registry entry: the registry's
+    * SCD2 interval build is q59 (all users, no version column); this
+    * helper is q59's construction plus the per-entity `version` the
+    * temporal joins key their assertions on. One shuffle on the entity
+    * key — change-detection lag, interval lead, and version row_number
+    * ride the same (user_id, ts) sort; no self-join. The interval-
+    * chaining contract (dense versions, valid_to = next valid_from,
+    * runs collapsed, single current row) is pinned by InvariantSpec. */
+  private[graft] def scd2Dim(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .filter(col("user_id") % 23 === 0)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull ||
+        col("event_type") =!= col("prev_state"))
+      .withColumn("valid_to_raw", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").cast("timestamp_ntz").as("valid_from"),
+        col("valid_to_raw").cast("timestamp_ntz").as("valid_to"),
+        col("version"),
+        col("valid_to_raw").isNull.as("is_current"))
+  }
 
-  /** Temporal join against the SCD2 dimension — the read side of q103's
-    * build and the reason SCD2 exists at all: each fact row joins the
-    * dimension VERSION that was valid at event time (valid_from ≤ ts <
-    * valid_to, open-ended current rows via NULL), so historical facts
-    * report the attribute they had THEN, not the attribute the entity
-    * has now. Implemented as the interval join q38/q87's range-join
-    * machinery handles: equi on the entity key + the validity range
-    * predicate; the dimension is per-entity bounded (change counts, not
-    * event counts) so at 100 TB it broadcasts or buckets by entity while
-    * facts stream through. Validation column: every event matches
-    * EXACTLY one interval (the intervals tile by q103's invariant), so
-    * n_versions_matched is constant 1 and the hash gate would catch a
-    * gappy or overlapping dimension immediately. */
+  /** Temporal join against the SCD2 dimension — the read side of the q59
+    * build (via the versioned [[scd2Dim]] helper) and the reason SCD2
+    * exists at all: each fact row joins the dimension VERSION that was
+    * valid at event time (valid_from ≤ ts < valid_to, open-ended current
+    * rows via NULL), so historical facts report the attribute they had
+    * THEN, not the attribute the entity has now. Implemented as the
+    * interval join q38/q87's range-join machinery handles: equi on the
+    * entity key + the validity range predicate; the dimension is
+    * per-entity bounded (change counts, not event counts) so at 100 TB
+    * it broadcasts or buckets by entity while facts stream through.
+    * Validation column: every event matches EXACTLY one interval (the
+    * intervals tile by the scd2Dim invariant), so n_versions_matched is
+    * constant 1 and the hash gate would catch a gappy or overlapping
+    * dimension immediately. */
   val q105 = GraftQuery(
     "q105_scd2_temporal_join",
     "Fact-to-SCD2 as-of interval join: each event joined to the dimension version valid at its timestamp",
     (s, dir) => {
-      val dim = q103.build(s, dir)
+      val dim = scd2Dim(s, dir)
         .select(col("user_id"), col("state"), col("valid_from"),
           col("valid_to"), col("version"))
       val facts = events(s, dir)
@@ -1007,5 +986,5 @@ object Warehouse {
       ORDER BY f.event_id"""))
 
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
-    q77, q81, q85, q88, q93, q94, q97, q101, q103, q105)
+    q77, q81, q85, q88, q93, q94, q97, q101, q105)
 }

@@ -335,8 +335,8 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.count(_.isNullAt(3)) == types.length)
   }
 
-  test("q103: SCD2 intervals chain per entity — versions dense, valid_to equals next valid_from, one current row") {
-    val rows = operators.Warehouse.q103.build(spark, sfDir).collect()
+  test("scd2Dim: intervals chain per entity — versions dense, valid_to equals next valid_from, one current row") {
+    val rows = operators.Warehouse.scd2Dim(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.groupBy(_.getLong(0)).foreach { case (user, hist) =>
       val sorted = hist.sortBy(_.getLong(4))

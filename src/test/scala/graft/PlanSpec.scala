@@ -538,24 +538,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), s"shuffle join on the tiny scaffold\n$p")
   }
 
-  test("q103: SCD2 needs ONE entity-key exchange and no self-join") {
-    val p = plan(operators.Warehouse.q103.build(spark, sfDir))
+  test("scd2Dim: the SCD2 build needs ONE entity-key exchange and no self-join") {
+    val p = plan(operators.Warehouse.scd2Dim(spark, sfDir))
     // change-detect lag, interval lead, and version row_number all ride
     // the same (user_id, ts) sort; the naive successor-pairing join shape
     // would show a Join node and a second exchange
     val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
     assert(hashEx == 1, s"$hashEx hash exchanges, expected 1\n$p")
     assert(!p.contains("Join"), s"self-join in SCD2 build\n$p")
-  }
-
-  test("q104: Catalyst decorrelates the LATERAL LIMIT into a window rank, not a per-row rescan") {
-    val p = plan(operators.Relational.q104.build(spark, sfDir))
-    // the naive reading is O(customers × orders-scan); the decorrelated
-    // plan runs ONE window over orders then an equi hash join
-    assert(p.contains("Window"), s"no window — where did the per-key LIMIT go?\n$p")
-    val bnl = p.linesIterator.count(_.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
-    assert(bnl == 0 && !p.contains("CartesianProduct"),
-      s"non-equi join in decorrelated lateral\n$p")
   }
 
   override def afterAll(): Unit = {
