@@ -985,6 +985,56 @@ object Warehouse {
       GROUP BY f.event_id, f.user_id, f.event_type
       ORDER BY f.event_id"""))
 
+  /** Compaction EXECUTION — the action half of q93's planner: a
+    * small-file layout (48 files — the shape a streaming sink or
+    * over-parallel writer leaves behind) is rewritten into 8 right-sized
+    * files, and the audit proves (a) the file counts actually changed as
+    * planned — counted from `input_file_name()`, the physical layout,
+    * not the plan — and (b) not a row was lost or duplicated, via
+    * count AND a full-table digest (sum of row hashes, order-independent)
+    * compared across layouts. At 100 TB this is the nightly OPTIMIZE job:
+    * one shuffle to the target file count; the digest audit is two
+    * map-side aggregates. Both layouts live in per-sf spools (rebuilt per
+    * JVM, charged to the query — the one-shot maintenance posture, not a
+    * shared artifact). */
+  val q106 = GraftQuery(
+    "q106_compaction_execute",
+    "Execute the compaction: 48 small files -> 8, file counts from the physical layout, row digest preserved",
+    (s, dir) => {
+      val smallDir = spoolDir(s"compact_small_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      val bigDir = spoolDir(s"compact_big_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      val orders = table(s, dir, "orders")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(smallDir, "_SUCCESS")))
+        orders.repartition(48).write.mode("overwrite").parquet(smallDir)
+      val small = s.read.parquet(smallDir)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(bigDir, "_SUCCESS")))
+        small.repartition(8).write.mode("overwrite").parquet(bigDir)
+      val big = s.read.parquet(bigDir)
+      // input_file_name() is non-deterministic to Catalyst — project it
+      // to a column first, then aggregate the column
+      def audit(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("f", input_file_name())
+        .agg(
+          countDistinct(col("f")).as("files"),
+          count(lit(1)).as("rows"),
+          // order-independent content digest: XOR of per-row hashes —
+          // commutative, no ANSI overflow (unlike sum), and xxhash64 is
+          // Spark-internal so the digest is compared ENGINE-side only
+          // (before == after), never against the oracle
+          expr("bit_xor(xxhash64(o_orderkey, o_custkey))").as("dig"))
+      audit(small).crossJoin(
+          audit(big).select(col("files").as("files_after"),
+            col("rows").as("rows_after"), col("dig").as("dig_after")))
+        .select(col("files").as("files_before"), col("files_after"),
+          col("rows").as("rows_before"), col("rows_after"),
+          (col("dig") === col("dig_after")).as("content_preserved"))
+    },
+    Some("""
+      SELECT CAST(48 AS BIGINT) AS files_before, CAST(8 AS BIGINT) AS files_after,
+             count(*) AS rows_before, count(*) AS rows_after,
+             TRUE AS content_preserved
+      FROM orders"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
-    q77, q81, q85, q88, q93, q94, q97, q101, q105)
+    q77, q81, q85, q88, q93, q94, q97, q101, q105, q106)
 }
