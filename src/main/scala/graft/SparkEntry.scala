@@ -49,5 +49,7 @@ object SparkEntry {
       "x_ann_pq_train" ->
         ((s, d) => { operators.Similarity.s8Codebooks(s, d); () }),
       "x_ann_ivfpq_train" ->
-        ((s, d) => { operators.Similarity.s9Codebooks(s, d); () }))
+        ((s, d) => { operators.Similarity.s9Codebooks(s, d); () }),
+      "x_compaction_spool" ->
+        ((s, d) => { operators.Warehouse.compactionSpools(s, d); () }))
 }

@@ -985,6 +985,22 @@ object Warehouse {
       GROUP BY f.event_id, f.user_id, f.event_type
       ORDER BY f.event_id"""))
 
+  /** Both compaction layouts (48 small files, then the 8-file rewrite),
+    * built once per (sf, JVM). Registered as `x_compaction_spool` in
+    * SparkEntry.artifacts so Bench charges the writes explicitly —
+    * min-of-2 would otherwise discard q106's building first run and time
+    * only the read-side audit (the r6 hidden-cost pattern). */
+  private[graft] def compactionSpools(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val smallDir = spoolDir(s"compact_small_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    val bigDir = spoolDir(s"compact_big_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(smallDir, "_SUCCESS")))
+      table(s, dir, "orders").repartition(48).write.mode("overwrite").parquet(smallDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(bigDir, "_SUCCESS")))
+      s.read.parquet(smallDir).repartition(8).write.mode("overwrite").parquet(bigDir)
+    (smallDir, bigDir)
+  }
+
   /** Compaction EXECUTION — the action half of q93's planner: a
     * small-file layout (48 files — the shape a streaming sink or
     * over-parallel writer leaves behind) is rewritten into 8 right-sized
@@ -1001,14 +1017,8 @@ object Warehouse {
     "q106_compaction_execute",
     "Execute the compaction: 48 small files -> 8, file counts from the physical layout, row digest preserved",
     (s, dir) => {
-      val smallDir = spoolDir(s"compact_small_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
-      val bigDir = spoolDir(s"compact_big_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
-      val orders = table(s, dir, "orders")
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(smallDir, "_SUCCESS")))
-        orders.repartition(48).write.mode("overwrite").parquet(smallDir)
+      val (smallDir, bigDir) = compactionSpools(s, dir)
       val small = s.read.parquet(smallDir)
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(bigDir, "_SUCCESS")))
-        small.repartition(8).write.mode("overwrite").parquet(bigDir)
       val big = s.read.parquet(bigDir)
       // input_file_name() is non-deterministic to Catalyst — project it
       // to a column first, then aggregate the column
