@@ -1505,39 +1505,39 @@ object TextAnalysis {
     "t29_bloom_prescreen",
     "Bloom-filter (m=65536, k=3) contamination pre-screen with per-doc false-positive audit",
     (s, dir) => {
-      val grams = table(s, dir, "documents")
+      // ONE md5 per gram, then the gram STRING never leaves the scan:
+      // gh (60-bit digest slice) keys every join/groupBy and the three
+      // Bloom positions are further slices of the same digest
+      // (Kirsch-Mitzenmacher — slices of one hash act as independent
+      // hash functions). Persisted: four subtrees consume it (filter-set
+      // build, corpus probe, both sides of the exact verify).
+      val g = table(s, dir, "documents")
         .select(col("doc_id"), words(col("text")).as("ws"))
         .select(col("doc_id"),
           explode(array_distinct(expr(
-            "transform(sequence(1, greatest(size(ws) - 4, 0)), i -> concat_ws(' ', slice(ws, i, 5)))")))
-            .as("gram"))
-      val bench = grams.filter(col("doc_id") % 50 === 0)
-        .select("gram").distinct()
-      val corpus = grams.filter(col("doc_id") % 50 =!= 0)
-      // all k positions from ONE digest (Kirsch–Mitzenmacher: slices of a
-      // single hash behave as independent hash functions for Bloom
-      // filters) — 3 md5 calls per gram collapse to 1, the dominant cost
-      // of this query at scale
-      def positions(df: org.apache.spark.sql.DataFrame) = df.select(
-        df.columns.map(col) :+
-          explode(expr(
-            """transform(sequence(0, 2), j -> named_struct(
-               'j', j,
-               'pos', CAST(conv(substring(md5(gram), j * 5 + 1, 5), 16, 10) AS BIGINT) % 65536))"""))
-            .as("h"): _*)
-        .withColumn("j", col("h.j")).withColumn("pos", col("h.pos")).drop("h")
-      val filterSet = positions(bench).select("pos").distinct()
-      val bloomHits = positions(corpus)
+            "transform(sequence(1, greatest(size(ws) - 4, 0)), i -> md5(concat_ws(' ', slice(ws, i, 5))))")))
+            .as("h"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT)").as("gh"),
+          expr("""transform(sequence(0, 2),
+                  j -> CAST(conv(substring(h, j * 5 + 1, 5), 16, 10) AS BIGINT) % 65536)""").as("ps"))
+        .persist()
+      val bench = g.filter(col("doc_id") % 50 === 0)
+      val corpus = g.filter(col("doc_id") % 50 =!= 0)
+      val benchSet = bench.select("gh").distinct()
+      val filterSet = bench.select(explode(col("ps")).as("pos")).distinct()
+      val bloomHits = corpus
+        .select(col("doc_id"), col("gh"), posexplode(col("ps")).as(Seq("j", "pos")))
         .join(broadcast(filterSet), "pos")
-        .groupBy("doc_id", "gram")
+        .groupBy("doc_id", "gh")
         .agg(countDistinct(col("j")).as("nj"))
         .filter(col("nj") === 3)
-        .select(col("doc_id"), col("gram"), lit(1L).as("bloom_hit"))
-      val exactHits = corpus.join(broadcast(bench), "gram")
-        .select(col("doc_id"), col("gram"), lit(1L).as("exact_hit"))
+        .select(col("doc_id"), col("gh"), lit(1L).as("bloom_hit"))
+      val exactHits = corpus.join(broadcast(benchSet), "gh")
+        .select(col("doc_id"), col("gh"), lit(1L).as("exact_hit"))
       corpus
-        .join(bloomHits, Seq("doc_id", "gram"), "left")
-        .join(exactHits, Seq("doc_id", "gram"), "left")
+        .join(bloomHits, Seq("doc_id", "gh"), "left")
+        .join(exactHits, Seq("doc_id", "gh"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(coalesce(col("bloom_hit"), lit(0L))).as("n_bloom_hits"),
@@ -1553,23 +1553,28 @@ object TextAnalysis {
                     array_to_string(list_slice(ws, CAST(i AS INTEGER),
                       CAST(i + 4 AS INTEGER)), ' ') AS gram
              FROM ws, UNNEST(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)),
-      g AS (SELECT DISTINCT doc_id, gram FROM g0),
-      bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
-      corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
+      g1 AS (SELECT DISTINCT doc_id, md5(gram) AS h FROM g0),
+      g AS (SELECT doc_id,
+                   CAST(concat('0x', substr(h, 1, 15)) AS BIGINT) AS gh,
+                   h
+            FROM g1),
+      bench AS (SELECT gh, h FROM g WHERE doc_id % 50 = 0),
+      benchset AS (SELECT DISTINCT gh FROM bench),
+      corpus AS (SELECT doc_id, gh, h FROM g WHERE doc_id % 50 <> 0),
       fpos AS (SELECT DISTINCT
-                 CAST(concat('0x', substr(md5(gram), CAST(j * 5 + 1 AS INTEGER), 5)) AS BIGINT)
+                 CAST(concat('0x', substr(h, CAST(j * 5 + 1 AS INTEGER), 5)) AS BIGINT)
                    % 65536 AS pos
                FROM bench, UNNEST(range(0, 3)) AS t(j)),
-      cpos AS (SELECT doc_id, gram, j,
-                 CAST(concat('0x', substr(md5(gram), CAST(j * 5 + 1 AS INTEGER), 5)) AS BIGINT)
+      cpos AS (SELECT doc_id, gh, j,
+                 CAST(concat('0x', substr(h, CAST(j * 5 + 1 AS INTEGER), 5)) AS BIGINT)
                    % 65536 AS pos
                FROM corpus, UNNEST(range(0, 3)) AS t(j)),
-      bh AS (SELECT doc_id, gram, 1 AS bloom_hit
+      bh AS (SELECT doc_id, gh, 1 AS bloom_hit
              FROM cpos JOIN fpos USING (pos)
-             GROUP BY doc_id, gram
+             GROUP BY doc_id, gh
              HAVING count(DISTINCT j) = 3),
-      eh AS (SELECT c.doc_id, c.gram, 1 AS exact_hit
-             FROM corpus c JOIN bench b USING (gram))
+      eh AS (SELECT c.doc_id, c.gh, 1 AS exact_hit
+             FROM corpus c JOIN benchset b USING (gh))
       SELECT c.doc_id,
              count(*) AS n_grams,
              CAST(sum(coalesce(bh.bloom_hit, 0)) AS BIGINT) AS n_bloom_hits,
@@ -1577,8 +1582,8 @@ object TextAnalysis {
              CAST(sum(coalesce(bh.bloom_hit, 0) - coalesce(eh.exact_hit, 0))
                AS BIGINT) AS n_false_positives
       FROM corpus c
-      LEFT JOIN bh ON bh.doc_id = c.doc_id AND bh.gram = c.gram
-      LEFT JOIN eh ON eh.doc_id = c.doc_id AND eh.gram = c.gram
+      LEFT JOIN bh ON bh.doc_id = c.doc_id AND bh.gh = c.gh
+      LEFT JOIN eh ON eh.doc_id = c.doc_id AND eh.gh = c.gh
       GROUP BY c.doc_id
       HAVING sum(coalesce(bh.bloom_hit, 0)) >= 1
       ORDER BY c.doc_id"""))
@@ -1613,6 +1618,9 @@ object TextAnalysis {
           explode(array_distinct(expr(
             "transform(sequence(1, size(hs) - 4), j -> array_min(slice(hs, j, 5)))")))
             .as("fp"))
+        // persisted: both sides of the overlap self-join consume it — the
+        // shingle-hash + winnowing pass runs once, not twice
+        .persist()
       fps.select(col("doc_id").as("d1"), col("fp"))
         .join(fps.select(col("doc_id").as("d2"), col("fp")), "fp")
         .filter(col("d1") < col("d2"))
