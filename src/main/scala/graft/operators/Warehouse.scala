@@ -427,19 +427,23 @@ object Warehouse {
           .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
       val base = rollup(ev.filter(col("day") < lit(cutoff)))
       val delta = rollup(ev.filter(col("day") >= lit(cutoff)))
+      // avg as an EXACT ×10⁴ integer (floor of cents·100/n): the double
+      // round() hit a .00005 boundary at sf0.001 where Spark (HALF_UP on
+      // decimal string) and DuckDB (binary) disagree by 1 ulp — integer
+      // floor division cannot (the q42/q83 discipline)
       base.unionByName(delta)
         .groupBy("event_type", "day")
         .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
         .select(col("event_type"), col("day"), col("n"),
           col("total").cast("double").as("total"),
-          round(col("total").cast("double") / col("n"), 4).as("avg_value"))
+          expr("CAST(total * 100 AS BIGINT) * 100 div n").as("avg_value_x10000"))
         .orderBy("event_type", "day")
     },
     Some("""
       SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total,
-             round(CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / count(*), 4)
-               AS avg_value
+             CAST(sum(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT) * 100
+               // count(*) AS avg_value_x10000
       FROM events
       GROUP BY event_type, day
       ORDER BY event_type, day"""))
