@@ -447,6 +447,27 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 8))
   }
 
+  test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
+    // the determinism story (hash-consistent sampling, DECIMAL money
+    // aggregation, integer scores, unique-key sorts) all reduces to ONE
+    // testable property: the same bytes out regardless of how the
+    // cluster partitions the work. Representative of each discipline:
+    // q1 decimal aggregation, q47 hash sampling, q100 priority sampling,
+    // d1 digest dedup, q99 moment sketches.
+    val qs = Seq(operators.Relational.q1, operators.Sampling.q47,
+      operators.Sampling.q100, operators.Dedup.d1, operators.Relational.q99)
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    qs.foreach { q =>
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      val a = q.build(spark, sfDir).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b =
+        try q.build(spark, sfDir).collect().map(_.toString).toSeq
+        finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+      assert(a == b, s"${q.name}: result depends on shuffle partitioning")
+    }
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
