@@ -645,6 +645,56 @@ object EventWindows {
       FROM f
       ORDER BY day, event_type"""))
 
+  /** Peak interval concurrency via the classic sweep-line: each event opens
+    * a half-open 15-minute activity window [ts, ts+15m); the per-user peak
+    * is the maximum number of simultaneously-open windows (= the user's
+    * worst burst). The sweep emits +1 at each start and -1 at each end,
+    * collapses deltas per distinct boundary instant (half-open semantics
+    * mean closes and opens at the same instant net out BEFORE the running
+    * count is read, and within one instant the count is monotone per sign,
+    * so the per-instant net is tie-order-free), then takes a running sum per
+    * user — max of that running sum is the peak, and a lexicographic
+    * struct-max (peak, -epoch) pulls the EARLIEST instant the peak is
+    * reached in the same single aggregation. No self-join and no per-pair
+    * fan-out (q11's band join materializes pairs; this never does): the
+    * whole operator is a union, two hash aggregations, and one per-user
+    * window sort — per-key cost is O(k log k) in the user's own event
+    * count, so the shape survives any corpus scale where q11-style pairing
+    * would square. */
+  val q107 = GraftQuery(
+    "q107_peak_concurrency",
+    "Sweep-line peak overlap: max simultaneously-open 15-min event windows per user",
+    (s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("ts"))
+      val deltas = e.select(col("user_id"), col("ts").as("t"), lit(1L).as("d"))
+        .unionAll(e.select(col("user_id"),
+          (col("ts") + expr("INTERVAL 15 MINUTES")).as("t"), lit(-1L).as("d")))
+        .groupBy("user_id", "t").agg(sum(col("d")).as("net"))
+      val w = Window.partitionBy("user_id").orderBy("t")
+      deltas
+        .withColumn("open", sum(col("net")).over(w))
+        .withColumn("ntu", -unix_micros(col("t")))
+        .groupBy("user_id")
+        .agg(max(struct(col("open").as("p"), col("ntu").as("nt"))).as("m"))
+        .select(col("user_id"), col("m.p").as("peak"),
+          timestamp_micros(-col("m.nt")).cast("timestamp_ntz").as("peak_at"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, 1 AS d FROM events
+        UNION ALL
+        SELECT user_id, CAST(ts AS TIMESTAMP) + INTERVAL 15 MINUTE, -1 FROM events),
+      n AS (SELECT user_id, t, sum(d) AS net FROM d GROUP BY user_id, t),
+      r AS (SELECT user_id, t,
+                   sum(net) OVER (PARTITION BY user_id ORDER BY t) AS open
+            FROM n),
+      p AS (SELECT user_id, CAST(max(open) AS BIGINT) AS peak FROM r GROUP BY user_id)
+      SELECT p.user_id, p.peak, min(r.t) AS peak_at
+      FROM p JOIN r ON r.user_id = p.user_id AND r.open = p.peak
+      GROUP BY p.user_id, p.peak
+      ORDER BY p.user_id"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
-    q86, q89, q91, q92, q96, q102)
+    q86, q89, q91, q92, q96, q102, q107)
 }

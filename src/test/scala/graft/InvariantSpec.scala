@@ -447,6 +447,24 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 8))
   }
 
+  test("q107: peak bounded by the user's event count, reached at one of their event instants") {
+    val rows = operators.EventWindows.q107.build(spark, sfDir).collect()
+    val byUser = operators.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), collect_set(col("ts").cast("timestamp_ntz")).as("ts"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[java.time.LocalDateTime](2).toSet))
+      .toMap
+    assert(rows.length == byUser.size, "one row per user with events")
+    rows.foreach { r =>
+      val (n, ts) = byUser(r.getLong(0))
+      val peak = r.getLong(1)
+      assert(peak >= 1L && peak <= n, s"user ${r.getLong(0)}: peak $peak outside [1, $n]")
+      // the FIRST instant at peak is always an opening boundary = an event ts
+      assert(ts.contains(r.getAs[java.time.LocalDateTime](2)),
+        s"user ${r.getLong(0)}: peak_at ${r.getAs[java.time.LocalDateTime](2)} is not an event instant")
+    }
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE

@@ -538,6 +538,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), s"shuffle join on the tiny scaffold\n$p")
   }
 
+  test("q107: sweep-line has no join — union, two hash aggs, one per-user window") {
+    val p = plan(operators.EventWindows.q107.build(spark, sfDir))
+    // the naive formulation self-joins intervals (q11's pair shape, O(k²)
+    // per hot key); the sweep is join-free by construction
+    assert(!p.contains("Join"), s"self-join in sweep-line\n$p")
+    assert(p.contains("Union"), p)
+    val win = p.linesIterator.count(_.trim.matches("""\(\d+\) Window.*"""))
+    assert(win == 1, s"$win window passes, expected 1\n$p")
+  }
+
   test("scd2Dim: the SCD2 build needs ONE entity-key exchange and no self-join") {
     val p = plan(operators.Warehouse.scd2Dim(spark, sfDir))
     // change-detect lag, interval lead, and version row_number all ride
