@@ -1232,8 +1232,68 @@ object Relational {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** Bitmap-index distinct counting (the Doris/Kylin/ClickHouse bitmap-cube
+    * technique): each group's distinct key set is held as chunked 63-bit
+    * integer bitmaps — (key div 63) picks the chunk row, a single set bit at
+    * (key mod 63) ORs in map-side, so the shuffle carries at most one long
+    * per (group, chunk) instead of one row per distinct key (q13's expand
+    * shape). 63-bit chunks, not 64: a set sign bit overflows DuckDB's
+    * BIGINT left-shift, and one bit of width is free while cross-engine
+    * parity isn't. popcount over the merged chunks is the exact distinct
+    * count — same answer as COUNT(DISTINCT), different cost model: the
+    * bitmap partial is MERGEABLE, demonstrated by deriving the corpus-wide
+    * distinct count from the per-group bitmaps alone (chunk-wise OR — no
+    * second scan of the fact table, the precomputed-bitmap-cube rollup
+    * posture). */
+  val q108 = GraftQuery(
+    "q108_bitmap_distinct",
+    "Chunked-bitmap distinct suppliers per (returnflag, linestatus) + bitmap-merge rollup",
+    (s, dir) => {
+      val b = table(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("l_suppkey div 63").as("chunk"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_suppkey % 63 AS INT))").as("bit"))
+        .groupBy("l_returnflag", "l_linestatus", "chunk")
+        .agg(expr("bit_or(bit)").as("bits"))
+      val perGroup = b
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(bit_count(col("bits"))).as("n_suppliers"),
+          count(lit(1)).as("n_chunks"))
+      // rollup WITHOUT rescanning lineitem: merge the per-group bitmaps
+      val total = b
+        .groupBy("chunk").agg(expr("bit_or(bits)").as("bits"))
+        .agg(sum(bit_count(col("bits"))).as("n_suppliers"),
+          count(lit(1)).as("n_chunks"))
+        .select(lit("ALL").as("l_returnflag"), lit("ALL").as("l_linestatus"),
+          col("n_suppliers"), col("n_chunks"))
+      perGroup.unionByName(total)
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      WITH b AS (
+        SELECT l_returnflag, l_linestatus, l_suppkey // 63 AS chunk,
+               bit_or(CAST(1 AS BIGINT) << CAST(l_suppkey % 63 AS INT)) AS bits
+        FROM lineitem
+        GROUP BY 1, 2, 3),
+      per_group AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(bit_count(bits)) AS BIGINT) AS n_suppliers,
+               count(*) AS n_chunks
+        FROM b GROUP BY 1, 2),
+      merged AS (
+        SELECT chunk, bit_or(bits) AS bits FROM b GROUP BY chunk),
+      total AS (
+        SELECT 'ALL' AS l_returnflag, 'ALL' AS l_linestatus,
+               CAST(sum(bit_count(bits)) AS BIGINT) AS n_suppliers,
+               count(*) AS n_chunks
+        FROM merged)
+      SELECT * FROM per_group
+      UNION ALL
+      SELECT * FROM total
+      ORDER BY l_returnflag, l_linestatus"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
-    q99)
+    q99, q108)
 }

@@ -465,6 +465,18 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q108: bitmap popcounts equal the engine's own COUNT(DISTINCT), group by group") {
+    val got = operators.Relational.q108.build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val li = operators.table(spark, sfDir, "lineitem")
+    val want = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(countDistinct(col("l_suppkey")).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val total = li.select(countDistinct(col("l_suppkey"))).head().getLong(0)
+    assert(got - (("ALL", "ALL")) == want, "per-group bitmap counts diverge from COUNT(DISTINCT)")
+    assert(got(("ALL", "ALL")) == total, "bitmap-merge rollup diverges from global COUNT(DISTINCT)")
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE

@@ -548,6 +548,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(win == 1, s"$win window passes, expected 1\n$p")
   }
 
+  test("q108: bitmap distinct shuffles OR-merged chunk partials — no Expand, no distinct expansion") {
+    val p = plan(operators.Relational.q108.build(spark, sfDir))
+    // COUNT(DISTINCT) plans an Expand + per-key shuffle rows; the bitmap
+    // path must instead carry map-side bit_or partials (≤1 long per
+    // group×chunk through the exchange)
+    assert(!p.contains("Expand"), s"distinct-expand shape where bitmaps should merge\n$p")
+    assert(p.contains("partial_bit_or") || p.contains("bit_or"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("scd2Dim: the SCD2 build needs ONE entity-key exchange and no self-join") {
     val p = plan(operators.Warehouse.scd2Dim(spark, sfDir))
     // change-detect lag, interval lead, and version row_number all ride
