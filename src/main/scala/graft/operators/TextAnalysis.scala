@@ -1649,7 +1649,66 @@ object TextAnalysis {
       HAVING count(*) >= 3
       ORDER BY d1, d2"""))
 
+  /** Guaranteed-recall heavy hitters via Misra-Gries summaries (Misra &
+    * Gries '82; mergeability per Agarwal et al. PODS'12): each partition
+    * keeps k=200 counters over its token stream (increment if present,
+    * insert if room, else decrement ALL — the classic majority-vote
+    * generalization), and any token with global frequency > N/k must
+    * survive in at least one partition's summary (if it fell below the
+    * local N_p/k bar everywhere, summing those bars bounds it under N/k —
+    * pigeonhole). The union of surviving keys is therefore a
+    * guaranteed-recall candidate set that is TINY (≤ k per partition)
+    * regardless of vocabulary size — the full token vocabulary never
+    * shuffles, which is the point at 100 TB where groupBy(token) on a
+    * Zipf tail is the dominant exchange. A second pass counts ONLY the
+    * candidates exactly (broadcast semi-join before the aggregation) and
+    * keeps those strictly above N/k, so the final answer is exact and
+    * independent of partitioning even though the intermediate sketch is
+    * not (InvariantSpec executes that claim). */
+  val t31 = GraftQuery(
+    "t31_heavy_hitters",
+    "Misra-Gries heavy hitters: tokens with freq > N/200, sketch candidates + exact verify",
+    (s, dir) => {
+      import s.implicits._
+      val k = 200
+      val toks = table(s, dir, "documents")
+        .select(explode(words(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+      val candidates = toks.as[String].mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          counts.get(t) match {
+            case Some(c)                 => counts.update(t, c + 1)
+            case None if counts.size < k => counts.update(t, 1L)
+            case None =>
+              val kept = counts.toList.collect { case (w, c) if c > 1 => (w, c - 1) }
+              counts.clear()
+              kept.foreach { case (w, c) => counts.update(w, c) }
+          }
+        }
+        counts.keysIterator
+      }.distinct().toDF("token")
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(broadcast(candidates), Seq("token"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .filter(col("n") * k > col("n_total"))
+        .select(col("token"), col("n"), col("n_total"))
+        .orderBy(desc("n"), col("token"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT t.token
+        FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(token)
+        WHERE length(t.token) > 0),
+      c AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+      tot AS (SELECT count(*) AS n_total FROM toks)
+      SELECT c.token, c.n, tot.n_total
+      FROM c, tot
+      WHERE c.n * 200 > tot.n_total
+      ORDER BY c.n DESC, c.token"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    t27, t28, t29, t30)
+    t27, t28, t29, t30, t31)
 }

@@ -477,6 +477,29 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(("ALL", "ALL")) == total, "bitmap-merge rollup diverges from global COUNT(DISTINCT)")
   }
 
+  test("t31: sketch+verify equals the exact heavy-hitter set, at more than one partitioning") {
+    val exact = {
+      val toks = operators.table(spark, sfDir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val n = toks.count()
+      toks.groupBy("token").agg(count(lit(1)).as("n")).collect()
+        .collect { case r if r.getLong(1) * 200 > n => r.getString(0) -> r.getLong(1) }
+        .toMap
+    }
+    val got = operators.TextAnalysis.t31.build(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, "MG candidates + exact verify diverge from the true heavy hitters")
+    // the sketch is partitioning-dependent; the ANSWER must not be
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val again =
+      try operators.TextAnalysis.t31.build(spark, sfDir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert(again == exact, "heavy-hitter answer depends on partitioning")
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE

@@ -558,6 +558,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), p)
   }
 
+  test("t31: vocabulary never shuffles — candidates broadcast-semi-join the stream before the count") {
+    val p = plan(operators.TextAnalysis.t31.build(spark, sfDir))
+    // the groupBy(token) must run on the candidate-filtered stream; the
+    // naive plan (count all tokens, then filter) shuffles the Zipf tail
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("scd2Dim: the SCD2 build needs ONE entity-key exchange and no self-join") {
     val p = plan(operators.Warehouse.scd2Dim(spark, sfDir))
     // change-detect lag, interval lead, and version row_number all ride
