@@ -1049,6 +1049,74 @@ object Warehouse {
              TRUE AS content_preserved
       FROM orders"""))
 
+  /** Merkle-style replica reconciliation (the Dynamo/Cassandra anti-entropy
+    * posture, batch form): two drifted copies of a table are compared by
+    * BUCKET DIGEST first — 4096 hash buckets per replica, each reduced to
+    * one bit_xor of row digests (commutative, order/partition-independent,
+    * and identical rows cancel across replicas, so equal buckets prove
+    * themselves with no row movement) — and the expensive row-level
+    * full-outer diff runs ONLY over rows whose bucket diverged
+    * (broadcast semi-join on the tiny divergent-bucket list). q72 ships
+    * BOTH replicas through a full-table join; here the join input shrinks
+    * to the divergence density — at 100 TB with sparse drift the digest
+    * pass is a map-side-combined 4096-row aggregate and the diff touches
+    * a sliver. 64-bit xor collisions (a multi-row symmetric difference
+    * xoring to exactly 0) are the standard accepted risk of digest
+    * reconciliation, ~2⁻⁶⁴ per bucket; the InvariantSpec cross-checks the
+    * pruned diff against the unpruned one. Drift is synthesized
+    * deterministically from the fixture (rows missing from either side by
+    * key modulus, a price bump on a third modulus) so the oracle can
+    * replay the SEMANTICS (the full diff) while the engine's bucket
+    * mechanics stay an internal optimization. */
+  val q109 = GraftQuery(
+    "q109_merkle_reconcile",
+    "Anti-entropy replica diff: 4096 bucket digests prune, row diff only in divergent buckets",
+    (s, dir) => {
+      val orders = table(s, dir, "orders")
+        .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
+      val repA = orders.filter(col("key") % 883 =!= 0)
+      val repB = orders.filter(col("key") % 997 =!= 0)
+        .withColumn("price",
+          when(col("key") % 499 === 0, col("price") + 1.0d).otherwise(col("price")))
+      def withBucket(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("bucket", pmod(xxhash64(col("key")), lit(4096)))
+      def bucketDigest(df: org.apache.spark.sql.DataFrame, out: String) =
+        withBucket(df).groupBy("bucket")
+          .agg(expr("bit_xor(xxhash64(key, price))").as(out))
+      val divergent = bucketDigest(repA, "da")
+        .join(bucketDigest(repB, "db"), Seq("bucket"), "full_outer")
+        .filter(col("da").isNull || col("db").isNull || col("da") =!= col("db"))
+        .select("bucket")
+      def pruned(df: org.apache.spark.sql.DataFrame) =
+        withBucket(df).join(broadcast(divergent), Seq("bucket"), "left_semi")
+      pruned(repA).select(col("key"), col("price").as("price_a"))
+        .join(pruned(repB).select(col("key"), col("price").as("price_b")),
+          Seq("key"), "full_outer")
+        .filter(col("price_a").isNull || col("price_b").isNull
+          || col("price_a") =!= col("price_b"))
+        .select(col("key"),
+          when(col("price_b").isNull, "missing_in_b")
+            .when(col("price_a").isNull, "missing_in_a")
+            .otherwise("mismatch").as("status"),
+          col("price_a"), col("price_b"))
+        .orderBy("key")
+    },
+    Some("""
+      WITH a AS (SELECT o_orderkey AS key, o_totalprice AS price
+                 FROM orders WHERE o_orderkey % 883 <> 0),
+      b AS (SELECT o_orderkey AS key,
+                   o_totalprice + CASE WHEN o_orderkey % 499 = 0
+                                       THEN 1.0 ELSE 0.0 END AS price
+            FROM orders WHERE o_orderkey % 997 <> 0)
+      SELECT COALESCE(a.key, b.key) AS key,
+             CASE WHEN b.key IS NULL THEN 'missing_in_b'
+                  WHEN a.key IS NULL THEN 'missing_in_a'
+                  ELSE 'mismatch' END AS status,
+             a.price AS price_a, b.price AS price_b
+      FROM a FULL JOIN b ON a.key = b.key
+      WHERE a.key IS NULL OR b.key IS NULL OR a.price <> b.price
+      ORDER BY key"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
-    q77, q81, q85, q88, q93, q94, q97, q101, q105, q106)
+    q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109)
 }

@@ -500,6 +500,28 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == exact, "heavy-hitter answer depends on partitioning")
   }
 
+  test("q109: digest-pruned diff equals the unpruned full diff, and pruning actually prunes") {
+    val pruned = operators.Warehouse.q109.build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val orders = operators.table(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
+    val a = orders.filter(col("key") % 883 =!= 0)
+    val b = orders.filter(col("key") % 997 =!= 0)
+      .withColumn("price", when(col("key") % 499 === 0, col("price") + 1.0d).otherwise(col("price")))
+    val full = a.select(col("key"), col("price").as("pa"))
+      .join(b.select(col("key"), col("price").as("pb")), Seq("key"), "full_outer")
+      .filter(col("pa").isNull || col("pb").isNull || col("pa") =!= col("pb"))
+      .select(col("key"), when(col("pb").isNull, "missing_in_b")
+        .when(col("pa").isNull, "missing_in_a").otherwise("mismatch").as("st"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pruned == full, "bucket pruning changed the diff")
+    // divergent buckets must be a strict minority at fixture drift density
+    val nDivergent = a.select(pmod(xxhash64(col("key")), lit(4096)).as("bkt"))
+      .where(col("key") % 499 === 0 || col("key").isin(full.map(_._1).toSeq: _*))
+      .select("bkt").distinct().count()
+    assert(nDivergent < 2048, s"$nDivergent of 4096 buckets divergent — pruning is a no-op")
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE

@@ -566,6 +566,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q109: both row-diff inputs are bucket-pruned by broadcast semi-join before the key join") {
+    val p = plan(operators.Warehouse.q109.build(spark, sfDir))
+    val semi = p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin LeftSemi"))
+    assert(semi >= 2, s"$semi semi-joins — a replica reaches the diff join unpruned\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("scd2Dim: the SCD2 build needs ONE entity-key exchange and no self-join") {
     val p = plan(operators.Warehouse.scd2Dim(spark, sfDir))
     // change-detect lag, interval lead, and version row_number all ride
