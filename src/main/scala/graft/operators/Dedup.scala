@@ -1350,6 +1350,67 @@ object Dedup {
         FROM nc, nt, tp"""))
   }
 
+  /** Normalization-tier exact dedup (the CCNet/RefinedWeb discipline:
+    * hash the CANONICALIZED text, not the raw bytes): lowercase, strip
+    * everything outside [a-z0-9 ], collapse whitespace runs, trim — then
+    * group on the md5 of the full canonical form. d1 blocks on a raw
+    * 5-word prefix key; d19 asks the orthogonal question a crawl dedup
+    * actually faces: how many duplicate groups exist ONLY after
+    * normalization (same content, different casing/punctuation/spacing)?
+    * `n_raw_variants` attributes exactly that — a group with
+    * n_raw_variants > 1 is invisible to byte-exact hashing. All work is
+    * row-local until the fixed-width digest groupBy (text never shuffles);
+    * the shuffle carries one md5 per doc. The fixture corpus carries no
+    * organic byte-variant duplicates, so (q109's discipline) known ground
+    * truth is synthesized deterministically in BOTH engines: every 50th
+    * doc gains an uppercased copy and a punctuation/whitespace-mangled
+    * copy — exactly the variants a crawl produces and byte hashing
+    * misses. */
+  val d19 = GraftQuery(
+    "d19_normalized_dedup",
+    "Canonicalize (lower/strip-punct/collapse-ws) then exact dedup; raw-variant attribution",
+    (s, dir) => {
+      val canon = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val seeds = base.filter(col("doc_id") % 50 === 0)
+      val corpus = base
+        .unionByName(seeds.select((col("doc_id") + 10000000L).as("doc_id"),
+          upper(col("text")).as("text")))
+        .unionByName(seeds.select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(col("text"), lit("  !!")).as("text")))
+      corpus
+        .select(col("doc_id"), col("text"), md5(canon).as("ck"))
+        .groupBy("ck")
+        .agg(
+          min("doc_id").as("doc_id"),
+          count(lit(1)).as("n_copies"),
+          countDistinct(col("text")).as("n_raw_variants"))
+        .filter(col("n_copies") > 1)
+        .select("doc_id", "n_copies", "n_raw_variants")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, upper(text)
+        FROM documents WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT doc_id + 20000000, text || '  !!'
+        FROM documents WHERE doc_id % 50 = 0),
+      c AS (
+        SELECT doc_id, text,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS ck
+        FROM corpus)
+      SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+             count(DISTINCT text) AS n_raw_variants
+      FROM c
+      GROUP BY ck
+      HAVING count(*) > 1
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
-    d12, d13, d14, d15, d16, d17, d18)
+    d12, d13, d14, d15, d16, d17, d18, d19)
 }

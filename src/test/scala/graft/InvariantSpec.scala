@@ -522,6 +522,23 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nDivergent < 2048, s"$nDivergent of 4096 buckets divergent — pruning is a no-op")
   }
 
+  test("d19: every synthesized variant family folds to one canonical group kept at the seed") {
+    val rows = operators.Dedup.d19.build(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val seeds = operators.table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 50 === 0).select("doc_id").collect().map(_.getLong(0)).toSet
+    // every seed's family (raw + uppercased + punct-mangled) collapses to
+    // one group whose keeper is the seed itself, 3 copies
+    seeds.foreach { s =>
+      assert(rows.contains(s), s"seed $s: variant family not detected")
+      val (copies, variants) = rows(s)
+      assert(copies == 3L, s"seed $s: $copies copies, expected 3")
+      assert(variants >= 2L && variants <= 3L, s"seed $s: $variants raw variants")
+    }
+    // and nothing else duplicates in the fixture corpus
+    assert(rows.keySet == seeds, "unexpected duplicate groups beyond the synthesized families")
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE
