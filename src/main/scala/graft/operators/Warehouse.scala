@@ -1117,6 +1117,120 @@ object Warehouse {
       WHERE a.key IS NULL OR b.key IS NULL OR a.price <> b.price
       ORDER BY key"""))
 
+  /** Field-level three-way merge — two concurrent writers' changesets
+    * reconciled against one base snapshot, the conflict-detection half of
+    * an optimistic-concurrency commit protocol (Delta/Iceberg commit
+    * reconciliation; git merge for tables). Each branch arrives as a
+    * SPARSE changeset (op, new field values — nulls mean untouched), the
+    * merge full-outer-joins the two changesets on key (delta-sized, never
+    * base-sized) and classifies: disjoint-field updates MERGE (A's
+    * segment + B's balance combine — row-level diffing would call that a
+    * conflict), same-field divergent updates and delete-vs-update are
+    * real conflicts, double-deletes agree. The base table is touched
+    * exactly once, by a broadcast SEMI join on the merged key list
+    * (q109's pruning discipline) to fetch unchanged fields for one-sided
+    * updates — at 100 TB the reconciliation cost follows changeset size,
+    * and the base never shuffles. Changesets are synthesized
+    * deterministically by key modulus so the oracle replays the full
+    * semantics: A re-segments key%7 and deletes key%991, B re-prices
+    * key%11 and re-segments key%13 (differently) and deletes key%997,
+    * each side inserts into disjoint key spaces. */
+  val q110 = GraftQuery(
+    "q110_three_way_merge",
+    "Field-level 3-way merge of two changesets vs base: merge disjoint fields, flag conflicts",
+    (s, dir) => {
+      val base = table(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_mktsegment").as("segment"),
+          dec2(col("c_acctbal")).as("balance"))
+      val nullSeg = lit(null).cast("string")
+      val nullBal = lit(null).cast("decimal(14,2)")
+      val dA = base.filter(col("key") % 991 === 0 || col("key") % 7 === 0)
+        .select(col("key"),
+          when(col("key") % 991 === 0, "delete").otherwise("update").as("op_a"),
+          when(col("key") % 991 =!= 0, lit("MACHINERY")).otherwise(nullSeg).as("seg_a"),
+          nullBal.as("bal_a"))
+        .unionByName(base.filter(col("key") % 503 === 0)
+          .select((col("key") + 5000000L).as("key"), lit("insert").as("op_a"),
+            lit("NEW_A").as("seg_a"), lit(BigDecimal("1.00")).cast("decimal(14,2)").as("bal_a")))
+      val dB = base.filter(col("key") % 997 === 0 || col("key") % 11 === 0 || col("key") % 13 === 0)
+        .select(col("key"),
+          when(col("key") % 997 === 0, "delete").otherwise("update").as("op_b"),
+          when(col("key") % 997 =!= 0 && col("key") % 13 === 0, lit("FURNITURE"))
+            .otherwise(nullSeg).as("seg_b"),
+          when(col("key") % 997 =!= 0 && col("key") % 11 === 0,
+            (col("balance") + 50).cast("decimal(14,2)")).otherwise(nullBal).as("bal_b"))
+        .unionByName(base.filter(col("key") % 509 === 0)
+          .select((col("key") + 5100000L).as("key"), lit("insert").as("op_b"),
+            lit("NEW_B").as("seg_b"), lit(BigDecimal("2.00")).cast("decimal(14,2)").as("bal_b")))
+      val merged = dA.join(dB, Seq("key"), "full_outer")
+        .withColumn("action",
+          when(col("op_a") === "delete" && col("op_b") === "delete", "delete")
+            .when(col("op_a") === "delete" || col("op_b") === "delete", "conflict_delete")
+            .when(col("seg_a").isNotNull && col("seg_b").isNotNull
+              && col("seg_a") =!= col("seg_b"), "conflict_field")
+            .when(col("bal_a").isNotNull && col("bal_b").isNotNull
+              && col("bal_a") =!= col("bal_b"), "conflict_field")
+            .when(col("op_a") === "insert", "insert_a")
+            .when(col("op_b") === "insert", "insert_b")
+            .when(col("op_a") === "delete" && col("op_b").isNull, "delete")
+            .when(col("op_b") === "delete" && col("op_a").isNull, "delete")
+            .otherwise("update"))
+      val touched = base.join(broadcast(merged.select("key")), Seq("key"), "left_semi")
+      merged.join(touched, Seq("key"), "left_outer")
+        .select(col("key"), col("action"),
+          when(col("action").isin("delete", "conflict_delete", "conflict_field"), nullSeg)
+            .otherwise(coalesce(col("seg_a"), col("seg_b"), col("segment"))).as("merged_segment"),
+          when(col("action").isin("delete", "conflict_delete", "conflict_field"), nullBal)
+            .otherwise(coalesce(col("bal_a"), col("bal_b"), col("balance"))).as("merged_balance"))
+        .orderBy("key")
+    },
+    Some("""
+      WITH base AS (SELECT c_custkey AS key, c_mktsegment AS segment,
+                           CAST(c_acctbal AS DECIMAL(14,2)) AS balance
+                    FROM customer),
+      da AS (
+        SELECT key,
+               CASE WHEN key % 991 = 0 THEN 'delete' ELSE 'update' END AS op_a,
+               CASE WHEN key % 991 <> 0 THEN 'MACHINERY' END AS seg_a,
+               CAST(NULL AS DECIMAL(14,2)) AS bal_a
+        FROM base WHERE key % 991 = 0 OR key % 7 = 0
+        UNION ALL
+        SELECT key + 5000000, 'insert', 'NEW_A', CAST(1.00 AS DECIMAL(14,2))
+        FROM base WHERE key % 503 = 0),
+      db AS (
+        SELECT key,
+               CASE WHEN key % 997 = 0 THEN 'delete' ELSE 'update' END AS op_b,
+               CASE WHEN key % 997 <> 0 AND key % 13 = 0 THEN 'FURNITURE' END AS seg_b,
+               CASE WHEN key % 997 <> 0 AND key % 11 = 0
+                    THEN CAST(balance + 50 AS DECIMAL(14,2)) END AS bal_b
+        FROM base WHERE key % 997 = 0 OR key % 11 = 0 OR key % 13 = 0
+        UNION ALL
+        SELECT key + 5100000, 'insert', 'NEW_B', CAST(2.00 AS DECIMAL(14,2))
+        FROM base WHERE key % 509 = 0),
+      m AS (
+        SELECT COALESCE(da.key, db.key) AS key, op_a, seg_a, bal_a, op_b, seg_b, bal_b,
+               CASE WHEN op_a = 'delete' AND op_b = 'delete' THEN 'delete'
+                    WHEN op_a = 'delete' OR op_b = 'delete' THEN 'conflict_delete'
+                    WHEN seg_a IS NOT NULL AND seg_b IS NOT NULL
+                         AND seg_a <> seg_b THEN 'conflict_field'
+                    WHEN bal_a IS NOT NULL AND bal_b IS NOT NULL
+                         AND bal_a <> bal_b THEN 'conflict_field'
+                    WHEN op_a = 'insert' THEN 'insert_a'
+                    WHEN op_b = 'insert' THEN 'insert_b'
+                    WHEN op_a = 'delete' AND op_b IS NULL THEN 'delete'
+                    WHEN op_b = 'delete' AND op_a IS NULL THEN 'delete'
+                    ELSE 'update' END AS action
+        FROM da FULL JOIN db ON da.key = db.key)
+      SELECT m.key, m.action,
+             CASE WHEN m.action IN ('delete', 'conflict_delete', 'conflict_field')
+                  THEN NULL
+                  ELSE COALESCE(m.seg_a, m.seg_b, b.segment) END AS merged_segment,
+             CASE WHEN m.action IN ('delete', 'conflict_delete', 'conflict_field')
+                  THEN CAST(NULL AS DECIMAL(14,2))
+                  ELSE COALESCE(m.bal_a, m.bal_b, b.balance) END AS merged_balance
+      FROM m LEFT JOIN base b ON m.key = b.key
+      ORDER BY m.key"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
-    q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109)
+    q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110)
 }

@@ -539,6 +539,32 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.keySet == seeds, "unexpected duplicate groups beyond the synthesized families")
   }
 
+  test("q110: disjoint-field updates merge, same-field divergence conflicts, deletes agree") {
+    val rows = operators.Warehouse.q110.build(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2)),
+        Option(r.getDecimal(3)))).toMap
+    val bal77 = operators.table(spark, sfDir, "customer")
+      .filter(col("c_custkey") === 77).select(operators.dec2(col("c_acctbal")))
+      .head().getDecimal(0)
+    // key 77 = 7·11: A touched segment, B touched balance — FIELD-level
+    // merge combines them where row-level diffing would cry conflict
+    val (a77, seg77, b77) = (rows(77)._1, rows(77)._2, rows(77)._3)
+    assert(a77 == "update" && seg77.contains("MACHINERY"), s"key 77: $a77/$seg77")
+    assert(b77.exists(_.compareTo(bal77.add(new java.math.BigDecimal(50))) == 0),
+      s"key 77: balance ${b77} != base+50")
+    // key 91 = 7·13: both sides set segment, differently — a true conflict
+    assert(rows(91) == (("conflict_field", None, None)), s"key 91: ${rows(91)}")
+    // global shape: updates always carry merged values, conflicts never do
+    rows.values.foreach {
+      case ("update", seg, bal)   => assert(seg.isDefined && bal.isDefined)
+      case (a, seg, bal) if a.startsWith("conflict") || a == "delete" =>
+        assert(seg.isEmpty && bal.isEmpty, s"$a row leaked merged values")
+      case ("insert_a", seg, _)   => assert(seg.contains("NEW_A"))
+      case ("insert_b", seg, _)   => assert(seg.contains("NEW_B"))
+      case other                  => fail(s"unexpected action $other")
+    }
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE

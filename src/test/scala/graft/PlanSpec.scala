@@ -574,6 +574,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q110: the base table is only touched via broadcast semi-join — reconciliation is delta-sized") {
+    val p = plan(operators.Warehouse.q110.build(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      s"base fetched without key-list pruning\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("scd2Dim: the SCD2 build needs ONE entity-key exchange and no self-join") {
     val p = plan(operators.Warehouse.scd2Dim(spark, sfDir))
     // change-detect lag, interval lead, and version row_number all ride
