@@ -753,6 +753,123 @@ object Multimodal {
       GROUP BY doc_id, bucket
       ORDER BY doc_id, bucket"""))
 
+  /** Container-HEADER metadata extraction — typed columns (dimensions,
+    * bit depth, channels, sample rate) parsed from the first bytes of a
+    * binary payload WITHOUT invoking any codec: a PNG IHDR chunk and a
+    * WAV RIFF/fmt header are fixed-offset structures, so the parse is
+    * pure row-local string math over hex(payload) — big-endian PNG ints
+    * read straight off, little-endian WAV fields byte-swapped by
+    * reassembling hex pairs in reverse. This is the scan-speed filter
+    * stage a media pipeline runs BEFORE the expensive decode (m2):
+    * "images ≥ 16×16", "audio at 16 kHz" select on header metadata
+    * while touching ~32 bytes per row. Unlike m2's JVM-codec path the
+    * whole parse is SQL-expressible, so headers synthesized byte-exactly
+    * in BOTH engines (m9's planted-payload discipline; width/height/
+    * channels/rate derived from doc_id, CRC left unvalidated as a fake
+    * constant — parsers don't checksum on the skip path) make every row
+    * oracle-checked, not spec-only. */
+  /** The m13 parser, factored so MultimodalDecodeSpec can prove it reads
+    * REAL encoder output (an ImageIO-written PNG), not only the
+    * synthesized headers the oracle replays. Input: (doc_id, b binary);
+    * output: typed header metadata. Fixed offsets per the PNG (RFC 2083
+    * §3/§4.1.1, big-endian) and RIFF/WAVE (fmt chunk, little-endian)
+    * specifications. */
+  private[graft] def headerMeta(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def hx(from: Int, n: Int) = substring(col("h"), from, n)
+    def beInt(from: Int, n: Int) = conv(hx(from, n), 16, 10).cast("long")
+    def leInt4(from: Int) =
+      conv(concat(hx(from + 6, 2), hx(from + 4, 2), hx(from + 2, 2), hx(from, 2)), 16, 10).cast("long")
+    def leInt2(from: Int) =
+      conv(concat(hx(from + 2, 2), hx(from, 2)), 16, 10).cast("long")
+    df.withColumn("h", hex(col("b")))
+      .select(col("doc_id"),
+        when(col("h").startsWith("89504E470D0A1A0A"), "png")
+          .when(col("h").startsWith("52494646") && hx(17, 8) === "57415645", "wav")
+          .otherwise("unparsed").as("container"),
+        when(col("h").startsWith("89504E470D0A1A0A"), beInt(33, 8)).as("width"),
+        when(col("h").startsWith("89504E470D0A1A0A"), beInt(41, 8)).as("height"),
+        when(col("h").startsWith("89504E470D0A1A0A"), beInt(49, 2)).as("bit_depth"),
+        when(col("h").startsWith("52494646"), leInt2(45)).as("channels"),
+        when(col("h").startsWith("52494646"), leInt4(49)).as("sample_rate"))
+  }
+
+  val m13 = GraftQuery(
+    "m13_header_metadata",
+    "Codec-free header parse: PNG IHDR dims + WAV fmt channels/rate from fixed offsets",
+    (s, dir) => {
+      def be4(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      def le4(c: org.apache.spark.sql.Column) = {
+        val h = be4(c)
+        concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+      }
+      def le2(c: org.apache.spark.sql.Column) = {
+        val h = lpad(hex(c), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val width = col("doc_id") % 640 + 16
+      val height = (col("doc_id") * 7) % 480 + 16
+      val channels = col("doc_id") % 2 + 1
+      val rate = (col("doc_id") % 5 + 1) * lit(8000L)
+      val planted = table(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(unhex(concat(lit("89504E470D0A1A0A0000000D49484452"),
+              be4(width), be4(height), lit("0806000000DEADBEEF"))),
+              col("text").cast("binary")))
+            .when(col("doc_id") % 3 === 1,
+              concat(unhex(concat(lit("52494646"), le4(length(col("text")) + 36),
+                lit("57415645666D742010000000"), lit("0100"), le2(channels),
+                le4(rate))), col("text").cast("binary")))
+            .otherwise(col("text").cast("binary")).as("b"))
+      headerMeta(planted).orderBy("doc_id")
+    },
+    Some("""
+      WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN
+                 from_hex('89504E470D0A1A0A0000000D49484452'
+                   || lpad(hex(doc_id % 640 + 16), 8, '0')
+                   || lpad(hex((doc_id * 7) % 480 + 16), 8, '0')
+                   || '0806000000DEADBEEF') || encode(text)
+               WHEN doc_id % 3 = 1 THEN
+                 from_hex('52494646'
+                   || substr(lpad(hex(length(text) + 36), 8, '0'), 7, 2)
+                   || substr(lpad(hex(length(text) + 36), 8, '0'), 5, 2)
+                   || substr(lpad(hex(length(text) + 36), 8, '0'), 3, 2)
+                   || substr(lpad(hex(length(text) + 36), 8, '0'), 1, 2)
+                   || '57415645666D742010000000' || '0100'
+                   || substr(lpad(hex(doc_id % 2 + 1), 4, '0'), 3, 2)
+                   || substr(lpad(hex(doc_id % 2 + 1), 4, '0'), 1, 2)
+                   || substr(lpad(hex((doc_id % 5 + 1) * 8000), 8, '0'), 7, 2)
+                   || substr(lpad(hex((doc_id % 5 + 1) * 8000), 8, '0'), 5, 2)
+                   || substr(lpad(hex((doc_id % 5 + 1) * 8000), 8, '0'), 3, 2)
+                   || substr(lpad(hex((doc_id % 5 + 1) * 8000), 8, '0'), 1, 2))
+                 || encode(text)
+               ELSE encode(text) END AS b
+        FROM documents),
+      hx AS (SELECT doc_id, hex(b) AS h FROM planted)
+      SELECT doc_id,
+             CASE WHEN starts_with(h, '89504E470D0A1A0A') THEN 'png'
+                  WHEN starts_with(h, '52494646')
+                       AND substr(h, 17, 8) = '57415645' THEN 'wav'
+                  ELSE 'unparsed' END AS container,
+             CASE WHEN starts_with(h, '89504E470D0A1A0A')
+                  THEN CAST('0x' || substr(h, 33, 8) AS BIGINT) END AS width,
+             CASE WHEN starts_with(h, '89504E470D0A1A0A')
+                  THEN CAST('0x' || substr(h, 41, 8) AS BIGINT) END AS height,
+             CASE WHEN starts_with(h, '89504E470D0A1A0A')
+                  THEN CAST('0x' || substr(h, 49, 2) AS BIGINT) END AS bit_depth,
+             CASE WHEN starts_with(h, '52494646')
+                  THEN CAST('0x' || substr(h, 47, 2) || substr(h, 45, 2) AS BIGINT)
+                  END AS channels,
+             CASE WHEN starts_with(h, '52494646')
+                  THEN CAST('0x' || substr(h, 55, 2) || substr(h, 53, 2)
+                         || substr(h, 51, 2) || substr(h, 49, 2) AS BIGINT)
+                  END AS sample_rate
+      FROM hx
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11,
-    m12)
+    m12, m13)
 }

@@ -158,6 +158,22 @@ class MultimodalDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fake.map(_.cnt).sum == txt.length.toLong)
   }
 
+  test("m13 header parse: a REAL ImageIO-encoded PNG yields its true IHDR fields, codec-free") {
+    import spark.implicits._
+    // ImageIO writes a spec-conformant IHDR; the hex-offset parser must
+    // read the same dimensions the encoder embedded — proving m13 parses
+    // genuine encoder output, not only the headers the oracle synthesizes
+    val rows = Seq((1L, png(37, 21)), (2L, "not a container".getBytes("UTF-8")))
+      .toDF("doc_id", "b")
+    val out = operators.Multimodal.headerMeta(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val p = out(1L)
+    assert(p.getString(1) == "png")
+    assert(p.getLong(2) == 37L && p.getLong(3) == 21L, s"parsed ${p.getLong(2)}x${p.getLong(3)}")
+    assert(p.getLong(4) == 8L, s"bit depth ${p.getLong(4)}")
+    assert(out(2L).getString(1) == "unparsed" && out(2L).isNullAt(2))
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
