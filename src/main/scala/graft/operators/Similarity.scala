@@ -1551,6 +1551,67 @@ object Similarity {
       GROUP BY query_id
       ORDER BY query_id"""))
 
+  /** Blocked exact top-k MIPS — s1's answer, the 1000-executor plan
+    * (hash-identical twin, the d7/d12 twin discipline): s1 shuffles EVERY
+    * query×corpus similarity through a rank window (~20·N rows of
+    * exchange); here the query block rides into each partition as a plain
+    * broadcast variable, a bounded per-(query,partition) heap keeps only
+    * the k best candidates (comparator = the final (sim DESC, vec_id)
+    * order, so partition-local pruning can never drop a global winner —
+    * the map-side top-k reduction of a GPU/BLAS brute-force scorer), and
+    * only k·partitions rows per query reach the tiny merge window. The
+    * scala loop accumulates float→double products left-to-right, exactly
+    * the native DotProduct expression's order, so similarities are
+    * bit-identical to s1's and the oracle is s1's verbatim. */
+  val s21 = GraftQuery(
+    "s21_blocked_topk",
+    "Blocked brute-force top-5: per-partition bounded heaps, k·parts rows shuffle (s1 twin)",
+    (s, dir) => {
+      import s.implicits._
+      val k = 5
+      def dot(a: Seq[Float], b: Seq[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])]
+      val queries = emb.filter(_._1 < 20).collect()
+        .map { case (id, e) => (id, e, math.sqrt(dot(e, e))) }
+      val qb = s.sparkContext.broadcast(queries)
+      val partTop = emb.mapPartitions { it =>
+        val qs = qb.value
+        val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue
+          .empty[(Double, Long)](Ordering.by(t => (-t._1, t._2))))
+        it.foreach { case (id, e) =>
+          val nrm = math.sqrt(dot(e, e))
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qe, qn) = qs(qi)
+            if (qid != id) {
+              val sim = dot(qe, e) / (qn * nrm)
+              val h = heaps(qi)
+              if (h.size < 5) h.enqueue((sim, id))
+              else if (sim > h.head._1 || (sim == h.head._1 && id < h.head._2)) {
+                h.dequeue(); h.enqueue((sim, id))
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map(t => (qs(qi)._1, t._2, t._1))
+        }
+      }.toDF("query_id", "vec_id", "sim")
+      val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+      partTop.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    },
+    s1.oracle)
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
-    s12, s13, s14, s15, s16, s17, s18, s19, s20)
+    s12, s13, s14, s15, s16, s17, s18, s19, s20, s21)
 }

@@ -565,6 +565,19 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s21: blocked heap top-k is row-identical to s1's window plan, twin contract") {
+    val s1r = operators.Similarity.s1.build(spark, sfDir).collect().map(_.toString).toSeq
+    val s21r = operators.Similarity.s21.build(spark, sfDir).collect().map(_.toString).toSeq
+    assert(s21r == s1r, "blocked top-k diverges from the brute-force window plan")
+    // repartitioning the corpus must not change which rows survive the heaps
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val again =
+      try operators.Similarity.s21.build(spark, sfDir).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert(again == s1r, "blocked top-k depends on partitioning")
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE
