@@ -1231,6 +1231,48 @@ object Warehouse {
       FROM m LEFT JOIN base b ON m.key = b.key
       ORDER BY m.key"""))
 
+  /** Range-partition planning from EXACT quantiles — the operator behind
+    * every balanced sort/range-shuffle (Spark's RangePartitioner does this
+    * on a sample; AQE's rebalance does it on map statistics): 31 exact
+    * interpolated split points (q42's percentile discipline, rounded to
+    * the money grain so boundary arithmetic is cross-engine exact) carve
+    * o_totalprice into 32 equi-depth buckets, every row is assigned by
+    * counting boundaries strictly below its value (31 bounded comparisons
+    * per row against a 1-row broadcast — no shuffle, no join fan-out),
+    * and the output is the per-bucket occupancy audit (count/min/max)
+    * that PROVES the plan balanced before anyone pays for the actual
+    * exchange. q88 diagnoses skew after the fact; q111 plans the layout
+    * that avoids it. At 100 TB the quantile pass is one mergeable
+    * aggregate and assignment is map-side arithmetic. */
+  val q111 = GraftQuery(
+    "q111_range_partition_plan",
+    "Equi-depth range-partition plan: 31 exact split points, balanced-occupancy audit",
+    (s, dir) => {
+      val o = table(s, dir, "orders").select(col("o_totalprice").as("v"))
+      val ps = (1 to 31).map(i => i / 32.0)
+      val bounds = o.agg(
+        transform(
+          expr(s"percentile(v, array(${ps.mkString(", ")}))"),
+          x => round(x, 2)).as("bounds"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("bucket", size(filter(col("bounds"), x => x < col("v"))).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("bucket")
+    },
+    Some(s"""
+      WITH b AS (SELECT list_transform(
+                   quantile_cont(o_totalprice, [${(1 to 31).map(i => s"$i/32.0").mkString(", ")}]),
+                   x -> round(x, 2)) AS bounds
+                 FROM orders),
+      a AS (SELECT o_totalprice AS v,
+                   CAST(len(list_filter(b.bounds, x -> x < o_totalprice)) AS BIGINT) AS bucket
+            FROM orders, b)
+      SELECT bucket, count(*) AS n, min(v) AS min_v, max(v) AS max_v
+      FROM a
+      GROUP BY bucket
+      ORDER BY bucket"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
-    q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110)
+    q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111)
 }

@@ -578,6 +578,24 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == s1r, "blocked top-k depends on partitioning")
   }
 
+  test("q111: 32 buckets tile the value axis, occupancy balanced, mass conserved") {
+    val rows = operators.Warehouse.q111.build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = operators.table(spark, sfDir, "orders").count()
+    assert(rows.map(_._1).toSeq == (0L until 32L), "bucket ids not dense 0..31")
+    assert(rows.map(_._2).sum == total, "rows lost or duplicated in assignment")
+    // equi-depth: worst bucket within 2x of best (ties at the money grain
+    // can deviate occupancy slightly; gross imbalance means the split
+    // points are wrong)
+    val counts = rows.map(_._2)
+    assert(counts.max <= 2 * counts.min,
+      s"imbalanced plan: ${counts.min}..${counts.max} per bucket")
+    // buckets are ordered, non-overlapping value ranges
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"bucket ${a._1} max ${a._4} overlaps bucket ${b._1} min ${b._3}")
+    }
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE

@@ -581,6 +581,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q111: assignment is map-side vs a 1-row broadcast — no shuffle join, no window") {
+    val p = plan(operators.Warehouse.q111.build(spark, sfDir))
+    assert(!p.contains("SortMergeJoin"), s"shuffle join for a 1-row boundary frame\n$p")
+    assert(!p.contains("Window"), p)
+    val bnl = p.linesIterator.count(_.trim.matches("""\(\d+\) BroadcastNestedLoopJoin.*"""))
+    assert(bnl <= 1, s"$bnl nested-loop joins (only the 1-row bounds may)\n$p")
+  }
+
   test("scd2Dim: the SCD2 build needs ONE entity-key exchange and no self-join") {
     val p = plan(operators.Warehouse.scd2Dim(spark, sfDir))
     // change-detect lag, interval lead, and version row_number all ride
