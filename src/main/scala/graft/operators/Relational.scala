@@ -1292,8 +1292,54 @@ object Relational {
       SELECT * FROM total
       ORDER BY l_returnflag, l_linestatus"""))
 
+  /** Bloom runtime-filter join — sideways information passing (the
+    * technique behind Spark's InjectRuntimeFilter / Doris runtime filters):
+    * the selective dimension's join keys are summarized into a Bloom
+    * position set (m=65536, k=3 — t29's Kirsch-Mitzenmacher slices of one
+    * md5), and the fact side is pre-screened by three broadcast SEMI
+    * joins (one per hash slice, all must hit) BEFORE the exact join sees
+    * a row. The point at scale: the position set is bounded at m bits
+    * REGARDLESS of dimension cardinality — it broadcasts when the key
+    * list itself no longer can, and it prunes the fact exchange of a
+    * shuffle join the way dynamic partition pruning prunes scans. False
+    * positives cost only wasted candidates (the exact join eliminates
+    * them — never wrong results); false negatives are impossible, which
+    * the oracle proves by replaying the PLAIN join. The InvariantSpec
+    * measures the pass rate: the prescreen must actually prune. */
+  val q112 = GraftQuery(
+    "q112_bloom_filter_join",
+    "Runtime Bloom filter: dim-key position set prescreens the fact side before the join",
+    (s, dir) => {
+      def pos(key: org.apache.spark.sql.Column, j: Int) =
+        conv(substring(md5(key.cast("string")), j * 5 + 1, 5), 16, 10)
+          .cast("long") % 65536
+      val dim = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_name"))
+      val filterSet = dim
+        .select(explode(array((0 to 2).map(j => pos(col("c_custkey"), j)): _*)).as("pos"))
+        .distinct()
+      var fact = table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+      for (j <- 0 to 2)
+        fact = fact.join(broadcast(filterSet),
+          pos(col("o_custkey"), j) === col("pos"), "left_semi")
+      fact.join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total_spend"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 0
+      GROUP BY c_custkey, c_name
+      ORDER BY c_custkey"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
-    q99, q108)
+    q99, q108, q112)
 }

@@ -596,6 +596,29 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q112: the Bloom prescreen prunes the fact side and admits every true match") {
+    def pos(key: org.apache.spark.sql.Column, j: Int) =
+      conv(substring(md5(key.cast("string")), j * 5 + 1, 5), 16, 10).cast("long") % 65536
+    val dim = operators.table(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") < 0)
+    val filterSet = dim
+      .select(explode(array((0 to 2).map(j => pos(col("c_custkey"), j)): _*)).as("pos"))
+      .distinct()
+    var fact = operators.table(spark, sfDir, "orders").select(col("o_custkey"))
+    val nFact = fact.count()
+    for (j <- 0 to 2)
+      fact = fact.join(broadcast(filterSet), pos(col("o_custkey"), j) === col("pos"), "left_semi")
+    val nPassed = fact.count()
+    val nTrue = operators.table(spark, sfDir, "orders")
+      .join(dim, col("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(nPassed >= nTrue, "Bloom false negative — impossible by construction")
+    assert(nPassed < nFact / 2,
+      s"prescreen passed $nPassed of $nFact fact rows — not pruning")
+    // and the full query equals the plain join (oracle replays it too)
+    val rows = operators.Relational.q112.build(spark, sfDir).collect()
+    assert(rows.map(_.getLong(2)).sum == nTrue, "per-customer counts diverge from plain join")
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE

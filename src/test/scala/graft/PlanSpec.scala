@@ -589,6 +589,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bnl <= 1, s"$bnl nested-loop joins (only the 1-row bounds may)\n$p")
   }
 
+  test("q112: three Bloom-slice semi-joins screen the fact stream before the exact join") {
+    val p = plan(operators.Relational.q112.build(spark, sfDir))
+    val semi = p.linesIterator.count(_.contains("BroadcastHashJoin LeftSemi"))
+    assert(semi == 3, s"$semi Bloom semi-joins, expected 3\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("scd2Dim: the SCD2 build needs ONE entity-key exchange and no self-join") {
     val p = plan(operators.Warehouse.scd2Dim(spark, sfDir))
     // change-detect lag, interval lead, and version row_number all ride
