@@ -1539,6 +1539,51 @@ object StreamingOps {
        AND (d.valid_to IS NULL OR f.ts < d.valid_to)
       ORDER BY event_id"""))
 
+  /** CHAINED stateful aggregations in one streaming query (multiple
+    * stateful operators, Spark 3.4+): hourly windowed counts feed a
+    * SECOND windowed aggregation that rolls them into daily peak/total —
+    * the streaming form of a two-level rollup, previously impossible
+    * without writing the intermediate to a sink and reading it back.
+    * `window_time()` re-exposes the first window's event time so the
+    * second aggregation windows over it (hour windows never straddle
+    * days, so assignment is exact); both stages ride the SAME watermark,
+    * emission cascades one no-data batch per stage (the sentinel flush
+    * advances the watermark past all real data and its rows drop at the
+    * event_type filter). Equals the batch two-level rollup exactly. */
+  val st22 = GraftQuery(
+    "st22_chained_agg",
+    "Two chained windowed aggregations in one stream (hourly -> daily rollup) == batch",
+    (s, dir) => {
+      replay(s, "events5sent", dir,
+        src => src
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_hourly"))
+          .groupBy(window(window_time(col("window")), "1 day"), col("event_type"))
+          .agg(sum(col("n_hourly")).as("n_daily"),
+            count(lit(1)).as("n_hours"),
+            max(col("n_hourly")).as("peak_hour")),
+        OutputMode.Append())
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("window.start").cast("timestamp_ntz").as("day_start"),
+          col("event_type"), col("n_daily"), col("n_hours"), col("peak_hour"))
+        .orderBy("day_start", "event_type")
+    },
+    Some("""
+      WITH h AS (
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hs,
+               event_type, count(*) AS n
+        FROM events
+        GROUP BY hs, event_type)
+      SELECT time_bucket(INTERVAL '1 day', hs) AS day_start, event_type,
+             CAST(sum(n) AS BIGINT) AS n_daily,
+             count(*) AS n_hours,
+             CAST(max(n) AS BIGINT) AS peak_hour
+      FROM h
+      GROUP BY day_start, event_type
+      ORDER BY day_start, event_type"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
-    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21)
+    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
+    st22)
 }

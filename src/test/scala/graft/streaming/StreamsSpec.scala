@@ -144,6 +144,32 @@ class StreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains((2L, 1L, false)))
   }
 
+  test("chained windowed aggregations emit the daily rollup only after both stages close") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val chained = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_hourly"))
+      .groupBy(window(window_time(col("window")), "1 day"), col("event_type"))
+      .agg(sum(col("n_hourly")).as("n_daily"), max(col("n_hourly")).as("peak_hour"))
+    val q = chained.writeStream.format("memory").queryName("chained")
+      .outputMode(OutputMode.Append()).start()
+    // hour 0: 3 views; hour 1: 1 view — nothing can emit yet
+    input.addData(ev(1, 0), ev(2, 5), ev(3, 12), ev(4, 65))
+    q.processAllAvailable()
+    assert(spark.table("chained").isEmpty, "emitted before the watermark closed either stage")
+    // far-future row closes day 0 through BOTH stages
+    input.addData(Event(99, Timestamp.valueOf("2024-01-03 00:00:00"), 1, "flush", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("chained").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    assert(rows == Set(("view", 4L, 3L)), s"got $rows")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
