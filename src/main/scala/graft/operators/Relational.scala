@@ -1338,8 +1338,66 @@ object Relational {
       GROUP BY c_custkey, c_name
       ORDER BY c_custkey"""))
 
+  /** TPC-H Q21 shape ("suppliers who kept waiting", adapted to the
+    * fixture's columns: late := shipped >60 days after order date) — the
+    * classic EXISTS + NOT-EXISTS double self-join on the fact table, and
+    * the classic reason decorrelation matters: the textbook form scans
+    * lineitem three times and self-joins it twice on l_orderkey. Here
+    * both correlated quantifiers collapse into ONE per-order aggregation
+    * over the single lineitem⋈orders join — "some other supplier in the
+    * order" is n_suppliers ≥ 2, "no other supplier late" is
+    * n_late_suppliers = 1 — so the fact pays one orderkey exchange total
+    * and the quantifier logic rides the same hash aggregate. The DuckDB
+    * oracle replays the textbook correlated form, proving the rewrite
+    * exact (numwait counts the lone-late supplier's LINES, as Q21's l1
+    * row semantics do). Supplier names attach by broadcast after the
+    * per-supplier counts are tiny. */
+  val q113 = GraftQuery(
+    "q113_exists_rewrite",
+    "Q21 shape: EXISTS + NOT EXISTS self-joins collapsed into one per-order aggregation",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val ord = table(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val flagged = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val perOrder = flagged.groupBy("l_orderkey")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+          min(when(col("late"), col("l_suppkey"))).as("late_supp"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lines"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      val counts = perOrder.groupBy(col("late_supp").as("s_suppkey"))
+        .agg(sum(col("n_late_lines")).as("numwait"))
+      counts.join(broadcast(table(s, dir, "supplier").select("s_suppkey", "s_name")),
+          Seq("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(10)
+    },
+    Some("""
+      WITH l AS (
+        SELECT l_orderkey, l_suppkey,
+               (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      WHERE l1.late
+        AND EXISTS (SELECT 1 FROM l l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM l l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.late)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 10"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
-    q99, q108, q112)
+    q99, q108, q112, q113)
 }

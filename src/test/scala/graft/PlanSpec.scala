@@ -597,6 +597,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q113: the quantifier rewrite scans lineitem ONCE — no self-join, supplier broadcasts") {
+    val p = plan(operators.Relational.q113.build(spark, sfDir))
+    // textbook EXISTS + NOT EXISTS = 3 lineitem scans, 2 self-joins
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("lineitem.parquet"))
+    assert(liScans == 1, s"$liScans lineitem scans — quantifiers not collapsed\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("scd2Dim: the SCD2 build needs ONE entity-key exchange and no self-join") {
     val p = plan(operators.Warehouse.scd2Dim(spark, sfDir))
     // change-detect lag, interval lead, and version row_number all ride
