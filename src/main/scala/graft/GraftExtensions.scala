@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, "", name, usage, "", "", "", "", "", "", "internal")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // custom physical operator: grouped top-k via partial/final bounded
+    // heaps (no sort, map-side k-pruning) — see graft.plans.GroupedTopK
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "_FUNC_(a, b) - dot product of two float/double arrays (codegen)"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))

@@ -1396,8 +1396,38 @@ object Relational {
       ORDER BY numwait DESC, s_name
       LIMIT 10"""))
 
+  /** Grouped top-k through the CUSTOM PHYSICAL OPERATOR
+    * (graft.plans.GroupedTopK — logical node + SparkStrategy + partial/
+    * final SparkPlan pair): top-2 orders by price per customer. q17 plans
+    * this shape as Window(row_number) + filter — a full per-partition SORT
+    * of every order; the custom operator keeps one bounded heap per
+    * customer, prunes to ≤2 rows per (customer, partition) BEFORE the
+    * exchange, and never sorts. The heap comparator is the exact
+    * (price DESC, orderkey) order of the oracle's row_number, so the row
+    * set is identical; PlanSpec pins both exec phases and the absence of
+    * Window/rank-Sort. */
+  val q114 = GraftQuery(
+    "q114_grouped_topk_operator",
+    "Custom GroupedTopKExec: top-2 orders per customer, bounded heaps, no sort",
+    (s, dir) => {
+      val orders = table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      graft.plans.GroupedTopK.topKPerGroup(orders,
+          Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 2)
+        .orderBy(col("o_custkey"), desc("o_totalprice"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+      WHERE rn <= 2
+      ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
-    q99, q108, q112, q113)
+    q99, q108, q112, q113, q114)
 }

@@ -1,0 +1,121 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Grouped top-k as a FIRST-CLASS physical operator — the §2 custom-operator
+  * ladder's (c) tier (logical node + SparkStrategy + SparkPlan), for the
+  * one shape Spark's built-ins leave on the table: `TakeOrderedAndProject`
+  * bounds a GLOBAL top-k with per-partition heaps, but the grouped variant
+  * ("top k rows per key" — q17/t7/q60's shape) plans as Window(row_number)
+  * + filter, which SORTS every partition fully and materializes every row
+  * through the rank projection. This operator keeps one bounded heap per
+  * group instead:
+  *
+  *   - PARTIAL phase (map side, before any exchange): each input partition
+  *     keeps ≤ k rows per group it sees, so at 100 TB the shuffle carries
+  *     at most k·partitions rows per group, not the group's whole history —
+  *     the same reduction TakeOrderedAndProject applies globally, applied
+  *     per key (and the same partial/final contract as hash aggregation).
+  *   - FINAL phase (after a ClusteredDistribution-induced hash exchange on
+  *     the group keys): merges the partials with identical heaps.
+  *
+  * O(n log k) comparisons and O(groups·k) memory per task, no sort ever;
+  * the heap comparator IS the requested SortOrder, so partial pruning can
+  * never evict a global winner (s21's argument, here as a reusable
+  * operator). Registered through SparkSessionExtensions
+  * (`injectPlannerStrategy`) for extension-configured sessions, and added
+  * idempotently to `experimental.extraStrategies` by the DataFrame helper
+  * for everyone else.
+  */
+case class GroupedTopK(
+    group: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupedTopK =
+    copy(child = newChild)
+}
+
+object GroupedTopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupedTopK(g, o, k, child) =>
+      GroupedTopKExec(g, o, k, partial = false,
+        GroupedTopKExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+case class GroupedTopKExec(
+    group: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(group))
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupedTopKExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (g, o, kk, childOutput) = (group, order, k, child.output)
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(g, childOutput)
+      // "less" under the SortOrder = ranks earlier = better; the heap's
+      // head is the worst kept row (max), evicted when a better one lands
+      val ord = RowOrdering.create(o, childOutput)
+      val heaps = scala.collection.mutable.HashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        val h = heaps.get(key) match {
+          case Some(existing) => existing
+          case None =>
+            val fresh = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+            heaps.update(key.copy(), fresh)
+            fresh
+        }
+        if (h.size < kk) h.enqueue(row.copy())
+        else if (ord.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row.copy()) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+}
+
+object GroupedTopK {
+
+  private def ensureStrategy(spark: SparkSession): Unit = {
+    val exp = GraftColumnBridge.experimental(spark)
+    if (!exp.extraStrategies.contains(GroupedTopKStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ GroupedTopKStrategy
+  }
+
+  /** Top `k` rows per group under `orderBy` (pass `col.desc`/`col.asc`
+    * columns; bare columns default ascending). Row set is exact and
+    * partitioning-independent; within-group output order is unspecified,
+    * as with any unsorted operator — add a presentation sort downstream. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[Column], orderBy: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val g = groupCols.map(GraftColumnBridge.eagerExpression)
+    val o = orderBy.map(c => GraftColumnBridge.eagerExpression(c) match {
+      case s: SortOrder => s
+      case e            => SortOrder(e, Ascending)
+    })
+    GraftColumnBridge.ofRows(spark, GroupedTopK(g, o, k, df.queryExecution.logical))
+  }
+}

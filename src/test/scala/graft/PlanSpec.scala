@@ -607,6 +607,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q114: custom GroupedTopKExec replaces Window+rank — partial heaps before the exchange, no sort") {
+    val p = plan(operators.Relational.q114.build(spark, sfDir))
+    val phases = p.linesIterator.count(_.trim.matches("""\(\d+\) GroupedTopK$"""))
+    assert(phases == 2, s"$phases GroupedTopKExec phases, expected partial+final\n$p")
+    assert(!p.contains("Window"), s"window rank where the custom operator should plan\n$p")
+    assert(p.contains("hashpartitioning"), p)
+  }
+
   test("scd2Dim: the SCD2 build needs ONE entity-key exchange and no self-join") {
     val p = plan(operators.Warehouse.scd2Dim(spark, sfDir))
     // change-detect lag, interval lead, and version row_number all ride

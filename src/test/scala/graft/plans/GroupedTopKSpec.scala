@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Unit contract of the custom GroupedTopK physical operator: exact row
+  * set under ties, short groups, k=1, and arbitrary partitioning — the
+  * properties the oracle query (q114) exercises at scale, pinned here on
+  * hand-written rows where every edge is visible.
+  */
+class GroupedTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-grouped-topk-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  private def df = {
+    import spark.implicits._
+    Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0), ("a", 4L, 20.0),
+      ("b", 5L, 5.0),
+      ("c", 6L, 1.0), ("c", 7L, 2.0)
+    ).toDF("g", "id", "v").repartition(4)
+  }
+
+  private def run(k: Int): Set[(String, Long)] =
+    GroupedTopK.topKPerGroup(df, Seq(col("g")), Seq(col("v").desc, col("id")), k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("ties break on the secondary key; short groups keep all rows") {
+    // a: 30.0 tie between id 2 and 3 → id 2 first; top-2 = {2, 3}
+    // b: single row survives even with k=2; c: both rows
+    assert(run(2) == Set(("a", 2L), ("a", 3L), ("b", 5L), ("c", 6L), ("c", 7L)))
+  }
+
+  test("k=1 keeps exactly the argmax per group, tie to the smaller id") {
+    assert(run(1) == Set(("a", 2L), ("b", 5L), ("c", 7L)))
+  }
+
+  test("k beyond every group size degrades to identity") {
+    assert(run(10).size == 7)
+  }
+
+  test("row set is invariant to input partitioning") {
+    import spark.implicits._
+    val wide = df.repartition(7)
+    val got = GroupedTopK.topKPerGroup(wide, Seq(col("g")), Seq(col("v").desc, col("id")), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == run(2))
+  }
+
+  test("the plan runs both heap phases with the exchange between, and never sorts") {
+    val p = GroupedTopK.topKPerGroup(df, Seq(col("g")), Seq(col("v").desc, col("id")), 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("GroupedTopK"), p)
+    // nodeName strips the Exec suffix in plan strings
+    val phases = p.linesIterator.count(_.contains("GroupedTopK ["))
+    assert(phases == 2, s"$phases exec phases, expected partial+final\n$p")
+    assert(!p.contains("Sort "), s"sort in a heap-based operator\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  override def afterAll(): Unit = {
+    try spark.stop() finally super.afterAll()
+  }
+}
