@@ -1708,7 +1708,50 @@ object TextAnalysis {
       WHERE c.n * 200 > tot.n_total
       ORDER BY c.n DESC, c.token"""))
 
+  /** REAL Unicode NFC normalization (java.text.Normalizer — in the JVM,
+    * no external lib; the oracle replays it with DuckDB's utf8proc-backed
+    * `nfc_normalize`, two independent implementations of UAX #15): the
+    * crawl-dedup step d19's ASCII folding cannot do — 'café' spelled
+    * precomposed (U+00E9) and decomposed (e + U+0301) are byte-different,
+    * length-different strings that byte-exact dedup treats as distinct
+    * documents. Every doc is suffixed with BOTH spellings (synthesized
+    * deterministically — Spark's chr() is ASCII-mod-256 so the combining
+    * mark rides a Scala literal, the oracle builds the identical
+    * codepoints with chr(769)/chr(233)), and the query proves per row
+    * that NFC converges them: unit counts shrink by exactly the
+    * combining mark, and the normalized decomposed form equals the
+    * precomposed one. Row-local mapPartitions (the codec-seam pattern);
+    * the normalizer call is the operator, everything else is
+    * projection. */
+  val t32 = GraftQuery(
+    "t32_nfc_normalization",
+    "Real NFC normalization: decomposed and precomposed spellings converge, per-row proof",
+    (s, dir) => {
+      import s.implicits._
+      val out = table(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val dec = " cafe\u0301" // e + COMBINING ACUTE ACCENT (decomposed)
+          val pre = " caf\u00e9"  // U+00E9 precomposed
+          it.map { case (id, t) =>
+            val d = t + dec
+            val n = java.text.Normalizer.normalize(d, java.text.Normalizer.Form.NFC)
+            (id, d.length.toLong, n.length.toLong, n == t + pre)
+          }
+        }
+      out.toDF("doc_id", "units_decomposed", "units_nfc", "forms_converge")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(length(text || ' cafe' || chr(769)) AS BIGINT) AS units_decomposed,
+             CAST(length(nfc_normalize(text || ' cafe' || chr(769))) AS BIGINT) AS units_nfc,
+             nfc_normalize(text || ' cafe' || chr(769)) = (text || ' caf' || chr(233))
+               AS forms_converge
+      FROM documents
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    t27, t28, t29, t30, t31)
+    t27, t28, t29, t30, t31, t32)
 }

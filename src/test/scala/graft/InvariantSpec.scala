@@ -619,6 +619,16 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(2)).sum == nTrue, "per-customer counts diverge from plain join")
   }
 
+  test("t32: NFC shrinks every row by exactly the combining mark, and both spellings converge") {
+    val rows = operators.TextAnalysis.t32.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) - 1,
+        s"doc ${r.getLong(0)}: NFC ${r.getLong(2)} units from ${r.getLong(1)} — expected exactly one composition")
+      assert(r.getBoolean(3), s"doc ${r.getLong(0)}: decomposed form did not converge to precomposed")
+    }
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE
