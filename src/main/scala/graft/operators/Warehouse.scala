@@ -1273,6 +1273,55 @@ object Warehouse {
       GROUP BY bucket
       ORDER BY bucket"""))
 
+  /** Join-cardinality estimation audit — the cost-based optimizer's
+    * selectivity layer run as an operator and graded against ground
+    * truth, on the case where the textbook assumption actually bends:
+    * the SELF-equi-join (a key⋈key join where neither side is unique).
+    * Each 16-bucket equi-width histogram entry carries (rows n, distinct
+    * keys d); the uniformity estimate for the bucket's join contribution
+    * is est = n² div d (Selinger '79 containment with equal sides), while
+    * the true size is Σ c_k² over the bucket's per-key counts — by
+    * Cauchy-Schwarz actual ≥ est with equality iff the bucket is
+    * perfectly uniform, so err_bp is a per-bucket SKEW PENALTY meter:
+    * exactly what a planner's row estimate misses when it trusts the
+    * histogram. No join is executed — the truth comes from one
+    * per-key count aggregated twice (both tiny, mergeable, ANALYZE-time
+    * shapes that hold at any scale). q88 diagnoses key skew; q115 prices
+    * it in predicted-vs-actual join rows. */
+  val q115 = GraftQuery(
+    "q115_join_card_estimate",
+    "CBO audit: histogram self-join estimate vs true size; err_bp = the skew penalty",
+    (s, dir) => {
+      val ord = table(s, dir, "orders").select(col("o_custkey").as("key"))
+      val bounds = ord.agg(min("key").as("lo"),
+        expr("((max(key) - min(key)) div 16) + 1").as("width"))
+      val perKey = ord.crossJoin(broadcast(bounds))
+        .withColumn("bucket", expr("(key - lo) div width"))
+        .groupBy("bucket", "key").agg(count(lit(1)).as("c"))
+      perKey.groupBy("bucket")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("d"),
+          sum(col("c") * col("c")).as("actual"))
+        .withColumn("est", expr("(n * n) div d"))
+        .withColumn("err_bp", expr("((actual - est) * 10000) div greatest(actual, 1)"))
+        .select("bucket", "n", "d", "est", "actual", "err_bp")
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH b AS (SELECT min(o_custkey) AS lo,
+                        (max(o_custkey) - min(o_custkey)) // 16 + 1 AS width
+                 FROM orders),
+      pk AS (SELECT (o_custkey - b.lo) // b.width AS bucket, o_custkey AS key,
+                    count(*) AS c
+             FROM orders, b GROUP BY 1, 2),
+      h AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n, count(*) AS d,
+                   CAST(sum(c * c) AS BIGINT) AS actual
+            FROM pk GROUP BY bucket)
+      SELECT bucket, n, d, (n * n) // d AS est, actual,
+             ((actual - (n * n) // d) * 10000) // greatest(actual, 1) AS err_bp
+      FROM h
+      ORDER BY bucket"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
-    q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111)
+    q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
+    q115)
 }

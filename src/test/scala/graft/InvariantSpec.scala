@@ -629,6 +629,19 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q115: mass reconciles, and Cauchy-Schwarz holds — actual never below the uniform estimate") {
+    val rows = operators.Warehouse.q115.build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nOrd = operators.table(spark, sfDir, "orders").count()
+    assert(rows.map(_._2).sum == nOrd, "order mass lost across buckets")
+    rows.foreach { case (b, n, d, est, actual) =>
+      assert(d <= n, s"bucket $b: more distinct keys than rows")
+      assert(est == n * n / d, s"bucket $b: estimator formula drifted")
+      assert(actual >= est, s"bucket $b: Σc² $actual below n²/d $est — impossible")
+      assert(actual <= n * n, s"bucket $b: Σc² exceeds n²")
+    }
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE
