@@ -1321,7 +1321,81 @@ object Warehouse {
       FROM h
       ORDER BY bucket"""))
 
+  /** Merge-on-read + time travel — the lakehouse read path the
+    * copy-on-write merges (q58 two-way, q97 CDC) never exercise: the
+    * table is a BASE snapshot (version 0) plus an ordered DELTA LOG of
+    * upserts and tombstones (v1, v2); nothing is rewritten at commit
+    * time, and every read reconciles "latest version ≤ AS OF wins, a
+    * tombstone at the winning version deletes" on the fly. Reconciliation
+    * is one union + one per-key struct-max (q107's lexicographic trick —
+    * no window, no self-join): max(struct(version, payload)) picks the
+    * winning version's whole row in the same hash aggregate, so the read
+    * path costs one exchange at any log depth. Reading AS OF v1 and
+    * AS OF v2 in one output proves log-replay monotonicity row-by-row:
+    * v1 shows the first upsert wave with v1 tombstones gone, v2 layers
+    * the second wave and its deletions on top. Deltas synthesized by key
+    * modulus (q109/q110's discipline); output restricted to key%25=0 so
+    * the hash check stays row-level but bounded. */
+  val q116 = GraftQuery(
+    "q116_mor_time_travel",
+    "Merge-on-read: base + versioned delta log (upserts/tombstones), read AS OF v1 and v2",
+    (s, dir) => {
+      val base = table(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_mktsegment").as("segment"),
+          dec2(col("c_acctbal")).as("balance"),
+          lit(0L).as("version"), lit(false).as("tombstone"))
+      val v1 = table(s, dir, "customer")
+        .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 991 === 0)
+        .select(col("c_custkey").as("key"),
+          lit("MOR_V1").as("segment"), dec2(col("c_acctbal")).as("balance"),
+          lit(1L).as("version"), (col("c_custkey") % 991 === 0).as("tombstone"))
+      val v2 = table(s, dir, "customer")
+        .filter(col("c_custkey") % 11 === 0 || col("c_custkey") % 13 === 0)
+        .select(col("c_custkey").as("key"),
+          lit("MOR_V2").as("segment"),
+          (dec2(col("c_acctbal")) + 10).cast("decimal(14,2)").as("balance"),
+          lit(2L).as("version"), (col("c_custkey") % 13 === 0).as("tombstone"))
+      val log = base.unionByName(v1).unionByName(v2)
+      def asOf(v: Long) = log.filter(col("version") <= v)
+        .groupBy("key")
+        .agg(max(struct(col("version"), col("tombstone"), col("segment"),
+          col("balance"))).as("w"))
+        .filter(!col("w.tombstone"))
+        .select(lit(v).as("as_of"), col("key"),
+          col("w.segment").as("segment"), col("w.balance").as("balance"))
+      asOf(1L).unionByName(asOf(2L))
+        .filter(col("key") % 25 === 0)
+        .orderBy("as_of", "key")
+    },
+    Some("""
+      WITH log AS (
+        SELECT c_custkey AS key, c_mktsegment AS segment,
+               CAST(c_acctbal AS DECIMAL(14,2)) AS balance,
+               0 AS version, FALSE AS tombstone
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'MOR_V1', CAST(c_acctbal AS DECIMAL(14,2)),
+               1, c_custkey % 991 = 0
+        FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 991 = 0
+        UNION ALL
+        SELECT c_custkey, 'MOR_V2',
+               CAST(CAST(c_acctbal AS DECIMAL(14,2)) + 10 AS DECIMAL(14,2)),
+               2, c_custkey % 13 = 0
+        FROM customer WHERE c_custkey % 11 = 0 OR c_custkey % 13 = 0),
+      reads AS (SELECT 1 AS as_of UNION ALL SELECT 2),
+      winners AS (
+        SELECT r.as_of, l.key,
+               max_by(l.segment, l.version) AS segment,
+               max_by(l.balance, l.version) AS balance,
+               max_by(l.tombstone, l.version) AS tombstone
+        FROM log l JOIN reads r ON l.version <= r.as_of
+        GROUP BY r.as_of, l.key)
+      SELECT CAST(as_of AS BIGINT) AS as_of, key, segment, balance
+      FROM winners
+      WHERE NOT tombstone AND key % 25 = 0
+      ORDER BY as_of, key"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
-    q115)
+    q115, q116)
 }

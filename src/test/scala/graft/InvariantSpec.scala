@@ -642,6 +642,27 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q116: log replay is monotone — v2 layers on v1, tombstones delete, upserts win") {
+    val rows = operators.Warehouse.q116.build(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (v, rs) => v -> rs.map(r => r.getLong(1) -> r.getString(2)).toMap }
+    val (atV1, atV2) = (rows(1L), rows(2L))
+    atV1.foreach { case (k, seg) =>
+      assert(k % 991 != 0, s"v1 tombstoned key $k visible at as_of 1")
+      if (k % 7 == 0) assert(seg == "MOR_V1", s"key $k: v1 upsert lost")
+      else assert(seg != "MOR_V1", s"key $k: spurious v1 upsert")
+    }
+    atV2.foreach { case (k, seg) =>
+      assert(k % 13 != 0 && k % 991 != 0, s"tombstoned key $k visible at as_of 2")
+      if (k % 11 == 0) assert(seg == "MOR_V2", s"key $k: v2 upsert lost")
+    }
+    // monotonicity: a key untouched by v2 reads identically at both versions
+    atV1.keySet.intersect(atV2.keySet).foreach { k =>
+      if (k % 11 != 0 && k % 13 != 0)
+        assert(atV1(k) == atV2(k), s"key $k drifted without a v2 delta")
+    }
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE

@@ -615,6 +615,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning"), p)
   }
 
+  test("q116: each AS-OF read is one struct-max aggregate — no window, no self-join") {
+    val p = plan(operators.Warehouse.q116.build(spark, sfDir))
+    assert(!p.contains("Window"), s"window where a struct-max aggregate suffices\n$p")
+    assert(!p.contains("Join"), s"self-join in the log reconciliation\n$p")
+  }
+
   test("scd2Dim: the SCD2 build needs ONE entity-key exchange and no self-join") {
     val p = plan(operators.Warehouse.scd2Dim(spark, sfDir))
     // change-detect lag, interval lead, and version row_number all ride
