@@ -1411,6 +1411,72 @@ object Dedup {
       HAVING count(*) > 1
       ORDER BY doc_id"""))
 
+  /** Sorted-neighborhood dedup blocking (Hernández & Stolfo SIGMOD '95) —
+    * the third classic candidate-generation family next to LSH banding
+    * (d2/d4) and prefix filtering (d17): sort the corpus by a cheap
+    * canonical key (first 12 chars of the lowered text), compare each doc
+    * ONLY to its w−1=3 successors in sort order — w·N candidate pairs
+    * total, linear where all-pairs is quadratic, and near-dups sharing a
+    * prefix land adjacent. The global rank runs over the 20-byte
+    * (key, doc_id) projection via sort + zipWithIndex (the distributed
+    * global-index idiom — a rank window with no partition key would drag
+    * every row through ONE task; the RDD detour keeps the sort
+    * range-partitioned), candidates form by an rn+j equi-join, and only
+    * candidate pairs pay the exact 3-shingle Jaccard verify (the native
+    * codegen'd ShingleJaccard — texts travel once per candidate, never
+    * all-pairs). Same ≥ 0.5 threshold and output shape as d3's ground
+    * truth, so the oracle replays rank + window + exact Jaccard in SQL. */
+  val d20 = GraftQuery(
+    "d20_sorted_neighborhood",
+    "Sorted-neighborhood blocking (w=4): sort-adjacent candidates + exact Jaccard verify",
+    (s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val keyed = docs.select(col("doc_id"),
+        substring(lower(col("text")), 1, 12).as("key"))
+      val rn = keyed.orderBy("key", "doc_id").select("doc_id")
+        .rdd.zipWithIndex.map { case (r, i) => (r.getLong(0), i) }
+        .toDF("doc_id", "rn")
+      val cand = rn.select(col("doc_id").as("id1"), col("rn"))
+        .withColumn("j", explode(array(lit(1L), lit(2L), lit(3L))))
+        .withColumn("rn2", col("rn") + col("j"))
+        .join(rn.select(col("doc_id").as("id2"), col("rn").as("rn2")), "rn2")
+        .select(least(col("id1"), col("id2")).as("doc1"),
+          greatest(col("id1"), col("id2")).as("doc2"))
+      cand
+        .join(docs.select(col("doc_id").as("doc1"), col("text").as("t1")), "doc1")
+        .join(docs.select(col("doc_id").as("doc2"), col("text").as("t2")), "doc2")
+        .select(col("doc1"), col("doc2"),
+          graft.functions.Functions.shingleJaccard(col("t1"), col("t2")).as("sj"))
+        .filter(col("sj.jaccard") >= 0.5)
+        .select(col("doc1"), col("doc2"), col("sj.inter").as("inter"),
+          col("sj.un").as("un"), round(col("sj.jaccard"), 4).as("jaccard"))
+        .orderBy("doc1", "doc2")
+    },
+    Some("""
+      WITH k AS (SELECT doc_id, substr(lower(text), 1, 12) AS key FROM documents),
+      r AS (SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rn FROM k),
+      cand AS (SELECT least(a.doc_id, b.doc_id) AS doc1,
+                      greatest(a.doc_id, b.doc_id) AS doc2
+               FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3),
+      w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.doc1, c.doc2, count(*) AS inter
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.doc1
+                JOIN sh b ON b.doc_id = c.doc2 AND b.s = a.s
+                GROUP BY 1, 2)
+      SELECT i.doc1, i.doc2, i.inter,
+             (na.n + nb.n - i.inter) AS un,
+             round(CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter), 4) AS jaccard
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.doc1
+      JOIN sizes nb ON nb.doc_id = i.doc2
+      WHERE CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) >= 0.5
+      ORDER BY i.doc1, i.doc2"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
-    d12, d13, d14, d15, d16, d17, d18, d19)
+    d12, d13, d14, d15, d16, d17, d18, d19, d20)
 }
