@@ -1395,7 +1395,86 @@ object Warehouse {
       WHERE NOT tombstone AND key % 25 = 0
       ORDER BY as_of, key"""))
 
+  /** Foreign-key discovery by inclusion-dependency profiling (the
+    * Metanome/data-catalog pass; the schema-inference step the
+    * reference's crawlers stop short of — they type columns, this
+    * proposes JOIN KEYS): for each candidate (child, parent) column
+    * pair, measure containment = the fraction of distinct child values
+    * present among parent values, via distinct-project + LEFT ANTI join
+    * (both sides shrink to distincts before anything joins — the
+    * profiling cost is distinct cardinality, not table size). Declared
+    * FKs must score 10000 bp; deliberately wrong pairs document what
+    * rejection looks like. Output is integer basis points (q77
+    * discipline) so the verdict is exact. A real catalog would sweep all
+    * type-compatible pairs; the candidate list is the operator's input,
+    * the measurement is the operator. */
+  val q117 = GraftQuery(
+    "q117_fk_discovery",
+    "Inclusion-dependency profiling: containment bp per candidate FK pair, anti-join on distincts",
+    (s, dir) => {
+      val cands = Seq(
+        ("orders.o_custkey", "customer.c_custkey"),
+        ("lineitem.l_orderkey", "orders.o_orderkey"),
+        ("lineitem.l_suppkey", "supplier.s_suppkey"),
+        ("customer.c_nationkey", "nation.n_nationkey"),
+        ("customer.c_custkey", "supplier.s_suppkey"),
+        ("orders.o_orderkey", "lineitem.l_linenumber"))
+      cands.map { case (childRef, parentRef) =>
+        val Array(ct, cc) = childRef.split("\\.")
+        val Array(pt, pc) = parentRef.split("\\.")
+        val child = table(s, dir, ct).select(col(cc).as("v")).distinct()
+        val parent = table(s, dir, pt).select(col(pc).as("v")).distinct()
+        val nChild = child.count()
+        val nMissing = child.join(parent, Seq("v"), "left_anti").count()
+        val contained = nChild - nMissing
+        s.range(1).select(
+          lit(childRef).as("child"), lit(parentRef).as("parent"),
+          lit(nChild).as("n_distinct_child"), lit(nMissing).as("n_missing"),
+          lit(contained * 10000L / math.max(nChild, 1L)).as("containment_bp"),
+          lit(nMissing == 0L).as("is_fk"))
+      }.reduce(_ unionByName _).orderBy("child", "parent")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT 'orders.o_custkey' AS child, 'customer.c_custkey' AS parent,
+               (SELECT count(DISTINCT o_custkey) FROM orders) AS n_distinct_child,
+               (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS v FROM orders) c
+                WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = c.v)) AS n_missing
+        UNION ALL
+        SELECT 'lineitem.l_orderkey', 'orders.o_orderkey',
+               (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+               (SELECT count(*) FROM (SELECT DISTINCT l_orderkey AS v FROM lineitem) c
+                WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = c.v))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey', 'supplier.s_suppkey',
+               (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+               (SELECT count(*) FROM (SELECT DISTINCT l_suppkey AS v FROM lineitem) c
+                WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = c.v))
+        UNION ALL
+        SELECT 'customer.c_nationkey', 'nation.n_nationkey',
+               (SELECT count(DISTINCT c_nationkey) FROM customer),
+               (SELECT count(*) FROM (SELECT DISTINCT c_nationkey AS v FROM customer) c
+                WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c.v))
+        UNION ALL
+        SELECT 'customer.c_custkey', 'supplier.s_suppkey',
+               (SELECT count(DISTINCT c_custkey) FROM customer),
+               (SELECT count(*) FROM (SELECT DISTINCT c_custkey AS v FROM customer) c
+                WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = c.v))
+        UNION ALL
+        SELECT 'orders.o_orderkey', 'lineitem.l_linenumber',
+               (SELECT count(DISTINCT o_orderkey) FROM orders),
+               (SELECT count(*) FROM (SELECT DISTINCT o_orderkey AS v FROM orders) c
+                WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_linenumber = c.v)))
+      SELECT child, parent,
+             CAST(n_distinct_child AS BIGINT) AS n_distinct_child,
+             CAST(n_missing AS BIGINT) AS n_missing,
+             (n_distinct_child - n_missing) * 10000
+               // greatest(n_distinct_child, 1) AS containment_bp,
+             n_missing = 0 AS is_fk
+      FROM pairs
+      ORDER BY child, parent"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
-    q115, q116)
+    q115, q116, q117)
 }

@@ -676,6 +676,17 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SNM window missed or invented pairs: got $restricted vs truth $truth")
   }
 
+  test("q117: declared FKs score 10000 bp, the planted wrong pairs are rejected") {
+    val rows = operators.Warehouse.q117.build(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    Seq("orders.o_custkey", "lineitem.l_orderkey", "lineitem.l_suppkey",
+      "customer.c_nationkey").foreach { fk =>
+      assert(rows(fk) == ((10000L, true)), s"$fk: ${rows(fk)} — true FK not discovered")
+    }
+    assert(!rows("customer.c_custkey")._2, "custkey⊆suppkey accepted — containment meter broken")
+    assert(!rows("orders.o_orderkey")._2, "orderkey⊆linenumber accepted")
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE
