@@ -1412,27 +1412,38 @@ object Warehouse {
     "q117_fk_discovery",
     "Inclusion-dependency profiling: containment bp per candidate FK pair, anti-join on distincts",
     (s, dir) => {
+      import s.implicits._
       val cands = Seq(
-        ("orders.o_custkey", "customer.c_custkey"),
-        ("lineitem.l_orderkey", "orders.o_orderkey"),
-        ("lineitem.l_suppkey", "supplier.s_suppkey"),
-        ("customer.c_nationkey", "nation.n_nationkey"),
-        ("customer.c_custkey", "supplier.s_suppkey"),
-        ("orders.o_orderkey", "lineitem.l_linenumber"))
-      cands.map { case (childRef, parentRef) =>
-        val Array(ct, cc) = childRef.split("\\.")
-        val Array(pt, pc) = parentRef.split("\\.")
-        val child = table(s, dir, ct).select(col(cc).as("v")).distinct()
-        val parent = table(s, dir, pt).select(col(pc).as("v")).distinct()
-        val nChild = child.count()
-        val nMissing = child.join(parent, Seq("v"), "left_anti").count()
-        val contained = nChild - nMissing
-        s.range(1).select(
-          lit(childRef).as("child"), lit(parentRef).as("parent"),
-          lit(nChild).as("n_distinct_child"), lit(nMissing).as("n_missing"),
-          lit(contained * 10000L / math.max(nChild, 1L)).as("containment_bp"),
-          lit(nMissing == 0L).as("is_fk"))
-      }.reduce(_ unionByName _).orderBy("child", "parent")
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("customer", "c_custkey", "supplier", "s_suppkey"),
+        ("orders", "o_orderkey", "lineitem", "l_linenumber"))
+      // ONE pass for all pairs: every (pair, distinct value) row rides a
+      // single union, one anti-join scores every candidate at once — the
+      // sweep shape a catalog profiler needs (12 separate count jobs was
+      // the first cut; this is 6x fewer scans and one shuffle)
+      def vals(t: String, c: String, tag: String) =
+        table(s, dir, t).select(lit(tag).as("pair"), col(c).cast("long").as("v")).distinct()
+      val children = cands.map { case (ct, cc, pt, pc) =>
+        vals(ct, cc, s"$ct.$cc") }.reduce(_ unionByName _)
+      val parents = cands.map { case (ct, cc, pt, pc) =>
+        vals(pt, pc, s"$ct.$cc") }.reduce(_ unionByName _)
+      val totals = children.groupBy("pair").agg(count(lit(1)).as("n_distinct_child"))
+      val missing = children.join(parents, Seq("pair", "v"), "left_anti")
+        .groupBy("pair").agg(count(lit(1)).as("n_missing"))
+      val names = cands.map { case (ct, cc, pt, pc) =>
+        (s"$ct.$cc", s"$pt.$pc") }.toDF("pair", "parent")
+      totals.join(missing, Seq("pair"), "left_outer")
+        .withColumn("n_missing", coalesce(col("n_missing"), lit(0L)))
+        .join(broadcast(names), Seq("pair"))
+        .select(col("pair").as("child"), col("parent"),
+          col("n_distinct_child"), col("n_missing"),
+          expr("(n_distinct_child - n_missing) * 10000 div greatest(n_distinct_child, 1)")
+            .as("containment_bp"),
+          (col("n_missing") === 0L).as("is_fk"))
+        .orderBy("child", "parent")
     },
     Some("""
       WITH pairs AS (
