@@ -1751,7 +1751,71 @@ object TextAnalysis {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** Token-budget waterfilling — the allocator behind "spend B tokens
+    * across sources as evenly as possible": small sources keep everything
+    * (capped at their size), large sources are levelled to a common water
+    * line τ, chosen as the largest integer with Σ min(size_i, τ) ≤ B
+    * (t22 assigns PROPORTIONS by a temperature rule; t33 solves the
+    * constrained max-min allocation). Exact integer construction: sort
+    * sources ascending, prefix-sum, the classic feasibility test
+    * s_i·(n−i+1) + prefix_{i−1} ≤ B finds the cap point i* (the largest i
+    * whose source still fits un-levelled), τ = (B − prefix_{i*}) div
+    * (n − i*). All arithmetic is integer so both engines agree bit-for-
+    * bit; the un-distributed remainder (< number of levelled sources) is
+    * reported, not smeared. The heavy scan (per-source token totals) is
+    * one map-side aggregation; the waterfill itself runs on the
+    * n-sources frame — bounded window, justified like q88's. */
+  val t33 = GraftQuery(
+    "t33_budget_waterfill",
+    "Waterfilling token budget: cap small sources, level large ones to an exact integer τ",
+    (s, dir) => {
+      val sizes = table(s, dir, "documents")
+        .select(col("source"), size(words(col("text"))).cast("long").as("toks"))
+        .groupBy("source").agg(sum(col("toks")).as("sz"))
+      val w = Window.orderBy("sz", "source")
+      val frame = sizes
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("prefix", sum(col("sz")).over(w))
+        .crossJoin(broadcast(sizes.agg(
+          count(lit(1)).as("n"), expr("sum(sz) * 2 div 5").as("budget"))))
+      val cap = frame
+        .filter(col("sz") * (col("n") - col("i") + 1) + (col("prefix") - col("sz")) <= col("budget"))
+        .agg(max(col("i")).as("istar"), max(col("prefix")).as("prefix_star"))
+      frame.crossJoin(broadcast(cap))
+        .withColumn("istar", coalesce(col("istar"), lit(0L)))
+        .withColumn("prefix_star", coalesce(col("prefix_star"), lit(0L)))
+        .withColumn("tau",
+          when(col("istar") < col("n"),
+            expr("(budget - prefix_star) div (n - istar)")).otherwise(lit(null)))
+        .withColumn("alloc",
+          when(col("i") <= col("istar"), col("sz")).otherwise(least(col("sz"), col("tau"))))
+        .withColumn("capped", col("i") <= col("istar"))
+        .select("source", "sz", "alloc", "capped")
+        .orderBy("source")
+    },
+    Some("""
+      WITH sizes AS (
+        SELECT source, CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS sz
+        FROM documents GROUP BY source),
+      tot AS (SELECT count(*) AS n, sum(sz) * 2 // 5 AS budget FROM sizes),
+      f AS (SELECT source, sz,
+                   row_number() OVER (ORDER BY sz, source) AS i,
+                   sum(sz) OVER (ORDER BY sz, source
+                                 ROWS UNBOUNDED PRECEDING) AS prefix
+            FROM sizes),
+      cap AS (SELECT COALESCE(max(f.i), 0) AS istar,
+                     COALESCE(max(f.prefix), 0) AS prefix_star
+              FROM f, tot
+              WHERE f.sz * (tot.n - f.i + 1) + (f.prefix - f.sz) <= tot.budget)
+      SELECT f.source, f.sz,
+             CAST(CASE WHEN f.i <= cap.istar THEN f.sz
+                  ELSE least(f.sz, (tot.budget - cap.prefix_star) // (tot.n - cap.istar))
+             END AS BIGINT) AS alloc,
+             f.i <= cap.istar AS capped
+      FROM f, tot, cap
+      ORDER BY f.source"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    t27, t28, t29, t30, t31, t32)
+    t27, t28, t29, t30, t31, t32, t33)
 }

@@ -687,6 +687,29 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rows("orders.o_orderkey")._2, "orderkey⊆linenumber accepted")
   }
 
+  test("t33: waterfill spends within budget, caps exactly, levels the rest to one line") {
+    val rows = operators.TextAnalysis.t33.build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val total = rows.map(_._2).sum
+    val budget = total * 2 / 5
+    val spent = rows.map(_._3).sum
+    assert(spent <= budget, s"overspent: $spent > $budget")
+    rows.foreach { case (src, sz, alloc, capped) =>
+      assert(alloc <= sz, s"$src allocated beyond its size")
+      if (capped) assert(alloc == sz, s"$src capped but not fully kept")
+    }
+    val levelled = rows.filter(!_._4).map(_._3)
+    if (levelled.nonEmpty) {
+      assert(levelled.distinct.length == 1, s"water line not level: ${levelled.distinct}")
+      // leftover must be too small to raise the line by 1 for every
+      // levelled source — otherwise τ wasn't maximal
+      assert(budget - spent < levelled.length,
+        s"leftover ${budget - spent} could raise τ across ${levelled.length} sources")
+      val maxCapped = rows.filter(_._4).map(_._2).maxOption.getOrElse(0L)
+      assert(levelled.head >= maxCapped, "a capped source exceeds the water line")
+    }
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE
