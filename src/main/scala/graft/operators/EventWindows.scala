@@ -695,6 +695,74 @@ object EventWindows {
       GROUP BY p.user_id, p.peak
       ORDER BY p.user_id"""))
 
+  /** Interval coalescing (gaps-and-islands merge) — the complement of
+    * q34's session windows: q34 *groups events* by inactivity gaps; this
+    * merges *intervals of cover* into their maximal union, the primitive
+    * behind uptime/SLA cover math, ad-exposure dedup, and on-call overlap
+    * ("how much wall-clock was covered, counting overlaps once"). Each
+    * event opens a half-open 6-hour cover interval [ts, ts+6h); per user,
+    * overlapping or touching intervals fuse into islands. One sorted
+    * window pass does it: an interval starts a new island iff its start
+    * exceeds the running max end of everything before it (ROWS … 1
+    * PRECEDING so the current row's own end is excluded), island id =
+    * running count of those flags, then a per-island min/max and a
+    * per-user rollup. All boundary math is integer epoch-micros (exact
+    * cross-engine); seconds appear only via integer division at the
+    * output. Scale shape: one shuffle on user_id, per-key cost
+    * O(k log k) in the user's own events — no self-join, no per-pair
+    * fan-out, so it survives hot keys that would square q11's band join.
+    * Generalizes the reference's run-history elapsed reporting
+    * (gluettalax.py:330,656) from per-run durations to deduplicated
+    * cover time. */
+  val q118 = GraftQuery(
+    "q118_interval_coalesce",
+    "Merge overlapping 6-h cover intervals per user: islands, covered/longest seconds",
+    (s, dir) => {
+      val iv = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) + 21600000000L).as("en"))
+      val w = Window.partitionBy("user_id").orderBy("st", "en")
+      val isl = iv
+        .withColumn("pm", max(col("en")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ni",
+          when(col("pm").isNull || col("st") > col("pm"), 1L).otherwise(0L))
+        .withColumn("island", sum(col("ni")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "island")
+        .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+      isl.groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          expr("sum(ien - ist) div 1000000").as("covered_sec"),
+          expr("max(ien - ist) div 1000000").as("longest_sec"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH iv AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+               epoch_us(CAST(ts AS TIMESTAMP)) + 21600000000 AS en
+        FROM events),
+      m AS (SELECT user_id, st, en,
+                   max(en) OVER (PARTITION BY user_id ORDER BY st, en
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS pm
+            FROM iv),
+      f AS (SELECT user_id, st, en,
+                   CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END AS ni
+            FROM m),
+      g AS (SELECT user_id, st, en,
+                   sum(ni) OVER (PARTITION BY user_id ORDER BY st, en
+                                 ROWS UNBOUNDED PRECEDING) AS island
+            FROM f),
+      isl AS (SELECT user_id, island, min(st) AS ist, max(en) AS ien
+              FROM g GROUP BY user_id, island)
+      SELECT user_id, count(*) AS n_islands,
+             CAST(sum(ien - ist) // 1000000 AS BIGINT) AS covered_sec,
+             CAST(max(ien - ist) // 1000000 AS BIGINT) AS longest_sec
+      FROM isl GROUP BY user_id
+      ORDER BY user_id"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
-    q86, q89, q91, q92, q96, q102, q107)
+    q86, q89, q91, q92, q96, q102, q107, q118)
 }

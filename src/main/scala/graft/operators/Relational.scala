@@ -1426,8 +1426,56 @@ object Relational {
       WHERE rn <= 2
       ORDER BY o_custkey, o_totalprice DESC, o_orderkey"""))
 
+  /** TPC-H Q17 shape ("small-quantity lost revenue") through the
+    * single-scan window rewrite. The textbook form correlates a per-part
+    * AVG subquery against the same lineitem being probed — naively two
+    * full scans of the fact table plus an agg⋈fact shuffle join. Here the
+    * per-part count/sum land as whole-partition window aggregates on the
+    * ONE shuffled scan (partitionBy l_partkey), the threshold test runs
+    * in place, and only then does the tiny part dimension broadcast in
+    * for the brand rollup. The avg comparison is exact integer
+    * cross-multiplication (qty×100 as long: qty·5·n < Σqty avoids both
+    * float division and the avg rounding seam), revenue aggregates in
+    * DECIMAL. Oracle deliberately replays the CORRELATED textbook form —
+    * DuckDB decorrelates it its own way; equal hashes prove the rewrite.
+    * At 100 TB: halving fact-table scans is the whole game; the window
+    * shuffle is the same l_partkey exchange the naive agg needs anyway,
+    * so the rewrite strictly dominates. */
+  val q119 = GraftQuery(
+    "q119_avg_threshold_rewrite",
+    "TPC-H Q17 shape: below-⅕-of-part-average lineitems, one windowed scan vs correlated AVG",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem").select(col("l_partkey"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("q100"),
+        dec2(col("l_extendedprice")).as("price"))
+      val w = Window.partitionBy("l_partkey")
+      val small = li
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sq", sum(col("q100")).over(w))
+        .filter(col("q100") * 5 * col("n") < col("sq"))
+      small
+        .join(broadcast(table(s, dir, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small"),
+          sum(col("price")).cast("double").as("small_revenue"))
+        .orderBy("p_brand")
+    },
+    Some("""
+      SELECT p.p_brand, count(*) AS n_small,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS small_revenue
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * 5 *
+              (SELECT count(*) FROM lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)
+            < (SELECT sum(CAST(round(l3.l_quantity * 100) AS BIGINT))
+               FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+      GROUP BY p.p_brand
+      ORDER BY p.p_brand"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
-    q99, q108, q112, q113, q114)
+    q99, q108, q112, q113, q114, q119)
 }

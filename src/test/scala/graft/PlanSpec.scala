@@ -621,6 +621,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), s"self-join in the log reconciliation\n$p")
   }
 
+  test("q119: the Q17 rewrite scans lineitem ONCE — window over the agg exchange, part broadcasts") {
+    val p = plan(operators.Relational.q119.build(spark, sfDir))
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("lineitem.parquet"))
+    assert(liScans == 1, s"$liScans lineitem scans — correlated AVG not collapsed\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q118: interval coalescing is one user_id exchange — no self-join, no pair fan-out") {
+    val p = plan(operators.EventWindows.q118.build(spark, sfDir))
+    assert(!p.contains("Join"), s"self-join in interval coalescing\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"$hashEx hash exchanges, expected 1 (user_id)\n$p")
+  }
+
   test("scd2Dim: the SCD2 build needs ONE entity-key exchange and no self-join") {
     val p = plan(operators.Warehouse.scd2Dim(spark, sfDir))
     // change-detect lag, interval lead, and version row_number all ride
