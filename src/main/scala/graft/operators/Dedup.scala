@@ -1477,6 +1477,86 @@ object Dedup {
       WHERE CAST(i.inter AS DOUBLE) / (na.n + nb.n - i.inter) >= 0.5
       ORDER BY i.doc1, i.doc2"""))
 
+  /** Approximate string join under EDIT distance via positional q-gram
+    * count filtering (Gravano et al., VLDB'01) — the edit-metric sibling
+    * of d17's set-metric PPJoin. Corpus = part names plus deterministic
+    * one-substitution dirty variants (every third part; '~' never occurs
+    * in a name, so each planted pair has distance exactly 1). Candidate
+    * generation never compares all pairs: strings within edit distance 1
+    * must share ≥ max(len)−3 of their position-aligned bigrams (each edit
+    * destroys ≤ q grams and shifts positions ≤ 1), so the join key is
+    * (bigram, ⌊pos/2⌋) — one side replicated to the ≤2 buckets its ±1
+    * tolerance can land in, q11's band-join discipline applied to string
+    * positions — followed by a per-pair count HAVING the bound, a ±1
+    * length filter, and a bounded levenshtein verify on survivors only.
+    * The oracle is the NAIVE quadratic join (length-banded allpairs +
+    * levenshtein): equal hashes prove the filter's recall is exactly 1 —
+    * the count-filter theorem observed, not assumed. Scale shape: gram
+    * join fans out per (gram, position-bucket) key — bounded by local
+    * gram frequency, not corpus size; the quadratic form exists only in
+    * the oracle. */
+  val d21 = GraftQuery(
+    "d21_qgram_edit_join",
+    "Edit-distance ≤1 string join via positional bigram count filter + bounded verify",
+    (s, dir) => {
+      val part = table(s, dir, "part")
+      val clean = part.select((col("p_partkey") * 2).as("id"), col("p_name").as("name"))
+      val dirty = part.filter(col("p_partkey") % 3 === 0)
+        .withColumn("h", (col("p_partkey") % (length(col("p_name")) - 2) + 2).cast("int"))
+        .select((col("p_partkey") * 2 + 1).as("id"),
+          concat(expr("substring(p_name, 1, h - 1)"), lit("~"),
+            expr("substring(p_name, h + 1)")).as("name"))
+      // Exact dedup FIRST (d1's stage, composed): the fixture's word-soup
+      // names repeat heavily, and identical strings are not an edit-
+      // distance problem — without this the dist-0 pairs alone grow
+      // quadratically in cluster size (32k pairs at sf0.01). Fuzzy
+      // matching runs on the distinct-string universe, min id as the
+      // cluster representative; every surviving pair has distance
+      // exactly 1.
+      val corpus = clean.unionAll(dirty)
+        .groupBy("name").agg(min(col("id")).as("id"))
+      val grams = corpus.select(col("id"), length(col("name")).as("len"),
+          posexplode(expr("transform(sequence(1, length(name) - 1), i -> substring(name, i, 2))")))
+        .select(col("id"), col("len"), (col("pos") + 1).as("p"), col("col").as("gram"))
+      val a = grams.select(col("id").as("ida"), col("len").as("la"),
+          col("p").as("pa"), col("gram"),
+          explode(array_distinct(array(
+            floor((col("p") - 1) / 2), floor((col("p") + 1) / 2)))).as("b"))
+      val bb = grams.select(col("id").as("idb"), col("len").as("lb"),
+          col("p").as("pb"), col("gram"), floor(col("p") / 2).as("b"))
+      val cand = a.join(bb, Seq("gram", "b"))
+        .filter(col("ida") < col("idb")
+          && abs(col("pa") - col("pb")) <= 1
+          && abs(col("la") - col("lb")) <= 1)
+        .groupBy("ida", "idb")
+        .agg(count(lit(1)).as("cnt"), max(col("la")).as("la"), max(col("lb")).as("lb"))
+        .filter(col("cnt") >= greatest(col("la"), col("lb")) - 3)
+      cand
+        .join(broadcast(corpus.select(col("id").as("ida"), col("name").as("na"))), "ida")
+        .join(broadcast(corpus.select(col("id").as("idb"), col("name").as("nb"))), "idb")
+        .withColumn("dist", levenshtein(col("na"), col("nb")))
+        .filter(col("dist") <= 1)
+        .select(col("ida").as("id_a"), col("idb").as("id_b"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH c0 AS (
+        SELECT p_partkey * 2 AS id, p_name AS name FROM part
+        UNION ALL
+        SELECT p_partkey * 2 + 1,
+               substr(p_name, 1, CAST(p_partkey % (length(p_name) - 2) AS INTEGER) + 1)
+                 || '~' ||
+               substr(p_name, CAST(p_partkey % (length(p_name) - 2) AS INTEGER) + 3)
+        FROM part WHERE p_partkey % 3 = 0),
+      c AS (SELECT min(id) AS id, name FROM c0 GROUP BY name)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      FROM c a JOIN c b
+        ON a.id < b.id AND abs(length(a.name) - length(b.name)) <= 1
+      WHERE levenshtein(a.name, b.name) <= 1
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
-    d12, d13, d14, d15, d16, d17, d18, d19, d20)
+    d12, d13, d14, d15, d16, d17, d18, d19, d20, d21)
 }

@@ -1815,7 +1815,58 @@ object TextAnalysis {
       FROM f, tot, cap
       ORDER BY f.source"""))
 
+  /** Ingestion-order novelty — the contribution metric dedup-aware corpus
+    * builds report (RefinedWeb-style "novel content added by this doc"):
+    * attribute every distinct 5-gram to its FIRST owner in doc_id
+    * (= ingestion) order; a doc's novelty is the share of its grams it
+    * owns. t24 asks "is this gram duplicated anywhere" (symmetric); t34
+    * asks "who said it first" (asymmetric) — the difference is exactly
+    * what an incremental pipeline needs to decide whether a NEW doc adds
+    * anything, and novelty_bp = 0 rows are the free prune list. Same
+    * shuffle discipline as t24: gram dedup is row-local (array_distinct
+    * on digests, never a corpus-wide distinct), the groupBy ships 16-byte
+    * (gh, doc_id) pairs, and the min-reduce is the only wide state. */
+  val t34 = GraftQuery(
+    "t34_novelty_attribution",
+    "Per-doc novelty: share of distinct 5-grams first seen in THIS doc (ingestion order), bp",
+    (s, dir) => {
+      val grams = table(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          explode(array_distinct(expr(
+            """transform(sequence(1, greatest(size(ws) - 4, 0)),
+               i -> CAST(conv(substring(md5(concat_ws(' ', slice(ws, i, 5))), 1, 15), 16, 10) AS BIGINT))""")))
+            .as("gh"))
+      val firstOwner = grams.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firstOwner, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel_grams"))
+        .select(col("doc_id"), col("n_grams"), col("novel_grams"),
+          floor(col("novel_grams") * 10000.0 / col("n_grams")).as("novelty_bp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      g0 AS (SELECT doc_id,
+                    array_to_string(list_slice(ws, CAST(i AS INTEGER),
+                      CAST(i + 4 AS INTEGER)), ' ') AS gram
+             FROM ws, UNNEST(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)),
+      g AS (SELECT DISTINCT doc_id,
+                   CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gh
+            FROM g0),
+      f AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY gh)
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel_grams,
+             CAST(floor(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 10000.0
+                        / count(*)) AS BIGINT) AS novelty_bp
+      FROM g JOIN f USING (gh)
+      GROUP BY g.doc_id
+      ORDER BY g.doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    t27, t28, t29, t30, t31, t32, t33)
+    t27, t28, t29, t30, t31, t32, t33, t34)
 }

@@ -687,6 +687,50 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rows("orders.o_orderkey")._2, "orderkey⊆linenumber accepted")
   }
 
+  test("d21: every planted one-substitution variant is recovered through the count filter") {
+    val pairs = operators.Dedup.d21.build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted pair = (2k, 2k+1) for every third part whose dirty variant
+    // survived the exact-dedup stage as its own representative; its edit
+    // distance is exactly 1 by construction ('~' never occurs in a name),
+    // so the count-filter theorem demands the pair appear
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+      .selectExpr("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val clean = part.map { case (k, n) => (k * 2, n) }
+    val dirty = part.filter(_._1 % 3 == 0).map { case (k, n) =>
+      val h = (k % (n.length - 2)).toInt + 2
+      (k * 2 + 1, n.substring(0, h - 1) + "~" + n.substring(h))
+    }
+    // exact-dedup representative per distinct string — a planted pair
+    // surfaces between the REPRESENTATIVES of its two strings (the clean
+    // name may be a repeat whose min-id lives on another part)
+    val rep: Map[String, Long] =
+      (clean ++ dirty).groupBy(_._2).map { case (n, ids) => n -> ids.map(_._1).min }
+    val planted = part.filter(_._1 % 3 == 0).map { case (k, n) =>
+      val h = (k % (n.length - 2)).toInt + 2
+      val d = n.substring(0, h - 1) + "~" + n.substring(h)
+      val (a, b) = (rep(n), rep(d))
+      (math.min(a, b), math.max(a, b))
+    }.toSet
+    assert(planted.nonEmpty, "fixture produced no planted pairs")
+    planted.foreach { p =>
+      assert(pairs.contains(p), s"planted pair $p missed by the count filter")
+    }
+  }
+
+  test("t34: novelty attribution partitions each doc's grams and doc 0-of-its-content is fully novel") {
+    val rows = operators.TextAnalysis.t34.build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (id, n, novel, bp) =>
+      assert(novel >= 0 && novel <= n, s"doc $id: novel $novel outside [0, $n]")
+      assert(bp == novel * 10000 / n, s"doc $id: bp $bp inconsistent")
+    }
+    // the earliest doc owns everything it says
+    val first = rows.minBy(_._1)
+    assert(first._3 == first._2, s"doc ${first._1} not fully novel: $first")
+  }
+
   test("t33: waterfill spends within budget, caps exactly, levels the rest to one line") {
     val rows = operators.TextAnalysis.t33.build(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))

@@ -637,6 +637,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashEx == 1, s"$hashEx hash exchanges, expected 1 (user_id)\n$p")
   }
 
+  test("d21: candidate generation is an equi-join on (gram, position-bucket) — no cartesian anywhere") {
+    val p = plan(operators.Dedup.d21.build(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"all-pairs in the edit join\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"theta join in the edit join\n$p")
+  }
+
   test("scd2Dim: the SCD2 build needs ONE entity-key exchange and no self-join") {
     val p = plan(operators.Warehouse.scd2Dim(spark, sfDir))
     // change-detect lag, interval lead, and version row_number all ride
