@@ -1612,6 +1612,184 @@ object Similarity {
     },
     s1.oracle)
 
+  /** Graph-walk ANN serving (the NSW/HNSW pattern, Malkov et al.): greedy
+    * BEAM SEARCH over s15's directed top-3 kNN graph instead of scanning
+    * an index cell. Three unrolled hops from a per-cell entry point
+    * (min vec_id — the fixed-entry discipline HNSW uses at its top
+    * layer): each hop expands the current beam by its out-edges, scores
+    * ONLY the expanded set against the query, and keeps the best 5
+    * (sim DESC, vec_id tie-break — self allowed in-walk, excluded at
+    * output). Per-query work is O(beam · degree · hops) distance
+    * computations — independent of corpus size given the graph, which is
+    * the entire point of graph ANN at serving time; n_scored reports it
+    * per query next to hit1 (did the beam find the cell's true top-1),
+    * so the output IS the cost/quality trade-off row. The walk, the
+    * truth rank, and every tie-break are deterministic → fully
+    * hash-checked cross-engine, three unrolled levels in the oracle
+    * (s19's Pregel-unroll discipline). Edges persist across the three
+    * hops (the cell-local all-pairs build is the offline index cost —
+    * charged here, not hidden; at scale it's the persisted graph
+    * artifact, cf. x_ann_* spools). */
+  val s22 = GraftQuery(
+    "s22_graph_beam_search",
+    "NSW-style beam search (3 hops, beam 5) over the kNN graph: top-3 + hit@1 + nodes scored",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          l2Norm(col("embedding")).as("nrm"))
+      val a = emb.select(col("label"), col("vec_id").as("id1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      val b = emb.select(col("label"), col("vec_id").as("id2"),
+        col("embedding").as("e2"), col("nrm").as("n2"))
+      val wd = Window.partitionBy("id1").orderBy(desc("sim"), col("id2"))
+      val edges = a.join(b, Seq("label"))
+        .filter(col("id1") =!= col("id2"))
+        .select(col("id1"), col("id2"),
+          (dotProduct(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"))
+        .withColumn("rank", row_number().over(wd))
+        .filter(col("rank") <= 3)
+        .select("id1", "id2")
+        .persist()
+      val qv = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val entry = emb.groupBy("label").agg(min(col("vec_id")).as("node"))
+      var beam = qv.join(entry, col("qlabel") === col("label"))
+        .select("query_id", "node")
+      var acc = beam
+      val wb = Window.partitionBy("query_id").orderBy(desc("sim"), col("node"))
+      for (_ <- 1 to 3) {
+        val exp = beam.select("query_id", "node")
+          .unionAll(beam.select("query_id", "node").alias("bm")
+            .join(edges.alias("ed"), col("bm.node") === col("ed.id1"))
+            .select(col("bm.query_id").as("query_id"), col("ed.id2").as("node")))
+          .distinct()
+        acc = acc.unionAll(exp)
+        beam = exp
+          .join(emb.select(col("vec_id"), col("embedding"), col("nrm")),
+            col("node") === col("vec_id"))
+          .join(broadcast(qv.select("query_id", "qe", "qn")), Seq("query_id"))
+          .select(col("query_id"), col("node"),
+            (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("sim"))
+          .withColumn("r", row_number().over(wb))
+          .filter(col("r") <= 5)
+          .select("query_id", "node", "sim")
+          // a beam is ≤ 50 rows but its lineage is the whole unrolled
+          // walk; without pinning, every downstream consumer (next hop,
+          // fin, hits, acc) re-executes all prior hops — persist turns
+          // the 3-hop DAG from exponential re-evaluation into 3 stages
+          .persist()
+      }
+      val nsc = acc.distinct()
+        .filter(col("node") =!= col("query_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_scored"))
+      val wt = Window.partitionBy("query_id").orderBy(desc("sim"), col("id2"))
+      val truth = qv
+        .join(b, col("qlabel") === col("label"))
+        .filter(col("id2") =!= col("query_id"))
+        .select(col("query_id"),
+          (dotProduct(col("qe"), col("e2")) / (col("qn") * col("n2"))).as("sim"),
+          col("id2"))
+        .withColumn("r", row_number().over(wt))
+        .filter(col("r") === 1)
+        .select(col("query_id"), col("id2").as("t1"))
+      val fin = beam.filter(col("node") =!= col("query_id"))
+        .withColumn("rank", row_number().over(wb))
+        .filter(col("rank") <= 3)
+        .persist()
+      val hits = fin.join(broadcast(truth), Seq("query_id"))
+        .groupBy("query_id")
+        .agg(max(when(col("node") === col("t1"), 1L).otherwise(0L)).as("hit"))
+      fin.join(broadcast(hits), Seq("query_id"))
+        .join(broadcast(nsc), Seq("query_id"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("node").as("vec_id"), round(col("sim"), 4).as("sim"),
+          (col("hit") === 1).as("hit1"), col("n_scored"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH n AS (SELECT vec_id, label, embedding,
+                        sqrt(list_aggregate(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+                 FROM embeddings),
+      p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                     q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), 'sum')
+                     / (a.nrm * b.nrm) AS sim
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      d AS (SELECT id1, id2 FROM (
+              SELECT id1, id2, row_number() OVER (PARTITION BY id1
+                       ORDER BY sim DESC, id2) AS rank
+              FROM p)
+            WHERE rank <= 3),
+      qv AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe, nrm AS qn
+             FROM n WHERE vec_id < 10),
+      entry AS (SELECT label, min(vec_id) AS node FROM n GROUP BY label),
+      b0 AS (SELECT q.query_id, e.node FROM qv q JOIN entry e ON e.label = q.qlabel),
+      x1 AS (SELECT query_id, node FROM b0
+             UNION
+             SELECT b.query_id, d.id2 FROM b0 b JOIN d ON d.id1 = b.node),
+      s1_ AS (SELECT query_id, node, sim, row_number() OVER
+                (PARTITION BY query_id ORDER BY sim DESC, node) AS r
+              FROM (SELECT x.query_id, x.node,
+                           list_aggregate(list_transform(list_zip(q.qe, c.embedding),
+                             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+                             / (q.qn * c.nrm) AS sim
+                    FROM x1 x JOIN n c ON c.vec_id = x.node
+                              JOIN qv q ON q.query_id = x.query_id)),
+      b1 AS (SELECT query_id, node, sim FROM s1_ WHERE r <= 5),
+      x2 AS (SELECT query_id, node FROM b1
+             UNION
+             SELECT b.query_id, d.id2 FROM b1 b JOIN d ON d.id1 = b.node),
+      s2_ AS (SELECT query_id, node, sim, row_number() OVER
+                (PARTITION BY query_id ORDER BY sim DESC, node) AS r
+              FROM (SELECT x.query_id, x.node,
+                           list_aggregate(list_transform(list_zip(q.qe, c.embedding),
+                             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+                             / (q.qn * c.nrm) AS sim
+                    FROM x2 x JOIN n c ON c.vec_id = x.node
+                              JOIN qv q ON q.query_id = x.query_id)),
+      b2 AS (SELECT query_id, node, sim FROM s2_ WHERE r <= 5),
+      x3 AS (SELECT query_id, node FROM b2
+             UNION
+             SELECT b.query_id, d.id2 FROM b2 b JOIN d ON d.id1 = b.node),
+      s3_ AS (SELECT query_id, node, sim, row_number() OVER
+                (PARTITION BY query_id ORDER BY sim DESC, node) AS r
+              FROM (SELECT x.query_id, x.node,
+                           list_aggregate(list_transform(list_zip(q.qe, c.embedding),
+                             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+                             / (q.qn * c.nrm) AS sim
+                    FROM x3 x JOIN n c ON c.vec_id = x.node
+                              JOIN qv q ON q.query_id = x.query_id)),
+      b3 AS (SELECT query_id, node, sim FROM s3_ WHERE r <= 5),
+      acc AS (SELECT query_id, node FROM x1
+              UNION SELECT query_id, node FROM x2
+              UNION SELECT query_id, node FROM x3),
+      nsc AS (SELECT query_id, count(*) AS n_scored FROM acc
+              WHERE node <> query_id GROUP BY query_id),
+      tr AS (SELECT query_id, id2 AS t1 FROM (
+               SELECT q.query_id, c.vec_id AS id2, row_number() OVER
+                 (PARTITION BY q.query_id ORDER BY
+                   list_aggregate(list_transform(list_zip(q.qe, c.embedding),
+                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+                     / (q.qn * c.nrm) DESC, c.vec_id) AS r
+               FROM qv q JOIN n c ON c.label = q.qlabel
+                                 AND c.vec_id <> q.query_id)
+             WHERE r = 1),
+      fin AS (SELECT query_id, node, sim, row_number() OVER
+                (PARTITION BY query_id ORDER BY sim DESC, node) AS rank
+              FROM b3 WHERE node <> query_id),
+      f3 AS (SELECT * FROM fin WHERE rank <= 3),
+      h AS (SELECT f.query_id,
+                   max(CASE WHEN f.node = tr.t1 THEN 1 ELSE 0 END) AS hit
+            FROM f3 f JOIN tr ON tr.query_id = f.query_id
+            GROUP BY f.query_id)
+      SELECT f.query_id, f.rank, f.node AS vec_id, round(f.sim, 4) AS sim,
+             h.hit = 1 AS hit1, nsc.n_scored
+      FROM f3 f JOIN h ON h.query_id = f.query_id
+                JOIN nsc ON nsc.query_id = f.query_id
+      ORDER BY f.query_id, f.rank"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
-    s12, s13, s14, s15, s16, s17, s18, s19, s20, s21)
+    s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22)
 }

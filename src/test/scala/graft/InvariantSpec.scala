@@ -731,6 +731,24 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first._3 == first._2, s"doc ${first._1} not fully novel: $first")
   }
 
+  test("s22: beam search scores O(beam·deg·hops) nodes — never the cell — and still finds most true top-1s") {
+    val rows = operators.Similarity.s22.build(spark, sfDir).collect()
+    val perQuery = rows.groupBy(_.getLong(0)).map { case (q, rs) =>
+      (q, rs.head.getBoolean(4), rs.head.getLong(5))
+    }.toSeq
+    val cellSizes = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    perQuery.foreach { case (q, _, nScored) =>
+      // hop expansion bound: x1 ≤ 1+3, x2 ≤ 5+15, x3 ≤ 5+15 → |acc\self| ≤ 43
+      assert(nScored <= 43, s"query $q scored $nScored nodes — walk not bounded")
+      assert(nScored < cellSizes.values.min,
+        s"query $q scored $nScored — no better than scanning the smallest cell")
+    }
+    val hits = perQuery.count(_._2)
+    assert(hits >= 6, s"hit@1 only $hits/10 — graph walk quality collapsed")
+  }
+
   test("t33: waterfill spends within budget, caps exactly, levels the rest to one line") {
     val rows = operators.TextAnalysis.t33.build(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
