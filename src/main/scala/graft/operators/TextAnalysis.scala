@@ -1866,7 +1866,78 @@ object TextAnalysis {
       GROUP BY g.doc_id
       ORDER BY g.doc_id"""))
 
+  /** Distinctive vocabulary per source — the "what makes this corpus
+    * slice different" report (Monroe et al.'s log-odds framing, reduced
+    * to its EXACT rational core): for token w in source s with token
+    * counts a (w in s), b (w elsewhere), c (other tokens in s), d (other
+    * tokens elsewhere), the add-1-smoothed odds ratio is
+    * (a+1)(d+1) / ((b+1)(c+1)) — monotone in the log-odds score, so
+    * ranking by it IS ranking by log-odds, and both numerator and
+    * denominator fit in 64-bit integers (counts ≤ corpus tokens). The
+    * score ships as integer parts-per-million via cross-multiplied
+    * integer division — no float anywhere, hash-exact. Requiring a ≥ 3
+    * keeps one-off typos out (the standard frequency floor). Shuffle
+    * discipline: one (source, token) count shuffle bounded by Zipf
+    * vocabulary, per-source totals ride a bounded re-agg, the global
+    * totals broadcast as a 1-row frame. t7 ranks by raw frequency
+    * (what a source says most); t35 by contrast (what it says that
+    * others don't). */
+  val t35 = GraftQuery(
+    "t35_distinctive_terms",
+    "Top-3 distinctive tokens per source by exact add-1 odds ratio (integer ppm score)",
+    (s, dir) => {
+      val tok = table(s, dir, "documents")
+        .select(col("source"), explode(words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+      val st = tok.groupBy("source", "w").agg(count(lit(1)).as("a_src"))
+      val wTot = st.groupBy("w").agg(sum(col("a_src")).as("w_tot"))
+      val srcTot = st.groupBy("source").agg(sum(col("a_src")).as("src_tot"))
+      val allTot = broadcast(st.agg(sum(col("a_src")).as("all_tot")))
+      val scored = st
+        .join(wTot, "w")
+        .join(srcTot, "source")
+        .crossJoin(allTot)
+        .filter(col("a_src") >= 3)
+        .select(col("source"), col("w"), col("a_src"),
+          (col("w_tot") - col("a_src")).as("b"),
+          (col("src_tot") - col("a_src")).as("c"),
+          (col("all_tot") - col("w_tot") - col("src_tot") + col("a_src")).as("d"))
+        .withColumn("score_ppm",
+          expr("(a_src + 1) * (d + 1) * 1000000 div ((b + 1) * (c + 1))"))
+      val w = Window.partitionBy("source").orderBy(desc("score_ppm"), col("w"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("source"), col("rank").cast("long").as("rank"),
+          col("w").as("token"), col("a_src").as("n_in_source"), col("score_ppm"))
+        .orderBy("source", "rank")
+    },
+    Some("""
+      WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents),
+      st AS (SELECT source, w, count(*) AS a_src FROM tok
+             WHERE len(w) > 0 GROUP BY source, w),
+      wt AS (SELECT w, sum(a_src) AS w_tot FROM st GROUP BY w),
+      stot AS (SELECT source, sum(a_src) AS src_tot FROM st GROUP BY source),
+      atot AS (SELECT sum(a_src) AS all_tot FROM st),
+      sc AS (SELECT st.source, st.w, st.a_src,
+                    wt.w_tot - st.a_src AS b,
+                    stot.src_tot - st.a_src AS c,
+                    atot.all_tot - wt.w_tot - stot.src_tot + st.a_src AS d
+             FROM st JOIN wt USING (w) JOIN stot USING (source) CROSS JOIN atot
+             WHERE st.a_src >= 3),
+      r AS (SELECT source, w, a_src,
+                   CAST((a_src + 1) * (d + 1) * 1000000 // ((b + 1) * (c + 1)) AS BIGINT)
+                     AS score_ppm
+            FROM sc),
+      rk AS (SELECT source, w, a_src, score_ppm,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY score_ppm DESC, w) AS rank
+             FROM r)
+      SELECT source, rank, w AS token, a_src AS n_in_source, score_ppm
+      FROM rk WHERE rank <= 3
+      ORDER BY source, rank"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    t27, t28, t29, t30, t31, t32, t33, t34)
+    t27, t28, t29, t30, t31, t32, t33, t34, t35)
 }

@@ -1485,7 +1485,88 @@ object Warehouse {
       FROM pairs
       ORDER BY child, parent"""))
 
+  /** Incremental view maintenance UNDER RETRACTIONS (the Z-set / DBSP
+    * model: a delta batch carries signed multiplicities, deletes included)
+    * — q77 maintains a rollup from insert-only partials; real CDC feeds
+    * also retract. Algebraic aggregates (count, sum) absorb signed deltas
+    * directly: n' = n + Σz, s' = s + Σz·v — no base re-read. MAX is not
+    * algebraic under deletion: a retraction may remove the current max,
+    * so affected groups — exactly those with ≥1 delete — are recomputed
+    * from the post-delta rows of THAT GROUP ONLY (semi-join-gated scan),
+    * while delete-free groups take greatest(old max, max of inserts)
+    * without touching the base. The `recomputed` column exposes which
+    * path each group took. Deltas are synthesized from the events table
+    * (delete every id≡3 mod 7, insert a +2.50-shifted copy of every
+    * id≡5 mod 11); money stays DECIMAL-exact. At 100 TB the base agg is
+    * the stored MV (built inline here because the fixture has no
+    * persisted MV) and the recompute scan is the only base-table touch —
+    * proportional to affected groups, not to the view. */
+  val q120 = GraftQuery(
+    "q120_ivm_retractions",
+    "Maintain (count, sum, max) per (type, day) under a signed delta batch; max recomputed only in delete-affected groups",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("event_type"),
+        col("ts").cast("date").as("day"), dec2(col("value")).as("v"), col("event_id"))
+      val base = ev.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n0"), sum(col("v")).as("s0"), max(col("v")).as("m0"))
+      val dels = ev.filter(col("event_id") % 7 === 3)
+        .select(col("event_type"), col("day"), col("v"), lit(-1L).as("z"))
+      val ins = ev.filter(col("event_id") % 11 === 5)
+        .select(col("event_type"), col("day"),
+          (col("v") + lit(BigDecimal("2.50"))).cast("decimal(14,2)").as("v"),
+          lit(1L).as("z"))
+      val delta = dels.unionAll(ins).groupBy("event_type", "day")
+        .agg(sum(col("z")).as("dn"),
+          sum(col("z") * col("v")).cast("decimal(14,2)").as("ds"),
+          max(when(col("z") === 1, col("v"))).as("mIns"),
+          max(when(col("z") === -1, 1L).otherwise(0L)).as("hasDel"))
+      val merged = base.join(delta, Seq("event_type", "day"), "full_outer")
+        .select(col("event_type"), col("day"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n1"),
+          (coalesce(col("s0"), lit(BigDecimal(0)).cast("decimal(14,2)"))
+            + coalesce(col("ds"), lit(BigDecimal(0)).cast("decimal(14,2)")))
+            .cast("decimal(14,2)").as("s1"),
+          col("m0"), col("mIns"),
+          (coalesce(col("hasDel"), lit(0L)) === 1L).as("recomputed"))
+        .filter(col("n1") > 0)
+      // post-delta rows of delete-affected groups only: the base table is
+      // touched once more, semi-gated by the (small) affected-key set
+      val affected = merged.filter(col("recomputed"))
+        .select("event_type", "day")
+      val post = ev.filter(col("event_id") % 7 =!= 3)
+        .select(col("event_type"), col("day"), col("v"))
+        .unionAll(ins.select(col("event_type"), col("day"), col("v")))
+        .join(broadcast(affected), Seq("event_type", "day"), "left_semi")
+        .groupBy("event_type", "day").agg(max(col("v")).as("mRe"))
+      merged.join(post, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"), col("n1"),
+          col("s1").cast("double").as("s1"),
+          when(col("recomputed"), col("mRe"))
+            .otherwise(greatest(coalesce(col("m0"), col("mIns")),
+              coalesce(col("mIns"), col("m0"))))
+            .cast("double").as("m1"),
+          col("recomputed"))
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      WITH ev AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                         CAST(value AS DECIMAL(14,2)) AS v, event_id
+                  FROM events),
+      post AS (SELECT event_type, day, v FROM ev WHERE event_id % 7 <> 3
+               UNION ALL
+               SELECT event_type, day, CAST(v + 2.50 AS DECIMAL(14,2))
+               FROM ev WHERE event_id % 11 = 5),
+      agg AS (SELECT event_type, day, count(*) AS n1,
+                     CAST(sum(v) AS DOUBLE) AS s1,
+                     CAST(max(v) AS DOUBLE) AS m1
+              FROM post GROUP BY event_type, day),
+      aff AS (SELECT DISTINCT event_type, day FROM ev WHERE event_id % 7 = 3)
+      SELECT a.event_type, a.day, a.n1, a.s1, a.m1,
+             aff.event_type IS NOT NULL AS recomputed
+      FROM agg a LEFT JOIN aff USING (event_type, day)
+      ORDER BY a.event_type, a.day"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
-    q115, q116, q117)
+    q115, q116, q117, q120)
 }

@@ -749,6 +749,33 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits >= 6, s"hit@1 only $hits/10 — graph walk quality collapsed")
   }
 
+  test("q120: counts conserve through the delta merge and recompute fires exactly on delete-affected groups") {
+    val rows = operators.Warehouse.q120.build(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString), r.getLong(2), r.getBoolean(5)))
+    val ev = operators.events(spark, sfDir)
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day", "event_id").collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString), r.getLong(2)))
+    val postCount = ev.count(_._2 % 7 != 3) + ev.count(_._2 % 11 == 5)
+    assert(rows.map(_._2).sum == postCount,
+      s"count not conserved: ${rows.map(_._2).sum} vs $postCount")
+    val delGroups = ev.filter(_._2 % 7 == 3).map(_._1).toSet
+    rows.foreach { case (g, _, rec) =>
+      assert(rec == delGroups.contains(g),
+        s"group $g: recomputed=$rec but delete-present=${delGroups.contains(g)}")
+    }
+  }
+
+  test("t35: per-source ranks descend in score and respect the frequency floor") {
+    val rows = operators.TextAnalysis.t35.build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"$src: scores not descending in rank")
+      sorted.foreach { case (_, _, a, _) => assert(a >= 3, s"$src below frequency floor") }
+    }
+  }
+
   test("t33: waterfill spends within budget, caps exactly, levels the rest to one line") {
     val rows = operators.TextAnalysis.t33.build(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
