@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // custom physical operator: grouped top-k via partial/final bounded
     // heaps (no sort, map-side k-pruning) — see graft.plans.GroupedTopK
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+    // optimizer rewrite: the textbook row_number-filter SQL idiom plans
+    // through the operator above with no API change (q122 proves it)
+    ext.injectOptimizerRule(_ => graft.plans.RankFilterToGroupedTopK)
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "_FUNC_(a, b) - dot product of two float/double arrays (codegen)"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))

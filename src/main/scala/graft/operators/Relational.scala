@@ -1474,8 +1474,49 @@ object Relational {
       GROUP BY p.p_brand
       ORDER BY p.p_brand"""))
 
+  /** q114's custom operator reached through PLAIN SQL: the
+    * RankFilterToGroupedTopK optimizer rule (injected alongside the
+    * strategy) recognizes the textbook row_number-filter idiom — the
+    * exact SQL a migrating user already has — and replans it through
+    * GroupedTopKExec, provided the projection drops the rank column.
+    * Same bounded-heap execution as q114, zero API change: this is the
+    * §2 extension ladder's point (c) completed end to end (logical node
+    * + strategy + physical operator + OPTIMIZER RULE), the full
+    * SparkSessionExtensions surface. PlanSpec pins that the SQL below
+    * plans with two GroupedTopK phases and no Window node. */
+  val q122 = GraftQuery(
+    "q122_rank_idiom_rewrite",
+    "Textbook row_number()-filter SQL planned through GroupedTopKExec by the injected optimizer rule",
+    (s, dir) => {
+      // scoped session: extraOptimizations is session-wide state, and an
+      // optimizer rule that rewrites OTHER queries' rank filters would
+      // make their plans depend on whether q122 ran first — the clone
+      // gets the rule (and the temp view), the parent session stays
+      // untouched. Extension-configured sessions get the rule globally
+      // by explicit choice (spark.sql.extensions=graft.GraftExtensions).
+      val scoped = s.newSession()
+      graft.plans.GroupedTopK.ensureInjected(scoped)
+      table(scoped, dir, "lineitem").createOrReplaceTempView("lineitem_ttk")
+      scoped.sql("""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                     row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_quantity DESC, l_linenumber) AS rn
+              FROM lineitem_ttk)
+        WHERE rn <= 2
+        ORDER BY l_orderkey, l_quantity DESC, l_linenumber""")
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                   row_number() OVER (PARTITION BY l_orderkey
+                     ORDER BY l_quantity DESC, l_linenumber) AS rn
+            FROM lineitem)
+      WHERE rn <= 2
+      ORDER BY l_orderkey, l_quantity DESC, l_linenumber"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
-    q99, q108, q112, q113, q114, q119)
+    q99, q108, q112, q113, q114, q119, q122)
 }

@@ -1566,7 +1566,67 @@ object Warehouse {
       FROM agg a LEFT JOIN aff USING (event_type, day)
       ORDER BY a.event_type, a.day"""))
 
+  /** Log-compaction planning (the Kafka compacted-topic / changelog-GC
+    * rule): an append-only keyed log retains, per key, only the LATEST
+    * record — everything older is dead weight a compaction pass reclaims,
+    * and tombstones (null values) die with their key's history once
+    * applied. The planner answers, per fixed-size segment, "how much of
+    * this segment is still live?" — the exact accounting a broker/
+    * lakehouse uses to pick which segments to rewrite and which to drop
+    * whole. Log synthesized from events (key = user_id, offset =
+    * event_id, every 13th record a tombstone); liveness is one
+    * row_number DESC window per key (latest wins — and a latest
+    * TOMBSTONE kills its key entirely, so it is itself dead once
+    * applied); segment rollup is a second bounded aggregation. Two
+    * shuffles total (key, then segment), no joins, no per-record
+    * comparisons against anything but the key's own history — the shape
+    * a 100 TB changelog needs. */
+  val q121 = GraftQuery(
+    "q121_log_compaction",
+    "Compacted-log planner: per-segment live/dead accounting, latest-per-key wins, tombstones die after applying",
+    (s, dir) => {
+      val log = events(s, dir).select(
+        col("user_id").as("k"), col("event_id").as("off"),
+        when(col("event_id") % 13 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+        .withColumn("seg", expr("off div 200"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy(desc("off"))
+      val marked = log
+        .withColumn("rn", row_number().over(w))
+        // live = the key's latest record, unless it is a tombstone:
+        // applying a tombstone deletes the key, after which the marker
+        // itself is reclaimable (Kafka's delete-retention semantics)
+        .withColumn("live", col("rn") === 1 && col("v").isNotNull)
+      marked.groupBy("seg")
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("live"), 1L).otherwise(0L)).as("n_live"),
+          sum(when(!col("live"), 1L).otherwise(0L)).as("n_dead"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_tombstones"))
+        .withColumn("dead_bp", expr("n_dead * 10000 div n_records"))
+        .withColumn("drop_whole", col("n_live") === 0)
+        .orderBy("seg")
+    },
+    Some("""
+      WITH log AS (
+        SELECT user_id AS k, event_id AS off,
+               CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v,
+               event_id // 200 AS seg
+        FROM events),
+      m AS (SELECT k, off, v, seg,
+                   row_number() OVER (PARTITION BY k ORDER BY off DESC) AS rn
+            FROM log)
+      SELECT seg, count(*) AS n_records,
+             CAST(sum(CASE WHEN rn = 1 AND v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+             CAST(sum(CASE WHEN rn = 1 AND v IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dead,
+             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones,
+             CAST(sum(CASE WHEN rn = 1 AND v IS NOT NULL THEN 0 ELSE 1 END) * 10000
+                  // count(*) AS BIGINT) AS dead_bp,
+             sum(CASE WHEN rn = 1 AND v IS NOT NULL THEN 1 ELSE 0 END) = 0 AS drop_whole
+      FROM m
+      GROUP BY seg
+      ORDER BY seg"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
-    q115, q116, q117, q120)
+    q115, q116, q117, q120, q121)
 }

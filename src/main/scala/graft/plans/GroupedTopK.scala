@@ -96,12 +96,79 @@ case class GroupedTopKExec(
   }
 }
 
+/** Optimizer rule: recognize the TEXTBOOK grouped-top-k idiom —
+  *
+  *   SELECT <cols of child> FROM (
+  *     SELECT *, row_number() OVER (PARTITION BY p ORDER BY o) rn FROM t)
+  *   WHERE rn <= k
+  *
+  * — and replan it through [[GroupedTopK]], so a pure-SQL user writing the
+  * classic pattern gets the bounded-heap operator with NO API change. The
+  * rewrite only fires when the projection above the rank filter drops the
+  * rank column (its value is recomputable only by sorting, which is the
+  * thing the operator exists to avoid) and references nothing but the
+  * window child's columns. Fires in `extendedOperatorOptimizationRules`,
+  * i.e. BEFORE Spark's own InferWindowGroupLimit batch — that built-in
+  * prunes rows past rank k but still sorts every partition for the Window;
+  * after this rewrite no Window node remains at all. Tie behavior matches
+  * row_number's own: under a non-total ORDER BY, which of the tied rows
+  * ranks k-th is unspecified in both forms (house discipline: orderings
+  * carry a unique tiebreak).
+  */
+object RankFilterToGroupedTopK
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, WindowExpression, RowNumber}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window => LWindow, WindowGroupLimit}
+
+  private def rankLimit(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn)        => Some(k - 1)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
+    case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn)     => Some(k - 1)
+    case EqualTo(a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rn)         => Some(1)
+    case EqualTo(IntegerLiteral(1), a: Attribute) if a.semanticEquals(rn)         => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Project(projList,
+          Filter(cond,
+            LWindow(Seq(al @ Alias(WindowExpression(_: RowNumber, _), _)),
+              part, order, child, _)))
+        if part.nonEmpty && order.nonEmpty &&
+          rankLimit(cond, al.toAttribute).exists(_ >= 1) &&
+          projList.forall(_.references.subsetOf(child.outputSet)) =>
+      // Spark's own InferWindowGroupLimit may already have inserted a
+      // WindowGroupLimit below the Window from the same rank filter; it
+      // is redundant under the bounded-heap operator (the partial phase
+      // performs the identical map-side pruning) — strip it
+      val realChild = child match {
+        case wgl: WindowGroupLimit
+            if wgl.partitionSpec == part && wgl.orderSpec == order => wgl.child
+        case c => c
+      }
+      Project(projList,
+        GroupedTopK(part, order, rankLimit(cond, al.toAttribute).get, realChild))
+  }
+}
+
 object GroupedTopK {
 
   private def ensureStrategy(spark: SparkSession): Unit = {
     val exp = GraftColumnBridge.experimental(spark)
     if (!exp.extraStrategies.contains(GroupedTopKStrategy))
       exp.extraStrategies = exp.extraStrategies :+ GroupedTopKStrategy
+  }
+
+  /** Make both seams present on a plain (extension-less) session: the
+    * planner strategy for the logical node AND the optimizer rewrite for
+    * the textbook SQL idiom. Idempotent. Sessions built with
+    * `spark.sql.extensions=graft.GraftExtensions` get both at build time. */
+  def ensureInjected(spark: SparkSession): Unit = {
+    ensureStrategy(spark)
+    val exp = GraftColumnBridge.experimental(spark)
+    if (!exp.extraOptimizations.contains(RankFilterToGroupedTopK))
+      exp.extraOptimizations = exp.extraOptimizations :+ RankFilterToGroupedTopK
   }
 
   /** Top `k` rows per group under `orderBy` (pass `col.desc`/`col.asc`

@@ -643,6 +643,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"theta join in the edit join\n$p")
   }
 
+  test("q122: the textbook rank-filter SQL replans through GroupedTopKExec — no Window node survives") {
+    val p = plan(operators.Relational.q122.build(spark, sfDir))
+    val phases = p.linesIterator.count(_.trim.matches("""\(\d+\) GroupedTopK$"""))
+    assert(phases == 2, s"$phases GroupedTopKExec phases, expected partial+final\n$p")
+    assert(!p.contains("Window"), s"rank Window survived the optimizer rewrite\n$p")
+  }
+
   test("scd2Dim: the SCD2 build needs ONE entity-key exchange and no self-join") {
     val p = plan(operators.Warehouse.scd2Dim(spark, sfDir))
     // change-detect lag, interval lead, and version row_number all ride

@@ -70,6 +70,59 @@ class GroupedTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), p)
   }
 
+  // ---- RankFilterToGroupedTopK optimizer-rule contract ----
+
+  private def ruleSession = {
+    val s = spark.newSession()
+    GroupedTopK.ensureInjected(s)
+    import s.implicits._
+    Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0), ("a", 4L, 20.0),
+      ("b", 5L, 5.0),
+      ("c", 6L, 1.0), ("c", 7L, 2.0)
+    ).toDF("g", "id", "v").createOrReplaceTempView("rows_rt")
+    s
+  }
+
+  test("rule: the textbook rank-filter idiom rewrites to GroupedTopK with the exact Window row set") {
+    val s = ruleSession
+    val q = s.sql("""
+      SELECT g, id FROM (
+        SELECT g, id, row_number() OVER (PARTITION BY g ORDER BY v DESC, id) rn
+        FROM rows_rt) WHERE rn <= 2""")
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("GroupedTopK"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 2L), ("a", 3L), ("b", 5L), ("c", 6L), ("c", 7L)))
+  }
+
+  test("rule: keeping the rank column in the projection blocks the rewrite (its value needs the sort)") {
+    val s = ruleSession
+    val q = s.sql("""
+      SELECT g, id, rn FROM (
+        SELECT g, id, row_number() OVER (PARTITION BY g ORDER BY v DESC, id) rn
+        FROM rows_rt) WHERE rn <= 2""")
+    assert(!q.queryExecution.optimizedPlan.toString.contains("GroupedTopK"),
+      q.queryExecution.optimizedPlan.toString)
+    assert(q.collect().length == 5)
+  }
+
+  test("rule: rank() (not row_number) and unpartitioned windows are left alone") {
+    val s = ruleSession
+    val rk = s.sql("""
+      SELECT g, id FROM (
+        SELECT g, id, rank() OVER (PARTITION BY g ORDER BY v DESC) rn
+        FROM rows_rt) WHERE rn <= 2""")
+    assert(!rk.queryExecution.optimizedPlan.toString.contains("GroupedTopK"))
+    val global = s.sql("""
+      SELECT g, id FROM (
+        SELECT g, id, row_number() OVER (ORDER BY v DESC, id) rn
+        FROM rows_rt) WHERE rn <= 2""")
+    assert(!global.queryExecution.optimizedPlan.toString.contains("GroupedTopK"))
+    assert(global.collect().length == 2)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
