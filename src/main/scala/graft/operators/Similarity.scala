@@ -1790,6 +1790,80 @@ object Similarity {
                 JOIN nsc ON nsc.query_id = f.query_id
       ORDER BY f.query_id, f.rank"""))
 
+  /** Label-error screening by kNN disagreement (the confident-learning /
+    * Cleanlab shape, reduced to its deterministic core): a training
+    * example whose nearest neighbors in embedding space vote for a
+    * DIFFERENT class is a labeling-error candidate — the highest-yield
+    * data-quality audit a labeled corpus gets before training. For a
+    * 1-in-5 probe sample, the exact top-5 cross-label neighbors vote;
+    * majority with (count DESC, label) tie-break; `agree` rows are clean,
+    * the rest are the review queue. The probe×corpus scan is the audit's
+    * bounded sample (the s1 contract); at scale the neighbor lists come
+    * from the ANN index (s5/s22) instead of a scan — the vote math is
+    * unchanged. Everything ties to integers → fully hash-checked. */
+  val s23 = GraftQuery(
+    "s23_label_knn_audit",
+    "kNN label audit: majority vote of exact top-5 neighbors vs own label, disagreement queue",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          l2Norm(col("embedding")).as("nrm"))
+      val probes = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("pid"), col("label").as("own"),
+          col("embedding").as("pe"), col("nrm").as("pn"))
+      val w = Window.partitionBy("pid").orderBy(desc("sim"), col("vec_id"))
+      val top5 = broadcast(probes).crossJoin(emb)
+        .filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("own"), col("label"),
+          (dotProduct(col("pe"), col("embedding")) / (col("pn") * col("nrm"))).as("sim"),
+          col("vec_id"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= 5)
+      val votes = top5.groupBy("pid", "own", "label")
+        .agg(count(lit(1)).as("votes"))
+      val wv = Window.partitionBy("pid").orderBy(desc("votes"), col("label"))
+      votes
+        .withColumn("rv", row_number().over(wv))
+        .withColumn("nAgree",
+          sum(when(col("label") === col("own"), col("votes")).otherwise(0L)).over(
+            Window.partitionBy("pid")))
+        .filter(col("rv") === 1)
+        .select(col("pid").as("vec_id"), col("own").as("label"),
+          col("label").as("maj_label"), col("nAgree").as("n_agree"),
+          (col("label") === col("own")).as("agree"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH n AS (SELECT vec_id, label, embedding,
+                        sqrt(list_aggregate(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+                 FROM embeddings),
+      probes AS (SELECT vec_id AS pid, label AS own, embedding AS pe, nrm AS pn
+                 FROM n WHERE vec_id % 5 = 0),
+      sims AS (SELECT p.pid, p.own, c.label, c.vec_id,
+                      list_aggregate(list_transform(list_zip(p.pe, c.embedding),
+                        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+                        / (p.pn * c.nrm) AS sim
+               FROM probes p JOIN n c ON c.vec_id <> p.pid),
+      top5 AS (SELECT pid, own, label FROM (
+                 SELECT pid, own, label,
+                        row_number() OVER (PARTITION BY pid
+                          ORDER BY sim DESC, vec_id) AS r
+                 FROM sims)
+               WHERE r <= 5),
+      votes AS (SELECT pid, own, label, count(*) AS votes
+                FROM top5 GROUP BY pid, own, label),
+      ranked AS (SELECT pid, own, label, votes,
+                        row_number() OVER (PARTITION BY pid
+                          ORDER BY votes DESC, label) AS rv,
+                        sum(CASE WHEN label = own THEN votes ELSE 0 END)
+                          OVER (PARTITION BY pid) AS n_agree
+                 FROM votes)
+      SELECT pid AS vec_id, own AS label, label AS maj_label,
+             CAST(n_agree AS BIGINT) AS n_agree, label = own AS agree
+      FROM ranked WHERE rv = 1
+      ORDER BY vec_id"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
-    s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22)
+    s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23)
 }

@@ -341,5 +341,53 @@ object Sources {
       GROUP BY r.r_name
       ORDER BY r.r_name"""))
 
-  val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90)
+  /** Dynamic partition overwrite — the idempotent-backfill write mode
+    * every partitioned warehouse depends on (and the semantic the
+    * reference's add/delete-partition surface manipulates by hand,
+    * gluettalax.py:428-482): OVERWRITE in dynamic mode replaces ONLY the
+    * partitions the incoming frame touches, leaving sibling partitions'
+    * files untouched — static mode would truncate the whole table first.
+    * Exercised for real on files: v1 writes all five event_type
+    * partitions; v2 overwrites just the `click` partition with corrected
+    * (+10.00) values via `partitionOverwriteMode=dynamic`; the read-back
+    * aggregate must see corrected clicks AND intact originals everywhere
+    * else — which is exactly what the oracle expresses from the source
+    * table. A backfill at 100 TB rewrites one day-partition, not the
+    * table; this is that contract, oracle-gated. */
+  val q123 = GraftQuery(
+    "q123_dynamic_partition_overwrite",
+    "Dynamic-mode partitioned overwrite: backfill one partition, siblings untouched, read-back audited",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val spool = spoolDir("q123_dynpart")
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        dec2(col("value")).as("value"), col("event_type"))
+      ev.coalesce(4).write.mode("overwrite")
+        .partitionBy("event_type").parquet(spool)
+      ev.filter(col("event_type") === "click")
+        .withColumn("value",
+          (col("value") + lit(BigDecimal("10.00"))).cast("decimal(14,2)"))
+        .coalesce(4).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(spool)
+      s.read.parquet(spool)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value")).cast("double").as("total"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))
+                      + CASE WHEN event_type = 'click'
+                             THEN CAST(10.00 AS DECIMAL(14,2))
+                             ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) AS total,
+             count(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
+    q123)
 }

@@ -1583,7 +1583,103 @@ object StreamingOps {
       GROUP BY day_start, event_type
       ORDER BY day_start, event_type"""))
 
+  case class StChange(user_id: Long, us: Long, event_id: Long, cents: Long, tomb: Boolean)
+  case class StKVState(n: Long, us: Long, event_id: Long, cents: Long, dead: Boolean)
+  case class StKVOut(user_id: Long, n_updates: Long, cents: Long, last_event: Long, dead: Boolean)
+
+  /** Stream–table duality: a keyed CHANGELOG (upserts + tombstones — the
+    * KTable / compacted-topic input shape, q121's streaming twin)
+    * materialized into latest-value state with transformWithState.
+    * Within a batch, a key's rows apply in (ts, event_id) order (sorted —
+    * micro-batch iterators carry no order); across batches, st12's
+    * time-ordered tranche spool guarantees later deliveries never precede
+    * earlier ones, so the fold IS the changelog's total order. A
+    * tombstone (event_id ≡ 0 mod 13) survives AS STATE — the key stays
+    * marked dead so later redeliveries of the same key's history can't
+    * resurrect it, and the final snapshot drops dead keys exactly as
+    * compaction drops an applied tombstone. Each batch emits a snapshot
+    * per touched key (update discipline, st15's); n_updates strictly
+    * grows, so max-n is the final table — arrival-order-free. State per
+    * key is ONE fixed-size record regardless of history length: the
+    * bounded-state discipline a 100 TB changelog demands. */
+  val st23 = GraftQuery(
+    "st23_changelog_materialize",
+    "transformWithState changelog (upsert+tombstone) materialized: latest-per-key table == batch compaction",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+      import org.apache.spark.sql.Encoders
+      class KVProcessor extends StatefulProcessor[Long, StChange, StKVOut] {
+        @transient private var st: org.apache.spark.sql.streaming.ValueState[StKVState] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          st = getHandle.getValueState[StKVState]("kv",
+            Encoders.product[StKVState], TTLConfig.NONE)
+        override def handleInputRows(key: Long, rows: Iterator[StChange],
+            timers: TimerValues): Iterator[StKVOut] = {
+          val ordered = rows.toSeq.sortBy(e => (e.us, e.event_id))
+          var cur = if (st.exists()) st.get()
+            else StKVState(0L, Long.MinValue, -1L, 0L, dead = true)
+          ordered.foreach { e =>
+            cur = StKVState(cur.n + 1, e.us, e.event_id, e.cents, e.tomb)
+          }
+          st.update(cur)
+          Iterator.single(StKVOut(key, cur.n, cur.cents, cur.event_id, cur.dead))
+        }
+      }
+      val savedProvider = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val snaps = replayFiles(s, "st12ts", dir,
+          src => {
+            import s.implicits._
+            src
+              .select(col("user_id"),
+                (unix_micros(col("ts"))).as("us"), col("event_id"),
+                (dec2(col("value")) * 100).cast("long").as("cents"),
+                (col("event_id") % 13 === 0).as("tomb"))
+              .as[StChange]
+              .groupByKey(_.user_id)
+              .transformWithState(new KVProcessor,
+                TimeMode.None(), OutputMode.Update(),
+                Encoders.product[StKVOut])
+              .toDF()
+          },
+          OutputMode.Update())
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(desc("n_updates"))
+        snaps
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && !col("dead"))
+          .select(col("user_id"), col("n_updates"),
+            (col("cents").cast("double") / 100).as("value"),
+            col("last_event"))
+          .orderBy("user_id")
+      } finally {
+        savedProvider match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    },
+    Some("""
+      WITH log AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+               event_id % 13 = 0 AS tomb
+        FROM events),
+      m AS (SELECT user_id, event_id, cents, tomb,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n_updates
+            FROM log)
+      SELECT user_id, CAST(n_updates AS BIGINT) AS n_updates,
+             CAST(cents AS DOUBLE) / 100 AS value, event_id AS last_event
+      FROM m
+      WHERE rn = 1 AND NOT tomb
+      ORDER BY user_id"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22)
+    st22, st23)
 }

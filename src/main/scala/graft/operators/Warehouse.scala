@@ -1626,7 +1626,47 @@ object Warehouse {
       GROUP BY seg
       ORDER BY seg"""))
 
+  /** Bucket PRUNING — q61 uses buckets to kill the join exchange; this is
+    * the other half of the bucket contract: a point/IN predicate on the
+    * bucket column reads ONLY the buckets the keys hash into
+    * (SelectedBucketsCount in the scan), skipping the other files
+    * entirely — the file-level analog of partition pruning, for keys too
+    * numerous to partition by. 3 keys → ≤3 of 8 buckets touched,
+    * PlanSpec-pinned; the aggregate itself is oracle-checked against the
+    * unbucketed source. At 100 TB a needle lookup on a bucketed fact
+    * touches 1/N of the files with zero shuffle — this is the layout
+    * decision that makes it so. */
+  val q124 = GraftQuery(
+    "q124_bucket_pruning",
+    "Point-lookup on a bucketed table scans ≤3 of 8 buckets (SelectedBucketsCount pruning)",
+    (s, dir) => {
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val whPath = java.nio.file.Paths.get(
+        if (wh.getScheme == null) wh.getPath else new java.net.URI(wh.getScheme, wh.getPath, null).getPath)
+      s.sql("DROP TABLE IF EXISTS g_orders_bprune")
+      deleteRecursively(whPath.resolve("g_orders_bprune"))
+      table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .write.format("parquet").bucketBy(8, "o_custkey")
+        .mode("overwrite").saveAsTable("g_orders_bprune")
+      s.table("g_orders_bprune")
+        .filter(col("o_custkey").isin(42L, 99L, 150L))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("spend"),
+          max(col("o_orderkey")).as("last_order"))
+        .orderBy("o_custkey")
+    },
+    Some("""
+      SELECT o_custkey, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spend,
+             max(o_orderkey) AS last_order
+      FROM orders
+      WHERE o_custkey IN (42, 99, 150)
+      GROUP BY o_custkey
+      ORDER BY o_custkey"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
-    q115, q116, q117, q120, q121)
+    q115, q116, q117, q120, q121, q124)
 }

@@ -650,6 +650,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), s"rank Window survived the optimizer rewrite\n$p")
   }
 
+  test("q124: the IN-list on the bucket column prunes to ≤3 of 8 buckets in the scan") {
+    val p = plan(operators.Warehouse.q124.build(spark, sfDir))
+    val sel = p.linesIterator.find(_.contains("SelectedBucketsCount"))
+    assert(sel.isDefined, s"no bucket pruning in the scan\n$p")
+    val m = """SelectedBucketsCount: (\d+) out of (\d+)""".r.findFirstMatchIn(sel.get)
+    assert(m.isDefined, sel.get)
+    assert(m.get.group(2).toInt == 8 && m.get.group(1).toInt <= 3,
+      s"expected ≤3 of 8 buckets: ${sel.get}")
+  }
+
   test("scd2Dim: the SCD2 build needs ONE entity-key exchange and no self-join") {
     val p = plan(operators.Warehouse.scd2Dim(spark, sfDir))
     // change-detect lag, interval lead, and version row_number all ride
