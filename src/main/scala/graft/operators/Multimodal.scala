@@ -870,6 +870,64 @@ object Multimodal {
       FROM hx
       ORDER BY doc_id"""))
 
+  /** Ragged-batch formation for model inference — the serving-side step
+    * between m13's header scan and m2's decode: images padded to their
+    * batch's max canvas waste compute proportional to the dimension
+    * spread, so production batchers SORT by shape first (bucketed
+    * batching). Batches of 8 are cut over the height-sorted PNG stream
+    * (row_number div 8 — one window pass); per batch the canvas is
+    * (max_w × max_h × n) and waste_bp its unused fraction, all exact
+    * integer math on m13's parsed header dims — no decode touched. The
+    * oracle derives dims from the planted-header generator directly
+    * (m13 proves parse == plant byte-for-byte), keeping its replay
+    * short. At 100 TB batching is per-partition streaming over a
+    * dimension-sorted layout — the same window math, zero extra
+    * shuffles beyond the sort. */
+  val m14 = GraftQuery(
+    "m14_inference_batching",
+    "Height-sorted ragged batches of 8 over parsed PNG dims: canvas, pixel waste bp per batch",
+    (s, dir) => {
+      def be4(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      val width = col("doc_id") % 640 + 16
+      val height = (col("doc_id") * 7) % 480 + 16
+      val planted = table(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat(unhex(concat(lit("89504E470D0A1A0A0000000D49484452"),
+            be4(width), be4(height), lit("0806000000DEADBEEF"))),
+            col("text").cast("binary")).as("b"))
+      val dims = headerMeta(planted)
+        .filter(col("container") === "png")
+        .select(col("doc_id"), col("width"), col("height"))
+      dims
+        .withColumn("batch_id", expr("(row_number() OVER (ORDER BY height, doc_id) - 1) div 8"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n"),
+          max(col("width")).as("max_w"),
+          max(col("height")).as("max_h"),
+          sum(col("width") * col("height")).as("pixels"))
+        .withColumn("canvas", col("max_w") * col("max_h") * col("n"))
+        .withColumn("waste_bp", expr("(canvas - pixels) * 10000 div canvas"))
+        .select("batch_id", "n", "max_w", "max_h", "pixels", "waste_bp")
+        .orderBy("batch_id")
+    },
+    Some("""
+      WITH dims AS (
+        SELECT doc_id, doc_id % 640 + 16 AS width, (doc_id * 7) % 480 + 16 AS height
+        FROM documents WHERE doc_id % 3 = 0),
+      seq AS (SELECT doc_id, width, height,
+                     (row_number() OVER (ORDER BY height, doc_id) - 1) // 8 AS batch_id
+              FROM dims),
+      b AS (SELECT batch_id, count(*) AS n, max(width) AS max_w,
+                   max(height) AS max_h,
+                   CAST(sum(width * height) AS BIGINT) AS pixels
+            FROM seq GROUP BY batch_id)
+      SELECT batch_id, n, max_w, max_h, pixels,
+             CAST((max_w * max_h * n - pixels) * 10000 // (max_w * max_h * n)
+                  AS BIGINT) AS waste_bp
+      FROM b
+      ORDER BY batch_id"""))
+
   val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11,
-    m12, m13)
+    m12, m13, m14)
 }

@@ -1937,7 +1937,43 @@ object TextAnalysis {
       FROM rk WHERE rank <= 3
       ORDER BY source, rank"""))
 
+  /** Frequency spectrum — the power-law health check run on every corpus
+    * before LM training (Zipf's law predicts a straight rank-frequency
+    * line; a bent spectrum means boilerplate floods or dedup failures):
+    * vocabulary bucketed by ⌊log₂(count)⌋, computed EXACTLY as
+    * len(bin(count))−1 — no floating log anywhere — with per-bucket type
+    * and token mass counts. Bucket 0 is the hapax band (the vocabulary's
+    * long tail; its type share is the classic heap-health indicator).
+    * One Zipf-bounded token-count shuffle + one 64-row-max rollup. */
+  val t36 = GraftQuery(
+    "t36_frequency_spectrum",
+    "Vocabulary frequency spectrum: ⌊log₂ count⌋ buckets, exact integer bucketing, type/token mass",
+    (s, dir) => {
+      val counts = table(s, dir, "documents")
+        .select(explode(words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      counts
+        .withColumn("bucket", (length(expr("bin(c)")) - 1).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"))
+        .withColumn("count_lo", expr("shiftleft(1L, CAST(bucket AS INT))"))
+        .select("bucket", "count_lo", "n_types", "n_tokens")
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                   FROM documents),
+      c AS (SELECT w, count(*) AS c FROM tok WHERE len(w) > 0 GROUP BY w),
+      b AS (SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS bucket,
+                   count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens
+            FROM c GROUP BY bucket)
+      SELECT bucket, CAST(1 AS BIGINT) << CAST(bucket AS INTEGER) AS count_lo,
+             n_types, n_tokens
+      FROM b
+      ORDER BY bucket"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    t27, t28, t29, t30, t31, t32, t33, t34, t35)
+    t27, t28, t29, t30, t31, t32, t33, t34, t35, t36)
 }

@@ -1666,7 +1666,116 @@ object Warehouse {
       GROUP BY o_custkey
       ORDER BY o_custkey"""))
 
+  /** Functional-dependency discovery — the intra-table sibling of q117's
+    * cross-table inclusion dependencies, the other half of schema
+    * profiling: A → B holds iff no A value maps to two B values, i.e.
+    * countDistinct(A,B) == countDistinct(A); the violation COUNT (lhs
+    * values with >1 rhs) grades how badly a near-FD fails, which is what
+    * a cleaning pipeline actually wants (a 2-violation FD is a data bug,
+    * a 50%-violation "FD" is a modeling error). Candidates are a bounded
+    * declared list mixing true FDs (key-determined), a planted near-FD,
+    * and clear non-FDs; each candidate costs one two-level aggregation
+    * of its own table — no joins, no quadratic anything. */
+  val q125 = GraftQuery(
+    "q125_fd_discovery",
+    "Functional-dependency profiling: countDistinct(A) vs (A,B) + violating-lhs count per candidate",
+    (s, dir) => {
+      def audit(tbl: org.apache.spark.sql.DataFrame, a: String, b: String,
+          name: String): org.apache.spark.sql.DataFrame = {
+        val perA = tbl.groupBy(col(a)).agg(countDistinct(col(b)).as("nb"))
+        perA.agg(
+          lit(name).as("candidate"),
+          count(lit(1)).as("n_lhs"),
+          sum(col("nb")).as("n_pairs"),
+          sum(when(col("nb") > 1, 1L).otherwise(0L)).as("n_violating_lhs"))
+          .withColumn("holds", col("n_violating_lhs") === 0)
+      }
+      val nation = table(s, dir, "nation")
+      val customer = table(s, dir, "customer")
+      val orders = table(s, dir, "orders")
+      audit(nation, "n_nationkey", "n_regionkey", "nation.nationkey->regionkey")
+        .unionAll(audit(nation, "n_regionkey", "n_nationkey", "nation.regionkey->nationkey"))
+        .unionAll(audit(customer, "c_custkey", "c_mktsegment", "customer.custkey->mktsegment"))
+        .unionAll(audit(customer, "c_nationkey", "c_mktsegment", "customer.nationkey->mktsegment"))
+        .unionAll(audit(orders, "o_orderkey", "o_orderstatus", "orders.orderkey->status"))
+        .unionAll(audit(orders, "o_custkey", "o_orderpriority", "orders.custkey->priority"))
+        .orderBy("candidate")
+    },
+    Some("""
+      WITH c1 AS (SELECT n_nationkey AS a, count(DISTINCT n_regionkey) AS nb
+                  FROM nation GROUP BY a),
+      c2 AS (SELECT n_regionkey AS a, count(DISTINCT n_nationkey) AS nb
+             FROM nation GROUP BY a),
+      c3 AS (SELECT c_custkey AS a, count(DISTINCT c_mktsegment) AS nb
+             FROM customer GROUP BY a),
+      c4 AS (SELECT c_nationkey AS a, count(DISTINCT c_mktsegment) AS nb
+             FROM customer GROUP BY a),
+      c5 AS (SELECT o_orderkey AS a, count(DISTINCT o_orderstatus) AS nb
+             FROM orders GROUP BY a),
+      c6 AS (SELECT o_custkey AS a, count(DISTINCT o_orderpriority) AS nb
+             FROM orders GROUP BY a),
+      u AS (
+        SELECT 'nation.nationkey->regionkey' AS candidate, count(*) AS n_lhs,
+               CAST(sum(nb) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs
+        FROM c1
+        UNION ALL SELECT 'nation.regionkey->nationkey', count(*),
+               CAST(sum(nb) AS BIGINT), CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM c2
+        UNION ALL SELECT 'customer.custkey->mktsegment', count(*),
+               CAST(sum(nb) AS BIGINT), CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM c3
+        UNION ALL SELECT 'customer.nationkey->mktsegment', count(*),
+               CAST(sum(nb) AS BIGINT), CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM c4
+        UNION ALL SELECT 'orders.orderkey->status', count(*),
+               CAST(sum(nb) AS BIGINT), CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM c5
+        UNION ALL SELECT 'orders.custkey->priority', count(*),
+               CAST(sum(nb) AS BIGINT), CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM c6)
+      SELECT candidate, n_lhs, n_pairs, n_violating_lhs,
+             n_violating_lhs = 0 AS holds
+      FROM u
+      ORDER BY candidate"""))
+
+  /** Pareto frontier (skyline) — "cheapest for its size class": parts not
+    * DOMINATED by any other (price ≤, size ≥, one strict). The textbook
+    * form is a quadratic NOT EXISTS self-join; the engine runs the
+    * sort-based O(n log n) sweep instead — group to one row per price
+    * point (max size), running max of strictly-cheaper groups via a
+    * lagged window, a row survives iff no cheaper point reaches its size
+    * and no equal-price row strictly exceeds it. The ORACLE replays the
+    * quadratic NOT EXISTS, so equal hashes prove the sweep — q113/q119's
+    * rewrite-proof discipline on the dominance problem (the multi-
+    * objective optimization / feature-selection primitive). Money
+    * compares in integer cents. */
+  val q126 = GraftQuery(
+    "q126_pareto_skyline",
+    "Skyline query: price/size Pareto frontier via sorted sweep, oracle = quadratic NOT EXISTS",
+    (s, dir) => {
+      val p = table(s, dir, "part").select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price100"),
+        col("p_size").cast("long").as("size"))
+      val g = p.groupBy("price100").agg(max(col("size")).as("gmax"))
+      val wg = org.apache.spark.sql.expressions.Window.orderBy("price100")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val g2 = g.withColumn("pmax", max(col("gmax")).over(wg))
+      p.join(g2, Seq("price100"))
+        .filter(!(coalesce(col("pmax"), lit(Long.MinValue)) >= col("size")
+          || col("gmax") > col("size")))
+        .select(col("p_partkey"), col("price100"), col("size"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      WITH p AS (SELECT p_partkey,
+                        CAST(round(p_retailprice * 100) AS BIGINT) AS price100,
+                        CAST(p_size AS BIGINT) AS size
+                 FROM part)
+      SELECT p_partkey, price100, size
+      FROM p a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.price100 <= a.price100 AND b.size >= a.size
+          AND (b.price100 < a.price100 OR b.size > a.size))
+      ORDER BY p_partkey"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
-    q115, q116, q117, q120, q121, q124)
+    q115, q116, q117, q120, q121, q124, q125, q126)
 }
