@@ -1775,7 +1775,57 @@ object Warehouse {
           AND (b.price100 < a.price100 OR b.size > a.size))
       ORDER BY p_partkey"""))
 
+  /** Ratio-to-parent hierarchy report — the share-of-parent column every
+    * drill-down dashboard carries (nation's share of its region, region's
+    * share of the world): the FACT table aggregates ONCE at the leaf
+    * (region, nation) grain; both parent totals are windows over that
+    * tiny frame, so at 100 TB the fact scan is single-pass and the
+    * share math runs on |nations| rows. Shares are integer basis points
+    * over DECIMAL cents (cross-multiplied div — no float ratios), and
+    * they provably sum to ≤10000 per parent with the remainder being
+    * truncation, which is the auditable property a float share column
+    * never has. */
+  val q127 = GraftQuery(
+    "q127_ratio_to_parent",
+    "Drill-down shares: nation revenue as bp of region, region as bp of total — one leaf-grain pass",
+    (s, dir) => {
+      val leaf = table(s, dir, "orders")
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").as("cents"))
+      val wr = org.apache.spark.sql.expressions.Window.partitionBy("r_name")
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy()
+      leaf
+        .withColumn("region_cents", sum(col("cents")).over(wr))
+        .withColumn("total_cents", sum(col("cents")).over(wt))
+        .select(col("r_name"), col("n_name"),
+          (col("cents").cast("double") / 100).as("revenue"),
+          expr("cents * 10000 div region_cents").as("share_of_region_bp"),
+          expr("region_cents * 10000 div total_cents").as("region_share_bp"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""
+      WITH leaf AS (
+        SELECT r_name, n_name,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name),
+      w AS (SELECT r_name, n_name, cents,
+                   sum(cents) OVER (PARTITION BY r_name) AS region_cents,
+                   sum(cents) OVER () AS total_cents
+            FROM leaf)
+      SELECT r_name, n_name, CAST(cents AS DOUBLE) / 100 AS revenue,
+             CAST(cents * 10000 // region_cents AS BIGINT) AS share_of_region_bp,
+             CAST(region_cents * 10000 // total_cents AS BIGINT) AS region_share_bp
+      FROM w
+      ORDER BY r_name, n_name"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
-    q115, q116, q117, q120, q121, q124, q125, q126)
+    q115, q116, q117, q120, q121, q124, q125, q126, q127)
 }

@@ -123,6 +123,35 @@ class GroupedTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(global.collect().length == 2)
   }
 
+  test("property: GroupedTopK row set == Window row_number row set over random inputs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits._
+    // unique ids make the (v DESC, id) order total, so the two forms must
+    // agree EXACTLY — the operator's core contract, over the input space
+    // (group skew, ties in v, k vs group-size edges, input partitioning)
+    val rowsGen: Gen[List[(String, Long, Int)]] = for {
+      n <- Gen.choose(0, 60)
+      groups <- Gen.choose(1, 5)
+      vs <- Gen.listOfN(n, Gen.zip(Gen.choose(0, groups - 1), Gen.choose(0, 7)))
+    } yield vs.zipWithIndex.map { case ((g, v), i) => (s"g$g", i.toLong, v) }
+    val prop = Prop.forAll(rowsGen, Gen.choose(1, 4), Gen.choose(1, 5)) {
+      (rows, k, parts) =>
+        val df = rows.toDF("g", "id", "v").repartition(parts)
+        val viaOp = GroupedTopK.topKPerGroup(df,
+            Seq(col("g")), Seq(col("v").desc, col("id")), k)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        val viaWindow = df
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+            W.partitionBy("g").orderBy(col("v").desc, col("id"))))
+          .filter(col("rn") <= k)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        viaOp == viaWindow
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
