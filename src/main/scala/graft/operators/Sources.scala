@@ -388,6 +388,48 @@ object Sources {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** The custom DataSource V2 connector end to end (see
+    * graft.sources.SyntheticEvents for the connector itself): range
+    * predicates on the ordered id column push into the scan and PRUNE
+    * GENERATOR PARTITIONS at planning time (2 of 8 slices planned for
+    * the [25k, 50k) window — PlanSpec reads it off the scan
+    * description), and column pruning reaches the row generator (only
+    * requested fields are materialized). Row content is pure id
+    * arithmetic, so the oracle regenerates the identical table from
+    * DuckDB's range() — every connector row is value-checked, not merely
+    * counted. */
+  val q128 = GraftQuery(
+    "q128_dsv2_custom_source",
+    "Custom DSv2 connector: pushed bounds prune 6 of 8 partitions, rows oracle-regenerated",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.sources.SyntheticEvents")
+        .option("rows", "100000").option("parts", "8")
+        .load()
+        .filter(col("event_id") >= 25000L && col("event_id") < 50000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("total_cents"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("first_id"),
+          max(col("event_id")).as("last_id"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH g AS (
+        SELECT i AS event_id, i % 97 AS user_id,
+               ['view','click','signup','purchase','error'][CAST(i % 5 AS INTEGER) + 1]
+                 AS event_type,
+               i * 37 % 100000 AS cents
+        FROM (SELECT unnest(range(25000, 50000)) AS i))
+      SELECT event_type, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             count(DISTINCT user_id) AS n_users,
+             min(event_id) AS first_id, max(event_id) AS last_id
+      FROM g
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
-    q123)
+    q123, q128)
 }

@@ -660,6 +660,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected ≤3 of 8 buckets: ${sel.get}")
   }
 
+  test("q128: the DSv2 connector plans 2 of 8 generator partitions under the pushed bounds") {
+    val p = plan(operators.Sources.q128.build(spark, sfDir))
+    assert(p.contains("bounds=[25000,50000)"), s"bounds not pushed into the scan\n$p")
+    assert(p.contains("plannedParts=2"), s"partition pruning did not happen at planning time\n$p")
+  }
+
+  test("q128 connector: column pruning reaches the row generator") {
+    val df = spark.read.format("graft.sources.SyntheticEvents")
+      .option("rows", "1000").option("parts", "4").load()
+      .select("event_id")
+    val p = plan(df)
+    assert(p.contains("cols=event_id)"), s"generator still materializes unrequested columns\n$p")
+    assert(df.count() == 1000)
+  }
+
   test("scd2Dim: the SCD2 build needs ONE entity-key exchange and no self-join") {
     val p = plan(operators.Warehouse.scd2Dim(spark, sfDir))
     // change-detect lag, interval lead, and version row_number all ride
