@@ -246,6 +246,35 @@ object Commands {
         out("Partition deleted")
       }),
 
+    Command("explain_job", Seq("exp"), "<job_name> [--verbose] [--param1=value...]",
+      "Show a job's physical plan digest (scans, exchanges, joins) without running it.",
+      (e, argv, out) => {
+        val r = parseArgs(argv, "<job_name> [--verbose] [--param1=value...]",
+          Map("op_verbose" -> false))
+        val params = (r.kargs - "op_verbose").collect {
+          case (k, v) if v != null => k -> v.toString
+        }
+        val spec = e.jobs.getJob(r.positional1.get)
+        val df = spec.query(e.spark, params)
+        // digest from the FORMATTED explain (robust under AQE, whose
+        // adaptive root hides the inner operators from tree traversal):
+        // the scale-relevant plan facts the operator docs pin — what gets
+        // scanned, what shuffles, what broadcasts, what sorts
+        val planText = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val nodes = planText.linesIterator
+          .flatMap("""^[\s*+-]*\((\d+)\) ([A-Za-z]+)""".r.findFirstMatchIn(_))
+          .map(_.group(2)).toSeq
+        def n(pred: String => Boolean) = nodes.count(pred)
+        out(s"job: ${spec.name}")
+        out(s"scans=${n(_.contains("Scan"))} " +
+          s"exchanges=${n(_.contains("Exchange"))} " +
+          s"broadcast_joins=${n(_.contains("BroadcastHashJoin"))} " +
+          s"sortmerge_joins=${n(_.contains("SortMergeJoin"))} " +
+          s"sorts=${n(_ == "Sort")} windows=${n(_.contains("Window"))}")
+        if (r.kargs("op_verbose") == true) planText.linesIterator.foreach(out)
+      }),
+
     Command("help", Seq("-h"), "[command]",
       "Display information about commands.",
       (e, argv, out) => {

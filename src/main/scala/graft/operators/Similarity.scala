@@ -1671,6 +1671,12 @@ object Similarity {
           .join(broadcast(qv.select("query_id", "qe", "qn")), Seq("query_id"))
           .select(col("query_id"), col("node"),
             (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("sim"))
+          // the walk frames are ≤ 10 queries × ≤ 20 nodes: pre-clustering
+          // them on 4 partitions satisfies every downstream per-query
+          // window/agg distribution, so the default shuffle fan-out (32
+          // one-row tasks per hop stage) never materializes. Cluster-side
+          // this is per-query-batch parallelism, not a global knob.
+          .repartition(4, col("query_id"))
           .withColumn("r", row_number().over(wb))
           .filter(col("r") <= 5)
           .select("query_id", "node", "sim")

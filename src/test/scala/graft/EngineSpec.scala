@@ -498,6 +498,19 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run("runj", "failing_job")._1 == 1)
   }
 
+  test("explain_job: plan digest without execution, verbose plan on demand, unknown job → 1") {
+    engine.jobs.register(engine.jobs.JobSpec("explainable_job",
+      (s, p) => graft.operators.Relational.q6.build(s, sfDir)))
+    val (code, out) = run("explain_job", "explainable_job")
+    assert(code == 0, out.mkString("\n"))
+    assert(out.exists(_.startsWith("job: explainable_job")), out.mkString("\n"))
+    val digest = out.find(_.startsWith("scans=")).get
+    assert(digest.contains("broadcast_joins=1"), digest) // q6's pinned plan fact
+    val (vc, vout) = run("exp", "explainable_job", "--verbose")
+    assert(vc == 0 && vout.exists(_.contains("BroadcastHashJoin")), vout.take(5).mkString("\n"))
+    assert(run("explain_job", "no_such_job")._1 == 1)
+  }
+
   test("invalid option → exit 1") {
     assert(run("list_partitions")._1 == 1) // missing required positionals
   }
