@@ -430,6 +430,36 @@ object Sources {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** The connector WRITE path (graft.sources.DigestSink): the part table
+    * flows through a DSv2 BatchWrite — per-task DataWriters fold their
+    * partition into (count, 40-bit-md5-sum) commit messages, the
+    * driver-side commit combines them, and the COMMITTED state (the only
+    * thing the protocol makes visible) comes back as the query result.
+    * The digest is an order-independent sum, so the value is partition-
+    * layout-free, and the oracle recomputes the identical checksum in
+    * SQL — the publish-then-reconcile contract of a real data-movement
+    * job, exercised through the real commit-message channel (works
+    * unchanged on a 1000-executor cluster: messages are the only
+    * cross-JVM state). */
+  val q129 = GraftQuery(
+    "q129_dsv2_digest_sink",
+    "DSv2 BatchWrite commit protocol: per-task digest messages folded at commit, oracle-checked",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val key = s"q129_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      table(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("id"), col("p_name").as("name"))
+        .write.format("graft.sources.DigestSink")
+        .option("runId", key).mode("append").save()
+      val (n, d) = graft.sources.DigestSink.committed(key)
+      s.range(1).select(lit(n).as("n_rows"), lit(d).as("digest_sum"))
+    },
+    Some("""
+      SELECT count(*) AS n_rows,
+             CAST(sum(CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR)
+                    || '|' || p_name), 1, 10) AS BIGINT)) AS BIGINT) AS digest_sum
+      FROM part"""))
+
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
-    q123, q128)
+    q123, q128, q129)
 }
