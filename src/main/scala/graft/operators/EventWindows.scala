@@ -763,6 +763,60 @@ object EventWindows {
       FROM isl GROUP BY user_id
       ORDER BY user_id"""))
 
+  /** Period-over-period comparison, CALENDAR-aligned: q102's lag() gives
+    * "previous row", which silently lies across gaps — MoM/YoY must align
+    * by calendar arithmetic (month = add_months(month, −1/−12)), i.e. a
+    * self-join on the offset key, null where the comparison month doesn't
+    * exist. Runs on the monthly aggregate (fact scanned once; the
+    * comparison joins touch |months| rows). Basis-point changes are
+    * computed sign-split (|Δ|·10⁴ div prev, negated for drops) because
+    * integer division of NEGATIVES diverges between engines (Spark `div`
+    * truncates toward zero, DuckDB `//` floors) — the only safe form is
+    * division of non-negatives, an oracle-parity rule worth encoding
+    * once. */
+  val q130 = GraftQuery(
+    "q130_period_over_period",
+    "Calendar-aligned MoM + YoY revenue comparison (offset self-joins, sign-split bp)",
+    (s, dir) => {
+      val monthly = table(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").as("cents"))
+      def bp(prev: String) = expr(
+        s"""CASE WHEN $prev IS NULL THEN NULL
+                 WHEN cents >= $prev THEN ((cents - $prev) * 10000) div $prev
+                 ELSE -((($prev - cents) * 10000) div $prev) END""")
+      val mom = monthly.select(col("month").as("m1"), col("cents").as("prev_m"))
+      val yoy = monthly.select(col("month").as("m12"), col("cents").as("prev_y"))
+      monthly
+        .join(mom, col("m1") === add_months(col("month"), -1), "left")
+        .join(yoy, col("m12") === add_months(col("month"), -12), "left")
+        .select(col("month"),
+          (col("cents").cast("double") / 100).as("revenue"),
+          bp("prev_m").as("mom_bp"),
+          bp("prev_y").as("yoy_bp"))
+        .orderBy("month")
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY month)
+      SELECT c.month, CAST(c.cents AS DOUBLE) / 100 AS revenue,
+             CASE WHEN m.cents IS NULL THEN NULL
+                  WHEN c.cents >= m.cents
+                    THEN CAST((c.cents - m.cents) * 10000 // m.cents AS BIGINT)
+                  ELSE -CAST((m.cents - c.cents) * 10000 // m.cents AS BIGINT)
+             END AS mom_bp,
+             CASE WHEN y.cents IS NULL THEN NULL
+                  WHEN c.cents >= y.cents
+                    THEN CAST((c.cents - y.cents) * 10000 // y.cents AS BIGINT)
+                  ELSE -CAST((y.cents - c.cents) * 10000 // y.cents AS BIGINT)
+             END AS yoy_bp
+      FROM monthly c
+      LEFT JOIN monthly m ON m.month = c.month - INTERVAL 1 MONTH
+      LEFT JOIN monthly y ON y.month = c.month - INTERVAL 12 MONTH
+      ORDER BY c.month"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
-    q86, q89, q91, q92, q96, q102, q107, q118)
+    q86, q89, q91, q92, q96, q102, q107, q118, q130)
 }

@@ -1973,7 +1973,80 @@ object TextAnalysis {
       FROM b
       ORDER BY bucket"""))
 
+  /** Greedy decoding from the corpus bigram LM — t21 SCORES text with the
+    * LM; this GENERATES with it (the synthetic-data / LM-sanity face of
+    * the same model): from each of the 5 most frequent seed tokens, walk
+    * 8 steps of argmax successors. The LM collapses to a deterministic
+    * successor function (per prev token: max bigram count, token
+    * tie-break), so generation is 8 chained equi-joins against a
+    * vocabulary-sized frame — generation as dataflow, no driver loop; a
+    * dead-end token yields null and concat_ws simply stops the line.
+    * Degenerate loops (argmax chains cycle fast — the classic greedy
+    * failure mode) are VISIBLE in the output, which is exactly what the
+    * sanity check is for. */
+  val t37 = GraftQuery(
+    "t37_greedy_generation",
+    "Greedy 8-step generation from the corpus bigram LM, argmax successors, 5 seeds",
+    (s, dir) => {
+      val ws = table(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+      val bi = ws.filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+             i -> struct(element_at(ws, i) AS prev, element_at(ws, i + 1) AS cur))"""))
+          .as("b"))
+        .select(col("b.prev").as("prev"), col("b.cur").as("cur"))
+      val wSucc = Window.partitionBy("prev").orderBy(desc("bcnt"), col("cur"))
+      val succ = bi.groupBy("prev", "cur").agg(count(lit(1)).as("bcnt"))
+        .withColumn("r", row_number().over(wSucc))
+        .filter(col("r") === 1)
+        .select(col("prev"), col("cur"))
+      val wSeed = Window.orderBy(desc("cnt"), col("w"))
+      val seeds = ws.select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .withColumn("r", row_number().over(wSeed))
+        .filter(col("r") <= 5)
+        .select(col("w").as("t0"), col("r").cast("long").as("seed_rank"))
+      var gen = seeds
+      for (i <- 1 to 8) {
+        val si = succ.select(col("prev").as(s"p$i"), col("cur").as(s"t$i"))
+        gen = gen.join(broadcast(si), col(s"t${i - 1}") === col(s"p$i"), "left")
+          .drop(s"p$i")
+      }
+      gen.select(col("seed_rank"), col("t0").as("seed"),
+          concat_ws(" ", (0 to 8).map(i => col(s"t$i")): _*).as("generated"))
+        .orderBy("seed_rank")
+    },
+    Some("""
+      WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      bi AS (SELECT ws[i] AS prev, ws[i + 1] AS cur
+             FROM ws, UNNEST(range(1, len(ws))) AS t(i)
+             WHERE len(ws) >= 2),
+      bc AS (SELECT prev, cur, count(*) AS bcnt FROM bi GROUP BY prev, cur),
+      succ AS (SELECT prev, cur FROM (
+                 SELECT prev, cur, row_number() OVER (PARTITION BY prev
+                          ORDER BY bcnt DESC, cur) AS r
+                 FROM bc)
+               WHERE r = 1),
+      tok AS (SELECT unnest(ws) AS w FROM ws),
+      seeds AS (SELECT w AS t0, CAST(r AS BIGINT) AS seed_rank FROM (
+                  SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS r
+                  FROM tok GROUP BY w)
+                WHERE r <= 5),
+      g1 AS (SELECT s.*, x.cur AS t1 FROM seeds s LEFT JOIN succ x ON x.prev = s.t0),
+      g2 AS (SELECT g.*, x.cur AS t2 FROM g1 g LEFT JOIN succ x ON x.prev = g.t1),
+      g3 AS (SELECT g.*, x.cur AS t3 FROM g2 g LEFT JOIN succ x ON x.prev = g.t2),
+      g4 AS (SELECT g.*, x.cur AS t4 FROM g3 g LEFT JOIN succ x ON x.prev = g.t3),
+      g5 AS (SELECT g.*, x.cur AS t5 FROM g4 g LEFT JOIN succ x ON x.prev = g.t4),
+      g6 AS (SELECT g.*, x.cur AS t6 FROM g5 g LEFT JOIN succ x ON x.prev = g.t5),
+      g7 AS (SELECT g.*, x.cur AS t7 FROM g6 g LEFT JOIN succ x ON x.prev = g.t6),
+      g8 AS (SELECT g.*, x.cur AS t8 FROM g7 g LEFT JOIN succ x ON x.prev = g.t7)
+      SELECT seed_rank, t0 AS seed,
+             concat_ws(' ', t0, t1, t2, t3, t4, t5, t6, t7, t8) AS generated
+      FROM g8
+      ORDER BY seed_rank"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    t27, t28, t29, t30, t31, t32, t33, t34, t35, t36)
+    t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37)
 }
