@@ -928,6 +928,58 @@ object Multimodal {
       FROM b
       ORDER BY batch_id"""))
 
+  /** Catalog-vs-payload consistency audit — "trust but verify the
+    * metadata": media catalogs carry dimensions copied around since
+    * ingest (the reference copies StorageDescriptors the same way,
+    * gluettalax.py:456-459), and layout decisions (m14 batching) silently
+    * go wrong when they drift from the bytes. The audit joins m13's
+    * header-PARSED dims against a sidecar catalog (planted stale rows:
+    * every 11th entry claims width+4 — a resize whose catalog update was
+    * lost) and flags mismatches with the drift delta. At scale this is a
+    * header-scan (~32 bytes/row) + broadcast-or-shuffle join on doc_id —
+    * never a decode. */
+  val m15 = GraftQuery(
+    "m15_catalog_drift_audit",
+    "Header-parsed dims vs sidecar catalog: planted stale entries flagged with drift deltas",
+    (s, dir) => {
+      def be4(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      val width = col("doc_id") % 640 + 16
+      val height = (col("doc_id") * 7) % 480 + 16
+      val planted = table(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          concat(unhex(concat(lit("89504E470D0A1A0A0000000D49484452"),
+            be4(width), be4(height), lit("0806000000DEADBEEF"))),
+            col("text").cast("binary")).as("b"))
+      val parsed = headerMeta(planted)
+        .filter(col("container") === "png")
+        .select(col("doc_id"), col("width").as("real_w"), col("height").as("real_h"))
+      val catalog = table(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          (col("doc_id") % 640 + 16 +
+            when(col("doc_id") % 11 === 0, 4L).otherwise(0L)).as("cat_w"),
+          ((col("doc_id") * 7) % 480 + 16).as("cat_h"))
+      parsed.join(catalog, "doc_id")
+        .select(col("doc_id"), col("real_w"), col("cat_w"),
+          (col("cat_w") - col("real_w")).as("drift_w"),
+          (col("real_w") === col("cat_w") && col("real_h") === col("cat_h"))
+            .as("consistent"))
+        .filter(!col("consistent"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id,
+                        doc_id % 640 + 16 AS real_w,
+                        doc_id % 640 + 16
+                          + CASE WHEN doc_id % 11 = 0 THEN 4 ELSE 0 END AS cat_w
+                 FROM documents WHERE doc_id % 3 = 0)
+      SELECT doc_id, real_w, cat_w, cat_w - real_w AS drift_w,
+             FALSE AS consistent
+      FROM d
+      WHERE real_w <> cat_w
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11,
-    m12, m13, m14)
+    m12, m13, m14, m15)
 }

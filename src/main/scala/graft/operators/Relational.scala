@@ -1515,8 +1515,46 @@ object Relational {
       WHERE rn <= 2
       ORDER BY l_orderkey, l_quantity DESC, l_linenumber"""))
 
+  /** TPC-H Q15 shape — argmax WITH TIES: "the top supplier(s) per month".
+    * q17/q114 use row_number, which silently DROPS ties — correct for
+    * presentation top-k, wrong for "who achieved the maximum" semantics
+    * where two suppliers with equal revenue are both the answer. rank()
+    * over the DECIMAL-exact monthly revenue keeps every tied winner
+    * (ties are real under exact cents, not float noise), and the oracle
+    * replays Q15's textbook form — a scalar-subquery max compared
+    * against the aggregate — so the window formulation is proven
+    * against the self-join one. Shape: one lineitem aggregation, one
+    * bounded window over |month × supplier| aggregates. */
+  val q131 = GraftQuery(
+    "q131_argmax_with_ties",
+    "Q15 shape: top supplier(s) per ship-month by exact revenue, rank() keeps ties",
+    (s, dir) => {
+      val monthly = table(s, dir, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"),
+          col("l_suppkey"))
+        .agg(expr("sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))")
+          .as("cents"))
+      val w = Window.partitionBy("month").orderBy(desc("cents"))
+      monthly
+        .withColumn("r", rank().over(w))
+        .filter(col("r") === 1)
+        .select(col("month"), col("l_suppkey"),
+          (col("cents").cast("double") / 100).as("revenue"))
+        .orderBy("month", "l_suppkey")
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, l_suppkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                 AS cents
+        FROM lineitem GROUP BY month, l_suppkey)
+      SELECT month, l_suppkey, CAST(cents AS DOUBLE) / 100 AS revenue
+      FROM monthly m
+      WHERE cents = (SELECT max(cents) FROM monthly x WHERE x.month = m.month)
+      ORDER BY month, l_suppkey"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
-    q99, q108, q112, q113, q114, q119, q122)
+    q99, q108, q112, q113, q114, q119, q122, q131)
 }
