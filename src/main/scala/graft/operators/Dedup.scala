@@ -1557,6 +1557,60 @@ object Dedup {
       WHERE levenshtein(a.name, b.name) <= 1
       ORDER BY id_a, id_b"""))
 
+  /** LSH banding parameter tuning — the DESIGN step upstream of d2/d12
+    * (which fix b=16, r=4): for a 64-permutation signature, every
+    * divisor split b·r = 64 induces an S-curve P(candidate | s) =
+    * 1 − (1 − s^r)^b (Leskovec et al., MMDS ch.3), and the config is
+    * chosen where the curve's threshold (1/b)^(1/r) lands closest to
+    * the target similarity 0.6. The report tabulates, per config, the
+    * capture probability at s ∈ {0.4, 0.6, 0.8} — how much sub-target
+    * noise each config drags in vs how reliably it catches true pairs —
+    * exactly the table an index designer reads before committing a
+    * corpus-scale banding run. The probability grid is generated, not
+    * scanned (8 configs × nothing): the cost of choosing parameters is
+    * zero data passes, which is the point — tune BEFORE touching 100 TB.
+    * Transcendentals round(4) per t21's cross-engine discipline. */
+  val d22 = GraftQuery(
+    "d22_lsh_tuning",
+    "LSH banding S-curves for b·r=64: capture probabilities, thresholds, chosen config for target 0.6",
+    (s, dir) => {
+      val configs = s.range(1, 65).select(col("id").cast("int").as("b"))
+        .filter(lit(64) % col("b") === 0)
+        .select(col("b"), (lit(64) / col("b")).cast("int").as("r"))
+      def cap(sim: Double) = round(
+        lit(1.0) - pow(lit(1.0) - pow(lit(sim), col("r")), col("b")), 4)
+      val curves = configs
+        .withColumn("threshold", round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 4))
+        .withColumn("p_at_04", cap(0.4))
+        .withColumn("p_at_06", cap(0.6))
+        .withColumn("p_at_08", cap(0.8))
+        .withColumn("dist",
+          round(abs(pow(lit(1.0) / col("b"), lit(1.0) / col("r")) - 0.6), 4))
+      val best = curves.agg(min(col("dist")).as("best_dist"))
+      curves.crossJoin(broadcast(best))
+        .select(col("b").cast("long").as("b"), col("r").cast("long").as("r"),
+          col("threshold"), col("p_at_04"), col("p_at_06"), col("p_at_08"),
+          (col("dist") === col("best_dist")).as("chosen"))
+        .orderBy("b")
+    },
+    Some("""
+      WITH configs AS (
+        SELECT CAST(b AS BIGINT) AS b, CAST(64 / b AS BIGINT) AS r
+        FROM (SELECT unnest(range(1, 65)) AS b)
+        WHERE 64 % b = 0),
+      curves AS (
+        SELECT b, r,
+               round(pow(1.0 / b, 1.0 / r), 4) AS threshold,
+               round(1 - pow(1 - pow(0.4, r), b), 4) AS p_at_04,
+               round(1 - pow(1 - pow(0.6, r), b), 4) AS p_at_06,
+               round(1 - pow(1 - pow(0.8, r), b), 4) AS p_at_08,
+               round(abs(pow(1.0 / b, 1.0 / r) - 0.6), 4) AS dist
+        FROM configs)
+      SELECT b, r, threshold, p_at_04, p_at_06, p_at_08,
+             dist = (SELECT min(dist) FROM curves) AS chosen
+      FROM curves
+      ORDER BY b"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
-    d12, d13, d14, d15, d16, d17, d18, d19, d20, d21)
+    d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22)
 }
