@@ -817,6 +817,116 @@ object EventWindows {
       LEFT JOIN monthly y ON y.month = c.month - INTERVAL 12 MONTH
       ORDER BY c.month"""))
 
+  /** Gaps-and-islands in its canonical form — consecutive-day activity
+    * streaks (the DAU-streak / achievement metric every engagement pipeline
+    * computes): per user, distinct active days collapse to integer day
+    * indexes, and `day_idx - row_number()` is constant exactly along a run
+    * of consecutive days (Itzik Ben-Gan's islands identity), so a plain
+    * groupBy on that difference labels maximal streaks with NO self-join
+    * and NO iteration — two narrow window passes over (user, day) rows.
+    * Scale: the shuffle carries one row per user-day (corpus-bounded,
+    * ~activity-compressed), the windows partition by user_id (thousands of
+    * independent partitions), and the output is a streak-length histogram —
+    * bounded by the calendar, not the corpus. */
+  val q132 = GraftQuery(
+    "q132_activity_streaks",
+    "Consecutive-day streak histogram via the islands identity (day_idx - row_number)",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("day_idx")
+      val days = events(s, dir)
+        .select(col("user_id"), datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day_idx"))
+        .distinct()
+      val streaks = days
+        .withColumn("island", col("day_idx") - row_number().over(byUser))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("streak_len"))
+      streaks
+        .groupBy("streak_len")
+        .agg(count(lit(1)).as("n_streaks"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("streak_len")
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx
+        FROM events),
+      isl AS (
+        SELECT user_id,
+               day_idx - row_number() OVER (PARTITION BY user_id ORDER BY day_idx) AS island
+        FROM days),
+      streaks AS (
+        SELECT user_id, island, count(*) AS streak_len
+        FROM isl GROUP BY user_id, island)
+      SELECT streak_len, count(*) AS n_streaks, count(DISTINCT user_id) AS n_users
+      FROM streaks GROUP BY streak_len ORDER BY streak_len"""))
+
+  /** Batch sessionization with a DATA-DEPENDENT gap threshold — the shape
+    * `session_window` (q34/st3) cannot express: a purchase keeps the
+    * session alive for 24 h, anything else for 6 h, so the cut decision
+    * reads the PREVIOUS row's type and timestamp (lag) and session ids are
+    * a running sum of cut flags. One window pass to flag cuts, one to
+    * number sessions, one groupBy per session, then a bounded histogram by
+    * session size — the standard scale shape for per-entity sessionization
+    * (each user's timeline is one partition; no joins). Durations aggregate
+    * as exact integer microseconds and divide once at the end, so the
+    * result is independent of partial-sum order. */
+  val q135 = GraftQuery(
+    "q135_adaptive_sessions",
+    "Variable-gap sessionization (purchase extends TTL) + session-size histogram",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cut = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("ttl_s",
+          when(col("prev_type") === "purchase", lit(86400L)).otherwise(lit(21600L)))
+        .withColumn("is_cut",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > col("ttl_s") * 1000000L, 1L)
+            .otherwise(0L))
+      val sessions = cut
+        .withColumn("session_id", sum(col("is_cut")).over(w))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("has_purchase"))
+      sessions
+        .groupBy("n_events")
+        .agg(count(lit(1)).as("n_sessions"),
+          round(sum(col("dur_us")).cast("double") / (count(lit(1)) * 1000000L), 4).as("avg_dur_s"),
+          sum(col("has_purchase")).as("n_with_purchase"))
+        .orderBy("n_events")
+    },
+    Some("""
+      WITH cut AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(ts) OVER w AS prev_ts,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      flagged AS (
+        SELECT *,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) >
+                            CAST(CASE WHEN prev_type = 'purchase' THEN 86400 ELSE 21600 END AS BIGINT) * 1000000
+                    THEN 1 ELSE 0 END AS is_cut
+        FROM cut),
+      numbered AS (
+        SELECT *, sum(is_cut) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged),
+      sessions AS (
+        SELECT user_id, session_id, count(*) AS n_events,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+        FROM numbered GROUP BY user_id, session_id)
+      SELECT n_events, count(*) AS n_sessions,
+             round(CAST(sum(dur_us) AS DOUBLE) / (count(*) * 1000000), 4) AS avg_dur_s,
+             CAST(sum(has_purchase) AS BIGINT) AS n_with_purchase
+      FROM sessions GROUP BY n_events ORDER BY n_events"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
-    q86, q89, q91, q92, q96, q102, q107, q118, q130)
+    q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135)
 }

@@ -201,5 +201,84 @@ object Sampling {
       ORDER BY priority DESC, doc_id
       LIMIT 50"""))
 
-  val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62, q100)
+  /** KMV (k-minimum-values) distinct-count sketch — the OTHER mergeable
+    * cardinality sketch family (Bar-Yossef et al. 2002; the basis of theta
+    * sketches), here fully DETERMINISTIC so the DuckDB oracle replays it
+    * bit-for-bit, unlike q14's opaque HLL registers: hash each key to a
+    * uniform 60-bit value (md5 prefix), keep the k=64 smallest per group,
+    * and estimate distinct = (k-1) / U_k · 2^60 where U_k is the k-th
+    * minimum (floor'd in integer-exact arithmetic). Groups with fewer than
+    * k distinct keys are EXACT by construction (the sketch holds every
+    * hash). Mergeability is demonstrated the theta-sketch way: the ALL row
+    * is computed from the per-group k-mins alone — union the (5·k) retained
+    * hashes, re-take the k smallest — with NO second scan of orders.
+    * Scale: the shuffle after the per-group top-k carries ≤ k longs per
+    * group; at 100 TB the sketch rows are the only thing that moves. */
+  val q134 = GraftQuery(
+    "q134_kmv_distinct_sketch",
+    "Deterministic KMV (k=64) distinct-customer estimate per priority + sketch-merge ALL row",
+    (s, dir) => {
+      val k = 64
+      val scale = 1152921504606846976L // 2^60: md5's first 15 hex chars
+      val byGrp = Window.partitionBy("grp").orderBy("h")
+      def sketch(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("rk", row_number().over(byGrp))
+        .filter(col("rk") <= k)
+      val hashes = table(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          expr("CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .distinct()
+      val perGrp = sketch(hashes)
+      val merged = sketch(perGrp.select(lit("ALL").as("grp"), col("h")).distinct())
+      val exact = table(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"), col("o_custkey"))
+        .union(table(s, dir, "orders").select(lit("ALL"), col("o_custkey")))
+        .groupBy("grp").agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      perGrp.unionByName(merged)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("k_used"), max(col("h")).as("uk"))
+        .withColumn("est_distinct",
+          when(col("k_used") < k, col("k_used"))
+            .otherwise(floor((col("k_used") - 1).cast("double") / col("uk") * scale)))
+        .join(exact, "grp")
+        .select(col("grp"), col("k_used"), col("est_distinct"), col("exact_distinct"),
+          // basis points via integer floor-div: immune to the Spark/DuckDB
+          // double-round(…, n) half-way divergence (README determinism rules)
+          expr("abs(est_distinct - exact_distinct) * 10000 div exact_distinct").as("rel_err_bp"))
+        .orderBy("grp")
+    },
+    Some("""
+      WITH h AS (
+        SELECT DISTINCT o_orderpriority AS grp,
+               CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM orders),
+      per AS (
+        SELECT grp, h FROM (
+          SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM h)
+        WHERE rk <= 64),
+      mrg AS (
+        SELECT 'ALL' AS grp, h FROM (
+          SELECT h, row_number() OVER (ORDER BY h) AS rk FROM (SELECT DISTINCT h FROM per))
+        WHERE rk <= 64),
+      sk AS (
+        SELECT grp, count(*) AS k_used, max(h) AS uk
+        FROM (SELECT * FROM per UNION ALL SELECT * FROM mrg) GROUP BY grp),
+      ex AS (
+        SELECT o_orderpriority AS grp, count(DISTINCT o_custkey) AS exact_distinct
+        FROM orders GROUP BY grp
+        UNION ALL
+        SELECT 'ALL', count(DISTINCT o_custkey) FROM orders),
+      est AS (
+        SELECT grp, k_used,
+               CASE WHEN k_used < 64 THEN k_used
+                    ELSE CAST(floor(CAST(k_used - 1 AS DOUBLE) / uk * 1152921504606846976) AS BIGINT)
+               END AS est_distinct
+        FROM sk)
+      SELECT est.grp, est.k_used, est.est_distinct, ex.exact_distinct,
+             abs(est.est_distinct - ex.exact_distinct) * 10000 // ex.exact_distinct
+               AS rel_err_bp
+      FROM est JOIN ex ON est.grp = ex.grp
+      ORDER BY est.grp"""))
+
+  val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62, q100, q134)
 }

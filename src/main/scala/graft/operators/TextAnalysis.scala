@@ -2046,7 +2046,73 @@ object TextAnalysis {
       FROM g8
       ORDER BY seed_rank"""))
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) frequency estimation,
+    * fully deterministic (md5-derived bucket hashes) so the oracle replays
+    * the sketch bit-for-bit — unlike the opaque RNG inside Spark's own
+    * `count_min_sketch` aggregate. d=4 rows × w=256 counters; every counter
+    * is sum(count) of the tokens landing there, so CMS[i][h_i(t)] ≥
+    * exact(t) ALWAYS (one-sided error — pinned in InvariantSpec) and
+    * estimate = min_i CMS[i][h_i(t)]. Scale posture: the sketch is built
+    * from the TOKEN-COUNT table, not the token stream — explode feeds one
+    * map-side-combined groupBy (the t7 shape), and only the vocabulary
+    * (Zipf-bounded) is hashed 4×; the sketch itself is ≤ 1024 rows
+    * regardless of corpus size, which is the whole point of CMS at 100 TB:
+    * a frequency oracle that ships in a broadcast. Probes: the exact
+    * top-30 tokens, reporting estimate vs truth and the collision
+    * overcount. */
+  val t38 = GraftQuery(
+    "t38_count_min_sketch",
+    "Deterministic 4×256 Count-Min sketch: estimate vs exact for the top-30 tokens",
+    (s, dir) => {
+      // Persisted: the corpus explode+count feeds three consumers (sketch
+      // build, top-30 probe list, probe hash lookup) — one evaluation, not
+      // three. Vocab-sized (Zipf-bounded), so the pin is tiny at any scale.
+      val counts = table(s, dir, "documents")
+        .select(explode(words(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .persist()
+      val hashed = counts
+        .select(col("token"), col("n"), explode(sequence(lit(0), lit(3))).as("row"))
+        .withColumn("bucket",
+          expr("CAST(conv(substring(md5(concat(token, '#', CAST(row AS STRING))), 1, 8), 16, 10) AS BIGINT) % 256"))
+      val cms = hashed.groupBy("row", "bucket").agg(sum(col("n")).as("counter"))
+      val top = counts
+        .orderBy(col("n").desc, col("token"))
+        .limit(30)
+      broadcast(top)
+        .join(hashed.select(col("token"), col("row"), col("bucket")), "token")
+        .join(broadcast(cms), Seq("row", "bucket"))
+        .groupBy("token", "n")
+        .agg(min(col("counter")).as("cms_est"))
+        .select(col("token"), col("n").as("exact_n"), col("cms_est"),
+          (col("cms_est") - col("n")).as("overcount"))
+        .orderBy(col("exact_n").desc, col("token"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+      counts AS (
+        SELECT token, count(*) AS n FROM toks WHERE len(token) > 0 GROUP BY token),
+      hashed AS (
+        SELECT token, n, r.row,
+               CAST(concat('0x', substr(md5(concat(token, '#', CAST(r.row AS VARCHAR))), 1, 8)) AS BIGINT) % 256
+                 AS bucket
+        FROM counts, (SELECT unnest(range(4)) AS row) r),
+      cms AS (
+        SELECT row, bucket, CAST(sum(n) AS BIGINT) AS counter FROM hashed GROUP BY row, bucket),
+      top AS (
+        SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 30)
+      SELECT t.token, t.n AS exact_n, min(c.counter) AS cms_est,
+             min(c.counter) - t.n AS overcount
+      FROM top t
+      JOIN hashed h ON h.token = t.token
+      JOIN cms c ON c.row = h.row AND c.bucket = h.bucket
+      GROUP BY t.token, t.n
+      ORDER BY exact_n DESC, t.token"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37)
+    t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38)
 }

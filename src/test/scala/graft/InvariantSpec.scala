@@ -799,6 +799,56 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("t38: CMS never underestimates, and estimates are monotone vs a wider sketch's truth") {
+    // one-sided error is THE Count-Min contract: every counter sums a
+    // superset of each probed token's occurrences.
+    val rows = operators.TextAnalysis.t38.build(spark, sfDir).collect()
+    assert(rows.length == 30, s"expected 30 probes, got ${rows.length}")
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"${r.getString(0)}: CMS underestimated ($est < $exact)")
+      assert(over == est - exact, "overcount column inconsistent")
+    }
+  }
+
+  test("q134: KMV is exact below k, the merged ALL sketch dominates, and errors stay sane") {
+    val rows = operators.Sampling.q134.build(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (k, est, exact, bp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      if (k < 64) assert(est == exact,
+        s"${r.getString(0)}: sketch holds all $k hashes yet est=$est != exact=$exact")
+      // (k-1)/U_k with k=64 has rel. stderr ~1/8; 3σ sanity bound
+      assert(bp <= 4000, s"${r.getString(0)}: KMV rel error $bp bp exceeds 40%")
+    }
+    val all = rows.filter(_.getString(0) == "ALL")
+    assert(all.length == 1, "merged ALL row missing")
+  }
+
+  test("q135: session histogram conserves events and purchases") {
+    // sum(n_events * n_sessions) must equal the event count, and sessions
+    // containing a purchase can never exceed total purchase events.
+    val rows = operators.EventWindows.q135.build(spark, sfDir).collect()
+    val ev = operators.events(spark, sfDir)
+    val totalEvents = ev.count()
+    val totalPurch = ev.filter(col("event_type") === "purchase").count()
+    val histEvents = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    val withPurch = rows.map(_.getLong(3)).sum
+    assert(histEvents == totalEvents,
+      s"histogram holds $histEvents events, fixture has $totalEvents")
+    assert(withPurch <= totalPurch && withPurch > 0,
+      s"$withPurch purchase-sessions vs $totalPurch purchase events")
+  }
+
+  test("q132: streak histogram accounts for every user-day exactly once") {
+    val rows = operators.EventWindows.q132.build(spark, sfDir).collect()
+    val userDays = operators.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date")).distinct().count()
+    val histDays = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(histDays == userDays,
+      s"islands cover $histDays user-days, fixture has $userDays")
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE
