@@ -980,6 +980,107 @@ object Multimodal {
       WHERE real_w <> cat_w
       ORDER BY doc_id"""))
 
+  /** One content tile: grid position, size, digest. */
+  final case class TileRow(doc_id: Long, tile_idx: Long, tile_len: Long,
+      digest: String)
+
+  private def md5Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
+  /** The tiler at the codec seam (m2's pattern applied to sub-image
+    * granularity): a decodable image splits into a 4×4 grid of pixel
+    * blocks — each block's ARGB ints digested independently, the unit of
+    * crop/logo/watermark dedup — while any other payload takes the labeled
+    * deterministic fake: 16 equal CHARACTER slices (m3's char-framing
+    * rule; the last tile absorbs the remainder), digested over UTF-8
+    * bytes, which is exactly what the SQL oracle replays. Real-path
+    * behavior (identical blocks ⇒ identical digests, position-independent)
+    * is pinned by MultimodalDecodeSpec on a synthesized PNG. */
+  private[graft] def tileDigests(r: MediaRow): Seq[TileRow] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+      catch { case _: Throwable => null }
+    if (img != null) {
+      val (tw, th) = (img.getWidth / 4, img.getHeight / 4)
+      if (tw == 0 || th == 0) Seq.empty
+      else for (ty <- 0 until 4; tx <- 0 until 4) yield {
+        val px = img.getRGB(tx * tw, ty * th, tw, th, null, 0, tw)
+        val bb = java.nio.ByteBuffer.allocate(px.length * 4)
+        px.foreach(bb.putInt)
+        TileRow(r.doc_id, ty * 4L + tx, tw.toLong * th, md5Hex(bb.array()))
+      }
+    } else {
+      val text = new String(r.content, java.nio.charset.StandardCharsets.UTF_8)
+      val t = text.length / 16
+      if (t == 0) Seq.empty
+      else (0 until 16).map { i =>
+        val slice =
+          if (i == 15) text.substring(15 * t)
+          else text.substring(i * t, i * t + t)
+        TileRow(r.doc_id, i.toLong, slice.length.toLong,
+          md5Hex(slice.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+    }
+  }
+
+  /** Tile-level duplicate detection — the sub-image dedup a crawl pipeline
+    * runs to catch shared crops, logos, and boilerplate banners that
+    * whole-image digests (m11) and perceptual whole-frame hashes (m10)
+    * both miss: content tiles through the codec seam, then a digest-keyed
+    * share analysis per grid position. Scale: the shuffle carries (tile
+    * digest, position) pairs — 16 fixed-size digests per asset, never
+    * pixels; the share groupBy keys on digest (uniform), and the report
+    * is 16 rows regardless of corpus size. Exact-duplicate assets appear
+    * as digests shared at EVERY position, cropped/partial copies as
+    * shares at some positions only — which is the signal tile granularity
+    * exists to expose. */
+  val m16 = GraftQuery(
+    "m16_tile_dedup",
+    "4×4 content tiling via the codec seam + per-position tile-share report",
+    (s, dir) => {
+      import s.implicits._
+      val tiles = table(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[MediaRow]
+        .mapPartitions(rows => rows.flatMap(tileDigests))
+        .toDF()
+      val byDigest = tiles
+        .groupBy("tile_idx", "digest")
+        .agg(count(lit(1)).as("n_docs"))
+      byDigest
+        .groupBy("tile_idx")
+        .agg(sum(col("n_docs")).as("n_tiles"),
+          count(lit(1)).as("n_distinct"),
+          coalesce(sum(when(col("n_docs") > 1, col("n_docs"))), lit(0L)).as("n_docs_sharing"),
+          max(col("n_docs")).as("max_share"))
+        .orderBy("tile_idx")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, text, length(text) // 16 AS t
+        FROM documents WHERE length(text) // 16 > 0),
+      tiles AS (
+        SELECT doc_id, i.tile_idx,
+               md5(CASE WHEN i.tile_idx = 15
+                        THEN substring(text, CAST(15 * t + 1 AS INTEGER))
+                        ELSE substring(text, CAST(i.tile_idx * t + 1 AS INTEGER),
+                                       CAST(t AS INTEGER))
+                   END) AS digest
+        FROM d, (SELECT unnest(range(16)) AS tile_idx) i),
+      by_digest AS (
+        SELECT tile_idx, digest, count(*) AS n_docs
+        FROM tiles GROUP BY tile_idx, digest)
+      SELECT tile_idx,
+             CAST(sum(n_docs) AS BIGINT) AS n_tiles,
+             count(*) AS n_distinct,
+             CAST(coalesce(sum(CASE WHEN n_docs > 1 THEN n_docs END), 0) AS BIGINT)
+               AS n_docs_sharing,
+             CAST(max(n_docs) AS BIGINT) AS max_share
+      FROM by_digest
+      GROUP BY tile_idx
+      ORDER BY tile_idx"""))
+
   val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11,
-    m12, m13, m14, m15)
+    m12, m13, m14, m15, m16)
 }

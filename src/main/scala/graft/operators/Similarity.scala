@@ -1870,6 +1870,162 @@ object Similarity {
       FROM ranked WHERE rv = 1
       ORDER BY vec_id"""))
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein SIGIR'98)
+    * diversity reranking — the serving-side step between retrieval and the
+    * prompt window: a plain top-k (s1) returns near-duplicates of the best
+    * hit; MMR greedily picks argmax λ·rel(c) − (1−λ)·max(sim(c, selected)),
+    * trading relevance against redundancy. Greedy selection is inherently
+    * sequential, but k is a SMALL CONSTANT (5), so the loop UNROLLS into
+    * dataflow (t37's chained-join discipline — no driver loop, no
+    * collect): each step is an anti-join (drop selected) + a bounded
+    * penalty join against the candidate-pair sim table + one row_number
+    * pick per query. Scale: everything after the s1-shape retrieval
+    * touches ≤12 candidates/query — pair sims are 12² per query and the
+    * five pick steps are window ops over ≤60 rows; retrieval cost
+    * dominates, rerank cost is O(k·c²) per query regardless of corpus
+    * size, which is why production rerankers run exactly this shape. */
+  val s24 = GraftQuery(
+    "s24_mmr_rerank",
+    "MMR diversity rerank: greedy λ=0.7 pick of 5 from each query's top-12, fused per-row",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val wq = Window.partitionBy("query_id").orderBy(desc("rel"), col("vec_id"))
+      val cands = broadcast(q).crossJoin(emb)
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), col("embedding"), col("nrm"),
+          (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("rel"))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 12)
+        .drop("rn")
+        .persist()
+      val pairA = cands.select(col("query_id"), col("vec_id"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val pairB = cands.select(col("query_id"), col("vec_id").as("b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val pair = pairA.join(pairB, Seq("query_id"))
+        .filter(col("vec_id") =!= col("b"))
+        .select(col("query_id"), col("vec_id"), col("b"),
+          (dotProduct(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
+      // One row per query: candidate list + pair-sim map, then the whole
+      // greedy loop runs INSIDE the row via an aggregate() HOF — parallel
+      // across queries, zero per-step shuffles or barriers. (A first cut
+      // unrolled the steps as five chained anti-join+window stages: correct,
+      // but 18.8 s of tiny-stage scheduling at sf0.1 vs ~1 s fused — the
+      // step state is ≤12 structs, exactly what row-local array algebra is
+      // for. The oracle still replays the textbook unrolled iteration, so
+      // the fusion is PROVEN, q113/q126-style.)
+      val cs = cands.groupBy("query_id")
+        .agg(expr("""array_sort(collect_list(struct(vec_id, rel)),
+                     (l, r) -> CASE WHEN l.vec_id < r.vec_id THEN -1
+                                    WHEN l.vec_id > r.vec_id THEN 1 ELSE 0 END)""").as("cs"))
+      val sims = pair.groupBy("query_id")
+        .agg(map_from_entries(collect_list(
+          struct((col("vec_id") * 1000000L + col("b")).as("k"), col("sim")))).as("sm"))
+      cs.join(sims, Seq("query_id"))
+        .select(col("query_id"), explode(expr("""
+          aggregate(
+            sequence(1, 5),
+            CAST(array() AS ARRAY<STRUCT<vec_id: BIGINT, rel: DOUBLE, score: DOUBLE, pick_rank: BIGINT>>),
+            (sel, k) -> concat(sel, slice(array_sort(
+              transform(
+                filter(cs, c -> !exists(sel, s0 -> s0.vec_id = c.vec_id)),
+                c -> named_struct(
+                  'vec_id', c.vec_id,
+                  'rel', c.rel,
+                  'score', 0.7D * c.rel - 0.3D * coalesce(
+                    array_max(transform(sel, s0 -> sm[c.vec_id * 1000000 + s0.vec_id])), 0D),
+                  'pick_rank', CAST(k AS BIGINT))),
+              (l, r) -> CASE WHEN l.score > r.score THEN -1
+                             WHEN l.score < r.score THEN 1
+                             WHEN l.vec_id < r.vec_id THEN -1
+                             WHEN l.vec_id > r.vec_id THEN 1 ELSE 0 END),
+              1, 1)))""")).as("p"))
+        .select(col("query_id"), col("p.pick_rank").as("pick_rank"), col("p.vec_id").as("vec_id"),
+          round(col("p.rel"), 4).as("rel"), round(col("p.score"), 4).as("mmr_score"))
+        .orderBy("query_id", "pick_rank")
+    },
+    Some("""
+      WITH n AS (SELECT vec_id, embedding,
+                        sqrt(list_aggregate(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+                 FROM embeddings),
+      cand0 AS (SELECT q.vec_id AS query_id, c.vec_id, c.embedding, c.nrm,
+                       list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                         / (q.nrm * c.nrm) AS rel
+                FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+      cands AS (SELECT query_id, vec_id, embedding, nrm, rel FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, vec_id) AS rn FROM cand0) WHERE rn <= 12),
+      pair AS (SELECT a.query_id, a.vec_id, b.vec_id AS b,
+                      list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                        / (a.nrm * b.nrm) AS sim
+               FROM cands a JOIN cands b
+                 ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+      sel1 AS (SELECT query_id, vec_id, rel, 0.7 * rel AS score,
+                      CAST(1 AS BIGINT) AS pick_rank
+               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, vec_id) AS rn FROM cands) WHERE rn = 1),
+      st2 AS (SELECT c.query_id, c.vec_id, c.rel, max(p.sim) AS pen
+              FROM cands c
+              JOIN pair p ON p.query_id = c.query_id AND p.vec_id = c.vec_id
+              JOIN sel1 s ON s.query_id = p.query_id AND s.vec_id = p.b
+              WHERE NOT EXISTS (SELECT 1 FROM sel1 x
+                                WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+              GROUP BY 1, 2, 3),
+      sel2 AS (SELECT * FROM sel1 UNION ALL
+               SELECT query_id, vec_id, rel, 0.7 * rel - 0.3 * pen,
+                      CAST(2 AS BIGINT)
+               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY 0.7 * rel - 0.3 * pen DESC, vec_id) AS rn FROM st2)
+               WHERE rn = 1),
+      st3 AS (SELECT c.query_id, c.vec_id, c.rel, max(p.sim) AS pen
+              FROM cands c
+              JOIN pair p ON p.query_id = c.query_id AND p.vec_id = c.vec_id
+              JOIN sel2 s ON s.query_id = p.query_id AND s.vec_id = p.b
+              WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+                                WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+              GROUP BY 1, 2, 3),
+      sel3 AS (SELECT * FROM sel2 UNION ALL
+               SELECT query_id, vec_id, rel, 0.7 * rel - 0.3 * pen,
+                      CAST(3 AS BIGINT)
+               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY 0.7 * rel - 0.3 * pen DESC, vec_id) AS rn FROM st3)
+               WHERE rn = 1),
+      st4 AS (SELECT c.query_id, c.vec_id, c.rel, max(p.sim) AS pen
+              FROM cands c
+              JOIN pair p ON p.query_id = c.query_id AND p.vec_id = c.vec_id
+              JOIN sel3 s ON s.query_id = p.query_id AND s.vec_id = p.b
+              WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+                                WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+              GROUP BY 1, 2, 3),
+      sel4 AS (SELECT * FROM sel3 UNION ALL
+               SELECT query_id, vec_id, rel, 0.7 * rel - 0.3 * pen,
+                      CAST(4 AS BIGINT)
+               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY 0.7 * rel - 0.3 * pen DESC, vec_id) AS rn FROM st4)
+               WHERE rn = 1),
+      st5 AS (SELECT c.query_id, c.vec_id, c.rel, max(p.sim) AS pen
+              FROM cands c
+              JOIN pair p ON p.query_id = c.query_id AND p.vec_id = c.vec_id
+              JOIN sel4 s ON s.query_id = p.query_id AND s.vec_id = p.b
+              WHERE NOT EXISTS (SELECT 1 FROM sel4 x
+                                WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+              GROUP BY 1, 2, 3),
+      sel5 AS (SELECT * FROM sel4 UNION ALL
+               SELECT query_id, vec_id, rel, 0.7 * rel - 0.3 * pen,
+                      CAST(5 AS BIGINT)
+               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY 0.7 * rel - 0.3 * pen DESC, vec_id) AS rn FROM st5)
+               WHERE rn = 1)
+      SELECT query_id, pick_rank, vec_id,
+             round(rel, 4) AS rel, round(score, 4) AS mmr_score
+      FROM sel5
+      ORDER BY query_id, pick_rank"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
-    s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23)
+    s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24)
 }

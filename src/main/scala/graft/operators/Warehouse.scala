@@ -1825,7 +1825,68 @@ object Warehouse {
       FROM w
       ORDER BY r_name, n_name"""))
 
+  /** Snapshot expiry / orphan-file GC — the Iceberg `expire_snapshots` +
+    * `remove_orphan_files` reachability computation, the maintenance op
+    * that actually reclaims space in a lakehouse (q93/q106 re-layout live
+    * data; q121 forgets changelog history; q136 decides which FILES no
+    * retained snapshot can reach): each data file carries an
+    * [added_snap, deleted_snap) visibility interval, the retention policy
+    * keeps the last 3 snapshots plus a tagged one (snapshot 2 — the
+    * audit-hold pattern), and a file is reclaimable iff its interval
+    * contains NO retained snapshot — decided by a LEFT SEMI join against
+    * the broadcast 4-row retained list, never an expression hard-coding
+    * the policy (the policy table is data, exactly how a catalog stores
+    * it). File metadata is simulated deterministically from orders (file =
+    * o_orderkey mod 60 bucket; lifecycle from file id; size = exact cents
+    * mass), so every row is oracle-checkable. Scale: the decision joins
+    * the FILE MANIFEST (metadata, ~10⁶ rows at 100 TB) against a
+    * broadcast snapshot list — the fact table is scanned once to size the
+    * files, and reachability itself never touches data, which is why
+    * expire_snapshots runs in seconds on petabyte tables. */
+  val q136 = GraftQuery(
+    "q136_snapshot_expiry",
+    "Snapshot-retention GC: per-file reachability vs retained {2,7,8,9}, reclaimable bytes",
+    (s, dir) => {
+      val files = table(s, dir, "orders")
+        .groupBy((col("o_orderkey") % 60).as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("sum(CAST(round(o_totalprice * 100) AS BIGINT))").as("bytes"))
+        .withColumn("added_snap", expr("file_id div 6"))
+        .withColumn("deleted_snap",
+          expr("least(added_snap + file_id % 5 + 1, CAST(10 AS BIGINT))"))
+      val retained = s.range(0, 10).select(col("id").as("snap"))
+        .filter(col("snap") === 2 || col("snap") >= 7)
+      val live = files.join(broadcast(retained),
+        col("snap") >= col("added_snap") && col("snap") < col("deleted_snap"),
+        "left_semi")
+      val dead = files.join(broadcast(retained),
+        col("snap") >= col("added_snap") && col("snap") < col("deleted_snap"),
+        "left_anti")
+      live.withColumn("action", lit("keep"))
+        .unionByName(dead.withColumn("action", lit("expire")))
+        .select(col("file_id"), col("added_snap"), col("deleted_snap"),
+          col("n_rows"), col("bytes"), col("action"))
+        .orderBy("file_id")
+    },
+    Some("""
+      WITH files AS (
+        SELECT o_orderkey % 60 AS file_id,
+               count(*) AS n_rows,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS bytes,
+               (o_orderkey % 60) // 6 AS added_snap,
+               least((o_orderkey % 60) // 6 + (o_orderkey % 60) % 5 + 1, 10) AS deleted_snap
+        FROM orders GROUP BY o_orderkey % 60),
+      retained AS (
+        SELECT unnest([2, 7, 8, 9]) AS snap)
+      SELECT f.file_id, f.added_snap, f.deleted_snap, f.n_rows,
+             CAST(f.bytes AS BIGINT) AS bytes,
+             CASE WHEN EXISTS (SELECT 1 FROM retained r
+                               WHERE r.snap >= f.added_snap AND r.snap < f.deleted_snap)
+                  THEN 'keep' ELSE 'expire' END AS action
+      FROM files f
+      ORDER BY f.file_id"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
-    q115, q116, q117, q120, q121, q124, q125, q126, q127)
+    q115, q116, q117, q120, q121, q124, q125, q126, q127, q136)
 }

@@ -849,6 +849,26 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"islands cover $histDays user-days, fixture has $userDays")
   }
 
+  test("s24: MMR picks are distinct, lead with the argmax-rel hit, and scores never increase") {
+    val rows = operators.Similarity.s24.build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (qid, picks) =>
+      assert(picks.length == 5, s"query $qid: ${picks.length} picks")
+      assert(picks.map(_._3).distinct.length == 5, s"query $qid: duplicate picks")
+      val ordered = picks.sortBy(_._2)
+      // greedy's first pick maximizes pure relevance (penalty term is 0)
+      assert(ordered.head._4 == picks.map(_._4).max,
+        s"query $qid: pick 1 is not the most relevant candidate")
+      // the max over a shrinking set of non-increasing score functions is
+      // non-increasing — a violated step means the penalty join dropped rows
+      ordered.sliding(2).foreach { w =>
+        val (a, b) = (w(0), w(1))
+        assert(b._5 <= a._5 + 1e-9,
+          s"query $qid: score rose ${a._5} -> ${b._5} at pick ${b._2}")
+      }
+    }
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE

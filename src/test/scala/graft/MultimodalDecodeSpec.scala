@@ -174,6 +174,37 @@ class MultimodalDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L).getString(1) == "unparsed" && out(2L).isNullAt(2))
   }
 
+  test("m16 tiles: real image path digests pixel blocks — identical blocks match across positions") {
+    // 8×8 image whose left half repeats the same 2×8 column pattern:
+    // tiles (r,0) and (r,1) hold identical pixels for every row r, while
+    // the right half is a gradient making all its tiles distinct.
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 8).foreach { x => (0 until 8).foreach { y =>
+      val v = if (x < 4) (x % 2) * 1000 + y else 0x10000 + x * 256 + y * 17
+      img.setRGB(x, y, v)
+    }}
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val tiles = operators.Multimodal
+      .tileDigests(operators.Multimodal.MediaRow(1L, out.toByteArray))
+    assert(tiles.length == 16)
+    assert(tiles.forall(_.tile_len == 4), "8×8 / 4×4 grid → 2×2-pixel tiles")
+    val byIdx = tiles.map(t => t.tile_idx -> t.digest).toMap
+    (0 until 4).foreach { r =>
+      assert(byIdx(r * 4L) == byIdx(r * 4L + 1),
+        s"row $r: repeated left-half columns must tile-match")
+      assert(byIdx(r * 4L + 2) != byIdx(r * 4L + 3),
+        s"row $r: gradient right-half tiles must differ")
+    }
+    // text fallback replays the oracle's character-slice arithmetic
+    val text = ("abcdefgh" * 9).take(67) // 67 chars → t=4, last tile 7 chars
+    val tt = operators.Multimodal.tileDigests(
+      operators.Multimodal.MediaRow(2L, text.getBytes("UTF-8")))
+    assert(tt.length == 16 && tt.take(15).forall(_.tile_len == 4) &&
+      tt.last.tile_len == 7)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
