@@ -927,6 +927,48 @@ object EventWindows {
              CAST(sum(has_purchase) AS BIGINT) AS n_with_purchase
       FROM sessions GROUP BY n_events ORDER BY n_events"""))
 
+  /** OHLC downsampling — the time-series resample every metrics store runs
+    * (candlestick bars / per-window first-last-extremes): open and close
+    * are ARGMIN/ARGMAX-by-time, computed with the struct-min trick —
+    * `min(struct(ts, event_id, value))` rides the ONE hash aggregate with
+    * map-side partials (struct comparison is lexicographic, event_id
+    * breaks same-microsecond ties), so the whole bar table is a single
+    * shuffle keyed by (day, type) with NO window pass and NO second scan.
+    * The oracle replays the textbook two-window row_number formulation,
+    * proving the single-agg fusion (q113/q119's discipline). Volume sums
+    * in exact integer cents; open/high/low/close are raw stored doubles
+    * (no arithmetic → bit-identical cross-engine). */
+  val q137 = GraftQuery(
+    "q137_ohlc_bars",
+    "Daily OHLC bars per event type via struct-argmin in one aggregate pass",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("ts"), col("event_id"), col("value"))).getField("value").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(struct(col("ts"), col("event_id"), col("value"))).getField("value").as("close"),
+          expr("sum(CAST(round(value * 100) AS BIGINT))").as("volume_cents"))
+        .orderBy("day", "event_type"),
+    Some("""
+      WITH r AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, value,
+               row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events)
+      SELECT day, event_type, count(*) AS n,
+             max(CASE WHEN rn_a = 1 THEN value END) AS open,
+             max(value) AS high,
+             min(value) AS low,
+             max(CASE WHEN rn_d = 1 THEN value END) AS close,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS volume_cents
+      FROM r
+      GROUP BY day, event_type
+      ORDER BY day, event_type"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
-    q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135)
+    q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137)
 }

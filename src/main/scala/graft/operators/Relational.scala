@@ -1553,8 +1553,75 @@ object Relational {
       WHERE cents = (SELECT max(cents) FROM monthly x WHERE x.month = m.month)
       ORDER BY month, l_suppkey"""))
 
+  /** Decile lift/gains table — the model-evaluation report every targeting
+    * or ranking pipeline publishes ("does the top decile respond above
+    * base rate, and by how much cumulatively"): customers ranked by
+    * account balance into ntile(10) deciles (custkey tie-break → the split
+    * is total-order deterministic), "response" = placed ≥1 urgent order
+    * (a LEFT SEMI-derived flag via a distinct custkey set — the fact table
+    * never joins row-per-order into the rank), then per decile n /
+    * responders / rate, running totals, and cumulative lift vs the base
+    * rate — every ratio integer basis points by cross-multiplication
+    * (cum_resp·total_n·10⁴ div (cum_n·total_resp)), no float division
+    * anywhere. Scale: one dimension-table window (ntile over customers),
+    * one digest-sized distinct from orders, a 10-row rollup — the fact
+    * scan is a semi-join-shaped aggregate, the report is O(1). */
+  val q138 = GraftQuery(
+    "q138_decile_lift",
+    "Gains/lift table: balance deciles vs urgent-order response, cumulative lift in bp",
+    (s, dir) => {
+      val responders = table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+        .withColumn("resp", lit(1L))
+      val decile = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy(desc("c_acctbal"), col("c_custkey"))).cast("long"))
+        .join(broadcast(responders), Seq("c_custkey"), "left")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("resp")), lit(0L)).as("responders"))
+      val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      decile
+        .withColumn("cum_n", sum(col("n")).over(w))
+        .withColumn("cum_resp", sum(col("responders")).over(w))
+        .withColumn("total_n", sum(col("n")).over(Window.partitionBy()))
+        .withColumn("total_resp", sum(col("responders")).over(Window.partitionBy()))
+        .select(col("decile"), col("n"), col("responders"),
+          expr("responders * 10000 div n").as("rate_bp"),
+          col("cum_resp"),
+          expr("cum_resp * total_n * 10000 div (cum_n * total_resp)").as("cum_lift_bp"))
+        .orderBy("decile")
+    },
+    Some("""
+      WITH resp AS (
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'),
+      ranked AS (
+        SELECT c.c_custkey,
+               ntile(10) OVER (ORDER BY c.c_acctbal DESC, c.c_custkey) AS decile,
+               CASE WHEN r.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS resp
+        FROM customer c LEFT JOIN resp r ON r.c_custkey = c.c_custkey),
+      d AS (
+        SELECT decile, count(*) AS n, CAST(sum(resp) AS BIGINT) AS responders
+        FROM ranked GROUP BY decile),
+      c AS (
+        SELECT CAST(decile AS BIGINT) AS decile, n, responders,
+               sum(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_n,
+               sum(responders) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_resp,
+               sum(n) OVER () AS total_n,
+               sum(responders) OVER () AS total_resp
+        FROM d)
+      SELECT decile, n, responders,
+             responders * 10000 // n AS rate_bp,
+             CAST(cum_resp AS BIGINT) AS cum_resp,
+             CAST(cum_resp * total_n * 10000 // (cum_n * total_resp) AS BIGINT)
+               AS cum_lift_bp
+      FROM c
+      ORDER BY decile"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
-    q99, q108, q112, q113, q114, q119, q122, q131)
+    q99, q108, q112, q113, q114, q119, q122, q131, q138)
 }

@@ -2112,7 +2112,55 @@ object TextAnalysis {
       GROUP BY t.token, t.n
       ORDER BY exact_n DESC, t.token"""))
 
+  /** Corpus-driven stopword discovery — the list every IR/quality pipeline
+    * needs but shouldn't hardcode (language- and domain-specific): a token
+    * is a stopword candidate when it is BOTH ubiquitous (document
+    * frequency ≥ 30% of the corpus) and dispersed (present in every
+    * source — Gries' dispersion criterion collapsed to its exact
+    * all-sources form), which separates true function words from topical
+    * terms that merely spike in one community. DF counts distinct docs
+    * (array_distinct before the explode — per-doc token multiplicity
+    * never inflates df), ratios are integer basis points. Scale: the
+    * shuffle carries (token, doc) once per distinct pair, the report is
+    * top-40. */
+  val t39 = GraftQuery(
+    "t39_stopword_discovery",
+    "Stopword candidates: document-frequency ≥30% AND present in all 20 sources, top-40",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources")))
+      docs
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(words(col("text")))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token")
+        .agg(count(lit(1)).as("df"),
+          countDistinct(col("source")).as("n_src"))
+        .crossJoin(nDocs)
+        .withColumn("df_bp", expr("df * 10000 div n_docs"))
+        .filter(col("df_bp") >= 3000 && col("n_src") === col("n_sources"))
+        .select(col("token"), col("df"), col("df_bp"), col("n_src"))
+        .orderBy(desc("df"), col("token"))
+        .limit(40)
+    },
+    Some("""
+      WITH tot AS (
+        SELECT count(*) AS n_docs, count(DISTINCT source) AS n_sources
+        FROM documents),
+      tok AS (
+        SELECT DISTINCT doc_id, source, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents),
+      df AS (
+        SELECT token, count(*) AS df, count(DISTINCT source) AS n_src
+        FROM tok WHERE len(token) > 0 GROUP BY token)
+      SELECT token, df, df * 10000 // t.n_docs AS df_bp, n_src
+      FROM df, tot t
+      WHERE df * 10000 // t.n_docs >= 3000 AND n_src = t.n_sources
+      ORDER BY df DESC, token
+      LIMIT 40"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38)
+    t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39)
 }

@@ -685,6 +685,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), s"self-join in SCD2 build\n$p")
   }
 
+  test("q137: OHLC bars are one hash aggregate — struct-argmin fuses open/close, no Window node") {
+    val p = plan(operators.EventWindows.q137.build(spark, sfDir))
+    assert(!p.contains("Window"),
+      s"open/close leaked into a window pass — the struct-min fusion regressed\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"$hashEx hash exchanges, expected exactly the (day,type) one\n$p")
+  }
+
+  test("q138: the responder flag reaches the decile rank via broadcast, never a fact-sized shuffle join") {
+    val p = plan(operators.Relational.q138.build(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"responder set must broadcast onto the customer deciles\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact-shuffle join crept in\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
