@@ -1620,8 +1620,62 @@ object Relational {
       FROM c
       ORDER BY decile"""))
 
+  /** Exact weighted median — the robust statistic q42/q53's unweighted
+    * percentiles can't give when rows carry mass (here: price weighted by
+    * quantity — "the price at which half the UNITS trade", not half the
+    * line items): sort each group by value, walk cumulative weight, take
+    * the first value where 2·cumw ≥ totw (lower weighted median — the
+    * discrete definition with no float interpolation). One window pass
+    * over the group's sort (the q19 running-sum shape with a unique
+    * (orderkey, linenumber) tiebreak so cumulative weights are a total
+    * order), then a min-per-group rollup. All mass in exact integers
+    * (quantity is integral, price in cents) — the selected value is a
+    * stored cent amount, bit-identical cross-engine. */
+  val q141 = GraftQuery(
+    "q141_weighted_median",
+    "Quantity-weighted median unit price per returnflag via cumulative-weight walk",
+    (s, dir) => {
+      val w = Window.partitionBy("grp")
+        .orderBy("c", "l_orderkey", "l_linenumber")
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("wt"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("cumw", sum(col("wt")).over(w))
+        .withColumn("totw", sum(col("wt")).over(Window.partitionBy("grp")))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy("grp")
+        .agg(min(col("c")).as("wmedian_cents"),
+          max(col("totw")).as("total_units"))
+        .select(col("grp"),
+          (col("wmedian_cents").cast("double") / 100).as("wmedian_price"),
+          col("total_units"))
+        .orderBy("grp")
+    },
+    Some("""
+      WITH r AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+               CAST(round(l_quantity) AS BIGINT) AS wt,
+               l_orderkey, l_linenumber
+        FROM lineitem),
+      walk AS (
+        SELECT grp, c,
+               sum(wt) OVER (PARTITION BY grp ORDER BY c, l_orderkey, l_linenumber
+                             ROWS UNBOUNDED PRECEDING) AS cumw,
+               sum(wt) OVER (PARTITION BY grp) AS totw
+        FROM r)
+      SELECT grp,
+             CAST(min(c) AS DOUBLE) / 100 AS wmedian_price,
+             CAST(max(totw) AS BIGINT) AS total_units
+      FROM walk
+      WHERE cumw * 2 >= totw
+      GROUP BY grp
+      ORDER BY grp"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
-    q99, q108, q112, q113, q114, q119, q122, q131, q138)
+    q99, q108, q112, q113, q114, q119, q122, q131, q138, q141)
 }

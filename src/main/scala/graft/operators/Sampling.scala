@@ -280,5 +280,92 @@ object Sampling {
       FROM est JOIN ex ON est.grp = ex.grp
       ORDER BY est.grp"""))
 
-  val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62, q100, q134)
+  /** Mergeable quantile sketch — the fourth sketch family (after q134's
+    * KMV cardinality, t38's CMS frequency, q62's HLL), fully deterministic
+    * where `approx_percentile`'s internal GK summary is opaque: values
+    * bucket by (decimal digit count, leading digit) — a 9×~8-cell
+    * log-scale histogram computed with pure INTEGER string/arithmetic ops
+    * (no transcendentals), the classic engineering stand-in for t-digest
+    * when cross-system reproducibility matters. The p50 estimate walks
+    * the cumulative histogram to the rank-holding bucket and interpolates
+    * uniformly INSIDE it in exact integer math (lower + need·width div
+    * cnt). Mergeability demonstrated the q134 way: the ALL row sums the
+    * per-group histograms — no second fact scan. Exact medians come from
+    * the rank-walk (percentile_disc semantics, no float interpolation),
+    * so estimate-vs-truth error lands in integer basis points. */
+  val q139 = GraftQuery(
+    "q139_histogram_quantile_sketch",
+    "Deterministic log-histogram p50 sketch vs exact median per returnflag + merged ALL",
+    (s, dir) => {
+      val cents = table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      val both = cents.unionByName(cents.withColumn("grp", lit("ALL")))
+      // bucket = (digits, leading digit); lower edge and width are powers of 10
+      val hist = both
+        .withColumn("d", length(col("c").cast("string")).cast("long"))
+        .withColumn("f", substring(col("c").cast("string"), 1, 1).cast("long"))
+        .groupBy("grp", "d", "f")
+        .agg(count(lit(1)).as("cnt"))
+      val wcum = Window.partitionBy("grp").orderBy("d", "f")
+      val est = hist
+        .withColumn("cum", sum(col("cnt")).over(wcum))
+        .withColumn("tot", sum(col("cnt")).over(Window.partitionBy("grp")))
+        .withColumn("rank", expr("(tot + 1) div 2"))
+        .filter(col("cum") >= col("rank") && col("cum") - col("cnt") < col("rank"))
+        // power of 10 via string concat: exact integer, no libm pow whose
+        // rounding could differ cross-engine before the BIGINT cast
+        .withColumn("width", expr("CAST(concat('1', repeat('0', CAST(d - 1 AS INT))) AS BIGINT)"))
+        .withColumn("lower", expr("f * width"))
+        .withColumn("est_c", expr("lower + (rank - (cum - cnt)) * width div cnt"))
+        .select(col("grp"), col("tot").as("n"), col("est_c"))
+      val wrank = Window.partitionBy("grp").orderBy("c")
+      val exact = both
+        .withColumn("rn", row_number().over(wrank))
+        .withColumn("tot", count(lit(1)).over(Window.partitionBy("grp")))
+        .filter(col("rn") === expr("(tot + 1) div 2"))
+        .select(col("grp"), col("c").as("exact_c"))
+      est.join(exact, "grp")
+        .select(col("grp"), col("n"), col("est_c"), col("exact_c"),
+          expr("abs(est_c - exact_c) * 10000 div exact_c").as("err_bp"))
+        .orderBy("grp")
+    },
+    Some("""
+      WITH cents AS (
+        SELECT l_returnflag AS grp, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem
+        UNION ALL
+        SELECT 'ALL', CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem),
+      hist AS (
+        SELECT grp, length(CAST(c AS VARCHAR)) AS d,
+               CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS f,
+               count(*) AS cnt
+        FROM cents GROUP BY 1, 2, 3),
+      walk AS (
+        SELECT grp, d, f, cnt,
+               sum(cnt) OVER (PARTITION BY grp ORDER BY d, f
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY grp) AS tot
+        FROM hist),
+      est AS (
+        SELECT grp, CAST(tot AS BIGINT) AS n,
+               f * CAST('1' || repeat('0', CAST(d - 1 AS INTEGER)) AS BIGINT)
+                 + ((tot + 1) // 2 - (cum - cnt))
+                   * CAST('1' || repeat('0', CAST(d - 1 AS INTEGER)) AS BIGINT) // cnt
+                 AS est_c
+        FROM walk
+        WHERE cum >= (tot + 1) // 2 AND cum - cnt < (tot + 1) // 2),
+      exact AS (
+        SELECT grp, c AS exact_c FROM (
+          SELECT grp, c,
+                 row_number() OVER (PARTITION BY grp ORDER BY c) AS rn,
+                 count(*) OVER (PARTITION BY grp) AS tot
+          FROM cents)
+        WHERE rn = (tot + 1) // 2)
+      SELECT e.grp, e.n, CAST(e.est_c AS BIGINT) AS est_c, x.exact_c,
+             CAST(abs(e.est_c - x.exact_c) * 10000 // x.exact_c AS BIGINT) AS err_bp
+      FROM est e JOIN exact x ON e.grp = x.grp
+      ORDER BY e.grp"""))
+
+  val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62, q100, q134, q139)
 }

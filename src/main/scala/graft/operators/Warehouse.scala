@@ -1886,7 +1886,60 @@ object Warehouse {
       FROM files f
       ORDER BY f.file_id"""))
 
+  /** Benford first-digit audit — the fraud/synthetic-data screen auditors
+    * run on any naturally-scaled money column: first significant digits of
+    * genuine multi-order-of-magnitude amounts follow log10(1+1/d), and a
+    * flat or spiked digit profile flags fabricated values. The digit is
+    * extracted by INTEGER string arithmetic on exact cents (first char of
+    * the BIGINT's decimal rendering — never float log10, whose libm
+    * rounding is engine-specific), expected shares are the fixed Benford
+    * basis-point table carried as a broadcast 9-row literal (3010, 1761,
+    * … 458 — constants, not runtime transcendentals), and the deviation
+    * is signed integer bp. One scan, one 9-row aggregate; the conclusion
+    * column (|dev| > 300 bp) gives the audit verdict per digit. Fixture
+    * prices are uniform-ish, so the audit FLAGS them — which is the test:
+    * a Benford screen that passes synthetic data would be broken. */
+  val q140 = GraftQuery(
+    "q140_benford_audit",
+    "First-digit Benford profile of order totals: observed vs expected bp, per-digit verdict",
+    (s, dir) => {
+      val expected = s.createDataFrame(Seq(
+        (1L, 3010L), (2L, 1761L), (3L, 1249L), (4L, 969L), (5L, 792L),
+        (6L, 669L), (7L, 580L), (8L, 512L), (9L, 458L)))
+        .toDF("digit", "expected_bp")
+      val obs = table(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+        .withColumn("digit", substring(col("c").cast("string"), 1, 1).cast("long"))
+        .groupBy("digit")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total",
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("observed_bp", expr("n * 10000 div total"))
+      obs.join(broadcast(expected), Seq("digit"))
+        .withColumn("dev_bp", col("observed_bp") - col("expected_bp"))
+        .withColumn("flagged", abs(col("dev_bp")) > 300)
+        .select(col("digit"), col("n"), col("observed_bp"),
+          col("expected_bp"), col("dev_bp"), col("flagged"))
+        .orderBy("digit")
+    },
+    Some("""
+      WITH e(digit, expected_bp) AS (VALUES
+        (1, 3010), (2, 1761), (3, 1249), (4, 969), (5, 792),
+        (6, 669), (7, 580), (8, 512), (9, 458)),
+      obs AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                 AS digit,
+               count(*) AS n
+        FROM orders GROUP BY 1),
+      t AS (SELECT digit, n, n * 10000 // sum(n) OVER () AS observed_bp FROM obs)
+      SELECT t.digit, t.n, CAST(t.observed_bp AS BIGINT) AS observed_bp,
+             CAST(e.expected_bp AS BIGINT) AS expected_bp,
+             CAST(t.observed_bp - e.expected_bp AS BIGINT) AS dev_bp,
+             abs(t.observed_bp - e.expected_bp) > 300 AS flagged
+      FROM t JOIN e ON e.digit = t.digit
+      ORDER BY t.digit"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
-    q115, q116, q117, q120, q121, q124, q125, q126, q127, q136)
+    q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140)
 }
