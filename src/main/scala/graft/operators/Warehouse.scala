@@ -1939,7 +1939,86 @@ object Warehouse {
       FROM t JOIN e ON e.digit = t.digit
       ORDER BY t.digit"""))
 
+  /** BITEMPORAL as-of read (Snodgrass) — the two-axis time model q59/q105's
+    * valid-time-only SCD2 cannot answer: "what did we BELIEVE at tx T the
+    * balance was AT valid time V" — the question every audit, restatement,
+    * and ML-feature-backfill pipeline asks (training a model 'as known
+    * then' requires tx-time truncation or it leaks corrections from the
+    * future). Records carry (valid_from, tx_from); the read resolves the
+    * two axes in ORDER: first keep, per (key, valid_from), the latest
+    * correction with tx_from ≤ T (transaction axis — what was known),
+    * then keep per key the latest valid_from ≤ V (valid axis — what was
+    * current). Both resolutions are max-struct hash aggregates (q116's
+    * trick — no window sort), so the whole 4-combo read is two shuffles
+    * keyed by (key, valid_from)/(key). Versions simulated deterministically
+    * from customer: a valid-time change (k%7: +100 at valid 5, recorded
+    * tx 1) and a RETROACTIVE correction (k%13: −50 on the valid-0 record,
+    * recorded tx 2) — at tx 1 reads must NOT see the correction; at tx 2
+    * they must, even for valid times long past. */
+  val q142 = GraftQuery(
+    "q142_bitemporal_asof",
+    "Bitemporal (tx-time × valid-time) as-of reads over versioned balances, 4 combos",
+    (s, dir) => {
+      val base = table(s, dir, "customer")
+        .select(col("c_custkey").as("key"), dec2(col("c_acctbal")).as("balance"),
+          lit(0L).as("valid_from"), lit(0L).as("tx_from"))
+      val change = table(s, dir, "customer")
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("key"),
+          (dec2(col("c_acctbal")) + 100).cast("decimal(14,2)").as("balance"),
+          lit(5L).as("valid_from"), lit(1L).as("tx_from"))
+      val correction = table(s, dir, "customer")
+        .filter(col("c_custkey") % 13 === 0)
+        .select(col("c_custkey").as("key"),
+          (dec2(col("c_acctbal")) - 50).cast("decimal(14,2)").as("balance"),
+          lit(0L).as("valid_from"), lit(2L).as("tx_from"))
+      val log = base.unionByName(change).unionByName(correction)
+      def read(txT: Long, validV: Long) = log
+        .filter(col("tx_from") <= txT)
+        .groupBy("key", "valid_from")
+        .agg(max(struct(col("tx_from"), col("balance"))).as("k"))   // known at T
+        .filter(col("valid_from") <= validV)
+        .groupBy("key")
+        .agg(max(struct(col("valid_from"), col("k.balance").as("balance"))).as("c")) // current at V
+        .select(lit(txT).as("as_of_tx"), lit(validV).as("as_of_valid"),
+          col("key"), col("c.balance").as("balance"))
+      read(1L, 3L).unionByName(read(1L, 6L))
+        .unionByName(read(2L, 3L)).unionByName(read(2L, 6L))
+        .filter(col("key") % 25 === 0)
+        .select(col("as_of_tx"), col("as_of_valid"), col("key"),
+          col("balance").cast("double").as("balance"))
+        .orderBy("as_of_tx", "as_of_valid", "key")
+    },
+    Some("""
+      WITH log AS (
+        SELECT c_custkey AS key, CAST(c_acctbal AS DECIMAL(14,2)) AS balance,
+               0 AS valid_from, 0 AS tx_from
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(14,2)) + 100 AS DECIMAL(14,2)), 5, 1
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(14,2)) - 50 AS DECIMAL(14,2)), 0, 2
+        FROM customer WHERE c_custkey % 13 = 0),
+      combos(as_of_tx, as_of_valid) AS (VALUES (1, 3), (1, 6), (2, 3), (2, 6)),
+      known AS (
+        SELECT co.as_of_tx, co.as_of_valid, l.key, l.valid_from, l.balance,
+               row_number() OVER (PARTITION BY co.as_of_tx, co.as_of_valid, l.key, l.valid_from
+                                  ORDER BY l.tx_from DESC) AS rc
+        FROM log l JOIN combos co ON l.tx_from <= co.as_of_tx),
+      current AS (
+        SELECT as_of_tx, as_of_valid, key, balance,
+               row_number() OVER (PARTITION BY as_of_tx, as_of_valid, key
+                                  ORDER BY valid_from DESC) AS rv
+        FROM known WHERE rc = 1 AND valid_from <= as_of_valid)
+      SELECT CAST(as_of_tx AS BIGINT) AS as_of_tx,
+             CAST(as_of_valid AS BIGINT) AS as_of_valid,
+             key, CAST(balance AS DOUBLE) AS balance
+      FROM current
+      WHERE rv = 1 AND key % 25 = 0
+      ORDER BY as_of_tx, as_of_valid, key"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
-    q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140)
+    q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142)
 }
