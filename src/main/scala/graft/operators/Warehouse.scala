@@ -1180,8 +1180,10 @@ object Warehouse {
         .select(col("key"), col("action"),
           when(col("action").isin("delete", "conflict_delete", "conflict_field"), nullSeg)
             .otherwise(coalesce(col("seg_a"), col("seg_b"), col("segment"))).as("merged_segment"),
-          when(col("action").isin("delete", "conflict_delete", "conflict_field"), nullBal)
-            .otherwise(coalesce(col("bal_a"), col("bal_b"), col("balance"))).as("merged_balance"))
+          when(col("action").isin("delete", "conflict_delete", "conflict_field"),
+            lit(null).cast("long"))
+            .otherwise((coalesce(col("bal_a"), col("bal_b"), col("balance")) * 100)
+              .cast("long")).as("merged_balance_cents"))
         .orderBy("key")
     },
     Some("""
@@ -1226,8 +1228,9 @@ object Warehouse {
                   THEN NULL
                   ELSE COALESCE(m.seg_a, m.seg_b, b.segment) END AS merged_segment,
              CASE WHEN m.action IN ('delete', 'conflict_delete', 'conflict_field')
-                  THEN CAST(NULL AS DECIMAL(14,2))
-                  ELSE COALESCE(m.bal_a, m.bal_b, b.balance) END AS merged_balance
+                  THEN CAST(NULL AS BIGINT)
+                  ELSE CAST(COALESCE(m.bal_a, m.bal_b, b.balance) * 100 AS BIGINT)
+                  END AS merged_balance_cents
       FROM m LEFT JOIN base b ON m.key = b.key
       ORDER BY m.key"""))
 
@@ -1362,7 +1365,8 @@ object Warehouse {
           col("balance"))).as("w"))
         .filter(!col("w.tombstone"))
         .select(lit(v).as("as_of"), col("key"),
-          col("w.segment").as("segment"), col("w.balance").as("balance"))
+          col("w.segment").as("segment"),
+          (col("w.balance") * 100).cast("long").as("balance_cents"))
       asOf(1L).unionByName(asOf(2L))
         .filter(col("key") % 25 === 0)
         .orderBy("as_of", "key")
@@ -1390,7 +1394,8 @@ object Warehouse {
                max_by(l.tombstone, l.version) AS tombstone
         FROM log l JOIN reads r ON l.version <= r.as_of
         GROUP BY r.as_of, l.key)
-      SELECT CAST(as_of AS BIGINT) AS as_of, key, segment, balance
+      SELECT CAST(as_of AS BIGINT) AS as_of, key, segment,
+             CAST(balance * 100 AS BIGINT) AS balance_cents
       FROM winners
       WHERE NOT tombstone AND key % 25 = 0
       ORDER BY as_of, key"""))

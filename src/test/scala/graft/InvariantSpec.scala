@@ -542,7 +542,7 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q110: disjoint-field updates merge, same-field divergence conflicts, deletes agree") {
     val rows = operators.Warehouse.q110.build(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2)),
-        Option(r.getDecimal(3)))).toMap
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
     val bal77 = operators.table(spark, sfDir, "customer")
       .filter(col("c_custkey") === 77).select(operators.dec2(col("c_acctbal")))
       .head().getDecimal(0)
@@ -550,8 +550,9 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     // merge combines them where row-level diffing would cry conflict
     val (a77, seg77, b77) = (rows(77)._1, rows(77)._2, rows(77)._3)
     assert(a77 == "update" && seg77.contains("MACHINERY"), s"key 77: $a77/$seg77")
-    assert(b77.exists(_.compareTo(bal77.add(new java.math.BigDecimal(50))) == 0),
-      s"key 77: balance ${b77} != base+50")
+    val want77 = bal77.add(new java.math.BigDecimal(50))
+      .movePointRight(2).longValueExact()
+    assert(b77.contains(want77), s"key 77: balance ${b77} != base+50 cents $want77")
     // key 91 = 7·13: both sides set segment, differently — a true conflict
     assert(rows(91) == (("conflict_field", None, None)), s"key 91: ${rows(91)}")
     // global shape: updates always carry merged values, conflicts never do
