@@ -2,6 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Host-load sentinel (VERDICT r8 item 3): r8's driver bench read 329 s
+    // on co-tenant load vs ~120 s idle, identical code. Recording the
+    // 1-minute loadavg at start and end makes an inflated sample
+    // self-labeling instead of a forensic exercise.
+    def loadavg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -125,7 +132,7 @@ object Bench {
           val shown = failedNames.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
           s""""n_failed":${failedNames.size},"failed":$shown,"""
         }
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$filteredTag$failedTag"n_queries":${queryResults.size},"n_artifacts":${artifactTimes.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$filteredTag$failedTag"n_queries":${queryResults.size},"n_artifacts":${artifactTimes.size},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg())},"queries":$qs,"sf":"$sfDir"}"""
     }
     // full per-query detail for humans, one line each (may scroll off the tail)
     results.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"# bench $k ${fmt(v)}") }

@@ -1012,14 +1012,23 @@ object Multimodal {
       }
     } else {
       val text = new String(r.content, java.nio.charset.StandardCharsets.UTF_8)
-      val t = text.length / 16
+      // Slice on CODE POINTS, not UTF-16 code units: the oracle's DuckDB
+      // substring/length are code-point-based, and supplementary-plane
+      // characters (emoji) occupy two UTF-16 units — unit-based boundaries
+      // would split surrogate pairs and diverge (ADVICE r8).
+      val nCp = text.codePointCount(0, text.length)
+      val t = nCp / 16
       if (t == 0) Seq.empty
-      else (0 until 16).map { i =>
-        val slice =
-          if (i == 15) text.substring(15 * t)
-          else text.substring(i * t, i * t + t)
-        TileRow(r.doc_id, i.toLong, slice.length.toLong,
-          md5Hex(slice.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      else {
+        val offsets = (0 until 16).scanLeft(0)((off, _) => text.offsetByCodePoints(off, t))
+        (0 until 16).map { i =>
+          val slice =
+            if (i == 15) text.substring(offsets(15))
+            else text.substring(offsets(i), offsets(i + 1))
+          val sliceCp = if (i == 15) nCp - 15 * t else t
+          TileRow(r.doc_id, i.toLong, sliceCp.toLong,
+            md5Hex(slice.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
       }
     }
   }

@@ -207,7 +207,11 @@ object Sampling {
     * bit-for-bit, unlike q14's opaque HLL registers: hash each key to a
     * uniform 60-bit value (md5 prefix), keep the k=64 smallest per group,
     * and estimate distinct = (k-1) / U_k · 2^60 where U_k is the k-th
-    * minimum (floor'd in integer-exact arithmetic). Groups with fewer than
+    * minimum. The estimate is one IEEE-double expression, written with the
+    * identical operand order on both engines and floor'd to a BIGINT —
+    * deterministic because both evaluate the same double computation, not
+    * because the division is integer-exact ((k-1)·2^60 would overflow
+    * BIGINT, so pure integer math isn't available here). Groups with fewer than
     * k distinct keys are EXACT by construction (the sketch holds every
     * hash). Mergeability is demonstrated the theta-sketch way: the ALL row
     * is computed from the per-group k-mins alone — union the (5·k) retained
@@ -289,8 +293,11 @@ object Sampling {
     * when cross-system reproducibility matters. The p50 estimate walks
     * the cumulative histogram to the rank-holding bucket and interpolates
     * uniformly INSIDE it in exact integer math (lower + need·width div
-    * cnt). Mergeability demonstrated the q134 way: the ALL row sums the
-    * per-group histograms — no second fact scan. Exact medians come from
+    * cnt). Mergeability demonstrated the q134 way: the ALL histogram sums
+    * the per-group histogram ROWS (≤72 cells each) — no second fact scan
+    * on the sketch side. (The exact-median TRUTH column does rescan for
+    * its ALL row — ground truth is allowed what the sketch is not.)
+    * Exact medians come from
     * the rank-walk (percentile_disc semantics, no float interpolation),
     * so estimate-vs-truth error lands in integer basis points. */
   val q139 = GraftQuery(
@@ -301,12 +308,18 @@ object Sampling {
         .select(col("l_returnflag").as("grp"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
       val both = cents.unionByName(cents.withColumn("grp", lit("ALL")))
-      // bucket = (digits, leading digit); lower edge and width are powers of 10
-      val hist = both
+      // bucket = (digits, leading digit); lower edge and width are powers of 10.
+      // Per-group histograms read the fact table ONCE; the ALL histogram is
+      // MERGED from them (sum cnt over (d, f)) — the mergeability the sketch
+      // exists for, never a second fact scan.
+      val perHist = cents
         .withColumn("d", length(col("c").cast("string")).cast("long"))
         .withColumn("f", substring(col("c").cast("string"), 1, 1).cast("long"))
         .groupBy("grp", "d", "f")
         .agg(count(lit(1)).as("cnt"))
+      val hist = perHist.unionByName(
+        perHist.groupBy("d", "f").agg(sum("cnt").as("cnt"))
+          .select(lit("ALL").as("grp"), col("d"), col("f"), col("cnt")))
       val wcum = Window.partitionBy("grp").orderBy("d", "f")
       val est = hist
         .withColumn("cum", sum(col("cnt")).over(wcum))
@@ -336,11 +349,15 @@ object Sampling {
         FROM lineitem
         UNION ALL
         SELECT 'ALL', CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem),
-      hist AS (
+      perhist AS (
         SELECT grp, length(CAST(c AS VARCHAR)) AS d,
                CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS f,
                count(*) AS cnt
-        FROM cents GROUP BY 1, 2, 3),
+        FROM cents WHERE grp <> 'ALL' GROUP BY 1, 2, 3),
+      hist AS (
+        SELECT * FROM perhist
+        UNION ALL
+        SELECT 'ALL', d, f, sum(cnt) FROM perhist GROUP BY d, f),
       walk AS (
         SELECT grp, d, f, cnt,
                sum(cnt) OVER (PARTITION BY grp ORDER BY d, f

@@ -381,16 +381,25 @@ object Similarity {
       val unit = unitVectors(s, dir).cache()
       var centroids: Array[Seq[Double]] = unit.orderBy("vec_id").limit(10)
         .collect().map(_.getSeq[Double](1))
-      for (_ <- 1 to 3) {
-        val assigned = unit
-          .withColumn("sims", centroidSims(centroids))
-          .withColumn("cell",
-            array_position(col("sims"), array_max(col("sims"))).cast("int"))
-        val means = assigned.groupBy("cell").agg(
-          array((0 until 64).map(i => avg(element_at(col("u"), i + 1))): _*).as("m"))
-          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-        centroids = centroids.indices.map(i => means.getOrElse(i + 1, centroids(i))).toArray
-      }
+      // Training executes EAGERLY (a collect per Lloyd round), so a
+      // set/restore of shuffle.partitions is safe here (unlike lazy query
+      // bodies — see the verify-skill gotcha). The update agg produces 10
+      // rows; 32 near-empty reduce tasks per round were the second-most
+      // load-sensitive cost in the suite (VERDICT r8 item 4).
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      try {
+        for (_ <- 1 to 3) {
+          val assigned = unit
+            .withColumn("sims", centroidSims(centroids))
+            .withColumn("cell",
+              array_position(col("sims"), array_max(col("sims"))).cast("int"))
+          val means = assigned.groupBy("cell").agg(
+            array((0 until 64).map(i => avg(element_at(col("u"), i + 1))): _*).as("m"))
+            .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+          centroids = centroids.indices.map(i => means.getOrElse(i + 1, centroids(i))).toArray
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       unit.unpersist()
       centroids
     }).asInstanceOf[Array[Seq[Double]]]

@@ -203,6 +203,16 @@ class MultimodalDecodeSpec extends AnyFunSuite with BeforeAndAfterAll {
       operators.Multimodal.MediaRow(2L, text.getBytes("UTF-8")))
     assert(tt.length == 16 && tt.take(15).forall(_.tile_len == 4) &&
       tt.last.tile_len == 7)
+    // supplementary-plane characters count as ONE unit (code-point slicing,
+    // ADVICE r8): 32 emoji = 64 UTF-16 units but only 32 code points → t=2,
+    // and every slice boundary lands between surrogate pairs, never inside
+    val emoji = "😀" * 32 // U+1F600 GRINNING FACE ×32
+    val et = operators.Multimodal.tileDigests(
+      operators.Multimodal.MediaRow(3L, emoji.getBytes("UTF-8")))
+    assert(et.length == 16 && et.forall(_.tile_len == 2),
+      s"emoji tiling: ${et.map(_.tile_len)}")
+    // all 16 tiles are the identical 2-emoji slice → one distinct digest
+    assert(et.map(_.digest).distinct.length == 1)
   }
 
   override def afterAll(): Unit = {
