@@ -2035,6 +2035,140 @@ object Similarity {
       FROM sel5
       ORDER BY query_id, pick_rank"""))
 
+  /** s2's multi-probe LSH pipeline made FULLY hash-checkable (VERDICT r8
+    * item 5 — the d18 technique applied to the last structural rows-only
+    * family): identical construction — L=4 tables × 8 sign bits, per-table
+    * probe of the exact bucket + all 8 Hamming-1 neighbors, distinct
+    * candidate union, exact cosine rerank — but the hyperplanes are
+    * PORTABLE: plane[i][d] = md5("i_d") first-15-hex as a 60-bit uniform,
+    * scaled to (−0.5, 0.5). Sign-LSH needs only a symmetric projection
+    * distribution (Charikar 2002 uses Gaussian for the angle bound; any
+    * sign-symmetric choice preserves the locality property), so the
+    * harness trades s2's seeded Gaussian for a hash both engines derive
+    * bit-for-bit: int64→double conversion is IEEE round-to-nearest in
+    * both, division by 2^60 is exact scaling, and the dot products
+    * accumulate left-to-right in both. DuckDB replays the ENTIRE pipeline
+    * — signature build, probe enumeration, bucket equi-join, rerank — so
+    * the green hash pins s2's candidate-generation semantics, not just
+    * its output shape. n_cands per query additionally proves the
+    * shortlist is sub-corpus (the point of the index). Even s2's ADAPTIVE
+    * bits clamp replays: round(log2(n/32)) is cross-engine safe because an
+    * integer n cannot place log2(n/32) within libm's ~1-ulp error of a .5
+    * rounding boundary (that would need n ≈ 32·2^(k+1/2), irrational). */
+  val s25 = GraftQuery(
+    "s25_lsh_portable_harness",
+    "Hash-checked multi-probe LSH twin: md5-derived planes, Hamming-1 probes, exact rerank",
+    (s, dir) => {
+      val L = 4; val dims = 64
+      val n = table(s, dir, "embeddings").count()
+      val bits = math.max(2, math.min(16,
+        math.round(math.log(math.max(1.0, n / 32.0)) / math.log(2)).toInt))
+      val scale = 1152921504606846976.0 // 2^60
+      def u(i: Int, d: Int): Double = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"${i}_${d}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16) / scale - 0.5
+      }
+      val planes = Array.tabulate(L * bits, dims)(u)
+      val planesCol = array(planes.map(p => array(p.map(v => lit(v)).toSeq: _*)).toSeq: _*)
+      def bucket(t: Int) =
+        aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
+          (acc, j) => acc * 2 + when(
+            dotProduct(element_at(col("planes"), lit(t * bits) + j + 1), col("embedding")) > 0,
+            lit(1L)).otherwise(lit(0L)))
+      val emb = table(s, dir, "embeddings")
+        .withColumn("planes", planesCol)
+        .withColumn("tb", array((0 until L).map(t =>
+          struct(lit(t).as("t"), bucket(t).as("b"))): _*))
+        .drop("planes")
+        .withColumn("nrm", l2Norm(col("embedding")))
+      val corpusIdx = emb
+        .select(col("vec_id"), explode(col("tb")).as("e"))
+        .select(col("vec_id"), col("e.t").as("t"), col("e.b").as("bucket"))
+      val probes = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), explode(col("tb")).as("e"))
+        .select(col("query_id"), col("e.t").as("t"),
+          explode(array(col("e.b") +: (0 until bits).map(j =>
+            col("e.b").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+      val pairs = probes.join(corpusIdx, Seq("t", "bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select("query_id", "vec_id").distinct()
+      val nCands = pairs.groupBy("query_id").agg(count(lit(1)).as("n_cands"))
+      val qv = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val sim = broadcast(pairs)
+        .join(broadcast(qv), "query_id")
+        .join(emb.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+        .select(col("query_id"), col("vec_id"),
+          (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("sim"))
+      val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+      sim.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .join(broadcast(nCands), "query_id")
+        .select(col("query_id"), col("n_cands"), col("rank").cast("long").as("rank"),
+          col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH prm AS (
+        SELECT CAST(greatest(2, least(16,
+                 round(log2(greatest(1.0, count(*) / 32.0))))) AS BIGINT) AS bits
+        FROM embeddings),
+      planes AS (
+        SELECT i.i, list_transform(range(64), d ->
+                 CAST(concat('0x', substr(md5(concat(CAST(i.i AS VARCHAR), '_',
+                   CAST(d AS VARCHAR))), 1, 15)) AS BIGINT)
+                 / 1152921504606846976.0 - 0.5) AS p
+        FROM (SELECT unnest(range(64)) AS i) i
+        WHERE i.i < 4 * (SELECT bits FROM prm)),
+      n AS (SELECT vec_id, embedding,
+                   sqrt(list_aggregate(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+            FROM embeddings),
+      bitsv AS (
+        SELECT e.vec_id, p.i // prm.bits AS t,
+               CASE WHEN list_aggregate(list_transform(list_zip(p.p, e.embedding),
+                      x -> x[1] * CAST(x[2] AS DOUBLE)), 'sum') > 0
+                    THEN CAST(1 AS BIGINT)
+                           << CAST(prm.bits - 1 - (p.i % prm.bits) AS INTEGER)
+                    ELSE 0 END AS contrib
+        FROM n e, planes p, prm),
+      sig AS (SELECT vec_id, t, CAST(sum(contrib) AS BIGINT) AS bucket
+              FROM bitsv GROUP BY 1, 2),
+      masks AS (
+        SELECT CAST(0 AS BIGINT) AS m
+        UNION ALL
+        SELECT CAST(1 AS BIGINT) << CAST(j.j AS INTEGER)
+        FROM (SELECT unnest(range(16)) AS j) j, prm WHERE j.j < prm.bits),
+      probes AS (
+        SELECT s.vec_id AS query_id, s.t, xor(s.bucket, mk.m) AS bucket
+        FROM sig s, masks mk
+        WHERE s.vec_id < 20),
+      cands AS (
+        SELECT DISTINCT p.query_id, c.vec_id
+        FROM probes p JOIN sig c ON c.t = p.t AND c.bucket = p.bucket
+        WHERE c.vec_id <> p.query_id),
+      nc AS (SELECT query_id, count(*) AS n_cands FROM cands GROUP BY 1),
+      scored AS (
+        SELECT ca.query_id, ca.vec_id,
+               list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+                 / (q.nrm * c.nrm) AS sim
+        FROM cands ca
+        JOIN n q ON q.vec_id = ca.query_id
+        JOIN n c ON c.vec_id = ca.vec_id),
+      ranked AS (
+        SELECT query_id, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id) AS rank
+        FROM scored)
+      SELECT r.query_id, nc.n_cands, CAST(r.rank AS BIGINT) AS rank,
+             r.vec_id, round(r.sim, 4) AS sim
+      FROM ranked r JOIN nc ON nc.query_id = r.query_id
+      WHERE r.rank <= 3
+      ORDER BY r.query_id, r.rank"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
-    s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24)
+    s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25)
 }

@@ -54,6 +54,28 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mean >= 0.6, s"mean ANN recall $mean over ${recalls.size} queries")
   }
 
+  test("s25: portable LSH twin holds s2's recall floor AND a sub-corpus shortlist") {
+    // s25 is hash-checked by the driver (the point of the harness); this
+    // pins the two properties the hash can't state — the index still
+    // RETRIEVES (recall vs s1's exact truth at s2's own floor) and still
+    // PRUNES (every query's candidate set is a strict subset of the corpus)
+    val exact = operators.Similarity.s1.build(spark, sfDir).collect()
+      .filter(_.getLong(1) <= 3)
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val rows = operators.Similarity.s25.build(spark, sfDir).collect()
+    val ann = rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(3)).toSet }
+    val recalls = exact.map { case (q, ex) =>
+      ann.get(q).map(a => (a & ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean portable-LSH recall $mean over ${recalls.size} queries")
+    val corpus = operators.table(spark, sfDir, "embeddings").count()
+    rows.foreach { r =>
+      assert(r.getLong(1) < corpus,
+        s"query ${r.getLong(0)}: candidate set ${r.getLong(1)} is not sub-corpus ($corpus)")
+    }
+  }
+
   test("s5: IVF (nprobe=4 of 10 cells) recalls >= 40% of the exact cosine top-3") {
     // structural context (measured): the fixture's label column is NOT a
     // geometric clustering (within-label cosine ~ across-label ~ 0), so
