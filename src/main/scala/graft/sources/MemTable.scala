@@ -1,0 +1,213 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The composed DSv2 surface (VERDICT r8 item 6): [[SyntheticEvents]]
+  * proves the read-side pushdown machinery, [[DigestSink]] proves the
+  * commit protocol — this table does BOTH, a full write-then-read-back
+  * round trip through one connector. The reference's partition lifecycle
+  * (add_partition / del_partition, gluettalax.py:460-473/773) is the
+  * catalog-level version of exactly this contract: data becomes visible
+  * partition-at-a-time, atomically, and readers prune by partition value.
+  *
+  * WRITE: each task's [[DataWriter]] buffers its rows grouped by the
+  * partition column's value and ships the groups as its
+  * [[WriterCommitMessage]]; the driver-side [[BatchWrite.commit]] merges
+  * all messages and publishes the table in ONE reference swap — the
+  * Iceberg/Delta snapshot-commit shape (nothing is visible mid-job; a
+  * failed job leaves the previous snapshot intact; latest commit wins).
+  * In this in-JVM harness the messages carry the rows themselves; a
+  * production connector would spill files task-side and ship manifests —
+  * the protocol (task message → atomic driver publish) is identical and
+  * is the part exercised here.
+  *
+  * READ: a [[ScanBuilder]] that accepts EqualTo/In predicates on the
+  * partition column and plans ONLY the matching partition groups
+  * ([[SupportsPushDownFilters]] — pruning happens at planning, not
+  * read-then-drop), plus real column pruning
+  * ([[SupportsPushDownRequiredColumns]] — the reader materializes only
+  * requested fields). The scan description embeds planned/total
+  * partition counts for PlanSpec.
+  */
+class MemTable extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MemTable.store.get(options.get("runId")) match {
+      case Some(snap) => snap.schema
+      case None       => new StructType() // write side: schema arrives from the frame
+    }
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new MemTableImpl(schema,
+      properties.getOrDefault("runId", "default"),
+      properties.getOrDefault("partitionCol", ""))
+}
+
+object MemTable {
+  /** A committed snapshot: schema + rows grouped by partition value.
+    * Values are plain JVM types (Long / String) so partitions serialize
+    * to tasks without catalyst internals. */
+  case class Snapshot(schema: StructType, parts: Map[String, Vector[Array[Any]]])
+
+  /** Committed state per runId — swapped ONLY by BatchWrite.commit. */
+  val store = new scala.collection.concurrent.TrieMap[String, Snapshot]
+}
+
+private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: String)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft_mem_table($runId)"
+  override def schema(): StructType =
+    MemTable.store.get(runId).map(_.schema).getOrElse(schema)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MemScanBuilder(runId,
+      Option(options.get("partitionCol")).getOrElse(partCol))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val writeSchema = info.schema()
+    val pc = Option(info.options.get("partitionCol")).getOrElse(partCol)
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new MemBatchWrite(runId, writeSchema, pc)
+      }
+    }
+  }
+}
+
+private[sources] case class MemPartMessage(parts: Map[String, Vector[Array[Any]]])
+    extends WriterCommitMessage
+
+private[sources] class MemBatchWrite(runId: String, schema: StructType, partCol: String)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new MemWriterFactory(schema, partCol)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // merge every task's groups, then publish with ONE map swap — readers
+    // see the previous snapshot or the full new one, never a prefix
+    val merged = messages.foldLeft(Map.empty[String, Vector[Array[Any]]]) { (acc, m) =>
+      m.asInstanceOf[MemPartMessage].parts.foldLeft(acc) { case (a, (k, rs)) =>
+        a.updated(k, a.getOrElse(k, Vector.empty) ++ rs)
+      }
+    }
+    MemTable.store.put(runId, MemTable.Snapshot(schema, merged))
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class MemWriterFactory(schema: StructType, partCol: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val partIdx = schema.fieldNames.indexOf(partCol)
+    require(partIdx >= 0, s"MemTable: partitionCol '$partCol' not in ${schema.fieldNames.mkString(",")}")
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.Map.empty[String, Vector[Array[Any]]]
+      override def write(row: InternalRow): Unit = {
+        val vals: Array[Any] = schema.fields.indices.map { i =>
+          schema.fields(i).dataType match {
+            case LongType   => row.getLong(i)
+            case StringType => row.getUTF8String(i).toString
+            case other      => sys.error(s"MemTable: unsupported type $other")
+          }
+        }.toArray
+        val key = vals(partIdx).toString
+        buf(key) = buf.getOrElse(key, Vector.empty) :+ vals
+      }
+      override def commit(): WriterCommitMessage = MemPartMessage(buf.toMap)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[sources] class MemScanBuilder(runId: String, partCol: String)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val snap = MemTable.store.getOrElse(runId,
+    MemTable.Snapshot(new StructType(), Map.empty))
+  private var keep: Option[Set[String]] = None // None = all partitions
+  private var pushed = Array.empty[Filter]
+  private var required: StructType = snap.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo(c, _: String) if c == partCol => true
+      case In(c, vs) if c == partCol && vs.forall(_.isInstanceOf[String]) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo(_, v: String) =>
+        keep = Some(keep.getOrElse(snap.parts.keySet.toSet).intersect(Set(v)))
+      case In(_, vs) =>
+        keep = Some(keep.getOrElse(snap.parts.keySet.toSet)
+          .intersect(vs.map(_.asInstanceOf[String]).toSet))
+      case _ =>
+    }
+    pushed = accepted
+    rejected // accepted filters are enforced exactly by partition selection
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new MemScan(snap, keep, required, partCol)
+}
+
+private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
+    colIdx: Array[Int], colTypes: Array[String]) extends InputPartition
+
+private[sources] class MemScan(snap: MemTable.Snapshot, keep: Option[Set[String]],
+    required: StructType, partCol: String) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private def planned: Seq[(String, Vector[Array[Any]])] =
+    snap.parts.toSeq.sortBy(_._1)
+      .filter { case (k, _) => keep.forall(_.contains(k)) }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val idx = required.fieldNames.map(n => snap.schema.fieldNames.indexOf(n))
+    val types = required.fields.map(_.dataType.typeName)
+    planned.map { case (k, rs) => MemPart(k, rs, idx, types) }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MemReaderFactory
+
+  override def description(): String =
+    s"GraftMemScan(runId parts=${snap.parts.size}, planned=${planned.size}, " +
+      s"partCol=$partCol, cols=${required.fieldNames.mkString(",")})"
+}
+
+private[sources] class MemReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[MemPart]
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < p.rows.length }
+      override def get(): InternalRow = {
+        val src = p.rows(i)
+        InternalRow.fromSeq(p.colIdx.indices.map { j =>
+          p.colTypes(j) match {
+            case "long"   => src(p.colIdx(j)).asInstanceOf[Long]
+            case "string" => UTF8String.fromString(src(p.colIdx(j)).asInstanceOf[String])
+            case other    => sys.error(s"MemTable: unsupported read type $other")
+          }
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

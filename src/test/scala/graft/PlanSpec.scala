@@ -666,6 +666,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("plannedParts=2"), s"partition pruning did not happen at planning time\n$p")
   }
 
+  test("q143: the MemTable read plans 2 of 5 committed partitions — pruning at planning time") {
+    val p = plan(operators.Sources.q143.build(spark, sfDir))
+    assert(p.contains("parts=5, planned=2"),
+      s"partition pruning did not happen at planning time\n$p")
+  }
+
+  test("q143 connector: column pruning reaches the MemTable reader, commits are snapshot-swaps") {
+    import org.apache.spark.sql.functions._
+    // build once (writes + commits the sf snapshot), then read a projection
+    operators.Sources.q143.build(spark, sfDir).collect()
+    val key = s"q143_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val df = spark.read.format("graft.sources.MemTable")
+      .option("runId", key).option("partitionCol", "event_type").load()
+      .select("event_id")
+    val p = plan(df)
+    assert(p.contains("cols=event_id)"), s"reader still materializes unrequested columns\n$p")
+    // latest-commit-wins: a second identical job leaves the same snapshot,
+    // not a doubled one (the q129 runId discipline, now with data)
+    val before = df.count()
+    operators.Sources.q143.build(spark, sfDir).collect()
+    assert(spark.read.format("graft.sources.MemTable").option("runId", key)
+      .load().count() == before, "re-commit doubled the snapshot instead of swapping it")
+  }
+
   test("q128 connector: column pruning reaches the row generator") {
     val df = spark.read.format("graft.sources.SyntheticEvents")
       .option("rows", "1000").option("parts", "4").load()
