@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rewrite: the textbook row_number-filter SQL idiom plans
     // through the operator above with no API change (q122 proves it)
     ext.injectOptimizerRule(_ => graft.plans.RankFilterToGroupedTopK)
+    // companion rewrite: eliminates the sort-forcing WindowGroupLimit
+    // residue Spark's LATERAL decorrelation leaves below the rewritten
+    // operator (q144 proves it)
+    ext.injectOptimizerRule(_ => graft.plans.RedundantGroupLimitBelowTopK)
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "_FUNC_(a, b) - dot product of two float/double arrays (codegen)"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))

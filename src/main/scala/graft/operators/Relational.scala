@@ -1674,8 +1674,49 @@ object Relational {
       GROUP BY grp
       ORDER BY grp"""))
 
+  /** The LATERAL per-group-limit idiom through BOTH injected optimizer
+    * rules (VERDICT r8 item 8 — q122's pattern generalized): "for each
+    * order, its top-2 lineitems" written the way an analyst who has never
+    * heard of window functions writes it — a correlated LATERAL subquery
+    * with ORDER BY + LIMIT. Spark decorrelates that into the rank-filter
+    * shape, RankFilterToGroupedTopK replans it through the bounded-heap
+    * operator, and RedundantGroupLimitBelowTopK deletes the sort-forcing
+    * WindowGroupLimit residue decorrelation leaves behind — the final
+    * plan has a GroupedTopKExec, ZERO Window nodes and ZERO sorts below
+    * the presentation ORDER BY (PlanSpec pins all three; without rule 2
+    * the same SQL keeps 3 sorts). The LATERAL's ORDER BY carries the
+    * l_linenumber tiebreak (house determinism discipline) so DuckDB's
+    * independent LATERAL execution picks identical rows. */
+  val q144 = GraftQuery(
+    "q144_lateral_topk_rewrite",
+    "LATERAL ORDER BY+LIMIT per group planned through GroupedTopKExec by the injected rules",
+    (s, dir) => {
+      val scoped = s.newSession()
+      graft.plans.GroupedTopK.ensureInjected(scoped)
+      table(scoped, dir, "orders").createOrReplaceTempView("orders_ltk")
+      table(scoped, dir, "lineitem").createOrReplaceTempView("lineitem_ltk")
+      scoped.sql("""
+        SELECT o.o_orderkey, l.l_linenumber, l.l_quantity
+        FROM orders_ltk o, LATERAL (
+          SELECT l_linenumber, l_quantity
+          FROM lineitem_ltk l
+          WHERE l.l_orderkey = o.o_orderkey
+          ORDER BY l_quantity DESC, l_linenumber
+          LIMIT 2) l
+        ORDER BY o.o_orderkey, l.l_quantity DESC, l.l_linenumber""")
+    },
+    Some("""
+      SELECT o.o_orderkey, l.l_linenumber, l.l_quantity
+      FROM orders o, LATERAL (
+        SELECT l_linenumber, l_quantity
+        FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+        ORDER BY l_quantity DESC, l_linenumber
+        LIMIT 2) l
+      ORDER BY o.o_orderkey, l.l_quantity DESC, l.l_linenumber"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
-    q99, q108, q112, q113, q114, q119, q122, q131, q138, q141)
+    q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144)
 }

@@ -666,6 +666,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("plannedParts=2"), s"partition pruning did not happen at planning time\n$p")
   }
 
+  test("q144: LATERAL ORDER BY+LIMIT plans through GroupedTopK — no Window, one sort (presentation)") {
+    val df = operators.Relational.q144.build(spark, sfDir)
+    val p = df.queryExecution.executedPlan.treeString
+    assert(p.contains("GroupedTopK"), s"rule 1 did not fire on the decorrelated LATERAL\n$p")
+    assert(!p.contains("WindowGroupLimit"),
+      s"rule 2 left decorrelation's sort-forcing WindowGroupLimit residue\n$p")
+    assert(!p.contains("Window ["), s"a Window survived the rewrite\n$p")
+    // the ONLY sort is the query's own presentation ORDER BY (range
+    // exchange + global sort); the per-group top-k itself never sorts
+    val sorts = p.linesIterator.count(_.contains("Sort ["))
+    assert(sorts == 1, s"$sorts Sort nodes, expected only the presentation sort\n$p")
+  }
+
   test("q143: the MemTable read plans 2 of 5 committed partitions — pruning at planning time") {
     val p = plan(operators.Sources.q143.build(spark, sfDir))
     assert(p.contains("parts=5, planned=2"),
