@@ -1715,8 +1715,185 @@ object Relational {
         LIMIT 2) l
       ORDER BY o.o_orderkey, l.l_quantity DESC, l.l_linenumber"""))
 
+  /** TPC-H Q20's nested semi-join chain (reference: the delegated-ETL tier
+    * behind A16 job runs), adapted to the fixture star schema (no partsupp):
+    * "which suppliers CONCENTRATED a part's shipments into 1997" — for some
+    * PROMO-type part, the (part, supplier) pair shipped ≥40% of its lifetime
+    * quantity during 1997 alone. The textbook form nests three subqueries
+    * (parts by type → per-(part,supp) correlated window-vs-total comparison
+    * → supplier semi-join), costing two lineitem scans. Here both the 1997
+    * window total and the lifetime total ride ONE scan as a conditional
+    * aggregate (sum FILTER), the part-type gate is a broadcast semi-join
+    * BEFORE the agg (so the shuffle carries only PROMO rows — at 100 TB the
+    * type filter drops ~5/6 of the exchange), and the 40% test is exact
+    * integer cross-multiplication on centi-quantities (no float ratio seam).
+    * PlanSpec pins exactly ONE lineitem scan; the DuckDB oracle replays the
+    * nested textbook form — equal hashes prove the collapse. */
+  val q145 = GraftQuery(
+    "q145_q20_shape",
+    "TPC-H Q20 shape: shipment-concentration semi-join chain via one conditional-agg scan",
+    (s, dir) => {
+      val promoParts = table(s, dir, "part")
+        .filter(col("p_type") === "PROMO").select("p_partkey")
+      val in97 = col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+      val concentrated = table(s, dir, "lineitem")
+        .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("q100"),
+          in97.as("in97"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(when(col("in97"), col("q100")).otherwise(lit(0L))).as("q97"),
+          sum(col("q100")).as("qall"))
+        .filter(col("q97") > 0 && col("q97") * 10 >= col("qall") * 4)
+        .select("l_suppkey").distinct()
+      table(s, dir, "supplier")
+        .join(concentrated, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    },
+    Some("""
+      SELECT s_name, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        GROUP BY l_partkey, l_suppkey
+        HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                        THEN CAST(round(l_quantity * 100) AS BIGINT)
+                        ELSE 0 END) > 0
+           AND sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                        THEN CAST(round(l_quantity * 100) AS BIGINT)
+                        ELSE 0 END) * 10
+               >= sum(CAST(round(l_quantity * 100) AS BIGINT)) * 4)
+      ORDER BY s_name"""))
+
+  /** TPC-H Q19's famous disjunctive predicate join. The naive plan runs one
+    * lineitem⋈part join PER disjunct and unions (three fact scans); the
+    * classic optimization hoists the common `l_partkey = p_partkey` conjunct
+    * out of the OR so the whole thing is ONE equi-join with a residual OR
+    * filter — and the brand IN-list implied by the disjunction pushes into
+    * the part scan. At 100 TB the difference is 3 fact scans + 3 shuffles vs
+    * one broadcast probe. Branches are brand-disjoint, so the unioned
+    * textbook oracle is exactly the OR form; revenue aggregates in DECIMAL.
+    * PlanSpec pins ONE lineitem scan, ONE join, zero Union nodes. */
+  val q146 = GraftQuery(
+    "q146_q19_shape",
+    "TPC-H Q19 shape: OR-of-ANDs join collapsed to one equi-join with residual disjunction",
+    (s, dir) => {
+      val part = broadcast(table(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#4"))
+        .select("p_partkey", "p_brand", "p_size"))
+      val li = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          (dec2(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount"))))
+            .as("disc_price"))
+      val residual =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 25)) ||
+        (col("p_brand") === "Brand#4" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .filter(residual)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("disc_price")).cast("double").as("revenue"))
+        .orderBy("p_brand")
+    },
+    Some("""
+      WITH branches AS (
+        SELECT p_brand, l_extendedprice, l_discount
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+          AND l_quantity BETWEEN 1 AND 15
+        UNION ALL
+        SELECT p_brand, l_extendedprice, l_discount
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+          AND l_quantity BETWEEN 10 AND 25
+        UNION ALL
+        SELECT p_brand, l_extendedprice, l_discount
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#4' AND p_size BETWEEN 20 AND 50
+          AND l_quantity BETWEEN 20 AND 40)
+      SELECT p_brand, count(*) AS n_items,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
+      FROM branches
+      GROUP BY p_brand
+      ORDER BY p_brand"""))
+
+  /** The ip-to-geo / price-band RANGE-LOOKUP join, de-cartesianed: map each
+    * fact row to the dimension interval containing it. Spark plans a raw
+    * `lo <= x AND x < hi` join as BroadcastNestedLoopJoin — O(facts × ranges)
+    * probes, a scale-killer when the range table is large (real geo/IP dims
+    * run millions of ranges, far past broadcast). The standard fix: pick a
+    * bin width W, EXPLODE each interval to the bins it covers (sequence of
+    * lo/W..(hi-1)/W), key facts by x/W, and equi-join on the bin with the
+    * BETWEEN as residual — a hash join whose build side grows only by the
+    * covered-bin replication factor, shuffle-partitionable on either side.
+    * Boundary math in integer cents (half-open [lo, hi)); tier names chosen
+    * lexically ordered so both engines sort identically. PlanSpec pins no
+    * BroadcastNestedLoopJoin / CartesianProduct in the plan; the oracle runs
+    * the naive non-equi join — equal hashes prove bin-cover correctness. */
+  val q147 = GraftQuery(
+    "q147_range_lookup_join",
+    "Range-lookup dim join (price bands) binned into an equi-join; no nested-loop probe",
+    (s, dir) => {
+      import s.implicits._
+      val W = 2500000L // bin width: $25k in cents; 20 bins cover [0, $500k)
+      val tiers = Seq( // (tier, lo_cents, hi_cents) half-open, contiguous
+        ("t01_micro", 0L, 200000L), ("t02_tiny", 200000L, 500000L),
+        ("t03_small", 500000L, 1000000L), ("t04_light", 1000000L, 2000000L),
+        ("t05_lower", 2000000L, 3500000L), ("t06_mid", 3500000L, 5000000L),
+        ("t07_upper", 5000000L, 7500000L), ("t08_large", 7500000L, 10000000L),
+        ("t09_major", 10000000L, 15000000L), ("t10_heavy", 15000000L, 20000000L),
+        ("t11_jumbo", 20000000L, 30000000L), ("t12_titan", 30000000L, 50000000L))
+        .toDF("tier", "lo", "hi")
+      val binned = tiers
+        .withColumn("bin", explode(sequence(expr(s"lo div ${W}L"),
+          expr(s"(hi - 1) div ${W}L"))))
+      val orders = table(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("tp"),
+          dec2(col("o_totalprice")).as("price"))
+        .withColumn("bin", expr(s"tp div ${W}L"))
+      orders.join(binned, Seq("bin"))
+        .filter(col("tp") >= col("lo") && col("tp") < col("hi"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast("double").as("revenue"))
+        .orderBy("tier")
+    },
+    Some("""
+      WITH tiers(tier, lo, hi) AS (VALUES
+        ('t01_micro', 0, 200000), ('t02_tiny', 200000, 500000),
+        ('t03_small', 500000, 1000000), ('t04_light', 1000000, 2000000),
+        ('t05_lower', 2000000, 3500000), ('t06_mid', 3500000, 5000000),
+        ('t07_upper', 5000000, 7500000), ('t08_large', 7500000, 10000000),
+        ('t09_major', 10000000, 15000000), ('t10_heavy', 15000000, 20000000),
+        ('t11_jumbo', 20000000, 30000000), ('t12_titan', 30000000, 50000000)),
+      o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS tp,
+                   o_totalprice
+            FROM orders)
+      SELECT tier, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS revenue
+      FROM o JOIN tiers ON tp >= lo AND tp < hi
+      GROUP BY tier
+      ORDER BY tier"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
-    q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144)
+    q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
+    q146, q147)
 }

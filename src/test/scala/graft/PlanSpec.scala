@@ -737,6 +737,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), s"fact-shuffle join crept in\n$p")
   }
 
+  test("q145: the Q20-shape chain scans lineitem ONCE — conditional agg, semi-joins broadcast") {
+    val p = plan(operators.Relational.q145.build(spark, sfDir))
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("lineitem.parquet"))
+    assert(liScans == 1, s"$liScans lineitem scans — window-vs-total not fused\n$p")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      s"the part-type gate must be a broadcast semi-join before the agg\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q146: the Q19 disjunction is ONE lineitem scan + ONE join — no per-branch union") {
+    val p = plan(operators.Relational.q146.build(spark, sfDir))
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("lineitem.parquet"))
+    assert(liScans == 1, s"$liScans lineitem scans — disjunction not collapsed\n$p")
+    // count detail headers only — formatted mode names each node twice
+    val joins = p.linesIterator.count(_.trim.matches("""\(\d+\) BroadcastHashJoin.*"""))
+    assert(joins == 1, s"$joins joins, expected 1\n$p")
+    assert(!p.contains("Union"), s"per-disjunct union where one join suffices\n$p")
+    // the brand IN-list implied by the OR pushes into the part scan
+    assert(p.contains("Brand#12"), s"brand filter not pushed to the part scan\n$p")
+  }
+
+  test("q147: range lookup is an equi-join on the bin — no BroadcastNestedLoopJoin") {
+    val p = plan(operators.Relational.q147.build(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi range probe planned as nested loop\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), s"no hash-partitionable join found\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
