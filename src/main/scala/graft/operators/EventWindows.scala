@@ -969,6 +969,127 @@ object EventWindows {
       GROUP BY day, event_type
       ORDER BY day, event_type"""))
 
+  /** Seasonal-naive forecast backtest — the mandatory baseline before any
+    * time-series model ships ("would copying last week have done as well?"):
+    * forecast(day d) = observed(day d−7), evaluated as MAE over the days
+    * with a 7-day-older twin inside the fixed [2024-01-01, 2024-01-30]
+    * analysis window. The 100 TB posture: aggregate FIRST (one shuffle to
+    * daily grain), gap-fill on the tiny calendar spine (|days|×|types| rows
+    * — missing days are real zeros, and skipping them silently drops the
+    * forecast's worst errors), then self-join the ROLLUP on (type, d−7),
+    * a dimension-sized join that never touches the fact table again. All
+    * errors are integer counts; MAE is the single final division. */
+  val q149 = GraftQuery(
+    "q149_seasonal_backtest",
+    "Seasonal-naive (lag-7) daily-count forecast backtest: MAE per event type, zero-filled spine",
+    (s, dir) => {
+      val types = events(s, dir).select(col("event_type")).distinct()
+      val spine = s.range(1)
+        .select(explode(expr(
+          "sequence(DATE'2024-01-01', DATE'2024-01-30', interval 1 day)"))
+          .as("day"))
+        .crossJoin(broadcast(types))
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val filled = spine.join(daily, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val cur = filled.as("cur")
+      val prev = filled.as("prev")
+      cur.join(prev,
+          col("cur.event_type") === col("prev.event_type") &&
+            col("cur.day") === date_add(col("prev.day"), 7))
+        .groupBy(col("cur.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("cur.c") - col("prev.c"))).as("total_abs_err"))
+        .withColumn("mae",
+          col("total_abs_err").cast("double") / col("n_days"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH spine AS (
+        SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                           DATE '2024-01-30',
+                                           INTERVAL 1 DAY)) AS DATE) AS day,
+               event_type
+        FROM (SELECT DISTINCT event_type FROM events)),
+      daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      filled AS (
+        SELECT s.day, s.event_type, coalesce(d.c, 0) AS c
+        FROM spine s LEFT JOIN daily d
+          ON s.day = d.day AND s.event_type = d.event_type)
+      SELECT cur.event_type AS event_type,
+             count(*) AS n_days,
+             CAST(sum(abs(cur.c - prev.c)) AS BIGINT) AS total_abs_err,
+             CAST(sum(abs(cur.c - prev.c)) AS DOUBLE) / count(*) AS mae
+      FROM filled cur JOIN filled prev
+        ON cur.event_type = prev.event_type
+       AND cur.day = prev.day + INTERVAL 7 DAY
+      GROUP BY cur.event_type
+      ORDER BY cur.event_type"""))
+
+  /** Pearson chi-square independence audit (event type × user cohort) in
+    * EXACT integer arithmetic — the statistical test behind every A/B
+    * readout and drift alarm, made hash-checkable: per contingency cell,
+    * chi2's (o−e)²/e term is the rational (o·n − r·c)² / (r·c·n), and its
+    * basis-point value is computed by split division ((num div den)·10⁴ +
+    * (num mod den)·10⁴ div den — overflow-safe: the remainder, not the
+    * numerator, is what multiplies by 10⁴) so no float ever appears and
+    * partition order can't move the answer. The cell table is
+    * |types|×|cohorts| rows — ONE fact shuffle builds it; marginals are
+    * windows over that bounded frame, and the ALL row (total chi2, the
+    * test statistic) re-aggregates the cells with no second scan. */
+  val q150 = GraftQuery(
+    "q150_chi_square_independence",
+    "Chi-square independence of event type × user cohort, exact integer basis points per cell",
+    (s, dir) => {
+      val cells = events(s, dir)
+        .select(col("event_type"), pmod(col("user_id"), lit(3L)).as("cohort"))
+        .groupBy("event_type", "cohort")
+        .agg(count(lit(1)).as("o"))
+      val wAll = Window.partitionBy()
+      val scored = cells
+        .withColumn("r", sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("c", sum("o").over(Window.partitionBy("cohort")))
+        .withColumn("n", sum("o").over(wAll))
+        .withColumn("num", expr("(o * n - r * c) * (o * n - r * c)"))
+        .withColumn("den", expr("r * c * n"))
+        .withColumn("contrib_bp", expr(
+          "(num div den) * 10000 + ((num % den) * 10000) div den"))
+        .select("event_type", "cohort", "o", "r", "c", "contrib_bp")
+      val total = scored.agg(
+        sum("contrib_bp").as("contrib_bp"), sum("o").as("o"))
+        .select(lit("ALL").as("event_type"), lit(-1L).as("cohort"),
+          col("o"), col("o").as("r"), col("o").as("c"), col("contrib_bp"))
+      scored.unionByName(total).orderBy("event_type", "cohort")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT event_type, user_id % 3 AS cohort, count(*) AS o
+        FROM events GROUP BY 1, 2),
+      scored AS (
+        SELECT event_type, cohort, o,
+               sum(o) OVER (PARTITION BY event_type) AS r,
+               sum(o) OVER (PARTITION BY cohort) AS c,
+               sum(o) OVER () AS n
+        FROM cells),
+      bp AS (
+        SELECT event_type, cohort, o,
+               CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+               CAST(((o*n - r*c)*(o*n - r*c) // (r*c*n)) * 10000
+                 + (((o*n - r*c)*(o*n - r*c)) % (r*c*n)) * 10000 // (r*c*n)
+                 AS BIGINT) AS contrib_bp
+        FROM scored)
+      SELECT event_type, cohort, o, r, c, contrib_bp FROM bp
+      UNION ALL
+      SELECT 'ALL', -1, CAST(sum(o) AS BIGINT), CAST(sum(o) AS BIGINT),
+             CAST(sum(o) AS BIGINT), CAST(sum(contrib_bp) AS BIGINT) FROM bp
+      ORDER BY event_type, cohort"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
-    q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137)
+    q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
+    q150)
 }

@@ -1891,9 +1891,48 @@ object Relational {
       GROUP BY tier
       ORDER BY tier"""))
 
+  /** PIVOT (long→wide cross-tab), the inverse of q63's UNPIVOT. The scale
+    * detail that matters: `pivot(col)` WITHOUT a value list runs an eager
+    * collect-distinct job at PLAN time to discover the columns — an extra
+    * fact pass (and nondeterministic column order) at 100 TB. Passing the
+    * explicit value list keeps planning metadata-only and compiles the
+    * pivot into ONE conditional hash aggregate — exactly the CASE-WHEN
+    * form the oracle spells out, one scan, one shuffle on the row key.
+    * Counts + DECIMAL revenue per order status, statuses as columns. */
+  val q148 = GraftQuery(
+    "q148_pivot_crosstab",
+    "PIVOT with explicit value list: order priority × status cross-tab in one conditional agg",
+    (s, dir) =>
+      table(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          dec2(col("o_totalprice")).as("price"))
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("rev"))
+        .select(col("o_orderpriority"),
+          col("F_n").as("f_n"), col("F_rev").as("f_rev"),
+          col("O_n").as("o_n"), col("O_rev").as("o_rev"),
+          col("P_n").as("p_n"), col("P_rev").as("p_rev"))
+        .orderBy("o_orderpriority"),
+    Some("""
+      SELECT o_orderpriority,
+             count(*) FILTER (o_orderstatus = 'F') AS f_n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+                  FILTER (o_orderstatus = 'F') AS DOUBLE) AS f_rev,
+             count(*) FILTER (o_orderstatus = 'O') AS o_n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+                  FILTER (o_orderstatus = 'O') AS DOUBLE) AS o_rev,
+             count(*) FILTER (o_orderstatus = 'P') AS p_n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2)))
+                  FILTER (o_orderstatus = 'P') AS DOUBLE) AS p_rev
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
-    q146, q147)
+    q146, q147, q148)
 }

@@ -897,6 +897,39 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q149: every type evaluates exactly 23 forecast days, and mae*n_days reproduces the integer error") {
+    val rows = operators.EventWindows.q149.build(spark, sfDir).collect()
+    assert(rows.length == 5, s"${rows.length} event types, expected 5")
+    rows.foreach { r =>
+      val (n, tot, mae) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      // 30-day window, lag 7 → 23 evaluable days regardless of data gaps
+      // (the zero-filled spine is what guarantees this)
+      assert(n == 23L, s"${r.getString(0)}: $n eval days, expected 23")
+      assert(math.abs(mae * n - tot.toDouble) < 1e-6,
+        s"${r.getString(0)}: mae $mae × $n ≠ $tot")
+    }
+  }
+
+  test("q150: ALL row sums the cells, and integer-bp chi2 matches the float statistic within 1bp/cell") {
+    val rows = operators.EventWindows.q150.build(spark, sfDir).collect()
+    val (all, cells) = rows.partition(_.getString(0) == "ALL")
+    assert(all.length == 1 && cells.length == 15,
+      s"${cells.length} cells + ${all.length} ALL rows")
+    assert(all.head.getLong(5) == cells.map(_.getLong(5)).sum,
+      "ALL chi2 must merge the per-cell contributions")
+    val n = all.head.getLong(2).toDouble
+    val floatChi2 = cells.map { r =>
+      val (o, rt, ct) = (r.getLong(2).toDouble, r.getLong(3).toDouble,
+        r.getLong(4).toDouble)
+      val e = rt * ct / n
+      (o - e) * (o - e) / e
+    }.sum
+    val intChi2 = all.head.getLong(5) / 10000.0
+    // each cell's bp value floors once → total may undershoot by <15 bp
+    assert(intChi2 <= floatChi2 + 1e-9 && floatChi2 - intChi2 < 0.0015,
+      s"integer-bp chi2 $intChi2 vs float $floatChi2")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }

@@ -769,6 +769,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.contains("SortMergeJoin"), s"no hash-partitionable join found\n$p")
   }
 
+  test("q148: explicit-value pivot is one orders scan + one conditional agg — no plan-time distinct job") {
+    val p = plan(operators.Relational.q148.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("orders.parquet"))
+    assert(scans == 1, s"$scans orders scans\n$p")
+    assert(!p.contains("Union"), p)
+    assert(!p.contains("Expand"), s"pivot should compile to conditional agg, not Expand\n$p")
+  }
+
+  test("q149: forecast join runs on the daily ROLLUP — every events scan is pruned to ts/event_type") {
+    val p = plan(operators.EventWindows.q149.build(spark, sfDir))
+    p.linesIterator.filter(_.trim.startsWith("ReadSchema")).foreach { rs =>
+      assert(!rs.contains("props") && !rs.contains("value") &&
+        !rs.contains("event_id"),
+        s"events scan reads fact columns the rollup doesn't need: $rs")
+    }
+  }
+
+  test("q150: the contingency audit joins nothing — cells, windows, and merged ALL only") {
+    val p = plan(operators.EventWindows.q150.build(spark, sfDir))
+    assert(!p.contains("Join"), s"join in a windows-over-cells plan\n$p")
+    p.linesIterator.filter(_.trim.startsWith("ReadSchema")).foreach { rs =>
+      assert(!rs.contains("props") && !rs.contains("value"),
+        s"unpruned events scan: $rs")
+    }
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
