@@ -384,5 +384,53 @@ object Sampling {
       FROM est e JOIN exact x ON e.grp = x.grp
       ORDER BY e.grp"""))
 
-  val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62, q100, q134, q139)
+  /** Quantile normalization — the cross-batch feature-alignment transform
+    * (microarray lineage, now standard ML prep): force every group's value
+    * DISTRIBUTION onto a shared reference by mapping each group's k-th
+    * order statistic to the cross-group mean of k-th order statistics.
+    * Computed over the common rank prefix (ranks ≤ smallest group), where
+    * the classic algorithm is exact with no fractional-rank interpolation:
+    * one per-group rank window (shuffle on lang — each group sorts its OWN
+    * rows, no global sort), the rank cap arrives as a broadcast one-row
+    * scalar (never a whole-frame window), and the reference distribution
+    * is a groupBy(rank) re-shuffle of the capped frame. Output is the
+    * reference mapping itself (rank → normalized value), n/|groups| rows —
+    * a distributed artifact downstream joins consume, not a collect.
+    * Deterministic: doc_id tiebreak; one division at the surface. */
+  val q151 = GraftQuery(
+    "q151_quantile_normalization",
+    "Quantile normalization of n_chars across langs: rank→cross-group-mean reference mapping",
+    (s, dir) => {
+      val docs = table(s, dir, "documents").select("lang", "n_chars", "doc_id")
+      val wRank = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      val ranked = docs.withColumn("rank", row_number().over(wRank))
+      val cap = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .agg(min("cnt").as("m"))
+      ranked.crossJoin(broadcast(cap))
+        .filter(col("rank") <= col("m"))
+        .groupBy("rank")
+        .agg(count(lit(1)).as("n_langs"),
+          sum(col("n_chars")).as("sum_nchars"))
+        .withColumn("norm_value",
+          col("sum_nchars").cast("double") / col("n_langs"))
+        .orderBy("rank")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS rank
+        FROM documents),
+      cap AS (
+        SELECT min(cnt) AS m
+        FROM (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang))
+      SELECT rank, count(*) AS n_langs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_nchars,
+             CAST(sum(n_chars) AS DOUBLE) / count(*) AS norm_value
+      FROM ranked, cap
+      WHERE rank <= m
+      GROUP BY rank
+      ORDER BY rank"""))
+
+  val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62, q100, q134, q139, q151)
 }

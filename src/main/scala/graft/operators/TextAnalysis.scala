@@ -2160,7 +2160,67 @@ object TextAnalysis {
       ORDER BY df DESC, token
       LIMIT 40"""))
 
+  /** Good-Turing unseen-probability mass — the open-vocabulary question
+    * every LM data pipeline answers before choosing vocab size or smoothing
+    * ("how much probability belongs to words we have NEVER seen?"): the
+    * Good-Turing estimate P₀ = N₁/N (mass of singletons), plus the smoothed
+    * count r* = 2·N₂/N₁ for once-seen types — both exact integer basis
+    * points here, no transcendentals. Per lang AND the true corpus ALL row:
+    * corpus counts are Σ over langs of the per-(lang, word) counts — a
+    * re-aggregation of the intermediate count table by word (a word once in
+    * en and once in de is a corpus DOUBLETON, so merging per-lang
+    * counts-of-counts would be WRONG; the count table, not the
+    * counts-of-counts, is the mergeable state). Text shuffles once into
+    * (lang, word) counts; everything after is vocabulary-sized. */
+  val t40 = GraftQuery(
+    "t40_good_turing",
+    "Good-Turing unseen mass per lang + corpus ALL: P0=N1/N and r*=2N2/N1 in exact basis points",
+    (s, dir) => {
+      val langCounts = table(s, dir, "documents")
+        .select(col("lang"), explode(words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      val allCounts = langCounts.groupBy("w")
+        .agg(sum("c").as("c")).select(lit("ALL").as("lang"), col("c"))
+      val spectrum = langCounts.select("lang", "c").unionByName(allCounts)
+        .groupBy("lang", "c").agg(count(lit(1)).as("nr"))
+      spectrum.groupBy("lang")
+        .agg(sum(expr("c * nr")).as("n_tokens"),
+          sum("nr").as("n_types"),
+          sum(when(col("c") === 1, col("nr")).otherwise(lit(0L))).as("n1"),
+          sum(when(col("c") === 2, col("nr")).otherwise(lit(0L))).as("n2"))
+        .withColumn("p0_bp", expr("n1 * 10000 div n_tokens"))
+        .withColumn("r1_star_x100",
+          expr("CASE WHEN n1 > 0 THEN 2 * n2 * 100 div n1 END"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH lc AS (
+        SELECT lang, w, count(*) AS c
+        FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        WHERE len(w) > 0
+        GROUP BY lang, w),
+      ac AS (SELECT 'ALL' AS lang, CAST(sum(c) AS BIGINT) AS c
+             FROM lc GROUP BY w),
+      spectrum AS (
+        SELECT lang, c, count(*) AS nr
+        FROM (SELECT lang, c FROM lc UNION ALL SELECT lang, c FROM ac)
+        GROUP BY lang, c),
+      agg AS (
+        SELECT lang,
+               CAST(sum(c * nr) AS BIGINT) AS n_tokens,
+               CAST(sum(nr) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN nr ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN c = 2 THEN nr ELSE 0 END) AS BIGINT) AS n2
+        FROM spectrum GROUP BY lang)
+      SELECT lang, n_tokens, n_types, n1, n2,
+             n1 * 10000 // n_tokens AS p0_bp,
+             CASE WHEN n1 > 0 THEN 2 * n2 * 100 // n1 END AS r1_star_x100
+      FROM agg
+      ORDER BY lang"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39)
+    t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40)
 }

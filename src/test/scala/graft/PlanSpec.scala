@@ -796,6 +796,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q151: rank windows partition by lang and the rank cap arrives broadcast — no global sort, no whole-frame window") {
+    val p = plan(operators.Sampling.q151.build(spark, sfDir))
+    assert(p.contains("BroadcastExchange"),
+      s"the one-row rank cap must broadcast\n$p")
+    // the rank window's exchange hashes on lang (per-group sort, no global
+    // sort); the only SinglePartition exchange allowed is the one-row
+    // min(cnt) scalar aggregate feeding the broadcast
+    assert(p.linesIterator.exists(l =>
+      l.contains("Arguments: hashpartitioning") && l.contains("lang")),
+      s"rank window does not partition by lang\n$p")
+    val single = p.linesIterator.count(_.contains("SinglePartition"))
+    assert(single <= 1, s"$single SinglePartition exchanges, expected ≤1 (scalar cap)\n$p")
+  }
+
+  test("t40: text shuffles once into (lang, word) counts — ALL row re-aggregates the count table") {
+    val p = plan(operators.TextAnalysis.t40.build(spark, sfDir))
+    // text column must not survive past the scan+explode: no exchange
+    // should carry `text`
+    p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).foreach {
+      ex => assert(!ex.contains("text"), s"raw text crosses a shuffle: $ex")
+    }
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
