@@ -1090,6 +1090,63 @@ object Multimodal {
       GROUP BY tile_idx
       ORDER BY tile_idx"""))
 
+  /** WebDataset-style SHARD PACKING manifest — the storage-layout decision
+    * every multimodal training corpus makes before a single GPU reads it:
+    * payloads are streamed per source in doc_id order into ~4 KiB shard
+    * archives, split by the tar-stream rule (a shard closes when the byte
+    * cursor crosses the cap; the straddling payload belongs to the shard
+    * where it STARTS — whole files never split, unlike t12's token
+    * packing, which fills chunks exactly by splitting sequences). Output
+    * is the manifest a loader consumes: per (source, shard) the file
+    * count, byte extent, doc_id span, and an md5 over the ordered member
+    * list (the integrity check distributed readers re-derive). All byte
+    * math on octet lengths (multi-byte UTF-8 counted as stored); the
+    * window is one per-source cumulative sum — layout planning costs one
+    * shuffle at any corpus size, and the manifest is corpus/cap rows. */
+  val m17 = GraftQuery(
+    "m17_shard_manifest",
+    "Shard-packing manifest: per-source 4KiB tar-stream shards, byte extents + member-list md5",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cap = 4096L
+      val wCum = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          length(col("text").cast("binary")).cast("long").as("bytes"))
+        .withColumn("cum_before",
+          coalesce(sum("bytes").over(wCum), lit(0L)))
+        .withColumn("shard_id", expr(s"cum_before div ${cap}L"))
+        .groupBy("source", "shard_id")
+        .agg(count(lit(1)).as("n_files"),
+          sum("bytes").as("shard_bytes"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"),
+          md5(concat_ws(",", sort_array(collect_list(col("doc_id"))))
+            .cast("binary")).as("manifest_md5"))
+        .orderBy("source", "shard_id")
+    },
+    Some("""
+      WITH sized AS (
+        SELECT source, doc_id, octet_length(encode(text)) AS bytes
+        FROM documents),
+      placed AS (
+        SELECT source, doc_id, bytes,
+               coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+        FROM sized)
+      SELECT source, CAST(cum_before // 4096 AS BIGINT) AS shard_id,
+             count(*) AS n_files,
+             CAST(sum(bytes) AS BIGINT) AS shard_bytes,
+             min(doc_id) AS first_doc,
+             max(doc_id) AS last_doc,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS manifest_md5
+      FROM placed
+      GROUP BY source, shard_id
+      ORDER BY source, shard_id"""))
+
   val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11,
-    m12, m13, m14, m15, m16)
+    m12, m13, m14, m15, m16, m17)
 }

@@ -2169,6 +2169,88 @@ object Similarity {
       WHERE r.rank <= 3
       ORDER BY r.query_id, r.rank"""))
 
+  /** Retrieval-quality evaluation in EXACT rationals — the IR scorecard
+    * (hits@k, first relevant rank, reciprocal rank) a retrieval system is
+    * actually graded by, with the float seam removed: MRR's 1/rank terms
+    * are scaled by 2520 = lcm(1..10), so every reciprocal of a rank ≤ 10
+    * is an exact integer and the per-label mean is one final division.
+    * Ranking is s1's broadcast-queries × streaming-corpus top-10 (exact
+    * brute force — this is the harness that GRADES, so it must not itself
+    * approximate); relevance = label match (the standard proxy-label
+    * protocol). Per-label rollup + ALL row re-aggregate the 20-row
+    * per-query frame — bounded, no second corpus pass. At 100 TB the
+    * corpus side streams through unreplicated; only the query set and
+    * the per-query verdicts move. */
+  val s26 = GraftQuery(
+    "s26_retrieval_quality",
+    "Retrieval eval harness: hits@10, first-hit rank, MRR×2520 exact per label + ALL",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          l2Norm(col("embedding")).as("nrm"))
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+      val top = broadcast(q).crossJoin(emb)
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+          (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+            .as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+      val perQuery = top.groupBy("query_id", "qlabel")
+        .agg(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+            .as("hits"),
+          min(when(col("label") === col("qlabel"), col("rank"))).as("frank"))
+        .select(col("query_id"), col("qlabel"),
+          col("hits").as("hits_at_10"),
+          expr("CASE WHEN frank IS NOT NULL THEN 2520 div frank ELSE 0 END")
+            .as("rr_x2520"))
+      val byLabel = perQuery.groupBy(col("qlabel").cast("string").as("grp"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum("hits_at_10").as("total_hits"),
+          sum("rr_x2520").as("sum_rr_x2520"))
+      val allRow = perQuery.agg(count(lit(1)).as("n_queries"),
+          sum("hits_at_10").as("total_hits"),
+          sum("rr_x2520").as("sum_rr_x2520"))
+        .select(lit("ALL").as("grp"), col("n_queries"), col("total_hits"),
+          col("sum_rr_x2520"))
+      byLabel.unionByName(allRow).orderBy("grp")
+    },
+    Some("""
+      WITH n AS (SELECT vec_id, label, embedding,
+                        sqrt(list_aggregate(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+                 FROM embeddings),
+      sims AS (SELECT q.vec_id AS query_id, q.label AS qlabel,
+                      c.vec_id AS vec_id, c.label AS label,
+                      list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                        / (q.nrm * c.nrm) AS sim
+               FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+      ranked AS (SELECT query_id, qlabel, label,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id) AS rank
+                 FROM sims),
+      top AS (SELECT * FROM ranked WHERE rank <= 10),
+      pq AS (SELECT query_id, qlabel,
+                    sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS hits_at_10,
+                    min(CASE WHEN label = qlabel THEN rank END) AS frank
+             FROM top GROUP BY query_id, qlabel),
+      pq2 AS (SELECT query_id, qlabel, hits_at_10,
+                     CASE WHEN frank IS NOT NULL THEN 2520 // frank
+                          ELSE 0 END AS rr_x2520
+              FROM pq)
+      SELECT CAST(qlabel AS VARCHAR) AS grp, count(*) AS n_queries,
+             CAST(sum(hits_at_10) AS BIGINT) AS total_hits,
+             CAST(sum(rr_x2520) AS BIGINT) AS sum_rr_x2520
+      FROM pq2 GROUP BY qlabel
+      UNION ALL
+      SELECT 'ALL', count(*), CAST(sum(hits_at_10) AS BIGINT),
+             CAST(sum(rr_x2520) AS BIGINT) FROM pq2
+      ORDER BY grp"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
-    s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25)
+    s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26)
 }

@@ -930,6 +930,31 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"integer-bp chi2 $intChi2 vs float $floatChi2")
   }
 
+  test("m17: shard ids are contiguous per source and shard bytes conserve the corpus") {
+    val rows = operators.Multimodal.m17.build(spark, sfDir).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    val totalBytes = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .selectExpr("source", "CAST(length(CAST(text AS BINARY)) AS BIGINT) AS b")
+      .groupBy("source").agg(sum("b").as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, shards) =>
+      val ids = shards.map(_.getLong(1)).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong).toSeq,
+        s"$src: non-contiguous shard ids ${ids.mkString(",")}")
+      assert(shards.map(_.getLong(3)).sum == totalBytes(src),
+        s"$src: shard bytes don't conserve the corpus")
+      // doc_id spans of consecutive shards must not interleave
+      val spans = shards.sortBy(_.getLong(1)).map(r => (r.getLong(4), r.getLong(5))).toSeq
+      spans.sliding(2).foreach { pair =>
+        if (pair.length == 2) {
+          val (aHi, bLo) = (pair(0)._2, pair(1)._1)
+          assert(aHi < bLo, s"$src: shard spans interleave ($aHi ≥ $bLo)")
+        }
+      }
+    }
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }

@@ -819,6 +819,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s26: only the query set broadcasts — the corpus streams through unreplicated") {
+    val p = plan(operators.Similarity.s26.build(spark, sfDir))
+    // the per-label and ALL rollups are two union branches, each replaying
+    // the 20-row query broadcast — so ≤2 broadcasts, both query-sized
+    val bcasts = p.linesIterator.count(_.trim.matches("""\(\d+\) BroadcastExchange.*"""))
+    assert(bcasts <= 2, s"$bcasts broadcasts, expected ≤2 (query side per branch)\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
