@@ -1930,9 +1930,130 @@ object Relational {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  /** Pro-rata allocation with LARGEST-REMAINDER penny rounding — the
+    * financial-engineering primitive behind revenue allocation, cost
+    * spreading, and tax apportionment: distribute each order's total price
+    * across its lineitems proportional to extended price so that the
+    * allocations are integer cents AND sum exactly to the order total
+    * (naive rounding leaks pennies; the largest-remainder method hands the
+    * residual R = T − Σ⌊T·eᵢ/E⌋ to the R lines with the largest division
+    * remainders, linenumber tie-break). Everything is integer: base share
+    * T·eᵢ div E, remainder (T·eᵢ) mod E, extra-cent rank. One shuffle
+    * co-partitions lines with their order; two windows ride that same
+    * exchange (subset partitioning) — at 100 TB this is one fact exchange,
+    * no driver math. Deterministic 5% order slice keeps the dump bounded.
+    * InvariantSpec proves the conservation law the op exists for. */
+  val q152 = GraftQuery(
+    "q152_prorata_allocation",
+    "Largest-remainder pro-rata allocation: order total → integer-cent line shares, zero leak",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(20L)) === 0L)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("e"))
+      val ord = table(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(20L)) === 0L)
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("t"))
+      val wOrd = Window.partitionBy("l_orderkey")
+      val wRem = Window.partitionBy("l_orderkey")
+        .orderBy(desc("rem"), col("l_linenumber"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("etot", sum("e").over(wOrd))
+        .withColumn("base", expr("t * e div etot"))
+        .withColumn("rem", expr("(t * e) % etot"))
+        .withColumn("resid", col("t") - sum("base").over(wOrd))
+        .withColumn("extra_rank", row_number().over(wRem))
+        .withColumn("alloc_cents",
+          col("base") + when(col("extra_rank") <= col("resid"), 1L)
+            .otherwise(0L))
+        .select("l_orderkey", "l_linenumber", "e", "alloc_cents")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS e
+        FROM lineitem WHERE l_orderkey % 20 = 0),
+      ord AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS t
+        FROM orders WHERE o_orderkey % 20 = 0),
+      base AS (
+        SELECT l_orderkey, l_linenumber, e, t,
+               CAST(sum(e) OVER (PARTITION BY l_orderkey) AS BIGINT) AS etot
+        FROM li JOIN ord ON l_orderkey = o_orderkey),
+      shares AS (
+        SELECT l_orderkey, l_linenumber, e,
+               t * e // etot AS b,
+               (t * e) % etot AS rem,
+               CAST(t - sum(t * e // etot) OVER (PARTITION BY l_orderkey)
+                 AS BIGINT) AS resid
+        FROM base),
+      ranked AS (
+        SELECT l_orderkey, l_linenumber, e, b, resid,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY rem DESC, l_linenumber) AS rk
+        FROM shares)
+      SELECT l_orderkey, l_linenumber, e,
+             CAST(b + CASE WHEN rk <= resid THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc_cents
+      FROM ranked
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** Exact percentile of an AGGREGATE — "p90 orders per customer, by
+    * nation": the distribution-of-aggregates question every capacity and
+    * fairness review asks, with the two classic traps handled exactly:
+    * (1) customers with ZERO orders must enter the distribution (the
+    * left-join + coalesce 0 — dropping them silently inflates every
+    * percentile); (2) percentile_disc semantics via an integer rank walk
+    * (smallest value whose rank reaches ⌈0.9·n⌉ = (9n+9) div 10) — no
+    * interpolation, engine-independent. Two stacked aggregations (orders →
+    * per-customer counts → per-nation walk); the percentile window rides
+    * the nation exchange. The fact table is touched once. */
+  val q153 = GraftQuery(
+    "q153_percentile_of_aggregate",
+    "Exact p90 orders-per-customer by nation: agg-of-agg + integer rank walk, zero-order customers counted",
+    (s, dir) => {
+      val perCust = table(s, dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(table(s, dir, "orders").groupBy("o_custkey")
+            .agg(count(lit(1)).as("cnt")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_nationkey"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val wWalk = Window.partitionBy("n_name").orderBy("cnt", "c_custkey")
+      val wNation = Window.partitionBy("n_name")
+      perCust
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .withColumn("rn", row_number().over(wWalk))
+        .withColumn("n", count(lit(1)).over(wNation))
+        .filter(col("rn") === expr("(9 * n + 9) div 10"))
+        .select(col("n_name"), col("n").as("n_customers"),
+          col("cnt").as("p90_orders"))
+        .orderBy("n_name")
+    },
+    Some("""
+      WITH per_cust AS (
+        SELECT c.c_custkey, c.c_nationkey, coalesce(o.cnt, 0) AS cnt
+        FROM customer c LEFT JOIN
+          (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) o
+          ON c.c_custkey = o.o_custkey),
+      walked AS (
+        SELECT n.n_name, p.cnt, p.c_custkey,
+               row_number() OVER (PARTITION BY n.n_name
+                                  ORDER BY p.cnt, p.c_custkey) AS rn,
+               count(*) OVER (PARTITION BY n.n_name) AS n
+        FROM per_cust p JOIN nation n ON p.c_nationkey = n.n_nationkey)
+      SELECT n_name, CAST(n AS BIGINT) AS n_customers,
+             CAST(cnt AS BIGINT) AS p90_orders
+      FROM walked
+      WHERE rn = (9 * n + 9) // 10
+      ORDER BY n_name"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
-    q146, q147, q148)
+    q146, q147, q148, q152, q153)
 }

@@ -955,6 +955,21 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q152: allocations conserve every order total exactly — no penny leaks either way") {
+    val alloc = operators.Relational.q152.build(spark, sfDir)
+      .groupBy("l_orderkey")
+      .agg(sum("alloc_cents").as("a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val totals = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter("o_orderkey % 20 = 0")
+      .selectExpr("o_orderkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alloc.keySet.subsetOf(totals.keySet))
+    alloc.foreach { case (k, a) =>
+      assert(a == totals(k), s"order $k: allocated $a ≠ total ${totals(k)}")
+    }
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }

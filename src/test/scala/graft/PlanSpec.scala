@@ -828,6 +828,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join\n$p")
   }
 
+  test("q152: both windows and the rank ride ONE l_orderkey exchange (subset partitioning)") {
+    val p = plan(operators.Relational.q152.build(spark, sfDir))
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    // join + windows co-partition on l_orderkey: one exchange per side of
+    // the join, nothing re-shuffles after it
+    assert(hashEx <= 2, s"$hashEx hash exchanges, expected ≤2 (join sides)\n$p")
+    assert(p.contains("PushedFilters"), s"the %20 slice must push to both scans\n$p")
+  }
+
+  test("q153: the orders fact is touched once and aggregated before any join") {
+    val p = plan(operators.Relational.q153.build(spark, sfDir))
+    val ordScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("orders.parquet"))
+    assert(ordScans == 1, s"$ordScans orders scans\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation dim must broadcast\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
