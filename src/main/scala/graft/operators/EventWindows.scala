@@ -1089,7 +1089,66 @@ object EventWindows {
              CAST(sum(o) AS BIGINT), CAST(sum(contrib_bp) AS BIGINT) FROM bp
       ORDER BY event_type, cohort"""))
 
+  /** DEBOUNCE / cooldown thinning — rate limiting, notification
+    * suppression, retry collapse: keep an event only if ≥30 min have
+    * passed since the last KEPT event of that user. This is genuinely
+    * sequential state (whether an event survives depends on which earlier
+    * events survived — NOT expressible as windows or `session_window`:
+    * gap-sessions reset on every event, the cooldown clock resets only on
+    * kept ones), so it is the legitimate home of the per-partition
+    * imperative tier: repartition by user, secondary-sort within
+    * partitions on (user, ts, id), then a single forward pass carrying
+    * O(1) state (current user, last kept timestamp) — the classic
+    * secondary-sort pattern, one shuffle, no per-group memory
+    * materialization, any per-user history length streams through. The
+    * DuckDB oracle replays the greedy chain via a recursive CTE with a
+    * LATERAL next-kept probe — equal hashes prove the sequential
+    * semantics, not just a resemblance. Micros kept integer end-to-end. */
+  val q154 = GraftQuery(
+    "q154_debounce",
+    "Cooldown debounce (30 min since last KEPT event per user): secondary-sort O(1)-state pass",
+    (s, dir) => {
+      import s.implicits._
+      val cooldownUs = 1800L * 1000000L
+      events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          var curUser = Long.MinValue
+          var lastKept = Long.MinValue
+          it.flatMap { case (u, t, eid) =>
+            if (u != curUser) { curUser = u; lastKept = t; Some((u, t, eid)) }
+            else if (t - lastKept >= cooldownUs) { lastKept = t; Some((u, t, eid)) }
+            else None
+          }
+        }
+        .toDF("user_id", "ts_us", "event_id")
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+    Some("""
+      WITH RECURSIVE ordered AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+      keep AS (
+        SELECT user_id, ts_us, event_id, rn FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT nxt.user_id, nxt.ts_us, nxt.event_id, nxt.rn
+        FROM keep k, LATERAL (
+          SELECT o.user_id, o.ts_us, o.event_id, o.rn
+          FROM ordered o
+          WHERE o.user_id = k.user_id
+            AND o.ts_us >= k.ts_us + CAST(1800 AS BIGINT) * 1000000
+          ORDER BY o.rn LIMIT 1) nxt)
+      SELECT user_id, ts_us, event_id
+      FROM keep
+      ORDER BY user_id, ts_us, event_id"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
-    q150)
+    q150, q154)
 }

@@ -208,6 +208,11 @@ object StreamingOps {
         // 3 deliveries split by event_id — pinned micro-batch boundaries
         val batch = ev5(s, dir)
         (0 until 3).map(i => batch.filter(pmod(col("event_id"), lit(3)) === i))
+      case "st24seq" =>
+        // 4 deliveries split by event_id — enough batches that a ledger bug
+        // (off-by-one skip, wrong key) shows as a count delta
+        val batch = ev5(s, dir)
+        (0 until 4).map(i => batch.filter(pmod(col("event_id"), lit(4)) === i))
       case "st12ts" =>
         // three time-ordered tranches (ntile over ts)
         val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
@@ -1679,7 +1684,97 @@ object StreamingOps {
       WHERE rn = 1 AND NOT tomb
       ORDER BY user_id"""))
 
+  /** The SINK half of exactly-once — st11 proves the ENGINE half (offsets
+    * recovered from the checkpoint, each row processed once); st24 proves
+    * the sink survives the opposite failure: FULL REDELIVERY. Streaming
+    * delivery is at-least-once at the sink boundary (a crash after write
+    * but before commit re-runs the batch), so production foreachBatch
+    * sinks keep a batchId ledger and skip already-committed batches —
+    * Spark's own docs prescribe exactly this idempotent-upsert pattern,
+    * and transactional sinks (Delta, JDBC txn) persist the ledger
+    * atomically WITH the data. Here the second streaming query runs over
+    * the SAME deterministic spool with a FRESH checkpoint, so every batch
+    * redelivers with the same batchId and content (same file order + same
+    * maxFilesPerTrigger — the determinism that makes batchId a valid
+    * idempotency key); the ledger skips them all, and runtime guards
+    * require applied == skipped — a sink that double-applied would double
+    * every count and fail the oracle. Final state == one-shot batch agg. */
+  val st24 = GraftQuery(
+    "st24_idempotent_sink",
+    "Idempotent batchId-ledger sink under full redelivery: two replays == one batch aggregate",
+    (s, dir) => {
+      val batch = ev5(s, dir)
+      val id = runTag()
+      val spoolStr = fileSpool(s, "st24seq", dir)
+      var target: DataFrame = s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type STRING, n BIGINT, total_value DECIMAL(24,2)"))
+      val committed = scala.collection.mutable.Set.empty[Long]
+      var applied = 0
+      var skipped = 0
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      val savedNoData = s.conf.getOption(
+        "spark.sql.streaming.noDataMicroBatches.enabled").getOrElse("true")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        def runOnce(runIdx: Int): Unit = {
+          val src = s.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1").parquet(spoolStr)
+          val q = src.writeStream
+            .foreachBatch { (b: DataFrame, bid: Long) =>
+              if (committed.contains(bid)) { skipped += 1 }
+              else {
+                val delta = b.groupBy("event_type")
+                  .agg(count(lit(1)).as("n"),
+                    sum(dec2(col("value"))).cast("decimal(24,2)")
+                      .as("total_value"))
+                target = target.as("t")
+                  .join(delta.as("d"), Seq("event_type"), "full_outer")
+                  .select(col("event_type"),
+                    (coalesce(col("t.n"), lit(0L)) +
+                      coalesce(col("d.n"), lit(0L))).as("n"),
+                    (coalesce(col("t.total_value"),
+                      lit(BigDecimal(0)).cast("decimal(24,2)")) +
+                      coalesce(col("d.total_value"),
+                        lit(BigDecimal(0)).cast("decimal(24,2)")))
+                      .cast("decimal(24,2)").as("total_value"))
+                  .localCheckpoint(true)
+                committed += bid
+                applied += 1
+              }
+              ()
+            }
+            // fresh checkpoint per run: run 2 redelivers EVERY batch
+            .option("checkpointLocation", spoolDir(s"ckpt_st24_${id}_$runIdx"))
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce(1)
+        runOnce(2)
+        require(applied > 0, "st24: no batches were ever applied")
+        require(skipped == applied,
+          s"st24: run 2 redelivered $skipped batches vs run 1's $applied — " +
+            "the ledger did not see identical redelivery")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", saved)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+      }
+      target
+        .select(col("event_type"), col("n"),
+          col("total_value").cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23)
+    st22, st23, st24)
 }
