@@ -2051,9 +2051,171 @@ object Relational {
       WHERE rn = (9 * n + 9) // 10
       ORDER BY n_name"""))
 
+  /** Pairwise correlation matrix in ONE algebraic pass — the feature-
+    * screening staple ("which metrics move together?") computed the way a
+    * 100 TB engine must: every pairwise Pearson r² derives from sums,
+    * sums-of-squares, and cross-products (n·Σxy − ΣxΣy …), which are
+    * ALGEBRAIC aggregates — partial-aggregated map-side, merged on the
+    * 3-group exchange; the fact is scanned once for all 6 pairs and the
+    * matrix unpivots from the single aggregate row via stack. Metrics are
+    * integer-rounded units so every aggregate is an exact BIGINT; the
+    * final r² = cov²/(vx·vy) is computed in doubles from those exact
+    * integers — a fixed expression over identical inputs, bit-equal in
+    * both engines (no summation-order seam anywhere). Contrast with
+    * calling corr() per pair: 6 aggregates over 6 logical scans. */
+  val q155 = GraftQuery(
+    "q155_correlation_matrix",
+    "All-pairs Pearson r² per returnflag from one algebraic scan: stack of exact sum/cross terms",
+    (s, dir) => {
+      val m = table(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("q"),
+        expr("CAST(round(l_extendedprice) AS BIGINT)").as("p"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("d"),
+        expr("CAST(round(l_tax * 100) AS BIGINT)").as("t"))
+      val aggd = m.groupBy("grp").agg(
+        count(lit(1)).as("n"),
+        sum("q").as("sq"), sum("p").as("sp"),
+        sum("d").as("sd"), sum("t").as("st"),
+        sum(expr("q*q")).as("sqq"), sum(expr("p*p")).as("spp"),
+        sum(expr("d*d")).as("sdd"), sum(expr("t*t")).as("stt"),
+        sum(expr("q*p")).as("sqp"), sum(expr("q*d")).as("sqd"),
+        sum(expr("q*t")).as("sqt"), sum(expr("p*d")).as("spd"),
+        sum(expr("p*t")).as("spt"), sum(expr("d*t")).as("sdt"))
+      aggd.select(col("grp"), col("n"), expr(
+        """stack(6,
+           'qty_price', sq, sp, sqp, sqq, spp,
+           'qty_disc',  sq, sd, sqd, sqq, sdd,
+           'qty_tax',   sq, st, sqt, sqq, stt,
+           'price_disc', sp, sd, spd, spp, sdd,
+           'price_tax', sp, st, spt, spp, stt,
+           'disc_tax',  sd, st, sdt, sdd, stt) AS (pair, sx, sy, sxy, sx2, sy2)"""))
+        .withColumn("cov", expr(
+          "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"))
+        .withColumn("vx", expr(
+          "CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))
+        .withColumn("vy", expr(
+          "CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"))
+        .select(col("grp"), col("pair"), col("n"),
+          expr("CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END")
+            .cast("long").as("corr_sign"),
+          expr("round(cov * cov / (vx * vy), 6)").as("r2"))
+        .orderBy("grp", "pair")
+    },
+    Some("""
+      WITH m AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_quantity) AS BIGINT) AS q,
+               CAST(round(l_extendedprice) AS BIGINT) AS p,
+               CAST(round(l_discount * 100) AS BIGINT) AS d,
+               CAST(round(l_tax * 100) AS BIGINT) AS t
+        FROM lineitem),
+      a AS (
+        SELECT grp, count(*) AS n,
+               CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+               CAST(sum(d) AS BIGINT) AS sd, CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(q*q) AS BIGINT) AS sqq, CAST(sum(p*p) AS BIGINT) AS spp,
+               CAST(sum(d*d) AS BIGINT) AS sdd, CAST(sum(t*t) AS BIGINT) AS stt,
+               CAST(sum(q*p) AS BIGINT) AS sqp, CAST(sum(q*d) AS BIGINT) AS sqd,
+               CAST(sum(q*t) AS BIGINT) AS sqt, CAST(sum(p*d) AS BIGINT) AS spd,
+               CAST(sum(p*t) AS BIGINT) AS spt, CAST(sum(d*t) AS BIGINT) AS sdt
+        FROM m GROUP BY grp),
+      pairs AS (
+        SELECT grp, n, 'qty_price' AS pair, sq AS sx, sp AS sy, sqp AS sxy, sqq AS sx2, spp AS sy2 FROM a
+        UNION ALL SELECT grp, n, 'qty_disc', sq, sd, sqd, sqq, sdd FROM a
+        UNION ALL SELECT grp, n, 'qty_tax', sq, st, sqt, sqq, stt FROM a
+        UNION ALL SELECT grp, n, 'price_disc', sp, sd, spd, spp, sdd FROM a
+        UNION ALL SELECT grp, n, 'price_tax', sp, st, spt, spp, stt FROM a
+        UNION ALL SELECT grp, n, 'disc_tax', sd, st, sdt, sdd, stt FROM a),
+      alg AS (
+        SELECT grp, pair, n,
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+               CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+               CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+        FROM pairs)
+      SELECT grp, pair, n,
+             CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
+               AS BIGINT) AS corr_sign,
+             round(cov * cov / (vx * vy), 6) AS r2
+      FROM alg
+      ORDER BY grp, pair"""))
+
+  /** 2-D SPATIAL proximity join via grid bucketing — the geospatial
+    * workhorse (points-near-sites, store-catchment, geofence matching),
+    * q147's 1-D binning lifted to the plane: a raw `|px−sx| ≤ r AND
+    * |py−sy| ≤ r` join is a nested-loop scale-killer; instead each SITE
+    * replicates to its 3×3 neighborhood of r-sized grid cells (9× build
+    * growth, the standard trade), each POINT keys to its own cell, and the
+    * join is pure equi-join on (cx, cy) with the exact L2 test as residual
+    * — a pair within r can never straddle beyond the neighbor cell, so
+    * recall is 1.0 by construction. Coordinates are md5-derived integer
+    * micro-units (the d12 portable-hash discipline — both engines derive
+    * identical geometry), distances compared SQUARED in exact integers.
+    * The oracle runs the naive band join (DuckDB IEJoin); equal hashes
+    * prove the grid cover. Per-type aggregate output keeps the dump
+    * bounded while still pinning every pair through the sums. */
+  val q156 = GraftQuery(
+    "q156_spatial_grid_join",
+    "Spatial points-near-sites join: 3×3 grid-cell equi-join + exact integer L2 residual",
+    (s, dir) => {
+      val r = 2000L // radius in micro-units; cell size = r
+      val pts = events(s, dir).select(col("event_id"), col("event_type"))
+        .withColumn("px", expr(
+          "CAST(conv(substring(md5(concat('x', CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000000"))
+        .withColumn("py", expr(
+          "CAST(conv(substring(md5(concat('y', CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000000"))
+        .withColumn("cx", expr(s"px div ${r}L"))
+        .withColumn("cy", expr(s"py div ${r}L"))
+      val sites = table(s, dir, "customer").select(col("c_custkey"))
+        .withColumn("sx", expr(
+          "CAST(conv(substring(md5(concat('sx', CAST(c_custkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000000"))
+        .withColumn("sy", expr(
+          "CAST(conv(substring(md5(concat('sy', CAST(c_custkey AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000000"))
+        .withColumn("cx", explode(expr(s"sequence(sx div ${r}L - 1, sx div ${r}L + 1)")))
+        .withColumn("cy", explode(expr(s"sequence(sy div ${r}L - 1, sy div ${r}L + 1)")))
+      pts.join(sites, Seq("cx", "cy"))
+        .withColumn("d2", expr("(px - sx) * (px - sx) + (py - sy) * (py - sy)"))
+        .filter(col("d2") <= lit(r * r))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("event_id")).as("n_points"),
+          min("d2").as("min_d2"),
+          sum("d2").as("sum_d2"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH pts AS (
+        SELECT event_id, event_type,
+               CAST(concat('0x', substr(md5(concat('x', CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS px,
+               CAST(concat('0x', substr(md5(concat('y', CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS py
+        FROM events),
+      sites AS (
+        SELECT c_custkey,
+               CAST(concat('0x', substr(md5(concat('sx', CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS sx,
+               CAST(concat('0x', substr(md5(concat('sy', CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS sy
+        FROM customer),
+      pairs AS (
+        SELECT p.event_type, p.event_id,
+               (p.px - s.sx) * (p.px - s.sx)
+                 + (p.py - s.sy) * (p.py - s.sy) AS d2
+        FROM pts p JOIN sites s
+          ON s.sx BETWEEN p.px - 2000 AND p.px + 2000
+         AND s.sy BETWEEN p.py - 2000 AND p.py + 2000
+        WHERE (p.px - s.sx) * (p.px - s.sx)
+                + (p.py - s.sy) * (p.py - s.sy) <= 4000000)
+      SELECT event_type, count(*) AS n_pairs,
+             count(DISTINCT event_id) AS n_points,
+             CAST(min(d2) AS BIGINT) AS min_d2,
+             CAST(sum(d2) AS BIGINT) AS sum_d2
+      FROM pairs
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
-    q146, q147, q148, q152, q153)
+    q146, q147, q148, q152, q153, q155, q156)
 }

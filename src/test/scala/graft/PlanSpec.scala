@@ -845,6 +845,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"nation dim must broadcast\n$p")
   }
 
+  test("q155: all 6 correlation pairs derive from ONE lineitem scan and one 3-group exchange") {
+    val p = plan(operators.Relational.q155.build(spark, sfDir))
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("lineitem.parquet"))
+    assert(liScans == 1, s"$liScans lineitem scans — pairs not fused into one agg\n$p")
+    assert(!p.contains("Union"), s"per-pair union where stack suffices\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q156: the spatial join is a grid-cell equi-join — no nested loop, no cartesian") {
+    val p = plan(operators.Relational.q156.build(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"band predicate planned as nested loop\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), s"no hash join on the grid cell\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
