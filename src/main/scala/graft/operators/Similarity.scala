@@ -2251,6 +2251,119 @@ object Similarity {
              CAST(sum(rr_x2520) AS BIGINT) FROM pq2
       ORDER BY grp"""))
 
+  /** Label-propagation community detection (Raghavan et al. 2007) over the
+    * s15 mutual-kNN graph — the linear-time community algorithm every graph
+    * stack ships, in its DETERMINISTIC synchronous form: init comm(v)=v;
+    * each round every node adopts the most frequent community among its
+    * neighbors (tie → smallest id), all nodes updating simultaneously;
+    * fixed 3 rounds (sync LP can oscillate — production runs a round cap
+    * exactly like this, or semi-async coloring; the cap IS the spec here,
+    * and determinism is what makes the op hash-checkable). Each round is
+    * one edge⋈label join + a vote aggregate + a per-node argmax window —
+    * all partitioned by node id; at corpus scale rounds are the d6
+    * pattern (checkpointed iterations over an edge list bounded by graph
+    * density, never all-pairs). Nodes without mutual edges keep their
+    * singleton community through the left join. Output is the community
+    * roster rollup; d6 answers near-dup CONNECTIVITY, s27 answers
+    * semantic NEIGHBORHOOD STRUCTURE — different equivalence. */
+  val s27 = GraftQuery(
+    "s27_label_propagation",
+    "Synchronous 3-round label propagation over the mutual-kNN graph: deterministic communities",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          l2Norm(col("embedding")).as("nrm"))
+      val a = emb.select(col("label"), col("vec_id").as("id1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      val b = emb.select(col("label"), col("vec_id").as("id2"),
+        col("embedding").as("e2"), col("nrm").as("n2"))
+      val wK = Window.partitionBy("id1").orderBy(desc("sim"), col("id2"))
+      val directed = a.join(b, Seq("label"))
+        .filter(col("id1") =!= col("id2"))
+        .select(col("id1"), col("id2"),
+          (dotProduct(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"))
+        .withColumn("rank", row_number().over(wK))
+        .filter(col("rank") <= 3)
+        .select("id1", "id2")
+      val mutual = directed.join(
+          directed.select(col("id2").as("id1"), col("id1").as("id2")),
+          Seq("id1", "id2"))
+        .filter(col("id1") < col("id2"))
+      val edges = mutual.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionByName(mutual.select(col("id2").as("src"), col("id1").as("dst")))
+      var labels = emb.select(col("vec_id").as("node"),
+        col("vec_id").as("comm"))
+      val wVote = Window.partitionBy("src").orderBy(desc("v"), col("nc"))
+      for (_ <- 1 to 3) {
+        val winners = edges
+          .join(labels.select(col("node").as("dst"), col("comm").as("nc")),
+            Seq("dst"))
+          .groupBy("src", "nc").agg(count(lit(1)).as("v"))
+          .withColumn("rk", row_number().over(wVote))
+          .filter(col("rk") === 1)
+          .select(col("src"), col("nc"))
+        labels = labels
+          .join(winners, labels("node") === winners("src"), "left")
+          .select(col("node"), coalesce(col("nc"), col("comm")).as("comm"))
+      }
+      labels.groupBy("comm")
+        .agg(count(lit(1)).as("n_members"),
+          min("node").as("first_node"), max("node").as("last_node"))
+        .orderBy("comm")
+    },
+    Some("""
+      WITH n AS (SELECT vec_id, label, embedding,
+                        sqrt(list_aggregate(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+                 FROM embeddings),
+      p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                     q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), 'sum')
+                     / (a.nrm * b.nrm) AS sim
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      d AS (SELECT id1, id2 FROM (
+              SELECT id1, id2,
+                     row_number() OVER (PARTITION BY id1
+                       ORDER BY sim DESC, id2) AS rank
+              FROM p)
+            WHERE rank <= 3),
+      mutual AS (SELECT d.id1, d.id2
+                 FROM d JOIN d r ON r.id1 = d.id2 AND r.id2 = d.id1
+                 WHERE d.id1 < d.id2),
+      edges AS (SELECT id1 AS src, id2 AS dst FROM mutual
+                UNION ALL SELECT id2, id1 FROM mutual),
+      lab0 AS (SELECT vec_id AS node, vec_id AS comm FROM embeddings),
+      w1 AS (SELECT src, nc FROM (
+               SELECT e.src, l.comm AS nc,
+                      row_number() OVER (PARTITION BY e.src
+                        ORDER BY count(*) DESC, l.comm) AS rk
+               FROM edges e JOIN lab0 l ON e.dst = l.node
+               GROUP BY e.src, l.comm) WHERE rk = 1),
+      lab1 AS (SELECT l.node, coalesce(w.nc, l.comm) AS comm
+               FROM lab0 l LEFT JOIN w1 w ON l.node = w.src),
+      w2 AS (SELECT src, nc FROM (
+               SELECT e.src, l.comm AS nc,
+                      row_number() OVER (PARTITION BY e.src
+                        ORDER BY count(*) DESC, l.comm) AS rk
+               FROM edges e JOIN lab1 l ON e.dst = l.node
+               GROUP BY e.src, l.comm) WHERE rk = 1),
+      lab2 AS (SELECT l.node, coalesce(w.nc, l.comm) AS comm
+               FROM lab1 l LEFT JOIN w2 w ON l.node = w.src),
+      w3 AS (SELECT src, nc FROM (
+               SELECT e.src, l.comm AS nc,
+                      row_number() OVER (PARTITION BY e.src
+                        ORDER BY count(*) DESC, l.comm) AS rk
+               FROM edges e JOIN lab2 l ON e.dst = l.node
+               GROUP BY e.src, l.comm) WHERE rk = 1),
+      lab3 AS (SELECT l.node, coalesce(w.nc, l.comm) AS comm
+               FROM lab2 l LEFT JOIN w3 w ON l.node = w.src)
+      SELECT comm, count(*) AS n_members,
+             min(node) AS first_node, max(node) AS last_node
+      FROM lab3
+      GROUP BY comm
+      ORDER BY comm"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
-    s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26)
+    s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
+    s27)
 }

@@ -970,6 +970,19 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s27: communities partition the corpus — every vector in exactly one, ids are members") {
+    val rows = operators.Similarity.s27.build(spark, sfDir).collect()
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == corpus,
+      "community sizes must sum to the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3),
+        s"community ${r.getLong(0)}: first_node > last_node")
+    }
+    // propagation actually merged something: fewer communities than nodes
+    assert(rows.length < corpus, "no label ever propagated")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
