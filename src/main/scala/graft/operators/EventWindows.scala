@@ -1148,7 +1148,90 @@ object EventWindows {
       FROM keep
       ORDER BY user_id, ts_us, event_id"""))
 
+  /** FIFO queue matching — double-entry pairing (payments↔invoices,
+    * fills↔orders, acks↔requests) done relationally: per user the k-th
+    * click pairs with the k-th view. The naive mental model is a
+    * sequential queue walk; the closed form is two per-user rank windows
+    * and an equi-join on (user, k) — FIFO order is exactly arrival-index
+    * equality, so the "queue" never materializes and the whole thing is
+    * one co-partitioned exchange. A pair only COUNTS when the view
+    * precedes its click (arrival-index pairing can cross in time when
+    * clicks outpace views — those surface in n_crossed, the audit column
+    * a reconciliation report needs). Wait time aggregates in exact
+    * integer micros. */
+  val q157 = GraftQuery(
+    "q157_fifo_matching",
+    "FIFO view↔click pairing per user via rank equi-join: matched/crossed counts + exact waits",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val wArr = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      def ranked(tpe: String, pre: String) = ev
+        .filter(col("event_type") === tpe)
+        .withColumn("k", row_number().over(wArr))
+        .select(col("user_id"), col("k"),
+          col("ts_us").as(s"${pre}_ts"))
+      val pairs = ranked("view", "v").join(ranked("click", "c"),
+        Seq("user_id", "k"))
+      val pairStats = pairs.groupBy("user_id")
+        .agg(count(lit(1)).as("n_paired"),
+          sum(when(col("v_ts") <= col("c_ts"), 1L).otherwise(0L))
+            .as("n_matched"),
+          sum(when(col("v_ts") > col("c_ts"), 1L).otherwise(0L))
+            .as("n_crossed"),
+          sum(when(col("v_ts") <= col("c_ts"), col("c_ts") - col("v_ts"))
+            .otherwise(lit(0L))).as("total_wait_us"))
+      val perUser = ev.groupBy("user_id")
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("n_views"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("n_clicks"))
+        .filter(col("n_views") > 0 || col("n_clicks") > 0)
+      perUser.join(pairStats, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_views"), col("n_clicks"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          coalesce(col("n_crossed"), lit(0L)).as("n_crossed"),
+          coalesce(col("total_wait_us"), lit(0L)).as("total_wait_us"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        FROM events),
+      v AS (SELECT user_id, ts_us AS v_ts,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id) AS k
+            FROM ev WHERE event_type = 'view'),
+      c AS (SELECT user_id, ts_us AS c_ts,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id) AS k
+            FROM ev WHERE event_type = 'click'),
+      pairs AS (SELECT v.user_id, v.v_ts, c.c_ts
+                FROM v JOIN c ON v.user_id = c.user_id AND v.k = c.k),
+      ps AS (SELECT user_id,
+                    CAST(sum(CASE WHEN v_ts <= c_ts THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_matched,
+                    CAST(sum(CASE WHEN v_ts > c_ts THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_crossed,
+                    CAST(sum(CASE WHEN v_ts <= c_ts THEN c_ts - v_ts
+                             ELSE 0 END) AS BIGINT) AS total_wait_us
+             FROM pairs GROUP BY user_id),
+      pu AS (SELECT user_id,
+                    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_views,
+                    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_clicks
+             FROM ev GROUP BY user_id
+             HAVING n_views > 0 OR n_clicks > 0)
+      SELECT pu.user_id, pu.n_views, pu.n_clicks,
+             coalesce(ps.n_matched, 0) AS n_matched,
+             coalesce(ps.n_crossed, 0) AS n_crossed,
+             coalesce(ps.total_wait_us, 0) AS total_wait_us
+      FROM pu LEFT JOIN ps ON pu.user_id = ps.user_id
+      ORDER BY pu.user_id"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
-    q150, q154)
+    q150, q154, q157)
 }

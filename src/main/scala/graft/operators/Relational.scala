@@ -2213,9 +2213,65 @@ object Relational {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Business-day SLA math in CLOSED FORM — fulfillment latency in
+    * Mon–Fri days, the metric ops teams actually track. The trap is the
+    * per-day loop (explode a calendar per order — a fact×days blowup);
+    * the closed form counts business days [anchor, d] as
+    * (n div 7)·5 + least(n mod 7 + 1, 5) with n = days since an anchor
+    * MONDAY (1994-12-26, before every fixture date so n ≥ 0 and the
+    * div/mod identity holds unsigned) — two pure projections, zero joins
+    * for the date math, identical integer arithmetic in both engines.
+    * SLA = f(first_ship) − f(order_date) over the (order, min shipdate)
+    * rollup; per-priority rollup with an integer day histogram bucket.
+    * Only real calendar work (holiday tables) turns this into q147's
+    * range-lookup join — the weekend part never needs one. */
+  val q158 = GraftQuery(
+    "q158_business_days",
+    "Closed-form Mon-Fri SLA days from order to first ship, per-priority rollup",
+    (s, dir) => {
+      def bd(dateCol: String) = // business days in [1994-12-26, d]
+        s"""(datediff($dateCol, DATE'1994-12-26') div 7) * 5
+            + least(datediff($dateCol, DATE'1994-12-26') % 7 + 1, 5)"""
+      val firstShip = table(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("od"))
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("bd_days",
+          expr(bd("first_ship")) - expr(bd("od")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("bd_days").as("sum_bd_days"),
+          max("bd_days").as("max_bd_days"),
+          sum(when(col("bd_days") <= 5, 1L).otherwise(0L)).as("n_within_5bd"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      WITH fs AS (
+        SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+        FROM lineitem GROUP BY l_orderkey),
+      bd AS (
+        SELECT o.o_orderpriority,
+               ((date_diff('day', DATE '1994-12-26', fs.first_ship) // 7) * 5
+                 + least(date_diff('day', DATE '1994-12-26', fs.first_ship) % 7 + 1, 5))
+               - ((date_diff('day', DATE '1994-12-26', CAST(o.o_orderdate AS DATE)) // 7) * 5
+                 + least(date_diff('day', DATE '1994-12-26', CAST(o.o_orderdate AS DATE)) % 7 + 1, 5))
+                 AS bd_days
+        FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey)
+      SELECT o_orderpriority, count(*) AS n_orders,
+             CAST(sum(bd_days) AS BIGINT) AS sum_bd_days,
+             CAST(max(bd_days) AS BIGINT) AS max_bd_days,
+             CAST(sum(CASE WHEN bd_days <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within_5bd
+      FROM bd
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
-    q146, q147, q148, q152, q153, q155, q156)
+    q146, q147, q148, q152, q153, q155, q156, q158)
 }
