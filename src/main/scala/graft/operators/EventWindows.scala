@@ -1231,7 +1231,52 @@ object EventWindows {
       FROM pu LEFT JOIN ps ON pu.user_id = ps.user_id
       ORDER BY pu.user_id"""))
 
+  /** Sliding-window DISTINCT via mergeable bitmaps — trailing-7-day
+    * distinct actives (DAU7/WAU/MAU), the metric whose naive form can't
+    * scale: COUNT(DISTINCT) does not partial-aggregate, so per-window
+    * distinct over raw events re-shuffles the fact once per window (or
+    * Expands 7×). The warehouse answer (q108's chunked 63-bit bitmaps
+    * composed with sliding windows): ONE event scan builds per-(day, type,
+    * chunk) bitmaps — tiny mergeable state, days×types×(users/63) rows —
+    * then every sliding window derives by OR-ing 7 daily bitmaps and
+    * popcounting, NEVER touching events again; appending tomorrow's
+    * dailies is the incremental production form. Each daily bitmap
+    * replicates to the ≤7 window-ends it serves (q147's explode-to-bins
+    * on the time axis). Oracle replays the naive BETWEEN-join distinct —
+    * equal hashes prove the bitmap algebra. */
+  val q159 = GraftQuery(
+    "q159_sliding_distinct_bitmap",
+    "Trailing-7-day distinct users per type from OR-merged daily bitmaps; events scanned once",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("event_type"),
+          expr("user_id div 63L").as("chunk"),
+          expr("shiftleft(1L, CAST(user_id % 63 AS INT))").as("bit"))
+        .groupBy("d", "event_type", "chunk")
+        .agg(expr("bit_or(bit)").as("bits"))
+      daily
+        .withColumn("i", explode(sequence(lit(0), lit(6))))
+        .withColumn("wday", date_add(col("d"), col("i")))
+        .filter(col("wday") <= lit("2024-01-30").cast("date"))
+        .groupBy("wday", "event_type", "chunk")
+        .agg(expr("bit_or(bits)").as("m"))
+        .groupBy("wday", "event_type")
+        .agg(sum(expr("bit_count(m)")).cast("long").as("dau7"))
+        .orderBy("wday", "event_type")
+    },
+    Some("""
+      WITH days AS (
+        SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                           DATE '2024-01-30',
+                                           INTERVAL 1 DAY)) AS DATE) AS wday),
+      e AS (SELECT CAST(ts AS DATE) AS d, event_type, user_id FROM events)
+      SELECT wday, event_type,
+             count(DISTINCT user_id) AS dau7
+      FROM days JOIN e ON e.d BETWEEN wday - 6 AND wday
+      GROUP BY wday, event_type
+      ORDER BY wday, event_type"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
-    q150, q154, q157)
+    q150, q154, q157, q159)
 }

@@ -863,6 +863,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.contains("SortMergeJoin"), s"no hash join on the grid cell\n$p")
   }
 
+  test("q159: sliding distinct runs on the bitmap table — one events scan, no distinct Expand") {
+    val p = plan(operators.EventWindows.q159.build(spark, sfDir))
+    val evScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("events.parquet"))
+    assert(evScans == 1, s"$evScans events scans — windows must derive from dailies\n$p")
+    assert(!p.contains("Expand"),
+      s"COUNT(DISTINCT) Expand where bitmap popcount should run\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
