@@ -2269,9 +2269,122 @@ object Relational {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  /** Frequent-itemset mining, A-priori levels 1+2 (market-basket / bundle
+    * discovery): which part PAIRS co-occur in orders beyond chance. The
+    * scale shape matters more than the statistic: within-basket pairing is
+    * O(n·k²) with k = basket size (≤7 lineitems/order here — never an
+    * all-pairs join over parts), and the A-priori downward-closure prune
+    * runs FIRST — only items whose own support clears the bar enter the
+    * pair stage, as a broadcast semi-join ahead of the explode (at 100 TB
+    * the infrequent-item tail is most of the basket volume). Lift in
+    * integer basis points (n·sup₁₂·10⁴ div (sup₁·sup₂)); (orderkey,
+    * partkey) de-duped first so a part twice in one order counts once. */
+  val q160 = GraftQuery(
+    "q160_market_basket",
+    "A-priori pair mining: frequent co-ordered part pairs, support + integer-bp lift",
+    (s, dir) => {
+      val baskets = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+        .distinct()
+      val itemSup = baskets.groupBy("pkey")
+        .agg(count(lit(1)).as("sup"))
+      val frequent = itemSup.filter(col("sup") >= 10)
+      val pruned = baskets.join(broadcast(frequent.select("pkey")), Seq("pkey"),
+        "left_semi")
+      val nOrders = table(s, dir, "orders").select("o_orderkey").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val a = pruned.select(col("okey"), col("pkey").as("p1"))
+      val b = pruned.select(col("okey"), col("pkey").as("p2"))
+      val pairs = a.join(b, Seq("okey")).filter(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("pair_sup"))
+        .filter(col("pair_sup") >= 3)
+      pairs
+        .join(broadcast(itemSup.select(col("pkey").as("p1"),
+          col("sup").as("sup1"))), Seq("p1"))
+        .join(broadcast(itemSup.select(col("pkey").as("p2"),
+          col("sup").as("sup2"))), Seq("p2"))
+        .crossJoin(broadcast(nOrders))
+        .withColumn("lift_bp",
+          expr("n_orders * pair_sup * 10000 div (sup1 * sup2)"))
+        .select("p1", "p2", "pair_sup", "sup1", "sup2", "lift_bp")
+        .orderBy(desc("pair_sup"), col("p1"), col("p2"))
+    },
+    Some("""
+      WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
+      item_sup AS (
+        SELECT pkey, count(*) AS sup FROM baskets GROUP BY pkey),
+      pruned AS (
+        SELECT b.okey, b.pkey FROM baskets b
+        JOIN item_sup i ON b.pkey = i.pkey AND i.sup >= 10),
+      n AS (SELECT count(*) AS n_orders FROM orders),
+      pairs AS (
+        SELECT a.pkey AS p1, b.pkey AS p2, count(*) AS pair_sup
+        FROM pruned a JOIN pruned b
+          ON a.okey = b.okey AND a.pkey < b.pkey
+        GROUP BY a.pkey, b.pkey
+        HAVING count(*) >= 3)
+      SELECT p.p1, p.p2, CAST(p.pair_sup AS BIGINT) AS pair_sup,
+             CAST(i1.sup AS BIGINT) AS sup1, CAST(i2.sup AS BIGINT) AS sup2,
+             CAST(n.n_orders * p.pair_sup * 10000 // (i1.sup * i2.sup)
+               AS BIGINT) AS lift_bp
+      FROM pairs p
+      JOIN item_sup i1 ON p.p1 = i1.pkey
+      JOIN item_sup i2 ON p.p2 = i2.pkey
+      CROSS JOIN n
+      ORDER BY pair_sup DESC, p1, p2"""))
+
+  /** Nested basket analytics through HIGHER-ORDER functions — the
+    * feature-store export shape: one row per order carrying its lineitems
+    * as a sorted struct array, features computed IN PLACE with
+    * filter/transform/aggregate lambdas (codegen'd Catalyst expressions,
+    * not UDFs) — once baskets are nested, per-basket features cost zero
+    * additional shuffles, which is why ML feature payloads ship nested
+    * (m14's batch formation is this op's consumer). The DuckDB oracle
+    * computes the same features RELATIONALLY (flat conditional
+    * aggregates) — equal hashes prove the nested path is a pure layout
+    * change, not a semantics change. Deterministic: arrays sorted by
+    * linenumber before any order-sensitive step; money in integer cents. */
+  val q161 = GraftQuery(
+    "q161_nested_basket_features",
+    "Nest-then-analyze: per-order struct arrays + HOF features == flat relational recompute",
+    (s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(20L)) === 0L)
+        .select(col("l_orderkey"),
+          struct(col("l_linenumber").as("ln"),
+            expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+            month(col("l_shipdate")).as("m")).as("item"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("item"))).as("basket"))
+        .select(col("l_orderkey"),
+          size(col("basket")).cast("long").as("n_lines"),
+          size(expr("filter(basket, x -> x.qty >= 30)")).cast("long")
+            .as("n_heavy"),
+          expr("aggregate(basket, 0L, (acc, x) -> acc + x.cents)")
+            .as("basket_cents"),
+          size(expr("array_distinct(transform(basket, x -> x.m))"))
+            .cast("long").as("ship_months"))
+        .orderBy("l_orderkey")
+    },
+    Some("""
+      SELECT l_orderkey,
+             count(*) AS n_lines,
+             CAST(sum(CASE WHEN CAST(round(l_quantity) AS BIGINT) >= 30
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS basket_cents,
+             CAST(count(DISTINCT month(CAST(l_shipdate AS DATE)))
+               AS BIGINT) AS ship_months
+      FROM lineitem
+      WHERE l_orderkey % 20 = 0
+      GROUP BY l_orderkey
+      ORDER BY l_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
-    q146, q147, q148, q152, q153, q155, q156, q158)
+    q146, q147, q148, q152, q153, q155, q156, q158, q160, q161)
 }

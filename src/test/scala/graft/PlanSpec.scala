@@ -872,6 +872,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"COUNT(DISTINCT) Expand where bitmap popcount should run\n$p")
   }
 
+  test("q160: the A-priori prune is a broadcast semi-join BEFORE the pair explode") {
+    val p = plan(operators.Relational.q160.build(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      s"frequent-item prune must broadcast-semi-join the baskets\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q161: nested features are HOF expressions — no UDF, no second lineitem scan") {
+    val p = plan(operators.Relational.q161.build(spark, sfDir))
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("lineitem.parquet"))
+    assert(liScans == 1, s"$liScans lineitem scans\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") &&
+      !p.contains("ScalaUDF"), s"UDF in the HOF feature path\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
