@@ -155,6 +155,8 @@ object StreamingOps {
     key match {
       case "events5"      => ev5(s, dir)
       case "events5dup"   => { val b = ev5(s, dir); b.union(b) }
+      case "events5dupsent" =>
+        { val b = ev5(s, dir); b.union(b).union(sentinels(s, "sentinel")) }
       case "events5sent"  => ev5(s, dir).union(sentinels(s, "sentinel"))
       case "events5outer" => ev5(s, dir).union(sentinels(s, "purchase", "click"))
       case other          => sys.error(s"unknown batch spool key: $other")
@@ -1248,10 +1250,11 @@ object StreamingOps {
     * min-of-2 policy discard the first (building) run's cost (VERDICT r6
     * item 2). Idempotent: a built spool's _SUCCESS short-circuits. */
   private[graft] def spoolArtifacts: Seq[(String, (SparkSession, String) => Unit)] =
-    Seq("events5", "events5dup", "events5sent", "events5outer")
+    Seq("events5", "events5dup", "events5sent", "events5outer",
+        "events5dupsent")
       .map(k => s"x_spool_$k" ->
         ((s: SparkSession, d: String) => { batchSpool(s, k, d); () })) ++
-    Seq("st5seq", "st6seq", "st12ts")
+    Seq("st5seq", "st6seq", "st12ts", "st24seq")
       .map(k => s"x_spool_$k" ->
         ((s: SparkSession, d: String) => { fileSpool(s, k, d); () })) ++
     Seq("x_spool_st18dlq" ->
@@ -1774,7 +1777,47 @@ object StreamingOps {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** DEDUP → WINDOWED AGG in ONE streaming query — the at-least-once
+    * ingestion pipeline's canonical two-stateful-operator chain (st22
+    * chained agg→agg; this chains a different operator KIND upstream):
+    * dropDuplicatesWithinWatermark absorbs redelivered events, the
+    * tumbling aggregate downstream sees each event once, both stages ride
+    * one watermark, and each stage's state stays bounded by the lateness
+    * horizon. Without the chain you materialize the deduped stream to a
+    * sink and re-read it (st9's single-operator posture) — an extra
+    * round-trip per hop that Spark 3.4+ multiple-stateful-operator
+    * support removes. The replay doubles every event (the at-least-once
+    * world) plus a far-future sentinel whose watermark passage closes
+    * every real window; append mode emits only closed windows, and the
+    * result must equal the CLEAN batch tumbling aggregate — any duplicate
+    * leaking past stage 1 doubles a count and fails the oracle. */
+  val st25 = GraftQuery(
+    "st25_stream_dedup_agg_chain",
+    "dropDuplicatesWithinWatermark → tumbling agg in one query: doubled replay == clean batch agg",
+    (s, dir) => {
+      replay(s, "events5dupsent", dir,
+        src => src
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("value"))).cast("double").as("total_value")),
+        OutputMode.Append())
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("""
+      SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY window_start, event_type
+      ORDER BY window_start, event_type"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24)
+    st22, st23, st24, st25)
 }

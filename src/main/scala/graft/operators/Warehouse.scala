@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Warehouse-maintenance operators: the mutation/evolution patterns a
   * catalog-backed lake needs beyond pure queries — MERGE-style upsert,
@@ -2023,7 +2024,111 @@ object Warehouse {
       WHERE rv = 1 AND key % 25 = 0
       ORDER BY as_of_tx, as_of_valid, key"""))
 
+  /** Selectivity-estimation AUDIT — the optimizer-statistics quality
+    * report behind every cost-based join order and scan decision: build a
+    * 10-bucket equi-depth histogram on o_totalprice (bucket boundaries =
+    * exact deciles via one rank walk — the ANALYZE artifact itself,
+    * cardinality/10 per bucket by construction), then for a battery of
+    * range predicates compare the histogram's ESTIMATE (full buckets +
+    * linear interpolation inside the straddled bucket, exact integer
+    * cross-multiplication on cent boundaries) with the TRUE count, error
+    * in basis points of the table. This is how an engine learns which of
+    * its stats lie before a 100 TB join order goes wrong; the histogram
+    * is a 10-row broadcast artifact, the truth pass is one conditional
+    * aggregate over a single scan — the audit never rescans per
+    * predicate. The boundary walk globally orders the single projected
+    * column — an ANALYZE-time cost paid once per stats refresh, not a
+    * query path; at 100 TB production ANALYZE samples first, or derives
+    * exact percentiles from q88's bounded counts-of-counts histogram. */
+  val q162 = GraftQuery(
+    "q162_selectivity_audit",
+    "Equi-depth histogram selectivity estimates vs true counts for a predicate battery, error in bp",
+    (s, dir) => {
+      import s.implicits._
+      val cents = table(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      val w = Window.orderBy("c")
+      val n1 = cents.agg(count(lit(1)).as("n"))
+      // exact decile boundaries: value at rank ceil(k*n/10), k=1..10
+      val bounds = cents
+        .withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(n1))
+        .filter(expr(
+          "rn IN ((1*n+9) div 10, (2*n+9) div 10, (3*n+9) div 10, (4*n+9) div 10," +
+          " (5*n+9) div 10, (6*n+9) div 10, (7*n+9) div 10, (8*n+9) div 10," +
+          " (9*n+9) div 10, n)"))
+        .withColumn("bucket", expr("(rn * 10 + n - 1) div n"))
+        .groupBy("bucket").agg(max("c").as("hi"), max("rn").as("cum"))
+      val preds = Seq(5000000L, 10000000L, 20000000L, 35000000L, 45000000L)
+        .toDF("threshold") // predicate: c <= threshold
+      // estimate from the histogram: full buckets below + interpolation in
+      // the straddled bucket (lo derived from the previous bucket's hi)
+      val wb = Window.orderBy("bucket")
+      val hist = bounds
+        .withColumn("lo", coalesce(lag("hi", 1).over(wb), lit(0L)))
+        .withColumn("cnt", col("cum") - coalesce(lag("cum", 1).over(wb), lit(0L)))
+      val est = broadcast(preds).crossJoin(broadcast(hist))
+        .withColumn("contrib", expr(
+          """CASE WHEN threshold >= hi THEN cnt
+                  WHEN threshold < lo THEN 0L
+                  ELSE cnt * (threshold - lo) div greatest(hi - lo, 1L) END"""))
+        .groupBy("threshold").agg(sum("contrib").as("est_rows"))
+      val truth = cents.crossJoin(broadcast(preds))
+        .filter(col("c") <= col("threshold"))
+        .groupBy("threshold").agg(count(lit(1)).as("true_rows"))
+      est.join(truth, Seq("threshold"), "left")
+        .crossJoin(broadcast(n1))
+        .select(col("threshold"),
+          col("est_rows"),
+          coalesce(col("true_rows"), lit(0L)).as("true_rows"),
+          expr("abs(est_rows - coalesce(true_rows, 0L)) * 10000 div n")
+            .as("err_bp"))
+        .orderBy("threshold")
+    },
+    Some("""
+      WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      n1 AS (SELECT count(*) AS n FROM cents),
+      ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c) AS rn FROM cents),
+      bounds AS (
+        SELECT CAST((rn * 10 + n - 1) // n AS BIGINT) AS bucket,
+               max(c) AS hi, max(rn) AS cum
+        FROM ranked, n1
+        WHERE rn IN ((1*n+9) // 10, (2*n+9) // 10, (3*n+9) // 10,
+                     (4*n+9) // 10, (5*n+9) // 10, (6*n+9) // 10,
+                     (7*n+9) // 10, (8*n+9) // 10, (9*n+9) // 10, n)
+        GROUP BY bucket),
+      hist AS (
+        SELECT bucket,
+               coalesce(lag(hi) OVER (ORDER BY bucket), 0) AS lo, hi,
+               cum - coalesce(lag(cum) OVER (ORDER BY bucket), 0) AS cnt
+        FROM bounds),
+      preds(threshold) AS (VALUES (5000000), (10000000), (20000000),
+                                  (35000000), (45000000)),
+      est AS (
+        SELECT p.threshold,
+               CAST(sum(CASE WHEN p.threshold >= h.hi THEN h.cnt
+                             WHEN p.threshold < h.lo THEN 0
+                             ELSE h.cnt * (p.threshold - h.lo)
+                                  // greatest(h.hi - h.lo, 1) END)
+                 AS BIGINT) AS est_rows
+        FROM preds p CROSS JOIN hist h
+        GROUP BY p.threshold),
+      truth AS (
+        SELECT p.threshold, count(*) AS true_rows
+        FROM preds p JOIN cents c ON c.c <= p.threshold
+        GROUP BY p.threshold)
+      SELECT e.threshold, e.est_rows,
+             coalesce(t.true_rows, 0) AS true_rows,
+             CAST(abs(e.est_rows - coalesce(t.true_rows, 0)) * 10000 // n1.n
+               AS BIGINT) AS err_bp
+      FROM est e LEFT JOIN truth t ON e.threshold = t.threshold
+      CROSS JOIN n1
+      ORDER BY e.threshold"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
-    q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142)
+    q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
+    q162)
 }
