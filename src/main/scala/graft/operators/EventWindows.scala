@@ -1276,7 +1276,63 @@ object EventWindows {
       GROUP BY wday, event_type
       ORDER BY wday, event_type"""))
 
+  /** Exponentially weighted moving average made EXACT — the time-series
+    * smoother whose float form is irreproducible at scale (Σ αᵏxᵢ depends
+    * on summation order): with decay α = 1/2 over a trailing 8-event
+    * frame, every weight is a power of two, so the weighted sum is pure
+    * integer arithmetic (Σ cᵢ·2^(i−1), denominator 2^m − 1) and the
+    * smoothed value is one integer division. The frame rides a per-user
+    * ordered window (collect over ROWS 7 PRECEDING — frame order is the
+    * window order, deterministic under the event_id tiebreak), the fold
+    * is a codegen'd HOF, and the whole thing is one user-partitioned
+    * exchange. Bounded to 20 users so the dump stays small; the operator
+    * itself is corpus-wide. */
+  val q163 = GraftQuery(
+    "q163_exact_ewma",
+    "Integer-exact EWMA (α=1/2, trailing 8 events) per user: power-of-two weights, one division",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-7, 0)
+      events(s, dir)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("arr", collect_list("cents").over(w))
+        .withColumn("num", expr(
+          """aggregate(transform(sequence(1, size(arr)),
+               i -> element_at(arr, i) * shiftleft(1L, CAST(i - 1 AS INT))),
+             0L, (a, x) -> a + x)"""))
+        .withColumn("den", expr("shiftleft(1L, size(arr)) - 1"))
+        .select(col("user_id"), col("event_id"),
+          col("cents"), col("num"), col("den"),
+          expr("num div den").as("ewma_cents"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE user_id < 20),
+      framed AS (
+        SELECT user_id, event_id, cents,
+               list(cents) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                 AS arr
+        FROM e),
+      folded AS (
+        SELECT user_id, event_id, cents,
+               CAST(list_sum(list_transform(arr,
+                 (x, i) -> x * (CAST(1 AS BIGINT) << (i - 1)))) AS BIGINT)
+                 AS num,
+               CAST((CAST(1 AS BIGINT) << len(arr)) - 1 AS BIGINT) AS den
+        FROM framed)
+      SELECT user_id, event_id, cents, num, den, num // den AS ewma_cents
+      FROM folded
+      ORDER BY user_id, event_id"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
-    q150, q154, q157, q159)
+    q150, q154, q157, q159, q163)
 }

@@ -2220,7 +2220,69 @@ object TextAnalysis {
       FROM agg
       ORDER BY lang"""))
 
+  /** k-ANONYMITY audit — the re-identification risk report privacy review
+    * runs before a corpus ships (Sweeney's model): rows sharing a
+    * quasi-identifier tuple (lang, source, length bucket) form an
+    * equivalence class; classes smaller than k = 5 are re-identifiable
+    * and must be suppressed or generalized. Per lang: class count, risky
+    * classes, rows at risk, and the suppression cost in basis points —
+    * what generalizing the length bucket would have to beat. The ALL row
+    * re-aggregates the per-class frame (classes don't cross langs — lang
+    * is IN the quasi-identifier — so per-lang partials merge exactly).
+    * One corpus shuffle to class grain; everything after is class-sized.
+    * With t16 (PII redaction) and q85 (delete cascade) this completes the
+    * privacy-governance battery. */
+  val t41 = GraftQuery(
+    "t41_k_anonymity",
+    "k-anonymity (k=5) audit over (lang, source, length-bucket) classes: rows at risk, bp cost",
+    (s, dir) => {
+      val classes = table(s, dir, "documents")
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 100L").as("len_bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val perLang = classes.groupBy("lang")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when(col("cnt") < 5, 1L).otherwise(0L)).as("n_risky"),
+          sum(when(col("cnt") < 5, col("cnt")).otherwise(lit(0L)))
+            .as("rows_at_risk"),
+          sum("cnt").as("n_rows"))
+      val allRow = perLang.agg(sum("n_classes").as("n_classes"),
+          sum("n_risky").as("n_risky"),
+          sum("rows_at_risk").as("rows_at_risk"),
+          sum("n_rows").as("n_rows"))
+        .select(lit("ALL").as("lang"), col("n_classes"), col("n_risky"),
+          col("rows_at_risk"), col("n_rows"))
+      perLang.unionByName(allRow)
+        .withColumn("suppression_bp",
+          expr("rows_at_risk * 10000 div n_rows"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH classes AS (
+        SELECT lang, source, n_chars // 100 AS len_bucket, count(*) AS cnt
+        FROM documents GROUP BY 1, 2, 3),
+      per_lang AS (
+        SELECT lang, count(*) AS n_classes,
+               CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_risky,
+               CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+                 AS rows_at_risk,
+               CAST(sum(cnt) AS BIGINT) AS n_rows
+        FROM classes GROUP BY lang),
+      with_all AS (
+        SELECT * FROM per_lang
+        UNION ALL
+        SELECT 'ALL', CAST(sum(n_classes) AS BIGINT),
+               CAST(sum(n_risky) AS BIGINT),
+               CAST(sum(rows_at_risk) AS BIGINT),
+               CAST(sum(n_rows) AS BIGINT)
+        FROM per_lang)
+      SELECT lang, n_classes, n_risky, rows_at_risk, n_rows,
+             rows_at_risk * 10000 // n_rows AS suppression_bp
+      FROM with_all
+      ORDER BY lang"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40)
+    t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41)
 }
