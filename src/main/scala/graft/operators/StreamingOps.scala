@@ -1817,7 +1817,64 @@ object StreamingOps {
       GROUP BY window_start, event_type
       ORDER BY window_start, event_type"""))
 
+  /** A custom DSv2 STREAMING source end to end — the third face of the
+    * connector matrix (q128 batch read, q129/q143 batch write): the
+    * engine consumes graft.sources.SyntheticStream through the real
+    * MicroBatchStream offset protocol — admission control paces each
+    * micro-batch to `batchRows` ids, Trigger.AvailableNow pins the run's
+    * end via SupportsTriggerAvailableNow, per-batch planInputPartitions
+    * reads ONLY the [start, end) range (no history re-reads), and offsets
+    * json-round-trip through the checkpoint. The runtime guard requires
+    * ≥4 data batches — a source that ignored admission control and
+    * dumped everything in one batch fails before the oracle is even
+    * consulted. Rows are the connector's deterministic id arithmetic, so
+    * DuckDB regenerates the stream's entire content from range() and the
+    * aggregate is fully hash-checked. */
+  val st26 = GraftQuery(
+    "st26_dsv2_stream_source",
+    "Custom MicroBatchStream source: admission-paced offsets, AvailableNow, oracle-regenerated rows",
+    (s, dir) => {
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val sink = s"graft_st26_${runTag()}"
+      try {
+        val src = s.readStream.format("graft.sources.SyntheticStream")
+          .option("rows", "20000").option("batchRows", "4096")
+          .load()
+        val q = src
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+          .writeStream
+          .format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete())
+          .option("checkpointLocation", spoolDir(s"ckpt_st26_${runTag()}"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 4,
+          s"st26: $dataBatches data batches — admission control did not pace " +
+            "the stream (20000 rows / 4096 per batch should take 5)")
+        val out = s.table(sink)
+        val rows = out.collect()
+        s.catalog.dropTempView(sink)
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .orderBy("event_type")
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    },
+    Some("""
+      WITH g AS (
+        SELECT ['view','click','signup','purchase','error'][CAST(i % 5 AS INTEGER) + 1]
+                 AS event_type,
+               i * 37 % 100000 AS cents
+        FROM (SELECT unnest(range(0, 20000)) AS i))
+      SELECT event_type, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM g
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25)
+    st22, st23, st24, st25, st26)
 }
