@@ -2282,7 +2282,55 @@ object TextAnalysis {
       FROM with_all
       ORDER BY lang"""))
 
+  /** Heavy hitters through a NATIVE mergeable aggregate — t31's algorithm
+    * moved into the engine's own aggregation protocol: `misra_gries_agg`
+    * is a TypedImperativeAggregate (expressions/SketchAggregates.scala),
+    * so the sketch rides Spark's real partial-aggregation path — map-side
+    * update, buffer SERIALIZATION into the exchange, reduce-side MERGE
+    * (the Agarwal et al. mergeable-summary form), eval — exactly how
+    * DataSketches ships in production engines, and the shape that lets
+    * the same sketch maintain per-GROUP summaries, which a mapPartitions
+    * pass cannot. The summary's guarantee survives both update and merge:
+    * every token with frequency > N/k is in the candidate set (recall
+    * 1.0); counts are partitioning-dependent, so the candidates
+    * broadcast-gate ONE exact counting pass and the strictly-above-bar
+    * filter makes the output exact and plan-independent — the DuckDB
+    * oracle computes the same answer with no sketch at all. */
+  val t42 = GraftQuery(
+    "t42_native_sketch_agg",
+    "misra_gries_agg TypedImperativeAggregate: map-side sketch partials, merged candidates, exact verify",
+    (s, dir) => {
+      import org.apache.spark.sql.GraftColumnBridge
+      val tokens = table(s, dir, "documents")
+        .select(explode(words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+      val k = 200
+      val cands = tokens.agg(GraftColumnBridge.column(
+          graft.expressions.MisraGriesAgg(
+            GraftColumnBridge.expression(col("w")), k)
+            .toAggregateExpression()).as("cand"))
+        .select(explode(col("cand")).as("w"))
+      val n1 = tokens.agg(count(lit(1)).as("n"))
+      tokens.join(broadcast(cands), Seq("w"), "left_semi")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n1))
+        .filter(col("cnt") * k > col("n"))
+        .select(col("w"), col("cnt"))
+        .orderBy(desc("cnt"), col("w"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      t AS (SELECT w FROM tok WHERE len(w) > 0),
+      n1 AS (SELECT count(*) AS n FROM t)
+      SELECT w, count(*) AS cnt
+      FROM t, n1
+      GROUP BY w, n1.n
+      HAVING count(*) * 200 > n1.n
+      ORDER BY cnt DESC, w"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
-    t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41)
+    t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
+    t42)
 }

@@ -983,6 +983,30 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length < corpus, "no label ever propagated")
   }
 
+  test("t42: final answer is partitioning-independent even though the sketch is not") {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = operators.TextAnalysis.t42.build(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val b =
+      try operators.TextAnalysis.t42.build(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert(a == b, "t42 result depends on shuffle partitioning")
+    assert(a.nonEmpty, "no heavy hitters found at all")
+  }
+
+  test("t42: misra_gries_agg participates in real partial aggregation (partial + merge phases)") {
+    val p = operators.TextAnalysis.t42.build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_misra_gries_agg") || p.contains("misra_gries_agg"),
+      s"native aggregate missing from the plan\n$p")
+    // TypedImperativeAggregate plans through ObjectHashAggregate with a
+    // partial phase below the exchange and a merge phase above it
+    assert(p.contains("ObjectHashAggregate"),
+      s"sketch aggregate did not plan through ObjectHashAggregate\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
