@@ -2329,8 +2329,58 @@ object TextAnalysis {
       HAVING count(*) * 200 > n1.n
       ORDER BY cnt DESC, w"""))
 
+  /** Inverted-index CONSTRUCTION with delta-encoded postings — the
+    * artifact build behind t11's BM25 scoring (scoring assumed an index;
+    * this op emits one): per frequent term (df ≥ 5% of docs — the head
+    * that dominates posting volume), the posting list in doc_id order
+    * with each entry carrying its GAP from the predecessor — the delta
+    * form is what makes varint/PForDelta compression work, and gaps are
+    * computable as one lag window per term (no per-term sequential
+    * state). tf rides along for the scorer. The df gate is a broadcast
+    * semi-join before the posting shuffle — the Zipf tail (most of the
+    * vocabulary, negligible posting mass each) never moves. Flat rows so
+    * the driver hash-checks every posting; a real index writer would
+    * fold each term's run into a block, a pure format change. */
+  val t43 = GraftQuery(
+    "t43_posting_lists",
+    "Delta-encoded posting lists for frequent terms: per-term lag gaps + tf, df-gated",
+    (s, dir) => {
+      val postings = table(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+      val nDocs = table(s, dir, "documents").agg(count(lit(1)).as("nd"))
+      val frequent = postings.groupBy("w").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") * 20 >= col("nd"))
+        .select("w", "df")
+      val wLag = Window.partitionBy("w").orderBy("doc_id")
+      postings
+        .join(broadcast(frequent), Seq("w"))
+        .withColumn("delta_doc",
+          col("doc_id") - coalesce(lag("doc_id", 1).over(wLag), lit(0L)))
+        .select("w", "df", "doc_id", "delta_doc", "tf")
+        .orderBy("w", "doc_id")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents),
+      p AS (SELECT w, doc_id, count(*) AS tf
+            FROM tok WHERE len(w) > 0 GROUP BY w, doc_id),
+      nd AS (SELECT count(*) AS nd FROM documents),
+      f AS (SELECT w, count(*) AS df FROM p GROUP BY w),
+      ff AS (SELECT f.w, f.df FROM f, nd WHERE f.df * 20 >= nd.nd)
+      SELECT p.w, CAST(ff.df AS BIGINT) AS df, p.doc_id,
+             p.doc_id - coalesce(lag(p.doc_id) OVER (PARTITION BY p.w
+                                                     ORDER BY p.doc_id), 0)
+               AS delta_doc,
+             CAST(p.tf AS BIGINT) AS tf
+      FROM p JOIN ff ON p.w = ff.w
+      ORDER BY p.w, p.doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-    t42)
+    t42, t43)
 }

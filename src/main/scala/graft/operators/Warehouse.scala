@@ -2127,8 +2127,75 @@ object Warehouse {
       CROSS JOIN n1
       ORDER BY e.threshold"""))
 
+  /** POSITIONAL deletes (Iceberg v2 / Delta deletion-vector semantics) —
+    * the OTHER merge-on-read mechanism, orthogonal to q116's key-based
+    * equality deletes: a delete names (file, row-position), not a key, so
+    * it can kill one physical row without knowing its content — what
+    * compactionless DELETE and GDPR row erasure actually write. The read
+    * path is an ANTI JOIN of the base rows against the DV table on the
+    * composite (file_id, pos) — co-partitioned by file, so each file's
+    * DV meets its rows in one exchange (in a real table the DV rides as a
+    * roaring bitmap per file; the join IS the semantics). Files are
+    * deterministic orderkey ranges, positions a rank within the file,
+    * the DV a fixed arithmetic predicate — both engines derive identical
+    * layout, every surviving row hash-checked through the per-file audit
+    * (live/deleted counts + live revenue). */
+  val q164 = GraftQuery(
+    "q164_positional_deletes",
+    "Deletion-vector merge-on-read: (file, pos) anti join, per-file live/deleted audit",
+    (s, dir) => {
+      // (orderkey, linenumber) is NOT unique in the fixture — cents joins
+      // the ordering so any remaining ties are rows identical in every
+      // consumed column, hence interchangeable under deletion
+      val wPos = Window.partitionBy("file_id")
+        .orderBy("l_orderkey", "l_linenumber", "cents")
+      val base = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("file_id", expr("l_orderkey div 1000L"))
+        .withColumn("pos", row_number().over(wPos).cast("long"))
+      val dv = base.select("file_id", "pos")
+        .filter(expr("(file_id * 31 + pos) % 7 = 0"))
+      val live = base.join(dv, Seq("file_id", "pos"), "left_anti")
+      val perFileBase = base.groupBy("file_id")
+        .agg(count(lit(1)).as("n_base"))
+      live.groupBy("file_id")
+        .agg(count(lit(1)).as("n_live"),
+          sum("cents").as("live_cents"))
+        .join(perFileBase, Seq("file_id"))
+        .select(col("file_id"), col("n_base"),
+          (col("n_base") - col("n_live")).as("n_deleted"),
+          col("n_live"), col("live_cents"))
+        .orderBy("file_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               l_orderkey // 1000 AS file_id,
+               row_number() OVER (PARTITION BY l_orderkey // 1000
+                                  ORDER BY l_orderkey, l_linenumber,
+                                           CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS pos
+        FROM lineitem),
+      dv AS (
+        SELECT file_id, pos FROM base
+        WHERE (file_id * 31 + pos) % 7 = 0),
+      live AS (
+        SELECT b.* FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM dv d
+                          WHERE d.file_id = b.file_id AND d.pos = b.pos)),
+      pf AS (SELECT file_id, count(*) AS n_base FROM base GROUP BY file_id)
+      SELECT l.file_id, pf.n_base,
+             pf.n_base - count(*) AS n_deleted,
+             count(*) AS n_live,
+             CAST(sum(l.cents) AS BIGINT) AS live_cents
+      FROM live l JOIN pf ON l.file_id = pf.file_id
+      GROUP BY l.file_id, pf.n_base
+      ORDER BY l.file_id"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
-    q162)
+    q162, q164)
 }
