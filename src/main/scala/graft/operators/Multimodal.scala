@@ -1147,6 +1147,70 @@ object Multimodal {
       GROUP BY source, shard_id
       ORDER BY source, shard_id"""))
 
+  /** SCENE-CUT detection at the frame seam — shot boundary detection,
+    * the first pass of every video pipeline (keyframe selection, ad-break
+    * alignment, dedup at shot granularity): the payload is sliced into
+    * fixed 32-char frames (the codec-free stand-in the m5/m8/m12 family
+    * uses — a real decoder changes only the frame iterator), each frame
+    * reduces to an integer mean "luma" (sum of code points div length,
+    * m12's primitive), and a CUT fires where consecutive frame lumas
+    * differ by ≥ 8 — the classic histogram-delta threshold detector.
+    * Entirely row-local HOF arithmetic: frames, lumas, and deltas never
+    * leave the row, so the per-doc cost is O(payload) with zero
+    * shuffles before the final bounded rollup. Output: per-doc frame
+    * count, cut count, and first cut index (0 = none). */
+  val m18 = GraftQuery(
+    "m18_scene_cuts",
+    "Shot-boundary detection: 32-char frames, integer mean-luma deltas, threshold cuts per doc",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("nf", expr(
+          "CAST(least(greatest((length(text) + 31) div 32, 1), 16) AS INT)"))
+        .withColumn("lumas", expr(
+          """transform(sequence(0, nf - 1), k ->
+               aggregate(transform(split(substring(text, k * 32 + 1, 32), ''),
+                         c -> CAST(ascii(c) AS BIGINT)),
+                 0L, (a, x) -> a + x)
+               div greatest(length(substring(text, k * 32 + 1, 32)), 1))"""))
+        .withColumn("cutflags", expr(
+          """transform(sequence(1, nf - 1), k ->
+               CASE WHEN abs(element_at(lumas, k + 1) - element_at(lumas, k)) >= 8
+                    THEN 1L ELSE 0L END)"""))
+        .select(col("doc_id"), col("nf").cast("long").as("n_frames"),
+          expr("aggregate(cutflags, 0L, (a, x) -> a + x)").as("n_cuts"),
+          expr("""coalesce(array_position(cutflags, 1L), 0L)""")
+            .as("first_cut_idx"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH framed AS (
+        SELECT doc_id, text,
+               CAST(least(greatest((length(text) + 31) // 32, 1), 16) AS BIGINT)
+                 AS nf
+        FROM documents),
+      lumas AS (
+        SELECT doc_id, nf,
+               list_transform(range(0, CAST(nf AS INTEGER)), k ->
+                 list_sum(list_transform(
+                     string_split(substr(text, k * 32 + 1, 32), ''),
+                     c -> CAST(ascii(c) AS BIGINT)))
+                 // greatest(length(substr(text, k * 32 + 1, 32)), 1))
+                 AS l
+        FROM framed),
+      cuts AS (
+        SELECT doc_id, nf,
+               list_transform(range(1, CAST(nf AS INTEGER)), k ->
+                 CASE WHEN abs(l[k + 1] - l[k]) >= 8 THEN 1 ELSE 0 END)
+                 AS cf
+        FROM lumas)
+      SELECT doc_id, nf AS n_frames,
+             CAST(coalesce(list_sum(cf), 0) AS BIGINT) AS n_cuts,
+             CAST(coalesce(list_position(cf, 1), 0) AS BIGINT)
+               AS first_cut_idx
+      FROM cuts
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11,
-    m12, m13, m14, m15, m16, m17)
+    m12, m13, m14, m15, m16, m17, m18)
 }

@@ -2194,8 +2194,85 @@ object Warehouse {
       GROUP BY l.file_id, pf.n_base
       ORDER BY l.file_id"""))
 
+  /** CANDIDATE-KEY discovery — the uniqueness profiling that q125 (FDs)
+    * and q117 (FKs) bracket but neither answers: which column set can
+    * serve as a primary key? Single columns and pairs from the candidate
+    * lattice are tested in ONE aggregate pass (every distinct count rides
+    * the same scan; Spark plans the multi-distinct via Expand — the cost
+    * is one widened exchange, not one scan per candidate), and MINIMALITY
+    * is decided from the same result row: a pair is a candidate key only
+    * if it is unique and neither member is unique alone (downward closure,
+    * the same pruning logic A-priori uses in q160). The fixture's orders
+    * table makes this non-trivial: o_orderkey IS unique, the pairs are
+    * unique-or-not by data, not by schema. */
+  val q165 = GraftQuery(
+    "q165_candidate_keys",
+    "Candidate-key discovery over the column lattice: one multi-distinct pass + minimality",
+    (s, dir) => {
+      val a = table(s, dir, "orders").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("c_ok"),
+        countDistinct(col("o_custkey")).as("c_ck"),
+        countDistinct(col("o_orderdate")).as("c_od"),
+        countDistinct(col("o_custkey"), col("o_orderdate")).as("c_ck_od"),
+        countDistinct(col("o_custkey"), col("o_totalprice")).as("c_ck_tp"),
+        countDistinct(col("o_orderdate"), col("o_totalprice")).as("c_od_tp"))
+        // one-row result, eagerly pinned: the six candidate projections
+        // below must not each re-run the multi-distinct scan
+        .localCheckpoint(true)
+      def row(name: String, cnt: String, minimal: String) =
+        a.select(lit(name).as("candidate"), col("n"),
+          col(cnt).as("distinct_cnt"),
+          (col(cnt) === col("n")).cast("long").as("is_unique"),
+          expr(minimal).cast("long").as("is_minimal_key"))
+      row("o_custkey", "c_ck", "c_ck = n")
+        .unionByName(row("o_custkey,o_orderdate", "c_ck_od",
+          "c_ck_od = n AND c_ck <> n AND c_od <> n"))
+        .unionByName(row("o_custkey,o_totalprice", "c_ck_tp",
+          "c_ck_tp = n AND c_ck <> n"))
+        .unionByName(row("o_orderdate", "c_od", "c_od = n"))
+        .unionByName(row("o_orderdate,o_totalprice", "c_od_tp",
+          "c_od_tp = n AND c_od <> n"))
+        .unionByName(row("o_orderkey", "c_ok", "c_ok = n"))
+        .orderBy("candidate")
+    },
+    Some("""
+      WITH a AS (
+        SELECT count(*) AS n,
+               count(DISTINCT o_orderkey) AS c_ok,
+               count(DISTINCT o_custkey) AS c_ck,
+               count(DISTINCT o_orderdate) AS c_od,
+               count(DISTINCT (o_custkey, o_orderdate)) AS c_ck_od,
+               count(DISTINCT (o_custkey, o_totalprice)) AS c_ck_tp,
+               count(DISTINCT (o_orderdate, o_totalprice)) AS c_od_tp
+        FROM orders)
+      SELECT candidate, n, distinct_cnt, is_unique, is_minimal_key
+      FROM (
+        SELECT 'o_custkey' AS candidate, n, c_ck AS distinct_cnt,
+               CAST(c_ck = n AS BIGINT) AS is_unique,
+               CAST(c_ck = n AS BIGINT) AS is_minimal_key FROM a
+        UNION ALL
+        SELECT 'o_custkey,o_orderdate', n, c_ck_od,
+               CAST(c_ck_od = n AS BIGINT),
+               CAST(c_ck_od = n AND c_ck <> n AND c_od <> n AS BIGINT) FROM a
+        UNION ALL
+        SELECT 'o_custkey,o_totalprice', n, c_ck_tp,
+               CAST(c_ck_tp = n AS BIGINT),
+               CAST(c_ck_tp = n AND c_ck <> n AS BIGINT) FROM a
+        UNION ALL
+        SELECT 'o_orderdate', n, c_od,
+               CAST(c_od = n AS BIGINT), CAST(c_od = n AS BIGINT) FROM a
+        UNION ALL
+        SELECT 'o_orderdate,o_totalprice', n, c_od_tp,
+               CAST(c_od_tp = n AS BIGINT),
+               CAST(c_od_tp = n AND c_od <> n AS BIGINT) FROM a
+        UNION ALL
+        SELECT 'o_orderkey', n, c_ok,
+               CAST(c_ok = n AS BIGINT), CAST(c_ok = n AS BIGINT) FROM a)
+      ORDER BY candidate"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
-    q162, q164)
+    q162, q164, q165)
 }
