@@ -1874,7 +1874,77 @@ object StreamingOps {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  case class StDebKeep(user_id: Long, ts_us: Long, event_id: Long)
+
+  /** q154's cooldown debounce in its STREAMING form — the sequential-state
+    * operator family's batch/stream pairing (q34↔st3 for gap sessions,
+    * q135↔st8 for custom sessions, now q154↔st27 for kept-event clocks):
+    * state per user is ONE long (the last KEPT timestamp), events fold in
+    * (ts, event_id) order inside each batch, and the kept set must equal
+    * the batch operator's — both are hash-checked against the SAME
+    * recursive-CTE DuckDB oracle, so the streaming path's sequential
+    * semantics are proven, not assumed. State is O(users) — the
+    * notification-suppression deployment shape (the clock outlives any
+    * window; on a live stream a TTL would bound idle-user state). */
+  val st27 = GraftQuery(
+    "st27_stream_debounce",
+    "Streaming cooldown debounce via flatMapGroupsWithState: kept set == q154's recursive oracle",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+      val cooldownUs = 1800L * 1000000L
+      def us(t: java.sql.Timestamp): Long =
+        t.getTime * 1000 + (t.getNanos / 1000) % 1000
+      def debounce(user: Long, input: Iterator[(Long, java.sql.Timestamp, Long)],
+          state: GroupState[Long]): Iterator[StDebKeep] = {
+        // within a batch events arrive unsorted; fold in event-time order —
+        // state carries only the last KEPT instant across batches
+        val evs = input.toSeq.map(e => (us(e._2), e._3)).sortBy(identity)
+        var lastKept = state.getOption.getOrElse(Long.MinValue)
+        val kept = scala.collection.mutable.ArrayBuffer.empty[StDebKeep]
+        evs.foreach { case (t, eid) =>
+          if (lastKept == Long.MinValue || t - lastKept >= cooldownUs) {
+            lastKept = t
+            kept += StDebKeep(user, t, eid)
+          }
+        }
+        if (lastKept != Long.MinValue) state.update(lastKept)
+        kept.iterator
+      }
+      replay(s, "events5", dir,
+        src => src
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .as[(Long, java.sql.Timestamp, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            org.apache.spark.sql.streaming.OutputMode.Append(),
+            GroupStateTimeout.NoTimeout())(debounce)
+          .toDF(),
+        OutputMode.Append())
+        .select("user_id", "ts_us", "event_id")
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+    Some("""
+      WITH RECURSIVE ordered AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+      keep AS (
+        SELECT user_id, ts_us, event_id, rn FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT nxt.user_id, nxt.ts_us, nxt.event_id, nxt.rn
+        FROM keep k, LATERAL (
+          SELECT o.user_id, o.ts_us, o.event_id, o.rn
+          FROM ordered o
+          WHERE o.user_id = k.user_id
+            AND o.ts_us >= k.ts_us + CAST(1800 AS BIGINT) * 1000000
+          ORDER BY o.rn LIMIT 1) nxt)
+      SELECT user_id, ts_us, event_id
+      FROM keep
+      ORDER BY user_id, ts_us, event_id"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25, st26)
+    st22, st23, st24, st25, st26, st27)
 }
