@@ -1332,7 +1332,83 @@ object EventWindows {
       FROM folded
       ORDER BY user_id, event_id"""))
 
+  /** A/B experiment READOUT end to end — the composition a growth team
+    * actually ships (the d16-funnel discipline applied to experimentation):
+    * deterministic hash-split arms (user_id parity — in production a salted
+    * hash of the unit id, same idea), per-user funnel conversion = q70's
+    * chained-min rule (a view strictly before a purchase), per-arm
+    * conversion in basis points, and the 2×2 chi-square on (arm ×
+    * converted) in q150's exact split-division integer bp — the
+    * significance number the readout exists for, repeated on both rows so
+    * the report is self-contained. One fact scan builds the per-user
+    * frame; everything after is arm-sized. */
+  val q167 = GraftQuery(
+    "q167_ab_experiment_readout",
+    "A/B readout: hash-split arms, funnel conversion per arm, exact 2×2 chi-square in bp",
+    (s, dir) => {
+      val perUser = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", unix_micros(col("ts"))))
+            .as("first_view"),
+          max(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .as("last_purchase"))
+        .select(pmod(col("user_id"), lit(2L)).as("arm"),
+          (col("first_view").isNotNull && col("last_purchase").isNotNull &&
+            col("first_view") < col("last_purchase")).cast("long").as("conv"))
+      val arms = perUser.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), sum("conv").as("n_converted"))
+        .withColumn("conv_bp", expr("n_converted * 10000 div n_users"))
+      // 2×2 chi-square over (arm × converted) in exact integer bp
+      val cells = perUser.groupBy("arm", "conv").agg(count(lit(1)).as("o"))
+        .withColumn("r", sum("o").over(Window.partitionBy("arm")))
+        .withColumn("c", sum("o").over(Window.partitionBy("conv")))
+        .withColumn("n", sum("o").over(Window.partitionBy()))
+        .withColumn("num", expr("(o * n - r * c) * (o * n - r * c)"))
+        .withColumn("den", expr("r * c * n"))
+        .withColumn("bp", expr(
+          "(num div den) * 10000 + ((num % den) * 10000) div den"))
+      val chi2 = cells.agg(sum("bp").as("chi2_bp"))
+      arms.crossJoin(broadcast(chi2))
+        .select("arm", "n_users", "n_converted", "conv_bp", "chi2_bp")
+        .orderBy("arm")
+    },
+    Some("""
+      WITH pu AS (
+        SELECT user_id % 2 AS arm,
+               CASE WHEN min(CASE WHEN event_type = 'view'
+                                  THEN epoch_us(ts) END) IS NOT NULL
+                     AND max(CASE WHEN event_type = 'purchase'
+                                  THEN epoch_us(ts) END) IS NOT NULL
+                     AND min(CASE WHEN event_type = 'view'
+                                  THEN epoch_us(ts) END)
+                         < max(CASE WHEN event_type = 'purchase'
+                                    THEN epoch_us(ts) END)
+                    THEN 1 ELSE 0 END AS conv
+        FROM events GROUP BY user_id),
+      arms AS (
+        SELECT arm, count(*) AS n_users,
+               CAST(sum(conv) AS BIGINT) AS n_converted
+        FROM pu GROUP BY arm),
+      cells AS (
+        SELECT arm, conv, count(*) AS o FROM pu GROUP BY arm, conv),
+      marg AS (
+        SELECT arm, conv, o,
+               sum(o) OVER (PARTITION BY arm) AS r,
+               sum(o) OVER (PARTITION BY conv) AS c,
+               sum(o) OVER () AS n
+        FROM cells),
+      chi AS (
+        SELECT CAST(sum(((o*n - r*c)*(o*n - r*c) // (r*c*n)) * 10000
+                 + (((o*n - r*c)*(o*n - r*c)) % (r*c*n)) * 10000 // (r*c*n))
+               AS BIGINT) AS chi2_bp
+        FROM marg)
+      SELECT arm, n_users, n_converted,
+             n_converted * 10000 // n_users AS conv_bp,
+             chi.chi2_bp
+      FROM arms, chi
+      ORDER BY arm"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
-    q150, q154, q157, q159, q163)
+    q150, q154, q157, q159, q163, q167)
 }

@@ -432,5 +432,87 @@ object Sampling {
       GROUP BY rank
       ORDER BY rank"""))
 
-  val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62, q100, q134, q139, q151)
+  /** KMV set-operation ALGEBRA — the capability that makes theta-family
+    * sketches a warehouse primitive rather than a counter: q134 proved
+    * union mergeability; this estimates an INTERSECTION (audience overlap,
+    * the segmentation question) from two k-min sketches alone, via the
+    * theta-sketch rule: θ = the union sketch's k-th smallest hash; the
+    * sample = hashes below θ present in BOTH sketches; est(|A∩B|) =
+    * |sample| · est(|A∪B|) div k — all in q134's deterministic integer
+    * hash space (md5-derived 60-bit values, floor'd integer estimate
+    * math), so the estimate is replayable cross-engine, and the exact
+    * intersection rides along for an error column in basis points. The
+    * sketches are k-row frames; at 100 TB the two distinct-user scans are
+    * the only fact passes and every set operation happens on 2k rows. */
+  val q166 = GraftQuery(
+    "q166_kmv_intersection",
+    "Theta-sketch intersection estimate from two KMV sketches vs exact overlap, integer err bp",
+    (s, dir) => {
+      val k = 64
+      def hashed(tpe: String) = events(s, dir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id")).distinct()
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      def kmin(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("rk", row_number().over(Window.orderBy("h")))
+        .filter(col("rk") <= k).select("h")
+      val (av, bv) = (hashed("view"), hashed("purchase"))
+      val (ka, kb) = (kmin(av), kmin(bv))
+      val unionK = kmin(ka.unionByName(kb).distinct())
+      val theta = unionK.agg(max("h").as("theta"),
+        count(lit(1)).as("ku"))
+      val sample = ka.join(kb, Seq("h"))
+        .crossJoin(broadcast(theta))
+        .filter(col("h") <= col("theta"))
+        .agg(count(lit(1)).as("n_sample"))
+      val exact = av.select("user_id").join(bv.select("user_id"), Seq("user_id"))
+        .agg(count(lit(1)).as("exact_inter"))
+      val exa = av.agg(count(lit(1)).as("exact_a"))
+      val exb = bv.agg(count(lit(1)).as("exact_b"))
+      broadcast(theta).crossJoin(broadcast(sample))
+        .crossJoin(broadcast(exact)).crossJoin(broadcast(exa))
+        .crossJoin(broadcast(exb))
+        .withColumn("est_union",
+          expr(s"(ku - 1) * CAST(shiftleft(1L, 60) AS DOUBLE) / theta"))
+        .withColumn("est_inter",
+          expr(s"CAST(floor(n_sample * est_union / $k) AS BIGINT)"))
+        .select(col("exact_a"), col("exact_b"), col("exact_inter"),
+          col("n_sample"), col("est_inter"),
+          expr("abs(est_inter - exact_inter) * 10000 div greatest(exact_inter, 1L)")
+            .as("err_bp"))
+    },
+    Some(s"""
+      WITH av AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+      bv AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      ah AS (SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM av),
+      bh AS (SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h FROM bv),
+      ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM ah) WHERE rk <= 64),
+      kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM bh) WHERE rk <= 64),
+      uk AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+                            FROM (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)))
+             WHERE rk <= 64),
+      theta AS (SELECT max(h) AS theta, count(*) AS ku FROM uk),
+      smp AS (SELECT count(*) AS n_sample
+              FROM ka JOIN kb USING (h), theta WHERE ka.h <= theta.theta),
+      ex AS (SELECT (SELECT count(*) FROM av JOIN bv USING (user_id)) AS exact_inter,
+                    (SELECT count(*) FROM av) AS exact_a,
+                    (SELECT count(*) FROM bv) AS exact_b)
+      SELECT CAST(ex.exact_a AS BIGINT) AS exact_a,
+             CAST(ex.exact_b AS BIGINT) AS exact_b,
+             CAST(ex.exact_inter AS BIGINT) AS exact_inter,
+             CAST(smp.n_sample AS BIGINT) AS n_sample,
+             CAST(floor(smp.n_sample *
+               ((theta.ku - 1) * CAST((CAST(1 AS BIGINT) << 60) AS DOUBLE) / theta.theta)
+               / 64) AS BIGINT) AS est_inter,
+             CAST(abs(CAST(floor(smp.n_sample *
+               ((theta.ku - 1) * CAST((CAST(1 AS BIGINT) << 60) AS DOUBLE) / theta.theta)
+               / 64) AS BIGINT) - ex.exact_inter) * 10000
+               // greatest(ex.exact_inter, 1) AS BIGINT) AS err_bp
+      FROM theta, smp, ex"""))
+
+  val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62, q100, q134, q139, q151,
+    q166)
 }
