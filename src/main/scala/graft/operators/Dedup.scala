@@ -1619,6 +1619,70 @@ object Dedup {
       FROM curves
       ORDER BY b"""))
 
+  /** Dedup-config REGRESSION DIFF — the change-review report a pipeline
+    * owner reads before swapping dedup keys (d16 showed one config's
+    * attrition; this compares TWO): config A keys on the full normalized
+    * text (d1's rule), config B on a looser 40-char normalized prefix
+    * (d19's tier idea); survivors are min-doc_id per key under each, and
+    * the report counts per-lang membership churn — kept-by-both,
+    * only-A, only-B — the volume delta a config swap would ship. A doc
+    * surviving B but not A means the LOOSER key chose a different
+    * representative (prefix collisions re-elect winners), exactly the
+    * subtle churn this report exists to surface. One scan, two digest
+    * windows (two shuffles — the two configs' own costs), flags fold in
+    * a lang rollup + merged ALL row. */
+  val d23 = GraftQuery(
+    "d23_dedup_config_diff",
+    "Dedup config A/B membership churn: full-text vs 40-char-prefix keys, per-lang + ALL",
+    (s, dir) => {
+      val wA = org.apache.spark.sql.expressions.Window.partitionBy("ka")
+      val wB = org.apache.spark.sql.expressions.Window.partitionBy("kb")
+      val flagged = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(lower(col("text")).cast("binary")).as("ka"),
+          md5(substring(lower(col("text")), 1, 40).cast("binary")).as("kb"))
+        .withColumn("survA", (col("doc_id") === min("doc_id").over(wA)).cast("long"))
+        .withColumn("survB", (col("doc_id") === min("doc_id").over(wB)).cast("long"))
+      val perLang = flagged.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("survA").as("surv_a"), sum("survB").as("surv_b"),
+          sum(expr("CASE WHEN survA = 1 AND survB = 0 THEN 1L ELSE 0L END"))
+            .as("only_a"),
+          sum(expr("CASE WHEN survA = 0 AND survB = 1 THEN 1L ELSE 0L END"))
+            .as("only_b"),
+          sum(expr("survA * survB")).as("in_both"))
+      val allRow = perLang.agg(sum("n_docs").as("n_docs"),
+          sum("surv_a").as("surv_a"), sum("surv_b").as("surv_b"),
+          sum("only_a").as("only_a"), sum("only_b").as("only_b"),
+          sum("in_both").as("in_both"))
+        .select(lit("ALL").as("lang"), col("n_docs"), col("surv_a"),
+          col("surv_b"), col("only_a"), col("only_b"), col("in_both"))
+      perLang.unionByName(allRow).orderBy("lang")
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(lower(text)))
+                    THEN 1 ELSE 0 END AS survA,
+               CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(substr(lower(text), 1, 40)))
+                    THEN 1 ELSE 0 END AS survB
+        FROM documents),
+      per_lang AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(survA) AS BIGINT) AS surv_a,
+               CAST(sum(survB) AS BIGINT) AS surv_b,
+               CAST(sum(CASE WHEN survA = 1 AND survB = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+               CAST(sum(CASE WHEN survA = 0 AND survB = 1 THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+               CAST(sum(survA * survB) AS BIGINT) AS in_both
+        FROM flagged GROUP BY lang)
+      SELECT lang, n_docs, surv_a, surv_b, only_a, only_b, in_both FROM per_lang
+      UNION ALL
+      SELECT 'ALL', CAST(sum(n_docs) AS BIGINT), CAST(sum(surv_a) AS BIGINT),
+             CAST(sum(surv_b) AS BIGINT), CAST(sum(only_a) AS BIGINT),
+             CAST(sum(only_b) AS BIGINT), CAST(sum(in_both) AS BIGINT)
+      FROM per_lang
+      ORDER BY lang"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
-    d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22)
+    d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23)
 }
