@@ -1408,7 +1408,64 @@ object EventWindows {
       FROM arms, chi
       ORDER BY arm"""))
 
+  /** Trending LEADERBOARD with rank movement — the product-analytics
+    * report behind every "top movers" widget: per day, rank event types
+    * by their trailing-7-day count, keep the top 3, and attach each
+    * entry's rank shift vs the previous day's leaderboard (new entrants
+    * null). Same scale skeleton as q159: ONE event scan to daily counts,
+    * each daily count replicated to the ≤7 window-ends it serves (the
+    * explode-to-bins trick on time), windows re-derive from the daily
+    * rollup with no fact re-read; ranking and the day-over-day self-join
+    * run on the |days|×|types| frame. Deterministic ties by type name. */
+  val q169 = GraftQuery(
+    "q169_trending_leaderboard",
+    "Top-3 trailing-7d leaderboard per day with rank movement vs previous day",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val win7 = daily
+        .withColumn("i", explode(sequence(lit(0), lit(6))))
+        .withColumn("wday", date_add(col("d"), col("i")))
+        .filter(col("wday") <= lit("2024-01-30").cast("date"))
+        .groupBy("wday", "event_type")
+        .agg(sum("c").as("c7"))
+      val wRank = Window.partitionBy("wday")
+        .orderBy(desc("c7"), col("event_type"))
+      val ranked = win7.withColumn("rank", row_number().over(wRank))
+      val top = ranked.filter(col("rank") <= 3)
+      val prev = ranked.select(date_add(col("wday"), 1).as("wday"),
+        col("event_type"), col("rank").as("prev_rank"))
+      top.join(prev, Seq("wday", "event_type"), "left")
+        .select(col("wday"), col("rank").cast("long").as("rank"),
+          col("event_type"), col("c7"),
+          (col("prev_rank") - col("rank")).cast("long").as("rank_gain"))
+        .orderBy("wday", "rank")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      win7 AS (
+        SELECT CAST(d + CAST(i AS INTEGER) AS DATE) AS wday, event_type,
+               CAST(sum(c) AS BIGINT) AS c7
+        FROM daily, unnest(range(0, 7)) t(i)
+        WHERE d + CAST(i AS INTEGER) <= DATE '2024-01-30'
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT wday, event_type, c7,
+               row_number() OVER (PARTITION BY wday
+                                  ORDER BY c7 DESC, event_type) AS rank
+        FROM win7)
+      SELECT t.wday, CAST(t.rank AS BIGINT) AS rank, t.event_type, t.c7,
+             CAST(p.rank - t.rank AS BIGINT) AS rank_gain
+      FROM ranked t
+      LEFT JOIN ranked p
+        ON p.event_type = t.event_type AND p.wday = t.wday - 1
+      WHERE t.rank <= 3
+      ORDER BY t.wday, t.rank"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
-    q150, q154, q157, q159, q163, q167)
+    q150, q154, q157, q159, q163, q167, q169)
 }

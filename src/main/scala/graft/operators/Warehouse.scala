@@ -2271,8 +2271,93 @@ object Warehouse {
                CAST(c_ok = n AS BIGINT), CAST(c_ok = n AS BIGINT) FROM a)
       ORDER BY candidate"""))
 
+  /** Dictionary-encoding PLANNER — the storage-format decision behind
+    * every columnar writer (parquet dictionary pages, ORC dictionaries):
+    * for each candidate string column, would dictionary encoding pay?
+    * Exact integer accounting per column from one scan each: raw bytes =
+    * Σ octet lengths, dictionary bytes = Σ distinct-value lengths, code
+    * width = ⌈log₂ NDV⌉ bits (computed as bin-length, t36's trick — no
+    * float log), encoded bytes = ⌈n·bits/8⌉ + dictionary, and the verdict
+    * in saved basis points. This is q93/q121's planning discipline turned
+    * on ENCODING rather than file layout — the report that explains why a
+    * 25-value column costs 5 bits/row while a near-unique one should stay
+    * plain. Columns stack into one frame; each column's NDV/length pass
+    * is a projection-pruned aggregate. */
+  val q168 = GraftQuery(
+    "q168_dictionary_encoding",
+    "Dictionary-encoding cost plan per column: exact NDV bits, raw vs encoded bytes, saved bp",
+    (s, dir) => {
+      def colStats(tbl: String, c: String) = {
+        val t = table(s, dir, tbl).select(col(c).cast("string").as("v"))
+        val raw = t.agg(count(lit(1)).as("n"),
+          sum(length(col("v").cast("binary"))).as("raw_bytes"))
+        val dict = t.distinct().agg(count(lit(1)).as("ndv"),
+          sum(length(col("v").cast("binary"))).as("dict_bytes"))
+        raw.crossJoin(dict).select(lit(s"$tbl.$c").as("column"),
+          col("n"), col("ndv"), col("raw_bytes"), col("dict_bytes"))
+      }
+      colStats("orders", "o_orderstatus")
+        .unionByName(colStats("orders", "o_orderpriority"))
+        .unionByName(colStats("lineitem", "l_returnflag"))
+        .unionByName(colStats("part", "p_brand"))
+        .unionByName(colStats("part", "p_name"))
+        .withColumn("code_bits",
+          expr("CAST(length(bin(greatest(ndv - 1, 1L))) AS BIGINT)"))
+        .withColumn("encoded_bytes",
+          expr("(n * code_bits + 7) div 8 + dict_bytes"))
+        .withColumn("saved_bp", expr(
+          "greatest(raw_bytes - encoded_bytes, 0L) * 10000 div raw_bytes"))
+        .select("column", "n", "ndv", "raw_bytes", "dict_bytes",
+          "code_bits", "encoded_bytes", "saved_bp")
+        .orderBy("column")
+    },
+    Some("""
+      WITH stats AS (
+        SELECT 'lineitem.l_returnflag' AS "column", count(*) AS n,
+               count(DISTINCT l_returnflag) AS ndv,
+               CAST(sum(octet_length(encode(CAST(l_returnflag AS VARCHAR)))) AS BIGINT) AS raw_bytes,
+               (SELECT CAST(sum(octet_length(encode(v))) AS BIGINT)
+                FROM (SELECT DISTINCT CAST(l_returnflag AS VARCHAR) AS v FROM lineitem)) AS dict_bytes
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders.o_orderpriority', count(*),
+               count(DISTINCT o_orderpriority),
+               CAST(sum(octet_length(encode(CAST(o_orderpriority AS VARCHAR)))) AS BIGINT),
+               (SELECT CAST(sum(octet_length(encode(v))) AS BIGINT)
+                FROM (SELECT DISTINCT CAST(o_orderpriority AS VARCHAR) AS v FROM orders))
+        FROM orders
+        UNION ALL
+        SELECT 'orders.o_orderstatus', count(*),
+               count(DISTINCT o_orderstatus),
+               CAST(sum(octet_length(encode(CAST(o_orderstatus AS VARCHAR)))) AS BIGINT),
+               (SELECT CAST(sum(octet_length(encode(v))) AS BIGINT)
+                FROM (SELECT DISTINCT CAST(o_orderstatus AS VARCHAR) AS v FROM orders))
+        FROM orders
+        UNION ALL
+        SELECT 'part.p_brand', count(*),
+               count(DISTINCT p_brand),
+               CAST(sum(octet_length(encode(CAST(p_brand AS VARCHAR)))) AS BIGINT),
+               (SELECT CAST(sum(octet_length(encode(v))) AS BIGINT)
+                FROM (SELECT DISTINCT CAST(p_brand AS VARCHAR) AS v FROM part))
+        FROM part
+        UNION ALL
+        SELECT 'part.p_name', count(*),
+               count(DISTINCT p_name),
+               CAST(sum(octet_length(encode(CAST(p_name AS VARCHAR)))) AS BIGINT),
+               (SELECT CAST(sum(octet_length(encode(v))) AS BIGINT)
+                FROM (SELECT DISTINCT CAST(p_name AS VARCHAR) AS v FROM part))
+        FROM part)
+      SELECT "column", n, ndv, raw_bytes, dict_bytes,
+             CAST(length(bin(greatest(ndv - 1, 1))) AS BIGINT) AS code_bits,
+             (n * CAST(length(bin(greatest(ndv - 1, 1))) AS BIGINT) + 7) // 8
+               + dict_bytes AS encoded_bytes,
+             greatest(raw_bytes - ((n * CAST(length(bin(greatest(ndv - 1, 1))) AS BIGINT) + 7) // 8 + dict_bytes), 0)
+               * 10000 // raw_bytes AS saved_bp
+      FROM stats
+      ORDER BY "column""""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
-    q162, q164, q165)
+    q162, q164, q165, q168)
 }
