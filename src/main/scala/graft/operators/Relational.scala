@@ -2382,9 +2382,64 @@ object Relational {
       GROUP BY l_orderkey
       ORDER BY l_orderkey"""))
 
+  /** RFM segmentation — the CRM workhorse: every customer coded by
+    * Recency (days since last order), Frequency (order count), Monetary
+    * (lifetime spend) QUINTILES, then rolled into segments. The mechanics
+    * that matter at scale: one orders scan builds the per-customer frame
+    * (three aggregates ride the same groupBy), the three ntile windows
+    * share ONE unkeyed ordering domain each — acceptable because the
+    * frame is customer-grain, already 3 orders of magnitude below the
+    * fact (and a production variant ranks within market segments to keep
+    * partitions bounded); custkey tiebreaks make every quintile edge
+    * deterministic. Output is the segment-level rollup (≤125 rows), with
+    * R5F5M5 = best customers reading naturally. */
+  val q170 = GraftQuery(
+    "q170_rfm_segmentation",
+    "RFM quintile coding per customer + segment rollup; deterministic ntile edges",
+    (s, dir) => {
+      val perCust = table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+          count(lit(1)).as("freq"),
+          sum(dec2(col("o_totalprice"))).as("monetary"))
+      // recency: higher ntile = more recent; tiebreak custkey everywhere
+      val coded = perCust
+        .withColumn("r", ntile(5).over(Window.orderBy(col("last_order"),
+          col("o_custkey"))))
+        .withColumn("f", ntile(5).over(Window.orderBy(col("freq"),
+          col("o_custkey"))))
+        .withColumn("m", ntile(5).over(Window.orderBy(col("monetary"),
+          col("o_custkey"))))
+      coded.groupBy(concat(lit("R"), col("r"), lit("F"), col("f"),
+          lit("M"), col("m")).as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum("freq").as("total_orders"),
+          sum("monetary").cast("double").as("total_spend"))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH pc AS (
+        SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+               count(*) AS freq,
+               sum(CAST(o_totalprice AS DECIMAL(14,2))) AS monetary
+        FROM orders GROUP BY o_custkey),
+      coded AS (
+        SELECT o_custkey, freq, monetary,
+               ntile(5) OVER (ORDER BY last_order, o_custkey) AS r,
+               ntile(5) OVER (ORDER BY freq, o_custkey) AS f,
+               ntile(5) OVER (ORDER BY monetary, o_custkey) AS m
+        FROM pc)
+      SELECT concat('R', r, 'F', f, 'M', m) AS segment,
+             count(*) AS n_customers,
+             CAST(sum(freq) AS BIGINT) AS total_orders,
+             CAST(sum(monetary) AS DOUBLE) AS total_spend
+      FROM coded
+      GROUP BY segment
+      ORDER BY segment"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
-    q146, q147, q148, q152, q153, q155, q156, q158, q160, q161)
+    q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170)
 }

@@ -2379,8 +2379,60 @@ object TextAnalysis {
       FROM p JOIN ff ON p.w = ff.w
       ORDER BY p.w, p.doc_id"""))
 
+  /** Lexical BLOCKLIST screening — the safety-filter tier t16's
+    * pattern-based PII redaction doesn't cover: a curated term list (with
+    * severities) swept over the corpus at TOKEN granularity (word-boundary
+    * matches only — substring screens flag "classic" for "ass", the
+    * classic false-positive this op exists to avoid). The blocklist
+    * broadcasts; per (doc, term) the hit count and first token position
+    * are row-local HOF lambdas over the token array (the term is a
+    * captured outer column — no explode of the corpus, no token shuffle);
+    * the report rolls up per (lang, term) with severity-weighted exposure.
+    * At 100 TB the cost is one corpus scan × |blocklist| row-local
+    * passes — the shape content-safety sweeps actually run. */
+  val t44 = GraftQuery(
+    "t44_blocklist_screen",
+    "Token-boundary blocklist sweep: per (lang, term) docs hit, counts, first position, weighted exposure",
+    (s, dir) => {
+      import s.implicits._
+      val blocklist = Seq(("dup", 3L), ("hash", 2L), ("stream", 1L))
+        .toDF("term", "severity")
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+        .crossJoin(broadcast(blocklist))
+        .withColumn("hits",
+          expr("size(filter(ws, x -> x = term))").cast("long"))
+        .filter(col("hits") > 0)
+        .withColumn("first_pos",
+          expr("array_position(ws, term)").cast("long"))
+        .groupBy("lang", "term")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("hits").as("total_hits"),
+          min("first_pos").as("min_first_pos"),
+          (sum("hits") * first(col("severity"))).as("weighted_exposure"))
+        .orderBy("lang", "term")
+    },
+    Some("""
+      WITH bl(term, severity) AS (VALUES ('dup', 3), ('hash', 2), ('stream', 1)),
+      scanned AS (
+        SELECT d.doc_id, d.lang, bl.term, bl.severity,
+               len(list_filter(string_split(lower(d.text), ' '),
+                               x -> x = bl.term)) AS hits,
+               list_position(string_split(lower(d.text), ' '), bl.term)
+                 AS first_pos
+        FROM documents d CROSS JOIN bl)
+      SELECT lang, term, count(*) AS n_docs,
+             CAST(sum(hits) AS BIGINT) AS total_hits,
+             CAST(min(first_pos) AS BIGINT) AS min_first_pos,
+             CAST(sum(hits) * any_value(severity) AS BIGINT)
+               AS weighted_exposure
+      FROM scanned
+      WHERE hits > 0
+      GROUP BY lang, term
+      ORDER BY lang, term"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-    t42, t43)
+    t42, t43, t44)
 }
