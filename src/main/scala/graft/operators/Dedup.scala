@@ -1651,6 +1651,9 @@ object Dedup {
           sum(expr("CASE WHEN survA = 0 AND survB = 1 THEN 1L ELSE 0L END"))
             .as("only_b"),
           sum(expr("survA * survB")).as("in_both"))
+        // lang-count-sized frame, eagerly pinned: the ALL row re-aggregates
+        // THIS rollup — one documents scan total
+        .localCheckpoint(true)
       val allRow = perLang.agg(sum("n_docs").as("n_docs"),
           sum("surv_a").as("surv_a"), sum("surv_b").as("surv_b"),
           sum("only_a").as("only_a"), sum("only_b").as("only_b"),

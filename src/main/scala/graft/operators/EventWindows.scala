@@ -1358,8 +1358,20 @@ object EventWindows {
       val arms = perUser.groupBy("arm")
         .agg(count(lit(1)).as("n_users"), sum("conv").as("n_converted"))
         .withColumn("conv_bp", expr("n_converted * 10000 div n_users"))
-      // 2×2 chi-square over (arm × converted) in exact integer bp
-      val cells = perUser.groupBy("arm", "conv").agg(count(lit(1)).as("o"))
+        // 2-row frame, eagerly pinned: the chi-square below derives its
+        // 2×2 cells FROM this rollup — the fact is scanned exactly once
+        .localCheckpoint(true)
+      // 2×2 chi-square over (arm × converted): cells unfold from the arm
+      // rollup (converted = n_converted; not = n_users − n_converted)
+      val cells = arms.select(col("arm"), explode(expr(
+          """array(struct(1L AS conv, n_converted AS o),
+                   struct(0L AS conv, n_users - n_converted AS o))"""))
+          .as("cell"))
+        .select(col("arm"), col("cell.conv").as("conv"), col("cell.o").as("o"))
+        // empty cells drop, as in the oracle's GROUP BY form (an all-
+        // converters arm contributes no conv=0 cell, and a zero marginal
+        // would divide by zero)
+        .filter(col("o") > 0)
         .withColumn("r", sum("o").over(Window.partitionBy("arm")))
         .withColumn("c", sum("o").over(Window.partitionBy("conv")))
         .withColumn("n", sum("o").over(Window.partitionBy()))
@@ -1432,7 +1444,10 @@ object EventWindows {
         .agg(sum("c").as("c7"))
       val wRank = Window.partitionBy("wday")
         .orderBy(desc("c7"), col("event_type"))
+      // |days|×|types| frame, eagerly pinned: the board joins a shifted
+      // copy of ITSELF — without the pin both sides re-run the fact scan
       val ranked = win7.withColumn("rank", row_number().over(wRank))
+        .localCheckpoint(true)
       val top = ranked.filter(col("rank") <= 3)
       val prev = ranked.select(date_add(col("wday"), 1).as("wday"),
         col("event_type"), col("rank").as("prev_rank"))

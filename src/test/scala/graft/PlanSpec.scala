@@ -888,6 +888,83 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("ScalaUDF"), s"UDF in the HOF feature path\n$p")
   }
 
+  test("q154: debounce is one user repartition + in-partition sort — no window, no join") {
+    val p = plan(operators.EventWindows.q154.build(spark, sfDir))
+    assert(!p.contains("Join"), s"join in a sequential-state pass\n$p")
+    // node headers only — the MapPartitions detail cites the
+    // EventWindows closure class, which contains the substring "Window"
+    val winNodes = p.linesIterator.count(_.trim.matches("""\(\d+\) Window.*"""))
+    assert(winNodes == 0, s"window where secondary sort suffices\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 1, s"$hashEx hash exchanges, expected 1 (user_id)\n$p")
+  }
+
+  test("q157: FIFO pairing joins rank frames on (user, k) — both windows ride the user exchange") {
+    val p = plan(operators.EventWindows.q157.build(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).foreach {
+      ex => assert(ex.contains("user_id"), s"non-user exchange in FIFO pairing: $ex")
+    }
+  }
+
+  test("q164: the DV read is an anti join, never a nested loop") {
+    val p = plan(operators.Warehouse.q164.build(spark, sfDir))
+    assert(p.contains("LeftAnti"), s"DV must apply as an anti join\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q167: the A/B readout touches events once — the arm rollup is pinned, chi² derives from it") {
+    val p = plan(operators.EventWindows.q167.build(spark, sfDir))
+    // the single fact scan ran eagerly into the 2-row checkpoint; the
+    // final plan must reference ONLY that pinned frame
+    val evScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("events.parquet"))
+    assert(evScans == 0, s"$evScans events re-scans past the pinned rollup\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"pinned rollup missing from the plan\n$p")
+  }
+
+  test("q169: the leaderboard derives from the pinned daily rollup — no events re-scan") {
+    val p = plan(operators.EventWindows.q169.build(spark, sfDir))
+    val evScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("events.parquet"))
+    assert(evScans == 0, s"$evScans events re-scans past the pinned board\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"pinned board missing from the plan\n$p")
+  }
+
+  test("t43: the df gate broadcasts before the posting windows — no tail-term shuffle") {
+    val p = plan(operators.TextAnalysis.t43.build(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"frequent-term gate must broadcast onto the postings\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t44: blocklist screening never explodes the corpus — no Generate, no token exchange") {
+    val p = plan(operators.TextAnalysis.t44.build(spark, sfDir))
+    assert(!p.contains("Generate"),
+      s"corpus exploded where a row-local HOF suffices\n$p")
+    p.linesIterator.filter(_.contains("Arguments: hashpartitioning")).foreach {
+      ex => assert(!ex.contains("ws"), s"token array crosses a shuffle: $ex")
+    }
+  }
+
+  test("d23: the churn report derives from the pinned per-lang rollup — no documents re-scan") {
+    val p = plan(operators.Dedup.d23.build(spark, sfDir))
+    // the one documents scan ran eagerly into the lang-sized checkpoint
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("documents.parquet"))
+    assert(scans == 0, s"$scans documents re-scans past the pinned rollup\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"pinned rollup missing from the plan\n$p")
+  }
+
+  test("m18: scene cuts are row-local — zero exchanges before the final sort") {
+    val p = plan(operators.Multimodal.m18.build(spark, sfDir))
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 0, s"$hashEx hash exchanges in a row-local operator\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
