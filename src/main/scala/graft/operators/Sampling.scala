@@ -513,6 +513,65 @@ object Sampling {
                // greatest(ex.exact_inter, 1) AS BIGINT) AS err_bp
       FROM theta, smp, ex"""))
 
+  /** Two-sample Kolmogorov–Smirnov statistic, EXACT — the
+    * distribution-shift test for CONTINUOUS metrics (q150's chi-square
+    * covers categorical): D = max |F_a(x) − F_b(x)|, the largest gap
+    * between the two empirical CDFs. Exactness via cross-multiplication:
+    * at every distinct value, |ca·n_b − cb·n_a| is an integer (ca, cb =
+    * running ≤-counts), so D·n_a·n_b is an exact integer max and no float
+    * CDF ever appears. The scale trick is q88's: the walk runs over the
+    * counts-per-DISTINCT-VALUE table (bounded by the value domain — cents
+    * here, ≤32.8k rows however large the fact), not over raw samples; ties
+    * are handled by evaluating only at distinct values, the standard
+    * two-sample convention. One fact scan, one bounded walk. */
+  val q171 = GraftQuery(
+    "q171_ks_test",
+    "Exact two-sample KS distance between click and view value distributions, integer ×10⁴",
+    (s, dir) => {
+      val cells = events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type").as("grp"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        .groupBy("v")
+        .agg(sum(when(col("grp") === "click", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("grp") === "view", 1L).otherwise(0L)).as("cb"))
+      val tot = cells.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("cuma", sum("ca").over(w))
+        .withColumn("cumb", sum("cb").over(w))
+        .crossJoin(broadcast(tot))
+        .select(expr("abs(cuma * n_b - cumb * n_a)").as("gap"),
+          col("n_a"), col("n_b"))
+        .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+          max("gap").as("d_num"))
+        .withColumn("ks_x10000", expr("d_num * 10000 div (n_a * n_b)"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cb
+        FROM events
+        WHERE event_type IN ('click', 'view')
+        GROUP BY v),
+      tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                     CAST(sum(cb) AS BIGINT) AS n_b FROM cells),
+      walked AS (
+        SELECT abs(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) * t.n_b
+                 - sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) * t.n_a)
+                 AS gap,
+               t.n_a, t.n_b
+        FROM cells, tot t)
+      SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+             CAST(max(gap) AS BIGINT) AS d_num,
+             CAST(max(gap) * 10000 // (max(n_a) * max(n_b)) AS BIGINT)
+               AS ks_x10000
+      FROM walked"""))
+
   val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62, q100, q134, q139, q151,
-    q166)
+    q166, q171)
 }
