@@ -2431,8 +2431,126 @@ object TextAnalysis {
       GROUP BY lang, term
       ORDER BY lang, term"""))
 
+  /** MEMORIZATION audit of generated text — the eval run on every LM's
+    * samples before anyone calls them "novel" (Carlini et al.'s verbatim-
+    * extraction question at trigram granularity): regenerate t37's greedy
+    * sequences, slice each into word trigrams, and test every trigram for
+    * VERBATIM presence in the training corpus — by construction each
+    * generated BIGRAM exists (the LM walks corpus bigrams), so any
+    * novelty lives strictly at trigram-and-up compositions, which is
+    * exactly what makes the trigram report informative. Scale posture
+    * inverted from t34's corpus-vs-corpus diff: the generated side is
+    * tiny, so IT broadcasts and the corpus trigram stream (via the native
+    * NGrams generator) is semi-joined against it — the corpus never
+    * shuffles, never collects. Per seed: trigram count, memorized count,
+    * novelty in basis points. */
+  val t45 = GraftQuery(
+    "t45_memorization_audit",
+    "Trigram memorization of t37's generations vs the corpus: per-seed novelty bp",
+    (s, dir) => {
+      import org.apache.spark.sql.GraftColumnBridge
+      val ws = table(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+      val bi = ws.filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+             i -> struct(element_at(ws, i) AS prev, element_at(ws, i + 1) AS cur))"""))
+          .as("b"))
+        .select(col("b.prev").as("prev"), col("b.cur").as("cur"))
+      val wSucc = Window.partitionBy("prev").orderBy(desc("bcnt"), col("cur"))
+      val succ = bi.groupBy("prev", "cur").agg(count(lit(1)).as("bcnt"))
+        .withColumn("r", row_number().over(wSucc))
+        .filter(col("r") === 1)
+        .select(col("prev"), col("cur"))
+      val wSeed = Window.orderBy(desc("cnt"), col("w"))
+      val seeds = ws.select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .withColumn("r", row_number().over(wSeed))
+        .filter(col("r") <= 5)
+        .select(col("w").as("t0"), col("r").cast("long").as("seed_rank"))
+      var gen = seeds
+      for (i <- 1 to 8) {
+        val si = succ.select(col("prev").as(s"p$i"), col("cur").as(s"t$i"))
+        gen = gen.join(broadcast(si), col(s"t${i - 1}") === col(s"p$i"), "left")
+          .drop(s"p$i")
+      }
+      val genTris = gen
+        .withColumn("toks", expr(
+          "filter(array(t0, t1, t2, t3, t4, t5, t6, t7, t8), x -> x IS NOT NULL)"))
+        .select(col("seed_rank"), col("t0").as("seed"),
+          explode(expr(
+            """CASE WHEN size(toks) >= 3 THEN
+                 transform(sequence(1, size(toks) - 2),
+                   i -> concat_ws(' ', element_at(toks, i),
+                     element_at(toks, i + 1), element_at(toks, i + 2)))
+               ELSE array() END"""))
+            .as("tri"))
+        // tiny frame, eagerly pinned: it both broadcasts into the corpus
+        // sweep and anchors the final report
+        .localCheckpoint(true)
+      val corpusTris = table(s, dir, "documents")
+        .select(GraftColumnBridge.column(graft.expressions.NGrams(
+          GraftColumnBridge.expression(lower(col("text"))), 3))
+          .as(Seq("pos", "ngram")))
+        .join(broadcast(genTris.select(col("tri").as("ngram")).distinct()),
+          Seq("ngram"), "left_semi")
+        .select(col("ngram")).distinct()
+        .withColumn("memorized", lit(1L))
+      genTris.join(corpusTris, genTris("tri") === corpusTris("ngram"), "left")
+        .groupBy("seed_rank", "seed")
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum(coalesce(col("memorized"), lit(0L))).as("n_memorized"))
+        .withColumn("novelty_bp", expr(
+          "(n_trigrams - n_memorized) * 10000 div n_trigrams"))
+        .orderBy("seed_rank")
+    },
+    Some("""
+      WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      bi AS (SELECT ws[i] AS prev, ws[i + 1] AS cur
+             FROM ws, UNNEST(range(1, len(ws))) AS t(i)
+             WHERE len(ws) >= 2),
+      bc AS (SELECT prev, cur, count(*) AS bcnt FROM bi GROUP BY prev, cur),
+      succ AS (SELECT prev, cur FROM (
+                 SELECT prev, cur, row_number() OVER (PARTITION BY prev
+                          ORDER BY bcnt DESC, cur) AS r
+                 FROM bc)
+               WHERE r = 1),
+      tok AS (SELECT unnest(ws) AS w FROM ws),
+      seeds AS (SELECT w AS t0, CAST(r AS BIGINT) AS seed_rank FROM (
+                  SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS r
+                  FROM tok GROUP BY w)
+                WHERE r <= 5),
+      g1 AS (SELECT s.*, x.cur AS t1 FROM seeds s LEFT JOIN succ x ON x.prev = s.t0),
+      g2 AS (SELECT g.*, x.cur AS t2 FROM g1 g LEFT JOIN succ x ON x.prev = g.t1),
+      g3 AS (SELECT g.*, x.cur AS t3 FROM g2 g LEFT JOIN succ x ON x.prev = g.t2),
+      g4 AS (SELECT g.*, x.cur AS t4 FROM g3 g LEFT JOIN succ x ON x.prev = g.t3),
+      g5 AS (SELECT g.*, x.cur AS t5 FROM g4 g LEFT JOIN succ x ON x.prev = g.t4),
+      g6 AS (SELECT g.*, x.cur AS t6 FROM g5 g LEFT JOIN succ x ON x.prev = g.t5),
+      g7 AS (SELECT g.*, x.cur AS t7 FROM g6 g LEFT JOIN succ x ON x.prev = g.t6),
+      g8 AS (SELECT g.*, x.cur AS t8 FROM g7 g LEFT JOIN succ x ON x.prev = g.t7),
+      toks AS (SELECT seed_rank, t0 AS seed,
+                      list_filter([t0, t1, t2, t3, t4, t5, t6, t7, t8],
+                                  x -> x IS NOT NULL) AS toks
+               FROM g8),
+      gen_tris AS (
+        SELECT seed_rank, seed, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tri
+        FROM toks, UNNEST(range(1, CAST(greatest(len(toks) - 2, 1) AS INTEGER) + 1)) t(i)
+        WHERE i + 2 <= len(toks)),
+      corpus_tris AS (
+        SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS tri
+        FROM ws, UNNEST(range(1, len(ws) - 1)) AS t(i))
+      SELECT g.seed_rank, g.seed,
+             count(*) AS n_trigrams,
+             CAST(sum(CASE WHEN c.tri IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_memorized,
+             (count(*) - CAST(sum(CASE WHEN c.tri IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT))
+               * 10000 // count(*) AS novelty_bp
+      FROM gen_tris g LEFT JOIN corpus_tris c ON g.tri = c.tri
+      GROUP BY g.seed_rank, g.seed
+      ORDER BY g.seed_rank"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-    t42, t43, t44)
+    t42, t43, t44, t45)
 }
