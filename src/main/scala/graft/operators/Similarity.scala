@@ -2363,7 +2363,119 @@ object Similarity {
       GROUP BY comm
       ORDER BY comm"""))
 
+  /** Simplified SILHOUETTE — the clustering-quality score (Rousseeuw '87,
+    * centroid variant) made hash-checkable: per vector, a = squared
+    * distance to its OWN label centroid, b = min squared distance to any
+    * OTHER centroid, s = (b−a)/max(a,b). Exactness without sqrt or float
+    * sums: embeddings quantize to integer centi-units, a centroid is the
+    * RATIONAL (Σx, n) — never divided — and cnt²·|x|² − 2·cnt·(x·Σc) +
+    * |Σc|² compares squared distances in pure BIGINT (the rational's
+    * denominator multiplied through); s lands in basis points via the
+    * overflow-safe split division. Scale posture: centroids are a
+    * labels×dims aggregate (one fact pass, tiny frame), per-vector
+    * scoring is a broadcast of 10 centroid rows against the streaming
+    * corpus — O(n·k), never pairwise. Per-label rollup: mean s, negative
+    * count (the misclustered), n. */
+  val s28 = GraftQuery(
+    "s28_silhouette",
+    "Simplified silhouette per label in exact integer bp: rational centroids, no sqrt, no float sums",
+    (s, dir) => {
+      val vecs = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(round(x * 100) AS BIGINT))")
+            .as("xi"))
+      val cents = vecs
+        .select(col("label").as("clabel"), posexplode(col("xi")))
+        .groupBy("clabel", "pos")
+        .agg(sum("col").as("num"), count(lit(1)).as("cnt"))
+        .groupBy("clabel", "cnt")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(pos, num))), p -> p.num)")
+          .as("cnum"))
+      val scored = vecs.crossJoin(broadcast(cents))
+        .withColumn("sxx", expr(
+          "aggregate(transform(xi, x -> x * x), 0L, (a, x) -> a + x)"))
+        .withColumn("sxc", expr(
+          """aggregate(zip_with(xi, cnum, (x, c) -> x * c),
+             0L, (a, x) -> a + x)"""))
+        .withColumn("scc", expr(
+          "aggregate(transform(cnum, c -> c * c), 0L, (a, x) -> a + x)"))
+        .withColumn("d2", expr("cnt * cnt * sxx - 2 * cnt * sxc + scc"))
+      val w = Window.partitionBy("vec_id")
+      val sil = scored
+        .withColumn("a", max(when(col("label") === col("clabel"),
+          col("d2"))).over(w))
+        .withColumn("b", min(when(col("label") =!= col("clabel"),
+          col("d2"))).over(w))
+        .filter(col("label") === col("clabel")) // one row per vector
+        .withColumn("m", greatest(col("a"), col("b")))
+        // sign-split: integer division of negatives diverges cross-engine
+        // (Spark div truncates toward zero, DuckDB // floors) — divide
+        // magnitudes only, re-apply the sign (the q130 discipline)
+        .withColumn("s_bp", expr(
+          """CASE WHEN m = 0 THEN 0L
+             ELSE CASE WHEN b >= a THEN 1L ELSE -1L END *
+                  ((abs(b - a) div m) * 10000
+                   + ((abs(b - a) % m) * 10000) div m) END"""))
+      sil.groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum("s_bp").as("sum_s_bp"),
+          sum(when(col("s_bp") < 0, 1L).otherwise(0L)).as("n_negative"))
+        .withColumn("mean_s_bp", expr(
+          """CASE WHEN sum_s_bp >= 0 THEN sum_s_bp div n_vectors
+             ELSE -((-sum_s_bp) div n_vectors) END"""))
+        .orderBy("label")
+    },
+    Some("""
+      WITH vecs AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                 x -> CAST(round(x * 100) AS BIGINT)) AS xi
+        FROM embeddings),
+      dims AS (
+        SELECT label AS clabel, i AS pos, CAST(sum(xi[i]) AS BIGINT) AS num,
+               count(*) AS cnt
+        FROM vecs, UNNEST(range(1, len(xi) + 1)) t(i)
+        GROUP BY clabel, i),
+      cents AS (
+        SELECT clabel, CAST(any_value(cnt) AS BIGINT) AS cnt,
+               list(num ORDER BY pos) AS cnum
+        FROM dims GROUP BY clabel),
+      scored AS (
+        SELECT v.vec_id, v.label, c.clabel,
+               c.cnt * c.cnt *
+                 CAST(list_sum(list_transform(v.xi, x -> x * x)) AS BIGINT)
+               - 2 * c.cnt *
+                 CAST(list_sum(list_transform(range(1, len(v.xi) + 1),
+                   i -> v.xi[i] * c.cnum[i])) AS BIGINT)
+               + CAST(list_sum(list_transform(c.cnum, x -> x * x)) AS BIGINT)
+                 AS d2
+        FROM vecs v CROSS JOIN cents c),
+      ab AS (
+        SELECT vec_id, label,
+               max(CASE WHEN label = clabel THEN d2 END) AS a,
+               min(CASE WHEN label <> clabel THEN d2 END) AS b
+        FROM scored GROUP BY vec_id, label),
+      sil AS (
+        SELECT label,
+               CASE WHEN greatest(a, b) = 0 THEN 0
+                    ELSE (CASE WHEN b >= a THEN 1 ELSE -1 END) *
+                         ((abs(b - a) // greatest(a, b)) * 10000
+                          + ((abs(b - a) % greatest(a, b)) * 10000)
+                            // greatest(a, b)) END AS s_bp
+        FROM ab)
+      SELECT label, count(*) AS n_vectors,
+             CAST(sum(s_bp) AS BIGINT) AS sum_s_bp,
+             CAST(sum(CASE WHEN s_bp < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative,
+             CAST(CASE WHEN sum(s_bp) >= 0 THEN sum(s_bp) // count(*)
+                  ELSE -((-sum(s_bp)) // count(*)) END AS BIGINT)
+               AS mean_s_bp
+      FROM sil
+      GROUP BY label
+      ORDER BY label"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
     s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-    s27)
+    s27, s28)
 }

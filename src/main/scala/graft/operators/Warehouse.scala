@@ -2356,8 +2356,72 @@ object Warehouse {
       FROM stats
       ORDER BY "column""""))
 
+  /** CONFORMED-DIMENSION build with deterministic surrogate keys — the
+    * Kimball discipline, and a Spark-specific trap pinned: the natural
+    * keys observed by two independent fact pipelines (customer-side and
+    * supplier-side nation usage) union into ONE dimension, each row
+    * carrying a surrogate id and a source bitmap (bit 0 = customers use
+    * it, bit 1 = suppliers do). The surrogate MUST be a dense_rank over
+    * the natural key — `monotonically_increasing_id()` (the tempting
+    * one-liner) is partition-layout-dependent: ids change across AQE
+    * re-plans, retries, and cluster sizes, silently corrupting every fact
+    * that joined an earlier run. dense_rank is replayable, append-stable
+    * for sorted domains, and what makes the oracle (and any incremental
+    * re-run) reproduce ids bit-for-bit. Usage counts ride the same pass. */
+  val q172 = GraftQuery(
+    "q172_conformed_dimension",
+    "Conformed nation dimension from two fact sides: dense_rank surrogates + source bitmap",
+    (s, dir) => {
+      val custSide = table(s, dir, "customer")
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_customers"))
+      val suppSide = table(s, dir, "supplier")
+        .join(broadcast(table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      custSide.join(suppSide, Seq("nation"), "full_outer")
+        .select(col("nation"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+        .withColumn("surrogate_id",
+          dense_rank().over(Window.orderBy("nation")).cast("long"))
+        .withColumn("source_bits", expr(
+          """CASE WHEN n_customers > 0 THEN 1L ELSE 0L END
+             + CASE WHEN n_suppliers > 0 THEN 2L ELSE 0L END"""))
+        .select("surrogate_id", "nation", "n_customers", "n_suppliers",
+          "source_bits")
+        .orderBy("surrogate_id")
+    },
+    Some("""
+      WITH cs AS (
+        SELECT n.n_name AS nation, count(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name),
+      ss AS (
+        SELECT n.n_name AS nation, count(*) AS n_suppliers
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name),
+      merged AS (
+        SELECT coalesce(cs.nation, ss.nation) AS nation,
+               coalesce(cs.n_customers, 0) AS n_customers,
+               coalesce(ss.n_suppliers, 0) AS n_suppliers
+        FROM cs FULL OUTER JOIN ss ON cs.nation = ss.nation)
+      SELECT CAST(dense_rank() OVER (ORDER BY nation) AS BIGINT)
+               AS surrogate_id,
+             nation,
+             CAST(n_customers AS BIGINT) AS n_customers,
+             CAST(n_suppliers AS BIGINT) AS n_suppliers,
+             CAST(CASE WHEN n_customers > 0 THEN 1 ELSE 0 END
+               + CASE WHEN n_suppliers > 0 THEN 2 ELSE 0 END AS BIGINT)
+               AS source_bits
+      FROM merged
+      ORDER BY surrogate_id"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
-    q162, q164, q165, q168)
+    q162, q164, q165, q168, q172)
 }
