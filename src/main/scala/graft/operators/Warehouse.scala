@@ -2420,8 +2420,58 @@ object Warehouse {
       FROM merged
       ORDER BY surrogate_id"""))
 
+  /** PARTITION-INCREMENTAL refresh — the dbt-incremental / Airflow-backfill
+    * pattern that sits between q77's mergeable-partial IVM and a blind full
+    * rebuild: a delta batch names which PARTITIONS it touches (affected
+    * months, a tiny distinct), the refresh recomputes ONLY those months
+    * from base+delta while every untouched month's rollup row is carried
+    * forward verbatim — correct for ANY aggregate, including non-mergeable
+    * ones, because touched partitions recompute rather than merge (the
+    * reason this pattern survives where q77's algebra doesn't). The
+    * recompute branch's scan is month-gated (at 100 TB that gate IS the
+    * partition pruning; PlanSpec pins the pushed filter), and the oracle
+    * is the full recompute over base∪delta — equal hashes prove the
+    * carried-forward/recomputed stitching exact. Delta = the o_orderkey %
+    * 10 = 3 slice, arriving "late"; base = the rest. */
+  val q173 = GraftQuery(
+    "q173_incremental_refresh",
+    "Partition-incremental rollup refresh: recompute touched months only == full recompute",
+    (s, dir) => {
+      val orders = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          dec2(col("o_totalprice")).as("price"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      val base = orders.filter(pmod(col("o_orderkey"), lit(10L)) =!= 3L)
+      val delta = orders.filter(pmod(col("o_orderkey"), lit(10L)) === 3L)
+      def rollup(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("price").cast("decimal(24,2)").as("revenue"),
+          countDistinct("o_custkey").as("n_customers")) // NON-mergeable
+      val priorState = rollup(base)
+      val affected = delta.select("month").distinct()
+      val recomputed = rollup(
+        base.unionByName(delta)
+          .join(broadcast(affected), Seq("month"), "left_semi"))
+      val carried = priorState
+        .join(broadcast(affected), Seq("month"), "left_anti")
+      carried.unionByName(recomputed)
+        .select(col("month"), col("n_orders"),
+          col("revenue").cast("double").as("revenue"), col("n_customers"))
+        .orderBy("month")
+    },
+    Some("""
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS revenue,
+             count(DISTINCT o_custkey) AS n_customers
+      FROM orders
+      GROUP BY month
+      ORDER BY month"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
-    q162, q164, q165, q168, q172)
+    q162, q164, q165, q168, q172, q173)
 }

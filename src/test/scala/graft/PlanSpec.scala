@@ -965,6 +965,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashEx == 0, s"$hashEx hash exchanges in a row-local operator\n$p")
   }
 
+  test("q173: the recompute branch is month-gated (broadcast semi-join) and untouched months carry forward (anti join)") {
+    val p = plan(operators.Warehouse.q173.build(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      s"affected-month gate must semi-join the recompute scan\n$p")
+    assert(p.contains("LeftAnti"),
+      s"carried-forward branch must anti-join prior state\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
