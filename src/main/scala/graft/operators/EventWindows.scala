@@ -1480,7 +1480,204 @@ object EventWindows {
       WHERE t.rank <= 3
       ORDER BY t.wday, t.rank"""))
 
+  /** First-order MARKOV transition matrix over the event stream — the
+    * model behind next-action prediction, funnel-drop diagnosis, and
+    * bot-vs-human behavioral fingerprinting: for each user, order events
+    * by (ts, event_id) and count each (event_type → next event_type)
+    * step, then row-normalize to transition probabilities in integer bp.
+    * Scale shape: ONE events scan; the lead() window rides a single
+    * user-hash exchange (the same exchange every per-user entry pays —
+    * at 100 TB this is the minimal shuffle for any sequential-order
+    * computation); the pair rollup and its row-marginal window run on
+    * the |types|² frame, which is tiny and independent of corpus size.
+    * End-of-stream steps (a user's last event) have no successor and are
+    * excluded — the matrix is over OBSERVED transitions, so rows sum to
+    * exactly n_from. Tie order within a timestamp is pinned by event_id,
+    * making the pairing bit-stable across engines and partitionings. */
+  val q175 = GraftQuery(
+    "q175_event_transition_matrix",
+    "First-order event_type transition matrix per user order, probabilities in bp",
+    (s, dir) => {
+      val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val steps = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(wUser))
+        .filter(col("next_type").isNotNull)
+      val cells = steps.groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("n_from", sum("n").over(Window.partitionBy("from_type")))
+        .withColumn("p_bp", expr("n * 10000 div n_from"))
+        .select("from_type", "to_type", "n", "n_from", "p_bp")
+        .orderBy("from_type", "to_type")
+    },
+    Some("""
+      WITH steps AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events),
+      cells AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM steps WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type)
+      SELECT from_type, to_type, n,
+             CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+             n * 10000 // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+               AS p_bp
+      FROM cells
+      ORDER BY from_type, to_type"""))
+
+  /** Sample AUTOCORRELATION of the daily-revenue series at lags 1..7 —
+    * the seasonality detector behind q149's seasonal-naive choice (a
+    * strong lag-7 ACF is WHY weekly naive beats plain naive) and the
+    * first diagnostic in any forecasting pipeline. Exactness discipline:
+    * the series is the per-day cents rollup; deviations center on the
+    * FLOOR mean (m = S div n — a rational mean would leave BIGINT), and
+    * the lag products/denominator accumulate in DECIMAL(38,0) so the
+    * ~1e19-cents² sums stay exact where BIGINT would wrap; the final
+    * ratio lands in bp via sign-split integral division (the q130 rule —
+    * negative ACF would round toward zero differently otherwise).
+    * Scale shape: ONE orders scan to the |days| rollup (pinned — seven
+    * lag columns derive from it, not from seven re-scans); the lag
+    * alignment is a lead() over the day-ordered rollup frame (|days|
+    * rows, trivially a single partition at any corpus scale since it is
+    * a per-day AGGREGATE, not the fact table). Lag-l numerator uses the
+    * n−l observed pairs; the denominator is the full-series sum of
+    * squared deviations (the standard biased-ACF normalization, shared
+    * across lags so the curve is comparable). */
+  val q176 = GraftQuery(
+    "q176_daily_revenue_acf",
+    "Integer-exact autocorrelation of daily order revenue at lags 1..7, in bp",
+    (s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .localCheckpoint(true)
+      val stats = daily.agg(sum("cents").as("ss"), count(lit(1)).as("nn"))
+      val dev = daily.crossJoin(broadcast(stats))
+        .select(col("d"), (col("cents") - expr("ss div nn")).as("dev"))
+      val wd = Window.orderBy("d")
+      val lagged = dev.select(Seq(col("d"), col("dev")) ++
+        (1 to 7).map(l => lead(col("dev"), l).over(wd).as(s"dev_$l")): _*)
+      val den = lagged.agg(
+        sum(expr("CAST(dev AS DECIMAL(38,0)) * CAST(dev AS DECIMAL(38,0))"))
+          .as("den")).localCheckpoint(true)
+      val perLag = lagged.select(col("dev"),
+        explode(array((1 to 7).map(l =>
+          struct(lit(l).cast("long").as("lag"), col(s"dev_$l").as("devl"))): _*))
+          .as("p"))
+        .select(col("p.lag").as("lag"), col("dev"), col("p.devl").as("devl"))
+        .filter(col("devl").isNotNull)
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("CAST(dev AS DECIMAL(38,0)) * CAST(devl AS DECIMAL(38,0))"))
+            .as("num"))
+      perLag.crossJoin(broadcast(den))
+        .withColumn("acf_bp", expr(
+          """CASE WHEN num >= 0
+               THEN CAST((num * 10000) div den AS BIGINT)
+               ELSE -CAST(((-num) * 10000) div den AS BIGINT) END"""))
+        .select("lag", "n_pairs", "acf_bp")
+        .orderBy("lag")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1),
+      st AS (SELECT CAST(sum(cents) AS BIGINT) AS ss,
+                    count(*) AS nn FROM daily),
+      dev AS (
+        SELECT d, cents - (st.ss // st.nn) AS dev FROM daily, st),
+      lagged AS (
+        SELECT dev,
+               lead(dev, 1) OVER w AS dev_1, lead(dev, 2) OVER w AS dev_2,
+               lead(dev, 3) OVER w AS dev_3, lead(dev, 4) OVER w AS dev_4,
+               lead(dev, 5) OVER w AS dev_5, lead(dev, 6) OVER w AS dev_6,
+               lead(dev, 7) OVER w AS dev_7
+        FROM dev WINDOW w AS (ORDER BY d)),
+      den AS (
+        SELECT sum(CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT)) AS den
+        FROM lagged),
+      pairs AS (
+        SELECT l.lag, lg.dev,
+               CASE l.lag WHEN 1 THEN lg.dev_1 WHEN 2 THEN lg.dev_2
+                          WHEN 3 THEN lg.dev_3 WHEN 4 THEN lg.dev_4
+                          WHEN 5 THEN lg.dev_5 WHEN 6 THEN lg.dev_6
+                          ELSE lg.dev_7 END AS devl
+        FROM lagged lg, (SELECT CAST(range AS BIGINT) AS lag
+                         FROM range(1, 8)) l),
+      perlag AS (
+        SELECT lag, count(*) AS n_pairs,
+               sum(CAST(dev AS HUGEINT) * CAST(devl AS HUGEINT)) AS num
+        FROM pairs WHERE devl IS NOT NULL
+        GROUP BY lag)
+      SELECT lag, n_pairs,
+             CASE WHEN num >= 0
+               THEN CAST((num * 10000) // den.den AS BIGINT)
+               ELSE -CAST(((-num) * 10000) // den.den AS BIGINT) END AS acf_bp
+      FROM perlag, den
+      ORDER BY lag"""))
+
+  /** CUSUM change-point scan over the daily-revenue series — the
+    * classic Page cumulative-sum detector: deviations from the global
+    * floor mean accumulate, and a sustained level shift shows up as the
+    * extreme of the cumulative path (a mean-stable series random-walks
+    * near zero; a shifted regime trends). Reports the top-5 days by
+    * |CUSUM| — the candidate change points — with the signed path value
+    * and each day's own deviation. All arithmetic is BIGINT cents (the
+    * path peaks at ~|days|·|dev| ≈ 1e12, far inside the BIGINT range at
+    * any plausible day count); ties on |CUSUM| break by earliest day.
+    * Scale shape: same as q176 — ONE orders scan to the pinned |days|
+    * rollup; the running sum and the top-k both live on that tiny
+    * aggregate frame, and the top-5 is a k-row sort-limit, not a global
+    * sort of the fact. */
+  val q177 = GraftQuery(
+    "q177_cusum_change_points",
+    "CUSUM change-point scan on daily revenue: top-5 |cumulative deviation| days",
+    (s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .localCheckpoint(true)
+      val stats = daily.agg(sum("cents").as("ss"), count(lit(1)).as("nn"))
+      val wPath = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(stats))
+        .select(col("d"), (col("cents") - expr("ss div nn")).as("dev"))
+        .withColumn("cusum", sum("dev").over(wPath))
+        .orderBy(abs(col("cusum")).desc, col("d"))
+        .limit(5)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(abs(col("cusum")).desc, col("d"))))
+        .select(col("rk").cast("long").as("rk"), col("d"),
+          col("cusum"), col("dev"))
+        .orderBy("rk")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1),
+      st AS (SELECT CAST(sum(cents) AS BIGINT) AS ss,
+                    count(*) AS nn FROM daily),
+      path AS (
+        SELECT d, cents - (st.ss // st.nn) AS dev,
+               CAST(sum(cents - (st.ss // st.nn))
+                    OVER (ORDER BY d) AS BIGINT) AS cusum
+        FROM daily, st)
+      SELECT CAST(row_number() OVER (ORDER BY abs(cusum) DESC, d) AS BIGINT)
+               AS rk,
+             d, cusum, dev
+      FROM path
+      ORDER BY abs(cusum) DESC, d
+      LIMIT 5"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
-    q150, q154, q157, q159, q163, q167, q169)
+    q150, q154, q157, q159, q163, q167, q169, q175, q176, q177)
 }

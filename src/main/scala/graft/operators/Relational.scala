@@ -2437,9 +2437,85 @@ object Relational {
       GROUP BY segment
       ORDER BY segment"""))
 
+  /** Revenue-concentration report: the LORENZ curve by customer decile
+    * plus the exact GINI coefficient — the "what share of revenue do the
+    * top customers carry" question behind every key-account program and
+    * concentration-risk audit. Exactness discipline: per-customer revenue
+    * is BIGINT cents; the Gini uses the closed rank form
+    * G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over the ascending (cents,
+    * custkey) rank, with the rank-weighted sum accumulated in
+    * DECIMAL(38,0) (Σi·xᵢ ≈ 1e17 cents at sf0.1 — ·2·10⁴ would wrap
+    * BIGINT) and the final bp landing via integral division, identical
+    * to DuckDB's HUGEINT `//`. Scale shape: ONE orders scan to the
+    * per-customer rollup; the global rank/ntile run on that AGGREGATE
+    * frame (|customers|, ~fact/10 — the q138 posture: a total order is
+    * inherent to the metric, and it orders the rollup, never the fact),
+    * pinned once and reused by both the Gini aggregate and the decile
+    * rollup; deciles and their cumulative shares are a 10-row frame. */
+  val q174 = GraftQuery(
+    "q174_revenue_gini_lorenz",
+    "Lorenz curve by customer decile + exact Gini coefficient of order revenue, in bp",
+    (s, dir) => {
+      val ranked = table(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .withColumn("i", row_number()
+          .over(Window.orderBy("cents", "o_custkey")).cast("long"))
+        .localCheckpoint(true)
+      val gini = ranked
+        .agg(count(lit(1)).as("nn"), sum("cents").as("ss"),
+          sum(expr("CAST(i AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))"))
+            .as("s1"))
+        .select(expr(
+          """CAST((2 * s1 - CAST(nn + 1 AS DECIMAL(38,0)) * ss) * 10000
+               div (CAST(nn AS DECIMAL(38,0)) * ss) AS BIGINT)""")
+          .as("gini_bp"), col("ss"))
+      val wCum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranked
+        .withColumn("decile", ntile(10).over(Window.orderBy("i")).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"), sum("cents").as("decile_cents"))
+        .withColumn("cum_cents", sum("decile_cents").over(wCum))
+        .crossJoin(broadcast(gini))
+        .select(col("decile"), col("n_cust"), col("decile_cents"),
+          expr("cum_cents * 10000 div ss").as("cum_share_bp"),
+          col("gini_bp"))
+        .orderBy("decile")
+    },
+    Some("""
+      WITH percust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY o_custkey),
+      ranked AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+                 AS i,
+               ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+        FROM percust),
+      gini AS (
+        SELECT CAST((2 * sum(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT))
+                     - CAST(count(*) + 1 AS HUGEINT) * sum(cents)) * 10000
+                    // (CAST(count(*) AS HUGEINT) * sum(cents)) AS BIGINT)
+                 AS gini_bp,
+               CAST(sum(cents) AS BIGINT) AS ss
+        FROM ranked),
+      dec AS (
+        SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_cust,
+               CAST(sum(cents) AS BIGINT) AS decile_cents
+        FROM ranked GROUP BY 1)
+      SELECT decile, n_cust, decile_cents,
+             CAST(sum(decile_cents) OVER (ORDER BY decile) AS BIGINT)
+               * 10000 // gini.ss AS cum_share_bp,
+             gini.gini_bp
+      FROM dec, gini
+      ORDER BY decile"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
-    q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170)
+    q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174)
 }

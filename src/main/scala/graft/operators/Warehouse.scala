@@ -2470,8 +2470,95 @@ object Warehouse {
       GROUP BY month
       ORDER BY month"""))
 
+  /** LATE-ARRIVING DIMENSION reconciliation — the Kimball "inferred
+    * member" pattern: facts land before their dimension row does, get
+    * parked under a placeholder member (nationkey −1 here), and when the
+    * late dimension batch arrives the attribution MOVES. This entry
+    * audits that move: with customers whose key ≡ 0 (mod 97) playing the
+    * not-yet-arrived cohort, it reports per nation the order count and
+    * revenue BEFORE (late keys under −1) and AFTER the arrival, plus the
+    * deltas — the −1 row drains to zero, each real nation gains exactly
+    * its late customers' facts, and Σdelta = 0 by construction. Scale
+    * shape: ONE orders scan and ONE broadcast dim join compute BOTH
+    * states — the before/after keys are two CASE projections of the same
+    * enriched row, rolled up once into the (nk_before, nk_after) cell
+    * frame (≤ |nations|+1 squared, tiny); both reports then derive from
+    * the cells by exploding each cell to its two sides — the fact is
+    * never scanned twice, which is the whole point at 100 TB where the
+    * naive audit runs the enrichment pipeline once per dim snapshot. */
+  val q178 = GraftQuery(
+    "q178_late_arriving_dim",
+    "Late-arriving dimension audit: per-nation facts before/after the late batch lands",
+    (s, dir) => {
+      val dim = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nk"))
+      val cells = table(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .select(
+          expr("CASE WHEN o_custkey % 97 = 0 THEN -1 ELSE nk END")
+            .as("nk_before"),
+          col("nk").as("nk_after"), col("cents"))
+        .groupBy("nk_before", "nk_after")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      cells
+        .select(explode(expr(
+          """array(struct('b' AS side, nk_before AS k, n, cents),
+                   struct('a' AS side, nk_after  AS k, n, cents))"""))
+          .as("e"))
+        .select(col("e.side").as("side"), col("e.k").as("nationkey"),
+          col("e.n").as("n"), col("e.cents").as("cents"))
+        .groupBy("nationkey")
+        .agg(
+          coalesce(sum(when(col("side") === "b", col("n"))), lit(0L))
+            .as("n_before"),
+          coalesce(sum(when(col("side") === "b", col("cents"))), lit(0L))
+            .as("cents_before"),
+          coalesce(sum(when(col("side") === "a", col("n"))), lit(0L))
+            .as("n_after"),
+          coalesce(sum(when(col("side") === "a", col("cents"))), lit(0L))
+            .as("cents_after"))
+        .withColumn("delta_n", col("n_after") - col("n_before"))
+        .withColumn("delta_cents", col("cents_after") - col("cents_before"))
+        .orderBy("nationkey")
+    },
+    Some("""
+      WITH enriched AS (
+        SELECT CASE WHEN o.o_custkey % 97 = 0 THEN -1
+                    ELSE CAST(c.c_nationkey AS BIGINT) END AS nk_before,
+               CAST(c.c_nationkey AS BIGINT) AS nk_after,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      cells AS (
+        SELECT nk_before, nk_after, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM enriched GROUP BY 1, 2),
+      sides AS (
+        SELECT 'b' AS side, nk_before AS nationkey, n, cents FROM cells
+        UNION ALL
+        SELECT 'a' AS side, nk_after AS nationkey, n, cents FROM cells)
+      SELECT nationkey,
+             CAST(coalesce(sum(n)     FILTER (side = 'b'), 0) AS BIGINT)
+               AS n_before,
+             CAST(coalesce(sum(cents) FILTER (side = 'b'), 0) AS BIGINT)
+               AS cents_before,
+             CAST(coalesce(sum(n)     FILTER (side = 'a'), 0) AS BIGINT)
+               AS n_after,
+             CAST(coalesce(sum(cents) FILTER (side = 'a'), 0) AS BIGINT)
+               AS cents_after,
+             CAST(coalesce(sum(n) FILTER (side = 'a'), 0)
+                - coalesce(sum(n) FILTER (side = 'b'), 0) AS BIGINT)
+               AS delta_n,
+             CAST(coalesce(sum(cents) FILTER (side = 'a'), 0)
+                - coalesce(sum(cents) FILTER (side = 'b'), 0) AS BIGINT)
+               AS delta_cents
+      FROM sides
+      GROUP BY nationkey
+      ORDER BY nationkey"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
-    q162, q164, q165, q168, q172, q173)
+    q162, q164, q165, q168, q172, q173, q178)
 }

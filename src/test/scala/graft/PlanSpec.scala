@@ -974,6 +974,55 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q174: the concentration metric orders the per-customer ROLLUP, never the fact") {
+    val p = plan(operators.Relational.q174.build(spark, sfDir))
+    // the one orders scan ran eagerly into the ranked checkpoint; the
+    // Gini aggregate and the decile rollup must both read the pin
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("orders.parquet"))
+    assert(scans == 0, s"$scans orders re-scans past the pinned rank frame\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"pinned rank frame missing from the plan\n$p")
+  }
+
+  test("q175: the transition pairing rides ONE user exchange; the matrix window is on the cells") {
+    val p = plan(operators.EventWindows.q175.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("events.parquet"))
+    assert(scans == 1, s"expected exactly one events scan, got $scans\n$p")
+    val userEx = p.linesIterator.count(l =>
+      l.contains("Arguments: hashpartitioning") && l.contains("user_id"))
+    assert(userEx == 1, s"expected one user_id exchange, got $userEx\n$p")
+  }
+
+  test("q176: all seven ACF lags derive from the pinned daily rollup — one orders scan total") {
+    val p = plan(operators.EventWindows.q176.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("orders.parquet"))
+    assert(scans == 0, s"$scans orders re-scans past the pinned rollup\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"pinned daily rollup missing from the plan\n$p")
+  }
+
+  test("q177: the CUSUM top-5 is a k-row sort-limit on the rollup, not a global fact sort") {
+    val p = plan(operators.EventWindows.q177.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("orders.parquet"))
+    assert(scans == 0, s"$scans orders re-scans past the pinned rollup\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-5 must plan as TakeOrderedAndProject\n$p")
+  }
+
+  test("q178: before/after states come from ONE orders scan and a broadcast dim join") {
+    val p = plan(operators.Warehouse.q178.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("orders.parquet"))
+    assert(scans == 1, s"expected exactly one orders scan, got $scans\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dim join must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
