@@ -1677,7 +1677,75 @@ object EventWindows {
       ORDER BY abs(cusum) DESC, d
       LIMIT 5"""))
 
+  /** CONVERSION-LATENCY distribution — the follow-up question to q70's
+    * funnel counts: not "how many users converted" but "how LONG did
+    * conversion take", as a banded histogram of first-view → first
+    * subsequent purchase latency. Single-scan shape: ONE events pass
+    * aggregates per user BOTH the first view time and the (bounded,
+    * purchase-only) list of purchase times; the "first purchase AFTER
+    * the first view" then resolves row-locally with a HOF filter +
+    * array_min — no q70-style second fact scan and self-join, at the
+    * cost of per-user state bounded by that user's PURCHASE count (tiny
+    * — carrying only the filtered event type is what keeps the list
+    * safe at 100 TB). Latencies are exact integer micros → minutes via
+    * floor division; bands are a fixed CASE ladder, and the rollup
+    * emits count plus integer min/avg/max minutes per band. */
+  val q179 = GraftQuery(
+    "q179_conversion_latency",
+    "First-view to first-purchase latency histogram: fixed bands, integer minutes",
+    (s, dir) => {
+      val perUser = events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", unix_micros(col("ts"))))
+            .as("t1"),
+          collect_list(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("pts"))
+        .filter(col("t1").isNotNull)
+        .withColumn("t2", array_min(expr("filter(pts, t -> t > t1)")))
+        .filter(col("t2").isNotNull)
+        .withColumn("lat_min", expr("(t2 - t1) div 60000000"))
+      perUser
+        .withColumn("band", expr(
+          """CASE WHEN lat_min < 60        THEN '1_under_1h'
+                  WHEN lat_min < 1440      THEN '2_under_1d'
+                  WHEN lat_min < 10080     THEN '3_under_1w'
+                  ELSE '4_over_1w' END"""))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_users"),
+          min("lat_min").as("min_min"),
+          expr("sum(lat_min) div count(*)").as("avg_min"),
+          max("lat_min").as("max_min"))
+        .orderBy("band")
+    },
+    Some("""
+      WITH pu AS (
+        SELECT user_id,
+               min(epoch_us(ts)) FILTER (event_type = 'view') AS t1,
+               list(epoch_us(ts)) FILTER (event_type = 'purchase') AS pts
+        FROM events GROUP BY user_id),
+      lat AS (
+        SELECT (list_min(list_filter(pts, t -> t > t1)) - t1) // 60000000
+                 AS lat_min
+        FROM pu
+        WHERE t1 IS NOT NULL
+          AND list_min(list_filter(pts, t -> t > t1)) IS NOT NULL),
+      banded AS (
+        SELECT lat_min,
+               CASE WHEN lat_min < 60    THEN '1_under_1h'
+                    WHEN lat_min < 1440  THEN '2_under_1d'
+                    WHEN lat_min < 10080 THEN '3_under_1w'
+                    ELSE '4_over_1w' END AS band
+        FROM lat)
+      SELECT band, count(*) AS n_users,
+             CAST(min(lat_min) AS BIGINT) AS min_min,
+             CAST(sum(lat_min) AS BIGINT) // count(*) AS avg_min,
+             CAST(max(lat_min) AS BIGINT) AS max_min
+      FROM banded
+      GROUP BY band
+      ORDER BY band"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
-    q150, q154, q157, q159, q163, q167, q169, q175, q176, q177)
+    q150, q154, q157, q159, q163, q167, q169, q175, q176, q177, q179)
 }

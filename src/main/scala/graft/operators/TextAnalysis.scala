@@ -2549,8 +2549,145 @@ object TextAnalysis {
       GROUP BY g.seed_rank, g.seed
       ORDER BY g.seed_rank"""))
 
+  /** Pairwise SOURCE-DIVERGENCE matrix under total-variation distance —
+    * the corpus-mixture diagnostic behind dedup-source weighting and
+    * "is src7 just a mirror of src3" questions: TV(p,q) = ½Σ|pᵢ−qᵢ| over
+    * the two sources' unigram distributions, the ONLY f-divergence that
+    * stays integer-exact (KL/JS need logs). Shared-vocabulary algebra
+    * removes the full-outer join the naive form wants: for tokens in one
+    * source only, Σpᵢ = 1 − Σ_shared pᵢ, so TV derives entirely from the
+    * INNER join — |n_a·N_b − n_b·N_a| sums plus two complement terms,
+    * all BIGINT (numerators peak at 2·N_a·N_b ≈ 5e9 at sf0.1, ·10⁴ ≪
+    * 2⁶³), bp via integral division. Scale shape: ONE documents scan to
+    * the (source, token) count frame (the corpus-sized step, pinned);
+    * totals broadcast back; the pair join runs on the vocab-sized count
+    * frame and fans out S−1 ways per token — quadratic in SOURCE COUNT
+    * (a report cardinality, 20 here), never in corpus size. */
+  val t46 = GraftQuery(
+    "t46_source_divergence_matrix",
+    "Pairwise total-variation distance between sources' unigram distributions, in bp",
+    (s, dir) => {
+      val cnt = table(s, dir, "documents")
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("source", "token")
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val tot = cnt.groupBy("source").agg(sum("n").as("nt"))
+      val sided = cnt.join(broadcast(tot), "source")
+      val a = sided.select(col("source").as("src_a"), col("token"),
+        col("n").as("na"), col("nt").as("na_tot"))
+      val b = sided.select(col("source").as("src_b"), col("token"),
+        col("n").as("nb"), col("nt").as("nb_tot"))
+      a.join(b, Seq("token"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b", "na_tot", "nb_tot")
+        .agg(count(lit(1)).as("n_shared"),
+          sum(abs(expr("na * nb_tot - nb * na_tot"))).as("diff"),
+          sum(expr("na * nb_tot")).as("pa_num"),
+          sum(expr("nb * na_tot")).as("pb_num"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          expr("""(diff + (na_tot * nb_tot - pa_num)
+                        + (na_tot * nb_tot - pb_num)) * 10000
+                  div (2 * na_tot * nb_tot)""").as("tv_bp"))
+        .orderBy("src_a", "src_b")
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT source, token, count(*) AS n
+        FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(token)
+        WHERE token <> ''
+        GROUP BY 1, 2),
+      tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt
+              FROM cnt GROUP BY 1),
+      sided AS (
+        SELECT c.source, c.token, CAST(c.n AS BIGINT) AS n, tot.nt
+        FROM cnt c JOIN tot USING (source))
+      SELECT a.source AS src_a, b.source AS src_b,
+             count(*) AS n_shared,
+             CAST((sum(abs(a.n * b.nt - b.n * a.nt))
+                   + (a.nt * b.nt - sum(a.n * b.nt))
+                   + (a.nt * b.nt - sum(b.n * a.nt))) * 10000
+                  // (2 * a.nt * b.nt) AS BIGINT) AS tv_bp
+      FROM sided a JOIN sided b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source, a.nt, b.nt
+      ORDER BY src_a, src_b"""))
+
+  /** READABILITY scoring — integer-exact Flesch reading ease, the
+    * quality-pipeline feature that separates encyclopedic prose from
+    * keyword-stuffed spam at a glance: 206.835 − 1.015·(words/sentence)
+    * − 84.6·(syllables/word), computed in milli-points with floor'd
+    * integral ratios at each step so both engines walk the identical
+    * integer sequence (no float in the pipeline; negative finals allowed
+    * — subtraction of non-negative terms is exact either way).
+    * Sentences count [.!?]+ runs (min 1); syllables approximate as
+    * [aeiouy]+ vowel groups — the standard heuristic, same regex both
+    * engines. Scale shape: the per-doc score is a row-local projection
+    * (three regexp_extract_all counts — embarrassingly parallel, no
+    * shuffle); the report rolls up to (lang × difficulty band) with an
+    * integer mean, so the only exchange is the tiny band rollup. */
+  val t47 = GraftQuery(
+    "t47_readability_flesch",
+    "Integer-exact Flesch reading ease per doc, banded per (lang, difficulty)",
+    (s, dir) => {
+      val scored = table(s, dir, "documents")
+        .withColumn("w", size(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))).cast("long"))
+        .withColumn("sents", greatest(
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .cast("long"), lit(1L)))
+        .withColumn("syll", size(regexp_extract_all(lower(col("text")),
+          lit("[aeiouy]+"), lit(0))).cast("long"))
+        .filter(col("w") > 0)
+        .withColumn("score_milli", expr(
+          """206835 - 1015 * ((w * 1000) div sents) div 1000
+                    - 84600 * ((syll * 1000) div w) div 1000"""))
+        .withColumn("band", expr(
+          """CASE WHEN score_milli >= 90000 THEN '1_very_easy'
+                  WHEN score_milli >= 60000 THEN '2_standard'
+                  WHEN score_milli >= 30000 THEN '3_difficult'
+                  ELSE '4_very_difficult' END"""))
+      scored.groupBy("lang", "band")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(score_milli) div count(*)").as("avg_score_milli"),
+          min("score_milli").as("min_score_milli"),
+          max("score_milli").as("max_score_milli"))
+        .orderBy("lang", "band")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT lang,
+               206835
+                 - 1015 * ((w * 1000) // sents) // 1000
+                 - 84600 * ((syll * 1000) // w) // 1000 AS score_milli
+        FROM (
+          SELECT lang,
+                 CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS BIGINT) AS w,
+                 greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                   AS BIGINT), 1) AS sents,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS BIGINT) AS syll
+          FROM documents)
+        WHERE w > 0),
+      banded AS (
+        SELECT lang, score_milli,
+               CASE WHEN score_milli >= 90000 THEN '1_very_easy'
+                    WHEN score_milli >= 60000 THEN '2_standard'
+                    WHEN score_milli >= 30000 THEN '3_difficult'
+                    ELSE '4_very_difficult' END AS band
+        FROM scored)
+      SELECT lang, band, count(*) AS n_docs,
+             CAST(sum(score_milli) AS BIGINT) // count(*) AS avg_score_milli,
+             CAST(min(score_milli) AS BIGINT) AS min_score_milli,
+             CAST(max(score_milli) AS BIGINT) AS max_score_milli
+      FROM banded
+      GROUP BY lang, band
+      ORDER BY lang, band"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-    t42, t43, t44, t45)
+    t42, t43, t44, t45, t46, t47)
 }

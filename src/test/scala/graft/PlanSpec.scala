@@ -1023,6 +1023,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("t46: the TV matrix pairs on the pinned count frame — one documents scan, equi-join only") {
+    val p = plan(operators.TextAnalysis.t46.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("documents.parquet"))
+    assert(scans == 0, s"$scans documents re-scans past the pinned count frame\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"pinned count frame missing from the plan\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"source pairing must ride the token equi-join\n$p")
+  }
+
+  test("t47: readability is row-local — no Generate, only the band-rollup exchange") {
+    val p = plan(operators.TextAnalysis.t47.build(spark, sfDir))
+    assert(!p.contains("Generate"),
+      s"corpus exploded where row-local regexp counts suffice\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx <= 1, s"$hashEx hash exchanges; expected only the band rollup\n$p")
+  }
+
+  test("q179: conversion latency is a single events pass — no join, no second scan") {
+    val p = plan(operators.EventWindows.q179.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("events.parquet"))
+    assert(scans == 1, s"expected exactly one events scan, got $scans\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"the q70-style self-join crept back in\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
