@@ -1745,7 +1745,89 @@ object EventWindows {
       GROUP BY band
       ORDER BY band"""))
 
+  /** OLS TREND of the daily-revenue series — the closed-form least-squares
+    * line every forecast and capacity plan starts from, done integer-exact:
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) and the matching intercept
+    * (Σx²Σy − ΣxΣxy)/den, emitted in MILLI-dollars via sign-split integral
+    * division (q130 rule); R² = cov²·10⁴ / (varx·vary) in bp. The series
+    * is daily DOLLARS (cents div 100 after the rollup — the coarsening
+    * keeps cov² ≈ 1e30 safely inside DECIMAL(38,0) where a cents series
+    * squared-covariance would brush the 10³⁸ precision wall), x is the
+    * day index from the first day. Scale shape: ONE orders scan to the
+    * pinned |days| rollup; the five regression sums are a single
+    * aggregate over that tiny frame and the closed form is a 1-row
+    * projection — nothing about the fit touches the fact twice. */
+  val q180 = GraftQuery(
+    "q180_revenue_trend_ols",
+    "Closed-form OLS trend of daily revenue: slope/intercept in milli-dollars, R2 in bp",
+    (s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .localCheckpoint(true)
+      val first = daily.agg(min("d").as("d0"))
+      val xy = daily.crossJoin(broadcast(first))
+        .select(datediff(col("d"), col("d0")).cast("long").as("x"),
+          expr("cents div 100").as("y"))
+      val sums = xy.agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")).as("syy"))
+      sums.select(col("n"),
+        expr("""CASE WHEN n * sxy - sx * sy >= 0
+                  THEN CAST((n * sxy - sx * sy) * 1000
+                            div (n * sxx - sx * sx) AS BIGINT)
+                  ELSE -CAST((sx * sy - n * sxy) * 1000
+                             div (n * sxx - sx * sx) AS BIGINT) END""")
+          .as("slope_milli"),
+        expr("""CASE WHEN sxx * sy - sx * sxy >= 0
+                  THEN CAST((sxx * sy - sx * sxy) * 1000
+                            div (n * sxx - sx * sx) div n AS BIGINT)
+                  ELSE -CAST((sx * sxy - sxx * sy) * 1000
+                             div (n * sxx - sx * sx) div n AS BIGINT) END""")
+          .as("intercept_milli"),
+        expr("""CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 10000
+                     div ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                AS BIGINT)""").as("r2_bp"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1),
+      xy AS (
+        SELECT CAST(d - (SELECT min(d) FROM daily) AS BIGINT) AS x,
+               cents // 100 AS y
+        FROM daily),
+      sums AS (
+        SELECT count(*) AS n,
+               sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+               sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+               sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        FROM xy)
+      SELECT n,
+             CASE WHEN n * sxy - sx * sy >= 0
+               THEN CAST((n * sxy - sx * sy) * 1000
+                         // (n * sxx - sx * sx) AS BIGINT)
+               ELSE -CAST((sx * sy - n * sxy) * 1000
+                          // (n * sxx - sx * sx) AS BIGINT) END AS slope_milli,
+             CASE WHEN sxx * sy - sx * sxy >= 0
+               THEN CAST((sxx * sy - sx * sxy) * 1000
+                         // (n * sxx - sx * sx) // n AS BIGINT)
+               ELSE -CAST((sx * sxy - sxx * sy) * 1000
+                          // (n * sxx - sx * sx) // n AS BIGINT)
+               END AS intercept_milli,
+             CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 10000
+                  // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                  AS BIGINT) AS r2_bp
+      FROM sums"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
-    q150, q154, q157, q159, q163, q167, q169, q175, q176, q177, q179)
+    q150, q154, q157, q159, q163, q167, q169, q175, q176, q177, q179,
+    q180)
 }

@@ -1944,7 +1944,99 @@ object StreamingOps {
       FROM keep
       ORDER BY user_id, ts_us, event_id"""))
 
+  case class StAbandon(user_id: Long, click_us: Long, event_id: Long)
+  case class St28State(pending: Seq[(Long, Long)], purchases: Seq[Long])
+
+  /** ABANDONED-CART detection — the canonical event-time-TIMEOUT workload
+    * (st27's clock suppresses; this one must fire on the ABSENCE of an
+    * event): each click is abandoned iff no purchase by the same user
+    * lands in (click, click+2h]. The streaming form can only emit a
+    * verdict once the WATERMARK proves no qualifying purchase can still
+    * arrive, so abandonments flow from EventTimeTimeout callbacks — the
+    * state holds the user's pending clicks plus a short purchase memory
+    * (purchases can precede their click across unordered batches; with
+    * TTL ≥ the 1 h watermark delay, pruning memory at watermark−TTL is
+    * provably lossless), and the sentinel-flushed replay drains every
+    * pending click at end of stream. Per-user state is O(open carts +
+    * recent purchases) — watermark-bounded, never corpus-bounded. The
+    * emitted set must equal the batch NOT-EXISTS anti-join exactly —
+    * same DuckDB oracle, hash-checked. */
+  val st28 = GraftQuery(
+    "st28_stream_abandoned_cart",
+    "Event-time-timeout abandoned carts: clicks with no purchase within 2h == batch anti-join",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+      val ttlUs = 7200L * 1000000L
+      def us(t: java.sql.Timestamp): Long =
+        t.getTime * 1000 + (t.getNanos / 1000) % 1000
+      def track(user: Long,
+          input: Iterator[(Long, java.sql.Timestamp, String, Long)],
+          state: GroupState[St28State]): Iterator[StAbandon] = {
+        val cur = state.getOption.getOrElse(St28State(Seq.empty, Seq.empty))
+        var pending = cur.pending
+        var purch = cur.purchases
+        val out = scala.collection.mutable.ArrayBuffer.empty[StAbandon]
+        if (!state.hasTimedOut) {
+          // fold the batch in event-time order; purchases clear any open
+          // click they satisfy, clicks convert instantly against the
+          // purchase memory (unordered delivery may show the purchase
+          // first)
+          val evs = input.toSeq
+            .map(e => (us(e._2), e._3, e._4)).sortBy(t => (t._1, t._3))
+          evs.foreach {
+            case (t, "click", eid) =>
+              if (!purch.exists(p => p > t && p <= t + ttlUs))
+                pending :+= ((t, eid))
+            case (t, "purchase", _) =>
+              purch :+= t
+              pending = pending.filterNot(c => t > c._1 && t <= c._1 + ttlUs)
+            case _ => () // sentinel rows only advance the watermark
+          }
+        }
+        val wmUs = state.getCurrentWatermarkMs() * 1000
+        val (expired, live) = pending.partition(c => c._1 + ttlUs < wmUs)
+        expired.foreach(c => out += StAbandon(user, c._1, c._2))
+        pending = live
+        purch = purch.filter(p => p + ttlUs >= wmUs)
+        if (pending.isEmpty && purch.isEmpty) state.remove()
+        else {
+          state.update(St28State(pending, purch))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              pending.map(_._1 + ttlUs).min / 1000 + 1,
+              state.getCurrentWatermarkMs() + 1))
+        }
+        out.iterator
+      }
+      replay(s, "events5sent", dir,
+        src => src
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+          .as[(Long, java.sql.Timestamp, String, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            org.apache.spark.sql.streaming.OutputMode.Append(),
+            GroupStateTimeout.EventTimeTimeout())(track)
+          .toDF(),
+        OutputMode.Append())
+        .filter(col("user_id") >= 0)
+        .select("user_id", "click_us", "event_id")
+        .orderBy("user_id", "click_us", "event_id")
+    },
+    Some("""
+      SELECT e.user_id, epoch_us(e.ts) AS click_us, e.event_id
+      FROM events e
+      WHERE e.event_type = 'click'
+        AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+            AND epoch_us(p.ts) > epoch_us(e.ts)
+            AND epoch_us(p.ts) <= epoch_us(e.ts)
+                + CAST(7200 AS BIGINT) * 1000000)
+      ORDER BY user_id, click_us, event_id"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25, st26, st27)
+    st22, st23, st24, st25, st26, st27, st28)
 }

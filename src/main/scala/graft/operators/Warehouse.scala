@@ -2557,8 +2557,91 @@ object Warehouse {
       GROUP BY nationkey
       ORDER BY nationkey"""))
 
+  /** Cross-table MEASURE reconciliation — the audit q81's single-table
+    * constraints can't do: does the order header's o_totalprice equal the
+    * lineitem-derived charge Σ extprice·(1−disc)·(1+tax)? Header-vs-detail
+    * consistency is the first question every finance close and migration
+    * sign-off asks, and on this synthetic data it FAILS informatively —
+    * the report buckets orders into exact / ≤1% / ≤5% / >5% relative
+    * error plus a no-lineitems bucket, with order counts and the absolute
+    * cent drift per bucket. Exactness: the charge is computed in DECIMAL
+    * (14,2 × 4,2 × 4,2 — scale-6 products summed exactly, then rounded
+    * to cents half-up on both engines); relative error in bp by integral
+    * division on cents. Scale shape: ONE lineitem scan pre-aggregates
+    * per order (partial agg before the shuffle), then ONE equi-join to
+    * the header — at 100 TB this is the textbook large-large sort-merge
+    * on the already-reduced detail rollup; the left join keeps
+    * lineitem-less orders, surfacing them as their own bucket instead of
+    * silently dropping them. */
+  val q181 = GraftQuery(
+    "q181_order_total_reconciliation",
+    "Header-vs-detail audit: o_totalprice vs lineitem charge, bucketed relative drift",
+    (s, dir) => {
+      val derived = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr(
+          """CAST(l_extendedprice AS DECIMAL(14,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))
+             * (1 + CAST(l_tax AS DECIMAL(4,2)))""")).as("charge"))
+        .select(col("l_orderkey"),
+          expr("CAST(round(charge * 100) AS BIGINT)").as("derived_cents"))
+      table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("header_cents"))
+        .join(derived, col("o_orderkey") === col("l_orderkey"), "left")
+        .withColumn("drift_cents",
+          abs(coalesce(col("derived_cents"), lit(0L)) - col("header_cents")))
+        .withColumn("rel_bp", expr("drift_cents * 10000 div header_cents"))
+        .withColumn("bucket", expr(
+          """CASE WHEN derived_cents IS NULL THEN '5_no_lineitems'
+                  WHEN drift_cents = 0      THEN '1_exact'
+                  WHEN rel_bp <= 100        THEN '2_within_1pct'
+                  WHEN rel_bp <= 500        THEN '3_within_5pct'
+                  ELSE '4_over_5pct' END"""))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("derived_cents").isNotNull, col("drift_cents"))
+            .otherwise(lit(0L))).as("drift_cents_total"),
+          expr("max(CASE WHEN derived_cents IS NOT NULL THEN rel_bp END)")
+            .as("max_rel_bp"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH derived AS (
+        SELECT l_orderkey,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                              * (1 + CAST(l_tax AS DECIMAL(4,2)))) * 100)
+                 AS BIGINT) AS derived_cents
+        FROM lineitem GROUP BY l_orderkey),
+      audited AS (
+        SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+               d.derived_cents,
+               abs(coalesce(d.derived_cents, 0)
+                   - CAST(round(o.o_totalprice * 100) AS BIGINT)) AS drift_cents
+        FROM orders o LEFT JOIN derived d ON o.o_orderkey = d.l_orderkey),
+      bucketed AS (
+        SELECT *, drift_cents * 10000 // header_cents AS rel_bp,
+               CASE WHEN derived_cents IS NULL THEN '5_no_lineitems'
+                    WHEN drift_cents = 0      THEN '1_exact'
+                    WHEN drift_cents * 10000 // header_cents <= 100
+                      THEN '2_within_1pct'
+                    WHEN drift_cents * 10000 // header_cents <= 500
+                      THEN '3_within_5pct'
+                    ELSE '4_over_5pct' END AS bucket
+        FROM audited)
+      SELECT bucket, count(*) AS n_orders,
+             CAST(sum(CASE WHEN derived_cents IS NOT NULL
+                           THEN drift_cents ELSE 0 END) AS BIGINT)
+               AS drift_cents_total,
+             CAST(max(CASE WHEN derived_cents IS NOT NULL
+                           THEN rel_bp END) AS BIGINT) AS max_rel_bp
+      FROM bucketed
+      GROUP BY bucket
+      ORDER BY bucket"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
-    q162, q164, q165, q168, q172, q173, q178)
+    q162, q164, q165, q168, q172, q173, q178, q181)
 }

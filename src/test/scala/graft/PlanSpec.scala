@@ -1051,6 +1051,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the q70-style self-join crept back in\n$p")
   }
 
+  test("q180: the regression sums read the pinned daily rollup — one orders scan total") {
+    val p = plan(operators.EventWindows.q180.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("orders.parquet"))
+    assert(scans == 0, s"$scans orders re-scans past the pinned rollup\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"pinned daily rollup missing from the plan\n$p")
+  }
+
+  test("q181: the detail side pre-aggregates per order BEFORE joining the header") {
+    val p = plan(operators.Warehouse.q181.build(spark, sfDir))
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("lineitem.parquet"))
+    val oScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("orders.parquet"))
+    assert(liScans == 1 && oScans == 1,
+      s"expected one scan each, got lineitem=$liScans orders=$oScans\n$p")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2,
+      s"per-order charge must partial-aggregate before the shuffle\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
