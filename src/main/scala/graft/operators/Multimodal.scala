@@ -1211,6 +1211,86 @@ object Multimodal {
       FROM cuts
       ORDER BY doc_id"""))
 
+  /** Deterministic AUGMENTATION assignment — the training-data answer to
+    * "what crop/flip did sample X get in epoch E": parameters derive from
+    * md5(doc_id ':' epoch), so any worker, any retry, any re-shard deals
+    * the SAME augmentation without coordination or stored state — the
+    * property that makes augmented epochs reproducible at 1000 executors.
+    * Hex nibbles decode via strpos arithmetic (both engines lack a shared
+    * hex→int cast; the lookup-string form is portable and row-local):
+    * crop_x/crop_y from 4 nibbles mod 193 (224−31 valid offsets),
+    * horizontal flip from one nibble, rotation quadrant from another.
+    * The report aggregates per epoch — counts, flip share, integer mean
+    * offsets, rotation histogram — proving decorrelation across epochs.
+    * Scale shape: the assignment is a pure projection (one md5 per
+    * (sample, epoch), zero shuffles); only the 3-row epoch rollup
+    * exchanges, and a real pipeline would fuse the decode + augment at
+    * this exact seam (m2/m4's mapPartitions codec). */
+  val m19 = GraftQuery(
+    "m19_augmentation_assignment",
+    "Deterministic per-(sample, epoch) crop/flip/rotation from md5, epoch-level audit",
+    (s, dir) => {
+      def nib(i: Int) =
+        s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
+      def quad(i: Int) =
+        s"(((${nib(i)} * 16 + ${nib(i + 1)}) * 16 + ${nib(i + 2)}) * 16 + ${nib(i + 3)})"
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("sequence(0L, 2L)")).as("epoch"))
+        .withColumn("h", md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string"))))
+        .withColumn("crop_x", expr(s"${quad(1)} % 193"))
+        .withColumn("crop_y", expr(s"${quad(5)} % 193"))
+        .withColumn("flip", expr(s"${nib(9)} % 2"))
+        .withColumn("rot", expr(s"${nib(10)} % 4"))
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n"),
+          sum("flip").as("n_flipped"),
+          expr("sum(crop_x) div count(*)").as("avg_crop_x"),
+          expr("sum(crop_y) div count(*)").as("avg_crop_y"),
+          sum(when(col("rot") === 0, 1L).otherwise(0L)).as("n_rot0"),
+          sum(when(col("rot") === 1, 1L).otherwise(0L)).as("n_rot90"),
+          sum(when(col("rot") === 2, 1L).otherwise(0L)).as("n_rot180"),
+          sum(when(col("rot") === 3, 1L).otherwise(0L)).as("n_rot270"))
+        .orderBy("epoch")
+    },
+    Some("""
+      WITH assigned AS (
+        SELECT epoch,
+               (strpos('0123456789abcdef', substring(h, 9, 1)) - 1) % 2
+                 AS flip,
+               (strpos('0123456789abcdef', substring(h, 10, 1)) - 1) % 4
+                 AS rot,
+               ((((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) % 193
+                 AS crop_x,
+               ((((strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substring(h, 7, 1)) - 1)) * 16
+                  + (strpos('0123456789abcdef', substring(h, 8, 1)) - 1)) % 193
+                 AS crop_y
+        FROM (
+          SELECT md5(concat(CAST(doc_id AS VARCHAR), ':',
+                            CAST(epoch AS VARCHAR))) AS h, epoch
+          FROM documents, (SELECT unnest(range(0, 3)) AS epoch)))
+      SELECT epoch, count(*) AS n,
+             CAST(sum(flip) AS BIGINT) AS n_flipped,
+             CAST(sum(crop_x) AS BIGINT) // count(*) AS avg_crop_x,
+             CAST(sum(crop_y) AS BIGINT) // count(*) AS avg_crop_y,
+             CAST(sum(CASE WHEN rot = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rot0,
+             CAST(sum(CASE WHEN rot = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rot90,
+             CAST(sum(CASE WHEN rot = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rot180,
+             CAST(sum(CASE WHEN rot = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rot270
+      FROM assigned
+      GROUP BY epoch
+      ORDER BY epoch"""))
+
   val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11,
-    m12, m13, m14, m15, m16, m17, m18)
+    m12, m13, m14, m15, m16, m17, m18, m19)
 }

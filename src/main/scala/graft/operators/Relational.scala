@@ -2513,9 +2513,62 @@ object Relational {
       FROM dec, gini
       ORDER BY decile"""))
 
+  /** TPC-H Q22 SHAPE — dormant high-value accounts: customers in a fixed
+    * segment set whose balance beats the positive-balance average AND who
+    * have placed no order since 2000 (dormancy, not never-ordered — the
+    * date gate also pushes to the orders scan), rolled up per segment. The shape is the point
+    * (the last classic-query pattern the suite lacked): a scalar subquery
+    * that must evaluate ONCE and broadcast (the average — a naive plan
+    * re-runs it per row), followed by an anti join against the fact.
+    * Plan discipline: the average is a 1-row aggregate cross-joined in
+    * (never a correlated re-scan — q95's decorrelation rule, here by
+    * construction); the NOT EXISTS is a LEFT ANTI with the orders side
+    * reduced to its distinct custkeys BEFORE the join (at 100 TB the
+    * anti join probes a |customers|-sized set, not the raw fact); money
+    * stays integer cents. */
+  val q182 = GraftQuery(
+    "q182_dormant_accounts",
+    "Q22 shape: per-segment count and balance of above-average customers with no orders",
+    (s, dir) => {
+      val cust = table(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      val avgPos = cust.filter(col("bal_cents") > 0)
+        .agg(expr("sum(bal_cents) div count(*)").as("avg_cents"))
+      val buyers = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      cust.crossJoin(broadcast(avgPos))
+        .filter(col("bal_cents") > col("avg_cents"))
+        .join(buyers, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), sum("bal_cents").as("bal_cents_total"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      WITH cust AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')),
+      avgpos AS (
+        SELECT CAST(sum(bal_cents) AS BIGINT) // count(*) AS avg_cents
+        FROM cust WHERE bal_cents > 0)
+      SELECT c_mktsegment, count(*) AS n_cust,
+             CAST(sum(bal_cents) AS BIGINT) AS bal_cents_total
+      FROM cust, avgpos
+      WHERE bal_cents > avg_cents
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = cust.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
-    q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174)
+    q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
+    q182)
 }

@@ -2686,8 +2686,62 @@ object TextAnalysis {
       GROUP BY lang, band
       ORDER BY lang, band"""))
 
+  /** Term BURSTINESS — Church & Gale's variance-to-mean ratio, the
+    * statistic that separates topical words (bursty: absent from most
+    * docs, dense in a few) from function words (Poisson-ish: VMR ≈ 1)
+    * and thus drives stopword discovery (t39) and tf saturation choices
+    * (t11's BM25 k1). Integer-exact via the zero-inclusive identity:
+    * over ALL N docs (zeros included), Σc and Σc² come entirely from the
+    * docs that CONTAIN the term, so VMR = Var/Mean =
+    * (N·Σc² − (Σc)²) / (N·Σc) needs only the (term, doc) count frame
+    * plus the corpus doc count — the zeros are algebra, not rows.
+    * Numerators peak ≈ N·Σc² ≈ 1e10 at sf0.1, ·10⁴ ≪ 2⁶³ — pure BIGINT.
+    * Reported for the top-20 terms by total count (ties by term). Scale
+    * shape: ONE documents scan to the (term, doc) counts, a term rollup,
+    * and a 20-row TakeOrdered — no global sort of the vocabulary. */
+  val t48 = GraftQuery(
+    "t48_term_burstiness",
+    "Church-Gale burstiness (variance-to-mean ratio) of the top-20 terms, in bp",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val perDoc = docs
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token", "doc_id")
+        .agg(count(lit(1)).as("c"))
+      perDoc
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_docs_with"), sum("c").as("sc"),
+          sum(expr("c * c")).as("sc2"))
+        .crossJoin(broadcast(n))
+        .withColumn("vmr_bp", expr(
+          "(n_docs * sc2 - sc * sc) * 10000 div (n_docs * sc)"))
+        .select("token", "n_docs_with", "sc", "vmr_bp")
+        .orderBy(desc("sc"), col("token"))
+        .limit(20)
+    },
+    Some("""
+      WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      perdoc AS (
+        SELECT token, doc_id, count(*) AS c
+        FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(token)
+        WHERE token <> ''
+        GROUP BY 1, 2),
+      per_term AS (
+        SELECT token, count(*) AS n_docs_with,
+               CAST(sum(c) AS BIGINT) AS sc,
+               CAST(sum(c * c) AS BIGINT) AS sc2
+        FROM perdoc GROUP BY token)
+      SELECT token, n_docs_with, sc,
+             (n.n_docs * sc2 - sc * sc) * 10000 // (n.n_docs * sc) AS vmr_bp
+      FROM per_term, n
+      ORDER BY sc DESC, token
+      LIMIT 20"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-    t42, t43, t44, t45, t46, t47)
+    t42, t43, t44, t45, t46, t47, t48)
 }

@@ -1074,6 +1074,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q182: the average broadcasts once, the anti join probes the reduced buyer set, the date gate pushes down") {
+    val p = plan(operators.Relational.q182.build(spark, sfDir))
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the scalar average must broadcast, not cartesian\n$p")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"the dormancy date gate must reach the orders scan\n$p")
+  }
+
+  test("t48: burstiness tops out via TakeOrdered; the N scan is footer-only") {
+    val p = plan(operators.TextAnalysis.t48.build(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as TakeOrderedAndProject\n$p")
+    // two documents scans by design: the token pipeline, plus the corpus
+    // doc-count — which must stay a zero-column footer read, never a
+    // second pass over text
+    val schemas = p.linesIterator
+      .filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(schemas.exists(_.contains("struct<>")),
+      s"the N = count(*) branch must read zero columns\n$p")
+    val textReads = schemas.count(_.contains("text"))
+    assert(textReads == 1, s"text read $textReads times, expected once\n$p")
+  }
+
+  test("m19: the augmentation deal is a pure projection — only the epoch rollup exchanges") {
+    val p = plan(operators.Multimodal.m19.build(spark, sfDir))
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx <= 1, s"$hashEx hash exchanges; expected only the epoch rollup\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
