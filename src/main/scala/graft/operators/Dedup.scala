@@ -1686,6 +1686,77 @@ object Dedup {
       FROM per_lang
       ORDER BY lang"""))
 
+  /** LICENSE PROPAGATION through duplicate clusters — the governance rule
+    * every compliance review imposes on a deduped corpus: a near-dup
+    * cluster is only as permissive as its MOST RESTRICTIVE member (a CC
+    * copy of proprietary text is still proprietary), so each doc's
+    * effective license is the max license rank over its d6 cluster.
+    * Licenses are dealt deterministically from the source id (rank =
+    * src# mod 4: cc0 < cc-by < cc-by-nc < proprietary); the report shows
+    * per source how many docs got RELICENSED by contamination and how
+    * many became outright blocked — the licensing cost of duplication,
+    * per supplier. Scale shape: cluster membership comes from the
+    * persisted d6 label artifact (duplicate-density-sized, broadcast);
+    * the cluster-max and the join back are label-table-sized; the corpus
+    * is touched once for the (doc, source) projection. Bounded to the
+    * d6 ground-truth slice so the oracle can replay the same closure. */
+  val d24 = GraftQuery(
+    "d24_license_propagation",
+    "Cluster-max license resolution: per-source relicensed and blocked doc counts",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("source"),
+          expr("CAST(substring(source, 4) AS BIGINT) % 4").as("own"))
+      val labeled = docs
+        .join(broadcast(clusterLabels(s, dir)), Seq("doc_id"), "left_outer")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val eff = labeled.groupBy("cluster_id").agg(max("own").as("eff"))
+      labeled.join(broadcast(eff), Seq("cluster_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("eff") > col("own"), 1L).otherwise(0L))
+            .as("n_relicensed"),
+          sum(when(col("eff") === 3 && col("own") < 3, 1L).otherwise(0L))
+            .as("n_blocked"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents WHERE doc_id < 300),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      good AS (SELECT doc1, doc2 FROM pairs
+               JOIN sizes na ON na.doc_id = doc1
+               JOIN sizes nb ON nb.doc_id = doc2
+               WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.3),
+      edges AS (SELECT doc1 AS src, doc2 AS dst FROM good
+                UNION ALL SELECT doc2, doc1 FROM good),
+      reach AS (SELECT src AS id, src AS label FROM edges
+                UNION
+                SELECT e.dst AS id, r.label FROM reach r
+                JOIN edges e ON e.src = r.id),
+      lab AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+      docs AS (SELECT d.doc_id, d.source,
+                      CAST(substring(d.source, 4) AS BIGINT) % 4 AS own,
+                      coalesce(l.cluster_id, d.doc_id) AS cluster_id
+               FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+               WHERE d.doc_id < 300),
+      eff AS (SELECT cluster_id, max(own) AS eff FROM docs GROUP BY 1)
+      SELECT d.source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN e.eff > d.own THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_relicensed,
+             CAST(sum(CASE WHEN e.eff = 3 AND d.own < 3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_blocked
+      FROM docs d JOIN eff e USING (cluster_id)
+      GROUP BY d.source
+      ORDER BY d.source"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
-    d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23)
+    d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24)
 }

@@ -1826,8 +1826,71 @@ object EventWindows {
                   AS BIGINT) AS r2_bp
       FROM sums"""))
 
+  /** ROLLING EXACT MEDIAN — the robust twin of q92's rolling z-score:
+    * a mean-based band swings with every outlier it is supposed to
+    * flag; the trailing-7-day MEDIAN band does not. Exactness comes
+    * from smallness: each day's window holds ≤ 7 daily totals, so the
+    * median is element (n+1) div 2 of the sorted window array (lower
+    * median — integer, no interpolation), and deviation lands in
+    * sign-split bp. Scale shape: ONE orders scan to the |days| rollup;
+    * each daily total replicates to the ≤ 7 window-ends it serves (the
+    * q169 explode-to-bins trick — time windows NEVER need a window
+    * function over the fact), the per-wday collect is a ≤ 7-element
+    * array, and everything downstream is |days|-sized. */
+  val q183 = GraftQuery(
+    "q183_rolling_median_band",
+    "Trailing-7-day exact median of daily revenue + sign-split deviation bp per day",
+    (s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .localCheckpoint(true)
+      val lastDay = daily.agg(max("d").as("dmax"))
+      val window7 = daily
+        .withColumn("i", explode(sequence(lit(0), lit(6))))
+        .withColumn("wday", date_add(col("d"), col("i")))
+        .crossJoin(broadcast(lastDay))
+        .filter(col("wday") <= col("dmax"))
+        .groupBy("wday")
+        .agg(sort_array(collect_list("cents")).as("win"))
+        .withColumn("n_win", size(col("win")).cast("long"))
+        .withColumn("median_cents",
+          expr("element_at(win, CAST((n_win + 1) div 2 AS INT))"))
+      daily.join(window7, col("d") === col("wday"))
+        .withColumn("dev_bp", expr(
+          """CASE WHEN cents >= median_cents
+               THEN (cents - median_cents) * 10000 div median_cents
+               ELSE -((median_cents - cents) * 10000 div median_cents) END"""))
+        .select("d", "cents", "n_win", "median_cents", "dev_bp")
+        .orderBy("d")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1),
+      win AS (
+        SELECT CAST(d + CAST(i AS INTEGER) AS DATE) AS wday,
+               list(cents ORDER BY cents) AS w
+        FROM daily, UNNEST(range(0, 7)) t(i)
+        WHERE d + CAST(i AS INTEGER) <= (SELECT max(d) FROM daily)
+        GROUP BY 1),
+      med AS (
+        SELECT wday, CAST(len(w) AS BIGINT) AS n_win,
+               w[CAST((len(w) + 1) // 2 AS INTEGER)] AS median_cents
+        FROM win)
+      SELECT daily.d, daily.cents, med.n_win, med.median_cents,
+             CASE WHEN daily.cents >= med.median_cents
+               THEN (daily.cents - med.median_cents) * 10000
+                    // med.median_cents
+               ELSE -((med.median_cents - daily.cents) * 10000
+                      // med.median_cents) END AS dev_bp
+      FROM daily JOIN med ON daily.d = med.wday
+      ORDER BY daily.d"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
     q150, q154, q157, q159, q163, q167, q169, q175, q176, q177, q179,
-    q180)
+    q180, q183)
 }

@@ -2475,7 +2475,57 @@ object Similarity {
       GROUP BY label
       ORDER BY label"""))
 
+  /** VECTOR-STORE HYGIENE audit — the ingest gate every embedding index
+    * needs before s5/s8/s22 ever see a vector: degenerate embeddings
+    * (all-zero after quantization, ragged dimensions, collapsed norms)
+    * poison centroids and silently zero out cosine scores. Per label:
+    * vector count, zero-vector count, dimension min/max (raggedness
+    * surfaces as min ≠ max), and the squared-norm profile in exact
+    * centi² units — components quantize to integer centi (the s28
+    * discipline) so Σx² is BIGINT and min/avg/max are reproducible
+    * bit-for-bit cross-engine. Scale shape: one embeddings scan, all
+    * per-vector math row-local HOFs, one |labels|-sized rollup — the
+    * audit costs one pass regardless of corpus size. */
+  val s29 = GraftQuery(
+    "s29_vector_hygiene_audit",
+    "Embedding ingest gate: zero vectors, ragged dims, centi-exact norm profile per label",
+    (s, dir) => {
+      table(s, dir, "embeddings")
+        .withColumn("xi",
+          expr("transform(embedding, x -> CAST(round(x * 100) AS BIGINT))"))
+        .withColumn("sumsq",
+          expr("aggregate(transform(xi, x -> x * x), 0L, (a, x) -> a + x)"))
+        .withColumn("dim", size(col("embedding")).cast("long"))
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("sumsq") === 0, 1L).otherwise(0L)).as("n_zero"),
+          min("dim").as("dim_min"), max("dim").as("dim_max"),
+          min("sumsq").as("sumsq_min"),
+          expr("sum(sumsq) div count(*)").as("sumsq_avg"),
+          max("sumsq").as("sumsq_max"))
+        .orderBy("label")
+    },
+    Some("""
+      WITH q AS (
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               list_sum(list_transform(embedding,
+                 x -> CAST(round(x * 100) AS BIGINT)
+                      * CAST(round(x * 100) AS BIGINT))) AS sumsq
+        FROM embeddings)
+      SELECT label, count(*) AS n_vecs,
+             CAST(sum(CASE WHEN sumsq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+             CAST(min(dim) AS BIGINT) AS dim_min,
+             CAST(max(dim) AS BIGINT) AS dim_max,
+             CAST(min(sumsq) AS BIGINT) AS sumsq_min,
+             CAST(sum(sumsq) AS BIGINT) // count(*) AS sumsq_avg,
+             CAST(max(sumsq) AS BIGINT) AS sumsq_max
+      FROM q
+      GROUP BY label
+      ORDER BY label"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
     s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-    s27, s28)
+    s27, s28, s29)
 }

@@ -1105,6 +1105,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q183: the median windows derive from the pinned daily rollup — no orders re-scan, no fact window") {
+    val p = plan(operators.EventWindows.q183.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("orders.parquet"))
+    assert(scans == 0, s"$scans orders re-scans past the pinned rollup\n$p")
+    // match the operator NODE ("Window (12)"), not the word — the pinned
+    // rollup's call-site string contains "EventWindows.scala"
+    assert(!p.linesIterator.exists(_.matches(""".*\bWindow \(\d+\)\s*$""")),
+      s"explode-to-bins replaced by a window op\n$p")
+  }
+
+  test("s29: the hygiene audit is one embeddings pass with row-local HOF math") {
+    val p = plan(operators.Similarity.s29.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("embeddings.parquet"))
+    assert(scans == 1, s"expected one embeddings scan, got $scans\n$p")
+    assert(!p.contains("Generate"),
+      s"vectors exploded where row-local HOFs suffice\n$p")
+  }
+
+  test("d24: license resolution broadcasts the label artifact — the corpus never shuffles") {
+    val p = plan(operators.Dedup.d24.build(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"cluster labels must broadcast onto the corpus slice\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
