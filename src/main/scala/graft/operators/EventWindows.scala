@@ -1889,8 +1889,55 @@ object EventWindows {
       FROM daily JOIN med ON daily.d = med.wday
       ORDER BY daily.d"""))
 
+  /** DYNAMIC pivot — q148 pivots onto an explicit, hard-coded column set;
+    * real BI tools don't know the set and must DISCOVER it first. The
+    * production-correct two-phase shape: phase 1 collects the distinct
+    * pivot values (a bounded DIMENSION pull — 5 event types here; the
+    * same bounded-model-state posture as the ANN centroid pulls, never a
+    * fact collect), phase 2 pivots the daily rollup onto exactly that
+    * sorted list, so the output schema is data-driven yet deterministic.
+    * Spark's pivot with an explicit value list skips the expensive
+    * internal distinct job a blind pivot() would run — discovery happens
+    * ONCE on the rollup, not per pivot. One events scan to the (day,
+    * type) rollup; the pivot is a |days|-row reshape. */
+  val q184 = GraftQuery(
+    "q184_dynamic_pivot",
+    "Two-phase dynamic pivot: discover event types, pivot daily counts onto them",
+    (s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val types = daily.select("event_type").distinct()
+        .orderBy("event_type").collect().map(_.getString(0)).toSeq
+      val wide = daily.groupBy("d")
+        .pivot("event_type", types).sum("n")
+      types.foldLeft(wide)((df, t) =>
+          df.withColumnRenamed(t, s"n_$t")
+            .withColumn(s"n_$t", coalesce(col(s"n_$t"), lit(0L))))
+        .withColumn("n_total",
+          types.map(t => col(s"n_$t")).reduce(_ + _))
+        .orderBy("d")
+    },
+    Some("""
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0)
+               AS BIGINT) AS n_click,
+             CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0)
+               AS BIGINT) AS n_error,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+               AS BIGINT) AS n_purchase,
+             CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0)
+               AS BIGINT) AS n_signup,
+             CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0)
+               AS BIGINT) AS n_view,
+             count(*) AS n_total
+      FROM events
+      GROUP BY 1
+      ORDER BY d"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
     q150, q154, q157, q159, q163, q167, q169, q175, q176, q177, q179,
-    q180, q183)
+    q180, q183, q184)
 }

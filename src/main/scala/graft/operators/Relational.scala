@@ -2565,10 +2565,81 @@ object Relational {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment"""))
 
+  /** EXACT percentile_cont — the interpolating percentile convention
+    * (q153 pinned percentile_disc; SQL surfaces both): at p = q/4 the
+    * value is a + (b−a)·frac/4 where pos = (n−1)·q/4 splits into integer
+    * index and quarter-fraction — and because frac ∈ {0..3}, the
+    * interpolation term in MICRO-cents is (b−a)·250000·frac, exactly
+    * representable: no float touches the pipeline at any quartile.
+    * Scale shape: one lineitem scan into the per-flag rank window (each
+    * group sorts its own rows — the q151 posture, no global sort); the
+    * 9-row quartile spec (flag × q × lo/hi role) broadcasts onto the
+    * ranked frame as an equi-join on (flag, rn) — the ranked fact is
+    * probed, never re-shuffled; the final reshape is 9 rows. */
+  val q185 = GraftQuery(
+    "q185_percentile_cont_exact",
+    "Exact interpolated quartiles (p25/p50/p75) of price cents per returnflag, in micro-cents",
+    (s, dir) => {
+      val wrank = Window.partitionBy("flag").orderBy("c")
+      val ranked = table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+        .withColumn("rn", row_number().over(wrank).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+      // group sizes come from a SECOND, column-pruned scan (l_returnflag
+      // only — footer-cheap) rather than re-running the rank window; the
+      // expensive sorted pass over prices happens exactly once
+      val roles = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("sflag"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("sflag"), col("n"),
+          explode(expr("array(1L, 2L, 3L)")).as("q"))
+        .withColumn("lo", expr("((n - 1) * q) div 4 + 1"))
+        .withColumn("hi", expr("least(lo + 1, n)"))
+        .withColumn("frac", expr("((n - 1) * q) % 4"))
+        .select(col("sflag"), col("q"), col("frac"), explode(expr(
+          """array(struct('a' AS role, lo AS trn),
+                   struct('b' AS role, hi AS trn))""")).as("r"))
+        .select(col("sflag"), col("q"), col("frac"),
+          col("r.role").as("role"), col("r.trn").as("trn"))
+      ranked
+        .join(broadcast(roles),
+          col("flag") === col("sflag") && col("rn") === col("trn"))
+        .groupBy("flag", "q", "frac")
+        .agg(max(when(col("role") === "a", col("c"))).as("a"),
+          max(when(col("role") === "b", col("c"))).as("b"))
+        .select(col("flag"), col("q"),
+          expr("a * 1000000 + (b - a) * 250000 * frac").as("p_micro"))
+        .orderBy("flag", "q")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+               CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY
+                 CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+      spec AS (
+        SELECT flag, n, CAST(q AS BIGINT) AS q,
+               ((n - 1) * q) // 4 + 1 AS lo,
+               least(((n - 1) * q) // 4 + 2, n) AS hi,
+               ((n - 1) * q) % 4 AS frac
+        FROM (SELECT flag, max(n) AS n FROM ranked GROUP BY flag),
+             (SELECT unnest(range(1, 4)) AS q))
+      SELECT s.flag, s.q,
+             CAST(a.c * 1000000 + (b.c - a.c) * 250000 * s.frac AS BIGINT)
+               AS p_micro
+      FROM spec s
+      JOIN ranked a ON a.flag = s.flag AND a.rn = s.lo
+      JOIN ranked b ON b.flag = s.flag AND b.rn = s.hi
+      ORDER BY s.flag, s.q"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
-    q182)
+    q182, q185)
 }

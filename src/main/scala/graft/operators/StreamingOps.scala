@@ -2036,7 +2036,110 @@ object StreamingOps {
                 + CAST(7200 AS BIGINT) * 1000000)
       ORDER BY user_id, click_us, event_id"""))
 
+  /** STREAMING QUANTILE SKETCH — q139's mergeable log-histogram run as a
+    * live windowed aggregate: the stream maintains per (1-day window,
+    * event_type, bucket) counts — a plain Append-mode windowed agg whose
+    * per-key state is the HISTOGRAM CELL, the mergeable-sketch posture
+    * that keeps streaming percentiles O(buckets) instead of O(values) —
+    * and the p50 walk runs batch-side over the emitted cells after the
+    * watermark closes each window. The estimate's error vs the exact
+    * per-window median (batch audit side) lands in bp, same as q139.
+    * Sentinel closes the final day; its group rows filter from output
+    * (st19's contract). At 100 TB the state per window×type is ≤ |cells|
+    * ≈ 50 rows — value-count-independent, which is the whole point. */
+  val st29 = GraftQuery(
+    "st29_stream_quantile_sketch",
+    "Streaming windowed log-histogram cells + batch p50 walk == q139 discipline per day/type",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = replay(s, "events5sent", dir,
+        src => src
+          .withWatermark("ts", "1 hour")
+          .withColumn("c", (dec2(col("value")) * 100).cast("long"))
+          .withColumn("d", length(col("c").cast("string")).cast("long"))
+          .withColumn("f",
+            substring(col("c").cast("string"), 1, 1).cast("long"))
+          .groupBy(window(col("ts"), "1 day"), col("event_type"),
+            col("d"), col("f"))
+          .agg(count(lit(1)).as("cnt")),
+        OutputMode.Append(), noDataBatch = true)
+        .filter(col("event_type") =!= "sentinel")
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("d"), col("f"), col("cnt"))
+      val wcum = Window.partitionBy("window_start", "event_type")
+        .orderBy("d", "f")
+      val est = cells
+        .withColumn("cum", sum(col("cnt")).over(wcum))
+        .withColumn("tot", sum(col("cnt"))
+          .over(Window.partitionBy("window_start", "event_type")))
+        .withColumn("rank", expr("(tot + 1) div 2"))
+        .filter(col("cum") >= col("rank") &&
+          col("cum") - col("cnt") < col("rank"))
+        .withColumn("width", expr(
+          "CAST(concat('1', repeat('0', CAST(d - 1 AS INT))) AS BIGINT)"))
+        .withColumn("est_c", expr(
+          "f * width + (rank - (cum - cnt)) * width div cnt"))
+        .select(col("window_start"), col("event_type"),
+          col("tot").as("n"), col("est_c"))
+      val wrank = Window.partitionBy("window_start", "event_type")
+        .orderBy("c")
+      val exact = events(s, dir)
+        .select(date_trunc("DAY", col("ts")).cast("timestamp_ntz")
+            .as("window_start"),
+          col("event_type"),
+          (dec2(col("value")) * 100).cast("long").as("c"))
+        .withColumn("rn", row_number().over(wrank))
+        .withColumn("tot", count(lit(1))
+          .over(Window.partitionBy("window_start", "event_type")))
+        .filter(col("rn") === expr("(tot + 1) div 2"))
+        .select(col("window_start"), col("event_type"), col("c").as("exact_c"))
+      est.join(exact, Seq("window_start", "event_type"))
+        .withColumn("err_bp", expr("abs(est_c - exact_c) * 10000 div exact_c"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("""
+      WITH cents AS (
+        SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP))
+                 AS window_start,
+               event_type,
+               CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS c
+        FROM events),
+      hist AS (
+        SELECT window_start, event_type,
+               CAST(length(CAST(c AS VARCHAR)) AS BIGINT) AS d,
+               CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS f,
+               count(*) AS cnt
+        FROM cents GROUP BY 1, 2, 3, 4),
+      walk AS (
+        SELECT window_start, event_type, d, f, cnt,
+               sum(cnt) OVER (PARTITION BY window_start, event_type
+                              ORDER BY d, f ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY window_start, event_type) AS tot
+        FROM hist),
+      est AS (
+        SELECT window_start, event_type, CAST(tot AS BIGINT) AS n,
+               f * CAST('1' || repeat('0', CAST(d - 1 AS INTEGER)) AS BIGINT)
+                 + ((tot + 1) // 2 - (cum - cnt))
+                   * CAST('1' || repeat('0', CAST(d - 1 AS INTEGER))
+                          AS BIGINT) // cnt AS est_c
+        FROM walk
+        WHERE cum >= (tot + 1) // 2 AND cum - cnt < (tot + 1) // 2),
+      exact AS (
+        SELECT window_start, event_type, c AS exact_c FROM (
+          SELECT window_start, event_type, c,
+                 row_number() OVER (PARTITION BY window_start, event_type
+                                    ORDER BY c) AS rn,
+                 count(*) OVER (PARTITION BY window_start, event_type) AS tot
+          FROM cents)
+        WHERE rn = (tot + 1) // 2)
+      SELECT e.window_start, e.event_type, e.n,
+             CAST(e.est_c AS BIGINT) AS est_c, x.exact_c,
+             CAST(abs(e.est_c - x.exact_c) * 10000 // x.exact_c AS BIGINT)
+               AS err_bp
+      FROM est e JOIN exact x USING (window_start, event_type)
+      ORDER BY window_start, event_type"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25, st26, st27, st28)
+    st22, st23, st24, st25, st26, st27, st28, st29)
 }

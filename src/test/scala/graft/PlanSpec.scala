@@ -1132,6 +1132,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q184: discovery and pivot both read the pinned daily rollup — no events re-scan") {
+    val p = plan(operators.EventWindows.q184.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("events.parquet"))
+    assert(scans == 0, s"$scans events re-scans past the pinned rollup\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"pinned rollup missing from the plan\n$p")
+  }
+
+  test("q185: the role spec broadcasts onto the ranked frame — one sorted price pass, pruned count branch") {
+    val p = plan(operators.Relational.q185.build(spark, sfDir))
+    // two scans by design: the sorted price pass, plus the group-size
+    // count — which must stay pruned to l_returnflag alone
+    val schemas = p.linesIterator
+      .filter(_.trim.startsWith("ReadSchema")).toSeq
+    val priceReads = schemas.count(_.contains("l_extendedprice"))
+    assert(priceReads == 1,
+      s"prices read $priceReads times; the rank window must run once\n$p")
+    assert(schemas.exists(sch =>
+        sch.contains("l_returnflag") && !sch.contains("l_extendedprice")),
+      s"the group-size branch must prune to l_returnflag\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the quartile role spec must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
