@@ -1757,6 +1757,84 @@ object Dedup {
       GROUP BY d.source
       ORDER BY d.source"""))
 
+  /** DEDUP-THRESHOLD sensitivity sweep — the "how aggressive should dedup
+    * be" curve a corpus owner reads before committing a τ: for each
+    * Jaccard threshold on a bp grid (0.20 → 0.80), how many pairs
+    * qualify, how many documents get entangled in ANY pair, and how
+    * similar the qualifying pairs actually are (mean Jaccard bp). d22
+    * tunes the LSH to hit a GIVEN τ; this is the step before — choosing
+    * τ from the corpus's own similarity spectrum. Exact pair Jaccard in
+    * integer bp (inter·10⁴ div union — no float), computed ONCE on the
+    * bounded ground-truth slice and swept via a 7-row grid join; the
+    * sweep re-reads the pinned pair frame, never the corpus. The
+    * production path runs the same sweep over d2's LSH candidates
+    * (similarity spectrum of CANDIDATES ≈ spectrum above the lowest
+    * banded τ). */
+  val d25 = GraftQuery(
+    "d25_threshold_sweep",
+    "Jaccard-threshold sensitivity: pairs, entangled docs, mean similarity per tau",
+    (s, dir) => {
+      val sh = table(s, dir, "documents")
+        .filter(col("doc_id") < 1000)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("doc_id").as("doc1"),
+          col("n").as("n1"))), "doc1")
+        .join(broadcast(sizes.select(col("doc_id").as("doc2"),
+          col("n").as("n2"))), "doc2")
+        .withColumn("jac_bp", expr(
+          "inter * 10000 div (n1 + n2 - inter)"))
+        .localCheckpoint(true)
+      val swept = pairs
+        .withColumn("tau_bp", explode(expr(
+          "sequence(2000L, 8000L, 1000L)")))
+        .filter(col("jac_bp") >= col("tau_bp"))
+      val perTau = swept.groupBy("tau_bp")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(jac_bp) div count(*)").as("mean_jac_bp"))
+      val docsPerTau = swept
+        .select(col("tau_bp"), explode(expr("array(doc1, doc2)")).as("doc"))
+        .groupBy("tau_bp")
+        .agg(countDistinct("doc").as("n_docs"))
+      perTau.join(docsPerTau, Seq("tau_bp"))
+        .select("tau_bp", "n_pairs", "n_docs", "mean_jac_bp")
+        .orderBy("tau_bp")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                 FROM documents WHERE doc_id < 1000),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT doc1, doc2,
+               inter * 10000 // (na.n + nb.n - inter) AS jac_bp
+        FROM (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        JOIN sizes na ON na.doc_id = doc1
+        JOIN sizes nb ON nb.doc_id = doc2),
+      swept AS (
+        SELECT CAST(tau_bp AS BIGINT) AS tau_bp, doc1, doc2, jac_bp
+        FROM pairs, (SELECT unnest(range(2000, 8001, 1000)) AS tau_bp)
+        WHERE jac_bp >= tau_bp),
+      pertau AS (
+        SELECT tau_bp, count(*) AS n_pairs,
+               CAST(sum(jac_bp) AS BIGINT) // count(*) AS mean_jac_bp
+        FROM swept GROUP BY tau_bp),
+      docs AS (
+        SELECT tau_bp, count(DISTINCT doc) AS n_docs
+        FROM (SELECT tau_bp, doc1 AS doc FROM swept
+              UNION ALL SELECT tau_bp, doc2 FROM swept)
+        GROUP BY tau_bp)
+      SELECT p.tau_bp, p.n_pairs, d.n_docs, p.mean_jac_bp
+      FROM pertau p JOIN docs d USING (tau_bp)
+      ORDER BY tau_bp"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
-    d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24)
+    d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25)
 }

@@ -2740,8 +2740,104 @@ object TextAnalysis {
       ORDER BY sc DESC, token
       LIMIT 20"""))
 
+  /** BPE-style MERGE INDUCTION — three rounds of the actual byte-pair
+    * encoding training loop, run distributed at word granularity: each
+    * round counts adjacent-token bigrams across the corpus, picks the
+    * most frequent pair (ties → lexicographic), and REWRITES the corpus
+    * by fusing that pair (space → underscore) — exactly the greedy
+    * left-to-right non-overlapping merge both engines' replace()
+    * implements, which is what makes the rounds bit-reproducible
+    * cross-engine. Output per round: the chosen pair, its count at
+    * selection time, and the corpus vocabulary size after the merge
+    * (merges grow vocab by ≤ 1 and shrink token count by the merge
+    * count — Zipf in action). Scale shape: each round is one corpus
+    * pass for bigram counts (partial-agg before the shuffle), a 1-row
+    * top-1 broadcast back, and a row-local rewrite, materialized per
+    * round (the posture real distributed BPE trainers take — production
+    * runs the loop on the aggregated word-frequency table; three rounds
+    * here keep the oracle expressible). */
+  val t49 = GraftQuery(
+    "t49_bpe_merge_induction",
+    "Three BPE merge rounds: top bigram fused per round, corpus vocab tracked",
+    (s, dir) => {
+      def bigrams(df: org.apache.spark.sql.DataFrame) = df
+        .select(explode(expr(
+          """filter(zip_with(ws, slice(ws, 2, size(ws)),
+                             (a, b) -> concat(a, ' ', b)),
+                    p -> NOT p LIKE '% ' AND NOT p LIKE ' %')""")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+      def vocab(df: org.apache.spark.sql.DataFrame) = df
+        .select(explode(col("ws")).as("tok"))
+        .filter(col("tok") =!= "").agg(countDistinct("tok").as("v"))
+      var txt = table(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .withColumn("ws", split(col("t"), " "))
+        .localCheckpoint(true)
+      val recs = (1 to 3).map { r =>
+        val top = bigrams(txt)
+          .orderBy(desc("n"), col("pair")).limit(1)
+          .localCheckpoint(true)
+        txt = txt.crossJoin(broadcast(top))
+          .withColumn("t", expr(
+            "replace(t, pair, replace(pair, ' ', '_'))"))
+          .select(col("doc_id"), col("t"))
+          .withColumn("ws", split(col("t"), " "))
+          .localCheckpoint(true)
+        top.crossJoin(broadcast(vocab(txt)))
+          .select(lit(r.toLong).as("round"), col("pair").as("merged_pair"),
+            col("n").as("n_merges"), col("v").as("vocab_after"))
+      }
+      recs.reduce(_.unionByName(_)).orderBy("round")
+    },
+    Some("""
+      WITH t0 AS (
+        SELECT doc_id, lower(text) AS t FROM documents),
+      b1 AS (
+        SELECT ws[i] || ' ' || ws[i+1] AS pair, count(*) AS n
+        FROM (SELECT string_split(t, ' ') AS ws FROM t0),
+             UNNEST(range(1, len(ws))) AS u(i)
+        WHERE ws[i] <> '' AND ws[i+1] <> ''
+        GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+      t1 AS (
+        SELECT doc_id, replace(t, b1.pair, replace(b1.pair, ' ', '_')) AS t
+        FROM t0, b1),
+      v1 AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM t1, UNNEST(string_split(t, ' ')) AS s(tok) WHERE tok <> ''),
+      b2 AS (
+        SELECT ws[i] || ' ' || ws[i+1] AS pair, count(*) AS n
+        FROM (SELECT string_split(t, ' ') AS ws FROM t1),
+             UNNEST(range(1, len(ws))) AS u(i)
+        WHERE ws[i] <> '' AND ws[i+1] <> ''
+        GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+      t2 AS (
+        SELECT doc_id, replace(t, b2.pair, replace(b2.pair, ' ', '_')) AS t
+        FROM t1, b2),
+      v2 AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM t2, UNNEST(string_split(t, ' ')) AS s(tok) WHERE tok <> ''),
+      b3 AS (
+        SELECT ws[i] || ' ' || ws[i+1] AS pair, count(*) AS n
+        FROM (SELECT string_split(t, ' ') AS ws FROM t2),
+             UNNEST(range(1, len(ws))) AS u(i)
+        WHERE ws[i] <> '' AND ws[i+1] <> ''
+        GROUP BY 1 ORDER BY n DESC, pair LIMIT 1),
+      t3 AS (
+        SELECT doc_id, replace(t, b3.pair, replace(b3.pair, ' ', '_')) AS t
+        FROM t2, b3),
+      v3 AS (
+        SELECT count(DISTINCT tok) AS v
+        FROM t3, UNNEST(string_split(t, ' ')) AS s(tok) WHERE tok <> '')
+      SELECT 1 AS round, b1.pair AS merged_pair, b1.n AS n_merges,
+             CAST(v1.v AS BIGINT) AS vocab_after FROM b1, v1
+      UNION ALL
+      SELECT 2, b2.pair, b2.n, CAST(v2.v AS BIGINT) FROM b2, v2
+      UNION ALL
+      SELECT 3, b3.pair, b3.n, CAST(v3.v AS BIGINT) FROM b3, v3
+      ORDER BY round"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-    t42, t43, t44, t45, t46, t47, t48)
+    t42, t43, t44, t45, t46, t47, t48, t49)
 }

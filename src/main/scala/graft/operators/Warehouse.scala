@@ -2640,8 +2640,40 @@ object Warehouse {
       GROUP BY bucket
       ORDER BY bucket"""))
 
+  /** SURROGATE-KEY COLLISION audit — the birthday-paradox check that
+    * should precede every "we'll just hash the natural key" decision
+    * (q172 dealt full-width md5 surrogates; teams routinely truncate
+    * them to fit an INT column, and at warehouse scale truncation WILL
+    * collide): customers keyed by a 12-bit truncation of md5(c_name),
+    * reported as the collision SPECTRUM — for each bucket size k, how
+    * many key values and customers land in k-way collisions. k ≥ 2 rows
+    * are silent row-merges waiting to corrupt a join. The spectrum shape
+    * vs the 4096-slot space makes the birthday math tangible at every
+    * fixture scale. One customer scan, one 4096-key rollup, one
+    * spectrum rollup — audit cost is a single pass. */
+  val q186 = GraftQuery(
+    "q186_key_collision_audit",
+    "Birthday audit of truncated hash surrogates: collision spectrum over 12-bit keys",
+    (s, dir) => {
+      table(s, dir, "customer")
+        .select(expr("substring(md5(c_name), 1, 3)").as("key12"))
+        .groupBy("key12")
+        .agg(count(lit(1)).as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_keys"),
+          sum("k").as("n_custs"))
+        .orderBy("k")
+    },
+    Some("""
+      SELECT k, count(*) AS n_keys, CAST(sum(k) AS BIGINT) AS n_custs
+      FROM (
+        SELECT substring(md5(c_name), 1, 3) AS key12, count(*) AS k
+        FROM customer GROUP BY 1)
+      GROUP BY k
+      ORDER BY k"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
-    q162, q164, q165, q168, q172, q173, q178, q181)
+    q162, q164, q165, q168, q172, q173, q178, q181, q186)
 }

@@ -1158,6 +1158,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("d25: the tau sweep re-reads the pinned pair spectrum — no corpus re-scan") {
+    val p = plan(operators.Dedup.d25.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("documents.parquet"))
+    assert(scans == 0, s"$scans documents re-scans past the pinned pairs\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"pinned pair frame missing from the plan\n$p")
+  }
+
+  test("t49: each BPE round is checkpoint-materialized — the final plan reads pins, not the corpus") {
+    val p = plan(operators.TextAnalysis.t49.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("documents.parquet"))
+    assert(scans == 0, s"$scans documents re-scans past the round pins\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"round pins missing from the plan\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
