@@ -510,6 +510,52 @@ object Sources {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** DYNAMIC PARTITION PRUNING end to end — the runtime half of the
+    * pruning story (q55 pins static predicate pushdown; partition
+    * pruning from a JOIN can't be static because the qualifying keys
+    * only exist after the dim filter runs): the fact spools out
+    * partitioned by order month, the month dimension (a tiny derived
+    * calendar) filters to one year, and Spark's DPP injects the dim's
+    * surviving keys into the fact scan as a runtime partition filter —
+    * at 100 TB this is the difference between scanning 12 months and
+    * scanning 80. PlanSpec pins the `dynamicpruning` expression ON the
+    * fact scan; the result (revenue per qualifying month) hash-matches
+    * the oracle computed from the unpartitioned source table. The spool
+    * rewrites per run (q123's posture), so no cross-sf staleness. */
+  val q187 = GraftQuery(
+    "q187_dynamic_partition_pruning",
+    "Partitioned fact + filtered month dim: DPP prunes fact partitions at runtime",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val spool = spoolDir("q187_dpp")
+      table(s, dir, "orders")
+        .withColumn("m", date_format(col("o_orderdate"), "yyyy-MM"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("m"))
+        .coalesce(4).write.mode("overwrite").partitionBy("m").parquet(spool)
+      val fact = s.read.parquet(spool)
+      val dim = s.range(0, 80)
+        .select(date_format(
+          add_months(lit("1995-01-01").cast("date"), col("id").cast("int")),
+          "yyyy-MM").as("m"))
+        .withColumn("yr", substring(col("m"), 1, 4))
+        .filter(col("yr") === "1997")
+      fact.join(broadcast(dim), Seq("m"))
+        .groupBy("m")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+        .orderBy("m")
+    },
+    Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS m,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m') LIKE '1997-%'
+      GROUP BY 1
+      ORDER BY m"""))
+
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
-    q123, q128, q129, q143)
+    q123, q128, q129, q143, q187)
 }

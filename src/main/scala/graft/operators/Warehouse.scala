@@ -2672,8 +2672,53 @@ object Warehouse {
       GROUP BY k
       ORDER BY k"""))
 
+  /** MASKED-VIEW parity audit — the row/column-level-security check a
+    * warehouse runs before handing a masked dataset to a lower-trust
+    * role: the analyst view replaces c_name with a deterministic md5
+    * token, and the audit proves the mask is ANALYTICALLY LOSSLESS —
+    * tokenization preserves key cardinality (distinct tokens == distinct
+    * names, no collision merged two customers) and preserves join
+    * behavior (orders joined through the masked key == through the raw
+    * key). Both roles' stats compute from ONE enriched pass — the role
+    * axis is a projection, not a second pipeline — and the fact join is
+    * the same broadcast dim join either way. Deterministic tokens (md5,
+    * not salted-random) are what make the audit reproducible; production
+    * adds a per-tenant salt, same algebra. */
+  val q188 = GraftQuery(
+    "q188_masked_view_parity",
+    "Column-masking audit: token cardinality and join parity, analyst vs auditor view",
+    (s, dir) => {
+      val cust = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          md5(col("c_name").cast("binary")).as("token"))
+      val joined = table(s, dir, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      joined.select(
+          explode(expr(
+            """array(struct('1_auditor' AS role, c_name AS k),
+                     struct('2_analyst' AS role, token  AS k))""")).as("e"))
+        .select(col("e.role").as("role"), col("e.k").as("k"))
+        .groupBy("role")
+        .agg(count(lit(1)).as("n_order_rows"),
+          countDistinct("k").as("n_distinct_keys"))
+        .orderBy("role")
+    },
+    Some("""
+      WITH joined AS (
+        SELECT c.c_name, md5(c.c_name) AS token
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      sides AS (
+        SELECT '1_auditor' AS role, c_name AS k FROM joined
+        UNION ALL
+        SELECT '2_analyst', token FROM joined)
+      SELECT role, count(*) AS n_order_rows,
+             count(DISTINCT k) AS n_distinct_keys
+      FROM sides
+      GROUP BY role
+      ORDER BY role"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
-    q162, q164, q165, q168, q172, q173, q178, q181, q186)
+    q162, q164, q165, q168, q172, q173, q178, q181, q186, q188)
 }

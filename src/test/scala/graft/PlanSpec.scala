@@ -1176,6 +1176,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"round pins missing from the plan\n$p")
   }
 
+  test("q187: the fact scan carries a runtime dynamicpruning partition filter from the dim") {
+    val p = plan(operators.Sources.q187.build(spark, sfDir))
+    assert(p.contains("dynamicpruning"),
+      s"DPP did not inject the dim keys into the fact scan\n$p")
+    assert(p.contains("PartitionFilters"),
+      s"fact scan shows no partition filters at all\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q188: both roles' stats derive from one enriched pass with a broadcast dim join") {
+    val p = plan(operators.Warehouse.q188.build(spark, sfDir))
+    val oScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("orders.parquet"))
+    assert(oScans == 1, s"expected one orders scan, got $oScans\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
