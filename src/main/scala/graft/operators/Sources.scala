@@ -556,6 +556,91 @@ object Sources {
       GROUP BY 1
       ORDER BY m"""))
 
+  private val occSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** OPTIMISTIC CONCURRENCY on the DSv2 snapshot store — the
+    * Iceberg/Delta commit-conflict contract q143's round trip left
+    * unexercised: every writer runs the read-modify-write loop (read the
+    * current snapshot, apply its delta, commit pinned to the base
+    * VERSION it read), and a commit whose base moved is REJECTED at the
+    * single publish point — task work is never gated (that is
+    * optimism's bet), only the reference swap is. The entry replays the
+    * canonical interleaving: A seeds v1; B upserts v1→v2; C attempts
+    * its own upsert still pinned to v1 and is rejected with the
+    * committed snapshot untouched; C re-reads at v2 and lands v3. The
+    * audit records each attempt's outcome, the store version, and the
+    * rows visible to readers after it — proving rejected commits leak
+    * nothing. Each run uses a fresh table id, so version numbers are
+    * deterministic. Reference hook: gluettalax.py's partition lifecycle
+    * (A12/A13) is this contract at catalog granularity. */
+  val q189 = GraftQuery(
+    "q189_optimistic_concurrency",
+    "DSv2 commit conflict: read-modify-write upserts, stale base rejected, retry lands",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.MemTable
+      val key = s"q189_${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val fmt = "graft.sources.MemTable"
+      def slice(t: String) = events(s, dir)
+        .filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          expr("CAST(user_id % 4 AS STRING)").as("bucket"))
+      def write(df: org.apache.spark.sql.DataFrame, expected: Option[Long]): Unit = {
+        val w = df.write.format(fmt)
+          .option("runId", key).option("partitionCol", "bucket")
+        expected.fold(w)(v => w.option("expectedVersion", v.toString))
+          .mode("append").save()
+      }
+      def readBack() = s.read.format(fmt)
+        .option("runId", key).option("partitionCol", "bucket").load()
+      def version() = MemTable.store.get(key).map(_.version).getOrElse(0L)
+      val audit = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long, Long)]
+      // A seeds the table
+      write(slice("click"), None)
+      audit += ((1L, "A_base", "committed", version(), readBack().count()))
+      // B: read-modify-write pinned to the version it read
+      val vB = version()
+      write(readBack().unionByName(slice("purchase")), Some(vB))
+      audit += ((2L, "B_rmw", "committed", version(), readBack().count()))
+      // C: same loop, but pinned to the now-stale base version
+      val outcome =
+        try { write(readBack().unionByName(slice("signup")), Some(vB)); "committed" }
+        catch {
+          case e: Throwable =>
+            val conflict = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .exists(_.isInstanceOf[MemTable.CommitConflictException])
+            if (conflict) "conflict" else throw e
+        }
+      audit += ((3L, "C_stale", outcome, version(), readBack().count()))
+      // C retries against the current version and lands
+      write(readBack().unionByName(slice("signup")), Some(version()))
+      audit += ((4L, "C_retry", "committed", version(), readBack().count()))
+      import s.implicits._
+      audit.toSeq
+        .toDF("step", "writer", "outcome", "version_after", "n_rows_visible")
+        .orderBy("step")
+    },
+    Some("""
+      WITH c AS (
+        SELECT count(*) FILTER (event_type = 'click') AS nc,
+               count(*) FILTER (event_type = 'purchase') AS np,
+               count(*) FILTER (event_type = 'signup') AS ns
+        FROM events)
+      SELECT step, writer, outcome, version_after, n_rows_visible
+      FROM c, (
+        SELECT 1 AS ord FROM range(1)) dummy,
+        LATERAL (
+          SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), 'A_base',  'committed', CAST(1 AS BIGINT),
+             c.nc),
+            (2, 'B_rmw',   'committed', 2, c.nc + c.np),
+            (3, 'C_stale', 'conflict',  2, c.nc + c.np),
+            (4, 'C_retry', 'committed', 3, c.nc + c.np + c.ns))
+            v(step, writer, outcome, version_after, n_rows_visible))
+      ORDER BY step"""))
+
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
-    q123, q128, q129, q143, q187)
+    q123, q128, q129, q143, q187, q189)
 }

@@ -56,10 +56,18 @@ object MemTable {
   /** A committed snapshot: schema + rows grouped by partition value.
     * Values are plain JVM types (Long / String) so partitions serialize
     * to tasks without catalyst internals. */
-  case class Snapshot(schema: StructType, parts: Map[String, Vector[Array[Any]]])
+  case class Snapshot(schema: StructType, parts: Map[String, Vector[Array[Any]]],
+      version: Long = 1L)
 
   /** Committed state per runId — swapped ONLY by BatchWrite.commit. */
   val store = new scala.collection.concurrent.TrieMap[String, Snapshot]
+
+  /** Optimistic-concurrency rejection: the writer's base snapshot is no
+    * longer current. Thrown from BatchWrite.commit — Spark aborts the
+    * write job and surfaces this as the failure cause; the committed
+    * snapshot is untouched (q189 exercises the contract). */
+  final class CommitConflictException(msg: String)
+      extends RuntimeException(msg)
 }
 
 private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: String)
@@ -77,9 +85,13 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val writeSchema = info.schema()
     val pc = Option(info.options.get("partitionCol")).getOrElse(partCol)
+    // optimistic concurrency (q189): a writer may pin the snapshot
+    // version it based its work on; commit rejects if it moved
+    val expected = Option(info.options.get("expectedVersion")).map(_.toLong)
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new MemBatchWrite(runId, writeSchema, pc)
+        override def toBatch: BatchWrite =
+          new MemBatchWrite(runId, writeSchema, pc, expected)
       }
     }
   }
@@ -88,7 +100,8 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
 private[sources] case class MemPartMessage(parts: Map[String, Vector[Array[Any]]])
     extends WriterCommitMessage
 
-private[sources] class MemBatchWrite(runId: String, schema: StructType, partCol: String)
+private[sources] class MemBatchWrite(runId: String, schema: StructType,
+    partCol: String, expectedVersion: Option[Long] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(schema, partCol)
@@ -100,7 +113,20 @@ private[sources] class MemBatchWrite(runId: String, schema: StructType, partCol:
         a.updated(k, a.getOrElse(k, Vector.empty) ++ rs)
       }
     }
-    MemTable.store.put(runId, MemTable.Snapshot(schema, merged))
+    // single-point conflict check + swap: the task work is already done
+    // (that is optimistic concurrency's bet); only the publish is gated.
+    // Commit REPLACES the snapshot (latest-commit-wins, as before) — a
+    // read-modify-write upsert is the WRITER's loop (q189), with the
+    // version pin detecting a concurrent commit under its feet.
+    MemTable.store.synchronized {
+      val curVer = MemTable.store.get(runId).map(_.version).getOrElse(0L)
+      expectedVersion.foreach { exp =>
+        if (curVer != exp)
+          throw new MemTable.CommitConflictException(
+            s"MemTable '$runId': base version $exp is stale (current $curVer)")
+      }
+      MemTable.store.put(runId, MemTable.Snapshot(schema, merged, curVer + 1))
+    }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

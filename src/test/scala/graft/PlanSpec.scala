@@ -1194,6 +1194,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q189 connector: a stale expectedVersion is rejected at commit and the snapshot is untouched") {
+    import graft.sources.MemTable
+    import spark.implicits._
+    val key = s"plan_spec_occ_${System.nanoTime()}"
+    def write(df: org.apache.spark.sql.DataFrame, exp: Option[Long]): Unit = {
+      val w = df.write.format("graft.sources.MemTable")
+        .option("runId", key).option("partitionCol", "bucket")
+      exp.fold(w)(v => w.option("expectedVersion", v.toString))
+        .mode("append").save()
+    }
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("id", "bucket")
+    write(rows, None)                       // v1
+    write(rows.filter($"id" === 1L), Some(1L)) // v2 — replaces
+    val before = MemTable.store(key)
+    assert(before.version == 2L)
+    val ex = intercept[Exception] {
+      write(rows, Some(1L)) // stale pin: store is at v2
+    }
+    val conflict = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .exists(_.isInstanceOf[MemTable.CommitConflictException])
+    assert(conflict, s"expected CommitConflictException in cause chain, got $ex")
+    // rejected commit leaked nothing: same version, same rows
+    assert(MemTable.store(key).version == 2L)
+    assert(MemTable.store(key).parts == before.parts)
+    write(rows, Some(2L)) // correct pin lands
+    assert(MemTable.store(key).version == 3L)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
