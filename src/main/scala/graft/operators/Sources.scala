@@ -641,6 +641,50 @@ object Sources {
             v(step, writer, outcome, version_after, n_rows_visible))
       ORDER BY step"""))
 
+  /** SQL through a registered V2 CATALOG PLUGIN — the engine-side answer
+    * to the reference's entire domain (gluettalax.py fronts a metastore
+    * with a CLI; [[graft.sources.GraftSparkCatalog]] fronts the same
+    * store through Spark's native TableCatalog API): the table is
+    * CREATED with a `partitionedBy` clause that flows into the
+    * connector's partition layout, populated through the V2 writeTo
+    * path, and then queried with PLAIN SQL and a three-part identifier —
+    * resolution runs catalog → loadTable → scan, and the bucket
+    * predicate still prunes partitions at planning time (PlanSpec reads
+    * the planned/total counts off the scan). One store serves both the
+    * programmatic DSv2 path (q143/q189) and the SQL catalog path — the
+    * single-source-of-truth property a catalog exists to provide. */
+  val q190 = GraftQuery(
+    "q190_sql_catalog_plugin",
+    "Three-part-identifier SQL through a registered TableCatalog, partition pruning intact",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tbl =
+        s"graft_cat.corpus.ev_${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          expr("CAST(user_id % 4 AS STRING)").as("bucket"))
+        .writeTo(tbl).partitionedBy(col("bucket")).create()
+      s.sql(
+        s"""SELECT bucket, count(*) AS n, sum(cents) AS total_cents,
+                   count(DISTINCT user_id) AS n_users
+            FROM $tbl
+            WHERE bucket IN ('0', '1')
+            GROUP BY bucket
+            ORDER BY bucket""")
+    },
+    Some("""
+      SELECT CAST(user_id % 4 AS VARCHAR) AS bucket, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             count(DISTINCT user_id) AS n_users
+      FROM events
+      WHERE user_id % 4 IN (0, 1)
+      GROUP BY 1
+      ORDER BY bucket"""))
+
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
-    q123, q128, q129, q143, q187, q189)
+    q123, q128, q129, q143, q187, q189, q190)
 }

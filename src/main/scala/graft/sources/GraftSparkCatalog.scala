@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A real Spark [[TableCatalog]] plugin over the [[MemTable]] snapshot
+  * store — the engine-side answer to the reference's ENTIRE domain: where
+  * `gluettalax.py` fronts a metastore with a CLI (list_tables,
+  * add_partition — SURVEY Layer A), this catalog fronts the same concepts
+  * through Spark's native V2 catalog API, so plain SQL with three-part
+  * identifiers (`SELECT ... FROM graft_cat.ns.t`) resolves through
+  * catalog → table → scan with partition and column pruning intact, and
+  * `PARTITIONED BY` clauses flow into the connector's partition column.
+  *
+  * Registration is a session conf
+  * (`spark.sql.catalog.graft_cat = graft.sources.GraftSparkCatalog`);
+  * Spark instantiates and caches the catalog on first resolution. Tables
+  * live in the same process-wide store the DSv2 entries use (q143/q189),
+  * keyed `cat!<catalog>!<ns...>!<name>` — one source of truth for both
+  * access paths, which is exactly the property a catalog exists to give.
+  */
+class GraftSparkCatalog extends TableCatalog {
+  private var catalogName: String = _
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  private def key(ident: Identifier): String =
+    (Seq("cat", catalogName) ++ ident.namespace().toSeq :+ ident.name())
+      .mkString("!")
+  /** partition column registered at create time, kept in table props. */
+  private val partCols =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val prefix = (Seq("cat", catalogName) ++ namespace.toSeq).mkString("!") + "!"
+    MemTable.store.keys.toArray.sorted.collect {
+      case k if k.startsWith(prefix) && !k.stripPrefix(prefix).contains("!") =>
+        Identifier.of(namespace, k.stripPrefix(prefix))
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val k = key(ident)
+    MemTable.store.get(k) match {
+      case Some(snap) =>
+        new MemTableImpl(snap.schema, k, partCols.getOrElse(k, ""))
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val k = key(ident)
+    if (MemTable.store.contains(k)) throw new TableAlreadyExistsException(ident)
+    val pc = partitions.headOption
+      .map(_.references().head.fieldNames().head).getOrElse("")
+    partCols.put(k, pc)
+    MemTable.store.put(k, MemTable.Snapshot(schema, Map.empty, 0L))
+    new MemTableImpl(schema, k, pc)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog: ALTER not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    partCols.remove(key(ident))
+    MemTable.store.remove(key(ident)).isDefined
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft catalog: RENAME not supported")
+
+  override def tableExists(ident: Identifier): Boolean =
+    MemTable.store.contains(key(ident))
+}

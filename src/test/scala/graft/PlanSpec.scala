@@ -1223,6 +1223,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(MemTable.store(key).version == 3L)
   }
 
+  test("q190: SQL through the catalog still prunes partitions at planning time") {
+    val p = plan(operators.Sources.q190.build(spark, sfDir))
+    assert(p.contains("parts=4, planned=2"),
+      s"catalog-resolved scan did not prune partitions\n$p")
+  }
+
+  test("q190 catalog: listTables / tableExists / dropTable round-trip") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.GraftSparkCatalog")
+    val name = s"ct_${System.nanoTime()}"
+    val tbl = s"graft_cat.spec_ns.$name"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "bucket")
+      .writeTo(tbl).partitionedBy($"bucket").create()
+    val listed = spark.sql("SHOW TABLES IN graft_cat.spec_ns")
+      .select("tableName").as[String].collect()
+    assert(listed.contains(name), s"SHOW TABLES missed $name: ${listed.toSeq}")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() == 2L)
+    spark.sql(s"DROP TABLE $tbl")
+    assert(spark.sql("SHOW TABLES IN graft_cat.spec_ns")
+      .select("tableName").as[String].collect().forall(_ != name),
+      "DROP TABLE left the table listed")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
