@@ -2139,7 +2139,69 @@ object StreamingOps {
       FROM est e JOIN exact x USING (window_start, event_type)
       ORDER BY window_start, event_type"""))
 
+  /** CUSTOM STREAMING SINK (StreamingWrite) — the write-side twin of
+    * st26's custom MicroBatchStream source, closing the connector
+    * matrix: batch read (q128), batch write (q129), streaming read
+    * (st26), and now streaming write through the full epoch-keyed
+    * commit protocol — per-task digest messages per micro-batch, a
+    * driver-side `commit(epochId, …)` that lands each epoch's fold on
+    * an epoch-keyed ledger entry, and REPLACE semantics on that key so
+    * a redelivered epoch (driver retry after sink success) produces the
+    * same effect once: at-least-once delivery, exactly-once EFFECT —
+    * st24's contract, native to the connector this time (PlanSpec pins
+    * the redelivery case directly). The entry replays events through
+    * the sink and value-checks the ledger against the SQL-reproducible
+    * digest — the committed bytes are oracle-checked, not counted. */
+  val st30 = GraftQuery(
+    "st30_stream_digest_sink",
+    "Custom StreamingWrite sink: epoch-keyed idempotent commits, ledger digest == oracle",
+    (s, dir) => {
+      import graft.sources.DigestSink
+      val key = runTag()
+      val spool = batchSpool(s, "events5", dir)
+      val ckpt = spoolDir(s"ckpt_st30_$key")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt))
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = s.readStream.schema(ev5(s, dir).schema).parquet(spool)
+          .select(col("event_id"),
+            concat(col("event_type"), lit("#"),
+              col("user_id").cast("string")).as("tag"))
+          .writeStream.format("graft.sources.DigestSink")
+          .option("runId", key)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      val ledger = DigestSink.epochs.getOrElse(key, Map.empty)
+        .filter(_._2._1 > 0).toSeq.sortBy(_._1)
+      import s.implicits._
+      val perEpoch = ledger.zipWithIndex.map { case ((_, (n, d)), i) =>
+        (s"epoch_$i", n, d)
+      }
+      val total = ("total",
+        ledger.map(_._2._1).sum, ledger.map(_._2._2).sum)
+      (perEpoch :+ total)
+        .toDF("row", "n_rows", "digest_sum")
+        .orderBy("row")
+    },
+    Some("""
+      WITH d AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                      || '|' || event_type || '#'
+                      || CAST(user_id AS VARCHAR)), 1, 10) AS BIGINT))
+                 AS BIGINT) AS ds
+        FROM events)
+      SELECT 'epoch_0' AS row, n AS n_rows, ds AS digest_sum FROM d
+      UNION ALL
+      SELECT 'total', n, ds FROM d
+      ORDER BY row"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25, st26, st27, st28, st29)
+    st22, st23, st24, st25, st26, st27, st28, st29, st30)
 }

@@ -1247,6 +1247,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "DROP TABLE left the table listed")
   }
 
+  test("st30 connector: a redelivered epoch commit replaces itself — exactly-once effect") {
+    import graft.sources.{DigestMsgProbe, DigestSink}
+    val key = s"plan_spec_epoch_${System.nanoTime()}"
+    DigestSink.epochs.remove(key)
+    val msgs = Array(DigestMsgProbe.msg(3L, 111L), DigestMsgProbe.msg(2L, 222L))
+    val w = DigestMsgProbe.streamingWrite(key)
+    w.commit(7L, msgs.map(_.asInstanceOf[org.apache.spark.sql.connector.write.WriterCommitMessage]))
+    val first = DigestSink.epochs(key)
+    assert(first == Map(7L -> ((5L, 333L))), s"unexpected ledger $first")
+    // the driver retries epoch 7 after a transient failure: same messages,
+    // same epoch key — the ledger must be unchanged, not doubled
+    w.commit(7L, msgs.map(_.asInstanceOf[org.apache.spark.sql.connector.write.WriterCommitMessage]))
+    assert(DigestSink.epochs(key) == first,
+      s"redelivered epoch changed the ledger: ${DigestSink.epochs(key)}")
+    // a NEW epoch lands additively
+    w.commit(8L, Array(DigestMsgProbe.msg(1L, 9L)
+      .asInstanceOf[org.apache.spark.sql.connector.write.WriterCommitMessage]))
+    assert(DigestSink.epochs(key) == first + (8L -> ((1L, 9L))))
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
