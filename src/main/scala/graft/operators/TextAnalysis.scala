@@ -2836,8 +2836,68 @@ object TextAnalysis {
       SELECT 3, b3.pair, b3.n, CAST(v3.v AS BIGINT) FROM b3, v3
       ORDER BY round"""))
 
+  /** INSTRUCTION-PAIR construction — the SFT-data assembly step that
+    * turns raw documents into (instruction, response) training pairs.
+    * Fixture text carries no sentence punctuation, so the split is the
+    * word-budget form real pipelines fall back to for un-punctuated
+    * corpora: the instruction takes min(12, ⌊words/4⌋) leading words,
+    * the response the remainder, and the standard gates apply (document
+    * ≥ 20 words; response ≥ 2× the instruction — a pair whose "answer"
+    * is shorter than its prompt teaches the model to truncate). The
+    * report is the assembly audit per lang: docs in, pairs accepted,
+    * acceptance bp, integer mean word counts of both sides. Entirely
+    * row-local splitting + one |langs|-sized rollup — pair construction
+    * runs inline with the corpus scan at any scale. */
+  val t50 = GraftQuery(
+    "t50_instruction_pairs",
+    "SFT pair assembly: word-budget split, quality gates, per-lang acceptance audit",
+    (s, dir) => {
+      val gated = table(s, dir, "documents")
+        .withColumn("nw", size(split(col("text"), " ")).cast("long"))
+        .withColumn("iw", expr("least(12L, greatest(nw div 4, 1L))"))
+        .withColumn("rw", col("nw") - col("iw"))
+        .withColumn("accept", col("nw") >= 20L && col("rw") >= col("iw") * 2)
+      gated.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("accept"), 1L).otherwise(0L)).as("n_pairs"),
+          expr("sum(CASE WHEN accept THEN 1 ELSE 0 END) * 10000 div count(*)")
+            .as("accept_bp"),
+          coalesce(expr(
+            "sum(CASE WHEN accept THEN iw END) div sum(CASE WHEN accept THEN 1 END)"),
+            lit(0L)).as("mean_instr_words"),
+          coalesce(expr(
+            "sum(CASE WHEN accept THEN rw END) div sum(CASE WHEN accept THEN 1 END)"),
+            lit(0L)).as("mean_resp_words"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH gated AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+               least(12, greatest(CAST(len(string_split(text, ' '))
+                 AS BIGINT) // 4, 1)) AS iw
+        FROM documents),
+      g2 AS (
+        SELECT lang, nw, iw, nw - iw AS rw,
+               (nw >= 20 AND nw - iw >= iw * 2) AS accept
+        FROM gated)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN accept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs,
+             CAST(sum(CASE WHEN accept THEN 1 ELSE 0 END) * 10000 // count(*)
+               AS BIGINT) AS accept_bp,
+             CAST(coalesce(CAST(sum(CASE WHEN accept THEN iw END) AS BIGINT)
+               // sum(CASE WHEN accept THEN 1 END), 0) AS BIGINT)
+               AS mean_instr_words,
+             CAST(coalesce(CAST(sum(CASE WHEN accept THEN rw END) AS BIGINT)
+               // sum(CASE WHEN accept THEN 1 END), 0) AS BIGINT)
+               AS mean_resp_words
+      FROM g2
+      GROUP BY lang
+      ORDER BY lang"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-    t42, t43, t44, t45, t46, t47, t48, t49)
+    t42, t43, t44, t45, t46, t47, t48, t49, t50)
 }

@@ -2717,8 +2717,71 @@ object Warehouse {
       GROUP BY role
       ORDER BY role"""))
 
+  /** RETENTION-PURGE planning — the compliance sweep every warehouse
+    * schedules: each record class carries its own retention clock
+    * (interaction events 90 days, transactional 365, errors 30, signups
+    * indefinite — here dealt by event_type), and the plan reports, per
+    * class, what a purge AS-OF the corpus high-water mark would delete
+    * versus keep, with byte estimates (serialized length proxy) sizing
+    * the reclaim. Deterministic as-of: the clock is max(ts) over the
+    * data, not wall time (the q169 fixed-horizon discipline — a plan
+    * must be reproducible to be auditable). One events scan; retention
+    * classes join from a 5-row broadcast map; the report is a
+    * |classes|-sized rollup. At 100 TB the same plan drives partition
+    * drops (q85's cascade executes what this entry plans). */
+  val q191 = GraftQuery(
+    "q191_retention_purge_plan",
+    "Per-class retention sweep as-of the data high-water mark: purge vs keep, bytes reclaimed",
+    (s, dir) => {
+      val classes = s.createDataFrame(Seq(
+        ("view", 90L), ("click", 90L), ("error", 30L),
+        ("purchase", 365L), ("signup", -1L)))
+        .toDF("event_type", "retention_days")
+      val ev = events(s, dir)
+      val hwm = ev.agg(max(col("ts")).as("hwm"))
+      ev.join(broadcast(classes), Seq("event_type"))
+        .crossJoin(broadcast(hwm))
+        .withColumn("age_days",
+          expr("datediff(CAST(hwm AS DATE), CAST(ts AS DATE))").cast("long"))
+        .withColumn("purge",
+          col("retention_days") >= 0L && col("age_days") > col("retention_days"))
+        .withColumn("bytes", (length(col("props")) + lit(40L)).cast("long"))
+        .groupBy("event_type", "retention_days")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("purge"), 1L).otherwise(0L)).as("n_purge"),
+          sum(when(col("purge"), col("bytes")).otherwise(0L))
+            .as("bytes_reclaimed"),
+          sum(when(!col("purge"), col("bytes")).otherwise(0L))
+            .as("bytes_kept"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH classes(event_type, retention_days) AS (
+        VALUES ('view', CAST(90 AS BIGINT)), ('click', 90), ('error', 30),
+               ('purchase', 365), ('signup', -1)),
+      hwm AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+      sized AS (
+        SELECT e.event_type, c.retention_days,
+               CAST(hwm.h - CAST(e.ts AS DATE) AS BIGINT) AS age_days,
+               CAST(length(e.props) + 40 AS BIGINT) AS bytes
+        FROM events e JOIN classes c USING (event_type), hwm),
+      flagged AS (
+        SELECT event_type, retention_days, bytes,
+               (retention_days >= 0 AND age_days > retention_days) AS purge
+        FROM sized)
+      SELECT event_type, retention_days, count(*) AS n_rows,
+             CAST(sum(CASE WHEN purge THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purge,
+             CAST(sum(CASE WHEN purge THEN bytes ELSE 0 END) AS BIGINT)
+               AS bytes_reclaimed,
+             CAST(sum(CASE WHEN NOT purge THEN bytes ELSE 0 END) AS BIGINT)
+               AS bytes_kept
+      FROM flagged
+      GROUP BY event_type, retention_days
+      ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
-    q162, q164, q165, q168, q172, q173, q178, q181, q186, q188)
+    q162, q164, q165, q168, q172, q173, q178, q181, q186, q188, q191)
 }

@@ -1267,6 +1267,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DigestSink.epochs(key) == first + (8L -> ((1L, 9L))))
   }
 
+  test("t50: pair assembly is row-local — no Generate, only the lang rollup exchanges") {
+    val p = plan(operators.TextAnalysis.t50.build(spark, sfDir))
+    assert(!p.contains("Generate"),
+      s"corpus exploded where row-local word math suffices\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx <= 1, s"$hashEx hash exchanges; expected only the lang rollup\n$p")
+  }
+
+  test("q191: the class map broadcasts and the events scan happens once") {
+    val p = plan(operators.Warehouse.q191.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("events.parquet"))
+    // two by design: the sweep, plus the high-water-mark max — which must
+    // stay pruned to ts alone
+    assert(scans <= 2, s"$scans events scans\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"class map must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
