@@ -685,6 +685,69 @@ object Sources {
       GROUP BY 1
       ORDER BY bucket"""))
 
+  /** STORAGE-PARTITIONED JOIN — the zero-shuffle co-located join Iceberg
+    * ships as its flagship scale feature, reproduced on this connector:
+    * [[graft.sources.MemTable]] scans now REPORT their grouping
+    * (KeyGroupedPartitioning over the partition column, each split
+    * naming its partition value via HasPartitionKey), so two tables
+    * partitioned on the same column join with NO exchange on either
+    * side — at 100 TB this deletes the two largest shuffles a
+    * fact-to-fact join pays. Both sides aggregate per (bucket, user)
+    * first — KeyGrouped(bucket) already satisfies that clustering, so
+    * the rollups are exchange-free too — then sort-merge join under the
+    * SPJ handshake (`merge` hint keeps the demo off the broadcast
+    * path; the pin is ZERO hash exchanges in the whole plan). Confs
+    * scope to a fresh session (q122's discipline: session-global knobs
+    * never leak into sibling queries). */
+  val q192 = GraftQuery(
+    "q192_storage_partitioned_join",
+    "Two co-partitioned DSv2 tables join with zero exchanges (storage-partitioned join)",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // join keys (bucket, user) are a SUPERSET of the partition keys
+      // (bucket); co-partitioning on the subset is exactly SPJ's case,
+      // gated by this conf (default true = exact match only)
+      s2.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      def sideTable(t: String): String = {
+        val tbl = s"graft_cat.spj.${t}_$tag"
+        events(s2, dir).filter(col("event_type") === t)
+          .select(col("event_id"), col("user_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+            expr("CAST(user_id % 4 AS STRING)").as("bucket"))
+          .writeTo(tbl).partitionedBy(col("bucket")).create()
+        tbl
+      }
+      val clicks = s2.table(sideTable("click"))
+        .groupBy("bucket", "user_id")
+        .agg(count(lit(1)).as("n_clicks"))
+      val purchases = s2.table(sideTable("purchase"))
+        .groupBy("bucket", "user_id")
+        .agg(count(lit(1)).as("n_purchases"), sum("cents").as("purchase_cents"))
+      clicks.hint("merge")
+        .join(purchases, Seq("bucket", "user_id"))
+        .select(col("user_id"), col("n_clicks"), col("n_purchases"),
+          col("purchase_cents"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT user_id, count(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY user_id),
+      p AS (
+        SELECT user_id, count(*) AS n_purchases,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS purchase_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+      SELECT c.user_id, c.n_clicks, p.n_purchases, p.purchase_cents
+      FROM c JOIN p USING (user_id)
+      ORDER BY user_id"""))
+
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
-    q123, q128, q129, q143, q187, q189, q190)
+    q123, q128, q129, q143, q187, q189, q190, q192)
 }

@@ -4,7 +4,9 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -192,12 +194,28 @@ private[sources] class MemScanBuilder(runId: String, partCol: String)
 }
 
 private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
-    colIdx: Array[Int], colTypes: Array[String]) extends InputPartition
+    colIdx: Array[Int], colTypes: Array[String])
+    extends InputPartition with HasPartitionKey {
+  /** Storage-partitioned-join handshake: each split names its partition
+    * value, so two MemTables partitioned on the same column co-locate
+    * and join WITHOUT an exchange (q192 pins the shuffle-free plan). */
+  override def partitionKey(): InternalRow =
+    InternalRow(UTF8String.fromString(key))
+}
 
 private[sources] class MemScan(snap: MemTable.Snapshot, keep: Option[Set[String]],
-    required: StructType, partCol: String) extends Scan with Batch {
+    required: StructType, partCol: String)
+    extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Report the snapshot's grouping to Catalyst: with
+    * spark.sql.sources.v2.bucketing.enabled, a join whose keys cover
+    * [partCol] across two such scans plans with NO shuffle on either
+    * side (Iceberg's storage-partitioned join, on this connector). */
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.identity(partCol)), planned.size)
 
   private def planned: Seq[(String, Vector[Array[Any]])] =
     snap.parts.toSeq.sortBy(_._1)

@@ -1286,6 +1286,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q192: the co-partitioned join and both rollups run with ZERO hash exchanges") {
+    val p = plan(operators.Sources.q192.build(spark, sfDir))
+    assert(p.contains("SortMergeJoin"), s"expected the SPJ sort-merge join\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 0,
+      s"$hashEx hash exchanges — storage-partitioned join did not engage\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
