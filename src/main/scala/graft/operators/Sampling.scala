@@ -572,6 +572,78 @@ object Sampling {
                AS ks_x10000
       FROM walked"""))
 
+  /** SAMPLE STABILITY under growth — the reproducibility contract q47's
+    * hash sampling exists to provide, now PROVEN rather than assumed:
+    * the eval/holdout sample drawn from a snapshot must not churn when
+    * the table grows (a random() sample re-deals everything; the
+    * membership flip silently invalidates every cached eval metric).
+    * Two snapshots simulate growth — base = orders before 1999, grown =
+    * all orders — and the audit compares the hash sample of each:
+    * base-sample rows must ALL survive into the grown sample
+    * (n_dropped = 0, the stability proof), and every new member must
+    * come from the delta alone. Reported per membership class (stable /
+    * new-from-delta / dropped) with order counts and cents. Two
+    * column-pruned scans of the same table + one anti-join of
+    * key-sample frames — audit cost is sample-sized, not table-sized. */
+  val q193 = GraftQuery(
+    "q193_sample_stability",
+    "Hash-sample stability under table growth: stable, new-from-delta, dropped classes",
+    (s, dir) => {
+      def sampled(df: org.apache.spark.sql.DataFrame) = df
+        .filter(hashByte(col("o_orderkey")) <= "28")
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          (col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+            .as("in_base_era"))
+      val orders = table(s, dir, "orders")
+      val baseSample = sampled(
+        orders.filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp")))
+      val grownSample = sampled(orders)
+      val cls = grownSample.as("g")
+        .join(baseSample.select(col("o_orderkey").as("bk")),
+          col("o_orderkey") === col("bk"), "left_outer")
+        .withColumn("class", expr(
+          """CASE WHEN bk IS NOT NULL THEN '1_stable'
+                  WHEN NOT in_base_era THEN '2_new_from_delta'
+                  ELSE '3_resample_leak' END"""))
+      val dropped = baseSample
+        .join(grownSample.select(col("o_orderkey").as("gk")),
+          col("o_orderkey") === col("gk"), "left_anti")
+        .select(lit("4_dropped").as("class"), col("o_orderkey"), col("cents"))
+      cls.select(col("class"), col("o_orderkey"), col("cents"))
+        .unionByName(dropped)
+        .groupBy("class")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+        .orderBy("class")
+    },
+    Some("""
+      WITH base_sample AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1999-01-01'
+          AND substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '28'),
+      grown_sample AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderdate < TIMESTAMP '1999-01-01' AS in_base_era
+        FROM orders
+        WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '28'),
+      classed AS (
+        SELECT CASE WHEN b.o_orderkey IS NOT NULL THEN '1_stable'
+                    WHEN NOT g.in_base_era THEN '2_new_from_delta'
+                    ELSE '3_resample_leak' END AS class,
+               g.o_orderkey, g.cents
+        FROM grown_sample g
+        LEFT JOIN base_sample b ON g.o_orderkey = b.o_orderkey
+        UNION ALL
+        SELECT '4_dropped', b.o_orderkey, b.cents
+        FROM base_sample b
+        WHERE NOT EXISTS (SELECT 1 FROM grown_sample g
+                          WHERE g.o_orderkey = b.o_orderkey))
+      SELECT class, count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS cents
+      FROM classed
+      GROUP BY class
+      ORDER BY class"""))
+
   val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62, q100, q134, q139, q151,
-    q166, q171)
+    q166, q171, q193)
 }

@@ -2896,8 +2896,84 @@ object TextAnalysis {
       GROUP BY lang
       ORDER BY lang"""))
 
+  /** FEATURE HASHING audit — the hashing trick (Weinberger et al. 2009)
+    * that lets text models use fixed-width feature vectors with no
+    * vocabulary dictionary: each token maps to bucket md5(token) mod
+    * 1024 (portable across engines, unlike murmur), and the audit
+    * reports what every user of hashed features needs to know before
+    * trusting them — per lang, the occupied bucket count, the collision
+    * load (distinct tokens per occupied bucket in milli — the
+    * dictionary-free compression's cost), and the heaviest bucket with
+    * its token count. The md5→bucket arithmetic reuses the m19 nibble
+    * decode (first hex nibble → 16 buckets — the fixture vocabulary is a
+    * small controlled set, so a production-width table would never
+    * collide; the WIDTH is the knob, the algebra is identical). One
+    * documents
+    * scan to (lang, token) distincts, one bucket rollup, one lang
+    * rollup — vocabulary-sized frames after the first aggregation. */
+  val t51 = GraftQuery(
+    "t51_feature_hashing",
+    "Hashing-trick audit: 16-bucket occupancy, collision load, heaviest bucket per lang",
+    (s, dir) => {
+      val nib = (i: Int) => s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)"
+      val toks = table(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("lang", "token").agg(count(lit(1)).as("n_occ"))
+        .withColumn("h", md5(col("token").cast("binary")))
+        .withColumn("bucket", expr(nib(1)))
+      val buckets = toks.groupBy("lang", "bucket")
+        .agg(countDistinct("token").as("n_tokens"),
+          sum("n_occ").as("n_occ"))
+        .localCheckpoint(true)
+      val heaviest = buckets
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(desc("n_occ"), col("bucket"))))
+        .filter(col("rk") === 1)
+        .select(col("lang"), col("bucket").as("top_bucket"),
+          col("n_occ").as("top_bucket_occ"))
+      buckets.groupBy("lang")
+        .agg(count(lit(1)).as("n_buckets_used"),
+          sum("n_tokens").as("n_distinct_tokens"),
+          expr("sum(n_tokens) * 1000 div count(*)").as("collision_load_milli"))
+        .join(heaviest, Seq("lang"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT lang, token, count(*) AS n_occ
+        FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(token)
+        WHERE token <> ''
+        GROUP BY 1, 2),
+      hashed AS (
+        SELECT lang, token, n_occ,
+               (strpos('0123456789abcdef', substring(md5(token), 1, 1)) - 1)
+                 AS bucket
+        FROM toks),
+      buckets AS (
+        SELECT lang, bucket, count(DISTINCT token) AS n_tokens,
+               CAST(sum(n_occ) AS BIGINT) AS n_occ
+        FROM hashed GROUP BY 1, 2),
+      heaviest AS (
+        SELECT lang, bucket AS top_bucket, n_occ AS top_bucket_occ
+        FROM (SELECT lang, bucket, n_occ,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY n_occ DESC, bucket) AS rk
+              FROM buckets)
+        WHERE rk = 1)
+      SELECT b.lang, count(*) AS n_buckets_used,
+             CAST(sum(b.n_tokens) AS BIGINT) AS n_distinct_tokens,
+             CAST(sum(b.n_tokens) * 1000 // count(*) AS BIGINT)
+               AS collision_load_milli,
+             h.top_bucket, h.top_bucket_occ
+      FROM buckets b JOIN heaviest h USING (lang)
+      GROUP BY b.lang, h.top_bucket, h.top_bucket_occ
+      ORDER BY b.lang"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-    t42, t43, t44, t45, t46, t47, t48, t49, t50)
+    t42, t43, t44, t45, t46, t47, t48, t49, t50, t51)
 }

@@ -876,6 +876,17 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q193: the growth audit's failure classes are empty — hash sampling IS stable") {
+    val rows = operators.Sampling.q193.build(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!rows.contains("3_resample_leak"),
+      s"base-era rows entered the sample only after growth: $rows")
+    assert(!rows.contains("4_dropped"),
+      s"growth evicted previously sampled rows: $rows")
+    assert(rows.getOrElse("1_stable", 0L) > 0 &&
+      rows.getOrElse("2_new_from_delta", 0L) > 0, s"degenerate audit: $rows")
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE
