@@ -1835,6 +1835,86 @@ object Dedup {
       FROM pertau p JOIN docs d USING (tau_bp)
       ORDER BY tau_bp"""))
 
+
+  /** B-BIT MINWISE hashing (Li & König, 2010) — the storage side of the
+    * minhash trade: keeping only the LOWEST BIT of each minimum shrinks
+    * the signature 64× (16 bits vs 16 longs) at the price of a noisier,
+    * debiased estimator — E[agreement] = J + (1−J)/2, so
+    * Ĵ = 2·agreement − 1. This audit runs both estimators over d12's
+    * candidate pairs from the SAME signature table: per pair, the full
+    * 16-min agreement, the 1-bit agreement, and both estimates in
+    * integer 16ths/bp (the debias clamps at 0 — below-random agreement
+    * carries no signal). Negligible marginal cost: the parity IS the
+    * stored minimum mod 2, no new corpus pass (the persisted signature
+    * artifact serves its third consumer). At 100 TB the b-bit variant
+    * is what makes billion-doc signature tables RAM-resident. */
+  val d26 = {
+    GraftQuery(
+      "d26_bbit_minwise",
+      "1-bit minwise vs full MinHash over d12's candidates: agreements + debiased estimate",
+      (s, dir) => {
+        val m = minhashSigs(s, dir)
+        val sig = m.withColumn("band", (col("j") / 4).cast("int"))
+          .groupBy("doc_id", "band")
+          .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("m")))),
+            x => x("m").cast("string")), ":").as("bucket"))
+        val cand = sig.as("a").join(sig.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+          .distinct()
+        cand
+          .join(m.select(col("doc_id").as("doc1"), col("j"), col("m").as("ma")), Seq("doc1"))
+          .join(m.select(col("doc_id").as("doc2"), col("j"), col("m").as("mb")), Seq("doc2", "j"))
+          .groupBy("doc1", "doc2")
+          .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("n_equal"),
+            sum(when(col("ma") % 2 === col("mb") % 2, 1L).otherwise(0L))
+              .as("n_bit_agree"))
+          .withColumn("est_full_bp", expr("n_equal * 10000 div 16"))
+          .withColumn("est_1bit_bp", expr(
+            "greatest((2 * n_bit_agree - 16) * 10000 div 16, 0L)"))
+          .select("doc1", "doc2", "n_equal", "n_bit_agree",
+            "est_full_bp", "est_1bit_bp")
+          .orderBy("doc1", "doc2")
+      },
+      Some(s"""
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                   FROM documents WHERE doc_id < 2000),
+        sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+               FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        h AS (SELECT doc_id,
+                     CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $MhP AS h32
+              FROM sh),
+        m AS (SELECT doc_id, j,
+                     min((((1103515245 * (j + 1) + 12345) % $MhA) * h32
+                          + ((12345 * (j + 7) + 6789) % $MhA)) % $MhP) AS m
+              FROM h, UNNEST(range(16)) AS t(j)
+              GROUP BY doc_id, j),
+        sig AS (SELECT doc_id, j // 4 AS band,
+                       string_agg(CAST(m AS VARCHAR), ':' ORDER BY j) AS bucket
+                FROM m GROUP BY doc_id, j // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                 FROM sig a JOIN sig b
+                   ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id),
+        agg AS (
+          SELECT c.doc1, c.doc2,
+                 CAST(sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_equal,
+                 CAST(sum(CASE WHEN ma.m % 2 = mb.m % 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_bit_agree
+          FROM cand c
+          JOIN m ma ON ma.doc_id = c.doc1
+          JOIN m mb ON mb.doc_id = c.doc2 AND mb.j = ma.j
+          GROUP BY c.doc1, c.doc2)
+        SELECT doc1, doc2, n_equal, n_bit_agree,
+               n_equal * 10000 // 16 AS est_full_bp,
+               greatest((2 * n_bit_agree - 16) * 10000 // 16, 0) AS est_1bit_bp
+        FROM agg
+        ORDER BY doc1, doc2"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
-    d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25)
+    d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
+    d26)
 }

@@ -748,6 +748,57 @@ object Sources {
       FROM c JOIN p USING (user_id)
       ORDER BY user_id"""))
 
+  /** MIGRATION SIGN-OFF by order-independent digest — the check a lake
+    * migration publishes before cutting over: the same rows, read back
+    * through every format hop (parquet source → CSV staging → ORC
+    * target), must produce the SAME content digest, where the digest is
+    * q129's sum-of-md5-prefixes — order-independent (a sum), 40 bits
+    * per row so 2²³ rows fit a long, and computable in pure SQL on both
+    * engines so the oracle verifies the VALUE, not just row counts.
+    * Equal digests prove the text hop didn't mangle types, quoting, or
+    * encodings for the integer/string projection; a single flipped byte
+    * in one row breaks the hash. Each hop is one distributed pass; the
+    * digest aggregate is a 1-row fold (map-side combined). */
+  val q194 = GraftQuery(
+    "q194_migration_digest",
+    "Cross-format migration audit: parquet -> CSV -> ORC, one content digest for all hops",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val proj = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val csvSpool = spoolDir("q194_csv")
+      val orcSpool = spoolDir("q194_orc")
+      proj.coalesce(4).write.mode("overwrite")
+        .option("header", "true").csv(csvSpool)
+      val fromCsv = s.read.option("header", "true")
+        .schema(proj.schema).csv(csvSpool)
+      fromCsv.coalesce(4).write.mode("overwrite").orc(orcSpool)
+      val fromOrc = s.read.orc(orcSpool)
+      def hop(name: String, df: org.apache.spark.sql.DataFrame) = df
+        .select(expr(
+          """CAST(conv(substring(md5(concat_ws('|',
+               CAST(event_id AS STRING), CAST(user_id AS STRING),
+               event_type)), 1, 10), 16, 10) AS BIGINT)""").as("d"))
+        .agg(count(lit(1)).as("n_rows"), sum("d").as("digest"))
+        .select(lit(name).as("hop"), col("n_rows"), col("digest"))
+      hop("1_parquet", proj)
+        .unionByName(hop("2_csv", fromCsv))
+        .unionByName(hop("3_orc", fromOrc))
+        .orderBy("hop")
+    },
+    Some("""
+      WITH d AS (
+        SELECT count(*) AS n_rows,
+               CAST(sum(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                      || '|' || CAST(user_id AS VARCHAR)
+                      || '|' || event_type), 1, 10) AS BIGINT)) AS BIGINT)
+                 AS digest
+        FROM events)
+      SELECT '1_parquet' AS hop, n_rows, digest FROM d
+      UNION ALL SELECT '2_csv', n_rows, digest FROM d
+      UNION ALL SELECT '3_orc', n_rows, digest FROM d
+      ORDER BY hop"""))
+
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
-    q123, q128, q129, q143, q187, q189, q190, q192)
+    q123, q128, q129, q143, q187, q189, q190, q192, q194)
 }

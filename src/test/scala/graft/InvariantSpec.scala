@@ -887,6 +887,28 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows.getOrElse("2_new_from_delta", 0L) > 0, s"degenerate audit: $rows")
   }
 
+  test("q194: all three format hops carry the identical content digest") {
+    val rows = operators.Sources.q194.build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 3, s"expected 3 hops, got ${rows.toSeq}")
+    assert(rows.map(_._2).distinct.length == 1, s"row counts diverged: ${rows.toSeq}")
+    assert(rows.map(_._3).distinct.length == 1, s"digests diverged: ${rows.toSeq}")
+  }
+
+  test("d26: the 1-bit estimate brackets sanely — perfect pairs agree on every bit") {
+    val rows = operators.Dedup.d26.build(spark, sfDir).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty, "no candidate pairs at fixture scale")
+    rows.foreach { case (nEq, nBit, _, _) =>
+      // a matching minimum always has matching parity
+      assert(nBit >= nEq, s"bit agreement $nBit below full agreement $nEq")
+    }
+    rows.filter(_._1 == 16L).foreach { case (_, nBit, full, bit) =>
+      assert(nBit == 16L && full == 10000L && bit == 10000L,
+        "an identical signature must be identical in both estimators")
+    }
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE
