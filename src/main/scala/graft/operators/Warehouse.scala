@@ -2780,8 +2780,56 @@ object Warehouse {
       GROUP BY event_type, retention_days
       ORDER BY event_type"""))
 
+  /** MATERIALIZED-VIEW REWRITE end to end (plans/MVRewrite.scala — the
+    * third injected optimizer rule): the warehouse maintains a daily
+    * revenue summary (the q173-refreshed shape); a dashboard query that
+    * re-derives it from the FACT gets silently answered from the
+    * summary — the Aggregate over the orders scan is replaced by a
+    * Project over the MV plan, re-aliased onto the original output ids
+    * so the query text never changes. The entry builds the MV (one
+    * orders rollup, spooled), registers it, runs the UNCHANGED
+    * fact-shaped query in a rule-injected session, and the oracle
+    * recomputes from the fact — equal hashes prove substitution
+    * correctness; PlanSpec pins that the rewritten plan reads the MV
+    * spool and never touches orders.parquet. At 100 TB this turns a
+    * fact scan into a |days|-row read — the biggest single win a
+    * warehouse optimizer hands a repeated query. */
+  val q195 = GraftQuery(
+    "q195_materialized_view_rewrite",
+    "Optimizer substitutes the registered daily-revenue MV for the fact aggregate",
+    (s, dir) => {
+      import graft.plans.MaterializedViewRewrite
+      val mvPath = spoolDir(
+        s"q195_mv_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(mvPath, "_SUCCESS")))
+        table(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("cents"))
+          .coalesce(1).write.mode("overwrite").parquet(mvPath)
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations = Seq(MaterializedViewRewrite)
+      MaterializedViewRewrite.registry.put("orders.parquet",
+        s2.read.parquet(mvPath).queryExecution.analyzed)
+      // the UNCHANGED fact-shaped query — the rule answers it from the MV
+      table(s2, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+        .orderBy("d")
+    },
+    Some("""
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      GROUP BY 1
+      ORDER BY d"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
-    q162, q164, q165, q168, q172, q173, q178, q181, q186, q188, q191)
+    q162, q164, q165, q168, q172, q173, q178, q181, q186, q188, q191,
+    q195)
 }

@@ -1294,6 +1294,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"$hashEx hash exchanges — storage-partitioned join did not engage\n$p")
   }
 
+  test("q195: the MV rewrite fires — the plan reads the summary spool, never orders.parquet") {
+    val p = plan(operators.Warehouse.q195.build(spark, sfDir))
+    val factScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("orders.parquet"))
+    assert(factScans == 0,
+      s"the fact is still scanned — MV substitution did not fire\n$p")
+    assert(p.contains("q195_mv_"),
+      s"MV spool missing from the rewritten plan\n$p")
+  }
+
+  test("q195 rule: a NON-matching aggregate is left untouched") {
+    import graft.plans.MaterializedViewRewrite
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations = Seq(MaterializedViewRewrite)
+    // different aggregate (count, not the registered cents sum) — must
+    // keep reading the fact even with the MV registered
+    val df = operators.table(s2, sfDir, "orders")
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("o_orderdate")).as("d"))
+      .count()
+    val p = plan(df)
+    assert(p.contains("orders.parquet"),
+      s"rule over-fired on a non-matching aggregate\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
