@@ -2201,7 +2201,58 @@ object StreamingOps {
       SELECT 'total', n, ds FROM d
       ORDER BY row"""))
 
+  /** END-TO-END EXACTLY-ONCE — the full pipeline claim assembled from
+    * its proven parts: an AT-LEAST-ONCE source (the duplicated events
+    * spool — every row delivered twice), watermark-bounded streaming
+    * dedup in the middle (st9's operator), and the epoch-keyed
+    * idempotent sink at the end (st30's connector). The ledger's total
+    * (count, content digest) must equal the batch DISTINCT digest of
+    * the original events — bit-for-bit: duplicates in, exactly-once
+    * effect out, with every stage's state bounded (dedup state by the
+    * watermark, sink state by the epoch count). This is the composition
+    * every streaming architecture slide promises; here it is one
+    * hash-checked row. */
+  val st31 = GraftQuery(
+    "st31_exactly_once_chain",
+    "Duplicated source -> watermark dedup -> epoch-idempotent sink == batch distinct digest",
+    (s, dir) => {
+      import graft.sources.DigestSink
+      val key = runTag()
+      val spool = batchSpool(s, "events5dup", dir)
+      val ckpt = spoolDir(s"ckpt_st31_$key")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt))
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = s.readStream.schema(ev5(s, dir).schema).parquet(spool)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"),
+            concat(col("event_type"), lit("#"),
+              col("user_id").cast("string")).as("tag"))
+          .writeStream.format("graft.sources.DigestSink")
+          .option("runId", key)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      val ledger = DigestSink.epochs.getOrElse(key, Map.empty)
+      import s.implicits._
+      Seq(("chain_total",
+        ledger.values.map(_._1).sum, ledger.values.map(_._2).sum))
+        .toDF("row", "n_rows", "digest_sum")
+    },
+    Some("""
+      SELECT 'chain_total' AS row, count(*) AS n_rows,
+             CAST(sum(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)
+                    || '|' || event_type || '#'
+                    || CAST(user_id AS VARCHAR)), 1, 10) AS BIGINT))
+               AS BIGINT) AS digest_sum
+      FROM events"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25, st26, st27, st28, st29, st30)
+    st22, st23, st24, st25, st26, st27, st28, st29, st30, st31)
 }
