@@ -2636,10 +2636,61 @@ object Relational {
       JOIN ranked b ON b.flag = s.flag AND b.rn = s.hi
       ORDER BY s.flag, s.q"""))
 
+  /** DISTRIBUTION-RANK window functions — percent_rank, cume_dist, and
+    * ntile exercised together and hash-proven (the last family of
+    * standard window functions the registry hadn't pinned): per
+    * returnflag, prices rank once and every function rides the SAME
+    * window (one exchange, one sort — the optimizer collapses same-spec
+    * window functions into a single Window node, which PlanSpec pins);
+    * the report rolls to decile granularity with each decile's boundary
+    * percent_rank/cume_dist. Both functions are exact rationals
+    * ((rank−1)/(n−1), peers/n) that the engines evaluate in identical
+    * IEEE division — round(…, 6) is presentation, not reconciliation.
+    * Ordering carries the house unique tiebreak (cents, linenumber id)
+    * so every rank is deterministic. */
+  val q196 = GraftQuery(
+    "q196_distribution_ranks",
+    "percent_rank + cume_dist + ntile on one window, rolled to decile boundaries per flag",
+    (s, dir) => {
+      val w = Window.partitionBy("flag").orderBy("cents", "rid")
+      table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          expr("l_orderkey * 10 + l_linenumber").as("rid"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("flag", "decile")
+        .agg(count(lit(1)).as("n"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"),
+          round(max("pr"), 6).as("pr_hi"),
+          round(max("cd"), 6).as("cd_hi"))
+        .orderBy("flag", "decile")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               ntile(10) OVER w AS decile
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_returnflag
+                     ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                              l_orderkey * 10 + l_linenumber))
+      SELECT flag, CAST(decile AS BIGINT) AS decile, count(*) AS n,
+             CAST(min(cents) AS BIGINT) AS min_cents,
+             CAST(max(cents) AS BIGINT) AS max_cents,
+             round(max(pr), 6) AS pr_hi,
+             round(max(cd), 6) AS cd_hi
+      FROM ranked
+      GROUP BY flag, decile
+      ORDER BY flag, decile"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
-    q182, q185)
+    q182, q185, q196)
 }

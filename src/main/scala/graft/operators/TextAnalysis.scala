@@ -2972,8 +2972,82 @@ object TextAnalysis {
       GROUP BY b.lang, h.top_bucket, h.top_bucket_occ
       ORDER BY b.lang"""))
 
+  /** SCRIPT-MIX audit — the writing-system profile that catches
+    * mislabeled and contaminated documents before language-specific
+    * processing runs on the wrong script (a "zh" doc that is mostly
+    * Latin is a labeling bug; Latin tokens inside CJK text are often
+    * code or spam): every character classifies by CODE POINT range
+    * (the m18 idiom — ascii() is the portable code-point primitive in
+    * both engines; no regex Unicode classes, whose semantics diverge)
+    * into latin / digit / cjk / space / other, ratios land in bp, and
+    * the per-lang rollup flags docs whose dominant script disagrees
+    * with their label. Row-local HOF arithmetic, |langs| rollup — the
+    * audit is one corpus pass. */
+  val t52 = GraftQuery(
+    "t52_script_mix_audit",
+    "Code-point script profile per lang: latin/digit/cjk/space bp + script-label mismatches",
+    (s, dir) => {
+      val classed = table(s, dir, "documents")
+        .withColumn("cps", expr(
+          "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"))
+        .withColumn("n_chars_t", size(col("cps")).cast("long"))
+        .filter(col("n_chars_t") > 0)
+        .withColumn("n_latin", expr(
+          """size(filter(cps, p -> (p >= 65 AND p <= 90)
+                                OR (p >= 97 AND p <= 122)))""").cast("long"))
+        .withColumn("n_digit", expr(
+          "size(filter(cps, p -> p >= 48 AND p <= 57))").cast("long"))
+        .withColumn("n_cjk", expr(
+          "size(filter(cps, p -> p >= 19968 AND p <= 40959))").cast("long"))
+        .withColumn("n_space", expr(
+          "size(filter(cps, p -> p = 32))").cast("long"))
+        .withColumn("mismatch", expr(
+          """CASE WHEN lang = 'zh' THEN n_latin > n_cjk
+                  ELSE n_cjk > n_latin END"""))
+      classed.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(n_latin) * 10000 div sum(n_chars_t)").as("latin_bp"),
+          expr("sum(n_digit) * 10000 div sum(n_chars_t)").as("digit_bp"),
+          expr("sum(n_cjk) * 10000 div sum(n_chars_t)").as("cjk_bp"),
+          expr("sum(n_space) * 10000 div sum(n_chars_t)").as("space_bp"),
+          sum(when(col("mismatch"), 1L).otherwise(0L)).as("n_mismatched"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH classed AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS n_chars_t,
+               CAST(len(list_filter(list_transform(string_split(text, ''),
+                 c -> ascii(c)), p -> (p >= 65 AND p <= 90)
+                                   OR (p >= 97 AND p <= 122))) AS BIGINT)
+                 AS n_latin,
+               CAST(len(list_filter(list_transform(string_split(text, ''),
+                 c -> ascii(c)), p -> p >= 48 AND p <= 57)) AS BIGINT)
+                 AS n_digit,
+               CAST(len(list_filter(list_transform(string_split(text, ''),
+                 c -> ascii(c)), p -> p >= 19968 AND p <= 40959)) AS BIGINT)
+                 AS n_cjk,
+               CAST(len(list_filter(list_transform(string_split(text, ''),
+                 c -> ascii(c)), p -> p = 32)) AS BIGINT) AS n_space
+        FROM documents
+        WHERE length(text) > 0),
+      flagged AS (
+        SELECT *, CASE WHEN lang = 'zh' THEN n_latin > n_cjk
+                       ELSE n_cjk > n_latin END AS mismatch
+        FROM classed)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_latin) * 10000 // sum(n_chars_t) AS BIGINT) AS latin_bp,
+             CAST(sum(n_digit) * 10000 // sum(n_chars_t) AS BIGINT) AS digit_bp,
+             CAST(sum(n_cjk) * 10000 // sum(n_chars_t) AS BIGINT) AS cjk_bp,
+             CAST(sum(n_space) * 10000 // sum(n_chars_t) AS BIGINT) AS space_bp,
+             CAST(sum(CASE WHEN mismatch THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mismatched
+      FROM flagged
+      GROUP BY lang
+      ORDER BY lang"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-    t42, t43, t44, t45, t46, t47, t48, t49, t50, t51)
+    t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
-import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.expressions.Expressions
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
@@ -214,7 +214,8 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep: Option[Set[String]
     * [partCol] across two such scans plans with NO shuffle on either
     * side (Iceberg's storage-partitioned join, on this connector). */
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
+    if (partCol.isEmpty) new UnknownPartitioning(planned.size)
+    else new KeyGroupedPartitioning(
       Array(Expressions.identity(partCol)), planned.size)
 
   private def planned: Seq[(String, Vector[Array[Any]])] =

@@ -1319,6 +1319,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rule over-fired on a non-matching aggregate\n$p")
   }
 
+  test("q196: all three rank functions share ONE Window node — one exchange, one sort") {
+    val p = plan(operators.Relational.q196.build(spark, sfDir))
+    val windows = p.linesIterator.count(_.matches(""".*\bWindow \(\d+\)\s*$"""))
+    assert(windows == 1, s"expected one collapsed Window node, got $windows\n$p")
+    val sorts = p.linesIterator.count(_.matches(""".*\bSort \(\d+\)\s*$"""))
+    assert(sorts <= 2, s"$sorts sorts (window + presentation expected)\n$p")
+  }
+
+  test("t52: the script audit is row-local — no Generate, only the lang rollup exchanges") {
+    val p = plan(operators.TextAnalysis.t52.build(spark, sfDir))
+    assert(!p.contains("Generate"), s"corpus exploded for a row-local profile\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx <= 1, s"$hashEx hash exchanges; expected only the lang rollup\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
