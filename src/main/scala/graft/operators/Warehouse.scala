@@ -2827,9 +2827,78 @@ object Warehouse {
       GROUP BY 1
       ORDER BY d"""))
 
+  /** IN-FLIGHT pipeline observability — the Observation API run as the
+    * data-quality pattern it exists for: every ETL stage publishes its
+    * row count, null count, and money total FROM THE SAME PASS that
+    * computes the transform (accumulator-backed, zero extra scans —
+    * q81's post-hoc check suite pays a full re-scan per metric; at
+    * 100 TB in-flight observation is the only affordable form), and the
+    * ledger row per stage is emitted as data. The oracle recomputes
+    * every stage metric with dedicated scans — equal hashes prove the
+    * accumulator path agrees with the recompute path bit-for-bit
+    * (sums in integer cents, so accumulation order is irrelevant). */
+  val q197 = GraftQuery(
+    "q197_inflight_observability",
+    "Observation-API stage ledger: ingest/filter metrics from the transform's own pass",
+    (s, dir) => {
+      import org.apache.spark.sql.Observation
+      val ingest = Observation(s"q197_ingest_${System.nanoTime()}")
+      val filtered = Observation(s"q197_filtered_${System.nanoTime()}")
+      val pipeline = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .observe(ingest,
+          count(lit(1)).as("n"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum("cents").as("cents"))
+        .filter(col("o_orderstatus") === "F")
+        .observe(filtered,
+          count(lit(1)).as("n"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum("cents").as("cents"))
+      val nOut = pipeline.groupBy("o_orderstatus").count().count()
+      import s.implicits._
+      def row(stage: String, o: Observation) = {
+        val m = o.get
+        (stage, m("n").asInstanceOf[Long], m("n_null").asInstanceOf[Long],
+          m("cents").asInstanceOf[Long])
+      }
+      Seq(row("1_ingest", ingest), row("2_filtered", filtered))
+        .toDF("stage", "n_rows", "n_null_cust", "cents")
+        .withColumn("n_output_groups", lit(nOut))
+        .orderBy("stage")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      i AS (
+        SELECT count(*) AS n,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_null,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM base),
+      f AS (
+        SELECT count(*) AS n,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_null,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM base WHERE o_orderstatus = 'F'),
+      g AS (
+        SELECT count(DISTINCT o_orderstatus) AS n_groups
+        FROM base WHERE o_orderstatus = 'F')
+      SELECT '1_ingest' AS stage, i.n AS n_rows, i.n_null AS n_null_cust,
+             i.cents, g.n_groups AS n_output_groups
+      FROM i, g
+      UNION ALL
+      SELECT '2_filtered', f.n, f.n_null, f.cents, g.n_groups
+      FROM f, g
+      ORDER BY stage"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
     q162, q164, q165, q168, q172, q173, q178, q181, q186, q188, q191,
-    q195)
+    q195, q197)
 }
