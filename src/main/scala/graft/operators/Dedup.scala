@@ -1914,7 +1914,118 @@ object Dedup {
         ORDER BY doc1, doc2"""))
   }
 
+  /** CLUSTER-QUALITY margins — the acceptance test for d6's components:
+    * a healthy duplicate clustering separates (weakest INTRA-cluster
+    * edge still above the strongest INTER-cluster attraction). Per
+    * multi-member cluster: size, the minimum intra-cluster pair Jaccard
+    * (bp — the weakest link the transitive closure committed to), and
+    * the maximum Jaccard from any member to any doc OUTSIDE the cluster
+    * (the strongest temptation the threshold resisted); margin = the
+    * difference. A negative margin is the smoking gun for a threshold
+    * set too high (splitting real duplicate groups) — exactly what d25's
+    * sweep tunes against. Pairs and labels both come from the bounded
+    * ground-truth closure, so the DuckDB oracle replays everything;
+    * the production form runs the same margins over d2's candidates
+    * and the d6 label artifact. */
+  val d27 = GraftQuery(
+    "d27_cluster_quality_margins",
+    "Per-cluster min intra vs max escaping Jaccard bp + margin over the d6 closure",
+    (s, dir) => {
+      val sh = table(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("doc_id").as("doc1"),
+          col("n").as("n1"))), "doc1")
+        .join(broadcast(sizes.select(col("doc_id").as("doc2"),
+          col("n").as("n2"))), "doc2")
+        .select(col("doc1"), col("doc2"),
+          expr("inter * 10000 div (n1 + n2 - inter)").as("jac_bp"))
+        .localCheckpoint(true)
+      val labels = clusterLabels(s, dir)
+        .select(col("doc_id"), col("cluster_id"))
+      val labeled = pairs
+        .join(broadcast(labels.select(col("doc_id").as("doc1"),
+          col("cluster_id").as("c1"))), Seq("doc1"), "left_outer")
+        .join(broadcast(labels.select(col("doc_id").as("doc2"),
+          col("cluster_id").as("c2"))), Seq("doc2"), "left_outer")
+        .withColumn("c1", coalesce(col("c1"), col("doc1")))
+        .withColumn("c2", coalesce(col("c2"), col("doc2")))
+      val intra = labeled.filter(col("c1") === col("c2"))
+        .groupBy(col("c1").as("cluster_id"))
+        .agg(min("jac_bp").as("min_intra_bp"))
+      val escaping = labeled.filter(col("c1") =!= col("c2"))
+        .select(explode(expr("array(c1, c2)")).as("cluster_id"), col("jac_bp"))
+        .groupBy("cluster_id")
+        .agg(max("jac_bp").as("max_escape_bp"))
+      val csize = labels.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+        .filter(col("cluster_size") >= 2)
+      csize.join(intra, Seq("cluster_id"), "left_outer")
+        .join(escaping, Seq("cluster_id"), "left_outer")
+        .withColumn("min_intra_bp", coalesce(col("min_intra_bp"), lit(0L)))
+        .withColumn("max_escape_bp", coalesce(col("max_escape_bp"), lit(0L)))
+        .withColumn("margin_bp", col("min_intra_bp") - col("max_escape_bp"))
+        .orderBy("cluster_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents WHERE doc_id < 300),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairsraw AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+      pairs AS (SELECT doc1, doc2,
+                       inter * 10000 // (na.n + nb.n - inter) AS jac_bp
+                FROM pairsraw
+                JOIN sizes na ON na.doc_id = doc1
+                JOIN sizes nb ON nb.doc_id = doc2),
+      good AS (SELECT doc1, doc2 FROM pairsraw
+               JOIN sizes na ON na.doc_id = doc1
+               JOIN sizes nb ON nb.doc_id = doc2
+               WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.3),
+      edges AS (SELECT doc1 AS src, doc2 AS dst FROM good
+                UNION ALL SELECT doc2, doc1 FROM good),
+      reach AS (SELECT src AS id, src AS label FROM edges
+                UNION
+                SELECT e.dst AS id, r.label FROM reach r
+                JOIN edges e ON e.src = r.id),
+      lab AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+      labeled AS (
+        SELECT p.doc1, p.doc2, p.jac_bp,
+               coalesce(l1.cluster_id, p.doc1) AS c1,
+               coalesce(l2.cluster_id, p.doc2) AS c2
+        FROM pairs p
+        LEFT JOIN lab l1 ON l1.id = p.doc1
+        LEFT JOIN lab l2 ON l2.id = p.doc2),
+      intra AS (SELECT c1 AS cluster_id, min(jac_bp) AS min_intra_bp
+                FROM labeled WHERE c1 = c2 GROUP BY 1),
+      escaping AS (
+        SELECT cluster_id, max(jac_bp) AS max_escape_bp
+        FROM (SELECT c1 AS cluster_id, jac_bp FROM labeled WHERE c1 <> c2
+              UNION ALL
+              SELECT c2, jac_bp FROM labeled WHERE c1 <> c2)
+        GROUP BY cluster_id),
+      csize AS (SELECT cluster_id, count(*) AS cluster_size
+                FROM lab GROUP BY cluster_id HAVING count(*) >= 2)
+      SELECT s.cluster_id, s.cluster_size,
+             CAST(coalesce(i.min_intra_bp, 0) AS BIGINT) AS min_intra_bp,
+             CAST(coalesce(e.max_escape_bp, 0) AS BIGINT) AS max_escape_bp,
+             CAST(coalesce(i.min_intra_bp, 0)
+                  - coalesce(e.max_escape_bp, 0) AS BIGINT) AS margin_bp
+      FROM csize s
+      LEFT JOIN intra i USING (cluster_id)
+      LEFT JOIN escaping e USING (cluster_id)
+      ORDER BY cluster_id"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
     d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
-    d26)
+    d26, d27)
 }

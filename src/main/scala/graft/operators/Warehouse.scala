@@ -2968,9 +2968,61 @@ object Warehouse {
         v(output_col, source_table, source_col)
       ORDER BY output_col, source_table, source_col"""))
 
+  /** RENDEZVOUS (HRW) HASHING — the consistent-hashing answer to "a
+    * shard died, who moves": each key's shard is argmax over shards of
+    * md5(key '|' shard), so removing a shard reassigns ONLY the keys
+    * that shard owned (everyone else's argmax is untouched) — the
+    * minimal-churn property q111's range partitioning cannot give, and
+    * the reason every distributed cache/router uses HRW or a ring. The
+    * entry PROVES the property rather than asserting it: assignments
+    * are computed under 5 shards and again under 4 (s2 removed, the
+    * same exploded frame filtered — one scan serves both maps), and the
+    * before→after matrix must be diagonal except the s2 row. Hex md5
+    * compares lexicographically = numerically (fixed width, both
+    * engines lowercase) — the argmax is portable with zero numeric
+    * conversion. */
+  val q199 = GraftQuery(
+    "q199_rendezvous_sharding",
+    "HRW shard maps before/after removing a shard: only the dead shard's keys move",
+    (s, dir) => {
+      val scored = table(s, dir, "orders")
+        .select(col("o_orderkey"))
+        .withColumn("shard", explode(expr(
+          "array('s0', 's1', 's2', 's3', 's4')")))
+        .withColumn("w", md5(concat(col("o_orderkey").cast("string"),
+          lit("|"), col("shard")).cast("binary")))
+        .localCheckpoint(true)
+      def argmax(df: org.apache.spark.sql.DataFrame, out: String) = df
+        .groupBy("o_orderkey")
+        .agg(max(struct(col("w"), col("shard"))).as("top"))
+        .select(col("o_orderkey"), col("top.shard").as(out))
+      argmax(scored, "shard_before")
+        .join(argmax(scored.filter(col("shard") =!= "s2"), "shard_after"),
+          Seq("o_orderkey"))
+        .groupBy("shard_before", "shard_after")
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy("shard_before", "shard_after")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT o_orderkey, shard,
+               md5(CAST(o_orderkey AS VARCHAR) || '|' || shard) AS w
+        FROM orders,
+             (SELECT unnest(['s0', 's1', 's2', 's3', 's4']) AS shard)),
+      before_map AS (
+        SELECT o_orderkey, arg_max(shard, w) AS shard_before
+        FROM scored GROUP BY o_orderkey),
+      after_map AS (
+        SELECT o_orderkey, arg_max(shard, w) AS shard_after
+        FROM scored WHERE shard <> 's2' GROUP BY o_orderkey)
+      SELECT b.shard_before, a.shard_after, count(*) AS n_keys
+      FROM before_map b JOIN after_map a USING (o_orderkey)
+      GROUP BY 1, 2
+      ORDER BY shard_before, shard_after"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
     q162, q164, q165, q168, q172, q173, q178, q181, q186, q188, q191,
-    q195, q197, q198)
+    q195, q197, q198, q199)
 }

@@ -909,6 +909,19 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q199: removing a shard moves ONLY that shard's keys — the HRW minimal-churn law") {
+    val rows = operators.Warehouse.q199.build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    rows.foreach { case (before, after, n) =>
+      if (before != "s2")
+        assert(before == after,
+          s"$n keys moved $before -> $after without their shard dying")
+      else assert(after != "s2", "keys remained on the removed shard")
+    }
+    assert(rows.exists(r => r._1 == "s2" && r._3 > 0),
+      "degenerate fixture: the removed shard owned nothing")
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE
