@@ -1291,6 +1291,101 @@ object Multimodal {
       GROUP BY epoch
       ORDER BY epoch"""))
 
+  /** CROSS-MODAL duplicate detection — the corpus-level question a
+    * mixed-media pipeline must answer with ONE verdict: are two
+    * documents duplicates in ANY representation? Each doc fingerprints
+    * through two independent chunkers — the m16-style fixed 64-char
+    * TILES (the image-patch analog) and 8-word STRIDE CHUNKS (the text
+    * analog) — and candidate pairs come from digest equi-joins in each
+    * modality separately (bucketed by digest — never an all-pairs
+    * compare; the same join discipline as d1/m16). The report classes
+    * every candidate pair: tiles-only, chunks-only, or confirmed-both —
+    * the disagreement classes are exactly where a single-modality dedup
+    * silently under-merges (layout changes defeat tiles, rewording
+    * defeats chunks). Bounded to the ground-truth slice; the production
+    * path runs the same two digest tables at corpus scale. */
+  val m20 = GraftQuery(
+    "m20_cross_modal_dedup",
+    "Tile digests vs word-chunk digests: pair candidates per modality, agreement classes",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val tiles = docs
+        .withColumn("nt", expr(
+          "CAST(greatest((length(text) + 63) div 64, 1) AS INT)"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, nt - 1),
+               k -> md5(CAST(substring(text, k * 64 + 1, 64) AS BINARY)))"""))
+          .as("dg")).distinct()
+      val chunks = docs
+        .withColumn("ws", split(lower(col("text")), " "))
+        .withColumn("nc", expr(
+          "CAST(greatest((size(ws) + 7) div 8, 1) AS INT)"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, nc - 1),
+               k -> md5(CAST(array_join(slice(ws, k * 8 + 1, 8), ' ')
+                        AS BINARY)))""")).as("dg")).distinct()
+      def pairsOf(f: org.apache.spark.sql.DataFrame, name: String) = f.as("a")
+        .join(f.as("b"),
+          col("a.dg") === col("b.dg") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as(name))
+      pairsOf(tiles, "n_tile_hits")
+        .join(pairsOf(chunks, "n_chunk_hits"), Seq("doc1", "doc2"), "full_outer")
+        .withColumn("n_tile_hits", coalesce(col("n_tile_hits"), lit(0L)))
+        .withColumn("n_chunk_hits", coalesce(col("n_chunk_hits"), lit(0L)))
+        .withColumn("verdict", expr(
+          """CASE WHEN n_tile_hits > 0 AND n_chunk_hits > 0 THEN '1_both'
+                  WHEN n_tile_hits > 0 THEN '2_tiles_only'
+                  ELSE '3_chunks_only' END"""))
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("n_tile_hits").as("tile_hits"),
+          sum("n_chunk_hits").as("chunk_hits"))
+        .orderBy("verdict")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 300),
+      tiles AS (
+        SELECT DISTINCT doc_id,
+               md5(substring(text, k * 64 + 1, 64)) AS dg
+        FROM docs, UNNEST(range(0, CAST(greatest((length(text) + 63) // 64, 1)
+                                   AS INTEGER))) AS t(k)),
+      chunks AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(ws[k * 8 + 1 : k * 8 + 8], ' ')) AS dg
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM docs),
+             UNNEST(range(0, CAST(greatest((len(ws) + 7) // 8, 1)
+                             AS INTEGER))) AS t(k)),
+      tp AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                    count(*) AS n_tile_hits
+             FROM tiles a JOIN tiles b
+               ON a.dg = b.dg AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      cp AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                    count(*) AS n_chunk_hits
+             FROM chunks a JOIN chunks b
+               ON a.dg = b.dg AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      merged AS (
+        SELECT coalesce(tp.doc1, cp.doc1) AS doc1,
+               coalesce(tp.doc2, cp.doc2) AS doc2,
+               coalesce(tp.n_tile_hits, 0) AS n_tile_hits,
+               coalesce(cp.n_chunk_hits, 0) AS n_chunk_hits
+        FROM tp FULL OUTER JOIN cp
+          ON tp.doc1 = cp.doc1 AND tp.doc2 = cp.doc2)
+      SELECT CASE WHEN n_tile_hits > 0 AND n_chunk_hits > 0 THEN '1_both'
+                  WHEN n_tile_hits > 0 THEN '2_tiles_only'
+                  ELSE '3_chunks_only' END AS verdict,
+             count(*) AS n_pairs,
+             CAST(sum(n_tile_hits) AS BIGINT) AS tile_hits,
+             CAST(sum(n_chunk_hits) AS BIGINT) AS chunk_hits
+      FROM merged
+      GROUP BY 1
+      ORDER BY verdict"""))
+
   val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11,
-    m12, m13, m14, m15, m16, m17, m18, m19)
+    m12, m13, m14, m15, m16, m17, m18, m19, m20)
 }
