@@ -799,6 +799,74 @@ object Sources {
       UNION ALL SELECT '3_orc', n_rows, digest FROM d
       ORDER BY hop"""))
 
+  /** PRIMARY-KEY enforcement at the WRITE BARRIER — q81's uniqueness
+    * check runs after the fact and can only report corruption; a
+    * warehouse-grade table PREVENTS it: with a declared primary key,
+    * the MemTable commit validates uniqueness across every task's rows
+    * at the single point where that is checkable without a shuffle
+    * (the driver sees all commit messages), and a violating job is
+    * rejected whole — nothing publishes, the previous snapshot stands.
+    * The entry replays the canonical sequence: a clean keyed write
+    * lands; a write containing a duplicated key is rejected (the
+    * snapshot provably untouched — version and readable rows
+    * unchanged); a corrected retry lands. Audit rows carry outcome,
+    * store version, and reader-visible counts — the same ledger shape
+    * as q189's concurrency audit, here for INTEGRITY. */
+  val q200 = GraftQuery(
+    "q200_pk_write_enforcement",
+    "Declared primary key rejects a duplicate-bearing commit atomically; retry lands",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.sources.MemTable
+      val key = s"q200_${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val fmt = "graft.sources.MemTable"
+      def write(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format(fmt)
+          .option("runId", key).option("partitionCol", "bucket")
+          .option("primaryKey", "event_id")
+          .mode("append").save()
+      def readBack() = s.read.format(fmt)
+        .option("runId", key).option("partitionCol", "bucket").load()
+      def version() = MemTable.store.get(key).map(_.version).getOrElse(0L)
+      val clicks = events(s, dir).filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(user_id % 4 AS STRING)").as("bucket"))
+      val audit = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, Long, Long)]
+      write(clicks)
+      audit += ((1L, "clean_write", "committed", version(), readBack().count()))
+      val outcome =
+        try {
+          write(clicks.unionByName(clicks.limit(5))) // 5 duplicated keys
+          "committed"
+        } catch {
+          case e: Throwable =>
+            val pkViolation = Iterator.iterate(e)(_.getCause)
+              .takeWhile(_ != null)
+              .exists(_.isInstanceOf[MemTable.CommitConflictException])
+            if (pkViolation) "rejected" else throw e
+        }
+      audit += ((2L, "dup_write", outcome, version(), readBack().count()))
+      write(clicks) // corrected retry
+      audit += ((3L, "retry", "committed", version(), readBack().count()))
+      import s.implicits._
+      audit.toSeq
+        .toDF("step", "writer", "outcome", "version_after", "n_rows_visible")
+        .orderBy("step")
+    },
+    Some("""
+      WITH c AS (
+        SELECT count(*) AS nc FROM events WHERE event_type = 'click')
+      SELECT step, writer, outcome, version_after, n_rows_visible
+      FROM c, LATERAL (
+        SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'clean_write', 'committed', CAST(1 AS BIGINT),
+           c.nc),
+          (2, 'dup_write', 'rejected', 1, c.nc),
+          (3, 'retry', 'committed', 2, c.nc))
+          v(step, writer, outcome, version_after, n_rows_visible))
+      ORDER BY step"""))
+
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
-    q123, q128, q129, q143, q187, q189, q190, q192, q194)
+    q123, q128, q129, q143, q187, q189, q190, q192, q194, q200)
 }

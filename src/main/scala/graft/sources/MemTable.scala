@@ -90,10 +90,13 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
     // optimistic concurrency (q189): a writer may pin the snapshot
     // version it based its work on; commit rejects if it moved
     val expected = Option(info.options.get("expectedVersion")).map(_.toLong)
+    // write-barrier integrity (q200): a declared primary key makes the
+    // COMMIT validate uniqueness across all tasks' rows before publishing
+    val pk = Option(info.options.get("primaryKey"))
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new MemBatchWrite(runId, writeSchema, pc, expected)
+          new MemBatchWrite(runId, writeSchema, pc, expected, pk)
       }
     }
   }
@@ -103,7 +106,8 @@ private[sources] case class MemPartMessage(parts: Map[String, Vector[Array[Any]]
     extends WriterCommitMessage
 
 private[sources] class MemBatchWrite(runId: String, schema: StructType,
-    partCol: String, expectedVersion: Option[Long] = None)
+    partCol: String, expectedVersion: Option[Long] = None,
+    primaryKey: Option[String] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(schema, partCol)
@@ -113,6 +117,20 @@ private[sources] class MemBatchWrite(runId: String, schema: StructType,
     val merged = messages.foldLeft(Map.empty[String, Vector[Array[Any]]]) { (acc, m) =>
       m.asInstanceOf[MemPartMessage].parts.foldLeft(acc) { case (a, (k, rs)) =>
         a.updated(k, a.getOrElse(k, Vector.empty) ++ rs)
+      }
+    }
+    // write-barrier integrity: the driver sees every task's rows at
+    // commit — the ONLY point where cross-task uniqueness is checkable
+    // without a shuffle. A violation rejects the whole commit; nothing
+    // publishes (q81 detects dupes after the fact; this PREVENTS them).
+    primaryKey.foreach { pk =>
+      val idx = schema.fieldNames.indexOf(pk)
+      require(idx >= 0, s"MemTable: primaryKey '$pk' not in schema")
+      val seen = scala.collection.mutable.HashSet.empty[Any]
+      merged.valuesIterator.flatten.foreach { row =>
+        if (!seen.add(row(idx)))
+          throw new MemTable.CommitConflictException(
+            s"MemTable '$runId': primary key violation on $pk = ${row(idx)}")
       }
     }
     // single-point conflict check + swap: the task work is already done
