@@ -2252,7 +2252,81 @@ object StreamingOps {
                AS BIGINT) AS digest_sum
       FROM events"""))
 
+  /** The FULL materialized-view lifecycle — maintenance and serving in
+    * one entry: the fact arrives as a STREAM (orders replayed file-by-
+    * file — the backfill shape), each micro-batch MERGES its daily
+    * delta into the running summary (st6's upsert algebra; additive
+    * merges make the final MV independent of how the stream batched),
+    * the finished summary spools as the MV, registers with the
+    * MaterializedViewRewrite rule, and the UNCHANGED fact-shaped query
+    * is answered from it — plan pinned to read the MV, hashes checked
+    * against the fact recompute. q77/q173 prove maintenance algebra,
+    * q195 proves substitution; st32 proves the LOOP: what the stream
+    * maintains is byte-for-byte what the optimizer serves. */
+  val st32 = GraftQuery(
+    "st32_streaming_mv_serving",
+    "Stream-maintained daily-revenue MV registered into the rewrite rule and served",
+    (s, dir) => {
+      import graft.plans.MaterializedViewRewrite
+      val ordSpool = spoolOnce(s"st32_orders", dir) { p =>
+        table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+          .coalesce(4).write.mode("overwrite").parquet(p)
+      }
+      val schema = s.read.parquet(ordSpool).schema
+      var mv: DataFrame = s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "d DATE, cents BIGINT"))
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      val savedNoData = s.conf.getOption(
+        "spark.sql.streaming.noDataMicroBatches.enabled").getOrElse("true")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(ordSpool)
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val delta = b.groupBy(to_date(col("o_orderdate")).as("d"))
+              .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+                .as("cents"))
+            mv = mv.as("t").join(delta.as("x"), Seq("d"), "full_outer")
+              .select(col("d"),
+                (coalesce(col("t.cents"), lit(0L))
+                  + coalesce(col("x.cents"), lit(0L))).as("cents"))
+              .localCheckpoint(true)
+            ()
+          }
+          .option("checkpointLocation", spoolDir(s"ckpt_st32_${runTag()}"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", saved)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+      }
+      val mvPath = spoolDir(s"st32_mv_${runTag()}")
+      mv.coalesce(1).write.mode("overwrite").parquet(mvPath)
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations = Seq(MaterializedViewRewrite)
+      MaterializedViewRewrite.registry.put("orders.parquet",
+        s2.read.parquet(mvPath).queryExecution.analyzed)
+      table(s2, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+        .orderBy("d")
+    },
+    Some("""
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      GROUP BY 1
+      ORDER BY d"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25, st26, st27, st28, st29, st30, st31)
+    st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32)
 }

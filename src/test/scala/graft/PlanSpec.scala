@@ -1334,6 +1334,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hashEx <= 1, s"$hashEx hash exchanges; expected only the lang rollup\n$p")
   }
 
+  test("st32: the stream-maintained MV serves the query — no orders.parquet in the final plan") {
+    val p = plan(operators.StreamingOps.st32.build(spark, sfDir))
+    val factScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("orders.parquet"))
+    assert(factScans == 0,
+      s"fact scanned — the maintained MV was not served\n$p")
+    assert(p.contains("st32_mv_"),
+      s"stream-maintained MV missing from the plan\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
