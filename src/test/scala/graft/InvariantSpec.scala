@@ -922,6 +922,61 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       "degenerate fixture: the removed shard owned nothing")
   }
 
+  test("q174: the Lorenz curve is monotone, ends at 10000 bp, and sits below the diagonal (Gini > 0)") {
+    val rows = operators.Relational.q174.build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    val shares = rows.sortBy(_._1).map(_._2)
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b },
+      s"cumulative shares decreased: ${shares.toSeq}")
+    assert(shares.last == 10000L, s"final cumulative share ${shares.last} != 10000")
+    // below-diagonal: decile d of 10 holds < d*1000 bp when concentration exists
+    val gini = rows.head._3
+    assert(gini > 0 && gini < 10000, s"degenerate gini $gini")
+    assert(shares.head < 1000L,
+      s"bottom decile holds ${shares.head} bp — no concentration, gini suspect")
+  }
+
+  test("q176: every autocorrelation lands in [-10000, 10000] and pair counts shrink by lag") {
+    val rows = operators.EventWindows.q176.build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 7)
+    rows.foreach { case (lag, _, bp) =>
+      assert(math.abs(bp) <= 10000, s"lag $lag acf $bp outside [-1,1]")
+    }
+    val ns = rows.sortBy(_._1).map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a == b + 1 },
+      s"pair counts must shrink by exactly one per lag: ${ns.toSeq}")
+  }
+
+  test("q185: quartiles are ordered p25 <= p50 <= p75 within every flag") {
+    val rows = operators.Relational.q185.build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (flag, qs) =>
+      val sorted = qs.sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+        s"flag $flag quartiles out of order: ${sorted.toSeq}")
+    }
+  }
+
+  test("m19: rotation histogram partitions the samples and flips stay near half") {
+    val rows = operators.Multimodal.m19.build(spark, sfDir).collect()
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val rots = (5 to 8).map(r.getLong).sum
+      assert(rots == n, s"epoch ${r.getLong(0)}: rotation counts $rots != n $n")
+      val flips = r.getLong(2)
+      assert(flips * 10 > n * 3 && flips * 10 < n * 7,
+        s"epoch ${r.getLong(0)}: flip share $flips/$n far from uniform")
+    }
+  }
+
+  test("t46: every pairwise TV distance is a valid [0, 10000] bp and the matrix covers all pairs") {
+    val rows = operators.TextAnalysis.t46.build(spark, sfDir).collect()
+      .map(r => r.getLong(3))
+    assert(rows.length == 190, s"expected C(20,2)=190 pairs, got ${rows.length}")
+    rows.foreach(bp => assert(bp >= 0 && bp <= 10000, s"TV $bp outside [0,1]"))
+  }
+
   test("results are invariant to shuffle partitioning — the claim every doc makes, executed") {
     // the determinism story (hash-consistent sampling, DECIMAL money
     // aggregation, integer scores, unique-key sorts) all reduces to ONE
