@@ -2025,7 +2025,80 @@ object Dedup {
       LEFT JOIN escaping e USING (cluster_id)
       ORDER BY cluster_id"""))
 
+  /** PAIR-EVIDENCE extraction — what a human reviewer actually reads
+    * when signing off a dedup decision: for each near-dup pair, the
+    * top-3 RAREST shared shingles (rarity = corpus document frequency,
+    * ascending — a shingle shared by only these two documents is
+    * damning; one shared by half the corpus is noise). Rarity-ranked
+    * evidence is also the d17 prefix-filter insight inverted: the rare
+    * end of the df spectrum carries the signal. Shared shingles come
+    * from the same bounded equi-join as d3; df is one shingle-table
+    * rollup joined back (broadcast — the df table is vocabulary-sized);
+    * top-3 per pair is a window over the pair's shared set. Ties pin
+    * lexicographically, so the evidence table is bit-stable. */
+  val d28 = GraftQuery(
+    "d28_pair_evidence",
+    "Top-3 rarest shared shingles per near-dup pair: the human-readable dedup evidence",
+    (s, dir) => {
+      val sh = table(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val df = sh.groupBy("s").agg(countDistinct("doc_id").as("df"))
+      val goodPairs = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("doc_id").as("doc1"),
+          col("n").as("n1"))), "doc1")
+        .join(broadcast(sizes.select(col("doc_id").as("doc2"),
+          col("n").as("n2"))), "doc2")
+        .filter(expr("inter * 10000 div (n1 + n2 - inter) >= 5000"))
+        .select("doc1", "doc2")
+      val shared = goodPairs
+        .join(sh.select(col("doc_id").as("doc1"), col("s")), Seq("doc1"))
+        .join(sh.select(col("doc_id").as("doc2"), col("s")), Seq("doc2", "s"))
+        .join(df, Seq("s"))
+      shared
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc1", "doc2").orderBy(col("df"), col("s"))))
+        .filter(col("rank") <= 3)
+        .select(col("doc1"), col("doc2"), col("rank").cast("long").as("rank"),
+          col("s").as("shingle"), col("df"))
+        .orderBy("doc1", "doc2", "rank")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                 FROM documents WHERE doc_id < 300),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      dfreq AS (SELECT s, count(DISTINCT doc_id) AS df FROM sh GROUP BY s),
+      pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      good AS (SELECT doc1, doc2 FROM pairs
+               JOIN sizes na ON na.doc_id = doc1
+               JOIN sizes nb ON nb.doc_id = doc2
+               WHERE inter * 10000 // (na.n + nb.n - inter) >= 5000),
+      shared AS (
+        SELECT g.doc1, g.doc2, a.s, dfreq.df
+        FROM good g
+        JOIN sh a ON a.doc_id = g.doc1
+        JOIN sh b ON b.doc_id = g.doc2 AND b.s = a.s
+        JOIN dfreq ON dfreq.s = a.s),
+      ranked AS (
+        SELECT doc1, doc2, s, df,
+               row_number() OVER (PARTITION BY doc1, doc2
+                                  ORDER BY df, s) AS rank
+        FROM shared)
+      SELECT doc1, doc2, CAST(rank AS BIGINT) AS rank, s AS shingle,
+             CAST(df AS BIGINT) AS df
+      FROM ranked WHERE rank <= 3
+      ORDER BY doc1, doc2, rank"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
     d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
-    d26, d27)
+    d26, d27, d28)
 }
