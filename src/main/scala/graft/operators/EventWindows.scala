@@ -1936,8 +1936,74 @@ object EventWindows {
       GROUP BY 1
       ORDER BY d"""))
 
+  /** REVENUE BRIDGE — the finance-review decomposition of a
+    * month-over-month revenue move into its three exact components:
+    * volume effect (Δn at the old average order value), price effect
+    * (old volume at the new-vs-old AOV), and the joint term, with
+    * ΔR = volume + price + joint holding EXACTLY because the joint
+    * term is defined as the remainder (it absorbs both the interaction
+    * and the integer floors — the reconciliation discipline that lets
+    * the bridge be audited to the micro-dollar instead of "roughly
+    * explaining" the move). AOV is a rational (R/n) never materialized:
+    * each effect is a single integral division in micro-dollars,
+    * sign-split (q130). One orders scan to the |months| rollup; the
+    * bridge is a lag window over that tiny frame. */
+  val q201 = GraftQuery(
+    "q201_revenue_bridge",
+    "MoM revenue bridge: volume/price/joint effects in micro-dollars, exact reconciliation",
+    (s, dir) => {
+      val monthly = table(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .withColumn("r", expr("cents div 100"))
+        .localCheckpoint(true)
+      val w = Window.orderBy("m")
+      monthly
+        .withColumn("n1", lag("n", 1).over(w))
+        .withColumn("r1", lag("r", 1).over(w))
+        .filter(col("n1").isNotNull)
+        .withColumn("delta_micro", expr("(r - r1) * 1000000"))
+        .withColumn("vol_micro", expr(
+          """CASE WHEN n >= n1
+               THEN ((n - n1) * r1 * 1000000) div n1
+               ELSE -(((n1 - n) * r1 * 1000000) div n1) END"""))
+        .withColumn("price_micro", expr(
+          "(n1 * r * 1000000) div n - r1 * 1000000"))
+        .withColumn("joint_micro",
+          expr("delta_micro - vol_micro - price_micro"))
+        .select("m", "n", "r", "delta_micro", "vol_micro", "price_micro",
+          "joint_micro")
+        .orderBy("m")
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS m, count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 // 100 AS r
+        FROM orders GROUP BY 1),
+      lagged AS (
+        SELECT m, n, r,
+               lag(n) OVER (ORDER BY m) AS n1,
+               lag(r) OVER (ORDER BY m) AS r1
+        FROM monthly)
+      SELECT m, n, r,
+             (r - r1) * 1000000 AS delta_micro,
+             CASE WHEN n >= n1
+               THEN ((n - n1) * r1 * 1000000) // n1
+               ELSE -(((n1 - n) * r1 * 1000000) // n1) END AS vol_micro,
+             (n1 * r * 1000000) // n - r1 * 1000000 AS price_micro,
+             (r - r1) * 1000000
+               - (CASE WHEN n >= n1
+                    THEN ((n - n1) * r1 * 1000000) // n1
+                    ELSE -(((n1 - n) * r1 * 1000000) // n1) END)
+               - ((n1 * r * 1000000) // n - r1 * 1000000) AS joint_micro
+      FROM lagged
+      WHERE n1 IS NOT NULL
+      ORDER BY m"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
     q150, q154, q157, q159, q163, q167, q169, q175, q176, q177, q179,
-    q180, q183, q184)
+    q180, q183, q184, q201)
 }
