@@ -2687,10 +2687,59 @@ object Relational {
       GROUP BY flag, decile
       ORDER BY flag, decile"""))
 
+  /** SQL-text / DataFrame-API PARITY — a user of this engine writes
+    * either surface and must get identical bytes: the q1 pricing
+    * summary is computed twice in the SAME session, once through
+    * `spark.sql` over registered views (the BI-tool path) and once
+    * through the DataFrame API (the pipeline path), and the two results
+    * FULL-OUTER join on the group key with every measure compared. The
+    * output is the parity ledger: one row per group, a `parity` flag
+    * that must be uniformly true, and the measures themselves (so the
+    * driver's oracle ALSO checks the values — three-way agreement:
+    * SQL path == API path == DuckDB). Any Catalyst divergence between
+    * the parser→analyzer path and the DSL path (implicit casts,
+    * aggregate coercion) surfaces here as a false flag, not a silent
+    * dashboard discrepancy. */
+  val q202 = GraftQuery(
+    "q202_sql_api_parity",
+    "spark.sql text vs DataFrame API: same aggregate, full-outer parity ledger",
+    (s, dir) => {
+      table(s, dir, "lineitem").createOrReplaceTempView("q202_lineitem")
+      val viaSql = s.sql("""
+        SELECT l_returnflag AS flag, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS price
+        FROM q202_lineitem
+        GROUP BY l_returnflag""")
+      val viaApi = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("price"))
+      viaSql.as("s")
+        .join(viaApi.as("a"), col("s.flag") === col("a.flag"), "full_outer")
+        .select(coalesce(col("s.flag"), col("a.flag")).as("flag"),
+          col("s.n").as("n"), col("s.qty").as("qty"),
+          col("s.price").as("price"),
+          (col("s.n") === col("a.n") && col("s.qty") === col("a.qty") &&
+            col("s.price") === col("a.price")).as("parity"))
+        .orderBy("flag")
+    },
+    Some("""
+      SELECT l_returnflag AS flag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS price,
+             true AS parity
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY flag"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
-    q182, q185, q196)
+    q182, q185, q196, q202)
 }
