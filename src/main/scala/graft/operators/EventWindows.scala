@@ -2002,8 +2002,64 @@ object EventWindows {
       WHERE n1 IS NOT NULL
       ORDER BY m"""))
 
+  /** FRAME-DIRECTION spectrum — the two window-frame directions the
+    * registry's trailing-heavy entries never pinned: the LEADING frame
+    * (next-7-days sum — the demand-visibility number every supply plan
+    * reads) and the SUFFIX frame (remaining-to-date total — the
+    * "backlog burn-down" denominator), computed alongside the familiar
+    * trailing frame so all three directions ride ONE day-ordered window
+    * family over the pinned daily rollup. remaining_share_bp divides
+    * suffix by the grand total in integer bp. One orders scan; every
+    * frame is |days|-sized work. */
+  val q203 = GraftQuery(
+    "q203_frame_spectrum",
+    "Trailing-7, leading-7, and suffix sums on one day-ordered window + remaining share bp",
+    (s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .localCheckpoint(true)
+      val w = Window.orderBy("d")
+      daily
+        .withColumn("trail7",
+          sum("cents").over(w.rowsBetween(-6, 0)))
+        .withColumn("lead7",
+          sum("cents").over(w.rowsBetween(0, 6)))
+        .withColumn("suffix",
+          sum("cents").over(w.rowsBetween(Window.currentRow,
+            Window.unboundedFollowing)))
+        .withColumn("total",
+          sum("cents").over(Window.partitionBy()))
+        .withColumn("remaining_share_bp", expr("suffix * 10000 div total"))
+        .select("d", "cents", "trail7", "lead7", "suffix",
+          "remaining_share_bp")
+        .orderBy("d")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1)
+      SELECT d, cents,
+             CAST(sum(cents) OVER (ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS trail7,
+             CAST(sum(cents) OVER (ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS BIGINT)
+               AS lead7,
+             CAST(sum(cents) OVER (ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+               AS suffix,
+             CAST(sum(cents) OVER (ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+               * 10000 // CAST(sum(cents) OVER () AS BIGINT)
+               AS remaining_share_bp
+      FROM daily
+      ORDER BY d"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
     q150, q154, q157, q159, q163, q167, q169, q175, q176, q177, q179,
-    q180, q183, q184, q201)
+    q180, q183, q184, q201, q203)
 }
