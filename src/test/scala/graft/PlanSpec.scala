@@ -1344,6 +1344,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream-maintained MV missing from the plan\n$p")
   }
 
+  test("q199: both shard maps derive from the pinned scored frame — one orders scan total") {
+    val p = plan(operators.Warehouse.q199.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("orders.parquet"))
+    assert(scans == 0, s"$scans orders re-scans past the pinned HRW frame\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"pinned scored frame missing\n$p")
+  }
+
+  test("q201: the bridge runs on the pinned monthly rollup — no orders re-scan") {
+    val p = plan(operators.EventWindows.q201.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("orders.parquet"))
+    assert(scans == 0, s"$scans orders re-scans past the pinned rollup\n$p")
+  }
+
+  test("q203: all three frame directions ride the pinned daily rollup") {
+    val p = plan(operators.EventWindows.q203.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("orders.parquet"))
+    assert(scans == 0, s"$scans orders re-scans past the pinned rollup\n$p")
+  }
+
+  test("q194: each migration hop scans its own format once — events itself is read once") {
+    val p = plan(operators.Sources.q194.build(spark, sfDir))
+    val evScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("events.parquet"))
+    assert(evScans == 1, s"expected one events scan, got $evScans\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
