@@ -3046,8 +3046,86 @@ object TextAnalysis {
       GROUP BY lang
       ORDER BY lang"""))
 
+  /** DATASET DATASHEET — the per-source summary every corpus release
+    * ships (Gebru et al.'s datasheets, operationalized): volume (docs,
+    * words), language spread, EXACT duplicate rate (md5-identical texts
+    * within the source, the d1 discipline, in bp), mean word length in
+    * milli-chars (the cheap quality proxy), and the exact median
+    * document length (lower median via per-source rank — no collect,
+    * no interpolation). One corpus scan feeds the volume/quality
+    * numbers and the digest rollup; the median rides a per-source rank
+    * window (each source sorts only its own docs). The point of the
+    * entry is ASSEMBLY: ten families of metrics exist in this registry
+    * — a release needs them in one table. */
+  val t54 = GraftQuery(
+    "t54_dataset_datasheet",
+    "Per-source release datasheet: volume, languages, dup bp, quality proxy, median length",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("source"), col("lang"), col("text"),
+          length(col("text")).cast("long").as("n_chars_t"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          md5(col("text").cast("binary")).as("dg"))
+        .localCheckpoint(true)
+      val dup = docs.groupBy("source", "dg").agg(count(lit(1)).as("k"))
+        .groupBy("source")
+        .agg(sum(expr("k - 1")).as("n_dup_docs"))
+      val wRank = Window.partitionBy("source").orderBy("n_chars_t", "dg")
+      val med = docs
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("tot", count(lit(1)).over(Window.partitionBy("source")))
+        .filter(col("rn") === expr("(tot + 1) div 2"))
+        .select(col("source"), col("n_chars_t").as("median_chars"))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("lang").as("n_langs"),
+          sum("n_words").as("total_words"),
+          expr("sum(n_chars_t) * 1000 div sum(n_words)")
+            .as("avg_word_len_milli"))
+        .join(dup, Seq("source"))
+        .join(med, Seq("source"))
+        .withColumn("dup_bp", expr("n_dup_docs * 10000 div n_docs"))
+        .select("source", "n_docs", "n_langs", "total_words",
+          "avg_word_len_milli", "dup_bp", "median_chars")
+        .orderBy("source")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT source, lang, text,
+               CAST(length(text) AS BIGINT) AS n_chars_t,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               md5(text) AS dg
+        FROM documents),
+      dup AS (
+        SELECT source, CAST(sum(k - 1) AS BIGINT) AS n_dup_docs
+        FROM (SELECT source, dg, count(*) AS k FROM docs GROUP BY 1, 2)
+        GROUP BY source),
+      med AS (
+        SELECT source, n_chars_t AS median_chars
+        FROM (SELECT source, n_chars_t,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars_t, dg) AS rn,
+                     count(*) OVER (PARTITION BY source) AS tot
+              FROM docs)
+        WHERE rn = (tot + 1) // 2),
+      vol AS (
+        SELECT source, count(*) AS n_docs,
+               count(DISTINCT lang) AS n_langs,
+               CAST(sum(n_words) AS BIGINT) AS total_words,
+               CAST(sum(n_chars_t) * 1000 // sum(n_words) AS BIGINT)
+                 AS avg_word_len_milli
+        FROM docs GROUP BY source)
+      SELECT v.source, v.n_docs, v.n_langs, v.total_words,
+             v.avg_word_len_milli,
+             CAST(d.n_dup_docs * 10000 // v.n_docs AS BIGINT) AS dup_bp,
+             m.median_chars
+      FROM vol v
+      JOIN dup d USING (source)
+      JOIN med m USING (source)
+      ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-    t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52)
+    t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54)
 }
