@@ -2736,10 +2736,61 @@ object Relational {
       GROUP BY l_returnflag
       ORDER BY flag"""))
 
+  /** BASKET-SIMILARITY join — d17's exact set-similarity discipline on
+    * TRANSACTIONAL data: which orders bought near-identical part sets
+    * (the wholesale-account and fraud-ring signal q160's item-pair
+    * rules can't see, because it is the whole basket that matches).
+    * Candidates come from the shared-part equi-join (never all-pairs —
+    * an order pair is only compared if a part CONNECTS it), Jaccard is
+    * exact integer bp over distinct-part sets, and the report is the
+    * top-20 most-similar pairs (ties by keys). Bounded to a 5 % order
+    * slice so the oracle's self-join stays cheap at every fixture
+    * scale; the production path is the same join over d2-style banded
+    * part-set signatures. */
+  val q204 = GraftQuery(
+    "q204_basket_similarity",
+    "Top-20 order pairs by exact part-set Jaccard (shared-part candidates, integer bp)",
+    (s, dir) => {
+      val baskets = table(s, dir, "lineitem")
+        .filter(expr("l_orderkey % 20 = 0"))
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      val sizes = baskets.groupBy("okey").agg(count(lit(1)).as("n"))
+      baskets.as("a").join(baskets.as("b"),
+          col("a.pk") === col("b.pk") && col("a.okey") < col("b.okey"))
+        .groupBy(col("a.okey").as("o1"), col("b.okey").as("o2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("okey").as("o1"),
+          col("n").as("n1"))), "o1")
+        .join(broadcast(sizes.select(col("okey").as("o2"),
+          col("n").as("n2"))), "o2")
+        .withColumn("jac_bp", expr("inter * 10000 div (n1 + n2 - inter)"))
+        .orderBy(desc("jac_bp"), col("o1"), col("o2"))
+        .limit(20)
+        .select("o1", "o2", "inter", "n1", "n2", "jac_bp")
+    },
+    Some("""
+      WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+        FROM lineitem WHERE l_orderkey % 20 = 0),
+      sizes AS (SELECT okey, count(*) AS n FROM baskets GROUP BY okey),
+      pairs AS (
+        SELECT a.okey AS o1, b.okey AS o2, count(*) AS inter
+        FROM baskets a JOIN baskets b
+          ON a.pk = b.pk AND a.okey < b.okey
+        GROUP BY 1, 2)
+      SELECT o1, o2, inter, na.n AS n1, nb.n AS n2,
+             inter * 10000 // (na.n + nb.n - inter) AS jac_bp
+      FROM pairs
+      JOIN sizes na ON na.okey = o1
+      JOIN sizes nb ON nb.okey = o2
+      ORDER BY jac_bp DESC, o1, o2
+      LIMIT 20"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
-    q182, q185, q196, q202)
+    q182, q185, q196, q202, q204)
 }

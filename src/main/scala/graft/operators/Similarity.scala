@@ -2525,7 +2525,76 @@ object Similarity {
       GROUP BY label
       ORDER BY label"""))
 
+  /** CLASS-SEPARABILITY matrix — the embedding-eval report s28's
+    * silhouette summarizes into one number, laid out in full: the
+    * pairwise squared distance between every two LABEL CENTROIDS, in
+    * exact integer micro-centi² — centroids stay RATIONAL (Σx, n),
+    * never divided (the s28 rule), so d²(ci,cj) evaluates as
+    * |nj·Σxi − ni·Σxj|² / (ni·nj)², the numerator a BIGINT dot fold
+    * and the division one DECIMAL(38,0) integral op at the surface.
+    * Close centroid pairs name the confusable classes (where s23's
+    * label-error audit should look first). One embeddings scan to 10
+    * centroid rows; the 45-pair matrix is model-state-sized. */
+  val s30 = GraftQuery(
+    "s30_class_separability",
+    "Pairwise label-centroid squared distances in exact micro units (confusable classes)",
+    (s, dir) => {
+      val cent = table(s, dir, "embeddings")
+        .withColumn("xi",
+          expr("transform(embedding, x -> CAST(round(x * 100) AS BIGINT))"))
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"),
+          expr("""aggregate(collect_list(xi), CAST(NULL AS ARRAY<BIGINT>),
+                    (acc, v) -> CASE WHEN acc IS NULL THEN v
+                                     ELSE zip_with(acc, v, (a, b) -> a + b)
+                                END)""").as("sx"))
+        .localCheckpoint(true)
+      cent.as("a").join(cent.as("b"), col("a.label") < col("b.label"))
+        .select(col("a.label").as("l1"), col("b.label").as("l2"),
+          col("a.n").as("n1"), col("b.n").as("n2"),
+          expr("""aggregate(
+                    zip_with(a.sx, b.sx, (x, y) -> b.n * x - a.n * y),
+                    CAST(0 AS DECIMAL(38,0)),
+                    (acc, d) -> acc + CAST(d AS DECIMAL(38,0))
+                                      * CAST(d AS DECIMAL(38,0)))""")
+            .as("num"))
+        .withColumn("d2_micro", expr(
+          """CAST((num * 1000000)
+               div (CAST(n1 AS DECIMAL(38,0)) * n2
+                    * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"""))
+        .select("l1", "l2", "n1", "n2", "d2_micro")
+        .orderBy("l1", "l2")
+    },
+    Some("""
+      WITH q AS (
+        SELECT CAST(label AS BIGINT) AS label,
+               list_transform(embedding,
+                 x -> CAST(round(x * 100) AS BIGINT)) AS xi
+        FROM embeddings),
+      n AS (SELECT label, count(*) AS n FROM q GROUP BY label),
+      comp AS (
+        SELECT label, i, CAST(sum(xi[CAST(i AS INTEGER)]) AS BIGINT) AS sx
+        FROM q, UNNEST(range(1, 65)) t(i)
+        GROUP BY label, i),
+      pairnum AS (
+        SELECT a.label AS l1, b.label AS l2,
+               sum(CAST(nb.n * a.sx - na.n * b.sx AS HUGEINT)
+                   * CAST(nb.n * a.sx - na.n * b.sx AS HUGEINT)) AS num
+        FROM comp a
+        JOIN comp b ON a.i = b.i AND a.label < b.label
+        JOIN n na ON na.label = a.label
+        JOIN n nb ON nb.label = b.label
+        GROUP BY 1, 2)
+      SELECT p.l1, p.l2, na.n AS n1, nb.n AS n2,
+             CAST((p.num * 1000000)
+                  // (CAST(na.n AS HUGEINT) * nb.n * na.n * nb.n)
+               AS BIGINT) AS d2_micro
+      FROM pairnum p
+      JOIN n na ON na.label = p.l1
+      JOIN n nb ON nb.label = p.l2
+      ORDER BY l1, l2"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
     s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-    s27, s28, s29)
+    s27, s28, s29, s30)
 }
