@@ -2098,7 +2098,76 @@ object Dedup {
       FROM ranked WHERE rank <= 3
       ORDER BY doc1, doc2, rank"""))
 
+  /** SURVIVORSHIP merge — what master-data management does AFTER d8
+    * picks a representative: the surviving record's FIELDS merge across
+    * the whole cluster under per-field rules (keep the minimum id, the
+    * longest text's length, the union of sources and languages, the
+    * total character mass) — the golden-record discipline, because the
+    * representative's own metadata is usually incomplete and the
+    * duplicates each carry a piece. Per-field rules are plain
+    * aggregates over the label join, so the merge is one |cluster|
+    * rollup; sorted-set fields use array_sort + array_join for
+    * bit-stable output. Bounded to the d6 closure so the oracle
+    * replays it; singletons pass through as their own golden record. */
+  val d29 = GraftQuery(
+    "d29_survivorship_merge",
+    "Golden records: per-field survivorship rules merged across each dup cluster",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      val labeled = docs
+        .join(broadcast(clusterLabels(s, dir)
+          .select(col("doc_id"), col("cluster_id"))), Seq("doc_id"), "left_outer")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      labeled.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          min("doc_id").as("golden_id"),
+          max("n_chars").as("longest_chars"),
+          sum("n_chars").as("total_chars"),
+          array_join(array_sort(collect_set("source")), ",").as("sources"),
+          array_join(array_sort(collect_set("lang")), ",").as("langs"))
+        .orderBy("cluster_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents WHERE doc_id < 300),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      good AS (SELECT doc1, doc2 FROM pairs
+               JOIN sizes na ON na.doc_id = doc1
+               JOIN sizes nb ON nb.doc_id = doc2
+               WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.3),
+      edges AS (SELECT doc1 AS src, doc2 AS dst FROM good
+                UNION ALL SELECT doc2, doc1 FROM good),
+      reach AS (SELECT src AS id, src AS label FROM edges
+                UNION
+                SELECT e.dst AS id, r.label FROM reach r
+                JOIN edges e ON e.src = r.id),
+      lab AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+      members AS (
+        SELECT coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+               d.doc_id, d.source, d.lang, d.n_chars
+        FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+        WHERE d.doc_id < 300)
+      SELECT cluster_id, count(*) AS n_members,
+             min(doc_id) AS golden_id,
+             CAST(max(n_chars) AS BIGINT) AS longest_chars,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             array_to_string(list_sort(list_distinct(list(source))), ',')
+               AS sources,
+             array_to_string(list_sort(list_distinct(list(lang))), ',')
+               AS langs
+      FROM members
+      GROUP BY cluster_id
+      ORDER BY cluster_id"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
     d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
-    d26, d27, d28)
+    d26, d27, d28, d29)
 }

@@ -3020,9 +3020,63 @@ object Warehouse {
       GROUP BY 1, 2
       ORDER BY shard_before, shard_after"""))
 
+  /** METRIC-STORE re-aggregation consistency — the semantic-layer lesson
+    * every BI team learns the hard way, proven as data: ADDITIVE
+    * metrics (revenue) re-aggregate from day grain to month exactly;
+    * RATIO metrics (average order value) do NOT — the naive
+    * avg-of-daily-averages diverges from the true monthly AOV, while
+    * the weighted form (carry numerator and denominator, divide at the
+    * end) reconciles to the cent. Per month: direct-computed revenue
+    * and AOV, day-rolled revenue (must equal), naive avg-of-avgs AOV,
+    * weighted AOV (must equal direct), and the naive error in cents —
+    * nonzero precisely where daily volumes differ, which is why a
+    * metric store must define ratios as fraction PAIRS. All integer
+    * cents, floor division both engines. One orders scan pinned; both
+    * grains derive from it. */
+  val q205 = GraftQuery(
+    "q205_metric_reaggregation",
+    "Additive vs ratio metrics across grains: day->month rollup, naive vs weighted AOV",
+    (s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .withColumn("day_aov", expr("cents div n"))
+        .localCheckpoint(true)
+      daily.groupBy("m")
+        .agg(sum("n").as("n_orders"),
+          sum("cents").as("revenue_cents"),
+          expr("sum(cents) div sum(n)").as("aov_direct"),
+          expr("sum(day_aov) div count(*)").as("aov_naive"),
+          expr("sum(cents) div sum(n)").as("aov_weighted"))
+        .withColumn("naive_err_cents", expr("aov_naive - aov_direct"))
+        .orderBy("m")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS m,
+               CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1, 2)
+      SELECT m, CAST(sum(n) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents,
+             CAST(sum(cents) AS BIGINT) // CAST(sum(n) AS BIGINT)
+               AS aov_direct,
+             CAST(sum(cents // n) AS BIGINT) // count(*) AS aov_naive,
+             CAST(sum(cents) AS BIGINT) // CAST(sum(n) AS BIGINT)
+               AS aov_weighted,
+             CAST(sum(cents // n) AS BIGINT) // count(*)
+               - CAST(sum(cents) AS BIGINT) // CAST(sum(n) AS BIGINT)
+               AS naive_err_cents
+      FROM daily
+      GROUP BY m
+      ORDER BY m"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
     q162, q164, q165, q168, q172, q173, q178, q181, q186, q188, q191,
-    q195, q197, q198, q199)
+    q195, q197, q198, q199, q205)
 }
