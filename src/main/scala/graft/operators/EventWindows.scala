@@ -2058,8 +2058,131 @@ object EventWindows {
       FROM daily
       ORDER BY d"""))
 
+  /** COHORT LTV curve — q71 counts who comes back; this prices it: per
+    * signup cohort (first-seen week) and age (weeks since), the
+    * CUMULATIVE purchase value per cohort member in micro-cents — the
+    * curve whose asymptote is customer lifetime value and whose slope
+    * decay times payback. Cumulative sums ride a window over the
+    * (cohort × age) rollup; the per-member division is one integral op
+    * at the surface (cohort size fixed at birth — the denominator never
+    * moves, which is what makes LTV curves comparable across cohorts).
+    * One events scan to first-seen + purchases (the q71 join shape);
+    * everything after is |cohorts × ages|-sized. */
+  val q206 = GraftQuery(
+    "q206_cohort_ltv",
+    "Cumulative value per cohort member by age week, micro-cents (the LTV curve)",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val cohort = ev.groupBy("user_id")
+        .agg(min(expr("CAST(date_trunc('WEEK', ts) AS DATE)")).as("cw"))
+      val csize = cohort.groupBy("cw").agg(count(lit(1)).as("n_users"))
+      val spend = ev.filter(col("event_type") === "purchase")
+        .join(cohort, Seq("user_id"))
+        .withColumn("age_w", expr(
+          "datediff(CAST(date_trunc('WEEK', ts) AS DATE), cw) div 7"))
+        .groupBy("cw", "age_w")
+        .agg(sum((dec2(col("value")) * 100).cast("long")).as("cents"))
+      val wCum = Window.partitionBy("cw").orderBy("age_w")
+      spend
+        .withColumn("cum_cents", sum("cents").over(
+          wCum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(csize), Seq("cw"))
+        .withColumn("ltv_micro_per_user",
+          expr("cum_cents * 10000 div n_users"))
+        .select(col("cw"), col("age_w").cast("long").as("age_w"),
+          col("n_users"), col("cents"), col("cum_cents"),
+          col("ltv_micro_per_user"))
+        .orderBy("cw", "age_w")
+    },
+    Some("""
+      WITH cohort AS (
+        SELECT user_id,
+               min(CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE))
+                 AS cw
+        FROM events GROUP BY user_id),
+      csize AS (SELECT cw, count(*) AS n_users FROM cohort GROUP BY cw),
+      spend AS (
+        SELECT c.cw,
+               (CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)
+                - c.cw) // 7 AS age_w,
+               CAST(sum(CAST(CAST(e.value AS DECIMAL(14,2)) * 100
+                 AS BIGINT)) AS BIGINT) AS cents
+        FROM events e JOIN cohort c USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2)
+      SELECT s.cw, CAST(s.age_w AS BIGINT) AS age_w, z.n_users, s.cents,
+             CAST(sum(s.cents) OVER (PARTITION BY s.cw ORDER BY s.age_w
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+             CAST(sum(s.cents) OVER (PARTITION BY s.cw ORDER BY s.age_w
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) * 10000 // z.n_users
+               AS ltv_micro_per_user
+      FROM spend s JOIN csize z USING (cw)
+      ORDER BY cw, age_w"""))
+
+  /** REPURCHASE SURVIVAL curve — q179 histograms view→purchase latency;
+    * this one measures LOYALTY: of users with at least two purchases,
+    * what fraction repurchased within k days of their FIRST purchase,
+    * for k = 1..14 — the discrete survival curve whose complement is
+    * churn hazard. The gap computes once per user (first purchase →
+    * second purchase via one ranked window), then the curve is the
+    * gap distribution swept by a 14-row grid — no per-k re-scan.
+    * Integer day gaps, share in bp. */
+  val q207 = GraftQuery(
+    "q207_repurchase_survival",
+    "Fraction of repeat buyers whose 2nd purchase lands within k days, k = 1..14, in bp",
+    (s, dir) => {
+      val wP = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val gaps = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+        .withColumn("rn", row_number().over(wP))
+        .filter(col("rn") <= 2)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("k"),
+          min(when(col("rn") === 1, col("us"))).as("t1"),
+          min(when(col("rn") === 2, col("us"))).as("t2"))
+        .filter(col("k") === 2)
+        .withColumn("gap_days", expr(
+          "(t2 - t1) div (CAST(86400 AS BIGINT) * 1000000)"))
+        .localCheckpoint(true)
+      val totals = gaps.agg(count(lit(1)).as("n_repeat"))
+      gaps.withColumn("kday", explode(expr("sequence(1L, 14L)")))
+        .filter(col("gap_days") < col("kday"))
+        .groupBy("kday")
+        .agg(count(lit(1)).as("n_within"))
+        .crossJoin(broadcast(totals))
+        .withColumn("share_bp", expr("n_within * 10000 div n_repeat"))
+        .select(col("kday").as("k_days"), col("n_within"),
+          col("n_repeat"), col("share_bp"))
+        .orderBy("k_days")
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'),
+      gaps AS (
+        SELECT user_id,
+               (min(CASE WHEN rn = 2 THEN us END)
+                - min(CASE WHEN rn = 1 THEN us END))
+                 // (CAST(86400 AS BIGINT) * 1000000) AS gap_days
+        FROM p WHERE rn <= 2
+        GROUP BY user_id
+        HAVING count(*) = 2),
+      tot AS (SELECT count(*) AS n_repeat FROM gaps)
+      SELECT CAST(k AS BIGINT) AS k_days,
+             count(*) AS n_within, tot.n_repeat,
+             count(*) * 10000 // tot.n_repeat AS share_bp
+      FROM gaps, tot, (SELECT unnest(range(1, 15)) AS k)
+      WHERE gap_days < k
+      GROUP BY k, tot.n_repeat
+      ORDER BY k_days"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
     q150, q154, q157, q159, q163, q167, q169, q175, q176, q177, q179,
-    q180, q183, q184, q201, q203)
+    q180, q183, q184, q201, q203, q206,
+    q207)
 }
