@@ -3074,9 +3074,96 @@ object Warehouse {
       GROUP BY m
       ORDER BY m"""))
 
+  /** WAREHOUSE HEALTH SCORECARD — q81 checks one table deeply; the
+    * morning dashboard needs every table SHALLOWLY on one page: per
+    * core table, row count, primary-key duplicate count, null rate of
+    * its most-load-bearing column (bp), foreign-key orphan count
+    * against its parent, and staleness (days between the table's
+    * latest timestamp and the warehouse-wide high-water mark — data-
+    * clocked, q191's reproducibility rule). Each table contributes one
+    * row via its own bounded scan + one distinct/anti-join; the
+    * scorecard is the t54 assembly discipline applied to the warehouse
+    * side. A nonzero in ANY cell names the table to drill into with
+    * the deep tools (q81/q115/q117). */
+  val q208 = GraftQuery(
+    "q208_warehouse_scorecard",
+    "One-page health scorecard: rows, pk dups, null bp, fk orphans, staleness per table",
+    (s, dir) => {
+      import s.implicits._
+      def metrics(name: String, df: org.apache.spark.sql.DataFrame,
+          pk: org.apache.spark.sql.Column, nullCol: String,
+          fkOrphans: Long, staleDays: Long) = {
+        val r = df.agg(count(lit(1)).as("n"),
+          countDistinct(pk).as("nk"),
+          sum(when(col(nullCol).isNull, 1L).otherwise(0L)).as("nn")).head()
+        (name, r.getLong(0), r.getLong(0) - r.getLong(1),
+          if (r.getLong(0) == 0) 0L else r.getLong(2) * 10000 / r.getLong(0),
+          fkOrphans, staleDays)
+      }
+      val orders = table(s, dir, "orders")
+      val lineitem = table(s, dir, "lineitem")
+      val customer = table(s, dir, "customer")
+      val hwm = orders.agg(max(to_date(col("o_orderdate"))).as("h"))
+        .union(lineitem.agg(max(to_date(col("l_shipdate")))))
+        .agg(max("h")).head().getDate(0)
+      def staleness(df: org.apache.spark.sql.DataFrame, c: String): Long = {
+        val m = df.agg(max(to_date(col(c)))).head().getDate(0)
+        (hwm.toLocalDate.toEpochDay - m.toLocalDate.toEpochDay)
+      }
+      val ordOrphans = orders.join(customer,
+        col("o_custkey") === col("c_custkey"), "left_anti").count()
+      val liOrphans = lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+      Seq(
+        metrics("customer", customer, col("c_custkey"), "c_acctbal", 0L, 0L),
+        metrics("lineitem", lineitem,
+          expr("l_orderkey * 10 + l_linenumber"), "l_shipdate",
+          liOrphans, staleness(lineitem, "l_shipdate")),
+        metrics("orders", orders, col("o_orderkey"), "o_custkey",
+          ordOrphans, staleness(orders, "o_orderdate")))
+        .toDF("tbl", "n_rows", "pk_dups", "null_bp", "fk_orphans",
+          "stale_days")
+        .orderBy("tbl")
+    },
+    Some("""
+      WITH hwm AS (
+        SELECT greatest(
+          (SELECT max(CAST(o_orderdate AS DATE)) FROM orders),
+          (SELECT max(CAST(l_shipdate AS DATE)) FROM lineitem)) AS h),
+      cust AS (
+        SELECT 'customer' AS tbl, count(*) AS n_rows,
+               count(*) - count(DISTINCT c_custkey) AS pk_dups,
+               CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+                 * 10000 // count(*) AS BIGINT) AS null_bp,
+               CAST(0 AS BIGINT) AS fk_orphans, CAST(0 AS BIGINT) AS stale_days
+        FROM customer),
+      li AS (
+        SELECT 'lineitem', count(*),
+               count(*) - count(DISTINCT l_orderkey * 10 + l_linenumber),
+               CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                 * 10000 // count(*) AS BIGINT),
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                 (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+               CAST((SELECT h FROM hwm)
+                 - max(CAST(l_shipdate AS DATE)) AS BIGINT)
+        FROM lineitem),
+      ord AS (
+        SELECT 'orders', count(*),
+               count(*) - count(DISTINCT o_orderkey),
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                 * 10000 // count(*) AS BIGINT),
+               (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                 (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+               CAST((SELECT h FROM hwm)
+                 - max(CAST(o_orderdate AS DATE)) AS BIGINT)
+        FROM orders)
+      SELECT * FROM cust UNION ALL SELECT * FROM li
+      UNION ALL SELECT * FROM ord
+      ORDER BY tbl"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
     q162, q164, q165, q168, q172, q173, q178, q181, q186, q188, q191,
-    q195, q197, q198, q199, q205)
+    q195, q197, q198, q199, q205, q208)
 }
