@@ -3161,9 +3161,76 @@ object Warehouse {
       UNION ALL SELECT * FROM ord
       ORDER BY tbl"""))
 
+  /** SHIP-LATENCY SLA attainment — the ops KPI behind every fulfillment
+    * review: per order month, the share of line items shipped within
+    * 30/60/90 days of the order date (integer day gaps from the
+    * header-detail join, attainment in bp), plus the exact median gap
+    * (lower median via per-month rank — the robust center the SLA
+    * bands summarize). One header-detail equi-join (the q181 shape,
+    * detail NOT pre-aggregated this time because the measure lives on
+    * the line), month rollup with conditional sums — a single pass
+    * over the join; the median rides a per-month window. q158 prices
+    * one SLA in business days; q209 tracks the attainment CURVE in
+    * calendar days. */
+  val q209 = GraftQuery(
+    "q209_ship_sla_attainment",
+    "Per-month share of lineitems shipped within 30/60/90 days + exact median gap",
+    (s, dir) => {
+      val gaps = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long").as("gap_days"),
+          expr("l_orderkey * 10 + l_linenumber").as("rid"))
+        .localCheckpoint(true)
+      val wRank = Window.partitionBy("m").orderBy("gap_days", "rid")
+      val med = gaps
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("tot", count(lit(1)).over(Window.partitionBy("m")))
+        .filter(col("rn") === expr("(tot + 1) div 2"))
+        .select(col("m"), col("gap_days").as("median_gap_days"))
+      gaps.groupBy("m")
+        .agg(count(lit(1)).as("n_lines"),
+          expr("sum(CASE WHEN gap_days <= 30 THEN 1 ELSE 0 END) * 10000 div count(*)")
+            .as("within_30_bp"),
+          expr("sum(CASE WHEN gap_days <= 60 THEN 1 ELSE 0 END) * 10000 div count(*)")
+            .as("within_60_bp"),
+          expr("sum(CASE WHEN gap_days <= 90 THEN 1 ELSE 0 END) * 10000 div count(*)")
+            .as("within_90_bp"))
+        .join(med, Seq("m"))
+        .orderBy("m")
+    },
+    Some("""
+      WITH gaps AS (
+        SELECT strftime(o.o_orderdate, '%Y-%m') AS m,
+               CAST(CAST(l.l_shipdate AS DATE)
+                    - CAST(o.o_orderdate AS DATE) AS BIGINT) AS gap_days,
+               l.l_orderkey * 10 + l.l_linenumber AS rid
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      med AS (
+        SELECT m, gap_days AS median_gap_days
+        FROM (SELECT m, gap_days,
+                     row_number() OVER (PARTITION BY m
+                       ORDER BY gap_days, rid) AS rn,
+                     count(*) OVER (PARTITION BY m) AS tot
+              FROM gaps)
+        WHERE rn = (tot + 1) // 2)
+      SELECT g.m, count(*) AS n_lines,
+             CAST(sum(CASE WHEN gap_days <= 30 THEN 1 ELSE 0 END) * 10000
+               // count(*) AS BIGINT) AS within_30_bp,
+             CAST(sum(CASE WHEN gap_days <= 60 THEN 1 ELSE 0 END) * 10000
+               // count(*) AS BIGINT) AS within_60_bp,
+             CAST(sum(CASE WHEN gap_days <= 90 THEN 1 ELSE 0 END) * 10000
+               // count(*) AS BIGINT) AS within_90_bp,
+             any_value(med.median_gap_days) AS median_gap_days
+      FROM gaps g JOIN med USING (m)
+      GROUP BY g.m
+      ORDER BY m"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
     q162, q164, q165, q168, q172, q173, q178, q181, q186, q188, q191,
-    q195, q197, q198, q199, q205, q208)
+    q195, q197, q198, q199, q205, q208, q209)
 }
