@@ -3124,8 +3124,81 @@ object TextAnalysis {
       JOIN med m USING (source)
       ORDER BY source"""))
 
+  /** HARD-NEGATIVE mining — the contrastive-training data op behind
+    * every retrieval model: for each query document, the most
+    * LEXICALLY CONFUSABLE other documents (high rare-term overlap)
+    * that are NOT near-duplicates — confusable-but-different is
+    * exactly what the model must learn to separate; random negatives
+    * are too easy and near-dups are false negatives. Scoring is
+    * integer-exact idf overlap (Σ over shared distinct tokens of
+    * 10⁶ div df — rarity-weighted, no logs), the near-dup guard drops
+    * pairs with token-set containment ≥ 50 % of the query (the d9
+    * asymmetric rule: an excerpt is a false negative even when the
+    * full doc is much larger), and each query keeps its top-3 (ties by
+    * doc id). Candidates ride the shared-token equi-join off the
+    * (doc, token) distinct frame — never all-pairs; the query set is a
+    * hash-deterministic slice (doc_id % 100 = 0). */
+  val t55 = GraftQuery(
+    "t55_hard_negatives",
+    "Top-3 idf-overlap hard negatives per query doc, near-dup-guarded, integer scores",
+    (s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "").distinct()
+        .localCheckpoint(true)
+      val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val queries = toks.filter(expr("doc_id % 100 = 0"))
+        .select(col("doc_id").as("q"), col("tok"))
+      val scored = queries
+        .join(toks.select(col("doc_id").as("c"), col("tok")), Seq("tok"))
+        .filter(col("q") =!= col("c"))
+        .join(broadcast(df), Seq("tok"))
+        .groupBy("q", "c")
+        .agg(count(lit(1)).as("inter"),
+          sum(expr("1000000 div df")).as("score"))
+        .join(broadcast(sizes.select(col("doc_id").as("q"),
+          col("n").as("nq"))), Seq("q"))
+        .filter(expr("inter * 10000 div nq < 5000"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q").orderBy(desc("score"), col("c"))))
+        .filter(col("rank") <= 3)
+        .select(col("q").as("query_doc"), col("rank").cast("long").as("rank"),
+          col("c").as("negative_doc"), col("inter"), col("score"))
+        .orderBy("query_doc", "rank")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, token AS tok
+        FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(token)
+        WHERE token <> ''),
+      dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+      sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+      scored AS (
+        SELECT a.doc_id AS q, b.doc_id AS c, count(*) AS inter,
+               CAST(sum(1000000 // dfreq.df) AS BIGINT) AS score
+        FROM toks a
+        JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        JOIN dfreq ON dfreq.tok = a.tok
+        WHERE a.doc_id % 100 = 0
+        GROUP BY 1, 2),
+      guarded AS (
+        SELECT s.q, s.c, s.inter, s.score
+        FROM scored s JOIN sizes nq ON nq.doc_id = s.q
+        WHERE s.inter * 10000 // nq.n < 5000),
+      ranked AS (
+        SELECT q, c, inter, score,
+               row_number() OVER (PARTITION BY q
+                 ORDER BY score DESC, c) AS rank
+        FROM guarded)
+      SELECT q AS query_doc, CAST(rank AS BIGINT) AS rank,
+             c AS negative_doc, inter, score
+      FROM ranked WHERE rank <= 3
+      ORDER BY query_doc, rank"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-    t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54)
+    t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54, t55)
 }
