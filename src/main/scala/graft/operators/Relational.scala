@@ -2787,10 +2787,71 @@ object Relational {
       ORDER BY jac_bp DESC, o1, o2
       LIMIT 20"""))
 
+  /** ABC CLASSIFICATION — the inventory-policy cut of the Pareto curve
+    * (q174 draws Lorenz over customers; procurement wants the PARTS
+    * split into policy classes): rank parts by revenue descending,
+    * class A while cumulative share ≤ 80 %, B to 95 %, C the tail —
+    * each class then gets different stocking/count-cycle policy.
+    * Boundaries evaluate on the cumulative share INCLUSIVE of the
+    * current part (the standard convention — the part that crosses
+    * 80 % still counts as A). Integer bp shares against the pinned
+    * total; the rank orders the per-part ROLLUP (q138 posture). Output
+    * is the 3-row policy summary: parts, revenue, share — the
+    * "600 parts are 80 % of revenue" sentence as data. */
+  val q210 = GraftQuery(
+    "q210_abc_classification",
+    "Parts classed A/B/C by cumulative revenue share (80/95), policy summary rows",
+    (s, dir) => {
+      val perPart = table(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("cents"))
+        .localCheckpoint(true)
+      val wCum = Window.orderBy(desc("cents"), col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perPart
+        .withColumn("cum", sum("cents").over(wCum))
+        .withColumn("tot", sum("cents").over(Window.partitionBy()))
+        .withColumn("cls", expr(
+          """CASE WHEN cum * 10000 div tot <= 8000 THEN 'A'
+                  WHEN cum * 10000 div tot <= 9500 THEN 'B'
+                  ELSE 'C' END"""))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_parts"), sum("cents").as("cents"))
+        .withColumn("share_bp", expr(
+          "cents * 10000 div sum(cents) over ()"))
+        .orderBy("cls")
+    },
+    Some("""
+      WITH perpart AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey),
+      cum AS (
+        SELECT l_partkey, cents,
+               CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(sum(cents) OVER () AS BIGINT) AS tot
+        FROM perpart),
+      classed AS (
+        SELECT CASE WHEN cum * 10000 // tot <= 8000 THEN 'A'
+                    WHEN cum * 10000 // tot <= 9500 THEN 'B'
+                    ELSE 'C' END AS cls,
+               cents
+        FROM cum)
+      SELECT cls, count(*) AS n_parts,
+             CAST(sum(cents) AS BIGINT) AS cents,
+             CAST(sum(cents) * 10000 // (SELECT sum(cents) FROM classed)
+               AS BIGINT) AS share_bp
+      FROM classed
+      GROUP BY cls
+      ORDER BY cls"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
-    q182, q185, q196, q202, q204)
+    q182, q185, q196, q202, q204, q210)
 }
