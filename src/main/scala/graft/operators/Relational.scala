@@ -2848,10 +2848,69 @@ object Relational {
       GROUP BY cls
       ORDER BY cls"""))
 
+  /** DISCOUNT-LIFT table — the merchandising question behind every
+    * promo review: does a deeper discount actually move more units?
+    * Line items band by discount depth (integer cents of discount rate
+    * — the dec4 column is exact), each band reports its mean quantity
+    * in milli-units, and lift is the band mean vs the no-discount
+    * baseline in sign-split bp — the elasticity read-out without
+    * fitting a model (q180 fits; this one tabulates). Baseline comes
+    * from the SAME rollup via a 1-row broadcast, so the fact is
+    * scanned once. */
+  val q211 = GraftQuery(
+    "q211_discount_lift",
+    "Mean quantity per discount band + sign-split lift bp vs the zero-discount baseline",
+    (s, dir) => {
+      val banded = table(s, dir, "lineitem")
+        .withColumn("disc_pct", (dec4(col("l_discount")) * 100).cast("long"))
+        .withColumn("band", expr(
+          """CASE WHEN disc_pct = 0 THEN '0_none'
+                  WHEN disc_pct <= 2 THEN '1_to_2pct'
+                  WHEN disc_pct <= 5 THEN '2_to_5pct'
+                  ELSE '3_over_5pct' END"""))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_lines"),
+          expr("sum(CAST(l_quantity * 1000 AS BIGINT)) div count(*)")
+            .as("qty_milli"))
+        .localCheckpoint(true)
+      val base = banded.filter(col("band") === "0_none")
+        .select(col("qty_milli").as("base_milli"))
+      banded.crossJoin(broadcast(base))
+        .withColumn("lift_bp", expr(
+          """CASE WHEN qty_milli >= base_milli
+               THEN (qty_milli - base_milli) * 10000 div base_milli
+               ELSE -((base_milli - qty_milli) * 10000 div base_milli) END"""))
+        .select("band", "n_lines", "qty_milli", "lift_bp")
+        .orderBy("band")
+    },
+    Some("""
+      WITH banded AS (
+        SELECT CASE WHEN CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                         AS BIGINT) = 0 THEN '0_none'
+                    WHEN CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                         AS BIGINT) <= 2 THEN '1_to_2pct'
+                    WHEN CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                         AS BIGINT) <= 5 THEN '2_to_5pct'
+                    ELSE '3_over_5pct' END AS band,
+               count(*) AS n_lines,
+               CAST(sum(CAST(l_quantity * 1000 AS BIGINT)) AS BIGINT)
+                 // count(*) AS qty_milli
+        FROM lineitem
+        GROUP BY 1),
+      base AS (
+        SELECT qty_milli AS base_milli FROM banded WHERE band = '0_none')
+      SELECT band, n_lines, qty_milli,
+             CASE WHEN qty_milli >= base.base_milli
+               THEN (qty_milli - base.base_milli) * 10000 // base.base_milli
+               ELSE -((base.base_milli - qty_milli) * 10000
+                      // base.base_milli) END AS lift_bp
+      FROM banded, base
+      ORDER BY band"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
-    q182, q185, q196, q202, q204, q210)
+    q182, q185, q196, q202, q204, q210, q211)
 }
