@@ -1374,6 +1374,61 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(evScans == 1, s"expected one events scan, got $evScans\n$p")
   }
 
+  test("q204: basket pairing rides the shared-part equi-join — no cartesian") {
+    val p = plan(operators.Relational.q204.build(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q205: both grains derive from the pinned daily rollup") {
+    val p = plan(operators.Warehouse.q205.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("orders.parquet"))
+    assert(scans == 0, s"$scans orders re-scans past the pinned rollup\n$p")
+  }
+
+  test("q207: the survival sweep runs on the pinned gap frame — no events re-scan") {
+    val p = plan(operators.EventWindows.q207.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("events.parquet"))
+    assert(scans == 0, s"$scans events re-scans past the pinned gaps\n$p")
+  }
+
+  test("q210: the ABC rank orders the pinned per-part rollup, never the fact") {
+    val p = plan(operators.Relational.q210.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("lineitem.parquet"))
+    assert(scans == 0, s"$scans lineitem re-scans past the pinned rollup\n$p")
+  }
+
+  test("q211: the baseline broadcasts from the same pinned band rollup — one fact scan") {
+    val p = plan(operators.Relational.q211.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("lineitem.parquet"))
+    assert(scans == 0, s"$scans lineitem re-scans past the pinned rollup\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t54: the datasheet derives from ONE pinned corpus projection") {
+    val p = plan(operators.TextAnalysis.t54.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("documents.parquet"))
+    assert(scans == 0, s"$scans documents re-scans past the pin\n$p")
+  }
+
+  test("t55: negatives ride the shared-token equi-join off the pinned distincts — no cartesian") {
+    val p = plan(operators.TextAnalysis.t55.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("documents.parquet"))
+    assert(scans == 0, s"$scans documents re-scans past the pinned tokens\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d29: survivorship labels broadcast onto the corpus slice") {
+    val p = plan(operators.Dedup.d29.build(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"labels must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
