@@ -867,6 +867,66 @@ object Sources {
           v(step, writer, outcome, version_after, n_rows_visible))
       ORDER BY step"""))
 
+  /** TOP-N PUSHDOWN + STATISTICS-DRIVEN BROADCAST — the two DSv2 read
+    * contracts q128/q143 did not yet exercise, composed into one
+    * leaderboard query. A per-user spend rollup commits to the MemTable
+    * connector; the read-back asks for ORDER BY cents DESC, user_id
+    * LIMIT 10 and the connector serves the cut ITSELF
+    * ([[graft.sources.MemScanBuilder.pushTopN]] — Spark plans neither a
+    * Sort nor a Limit over the scan; at 100 TB a sorted-index source
+    * answers top-k from one index slice instead of sorting the table).
+    * The 10-row result then joins back to the full events fact with NO
+    * broadcast hint: the scan reports exact post-pushdown statistics
+    * ([[org.apache.spark.sql.connector.read.SupportsReportStatistics]]),
+    * so Catalyst's own size-based join selection broadcasts it — the
+    * production posture for catalog tables whose manifests carry sizes
+    * (a DSv2 relation without stats defaults to Long.MaxValue and would
+    * sort-merge this join). PlanSpec pins both: `pushedTopN=...` in the
+    * scan description and a hint-free BroadcastHashJoin. Ties on cents
+    * break by user_id, so the cut is deterministic and the oracle
+    * replays it exactly. */
+  val q212 = GraftQuery(
+    "q212_topn_pushdown_stats_broadcast",
+    "DSv2 top-N pushdown serves the cut source-side; reported stats broadcast the join hint-free",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val key = s"q212_${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          expr("CAST(user_id % 8 AS STRING)").as("bucket"),
+          col("cents"), col("n_events"))
+        .write.format("graft.sources.MemTable")
+        .option("runId", key).option("partitionCol", "bucket")
+        .mode("append").save()
+      val top = s.read.format("graft.sources.MemTable")
+        .option("runId", key).option("partitionCol", "bucket").load()
+        .select("user_id", "cents", "n_events")
+        .orderBy(col("cents").desc, col("user_id"))
+        .limit(10) // pushed: the connector sorts + cuts, Spark plans no Sort
+      events(s, dir) // no broadcast() — the scan's reported stats decide
+        .join(top, "user_id")
+        .groupBy(col("user_id"), col("cents"), col("n_events"))
+        .agg(count(when(col("event_type") === "click", 1)).as("n_clicks"))
+        .orderBy(col("cents").desc, col("user_id"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents,
+               count(*) AS n_events
+        FROM events GROUP BY user_id),
+      top AS (
+        SELECT * FROM u ORDER BY cents DESC, user_id LIMIT 10)
+      SELECT t.user_id, t.cents, t.n_events,
+             count(*) FILTER (WHERE e.event_type = 'click') AS n_clicks
+      FROM top t JOIN events e USING (user_id)
+      GROUP BY t.user_id, t.cents, t.n_events
+      ORDER BY t.cents DESC, t.user_id"""))
+
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
-    q123, q128, q129, q143, q187, q189, q190, q192, q194, q200)
+    q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212)
 }

@@ -4,9 +4,9 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -178,13 +178,45 @@ private[sources] class MemWriterFactory(schema: StructType, partCol: String)
 
 private[sources] class MemScanBuilder(runId: String, partCol: String)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private val snap = MemTable.store.getOrElse(runId,
     MemTable.Snapshot(new StructType(), Map.empty))
   private var keep: Option[Set[String]] = None // None = all partitions
   private var pushed = Array.empty[Filter]
   private var required: StructType = snap.schema
+  // (full-schema column index, ascending?) per sort key + row budget
+  private var topN: Option[(Seq[(Int, Boolean)], Int)] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown: the scan serves at most `n` rows instead of handing
+    * Spark every row and letting CollectLimit drop the rest — at 100 TB
+    * that is the difference between reading one storage block and one
+    * table. Fully satisfied source-side (the snapshot is materialized),
+    * so Spark plans no re-limit on top. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  /** ORDER BY + LIMIT pushdown ([[SupportsPushDownTopN]]): a connector
+    * backed by a sorted index serves top-k without Spark sorting anything
+    * — the reference's `list_runs` early-terminating pagination
+    * (gluettalax.py:320-323) is exactly this contract at API granularity.
+    * Accepted only when every sort key is a plain column of this
+    * snapshot (long/string), so source order provably equals query
+    * order; otherwise refuse and let Spark sort. */
+  override def pushTopN(orders: Array[V2SortOrder], n: Int): Boolean = {
+    val keys = orders.toSeq.map { o =>
+      o.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          val idx = snap.schema.fieldNames.indexOf(nr.fieldNames()(0))
+          if (idx < 0) return false
+          (idx, o.direction() == SortDirection.ASCENDING)
+        case _ => return false
+      }
+    }
+    topN = Some((keys, n)); true
+  }
+  override def isPartiallyPushed(): Boolean = false // fully ordered + cut
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -208,7 +240,8 @@ private[sources] class MemScanBuilder(runId: String, partCol: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new MemScan(snap, keep, required, partCol)
+  override def build(): Scan =
+    new MemScan(snap, keep, required, partCol, topN, limit)
 }
 
 private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
@@ -222,28 +255,83 @@ private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
 }
 
 private[sources] class MemScan(snap: MemTable.Snapshot, keep: Option[Set[String]],
-    required: StructType, partCol: String)
-    extends Scan with Batch with SupportsReportPartitioning {
+    required: StructType, partCol: String,
+    topN: Option[(Seq[(Int, Boolean)], Int)] = None, limit: Option[Int] = None)
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   /** Report the snapshot's grouping to Catalyst: with
     * spark.sql.sources.v2.bucketing.enabled, a join whose keys cover
     * [partCol] across two such scans plans with NO shuffle on either
-    * side (Iceberg's storage-partitioned join, on this connector). */
+    * side (Iceberg's storage-partitioned join, on this connector). A
+    * pushed top-N/limit collapses the scan to one slice, so grouping no
+    * longer holds — report Unknown(1). */
   override def outputPartitioning(): Partitioning =
-    if (partCol.isEmpty) new UnknownPartitioning(planned.size)
+    if (topN.isDefined || limit.isDefined) new UnknownPartitioning(1)
+    else if (partCol.isEmpty) new UnknownPartitioning(planned.size)
     else new KeyGroupedPartitioning(
       Array(Expressions.identity(partCol)), planned.size)
+
+  /** EXACT post-pushdown statistics ([[SupportsReportStatistics]]): row
+    * count and bytes for what this scan will actually emit (after
+    * partition pruning and top-N/limit). Without it Spark assumes
+    * `defaultSizeInBytes` (Long.MaxValue) for a DSv2 relation and will
+    * never choose a broadcast join on its own — with it, a small scan
+    * broadcasts with no hint, the production posture for catalog tables
+    * whose manifests carry size (q212 pins the hint-free broadcast). */
+  override def estimateStatistics(): Statistics = {
+    val rows = servedRows
+    val bytes = rows.iterator.map(r => r.iterator.map {
+      case s: String => 8L + 2L * s.length
+      case _         => 8L
+    }.sum).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes max 1L)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows.size.toLong)
+    }
+  }
 
   private def planned: Seq[(String, Vector[Array[Any]])] =
     snap.parts.toSeq.sortBy(_._1)
       .filter { case (k, _) => keep.forall(_.contains(k)) }
 
+  /** Rows after every pushed clause. Top-N sorts the pruned snapshot by
+    * the pushed keys (long/string only, non-null by writer contract) and
+    * cuts; plain limit just cuts. */
+  private def servedRows: Vector[Array[Any]] = {
+    val base = planned.iterator.flatMap(_._2).toVector
+    topN match {
+      case Some((keys, n)) =>
+        val ord = new Ordering[Array[Any]] {
+          def compare(a: Array[Any], b: Array[Any]): Int = {
+            keys.foreach { case (i, asc) =>
+              val c = (a(i), b(i)) match {
+                case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+                case (x: String, y: String) => x.compareTo(y)
+                case other                  => sys.error(s"MemTable: unorderable $other")
+              }
+              if (c != 0) return if (asc) c else -c
+            }
+            0
+          }
+        }
+        base.sorted(ord).take(n)
+      case None => limit.fold(base)(base.take)
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val idx = required.fieldNames.map(n => snap.schema.fieldNames.indexOf(n))
     val types = required.fields.map(_.dataType.typeName)
-    planned.map { case (k, rs) => MemPart(k, rs, idx, types) }.toArray
+    if (topN.isDefined || limit.isDefined)
+      // ordered slice: one split (the cut result is tiny by construction)
+      Array(MemSlicePart(servedRows, idx, types))
+    else
+      planned.map { case (k, rs) => MemPart(k, rs, idx, types) }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -251,21 +339,33 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep: Option[Set[String]
 
   override def description(): String =
     s"GraftMemScan(runId parts=${snap.parts.size}, planned=${planned.size}, " +
-      s"partCol=$partCol, cols=${required.fieldNames.mkString(",")})"
+      s"partCol=$partCol, cols=${required.fieldNames.mkString(",")}" +
+      topN.map { case (ks, n) => s", pushedTopN=${ks.map { case (i, a) =>
+        snap.schema.fieldNames(i) + (if (a) " ASC" else " DESC") }.mkString("[", ",", "]")} LIMIT $n" }.getOrElse("") +
+      limit.map(n => s", pushedLimit=$n").getOrElse("") + ")"
 }
+
+/** An already-ordered-and-cut slice (pushed top-N/limit): no partition
+  * key — grouping is gone once rows from many partitions interleave. */
+private[sources] case class MemSlicePart(rows: Vector[Array[Any]],
+    colIdx: Array[Int], colTypes: Array[String]) extends InputPartition
 
 private[sources] class MemReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[MemPart]
+    val (rows, colIdx, colTypes) = partition match {
+      case p: MemPart      => (p.rows, p.colIdx, p.colTypes)
+      case p: MemSlicePart => (p.rows, p.colIdx, p.colTypes)
+      case other           => sys.error(s"MemTable: unexpected split $other")
+    }
     new PartitionReader[InternalRow] {
       private var i = -1
-      override def next(): Boolean = { i += 1; i < p.rows.length }
+      override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): InternalRow = {
-        val src = p.rows(i)
-        InternalRow.fromSeq(p.colIdx.indices.map { j =>
-          p.colTypes(j) match {
-            case "long"   => src(p.colIdx(j)).asInstanceOf[Long]
-            case "string" => UTF8String.fromString(src(p.colIdx(j)).asInstanceOf[String])
+        val src = rows(i)
+        InternalRow.fromSeq(colIdx.indices.map { j =>
+          colTypes(j) match {
+            case "long"   => src(colIdx(j)).asInstanceOf[Long]
+            case "string" => UTF8String.fromString(src(colIdx(j)).asInstanceOf[String])
             case other    => sys.error(s"MemTable: unsupported read type $other")
           }
         })

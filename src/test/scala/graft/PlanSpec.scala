@@ -1429,6 +1429,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q212: ORDER BY+LIMIT is served BY the connector — pushedTopN in the scan, no Sort over it") {
+    val p = plan(operators.Sources.q212.build(spark, sfDir))
+    assert(p.contains("pushedTopN=[cents DESC,user_id ASC] LIMIT 10"),
+      s"top-N did not push into the MemTable scan\n$p")
+    // the only Sorts are the final presentation ORDER BY (partial + global
+    // under exchange); the pushed cut itself adds none over the mem scan
+    val sorts = p.linesIterator.count(_.trim.startsWith("Sort ["))
+    assert(sorts <= 2, s"$sorts Sort nodes — the connector should have cut\n$p")
+  }
+
+  test("q212: reported statistics broadcast the 10-row scan with NO hint") {
+    val p = plan(operators.Sources.q212.build(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"size-based join selection did not broadcast the stats-reporting scan\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("MemTable: a bare LIMIT pushes into the scan and serves exactly n rows") {
+    operators.Sources.q212.build(spark, sfDir).collect() // commits a snapshot
+    val key = graft.sources.MemTable.store.keys.filter(_.startsWith("q212_")).min
+    val df = spark.read.format("graft.sources.MemTable")
+      .option("runId", key).option("partitionCol", "bucket").load().limit(3)
+    val p = plan(df)
+    assert(p.contains("pushedLimit=3"), s"limit did not push\n$p")
+    assert(df.count() == 3, "pushed limit served a different row count")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
