@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // custom physical operator: grouped top-k via partial/final bounded
     // heaps (no sort, map-side k-pruning) — see graft.plans.GroupedTopK
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
+    // custom physical operator: backward-inclusive as-of join as one
+    // co-partitioned streaming merge — see graft.plans.AsOfJoin (q213)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // optimizer rewrite: the textbook row_number-filter SQL idiom plans
     // through the operator above with no API change (q122 proves it)
     ext.injectOptimizerRule(_ => graft.plans.RankFilterToGroupedTopK)

@@ -2907,10 +2907,50 @@ object Relational {
       FROM banded, base
       ORDER BY band"""))
 
+  /** The as-of join AS A FIRST-CLASS OPERATOR (graft.plans.AsOfJoin):
+    * q39 expresses backward-as-of through the union-merge idiom (one
+    * wide union + a running `last()` window carrying a struct); q213 is
+    * the SAME join through the custom logical node + SparkStrategy +
+    * streaming-merge SparkPlan — both sides co-partitioned on user key
+    * by EnsureRequirements (exactly the SortMergeJoin contract), sorted
+    * by (key, time), then one merge pass per partition holding a single
+    * candidate row (O(1) state, pointer never rewinds). Same rows as
+    * q39 — the oracle is the identical DuckDB window query — so the
+    * operator's correctness is driver-hash-checked against the composed
+    * form, and PlanSpec pins the plan: an AsOfMergeJoin node, NO Window,
+    * no join fan-out. Equal-time ties break by max o_orderkey via the
+    * operator's tiebreak ordering (q39's convention). */
+  val q213 = GraftQuery(
+    "q213_asof_operator",
+    "Custom AsOfMergeJoin physical operator: same rows as q39's union-merge, no Window, O(1) merge state",
+    (s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("t"))
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderdate"),
+        col("o_orderdate").cast("timestamp_ntz").as("ot"))
+      graft.plans.AsOfJoin.asOfBackward(e, o,
+          Seq(col("user_id")), Seq(col("o_custkey")),
+          col("t"), col("ot"), Seq(col("o_orderkey")))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey"), col("o_orderdate"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id, o_orderkey, o_orderdate
+      FROM (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                   row_number() OVER (PARTITION BY e.event_id
+                     ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+            FROM events e
+            JOIN orders o ON e.user_id = o.o_custkey
+                         AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP))
+      WHERE rn = 1
+      ORDER BY event_id"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
-    q182, q185, q196, q202, q204, q210, q211)
+    q182, q185, q196, q202, q204, q210, q211, q213)
 }

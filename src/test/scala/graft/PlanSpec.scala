@@ -1456,6 +1456,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 3, "pushed limit served a different row count")
   }
 
+  test("q213: the as-of runs through AsOfMergeJoin — no Window, no fan-out join, co-partitioned sides") {
+    val p = plan(operators.Relational.q213.build(spark, sfDir))
+    assert(p.contains("AsOfMergeJoin"), s"custom operator did not plan\n$p")
+    assert(!p.contains("Window ["), s"a Window survived — this is q39's shape, not the operator\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
+    assert(exchanges == 2, s"$exchanges ensure-requirements hash exchanges, expected 2 (one per side)\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
