@@ -2167,7 +2167,101 @@ object Dedup {
       GROUP BY cluster_id
       ORDER BY cluster_id"""))
 
+  /** B-CUBED CLUSTERING EVAL — the standard extrinsic metric (Bagga &
+    * Baldwin '98; Amigó et al. '09 showed it's the only common metric
+    * passing all four clustering-eval constraints) for scoring a CHEAP
+    * clustering against a reference one: here the zero-join simhash-
+    * prefix clustering (docs sharing the top 20 bits of the portable
+    * 60-bit md5-simhash — one projection + groupBy, the clustering you
+    * can afford on every ingest batch) scored against the exact
+    * Jaccard ≥ 0.3 closure (the d6 truth the pipeline actually ships).
+    * d27 measures cluster GEOMETRY (margins); d16 counts funnel stages;
+    * this scores cluster ASSIGNMENTS: per (truth, predicted) contingency
+    * cell, overlap and both cluster sizes, with per-cell B-cubed
+    * precision (n_overlap/n_c) and recall (n_overlap/n_t) in integer bp
+    * — document-weighted means over the cells ARE B³ P/R. Everything is
+    * counts over one label join (truth labels broadcast — duplicate-
+    * density-sized), so the eval costs one groupBy at any corpus scale;
+    * the closure is the memoized d6 spool, the simhash side one
+    * map-side-combined projection. */
+  val d30 = GraftQuery(
+    "d30_bcubed_eval",
+    "B-cubed contingency: simhash-prefix clusters scored against the exact Jaccard closure, integer bp",
+    (s, dir) => {
+      val words = table(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      val hashed = words.select(col("doc_id"),
+        expr("CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      val sig = hashed
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
+        .groupBy("doc_id", "j")
+        .agg(sum(when(expr("((h >> j) & 1) = 1"), 1).otherwise(-1)).as("vote"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("vote") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("sig"))
+      val cLab = sig.select(col("doc_id"), expr("sig >> 40").as("c"))
+      val tLab = clusterLabels(s, dir)
+        .select(col("doc_id"), col("cluster_id"))
+      val lab = cLab.join(broadcast(tLab), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("tl"), col("c"))
+      val cells = lab.groupBy("tl", "c").agg(count(lit(1)).as("n_overlap"))
+      val nT = lab.groupBy("tl").agg(count(lit(1)).as("n_t"))
+      val nC = lab.groupBy("c").agg(count(lit(1)).as("n_c"))
+      cells.join(broadcast(nT), "tl").join(broadcast(nC), "c")
+        .select(col("tl").as("t_cluster"), col("c").as("c_cluster"),
+          col("n_overlap"), col("n_t"), col("n_c"),
+          expr("n_overlap * 10000 div n_c").as("prec_bp"),
+          expr("n_overlap * 10000 div n_t").as("rec_bp"))
+        .orderBy("t_cluster", "c_cluster")
+    },
+    Some("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents WHERE doc_id < 300),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairsraw AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+      good AS (SELECT doc1, doc2 FROM pairsraw
+               JOIN sizes na ON na.doc_id = doc1
+               JOIN sizes nb ON nb.doc_id = doc2
+               WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.3),
+      edges AS (SELECT doc1 AS src, doc2 AS dst FROM good
+                UNION ALL SELECT doc2, doc1 FROM good),
+      reach AS (SELECT src AS id, src AS label FROM edges
+                UNION
+                SELECT e.dst AS id, r.label FROM reach r
+                JOIN edges e ON e.src = r.id),
+      lab AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+      wt AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+             FROM documents WHERE doc_id < 300),
+      h AS (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS h
+            FROM wt),
+      v AS (SELECT doc_id, j,
+                   sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+            FROM h, UNNEST(range(60)) AS u(j)
+            GROUP BY doc_id, j),
+      sig AS (SELECT doc_id,
+                     sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END) AS sig
+              FROM v GROUP BY doc_id),
+      labels AS (SELECT s.doc_id, coalesce(l.cluster_id, s.doc_id) AS tl,
+                        CAST(s.sig AS BIGINT) >> 40 AS c
+                 FROM sig s LEFT JOIN lab l ON l.id = s.doc_id),
+      cells AS (SELECT tl, c, count(*) AS n_overlap FROM labels GROUP BY tl, c),
+      nt AS (SELECT tl, count(*) AS n_t FROM labels GROUP BY tl),
+      nc AS (SELECT c, count(*) AS n_c FROM labels GROUP BY c)
+      SELECT cells.tl AS t_cluster, cells.c AS c_cluster, n_overlap, n_t, n_c,
+             n_overlap * 10000 // n_c AS prec_bp,
+             n_overlap * 10000 // n_t AS rec_bp
+      FROM cells JOIN nt ON nt.tl = cells.tl JOIN nc ON nc.c = cells.c
+      ORDER BY t_cluster, c_cluster"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
     d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
-    d26, d27, d28, d29)
+    d26, d27, d28, d29, d30)
 }

@@ -2180,9 +2180,94 @@ object EventWindows {
       GROUP BY k, tot.n_repeat
       ORDER BY k_days"""))
 
+  /** BATCH-INCREMENTAL SESSION STITCHING — the d10/q77 incremental
+    * posture applied to sessionization: a daily pipeline must NOT
+    * re-sessionize all history to absorb one new batch; it re-reads only
+    * the increment plus the OPEN sessions (sessions whose end is within
+    * one gap of the cutoff — the only ones a future event can legally
+    * extend, since any event ≥ T0 is > 30 min past every other session's
+    * end). The stitch: each open session becomes one SEED pseudo-event at
+    * its end; the increment plus seeds re-sessionizes under the same
+    * 30-min gap rule; a result session containing a seed merges with its
+    * base session (start/count carried through the seed), the rest are
+    * born new; closed sessions pass through untouched. The entry PROVES
+    * incremental ≡ full: the oracle sessionizes the entire events table
+    * from scratch and the driver hash-compares. At 100 TB the increment
+    * pass scans |batch| + |active users| rows instead of the corpus —
+    * sessionization becomes append-cost, the same contract st8's
+    * streaming state keeps per key, here checkpointed as a table. */
+  val q214 = GraftQuery(
+    "q214_incremental_sessions",
+    "Session stitching across a batch boundary: increment + open-session seeds ≡ full recompute",
+    (s, dir) => {
+      val t0 = lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"))
+      def sessionize(e: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        e.withColumn("prev", lag("ts", 1).over(w))
+          .withColumn("brk", when(col("prev").isNull ||
+            col("ts") > col("prev") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+          .withColumn("sid", sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      }
+      // "previous run": sessions over history only
+      val baseSessions = sessionize(ev.filter(col("ts") < t0))
+        .groupBy("user_id", "sid")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"))
+      val open = baseSessions
+        .filter(col("session_end") >= t0 - expr("INTERVAL 30 MINUTES"))
+      val closed = baseSessions
+        .filter(col("session_end") < t0 - expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+      // "new batch": increment + one seed row per open session
+      val seeds = open.select(col("user_id"), col("session_end").as("ts"),
+        lit(1L).as("is_seed"), col("session_start").as("base_start"),
+        col("n_events").as("base_n"))
+      val inc = ev.filter(col("ts") >= t0)
+        .select(col("user_id"), col("ts"), lit(0L).as("is_seed"),
+          lit(null).cast("timestamp_ntz").as("base_start"),
+          lit(null).cast("long").as("base_n"))
+      val stitched = sessionize(inc.unionByName(seeds))
+        .groupBy("user_id", "sid")
+        .agg(min("ts").as("new_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_rows"),
+          max(when(col("is_seed") === 1L, col("base_start"))).as("base_start"),
+          max(when(col("is_seed") === 1L, col("base_n"))).as("base_n"))
+        .select(col("user_id"),
+          coalesce(col("base_start"), col("new_start")).as("session_start"),
+          col("session_end"),
+          (col("n_rows") - when(col("base_n").isNotNull, 1L).otherwise(0L) +
+            coalesce(col("base_n"), lit(0L))).as("n_events"))
+      closed.unionByName(stitched)
+        .orderBy("user_id", "session_start")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM s
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
     q150, q154, q157, q159, q163, q167, q169, q175, q176, q177, q179,
     q180, q183, q184, q201, q203, q206,
-    q207)
+    q207, q214)
 }

@@ -1386,6 +1386,100 @@ object Multimodal {
       GROUP BY 1
       ORDER BY verdict"""))
 
+  /** INTERLEAVED MULTIMODAL CONTEXT PACKING — t12's concat-and-chunk
+    * assembly at the VLM seam: a vision-language training sequence
+    * interleaves text spans with image placeholders whose token cost is
+    * the PATCH GRID (ceil(w/16)·ceil(h/16) for a 16-px ViT), so the
+    * packer must price each modality differently before cutting 2048-
+    * token windows. Every third doc is an image (the m13/m14 planting
+    * convention); its cost derives from the REAL header parse
+    * (headerMeta — the dims travel binary→parse→cost, not from a trusted
+    * catalog, which m15 shows drifts), text costs whitespace tokens.
+    * Per (source, window): item/image counts and the text-vs-image token
+    * split — the number a mixture designer reads to see how much of the
+    * context budget images eat. Same scale shape as t12: one cumulative
+    * sum per source + a bounded explode (a doc spans ≤ cost/B + 1
+    * windows); the parse is a ~32-byte header scan, never a decode. */
+  val m21 = GraftQuery(
+    "m21_interleaved_packing",
+    "VLM context packing: patch-grid-priced images interleaved with text into 2048-token windows",
+    (s, dir) => {
+      val B = 2048
+      def be4(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      val width = col("doc_id") % 640 + 16
+      val height = (col("doc_id") * 7) % 480 + 16
+      val docs = table(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("source"),
+          concat(unhex(concat(lit("89504E470D0A1A0A0000000D49484452"),
+            be4(width), be4(height), lit("0806000000DEADBEEF"))),
+            col("text").cast("binary")).as("b"))
+      val imgItems = headerMeta(planted.drop("source"))
+        .filter(col("container") === "png")
+        .join(planted.select("doc_id", "source"), "doc_id")
+        .select(col("doc_id"), col("source"),
+          expr("CAST(((width + 15) div 16) * ((height + 15) div 16) AS BIGINT)")
+            .as("tok"),
+          lit("image").as("modality"))
+      val txtItems = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok"),
+          lit("text").as("modality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val spans = txtItems.unionByName(imgItems)
+        .withColumn("e", sum("tok").over(w))
+        .withColumn("b", col("e") - col("tok"))
+      spans
+        .select(col("source"), col("modality"), col("b"), col("e"),
+          explode(sequence(floor(col("b") / B), floor((col("e") - 1) / B)))
+            .as("chunk_id"))
+        .withColumn("fill",
+          least(col("e"), (col("chunk_id") + 1) * B)
+            - greatest(col("b"), col("chunk_id") * B))
+        .groupBy("source", "chunk_id")
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("modality") === "image", 1L).otherwise(0L)).as("n_images"),
+          sum(when(col("modality") === "text", col("fill")).otherwise(0L))
+            .as("text_tokens"),
+          sum(when(col("modality") === "image", col("fill")).otherwise(0L))
+            .as("image_tokens"))
+        .orderBy("source", "chunk_id")
+    },
+    Some("""
+      WITH items AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 3 = 0
+                 THEN ((doc_id % 640 + 16 + 15) // 16)
+                      * (((doc_id * 7) % 480 + 16 + 15) // 16)
+                 ELSE len(string_split(text, ' ')) END AS tok,
+               CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'text' END
+                 AS modality
+        FROM documents),
+      spans AS (
+        SELECT doc_id, source, modality, tok,
+               CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+        FROM items),
+      sp AS (SELECT *, e - tok AS b FROM spans),
+      ex AS (SELECT source, modality, b, e, chunk_id
+             FROM sp, UNNEST(range(b // 2048, (e - 1) // 2048 + 1))
+               AS t(chunk_id))
+      SELECT source, chunk_id, count(*) AS n_items,
+             CAST(sum(CASE WHEN modality = 'image' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_images,
+             CAST(sum(CASE WHEN modality = 'text'
+               THEN least(e, (chunk_id + 1) * 2048)
+                    - greatest(b, chunk_id * 2048) ELSE 0 END) AS BIGINT)
+               AS text_tokens,
+             CAST(sum(CASE WHEN modality = 'image'
+               THEN least(e, (chunk_id + 1) * 2048)
+                    - greatest(b, chunk_id * 2048) ELSE 0 END) AS BIGINT)
+               AS image_tokens
+      FROM ex
+      GROUP BY source, chunk_id
+      ORDER BY source, chunk_id"""))
+
   val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11,
-    m12, m13, m14, m15, m16, m17, m18, m19, m20)
+    m12, m13, m14, m15, m16, m17, m18, m19, m20, m21)
 }

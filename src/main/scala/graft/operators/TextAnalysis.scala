@@ -3197,8 +3197,63 @@ object TextAnalysis {
       FROM ranked WHERE rank <= 3
       ORDER BY query_doc, rank"""))
 
+  /** TOKENIZER FERTILITY AUDIT — the budgeting number every multilingual
+    * training run needs before it starts: corpus cost is TOKENS, not
+    * characters, and tokens-per-word (fertility) varies several-fold by
+    * language/script — a mixture designed in characters silently
+    * over-weights low-fertility languages. Subword proxy: greedy runs of
+    * ≤4 letters plus single non-letter glyphs (`[A-Za-z]{1,4}|[^A-Za-z\s]`
+    * — a deterministic BPE stand-in both engines evaluate identically;
+    * CJK costs one token per glyph, the real tokenizer-fertility shape).
+    * Per lang: whitespace words, subword tokens, fertility in
+    * milli-tokens-per-word, chars-per-token, and bytes-per-char (UTF-8
+    * density — the storage-vs-token wedge). ONE corpus scan, one
+    * map-side-combined agg: the audit costs a projection at any corpus
+    * size; nothing shuffles but 5 longs per language. */
+  val t56 = GraftQuery(
+    "t56_tokenizer_fertility",
+    "Tokens-per-word fertility, chars-per-token, bytes-per-char by language — integer milli",
+    (s, dir) =>
+      table(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("lang"),
+          length(col("text")).cast("long").as("n_chars"),
+          expr("CAST(octet_length(text) AS BIGINT)").as("n_bytes"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_words"),
+          expr("""CAST(size(regexp_extract_all(text,
+            '[A-Za-z]{1,4}|[^A-Za-z\\s]', 0)) AS BIGINT)""").as("n_sub"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          sum("n_sub").as("n_sub_tokens"),
+          expr("sum(n_sub) * 1000 div sum(n_words)").as("fertility_milli"),
+          expr("sum(n_chars) * 1000 div sum(n_sub)").as("chars_per_tok_milli"),
+          expr("sum(n_bytes) * 1000 div sum(n_chars)").as("bytes_per_char_milli"))
+        .orderBy("lang"),
+    Some("""
+      WITH d AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z]{1,4}|[^A-Za-z\s]')) AS BIGINT) AS n_sub
+        FROM documents WHERE length(text) > 0)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_words) AS BIGINT) AS n_words,
+             CAST(sum(n_sub) AS BIGINT) AS n_sub_tokens,
+             CAST(sum(n_sub) * 1000 // sum(n_words) AS BIGINT)
+               AS fertility_milli,
+             CAST(sum(n_chars) * 1000 // sum(n_sub) AS BIGINT)
+               AS chars_per_tok_milli,
+             CAST(sum(n_bytes) * 1000 // sum(n_chars) AS BIGINT)
+               AS bytes_per_char_milli
+      FROM d
+      GROUP BY lang
+      ORDER BY lang"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-    t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54, t55)
+    t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54, t55, t56)
 }
