@@ -2947,10 +2947,46 @@ object Relational {
       WHERE rn = 1
       ORDER BY event_id"""))
 
+  /** The operator's FORWARD direction (q87 composes it via union-merge;
+    * here it's the same AsOfMergeJoin node with the comparison flipped):
+    * for each event, the EARLIEST order of the same user at-or-after the
+    * event — "what did this touchpoint convert into", the attribution
+    * read. Forward needs NO candidate state at all: the right pointer
+    * advances past rows strictly before the left time and the match is a
+    * PEEK at the next row (never consumed — later left rows may claim
+    * it); equal-time ties pick the min orderkey, the first row in
+    * tiebreak sort order. Same two-exchange plan envelope as q213. */
+  val q215 = GraftQuery(
+    "q215_asof_forward_operator",
+    "Forward as-of through AsOfMergeJoin: first event at-or-after each order, peek-only merge",
+    (s, dir) => {
+      val o = table(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderdate").cast("timestamp_ntz").as("t"))
+      val e = events(s, dir).select(col("event_id"),
+        col("user_id"), col("event_type"),
+        col("ts").cast("timestamp_ntz").as("ts_n"))
+      graft.plans.AsOfJoin.asOfForward(o, e,
+          Seq(col("o_custkey")), Seq(col("user_id")),
+          col("t"), col("ts_n"), Seq(col("event_id")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("event_id"), col("event_type"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, event_id, event_type
+      FROM (SELECT o.o_orderkey, o.o_custkey, e.event_id, e.event_type,
+                   row_number() OVER (PARTITION BY o.o_orderkey
+                     ORDER BY e.ts ASC, e.event_id ASC) AS rn
+            FROM orders o
+            JOIN events e ON e.user_id = o.o_custkey
+                         AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate)
+      WHERE rn = 1
+      ORDER BY o_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
-    q182, q185, q196, q202, q204, q210, q211, q213)
+    q182, q185, q196, q202, q204, q210, q211, q213, q215)
 }

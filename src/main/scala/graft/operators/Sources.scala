@@ -927,6 +927,51 @@ object Sources {
       GROUP BY t.user_id, t.cents, t.n_events
       ORDER BY t.cents DESC, t.user_id"""))
 
+  /** AGGREGATE PUSHDOWN end to end ([[graft.sources.MemScanBuilder
+    * .pushAggregation]]) — the last rung of the DSv2 read-contract
+    * ladder (q128 filters/columns, q212 top-N/limit/statistics, q216
+    * aggregates): a COUNT/SUM/MIN/MAX-per-partition query against the
+    * connector is answered BY the connector, completely — Spark plans
+    * no Aggregate node at all, just a scan of one pre-aggregated row
+    * per partition group (PlanSpec pins both the `pushedAggregates`
+    * description and the aggregate-free plan). This is the reference's
+    * `list_partitions` width rollup (gluettalax.py:492-514) as a scan
+    * contract: a manifest-backed table answers statistics questions
+    * from its manifests — at 100 TB the difference between reading
+    * table metadata and reading the table. A non-pushable shape (AVG
+    * over a filter the connector refuses) is checked in PlanSpec to
+    * still aggregate normally — refusal, not wrong answers. */
+  val q216 = GraftQuery(
+    "q216_dsv2_aggregate_pushdown",
+    "COUNT/SUM/MIN/MAX per partition answered inside the connector: no Aggregate node planned",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val key = s"q216_${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_type"))
+        .write.format("graft.sources.MemTable")
+        .option("runId", key).option("partitionCol", "event_type")
+        .mode("append").save()
+      s.read.format("graft.sources.MemTable")
+        .option("runId", key).option("partitionCol", "event_type").load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("total_cents"),
+          min(col("event_id")).as("first_id"),
+          max(col("event_id")).as("last_id"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             min(event_id) AS first_id, max(event_id) AS last_id
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
-    q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212)
+    q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216)
 }

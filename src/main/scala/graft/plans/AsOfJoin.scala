@@ -48,6 +48,7 @@ case class AsOfJoin(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[Expression],
+    forward: Boolean,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
   require(leftKeys.length == rightKeys.length, "as-of key arity mismatch")
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -58,8 +59,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(lk, rk, lt, rt, tb, l, r) =>
-      AsOfMergeJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(lk, rk, lt, rt, tb, fwd, l, r) =>
+      AsOfMergeJoinExec(lk, rk, lt, rt, tb, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -68,6 +69,7 @@ case class AsOfMergeJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTiebreak: Seq[Expression],
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -120,12 +122,35 @@ case class AsOfMergeJoinExec(
         } else { rRow = null; rKey = null; rTime = null }
       advanceRight()
 
-      // the O(1) merge state: latest right row seen with time ≤ current
-      // left time, and the key it belongs to
+      // the O(1) merge state (backward only): latest right row seen with
+      // time ≤ current left time, and the key it belongs to
       var cand: UnsafeRow = null
       var candKey: UnsafeRow = null
 
-      li.flatMap { l =>
+      if (forward) li.flatMap { l =>
+        // FORWARD: first right row with equal key and time ≥ left time —
+        // peek, never consume it (later lefts may claim the same row);
+        // rows strictly before the left time can never match a later
+        // ascending left, so consuming them is safe
+        val lKey = lKeyProj(l)
+        val lTimeRow = lTimeProj(l)
+        if (lKey.anyNull || lTimeRow.isNullAt(0)) Iterator.empty
+        else {
+          var cont = rRow != null
+          while (cont) {
+            val kc = keyOrd.compare(rKey, lKey)
+            if (kc < 0 || (kc == 0 &&
+                (rTime.isNullAt(0) || timeOrd.compare(rTime, lTimeRow) < 0))) {
+              advanceRight(); cont = rRow != null
+            } else cont = false
+          }
+          if (rRow != null && !rKey.anyNull && !rTime.isNullAt(0) &&
+              keyOrd.compare(rKey, lKey) == 0)
+            Iterator.single(resultProj(joined(l, rRow)))
+          else Iterator.empty
+        }
+      }
+      else li.flatMap { l =>
         val lKey = lKeyProj(l)
         val lTimeRow = lTimeProj(l)
         if (lKey.anyNull || lTimeRow.isNullAt(0)) Iterator.empty
@@ -181,7 +206,25 @@ object AsOfJoin {
   def asOfBackward(left: DataFrame, right: DataFrame,
       leftOn: Seq[Column], rightOn: Seq[Column],
       leftTime: Column, rightTime: Column,
-      rightTiebreak: Seq[Column] = Nil): DataFrame = {
+      rightTiebreak: Seq[Column] = Nil): DataFrame =
+    build(left, right, leftOn, rightOn, leftTime, rightTime, rightTiebreak,
+      forward = false)
+
+  /** Forward-inclusive as-of join (inner): for each `left` row, the
+    * `right` row with equal keys and the SMALLEST `rightTime` ≥
+    * `leftTime`; equal-time ties pick the first row under ascending
+    * `rightTiebreak`. */
+  def asOfForward(left: DataFrame, right: DataFrame,
+      leftOn: Seq[Column], rightOn: Seq[Column],
+      leftTime: Column, rightTime: Column,
+      rightTiebreak: Seq[Column] = Nil): DataFrame =
+    build(left, right, leftOn, rightOn, leftTime, rightTime, rightTiebreak,
+      forward = true)
+
+  private def build(left: DataFrame, right: DataFrame,
+      leftOn: Seq[Column], rightOn: Seq[Column],
+      leftTime: Column, rightTime: Column,
+      rightTiebreak: Seq[Column], forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
@@ -192,6 +235,6 @@ object AsOfJoin {
       s"as-of: time types differ (${lt.dataType} vs ${rt.dataType}) — cast one side")
     GraftColumnBridge.ofRows(spark, AsOfJoin(
       leftOn.map(resolveAgainst(lPlan, _)), rightOn.map(resolveAgainst(rPlan, _)),
-      lt, rt, rightTiebreak.map(resolveAgainst(rPlan, _)), lPlan, rPlan))
+      lt, rt, rightTiebreak.map(resolveAgainst(rPlan, _)), forward, lPlan, rPlan))
   }
 }

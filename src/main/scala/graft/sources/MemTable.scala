@@ -4,7 +4,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
@@ -179,7 +180,8 @@ private[sources] class MemWriterFactory(schema: StructType, partCol: String)
 private[sources] class MemScanBuilder(runId: String, partCol: String)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
 
   private val snap = MemTable.store.getOrElse(runId,
     MemTable.Snapshot(new StructType(), Map.empty))
@@ -189,13 +191,61 @@ private[sources] class MemScanBuilder(runId: String, partCol: String)
   // (full-schema column index, ascending?) per sort key + row budget
   private var topN: Option[(Seq[(Int, Boolean)], Int)] = None
   private var limit: Option[Int] = None
+  // (grouped by partCol?, (op, full-schema column index) per aggregate)
+  private var aggSpec: Option[(Boolean, Seq[(String, Int)])] = None
+
+  /** AGGREGATE pushdown ([[SupportsPushDownAggregates]]) — the read
+    * contract that turns a metadata question into a metadata answer: a
+    * catalog/manifest-backed table answers COUNT/MIN/MAX/SUM per
+    * partition from its statistics without touching a data block (the
+    * reference's list_partitions width rollup, gluettalax.py:492-514, IS
+    * this read at catalog granularity). COMPLETE pushdown only — Spark
+    * plans no aggregate at all, just a scan of one pre-aggregated row
+    * per surviving partition group — and only for shapes the snapshot
+    * answers exactly: grouping by the partition column (or none) over
+    * COUNT(*)/MIN/MAX/SUM of long columns, no DISTINCT. Everything else
+    * refuses, and Spark aggregates normally. */
+  private def translate(agg: Aggregation): Option[(Boolean, Seq[(String, Int)])] = {
+    val grouped = agg.groupByExpressions() match {
+      case Array() => Some(false)
+      case Array(nr: NamedReference)
+          if nr.fieldNames().length == 1 && nr.fieldNames()(0) == partCol
+            && partCol.nonEmpty => Some(true)
+      case _ => None
+    }
+    def longCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
+      e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          val i = snap.schema.fieldNames.indexOf(nr.fieldNames()(0))
+          if (i >= 0 && snap.schema.fields(i).dataType == LongType) Some(i) else None
+        case _ => None
+      }
+    val funcs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(("count_star", -1))
+      case m: Min => longCol(m.column()).map(("min", _))
+      case m: Max => longCol(m.column()).map(("max", _))
+      case s: Sum if !s.isDistinct => longCol(s.column()).map(("sum", _))
+      case _ => None
+    }
+    for (g <- grouped; fs <- if (funcs.forall(_.isDefined)) Some(funcs.flatten) else None)
+      yield (g, fs)
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggSpec = translate(agg)
+    aggSpec.isDefined
+  }
 
   /** LIMIT pushdown: the scan serves at most `n` rows instead of handing
     * Spark every row and letting CollectLimit drop the rest — at 100 TB
     * that is the difference between reading one storage block and one
     * table. Fully satisfied source-side (the snapshot is materialized),
     * so Spark plans no re-limit on top. */
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def pushLimit(n: Int): Boolean =
+    if (aggSpec.isDefined) false else { limit = Some(n); true }
 
   /** ORDER BY + LIMIT pushdown ([[SupportsPushDownTopN]]): a connector
     * backed by a sorted index serves top-k without Spark sorting anything
@@ -205,6 +255,7 @@ private[sources] class MemScanBuilder(runId: String, partCol: String)
     * snapshot (long/string), so source order provably equals query
     * order; otherwise refuse and let Spark sort. */
   override def pushTopN(orders: Array[V2SortOrder], n: Int): Boolean = {
+    if (aggSpec.isDefined) return false
     val keys = orders.toSeq.map { o =>
       o.expression() match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -241,7 +292,7 @@ private[sources] class MemScanBuilder(runId: String, partCol: String)
     required = requiredSchema
 
   override def build(): Scan =
-    new MemScan(snap, keep, required, partCol, topN, limit)
+    new MemScan(snap, keep, required, partCol, topN, limit, aggSpec)
 }
 
 private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
@@ -256,11 +307,42 @@ private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
 
 private[sources] class MemScan(snap: MemTable.Snapshot, keep: Option[Set[String]],
     required: StructType, partCol: String,
-    topN: Option[(Seq[(Int, Boolean)], Int)] = None, limit: Option[Int] = None)
+    topN: Option[(Seq[(Int, Boolean)], Int)] = None, limit: Option[Int] = None,
+    agg: Option[(Boolean, Seq[(String, Int)])] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics {
-  override def readSchema(): StructType = required
+
+  /** Complete aggregate pushdown replaces the read schema wholesale:
+    * Spark expects grouping columns FIRST, then one column per aggregate
+    * (V2ScanRelationPushDown pairs them positionally). */
+  private def aggSchema(grouped: Boolean, funcs: Seq[(String, Int)]): StructType =
+    funcs.zipWithIndex.foldLeft(
+      if (grouped) new StructType().add(partCol, StringType)
+      else new StructType()) { case (st, ((op, _), i)) => st.add(s"agg_${op}_$i", LongType) }
+
+  override def readSchema(): StructType = agg match {
+    case Some((grouped, funcs)) => aggSchema(grouped, funcs)
+    case None                   => required
+  }
   override def toBatch: Batch = this
+
+  /** The pre-aggregated answer: one row per surviving partition group
+    * (or one global row), computed snapshot-side — the scan IS the
+    * aggregate. */
+  private def aggRows(grouped: Boolean, funcs: Seq[(String, Int)]): Vector[Array[Any]] = {
+    val groups: Seq[(String, Vector[Array[Any]])] =
+      if (grouped) planned else Seq(("", planned.flatMap(_._2).toVector))
+    groups.iterator.map { case (k, rs) =>
+      val vals: Seq[Any] = funcs.map {
+        case ("count_star", _) => rs.size.toLong
+        case ("sum", i) => rs.iterator.map(_(i).asInstanceOf[Long]).sum
+        case ("min", i) => rs.iterator.map(_(i).asInstanceOf[Long]).min
+        case ("max", i) => rs.iterator.map(_(i).asInstanceOf[Long]).max
+        case (op, _)    => sys.error(s"MemTable: unknown pushed aggregate $op")
+      }
+      ((if (grouped) Seq[Any](k) else Seq.empty[Any]) ++ vals).toArray
+    }.toVector
+  }
 
   /** Report the snapshot's grouping to Catalyst: with
     * spark.sql.sources.v2.bucketing.enabled, a join whose keys cover
@@ -269,7 +351,7 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep: Option[Set[String]
     * pushed top-N/limit collapses the scan to one slice, so grouping no
     * longer holds — report Unknown(1). */
   override def outputPartitioning(): Partitioning =
-    if (topN.isDefined || limit.isDefined) new UnknownPartitioning(1)
+    if (topN.isDefined || limit.isDefined || agg.isDefined) new UnknownPartitioning(1)
     else if (partCol.isEmpty) new UnknownPartitioning(planned.size)
     else new KeyGroupedPartitioning(
       Array(Expressions.identity(partCol)), planned.size)
@@ -282,7 +364,10 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep: Option[Set[String]
     * broadcasts with no hint, the production posture for catalog tables
     * whose manifests carry size (q212 pins the hint-free broadcast). */
   override def estimateStatistics(): Statistics = {
-    val rows = servedRows
+    val rows = agg match {
+      case Some((g, fs)) => aggRows(g, fs)
+      case None          => servedRows
+    }
     val bytes = rows.iterator.map(r => r.iterator.map {
       case s: String => 8L + 2L * s.length
       case _         => 8L
@@ -324,14 +409,20 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep: Option[Set[String]
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val idx = required.fieldNames.map(n => snap.schema.fieldNames.indexOf(n))
-    val types = required.fields.map(_.dataType.typeName)
-    if (topN.isDefined || limit.isDefined)
-      // ordered slice: one split (the cut result is tiny by construction)
-      Array(MemSlicePart(servedRows, idx, types))
-    else
-      planned.map { case (k, rs) => MemPart(k, rs, idx, types) }.toArray
+  override def planInputPartitions(): Array[InputPartition] = agg match {
+    case Some((grouped, funcs)) =>
+      // pre-aggregated slice: identity projection over the agg schema
+      val sch = aggSchema(grouped, funcs)
+      Array(MemSlicePart(aggRows(grouped, funcs),
+        sch.fieldNames.indices.toArray, sch.fields.map(_.dataType.typeName)))
+    case None =>
+      val idx = required.fieldNames.map(n => snap.schema.fieldNames.indexOf(n))
+      val types = required.fields.map(_.dataType.typeName)
+      if (topN.isDefined || limit.isDefined)
+        // ordered slice: one split (the cut result is tiny by construction)
+        Array(MemSlicePart(servedRows, idx, types))
+      else
+        planned.map { case (k, rs) => MemPart(k, rs, idx, types) }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -342,7 +433,10 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep: Option[Set[String]
       s"partCol=$partCol, cols=${required.fieldNames.mkString(",")}" +
       topN.map { case (ks, n) => s", pushedTopN=${ks.map { case (i, a) =>
         snap.schema.fieldNames(i) + (if (a) " ASC" else " DESC") }.mkString("[", ",", "]")} LIMIT $n" }.getOrElse("") +
-      limit.map(n => s", pushedLimit=$n").getOrElse("") + ")"
+      limit.map(n => s", pushedLimit=$n").getOrElse("") +
+      agg.map { case (g, fs) => s", pushedAggregates=${fs.map { case (op, i) =>
+        if (i < 0) op else s"$op(${snap.schema.fieldNames(i)})" }.mkString("[", ",", "]")}" +
+        (if (g) s" GROUP BY $partCol" else "") }.getOrElse("") + ")"
 }
 
 /** An already-ordered-and-cut slice (pushed top-N/limit): no partition

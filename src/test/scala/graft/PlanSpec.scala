@@ -1467,6 +1467,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 2, s"$exchanges ensure-requirements hash exchanges, expected 2 (one per side)\n$p")
   }
 
+  test("q216: the whole aggregate is answered inside the connector — no Aggregate node planned") {
+    val p = plan(operators.Sources.q216.build(spark, sfDir))
+    assert(p.contains("pushedAggregates=[count_star,sum(cents),min(event_id),max(event_id)] GROUP BY event_type"),
+      s"aggregate did not push into the MemTable scan\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"Spark still planned an aggregate over the pushed scan\n$p")
+  }
+
+  test("q216: a shape the connector refuses (avg) falls back to a normal Spark aggregate") {
+    import org.apache.spark.sql.functions._
+    operators.Sources.q216.build(spark, sfDir).collect() // commits a snapshot
+    val key = graft.sources.MemTable.store.keys.filter(_.startsWith("q216_")).min
+    val df = spark.read.format("graft.sources.MemTable")
+      .option("runId", key).option("partitionCol", "event_type").load()
+      .groupBy("event_type").agg(avg(col("cents")).as("avg_cents"))
+    val p = plan(df)
+    assert(!p.contains("pushedAggregates"), s"avg must not claim pushdown\n$p")
+    assert(p.contains("HashAggregate"), s"refused pushdown must aggregate normally\n$p")
+    assert(df.count() == 5, "fallback aggregate returned wrong group count")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }

@@ -96,6 +96,42 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"extra=${got -- want} missing=${want -- got}")
   }
 
+  private def joinFwd(l: DataFrame, r: DataFrame): Set[(Long, Long)] =
+    AsOfJoin.asOfForward(l, r, Seq(col("k")), Seq(col("k")),
+        col("t"), col("rt"), Seq(col("rid")))
+      .select(col("id"), col("rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+
+  test("forward: picks the earliest right at-or-after; equal time matches; min tiebreak wins") {
+    val l = L((1L, 10L, 100L), (1L, 15L, 101L), (1L, 31L, 102L))
+    val r = R((1L, 10L, 5L), (1L, 10L, 3L), (1L, 30L, 7L))
+    // t=10 matches rt=10 tie → min rid 3; t=15 → rt=30; t=31 → nothing after
+    assert(joinFwd(l, r) == Set((100L, 3L), (101L, 7L)))
+  }
+
+  test("forward: one right row serves many lefts (peek, not consume)") {
+    val l = L((1L, 1L, 100L), (1L, 2L, 101L), (1L, 3L, 102L))
+    val r = R((1L, 50L, 9L))
+    assert(joinFwd(l, r) == Set((100L, 9L), (101L, 9L), (102L, 9L)))
+  }
+
+  test("forward agrees with the window-composed reference on the dense fixture") {
+    val l = L((0 until 300).map(i => (java.lang.Long.valueOf(i % 8L),
+      java.lang.Long.valueOf((i * 13 % 100).toLong), i.toLong)): _*)
+    val r = R((0 until 120).map(j => (java.lang.Long.valueOf(j % 8L),
+      java.lang.Long.valueOf((j * 7 % 100).toLong), (1000 + j).toLong)): _*)
+    val got = joinFwd(l, r)
+    val want = l.join(r, Seq("k"), "inner").where(col("rt") >= col("t"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("rt").asc, col("rid").asc)))
+      .where(col("rn") === 1)
+      .select(col("id"), col("rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == want, s"forward operator disagrees: " +
+      s"extra=${got -- want} missing=${want -- got}")
+  }
+
   test("plan shape: AsOfMergeJoin node, two hash exchanges, no Window, no fan-out join") {
     val df = AsOfJoin.asOfBackward(
       L((1L, 10L, 100L)), R((1L, 5L, 1L)),
