@@ -2594,7 +2594,126 @@ object Similarity {
       JOIN n nb ON nb.label = p.l2
       ORDER BY l1, l2"""))
 
+  /** CASCADE BUDGET CURVE — the tuning table behind s12's fixed-budget
+    * cascade: binary-code retrieval is retrieve-m-then-rerank, and the
+    * ONLY knob is m (shortlist budget); this measures exact recall@10
+    * against the full brute-force truth at m ∈ {8, 32, 128}, with the
+    * scanned fraction beside it — the cost/recall frontier an engineer
+    * reads to size the budget (s16 is the same curve for IVF's nprobe;
+    * the two cover the index families the registry ships). Everything is
+    * deterministic and integer: shortlists rank by (hamming, vec_id),
+    * reranks by (sim, vec_id), recall is a set intersection — so the
+    * whole EVAL is hash-checked cross-engine, unlike the rows-only
+    * approx entries it audits. One hamming pass + one rerank per budget
+    * over the 128-cap shortlist; truth is the s1 broadcast brute force
+    * (the exact baseline the curve needs anyway). */
+  val s31 = GraftQuery(
+    "s31_cascade_budget_curve",
+    "Binary-cascade recall@10 vs shortlist budget (8/32/128), exact truth, integer bp",
+    (s, dir) => {
+      val budgets = Seq(8, 32, 128)
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"),
+          expr("""aggregate(transform(sequence(1, 64),
+                    j -> IF(CAST(element_at(embedding, j) AS DOUBLE) > 0D,
+                            shiftleft(1L, j - 1), 0L)),
+                  0L, (a, x) -> a + x)""").as("code"))
+        .localCheckpoint(true)
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("code").as("qcode"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val nCorpus = emb.count()
+      // one hamming pass, capped at the largest budget; sims only on it
+      val short = broadcast(q.select(col("query_id"), col("qcode"))).crossJoin(
+          emb.select(col("vec_id"), col("code")))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          expr("bit_count(qcode ^ code)").as("hamming"))
+        .withColumn("hrank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("hamming"), col("vec_id"))))
+        .filter(col("hrank") <= budgets.max)
+        .join(emb.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+        .join(broadcast(q.select(col("query_id"), col("qe"), col("qn"))), "query_id")
+        .select(col("query_id"), col("vec_id"), col("hrank"),
+          (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+            .as("sim"))
+      import s.implicits._
+      val cascade = short
+        .crossJoin(broadcast(budgets.map(_.toLong).toDF("budget_m")))
+        .filter(col("hrank") <= col("budget_m"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("budget_m", "query_id")
+            .orderBy(desc("sim"), col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("budget_m"), col("query_id"), col("vec_id"))
+      // exact truth: brute-force top-10 per query (s1's shape, k=10)
+      val truth = broadcast(q.select(col("query_id"), col("qe"), col("qn")))
+        .crossJoin(emb.select(col("vec_id"), col("embedding"), col("nrm")))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+            .as("sim"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id"))
+      cascade.join(truth, Seq("query_id", "vec_id"))
+        .groupBy("budget_m")
+        .agg(count(lit(1)).as("total_hits"))
+        .select(col("budget_m"), col("total_hits"),
+          expr("total_hits * 10000 div 200").as("recall_bp"),
+          expr(s"budget_m * 10000 div ${nCorpus}L").as("scanned_bp"))
+        .orderBy("budget_m")
+    },
+    Some("""
+      WITH c AS (
+        SELECT vec_id, embedding,
+               sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+               CAST(list_aggregate(list_transform(range(1, 65),
+                 j -> CASE WHEN CAST(embedding[CAST(j AS INTEGER)] AS DOUBLE) <= 0
+                           THEN 0
+                           WHEN j = 64 THEN CAST(-9223372036854775808 AS BIGINT)
+                           ELSE (CAST(1 AS BIGINT) << (j - 1)) END),
+                 'sum') AS BIGINT) AS code
+        FROM embeddings),
+      n AS (SELECT count(*) AS n_corpus FROM c),
+      ham AS (
+        SELECT * FROM (
+          SELECT q.vec_id AS query_id, t.vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY bit_count(xor(q.code, t.code)), t.vec_id) AS hrank,
+                 list_aggregate(list_transform(list_zip(q.embedding, t.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                   / (q.nrm * t.nrm) AS sim
+          FROM c q JOIN c t ON q.vec_id < 20 AND q.vec_id <> t.vec_id)
+        WHERE hrank <= 128),
+      cascade AS (
+        SELECT budget_m, query_id, vec_id FROM (
+          SELECT b.budget_m, h.query_id, h.vec_id,
+                 row_number() OVER (PARTITION BY b.budget_m, h.query_id
+                   ORDER BY h.sim DESC, h.vec_id) AS rank
+          FROM ham h, (VALUES (8), (32), (128)) b(budget_m)
+          WHERE h.hrank <= b.budget_m)
+        WHERE rank <= 10),
+      truth AS (
+        SELECT query_id, vec_id FROM (
+          SELECT q.vec_id AS query_id, t.vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_aggregate(list_transform(list_zip(q.embedding, t.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                     / (q.nrm * t.nrm) DESC, t.vec_id) AS rank
+          FROM c q JOIN c t ON q.vec_id < 20 AND q.vec_id <> t.vec_id)
+        WHERE rank <= 10)
+      SELECT CAST(budget_m AS BIGINT) AS budget_m,
+             count(*) AS total_hits,
+             CAST(count(*) * 10000 // 200 AS BIGINT) AS recall_bp,
+             CAST(budget_m * 10000 // n.n_corpus AS BIGINT) AS scanned_bp
+      FROM cascade JOIN truth USING (query_id, vec_id), n
+      GROUP BY budget_m, n.n_corpus
+      ORDER BY budget_m"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
     s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-    s27, s28, s29, s30)
+    s27, s28, s29, s30, s31)
 }
