@@ -220,6 +220,14 @@ object StreamingOps {
         val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
         val sliced = ev5(s, dir).withColumn("tranche", ntile(3).over(w))
         (1 to 3).map(i => sliced.filter(col("tranche") === i).drop("tranche"))
+      case "st33a" =>
+        // source A: click/view traffic in 2 deliveries
+        val batch = ev5(s, dir).filter(col("event_type").isin("click", "view"))
+        (0 until 2).map(i => batch.filter(pmod(col("event_id"), lit(2)) === i))
+      case "st33b" =>
+        // source B: everything else, on a different cadence (3 deliveries)
+        val batch = ev5(s, dir).filter(!col("event_type").isin("click", "view"))
+        (0 until 3).map(i => batch.filter(pmod(col("event_id"), lit(3)) === i))
       case other => sys.error(s"unknown file spool key: $other")
     }
 
@@ -2326,7 +2334,70 @@ object StreamingOps {
       GROUP BY 1
       ORDER BY d"""))
 
+  /** MULTI-SOURCE UNION — one streaming query over TWO independent
+    * sources (click/view traffic on a 2-file cadence; everything else on
+    * a 3-file cadence), unioned BEFORE one stateful windowed aggregate.
+    * This is the fan-in every real pipeline has (N kafka topics → one
+    * metric) and it exercises machinery no single-source entry touches:
+    * the checkpoint tracks per-source offsets (one offset log entry per
+    * source per batch — a restart resumes BOTH cursors), and the query's
+    * event-time watermark is the MINIMUM across sources, so the slowest
+    * source gates eviction — exactly why a stalled low-volume topic
+    * freezes a production job's state cleanup. Replayed to completion
+    * the union must equal the batch answer over the undivided table
+    * (st1's oracle): the split/cadence/fan-in is invisible in the
+    * result, visible only in the machinery. */
+  val st33 = GraftQuery(
+    "st33_multi_source_union",
+    "Two file streams with different cadences union into one windowed agg == batch answer",
+    (s, dir) => {
+      val schema = ev5(s, dir).schema
+      val spoolA = fileSpool(s, "st33a", dir)
+      val spoolB = fileSpool(s, "st33b", dir)
+      val id = runTag()
+      val sink = s"graft_stream_sink_$id"
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_STREAM_PARTS", "4"))
+      try {
+        val ckpt = spoolDir(s"ckpt_$id")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt))
+        val a = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(spoolA)
+        val b = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(spoolB)
+        val q = a.unionByName(b)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("value"))).cast("double").as("total_value"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", saved)
+      }
+      val out = s.table(sink)
+      val rows = out.collect()
+      s.catalog.dropTempView(sink)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+    Some("""
+      SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY window_start, event_type
+      ORDER BY window_start, event_type"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32)
+    st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33)
 }
