@@ -972,6 +972,64 @@ object Sources {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** RUNTIME FILTERING through the connector ([[graft.sources.MemScan
+    * .filter]]) — q187's dynamic partition pruning, at the DSv2 seam: the
+    * category dimension's surviving event types exist only AFTER its
+    * filter runs, so no static pushdown can prune the fact; Spark
+    * evaluates the broadcast dim first and hands the surviving join keys
+    * back to the scan at EXECUTION time ([[org.apache.spark.sql
+    * .connector.read.SupportsRuntimeFiltering]]) — partitions outside
+    * the set never plan a split (PlanSpec reads the connector's pruning
+    * ledger: 5 committed partitions → 2 planned, and pins the
+    * `RuntimeFilters` on the scan). This is the seam Iceberg/Delta use
+    * for runtime file skipping; at 100 TB it is the difference between
+    * scanning 2 partitions and 5 because a JOIN said so. */
+  val q217 = GraftQuery(
+    "q217_dsv2_runtime_filtering",
+    "Join-driven runtime partition pruning inside the connector: 5 committed -> 2 scanned",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val key = s"q217_${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_type"))
+        .write.format("graft.sources.MemTable")
+        .option("runId", key).option("partitionCol", "event_type")
+        .mode("append").save()
+      val fact = s.read.format("graft.sources.MemTable")
+        .option("runId", key).option("partitionCol", "event_type").load()
+      // dim built over Range, not a LocalRelation: ConvertToLocalRelation
+      // would fold a literal Seq's filter away before the DPP rule looks
+      // for a selective predicate on the pruning side (q187's discipline)
+      val dim = s.range(0, 5)
+        .select(
+          element_at(array(lit("click"), lit("view"), lit("purchase"),
+            lit("signup"), lit("error")), (col("id") + 1).cast("int"))
+            .as("event_type"),
+          element_at(array(lit("engage"), lit("engage"), lit("convert"),
+            lit("convert"), lit("ops")), (col("id") + 1).cast("int"))
+            .as("category"))
+        .filter(col("category") === "engage")
+      fact.join(broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("total_cents"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             count(DISTINCT user_id) AS n_users
+      FROM events
+      WHERE event_type IN ('click', 'view')
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
-    q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216)
+    q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
+    q217)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
@@ -71,6 +71,11 @@ object MemTable {
     * snapshot is untouched (q189 exercises the contract). */
   final class CommitConflictException(msg: String)
       extends RuntimeException(msg)
+
+  /** Runtime-filter observability: (partitions before, after) recorded by
+    * the LAST runtime `filter()` call per runId — what PlanSpec reads to
+    * prove pruning happened at execution, not planning (q217). */
+  val runtimePrunes = new scala.collection.concurrent.TrieMap[String, (Int, Int)]
 }
 
 private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: String)
@@ -292,7 +297,7 @@ private[sources] class MemScanBuilder(runId: String, partCol: String)
     required = requiredSchema
 
   override def build(): Scan =
-    new MemScan(snap, keep, required, partCol, topN, limit, aggSpec)
+    new MemScan(snap, keep, required, partCol, topN, limit, aggSpec, runId)
 }
 
 private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
@@ -305,12 +310,48 @@ private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
     InternalRow(UTF8String.fromString(key))
 }
 
-private[sources] class MemScan(snap: MemTable.Snapshot, keep: Option[Set[String]],
+private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String]],
     required: StructType, partCol: String,
     topN: Option[(Seq[(Int, Boolean)], Int)] = None, limit: Option[Int] = None,
-    agg: Option[(Boolean, Seq[(String, Int)])] = None)
+    agg: Option[(Boolean, Seq[(String, Int)])] = None, runId: String = "")
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  // narrowed further by runtime filter() calls — execution-time DPP
+  private var keep: Option[Set[String]] = keep0
+
+  /** RUNTIME FILTERING ([[SupportsRuntimeFiltering]]) — dynamic partition
+    * pruning for this connector: when the scan feeds a join whose other
+    * side is small and filtered, Spark evaluates that side FIRST and
+    * hands the surviving join-key values back here at EXECUTION time;
+    * partitions outside the set never plan a split. q187 proves the same
+    * contract for parquet facts (static planning can't know the keys —
+    * they only exist after the dim filter runs); this is the DSv2 seam
+    * Iceberg/Delta use for runtime file skipping. Works WITH
+    * KeyGroupedPartitioning: surviving splits keep their partition keys,
+    * so a storage-partitioned join stays shuffle-free after pruning. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // advertise only when the partition column survives in the served
+    // schema: Spark resolves these references against the scan OUTPUT, so
+    // a pruned/aggregated/top-N projection that dropped partCol must not
+    // offer it (q212's projection drops `bucket` — offering it fails
+    // analysis with "Unable to resolve")
+    if (partCol.isEmpty || !readSchema().fieldNames.contains(partCol)) Array.empty
+    else Array(Expressions.column(partCol))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val allowed = filters.collect {
+      case EqualTo(c, v: String) if c == partCol => Set(v)
+      case In(c, vs) if c == partCol =>
+        vs.collect { case s: String => s }.toSet
+    }
+    if (allowed.nonEmpty) {
+      val before = planned.size
+      keep = Some(allowed.foldLeft(
+        keep.getOrElse(snap.parts.keySet.toSet))(_ intersect _))
+      MemTable.runtimePrunes.put(runId, (before, planned.size))
+    }
+  }
 
   /** Complete aggregate pushdown replaces the read schema wholesale:
     * Spark expects grouping columns FIRST, then one column per aggregate

@@ -1488,6 +1488,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 5, "fallback aggregate returned wrong group count")
   }
 
+  test("q217: the join's surviving keys prune connector partitions at RUNTIME — 5 committed, 2 planned") {
+    graft.sources.MemTable.runtimePrunes.clear()
+    val df = operators.Sources.q217.build(spark, sfDir)
+    // formatted explain omits the RuntimeFilters annotation; read the tree
+    val p = df.queryExecution.executedPlan.treeString
+    assert(p.contains("RuntimeFilters: [dynamicpruningexpression"),
+      s"no runtime filter planned on the connector scan\n$p")
+    df.collect() // the filter() callback fires at execution
+    val prunes = graft.sources.MemTable.runtimePrunes.collect {
+      case (k, v) if k.startsWith("q217_") => v
+    }
+    assert(prunes.exists(_ == (5, 2)),
+      s"runtime filter did not prune 5 -> 2 partitions: $prunes")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
