@@ -2261,7 +2261,115 @@ object Dedup {
       FROM cells JOIN nt ON nt.tl = cells.tl JOIN nc ON nc.c = cells.c
       ORDER BY t_cluster, c_cluster"""))
 
+  /** CLUSTER HOP-RADIUS — BFS over the duplicate graph, the traversal
+    * primitive the family lacks (d6 contracts components, d13 audits
+    * triangles; neither answers "how FAR is a member from its
+    * representative"): a cluster glued by a long CHAIN of pairwise
+    * matches (A~B~C~D, radius 3) is a different review risk than a
+    * clique (radius 1) — chained clusters are where transitive dedup
+    * over-merges, so radius is the triage column a reviewer sorts by.
+    * Frontier BFS from each representative (= min doc_id, the label
+    * convention) over the exact Jaccard ≥ 0.3 edges: per round one
+    * equi-join frontier×edges + one anti-join against the visited set —
+    * the textbook distributed BFS whose cost is O(edges) per round, 6
+    * rounds bounded (closures can't escape their edges, so the walk
+    * stays in-cluster); localCheckpoint truncates the loop lineage, the
+    * d6 discipline. Oracle: recursive-CTE BFS with min-hop fold. */
+  val d31 = GraftQuery(
+    "d31_cluster_hop_radius",
+    "BFS from each cluster rep over dup edges: radius + unreached audit per cluster",
+    (s, dir) => {
+      val sh = table(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), "doc1")
+        .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), "doc2")
+        .filter(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")) >= 0.3)
+        .select(col("doc1"), col("doc2"))
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4") // tiny confirmed-dup graph
+      try {
+        val sym = pairs.select(col("doc1").as("u"), col("doc2").as("v"))
+          .union(pairs.select(col("doc2").as("u"), col("doc1").as("v")))
+          .localCheckpoint(true)
+        val labels = clusterLabels(s, dir)
+          .select(col("doc_id"), col("cluster_id"))
+        var dist = labels.select("cluster_id").distinct()
+          .select(col("cluster_id"), col("cluster_id").as("doc_id"),
+            lit(0L).as("hop"))
+          .localCheckpoint(true)
+        var frontier = dist
+        var k = 1
+        while (k <= 6 && frontier.limit(1).count() > 0) {
+          val next = frontier.join(sym, frontier("doc_id") === sym("u"))
+            .select(frontier("cluster_id"), sym("v").as("doc_id"),
+              lit(k.toLong).as("hop"))
+            .distinct()
+            .join(dist.select("cluster_id", "doc_id"),
+              Seq("cluster_id", "doc_id"), "left_anti")
+            .localCheckpoint(true)
+          dist = dist.unionByName(next).localCheckpoint(true)
+          frontier = next
+          k += 1
+        }
+        labels
+          .join(dist, Seq("cluster_id", "doc_id"), "left_outer")
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"),
+            max(coalesce(col("hop"), lit(-1L))).as("radius"),
+            sum(when(col("hop").isNull, 1L).otherwise(0L)).as("n_unreached"))
+          .filter(col("n_members") >= 2)
+          .orderBy("cluster_id")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", saved)
+      }
+    },
+    Some("""
+      WITH RECURSIVE
+      w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents WHERE doc_id < 300),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairsraw AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+      good AS (SELECT doc1, doc2 FROM pairsraw
+               JOIN sizes na ON na.doc_id = doc1
+               JOIN sizes nb ON nb.doc_id = doc2
+               WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.3),
+      edges AS (SELECT doc1 AS src, doc2 AS dst FROM good
+                UNION ALL SELECT doc2, doc1 FROM good),
+      reach AS (SELECT src AS id, src AS label FROM edges
+                UNION
+                SELECT e.dst AS id, r.label FROM reach r
+                JOIN edges e ON e.src = r.id),
+      lab AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+      walk AS (SELECT cluster_id, cluster_id AS id, 0 AS hop
+               FROM (SELECT DISTINCT cluster_id FROM lab)
+               UNION
+               SELECT wk.cluster_id, e.dst, wk.hop + 1
+               FROM walk wk JOIN edges e ON e.src = wk.id
+               WHERE wk.hop < 6),
+      dmin AS (SELECT cluster_id, id AS doc_id, min(hop) AS hop
+               FROM walk GROUP BY 1, 2)
+      SELECT l.cluster_id,
+             count(*) AS n_members,
+             CAST(max(coalesce(d.hop, -1)) AS BIGINT) AS radius,
+             CAST(sum(CASE WHEN d.hop IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unreached
+      FROM lab l
+      LEFT JOIN dmin d ON d.cluster_id = l.cluster_id AND d.doc_id = l.doc_id
+      GROUP BY l.cluster_id
+      HAVING count(*) >= 2
+      ORDER BY l.cluster_id"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
     d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
-    d26, d27, d28, d29, d30)
+    d26, d27, d28, d29, d30, d31)
 }

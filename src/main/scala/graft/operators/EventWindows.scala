@@ -2265,9 +2265,95 @@ object EventWindows {
       GROUP BY user_id, sid
       ORDER BY user_id, session_start"""))
 
+  /** LINEAR INTERPOLATION GAP-FILL — the time-series repair q102's
+    * calendar fill stops short of: q102 materializes the missing days,
+    * this VALUES them. Sensor/metric pipelines interpolate interior gaps
+    * linearly (prev + slope·distance) and carry the last observation for
+    * trailing gaps (no right anchor exists); every day is labeled
+    * observed/interpolated/carried so downstream consumers can weight or
+    * drop filled points. Missing days are planted deterministically
+    * (day % 5 = 0 withheld — the m14 planting convention, so the oracle
+    * knows the truth). Integer-exact lerp in cents with SIGN-SPLIT
+    * division (Spark `div` truncates toward zero, DuckDB `//` floors —
+    * on a falling segment they disagree; splitting on direction keeps
+    * the division non-negative, the q130 discipline). One calendar
+    * explode per type + two window passes — no self-joins; at 100 TB
+    * the gap-fill costs what the q102 calendar fill costs. */
+  val q218 = GraftQuery(
+    "q218_linear_interpolation",
+    "Interior gaps lerp between anchors, trailing gaps carry forward — integer cents, labeled",
+    (s, dir) => {
+      val observed = events(s, dir)
+        .withColumn("d", dayofmonth(col("ts")).cast("long"))
+        .filter(col("d") % 5 =!= 0) // withhold every 5th day
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      val calendar = observed.select("event_type").distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(1L), lit(30L))).as("d"))
+      val wPrev = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      calendar.join(observed, Seq("event_type", "d"), "left_outer")
+        .withColumn("pc", last(col("cents"), ignoreNulls = true).over(wPrev))
+        .withColumn("pd", last(when(col("cents").isNotNull, col("d")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nc", first(col("cents"), ignoreNulls = true).over(wNext))
+        .withColumn("nd", first(when(col("cents").isNotNull, col("d")),
+          ignoreNulls = true).over(wNext))
+        .select(col("event_type"), col("d"),
+          when(col("cents").isNotNull, col("cents"))
+            .when(col("nc").isNull, col("pc")) // trailing gap: carry
+            .otherwise(expr("""CASE WHEN nc >= pc
+                THEN pc + (nc - pc) * (d - pd) div (nd - pd)
+                ELSE pc - (pc - nc) * (d - pd) div (nd - pd) END"""))
+            .as("cents_filled"),
+          when(col("cents").isNotNull, lit("observed"))
+            .when(col("nc").isNull, lit("carried"))
+            .otherwise(lit("interpolated")).as("fill"))
+        .orderBy("event_type", "d")
+    },
+    Some("""
+      WITH observed AS (
+        SELECT event_type, CAST(day(CAST(ts AS TIMESTAMP)) AS BIGINT) AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        WHERE day(CAST(ts AS TIMESTAMP)) % 5 <> 0
+        GROUP BY 1, 2),
+      cal AS (
+        SELECT t.event_type, CAST(g.d AS BIGINT) AS d
+        FROM (SELECT DISTINCT event_type FROM observed) t,
+             UNNEST(range(1, 31)) AS g(d)),
+      anchored AS (
+        SELECT c.event_type, c.d, o.cents,
+               last_value(o.cents IGNORE NULLS) OVER wp AS pc,
+               last_value(CASE WHEN o.cents IS NOT NULL THEN c.d END
+                 IGNORE NULLS) OVER wp AS pd,
+               first_value(o.cents IGNORE NULLS) OVER wn AS nc,
+               first_value(CASE WHEN o.cents IS NOT NULL THEN c.d END
+                 IGNORE NULLS) OVER wn AS nd
+        FROM cal c LEFT JOIN observed o USING (event_type, d)
+        WINDOW
+          wp AS (PARTITION BY c.event_type ORDER BY c.d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wn AS (PARTITION BY c.event_type ORDER BY c.d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT event_type, d,
+             CASE WHEN cents IS NOT NULL THEN cents
+                  WHEN nc IS NULL THEN pc
+                  WHEN nc >= pc THEN pc + (nc - pc) * (d - pd) // (nd - pd)
+                  ELSE pc - (pc - nc) * (d - pd) // (nd - pd) END
+               AS cents_filled,
+             CASE WHEN cents IS NOT NULL THEN 'observed'
+                  WHEN nc IS NULL THEN 'carried'
+                  ELSE 'interpolated' END AS fill
+      FROM anchored
+      ORDER BY event_type, d"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
     q150, q154, q157, q159, q163, q167, q169, q175, q176, q177, q179,
     q180, q183, q184, q201, q203, q206,
-    q207, q214)
+    q207, q214, q218)
 }
