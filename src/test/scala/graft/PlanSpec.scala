@@ -1503,6 +1503,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"runtime filter did not prune 5 -> 2 partitions: $prunes")
   }
 
+  test("q218: gap-fill is windows over one rollup — no self-join, no cartesian") {
+    val p = plan(operators.EventWindows.q218.build(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("events.parquet"))
+    assert(scans <= 2, s"$scans events scans — interpolation must not re-join the fact\n$p")
+  }
+
+  test("d30: truth labels and cluster sizes broadcast onto the contingency — no sort-merge") {
+    val p = plan(operators.Dedup.d30.build(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("m21: one priced-item window per source feeds the packer — no fact re-scan past the union") {
+    val p = plan(operators.Multimodal.m21.build(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // text arm + image arm = two scans of documents, nothing more
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("documents.parquet"))
+    assert(scans <= 3, s"$scans documents scans\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
