@@ -1480,6 +1480,89 @@ object Multimodal {
       GROUP BY source, chunk_id
       ORDER BY source, chunk_id"""))
 
+  /** CONTRASTIVE PAIR ASSEMBLY — the CLIP-style training-batch op: each
+    * image (the m13 planting convention, dims through the REAL header
+    * parse) pairs with its caption (the doc's text), and batches of 8
+    * are drawn by md5 RANK (t13's deterministic seedless shuffle — id
+    * order would batch neighbors, and contrastive learning needs mixed
+    * negatives). Within a batch every non-matching (image, caption)
+    * combination is a free negative: 8 positives buy 56 negatives —
+    * the in-batch trick that makes contrastive training data-efficient.
+    * Per batch the audit reports what a training engineer checks before
+    * a run: negative count, CONFOUNDED negatives (same-source pairs —
+    * a caption that plausibly matches a sibling image is a false
+    * negative, the contrastive analogue of t55's containment guard),
+    * the patch-token load (m21's pricing — batches must fit the vision
+    * tower), and caption length. One rank window + one groupBy; the
+    * confounded count is Σ c·(c−1) over in-batch source counts, plain
+    * algebra, never a pair join. */
+  val m22 = GraftQuery(
+    "m22_contrastive_batches",
+    "CLIP-batch assembly by md5 rank: in-batch negatives, confounded same-source count, patch load",
+    (s, dir) => {
+      def be4(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      val width = col("doc_id") % 640 + 16
+      val height = (col("doc_id") * 7) % 480 + 16
+      val docs = table(s, dir, "documents")
+      val planted = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("source"), col("text"),
+          concat(unhex(concat(lit("89504E470D0A1A0A0000000D49484452"),
+            be4(width), be4(height), lit("0806000000DEADBEEF"))),
+            col("text").cast("binary")).as("b"))
+      val items = headerMeta(planted.select("doc_id", "b"))
+        .filter(col("container") === "png")
+        .join(planted.select("doc_id", "source", "text"), "doc_id")
+        .select(col("doc_id"), col("source"),
+          expr("CAST(((width + 15) div 16) * ((height + 15) div 16) AS BIGINT)")
+            .as("patches"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("cap_tokens"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .withColumn("batch_id", expr("(rk - 1) div 8"))
+      val perSource = items.groupBy("batch_id", "source")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("batch_id")
+        .agg(sum(expr("c * (c - 1)")).as("n_confounded_neg"))
+      items.groupBy("batch_id")
+        .agg(count(lit(1)).as("n_items"),
+          sum("patches").as("patch_tokens"),
+          sum("cap_tokens").as("caption_tokens"),
+          min("doc_id").as("first_doc"))
+        .join(perSource, "batch_id")
+        .select(col("batch_id"), col("n_items"),
+          expr("n_items * (n_items - 1)").as("n_negatives"),
+          col("n_confounded_neg"), col("patch_tokens"),
+          col("caption_tokens"), col("first_doc"))
+        .orderBy("batch_id")
+    },
+    Some("""
+      WITH items AS (
+        SELECT doc_id, source,
+               ((doc_id % 640 + 16 + 15) // 16)
+                 * (((doc_id * 7) % 480 + 16 + 15) // 16) AS patches,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS cap_tokens,
+               row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rk
+        FROM documents WHERE doc_id % 3 = 0),
+      b AS (SELECT *, (rk - 1) // 8 AS batch_id FROM items),
+      conf AS (
+        SELECT batch_id, CAST(sum(c * (c - 1)) AS BIGINT) AS n_confounded_neg
+        FROM (SELECT batch_id, source, count(*) AS c
+              FROM b GROUP BY batch_id, source)
+        GROUP BY batch_id)
+      SELECT b2.batch_id, b2.n_items,
+             b2.n_items * (b2.n_items - 1) AS n_negatives,
+             conf.n_confounded_neg, b2.patch_tokens, b2.caption_tokens,
+             b2.first_doc
+      FROM (SELECT batch_id, count(*) AS n_items,
+                   CAST(sum(patches) AS BIGINT) AS patch_tokens,
+                   CAST(sum(cap_tokens) AS BIGINT) AS caption_tokens,
+                   min(doc_id) AS first_doc
+            FROM b GROUP BY batch_id) b2
+      JOIN conf USING (batch_id)
+      ORDER BY b2.batch_id"""))
+
   val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11,
-    m12, m13, m14, m15, m16, m17, m18, m19, m20, m21)
+    m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22)
 }

@@ -2713,7 +2713,86 @@ object Similarity {
       GROUP BY budget_m, n.n_corpus
       ORDER BY budget_m"""))
 
+  /** EMBEDDING-MATRIX HEALTH AUDIT — the QA gate BEFORE any index in
+    * this family is built: per-dimension moments over the whole matrix
+    * catch dead dimensions (zero variance — wasted index bytes, broken
+    * PQ codebooks), dominant dimensions (variance outliers that swamp
+    * L2/cosine — the reason pipelines standardize before s5's k-means),
+    * and mean offset (anisotropy — embeddings clustered in a cone make
+    * cosine saturate). Fixed-point milli units (round(x·1000) as long)
+    * keep every moment integer-exact and engine-portable: sums of
+    * 60k·10⁶-scale squares stay far under long range, and no float
+    * reduction-order can flip a verdict. One posexplode + one groupBy
+    * on dimension — embarrassingly parallel, map-side combined; at
+    * 100 TB this is a single pass that shuffles 64 rows per partition. */
+  val s32 = GraftQuery(
+    "s32_embedding_stats",
+    "Per-dimension moment audit in exact milli units: dead/dominant/offset dimensions flagged",
+    (s, dir) => {
+      val dims = table(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select((col("dim") + 1).cast("long").as("dim"),
+          expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)").as("xm"))
+      val stats = dims.groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum("xm").as("sx"),
+          sum(expr("xm * xm")).as("sxx"),
+          min("xm").as("min_milli"),
+          max("xm").as("max_milli"))
+        .select(col("dim"), col("n"),
+          // truncate-toward-zero on BOTH engines: Spark div truncates
+          // natively; the oracle sign-splits so its division always
+          // runs on non-negatives (the q130 discipline)
+          expr("sx div n").as("mean_milli"),
+          // population variance in milli² via the integer moment
+          // identity; both numerators are non-negative so div == floor
+          expr("(sxx - sx * sx div n) div n").as("var_milli2"),
+          col("min_milli"), col("max_milli"))
+      val meanVar = stats.agg(
+        expr("sum(var_milli2) div count(1)").as("mean_var"))
+      stats.crossJoin(broadcast(meanVar))
+        .select(col("dim"), col("n"), col("mean_milli"), col("var_milli2"),
+          col("min_milli"), col("max_milli"),
+          when(col("var_milli2") === 0L, lit("dead"))
+            .when(col("var_milli2") > col("mean_var") * 4, lit("dominant"))
+            .when(abs(col("mean_milli")) * abs(col("mean_milli"))
+              > col("var_milli2") * 4, lit("offset"))
+            .otherwise(lit("healthy")).as("verdict"))
+        .orderBy("dim")
+    },
+    Some("""
+      WITH d AS (
+        SELECT CAST(j AS BIGINT) AS dim,
+               CAST(round(CAST(embedding[CAST(j AS INTEGER)] AS DOUBLE) * 1000)
+                 AS BIGINT) AS xm
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(j)),
+      stats AS (
+        SELECT dim, count(*) AS n,
+               CAST(sum(xm) AS BIGINT) AS sx,
+               CAST(sum(xm * xm) AS BIGINT) AS sxx,
+               min(xm) AS min_milli, max(xm) AS max_milli
+        FROM d GROUP BY dim),
+      m AS (
+        SELECT dim, n,
+               CASE WHEN sx >= 0 THEN sx // n
+                    ELSE -((-sx) // n) END AS mean_milli,
+               (sxx - sx * sx // n) // n AS var_milli2,
+               min_milli, max_milli
+        FROM stats),
+      med AS (
+        SELECT CAST(sum(var_milli2) // count(*) AS BIGINT) AS mean_var FROM m)
+      SELECT dim, n, CAST(mean_milli AS BIGINT) AS mean_milli,
+             CAST(var_milli2 AS BIGINT) AS var_milli2,
+             min_milli, max_milli,
+             CASE WHEN var_milli2 = 0 THEN 'dead'
+                  WHEN var_milli2 > mean_var * 4 THEN 'dominant'
+                  WHEN abs(mean_milli) * abs(mean_milli) > var_milli2 * 4
+                    THEN 'offset'
+                  ELSE 'healthy' END AS verdict
+      FROM m, med
+      ORDER BY dim"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
     s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-    s27, s28, s29, s30, s31)
+    s27, s28, s29, s30, s31, s32)
 }
