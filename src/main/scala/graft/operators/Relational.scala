@@ -2983,10 +2983,91 @@ object Relational {
       WHERE rn = 1
       ORDER BY o_orderkey"""))
 
+  /** WINSORIZATION — the robust-statistics CLEANING action (q101
+    * detects outliers and reports; feature pipelines CLAMP them): prices
+    * clamp to the discrete p01/p99 cutoffs per group, and the audit
+    * reports what changed — clamp counts per tail and the before/after
+    * mean and max, the table a feature engineer signs off before
+    * training on the column. Discrete cutoffs (value at rank
+    * max(1, n div 100) / rank (99n) div 100 + 1) keep everything
+    * integer-exact — no interpolation, no floats (q185 pins the
+    * interpolating convention where it's wanted). Scale shape: ONE
+    * sorted rank pass per group; the 2-row cutoff spec broadcasts back
+    * onto the unranked fact as an equi-join probe — clamping re-scans
+    * nothing and re-sorts nothing. */
+  val q219 = GraftQuery(
+    "q219_winsorize",
+    "Clamp price cents to discrete p01/p99 per returnflag: clamp counts + before/after stats",
+    (s, dir) => {
+      val cents = table(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      val ranked = cents
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("flag").orderBy("c")).cast("long"))
+      val spec = cents.groupBy("flag").agg(count(lit(1)).as("n"))
+        .select(col("flag").as("sflag"), col("n"),
+          expr("greatest(1L, n div 100)").as("lo_rn"),
+          expr("least(n, (n * 99) div 100 + 1)").as("hi_rn"))
+      val cuts = ranked.join(broadcast(spec),
+          col("flag") === col("sflag") &&
+            (col("rn") === col("lo_rn") || col("rn") === col("hi_rn")))
+        .groupBy("flag")
+        .agg(max("n").as("n"),
+          max(when(col("rn") === col("lo_rn"), col("c"))).as("lo_cut"),
+          max(when(col("rn") === col("hi_rn"), col("c"))).as("hi_cut"))
+      cents.join(broadcast(cuts), "flag")
+        .select(col("flag"), col("n"), col("lo_cut"), col("hi_cut"), col("c"),
+          expr("greatest(lo_cut, least(hi_cut, c))").as("w"))
+        .groupBy("flag", "n", "lo_cut", "hi_cut")
+        .agg(sum(when(col("c") < col("lo_cut"), 1L).otherwise(0L)).as("n_clamped_lo"),
+          sum(when(col("c") > col("hi_cut"), 1L).otherwise(0L)).as("n_clamped_hi"),
+          expr("sum(c) div count(1)").as("mean_cents"),
+          expr("sum(w) div count(1)").as("mean_wins_cents"),
+          max("c").as("max_cents"),
+          max("w").as("max_wins_cents"))
+        .orderBy("flag")
+    },
+    Some("""
+      WITH cents AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem),
+      ranked AS (
+        SELECT flag, c,
+               CAST(row_number() OVER (PARTITION BY flag ORDER BY c)
+                 AS BIGINT) AS rn
+        FROM cents),
+      spec AS (
+        SELECT flag, count(*) AS n,
+               greatest(1, count(*) // 100) AS lo_rn,
+               least(count(*), (count(*) * 99) // 100 + 1) AS hi_rn
+        FROM cents GROUP BY flag),
+      cuts AS (
+        SELECT r.flag, max(s.n) AS n,
+               max(CASE WHEN r.rn = s.lo_rn THEN r.c END) AS lo_cut,
+               max(CASE WHEN r.rn = s.hi_rn THEN r.c END) AS hi_cut
+        FROM ranked r JOIN spec s ON r.flag = s.flag
+          AND (r.rn = s.lo_rn OR r.rn = s.hi_rn)
+        GROUP BY r.flag)
+      SELECT c.flag, CAST(k.n AS BIGINT) AS n, k.lo_cut, k.hi_cut,
+             CAST(sum(CASE WHEN c.c < k.lo_cut THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped_lo,
+             CAST(sum(CASE WHEN c.c > k.hi_cut THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped_hi,
+             CAST(sum(c.c) // count(*) AS BIGINT) AS mean_cents,
+             CAST(sum(greatest(k.lo_cut, least(k.hi_cut, c.c))) // count(*)
+               AS BIGINT) AS mean_wins_cents,
+             max(c.c) AS max_cents,
+             max(greatest(k.lo_cut, least(k.hi_cut, c.c))) AS max_wins_cents
+      FROM cents c JOIN cuts k USING (flag)
+      GROUP BY c.flag, k.n, k.lo_cut, k.hi_cut
+      ORDER BY c.flag"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
-    q182, q185, q196, q202, q204, q210, q211, q213, q215)
+    q182, q185, q196, q202, q204, q210, q211, q213, q215, q219)
 }

@@ -3252,8 +3252,77 @@ object TextAnalysis {
       GROUP BY lang
       ORDER BY lang"""))
 
+  /** ZIPF RANK-FREQUENCY FIT — the corpus-law companion to t28 (Heaps:
+    * vocabulary growth) and t36 (frequency spectrum): natural text obeys
+    * freq ∝ rank^(−s) with s ≈ 1, and the fitted slope is a cheap
+    * corpus-health signal — machine-generated or heavily-templated text
+    * bends the log-log line (|s| drifts, r² drops), so the fit is a
+    * one-row screen before expensive per-doc quality models. OLS of
+    * ln(freq) on ln(rank) over the top-200 terms (the head is where the
+    * law holds; the tail is Heaps' regime): top-k via orderBy+limit —
+    * TakeOrderedAndProject, per-partition heaps, never a global vocab
+    * sort — then a 200-row local window ranks, and the moments reduce
+    * in one agg. Doubles enter ONLY in ln(); all four outputs round to
+    * 4 decimals, far above ulp noise (the q180/q42 discipline). The
+    * driver fixture itself demonstrates the screen's point: its
+    * template-generated text has a ~31-word vocabulary with near-flat
+    * frequencies, and the fit duly reports slope ≈ −0.18, r² ≈ 0.06 —
+    * the degenerate signature no natural corpus shows (s ≈ 1, r² > .9). */
+  val t57 = GraftQuery(
+    "t57_zipf_slope",
+    "Zipf fit over the top-200 terms: OLS slope/intercept/r2 of ln(freq) vs ln(rank)",
+    (s, dir) => {
+      val freq = table(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("f"))
+      val top = freq.orderBy(desc("f"), asc("term")).limit(200)
+      val pts = top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("f"), asc("term"))).cast("long"))
+        .select(log(col("rank").cast("double")).as("x"),
+          log(col("f").cast("double")).as("y"))
+      pts.agg(count(lit(1)).cast("double").as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * x")).as("sxx"),
+          sum(expr("x * y")).as("sxy"),
+          sum(expr("y * y")).as("syy"))
+        .select(col("n").cast("long").as("n_terms"),
+          round(expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)"), 4)
+            .as("slope"),
+          round(expr("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n"), 4)
+            .as("intercept"),
+          round(expr("""(n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))"""), 4).as("r2"))
+    },
+    Some("""
+      WITH freq AS (
+        SELECT term, count(*) AS f
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+              FROM documents)
+        WHERE length(term) > 0
+        GROUP BY term),
+      top AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, term) AS rank
+        FROM freq ORDER BY f DESC, term LIMIT 200),
+      pts AS (
+        SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+        FROM top),
+      mom AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        FROM pts)
+      SELECT CAST(n AS BIGINT) AS n_terms,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+             round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+               AS intercept,
+             round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+      FROM mom"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-    t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54, t55, t56)
+    t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54, t55, t56, t57)
 }
