@@ -2369,7 +2369,100 @@ object Dedup {
       HAVING count(*) >= 2
       ORDER BY l.cluster_id"""))
 
+  /** SIMHASH CONFUSION MATRIX — the threshold-licensing table for d4:
+    * d22 tunes MinHash banding and d18 pins its S-curve, but the
+    * simhash arm's "hamming ≤ 12" cut has never been CHARACTERIZED
+    * against exact truth. Over the shared-shingle candidate universe
+    * (the only pairs any method can ever surface), cross-tabulate exact
+    * Jaccard bands (<10%, 10-30%, ≥30%) against hamming bands (≤12,
+    * 13-20, >20): the (≥30%, ≤12) cell is the catch, (≥30%, >20) the
+    * misses, (<10%, ≤12) the false alarms a verify stage must absorb —
+    * the three numbers that justify (or veto) a production threshold.
+    * Both signals ride recipes already hash-proven (d27's exact pairs,
+    * d7's portable 60-bit md5-simhash); the matrix is one join + one
+    * groupBy over the bounded candidate set. */
+  val d32 = GraftQuery(
+    "d32_simhash_confusion",
+    "Exact-Jaccard bands x simhash-hamming bands over the candidate universe: the d4 threshold license",
+    (s, dir) => {
+      val sh = table(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("doc_id").as("doc1"), col("n").as("n1"))), "doc1")
+        .join(broadcast(sizes.select(col("doc_id").as("doc2"), col("n").as("n2"))), "doc2")
+        .select(col("doc1"), col("doc2"),
+          expr("inter * 10000 div (n1 + n2 - inter)").as("jac_bp"))
+      val words = table(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      val sig = words
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
+        .groupBy("doc_id", "j")
+        .agg(sum(when(expr("((h >> j) & 1) = 1"), 1).otherwise(-1)).as("vote"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("vote") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("sig"))
+      pairs
+        .join(broadcast(sig.select(col("doc_id").as("doc1"), col("sig").as("s1"))), "doc1")
+        .join(broadcast(sig.select(col("doc_id").as("doc2"), col("sig").as("s2"))), "doc2")
+        .select(
+          when(col("jac_bp") >= 3000, "2_dup_ge30")
+            .when(col("jac_bp") >= 1000, "1_gray_10_30")
+            .otherwise("0_nondup_lt10").as("exact_band"),
+          when(expr("bit_count(s1 ^ s2) <= 12"), "0_ham_le12")
+            .when(expr("bit_count(s1 ^ s2) <= 20"), "1_ham_13_20")
+            .otherwise("2_ham_gt20").as("ham_band"))
+        .groupBy("exact_band", "ham_band")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("exact_band", "ham_band")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents WHERE doc_id < 300),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               count(*) * 10000 // (na.n + nb.n - count(*)) AS jac_bp
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        JOIN sizes na ON na.doc_id = a.doc_id
+        JOIN sizes nb ON nb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, na.n, nb.n),
+      wt AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+             FROM documents WHERE doc_id < 300),
+      h AS (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS h
+            FROM wt),
+      v AS (SELECT doc_id, j,
+                   sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+            FROM h, UNNEST(range(60)) AS u(j)
+            GROUP BY doc_id, j),
+      sig AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END)
+                       AS BIGINT) AS sig
+              FROM v GROUP BY doc_id)
+      SELECT CASE WHEN p.jac_bp >= 3000 THEN '2_dup_ge30'
+                  WHEN p.jac_bp >= 1000 THEN '1_gray_10_30'
+                  ELSE '0_nondup_lt10' END AS exact_band,
+             CASE WHEN bit_count(xor(a.sig, b.sig)) <= 12 THEN '0_ham_le12'
+                  WHEN bit_count(xor(a.sig, b.sig)) <= 20 THEN '1_ham_13_20'
+                  ELSE '2_ham_gt20' END AS ham_band,
+             count(*) AS n_pairs
+      FROM pairs p
+      JOIN sig a ON a.doc_id = p.doc1
+      JOIN sig b ON b.doc_id = p.doc2
+      GROUP BY 1, 2
+      ORDER BY exact_band, ham_band"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
     d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
-    d26, d27, d28, d29, d30, d31)
+    d26, d27, d28, d29, d30, d31, d32)
 }

@@ -1029,7 +1029,53 @@ object Sources {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** METADATA COLUMNS ([[graft.sources.MemTableImpl.metadataColumns]]) —
+    * the `_metadata` contract of file sources (path, mod time) at TABLE
+    * granularity: `_partition` (which partition served the row) and
+    * `_commit_version` (which snapshot published it) resolve only when
+    * NAMED — `SELECT *` never sees them — and the reader serves them
+    * from split-level state, never widening stored rows. The entry
+    * commits TWICE (latest-commit-wins, so rows are identical but the
+    * version advances to 2) and reads a provenance rollup grouped by
+    * `_partition`: row counts per partition AND proof every row is
+    * served from snapshot version 2 — the row-level provenance question
+    * ("which commit produced what I'm reading") that q72's snapshot
+    * diff answers only at table level. */
+  val q220 = GraftQuery(
+    "q220_dsv2_metadata_columns",
+    "_partition/_commit_version metadata columns: provenance rollup from split-level state",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val key = s"q220_${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      def write(): Unit = events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_type"))
+        .write.format("graft.sources.MemTable")
+        .option("runId", key).option("partitionCol", "event_type")
+        .mode("append").save()
+      write(); write() // second commit swaps the snapshot: version 2
+      s.read.format("graft.sources.MemTable")
+        .option("runId", key).option("partitionCol", "event_type").load()
+        .select(col("_partition"), col("_commit_version"), col("cents"))
+        .groupBy(col("_partition"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("total_cents"),
+          min(col("_commit_version")).as("min_version"),
+          max(col("_commit_version")).as("max_version"))
+        .orderBy("_partition")
+    },
+    Some("""
+      SELECT event_type AS _partition, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             CAST(2 AS BIGINT) AS min_version,
+             CAST(2 AS BIGINT) AS max_version
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
-    q217)
+    q217, q220)
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
@@ -79,8 +79,31 @@ object MemTable {
 }
 
 private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: String)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns {
   override def name(): String = s"graft_mem_table($runId)"
+
+  /** METADATA COLUMNS ([[SupportsMetadataColumns]]) — the `_metadata`
+    * contract file sources expose (file path, mod time), here at table
+    * granularity: `_partition` (which partition served the row — the
+    * provenance every skew/debug query starts from) and
+    * `_commit_version` (which snapshot published it — q189's optimistic
+    * concurrency, now row-visible). Hidden from `SELECT *`; resolved
+    * only when named, and served by the reader without widening the
+    * stored rows (q220 exercises both). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_partition"
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable(): Boolean = false
+      override def comment(): String = "partition value this row was read from"
+    },
+    new MetadataColumn {
+      override def name(): String = "_commit_version"
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable(): Boolean = false
+      override def comment(): String = "snapshot version that published this row"
+    })
   override def schema(): StructType =
     MemTable.store.get(runId).map(_.schema).getOrElse(schema)
   override def capabilities(): util.Set[TableCapability] =
@@ -301,7 +324,7 @@ private[sources] class MemScanBuilder(runId: String, partCol: String)
 }
 
 private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
-    colIdx: Array[Int], colTypes: Array[String])
+    colIdx: Array[Int], colTypes: Array[String], version: Long = 1L)
     extends InputPartition with HasPartitionKey {
   /** Storage-partitioned-join handshake: each split names its partition
     * value, so two MemTables partitioned on the same column co-locate
@@ -425,15 +448,18 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     snap.parts.toSeq.sortBy(_._1)
       .filter { case (k, _) => keep.forall(_.contains(k)) }
 
-  /** Rows after every pushed clause. Top-N sorts the pruned snapshot by
-    * the pushed keys (long/string only, non-null by writer contract) and
-    * cuts; plain limit just cuts. */
-  private def servedRows: Vector[Array[Any]] = {
-    val base = planned.iterator.flatMap(_._2).toVector
+  /** Rows after every pushed clause, each tagged with its partition key
+    * (metadata-column provenance survives the cut). Top-N sorts the
+    * pruned snapshot by the pushed keys (long/string only, non-null by
+    * writer contract) and cuts; plain limit just cuts. */
+  private def servedKeyedRows: Vector[(String, Array[Any])] = {
+    val base = planned.iterator
+      .flatMap { case (k, rs) => rs.iterator.map((k, _)) }.toVector
     topN match {
       case Some((keys, n)) =>
-        val ord = new Ordering[Array[Any]] {
-          def compare(a: Array[Any], b: Array[Any]): Int = {
+        val ord = new Ordering[(String, Array[Any])] {
+          def compare(ka: (String, Array[Any]), kb: (String, Array[Any])): Int = {
+            val (a, b) = (ka._2, kb._2)
             keys.foreach { case (i, asc) =>
               val c = (a(i), b(i)) match {
                 case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
@@ -450,20 +476,30 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     }
   }
 
+  private def servedRows: Vector[Array[Any]] = servedKeyedRows.map(_._2)
+
   override def planInputPartitions(): Array[InputPartition] = agg match {
     case Some((grouped, funcs)) =>
       // pre-aggregated slice: identity projection over the agg schema
       val sch = aggSchema(grouped, funcs)
-      Array(MemSlicePart(aggRows(grouped, funcs),
-        sch.fieldNames.indices.toArray, sch.fields.map(_.dataType.typeName)))
+      Array(MemSlicePart(aggRows(grouped, funcs).map(("", _)),
+        sch.fieldNames.indices.toArray, sch.fields.map(_.dataType.typeName),
+        snap.version))
     case None =>
-      val idx = required.fieldNames.map(n => snap.schema.fieldNames.indexOf(n))
+      // metadata columns resolve to negative index markers: the reader
+      // serves them from the split's partition key / snapshot version
+      // instead of the stored row (rows never widen)
+      val idx = required.fieldNames.map {
+        case "_partition"      => -2
+        case "_commit_version" => -3
+        case n                 => snap.schema.fieldNames.indexOf(n)
+      }
       val types = required.fields.map(_.dataType.typeName)
       if (topN.isDefined || limit.isDefined)
         // ordered slice: one split (the cut result is tiny by construction)
-        Array(MemSlicePart(servedRows, idx, types))
+        Array(MemSlicePart(servedKeyedRows, idx, types, snap.version))
       else
-        planned.map { case (k, rs) => MemPart(k, rs, idx, types) }.toArray
+        planned.map { case (k, rs) => MemPart(k, rs, idx, types, snap.version) }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -481,27 +517,35 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
 }
 
 /** An already-ordered-and-cut slice (pushed top-N/limit): no partition
-  * key — grouping is gone once rows from many partitions interleave. */
-private[sources] case class MemSlicePart(rows: Vector[Array[Any]],
-    colIdx: Array[Int], colTypes: Array[String]) extends InputPartition
+  * key for grouping — but each row still remembers which partition it
+  * came from, so the `_partition` metadata column survives the cut. */
+private[sources] case class MemSlicePart(rows: Vector[(String, Array[Any])],
+    colIdx: Array[Int], colTypes: Array[String], version: Long = 1L)
+    extends InputPartition
 
 private[sources] class MemReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val (rows, colIdx, colTypes) = partition match {
-      case p: MemPart      => (p.rows, p.colIdx, p.colTypes)
-      case p: MemSlicePart => (p.rows, p.colIdx, p.colTypes)
+    // (partition key per row, data row); MemPart shares one key
+    val (rows, colIdx, colTypes, version) = partition match {
+      case p: MemPart =>
+        (p.rows.map((p.key, _)), p.colIdx, p.colTypes, p.version)
+      case p: MemSlicePart => (p.rows, p.colIdx, p.colTypes, p.version)
       case other           => sys.error(s"MemTable: unexpected split $other")
     }
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): InternalRow = {
-        val src = rows(i)
+        val (key, src) = rows(i)
         InternalRow.fromSeq(colIdx.indices.map { j =>
-          colTypes(j) match {
-            case "long"   => src(colIdx(j)).asInstanceOf[Long]
-            case "string" => UTF8String.fromString(src(colIdx(j)).asInstanceOf[String])
-            case other    => sys.error(s"MemTable: unsupported read type $other")
+          colIdx(j) match {
+            case -2 => UTF8String.fromString(key) // _partition
+            case -3 => version                    // _commit_version
+            case k => colTypes(j) match {
+              case "long"   => src(k).asInstanceOf[Long]
+              case "string" => UTF8String.fromString(src(k).asInstanceOf[String])
+              case other    => sys.error(s"MemTable: unsupported read type $other")
+            }
           }
         })
       }

@@ -1526,6 +1526,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans <= 3, s"$scans documents scans\n$p")
   }
 
+  test("q220: metadata columns are hidden from SELECT * and served without widening the scan") {
+    operators.Sources.q220.build(spark, sfDir).collect() // commits version 2
+    val key = graft.sources.MemTable.store.keys.filter(_.startsWith("q220_")).min
+    val df = spark.read.format("graft.sources.MemTable")
+      .option("runId", key).option("partitionCol", "event_type").load()
+    assert(!df.columns.contains("_partition") && !df.columns.contains("_commit_version"),
+      s"metadata columns leaked into SELECT *: ${df.columns.mkString(",")}")
+    val meta = df.select("_partition", "_commit_version", "event_id")
+    val p = plan(meta)
+    // the scan's data-column read schema stays 1 column wide — metadata
+    // comes from split state, not stored rows
+    assert(p.contains("cols=event_id,_partition,_commit_version)") ||
+      p.contains("cols=event_id"), s"unexpected scan projection\n$p")
+    assert(meta.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(2L), "rows not served from snapshot v2")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
