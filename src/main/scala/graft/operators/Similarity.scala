@@ -2792,7 +2792,123 @@ object Similarity {
       FROM m, med
       ORDER BY dim"""))
 
+  /** POST-FILTER STARVATION CURVE — the eval that motivates s14's
+    * pre-filtered design: the naive way to answer "top-10 among label=L
+    * vectors" is retrieve-then-filter (run the s12/s31 cascade, THEN
+    * drop non-matching candidates), and it starves as the filter
+    * sharpens — a 128-candidate shortlist at 25% selectivity leaves
+    * ~32 survivors to pick 10 from, at 6% barely the 10 itself. Exact
+    * recall@10 of post-filtered cascades against the FILTERED brute
+    * force truth, per label (the embeddings table's labels give natural
+    * selectivity tiers). Same deterministic machinery as s31 (hamming
+    * rank → cosine rerank → set intersection, all integer at the end);
+    * the per-label truth restricts the brute force BEFORE ranking —
+    * the thing the post-filter path cannot do. */
+  val s33 = GraftQuery(
+    "s33_filtered_cascade_eval",
+    "Retrieve-then-filter recall@10 per label vs filtered truth: the post-filter starvation table",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding"), l2Norm(col("embedding")).as("nrm"),
+          expr("""aggregate(transform(sequence(1, 64),
+                    j -> IF(CAST(element_at(embedding, j) AS DOUBLE) > 0D,
+                            shiftleft(1L, j - 1), 0L)),
+                  0L, (a, x) -> a + x)""").as("code"))
+        .localCheckpoint(true)
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("code").as("qcode"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      // post-filter cascade: 128-candidate shortlist ranked BEFORE the
+      // label is known, then filtered per target label
+      val short = broadcast(q.select(col("query_id"), col("qcode"))).crossJoin(
+          emb.select(col("vec_id"), col("label"), col("code")))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), col("label"),
+          expr("bit_count(qcode ^ code)").as("hamming"))
+        .withColumn("hrank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("hamming"), col("vec_id"))))
+        .filter(col("hrank") <= 128)
+        .join(emb.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")
+        .join(broadcast(q.select(col("query_id"), col("qe"), col("qn"))), "query_id")
+        .select(col("query_id"), col("vec_id"), col("label"),
+          (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+            .as("sim"))
+      val cascade = short
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id", "label")
+            .orderBy(desc("sim"), col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("label"), col("query_id"), col("vec_id"))
+      // filtered truth: brute force WITHIN each label
+      val truth = broadcast(q.select(col("query_id"), col("qe"), col("qn")))
+        .crossJoin(emb.select(col("vec_id"), col("label"),
+          col("embedding"), col("nrm")))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"), col("label"),
+          (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+            .as("sim"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id", "label")
+            .orderBy(desc("sim"), col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("label"), col("query_id"), col("vec_id"))
+      val nPerLabel = emb.groupBy("label").agg(count(lit(1)).as("n_label"))
+      cascade.join(truth, Seq("label", "query_id", "vec_id"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("total_hits"))
+        .join(broadcast(nPerLabel), "label")
+        .select(col("label"), col("n_label"), col("total_hits"),
+          expr("total_hits * 10000 div 200").as("recall_bp"))
+        .orderBy("label")
+    },
+    Some("""
+      WITH c AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+               sqrt(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+               CAST(list_aggregate(list_transform(range(1, 65),
+                 j -> CASE WHEN CAST(embedding[CAST(j AS INTEGER)] AS DOUBLE) <= 0
+                           THEN 0
+                           WHEN j = 64 THEN CAST(-9223372036854775808 AS BIGINT)
+                           ELSE (CAST(1 AS BIGINT) << (j - 1)) END),
+                 'sum') AS BIGINT) AS code
+        FROM embeddings),
+      ham AS (
+        SELECT * FROM (
+          SELECT q.vec_id AS query_id, t.vec_id, t.label,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY bit_count(xor(q.code, t.code)), t.vec_id) AS hrank,
+                 list_aggregate(list_transform(list_zip(q.embedding, t.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                   / (q.nrm * t.nrm) AS sim
+          FROM c q JOIN c t ON q.vec_id < 20 AND q.vec_id <> t.vec_id)
+        WHERE hrank <= 128),
+      cascade AS (
+        SELECT label, query_id, vec_id FROM (
+          SELECT label, query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id, label
+                   ORDER BY sim DESC, vec_id) AS rank
+          FROM ham)
+        WHERE rank <= 10),
+      truth AS (
+        SELECT label, query_id, vec_id FROM (
+          SELECT t.label, q.vec_id AS query_id, t.vec_id,
+                 row_number() OVER (PARTITION BY q.vec_id, t.label ORDER BY
+                   list_aggregate(list_transform(list_zip(q.embedding, t.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                     / (q.nrm * t.nrm) DESC, t.vec_id) AS rank
+          FROM c q JOIN c t ON q.vec_id < 20 AND q.vec_id <> t.vec_id)
+        WHERE rank <= 10),
+      nl AS (SELECT label, count(*) AS n_label FROM c GROUP BY label)
+      SELECT label, nl.n_label, count(*) AS total_hits,
+             CAST(count(*) * 10000 // 200 AS BIGINT) AS recall_bp
+      FROM cascade JOIN truth USING (label, query_id, vec_id)
+      JOIN nl USING (label)
+      GROUP BY label, nl.n_label
+      ORDER BY label"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
     s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-    s27, s28, s29, s30, s31, s32)
+    s27, s28, s29, s30, s31, s32, s33)
 }
