@@ -3064,10 +3064,120 @@ object Relational {
       GROUP BY c.flag, k.n, k.lo_cut, k.hi_cut
       ORDER BY c.flag"""))
 
+  /** CUMULATIVE-CROSSING POINT — "when does demand exhaust stock": per
+    * part, order lines accumulate in date order and the answer is the
+    * FIRST row where the running sum crosses the budget (here a
+    * deterministic stock = p_size·50, so the oracle knows it) — the
+    * shape behind stock-out projection, budget-burn alerts, and quota
+    * trip wires. The crossing is an argmin over the filtered running
+    * sum: one window pass builds the cumsum, `min_by`-style struct-min
+    * picks the earliest crossing (no second sort, no self-join); parts
+    * that never cross report NULL with their terminal fill ratio in bp.
+    * Bounded to 200 parts so the per-part detail stays reviewable. */
+  val q221 = GraftQuery(
+    "q221_cumulative_crossing",
+    "First date each part's cumulative demand crosses its stock budget; never-crossed report fill bp",
+    (s, dir) => {
+      val lines = table(s, dir, "lineitem")
+        .filter(col("l_partkey") <= 200)
+        .join(table(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("partkey"),
+          col("o_orderdate").cast("date").as("d"),
+          col("l_quantity").cast("long").as("qty"),
+          col("l_orderkey"), col("l_linenumber"))
+      val stock = table(s, dir, "part")
+        .filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").as("partkey"),
+          (col("p_size").cast("long") * 50).as("stock"))
+      val w = Window.partitionBy("partkey")
+        .orderBy(col("d"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lines.join(broadcast(stock), "partkey")
+        .withColumn("cum", sum("qty").over(w))
+        .groupBy("partkey", "stock")
+        .agg(sum("qty").as("total_demand"),
+          min(when(col("cum") >= col("stock"),
+            struct(col("d"), col("cum")))).as("crossing"))
+        .select(col("partkey"), col("stock"), col("total_demand"),
+          col("crossing.d").cast("timestamp_ntz").as("exhaust_date"),
+          col("crossing.cum").as("cum_at_exhaust"),
+          expr("CASE WHEN crossing IS NULL THEN total_demand * 10000 div stock END")
+            .as("fill_bp_if_never"))
+        .orderBy("partkey")
+    },
+    Some("""
+      WITH lines AS (
+        SELECT l_partkey AS partkey, CAST(o_orderdate AS DATE) AS d,
+               CAST(l_quantity AS BIGINT) AS qty, l_orderkey, l_linenumber
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_partkey <= 200),
+      stock AS (
+        SELECT p_partkey AS partkey, CAST(p_size AS BIGINT) * 50 AS stock
+        FROM part WHERE p_partkey <= 200),
+      cum AS (
+        SELECT l.partkey, s.stock, l.d, l.qty,
+               sum(l.qty) OVER (PARTITION BY l.partkey
+                 ORDER BY l.d, l.l_orderkey, l.l_linenumber
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM lines l JOIN stock s USING (partkey)),
+      agg AS (
+        SELECT partkey, stock,
+               CAST(sum(qty) AS BIGINT) AS total_demand,
+               min(CASE WHEN cum >= stock THEN struct_pack(d := d, cum := cum)
+                   END) AS crossing
+        FROM cum GROUP BY partkey, stock)
+      SELECT partkey, stock, total_demand,
+             CAST(crossing.d AS TIMESTAMP) AS exhaust_date,
+             CAST(crossing.cum AS BIGINT) AS cum_at_exhaust,
+             CASE WHEN crossing IS NULL
+               THEN total_demand * 10000 // stock END AS fill_bp_if_never
+      FROM agg
+      ORDER BY partkey"""))
+
+  /** The Q18 SHAPE — large-order keeplist probing the detail: an
+    * aggregate's HAVING (orders whose line quantities total > 300)
+    * yields a small keylist, and the report joins it back to BOTH fact
+    * tables. The scale idiom: the keeplist is aggregated FIRST and
+    * BROADCAST — the detail tables are probed, never shuffled (the same
+    * build-probe inversion as q113/q119/q131's shapes). One lineitem
+    * scan builds both the keeplist and the per-order totals (the rollup
+    * reuses), orders/customer attach by broadcast-probe. */
+  val q222 = GraftQuery(
+    "q222_having_keeplist",
+    "Q18 shape: HAVING-filtered order keeplist broadcast back onto orders (one fact aggregation)",
+    (s, dir) => {
+      val totals = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("okey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      val keep = totals.filter(col("total_qty") > 300)
+      table(s, dir, "orders")
+        .join(broadcast(keep), col("o_orderkey") === col("okey"))
+        .join(table(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+          col("total_qty"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT c_name, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             t.total_qty
+      FROM orders
+      JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+              AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS BIGINT)) > 300) t
+        ON o_orderkey = t.l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
-    q182, q185, q196, q202, q204, q210, q211, q213, q215, q219)
+    q182, q185, q196, q202, q204, q210, q211, q213, q215, q219, q221, q222)
 }
