@@ -3174,10 +3174,91 @@ object Relational {
       JOIN customer ON o_custkey = c_custkey
       ORDER BY o_orderkey"""))
 
+  /** The custom operator's BUSINESS consumer — last-click attribution
+    * through [[graft.plans.AsOfJoin]] (q91 computes multi-touch shares
+    * via windows; this is the single-touch production fast path): each
+    * purchase takes the user's latest click at-or-before it, a 7-day
+    * lookback TOLERANCE composes as a plain post-filter on the matched
+    * pair (the operator stays tolerance-free — backward-inclusive
+    * semantics + filter IS merge_asof's tolerance), and the daily
+    * report counts attributed purchases and lag. Unattributed
+    * purchases (no click ever, or outside the window) are recovered by
+    * an anti-join of purchases against the attributed keys — the inner
+    * as-of plus one anti join replaces the quadratic click×purchase
+    * window the naive form pays. */
+  val q223 = GraftQuery(
+    "q223_asof_attribution",
+    "Last-click attribution via AsOfMergeJoin + 7-day tolerance filter; unattributed recovered",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").cast("timestamp_ntz").as("c_ts"))
+      val matched = graft.plans.AsOfJoin.asOfBackward(purchases, clicks,
+          Seq(col("user_id")), Seq(col("c_user")),
+          col("p_ts"), col("c_ts"), Seq(col("c_id")))
+        .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+      val attributed = matched
+        .select(col("p_id"), to_date(col("p_ts")).as("day"),
+          expr("""CAST((unix_micros(CAST(p_ts AS TIMESTAMP))
+              - unix_micros(CAST(c_ts AS TIMESTAMP))) div 60000000 AS BIGINT)""")
+            .as("lag_min"))
+      val orphan = purchases
+        .join(attributed.select("p_id"), Seq("p_id"), "left_anti")
+        .select(to_date(col("p_ts")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_unattributed"))
+      attributed.groupBy("day")
+        .agg(count(lit(1)).as("n_attributed"),
+          expr("sum(lag_min) div count(1)").as("mean_lag_min"))
+        .join(orphan, Seq("day"), "full_outer")
+        .select(col("day").cast("timestamp_ntz").as("day"),
+          coalesce(col("n_attributed"), lit(0L)).as("n_attributed"),
+          coalesce(col("n_unattributed"), lit(0L)).as("n_unattributed"),
+          coalesce(col("mean_lag_min"), lit(-1L)).as("mean_lag_min"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT event_id AS c_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+        FROM events WHERE event_type = 'click'),
+      m AS (
+        SELECT p_id, p_ts, c_ts FROM (
+          SELECT p.p_id, p.p_ts, c.c_ts,
+                 row_number() OVER (PARTITION BY p.p_id
+                   ORDER BY c.c_ts DESC, c.c_id DESC) AS rn
+          FROM p JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.p_ts)
+        WHERE rn = 1),
+      att AS (
+        SELECT p_id, CAST(CAST(p_ts AS DATE) AS TIMESTAMP) AS day,
+               (epoch_us(p_ts) - epoch_us(c_ts)) // 60000000 AS lag_min
+        FROM m WHERE c_ts >= p_ts - INTERVAL 7 DAY),
+      agg AS (
+        SELECT day, count(*) AS n_attributed,
+               CAST(sum(lag_min) // count(*) AS BIGINT) AS mean_lag_min
+        FROM att GROUP BY day),
+      orphan AS (
+        SELECT CAST(CAST(p_ts AS DATE) AS TIMESTAMP) AS day,
+               count(*) AS n_unattributed
+        FROM p WHERE p_id NOT IN (SELECT p_id FROM att)
+        GROUP BY 1)
+      SELECT coalesce(agg.day, orphan.day) AS day,
+             coalesce(n_attributed, 0) AS n_attributed,
+             coalesce(n_unattributed, 0) AS n_unattributed,
+             coalesce(mean_lag_min, -1) AS mean_lag_min
+      FROM agg FULL OUTER JOIN orphan ON agg.day = orphan.day
+      ORDER BY day"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
-    q182, q185, q196, q202, q204, q210, q211, q213, q215, q219, q221, q222)
+    q182, q185, q196, q202, q204, q210, q211, q213, q215, q219, q221, q222,
+    q223)
 }

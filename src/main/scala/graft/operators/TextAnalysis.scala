@@ -3321,8 +3321,120 @@ object TextAnalysis {
                / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
       FROM mom"""))
 
+  /** LUHN-VALIDATED PII DETECTION — the checksum tier t16's regex pass
+    * lacks: a 13-16 digit run is only PROBABLY a card number, and
+    * redacting every long number destroys invoice ids, EANs, and
+    * tracking codes — production PII pipelines validate the Luhn mod-10
+    * checksum first (doubling every second digit from the right,
+    * summing digit-sums) and treat only valid candidates as PII. The
+    * corpus is SEEDED deterministically (every 7th doc gets a derived
+    * card-shaped number, made Luhn-VALID by construction via its own
+    * check digit; every 11th a luhn-INVALID lookalike), candidates
+    * extract by regex, and the checksum runs as a pure HOF fold over
+    * the digit array — codegen'd, no UDF, the same expression both
+    * engines evaluate. Per source: candidates, luhn-valid (true PII),
+    * luhn-rejected (saved from over-redaction), precision of the naive
+    * regex in bp. */
+  val t58 = GraftQuery(
+    "t58_luhn_pii_validation",
+    "Card-number candidates Luhn-validated with a HOF checksum: naive-regex precision per source",
+    (s, dir) => {
+      // seed: 15 payload digits derived from doc_id, check digit CHOSEN
+      // so the full 16 pass Luhn (valid), or chosen +1 mod 10 (invalid)
+      val seeded = table(s, dir, "documents")
+        .withColumn("payload",
+          expr("lpad(CAST(doc_id * 73 + 1000000 AS STRING), 15, '1')"))
+        .withColumn("luhn_sum_payload", expr("""
+          aggregate(transform(sequence(1, 15),
+            i -> CAST(IF(i % 2 = 1,
+                   IF(CAST(substring(payload, 16 - i, 1) AS INT) * 2 > 9,
+                      CAST(substring(payload, 16 - i, 1) AS INT) * 2 - 9,
+                      CAST(substring(payload, 16 - i, 1) AS INT) * 2),
+                   CAST(substring(payload, 16 - i, 1) AS INT)) AS BIGINT)),
+            0L, (a, x) -> a + x)"""))
+        .withColumn("check_digit",
+          expr("CAST((10 - luhn_sum_payload % 10) % 10 AS STRING)"))
+        .withColumn("text2", expr("""
+          CASE WHEN doc_id % 7 = 0
+                 THEN concat(text, ' card ', payload, check_digit)
+               WHEN doc_id % 11 = 0
+                 THEN concat(text, ' ref ', payload,
+                   CAST((CAST(check_digit AS INT) + 1) % 10 AS STRING))
+               ELSE text END"""))
+      seeded
+        .select(col("source"), col("doc_id"),
+          explode(expr("regexp_extract_all(text2, '[0-9]{13,16}', 0)")).as("cand"))
+        .withColumn("luhn_total", expr("""
+          aggregate(transform(sequence(1, length(cand)),
+            i -> CAST(IF(i % 2 = 0,
+                   IF(CAST(substring(cand, length(cand) - i + 1, 1) AS INT) * 2 > 9,
+                      CAST(substring(cand, length(cand) - i + 1, 1) AS INT) * 2 - 9,
+                      CAST(substring(cand, length(cand) - i + 1, 1) AS INT) * 2),
+                   CAST(substring(cand, length(cand) - i + 1, 1) AS INT)) AS BIGINT)),
+            0L, (a, x) -> a + x)"""))
+        .withColumn("valid", col("luhn_total") % 10 === 0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_luhn_valid"),
+          sum(when(!col("valid"), 1L).otherwise(0L)).as("n_luhn_rejected"),
+          expr("sum(IF(luhn_total % 10 = 0, 1, 0)) * 10000 div count(1)")
+            .as("naive_precision_bp"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH seeded AS (
+        SELECT source, doc_id,
+               lpad(CAST(doc_id * 73 + 1000000 AS VARCHAR), 15, '1') AS payload
+        FROM documents),
+      sums AS (
+        SELECT source, doc_id, payload,
+               list_aggregate(list_transform(range(1, 16),
+                 i -> CASE WHEN i % 2 = 1 THEN
+                        CASE WHEN CAST(substr(payload, CAST(16 - i AS INTEGER), 1) AS INTEGER) * 2 > 9
+                             THEN CAST(substr(payload, CAST(16 - i AS INTEGER), 1) AS INTEGER) * 2 - 9
+                             ELSE CAST(substr(payload, CAST(16 - i AS INTEGER), 1) AS INTEGER) * 2 END
+                      ELSE CAST(substr(payload, CAST(16 - i AS INTEGER), 1) AS INTEGER) END),
+                 'sum') AS lsum
+        FROM seeded),
+      texts AS (
+        SELECT s.source, s.doc_id,
+               CASE WHEN s.doc_id % 7 = 0
+                      THEN d.text || ' card ' || s.payload
+                        || CAST((10 - m.lsum % 10) % 10 AS VARCHAR)
+                    WHEN s.doc_id % 11 = 0
+                      THEN d.text || ' ref ' || s.payload
+                        || CAST(((10 - m.lsum % 10) % 10 + 1) % 10 AS VARCHAR)
+                    ELSE d.text END AS text2
+        FROM seeded s
+        JOIN sums m USING (source, doc_id)
+        JOIN documents d ON d.doc_id = s.doc_id),
+      cands AS (
+        SELECT source, unnest(regexp_extract_all(text2, '[0-9]{13,16}')) AS cand
+        FROM texts),
+      checked AS (
+        SELECT source, cand,
+               list_aggregate(list_transform(range(1, length(cand) + 1),
+                 i -> CASE WHEN i % 2 = 0 THEN
+                        CASE WHEN CAST(substr(cand, CAST(length(cand) - i + 1 AS INTEGER), 1) AS INTEGER) * 2 > 9
+                             THEN CAST(substr(cand, CAST(length(cand) - i + 1 AS INTEGER), 1) AS INTEGER) * 2 - 9
+                             ELSE CAST(substr(cand, CAST(length(cand) - i + 1 AS INTEGER), 1) AS INTEGER) * 2 END
+                      ELSE CAST(substr(cand, CAST(length(cand) - i + 1 AS INTEGER), 1) AS INTEGER) END),
+                 'sum') AS luhn_total
+        FROM cands)
+      SELECT source, count(*) AS n_candidates,
+             CAST(sum(CASE WHEN luhn_total % 10 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_luhn_valid,
+             CAST(sum(CASE WHEN luhn_total % 10 <> 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_luhn_rejected,
+             CAST(sum(CASE WHEN luhn_total % 10 = 0 THEN 1 ELSE 0 END)
+               * 10000 // count(*) AS BIGINT) AS naive_precision_bp
+      FROM checked
+      GROUP BY source
+      ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
-    t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54, t55, t56, t57)
+    t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54, t55, t56, t57,
+    t58)
 }
