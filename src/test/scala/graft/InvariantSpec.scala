@@ -1175,6 +1175,62 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fwd.subsetOf(users), "forward as-of fabricated user keys")
   }
 
+  test("s31: recall is monotone in the shortlist budget and bounded by the query mass") {
+    val rows = operators.Similarity.s31.build(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq, "budgets out of order")
+    rows.sliding(2).foreach {
+      case Array((m1, h1), (m2, h2)) =>
+        assert(h2 >= h1, s"recall dropped as budget grew: $m1->$h1, $m2->$h2")
+      case _ =>
+    }
+    assert(rows.forall(_._2 <= 200), "more hits than query slots")
+  }
+
+  test("d32: the confusion matrix partitions the candidate universe and the dup row is caught") {
+    val rows = operators.Dedup.d32.build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val dupCaught = rows.collect {
+      case ("2_dup_ge30", "0_ham_le12", n) => n }.sum
+    val dupMissed = rows.collect {
+      case ("2_dup_ge30", "2_ham_gt20", n) => n }.sum
+    assert(dupCaught > 0, "no true duplicates in the catch cell — fixture drifted?")
+    assert(dupMissed == 0, s"$dupMissed true dups past hamming 20 — the d4 cut would miss them")
+  }
+
+  test("q219: cutoffs are ordered and the clamp touches at most ~2% per tail") {
+    operators.Relational.q219.build(spark, sfDir).collect().foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (nLo, nHi) = (r.getLong(4), r.getLong(5))
+      assert(lo <= hi, "p01 cutoff above p99")
+      assert(nLo <= n / 50 + 2 && nHi <= n / 50 + 2,
+        s"clamped more than the tails: lo=$nLo hi=$nHi of $n")
+      assert(r.getLong(9) <= r.getLong(8), "winsorized max exceeds raw max")
+    }
+  }
+
+  test("q221: a crossing implies demand reached stock, and never-crossed parts stay under it") {
+    operators.Relational.q221.build(spark, sfDir).collect().foreach { r =>
+      val stock = r.getLong(1); val demand = r.getLong(2)
+      if (r.isNullAt(3)) {
+        assert(demand < stock, "never-crossed part actually exceeded stock")
+        assert(!r.isNullAt(5) && r.getLong(5) < 10000, "fill bp wrong for never-crossed")
+      } else {
+        assert(r.getLong(4) >= stock, "crossing row's cumulative below stock")
+      }
+    }
+  }
+
+  test("t58: every candidate is either validated or rejected; seeded docs produce both classes") {
+    val rows = operators.TextAnalysis.t58.build(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        "candidates != valid + rejected")
+    }
+    assert(rows.map(_.getLong(2)).sum > 0 && rows.map(_.getLong(3)).sum > 0,
+      "seeding produced no valid or no invalid candidates")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
