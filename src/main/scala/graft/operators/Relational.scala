@@ -3254,11 +3254,153 @@ object Relational {
       FROM agg FULL OUTER JOIN orphan ON agg.day = orphan.day
       ORDER BY day"""))
 
+  /** EXACT GINI / CONCENTRATION AUDIT — the inequality statistic behind
+    * "is our revenue dangerously concentrated" (and, in a training-data
+    * pipeline, "is one source dominating the token mix"): per market
+    * segment, the Gini coefficient of per-customer revenue plus the top
+    * decile's revenue share. Everything is the closed sorted-rank form
+    * G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) evaluated in integer
+    * cents with cross-multiplied ×10⁴ output — no float division, so
+    * both engines agree bit-for-bit (q130's negative-div trap avoided:
+    * every term here is non-negative by construction). Scale shape: the
+    * fact aggregates ONCE to customer grain; the rank window and both
+    * rollups run on the customer-sized frame (dimension scale, not fact
+    * scale); (i, x) products stay in BIGINT at any realistic segment
+    * cardinality because x is bounded by order totals. q210 classes
+    * customers into ABC bands; q224 reduces the whole curve to the two
+    * numbers a concentration alert thresholds on. */
+  val q224 = GraftQuery(
+    "q224_gini_concentration",
+    "Per-segment exact Gini (bp) of customer revenue + top-decile share bp",
+    (s, dir) => {
+      val rev = table(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+        .groupBy("o_custkey").agg(sum("c").as("x"))
+        .join(broadcast(table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"), col("o_custkey").as("ck"), col("x"))
+      val segW = Window.partitionBy("seg")
+      val ranked = rev
+        .withColumn("i", row_number().over(
+          segW.orderBy(col("x"), col("ck"))).cast("long"))
+        .withColumn("nn", count(lit(1)).over(segW).cast("long"))
+      ranked.groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("total_cents"),
+          sum(expr("i * x")).as("iwx"),
+          sum(when(expr("i > (nn * 9) div 10"), col("x")))
+            .as("top_decile_cents"))
+        .select(col("seg"), col("n"), col("total_cents"),
+          expr("((2 * iwx - (n + 1) * total_cents) * 10000) div (n * total_cents)")
+            .as("gini_bp"),
+          col("top_decile_cents"),
+          expr("(top_decile_cents * 10000) div total_cents").as("top_decile_bp"))
+        .orderBy("seg")
+    },
+    Some("""
+      WITH rev AS (
+        SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
+               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT seg, x,
+               CAST(row_number() OVER (PARTITION BY seg ORDER BY x, ck)
+                 AS BIGINT) AS i,
+               CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS nn
+        FROM rev)
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS total_cents,
+             CAST(((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 10000)
+               // (count(*) * sum(x)) AS BIGINT) AS gini_bp,
+             CAST(sum(CASE WHEN i > (nn * 9) // 10 THEN x END) AS BIGINT)
+               AS top_decile_cents,
+             CAST((sum(CASE WHEN i > (nn * 9) // 10 THEN x END) * 10000)
+               // sum(x) AS BIGINT) AS top_decile_bp
+      FROM ranked
+      GROUP BY seg
+      ORDER BY seg"""))
+
+  /** FIFO ALLOCATION / PRORATION — the accounts-receivable matching
+    * primitive ("apply this customer's balance to their invoices oldest
+    * first") and, generally, any sequential budget spend: allocation is
+    * CLOSED-FORM over a running sum — paid_i = clamp(B − cumsum_{<i},
+    * 0, amount_i) — so the whole pass is ONE window, no iteration, no
+    * driver loop, no recursive CTE (the naive formulation loops over
+    * invoices per account). Budget = the customer's positive account
+    * balance in cents; invoices = their orders, oldest first with
+    * orderkey tie-breaks both engines replay. Per-customer audit: full /
+    * partial / unpaid invoice counts, allocated total (provably
+    * min(budget, invoiced) — the conservation identity InvariantSpec
+    * pins), and leftover budget. All integer cents. Bounded to custkey
+    * < 600 to keep the audit reviewable; the window shape is
+    * corpus-scale regardless. */
+  val q225 = GraftQuery(
+    "q225_fifo_allocation",
+    "FIFO-apply customer balance to orders oldest-first: closed-form window, per-customer audit",
+    (s, dir) => {
+      val inv = table(s, dir, "orders")
+        .filter(col("o_custkey") < 600)
+        .select(col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+          col("o_orderdate").as("d"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("amt"))
+      val bud = table(s, dir, "customer")
+        .filter(col("c_custkey") < 600)
+        .select(col("c_custkey").as("bk"),
+          expr("greatest(0L, CAST(round(c_acctbal * 100) AS BIGINT))").as("budget"))
+      val w = Window.partitionBy("ck").orderBy(col("d"), col("ok"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      inv.join(broadcast(bud), col("ck") === col("bk"))
+        .withColumn("before", coalesce(sum("amt").over(w), lit(0L)))
+        .withColumn("paid",
+          expr("greatest(0L, least(amt, budget - before))"))
+        .groupBy(col("ck"), col("budget"))
+        .agg(count(lit(1)).as("n_invoices"),
+          sum(when(col("paid") === col("amt"), 1L).otherwise(0L)).as("n_full"),
+          sum(when(col("paid") > 0 && col("paid") < col("amt"), 1L)
+            .otherwise(0L)).as("n_partial"),
+          sum(when(col("paid") === 0, 1L).otherwise(0L)).as("n_unpaid"),
+          sum("amt").as("invoiced_cents"),
+          sum("paid").as("allocated_cents"))
+        .withColumn("leftover_cents", col("budget") - col("allocated_cents"))
+        .orderBy("ck")
+    },
+    Some("""
+      WITH inv AS (
+        SELECT o_custkey AS ck, o_orderkey AS ok, o_orderdate AS d,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS amt
+        FROM orders WHERE o_custkey < 600),
+      bud AS (
+        SELECT c_custkey AS ck,
+               greatest(0, CAST(round(c_acctbal * 100) AS BIGINT)) AS budget
+        FROM customer WHERE c_custkey < 600),
+      alloc AS (
+        SELECT i.ck, b.budget, i.amt,
+               greatest(0, least(i.amt, b.budget - coalesce(
+                 sum(i.amt) OVER (PARTITION BY i.ck ORDER BY i.d, i.ok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)))
+                 AS paid
+        FROM inv i JOIN bud b USING (ck))
+      SELECT ck, budget,
+             CAST(count(*) AS BIGINT) AS n_invoices,
+             CAST(sum(CASE WHEN paid = amt THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+             CAST(sum(CASE WHEN paid > 0 AND paid < amt THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_partial,
+             CAST(sum(CASE WHEN paid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unpaid,
+             CAST(sum(amt) AS BIGINT) AS invoiced_cents,
+             CAST(sum(paid) AS BIGINT) AS allocated_cents,
+             CAST(budget - sum(paid) AS BIGINT) AS leftover_cents
+      FROM alloc
+      GROUP BY ck, budget
+      ORDER BY ck"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
     q182, q185, q196, q202, q204, q210, q211, q213, q215, q219, q221, q222,
-    q223)
+    q223, q224, q225)
 }

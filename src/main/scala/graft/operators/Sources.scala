@@ -1075,7 +1075,112 @@ object Sources {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** COLUMNAR (VECTORIZED) READ PATH ([[graft.sources.MemReaderFactory
+    * .supportColumnarReads]]) — the remaining rung of the DSv2 read
+    * ladder and the throughput mechanism every fast scan rides: the
+    * connector hands Spark 1024-row [[ColumnarBatch]]es of on-heap
+    * column vectors instead of row-at-a-time InternalRows, whole-stage
+    * codegen consumes them through its vectorized loop, and the plan
+    * carries the scan under a ColumnarToRow boundary (PlanSpec pins the
+    * boundary AND that the row-based read of the same snapshot plans
+    * without it). Opt-in per read (`columnar=true`) so every previously
+    * pinned MemTable plan is untouched. Composes with the rest of the
+    * contract: the partition filter below still prunes splits at
+    * planning time and column pruning still narrows the vectors — the
+    * batch carries exactly the 2 requested columns. The aggregate is
+    * oracle-checked, so the vectorized path is value-proven, not just
+    * plan-proven. */
+  val q226 = GraftQuery(
+    "q226_columnar_scan",
+    "DSv2 vectorized read: ColumnarBatch-serving reader under pruned partitions, oracle-checked",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val key = s"q226_${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_type"))
+        .write.format("graft.sources.MemTable")
+        .option("runId", key).option("partitionCol", "event_type")
+        .mode("append").save()
+      s.read.format("graft.sources.MemTable")
+        .option("runId", key).option("partitionCol", "event_type")
+        .option("columnar", "true").load()
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("cents").as("total_cents"),
+          expr("sum(cents * (user_id % 7))").as("weighted_cents"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             CAST(sum(CAST(round(value * 100) AS BIGINT) * (user_id % 7))
+               AS BIGINT) AS weighted_cents
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** PARTITION-SPEC EVOLUTION — the layout-axis sibling of q78's
+    * column-axis schema evolution (and the Iceberg capability that
+    * motivates spec ids): a table that changed HOW it partitions
+    * mid-life keeps its history under the OLD spec (here by month) and
+    * writes new data under the NEW spec (by event_type) — the 100 TB
+    * alternative is rewriting every historical file on the day the
+    * partition key changes. One read spans both generations: the
+    * event_type predicate reaches gen 2 as PLANNING-TIME partition
+    * pruning (only the click/ directory is listed) and gen 1 as a
+    * pushed DATA filter (its directories are month-keyed — pruning
+    * can't help, the row filter must); PlanSpec pins both plan facts.
+    * Generations split deterministically by event_id modulus (the
+    * synthesis-by-modulus discipline) so the oracle replays the split
+    * exactly; the per-(spec, month) audit proves neither generation
+    * lost or leaked rows across the spec boundary. */
+  val q227 = GraftQuery(
+    "q227_partition_spec_evolution",
+    "Two partition specs, one read: pruned new-spec scan + row-filtered old-spec scan, audited",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val spool = spoolDir("q227_specevo")
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        col("event_type"), col("ts"))
+      // gen 1 (spec A: partitioned by month) — the table's first life
+      ev.filter(col("event_id") % 3 === 0)
+        .withColumn("m", date_format(col("ts"), "yyyy-MM"))
+        .coalesce(4).write.mode("overwrite").partitionBy("m")
+        .parquet(s"$spool/specA")
+      // gen 2 (spec B: partitioned by event_type) — after the evolution
+      ev.filter(col("event_id") % 3 =!= 0)
+        .coalesce(4).write.mode("overwrite").partitionBy("event_type")
+        .parquet(s"$spool/specB")
+      val g1 = s.read.parquet(s"$spool/specA")
+        .filter(col("event_type") === "click") // data filter (pushed)
+        .select(lit(1L).as("spec_id"), col("m").as("month"), col("cents"))
+      val g2 = s.read.parquet(s"$spool/specB")
+        .filter(col("event_type") === "click") // partition PRUNING
+        .select(lit(2L).as("spec_id"),
+          date_format(col("ts"), "yyyy-MM").as("month"), col("cents"))
+      g1.unionByName(g2)
+        .groupBy("spec_id", "month")
+        .agg(count(lit(1)).as("n"), sum("cents").as("click_cents"))
+        .orderBy("spec_id", "month")
+    },
+    Some("""
+      SELECT CASE WHEN event_id % 3 = 0 THEN 1 ELSE 2 END AS spec_id,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS click_cents
+      FROM events
+      WHERE event_type = 'click'
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
-    q217, q220)
+    q217, q220, q226, q227)
 }

@@ -3432,9 +3432,76 @@ object TextAnalysis {
       GROUP BY source
       ORDER BY source"""))
 
+  /** READABILITY SCORING — the education-level quality feature (Flesch-
+    * Kincaid grade) corpus filters use to band documents by complexity,
+    * computed entirely in integer arithmetic so both engines agree
+    * bit-for-bit: syllables ≈ non-overlapping vowel-group runs (the
+    * standard regex heuristic), sentences = terminal-punctuation runs
+    * floored at 1 (the fixture's word-soup text has none, so S=1 here —
+    * the formula stays general), and the grade ×100 is one cross-
+    * multiplied division (39·W² + 1180·Syll·S − 1559·S·W) div (S·W)
+    * with q130's sign-split (Spark div truncates, DuckDB // floors —
+    * they differ exactly on negatives). Everything is row-local codegen
+    * off one documents scan — zero joins, zero explodes; the only
+    * exchange is the presentation sort. Complements t2 (surface ratios)
+    * and t15/t21 (LM surprisal) as the readability tier of the quality
+    * battery. */
+  val t59 = GraftQuery(
+    "t59_readability",
+    "Per-doc integer-exact Flesch-Kincaid grade ×100 from regex syllable/sentence counts",
+    (s, dir) => {
+      table(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)").as("words"),
+          expr("greatest(1L, CAST(regexp_count(text, '[.!?]+') AS BIGINT))")
+            .as("sentences"),
+          expr("CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT)")
+            .as("syllables"))
+        .withColumn("num",
+          expr("39 * words * words + 1180 * syllables * sentences - 1559 * sentences * words"))
+        .withColumn("grade_x100",
+          expr("CASE WHEN num >= 0 THEN num div (sentences * words) " +
+            "ELSE -((-num) div (sentences * words)) END"))
+        .select(col("doc_id"), col("words"), col("sentences"), col("syllables"),
+          col("grade_x100"),
+          expr("CASE WHEN grade_x100 < 800 THEN 'basic' " +
+            "WHEN grade_x100 < 1600 THEN 'intermediate' " +
+            "ELSE 'advanced' END").as("band"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH counts AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS words,
+               greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+                 AS BIGINT)) AS sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                 AS BIGINT) AS syllables
+        FROM documents WHERE length(trim(text)) > 0),
+      scored AS (
+        SELECT *,
+               39 * words * words + 1180 * syllables * sentences
+                 - 1559 * sentences * words AS num
+        FROM counts)
+      SELECT doc_id, words, sentences, syllables,
+             CAST(CASE WHEN num >= 0 THEN num // (sentences * words)
+                  ELSE -((-num) // (sentences * words)) END AS BIGINT)
+               AS grade_x100,
+             CASE WHEN (CASE WHEN num >= 0 THEN num // (sentences * words)
+                        ELSE -((-num) // (sentences * words)) END) < 800
+                    THEN 'basic'
+                  WHEN (CASE WHEN num >= 0 THEN num // (sentences * words)
+                        ELSE -((-num) // (sentences * words)) END) < 1600
+                    THEN 'intermediate'
+                  ELSE 'advanced' END AS band
+      FROM scored
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
     t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54, t55, t56, t57,
-    t58)
+    t58, t59)
 }

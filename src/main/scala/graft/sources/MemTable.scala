@@ -111,7 +111,8 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MemScanBuilder(runId,
-      Option(options.get("partitionCol")).getOrElse(partCol))
+      Option(options.get("partitionCol")).getOrElse(partCol),
+      options.getBoolean("columnar", false))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val writeSchema = info.schema()
@@ -205,7 +206,8 @@ private[sources] class MemWriterFactory(schema: StructType, partCol: String)
   }
 }
 
-private[sources] class MemScanBuilder(runId: String, partCol: String)
+private[sources] class MemScanBuilder(runId: String, partCol: String,
+    columnar: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -320,7 +322,8 @@ private[sources] class MemScanBuilder(runId: String, partCol: String)
     required = requiredSchema
 
   override def build(): Scan =
-    new MemScan(snap, keep, required, partCol, topN, limit, aggSpec, runId)
+    new MemScan(snap, keep, required, partCol, topN, limit, aggSpec, runId,
+      columnar)
 }
 
 private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
@@ -336,7 +339,8 @@ private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
 private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String]],
     required: StructType, partCol: String,
     topN: Option[(Seq[(Int, Boolean)], Int)] = None, limit: Option[Int] = None,
-    agg: Option[(Boolean, Seq[(String, Int)])] = None, runId: String = "")
+    agg: Option[(Boolean, Seq[(String, Int)])] = None, runId: String = "",
+    columnar: Boolean = false)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -503,10 +507,11 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MemReaderFactory
+    new MemReaderFactory(columnar)
 
   override def description(): String =
     s"GraftMemScan(runId parts=${snap.parts.size}, planned=${planned.size}, " +
+      (if (columnar) "columnar=true, " else "") +
       s"partCol=$partCol, cols=${required.fieldNames.mkString(",")}" +
       topN.map { case (ks, n) => s", pushedTopN=${ks.map { case (i, a) =>
         snap.schema.fieldNames(i) + (if (a) " ASC" else " DESC") }.mkString("[", ",", "]")} LIMIT $n" }.getOrElse("") +
@@ -523,15 +528,86 @@ private[sources] case class MemSlicePart(rows: Vector[(String, Array[Any])],
     colIdx: Array[Int], colTypes: Array[String], version: Long = 1L)
     extends InputPartition
 
-private[sources] class MemReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    // (partition key per row, data row); MemPart shares one key
-    val (rows, colIdx, colTypes, version) = partition match {
+private[sources] class MemReaderFactory(columnar: Boolean = false)
+    extends PartitionReaderFactory {
+
+  // (partition key per row, data row); MemPart shares one key
+  private def extract(partition: InputPartition)
+      : (Vector[(String, Array[Any])], Array[Int], Array[String], Long) =
+    partition match {
       case p: MemPart =>
         (p.rows.map((p.key, _)), p.colIdx, p.colTypes, p.version)
       case p: MemSlicePart => (p.rows, p.colIdx, p.colTypes, p.version)
       case other           => sys.error(s"MemTable: unexpected split $other")
     }
+
+  /** VECTORIZED READ PATH ([[supportColumnarReads]]) — the throughput
+    * contract Spark's own parquet reader runs on: the reader hands the
+    * engine [[ColumnarBatch]]es of column vectors instead of one
+    * InternalRow at a time, whole-stage codegen consumes them through
+    * its vectorized loop, and the plan shows the scan feeding a
+    * ColumnarToRow boundary (q226 pins it). Opt-in per read
+    * (`columnar=true`) so the row-based entries' pinned plans are
+    * untouched; 1024-row batches bound per-batch memory the way the
+    * parquet reader's batch size does. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+    val (rows, colIdx, colTypes, version) = extract(partition)
+    val batchSize = 1024
+    new PartitionReader[ColumnarBatch] {
+      private var pos = 0
+      private var current: ColumnarBatch = null
+      override def next(): Boolean = {
+        if (current != null) { current.close(); current = null }
+        if (pos >= rows.length) return false
+        val n = math.min(batchSize, rows.length - pos)
+        val vectors: Array[OnHeapColumnVector] = colIdx.zipWithIndex.map {
+          case (k, j) =>
+            val dt = k match {
+              case -2 => StringType
+              case -3 => LongType
+              case _  => if (colTypes(j) == "long") LongType else StringType
+            }
+            new OnHeapColumnVector(n, dt)
+        }
+        var r = 0
+        while (r < n) {
+          val (key, src) = rows(pos + r)
+          var j = 0
+          while (j < colIdx.length) {
+            colIdx(j) match {
+              case -2 =>
+                val b = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                vectors(j).putByteArray(r, b, 0, b.length)
+              case -3 => vectors(j).putLong(r, version)
+              case k => colTypes(j) match {
+                case "long" => vectors(j).putLong(r, src(k).asInstanceOf[Long])
+                case "string" =>
+                  val b = src(k).asInstanceOf[String]
+                    .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  vectors(j).putByteArray(r, b, 0, b.length)
+                case other => sys.error(s"MemTable: unsupported columnar type $other")
+              }
+            }
+            j += 1
+          }
+          r += 1
+        }
+        current = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]), n)
+        pos += n
+        true
+      }
+      override def get(): ColumnarBatch = current
+      override def close(): Unit = if (current != null) current.close()
+    }
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val (rows, colIdx, colTypes, version) = extract(partition)
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }

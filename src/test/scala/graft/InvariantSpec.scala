@@ -1231,6 +1231,56 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       "seeding produced no valid or no invalid candidates")
   }
 
+  test("q224: gini lands in [0, 10000) and the top decile's share is at least its proportional floor") {
+    val rows = operators.Relational.q224.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, gini, topBp) = (r.getLong(1), r.getLong(3), r.getLong(5))
+      assert(gini >= 0 && gini < 10000, s"${r.getString(0)}: gini_bp $gini")
+      // the top (n - 9n/10) customers BY revenue can never hold less than
+      // their headcount share of revenue
+      val topCount = n - (n * 9) / 10
+      assert(topBp * n >= topCount * 10000 - n, // integer-floor slack
+        s"${r.getString(0)}: top-decile share $topBp bp below proportional floor")
+      assert(topBp <= 10000)
+    }
+  }
+
+  test("q225: allocation conserves — allocated = min(budget, invoiced), counts partition invoices") {
+    val rows = operators.Relational.q225.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val budget = r.getLong(1)
+      val (nInv, nFull, nPart, nUnpaid) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val (invoiced, allocated, leftover) =
+        (r.getLong(6), r.getLong(7), r.getLong(8))
+      assert(allocated == math.min(budget, invoiced),
+        s"ck ${r.getLong(0)}: allocated $allocated != min($budget, $invoiced)")
+      assert(nInv == nFull + nPart + nUnpaid, s"ck ${r.getLong(0)}: counts don't partition")
+      assert(nPart <= 1, s"ck ${r.getLong(0)}: FIFO can leave at most one partial invoice")
+      assert(leftover >= 0 && leftover == budget - allocated)
+      // leftover is positive only when every invoice was fully paid
+      if (leftover > 0) assert(nFull == nInv, s"ck ${r.getLong(0)}: budget left but invoices unpaid")
+    }
+  }
+
+  test("t59: grade is scale-consistent — doubling a doc's text leaves words/syllables ratios intact") {
+    // structural sanity on the integer formula: every output row's counts
+    // are positive and the banded grade agrees with the formula
+    val rows = operators.TextAnalysis.t59.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, s0, syl, g) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(w > 0 && s0 >= 1 && syl >= 0)
+      val num = 39 * w * w + 1180 * syl * s0 - 1559 * s0 * w
+      val expected = if (num >= 0) num / (s0 * w) else -((-num) / (s0 * w))
+      assert(g == expected, s"doc ${r.getLong(0)}: grade $g != $expected")
+      val band = r.getString(5)
+      assert(band == (if (g < 800) "basic" else if (g < 1600) "intermediate" else "advanced"))
+    }
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }

@@ -1543,6 +1543,83 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getLong(0)).toSeq == Seq(2L), "rows not served from snapshot v2")
   }
 
+  test("q226: columnar MemTable read plans a ColumnarToRow boundary; row-based read of the same snapshot does not") {
+    val df = operators.Sources.q226.build(spark, sfDir) // writes + columnar read
+    // the transition is inserted by ApplyColumnarRulesAndInsertTransitions,
+    // which under AQE only surfaces in the EXECUTED plan — run, then pin
+    assert(df.collect().map(_.getLong(1)).sum > 0L)
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ColumnarToRow"),
+      s"no ColumnarToRow over the columnar scan\n$executed")
+    assert(plan(df).contains("columnar=true"),
+      s"scan description missing columnar flag\n${plan(df)}")
+    // same snapshot, row-based read: no columnar boundary anywhere (the
+    // only scan is the MemTable, so the assertion is unambiguous)
+    val key = graft.sources.MemTable.store.keys.filter(_.startsWith("q226_"))
+      .maxBy(_.split("_").last.toLong)
+    val rowBased = spark.read.format("graft.sources.MemTable")
+      .option("runId", key).option("partitionCol", "event_type").load()
+      .groupBy("event_type").count()
+    rowBased.collect()
+    val p2 = rowBased.queryExecution.executedPlan.toString
+    assert(!p2.contains("ColumnarToRow"), s"row-based read went columnar\n$p2")
+  }
+
+  test("q226: columnar batches still honor column pruning — the vectors carry only requested columns") {
+    operators.Sources.q226.build(spark, sfDir).collect()
+    val key = graft.sources.MemTable.store.keys.filter(_.startsWith("q226_"))
+      .maxBy(_.split("_").last.toLong)
+    val narrow = spark.read.format("graft.sources.MemTable")
+      .option("runId", key).option("partitionCol", "event_type")
+      .option("columnar", "true").load()
+      .select("cents")
+    val p = plan(narrow)
+    assert(p.contains("cols=cents"), s"pruning did not reach the columnar scan\n$p")
+    val agg = narrow.agg(org.apache.spark.sql.functions.sum("cents"))
+    assert(agg.collect()(0).getLong(0) > 0L)
+    assert(agg.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "pruned columnar read lost its ColumnarToRow boundary")
+  }
+
+  test("q227: the new-spec scan partition-prunes on event_type; the old-spec scan pushes it as a data filter") {
+    val p = plan(operators.Sources.q227.build(spark, sfDir))
+    // gen 2 (partitioned by event_type): the predicate is a partition filter
+    val partLines = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(partLines.exists(_.contains("event_type")),
+      s"no partition filter on event_type (gen 2 not pruned)\n$p")
+    // gen 1 (partitioned by month): the predicate must reach the parquet
+    // scan as a pushed DATA filter — pruning can't help there
+    val pushLines = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushLines.exists(_.contains("event_type")),
+      s"event_type not pushed into the old-spec data scan\n$p")
+  }
+
+  test("q224: gini runs at customer grain — one exchange for the rank window, fact aggregated first") {
+    val p = plan(operators.Relational.q224.build(spark, sfDir))
+    // the fact (orders) aggregates to customer grain BEFORE any window:
+    // the Window node must sit above a HashAggregate, and the customer
+    // join must broadcast
+    assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q225: FIFO allocation is one window pass — no self-join, no cartesian") {
+    val p = plan(operators.Relational.q225.build(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"allocation planned a product join\n$p")
+    val windows = p.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 1, s"$windows Window nodes (expected 1)\n$p")
+  }
+
+  test("t59: readability is row-local — zero joins, zero generators, one documents scan") {
+    val p = plan(operators.TextAnalysis.t59.build(spark, sfDir))
+    assert(!p.contains("Join"), s"t59 planned a join\n$p")
+    assert(!p.contains("Generate"), s"t59 planned an explode\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("documents.parquet"))
+    assert(scans == 1, s"$scans documents scans\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
