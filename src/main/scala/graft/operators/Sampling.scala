@@ -644,6 +644,143 @@ object Sampling {
       GROUP BY class
       ORDER BY class"""))
 
+  /** KMV SKETCH INTERSECTION — the SET-OPERATION half of the theta-sketch
+    * family q134 opened (estimating a single cardinality is table stakes;
+    * the reason warehouses ship theta sketches is |A∩B| WITHOUT a join of
+    * the raw sets — audience overlap, cross-feature user counts): per
+    * pair of daily purchase audiences, both 64-minimum sketches combine into the pair's
+    * union sketch (k smallest of the union, θ = its k-th minimum — the
+    * standard KMV combine), ρ = the fraction of union-sketch hashes
+    * present in BOTH sides estimates the Jaccard, and est_inter =
+    * m · est_union div k stays in integer math after q134's one floor'd
+    * IEEE-identical division. At 100 TB the pairwise overlap matrix is
+    * computed from the RETAINED k·|types| longs alone — the raw
+    * (type, user) sets are touched once to build sketches and once for
+    * the exact audit columns the fixture affords (at scale you drop the
+    * audit, keep the sketches). Every step — md5 hashes, ranks,
+    * tie-breaks — is deterministic, so the whole estimate hash-checks. */
+  val q228 = GraftQuery(
+    "q228_kmv_intersection",
+    "Theta-sketch-style |A∩B| per daily-audience pair from 64-min KMV sketches + exact audit",
+    (s, dir) => {
+      val k = 64
+      val scale = 1152921504606846976L // 2^60
+      // sets = "users who purchased on day d", d ∈ 1..5 — audiences with
+      // REAL partial overlap (the all-types fixture sets are degenerate:
+      // every user hits every type, Jaccard 1.0 throughout)
+      val tu = events(s, dir)
+        .filter(col("event_type") === "purchase" &&
+          dayofmonth(col("ts")) <= 5)
+        .select(concat(lit("d"), dayofmonth(col("ts"))).as("t"),
+          col("user_id").as("u")).distinct()
+      val hashes = tu.select(col("t"),
+        expr("CAST(conv(substring(md5(CAST(u AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      val sk = hashes
+        .withColumn("rk", row_number().over(Window.partitionBy("t").orderBy("h")))
+        .filter(col("rk") <= k).select("t", "h")
+      val types = sk.select("t").distinct()
+      val pairs = types.select(col("t").as("ta"))
+        .crossJoin(broadcast(types.select(col("t").as("tb"))))
+        .filter(col("ta") < col("tb"))
+      // per pair: union of the two sketches' hashes, re-sketched to k
+      val pairRows = broadcast(pairs).join(sk,
+          col("t") === col("ta") || col("t") === col("tb"))
+        .groupBy("ta", "tb", "h")
+        .agg(max(when(col("t") === col("ta"), 1L).otherwise(0L)).as("in_a"),
+          max(when(col("t") === col("tb"), 1L).otherwise(0L)).as("in_b"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("ta", "tb").orderBy("h")))
+        .filter(col("rk") <= k)
+      val est = pairRows.groupBy("ta", "tb")
+        .agg(count(lit(1)).as("k_used"), max("h").as("theta"),
+          sum(expr("in_a * in_b")).as("m"))
+        .withColumn("est_union",
+          when(col("k_used") < k, col("k_used"))
+            .otherwise(floor((col("k_used") - 1).cast("double") / col("theta") * scale)))
+        .withColumn("est_inter", expr(s"(m * est_union) div k_used"))
+      // exact audit (fixture-affordable; dropped at scale)
+      val exact = broadcast(pairs).join(tu,
+          col("t") === col("ta") || col("t") === col("tb"))
+        .groupBy("ta", "tb", "u")
+        .agg(max(when(col("t") === col("ta"), 1L).otherwise(0L)).as("a"),
+          max(when(col("t") === col("tb"), 1L).otherwise(0L)).as("b"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("exact_union"),
+          sum(expr("a * b")).as("exact_inter"))
+      est.join(exact, Seq("ta", "tb"))
+        .select(col("ta"), col("tb"), col("k_used"), col("m"),
+          col("est_union"), col("est_inter"),
+          col("exact_union"), col("exact_inter"),
+          expr("CASE WHEN exact_inter = 0 THEN -1 ELSE " +
+            "abs(est_inter - exact_inter) * 10000 div exact_inter END")
+            .as("rel_err_bp"))
+        .orderBy("ta", "tb")
+    },
+    Some("""
+      WITH tu AS (
+        SELECT DISTINCT 'd' || CAST(day(CAST(ts AS TIMESTAMP)) AS VARCHAR) AS t,
+               user_id AS u
+        FROM events
+        WHERE event_type = 'purchase'
+          AND day(CAST(ts AS TIMESTAMP)) <= 5),
+      h AS (
+        SELECT t, CAST(concat('0x', substr(md5(CAST(u AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS h
+        FROM tu),
+      sk AS (
+        SELECT t, h FROM (
+          SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rk
+          FROM h) WHERE rk <= 64),
+      pairs AS (
+        SELECT a.t AS ta, b.t AS tb
+        FROM (SELECT DISTINCT t FROM sk) a, (SELECT DISTINCT t FROM sk) b
+        WHERE a.t < b.t),
+      pr AS (
+        SELECT ta, tb, h,
+               max(CASE WHEN s.t = ta THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN s.t = tb THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN sk s ON s.t = p.ta OR s.t = p.tb
+        GROUP BY ta, tb, h),
+      pu AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk
+          FROM pr) WHERE rk <= 64),
+      est AS (
+        SELECT ta, tb, count(*) AS k_used, max(h) AS theta,
+               CAST(sum(in_a * in_b) AS BIGINT) AS m
+        FROM pu GROUP BY ta, tb),
+      est2 AS (
+        SELECT ta, tb, k_used, m,
+               CASE WHEN k_used < 64 THEN k_used
+                    ELSE CAST(floor(CAST(k_used - 1 AS DOUBLE) / theta
+                      * 1152921504606846976) AS BIGINT) END AS est_union
+        FROM est),
+      est3 AS (
+        SELECT *, (m * est_union) // k_used AS est_inter FROM est2),
+      ex AS (
+        SELECT ta, tb, CAST(count(*) AS BIGINT) AS exact_union,
+               CAST(sum(a * b) AS BIGINT) AS exact_inter
+        FROM (
+          SELECT ta, tb, u,
+                 max(CASE WHEN t.t = ta THEN 1 ELSE 0 END) AS a,
+                 max(CASE WHEN t.t = tb THEN 1 ELSE 0 END) AS b
+          FROM pairs p JOIN tu t ON t.t = p.ta OR t.t = p.tb
+          GROUP BY ta, tb, u)
+        GROUP BY ta, tb),
+      fin AS (
+        SELECT e.ta, e.tb, e.k_used, e.m, e.est_union,
+               CAST(e.est_inter AS BIGINT) AS est_inter,
+               x.exact_union, x.exact_inter,
+               CASE WHEN x.exact_inter = 0 THEN -1
+                    ELSE abs(e.est_inter - x.exact_inter) * 10000
+                         // x.exact_inter END AS rel_err_bp
+        FROM est3 e JOIN ex x ON e.ta = x.ta AND e.tb = x.tb)
+      SELECT ta, tb, CAST(k_used AS BIGINT) AS k_used, m, est_union,
+             est_inter, exact_union, exact_inter,
+             CAST(rel_err_bp AS BIGINT) AS rel_err_bp
+      FROM fin
+      ORDER BY ta, tb"""))
+
   val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62, q100, q134, q139, q151,
-    q166, q171, q193)
+    q166, q171, q193, q228)
 }

@@ -3499,9 +3499,134 @@ object TextAnalysis {
       FROM scored
       ORDER BY doc_id"""))
 
+  /** BPE MERGE ROUNDS — the tokenizer-TRAINING primitive (Sennrich et al.
+    * ACL 2016) as pure dataflow, two rounds unrolled (t37's discipline:
+    * iteration count is a constant, each round is one plan): the
+    * vocabulary collapses to word TYPES with frequencies (the standard
+    * BPE working set — Zipf-bounded, so every round runs at dimension
+    * scale no matter the corpus), each type's symbol sequence is encoded
+    * as a DOUBLE-SPACED string (' a  b  c ') so one literal `replace`
+    * per round applies the chosen merge left-to-right non-overlapping —
+    * exactly BPE's convention, and immune to symbol-suffix false matches
+    * because every true boundary carries two spaces while symbol
+    * interiors carry none. Per round: adjacent-pair counts (row-local
+    * zip_with, explode, one Zipf-bounded shuffle), argmax pair by
+    * (count DESC, pair ASC) — both engines replay the tie-break — then
+    * the broadcast 1-row merge applies in codegen. Emits per round the
+    * merge chosen, its count, and the post-merge vocabulary/instance
+    * accounting that shows compression progressing. t56 evaluates a
+    * FIXED tokenizer's fertility; t60 takes the training step that
+    * produces one. */
+  val t60 = GraftQuery(
+    "t60_bpe_merges",
+    "Two unrolled BPE merge rounds over the word-type vocabulary: argmax pair, apply, audit",
+    (s, dir) => {
+      val vocab = table(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val r0 = vocab.select(col("tok"), col("freq"),
+        concat(lit(" "), array_join(split(col("tok"), ""), "  "), lit(" ")).as("r"))
+      def pairCounts(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("freq"), expr("split(trim(r), '  ')").as("l"))
+        .select(col("freq"), explode(expr(
+          "zip_with(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1), " +
+            "(x, y) -> struct(x AS a, y AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+      def best(df: org.apache.spark.sql.DataFrame) =
+        pairCounts(df).orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+      def apply(df: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) = df
+        .crossJoin(broadcast(b.select(col("a").as("ba"), col("b").as("bb"))))
+        .select(col("tok"), col("freq"),
+          expr("replace(r, ' ' || ba || '  ' || bb || ' ', " +
+            "' ' || ba || bb || ' ')").as("r"))
+      def audit(df: org.apache.spark.sql.DataFrame, round: Int,
+          b: org.apache.spark.sql.DataFrame) = {
+        val stats = df
+          .select(col("freq"), expr("split(trim(r), '  ')").as("l"))
+          .select(col("freq"), col("l"),
+            explode(col("l")).as("sym"))
+          .agg(countDistinct(col("sym")).as("vocab_symbols"),
+            sum(expr("freq")).as("weighted_rows")) // per exploded symbol row
+        // weighted_rows = Σ freq over symbol instances = total symbol
+        // instances in the corpus after this round's merge
+        stats.crossJoin(broadcast(b))
+          .select(lit(round.toLong).as("round"), col("a").as("sym_a"),
+            col("b").as("sym_b"), concat(col("a"), col("b")).as("merged"),
+            col("cnt").as("pair_count"), col("vocab_symbols"),
+            col("weighted_rows").as("symbol_instances"))
+      }
+      val b1 = best(r0)
+      val r1 = apply(r0, b1)
+      val b2 = best(r1)
+      val r2 = apply(r1, b2)
+      audit(r1, 1, b1).unionByName(audit(r2, 2, b2)).orderBy("round")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT t AS token, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+              FROM documents)
+        WHERE length(t) > 0
+        GROUP BY t),
+      r0 AS (
+        SELECT token, freq,
+               ' ' || array_to_string(string_split(token, ''), '  ') || ' '
+                 AS r
+        FROM tok),
+      p1 AS (
+        SELECT l[i] AS a, l[i + 1] AS b, freq
+        FROM (SELECT freq, string_split(trim(r), '  ') AS l,
+                     unnest(generate_series(1, len(string_split(trim(r), '  ')) - 1))
+                       AS i
+              FROM r0)),
+      c1 AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM p1 GROUP BY a, b),
+      b1 AS (SELECT * FROM c1 ORDER BY cnt DESC, a, b LIMIT 1),
+      r1 AS (
+        SELECT token, freq,
+               replace(r, ' ' || b1.a || '  ' || b1.b || ' ',
+                       ' ' || b1.a || b1.b || ' ') AS r
+        FROM r0, b1),
+      s1 AS (
+        SELECT CAST(count(DISTINCT sym) AS BIGINT) AS vocab_symbols,
+               CAST(sum(freq) AS BIGINT) AS symbol_instances
+        FROM (SELECT freq, unnest(string_split(trim(r), '  ')) AS sym
+              FROM r1)),
+      p2 AS (
+        SELECT l[i] AS a, l[i + 1] AS b, freq
+        FROM (SELECT freq, string_split(trim(r), '  ') AS l,
+                     unnest(generate_series(1, len(string_split(trim(r), '  ')) - 1))
+                       AS i
+              FROM r1)),
+      c2 AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+             FROM p2 GROUP BY a, b),
+      b2 AS (SELECT * FROM c2 ORDER BY cnt DESC, a, b LIMIT 1),
+      r2 AS (
+        SELECT token, freq,
+               replace(r, ' ' || b2.a || '  ' || b2.b || ' ',
+                       ' ' || b2.a || b2.b || ' ') AS r
+        FROM r1, b2),
+      s2 AS (
+        SELECT CAST(count(DISTINCT sym) AS BIGINT) AS vocab_symbols,
+               CAST(sum(freq) AS BIGINT) AS symbol_instances
+        FROM (SELECT freq, unnest(string_split(trim(r), '  ')) AS sym
+              FROM r2))
+      SELECT CAST(1 AS BIGINT) AS round, b1.a AS sym_a, b1.b AS sym_b,
+             b1.a || b1.b AS merged, b1.cnt AS pair_count,
+             s1.vocab_symbols, s1.symbol_instances
+      FROM b1, s1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), b2.a, b2.b, b2.a || b2.b, b2.cnt,
+             s2.vocab_symbols, s2.symbol_instances
+      FROM b2, s2
+      ORDER BY round"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
     t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54, t55, t56, t57,
-    t58, t59)
+    t58, t59, t60)
 }

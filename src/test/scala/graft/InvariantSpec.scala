@@ -1265,6 +1265,27 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("t60: each BPE round conserves symbols — instances shrink by exactly the applied merge count") {
+    val rows = operators.TextAnalysis.t60.build(spark, sfDir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == 2)
+    // total symbol instances before any merge = total token characters
+    val chars0 = operators.table(spark, sfDir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .agg(sum(length(col("tok")))).collect()(0).getLong(0)
+    val Seq(r1, r2) = rows.toSeq
+    // a != b ⇒ occurrences can't overlap ⇒ replace applies ALL of them
+    if (r1.getString(1) != r1.getString(2))
+      assert(chars0 - r1.getLong(4) == r1.getLong(6),
+        s"round 1: $chars0 - ${r1.getLong(4)} != ${r1.getLong(6)}")
+    if (r2.getString(1) != r2.getString(2))
+      assert(r1.getLong(6) - r2.getLong(4) == r2.getLong(6),
+        s"round 2: ${r1.getLong(6)} - ${r2.getLong(4)} != ${r2.getLong(6)}")
+    // greedy order: round 1's pair count is the global max, so >= round 2's
+    assert(r1.getLong(4) >= r2.getLong(4), "greedy argmax order violated")
+  }
+
   test("t59: grade is scale-consistent — doubling a doc's text leaves words/syllables ratios intact") {
     // structural sanity on the integer formula: every output row's counts
     // are positive and the banded grade agrees with the formula
