@@ -2351,9 +2351,66 @@ object EventWindows {
       FROM anchored
       ORDER BY event_type, d"""))
 
+  /** CLICKSTREAM PATH MINING — "which 3-step journeys dominate": per
+    * user, the event-type sequence in (ts, event_id) order collapses to
+    * its sliding trigrams and the corpus-wide trigram counts rank the
+    * top journeys — the navigation-path report behind funnel DESIGN
+    * (q70/q89 check a KNOWN pattern; q229 discovers which patterns are
+    * worth checking). Scale shape: one user_id exchange builds each
+    * user's ordered type array (collect_list over a sorted window — the
+    * sequence is the unit of analysis, and per-user history is the
+    * bounded dimension here), trigram formation is row-local zip_with
+    * over two slices (t60's pairing trick extended to 3), and the only
+    * other exchange is the Zipf-bounded trigram count; top-10 rides
+    * TakeOrderedAndProject. Distinct-user counts per path separate "one
+    * bot looped 500 times" from "everyone does this". */
+  val q229 = GraftQuery(
+    "q229_event_path_trigrams",
+    "Top-10 3-step event-type journeys: corpus counts + distinct users per path",
+    (s, dir) => {
+      val ordered = events(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      val seqs = ordered
+        .groupBy("user_id")
+        .agg(expr("sort_array(collect_list(struct(rn, event_type)))").as("st"))
+        .select(col("user_id"), expr("transform(st, x -> x.event_type)").as("l"))
+      val tri = seqs.select(col("user_id"), explode(expr(
+          "zip_with(slice(l, 1, size(l) - 2), " +
+            "zip_with(slice(l, 2, size(l) - 2), slice(l, 3, size(l) - 2), " +
+            "(y, z) -> struct(y AS b, z AS c)), " +
+            "(x, p) -> concat(x, ' > ', p.b, ' > ', p.c))")).as("path"))
+      tri.groupBy("path")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_occurrences").desc, col("path"))
+        .limit(10)
+    },
+    Some("""
+      WITH ordered AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events),
+      seqs AS (
+        SELECT user_id, list(event_type ORDER BY rn) AS l
+        FROM ordered GROUP BY user_id),
+      tri AS (
+        SELECT user_id,
+               l[i] || ' > ' || l[i + 1] || ' > ' || l[i + 2] AS path
+        FROM (SELECT user_id, l,
+                     unnest(generate_series(1, len(l) - 2)) AS i
+              FROM seqs))
+      SELECT path, count(*) AS n_occurrences,
+             count(DISTINCT user_id) AS n_users
+      FROM tri
+      GROUP BY path
+      ORDER BY n_occurrences DESC, path
+      LIMIT 10"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
     q150, q154, q157, q159, q163, q167, q169, q175, q176, q177, q179,
     q180, q183, q184, q201, q203, q206,
-    q207, q214, q218)
+    q207, q214, q218, q229)
 }

@@ -2908,7 +2908,103 @@ object Similarity {
       GROUP BY label, nl.n_label
       ORDER BY label"""))
 
+  /** KENDALL-TAU RANK STABILITY — the ORDER-sensitive quality metric the
+    * overlap measures (s20's recall@10, s16's recall-vs-nprobe) cannot
+    * see: two rankings can share all 20 items yet disagree on every
+    * position, and a reranker/cache keyed on rank order cares. Per
+    * query, the exact-fp32 top-20 is re-ranked by s18's int8 score and
+    * τ = (C − D)/(k(k−1)/2) is computed from concordant/discordant pair
+    * counts — ALL integer over rank positions (the float scores only
+    * break ties through the deterministic vec_id ordering), ×10⁴ with
+    * q130's sign-split since τ can be negative. Pair enumeration is a
+    * per-query self-join of a 20-row frame (≤190 pairs per query —
+    * bounded, never corpus-scale); the corpus itself streams once
+    * through the broadcast-query scoring join, unshuffled. */
+  val s34 = GraftQuery(
+    "s34_rank_correlation",
+    "Kendall tau (bp) of int8 vs exact ranking over each query's exact top-20, integer-exact",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("scale",
+          expr("greatest(aggregate(e, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x))), CAST(1e-12 AS DOUBLE)) / 127.0"))
+        .withColumn("c", expr("transform(e, x -> CAST(round(x / scale) AS BIGINT))"))
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("scale").as("qs"), col("c").as("qc"))
+      val scored = broadcast(q).crossJoin(emb)
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          expr("aggregate(zip_with(qe, e, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+            .as("exact_dot"),
+          (expr("aggregate(zip_with(qc, c, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+            * col("qs") * col("scale")).as("int8_dot"))
+      val we = Window.partitionBy("query_id").orderBy(desc("exact_dot"), col("vec_id"))
+      val top = scored
+        .withColumn("re", row_number().over(we).cast("long"))
+        .filter(col("re") <= 20)
+        .withColumn("ri", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("int8_dot"), col("vec_id")))
+          .cast("long"))
+        .select("query_id", "re", "ri")
+      val a = top.select(col("query_id"), col("re").as("re1"), col("ri").as("ri1"))
+      val b = top.select(col("query_id").as("q2"), col("re").as("re2"),
+        col("ri").as("ri2"))
+      a.join(broadcast(b), col("query_id") === col("q2") && col("re1") < col("re2"))
+        .groupBy("query_id")
+        .agg(sum(when(col("ri1") < col("ri2"), 1L).otherwise(0L)).as("n_concordant"),
+          sum(when(col("ri1") > col("ri2"), 1L).otherwise(0L)).as("n_discordant"))
+        .withColumn("tau_bp",
+          expr("CASE WHEN n_concordant >= n_discordant " +
+            "THEN (n_concordant - n_discordant) * 10000 div 190 " +
+            "ELSE -((n_discordant - n_concordant) * 10000 div 190) END"))
+        .orderBy("query_id")
+    },
+    Some("""
+      WITH emb AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               greatest(list_aggregate(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-12) / 127.0 AS scale
+        FROM embeddings),
+      cc AS (SELECT vec_id, e, scale,
+                    list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS c
+             FROM emb),
+      scored AS (
+        SELECT q.vec_id AS query_id, t.vec_id,
+               list_aggregate(list_transform(list_zip(q.e, t.e),
+                 z -> z[1] * z[2]), 'sum') AS exact_dot,
+               CAST(list_aggregate(list_transform(list_zip(q.c, t.c),
+                 z -> z[1] * z[2]), 'sum') AS BIGINT) * q.scale * t.scale
+                 AS int8_dot
+        FROM cc q JOIN cc t ON q.vec_id < 20 AND t.vec_id <> q.vec_id),
+      top AS (
+        SELECT query_id, re, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY int8_dot DESC, vec_id) AS BIGINT) AS ri
+        FROM (
+          SELECT query_id, vec_id, int8_dot,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY exact_dot DESC, vec_id) AS BIGINT) AS re
+          FROM scored)
+        WHERE re <= 20),
+      pairs AS (
+        SELECT a.query_id,
+               CAST(sum(CASE WHEN a.ri < b.ri THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_concordant,
+               CAST(sum(CASE WHEN a.ri > b.ri THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_discordant
+        FROM top a JOIN top b
+          ON a.query_id = b.query_id AND a.re < b.re
+        GROUP BY a.query_id)
+      SELECT query_id, n_concordant, n_discordant,
+             CAST(CASE WHEN n_concordant >= n_discordant
+                  THEN (n_concordant - n_discordant) * 10000 // 190
+                  ELSE -((n_discordant - n_concordant) * 10000 // 190)
+                  END AS BIGINT) AS tau_bp
+      FROM pairs
+      ORDER BY query_id"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
     s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-    s27, s28, s29, s30, s31, s32, s33)
+    s27, s28, s29, s30, s31, s32, s33, s34)
 }

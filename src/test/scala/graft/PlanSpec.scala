@@ -1620,6 +1620,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans == 1, s"$scans documents scans\n$p")
   }
 
+  test("s34: the corpus streams through a broadcast scoring join — no sort-merge, one embeddings-pair scan shape") {
+    val p = plan(operators.Similarity.s34.build(spark, sfDir))
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for scoring\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q229: one events scan feeds the whole path report") {
+    val p = plan(operators.EventWindows.q229.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("events.parquet"))
+    assert(scans == 1, s"$scans events scans\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 not a bounded heap\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
