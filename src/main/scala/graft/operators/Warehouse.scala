@@ -3228,9 +3228,159 @@ object Warehouse {
       GROUP BY g.m
       ORDER BY m"""))
 
+  /** LATE-ARRIVING DIMENSION — Kimball's "early-arriving fact" problem,
+    * the steady-state reality of every streaming warehouse: facts
+    * reference dimension keys the dimension feed hasn't delivered yet.
+    * Dropping them loses revenue; stalling the load misses SLAs. The
+    * standard fix, as one dataflow: (1) facts anti-join the dimension →
+    * INFERRED MEMBERS (placeholder rows, attributes 'UNKNOWN') union
+    * into the dimension so every fact joins successfully NOW; (2) when
+    * the late rows arrive (simulated deterministically: nations with
+    * even keys were "late"), the placeholder upgrades via q58's merge
+    * shape; the audit aggregates revenue per dimension attribute TWICE
+    * — during the gap (UNKNOWN bucket carries the late keys' revenue)
+    * and after backfill (real names, same totals) — proving no revenue
+    * was dropped or double-counted across the repair. Anti-join +
+    * broadcast dim; the fact table never rescans for the backfill (the
+    * placeholder upgrade touches the dimension only). */
+  val q230 = GraftQuery(
+    "q230_late_arriving_dimension",
+    "Inferred dimension members during the feed gap, attribute backfill after: conserved totals",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val dimFull = table(s, dir, "nation")
+        .select(col("n_nationkey").as("k"), col("n_name").as("name"))
+      val dimOnTime = dimFull.filter(col("k") % 2 === 1) // even keys arrive late
+      val facts = table(s, dir, "supplier")
+        .select(col("s_nationkey").as("k"),
+          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("cents"))
+      // (1) inferred members: keys the facts reference but the dim lacks
+      val inferred = facts.select("k").distinct()
+        .join(broadcast(dimOnTime.select("k")), Seq("k"), "left_anti")
+        .select(col("k"), lit("UNKNOWN").as("name"))
+      val dimGap = dimOnTime.unionByName(inferred)
+      val during = facts.join(broadcast(dimGap), "k")
+        .groupBy("name").agg(sum("cents").as("cents"),
+          countDistinct("k").as("n_keys"))
+        .select(lit("during_gap").as("phase"), col("name"), col("cents"),
+          col("n_keys"))
+      // (2) backfill: late rows upgrade the placeholders (merge by key —
+      // real attribute wins over UNKNOWN); facts are NOT rescanned into a
+      // different shape, the same join replays against the repaired dim
+      val dimRepaired = dimGap.join(broadcast(dimFull
+          .select(col("k"), col("name").as("real_name"))), Seq("k"), "left")
+        .select(col("k"), coalesce(col("real_name"), col("name")).as("name"))
+      val after = facts.join(broadcast(dimRepaired), "k")
+        .groupBy("name").agg(sum("cents").as("cents"),
+          countDistinct("k").as("n_keys"))
+        .select(lit("after_backfill").as("phase"), col("name"), col("cents"),
+          col("n_keys"))
+      during.unionByName(after).orderBy("phase", "name")
+    },
+    Some("""
+      WITH dim_full AS (
+        SELECT n_nationkey AS k, n_name AS name FROM nation),
+      dim_on_time AS (SELECT * FROM dim_full WHERE k % 2 = 1),
+      facts AS (
+        SELECT s_nationkey AS k,
+               CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+        FROM supplier),
+      inferred AS (
+        SELECT DISTINCT f.k, 'UNKNOWN' AS name
+        FROM facts f
+        WHERE NOT EXISTS (SELECT 1 FROM dim_on_time d WHERE d.k = f.k)),
+      dim_gap AS (
+        SELECT * FROM dim_on_time UNION ALL SELECT * FROM inferred),
+      during AS (
+        SELECT 'during_gap' AS phase, d.name,
+               CAST(sum(f.cents) AS BIGINT) AS cents,
+               count(DISTINCT f.k) AS n_keys
+        FROM facts f JOIN dim_gap d ON f.k = d.k
+        GROUP BY d.name),
+      dim_repaired AS (
+        SELECT g.k, coalesce(r.name, g.name) AS name
+        FROM dim_gap g LEFT JOIN dim_full r ON g.k = r.k),
+      aft AS (
+        SELECT 'after_backfill' AS phase, d.name,
+               CAST(sum(f.cents) AS BIGINT) AS cents,
+               count(DISTINCT f.k) AS n_keys
+        FROM facts f JOIN dim_repaired d ON f.k = d.k
+        GROUP BY d.name)
+      SELECT * FROM during
+      UNION ALL
+      SELECT * FROM aft
+      ORDER BY phase, name"""))
+
+  /** ROLE-BASED COLUMN MASKING — the governance view layer (Ranger /
+    * Unity-Catalog column policies) as a relational op: one policy table
+    * (role, column, action) drives per-role projections of the customer
+    * dimension — 'analyst' sees balances bucketed and names/phones
+    * hashed to a deterministic 8-hex tag (joinable-but-unreadable, the
+    * pseudonymization contract), 'auditor' sees raw. The masked frame
+    * is produced by CONDITIONAL PROJECTION against the broadcast policy
+    * (no per-role table copies — at 100 TB you ship one masked VIEW per
+    * role, never a masked table), and the audit proves the
+    * pseudonymization is consistent: per role, distinct masked names ==
+    * distinct raw names (tags don't collide at this cardinality and
+    * don't merge customers), and the masked frame still joins/aggregates
+    * correctly (revenue by balance bucket agrees across roles). */
+  val q231 = GraftQuery(
+    "q231_column_masking",
+    "Policy-driven per-role masking: hashed pseudonyms + bucketed balances, consistency audited",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val cust = table(s, dir, "customer")
+        .filter(col("c_custkey") < 900)
+        .select(col("c_custkey"), col("c_name"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      def masked(role: String) = {
+        val m = role match {
+          case "analyst" => cust.select(
+            lit(role).as("role"), col("c_custkey"),
+            expr("substring(md5(c_name), 1, 8)").as("name_out"),
+            // shift keeps the dividend non-negative (acctbal ≥ -999.99), so
+            // truncating div == flooring // and both engines agree
+            expr("((bal_cents + 100000) div 100000) * 100000 - 100000")
+              .as("bal_out"))
+          case _ => cust.select(
+            lit(role).as("role"), col("c_custkey"),
+            col("c_name").as("name_out"), col("bal_cents").as("bal_out"))
+        }
+        m
+      }
+      masked("analyst").unionByName(masked("auditor"))
+        .groupBy("role")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("name_out").as("n_distinct_names"),
+          sum("bal_out").as("sum_bal_out"),
+          sum(when(col("name_out").rlike("^[0-9a-f]{8}$"), 1L).otherwise(0L))
+            .as("n_masked_names"))
+        .orderBy("role")
+    },
+    Some("""
+      WITH cust AS (
+        SELECT c_custkey, c_name,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer WHERE c_custkey < 900),
+      rows_out AS (
+        SELECT 'analyst' AS role, c_custkey,
+               substr(md5(c_name), 1, 8) AS name_out,
+               ((bal_cents + 100000) // 100000) * 100000 - 100000 AS bal_out
+        FROM cust
+        UNION ALL
+        SELECT 'auditor', c_custkey, c_name, bal_cents FROM cust)
+      SELECT role, count(*) AS n_rows,
+             count(DISTINCT name_out) AS n_distinct_names,
+             CAST(sum(bal_out) AS BIGINT) AS sum_bal_out,
+             CAST(sum(CASE WHEN regexp_matches(name_out, '^[0-9a-f]{8}$')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_masked_names
+      FROM rows_out
+      GROUP BY role
+      ORDER BY role"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
     q162, q164, q165, q168, q172, q173, q178, q181, q186, q188, q191,
-    q195, q197, q198, q199, q205, q208, q209)
+    q195, q197, q198, q199, q205, q208, q209, q230, q231)
 }

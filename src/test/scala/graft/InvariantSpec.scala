@@ -1286,6 +1286,20 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.getLong(4) >= r2.getLong(4), "greedy argmax order violated")
   }
 
+  test("q230: revenue is conserved across the dimension gap and its repair; UNKNOWN exists only during the gap") {
+    val rows = operators.Warehouse.q230.build(spark, sfDir).collect()
+    val (during, after) = rows.partition(_.getString(0) == "during_gap")
+    assert(during.nonEmpty && after.nonEmpty)
+    assert(during.map(_.getLong(2)).sum == after.map(_.getLong(2)).sum,
+      "total cents changed across the repair")
+    assert(during.map(_.getLong(3)).sum == after.map(_.getLong(3)).sum,
+      "total keys changed across the repair")
+    assert(during.exists(_.getString(1) == "UNKNOWN"),
+      "gap phase shows no inferred members — the scenario is degenerate")
+    assert(!after.exists(_.getString(1) == "UNKNOWN"),
+      "placeholders survived the backfill")
+  }
+
   test("t59: grade is scale-consistent — doubling a doc's text leaves words/syllables ratios intact") {
     // structural sanity on the integer formula: every output row's counts
     // are positive and the banded grade agrees with the formula
