@@ -3396,11 +3396,61 @@ object Relational {
       GROUP BY ck, budget
       ORDER BY ck"""))
 
+  /** NULL-KEY SKEW SPLIT — the outer-join fix for the oldest shuffle
+    * pathology: NULL join keys all hash to ONE partition, and since an
+    * equi-join can never match them, that reducer does pure wasted work
+    * — at 100 TB a 10%-null foreign key is a straggler task holding the
+    * whole stage. The standard rewrite: split the fact on key
+    * nullability, join ONLY the non-null side, union the null side back
+    * with null-padded dimension columns — the null rows never enter an
+    * exchange keyed on the join column. The DuckDB oracle replays the
+    * PLAIN LEFT JOIN, so equal hashes PROVE the split is semantics-
+    * preserving (the q113/q126 proven-rewrite discipline); PlanSpec
+    * pins the shape (a Union whose null branch carries no Join, and an
+    * isnotnull filter feeding the join). Null keys synthesized
+    * deterministically (every 7th event loses its user). */
+  val q232 = GraftQuery(
+    "q232_null_skew_split_join",
+    "Left join with null-heavy key via nullability split + union, proven against the plain join",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(
+          expr("CASE WHEN event_id % 7 = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE user_id END").as("uid"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val dim = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val matched = ev.filter(col("uid").isNotNull)
+        .join(dim, col("uid") === col("c_custkey"), "left")
+        .select(col("uid"), col("cents"), col("c_mktsegment"))
+      val nullSide = ev.filter(col("uid").isNull)
+        .select(col("uid"), col("cents"),
+          lit(null).cast("string").as("c_mktsegment"))
+      matched.unionByName(nullSide)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"),
+          sum(when(col("uid").isNull, 1L).otherwise(0L)).as("n_null_keys"))
+        .orderBy(col("c_mktsegment").asc_nulls_first)
+    },
+    Some("""
+      WITH ev AS (
+        SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS uid,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events)
+      SELECT c.c_mktsegment,
+             count(*) AS n,
+             CAST(sum(e.cents) AS BIGINT) AS total_cents,
+             CAST(sum(CASE WHEN e.uid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_keys
+      FROM ev e LEFT JOIN customer c ON e.uid = c.c_custkey
+      GROUP BY c.c_mktsegment
+      ORDER BY c.c_mktsegment NULLS FIRST"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
     q182, q185, q196, q202, q204, q210, q211, q213, q215, q219, q221, q222,
-    q223, q224, q225)
+    q223, q224, q225, q232)
 }

@@ -3624,9 +3624,102 @@ object TextAnalysis {
       FROM b2, s2
       ORDER BY round"""))
 
+  /** SUFFIX-STEM FAMILIES — Porter-lite stemming as the vocabulary-
+    * folding tier between d19's ASCII canonicalization and a real
+    * lemmatizer: five ordered suffix rules (sses→ss, ies→i, ing→∅,
+    * ed→∅, s→∅; first match wins, stems shorter than 3 chars are left
+    * alone — the classic guard) collapse inflected variants onto one
+    * stem, and the report ranks stem FAMILIES (≥2 surviving variants)
+    * by member count — the signal for whether search/dedup should fold
+    * morphology. Entirely row-local CASE/substring codegen over the
+    * Zipf-bounded vocabulary; the only exchanges are the two bounded
+    * count aggs. Both engines evaluate the identical rule cascade, so
+    * the fold is hash-checked end to end. */
+  val t61 = GraftQuery(
+    "t61_stem_families",
+    "Porter-lite suffix stemming: top-20 stem families by variant count over the vocabulary",
+    (s, dir) => {
+      val base = table(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      // the word-soup fixture carries no organic inflections, so variants
+      // are planted deterministically in BOTH engines (d19's synthesis
+      // discipline): every base token of length >= 4 not already ending
+      // in s contributes its -s / -ing / -ed forms; the operator's job is
+      // to fold them back onto the seed
+      val planted = base
+        .filter(length(col("tok")) >= 4 && !col("tok").endsWith("s"))
+        .select(explode(array(
+          concat(col("tok"), lit("s")),
+          concat(col("tok"), lit("ing")),
+          concat(col("tok"), lit("ed")))).as("tok"),
+          col("freq"))
+      val vocab = base.unionByName(planted)
+        .groupBy("tok").agg(sum("freq").as("freq"))
+      val stemmed = vocab.withColumn("stem", expr(
+        """CASE
+           WHEN tok LIKE '%sses' AND length(tok) >= 7
+             THEN substring(tok, 1, length(tok) - 2)
+           WHEN tok LIKE '%ies' AND length(tok) >= 6
+             THEN concat(substring(tok, 1, length(tok) - 3), 'i')
+           WHEN tok LIKE '%ing' AND length(tok) >= 6
+             THEN substring(tok, 1, length(tok) - 3)
+           WHEN tok LIKE '%ed' AND length(tok) >= 5
+             THEN substring(tok, 1, length(tok) - 2)
+           WHEN tok LIKE '%s' AND NOT tok LIKE '%ss' AND length(tok) >= 4
+             THEN substring(tok, 1, length(tok) - 1)
+           ELSE tok END"""))
+      stemmed.groupBy("stem")
+        .agg(countDistinct("tok").as("n_variants"),
+          sum("freq").as("total_freq"),
+          min("tok").as("sample_variant"))
+        .filter(col("n_variants") >= 2)
+        .orderBy(col("n_variants").desc, col("total_freq").desc, col("stem"))
+        .limit(20)
+    },
+    Some("""
+      WITH base AS (
+        SELECT t AS tok, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+              FROM documents)
+        WHERE length(t) > 0
+        GROUP BY t),
+      planted AS (
+        SELECT tok || sfx AS tok, freq
+        FROM base, (SELECT unnest(['s', 'ing', 'ed']) AS sfx)
+        WHERE length(tok) >= 4 AND tok NOT LIKE '%s'),
+      vocab AS (
+        SELECT tok, CAST(sum(freq) AS BIGINT) AS freq
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        GROUP BY tok),
+      stemmed AS (
+        SELECT tok, freq,
+               CASE
+                 WHEN tok LIKE '%sses' AND length(tok) >= 7
+                   THEN substr(tok, 1, length(tok) - 2)
+                 WHEN tok LIKE '%ies' AND length(tok) >= 6
+                   THEN substr(tok, 1, length(tok) - 3) || 'i'
+                 WHEN tok LIKE '%ing' AND length(tok) >= 6
+                   THEN substr(tok, 1, length(tok) - 3)
+                 WHEN tok LIKE '%ed' AND length(tok) >= 5
+                   THEN substr(tok, 1, length(tok) - 2)
+                 WHEN tok LIKE '%s' AND tok NOT LIKE '%ss' AND length(tok) >= 4
+                   THEN substr(tok, 1, length(tok) - 1)
+                 ELSE tok END AS stem
+        FROM vocab)
+      SELECT stem, count(DISTINCT tok) AS n_variants,
+             CAST(sum(freq) AS BIGINT) AS total_freq,
+             min(tok) AS sample_variant
+      FROM stemmed
+      GROUP BY stem
+      HAVING count(DISTINCT tok) >= 2
+      ORDER BY n_variants DESC, total_freq DESC, stem
+      LIMIT 20"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
     t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54, t55, t56, t57,
-    t58, t59, t60)
+    t58, t59, t60, t61)
 }

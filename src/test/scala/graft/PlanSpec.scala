@@ -1634,6 +1634,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), s"top-10 not a bounded heap\n$p")
   }
 
+  test("q232: the null branch of the split bypasses the join — Union present, isnotnull feeds the join") {
+    val p = plan(operators.Relational.q232.build(spark, sfDir))
+    assert(p.contains("Union"), s"no Union — the split collapsed\n$p")
+    // count node-detail headers "(n) ...Join" — tree lines repeat names
+    val joins = p.linesIterator.count(l =>
+      l.trim.matches("""\(\d+\) \w*Join\w*( .*)?"""))
+    assert(joins == 1, s"$joins Join nodes (expected exactly 1 — nulls must not join)\n$p")
+    assert(p.contains("isnotnull"), s"non-null filter missing below the join\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
