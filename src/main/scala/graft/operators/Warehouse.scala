@@ -3378,9 +3378,147 @@ object Warehouse {
       GROUP BY role
       ORDER BY role"""))
 
+  /** ROLE-PLAYING DATE DIMENSION — the Kimball pattern behind every
+    * "order date vs ship date vs delivery date" report: ONE conformed
+    * date dimension (generated deterministically from the fact's own
+    * date range — q102's scaffold trick, so both engines build the
+    * identical dim) joins the fact TWICE under different roles, each
+    * role an alias of the same broadcast table — never two physical
+    * date tables drifting apart. The report crosses order-month
+    * attributes with ship-lag buckets derived from the ship-role join;
+    * both joins broadcast (a date dim is bounded by the calendar — the
+    * canonical broadcast dimension), the fact scans once. */
+  val q233 = GraftQuery(
+    "q233_role_playing_dates",
+    "One conformed date dim joined under order-date and ship-date roles: month × lag-bucket revenue",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val li = table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(to_date(col("o_orderdate")).as("od"),
+          to_date(col("l_shipdate")).as("sd"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val bounds = li.agg(min(least(col("od"), col("sd"))).as("lo"),
+        max(greatest(col("od"), col("sd"))).as("hi"))
+      val dates = bounds.select(explode(expr(
+          "sequence(lo, hi, interval 1 day)")).as("d"))
+        .select(col("d"), date_format(col("d"), "yyyy-MM").as("month"),
+          quarter(col("d")).cast("long").as("qtr"))
+      val orderRole = dates.select(col("d").as("od_d"),
+        col("month").as("order_month"), col("qtr").as("order_qtr"))
+      val shipRole = dates.select(col("d").as("sd_d"),
+        col("month").as("ship_month"))
+      li.join(broadcast(orderRole), col("od") === col("od_d"))
+        .join(broadcast(shipRole), col("sd") === col("sd_d"))
+        .withColumn("lag_bucket", expr(
+          "CASE WHEN datediff(sd, od) <= 30 THEN '0-30' " +
+            "WHEN datediff(sd, od) <= 60 THEN '31-60' ELSE '60+' END"))
+        .groupBy("order_month", "order_qtr", "lag_bucket")
+        .agg(count(lit(1)).as("n"), sum("cents").as("revenue_cents"))
+        .orderBy("order_month", "lag_bucket")
+    },
+    Some("""
+      WITH li AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS od,
+               CAST(l.l_shipdate AS DATE) AS sd,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      bounds AS (
+        SELECT min(least(od, sd)) AS lo, max(greatest(od, sd)) AS hi FROM li),
+      dates AS (
+        SELECT CAST(d AS DATE) AS d, strftime(d, '%Y-%m') AS month,
+               CAST(quarter(d) AS BIGINT) AS qtr
+        FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+              FROM bounds)),
+      joined AS (
+        SELECT odim.month AS order_month, odim.qtr AS order_qtr,
+               CASE WHEN date_diff('day', li.od, li.sd) <= 30 THEN '0-30'
+                    WHEN date_diff('day', li.od, li.sd) <= 60 THEN '31-60'
+                    ELSE '60+' END AS lag_bucket,
+               li.cents
+        FROM li
+        JOIN dates odim ON li.od = odim.d
+        JOIN dates sdim ON li.sd = sdim.d)
+      SELECT order_month, order_qtr, lag_bucket,
+             count(*) AS n, CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM joined
+      GROUP BY order_month, order_qtr, lag_bucket
+      ORDER BY order_month, lag_bucket"""))
+
+  /** SPARSE-COLUMN LATEST-NON-NULL MERGE — the CDC shape q116/q121's
+    * whole-row "latest version wins" cannot express: feeds deliver
+    * PARTIAL updates (only the changed columns non-null — the
+    * PATCH-not-PUT convention of webhook/event payloads), and the
+    * current state of each entity is the latest NON-NULL value PER
+    * COLUMN, each column potentially from a different update. One hash
+    * aggregate does it all: per column, max_by-style struct-max of
+    * (version, value) over non-null rows only — no window sort, no
+    * per-column self-joins (the naive form runs one "latest where col
+    * is not null" subquery per column). Updates synthesized by key/
+    * version modulus so the oracle replays them; the `n_updates` and
+    * per-column source-version columns make the column-independence
+    * visible (segment and balance routinely resolve from DIFFERENT
+    * versions). */
+  val q234 = GraftQuery(
+    "q234_sparse_column_merge",
+    "Latest non-null per column from partial updates: one struct-max aggregate, no windows",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      // synthesized partial-update stream over customers: 3 versions per
+      // key; v1 sets both columns, v2 patches only segment (balance
+      // NULL), v3 patches only balance — except every 5th key, whose v3
+      // never arrived (its balance must resolve from v1)
+      val upd = table(s, dir, "customer")
+        .filter(col("c_custkey") < 600)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg0"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal0"))
+        .select(col("k"), explode(expr(
+          """filter(array(
+               struct(1L AS v, seg0 AS segment, bal0 AS balance),
+               struct(2L AS v, concat(seg0, '_P2') AS segment,
+                 CAST(NULL AS BIGINT) AS balance),
+               struct(3L AS v, CAST(NULL AS STRING) AS segment,
+                 bal0 + 777 AS balance)),
+             x -> x.v < 3 OR k % 5 <> 0)""")).as("u"))
+        .select(col("k"), col("u.v").as("v"), col("u.segment").as("segment"),
+          col("u.balance").as("balance"))
+      upd.groupBy("k")
+        .agg(count(lit(1)).as("n_updates"),
+          max(when(col("segment").isNotNull,
+            struct(col("v"), col("segment")))).as("ms"),
+          max(when(col("balance").isNotNull,
+            struct(col("v"), col("balance")))).as("mb"))
+        .select(col("k"), col("n_updates"),
+          col("ms.segment").as("segment"), col("ms.v").as("segment_from_v"),
+          col("mb.balance").as("balance"), col("mb.v").as("balance_from_v"))
+        .orderBy("k")
+    },
+    Some("""
+      WITH base AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg0,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal0
+        FROM customer WHERE c_custkey < 600),
+      upd AS (
+        SELECT k, 1 AS v, seg0 AS segment, bal0 AS balance FROM base
+        UNION ALL
+        SELECT k, 2, seg0 || '_P2', NULL FROM base
+        UNION ALL
+        SELECT k, 3, NULL, bal0 + 777 FROM base WHERE k % 5 <> 0)
+      SELECT k, count(*) AS n_updates,
+             max_by(segment, v) FILTER (WHERE segment IS NOT NULL) AS segment,
+             CAST(max(v) FILTER (WHERE segment IS NOT NULL) AS BIGINT)
+               AS segment_from_v,
+             max_by(balance, v) FILTER (WHERE balance IS NOT NULL) AS balance,
+             CAST(max(v) FILTER (WHERE balance IS NOT NULL) AS BIGINT)
+               AS balance_from_v
+      FROM upd
+      GROUP BY k
+      ORDER BY k"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
     q162, q164, q165, q168, q172, q173, q178, q181, q186, q188, q191,
-    q195, q197, q198, q199, q205, q208, q209, q230, q231)
+    q195, q197, q198, q199, q205, q208, q209, q230, q231, q233, q234)
 }

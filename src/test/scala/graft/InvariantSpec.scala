@@ -1300,6 +1300,23 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       "placeholders survived the backfill")
   }
 
+  test("q234: columns resolve independently — segment from v2 everywhere, balance from v3 unless v3 is missing") {
+    val rows = operators.Warehouse.q234.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(3) == 2L, s"k=$k: segment not from v2")
+      assert(r.getString(2).endsWith("_P2"), s"k=$k: segment not the v2 patch")
+      if (k % 5 == 0) {
+        assert(r.getLong(1) == 2L && r.getLong(5) == 1L,
+          s"k=$k: missing-v3 key must fall back to v1 balance")
+      } else {
+        assert(r.getLong(1) == 3L && r.getLong(5) == 3L,
+          s"k=$k: balance not from v3")
+      }
+    }
+  }
+
   test("t59: grade is scale-consistent — doubling a doc's text leaves words/syllables ratios intact") {
     // structural sanity on the integer formula: every output row's counts
     // are positive and the banded grade agrees with the formula
