@@ -3446,11 +3446,72 @@ object Relational {
       GROUP BY c.c_mktsegment
       ORDER BY c.c_mktsegment NULLS FIRST"""))
 
+  /** SPATIAL SELF-JOIN (all pairs within radius) — the one grid shape
+    * q156's bipartite points-near-sites join cannot express: proximity
+    * pairs WITHIN one set, where the naive form is the O(n²) self cross
+    * product and the subtle part is counting each unordered pair exactly
+    * once. Same fixed grid (cell side = r, any pair within r lies ≤1
+    * cell apart per axis), but asymmetric roles over the SAME relation:
+    * the build side keys each point to its HOME cell only, the probe
+    * side explodes each point to its 3×3 neighborhood — so a qualifying
+    * pair meets exactly twice (A-home×B-probe and B-home×A-probe) and
+    * the ka < kb filter keeps exactly one of the two; no DISTINCT pass,
+    * no double-count. The join itself is a plain shuffled EQUI-join on
+    * (gx, gy): partitionable, AQE-skew-splittable, no
+    * BroadcastNestedLoopJoin (PlanSpec pins no cartesian). Coordinates
+    * are synthesized deterministically from the key (LCG multipliers
+    * mod 10⁴) and the distance test is INTEGER squared distance —
+    * bit-exact cross-engine, no sqrt. The DuckDB oracle is the quadratic
+    * all-pairs form, so equal hashes PROVE the grid pruning lossless
+    * AND the once-per-pair accounting. At 100 TB this is d21's blocking
+    * idea lifted to 2-D geometry: the probe explode is a fixed 9×
+    * (bounded, not data-dependent). */
+  val q235 = GraftQuery(
+    "q235_grid_spatial_join",
+    "All point pairs within radius via 3x3 grid-cell equi-join, proven against the quadratic oracle",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val pts = table(s, dir, "customer")
+        .filter(col("c_custkey") < 2000)
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("x", expr("(k * 48271) % 10000"))
+        .withColumn("y", expr("(k * 16807) % 10000"))
+      val home = pts.select(col("k").as("ka"), col("x").as("xa"),
+        col("y").as("ya"), expr("x div 400").as("gx"), expr("y div 400").as("gy"))
+      val probe = pts
+        .withColumn("cx", expr("x div 400")).withColumn("cy", expr("y div 400"))
+        .select(col("k").as("kb"), col("x").as("xb"), col("y").as("yb"),
+          explode(expr(
+            """flatten(transform(sequence(-1L, 1L),
+                 dx -> transform(sequence(-1L, 1L),
+                   dy -> struct(cx + dx AS gx, cy + dy AS gy))))""")).as("c"))
+        .select(col("kb"), col("xb"), col("yb"),
+          col("c.gx").as("gx"), col("c.gy").as("gy"))
+      home.join(probe, Seq("gx", "gy"))
+        .filter(col("ka") < col("kb"))
+        .withColumn("dist2",
+          expr("(xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)"))
+        .filter(col("dist2") <= 160000L)
+        .select(col("ka"), col("kb"), col("dist2"))
+        .orderBy("ka", "kb")
+    },
+    Some("""
+      WITH pts AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+               (CAST(c_custkey AS BIGINT) * 48271) % 10000 AS x,
+               (CAST(c_custkey AS BIGINT) * 16807) % 10000 AS y
+        FROM customer WHERE c_custkey < 2000)
+      SELECT a.k AS ka, b.k AS kb,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+      FROM pts a JOIN pts b ON a.k < b.k
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 160000
+      ORDER BY ka, kb"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
     q182, q185, q196, q202, q204, q210, q211, q213, q215, q219, q221, q222,
-    q223, q224, q225, q232)
+    q223, q224, q225, q232, q235)
 }

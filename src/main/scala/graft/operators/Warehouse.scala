@@ -3516,9 +3516,71 @@ object Warehouse {
       GROUP BY k
       ORDER BY k"""))
 
+  /** CACHE-REUSE SHARED SCAN — the materialize-once-fan-out posture that
+    * keeps a multi-report job from re-scanning the fact table per report:
+    * ONE per-customer profile aggregate (the expensive full-orders pass)
+    * is `.cache()`d, and three downstream reports — an order-count
+    * histogram, a first-order-year cohort rollup, and a grand total —
+    * re-aggregate the SMALL cached profile (|customers| rows, not
+    * |orders|). Without the cache Spark's DAG recomputes the base
+    * aggregate once per union branch: three full fact scans for one
+    * report page. PlanSpec pins ≥2 InMemoryTableScan nodes in the
+    * executed plan (every branch after the first reads the cache, not
+    * the fact). The DuckDB oracle replays the same three rollups off a
+    * shared CTE, so the hashes also prove branch-consistency: all three
+    * reports describe the SAME base snapshot — the q205 metric-
+    * consistency guarantee, here enforced by plan structure rather than
+    * discipline. At 100 TB the cached profile is customer-cardinality
+    * (fits memory/disk-spill tiers), while the saved work is two extra
+    * passes over the order fact. */
+  val q236 = GraftQuery(
+    "q236_shared_scan_reports",
+    "Three report branches off one cached per-customer aggregate: hist + cohort + total, single fact scan",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val base = table(s, dir, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+          min(expr("year(to_date(o_orderdate))")).cast("long").as("first_year"))
+        .cache() // customer-cardinality; scanned by all three branches
+      val hist = base.groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .select(lit("order_count_hist").as("branch"),
+          col("n_orders").cast("string").as("key"), col("n"), col("cents"))
+      val cohort = base.groupBy(col("first_year"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .select(lit("cohort_year").as("branch"),
+          col("first_year").cast("string").as("key"), col("n"), col("cents"))
+      val total = base.agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .select(lit("total").as("branch"), lit("all").as("key"),
+          col("n"), col("cents"))
+      hist.unionAll(cohort).unionAll(total).orderBy("branch", "key")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents,
+               CAST(min(year(CAST(o_orderdate AS DATE))) AS BIGINT)
+                 AS first_year
+        FROM orders GROUP BY o_custkey)
+      SELECT 'order_count_hist' AS branch, CAST(n_orders AS VARCHAR) AS key,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+      FROM base GROUP BY n_orders
+      UNION ALL
+      SELECT 'cohort_year', CAST(first_year AS VARCHAR),
+             CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+      FROM base GROUP BY first_year
+      UNION ALL
+      SELECT 'total', 'all', CAST(count(*) AS BIGINT),
+             CAST(sum(cents) AS BIGINT)
+      FROM base
+      ORDER BY branch, key"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
     q162, q164, q165, q168, q172, q173, q178, q181, q186, q188, q191,
-    q195, q197, q198, q199, q205, q208, q209, q230, q231, q233, q234)
+    q195, q197, q198, q199, q205, q208, q209, q230, q231, q233, q234, q236)
 }

@@ -1644,6 +1644,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("isnotnull"), s"non-null filter missing below the join\n$p")
   }
 
+  test("q235: spatial proximity join is a shuffled equi-join on grid cells, no cartesian") {
+    val p = plan(operators.Relational.q235.build(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"grid join degenerated to an all-pairs product\n$p")
+    assert(p.contains("Join") && p.contains("gx"), s"no cell equi-join\n$p")
+  }
+
+  test("q236: branches after the first read the cached profile, not the fact") {
+    val df = operators.Warehouse.q236.build(spark, sfDir)
+    df.collect() // materialize the cache so the executed plan shows reuse
+    val p = plan(df)
+    val imts = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(imts >= 2, s"$imts InMemoryTableScan nodes (expected one per branch)\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
