@@ -2462,7 +2462,140 @@ object Dedup {
       GROUP BY 1, 2
       ORDER BY exact_band, ham_band"""))
 
+  /** FELLEGI–SUNTER PROBABILISTIC LINKAGE — the statistical layer the
+    * rule-based matchers (q98 fuzzy join, d29 survivorship) lack: per-
+    * field agreement is weighted by ln(m/u) evidence, where m = P(agree |
+    * true match) and u = P(agree | non-match) are ESTIMATED FROM DATA
+    * (Fellegi & Sunter, JASA 1969; Winkler's Census implementations).
+    * A rare-to-agree-by-chance field (exact balance) earns a large
+    * agreement weight; a 5-value segment earns a small one — the same
+    * df-rarity insight as d28's evidence ranking, made decision-theoretic.
+    * Two sources are synthesized from one dimension (k-modulus field
+    * perturbations: segment rotated at k%3, balance nudged at k%4, name
+    * suffixed at k%5 — independent corruptions so agreement patterns
+    * mix), candidates come from NATION BLOCKING (never all-pairs), and
+    * m/u are estimated with add-1 smoothing from the labeled candidate
+    * set: one conditional aggregate producing a single broadcast
+    * parameter row — the trained-model posture, like s5's centroids.
+    * Scores are Σ per-field ln(m/u) or ln((1−m)/(1−u)), rounded to 4
+    * decimals (the t15 ln discipline); thresholds classify link /
+    * possible / nonlink, and the triple-perturbed cohort (k%60==0)
+    * lands a DELIBERATE false negative so the labels prove the score is
+    * doing the classifying, not the truth column. The DuckDB oracle
+    * replays synthesis, estimation, and scoring end-to-end. */
+  val d33 = GraftQuery(
+    "d33_fellegi_sunter",
+    "Probabilistic record linkage: m/u estimation + ln-odds field weights + link/possible/nonlink",
+    (s, dir) => {
+      val base = table(s, dir, "customer")
+        .filter(col("c_custkey") < 400)
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"),
+          col("c_name").as("name"))
+      val srcA = base.select(col("k").as("ka"), col("nation"),
+        col("seg").as("seg_a"), col("bal").as("bal_a"),
+        col("name").as("name_a"))
+      val srcB = base.select(col("k").as("kb"), col("nation"),
+        when(col("k") % 3 === 0, lit("OTHER")).otherwise(col("seg")).as("seg_b"),
+        when(col("k") % 4 === 0, col("bal") + 5).otherwise(col("bal")).as("bal_b"),
+        when(col("k") % 5 === 0, concat(col("name"), lit("~X")))
+          .otherwise(col("name")).as("name_b"))
+      val pairs = srcA.join(srcB, Seq("nation"))
+        .select(col("nation"), col("ka"), col("kb"),
+          (col("ka") === col("kb")).cast("long").as("is_true"),
+          (col("seg_a") === col("seg_b")).cast("long").as("agree_seg"),
+          (col("bal_a") === col("bal_b")).cast("long").as("agree_bal"),
+          (col("name_a") === col("name_b")).cast("long").as("agree_name"))
+      val params = pairs.agg(
+          sum("is_true").as("nt"),
+          sum(lit(1L) - col("is_true")).as("nn"),
+          sum(col("is_true") * col("agree_seg")).as("ma_seg"),
+          sum(col("is_true") * col("agree_bal")).as("ma_bal"),
+          sum(col("is_true") * col("agree_name")).as("ma_name"),
+          sum((lit(1L) - col("is_true")) * col("agree_seg")).as("ua_seg"),
+          sum((lit(1L) - col("is_true")) * col("agree_bal")).as("ua_bal"),
+          sum((lit(1L) - col("is_true")) * col("agree_name")).as("ua_name"))
+        .select(
+          expr("CAST(ma_seg + 1 AS DOUBLE) / (nt + 2)").as("m_seg"),
+          expr("CAST(ma_bal + 1 AS DOUBLE) / (nt + 2)").as("m_bal"),
+          expr("CAST(ma_name + 1 AS DOUBLE) / (nt + 2)").as("m_name"),
+          expr("CAST(ua_seg + 1 AS DOUBLE) / (nn + 2)").as("u_seg"),
+          expr("CAST(ua_bal + 1 AS DOUBLE) / (nn + 2)").as("u_bal"),
+          expr("CAST(ua_name + 1 AS DOUBLE) / (nn + 2)").as("u_name"))
+      pairs.crossJoin(broadcast(params))
+        .withColumn("score", round(
+          expr("""CASE WHEN agree_seg = 1 THEN ln(m_seg / u_seg)
+                       ELSE ln((1 - m_seg) / (1 - u_seg)) END
+                + CASE WHEN agree_bal = 1 THEN ln(m_bal / u_bal)
+                       ELSE ln((1 - m_bal) / (1 - u_bal)) END
+                + CASE WHEN agree_name = 1 THEN ln(m_name / u_name)
+                       ELSE ln((1 - m_name) / (1 - u_name)) END"""), 4))
+        .withColumn("verdict",
+          when(col("score") >= 4.0, lit("link"))
+            .when(col("score") >= 0.0, lit("possible"))
+            .otherwise(lit("nonlink")))
+        .select("nation", "ka", "kb", "is_true",
+          "agree_seg", "agree_bal", "agree_name", "score", "verdict")
+        .orderBy("ka", "kb")
+    },
+    Some("""
+      WITH base AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+               CAST(c_nationkey AS BIGINT) AS nation,
+               c_mktsegment AS seg,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+               c_name AS name
+        FROM customer WHERE c_custkey < 400),
+      a AS (SELECT k AS ka, nation, seg AS seg_a, bal AS bal_a,
+                   name AS name_a FROM base),
+      b AS (SELECT k AS kb, nation,
+                   CASE WHEN k % 3 = 0 THEN 'OTHER' ELSE seg END AS seg_b,
+                   CASE WHEN k % 4 = 0 THEN bal + 5 ELSE bal END AS bal_b,
+                   CASE WHEN k % 5 = 0 THEN name || '~X' ELSE name END AS name_b
+            FROM base),
+      pairs AS (
+        SELECT a.nation, a.ka, b.kb,
+               CAST(a.ka = b.kb AS BIGINT) AS is_true,
+               CAST(a.seg_a = b.seg_b AS BIGINT) AS agree_seg,
+               CAST(a.bal_a = b.bal_b AS BIGINT) AS agree_bal,
+               CAST(a.name_a = b.name_b AS BIGINT) AS agree_name
+        FROM a JOIN b ON a.nation = b.nation),
+      params AS (
+        SELECT CAST(sum(is_true * agree_seg) + 1 AS DOUBLE)
+                 / (sum(is_true) + 2) AS m_seg,
+               CAST(sum(is_true * agree_bal) + 1 AS DOUBLE)
+                 / (sum(is_true) + 2) AS m_bal,
+               CAST(sum(is_true * agree_name) + 1 AS DOUBLE)
+                 / (sum(is_true) + 2) AS m_name,
+               CAST(sum((1 - is_true) * agree_seg) + 1 AS DOUBLE)
+                 / (sum(1 - is_true) + 2) AS u_seg,
+               CAST(sum((1 - is_true) * agree_bal) + 1 AS DOUBLE)
+                 / (sum(1 - is_true) + 2) AS u_bal,
+               CAST(sum((1 - is_true) * agree_name) + 1 AS DOUBLE)
+                 / (sum(1 - is_true) + 2) AS u_name
+        FROM pairs),
+      scored AS (
+        SELECT p.nation, p.ka, p.kb, p.is_true,
+               p.agree_seg, p.agree_bal, p.agree_name,
+               round(
+                 CASE WHEN p.agree_seg = 1 THEN ln(m_seg / u_seg)
+                      ELSE ln((1 - m_seg) / (1 - u_seg)) END
+               + CASE WHEN p.agree_bal = 1 THEN ln(m_bal / u_bal)
+                      ELSE ln((1 - m_bal) / (1 - u_bal)) END
+               + CASE WHEN p.agree_name = 1 THEN ln(m_name / u_name)
+                      ELSE ln((1 - m_name) / (1 - u_name)) END, 4) AS score
+        FROM pairs p CROSS JOIN params)
+      SELECT nation, ka, kb, is_true, agree_seg, agree_bal, agree_name,
+             score,
+             CASE WHEN score >= 4.0 THEN 'link'
+                  WHEN score >= 0.0 THEN 'possible'
+                  ELSE 'nonlink' END AS verdict
+      FROM scored
+      ORDER BY ka, kb"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
     d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
-    d26, d27, d28, d29, d30, d31, d32)
+    d26, d27, d28, d29, d30, d31, d32, d33)
 }

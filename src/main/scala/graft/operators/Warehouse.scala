@@ -3578,9 +3578,57 @@ object Warehouse {
       FROM base
       ORDER BY branch, key"""))
 
+  /** DISTRIBUTED DENSE SURROGATE-ID ASSIGNMENT — the zipWithIndex
+    * problem: give every dimension row a dense sequential surrogate key
+    * in natural-key order. The naive `row_number() OVER (ORDER BY key)`
+    * is an empty-partition-spec window — Spark moves the ENTIRE table
+    * through one partition, the canonical scale-killer. The two-phase
+    * distributed form: (1) bucket rows by any key-MONOTONE function
+    * (here k div 100; at 100 TB the range partitioner's boundaries or
+    * file-level min/max stats play this role), (2) count rows per bucket
+    * — a map-side-combined aggregate whose output is bucket-cardinality,
+    * (3) prefix-sum those counts into per-bucket offsets (the only
+    * single-partition window, over the TINY count frame), broadcast them
+    * back, and (4) row_number WITHIN each bucket + offset. The data-side
+    * window is bucket-partitioned (PlanSpec pins hashpartitioning on
+    * bucket and exactly two Window nodes), so no row of the table ever
+    * rides a single-partition exchange. Base 1,000,000 models appending
+    * to an existing dimension's max surrogate. The DuckDB oracle IS the
+    * naive global row_number — equal hashes prove phase-split ==
+    * global-sort semantics exactly. */
+  val q237 = GraftQuery(
+    "q237_surrogate_id_assignment",
+    "Dense sequential IDs in key order via bucket counts + prefix-sum offsets, no global window",
+    (s, dir) => {
+      val bucketed = table(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("bucket", expr("k div 100"))
+      val offsets = bucketed.groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(
+          sum("cnt").over(Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "offset")
+      bucketed.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("surrogate_id",
+          (lit(1000000L) + col("offset") +
+            row_number().over(Window.partitionBy("bucket").orderBy("k")))
+            .cast("long"))
+        .select("k", "bucket", "surrogate_id")
+        .orderBy("k")
+    },
+    Some("""
+      SELECT CAST(c_custkey AS BIGINT) AS k,
+             CAST(c_custkey AS BIGINT) // 100 AS bucket,
+             CAST(1000000 + row_number() OVER (ORDER BY c_custkey) AS BIGINT)
+               AS surrogate_id
+      FROM customer
+      ORDER BY k"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
     q162, q164, q165, q168, q172, q173, q178, q181, q186, q188, q191,
-    q195, q197, q198, q199, q205, q208, q209, q230, q231, q233, q234, q236)
+    q195, q197, q198, q199, q205, q208, q209, q230, q231, q233, q234, q236,
+    q237)
 }

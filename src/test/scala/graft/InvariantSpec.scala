@@ -1333,6 +1333,36 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d33: the score classifies, not the label — agreement pattern determines verdict and the triple-perturbed cohort is a false negative") {
+    val rows = operators.Dedup.d33.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // truth = key equality; every true pair is in-block by construction
+    rows.foreach { r =>
+      val (ka, kb, isTrue) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert((ka == kb) == (isTrue == 1L), s"is_true mislabeled for ($ka,$kb)")
+    }
+    // verdict is a pure function of the agreement pattern (same pattern →
+    // same score → same verdict), never of is_true
+    val byPattern = rows.groupBy(r => (r.getLong(4), r.getLong(5), r.getLong(6)))
+    byPattern.foreach { case (pat, rs) =>
+      assert(rs.map(_.getString(8)).distinct.length == 1,
+        s"pattern $pat maps to multiple verdicts")
+      assert(rs.map(_.getDouble(7)).distinct.length == 1,
+        s"pattern $pat maps to multiple scores")
+    }
+    // the k%60 cohort (all three fields perturbed) must exist and be
+    // classified nonlink despite being a true match — the deliberate FN
+    val tripleTrue = rows.filter(r => r.getLong(3) == 1L && r.getLong(1) % 60 == 0)
+    assert(tripleTrue.nonEmpty, "no triple-perturbed true pair in fixture slice")
+    tripleTrue.foreach(r => assert(r.getString(8) == "nonlink",
+      s"k=${r.getLong(1)}: triple-perturbed true pair not a false negative"))
+    // monotonicity: more agreements never lower the score
+    val scoreOf = byPattern.map { case (p, rs) => p -> rs.head.getDouble(7) }
+    for (((a, b, c), s0) <- scoreOf; ((a2, b2, c2), s1) <- scoreOf
+         if a2 >= a && b2 >= b && c2 >= c && (a2, b2, c2) != (a, b, c))
+      assert(s1 >= s0, s"score not monotone: ($a,$b,$c)=$s0 vs ($a2,$b2,$c2)=$s1")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }

@@ -1659,6 +1659,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(imts >= 2, s"$imts InMemoryTableScan nodes (expected one per branch)\n$p")
   }
 
+  test("q237: the data-side window is bucket-partitioned — no full-table single-partition exchange") {
+    val p = plan(operators.Warehouse.q237.build(spark, sfDir))
+    assert(p.contains("hashpartitioning(bucket"),
+      s"row-level window must shuffle by bucket, not SinglePartition\n$p")
+    val windows = p.linesIterator.count(l => l.trim.matches("""\(\d+\) Window( .*)?"""))
+    assert(windows == 2, s"$windows Window nodes (expected prefix-sum + per-bucket)\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
