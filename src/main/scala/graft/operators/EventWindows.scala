@@ -2408,9 +2408,183 @@ object EventWindows {
       ORDER BY n_occurrences DESC, path
       LIMIT 10"""))
 
+  /** INTERVAL-OVERLAP PAIR DETECTION (double booking) — q107 counts how
+    * many intervals are simultaneously open and q118 merges them; this
+    * finds WHICH pairs collide, the conflict-listing shape behind booking
+    * systems, shift scheduling, and change-window collision checks. The
+    * naive form is a per-key quadratic θ-join (s1 ≤ e2 AND s2 ≤ e1 is not
+    * an equi-condition); the scalable form buckets TIME: cell length ≥
+    * max interval duration, so every interval touches ≤ 2 cells; both
+    * sides explode to their touched cells and join on (key, cell) — pure
+    * equi-join. Exactly-once reporting WITHOUT a distinct pass is the
+    * computational-geometry trick: a pair may meet in up to 2 shared
+    * cells, so it is reported only in the cell containing max(s1, s2) —
+    * a unique cell per pair — with oka < okb killing the mirror (q235's
+    * accounting, extended from points to extents). Intervals are
+    * synthesized deterministically from a bounded orders slice (start =
+    * orderdate, duration = orderkey % 21 days < the 21-day cell;
+    * resource = custkey % 25); the DuckDB oracle is the per-resource
+    * quadratic form, so equal hashes prove the bucketed join finds every
+    * collision exactly once. At 100 TB: cells bound the blow-up at 2×,
+    * the join partitions on (resource, cell), and a long interval just
+    * means a coarser cell. */
+  val q238 = GraftQuery(
+    "q238_interval_overlap_pairs",
+    "Per-resource overlapping order-interval pairs via time-cell equi-join, reported exactly once",
+    (s, dir) => {
+      val iv = table(s, dir, "orders")
+        .filter(col("o_custkey") < 300)
+        .select(expr("CAST(o_custkey % 25 AS BIGINT)").as("res"),
+          col("o_orderkey").cast("long").as("ok"),
+          unix_date(to_date(col("o_orderdate"))).cast("long").as("st"))
+        .withColumn("en", col("st") + expr("ok % 21"))
+      val exploded = iv.select(col("res"), col("ok"), col("st"), col("en"),
+        explode(expr("sequence(st div 21, en div 21)")).as("cell"))
+      val a = exploded.select(col("res"), col("cell"),
+        col("ok").as("oka"), col("st").as("sa"), col("en").as("ea"))
+      val b = exploded.select(col("res"), col("cell"),
+        col("ok").as("okb"), col("st").as("sb"), col("en").as("eb"))
+      a.join(b, Seq("res", "cell"))
+        .filter(col("oka") < col("okb") &&
+          col("sa") <= col("eb") && col("sb") <= col("ea") &&
+          col("cell") === expr("greatest(sa, sb) div 21"))
+        .select(col("res"), col("oka"), col("okb"),
+          (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")) + 1)
+            .as("overlap_days"))
+        .orderBy("res", "oka", "okb")
+    },
+    Some("""
+      WITH iv AS (
+        SELECT CAST(o_custkey % 25 AS BIGINT) AS res,
+               CAST(o_orderkey AS BIGINT) AS ok,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                 AS st,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                 + CAST(o_orderkey AS BIGINT) % 21 AS en
+        FROM orders WHERE o_custkey < 300)
+      SELECT a.res, a.ok AS oka, b.ok AS okb,
+             CAST(least(a.en, b.en) - greatest(a.st, b.st) + 1 AS BIGINT)
+               AS overlap_days
+      FROM iv a JOIN iv b
+        ON a.res = b.res AND a.ok < b.ok
+       AND a.st <= b.en AND b.st <= a.en
+      ORDER BY a.res, oka, okb"""))
+
+  /** CUPED VARIANCE REDUCTION — the modern experimentation readout
+    * (Deng/Xu/Kohavi/Walker, WSDM 2013) layered on q167's A/B split:
+    * raw between-user variance drowns small treatment effects, so each
+    * user's experiment-period metric y is adjusted by their PRE-period
+    * covariate x: y_adj = y − θ(x − x̄), θ = cov(x,y)/var(x) estimated
+    * POOLED across arms (pre-period data is independent of assignment,
+    * so the adjustment cannot bias the contrast — the method's whole
+    * point). Dataflow: one pass to per-user (x, y) cent sums split at
+    * the period boundary, one aggregate to per-arm moment sums
+    * (Σx, Σy, Σx², Σy², Σxy — all exact integers), pooled θ and x̄ from
+    * the summed arm rows (a broadcast one-row parameter frame, never a
+    * second fact scan), then per-arm means/variances in closed form from
+    * the same sums — var(y_adj) = var(y) − 2θcov + θ²var(x). Integer
+    * sums make every double derivation bit-identical cross-engine; the
+    * variance-reduction bp column is the value proposition made
+    * hash-checkable. */
+  val q239 = GraftQuery(
+    "q239_cuped_readout",
+    "A/B readout with CUPED pre-period adjustment: pooled theta, per-arm adjusted means, variance reduction bp",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id").cast("long").as("u"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          (col("ts") < lit("2024-01-16").cast("timestamp")).as("pre"))
+      val perUser = ev.groupBy("u")
+        .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+          sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"))
+        .withColumn("arm", expr("u % 2"))
+      val armSums = perUser.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+          sum(expr("x * y")).as("sxy"))
+      val pooled = armSums.agg(sum("n").as("pn"), sum("sx").as("psx"),
+          sum("sy").as("psy"), sum("sxx").as("psxx"), sum("sxy").as("psxy"))
+        .select(
+          expr("(CAST(pn AS DOUBLE) * psxy - CAST(psx AS DOUBLE) * psy)"
+            + " / (CAST(pn AS DOUBLE) * psxx - CAST(psx AS DOUBLE) * psx)")
+            .as("theta"),
+          expr("CAST(psx AS DOUBLE) / pn").as("xbar"))
+      armSums.crossJoin(broadcast(pooled))
+        .withColumn("mean_y", expr("CAST(sy AS DOUBLE) / n"))
+        .withColumn("mean_x", expr("CAST(sx AS DOUBLE) / n"))
+        .withColumn("var_y", expr(
+          "CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)"))
+        .withColumn("var_x", expr(
+          "CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)"))
+        .withColumn("cov_xy", expr(
+          "CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)"))
+        .select(col("arm"), col("n"),
+          round(col("mean_y"), 4).as("mean_y"),
+          round(expr("mean_y - theta * (mean_x - xbar)"), 4).as("mean_y_adj"),
+          round(col("var_y"), 4).as("var_y"),
+          round(expr("var_y - 2 * theta * cov_xy + theta * theta * var_x"), 4)
+            .as("var_y_adj"),
+          floor(expr(
+            "(1 - (var_y - 2 * theta * cov_xy + theta * theta * var_x) / var_y) * 10000"))
+            .cast("long").as("var_reduction_bp"),
+          round(col("theta"), 6).as("theta"))
+        .orderBy("arm")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id AS u, CAST(round(value * 100) AS BIGINT) AS cents,
+               ts < TIMESTAMP '2024-01-16' AS pre
+        FROM events),
+      per_user AS (
+        SELECT u,
+               CAST(sum(CASE WHEN pre THEN cents ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN NOT pre THEN cents ELSE 0 END) AS BIGINT) AS y,
+               u % 2 AS arm
+        FROM ev GROUP BY u),
+      arm_sums AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM per_user GROUP BY arm),
+      pooled AS (
+        SELECT (CAST(sum(n) AS DOUBLE) * sum(sxy)
+                  - CAST(sum(sx) AS DOUBLE) * sum(sy))
+               / (CAST(sum(n) AS DOUBLE) * sum(sxx)
+                  - CAST(sum(sx) AS DOUBLE) * sum(sx)) AS theta,
+               CAST(sum(sx) AS DOUBLE) / sum(n) AS xbar
+        FROM arm_sums),
+      m AS (
+        SELECT a.arm, a.n,
+               CAST(a.sy AS DOUBLE) / a.n AS mean_y,
+               CAST(a.sx AS DOUBLE) / a.n AS mean_x,
+               CAST(a.syy AS DOUBLE) / a.n
+                 - (CAST(a.sy AS DOUBLE) / a.n) * (CAST(a.sy AS DOUBLE) / a.n)
+                 AS var_y,
+               CAST(a.sxx AS DOUBLE) / a.n
+                 - (CAST(a.sx AS DOUBLE) / a.n) * (CAST(a.sx AS DOUBLE) / a.n)
+                 AS var_x,
+               CAST(a.sxy AS DOUBLE) / a.n
+                 - (CAST(a.sx AS DOUBLE) / a.n) * (CAST(a.sy AS DOUBLE) / a.n)
+                 AS cov_xy,
+               p.theta, p.xbar
+        FROM arm_sums a CROSS JOIN pooled p)
+      SELECT arm, n, round(mean_y, 4) AS mean_y,
+             round(mean_y - theta * (mean_x - xbar), 4) AS mean_y_adj,
+             round(var_y, 4) AS var_y,
+             round(var_y - 2 * theta * cov_xy + theta * theta * var_x, 4)
+               AS var_y_adj,
+             CAST(floor((1 - (var_y - 2 * theta * cov_xy
+               + theta * theta * var_x) / var_y) * 10000) AS BIGINT)
+               AS var_reduction_bp,
+             round(theta, 6) AS theta
+      FROM m
+      ORDER BY arm"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
     q150, q154, q157, q159, q163, q167, q169, q175, q176, q177, q179,
     q180, q183, q184, q201, q203, q206,
-    q207, q214, q218, q229)
+    q207, q214, q218, q229, q238, q239)
 }

@@ -1363,6 +1363,29 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s1 >= s0, s"score not monotone: ($a,$b,$c)=$s0 vs ($a2,$b2,$c2)=$s1")
   }
 
+  test("q238: every collision pair is reported exactly once with a valid overlap length") {
+    val rows = operators.EventWindows.q238.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(keys.distinct.length == keys.length, "duplicate pair reported")
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2), "pair not ordered oka < okb")
+      val ov = r.getLong(3)
+      assert(ov >= 1 && ov <= 21, s"overlap_days $ov outside (0, cell] bound")
+    }
+  }
+
+  test("q239: theta is pooled (identical across arms) and adjusted variances are valid") {
+    val rows = operators.EventWindows.q239.build(spark, sfDir).collect()
+    assert(rows.length == 2, "expected exactly two arms")
+    assert(rows.map(_.getDouble(7)).distinct.length == 1,
+      "theta must be the pooled estimate, not per-arm")
+    rows.foreach { r =>
+      assert(r.getDouble(5) >= 0.0, s"arm ${r.getLong(0)}: var_y_adj negative")
+      assert(r.getDouble(4) > 0.0, s"arm ${r.getLong(0)}: degenerate raw variance")
+    }
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }

@@ -1667,6 +1667,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(windows == 2, s"$windows Window nodes (expected prefix-sum + per-bucket)\n$p")
   }
 
+  test("q238: interval collision search is an equi-join on (resource, time cell), no theta join") {
+    val p = plan(operators.EventWindows.q238.build(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to all-pairs\n$p")
+    assert(p.contains("cell"), s"no time-cell join key\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
