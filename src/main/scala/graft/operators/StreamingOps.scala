@@ -2397,7 +2397,74 @@ object StreamingOps {
       GROUP BY window_start, event_type
       ORDER BY window_start, event_type"""))
 
+  /** STATE-STORE INTROSPECTION — the ops surface Spark 4 added for
+    * exactly the question production streaming teams ask at 3am: "what
+    * is IN this job's state?" The State Data Source Reader
+    * (`spark.read.format("statestore").load(checkpoint)`) opens a
+    * checkpoint OFFLINE — no running query, no code of the original job
+    * — and returns every state row as (key struct, value struct,
+    * partition_id): the tool for auditing state size, diagnosing state
+    * skew across partitions, and verifying a migration. Here a complete-
+    * mode per-type aggregate runs over the shared events spool, then the
+    * entry's OUTPUT is the state store itself, read back from the
+    * checkpoint and projected to (event_type, n, total_cents). The
+    * DuckDB oracle is the plain batch aggregate over the same events —
+    * equal hashes prove the checkpoint's state is a complete, correct
+    * mirror of the input (the exactly-once ledger made inspectable).
+    * Integer cents inside the stream keep the state values exact. */
+  val st34 = GraftQuery(
+    "st34_state_store_read",
+    "Offline statestore read of a streaming agg checkpoint equals the batch aggregate",
+    (s, dir) => {
+      val id = runTag()
+      val spool = batchSpool(s, "events5", dir)
+      val ckpt = spoolDir(s"ckpt_ssr_$id")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt))
+      val sink = s"graft_ssr_$id"
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_STREAM_PARTS", "4"))
+      val savedNoData = s.conf.getOption(
+        "spark.sql.streaming.noDataMicroBatches.enabled").getOrElse("true")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val src = s.readStream.schema(ev5(s, dir).schema).parquet(spool)
+        val q = src
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.catalog.dropTempView(sink)
+        val state = s.read.format("statestore").load(ckpt)
+        // the value struct carries the agg buffer under its function
+        // names (count, sum) — the reader exposes internals, not aliases
+        val out = state.select(col("key.event_type").as("event_type"),
+            col("value.count").as("n"), col("value.sum").as("total_cents"))
+          .orderBy("event_type")
+        val rows = out.collect()
+        require(rows.nonEmpty, "st34: state store read returned no rows")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", saved)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+      }
+    },
+    Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33)
+    st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
+    st34)
 }

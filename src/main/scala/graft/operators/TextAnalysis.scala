@@ -3717,9 +3717,66 @@ object TextAnalysis {
       ORDER BY n_variants DESC, total_freq DESC, stem
       LIMIT 20"""))
 
+  /** LEXICAL-DIVERSITY ENTROPY — the information-theoretic member of the
+    * per-doc quality battery: Shannon entropy of each document's OWN
+    * unigram distribution, H = ln n − Σ c·ln c / n over per-doc token
+    * counts, and its exponential e^H = the doc's "effective vocabulary"
+    * (perplexity of the doc against itself). Low H = looping/templated
+    * text (a doc repeating one token has H=0 no matter how long), high H
+    * near ln(n_types) = maximally spread usage — a signal the ratio
+    * metrics can't fake: t9's dup-fraction sees COPIES, entropy sees
+    * CONCENTRATION (a doc can have zero duplicate 5-grams yet spend 80%
+    * of tokens on three words). Distinct from t28 (corpus Heaps growth),
+    * t57 (corpus Zipf slope), t36 (corpus spectrum): those grade the
+    * CORPUS, this grades each DOCUMENT. Dataflow: one explode to
+    * (doc, token) counts — the same doc_id-keyed shuffle every t-entry
+    * pays — then a per-doc aggregate in closed form; ln + round-4 is the
+    * t15 discipline. The diversity band uses H normalized by its ln(n)
+    * maximum (Pielou's evenness, in bp via floor). */
+  val t62 = GraftQuery(
+    "t62_lexical_entropy",
+    "Per-doc Shannon entropy + effective vocabulary + Pielou evenness bands",
+    (s, dir) => {
+      val counts = table(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      counts.groupBy("doc_id")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_types"),
+          sum(expr("c * ln(c)")).as("clnc"))
+        .select(col("doc_id"), col("n"), col("n_types"),
+          round(expr("ln(n) - clnc / n"), 4).as("entropy"),
+          round(expr("exp(ln(n) - clnc / n)"), 4).as("eff_vocab"),
+          floor(expr(
+            "CASE WHEN n_types = 1 THEN 10000.0 " +
+              "ELSE (ln(n) - clnc / n) / ln(n_types) * 10000 END"))
+            .cast("long").as("evenness_bp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents),
+      counts AS (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        FROM toks WHERE len(w) > 0 GROUP BY doc_id, w),
+      agg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_types,
+               sum(c * ln(c)) AS clnc
+        FROM counts GROUP BY doc_id)
+      SELECT doc_id, n, n_types,
+             round(ln(n) - clnc / n, 4) AS entropy,
+             round(exp(ln(n) - clnc / n), 4) AS eff_vocab,
+             CAST(floor(CASE WHEN n_types = 1 THEN 10000.0
+               ELSE (ln(n) - clnc / n) / ln(n_types) * 10000 END) AS BIGINT)
+               AS evenness_bp
+      FROM agg
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
     t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54, t55, t56, t57,
-    t58, t59, t60, t61)
+    t58, t59, t60, t61, t62)
 }

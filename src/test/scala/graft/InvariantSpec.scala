@@ -1386,6 +1386,21 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("t62: entropy respects its information-theoretic bounds per doc") {
+    val rows = operators.TextAnalysis.t62.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, types, h, eff, ev) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))
+      assert(h >= 0.0 && h <= math.log(types.toDouble) + 1e-3,
+        s"doc ${r.getLong(0)}: H=$h outside [0, ln($types)]")
+      assert(eff >= 1.0 - 1e-3 && eff <= types + 1e-3,
+        s"doc ${r.getLong(0)}: e^H=$eff outside [1, n_types]")
+      assert(ev >= 0 && ev <= 10000, s"doc ${r.getLong(0)}: evenness $ev")
+      assert(types <= n, s"doc ${r.getLong(0)}: more types than tokens")
+    }
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
