@@ -3507,11 +3507,69 @@ object Relational {
       WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 160000
       ORDER BY ka, kb"""))
 
+  /** Q22 SHAPE (global-gate anti-join) — the last of the classic hard
+    * TPC-H shapes (Q15→q131, Q17→q119, Q18→q222, Q19→q146, Q20→q145,
+    * Q21→q113): find "wealthy but inactive" customers — balance above
+    * the GLOBAL average of positive balances, AND no orders — rolled up
+    * by geography. Three distinct mechanics compose: (1) the scalar gate
+    * is computed over a FILTERED subset and applied via the
+    * cross-multiplied INTEGER comparison bal·n_pos > sum_pos — no
+    * division, no decimal-vs-double precision seam at the boundary (the
+    * q130 discipline applied to a threshold); the one-row aggregate
+    * broadcasts, never re-scanning the fact; (2) the NOT EXISTS is a
+    * LEFT ANTI join against a FILTERED orders slice (never a correlated
+    * per-row probe) — urgent-priority orders, because this fixture gives
+    * every customer at least one order, so Q22's literal "no orders"
+    * branch is vacuous here (the d19 degenerate-fixture rule: pick a
+    * slice with real structure); (3) the survivors re-aggregate by
+    * nation. The oracle replays the same integer gate, so borderline
+    * customers land identically in both engines. */
+  val q240 = GraftQuery(
+    "q240_q22_shape",
+    "Q22 shape: above-global-average balance + no urgent orders, rolled up by nation; integer-exact gate",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val cust = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"))
+      val gate = cust.filter(col("bal") > 0)
+        .agg(count(lit(1)).as("n_pos"), sum("bal").as("sum_pos"))
+      val eligible = cust.crossJoin(broadcast(gate))
+        .filter(col("bal") * col("n_pos") > col("sum_pos"))
+      val urgent = table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      eligible.join(urgent,
+          eligible("c_custkey") === urgent("o_custkey"), "left_anti")
+        .groupBy("nation")
+        .agg(count(lit(1)).as("numcust"), sum("bal").as("total_cents"))
+        .orderBy("nation")
+    },
+    Some("""
+      WITH cust AS (
+        SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        FROM customer),
+      gate AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pos,
+               CAST(sum(bal) AS BIGINT) AS sum_pos
+        FROM cust WHERE bal > 0),
+      eligible AS (
+        SELECT c.* FROM cust c CROSS JOIN gate g
+        WHERE c.bal * g.n_pos > g.sum_pos)
+      SELECT nation, CAST(count(*) AS BIGINT) AS numcust,
+             CAST(sum(bal) AS BIGINT) AS total_cents
+      FROM eligible e
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = e.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY nation
+      ORDER BY nation"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
     q182, q185, q196, q202, q204, q210, q211, q213, q215, q219, q221, q222,
-    q223, q224, q225, q232, q235)
+    q223, q224, q225, q232, q235, q240)
 }

@@ -3004,7 +3004,78 @@ object Similarity {
       FROM pairs
       ORDER BY query_id"""))
 
+  /** EXACT GRAM/COVARIANCE MATRIX — the input every PCA / whitening /
+    * anisotropy-correction step starts from (and what MLlib's
+    * computeGramianMatrix computes): X'X over the embedding matrix, plus
+    * the centered covariance numerators. s32 audits the DIAGONAL
+    * (per-dimension moments); the off-diagonal is what reveals
+    * correlated dimensions — redundant capacity a PQ codebook or a
+    * Matryoshka truncation silently wastes. Dataflow is the map-side-
+    * combine ideal: each row expands ROW-LOCALLY to its d(d+1)/2
+    * upper-triangle products (a flatten/transform lambda — no self-join,
+    * no vec_id shuffle), the groupBy reduces to d² model-sized state per
+    * partition, and the dimension-sum table for centering is 64 rows
+    * broadcast back twice. Fixed-point milli units keep every sum and
+    * the covariance numerator n·Σxy − Σx·Σy integer-exact cross-engine
+    * (magnitudes ≤ 4·10¹² at fixture scale, far under long range). At
+    * 100 TB the shuffle traffic is d²/2 longs per partition — constant
+    * in row count. */
+  val s35 = GraftQuery(
+    "s35_covariance_matrix",
+    "Upper-triangle Gram + covariance numerators in exact milli units, row-local pair expansion",
+    (s, dir) => {
+      val milli = table(s, dir, "embeddings").select(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+        .as("m"))
+      val prods = milli.select(explode(expr(
+          """flatten(transform(m, (xi, i0) ->
+               transform(slice(m, i0 + 1, size(m) - i0), (xj, j0) ->
+                 struct(CAST(i0 + 1 AS BIGINT) AS i,
+                        CAST(i0 + j0 + 1 AS BIGINT) AS j,
+                        xi * xj AS p))))""")).as("t"))
+        .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"), sum("p").as("sxy"))
+      val dimSums = milli
+        .select(posexplode(col("m")).as(Seq("d0", "xm")))
+        .groupBy((col("d0") + 1).cast("long").as("dim"))
+        .agg(sum("xm").as("sx"))
+      prods
+        .join(broadcast(dimSums.select(col("dim").as("i"), col("sx").as("sx_i"))), Seq("i"))
+        .join(broadcast(dimSums.select(col("dim").as("j"), col("sx").as("sx_j"))), Seq("j"))
+        .select(col("i"), col("j"), col("n"), col("sxy"),
+          (col("n") * col("sxy") - col("sx_i") * col("sx_j")).as("cov_num"))
+        .orderBy("i", "j")
+    },
+    Some("""
+      WITH m AS (
+        SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+               CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000)
+                 AS BIGINT)
+               * CAST(round(CAST(embedding[CAST(j AS INTEGER)] AS DOUBLE) * 1000)
+                 AS BIGINT) AS p
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS a(i),
+             UNNEST(range(1, len(embedding) + 1)) AS b(j)
+        WHERE j >= i),
+      prods AS (
+        SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p) AS BIGINT) AS sxy
+        FROM m GROUP BY i, j),
+      sums AS (
+        SELECT CAST(d AS BIGINT) AS dim,
+               CAST(sum(CAST(round(CAST(embedding[CAST(d AS INTEGER)] AS DOUBLE)
+                 * 1000) AS BIGINT)) AS BIGINT) AS sx
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(d)
+        GROUP BY d)
+      SELECT p.i, p.j, p.n, p.sxy,
+             CAST(p.n * p.sxy - si.sx * sj.sx AS BIGINT) AS cov_num
+      FROM prods p
+      JOIN sums si ON si.dim = p.i
+      JOIN sums sj ON sj.dim = p.j
+      ORDER BY p.i, p.j"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
     s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-    s27, s28, s29, s30, s31, s32, s33, s34)
+    s27, s28, s29, s30, s31, s32, s33, s34, s35)
 }

@@ -1674,6 +1674,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("cell"), s"no time-cell join key\n$p")
   }
 
+  test("s35: pair expansion is row-local — no self-join, dimension sums broadcast back") {
+    val p = plan(operators.Similarity.s35.build(spark, sfDir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"covariance pairs must come from a row-local lambda, not a vec_id self-join\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dim sums should broadcast\n$p")
+  }
+
+  test("q240: the global gate broadcasts and the NOT EXISTS is an anti join") {
+    val p = plan(operators.Relational.q240.build(spark, sfDir))
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the one-row gate must broadcast\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
