@@ -1563,6 +1563,77 @@ object Multimodal {
       JOIN conf USING (batch_id)
       ORDER BY b2.batch_id"""))
 
+  /** ASPECT-RATIO BUCKETING — the batching layer every image-training
+    * pipeline puts between the catalog and the GPU (the SDXL-style
+    * resolution ladder): batching mixed-shape images naively means
+    * padding everything to the batch max (wasted pixels = wasted FLOPs)
+    * or center-cropping (destroyed composition); bucketing snaps each
+    * image to the NEAREST aspect ratio in a fixed ladder of
+    * equal-area-budget resolutions, so a batch is shape-uniform with
+    * only a small aspect distortion. Runs off the parsed-dimension
+    * CATALOG (m13's header-parse contract — at 100 TB you bucket from
+    * metadata, never by re-reading image bytes), assignment is ROW-LOCAL
+    * integer argmin over the 7-entry ladder (a transform + array_min on
+    * (dist, r) structs — ties break to the smaller ratio, no window, no
+    * join), and every metric is integer bp (aspect = w·10⁴ div h). The
+    * per-bucket report carries image counts, batch counts at batch=32,
+    * and the realized distortion band — the numbers that decide whether
+    * the ladder needs more rungs. */
+  val m23 = GraftQuery(
+    "m23_aspect_bucketing",
+    "SDXL-style aspect-ratio bucketing from the dims catalog: row-local ladder argmin, per-bucket batch stats",
+    (s, dir) => {
+      val dims = table(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 640 + 16).cast("long").as("w"),
+          ((col("doc_id") * 7) % 480 + 16).cast("long").as("h"))
+        .withColumn("ar_bp", expr("w * 10000 div h"))
+      val picked = dims.withColumn("pick", array_min(expr(
+        """transform(
+             array(struct(2500L AS r, 256L AS tw, 1024L AS th),
+                   struct(5000L AS r, 384L AS tw, 768L AS th),
+                   struct(7500L AS r, 432L AS tw, 576L AS th),
+                   struct(10000L AS r, 512L AS tw, 512L AS th),
+                   struct(13333L AS r, 576L AS tw, 432L AS th),
+                   struct(20000L AS r, 768L AS tw, 384L AS th),
+                   struct(40000L AS r, 1024L AS tw, 256L AS th)),
+             e -> struct(abs(ar_bp - e.r) AS dist, e.r AS r,
+                         e.tw AS tw, e.th AS th))""")))
+      picked.groupBy(col("pick.r").as("r_bp"), col("pick.tw").as("tw"),
+          col("pick.th").as("th"))
+        .agg(count(lit(1)).as("n_images"),
+          expr("CAST((count(1) + 31) div 32 AS BIGINT)").as("n_batches"),
+          expr("sum(pick.dist) div count(1)").as("avg_dist_bp"),
+          min("ar_bp").as("min_ar_bp"), max("ar_bp").as("max_ar_bp"))
+        .orderBy("r_bp")
+    },
+    Some("""
+      WITH dims AS (
+        SELECT doc_id, CAST(doc_id % 640 + 16 AS BIGINT) AS w,
+               CAST((doc_id * 7) % 480 + 16 AS BIGINT) AS h
+        FROM documents),
+      ar AS (SELECT doc_id, w * 10000 // h AS ar_bp FROM dims),
+      ladder(r, tw, th) AS (VALUES
+        (2500, 256, 1024), (5000, 384, 768), (7500, 432, 576),
+        (10000, 512, 512), (13333, 576, 432), (20000, 768, 384),
+        (40000, 1024, 256)),
+      pick AS (
+        SELECT a.doc_id, a.ar_bp, l.r, l.tw, l.th,
+               abs(a.ar_bp - l.r) AS dist,
+               row_number() OVER (PARTITION BY a.doc_id
+                 ORDER BY abs(a.ar_bp - l.r), l.r) AS rn
+        FROM ar a CROSS JOIN ladder l)
+      SELECT CAST(r AS BIGINT) AS r_bp, CAST(tw AS BIGINT) AS tw,
+             CAST(th AS BIGINT) AS th,
+             CAST(count(*) AS BIGINT) AS n_images,
+             CAST((count(*) + 31) // 32 AS BIGINT) AS n_batches,
+             CAST(sum(dist) // count(*) AS BIGINT) AS avg_dist_bp,
+             CAST(min(ar_bp) AS BIGINT) AS min_ar_bp,
+             CAST(max(ar_bp) AS BIGINT) AS max_ar_bp
+      FROM pick WHERE rn = 1
+      GROUP BY r, tw, th
+      ORDER BY r_bp"""))
+
   val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11,
-    m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22)
+    m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23)
 }

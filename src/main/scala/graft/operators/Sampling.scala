@@ -781,6 +781,66 @@ object Sampling {
       FROM fin
       ORDER BY ta, tb"""))
 
+  /** HORVITZ–THOMPSON APPROXIMATE AGGREGATION — the approximate-query-
+    * processing contract (BlinkDB, Quickstep samplers): answer a groupBy
+    * from a FIXED deterministic sample, scale each sampled row by its
+    * inverse inclusion probability (here uniform 1/10 → ×10), and report
+    * the estimate NEXT TO the exact answer with the realized error — the
+    * audit that tells a team whether a 10% sample is good enough for
+    * their dashboard before they buy the 10× speedup. Sampling is by
+    * portable md5 hash of the order key (the q47 consistent-sample
+    * discipline — both engines select the identical rows; production
+    * systems sample storage blocks, same estimator), the estimator and
+    * error are exact integer math (err_bp sign-split per the q130 rule),
+    * and per-group sample counts expose where sparse groups make the
+    * estimate fragile — the n < 30 groups are exactly the ones a real
+    * AQP engine would flag. One scan computes both sides (conditional
+    * aggregation), so the oracle also PROVES estimate-vs-truth
+    * bookkeeping consistent. */
+  val q241 = GraftQuery(
+    "q241_horvitz_thompson",
+    "10% hash-sample HT estimate vs exact per priority: estimate, truth, realized error bp",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val o = table(s, dir, "orders").select(col("o_orderpriority").as("prio"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10")
+            .as("h"))
+      o.groupBy("prio")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("h") === 0, 1L).otherwise(0L)).as("n_sample"),
+          sum("cents").as("truth_cents"),
+          (sum(when(col("h") === 0, col("cents")).otherwise(0L)) * 10)
+            .as("est_cents"))
+        .withColumn("err_bp", expr(
+          "CASE WHEN est_cents >= truth_cents " +
+            "THEN (est_cents - truth_cents) * 10000 div truth_cents " +
+            "ELSE -((truth_cents - est_cents) * 10000 div truth_cents) END"))
+        .orderBy("prio")
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderpriority AS prio,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 10 AS h
+        FROM orders),
+      agg AS (
+        SELECT prio, CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_sample,
+               CAST(sum(cents) AS BIGINT) AS truth_cents,
+               CAST(sum(CASE WHEN h = 0 THEN cents ELSE 0 END) * 10 AS BIGINT)
+                 AS est_cents
+        FROM o GROUP BY prio)
+      SELECT prio, n_total, n_sample, truth_cents, est_cents,
+             CAST(CASE WHEN est_cents >= truth_cents
+               THEN (est_cents - truth_cents) * 10000 // truth_cents
+               ELSE -((truth_cents - est_cents) * 10000 // truth_cents) END
+               AS BIGINT) AS err_bp
+      FROM agg
+      ORDER BY prio"""))
+
   val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62, q100, q134, q139, q151,
-    q166, q171, q193, q228)
+    q166, q171, q193, q228, q241)
 }

@@ -1401,6 +1401,29 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("m23: buckets partition the corpus and batch math closes") {
+    val rows = operators.Multimodal.m23.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = operators.table(spark, sfDir, "documents").count()
+    assert(rows.map(_.getLong(3)).sum == nDocs, "buckets must partition all images")
+    rows.foreach { r =>
+      val (n, batches) = (r.getLong(3), r.getLong(4))
+      assert(batches == (n + 31) / 32, s"batch count wrong for n=$n")
+      assert(r.getLong(6) <= r.getLong(7), "ar band inverted")
+    }
+  }
+
+  test("q241: the HT estimator bookkeeping closes — sample within total, estimate is 10x the sampled mass") {
+    val rows = operators.Sampling.q241.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTot, nSamp) = (r.getLong(1), r.getLong(2))
+      assert(nSamp <= nTot && nSamp > 0, s"sample size $nSamp vs total $nTot")
+      assert(r.getLong(4) % 10 == 0, "estimate must be 10x an integer sampled sum")
+      assert(math.abs(r.getLong(5)) < 10000, "realized error exceeds 100% — sampler broken")
+    }
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
