@@ -3625,10 +3625,135 @@ object Warehouse {
       FROM customer
       ORDER BY k"""))
 
+  /** SUBJECT-ACCESS EXPORT — the read-side half of the compliance pair
+    * whose write side is q85's delete cascade: "give me everything you
+    * hold about me" must walk the SAME foreign-key graph the erasure
+    * walks (profile → orders → order lines, a 2-hop reach), normalize
+    * heterogeneous rows into one portable envelope, and touch each fact
+    * table once for ALL requesting subjects (the per-subject loop is the
+    * naive form that dies at audit volume). The subject set is a
+    * broadcast semi-probe; the 2-hop reach reuses the 1-hop's order
+    * keys; each table contributes (subject, source, record_id, payload)
+    * with the payload as compact JSON built from long/string fields only
+    * (both engines emit {"k":v} with no spacing — numeric doubles are
+    * deliberately excluded from the envelope, the formatting seam
+    * cross-engine JSON can't survive). The oracle replays the same walk,
+    * so the export is provably COMPLETE — the property regulators
+    * actually test. */
+  val q242 = GraftQuery(
+    "q242_subject_access_export",
+    "GDPR export: 2-hop FK walk for all subjects at once, one normalized JSON envelope per record",
+    (s, dir) => {
+      val subjects = table(s, dir, "customer")
+        .filter(expr("c_custkey % 500 = 7"))
+        .select(col("c_custkey").cast("long").as("subject"),
+          col("c_name"), col("c_mktsegment"))
+      val profile = subjects.select(col("subject"),
+        lit("customer").as("src"), col("subject").as("record_id"),
+        to_json(struct(col("c_name").as("name"),
+          col("c_mktsegment").as("segment"))).as("payload"))
+      val ords = table(s, dir, "orders")
+        .join(broadcast(subjects.select("subject")),
+          col("o_custkey") === col("subject"))
+        .select(col("subject"), col("o_orderkey").cast("long").as("ok"),
+          col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      val orderRows = ords.select(col("subject"), lit("orders").as("src"),
+        col("ok").as("record_id"),
+        to_json(struct(col("o_orderstatus").as("status"),
+          col("o_orderdate").as("date"))).as("payload"))
+      val lineRows = table(s, dir, "lineitem")
+        .join(broadcast(ords.select(col("subject"), col("ok"))),
+          col("l_orderkey") === col("ok"))
+        .select(col("subject"), lit("lineitem").as("src"),
+          (col("ok") * 10 + col("l_linenumber")).cast("long").as("record_id"),
+          to_json(struct(col("l_quantity").cast("long").as("qty"),
+            col("l_returnflag").as("flag"))).as("payload"))
+      profile.unionAll(orderRows).unionAll(lineRows)
+        .orderBy("subject", "src", "record_id")
+    },
+    Some("""
+      WITH subjects AS (
+        SELECT CAST(c_custkey AS BIGINT) AS subject, c_name, c_mktsegment
+        FROM customer WHERE c_custkey % 500 = 7),
+      ords AS (
+        SELECT s.subject, CAST(o.o_orderkey AS BIGINT) AS ok,
+               o.o_orderstatus,
+               strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate
+        FROM orders o JOIN subjects s ON o.o_custkey = s.subject)
+      SELECT subject, 'customer' AS src, subject AS record_id,
+             '{"name":"' || c_name || '","segment":"' || c_mktsegment || '"}'
+               AS payload
+      FROM subjects
+      UNION ALL
+      SELECT subject, 'orders', ok,
+             '{"status":"' || o_orderstatus || '","date":"' || o_orderdate
+               || '"}'
+      FROM ords
+      UNION ALL
+      SELECT o.subject, 'lineitem', o.ok * 10 + l.l_linenumber,
+             '{"qty":' || CAST(l.l_quantity AS BIGINT) || ',"flag":"'
+               || l.l_returnflag || '"}'
+      FROM lineitem l JOIN ords o ON l.l_orderkey = o.ok
+      ORDER BY subject, src, record_id"""))
+
+  /** MATERIALIZED-PATH SUBTREE ROLLUP — hierarchy aggregation ("total
+    * balance under every node of the tree") WITHOUT recursion: when keys
+    * encode their path (here decimal digits — k's ancestors are k div
+    * 10^j, the same trick as org-chart path columns or category
+    * prefixes), every node's full ancestor chain enumerates ROW-LOCALLY
+    * (one bounded explode, depth ≤ log₁₀ keyspace), and one groupBy on
+    * ancestor produces every subtree total in a single shuffle — where
+    * the recursive-CTE form (q65) pays one join round PER LEVEL and the
+    * self-join form re-scans the fact per level. Direct-children counts
+    * ride the same pass keyed on the depth-1 ancestor. The oracle
+    * replays the ancestor enumeration with generate_series, so the
+    * closed-form == recursive semantics equivalence is hash-proven. */
+  val q243 = GraftQuery(
+    "q243_subtree_rollup",
+    "Every subtree's total in ONE shuffle: row-local ancestor explode over digit-path keys",
+    (s, dir) => {
+      val nodes = table(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      val contrib = nodes.select(col("cents"), col("k").as("node"),
+          explode(expr(
+            """filter(transform(array(1L, 10L, 100L, 1000L, 10000L, 100000L),
+                 (d, j) -> struct(k div d AS anc, CAST(j AS BIGINT) AS depth)),
+               a -> a.anc > 0 OR a.depth = 0)""")).as("a"))
+        .select(col("a.anc").as("anc"), col("a.depth").as("depth"), col("cents"))
+      contrib.groupBy(col("anc").as("node"))
+        .agg(count(lit(1)).as("n_subtree"), sum("cents").as("subtree_cents"),
+          sum(when(col("depth") === 1, 1L).otherwise(0L)).as("n_children"))
+        .filter(col("n_subtree") >= 2)
+        .orderBy("node")
+    },
+    Some("""
+      WITH nodes AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer),
+      divs(j, d) AS (VALUES (0, 1), (1, 10), (2, 100), (3, 1000),
+                            (4, 10000), (5, 100000)),
+      contrib AS (
+        SELECT k // d AS anc, CAST(j AS BIGINT) AS depth, cents
+        FROM nodes CROSS JOIN divs
+        WHERE k // d > 0 OR j = 0),
+      subtree AS (
+        SELECT anc AS node, CAST(count(*) AS BIGINT) AS n_subtree,
+               CAST(sum(cents) AS BIGINT) AS subtree_cents,
+               CAST(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_children
+        FROM contrib GROUP BY anc)
+      SELECT node, n_subtree, subtree_cents, n_children
+      FROM subtree
+      WHERE n_subtree >= 2
+      ORDER BY node"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
     q162, q164, q165, q168, q172, q173, q178, q181, q186, q188, q191,
     q195, q197, q198, q199, q205, q208, q209, q230, q231, q233, q234, q236,
-    q237)
+    q237, q242, q243)
 }

@@ -1688,6 +1688,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the one-row gate must broadcast\n$p")
   }
 
+  test("q242: the 2-hop export probes with broadcast joins and scans each fact once") {
+    val p = plan(operators.Warehouse.q242.build(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"subject probe must broadcast\n$p")
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("lineitem.parquet"))
+    assert(liScans == 1, s"$liScans lineitem scans (expected 1)\n$p")
+  }
+
+  test("q243: all subtree totals come from ONE aggregate over one customer scan — no per-level joins") {
+    val p = plan(operators.Warehouse.q243.build(spark, sfDir))
+    val scans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("customer.parquet"))
+    assert(scans == 1, s"$scans customer scans (expected 1)\n$p")
+    val joins = p.linesIterator.count(l => l.trim.matches("""\(\d+\) \w*Join\w*( .*)?"""))
+    assert(joins == 0, s"$joins Join nodes (the closed form needs none)\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
