@@ -2595,7 +2595,135 @@ object Dedup {
       FROM scored
       ORDER BY ka, kb"""))
 
+  /** BLOCKING-SCHEME QUALITY AUDIT — the evaluation that justifies every
+    * blocked join in this engine (d20's sorted neighborhood, d21's gram
+    * buckets, d33's nation blocks, q235's grid cells): for each candidate
+    * blocking key, REDUCTION RATIO (how many of the n(n−1)/2 possible
+    * pairs the blocks prune away) versus PAIR COMPLETENESS (what fraction
+    * of TRUE matched pairs land in the same block) — Christen's two axes
+    * of the blocking trade-off. The scale-defining trick: the candidate-
+    * pair count needs NO pair enumeration — it is Σ b(b−1)/2 over block
+    * SIZES, one groupBy per scheme; only the completeness check touches
+    * actual pairs, and only the TRUE ones (duplicate-density-sized, from
+    * d33's synthesized two-source truth where each record's copy may
+    * drift in segment/balance/name). Schemes deliberately span the
+    * spectrum: nation (coarse but complete), 10-cent balance buckets
+    * (sharp reduction, but the k%4 +5-cent drift crosses a boundary for
+    * about half that cohort), name suffix (sharp, and the k%5 '~X'
+    * suffixing replaces the block key entirely — the broken-scheme
+    * cautionary tale), segment (coarse AND broken by the k%3 rotation —
+    * dominated on both axes). All integer: counts, and bp ratios via
+    * floor division; the oracle sign-splits its balance-bucket division
+    * (negative balances — the q130 rule). */
+  val d34 = GraftQuery(
+    "d34_blocking_quality",
+    "Reduction ratio vs pair completeness per blocking scheme, candidate counts from block sizes only",
+    (s, dir) => {
+      val base = table(s, dir, "customer")
+        .filter(col("c_custkey") < 400)
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"),
+          col("c_name").as("name"))
+      // two sources, d33's perturbation convention; truth = same k
+      val recs = base.select(col("k"), lit("A").as("src"), col("nation"),
+          col("seg"), col("bal"), col("name"))
+        .unionAll(base.select(col("k"), lit("B").as("src"), col("nation"),
+          when(col("k") % 3 === 0, lit("OTHER")).otherwise(col("seg")).as("seg"),
+          when(col("k") % 4 === 0, col("bal") + 5).otherwise(col("bal")).as("bal"),
+          when(col("k") % 5 === 0, concat(col("name"), lit("~X")))
+            .otherwise(col("name")).as("name")))
+      val keyed = recs.select(col("k"), col("src"),
+          explode(expr(
+            """array(struct('nation' AS scheme, CAST(nation AS STRING) AS blk),
+                     struct('bal_bucket' AS scheme, CAST(bal div 10 AS STRING) AS blk),
+                     struct('name_suffix' AS scheme, substring(name, -2, 2) AS blk),
+                     struct('segment' AS scheme, seg AS blk))""")).as("b"))
+        .select(col("k"), col("src"), col("b.scheme").as("scheme"),
+          col("b.blk").as("blk"))
+      // candidate volume from block sizes alone: cross-source pairs per
+      // block = nA * nB, never enumerated
+      val volume = keyed.groupBy("scheme", "blk")
+        .agg(sum(when(col("src") === "A", 1L).otherwise(0L)).as("na"),
+          sum(when(col("src") === "B", 1L).otherwise(0L)).as("nb"))
+        .groupBy("scheme")
+        .agg(sum(expr("na * nb")).as("cand_pairs"))
+      // completeness: a TRUE pair (same k) is captured iff its A and B
+      // rows share a block under the scheme — a k-keyed self-equality,
+      // duplicate-density-sized
+      val truth = keyed.filter(col("src") === "A")
+        .select(col("k"), col("scheme"), col("blk").as("blk_a"))
+        .join(keyed.filter(col("src") === "B")
+          .select(col("k"), col("scheme"), col("blk").as("blk_b")),
+          Seq("k", "scheme"))
+        .groupBy("scheme")
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("blk_a") === col("blk_b"), 1L).otherwise(0L))
+            .as("true_captured"))
+      // all cross-source pairs = |A|·|B|, a broadcast scalar (no driver
+      // action at plan-build time)
+      val total = base.agg(count(lit(1)).as("n"))
+        .select(expr("n * n").as("total"))
+      volume.join(truth, Seq("scheme")).crossJoin(broadcast(total))
+        .select(col("scheme"), col("cand_pairs"), col("n_true"),
+          col("true_captured"),
+          expr("(total - cand_pairs) * 10000 div total").as("reduction_bp"),
+          expr("true_captured * 10000 div n_true").as("completeness_bp"))
+        .orderBy("scheme")
+    },
+    Some("""
+      WITH base AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+               CAST(c_nationkey AS BIGINT) AS nation,
+               c_mktsegment AS seg,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+               c_name AS name
+        FROM customer WHERE c_custkey < 400),
+      recs AS (
+        SELECT k, 'A' AS src, nation, seg, bal, name FROM base
+        UNION ALL
+        SELECT k, 'B', nation,
+               CASE WHEN k % 3 = 0 THEN 'OTHER' ELSE seg END,
+               CASE WHEN k % 4 = 0 THEN bal + 5 ELSE bal END,
+               CASE WHEN k % 5 = 0 THEN name || '~X' ELSE name END
+        FROM base),
+      keyed AS (
+        SELECT k, src, 'nation' AS scheme, CAST(nation AS VARCHAR) AS blk
+        FROM recs
+        UNION ALL
+        SELECT k, src, 'bal_bucket', CAST(CASE WHEN bal >= 0 THEN bal // 10
+                 ELSE -((-bal) // 10) END AS VARCHAR) FROM recs
+        UNION ALL
+        SELECT k, src, 'name_suffix', substr(name, -2, 2) FROM recs
+        UNION ALL
+        SELECT k, src, 'segment', seg FROM recs),
+      volume AS (
+        SELECT scheme,
+               CAST(sum(na * nb) AS BIGINT) AS cand_pairs
+        FROM (SELECT scheme, blk,
+                     sum(CASE WHEN src = 'A' THEN 1 ELSE 0 END) AS na,
+                     sum(CASE WHEN src = 'B' THEN 1 ELSE 0 END) AS nb
+              FROM keyed GROUP BY scheme, blk)
+        GROUP BY scheme),
+      truth AS (
+        SELECT a.scheme, CAST(count(*) AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN a.blk = b.blk THEN 1 ELSE 0 END) AS BIGINT)
+                 AS true_captured
+        FROM keyed a JOIN keyed b
+          ON a.k = b.k AND a.scheme = b.scheme
+         AND a.src = 'A' AND b.src = 'B'
+        GROUP BY a.scheme),
+      tot AS (SELECT CAST(count(*) AS BIGINT) * count(*) AS total FROM base)
+      SELECT v.scheme, v.cand_pairs, t.n_true, t.true_captured,
+             CAST((tot.total - v.cand_pairs) * 10000 // tot.total AS BIGINT)
+               AS reduction_bp,
+             CAST(t.true_captured * 10000 // t.n_true AS BIGINT)
+               AS completeness_bp
+      FROM volume v JOIN truth t USING (scheme), tot
+      ORDER BY v.scheme"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
     d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
-    d26, d27, d28, d29, d30, d31, d32, d33)
+    d26, d27, d28, d29, d30, d31, d32, d33, d34)
 }

@@ -1424,6 +1424,24 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d34: blocking audit spans the trade-off — nation complete, segment dominated, all ratios in range") {
+    val rows = operators.Dedup.d34.build(spark, sfDir).collect()
+    assert(rows.length == 4)
+    val byScheme = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000, "reduction_bp range")
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 10000, "completeness_bp range")
+      assert(r.getLong(3) <= r.getLong(2), "captured exceeds truth")
+    }
+    // nation blocking never separates a true pair (copies keep nation)
+    assert(byScheme("nation")._5 == 10000, "nation must be fully complete")
+    // segment is dominated by nation on BOTH axes — the cautionary row
+    assert(byScheme("segment")._4 < byScheme("nation")._4 &&
+      byScheme("segment")._5 < byScheme("nation")._5,
+      "segment should be dominated by nation")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
