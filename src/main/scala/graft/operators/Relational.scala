@@ -3565,11 +3565,94 @@ object Relational {
       GROUP BY nation
       ORDER BY nation"""))
 
+  /** SORTED-COGROUP POSITIONAL RECONCILIATION — the typed-API surface
+    * (KeyValueGroupedDataset.cogroupSorted) for per-key logic a join
+    * cannot express relationally in one pass: align the i-th invoice
+    * with the i-th payment PER CUSTOMER and walk both sequences in
+    * lockstep — the classic back-office reconciliation where ONE missed
+    * payment misaligns every later pair (exactly why position, not
+    * value, is the match key). cogroupSorted hands each key BOTH
+    * iterators already sorted by the engine (sort keys are declared as
+    * Columns, so the sort rides the shuffle's spill machinery instead of
+    * an in-memory groupBy buffer — the at-scale difference from naive
+    * cogroup), and the lockstep walk is a streaming zipAll: O(1) memory
+    * per key regardless of history length. Payments are synthesized from
+    * the invoice stream (every 7th order unpaid, every 11th carries a
+    * +50 fee dispute), and the DuckDB oracle replays the alignment as
+    * row_number + FULL JOIN on (customer, position) — equal hashes prove
+    * the imperative walk == the relational positional join. */
+  val q244 = GraftQuery(
+    "q244_cogroup_reconciliation",
+    "Per-customer positional invoice/payment reconciliation via sorted cogroup lockstep walk",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val base = table(s, dir, "orders").filter(col("o_custkey") < 600)
+        .select(col("o_custkey").cast("long").as("ck"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          col("o_orderkey").cast("long").as("ok"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val inv = base.as[(Long, String, Long, Long)]
+      val pay = base.filter(expr("ok % 7 <> 0"))
+        .withColumn("cents",
+          col("cents") + when(expr("ok % 11 = 0"), 50L).otherwise(0L))
+        .as[(Long, String, Long, Long)]
+      val recon = inv.groupByKey(_._1).cogroupSorted(pay.groupByKey(_._1))(
+        col("d"), col("ok"))(col("d"), col("ok")) { (ck, is, ps) =>
+        var nInv, nPay, nExact, invCents, payCents = 0L
+        var firstMismatch = 0L
+        var pos = 0L
+        val zipped = is.map(Option(_)).zipAll(ps.map(Option(_)), None, None)
+        zipped.foreach { case (i, p) =>
+          pos += 1
+          i.foreach { t => nInv += 1; invCents += t._4 }
+          p.foreach { t => nPay += 1; payCents += t._4 }
+          val exact = i.nonEmpty && p.nonEmpty && i.get._4 == p.get._4
+          if (exact) nExact += 1
+          else if (firstMismatch == 0L) firstMismatch = pos
+        }
+        Iterator((ck, nInv, nPay, nExact, firstMismatch, invCents, payCents))
+      }
+      recon.toDF("ck", "n_inv", "n_pay", "n_exact", "first_mismatch",
+          "inv_cents", "pay_cents")
+        .orderBy("ck")
+    },
+    Some("""
+      WITH base AS (
+        SELECT CAST(o_custkey AS BIGINT) AS ck,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+               CAST(o_orderkey AS BIGINT) AS ok,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_custkey < 600),
+      inv AS (
+        SELECT ck, cents,
+               row_number() OVER (PARTITION BY ck ORDER BY d, ok) AS rn
+        FROM base),
+      pay AS (
+        SELECT ck, cents + CASE WHEN ok % 11 = 0 THEN 50 ELSE 0 END AS cents,
+               row_number() OVER (PARTITION BY ck ORDER BY d, ok) AS rn
+        FROM base WHERE ok % 7 <> 0),
+      al AS (
+        SELECT coalesce(i.ck, p.ck) AS ck, coalesce(i.rn, p.rn) AS rn,
+               i.cents AS ic, p.cents AS pc
+        FROM inv i FULL JOIN pay p ON i.ck = p.ck AND i.rn = p.rn)
+      SELECT ck,
+             CAST(count(ic) AS BIGINT) AS n_inv,
+             CAST(count(pc) AS BIGINT) AS n_pay,
+             CAST(sum(CASE WHEN ic = pc THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+             CAST(coalesce(min(CASE WHEN ic IS NULL OR pc IS NULL
+                 OR ic <> pc THEN rn END), 0) AS BIGINT) AS first_mismatch,
+             CAST(sum(coalesce(ic, 0)) AS BIGINT) AS inv_cents,
+             CAST(sum(coalesce(pc, 0)) AS BIGINT) AS pay_cents
+      FROM al GROUP BY ck
+      ORDER BY ck"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
     q182, q185, q196, q202, q204, q210, q211, q213, q215, q219, q221, q222,
-    q223, q224, q225, q232, q235, q240)
+    q223, q224, q225, q232, q235, q240, q244)
 }

@@ -1442,6 +1442,24 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       "segment should be dominated by nation")
   }
 
+  test("q244: lockstep accounting closes — clean customers fully match, a miss poisons the tail") {
+    val rows = operators.Relational.q244.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nInv, nPay, nExact, fm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nPay <= nInv, "payments cannot exceed invoices here")
+      assert(nExact <= nPay, "exact matches bounded by aligned pairs")
+      if (fm == 0L)
+        assert(nInv == nPay && nExact == nInv,
+          s"first_mismatch=0 must mean a perfect walk (ck=${r.getLong(0)})")
+      else
+        assert(nExact < nInv, "a mismatch position implies a non-exact pair")
+    }
+    assert(rows.exists(_.getLong(4) > 0), "fixture should contain misaligned customers")
+    assert(rows.exists(_.getLong(4) == 0), "fixture should contain clean customers")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
