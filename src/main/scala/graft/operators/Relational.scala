@@ -3648,11 +3648,78 @@ object Relational {
       FROM al GROUP BY ck
       ORDER BY ck"""))
 
+  /** SQL SCRIPTING (BEGIN/DECLARE/WHILE/IF) — Spark 4's procedural SQL
+    * surface, exercised on a real iterative computation: binary-search
+    * the smallest whole-dollar threshold T where orders priced ≤ T carry
+    * at least half of total revenue. The script declares session
+    * variables, SETs them FROM subqueries, and drives ~20 loop rounds of
+    * WHILE/IF control flow — the migration target for stored-procedure
+    * workloads. The DuckDB oracle is the CLOSED FORM (cumulative sum
+    * over the dollar-bucket rollup, one pass), so equal hashes prove the
+    * iterative search converges to exactly the analytic answer — and the
+    * pairing is also the honest performance note: each loop iteration
+    * re-scans the fact, so at scale you deploy the oracle's shape and
+    * keep scripting for orchestration, which is precisely what this
+    * entry demonstrates end-to-end. */
+  val q245 = GraftQuery(
+    "q245_sql_scripting",
+    "Procedural SQL: WHILE/IF binary search for the half-revenue price threshold == closed form",
+    (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("q245_orders")
+      val saved = s.conf.getOption("spark.sql.scripting.enabled").getOrElse("false")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      try s.sql(
+        """BEGIN
+          |  DECLARE total BIGINT DEFAULT 0;
+          |  DECLARE lo BIGINT DEFAULT 0;
+          |  DECLARE hi BIGINT DEFAULT 600000;
+          |  DECLARE mid BIGINT DEFAULT 0;
+          |  DECLARE covered BIGINT DEFAULT 0;
+          |  SET total = (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |                 AS BIGINT) FROM q245_orders);
+          |  WHILE lo < hi DO
+          |    SET mid = (lo + hi) DIV 2;
+          |    SET covered = (SELECT coalesce(CAST(sum(CAST(round(o_totalprice * 100)
+          |                     AS BIGINT)) AS BIGINT), 0L)
+          |                   FROM q245_orders
+          |                   WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+          |                     <= mid * 100);
+          |    IF covered * 2 >= total THEN
+          |      SET hi = mid;
+          |    ELSE
+          |      SET lo = mid + 1;
+          |    END IF;
+          |  END WHILE;
+          |  SET covered = (SELECT coalesce(CAST(sum(CAST(round(o_totalprice * 100)
+          |                   AS BIGINT)) AS BIGINT), 0L)
+          |                 FROM q245_orders
+          |                 WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+          |                   <= lo * 100);
+          |  SELECT lo AS threshold_dollars,
+          |         covered * 10000 DIV total AS covered_bp;
+          |END""".stripMargin)
+      finally s.conf.set("spark.sql.scripting.enabled", saved)
+    },
+    Some("""
+      WITH o AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM o),
+      cum AS (
+        SELECT (cents + 99) // 100 AS d,
+               sum(sum(cents)) OVER (ORDER BY (cents + 99) // 100) AS cum
+        FROM o GROUP BY (cents + 99) // 100),
+      hit AS (
+        SELECT min(d) AS d FROM cum, tot WHERE cum * 2 >= total)
+      SELECT CAST(h.d AS BIGINT) AS threshold_dollars,
+             CAST(c.cum * 10000 // t.total AS BIGINT) AS covered_bp
+      FROM hit h JOIN cum c ON c.d = h.d, tot t"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
     q182, q185, q196, q202, q204, q210, q211, q213, q215, q219, q221, q222,
-    q223, q224, q225, q232, q235, q240, q244)
+    q223, q224, q225, q232, q235, q240, q244, q245)
 }
