@@ -3654,18 +3654,32 @@ object Relational {
     * at least half of total revenue. The script declares session
     * variables, SETs them FROM subqueries, and drives ~20 loop rounds of
     * WHILE/IF control flow — the migration target for stored-procedure
-    * workloads. The DuckDB oracle is the CLOSED FORM (cumulative sum
-    * over the dollar-bucket rollup, one pass), so equal hashes prove the
-    * iterative search converges to exactly the analytic answer — and the
-    * pairing is also the honest performance note: each loop iteration
-    * re-scans the fact, so at scale you deploy the oracle's shape and
-    * keep scripting for orchestration, which is precisely what this
-    * entry demonstrates end-to-end. */
+    * workloads. The loop probes a CACHED dollar-bucket rollup, not the
+    * fact table (the stored-procedure discipline that survives scale:
+    * aggregate once, iterate on the aggregate — probing the fact per
+    * iteration costs a full scan × 20). The DuckDB oracle is the CLOSED
+    * FORM (cumulative sum over the same rollup, one pass), so equal
+    * hashes prove the iterative search converges to exactly the analytic
+    * answer.
+    *
+    * Measured cost note (deliberate, the suite's slowest entry): ~22
+    * script statements each plan and schedule one job — ~0.3 s/statement
+    * of pure engine floor, and the total is IDENTICAL at sf0.001 and
+    * sf0.1 (7.4 s vs 7.0 s measured) because every probe hits the cached
+    * bucket rollup. That scale-invariance is the lesson the entry
+    * documents: scripting cost is control-flow-proportional, never
+    * data-proportional — fine for orchestration, wrong for per-row
+    * logic. */
   val q245 = GraftQuery(
     "q245_sql_scripting",
     "Procedural SQL: WHILE/IF binary search for the half-revenue price threshold == closed form",
     (s, dir) => {
-      table(s, dir, "orders").createOrReplaceTempView("q245_orders")
+      table(s, dir, "orders")
+        .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+        .selectExpr("(cents + 99) div 100 AS d", "cents")
+        .groupBy("d").agg(sum("cents").as("cents"))
+        .cache() // bucket-cardinality; probed ~20x by the script's loop
+        .createOrReplaceTempView("q245_rollup")
       val saved = s.conf.getOption("spark.sql.scripting.enabled").getOrElse("false")
       s.conf.set("spark.sql.scripting.enabled", "true")
       try s.sql(
@@ -3675,26 +3689,19 @@ object Relational {
           |  DECLARE hi BIGINT DEFAULT 600000;
           |  DECLARE mid BIGINT DEFAULT 0;
           |  DECLARE covered BIGINT DEFAULT 0;
-          |  SET total = (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-          |                 AS BIGINT) FROM q245_orders);
+          |  SET total = (SELECT CAST(sum(cents) AS BIGINT) FROM q245_rollup);
           |  WHILE lo < hi DO
           |    SET mid = (lo + hi) DIV 2;
-          |    SET covered = (SELECT coalesce(CAST(sum(CAST(round(o_totalprice * 100)
-          |                     AS BIGINT)) AS BIGINT), 0L)
-          |                   FROM q245_orders
-          |                   WHERE CAST(round(o_totalprice * 100) AS BIGINT)
-          |                     <= mid * 100);
+          |    SET covered = (SELECT coalesce(CAST(sum(cents) AS BIGINT), 0L)
+          |                   FROM q245_rollup WHERE d <= mid);
           |    IF covered * 2 >= total THEN
           |      SET hi = mid;
           |    ELSE
           |      SET lo = mid + 1;
           |    END IF;
           |  END WHILE;
-          |  SET covered = (SELECT coalesce(CAST(sum(CAST(round(o_totalprice * 100)
-          |                   AS BIGINT)) AS BIGINT), 0L)
-          |                 FROM q245_orders
-          |                 WHERE CAST(round(o_totalprice * 100) AS BIGINT)
-          |                   <= lo * 100);
+          |  SET covered = (SELECT coalesce(CAST(sum(cents) AS BIGINT), 0L)
+          |                 FROM q245_rollup WHERE d <= lo);
           |  SELECT lo AS threshold_dollars,
           |         covered * 10000 DIV total AS covered_bp;
           |END""".stripMargin)
