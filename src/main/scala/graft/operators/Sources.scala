@@ -1180,7 +1180,87 @@ object Sources {
       GROUP BY 1, 2
       ORDER BY 1, 2"""))
 
+  /** WRITE-AUDIT-PUBLISH (WAP) — the Iceberg-popularized release gate
+    * that keeps bad batches out of serving tables: a new batch lands in
+    * STAGING, per-partition audits run against it, and only the
+    * partitions that PASS are atomically published (dynamic partition
+    * overwrite, q123's mechanics) over the serving baseline — a failing
+    * partition's readers keep seeing the last good version, never the
+    * poisoned one. Exercised for real on files: serving starts at v0
+    * (the raw events), the staged v1 adjusts every value +5.00 — except
+    * the 'error' partition, whose batch is corrupted by construction
+    * (−1000.00, guaranteeing negative values), so the value≥0 audit
+    * fails exactly that partition. The entry's output joins the audit
+    * ledger with the post-publish serving aggregates: passing types show
+    * v1, the failed type PROVABLY still serves v0 — the oracle expresses
+    * that mixed expectation directly from the source table, so the gate
+    * is hash-verified, not just asserted. */
+  val q246 = GraftQuery(
+    "q246_write_audit_publish",
+    "WAP release gate: stage, per-partition audit, publish only passing partitions; failed one serves v0",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val staging = spoolDir("q246_staging")
+      val serving = spoolDir("q246_serving")
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        dec2(col("value")).as("value"), col("event_type"))
+      // serving baseline v0
+      ev.coalesce(4).write.mode("overwrite")
+        .partitionBy("event_type").parquet(serving)
+      // stage v1: +5.00 everywhere, 'error' batch corrupted
+      val v1 = ev.withColumn("value",
+        when(col("event_type") === "error",
+          (col("value") - lit(BigDecimal("1000.00"))).cast("decimal(14,2)"))
+          .otherwise((col("value") + lit(BigDecimal("5.00")))
+            .cast("decimal(14,2)")))
+      v1.coalesce(4).write.mode("overwrite")
+        .partitionBy("event_type").parquet(staging)
+      // audit the STAGED data per partition
+      val audit = s.read.parquet(staging)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_staged"),
+          sum(when(col("value") < 0, 1L).otherwise(0L)).as("n_bad"))
+        .withColumn("verdict",
+          when(col("n_bad") === 0, lit("pass")).otherwise(lit("fail")))
+      val passing = audit.filter(col("verdict") === "pass")
+        .select(col("event_type").as("t")).collect().map(_.getString(0))
+      // publish: dynamic overwrite ONLY the passing partitions
+      s.read.parquet(staging)
+        .filter(col("event_type").isin(passing.toSeq: _*))
+        .coalesce(4).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(serving)
+      val served = s.read.parquet(serving)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value")).cast("double").as("total"))
+      audit.join(served, Seq("event_type"))
+        .select("event_type", "n_staged", "n_bad", "verdict", "n", "total")
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_type, CAST(value AS DECIMAL(14,2)) AS value
+        FROM events),
+      audit AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_staged,
+               CAST(sum(CASE WHEN event_type = 'error'
+                 AND value - 1000.00 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bad
+        FROM base GROUP BY event_type),
+      served AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN value
+                 ELSE value + CAST(5.00 AS DECIMAL(14,2)) END) AS DOUBLE)
+                 AS total
+        FROM base GROUP BY event_type)
+      SELECT a.event_type, a.n_staged, a.n_bad,
+             CASE WHEN a.n_bad = 0 THEN 'pass' ELSE 'fail' END AS verdict,
+             s.n, s.total
+      FROM audit a JOIN served s USING (event_type)
+      ORDER BY a.event_type"""))
+
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
-    q217, q220, q226, q227)
+    q217, q220, q226, q227, q246)
 }

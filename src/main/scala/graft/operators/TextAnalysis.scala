@@ -3774,9 +3774,78 @@ object TextAnalysis {
       FROM agg
       ORDER BY doc_id"""))
 
+  /** EXTRACTIVE SUMMARIZATION SCORING — centrality-based sentence
+    * selection (TextRank's degree-centrality core, LexRank's overlap
+    * graph): the 2 most CENTRAL lines of each document are the ones
+    * sharing the most vocabulary with the rest of the document — the
+    * standard way to mine summary/headline training pairs from raw
+    * corpora without a model. Lines are the t14/t15 10-token convention;
+    * centrality(line) = Σ over sibling lines of |shared distinct
+    * tokens|, computed via a WITHIN-DOC token equi-join (doc-bounded:
+    * the pair space never crosses documents, so the join is keyed on
+    * (doc, token) and a document's cost is its own line count squared,
+    * not the corpus's), then one window for top-2 with (score DESC, pos
+    * ASC) tie-breaks. Single-line docs score 0 via the left join — kept,
+    * because a pipeline must emit SOMETHING for them and dropping them
+    * silently skews the pair mix. */
+  val t63 = GraftQuery(
+    "t63_extractive_summary",
+    "Top-2 central lines per doc: within-doc shared-token centrality, TextRank-style",
+    (s, dir) => {
+      val lines = table(s, dir, "documents")
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, CAST(greatest(ceil(size(split(lower(text), ' ')) / 10.0), 1) AS INT) - 1),
+               i -> array_join(slice(split(lower(text), ' '), i * 10 + 1, 10), ' '))"""))
+          .as(Seq("pos", "line")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("line"))
+      val toks = lines.select(col("doc_id"), col("pos"),
+          explode(expr("array_distinct(split(line, ' '))")).as("w"))
+        .filter(length(col("w")) > 0)
+      val centrality = toks.as("a")
+        .join(toks.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") === col("b.w") &&
+            col("a.pos") =!= col("b.pos"))
+        .groupBy(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"))
+        .agg(count(lit(1)).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("score"), col("pos"))
+      lines.join(centrality, Seq("doc_id", "pos"), "left")
+        .withColumn("score", coalesce(col("score"), lit(0L)))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 2)
+        .select("doc_id", "rank", "pos", "score", "line")
+        .orderBy("doc_id", "rank")
+    },
+    Some("""
+      WITH toks0 AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      lines AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(ws[i*10+1 : i*10+10], ' ') AS line
+        FROM toks0, UNNEST(range(0, greatest(CAST(ceil(len(ws) / 10.0) AS BIGINT), 1))) t(i)),
+      toks AS (
+        SELECT DISTINCT doc_id, pos, unnest(string_split(line, ' ')) AS w
+        FROM lines),
+      toksf AS (SELECT * FROM toks WHERE len(w) > 0),
+      centrality AS (
+        SELECT a.doc_id, a.pos, CAST(count(*) AS BIGINT) AS score
+        FROM toksf a JOIN toksf b
+          ON a.doc_id = b.doc_id AND a.w = b.w AND a.pos <> b.pos
+        GROUP BY a.doc_id, a.pos),
+      ranked AS (
+        SELECT l.doc_id, l.pos, coalesce(c.score, 0) AS score, l.line,
+               row_number() OVER (PARTITION BY l.doc_id
+                 ORDER BY coalesce(c.score, 0) DESC, l.pos) AS rank
+        FROM lines l LEFT JOIN centrality c
+          ON l.doc_id = c.doc_id AND l.pos = c.pos)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, pos,
+             CAST(score AS BIGINT) AS score, line
+      FROM ranked WHERE rank <= 2
+      ORDER BY doc_id, rank"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
     t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54, t55, t56, t57,
-    t58, t59, t60, t61, t62)
+    t58, t59, t60, t61, t62, t63)
 }

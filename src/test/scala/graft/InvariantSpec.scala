@@ -1460,6 +1460,33 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_.getLong(4) == 0), "fixture should contain clean customers")
   }
 
+  test("q246: the gate gates — exactly the corrupted partition fails and keeps serving v0") {
+    val rows = operators.Sources.q246.build(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val failed = rows.filter(_.getString(3) == "fail")
+    assert(failed.map(_.getString(0)).toSeq == Seq("error"),
+      "exactly the corrupted 'error' partition must fail the audit")
+    rows.filter(_.getString(3) == "pass").foreach { r =>
+      assert(r.getLong(2) == 0L, s"${r.getString(0)}: passing partition has bad rows")
+      assert(r.getLong(1) == r.getLong(4), "published count != staged count")
+    }
+  }
+
+  test("t63: exactly top-2 lines per doc, ranks ordered by score then position") {
+    val rows = operators.TextAnalysis.t63.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      assert(rs.length <= 2, s"doc $doc emitted ${rs.length} summary lines")
+      if (rs.length == 2) {
+        val Array(r1, r2) = rs.sortBy(_.getLong(1))
+        assert(r1.getLong(3) > r2.getLong(3) ||
+          (r1.getLong(3) == r2.getLong(3) && r1.getLong(2) < r2.getLong(2)),
+          s"doc $doc: rank order violates (score desc, pos asc)")
+      }
+    }
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
