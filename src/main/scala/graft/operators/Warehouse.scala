@@ -3750,10 +3750,168 @@ object Warehouse {
       WHERE n_subtree >= 2
       ORDER BY node"""))
 
+  /** CHANGE DATA FEED (CDF) read contract — q72 counts what changed
+    * between snapshots; q247 EMITS the row-level feed downstream
+    * consumers subscribe to, in the Delta/Iceberg CDF shape: one
+    * `insert` row per addition, one `delete` row per removal carrying
+    * the LAST-SEEN values (a tombstone without the old image is useless
+    * to a syncing consumer), and TWO rows per update — `update_preimage`
+    * then `update_postimage` — because downstream aggregates need the
+    * retraction half to subtract (q120's IVM consumes exactly this
+    * shape). Built from one full-outer join of digest-projected
+    * snapshots (q72's mechanics); updates fan out to their two images
+    * via a row-local explode, unchanged rows emit NOTHING (the feed is
+    * change-proportional, never table-proportional — the property that
+    * makes CDF cheaper than re-reading the table at 100 TB). */
+  val q247 = GraftQuery(
+    "q247_change_data_feed",
+    "Row-level CDF between snapshots: insert/delete rows + pre/post image pairs for updates",
+    (s, dir) => {
+      val old = table(s, dir, "customer")
+        .filter(col("c_custkey") < 600)
+        .select(col("c_custkey").cast("long").as("key"),
+          col("c_name").as("name"), col("c_mktsegment").as("segment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"))
+      val neu = old
+        .filter(col("segment") =!= "BUILDING")
+        .withColumn("bal",
+          when(col("bal") < 0, col("bal") + 10000).otherwise(col("bal")))
+        .unionByName(table(s, dir, "supplier")
+          .filter(col("s_suppkey") < 100)
+          .select((col("s_suppkey") + 9000000L).as("key"),
+            col("s_name").as("name"), lit("NEW").as("segment"),
+            expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("bal")))
+      val o = old.select(col("key"), struct(col("name"), col("segment"),
+        col("bal")).as("pre"))
+      val n = neu.select(col("key"), struct(col("name"), col("segment"),
+        col("bal")).as("post"))
+      o.join(n, Seq("key"), "full_outer")
+        .select(col("key"), explode(expr(
+          """CASE
+               WHEN pre IS NULL THEN array(struct('insert' AS ct, post AS img))
+               WHEN post IS NULL THEN array(struct('delete' AS ct, pre AS img))
+               WHEN pre = post THEN array()
+               ELSE array(struct('update_preimage' AS ct, pre AS img),
+                          struct('update_postimage' AS ct, post AS img))
+             END""")).as("c"))
+        .select(col("key"), col("c.ct").as("change_type"),
+          col("c.img.name").as("name"), col("c.img.segment").as("segment"),
+          col("c.img.bal").as("bal"))
+        .orderBy("key", "change_type")
+    },
+    Some("""
+      WITH old AS (
+        SELECT CAST(c_custkey AS BIGINT) AS key, c_name AS name,
+               c_mktsegment AS segment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        FROM customer WHERE c_custkey < 600),
+      neu AS (
+        SELECT key, name, segment,
+               CASE WHEN bal < 0 THEN bal + 10000 ELSE bal END AS bal
+        FROM old WHERE segment <> 'BUILDING'
+        UNION ALL
+        SELECT CAST(s_suppkey + 9000000 AS BIGINT), s_name, 'NEW',
+               CAST(round(s_acctbal * 100) AS BIGINT)
+        FROM supplier WHERE s_suppkey < 100),
+      j AS (
+        SELECT coalesce(o.key, n.key) AS key,
+               o.name AS oname, o.segment AS oseg, o.bal AS obal,
+               n.name AS nname, n.segment AS nseg, n.bal AS nbal,
+               o.key IS NULL AS ins, n.key IS NULL AS del
+        FROM old o FULL JOIN neu n ON o.key = n.key)
+      SELECT key, 'insert' AS change_type, nname AS name, nseg AS segment,
+             nbal AS bal
+      FROM j WHERE ins
+      UNION ALL
+      SELECT key, 'delete', oname, oseg, obal FROM j WHERE del
+      UNION ALL
+      SELECT key, 'update_preimage', oname, oseg, obal
+      FROM j WHERE NOT ins AND NOT del
+        AND (oname <> nname OR oseg <> nseg OR obal <> nbal)
+      UNION ALL
+      SELECT key, 'update_postimage', nname, nseg, nbal
+      FROM j WHERE NOT ins AND NOT del
+        AND (oname <> nname OR oseg <> nseg OR obal <> nbal)
+      ORDER BY key, change_type"""))
+
+  /** EVENT-SOURCING FOLD — reconstruct current state from an ordered
+    * command log (set / incr / clear per account) WITHOUT a sequential
+    * UDAF: the fold has a closed form — final = value-at-last-reset +
+    * Σ increments after it — because set/clear erase everything before
+    * them. One window numbers each account's ops in time order, one
+    * aggregate finds the last reset (a (pos, base) struct-max, q234's
+    * trick) , and the increment tail sums under a pos > p filter after a
+    * broadcast join of the tiny per-account reset table. This is the
+    * ledger-replay shape behind account balances, inventory levels, and
+    * feature-store state — q234 merges column-wise PATCHES (last
+    * non-null wins), q248 folds OPERATORS (order-sensitive semantics,
+    * where an increment before a clear must NOT count). Ops synthesized
+    * from orders by key modulus so the oracle replays them. */
+  val q248 = GraftQuery(
+    "q248_event_sourcing_fold",
+    "Closed-form command-log fold: last set/clear + increment tail, no sequential UDAF",
+    (s, dir) => {
+      val w = Window.partitionBy("acct").orderBy("d", "ok")
+      val ops = table(s, dir, "orders")
+        .filter(col("o_custkey") < 600)
+        .select(expr("CAST(o_custkey % 100 AS BIGINT)").as("acct"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          col("o_orderkey").cast("long").as("ok"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("op", expr(
+          "CASE WHEN ok % 10 = 0 THEN 'set' WHEN ok % 10 = 7 THEN 'clear' " +
+            "ELSE 'incr' END"))
+        .withColumn("v", expr(
+          "CASE WHEN ok % 10 = 0 THEN cents % 100000 " +
+            "WHEN ok % 10 = 7 THEN 0L ELSE cents % 1000 END"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+      val resets = ops.filter(col("op") =!= "incr")
+        .groupBy("acct")
+        .agg(max(struct(col("pos"), col("v"))).as("r"))
+        .select(col("acct"), col("r.pos").as("p"), col("r.v").as("base"))
+      ops.join(broadcast(resets), Seq("acct"), "left")
+        .groupBy("acct")
+        .agg(count(lit(1)).as("n_ops"),
+          sum(when(col("op") =!= "incr", 1L).otherwise(0L)).as("n_resets"),
+          (max(coalesce(col("base"), lit(0L))) +
+            sum(when(col("op") === "incr" &&
+              col("pos") > coalesce(col("p"), lit(0L)), col("v"))
+              .otherwise(0L))).as("final_value"))
+        .orderBy("acct")
+    },
+    Some("""
+      WITH ops0 AS (
+        SELECT CAST(o_custkey % 100 AS BIGINT) AS acct,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+               CAST(o_orderkey AS BIGINT) AS ok,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_custkey < 600),
+      ops AS (
+        SELECT acct,
+               CASE WHEN ok % 10 = 0 THEN 'set'
+                    WHEN ok % 10 = 7 THEN 'clear' ELSE 'incr' END AS op,
+               CASE WHEN ok % 10 = 0 THEN cents % 100000
+                    WHEN ok % 10 = 7 THEN 0 ELSE cents % 1000 END AS v,
+               CAST(row_number() OVER (PARTITION BY acct ORDER BY d, ok)
+                 AS BIGINT) AS pos
+        FROM ops0),
+      resets AS (
+        SELECT acct, max_by(v, pos) AS base, CAST(max(pos) AS BIGINT) AS p
+        FROM ops WHERE op <> 'incr' GROUP BY acct)
+      SELECT o.acct, CAST(count(*) AS BIGINT) AS n_ops,
+             CAST(sum(CASE WHEN o.op <> 'incr' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_resets,
+             CAST(max(coalesce(r.base, 0))
+               + sum(CASE WHEN o.op = 'incr' AND o.pos > coalesce(r.p, 0)
+                     THEN o.v ELSE 0 END) AS BIGINT) AS final_value
+      FROM ops o LEFT JOIN resets r ON o.acct = r.acct
+      GROUP BY o.acct
+      ORDER BY o.acct"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
     q162, q164, q165, q168, q172, q173, q178, q181, q186, q188, q191,
     q195, q197, q198, q199, q205, q208, q209, q230, q231, q233, q234, q236,
-    q237, q242, q243)
+    q237, q242, q243, q247, q248)
 }

@@ -1487,6 +1487,48 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q247: update images come in pre/post pairs and the feed carries no unchanged rows") {
+    val rows = operators.Warehouse.q247.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byType.getOrElse("update_preimage", 0) ==
+      byType.getOrElse("update_postimage", 0), "unpaired update images")
+    assert(byType.keySet.subsetOf(
+      Set("insert", "delete", "update_preimage", "update_postimage")))
+    // every update key has exactly one pre and one post
+    rows.filter(_.getString(1).startsWith("update_")).groupBy(_.getLong(0))
+      .foreach { case (k, rs) =>
+        assert(rs.map(_.getString(1)).sorted.toSeq ==
+          Seq("update_postimage", "update_preimage"), s"key $k image set wrong")
+      }
+  }
+
+  test("q248: the closed-form fold equals a literal sequential replay of the command log") {
+    import org.apache.spark.sql.functions._
+    val got = operators.Warehouse.q248.build(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // independent oracle: replay each account's ops one by one in order
+    val ops = operators.table(spark, sfDir, "orders")
+      .filter(col("o_custkey") < 600)
+      .selectExpr("CAST(o_custkey % 100 AS BIGINT) AS acct",
+        "date_format(o_orderdate, 'yyyy-MM-dd') AS d",
+        "CAST(o_orderkey AS BIGINT) AS ok",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val want = ops.map { case (acct, rows0) =>
+      var state = 0L
+      rows0.sortBy(t => (t._2, t._3)).foreach { case (_, _, ok, cents) =>
+        if (ok % 10 == 0) state = cents % 100000
+        else if (ok % 10 == 7) state = 0L
+        else state += cents % 1000
+      }
+      acct -> state
+    }
+    assert(got == want, s"fold mismatch: ${got.toSet.diff(want.toSet).take(3)}")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
