@@ -3843,9 +3843,82 @@ object TextAnalysis {
       FROM ranked WHERE rank <= 2
       ORDER BY doc_id, rank"""))
 
+  /** KNESER–NEY COUNT TABLES — the training artifact behind every
+    * smoothed n-gram LM (Kneser & Ney 1995; Chen & Goodman's empirical
+    * study made it the default): KN's insight is that a word's unigram
+    * backoff weight should be its CONTINUATION count (how many DISTINCT
+    * left contexts it follows) rather than its raw frequency — "Francisco"
+    * is frequent but only ever follows "San", so it must not get backoff
+    * mass. This entry emits the exact integer tables a KN estimator
+    * consumes: per word, distinct-predecessor count N1+(·w), distinct-
+    * successor count N1+(w·) (which scales the backoff-mass discount
+    * D·N1+(w·)/c(w·)), total bigram mass in each role, and the
+    * continuation probability numerator in bp over the distinct-bigram
+    * universe. All counts from ONE bigram explode (t21's mechanics) —
+    * two Zipf-bounded rollups full-outer-joined on the word; t21 SCORES
+    * with a fixed interpolation, t64 produces the counts TRAINING
+    * needs, exactly — no floats anywhere. */
+  val t64 = GraftQuery(
+    "t64_kneser_ney_counts",
+    "Exact KN smoothing tables: continuation/successor counts + bp continuation probability",
+    (s, dir) => {
+      val ws = table(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+      val bi = ws.filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+             i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val types = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val asW2 = types.groupBy(col("w2").as("w"))
+        .agg(count(lit(1)).as("n_prev_distinct"), sum("c").as("mass_as_w2"))
+      val asW1 = types.groupBy(col("w1").as("w"))
+        .agg(count(lit(1)).as("n_next_distinct"), sum("c").as("mass_as_w1"))
+      val universe = types.agg(count(lit(1)).as("n_bigram_types"))
+      asW2.join(asW1, Seq("w"), "full_outer")
+        .select(col("w"),
+          coalesce(col("n_prev_distinct"), lit(0L)).as("n_prev_distinct"),
+          coalesce(col("n_next_distinct"), lit(0L)).as("n_next_distinct"),
+          coalesce(col("mass_as_w2"), lit(0L)).as("mass_as_w2"),
+          coalesce(col("mass_as_w1"), lit(0L)).as("mass_as_w1"))
+        .filter(col("n_prev_distinct") + col("n_next_distinct") >= 5)
+        .crossJoin(broadcast(universe))
+        .withColumn("kn_cont_bp",
+          expr("n_prev_distinct * 10000 div n_bigram_types"))
+        .drop("n_bigram_types")
+        .orderBy("w")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                 FROM documents),
+      bi AS (SELECT ws[CAST(i AS INTEGER)] AS w1,
+                    ws[CAST(i + 1 AS INTEGER)] AS w2
+             FROM w, UNNEST(range(1, len(ws))) AS t(i)
+             WHERE len(ws) >= 2),
+      types AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+                FROM bi GROUP BY w1, w2),
+      as_w2 AS (SELECT w2 AS w, CAST(count(*) AS BIGINT) AS n_prev_distinct,
+                       CAST(sum(c) AS BIGINT) AS mass_as_w2
+                FROM types GROUP BY w2),
+      as_w1 AS (SELECT w1 AS w, CAST(count(*) AS BIGINT) AS n_next_distinct,
+                       CAST(sum(c) AS BIGINT) AS mass_as_w1
+                FROM types GROUP BY w1),
+      uni AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM types)
+      SELECT coalesce(a.w, b.w) AS w,
+             coalesce(a.n_prev_distinct, 0) AS n_prev_distinct,
+             coalesce(b.n_next_distinct, 0) AS n_next_distinct,
+             coalesce(a.mass_as_w2, 0) AS mass_as_w2,
+             coalesce(b.mass_as_w1, 0) AS mass_as_w1,
+             CAST(coalesce(a.n_prev_distinct, 0) * 10000 // uni.n_bigram_types
+               AS BIGINT) AS kn_cont_bp
+      FROM as_w2 a FULL JOIN as_w1 b ON a.w = b.w, uni
+      WHERE coalesce(a.n_prev_distinct, 0) + coalesce(b.n_next_distinct, 0) >= 5
+      ORDER BY w"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
     t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54, t55, t56, t57,
-    t58, t59, t60, t61, t62, t63)
+    t58, t59, t60, t61, t62, t63, t64)
 }
