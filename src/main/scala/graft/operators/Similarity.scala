@@ -3075,7 +3075,57 @@ object Similarity {
       JOIN sums sj ON sj.dim = p.j
       ORDER BY p.i, p.j"""))
 
+  /** EXACT TOP-K ANN THROUGH THE CUSTOM OPERATOR — the brute-force
+    * scoring pass (s1's broadcast × corpus shape) with the top-k
+    * SELECTION running through GroupedTopKExec (plans/GroupedTopK.scala)
+    * instead of a window: the operator keeps one bounded k-heap per
+    * query on the MAP side and prunes before any exchange, where the
+    * row_number window must shuffle-sort every scored candidate first —
+    * at corpus scale the difference is shuffling k rows per query versus
+    * N. Semantically identical to the window form (the oracle IS the
+    * window form in DuckDB), so the hash check proves the custom
+    * physical operator's heap logic exactly; PlanSpec pins GroupedTopK
+    * in the plan and the absence of a Window node. This is the
+    * cross-component proof that the q114 operator generalizes beyond
+    * its origin query — the vector hot path reuses it unchanged. */
+  val s36 = GraftQuery(
+    "s36_grouped_topk_ann",
+    "Exact cosine top-4 per query via the GroupedTopK bounded-heap operator, no window sort",
+    (s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+      val q = emb.filter(col("vec_id") % 100 === 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val sim = broadcast(q).crossJoin(emb)
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm")))
+            .as("sim"))
+      graft.plans.GroupedTopK.topKPerGroup(sim,
+          Seq(col("query_id")), Seq(col("sim").desc, col("vec_id")), 4)
+        .select(col("query_id"), col("vec_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("query_id"), desc("sim"), col("vec_id"))
+    },
+    Some("""
+      WITH n AS (SELECT vec_id, embedding,
+                        sqrt(list_aggregate(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+                 FROM embeddings),
+      sims AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                      list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                        / (q.nrm * c.nrm) AS sim
+               FROM n q JOIN n c ON q.vec_id % 100 = 3 AND q.vec_id <> c.vec_id),
+      ranked AS (SELECT query_id, vec_id, sim,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, vec_id) AS rank
+                 FROM sims)
+      SELECT query_id, vec_id, round(sim, 4) AS sim
+      FROM ranked WHERE rank <= 4
+      ORDER BY query_id, round(sim, 4) DESC, vec_id"""))
+
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
     s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-    s27, s28, s29, s30, s31, s32, s33, s34, s35)
+    s27, s28, s29, s30, s31, s32, s33, s34, s35, s36)
 }

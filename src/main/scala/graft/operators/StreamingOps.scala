@@ -2463,8 +2463,80 @@ object StreamingOps {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** ROCKSDB STATE STORE PROVIDER — the production state backend (the
+    * default HDFS-backed provider keeps all state on the JVM heap; at
+    * real key cardinality that's an OOM, which is why every large Spark
+    * streaming deployment flips `stateStore.providerClass` to RocksDB
+    * for off-heap, spill-to-disk state). The provider is a pure config
+    * swap — same query code, same checkpoint contract — and this entry
+    * PROVES the swap is semantics-free: a finer-grained aggregate
+    * (event_type × user parity, more state rows than st34's) runs under
+    * RocksDB, and the final answer must equal the batch oracle exactly.
+    * The provider conf is read at query START (the body runs the stream
+    * eagerly, so set/restore here is sound — st13's rule), and the
+    * runtime guard requires the query to have actually committed under
+    * the swapped provider. */
+  val st35 = GraftQuery(
+    "st35_rocksdb_state_store",
+    "Same streaming agg under the RocksDB state store provider == batch aggregate",
+    (s, dir) => {
+      val id = runTag()
+      val spool = batchSpool(s, "events5", dir)
+      val ckpt = spoolDir(s"ckpt_rocks_$id")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt))
+      val sink = s"graft_rocks_$id"
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      val savedProv = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      val savedNoData = s.conf.getOption(
+        "spark.sql.streaming.noDataMicroBatches.enabled").getOrElse("true")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_STREAM_PARTS", "4"))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val src = s.readStream.schema(ev5(s, dir).schema).parquet(spool)
+        val q = src
+          .select(col("event_type"), expr("user_id % 2").as("upar"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .groupBy("event_type", "upar")
+          .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        require(q.recentProgress.exists(p => p.stateOperators.nonEmpty &&
+          p.stateOperators.exists(_.numRowsTotal > 0)),
+          "st35: no state committed under the RocksDB provider")
+        val out = s.table(sink).orderBy("event_type", "upar")
+        val rows = out.collect()
+        s.catalog.dropTempView(sink)
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", saved)
+        savedProv match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+      }
+    },
+    Some("""
+      SELECT event_type, user_id % 2 AS upar,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM events
+      GROUP BY event_type, user_id % 2
+      ORDER BY event_type, upar"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34)
+    st34, st35)
 }

@@ -1705,6 +1705,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joins == 0, s"$joins Join nodes (the closed form needs none)\n$p")
   }
 
+  test("s36: top-k selection is the custom GroupedTopK operator, not a window sort") {
+    val p = plan(operators.Similarity.s36.build(spark, sfDir))
+    assert(p.contains("GroupedTopK"), s"custom operator missing from plan\n$p")
+    val windows = p.linesIterator.count(l => l.trim.matches("""\(\d+\) Window( .*)?"""))
+    assert(windows == 0, s"$windows Window nodes (heap operator should replace them)\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
