@@ -2723,7 +2723,110 @@ object Dedup {
       FROM volume v JOIN truth t USING (scheme), tot
       ORDER BY v.scheme"""))
 
+  /** EXACT ROC-AUC OF THE LINKAGE SCORER — the single number that grades
+    * d33's Fellegi–Sunter model: AUC = P(random true pair outscores a
+    * random non-pair), computed EXACTLY via the Mann–Whitney counting
+    * form 2·AUC·n_t·n_f = 2·concordant + tied. The scale trick: d33's
+    * score is a pure function of the 3-bit agreement pattern, so the
+    * n_t×n_f pair space (millions) collapses to an ≤8×8 join of
+    * pattern-level (score, count) rollups — the comparison never touches
+    * individual pairs, the same block-size-not-pairs idea as d34.
+    * Everything integer: counts, cross products, and the final bp via
+    * floor division of the ×2 numerator. Also reports the
+    * threshold-free complement to d33's fixed link/possible/nonlink
+    * cut, per the Hand & Till framing of AUC as classifier quality
+    * independent of operating point. */
+  val d35 = GraftQuery(
+    "d35_linkage_auc",
+    "Exact Mann-Whitney AUC of the d33 scorer from pattern-level rollups, never pairwise",
+    (s, dir) => {
+      val scored = d33.build(s, dir)
+        .select(col("is_true"), col("score"))
+        .groupBy("is_true", "score").agg(count(lit(1)).as("c"))
+      val t = scored.filter(col("is_true") === 1)
+        .select(col("score").as("ts"), col("c").as("tc"))
+      val f = scored.filter(col("is_true") === 0)
+        .select(col("score").as("fs"), col("c").as("fc"))
+      val cross = t.crossJoin(f) // ≤8×8 pattern-level rows, never pair-level
+        .agg(sum(when(col("ts") > col("fs"), col("tc") * col("fc"))
+            .otherwise(0L)).as("conc"),
+          sum(when(col("ts") === col("fs"), col("tc") * col("fc"))
+            .otherwise(0L)).as("tied"),
+          sum(col("tc") * col("fc")).as("total"))
+      val counts = scored.agg(
+        sum(when(col("is_true") === 1, col("c")).otherwise(0L)).as("n_true"),
+        sum(when(col("is_true") === 0, col("c")).otherwise(0L)).as("n_false"))
+      counts.crossJoin(cross)
+        .select(col("n_true"), col("n_false"), col("conc"), col("tied"),
+          expr("(2 * conc + tied) * 10000 div (2 * total)").as("auc_bp"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+               CAST(c_nationkey AS BIGINT) AS nation,
+               c_mktsegment AS seg,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+               c_name AS name
+        FROM customer WHERE c_custkey < 400),
+      a AS (SELECT k AS ka, nation, seg AS seg_a, bal AS bal_a,
+                   name AS name_a FROM base),
+      b AS (SELECT k AS kb, nation,
+                   CASE WHEN k % 3 = 0 THEN 'OTHER' ELSE seg END AS seg_b,
+                   CASE WHEN k % 4 = 0 THEN bal + 5 ELSE bal END AS bal_b,
+                   CASE WHEN k % 5 = 0 THEN name || '~X' ELSE name END AS name_b
+            FROM base),
+      pairs AS (
+        SELECT CAST(a.ka = b.kb AS BIGINT) AS is_true,
+               CAST(a.seg_a = b.seg_b AS BIGINT) AS agree_seg,
+               CAST(a.bal_a = b.bal_b AS BIGINT) AS agree_bal,
+               CAST(a.name_a = b.name_b AS BIGINT) AS agree_name
+        FROM a JOIN b ON a.nation = b.nation),
+      params AS (
+        SELECT CAST(sum(is_true * agree_seg) + 1 AS DOUBLE)
+                 / (sum(is_true) + 2) AS m_seg,
+               CAST(sum(is_true * agree_bal) + 1 AS DOUBLE)
+                 / (sum(is_true) + 2) AS m_bal,
+               CAST(sum(is_true * agree_name) + 1 AS DOUBLE)
+                 / (sum(is_true) + 2) AS m_name,
+               CAST(sum((1 - is_true) * agree_seg) + 1 AS DOUBLE)
+                 / (sum(1 - is_true) + 2) AS u_seg,
+               CAST(sum((1 - is_true) * agree_bal) + 1 AS DOUBLE)
+                 / (sum(1 - is_true) + 2) AS u_bal,
+               CAST(sum((1 - is_true) * agree_name) + 1 AS DOUBLE)
+                 / (sum(1 - is_true) + 2) AS u_name
+        FROM pairs),
+      scored AS (
+        SELECT p.is_true,
+               round(
+                 CASE WHEN p.agree_seg = 1 THEN ln(m_seg / u_seg)
+                      ELSE ln((1 - m_seg) / (1 - u_seg)) END
+               + CASE WHEN p.agree_bal = 1 THEN ln(m_bal / u_bal)
+                      ELSE ln((1 - m_bal) / (1 - u_bal)) END
+               + CASE WHEN p.agree_name = 1 THEN ln(m_name / u_name)
+                      ELSE ln((1 - m_name) / (1 - u_name)) END, 4) AS score
+        FROM pairs p CROSS JOIN params),
+      grp AS (
+        SELECT is_true, score, CAST(count(*) AS BIGINT) AS c
+        FROM scored GROUP BY is_true, score),
+      cross_sums AS (
+        SELECT CAST(sum(CASE WHEN t.score > f.score THEN t.c * f.c ELSE 0 END)
+                 AS BIGINT) AS conc,
+               CAST(sum(CASE WHEN t.score = f.score THEN t.c * f.c ELSE 0 END)
+                 AS BIGINT) AS tied,
+               CAST(sum(t.c * f.c) AS BIGINT) AS total
+        FROM (SELECT score, c FROM grp WHERE is_true = 1) t
+        CROSS JOIN (SELECT score, c FROM grp WHERE is_true = 0) f),
+      counts AS (
+        SELECT CAST(sum(CASE WHEN is_true = 1 THEN c ELSE 0 END) AS BIGINT)
+                 AS n_true,
+               CAST(sum(CASE WHEN is_true = 0 THEN c ELSE 0 END) AS BIGINT)
+                 AS n_false
+        FROM grp)
+      SELECT n_true, n_false, conc, tied,
+             CAST((2 * conc + tied) * 10000 // (2 * total) AS BIGINT) AS auc_bp
+      FROM counts CROSS JOIN cross_sums"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
     d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
-    d26, d27, d28, d29, d30, d31, d32, d33, d34)
+    d26, d27, d28, d29, d30, d31, d32, d33, d34, d35)
 }

@@ -1529,6 +1529,15 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, s"fold mismatch: ${got.toSet.diff(want.toSet).take(3)}")
   }
 
+  test("d35: Mann-Whitney accounting closes and the scorer beats chance") {
+    val r = operators.Dedup.d35.build(spark, sfDir).collect().head
+    val (nt, nf, conc, tied, auc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(conc + tied <= nt * nf, "concordant+tied exceeds the pair universe")
+    assert(auc > 5000 && auc <= 10000, s"AUC $auc bp not better than chance")
+    assert(auc < 10000 || tied == 0, "perfect AUC with ties is inconsistent")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
