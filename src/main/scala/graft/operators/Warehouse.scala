@@ -3908,10 +3908,152 @@ object Warehouse {
       GROUP BY o.acct
       ORDER BY o.acct"""))
 
+  /** DOUBLE-ENTRY TRIAL BALANCE — the accounting-integrity audit every
+    * financial warehouse runs nightly: every transaction posts equal
+    * debits and credits (per-transaction zero-sum), accounts roll up to
+    * a trial balance, and the global sum is zero BY CONSTRUCTION — so
+    * any nonzero residual localizes corruption (partial loads, double
+    * applies, sign bugs). Postings are synthesized from orders as the
+    * canonical sale pattern (debit accounts-receivable, credit revenue;
+    * paid orders add a cash-debit/AR-credit settlement pair keyed by
+    * o_orderstatus='F'), making every invariant exact-integer checkable:
+    * the per-account trial balance hash-checks against the oracle, and
+    * InvariantSpec pins the zero-sum identities the pattern exists to
+    * provide. One scan, one explode to posting pairs, one rollup. */
+  val q249 = GraftQuery(
+    "q249_trial_balance",
+    "Double-entry postings from orders: per-account trial balance, zero-sum by construction",
+    (s, dir) => {
+      val postings = table(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("txn"),
+          col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .select(col("txn"), explode(expr(
+          """CASE WHEN status = 'F' THEN array(
+               struct('AR' AS acct, cents AS amt),
+               struct('REVENUE' AS acct, -cents AS amt),
+               struct('CASH' AS acct, cents AS amt),
+               struct('AR' AS acct, -cents AS amt))
+             ELSE array(
+               struct('AR' AS acct, cents AS amt),
+               struct('REVENUE' AS acct, -cents AS amt))
+             END""")).as("p"))
+        .select(col("txn"), col("p.acct").as("acct"), col("p.amt").as("amt"))
+      postings.groupBy("acct")
+        .agg(count(lit(1)).as("n_postings"),
+          sum(when(col("amt") > 0, col("amt")).otherwise(0L)).as("debits"),
+          sum(when(col("amt") < 0, -col("amt")).otherwise(0L)).as("credits"),
+          sum("amt").as("balance"))
+        .orderBy("acct")
+    },
+    Some("""
+      WITH o AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS txn, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      postings AS (
+        SELECT txn, 'AR' AS acct, cents AS amt FROM o
+        UNION ALL SELECT txn, 'REVENUE', -cents FROM o
+        UNION ALL SELECT txn, 'CASH', cents FROM o WHERE status = 'F'
+        UNION ALL SELECT txn, 'AR', -cents FROM o WHERE status = 'F')
+      SELECT acct, CAST(count(*) AS BIGINT) AS n_postings,
+             CAST(sum(CASE WHEN amt > 0 THEN amt ELSE 0 END) AS BIGINT)
+               AS debits,
+             CAST(sum(CASE WHEN amt < 0 THEN -amt ELSE 0 END) AS BIGINT)
+               AS credits,
+             CAST(sum(amt) AS BIGINT) AS balance
+      FROM postings
+      GROUP BY acct
+      ORDER BY acct"""))
+
+  /** IDEMPOTENT CDC APPLY — retry safety as a PROVEN property, not a
+    * hope: applying the same change feed twice must equal applying it
+    * once, because every real pipeline eventually redelivers (driver
+    * retry, replayed offsets, a re-run backfill). The mechanism is the
+    * VERSION GUARD: an upsert lands only if feed.version > current
+    * version, a delete only tombstones a live older row — so the second
+    * apply finds every guard already satisfied and changes NOTHING. The
+    * entry applies a synthesized versioned feed (updates at k%3, deletes
+    * at k%7, fresh inserts) twice via the same full-outer merge, then
+    * REQUIRES state₂ ≡ state₁ in-engine (an except().isEmpty guard —
+    * the q58/q97 merge shape upgraded to a replay contract) and outputs
+    * the per-segment rollup of the final state, which the oracle
+    * expresses directly — so both the merge semantics AND the
+    * idempotence claim are verified. */
+  val q250 = GraftQuery(
+    "q250_idempotent_merge_apply",
+    "Version-guarded CDC apply: feed applied twice == once (proven), final state oracle-checked",
+    (s, dir) => {
+      val base = table(s, dir, "customer")
+        .filter(col("c_custkey") < 900)
+        .select(col("c_custkey").cast("long").as("key"),
+          col("c_mktsegment").as("seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"),
+          lit(1L).as("version"))
+      val feed = base.select(col("key"), col("seg"), col("bal"))
+        .withColumn("op", expr(
+          "CASE WHEN key % 7 = 0 THEN 'delete' WHEN key % 3 = 0 THEN 'update' " +
+            "ELSE NULL END"))
+        .filter(col("op").isNotNull)
+        .select(col("key"), col("op"), col("seg"),
+          (col("bal") + 777L).as("bal"), lit(2L).as("version"))
+        .unionByName(base.filter(col("key") % 5 === 0)
+          .select((col("key") + 1000000L).as("key"), lit("insert").as("op"),
+            lit("FRESH").as("seg"), col("bal"), lit(2L).as("version")))
+      def apply1(state: org.apache.spark.sql.DataFrame) =
+        state.join(feed.select(col("key"), col("op"), col("seg").as("f_seg"),
+            col("bal").as("f_bal"), col("version").as("f_v")),
+            Seq("key"), "full_outer")
+          // coalesce: for state-only rows the predicate is NULL (op and
+          // f_v both null) and a bare filter(!NULL) would DROP them —
+          // three-valued logic, the q80 NULL-semantics lesson
+          .filter(!coalesce(col("op") === "delete" &&
+            (col("version").isNull || col("f_v") > col("version")),
+            lit(false)))
+          .select(col("key"),
+            when(col("op").isNotNull && col("op") =!= "delete" &&
+              (col("version").isNull || col("f_v") > col("version")),
+              col("f_seg")).otherwise(col("seg")).as("seg"),
+            when(col("op").isNotNull && col("op") =!= "delete" &&
+              (col("version").isNull || col("f_v") > col("version")),
+              col("f_bal")).otherwise(col("bal")).as("bal"),
+            when(col("op").isNotNull && col("op") =!= "delete" &&
+              (col("version").isNull || col("f_v") > col("version")),
+              col("f_v")).otherwise(col("version")).as("version"))
+          .filter(col("seg").isNotNull) // delete-of-absent leaves nothing
+      val s1 = apply1(base).cache()
+      val s2 = apply1(s1)
+      require(s2.except(s1).isEmpty && s1.except(s2).isEmpty,
+        "q250: second apply changed state — merge is not idempotent")
+      s1.groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("bal").as("total_cents"),
+          max("version").as("max_version"))
+        .orderBy("seg")
+    },
+    Some("""
+      WITH base AS (
+        SELECT CAST(c_custkey AS BIGINT) AS key, c_mktsegment AS seg,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        FROM customer WHERE c_custkey < 900),
+      final AS (
+        SELECT key, seg,
+               CASE WHEN key % 3 = 0 THEN bal + 777 ELSE bal END AS bal,
+               CASE WHEN key % 3 = 0 THEN 2 ELSE 1 END AS version
+        FROM base WHERE key % 7 <> 0
+        UNION ALL
+        SELECT key + 1000000, 'FRESH', bal, 2
+        FROM base WHERE key % 5 = 0)
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(bal) AS BIGINT) AS total_cents,
+             CAST(max(version) AS BIGINT) AS max_version
+      FROM final
+      GROUP BY seg
+      ORDER BY seg"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
     q162, q164, q165, q168, q172, q173, q178, q181, q186, q188, q191,
     q195, q197, q198, q199, q205, q208, q209, q230, q231, q233, q234, q236,
-    q237, q242, q243, q247, q248)
+    q237, q242, q243, q247, q248, q249, q250)
 }

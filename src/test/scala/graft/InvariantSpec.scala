@@ -1538,6 +1538,16 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(auc < 10000 || tied == 0, "perfect AUC with ties is inconsistent")
   }
 
+  test("q249: double-entry identities hold — global zero-sum, debits == credits") {
+    val rows = operators.Warehouse.q249.build(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("AR", "CASH", "REVENUE"))
+    val globalBalance = rows.map(_.getLong(4)).sum
+    assert(globalBalance == 0L, s"trial balance residual $globalBalance")
+    val (debits, credits) = (rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum)
+    assert(debits == credits, s"debits $debits != credits $credits")
+    rows.foreach(r => assert(r.getLong(4) == r.getLong(2) - r.getLong(3)))
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
