@@ -2582,9 +2582,76 @@ object EventWindows {
       FROM m
       ORDER BY arm"""))
 
+  /** NATIVE WINDOW FUNCTION (AggregateWindowFunction seam) — q252 runs
+    * sessionization through graft.expressions.SessionId, a custom
+    * DECLARATIVE window function with the same internal contract as
+    * row_number/rank: a two-long state machine evaluated in ONE
+    * WindowExec pass, where the SQL idiom (q135's lag + cumsum) needs
+    * two window passes over the same exchange. The per-user session
+    * report (event/session counts, largest session) hash-checks against
+    * the DuckDB oracle's lag+cumsum replay — equal hashes prove the
+    * custom function's fold semantics exactly; PlanSpec pins the
+    * function in the Window node and that the plan carries ONE Window,
+    * not the idiom's two. Completes the Catalyst extension matrix:
+    * scalar codegen Expression, Generator, TypedImperativeAggregate,
+    * physical operators, optimizer rules — and now the window seam. */
+  val q252 = GraftQuery(
+    "q252_native_window_function",
+    "Custom AggregateWindowFunction sessionizer: one window pass == the lag+cumsum idiom",
+    (s, dir) => {
+      import org.apache.spark.sql.GraftColumnBridge
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, Literal,
+        SortOrder, UnspecifiedFrame, WindowExpression, WindowSpecDefinition}
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tsm"))
+      // the public Column.over round-trips through the Connect column-node
+      // layer, which drops a custom window function's OVER — build the
+      // catalyst WindowExpression directly (the frame comes from the
+      // function's own AggregateWindowFunction default)
+      val sid = GraftColumnBridge.column(WindowExpression(
+        graft.expressions.SessionId(
+          UnresolvedAttribute("tsm"), Literal(1800L * 1000000L)),
+        WindowSpecDefinition(
+          Seq(UnresolvedAttribute("user_id")),
+          Seq(SortOrder(UnresolvedAttribute("tsm"), Ascending),
+            SortOrder(UnresolvedAttribute("event_id"), Ascending)),
+          UnspecifiedFrame)))
+      val sessions = ev.withColumn("sid", sid)
+        .groupBy("user_id", "sid").agg(count(lit(1)).as("n"))
+      sessions.groupBy("user_id")
+        .agg(sum("n").as("n_events"), max("sid").as("n_sessions"),
+          max("n").as("largest_session"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tsm FROM events),
+      flagged AS (
+        SELECT user_id, tsm, event_id,
+               CASE WHEN lag(tsm) OVER w IS NULL
+                      OR tsm - lag(tsm) OVER w
+                         > CAST(1800 AS BIGINT) * 1000000
+                    THEN 1 ELSE 0 END AS nf
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)),
+      sess AS (
+        SELECT user_id,
+               sum(nf) OVER (PARTITION BY user_id ORDER BY tsm, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged),
+      per_session AS (
+        SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n
+        FROM sess GROUP BY user_id, sid)
+      SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+             CAST(max(sid) AS BIGINT) AS n_sessions,
+             CAST(max(n) AS BIGINT) AS largest_session
+      FROM per_session
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
   val all: Seq[GraftQuery] = Seq(q32, q33, q34, q35, q69, q70, q71, q83, q84,
     q86, q89, q91, q92, q96, q102, q107, q118, q130, q132, q135, q137, q149,
     q150, q154, q157, q159, q163, q167, q169, q175, q176, q177, q179,
     q180, q183, q184, q201, q203, q206,
-    q207, q214, q218, q229, q238, q239)
+    q207, q214, q218, q229, q238, q239, q252)
 }

@@ -3722,11 +3722,56 @@ object Relational {
              CAST(c.cum * 10000 // t.total AS BIGINT) AS covered_bp
       FROM hit h JOIN cum c ON c.d = h.d, tot t"""))
 
+  /** JOIN-STRATEGY HINT SPECTRUM — the explicit physical-execution
+    * control surface: the SAME customer⋈orders aggregate executed three
+    * ways via hints (BROADCAST, SHUFFLE_MERGE, SHUFFLE_HASH), unioned
+    * under a strategy label. Equal per-strategy rows prove the physical
+    * strategies are result-equivalent (the contract a planner rests on),
+    * and PlanSpec pins that each hint actually FIRED — a
+    * BroadcastHashJoin, a SortMergeJoin, and a ShuffledHashJoin all in
+    * one plan — so the entry documents when to force each: broadcast for
+    * dims that fit, shuffle-hash when one side is much smaller but too
+    * big to ship, sort-merge for giant-giant where spill-safety wins.
+    * The oracle emits the one aggregate three times, so a strategy that
+    * dropped or duplicated rows would hash-fail. */
+  val q251 = GraftQuery(
+    "q251_join_strategy_hints",
+    "One join, three physical strategies via hints — result-equivalence hash-proven, plans pinned",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      def sums(strategy: String, hint: String) = {
+        val c = table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")).hint(hint)
+        table(s, dir, "orders")
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+          .select(lit(strategy).as("strategy"), col("c_mktsegment"),
+            col("n"), col("cents"))
+      }
+      sums("broadcast", "broadcast")
+        .unionAll(sums("merge", "merge"))
+        .unionAll(sums("shuffle_hash", "shuffle_hash"))
+        .orderBy("strategy", "c_mktsegment")
+    },
+    Some("""
+      WITH agg AS (
+        SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment)
+      SELECT 'broadcast' AS strategy, c_mktsegment, n, cents FROM agg
+      UNION ALL SELECT 'merge', c_mktsegment, n, cents FROM agg
+      UNION ALL SELECT 'shuffle_hash', c_mktsegment, n, cents FROM agg
+      ORDER BY strategy, c_mktsegment"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
     q182, q185, q196, q202, q204, q210, q211, q213, q215, q219, q221, q222,
-    q223, q224, q225, q232, q235, q240, q244, q245)
+    q223, q224, q225, q232, q235, q240, q244, q245, q251)
 }

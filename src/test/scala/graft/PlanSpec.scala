@@ -1712,6 +1712,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(windows == 0, s"$windows Window nodes (heap operator should replace them)\n$p")
   }
 
+  test("q251: all three hinted physical join strategies fire in one plan") {
+    val p = plan(operators.Relational.q251.build(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"broadcast hint ignored\n$p")
+    assert(p.contains("SortMergeJoin"), s"merge hint ignored\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"shuffle_hash hint ignored\n$p")
+  }
+
+  test("q252: the custom sessionizer runs in ONE Window pass (the lag+cumsum idiom needs two)") {
+    val p = plan(operators.EventWindows.q252.build(spark, sfDir))
+    assert(p.toLowerCase.contains("sessionid"), s"custom window function missing\n$p")
+    val windows = p.linesIterator.count(l => l.trim.matches("""\(\d+\) Window( .*)?"""))
+    assert(windows == 1, s"$windows Window nodes (expected exactly 1)\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
