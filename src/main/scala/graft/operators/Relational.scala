@@ -3767,11 +3767,85 @@ object Relational {
       UNION ALL SELECT 'shuffle_hash', c_mktsegment, n, cents FROM agg
       ORDER BY strategy, c_mktsegment"""))
 
+  /** POINT-IN-POLYGON (ray casting) — the geofencing primitive q156/q235
+    * (distance joins) cannot express: membership in an ARBITRARY region.
+    * The crossing-number algorithm, integer-exact: a point is inside iff
+    * a horizontal ray to +∞ crosses the polygon boundary an odd number
+    * of times; each edge (x1,y1)→(x2,y2) crosses iff the point's y lies
+    * in the edge's half-open y-span AND the intersection x exceeds px —
+    * and that test cross-multiplies to (x1−px)(y2−y1) + (x2−x1)(py−y1)
+    * compared against 0 with the span's sign, so there is NO division
+    * and NO float anywhere. The polygon (a fixed non-convex pentagon in
+    * the q235 LCG coordinate plane) broadcasts as 5 edge rows; each
+    * point evaluates all edges ROW-LOCALLY after the broadcast join —
+    * at 100 TB the fence table is the canonical broadcast side and the
+    * fact streams once. The half-open span rule ([y1,y2) by direction)
+    * handles vertex-hits without double counting — the classic
+    * correctness trap, here oracle-checked per point. */
+  val q253 = GraftQuery(
+    "q253_point_in_polygon",
+    "Integer ray-casting geofence: crossing parity per point vs a broadcast pentagon, no division",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val pts = table(s, dir, "customer")
+        .filter(col("c_custkey") < 2000)
+        .select(col("c_custkey").cast("long").as("k"))
+        .withColumn("px", expr("(k * 48271) % 10000"))
+        .withColumn("py", expr("(k * 16807) % 10000"))
+      // non-convex pentagon, integer vertices, closed ring
+      val ring = Seq((2000L, 1000L), (8500L, 2500L), (7000L, 8000L),
+        (5000L, 4500L), (2500L, 7500L))
+      val edges = ring.zip(ring.tail :+ ring.head).zipWithIndex
+        .map { case (((x1, y1), (x2, y2)), i) => (i.toLong, x1, y1, x2, y2) }
+      val edgeDf = s.createDataFrame(edges)
+        .toDF("eid", "x1", "y1", "x2", "y2")
+      pts.crossJoin(broadcast(edgeDf))
+        .withColumn("crosses", expr(
+          """CASE WHEN (y1 <= py AND py < y2) THEN
+               CASE WHEN (x1 - px) * (y2 - y1) + (x2 - x1) * (py - y1) > 0
+                    THEN 1L ELSE 0L END
+             WHEN (y2 <= py AND py < y1) THEN
+               CASE WHEN (x1 - px) * (y2 - y1) + (x2 - x1) * (py - y1) < 0
+                    THEN 1L ELSE 0L END
+             ELSE 0L END"""))
+        .groupBy("k", "px", "py")
+        .agg(sum("crosses").as("n_crossings"))
+        .withColumn("inside", (col("n_crossings") % 2 === 1).cast("long"))
+        .orderBy("k")
+    },
+    Some("""
+      WITH pts AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k,
+               (CAST(c_custkey AS BIGINT) * 48271) % 10000 AS px,
+               (CAST(c_custkey AS BIGINT) * 16807) % 10000 AS py
+        FROM customer WHERE c_custkey < 2000),
+      edges(eid, x1, y1, x2, y2) AS (VALUES
+        (0, 2000, 1000, 8500, 2500), (1, 8500, 2500, 7000, 8000),
+        (2, 7000, 8000, 5000, 4500), (3, 5000, 4500, 2500, 7500),
+        (4, 2500, 7500, 2000, 1000)),
+      c AS (
+        SELECT p.k, p.px, p.py,
+               CASE WHEN (e.y1 <= p.py AND p.py < e.y2) THEN
+                 CASE WHEN (e.x1 - p.px) * (e.y2 - e.y1)
+                           + (e.x2 - e.x1) * (p.py - e.y1) > 0
+                      THEN 1 ELSE 0 END
+               WHEN (e.y2 <= p.py AND p.py < e.y1) THEN
+                 CASE WHEN (e.x1 - p.px) * (e.y2 - e.y1)
+                           + (e.x2 - e.x1) * (p.py - e.y1) < 0
+                      THEN 1 ELSE 0 END
+               ELSE 0 END AS crosses
+        FROM pts p CROSS JOIN edges e)
+      SELECT k, px, py, CAST(sum(crosses) AS BIGINT) AS n_crossings,
+             CAST(CAST(sum(crosses) AS BIGINT) % 2 = 1 AS BIGINT) AS inside
+      FROM c
+      GROUP BY k, px, py
+      ORDER BY k"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
     q182, q185, q196, q202, q204, q210, q211, q213, q215, q219, q221, q222,
-    q223, q224, q225, q232, q235, q240, q244, q245, q251)
+    q223, q224, q225, q232, q235, q240, q244, q245, q251, q253)
 }

@@ -4050,10 +4050,77 @@ object Warehouse {
       GROUP BY seg
       ORDER BY seg"""))
 
+  /** 4-4-5 FISCAL CALENDAR — the retail-reporting calendar q233's
+    * conformed date dimension doesn't speak: quarters of 4+4+5 WEEKS
+    * (every period ends on the same weekday, periods are comparable
+    * across years — the reason retailers don't report by calendar
+    * month), fiscal years starting Feb 1, and the week-53 remainder
+    * folded into P12 (the standard convention for the 371st day). All
+    * row-local integer date math: fiscal year by month test, day offset
+    * from the fiscal epoch, week = offset div 7, period from the
+    * cumulative-week ladder as a CASE cascade (spelled identically in
+    * both engines — a lookup-array would invite off-by-one drift),
+    * fiscal quarter = (period+2) div 3. The rollup shows exactly the
+    * drift calendar months hide: a fiscal period's revenue never
+    * matches any month's. */
+  val q254 = GraftQuery(
+    "q254_fiscal_445_calendar",
+    "Orders mapped to a Feb-anchored 4-4-5 fiscal calendar: per-period rollup, week 53 folded to P12",
+    (s, dir) => {
+      table(s, dir, "orders")
+        .select(to_date(col("o_orderdate")).as("d"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("fy", expr(
+          "CASE WHEN month(d) >= 2 THEN year(d) ELSE year(d) - 1 END"))
+        .withColumn("week", expr(
+          "CAST(datediff(d, make_date(fy, 2, 1)) AS BIGINT) div 7"))
+        .withColumn("period", expr(
+          """CASE WHEN week < 4 THEN 1 WHEN week < 8 THEN 2
+               WHEN week < 13 THEN 3 WHEN week < 17 THEN 4
+               WHEN week < 21 THEN 5 WHEN week < 26 THEN 6
+               WHEN week < 30 THEN 7 WHEN week < 34 THEN 8
+               WHEN week < 39 THEN 9 WHEN week < 43 THEN 10
+               WHEN week < 47 THEN 11 ELSE 12 END"""))
+        .withColumn("fq", expr("(period + 2) div 3"))
+        .groupBy(col("fy").cast("long").as("fy"),
+          col("period").cast("long").as("period"),
+          col("fq").cast("long").as("fq"))
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+        .orderBy("fy", "period")
+    },
+    Some("""
+      WITH o AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      f AS (
+        SELECT cents,
+               CASE WHEN month(d) >= 2 THEN year(d) ELSE year(d) - 1 END AS fy,
+               date_diff('day',
+                 make_date(CASE WHEN month(d) >= 2 THEN year(d)
+                           ELSE year(d) - 1 END, 2, 1), d) // 7 AS week
+        FROM o),
+      p AS (
+        SELECT fy, cents,
+               CASE WHEN week < 4 THEN 1 WHEN week < 8 THEN 2
+                    WHEN week < 13 THEN 3 WHEN week < 17 THEN 4
+                    WHEN week < 21 THEN 5 WHEN week < 26 THEN 6
+                    WHEN week < 30 THEN 7 WHEN week < 34 THEN 8
+                    WHEN week < 39 THEN 9 WHEN week < 43 THEN 10
+                    WHEN week < 47 THEN 11 ELSE 12 END AS period
+        FROM f)
+      SELECT CAST(fy AS BIGINT) AS fy, CAST(period AS BIGINT) AS period,
+             CAST((period + 2) // 3 AS BIGINT) AS fq,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM p
+      GROUP BY fy, period
+      ORDER BY fy, period"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
     q162, q164, q165, q168, q172, q173, q178, q181, q186, q188, q191,
     q195, q197, q198, q199, q205, q208, q209, q230, q231, q233, q234, q236,
-    q237, q242, q243, q247, q248, q249, q250)
+    q237, q242, q243, q247, q248, q249, q250, q254)
 }

@@ -1548,6 +1548,30 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(r.getLong(4) == r.getLong(2) - r.getLong(3)))
   }
 
+  test("q253: crossing parity is a valid classification and the fence is non-degenerate") {
+    val rows = operators.Relational.q253.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nc, inside) = (r.getLong(3), r.getLong(4))
+      assert(nc >= 0 && nc <= 5, s"k=${r.getLong(0)}: $nc crossings of a pentagon")
+      assert(inside == nc % 2, "inside flag must be crossing parity")
+    }
+    val frac = rows.count(_.getLong(4) == 1L).toDouble / rows.length
+    assert(frac > 0.05 && frac < 0.6, s"degenerate fence: inside fraction $frac")
+  }
+
+  test("q254: fiscal mapping is total and consistent — every order lands in exactly one 4-4-5 period") {
+    val rows = operators.Warehouse.q254.build(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, fq) = (r.getLong(1), r.getLong(2))
+      assert(p >= 1 && p <= 12, s"period $p out of range")
+      assert(fq == (p + 2) / 3, s"fq $fq inconsistent with period $p")
+    }
+    val nOrders = operators.table(spark, sfDir, "orders").count()
+    assert(rows.map(_.getLong(3)).sum == nOrders, "orders lost or duplicated in the mapping")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
