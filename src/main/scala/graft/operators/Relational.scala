@@ -3663,13 +3663,13 @@ object Relational {
     * answer.
     *
     * Measured cost note (deliberate, the suite's slowest entry): ~22
-    * script statements each plan and schedule one job — ~0.3 s/statement
-    * of pure engine floor, and the total is IDENTICAL at sf0.001 and
-    * sf0.1 (7.4 s vs 7.0 s measured) because every probe hits the cached
-    * bucket rollup. That scale-invariance is the lesson the entry
-    * documents: scripting cost is control-flow-proportional, never
-    * data-proportional — fine for orchestration, wrong for per-row
-    * logic. */
+    * script statements each plan and schedule one job — ~0.2-0.3 s per
+    * statement of pure engine floor (4.9-7.4 s total depending on host
+    * load), and the total is IDENTICAL at sf0.001 and sf0.1 because
+    * every probe hits the cached bucket rollup. That scale-invariance is
+    * the lesson the entry documents: scripting cost is control-flow-
+    * proportional, never data-proportional — fine for orchestration,
+    * wrong for per-row logic. */
   val q245 = GraftQuery(
     "q245_sql_scripting",
     "Procedural SQL: WHILE/IF binary search for the half-revenue price threshold == closed form",
