@@ -3841,11 +3841,64 @@ object Relational {
       GROUP BY k, px, py
       ORDER BY k"""))
 
+  /** COLLATION-AWARE GROUPING — Spark 4's collation engine (the COLLATE
+    * type modifier), the declarative fix for case-drifted dimension
+    * values: under `UTF8_LCASE` the comparison, grouping, join, and sort
+    * semantics of the COLUMN change — every downstream operator inherits
+    * it, where a `lower()` patch must be re-applied at each use site
+    * (and silently missed at one). Case variants are planted
+    * deterministically (k%4 selects lower/UPPER/Capitalized renderings
+    * of the segment), the collated groupBy folds them back to 5 logical
+    * groups, and a runtime guard requires the BINARY grouping to see
+    * strictly more groups — proving the collation, not luck, did the
+    * folding. Output keys are lower-cased representatives (the collated
+    * group's own key is whichever rendering a partition saw first —
+    * nondeterministic by spec, so never emitted raw). The DuckDB oracle
+    * groups by lower(), the exact semantic twin for ASCII data — which
+    * is what makes the collation path hash-checkable. */
+  val q255 = GraftQuery(
+    "q255_collation_grouping",
+    "UTF8_LCASE collated groupBy folds planted case drift; binary grouping provably fragments",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("k"), col("c_mktsegment").as("seg"))
+        .withColumn("segv", expr(
+          """CASE WHEN k % 4 = 1 THEN lower(seg)
+                  WHEN k % 4 = 2 THEN initcap(lower(seg))
+                  ELSE seg END"""))
+      val collated = c.groupBy(expr("collate(segv, 'UTF8_LCASE')").as("ck"))
+        .agg(min(lower(col("segv"))).as("segment"),
+          count(lit(1)).as("n"),
+          countDistinct(col("segv")).as("n_raw_variants"))
+        .select("segment", "n", "n_raw_variants")
+      val nCollated = collated.count()
+      val nBinary = c.select(countDistinct(col("segv"))).head().getLong(0)
+      require(nBinary > nCollated,
+        s"q255: binary grouping ($nBinary) must fragment vs collated ($nCollated)")
+      collated.orderBy("segment")
+    },
+    Some("""
+      WITH c AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg
+        FROM customer),
+      v AS (
+        SELECT CASE WHEN k % 4 = 1 THEN lower(seg)
+                    WHEN k % 4 = 2 THEN
+                      upper(substr(lower(seg), 1, 1)) || substr(lower(seg), 2)
+                    ELSE seg END AS segv
+        FROM c)
+      SELECT lower(segv) AS segment, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT segv) AS BIGINT) AS n_raw_variants
+      FROM v
+      GROUP BY lower(segv)
+      ORDER BY segment"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
     q182, q185, q196, q202, q204, q210, q211, q213, q215, q219, q221, q222,
-    q223, q224, q225, q232, q235, q240, q244, q245, q251, q253)
+    q223, q224, q225, q232, q235, q240, q244, q245, q251, q253, q255)
 }

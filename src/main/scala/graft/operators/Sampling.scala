@@ -841,6 +841,61 @@ object Sampling {
       FROM agg
       ORDER BY prio"""))
 
+  /** LAPLACE-MECHANISM RELEASE AUDIT — the differential-privacy release
+    * pipeline's mechanics (Dwork et al.'s ε-DP counts, the census-style
+    * workhorse), made deterministic so the pipeline itself is testable:
+    * a sensitivity-1 count per cell gets Laplace(1/ε) noise via the
+    * inverse CDF −sign(u−½)·b·ln(1−2|u−½|), with u drawn from a portable
+    * md5 hash of the cell key instead of an RNG — the REAL release draws
+    * fresh randomness (a fixed seed would leak), but every OTHER part of
+    * this query — sensitivity bookkeeping, inverse-CDF transform,
+    * non-negativity post-processing (max(0,·), valid because
+    * post-processing preserves DP), utility accounting — is exactly the
+    * production dataflow, and the seeded twin makes all of it
+    * hash-checkable cross-engine (the m2/m4 labeled-stand-in
+    * discipline applied to randomness). Output carries true count,
+    * noise, released value, and per-cell absolute error — the
+    * utility-vs-privacy ledger an ε choice is justified with. */
+  val q256 = GraftQuery(
+    "q256_dp_laplace_release",
+    "Seeded Laplace-mechanism count release: inverse-CDF noise, post-processed, utility ledger",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      table(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("cell"))
+        .agg(count(lit(1)).as("true_n"))
+        .withColumn("u", expr(
+          "(CAST(conv(substring(md5(concat('dp1', cell)), 1, 12), 16, 10) AS BIGINT) % 1000000 + 0.5) / 1000000.0"))
+        .withColumn("noise", round(expr(
+          "CASE WHEN u >= 0.5 THEN -ln(1 - 2 * (u - 0.5)) " +
+            "ELSE ln(1 - 2 * (0.5 - u)) END"), 4))
+        .withColumn("released", greatest(lit(0.0),
+          round(col("true_n") + col("noise"), 4)))
+        .withColumn("abs_err", round(abs(col("released") - col("true_n")), 4))
+        .select("cell", "true_n", "noise", "released", "abs_err")
+        .orderBy("cell")
+    },
+    Some("""
+      WITH counts AS (
+        SELECT c_mktsegment AS cell, CAST(count(*) AS BIGINT) AS true_n
+        FROM customer GROUP BY c_mktsegment),
+      seeded AS (
+        SELECT cell, true_n,
+               (CAST(concat('0x', substr(md5(concat('dp1', cell)), 1, 12))
+                 AS BIGINT) % 1000000 + 0.5) / 1000000.0 AS u
+        FROM counts),
+      noised AS (
+        SELECT cell, true_n,
+               round(CASE WHEN u >= 0.5 THEN -ln(1 - 2 * (u - 0.5))
+                     ELSE ln(1 - 2 * (0.5 - u)) END, 4) AS noise
+        FROM seeded)
+      SELECT cell, true_n, noise,
+             greatest(0.0, round(true_n + noise, 4)) AS released,
+             round(abs(greatest(0.0, round(true_n + noise, 4)) - true_n), 4)
+               AS abs_err
+      FROM noised
+      ORDER BY cell"""))
+
   val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62, q100, q134, q139, q151,
-    q166, q171, q193, q228, q241)
+    q166, q171, q193, q228, q241, q256)
 }
