@@ -1572,6 +1572,19 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(3)).sum == nOrders, "orders lost or duplicated in the mapping")
   }
 
+  test("q256: the DP release ledger closes — non-negative releases, error accounting exact") {
+    val rows = operators.Sampling.q256.build(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, noise, rel, err) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(rel >= 0.0, "post-processing must clamp at zero")
+      assert(math.abs(rel - math.max(0.0, n + noise)) < 1e-9, "release formula broken")
+      assert(math.abs(err - math.abs(rel - n)) < 1e-9, "error ledger inconsistent")
+      assert(math.abs(noise) < 15.0, "Laplace(1) tail beyond u-grid range — seed transform broken")
+    }
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
