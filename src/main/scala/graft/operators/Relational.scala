@@ -3894,11 +3894,55 @@ object Relational {
       GROUP BY lower(segv)
       ORDER BY segment"""))
 
+  /** JOIN ELIMINATION (optimizer capability proof) — the rewrite every
+    * view-layered warehouse silently depends on: a LEFT OUTER join whose
+    * right side contributes no referenced columns AND is provably unique
+    * on the join keys (here an Aggregate grouped exactly on them) is
+    * dropped whole by Catalyst — no shuffle, no build side, the
+    * eliminated table never scanned. The shape arises constantly from
+    * view expansion and ORM SQL ("join the stats view, read nothing
+    * from it") — which is why it matters that the elimination actually
+    * fires and actually preserves semantics. A custom rule for this was
+    * prototyped and DELETED on discovering Spark 4's optimizer already
+    * performs it (the honest outcome — don't reimplement built-ins);
+    * what remains is the capability made load-bearing: PlanSpec pins
+    * zero Join nodes + no customer scan for the unreferenced-unique
+    * shape, AND that both a referenced right side and a
+    * not-provably-unique right side keep their joins (the two safety
+    * conditions). The oracle computes the no-join form directly, so the
+    * semantics half is hash-proven. */
+  val q257 = GraftQuery(
+    "q257_join_elimination",
+    "Unreferenced unique-keyed left join eliminated by the optimizer; plan pinned, result hash-proven",
+    (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_je")
+      table(s, dir, "customer").createOrReplaceTempView("customer_je")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM (
+          SELECT o.o_orderpriority, o.o_totalprice
+          FROM orders_je o
+          LEFT JOIN (SELECT c_custkey, count(*) AS n_dup
+                     FROM customer_je GROUP BY c_custkey) d
+            ON o.o_custkey = d.c_custkey)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
     q182, q185, q196, q202, q204, q210, q211, q213, q215, q219, q221, q222,
-    q223, q224, q225, q232, q235, q240, q244, q245, q251, q253, q255)
+    q223, q224, q225, q232, q235, q240, q244, q245, q251, q253, q255, q257)
 }

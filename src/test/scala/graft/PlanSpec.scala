@@ -1726,6 +1726,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(windows == 1, s"$windows Window nodes (expected exactly 1)\n$p")
   }
 
+  test("q257: the unreferenced unique-keyed left join is eliminated — no Join node, no customer scan") {
+    val p = plan(operators.Relational.q257.build(spark, sfDir))
+    val joins = p.linesIterator.count(l => l.trim.matches("""\(\d+\) \w*Join\w*( .*)?"""))
+    assert(joins == 0, s"$joins Join nodes — elimination did not fire\n$p")
+    assert(!p.contains("customer.parquet"), s"eliminated side still scanned\n$p")
+  }
+
+  test("q257 safety guards: referenced or not-provably-unique right sides keep their joins") {
+    operators.table(spark, sfDir, "orders").createOrReplaceTempView("orders_je")
+    operators.table(spark, sfDir, "customer").createOrReplaceTempView("customer_je")
+    val p = plan(spark.sql(
+      """SELECT o.o_orderpriority, d.n_dup
+        |FROM orders_je o
+        |LEFT JOIN (SELECT c_custkey, count(*) AS n_dup
+        |           FROM customer_je GROUP BY c_custkey) d
+        |  ON o.o_custkey = d.c_custkey""".stripMargin))
+    assert(p.contains("Join"), s"a referenced join must survive\n$p")
+    val p3 = plan(spark.sql(
+      """SELECT o.o_orderpriority
+        |FROM orders_je o
+        |LEFT JOIN customer_je c ON o.o_custkey = c.c_custkey""".stripMargin))
+    assert(p3.contains("Join"),
+      s"a join whose right side is not provably unique must survive\n$p3")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
