@@ -2535,8 +2535,142 @@ object StreamingOps {
       GROUP BY event_type, user_id % 2
       ORDER BY event_type, upar"""))
 
+  case class StEvo1(n: Long)
+  case class StEvo2(n: Long, cents: Option[Long])
+
+  /** STATE SCHEMA EVOLUTION across a restart — the streaming change
+    * nobody can avoid forever: the job restarts with a NEW state shape
+    * (here a `cents` metric added to a per-type tally) and must recover
+    * the old checkpoint anyway. transformWithState supports this under
+    * AVRO state encoding: run 1 writes V1 state {n}, run 2's processor
+    * declares V2 {n, cents: Option[Long]} against the SAME checkpoint —
+    * recovered rows surface the added field as None, and it accumulates
+    * only from the evolution point onward. That back-fill-as-empty
+    * semantics is exactly what adding a metric mid-stream means in
+    * production, and the entry makes it hash-checkable: final state is
+    * read OFFLINE with the statestore source (st34's tool, here with
+    * `stateVarName`), n must cover BOTH tranches while cents covers only
+    * the post-evolution tranche — which the oracle states directly from
+    * the batch table. Runtime guards pin actual recovery (run 2 ingested
+    * only its own tranche). */
+  val st36 = GraftQuery(
+    "st36_state_schema_evolution",
+    "transformWithState V1→V2 state evolution across restart: old rows back-fill, new field accrues post-evolution",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues}
+      import org.apache.spark.sql.Encoders
+      class V1 extends StatefulProcessor[String, (String, Long), (String, Long)] {
+        @transient private var st: org.apache.spark.sql.streaming.ValueState[StEvo1] = _
+        override def init(o: OutputMode, t: TimeMode): Unit =
+          st = getHandle.getValueState[StEvo1]("tally", Encoders.product[StEvo1],
+            org.apache.spark.sql.streaming.TTLConfig.NONE)
+        override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+            tv: TimerValues): Iterator[(String, Long)] = {
+          var t = if (st.exists()) st.get() else StEvo1(0L)
+          rows.foreach(_ => t = StEvo1(t.n + 1))
+          st.update(t)
+          Iterator.empty
+        }
+      }
+      class V2 extends StatefulProcessor[String, (String, Long), (String, Long)] {
+        @transient private var st: org.apache.spark.sql.streaming.ValueState[StEvo2] = _
+        override def init(o: OutputMode, t: TimeMode): Unit =
+          st = getHandle.getValueState[StEvo2]("tally", Encoders.product[StEvo2],
+            org.apache.spark.sql.streaming.TTLConfig.NONE)
+        override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+            tv: TimerValues): Iterator[(String, Long)] = {
+          var t = if (st.exists()) st.get() else StEvo2(0L, None)
+          rows.foreach { case (_, c) =>
+            t = StEvo2(t.n + 1, Some(t.cents.getOrElse(0L) + c))
+          }
+          st.update(t)
+          Iterator.empty
+        }
+      }
+      val id = runTag()
+      val spool = spoolDir(s"evo_spool_$id")
+      val ckpt = spoolDir(s"evo_ckpt_$id")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt))
+      val batch = ev5(s, dir)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_id"))
+      val saved = s.conf.get("spark.sql.shuffle.partitions")
+      val savedProv = s.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      val savedEnc = s.conf.getOption(
+        "spark.sql.streaming.stateStore.encodingFormat")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_STREAM_PARTS", "4"))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // avro encoding is what makes the V1→V2 schema change legal
+      s.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+      try {
+        import s.implicits._
+        def runTranche(tranche: org.apache.spark.sql.DataFrame,
+            proc: StatefulProcessor[String, (String, Long), (String, Long)],
+            i: Int): Long = {
+          tranche.coalesce(2).write.mode("append").parquet(spool)
+          val src = s.readStream.schema(batch.schema).parquet(spool)
+          // the processor emits nothing — all results are read from the
+          // STATE afterwards — so the sink is noop (memory sinks cannot
+          // recover a checkpoint outside complete mode)
+          val q = src.select(col("event_type"), col("cents"))
+            .as[(String, Long)]
+            .groupByKey(_._1)
+            .transformWithState(proc, TimeMode.None(), OutputMode.Update(),
+              Encoders.product[(String, Long)])
+            .toDF("k", "v")
+            .writeStream.format("noop")
+            .outputMode(OutputMode.Update())
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q.recentProgress.map(_.numInputRows).sum
+        }
+        val n1 = runTranche(batch.filter(col("event_id") % 2 === 0), new V1, 1)
+        val n2 = runTranche(batch.filter(col("event_id") % 2 === 1), new V2, 2)
+        require(n1 > 0 && n2 > 0 && n2 < n1 * 3 / 2,
+          s"st36: run 2 read $n2 vs run 1's $n1 — checkpoint not recovered")
+        val state = s.read.format("statestore")
+          .option("stateVarName", "tally").load(ckpt)
+        val out = state.select(col("key.value").as("event_type"),
+            col("value.n").as("n"),
+            coalesce(col("value.cents"), lit(0L)).as("cents_post_evo"))
+          .orderBy("event_type")
+        val rows = out.collect()
+        require(rows.nonEmpty, "st36: no evolved state rows")
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", saved)
+        savedProv match {
+          case Some(p) => s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+        savedEnc match {
+          case Some(e) => s.conf.set(
+            "spark.sql.streaming.stateStore.encodingFormat", e)
+          case None => s.conf.unset(
+            "spark.sql.streaming.stateStore.encodingFormat")
+        }
+      }
+    },
+    Some("""
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_id % 2 = 1
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS cents_post_evo
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35)
+    st34, st35, st36)
 }
