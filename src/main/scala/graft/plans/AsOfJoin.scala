@@ -233,8 +233,16 @@ object AsOfJoin {
     val rt = resolveAgainst(rPlan, rightTime)
     require(lt.dataType == rt.dataType,
       s"as-of: time types differ (${lt.dataType} vs ${rt.dataType}) — cast one side")
+    val lk = leftOn.map(resolveAgainst(lPlan, _))
+    val rk = rightOn.map(resolveAgainst(rPlan, _))
+    // keyOrd compares raw UnsafeRow slots built from the LEFT key types —
+    // mismatched key types (e.g. Int vs Long) would compare garbage
+    // silently instead of erroring, so enforce exact equality like time
+    require(lk.map(_.dataType) == rk.map(_.dataType),
+      s"as-of: key types differ (${lk.map(_.dataType).mkString(",")} vs " +
+        s"${rk.map(_.dataType).mkString(",")}) — cast one side")
     GraftColumnBridge.ofRows(spark, AsOfJoin(
-      leftOn.map(resolveAgainst(lPlan, _)), rightOn.map(resolveAgainst(rPlan, _)),
+      lk, rk,
       lt, rt, rightTiebreak.map(resolveAgainst(rPlan, _)), forward, lPlan, rPlan))
   }
 }

@@ -35,13 +35,29 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
   val registry =
     new scala.collection.concurrent.TrieMap[String, LogicalPlan]
 
-  private def isOrdersScan(p: LogicalPlan): Boolean = p.collectLeaves().exists {
-    case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation =>
-        fs.location.rootPaths.exists(_.toString.endsWith("orders.parquet"))
-      case _ => false
-    }
-    case _ => false
+  /** The subtree below the Aggregate must be EXACTLY the bare orders scan:
+    * one leaf, and every node either a pruning/grouping-extraction Project
+    * or the LogicalRelation itself. A Filter, Join, Union, or any other
+    * operator anywhere below means the query does NOT compute the
+    * registered rollup (a filtered or joined variant would silently read
+    * the UNFILTERED summary — wrong results), so the rewrite must not
+    * fire. */
+  private def isOrdersScan(p: LogicalPlan): Boolean = {
+    val leaves = p.collectLeaves()
+    leaves.length == 1 &&
+      p.collect { case n => n }.forall {
+        case _: Project        => true
+        case _: LogicalRelation => true
+        case _                 => false
+      } &&
+      (leaves.head match {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.endsWith("orders.parquet"))
+          case _ => false
+        }
+        case _ => false
+      })
   }
 
   private def stripAlias(e: Expression): Expression = e match {

@@ -32,9 +32,13 @@ class GraftSparkCatalog extends TableCatalog {
   private def key(ident: Identifier): String =
     (Seq("cat", catalogName) ++ ident.namespace().toSeq :+ ident.name())
       .mkString("!")
-  /** partition column registered at create time, kept in table props. */
-  private val partCols =
-    new scala.collection.concurrent.TrieMap[String, String]
+  /** partition column registered at create time — process-wide alongside
+    * [[MemTable.store]], NOT instance state: Spark may instantiate the
+    * catalog more than once (new session, catalog re-resolution), and an
+    * instance-scoped map would reload existing tables with partCol "",
+    * silently losing partition pruning and KeyGroupedPartitioning for
+    * tables created by another instance. */
+  private def partCols = GraftSparkCatalog.partCols
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val prefix = (Seq("cat", catalogName) ++ namespace.toSeq).mkString("!") + "!"
@@ -77,4 +81,10 @@ class GraftSparkCatalog extends TableCatalog {
 
   override def tableExists(ident: Identifier): Boolean =
     MemTable.store.contains(key(ident))
+}
+
+object GraftSparkCatalog {
+  /** table key → partition column, shared by every catalog instance in
+    * the process (same lifetime as the snapshot store it annotates). */
+  val partCols = new scala.collection.concurrent.TrieMap[String, String]
 }

@@ -401,8 +401,13 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     val groups: Seq[(String, Vector[Array[Any]])] =
       if (grouped) planned else Seq(("", planned.flatMap(_._2).toVector))
     groups.iterator.map { case (k, rs) =>
+      // Spark aggregate semantics over an EMPTY input: count_star = 0,
+      // sum/min/max = NULL (a global aggregate over an empty snapshot, or
+      // after every partition was runtime-pruned, must emit the NULL row —
+      // .min/.max on an empty iterator would throw instead)
       val vals: Seq[Any] = funcs.map {
-        case ("count_star", _) => rs.size.toLong
+        case ("count_star", _)         => rs.size.toLong
+        case (_, _) if rs.isEmpty      => null
         case ("sum", i) => rs.iterator.map(_(i).asInstanceOf[Long]).sum
         case ("min", i) => rs.iterator.map(_(i).asInstanceOf[Long]).min
         case ("max", i) => rs.iterator.map(_(i).asInstanceOf[Long]).max
@@ -584,6 +589,7 @@ private[sources] class MemReaderFactory(columnar: Boolean = false)
                 val b = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
                 vectors(j).putByteArray(r, b, 0, b.length)
               case -3 => vectors(j).putLong(r, version)
+              case k if src(k) == null => vectors(j).putNull(r)
               case k => colTypes(j) match {
                 case "long" => vectors(j).putLong(r, src(k).asInstanceOf[Long])
                 case "string" =>
@@ -617,6 +623,7 @@ private[sources] class MemReaderFactory(columnar: Boolean = false)
           colIdx(j) match {
             case -2 => UTF8String.fromString(key) // _partition
             case -3 => version                    // _commit_version
+            case k if src(k) == null => null      // NULL agg over empty input
             case k => colTypes(j) match {
               case "long"   => src(k).asInstanceOf[Long]
               case "string" => UTF8String.fromString(src(k).asInstanceOf[String])

@@ -703,6 +703,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .load().count() == before, "re-commit doubled the snapshot instead of swapping it")
   }
 
+  test("MemTable: COMPLETE aggregate pushdown over an EMPTY snapshot emits the NULL row") {
+    import graft.sources.MemTable
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val key = "plan_spec_empty_agg"
+    MemTable.store.put(key, MemTable.Snapshot(
+      new StructType().add("bucket", StringType).add("v", LongType),
+      Map.empty, 1L))
+    val df = spark.read.format("graft.sources.MemTable")
+      .option("runId", key).option("partitionCol", "bucket").load()
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"), sum(col("v")).as("sm"))
+    // the pushdown must engage (no Spark-side aggregate of raw rows) …
+    val p = plan(df)
+    assert(p.contains("PushedAggregat") || !p.contains("HashAggregate"),
+      s"aggregate not pushed\n$p")
+    // … and the global aggregate over zero rows is (0, NULL, NULL, NULL),
+    // not an UnsupportedOperationException from .min on an empty iterator
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 0L, r.toString)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3), r.toString)
+    MemTable.store.remove(key)
+  }
+
   test("q128 connector: column pruning reaches the row generator") {
     val df = spark.read.format("graft.sources.SyntheticEvents")
       .option("rows", "1000").option("parts", "4").load()
@@ -1317,6 +1341,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan(df)
     assert(p.contains("orders.parquet"),
       s"rule over-fired on a non-matching aggregate\n$p")
+  }
+
+  test("q195 rule: a FILTERED variant of the registered aggregate keeps scanning the fact") {
+    import graft.plans.MaterializedViewRewrite
+    import org.apache.spark.sql.functions.{col, to_date, round, sum}
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations = Seq(MaterializedViewRewrite)
+    // populate the registry so the rule is live (order-independent test)
+    MaterializedViewRewrite.registry.put("orders.parquet",
+      s2.range(1).selectExpr("DATE'1995-01-01' AS d", "CAST(id AS BIGINT) AS cents")
+        .queryExecution.analyzed)
+    // same grouping + same cents sum, but with a WHERE — answering it from
+    // the unfiltered MV would be wrong, so the rule must not fire
+    val df = operators.table(s2, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val p = plan(df)
+    assert(p.contains("orders.parquet"),
+      s"rule over-fired on a FILTERED variant — unfiltered MV would be wrong\n$p")
+  }
+
+  test("q195 rule: a JOINED variant of the registered aggregate keeps scanning the fact") {
+    import graft.plans.MaterializedViewRewrite
+    import org.apache.spark.sql.functions.{col, to_date, round, sum}
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations = Seq(MaterializedViewRewrite)
+    MaterializedViewRewrite.registry.put("orders.parquet",
+      s2.range(1).selectExpr("DATE'1995-01-01' AS d", "CAST(id AS BIGINT) AS cents")
+        .queryExecution.analyzed)
+    val df = operators.table(s2, sfDir, "orders")
+      .join(operators.table(s2, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val p = plan(df)
+    assert(p.contains("orders.parquet"),
+      s"rule over-fired on a JOINED variant — join can drop/duplicate fact rows\n$p")
   }
 
   test("q196: all three rank functions share ONE Window node — one exchange, one sort") {

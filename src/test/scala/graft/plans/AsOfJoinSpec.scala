@@ -147,6 +147,28 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 2, s"$exchanges hash exchanges, expected exactly 2\n$p")
   }
 
+  test("mismatched key types error at build, not silently mismatch") {
+    import spark.implicits._
+    val l = Seq((1, 10L, 100L)).toDF("k", "t", "id")       // k: Int
+    val r = Seq((1L, 5L, 1L)).toDF("k", "rt", "rid")        // k: Long
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfBackward(l, r, Seq(col("k")), Seq(col("k")),
+        col("t"), col("rt"), Seq(col("rid")))
+    }
+    assert(e.getMessage.contains("key types differ"), e.getMessage)
+  }
+
+  test("mismatched time types error at build") {
+    import spark.implicits._
+    val l = Seq((1L, 10, 100L)).toDF("k", "t", "id")        // t: Int
+    val r = Seq((1L, 5L, 1L)).toDF("k", "rt", "rid")         // rt: Long
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfBackward(l, r, Seq(col("k")), Seq(col("k")),
+        col("t"), col("rt"), Seq(col("rid")))
+    }
+    assert(e.getMessage.contains("time types differ"), e.getMessage)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
