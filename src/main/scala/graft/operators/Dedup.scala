@@ -1764,31 +1764,72 @@ object Dedup {
     * similar the qualifying pairs actually are (mean Jaccard bp). d22
     * tunes the LSH to hit a GIVEN τ; this is the step before — choosing
     * τ from the corpus's own similarity spectrum. Exact pair Jaccard in
-    * integer bp (inter·10⁴ div union — no float), computed ONCE on the
-    * bounded ground-truth slice and swept via a 7-row grid join; the
-    * sweep re-reads the pinned pair frame, never the corpus. The
-    * production path runs the same sweep over d2's LSH candidates
-    * (similarity spectrum of CANDIDATES ≈ spectrum above the lowest
-    * banded τ). */
+    * integer bp (inter·10⁴ div union — no float), swept via a 7-row grid
+    * join; the sweep re-reads the pinned pair frame, never the corpus.
+    *
+    * The pair stage is d17's PPJoin machinery run at the sweep's FLOOR
+    * τ = 0.20: every output pair has jac_bp ≥ 2000, and prefix filtering
+    * at τ is exact-recall for J ≥ τ (pigeonhole on the df-ordered prefix
+    * of length n − ⌈τ·n⌉ + 1), so the candidate set provably covers every
+    * row the sweep can emit — same 7-row answer as the naive full
+    * shingle self-join, but candidate fan-out is bounded by prefix-token
+    * frequency instead of hot-shingle frequency squared. The quadratic
+    * form survives only in the DuckDB oracle (d21's convention). */
+  /** d25's pair stage pre-checkpoint, exposed so PlanSpec can pin the
+    * candidate-bounded shape (the entry itself checkpoints the 7-row-
+    * feeding frame, which truncates lineage). Returns (pairs, sh). */
+  private[graft] def d25PairStage(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val sh = table(s, dir, "documents")
+        .filter(col("doc_id") < 1000)
+        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+        .persist()
+      // candidate generation on 8-byte digests (lean shuffle); the exact
+      // verify below re-joins on the STRING shingle, so a digest collision
+      // could only add a candidate, never distort a count
+      val g = sh.withColumn("gh", expr(
+        "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"))
+      val dfreq = g.groupBy("gh").agg(count(lit(1)).as("df"))
+      val byDoc = Window.partitionBy("doc_id")
+      val tr = g.join(dfreq, "gh")
+        .withColumn("pos", row_number().over(byDoc.orderBy("df", "gh")))
+        .withColumn("n", count(lit(1)).over(byDoc))
+      // τ = 0.2 prefix: pos ≤ n − ⌈n/5⌉ + 1; size bound 5·min ≥ max
+      val pre = tr.filter(col("pos") <= expr("n - ((2*n + 9) div 10) + 1"))
+      val cand = pre.select(col("doc_id").as("d1"), col("gh"),
+          col("n").as("n1"), col("pos").as("p1"))
+        .join(pre.select(col("doc_id").as("d2"), col("gh"),
+          col("n").as("n2"), col("pos").as("p2")), Seq("gh"))
+        .filter(col("d1") < col("d2") &&
+          col("n2") * 5 >= col("n1") && col("n1") * 5 >= col("n2"))
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(max(least(col("n1") - col("p1"), col("n2") - col("p2")) + 1).as("ub"))
+        // positional filter: best-case overlap must reach ⌈(n1+n2)/6⌉
+        // (= τ/(1+τ)·(n1+n2) at τ = 0.2)
+        .filter(col("ub") >= expr("(n1 + n2 + 5) div 6"))
+      val pairs = cand
+        .join(sh.as("ta"), col("ta.doc_id") === col("d1"))
+        .join(sh.as("tb"), col("tb.doc_id") === col("d2") &&
+          col("ta.s") === col("tb.s"))
+        .groupBy(col("d1").as("doc1"), col("d2").as("doc2"),
+          col("n1"), col("n2"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jac_bp", expr(
+          "inter * 10000 div (n1 + n2 - inter)"))
+        .filter(col("jac_bp") >= 2000)
+        .select("doc1", "doc2", "jac_bp")
+      (pairs, sh)
+  }
+
   val d25 = GraftQuery(
     "d25_threshold_sweep",
     "Jaccard-threshold sensitivity: pairs, entangled docs, mean similarity per tau",
     (s, dir) => {
-      val sh = table(s, dir, "documents")
-        .filter(col("doc_id") < 1000)
-        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-        .agg(count(lit(1)).as("inter"))
-        .join(broadcast(sizes.select(col("doc_id").as("doc1"),
-          col("n").as("n1"))), "doc1")
-        .join(broadcast(sizes.select(col("doc_id").as("doc2"),
-          col("n").as("n2"))), "doc2")
-        .withColumn("jac_bp", expr(
-          "inter * 10000 div (n1 + n2 - inter)"))
-        .localCheckpoint(true)
+      val (pairStage, sh) = d25PairStage(s, dir)
+      val pairs = pairStage
+        .localCheckpoint(true) // eager — sh is released right after
+      sh.unpersist()
       val swept = pairs
         .withColumn("tau_bp", explode(expr(
           "sequence(2000L, 8000L, 1000L)")))

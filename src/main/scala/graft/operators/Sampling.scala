@@ -454,9 +454,13 @@ object Sampling {
         .select(col("user_id")).distinct()
         .withColumn("h", expr(
           "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      // bottom-k via global sort + limit: plans TakeOrderedAndProject
+      // (per-partition k-heaps, driver merge of 32·k rows) — NOT a
+      // single-partition Window, which would sort every distinct hash on
+      // one task. Boundary ties in h yield the same sorted multiset
+      // either way, so the sketch is unchanged.
       def kmin(df: org.apache.spark.sql.DataFrame) = df
-        .withColumn("rk", row_number().over(Window.orderBy("h")))
-        .filter(col("rk") <= k).select("h")
+        .select("h").orderBy("h").limit(k)
       val (av, bv) = (hashed("view"), hashed("purchase"))
       val (ka, kb) = (kmin(av), kmin(bv))
       val unionK = kmin(ka.unionByName(kb).distinct())

@@ -1381,6 +1381,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rule over-fired on a JOINED variant — join can drop/duplicate fact rows\n$p")
   }
 
+  test("q166: bottom-k plans TakeOrderedAndProject — no single-partition Window") {
+    val p = plan(operators.Sampling.q166.build(spark, sfDir))
+    assert(!p.contains("Window"),
+      s"single-partition Window remains in the KMV bottom-k\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k heaps (TakeOrderedAndProject)\n$p")
+  }
+
+  test("d25: pair stage is candidate-bounded — prefix + positional filters present, no cartesian") {
+    val (pairs, sh) = operators.Dedup.d25PairStage(spark, sfDir)
+    try {
+      val p = plan(pairs)
+      // prefix cut: pos ≤ n − ⌈n/5⌉ + 1 (the 'div 10' arithmetic)
+      assert(p.contains("div 10"),
+        s"prefix filter missing — pair stage regressed to full self-join\n$p")
+      // PPJoin positional filter: max(least(n1−p1, n2−p2)+1) ≥ ⌈(n1+n2)/6⌉
+      assert(p.contains("least("),
+        s"positional filter missing from the candidate stage\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally sh.unpersist()
+  }
+
   test("q196: all three rank functions share ONE Window node — one exchange, one sort") {
     val p = plan(operators.Relational.q196.build(spark, sfDir))
     val windows = p.linesIterator.count(_.matches(""".*\bWindow \(\d+\)\s*$"""))
