@@ -75,13 +75,19 @@ object Dedup {
     * arrays; shingles are joined back for exact-Jaccard confirmation only
     * for the (rare) candidate pairs. This is the shuffle discipline that
     * holds at 100 TB: LSH fan-out is O(docs × bands), verification cost is
-    * O(true-duplicate pairs). Hash values are engine-specific → no SQL
-    * oracle (d3 is the oracle-checked ground truth on a subset).
-    */
-  val d2 = GraftQuery(
-    "d2_minhash_lsh",
-    "MinHash(64) + LSH(16 bands × 4) candidate generation + exact-Jaccard confirm ≥ 0.5",
-    (s, dir) => {
+    * O(true-duplicate pairs).
+    *
+    * Hash values are engine-specific, so the registry entry folds the
+    * pipeline's QUALITY into oracle-assertable bounds (the q62 pattern):
+    * it runs the full-corpus LSH+confirm, joins the result against the
+    * exact bounded truth set (d3's logic, recomputed in-engine), and
+    * emits the deterministic truth counts plus two literal-TRUE bounds —
+    * perfect recall on J ≥ 0.6 (banding theory: 16×4 catches J = 0.6
+    * w.p. ~0.9997) and a floor on the full J ≥ 0.5 truth (pairs at
+    * 0.5–0.6 ride the S-curve's shoulder). The raw pair frame stays
+    * available as [[d2Confirmed]] (QualitySpec pins the same floors). */
+  private[graft] def d2Confirmed(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       import graft.functions.Functions.{minhashSignature, shingleJaccard}
       // Signature = ONE zero-shuffle row-level pass (native MinHashSignature
       // expression: shingle → murmur3 → 64 affine minima). The only shuffle
@@ -124,8 +130,61 @@ object Dedup {
         .select(col("doc1"), col("doc2"), col("j.inter").as("inter"),
           col("j.un").as("un"), round(col("j.jaccard"), 4).as("jaccard"))
         .orderBy("doc1", "doc2")
+  }
+
+  val d2 = GraftQuery(
+    "d2_minhash_lsh",
+    "MinHash(64)+LSH(16×4) full-corpus dedup, recall hash-gated vs the exact d3 truth",
+    (s, dir) => {
+      val found = d2Confirmed(s, dir).select("doc1", "doc2")
+      // exact bounded truth over doc_id < 3000 (the d3 <300 slice is
+      // pair-free at sf0.1; <3000 carries 95 J ≥ 0.5 pairs), computed via
+      // the PPJoin prefix stage at τ = 0.49 — exact recall for J ≥ 0.5
+      // with candidate-bounded fan-out instead of the quadratic
+      // hot-shingle self-join (the d25 lesson). Thresholds integer-exact:
+      // J ≥ 0.5 ⟺ 2·inter ≥ union, J ≥ 0.6 ⟺ 5·inter ≥ 3·union.
+      val (raw, sh) = ppJoinPairStage(s, dir, 3000, 49)
+      val truth = raw
+        .withColumn("un", col("n1") + col("n2") - col("inter"))
+        .filter(col("inter") * 2 >= col("un"))
+        .select(col("doc1"), col("doc2"),
+          (col("inter") * 5 >= col("un") * 3).as("high"))
+        .localCheckpoint(true) // eager — releases sh right after
+      sh.unpersist()
+      val scored = truth.join(found, Seq("doc1", "doc2"), "left_semi")
+      // count(when(...)) — NULL-safe on an empty truth slice (sum → NULL)
+      val stats = truth.agg(
+        count(lit(1)).as("n_truth"),
+        count(when(col("high"), true)).as("n_high"))
+      val foundStats = scored.agg(
+        count(lit(1)).as("n_found"),
+        count(when(col("high"), true)).as("n_high_found"))
+      stats.crossJoin(foundStats)
+        .select(col("n_truth"), col("n_high"),
+          (col("n_high_found") === col("n_high")).as("high_recall_ok"),
+          (col("n_found") * 10 >= col("n_truth") * 7).as("recall50_ok"))
     },
-    None)
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                 FROM documents WHERE doc_id < 3000),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      truth AS (SELECT doc1, doc2, inter,
+                       (na.n + nb.n - inter) AS un
+                FROM inter
+                JOIN sizes na ON na.doc_id = doc1
+                JOIN sizes nb ON nb.doc_id = doc2
+                WHERE 2 * inter >= (na.n + nb.n - inter))
+      SELECT CAST(count(*) AS BIGINT) AS n_truth,
+             CAST(count(CASE WHEN 5 * inter >= 3 * un THEN 1 END) AS BIGINT)
+               AS n_high,
+             TRUE AS high_recall_ok,
+             TRUE AS recall50_ok
+      FROM truth"""))
 
   /** Exact n-gram Jaccard near-dup on a bounded subset — the ground truth
     * for d2, fully oracle-checked. The shingle equi-join is O(pairs sharing
@@ -181,12 +240,16 @@ object Dedup {
     * shuffle, still orders of magnitude under reshuffling the text, and the
     * scale posture is unchanged (one equi-join on the band buckets,
     * candidates-only verify).
-    * Hash-specific → rows-only check; exact twin = d7 (cross-engine) and
-    * the QualitySpec all-pairs truth set (same-hash). */
-  val d4 = GraftQuery(
-    "d4_simhash",
-    "SimHash(64-bit) + 16-bit band LSH (1-bit multi-probe) + Hamming ≤ 8 confirm",
-    (s, dir) => {
+    * Hash-specific signatures, so the registry entry folds recall into
+    * oracle-assertable bounds (the q62 pattern) against the SAME-HASH
+    * all-pairs truth on the bounded doc_id < 300 slice, computed
+    * in-engine: the ≤ 3-bit pigeonhole guarantee must hold exactly, and
+    * measured recall on the full Hamming ≤ 8 truth must clear 0.9.
+    * The raw pair frame stays available as [[d4Pairs]] (QualitySpec pins
+    * the same floors corpus-wide at sf0.001; d7 is the cross-engine
+    * md5-simhash exact twin). */
+  private[graft] def d4Pairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       // one zero-shuffle row pass via the native SimHash64 expression (the
       // explode + 64-column vote aggregate it replaces cost a full shuffle
       // of every token)
@@ -230,8 +293,43 @@ object Dedup {
             .cast("long").as("hamming"))
         .distinct()
         .orderBy("doc1", "doc2")
+  }
+
+  val d4 = GraftQuery(
+    "d4_simhash",
+    "SimHash banding + multi-probe, recall hash-gated vs the same-hash exact truth slice",
+    (s, dir) => {
+      val found = d4Pairs(s, dir)
+        .filter(col("doc1") < 300 && col("doc2") < 300)
+        .select("doc1", "doc2")
+      // same-hash exact truth: all-pairs Hamming over the bounded slice
+      // (broadcast 300×16-byte signatures — the d3 bounded-twin posture)
+      val sig = table(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          graft.functions.Functions.simhash64(col("text")).as("h"))
+      val truth = sig.as("a").join(broadcast(sig.as("b")),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+          bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hd"))
+        .filter(col("hd") <= 8)
+      val scored = truth.join(found, Seq("doc1", "doc2"), "left_semi")
+      // count(when(...)) — NULL-safe on an empty truth slice (sum → NULL)
+      val t = truth.agg(count(lit(1)).as("n_truth"),
+        count(when(col("hd") <= 3, true)).as("n_guar"))
+      val f = scored.agg(count(lit(1)).as("n_found"),
+        count(when(col("hd") <= 3, true)).as("n_guar_found"))
+      val nDocs = table(s, dir, "documents")
+        .filter(col("doc_id") < 300).agg(count(lit(1)).as("n_docs"))
+      nDocs.crossJoin(t).crossJoin(f)
+        .select(col("n_docs"),
+          (col("n_guar_found") === col("n_guar")).as("guarantee_ok"),
+          (col("n_found") * 10 >= col("n_truth") * 9).as("recall_ok"))
     },
-    None)
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             TRUE AS guarantee_ok, TRUE AS recall_ok
+      FROM documents WHERE doc_id < 300"""))
 
   /** Embedding-cosine near-dup — the semantic-dedup variant: candidates are
     * confined to a coarse cell (here the `label` column, standing in for the
@@ -1775,14 +1873,21 @@ object Dedup {
     * shingle self-join, but candidate fan-out is bounded by prefix-token
     * frequency instead of hot-shingle frequency squared. The quadratic
     * form survives only in the DuckDB oracle (d21's convention). */
-  /** d25's pair stage pre-checkpoint, exposed so PlanSpec can pin the
-    * candidate-bounded shape (the entry itself checkpoints the 7-row-
-    * feeding frame, which truncates lineage). Returns (pairs, sh). */
-  private[graft] def d25PairStage(s: org.apache.spark.sql.SparkSession,
-      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+  /** Parameterized PPJoin pair stage (prefix + positional filtering, the
+    * d17 machinery): exact set-similarity candidates for Jaccard ≥
+    * tauPct/100 over the doc_id < idBound slice, verified by a string-
+    * shingle intersection count. Exact-recall for J ≥ τ by pigeonhole on
+    * the df-ordered prefix of length n − ⌈τ·n⌉ + 1; fan-out is bounded by
+    * prefix-token frequency, not hot-shingle frequency squared (the d25
+    * lesson, reused by d2's truth twin). Returns ((doc1, doc2, inter,
+    * n1, n2), sh) — callers derive their own thresholds; `sh` is
+    * persisted and must be unpersisted by the caller. */
+  private[graft] def ppJoinPairStage(s: org.apache.spark.sql.SparkSession,
+      dir: String, idBound: Int, tauPct: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
       import org.apache.spark.sql.expressions.Window
       val sh = table(s, dir, "documents")
-        .filter(col("doc_id") < 1000)
+        .filter(col("doc_id") < idBound)
         .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
         .persist()
       // candidate generation on 8-byte digests (lean shuffle); the exact
@@ -1795,19 +1900,22 @@ object Dedup {
       val tr = g.join(dfreq, "gh")
         .withColumn("pos", row_number().over(byDoc.orderBy("df", "gh")))
         .withColumn("n", count(lit(1)).over(byDoc))
-      // τ = 0.2 prefix: pos ≤ n − ⌈n/5⌉ + 1; size bound 5·min ≥ max
-      val pre = tr.filter(col("pos") <= expr("n - ((2*n + 9) div 10) + 1"))
+      // prefix: pos ≤ n − ⌈τ·n⌉ + 1; size bound τ·max ≤ 100·min
+      val pre = tr.filter(col("pos") <=
+        expr(s"n - (($tauPct*n + 99) div 100) + 1"))
       val cand = pre.select(col("doc_id").as("d1"), col("gh"),
           col("n").as("n1"), col("pos").as("p1"))
         .join(pre.select(col("doc_id").as("d2"), col("gh"),
           col("n").as("n2"), col("pos").as("p2")), Seq("gh"))
         .filter(col("d1") < col("d2") &&
-          col("n2") * 5 >= col("n1") && col("n1") * 5 >= col("n2"))
+          col("n2") * 100 >= col("n1") * tauPct &&
+          col("n1") * 100 >= col("n2") * tauPct)
         .groupBy("d1", "d2", "n1", "n2")
         .agg(max(least(col("n1") - col("p1"), col("n2") - col("p2")) + 1).as("ub"))
-        // positional filter: best-case overlap must reach ⌈(n1+n2)/6⌉
-        // (= τ/(1+τ)·(n1+n2) at τ = 0.2)
-        .filter(col("ub") >= expr("(n1 + n2 + 5) div 6"))
+        // positional filter: best-case overlap must reach
+        // ⌈τ/(1+τ)·(n1+n2)⌉ = ⌈tauPct·(n1+n2)/(100+tauPct)⌉
+        .filter(col("ub") >=
+          expr(s"($tauPct*(n1 + n2) + ${100 + tauPct} - 1) div ${100 + tauPct}"))
       val pairs = cand
         .join(sh.as("ta"), col("ta.doc_id") === col("d1"))
         .join(sh.as("tb"), col("tb.doc_id") === col("d2") &&
@@ -1815,11 +1923,21 @@ object Dedup {
         .groupBy(col("d1").as("doc1"), col("d2").as("doc2"),
           col("n1"), col("n2"))
         .agg(count(lit(1)).as("inter"))
-        .withColumn("jac_bp", expr(
-          "inter * 10000 div (n1 + n2 - inter)"))
-        .filter(col("jac_bp") >= 2000)
-        .select("doc1", "doc2", "jac_bp")
+        .select("doc1", "doc2", "inter", "n1", "n2")
       (pairs, sh)
+  }
+
+  /** d25's pair stage pre-checkpoint, exposed so PlanSpec can pin the
+    * candidate-bounded shape (the entry itself checkpoints the 7-row-
+    * feeding frame, which truncates lineage). Returns (pairs, sh). */
+  private[graft] def d25PairStage(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (raw, sh) = ppJoinPairStage(s, dir, 1000, 20)
+    val pairs = raw
+      .withColumn("jac_bp", expr("inter * 10000 div (n1 + n2 - inter)"))
+      .filter(col("jac_bp") >= 2000)
+      .select("doc1", "doc2", "jac_bp")
+    (pairs, sh)
   }
 
   val d25 = GraftQuery(

@@ -326,17 +326,31 @@ object Relational {
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus"""))
 
-  /** Approximate count-distinct (HyperLogLog++). Sketch values are
-    * engine-specific → no SQL oracle; driver does the rows-only check. */
+  /** Approximate count-distinct (HyperLogLog++). Raw sketch estimates are
+    * engine-version-specific, so the estimate folds into `est_ok` —
+    * |approx − exact| ≤ 5%·exact (5σ at rsd 0.01) — which the DuckDB
+    * oracle asserts as literal TRUE while recomputing the exact count
+    * (the q62 bound-folding pattern): the HLL++ path is fully exercised
+    * AND hash-gated at every scale. */
   val q14 = GraftQuery(
     "q14_approx_count_distinct",
-    "approx_count_distinct (HLL++) per group — constant-memory distinct at scale",
+    "approx_count_distinct (HLL++) per group, estimate hash-gated via a 5% error bound",
     (s, dir) =>
       table(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders")) * 20 <=
+            col("exact_orders")).as("est_ok"))
         .orderBy("l_returnflag"),
-    None)
+    Some("""
+      SELECT l_returnflag,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             TRUE AS est_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
 
   /** ROLLUP with grouping_id — hierarchical totals. */
   val q15 = GraftQuery(
@@ -772,24 +786,33 @@ object Relational {
     * needs the group's values materialized (a sort or full collection per
     * group); approx_percentile merges bounded KLL-style sketches map-side,
     * so memory is O(sketch) however large the group — the only viable
-    * quantile at 100 TB. Sketch merge order varies with partitioning →
-    * rows-only check (q42 is the exact oracle-checked twin; accuracy is
-    * bounded by the 1000 accuracy parameter). */
+    * quantile at 100 TB. Sketch merge order varies with partitioning, so
+    * each approx value folds into a rank-window bound (the q62 pattern):
+    * the sketch guarantees rank error ≤ 1/accuracy = 0.1%, and the fold
+    * asserts the returned value sits between the EXACT quantiles at
+    * q ∓ 2% — a 20× margin — which the DuckDB oracle asserts as literal
+    * TRUE (q42 remains the exact oracle-checked twin). */
   val q53 = GraftQuery(
     "q53_approx_percentiles",
-    "approx_percentile (mergeable sketch) per return flag — the scale path of q42",
+    "approx_percentile per return flag, values hash-gated via exact rank-window bounds",
     (s, dir) =>
       table(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").as("pcts"),
+          expr("percentile(l_extendedprice, array(0.48, 0.52, 0.88, 0.92))").as("ex"),
           count(lit(1)).as("n"))
-        .select(col("l_returnflag"),
-          element_at(col("pcts"), 1).as("median_approx"),
-          element_at(col("pcts"), 2).as("p90_approx"),
-          col("n"))
+        .select(col("l_returnflag"), col("n"),
+          (element_at(col("pcts"), 1) >= element_at(col("ex"), 1) &&
+            element_at(col("pcts"), 1) <= element_at(col("ex"), 2)).as("med_ok"),
+          (element_at(col("pcts"), 2) >= element_at(col("ex"), 3) &&
+            element_at(col("pcts"), 2) <= element_at(col("ex"), 4)).as("p90_ok"))
         .orderBy("l_returnflag"),
-    None)
+    Some("""
+      SELECT l_returnflag, count(*) AS n, TRUE AS med_ok, TRUE AS p90_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
 
   /** Schema evolution union: two batches with different column sets
     * (a new pipeline version added a column) combined by NAME, missing

@@ -62,12 +62,12 @@ object Similarity {
     * candidates. Bucket count scales with corpus size in production (the
     * bits/corpus ratio sets candidate-set size). Recall < 1 by design (ANN);
     * the hyperplanes are a deterministic seeded literal so results are
-    * stable — but bucketing is engine-specific, so rows-only check (s1 is
-    * the exact baseline). */
-  val s2 = GraftQuery(
-    "s2_ann_lsh_topk",
-    "LSH ANN top-3: 4 hash tables × sign bits, Hamming-1 multi-probe, exact rerank",
-    (s, dir) => {
+    * stable — but bucketing is engine-specific, so the registry entry
+    * folds recall@3 against the exact cosine ranking into an
+    * oracle-assertable bound (the q62 pattern); the raw ANN frame stays
+    * available as [[s2AnnTopK]] (QualitySpec pins the same floor). */
+  private[graft] def s2AnnTopK(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       // Single-table single-probe sign-LSH recalls p^bits where p is the
       // per-bit agreement (1 − θ/π): measured 8% on this corpus — useless.
       // The standard construction (Indyk-Motwani; multi-probe per Lv et al.,
@@ -122,8 +122,53 @@ object Similarity {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("vec_id"), round(col("sim"), 4).as("sim"))
         .orderBy("query_id", "rank")
-    },
-    None)
+  }
+
+  /** Exact cosine top-3 per query vector (vec_id < 20) — the in-engine
+    * ground truth the ANN folds score against (s1's pipeline at k = 3;
+    * a bounded broadcast-queries × corpus scan, the offline-eval role). */
+  private def exactTop3(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val sim = broadcast(q).crossJoin(emb)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(desc("sim"), col("vec_id"))
+    sim.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "vec_id")
+  }
+
+  /** The q62 bound-fold shared by the ANN entries: mean recall@3 of `ann`
+    * vs the exact ranking, folded into `recall_ok` (num/den floor) next
+    * to the deterministic query count the oracle recomputes. */
+  private def annRecallFold(s: org.apache.spark.sql.SparkSession, dir: String,
+      ann: org.apache.spark.sql.DataFrame, floorNum: Int, floorDen: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val exact = exactTop3(s, dir)
+    val hits = exact.join(ann.select("query_id", "vec_id"),
+      Seq("query_id", "vec_id"), "left_semi")
+    exact.agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_queries"),
+        (col("n_hit") * floorDen >= col("n_exact") * floorNum).as("recall_ok"))
+  }
+
+  /** DuckDB side of [[annRecallFold]]'s deterministic anchor. */
+  private val annFoldOracle = """
+      SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 20"""
+
+  val s2 = GraftQuery(
+    "s2_ann_lsh_topk",
+    "Multi-probe LSH ANN top-3, recall hash-gated vs the exact cosine ranking",
+    (s, dir) => annRecallFold(s, dir, s2AnnTopK(s, dir), 6, 10),
+    Some(annFoldOracle))
 
   /** Embedding-cosine near-duplicate pairs on a bounded subset — exact,
     * oracle-checked (the embedding analog of d3). */
@@ -434,12 +479,11 @@ object Similarity {
     * near-duplicate pairs co-locate and probing nprobe cells recovers
     * them. Training lives in [[coarseCentroids]] (built once per sf/JVM,
     * shared with s9); search is identical to s5. Engine-specific float
-    * iteration → rows-only check; QualitySpec pins recall ≥ s5's
-    * structural floor. */
-  val s7 = GraftQuery(
-    "s7_ivf_kmeans_topk",
-    "IVF ANN with k-means-trained quantizer (3 Lloyd iterations) + nprobe=4 + exact rerank",
-    (s, dir) => {
+    * iteration, so the registry entry folds recall@3 vs the exact
+    * ranking (annRecallFold); the raw frame stays as [[s7AnnTopK]]
+    * (QualitySpec pins the same floor). */
+  private[graft] def s7AnnTopK(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       val centroids = coarseCentroids(s, dir)
       val unit = unitVectors(s, dir)
       val cells = unit
@@ -471,8 +515,13 @@ object Similarity {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("vec_id"), round(col("sim"), 4).as("sim"))
         .orderBy("query_id", "rank")
-    },
-    None)
+  }
+
+  val s7 = GraftQuery(
+    "s7_ivf_kmeans_topk",
+    "k-means IVF ANN top-3 (nprobe=4), recall hash-gated vs the exact cosine ranking",
+    (s, dir) => annRecallFold(s, dir, s7AnnTopK(s, dir), 6, 10),
+    Some(annFoldOracle))
 
   /** Product quantization + ADC (Jégou et al., "Product quantization for
     * nearest neighbor search", TPAMI 2011): the 64-dim unit vector splits
@@ -519,10 +568,8 @@ object Similarity {
       cb
     }).asInstanceOf[Array[Array[Array[Double]]]]
 
-  val s8 = GraftQuery(
-    "s8_pq_adc_topk",
-    "Product quantization (8 x 8-dim, 16-entry codebooks) + ADC lookup top-3",
-    (s, dir) => {
+  private[graft] def s8AnnTopK(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       val M = 8; val D = 8
       val unit = unitVectors(s, dir)
       val cb = s8Codebooks(s, dir)
@@ -573,8 +620,16 @@ object Similarity {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("vec_id"), round(col("sim"), 4).as("sim"))
         .orderBy("query_id", "rank")
-    },
-    None)
+  }
+
+  val s8 = GraftQuery(
+    "s8_pq_adc_topk",
+    "PQ/ADC top-3 (8-byte codes + shortlist rerank), recall hash-gated vs exact",
+    // floor 0.55: measured recall@3 is 0.60 exactly at sf0.1 (32× lossy
+    // compression on weakly-clustered embeddings) — the gate floor leaves
+    // margin below the measurement; QualitySpec pins ≥ 0.6 at sf0.001
+    (s, dir) => annRecallFold(s, dir, s8AnnTopK(s, dir), 11, 20),
+    Some(annFoldOracle))
 
   /** IVF-PQ (Jégou et al. 2011, §V): s7's trained coarse quantizer composed
     * with s8's product quantization, quantizing RESIDUALS (v − centroid) —
@@ -702,9 +757,29 @@ object Similarity {
 
   val s9 = GraftQuery(
     "s9_ivfpq_topk",
-    "IVF-PQ: k-means cells + residual PQ codes, ADC within nprobe=4 probed cells, exact rerank",
-    (s, dir) => ivfPqParts(s, dir)._2,
-    None)
+    "IVF-PQ top-3: recall AND candidate-pruning bounds hash-gated vs exact",
+    (s, dir) => {
+      // two folds from ONE plan pair: recall@3 vs exact (annRecallFold's
+      // bound) plus the pruning contract — the ADC scan must touch < 50%
+      // of the (queries × corpus) candidate space, the property that
+      // separates IVF-PQ from s8's linear ADC scan
+      // floor 0.45: measured recall@3 is 0.82 at sf0.001 (QualitySpec pins
+      // ≥ 0.6 there) but 0.50 at sf0.1 — the fixed nprobe=4 of 10 cells
+      // probes a constant 40% of cells while the corpus geometry flattens
+      // with scale; the cross-scale gate floor is the honest envelope
+      val (scored, result) = ivfPqParts(s, dir)
+      val base = annRecallFold(s, dir, result, 45, 100)
+      val corpus = table(s, dir, "embeddings").agg(count(lit(1)).as("n_corpus"))
+      base.crossJoin(scored.agg(count(lit(1)).as("n_scored")))
+        .crossJoin(corpus)
+        .select(col("n_queries"), col("recall_ok"),
+          (col("n_scored") * 2 < col("n_queries") * (col("n_corpus") - 1))
+            .as("prune_ok"))
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
+             TRUE AS prune_ok
+      FROM embeddings WHERE vec_id < 20"""))
 
   /** Embedding outlier screen — the data-quality gate an embedding corpus
     * runs before ANN indexing or clustering: vectors far from the corpus

@@ -244,7 +244,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("d4: multi-probe candidate pairing is a hash join, never a cartesian") {
-    val p = plan(operators.Dedup.d4.build(spark, sfDir))
+    // pin the production pipeline (d4Pairs); the registry entry adds the
+    // bounded 300-signature all-pairs truth slice, which is a deliberate
+    // broadcast nested-loop (16-byte rows, the d3 bounded-twin posture)
+    val p = plan(operators.Dedup.d4Pairs(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Join") || p.contains("HashJoin"), p)
