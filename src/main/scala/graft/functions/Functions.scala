@@ -125,6 +125,46 @@ object Functions {
     column(graft.expressions.SimHash64(expression(text)))
   }
 
+  /** Encode (id, name, value) as Avro binary with the given writer
+    * schema (fields id: long, name: string, value: long). */
+  def avroEncode(id: Column, name: Column, value: Column,
+      schemaJson: String): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.AvroMessageEncode(
+      expression(id), expression(name), expression(value), schemaJson))
+  }
+
+  /** Decode one field from Avro binary with writer→reader schema
+    * resolution (`fieldType` = "long" | "string"). */
+  def avroField(bin: Column, writerJson: String, readerJson: String,
+      field: String, fieldType: String): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.AvroDecodeField(expression(bin),
+      writerJson, readerJson, field, fieldType))
+  }
+
+  /** Encode (id, name, value) as proto3 wire bytes ({int64 1; string 2;
+    * int64 3}) — hand-rolled from the published wire spec. */
+  def protoEncode(id: Column, name: Column, value: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.ProtoMessageEncode(
+      expression(id), expression(name), expression(value)))
+  }
+
+  /** Decode a varint field from proto wire bytes (NULL when absent). */
+  def protoVarint(bin: Column, fieldNo: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.ProtoVarintField(expression(bin),
+      expression(lit(fieldNo))))
+  }
+
+  /** Decode a length-delimited string field from proto wire bytes. */
+  def protoString(bin: Column, fieldNo: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.ProtoStringField(expression(bin),
+      expression(lit(fieldNo))))
+  }
+
   /** Exact 3-gram Jaccard of two texts → struct(inter, un, jaccard). */
   def shingleJaccard(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}

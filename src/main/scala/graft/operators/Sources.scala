@@ -1260,7 +1260,130 @@ object Sources {
       FROM audit a JOIN served s USING (event_type)
       ORDER BY a.event_type"""))
 
+  /** Writer schema shared by the Avro codec entries. */
+  private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
+    {"name":"id","type":"long"},{"name":"name","type":"string"},
+    {"name":"value","type":"long"}]}"""
+
+  /** AVRO wire codec — the last missing event-stream format in the source
+    * matrix (parquet/json/csv/orc/text/xml/variant, q90 as the XML seam):
+    * rows are serialized to Avro BINARY with an explicit writer schema and
+    * decoded back by schema-driven expressions over the core Avro library
+    * (this Spark distribution ships no spark-avro connector; the codec
+    * uses the Avro jar Spark itself depends on — encode via
+    * GenericDatumWriter, decode via GenericDatumReader). Round-trip is
+    * exercised end to end: encode → opaque binary column → decode →
+    * aggregate, and the oracle recomputes the aggregate from the source
+    * table, so any wire corruption hash-fails. Row-local both ways — at
+    * 100 TB the codec rides the scan, nothing shuffles wider than the
+    * decoded columns. */
+  val q258 = GraftQuery(
+    "q258_avro_roundtrip",
+    "Avro binary round-trip: encode with writer schema, decode, aggregate == source",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.Functions.{avroEncode, avroField}
+      val w = avroWriterSchema
+      val bin = table(s, dir, "orders")
+        .select(avroEncode(col("o_orderkey"), col("o_orderpriority"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"), w).as("b"))
+      bin.select(
+          avroField(col("b"), w, w, "id", "long").as("id"),
+          avroField(col("b"), w, w, "name", "string").as("name"),
+          avroField(col("b"), w, w, "value", "long").as("value"))
+        .groupBy("name")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total_cents"),
+          max(col("id")).as("max_key"))
+        .orderBy("name")
+    },
+    Some("""
+      SELECT o_orderpriority AS name, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             max(o_orderkey) AS max_key
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY name"""))
+
+  /** AVRO SCHEMA EVOLUTION — the consumer-upgrades-last contract: the
+    * binary was written with (id, name, value); the READER schema drops
+    * `value` and adds `bonus` (long, default 7). GenericDatumReader
+    * resolves writer→reader per the Avro spec: dropped fields are skipped
+    * on the wire, added fields take their declared default — decoded
+    * `bonus` must equal the literal 7 on every row, which the oracle
+    * asserts arithmetically (sum = 7·n). This is the seam that lets a
+    * producer fleet roll schemas forward without coordinating consumers. */
+  val q259 = GraftQuery(
+    "q259_avro_schema_evolution",
+    "Avro reader-schema resolution: dropped field skipped, added field takes its default",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.Functions.{avroEncode, avroField}
+      val w = avroWriterSchema
+      val r = """{"type":"record","name":"order_evt","fields":[
+        {"name":"id","type":"long"},{"name":"name","type":"string"},
+        {"name":"bonus","type":"long","default":7}]}"""
+      val bin = table(s, dir, "orders")
+        .select(avroEncode(col("o_orderkey"), col("o_orderpriority"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"), w).as("b"))
+      bin.select(
+          avroField(col("b"), w, r, "id", "long").as("id"),
+          avroField(col("b"), w, r, "name", "string").as("name"),
+          avroField(col("b"), w, r, "bonus", "long").as("bonus"))
+        .groupBy("name")
+        .agg(count(lit(1)).as("n"), sum(col("bonus")).as("sum_bonus"),
+          max(col("id")).as("max_key"))
+        .orderBy("name")
+    },
+    Some("""
+      SELECT o_orderpriority AS name, count(*) AS n,
+             CAST(7 * count(*) AS BIGINT) AS sum_bonus,
+             max(o_orderkey) AS max_key
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY name"""))
+
+  /** PROTOBUF wire decode — hand-rolled from the published wire spec
+    * (varints, tags, length-delimited payloads; no protobuf runtime on
+    * this classpath, and none needed for the wire format): encode
+    * (id=1, name=2, value=3) per proto3 — including default-value elision
+    * — then decode each field back by scanning tags, skipping unknown
+    * fields exactly as the spec requires. Forward compatibility is
+    * asserted two ways: a reader asking for field 2 skips field 3's
+    * payload without a descriptor, and a reader asking for the absent
+    * field 7 gets NULL on every row (proto3 absent == default), which the
+    * oracle asserts as n_absent == n. */
+  val q260 = GraftQuery(
+    "q260_proto_wire_decode",
+    "Proto3 wire-format round-trip: varint/string fields decoded by tag scan, absent → NULL",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.Functions.{protoEncode, protoVarint, protoString}
+      val bin = table(s, dir, "orders")
+        .select(protoEncode(col("o_orderkey"), col("o_orderpriority"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("b"))
+      bin.select(
+          protoVarint(col("b"), 1).as("id"),
+          protoString(col("b"), 2).as("name"),
+          protoVarint(col("b"), 3).as("value"),
+          protoVarint(col("b"), 7).as("ghost"))
+        .groupBy("name")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total_cents"),
+          max(col("id")).as("max_key"),
+          count(when(col("ghost").isNull, true)).as("n_absent"))
+        .orderBy("name")
+    },
+    Some("""
+      SELECT o_orderpriority AS name, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             max(o_orderkey) AS max_key,
+             count(*) AS n_absent
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY name"""))
+
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
-    q217, q220, q226, q227, q246)
+    q217, q220, q226, q227, q246, q258, q259, q260)
 }
