@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** Every named query the engine implements, in registration order. */
   def registry: Seq[GraftQuery] =
-    Relational.all ++ Scalar.all ++ EventWindows.all ++ Sampling.all ++
+    Relational.all ++ TpcH.all ++ Scalar.all ++ EventWindows.all ++ Sampling.all ++
       Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
       StreamingOps.all ++ Sources.all ++ Warehouse.all
 

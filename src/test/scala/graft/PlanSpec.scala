@@ -1407,6 +1407,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sh.unpersist()
   }
 
+  test("tpch sweep: Q5's 6-way join broadcasts the dims and plans no cartesian") {
+    val p = plan(operators.TpcH.tq5.build(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"dimension legs not broadcast\n$p")
+  }
+
+  test("tpch sweep: Q4's EXISTS plans as a semi join; Q13 keeps the outer join") {
+    val p4 = plan(operators.TpcH.tq4.build(spark, sfDir))
+    assert(p4.contains("LeftSemi"), s"EXISTS did not plan as a semi join\n$p4")
+    val p13 = plan(operators.TpcH.tq13.build(spark, sfDir))
+    assert(p13.contains("LeftOuter"), s"Q13 lost its outer join\n$p13")
+  }
+
+  test("tpch sweep: Q6 pushes every filter to the scan — no join, one aggregate") {
+    val p = plan(operators.TpcH.tq6.build(spark, sfDir))
+    assert(!p.contains("Join"), s"Q6 must be a single-table scan\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"filters did not reach the parquet scan\n$p")
+  }
+
   test("q196: all three rank functions share ONE Window node — one exchange, one sort") {
     val p = plan(operators.Relational.q196.build(spark, sfDir))
     val windows = p.linesIterator.count(_.matches(""".*\bWindow \(\d+\)\s*$"""))
