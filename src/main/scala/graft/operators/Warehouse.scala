@@ -4117,10 +4117,78 @@ object Warehouse {
       GROUP BY fy, period
       ORDER BY fy, period"""))
 
+  /** DELETION-VECTOR merge-on-read — the lakehouse read path q116's
+    * key-based delta log doesn't cover: modern table formats (Delta DVs,
+    * Iceberg positional deletes) mark deleted rows by (file, row
+    * position) bitmap, and every read anti-joins the scan against the
+    * vector without rewriting a single data file. Exercised on real
+    * files: the fact spools as TWO deterministically-sorted parquet
+    * files (orderkey parity split, each sorted by orderkey — the sort
+    * contract the oracle reproduces positions from); the DV is built the
+    * way a DELETE builds it (scan → predicate → project `_metadata
+    * .file_path`/`row_index`), here a pure POSITION predicate (every
+    * 10th row plus the [100, 150) run — a bitmap run) so correctness
+    * proves positional addressing, not value filtering; the DV is then
+    * pinned (a production DV is a tiny persisted bitmap) and the serving
+    * read is ONE scan + a broadcast ANTI-join on (file, position) — no
+    * fact re-shuffle, which PlanSpec pins. The oracle never sees files:
+    * it re-derives each row's position from the sort contract
+    * (row_number per parity class) and applies the same bitmap
+    * arithmetic — equal hashes prove the (file, row_index) addressing
+    * round-trips the storage layout exactly. */
+  val q275 = GraftQuery(
+    "q275_deletion_vectors",
+    "Positional-delete merge-on-read: (file, row_index) DV anti-join, no file rewrite",
+    (s, dir) => {
+      val spool = spoolDir(
+        s"q275_dv_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(spool, "even", "_SUCCESS"))) {
+        val o = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        o.filter(col("o_orderkey") % 2 === 0).orderBy("o_orderkey")
+          .coalesce(1).write.mode("overwrite").parquet(s"$spool/even")
+        o.filter(col("o_orderkey") % 2 === 1).orderBy("o_orderkey")
+          .coalesce(1).write.mode("overwrite").parquet(s"$spool/odd")
+      }
+      val scan = s.read.parquet(s"$spool/even", s"$spool/odd")
+        .select(col("_metadata.file_path").as("fp"),
+          col("_metadata.row_index").as("ri"),
+          col("o_orderkey"), col("o_totalprice"))
+      // the DELETE: compute positions once, pin the vector (a production
+      // DV is a persisted bitmap file loaded at read time)
+      val dv = scan
+        .filter(col("ri") % 10 === 3 || (col("ri") >= 100 && col("ri") < 150))
+        .select("fp", "ri")
+        .localCheckpoint(true)
+      // the serving read: one scan, broadcast anti-join on position
+      scan.join(broadcast(dv), Seq("fp", "ri"), "left_anti")
+        .groupBy((col("o_orderkey") % 2).as("parity"))
+        .agg(count(lit(1)).as("n_live"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("live_cents"),
+          min(col("o_orderkey")).as("first_key"),
+          max(col("o_orderkey")).as("last_key"))
+        .orderBy("parity")
+    },
+    Some("""
+      WITH pos AS (
+        SELECT o_orderkey, o_totalprice, o_orderkey % 2 AS parity,
+               row_number() OVER (PARTITION BY o_orderkey % 2
+                 ORDER BY o_orderkey) - 1 AS ri
+        FROM orders)
+      SELECT parity, count(*) AS n_live,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS live_cents,
+             min(o_orderkey) AS first_key,
+             max(o_orderkey) AS last_key
+      FROM pos
+      WHERE NOT (ri % 10 = 3 OR (ri >= 100 AND ri < 150))
+      GROUP BY parity
+      ORDER BY parity"""))
+
   val all: Seq[GraftQuery] = Seq(q58, q59, q60, q61, q65, q66, q72, q74, q76,
     q77, q81, q85, q88, q93, q94, q97, q101, q105, q106, q109, q110, q111,
     q115, q116, q117, q120, q121, q124, q125, q126, q127, q136, q140, q142,
     q162, q164, q165, q168, q172, q173, q178, q181, q186, q188, q191,
     q195, q197, q198, q199, q205, q208, q209, q230, q231, q233, q234, q236,
-    q237, q242, q243, q247, q248, q249, q250, q254)
+    q237, q242, q243, q247, q248, q249, q250, q254, q275)
 }

@@ -1427,6 +1427,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"filters did not reach the parquet scan\n$p")
   }
 
+  test("q275: the DV merge-on-read is a broadcast ANTI-join — no fact re-shuffle") {
+    val p = plan(operators.Warehouse.q275.build(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"DV filter is not a broadcast anti-join\n$p")
+    // the serving read scans the spool once; the DV side is the pinned
+    // checkpoint (ExistingRDD/LocalTableScan), never a second file scan
+    val spoolScans = p.linesIterator.count(l =>
+      l.contains("Location:") && l.contains("q275_dv"))
+    assert(spoolScans == 1, s"$spoolScans spool scans in the serving read\n$p")
+    val shuffles = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(shuffles <= 1, s"$shuffles hash exchanges — expected only the parity rollup\n$p")
+  }
+
   test("q196: all three rank functions share ONE Window node — one exchange, one sort") {
     val p = plan(operators.Relational.q196.build(spark, sfDir))
     val windows = p.linesIterator.count(_.matches(""".*\bWindow \(\d+\)\s*$"""))
