@@ -106,6 +106,38 @@ object Bench {
     }
     val results = (artifactTimes ++ queryResults).toMap
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    // Per-query regression gate (VERDICT r9 item 6): compare against the
+    // committed sf0.1 time ledger (BENCH_LEDGER.json, regenerated each
+    // round from a clean full run). A query is flagged when it runs
+    // > 1.5x its ledger time AND the excess is over 0.3s (sub-second
+    // entries jitter by scheduler noise, not plan regressions). The gate
+    // only speaks when the sample is clean — loadavg_start < 2 — so a
+    // co-tenant-poisoned run can't cry wolf (the r8 329s confusion, made
+    // mechanically self-adjudicating).
+    val regressionTag: String = {
+      val ledgerFile = new java.io.File("BENCH_LEDGER.json")
+      if (!ledgerFile.isFile || !sfDir.endsWith("sf0.1") || loadStart >= 2.0) ""
+      else {
+        val txt = scala.io.Source.fromFile(ledgerFile)
+        val ledger = try {
+          """"([^"]+)"\s*:\s*([0-9.]+)""".r
+            .findAllMatchIn(txt.mkString)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        } finally txt.close()
+        val regressed = results.toSeq.collect {
+          case (name, t) if t > 0 && ledger.get(name).exists(l =>
+            t > l * 1.5 && t - l > 0.3) =>
+            name -> (t, ledger(name))
+        }.sortBy(-_._2._1)
+        if (regressed.isEmpty) """"n_regressed":0,"""
+        else {
+          val shown = regressed.take(10).map { case (n, (t, l)) =>
+            "\"" + n + ":" + f"$t%.2f" + "/" + f"$l%.2f" + "\""
+          }.mkString("[", ",", "]")
+          s""""n_regressed":${regressed.size},"regressed":$shown,"""
+        }
+      }
+    }
     // The harness captures only a bounded tail of stdout (2000 chars observed
     // in round 1, where the full-precision 63-query line overflowed and failed
     // to parse). Emit 3-decimal values and, if the line still wouldn't fit
@@ -132,7 +164,7 @@ object Bench {
           val shown = failedNames.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
           s""""n_failed":${failedNames.size},"failed":$shown,"""
         }
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$filteredTag$failedTag"n_queries":${queryResults.size},"n_artifacts":${artifactTimes.size},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg())},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$filteredTag$failedTag$regressionTag"n_queries":${queryResults.size},"n_artifacts":${artifactTimes.size},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg())},"queries":$qs,"sf":"$sfDir"}"""
     }
     // full per-query detail for humans, one line each (may scroll off the tail)
     results.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"# bench $k ${fmt(v)}") }

@@ -2985,7 +2985,93 @@ object Dedup {
              CAST((2 * conc + tied) * 10000 // (2 * total) AS BIGINT) AS auc_bp
       FROM counts CROSS JOIN cross_sums"""))
 
+  /** EXACT-SUBSTRING dedup spans (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022) — the third dedup
+    * granularity after document-level (d1/d2) and within-doc repetition
+    * (Gopher t9): find the exact duplicated SPANS — runs of ≥ K
+    * consecutive words whose every K-window recurs ANYWHERE in the corpus
+    * (cross-doc or within-doc) — the spans that paper removes from
+    * training data outright. The suffix-array construction it uses is
+    * single-machine; the distributed equivalent here anchors on K-word
+    * window digests (one explode + one digest-keyed groupBy — the shuffle
+    * carries 8-byte digests, never text), marks windows whose digest
+    * occurs ≥ 2 times corpus-wide, and merges each doc's overlapping
+    * duplicated windows into maximal spans with one gaps-and-islands pass
+    * (per-doc window, integer arithmetic). A window-digest collision
+    * could only widen a span, never corrupt counts — and the oracle
+    * recomputes with the same digests, so even that is hash-checked.
+    * Output: per-doc span count, duplicated-word count, and dup fraction
+    * in bp for every affected doc. At 100 TB: fan-out is linear in corpus
+    * size (one row per window), the heavy groupBy is on fixed-width
+    * digests, and the island merge is row-local per doc. */
+  val d36 = GraftQuery(
+    "d36_substring_dedup_spans",
+    "Exact duplicated substring spans (>= 10-word runs recurring corpus-wide), per-doc bp",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 10
+      val ws = table(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"), size(col("ws")).as("n_words"), col("ws"))
+        .filter(col("n_words") >= K)
+      val grams = ws.select(col("doc_id"), col("n_words"),
+        posexplode(expr(
+          s"""transform(sequence(1, size(ws) - ${K - 1}),
+              i -> CAST(conv(substring(md5(concat_ws(' ', slice(ws, i, $K))), 1, 15), 16, 10) AS BIGINT))""")))
+        .toDF("doc_id", "n_words", "i", "gh")
+      val dupG = grams.groupBy("gh").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2).select("gh")
+      val dupPos = grams.join(dupG, "gh").select("doc_id", "n_words", "i")
+      // gaps-and-islands: windows at i and i' overlap into one span when
+      // i' ≤ i + K; island id = running count of gap-breaks per doc
+      val byDoc = Window.partitionBy("doc_id").orderBy("i")
+      val spans = dupPos
+        .withColumn("brk",
+          when(col("i") > lag(col("i"), 1, -K).over(byDoc) + K, 1L).otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "n_words", "island")
+        .agg((max(col("i")) - min(col("i")) + K).as("span_words"))
+      spans.groupBy("doc_id", "n_words")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_words")).as("dup_words"))
+        .select(col("doc_id"), col("n_spans"), col("dup_words"),
+          expr("dup_words * 10000 div n_words").as("dup_bp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                 FROM documents),
+      sized AS (SELECT doc_id, len(ws) AS n_words, ws FROM w
+                WHERE len(ws) >= 10),
+      grams AS (SELECT doc_id, n_words, CAST(i AS BIGINT) AS i,
+                       CAST(concat('0x', substr(md5(array_to_string(
+                         list_slice(ws, CAST(i AS INTEGER),
+                           CAST(i + 9 AS INTEGER)), ' ')), 1, 15)) AS BIGINT)
+                         AS gh
+                FROM sized, UNNEST(range(1, len(ws) - 8)) AS t(i)),
+      dupg AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+      duppos AS (SELECT g.doc_id, g.n_words, g.i
+                 FROM grams g JOIN dupg USING (gh)),
+      brk AS (SELECT doc_id, n_words, i,
+                     CASE WHEN i > coalesce(lag(i) OVER (PARTITION BY doc_id
+                       ORDER BY i), -10) + 10 THEN 1 ELSE 0 END AS brk
+              FROM duppos),
+      isl AS (SELECT doc_id, n_words, i,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS UNBOUNDED PRECEDING) AS island
+              FROM brk),
+      spans AS (SELECT doc_id, n_words, island,
+                       max(i) - min(i) + 10 AS span_words
+                FROM isl GROUP BY 1, 2, 3)
+      SELECT doc_id, count(*) AS n_spans,
+             CAST(sum(span_words) AS BIGINT) AS dup_words,
+             CAST(sum(span_words) AS BIGINT) * 10000 // n_words AS dup_bp
+      FROM spans
+      GROUP BY doc_id, n_words
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
     d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
-    d26, d27, d28, d29, d30, d31, d32, d33, d34, d35)
+    d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36)
 }
