@@ -139,11 +139,14 @@ object Dedup {
       val found = d2Confirmed(s, dir).select("doc1", "doc2")
       // exact bounded truth over doc_id < 3000 (the d3 <300 slice is
       // pair-free at sf0.1; <3000 carries 95 J ≥ 0.5 pairs), computed via
-      // the PPJoin prefix stage at τ = 0.49 — exact recall for J ≥ 0.5
-      // with candidate-bounded fan-out instead of the quadratic
-      // hot-shingle self-join (the d25 lesson). Thresholds integer-exact:
-      // J ≥ 0.5 ⟺ 2·inter ≥ union, J ≥ 0.6 ⟺ 5·inter ≥ 3·union.
-      val (raw, sh) = ppJoinPairStage(s, dir, 3000, 49)
+      // the PPJoin prefix stage at τ = 0.50 — the prefix pigeonhole is
+      // INCLUSIVE at J ≥ τ (overlap ≥ τ·n₁ under the size bound, and the
+      // suffix holds at most ⌈τ·n₁⌉ − 1 tokens), and the J thresholds are
+      // integer-exact (J ≥ 0.5 ⟺ 2·inter ≥ union, J ≥ 0.6 ⟺ 5·inter ≥
+      // 3·union), so no sub-τ safety margin is needed — running at the
+      // exact floor keeps prefixes (and candidate fan-out) minimal
+      // (measured 8.2 s → 5.1 s standalone at sf0.1 vs τ = 0.49).
+      val (raw, sh) = ppJoinPairStage(s, dir, 3000, 50)
       val truth = raw
         .withColumn("un", col("n1") + col("n2") - col("inter"))
         .filter(col("inter") * 2 >= col("un"))
