@@ -3916,9 +3916,153 @@ object TextAnalysis {
       WHERE coalesce(a.n_prev_distinct, 0) + coalesce(b.n_next_distinct, 0) >= 5
       ORDER BY w"""))
 
+  /** TRAINED document classifier — multinomial Naive Bayes with add-one
+    * smoothing, trained IN-ENGINE (the fastText-classifier role in a
+    * training-data pipeline: lang-ID / quality routing by a model fit on
+    * the corpus itself, not a heuristic): an 80/20 doc_id-modulus split,
+    * per-(class, word) counts from the train split (one explode + one
+    * digest-width groupBy — the model IS a DataFrame), then test docs
+    * score every class as log P(c) + Σ_w n_d(w)·log((cnt_{c,w}+1)/(N_c+V))
+    * and argmax with a fixed class-preference tiebreak on the ROUNDED
+    * score (both engines round before comparing, so reduction-order ulp
+    * noise can't flip a winner). t1 is the heuristic twin; this is the
+    * learned one, and the oracle retrains the identical model — the whole
+    * fit/score path is hash-checked. At 100 TB: the model table is
+    * |V|·|classes| rows (broadcastable), scoring is one join + one
+    * per-doc aggregate. */
+  val t65 = GraftQuery(
+    "t65_naive_bayes_langid",
+    "In-engine-trained multinomial NB language classifier: 80/20 split, per-doc argmax, agreement",
+    (s, dir) => {
+      import s.implicits._
+      val langs = Seq("en", "de", "fr", "es", "zh")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      val ttok = train.select(col("lang").as("c"), explode(col("ws")).as("w"))
+      val counts = ttok.groupBy("c", "w").agg(count(lit(1)).as("cnt"))
+      val classTot = ttok.groupBy("c").agg(count(lit(1)).as("nc"))
+      val vocab = ttok.select("w").distinct().agg(count(lit(1)).as("v"))
+      val priors = train.groupBy(col("lang").as("c"))
+        .agg(count(lit(1)).as("ndocs"))
+        .crossJoin(broadcast(train.agg(count(lit(1)).as("ntot"))))
+      val pref = langs.zipWithIndex.toDF("c", "pos")
+      val scored = test.select(col("doc_id"), col("lang"), explode(col("ws")).as("w"))
+        .crossJoin(broadcast(pref))
+        .join(counts, Seq("c", "w"), "left")
+        .join(broadcast(classTot), "c")
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"), col("lang"), col("c"), col("pos"))
+        .agg(sum(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+          (col("nc") + col("v")))).as("ll"))
+        .join(broadcast(priors), "c")
+        .withColumn("score",
+          round(col("ll") + log(col("ndocs").cast("double") / col("ntot")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("score"), col("pos"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("lang"), col("c").as("predicted"),
+          (col("c") === col("lang")).as("agree"), col("score"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH docs AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+                    FROM documents),
+      train AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+      test AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+      ttok AS (SELECT lang AS c, unnest(ws) AS w FROM train),
+      counts AS (SELECT c, w, count(*) AS cnt FROM ttok GROUP BY c, w),
+      classtot AS (SELECT c, count(*) AS nc FROM ttok GROUP BY c),
+      vocab AS (SELECT count(DISTINCT w) AS v FROM ttok),
+      priors AS (SELECT lang AS c, count(*) AS ndocs,
+                        (SELECT count(*) FROM train) AS ntot
+                 FROM train GROUP BY lang),
+      pref AS (SELECT * FROM (VALUES ('en', 0), ('de', 1), ('fr', 2),
+                                     ('es', 3), ('zh', 4)) AS t(c, pos)),
+      ttest AS (SELECT doc_id, lang, unnest(ws) AS w FROM test),
+      scored AS (
+        SELECT tt.doc_id, tt.lang, p.c, p.pos,
+               round(sum(ln(CAST(coalesce(cn.cnt, 0) + 1 AS DOUBLE)
+                   / (ct.nc + vb.v)))
+                 + ln(CAST(pr.ndocs AS DOUBLE) / pr.ntot), 4) AS score
+        FROM ttest tt
+        CROSS JOIN pref p
+        LEFT JOIN counts cn ON cn.c = p.c AND cn.w = tt.w
+        JOIN classtot ct ON ct.c = p.c
+        CROSS JOIN vocab vb
+        JOIN priors pr ON pr.c = p.c
+        GROUP BY tt.doc_id, tt.lang, p.c, p.pos, pr.ndocs, pr.ntot),
+      win AS (SELECT doc_id, lang, c, score,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, pos) AS rk
+              FROM scored)
+      SELECT doc_id, lang, c AS predicted, c = lang AS agree, score
+      FROM win WHERE rk = 1
+      ORDER BY doc_id"""))
+
+  /** DSIR — data selection via importance resampling (Xie et al.,
+    * NeurIPS 2023), the published scale answer to "pick the corpus
+    * subset that looks like the target domain": hashed n-gram features
+    * (here unigram digests folded into 64 buckets), bag-of-buckets
+    * language models for target (the en slice, standing in for the
+    * curated domain) and source (the whole corpus), per-doc importance
+    * weight log w(d) = Σ_b n_d(b)·(log p̂_t(b) − log p̂_s(b)), then keep
+    * the top-k. The bucket log-ratio table is 64 rows (broadcast
+    * everywhere); the per-doc weight is one join + one aggregate — at
+    * 100 TB the whole selector is two scans. Deterministic end to end
+    * (hash buckets, add-one smoothing, 4 dp rounding before the rank cut)
+    * → fully hash-checked; the selected set's en-enrichment is visible in
+    * the output's lang column. */
+  val t66 = GraftQuery(
+    "t66_dsir_selection",
+    "DSIR importance-weighted data selection: hashed-bucket LM ratio, top-200 docs",
+    (s, dir) => {
+      val tok = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+        .withColumn("b", expr(
+          "CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % 64"))
+      val srcTot = tok.agg(count(lit(1)).as("ns"))
+      val tgtTot = tok.filter(col("lang") === "en").agg(count(lit(1)).as("nt"))
+      val ratios = tok.groupBy("b")
+        .agg(count(lit(1)).as("cs"),
+          count(when(col("lang") === "en", true)).as("ct"))
+        .crossJoin(broadcast(srcTot)).crossJoin(broadcast(tgtTot))
+        .select(col("b"),
+          (log((col("ct") + 1).cast("double") / (col("nt") + 64)) -
+            log((col("cs") + 1).cast("double") / (col("ns") + 64))).as("lr"))
+      tok.join(broadcast(ratios), "b")
+        .groupBy("doc_id", "lang")
+        .agg(round(sum(col("lr")), 4).as("log_weight"))
+        .orderBy(desc("log_weight"), col("doc_id"))
+        .limit(200)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(unnest(string_split(lower(text),
+                 ' '))), 1, 8)) AS BIGINT) % 64 AS b
+        FROM documents),
+      tots AS (SELECT count(*) AS ns,
+                      count(CASE WHEN lang = 'en' THEN 1 END) AS nt
+               FROM tok),
+      ratios AS (
+        SELECT b,
+               ln(CAST(count(CASE WHEN lang = 'en' THEN 1 END) + 1 AS DOUBLE)
+                   / (tots.nt + 64))
+                 - ln(CAST(count(*) + 1 AS DOUBLE) / (tots.ns + 64)) AS lr
+        FROM tok, tots
+        GROUP BY b, tots.ns, tots.nt)
+      SELECT t.doc_id, t.lang, round(sum(r.lr), 4) AS log_weight
+      FROM tok t JOIN ratios r USING (b)
+      GROUP BY t.doc_id, t.lang
+      ORDER BY log_weight DESC, t.doc_id
+      LIMIT 200"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
     t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54, t55, t56, t57,
-    t58, t59, t60, t61, t62, t63, t64)
+    t58, t59, t60, t61, t62, t63, t64, t65, t66)
 }
