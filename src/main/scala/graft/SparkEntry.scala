@@ -50,6 +50,8 @@ object SparkEntry {
         ((s, d) => { operators.Similarity.s8Codebooks(s, d); () }),
       "x_ann_ivfpq_train" ->
         ((s, d) => { operators.Similarity.s9Codebooks(s, d); () }),
+      "x_ann_pca_train" ->
+        ((s, d) => { operators.Similarity.pcaModel(s, d); () }),
       "x_compaction_spool" ->
         ((s, d) => { operators.Warehouse.compactionSpools(s, d); () }))
 }

@@ -3150,6 +3150,117 @@ object Similarity {
       JOIN sums sj ON sj.dim = p.j
       ORDER BY p.i, p.j"""))
 
+  /** Top-k eigenpairs of a symmetric matrix by cyclic Jacobi rotation —
+    * the driver-side half of s37's PCA (64×64 = bounded model state, the
+    * coarseCentroids discipline). Deterministic: fixed sweep order, fixed
+    * sweep count, no pivot search randomness. Returns (eigenvalues desc,
+    * eigenvectors as rows) for the FULL spectrum; callers slice. */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to 12; p <- 0 until n - 1; q <- p + 1 until n) {
+      if (math.abs(a(p)(q)) > 1e-12) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (k <- 0 until n) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - s * akq
+          a(k)(q) = s * akp + c * akq
+        }
+        for (k <- 0 until n) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - s * aqk
+          a(q)(k) = s * apk + c * aqk
+        }
+        for (k <- 0 until n) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - s * vkq
+          v(k)(q) = s * vkp + c * vkq
+        }
+      }
+    }
+    val order = (0 until n).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => (0 until n).map(k => v(k)(i)).toArray).toArray)
+  }
+
+  /** s37's eigendecomposition — model state memoized per (sf, JVM) like
+    * centroids/codebooks, charged as the x_ann_pca_train bench line. */
+  private[graft] def pcaModel(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Array[Double], Array[Array[Double]]) =
+    modelCache.computeIfAbsent("pca:" + dir, _ => {
+      val n = 64
+      val cov = Array.ofDim[Double](n, n)
+      s35.build(s, dir).collect().foreach { r =>
+        val (i, j) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1)
+        val num = r.getLong(4).toDouble
+        cov(i)(j) = num; cov(j)(i) = num
+      }
+      jacobiEigen(cov)
+    }).asInstanceOf[(Array[Double], Array[Array[Double]])]
+
+  /** PCA — the LEARNED dimensionality reduction the embedding family
+    * lacked (Matryoshka s-entries truncate; PCA rotates first): exact
+    * integer covariance numerators from s35's distributed pass (uniform
+    * scaling preserves eigenvectors and variance RATIOS), eigen-
+    * decomposed on the driver by deterministic cyclic Jacobi (64×64 —
+    * bounded model state, the trained-index discipline), top-8
+    * components broadcast back as literals, and the whole corpus
+    * projected + reconstructed in one row-local pass. Eigenvectors are
+    * engine-float-specific, so the entry folds THREE bounds the oracle
+    * asserts as literal TRUE (the q62 pattern): var_captured_ok (top-8
+    * eigenvalue mass ≥ 15% of trace), recon_ok (measured corpus-wide
+    * reconstruction identity 1 − Σ‖x−x̂‖²/Σ‖x−x̄‖² ≥ the same floor),
+    * and consistent_ok (the two agree within 1% absolute — the
+    * projection really IS the eigendecomposition it claims). At 100 TB:
+    * one covariance pass (row-local pair expansion + 2080-key groupBy),
+    * one projection pass; the model never exceeds 64×64. */
+  val s37 = GraftQuery(
+    "s37_pca_projection",
+    "PCA: distributed covariance -> driver Jacobi -> top-8 projection, bounds hash-gated",
+    (s, dir) => {
+      val K = 8
+      val n = 64
+      val (eig, vecs) = pcaModel(s, dir)
+      val trace = eig.sum
+      val topMass = eig.take(K).sum
+      val varCapturedOk = topMass >= 0.15 * trace
+      val vCols = array(vecs.take(K).map(row =>
+        array(row.map(x => lit(x)): _*)): _*)
+      val mean = table(s, dir, "embeddings")
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        .agg(array((0 until n).map(i => avg(element_at(col("e"), i + 1))): _*).as("mu"))
+      val stats = table(s, dir, "embeddings")
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        .crossJoin(broadcast(mean))
+        .withColumn("c", zip_with(col("e"), col("mu"), (a, b) => a - b))
+        .withColumn("vs", vCols)
+        // proj_k = <c, v_k>; x̂ = Σ proj_k·v_k; both row-local
+        .withColumn("proj", expr(
+          "transform(vs, v -> aggregate(zip_with(c, v, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"))
+        .withColumn("recon", expr(
+          s"""transform(sequence(1, $n), i ->
+                aggregate(zip_with(proj, vs, (p, v) -> p * element_at(v, i)),
+                  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"""))
+        .select(
+          expr("aggregate(zip_with(c, recon, (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("err"),
+          expr("aggregate(c, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)").as("tot"))
+        .agg(count(lit(1)).as("n_vectors"), sum("err").as("serr"), sum("tot").as("stot"))
+        .select(col("n_vectors"),
+          (lit(1.0) - col("serr") / col("stot")).as("explained"))
+      stats.select(col("n_vectors"), lit(K.toLong).as("k"),
+        lit(varCapturedOk).as("var_captured_ok"),
+        (col("explained") >= 0.15).as("recon_ok"),
+        (abs(col("explained") - lit(topMass / trace)) < 0.01).as("consistent_ok"))
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_vectors, CAST(8 AS BIGINT) AS k,
+             TRUE AS var_captured_ok, TRUE AS recon_ok, TRUE AS consistent_ok
+      FROM embeddings"""))
+
   /** EXACT TOP-K ANN THROUGH THE CUSTOM OPERATOR — the brute-force
     * scoring pass (s1's broadcast × corpus shape) with the top-k
     * SELECTION running through GroupedTopKExec (plans/GroupedTopK.scala)
@@ -3202,5 +3313,5 @@ object Similarity {
 
   val all: Seq[GraftQuery] = Seq(s1, s2, s3, s4, s5, s6, s7, s8, s9, s10, s11,
     s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26,
-    s27, s28, s29, s30, s31, s32, s33, s34, s35, s36)
+    s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37)
 }

@@ -232,6 +232,32 @@ class QualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("s37: PCA bounds hold and the projection matches its eigendecomposition") {
+    val r = operators.Similarity.s37.build(spark, sfDir).collect()(0)
+    assert(r.getLong(0) > 0 && r.getLong(1) == 8L, r.toString)
+    assert(r.getBoolean(2), "top-8 eigenvalue mass under the 15% floor")
+    assert(r.getBoolean(3), "measured reconstruction identity under the 15% floor")
+    assert(r.getBoolean(4),
+      "projection disagrees >1% with the eigendecomposition it claims")
+  }
+
+  test("jacobiEigen: recovers a known spectrum") {
+    // diag(5, 2, 1) rotated by a fixed 3D rotation — eigenvalues must
+    // come back (5, 2, 1) in descending order within 1e-9
+    val d = Array(5.0, 2.0, 1.0)
+    val theta = 0.7
+    val (c, s) = (math.cos(theta), math.sin(theta))
+    // rotate in the (0,1) plane: A = R diag Rᵀ
+    val r = Array(Array(c, -s, 0.0), Array(s, c, 0.0), Array(0.0, 0.0, 1.0))
+    val a = Array.tabulate(3, 3)((i, j) =>
+      (0 until 3).map(k => r(i)(k) * d(k) * r(j)(k)).sum)
+    val (eig, vecs) = operators.Similarity.jacobiEigen(a)
+    (0 until 3).foreach(i => assert(math.abs(eig(i) - d(i)) < 1e-9, eig.mkString(",")))
+    // eigenvector for the 5-eigenvalue must align with the rotated e0
+    val dot = math.abs(vecs(0)(0) * c + vecs(0)(1) * s)
+    assert(math.abs(dot - 1.0) < 1e-9, s"top eigenvector misaligned: $dot")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
