@@ -3961,11 +3961,90 @@ object Relational {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  /** SQL-DEFINED FUNCTIONS (Spark 4's CREATE FUNCTION … RETURN expr) —
+    * the warehouse's shared-business-logic seam: scalar logic written
+    * ONCE in SQL, inlined by the analyzer into every caller (no UDF
+    * serialization wall, stays in whole-stage codegen — unlike a Scala
+    * closure UDF, the optimizer sees through it). A cents converter and
+    * a price-band classifier are created as temporary SQL functions and
+    * drive a grouped rollup; the oracle expands the definitions by hand,
+    * so equal hashes prove the inlining is semantics-preserving. Session-
+    * scoped (newSession hygiene — q122's discipline for session-global
+    * surface). */
+  val q276 = GraftQuery(
+    "q276_sql_udf",
+    "SQL-defined scalar functions (CREATE FUNCTION ... RETURN): analyzer-inlined, codegen-safe",
+    (s, dir) => {
+      val s2 = s.newSession()
+      table(s2, dir, "orders").createOrReplaceTempView("orders_v")
+      s2.sql("""CREATE OR REPLACE TEMPORARY FUNCTION cents(p DOUBLE)
+        RETURNS BIGINT RETURN CAST(round(p * 100) AS BIGINT)""")
+      s2.sql("""CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+        RETURNS STRING RETURN CASE WHEN p < 100000 THEN 'low'
+          WHEN p < 250000 THEN 'mid' ELSE 'high' END""")
+      s2.sql("""
+        SELECT price_band(o_totalprice) AS band,
+               count(*) AS n,
+               sum(cents(o_totalprice)) AS total_cents,
+               max(cents(o_totalprice)) AS max_cents
+        FROM orders_v
+        GROUP BY price_band(o_totalprice)
+        ORDER BY band""")
+    },
+    Some("""
+      SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                  WHEN o_totalprice < 250000 THEN 'mid'
+                  ELSE 'high' END AS band,
+             count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+      FROM orders
+      GROUP BY 1
+      ORDER BY band"""))
+
+  /** SESSION VARIABLES + PARAMETERIZED SQL (Spark 4): DECLARE/SET
+    * VARIABLE carries session state the way dashboards and notebook
+    * pipelines parameterize repeated queries, and spark.sql(text, args)
+    * binds named parameter markers WITHOUT string interpolation — the
+    * injection-safe form every programmatic SQL caller should use. The
+    * query mixes both: the cutoff lives in a session variable (set, then
+    * RE-set — the read must see the latest value) and the status filter
+    * arrives as a named parameter. The oracle inlines the final
+    * literals. */
+  val q277 = GraftQuery(
+    "q277_session_vars_params",
+    "DECLARE/SET VARIABLE + named-parameter spark.sql: injection-safe parameterization",
+    (s, dir) => {
+      val s2 = s.newSession()
+      table(s2, dir, "orders").createOrReplaceTempView("orders_v")
+      s2.sql("DECLARE OR REPLACE VARIABLE cutoff DOUBLE DEFAULT 50000.0")
+      s2.sql("SET VARIABLE cutoff = 150000.0")
+      s2.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS total_cents
+           FROM orders_v
+           WHERE o_totalprice > cutoff AND o_orderstatus = :st
+           GROUP BY o_orderpriority
+           ORDER BY o_orderpriority""",
+        Map("st" -> "F"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM orders
+      WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q7, q8, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
     q99, q108, q112, q113, q114, q119, q122, q131, q138, q141, q144, q145,
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
     q182, q185, q196, q202, q204, q210, q211, q213, q215, q219, q221, q222,
-    q223, q224, q225, q232, q235, q240, q244, q245, q251, q253, q255, q257)
+    q223, q224, q225, q232, q235, q240, q244, q245, q251, q253, q255, q257,
+    q276, q277)
 }

@@ -1440,6 +1440,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles <= 1, s"$shuffles hash exchanges — expected only the parity rollup\n$p")
   }
 
+  test("q276: SQL-defined functions are analyzer-inlined — no UDF node, codegen intact") {
+    val p = plan(operators.Relational.q276.build(spark, sfDir))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"SQL function was not inlined\n$p")
+    assert(p.contains("WholeStageCodegen"), s"inlined plan fell out of codegen\n$p")
+  }
+
   test("q196: all three rank functions share ONE Window node — one exchange, one sort") {
     val p = plan(operators.Relational.q196.build(spark, sfDir))
     val windows = p.linesIterator.count(_.matches(""".*\bWindow \(\d+\)\s*$"""))
