@@ -1266,7 +1266,9 @@ object StreamingOps {
       .map(k => s"x_spool_$k" ->
         ((s: SparkSession, d: String) => { fileSpool(s, k, d); () })) ++
     Seq("x_spool_st18dlq" ->
-      ((s: SparkSession, d: String) => { dlqSpool(s, d); () }))
+      ((s: SparkSession, d: String) => { dlqSpool(s, d); () }),
+    "x_spool_st37inc" ->
+      ((s: SparkSession, d: String) => { st37Spool(s, d); () }))
 
   /** st18's corrupted-JSON text spool (q79's poison shape). Keyed by sf
     * dir via the spool name; built once per (sf, JVM) — the _SUCCESS
@@ -2669,8 +2671,72 @@ object StreamingOps {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** st37's incoming-crawl spool: the doc_id % 3 == 0 slice of documents,
+    * written once per (sf, JVM) — the stream side of the ingest-dedup
+    * entry (the corpus side stays a static frame). */
+  private def st37Spool(s: SparkSession, dir: String): String = {
+    val spool = spoolDir(s"st37inc_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(spool, "_SUCCESS")))
+      table(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .coalesce(2).write.mode("overwrite").parquet(spool)
+    spool
+  }
+
+  /** STREAMING INGEST DEDUP — the first funnel stage of a continuously-fed
+    * training corpus, run where it actually runs in production: ON THE
+    * INGEST STREAM. Incoming documents arrive as a stream; each is checked
+    * against the EXISTING corpus's canonical-key index (d1's exact-dedup
+    * digest — sha2 of the normalized 5-word prefix) by a stream-static
+    * broadcast join, and the per-language admission report (arrived /
+    * duplicate / novel) accumulates in a streaming aggregate. No state
+    * grows with the corpus on the stream side — the dedup knowledge lives
+    * in the (broadcastable, at scale bucketed) static index, which is why
+    * exact-key dedup is the one stage that stays O(1)/doc at 100 TB
+    * ingest; d15 is the near-dup (LSH) tier of the same posture, batch.
+    * The oracle recomputes the whole admission report from the batch
+    * split — equal hashes prove stream-side dedup decisions match batch
+    * semantics row-for-row. */
+  val st37 = GraftQuery(
+    "st37_stream_ingest_dedup",
+    "Streaming ingest dedup vs the corpus canonical-key index: per-lang admission report",
+    (s, dir) => {
+      val corpusIdx = table(s, dir, "documents")
+        .filter(col("doc_id") % 3 =!= 0)
+        .select(Dedup.canonKey(col("text")).as("k"))
+        .distinct()
+      val spool = st37Spool(s, dir)
+      val schema = s.read.parquet(spool).schema
+      runStream(s, "st37", spool, schema,
+        src => src
+          .withColumn("k", Dedup.canonKey(col("text")))
+          .join(broadcast(corpusIdx.withColumn("hit", lit(1L))), Seq("k"), "left_outer")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_in"),
+            count(col("hit")).as("n_dup"),
+            (count(lit(1)) - count(col("hit"))).as("n_novel")),
+        OutputMode.Complete(), ordered = false, noDataBatch = false,
+        parts = 4)
+        .orderBy("lang")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, lang,
+                        array_to_string(string_split(lower(text), ' ')[1:5], ' ') AS k
+                 FROM documents),
+      corpus AS (SELECT DISTINCT k FROM d WHERE doc_id % 3 <> 0),
+      inc AS (SELECT lang, k,
+                     CASE WHEN k IN (SELECT k FROM corpus) THEN 1 END AS hit
+              FROM d WHERE doc_id % 3 = 0)
+      SELECT lang, count(*) AS n_in,
+             count(hit) AS n_dup,
+             count(*) - count(hit) AS n_novel
+      FROM inc
+      GROUP BY lang
+      ORDER BY lang"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35, st36)
+    st34, st35, st36, st37)
 }
