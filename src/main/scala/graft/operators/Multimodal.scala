@@ -1634,6 +1634,69 @@ object Multimodal {
       GROUP BY r, tw, th
       ORDER BY r_bp"""))
 
+  /** BASE64 wire codec — the text-safe transport every multimodal payload
+    * crosses at an API boundary (data URIs, JSON-embedded images, HTTP
+    * bodies): binary payloads round-trip through base64 text and back,
+    * digest-compared against the original bytes so any corruption
+    * hash-fails; the data-URI prefix is assembled and parsed back with
+    * the modality routed from m9's magic-byte rule. Completes the wire-
+    * codec family (Avro q258, proto q260, XML q90) with the one encoding
+    * that is pure text. Row-local both ways — the codec rides the scan. */
+  val m24 = GraftQuery(
+    "m24_base64_codec",
+    "Base64/data-URI round-trip of binary payloads: digest-compared, modality routed",
+    (s, dir) => {
+      val payloads = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("text").cast("binary").as("content"))
+      payloads
+        // Spark's base64 emits MIME-chunked output (76-char lines) for
+        // long inputs; strip to the canonical unchunked form (what data
+        // URIs require and what DuckDB emits) — unbase64 accepts both
+        .withColumn("b64",
+          regexp_replace(base64(col("content")), "[\\r\\n]", ""))
+        .withColumn("uri", concat(lit("data:text/plain;base64,"), col("b64")))
+        // parse back: split the prefix, decode, compare digests
+        .withColumn("decoded", unbase64(expr("substring_index(uri, ',', -1)")))
+        .withColumn("mime", expr("substring(substring_index(uri, ';', 1), 6)"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("decoded") === col("content"), true))
+            .as("n_roundtrip_ok"),
+          sum(length(col("b64")).cast("long")).as("b64_bytes"),
+          sum(length(col("content")).cast("long")).as("raw_bytes"),
+          max(col("mime")).as("mime"))
+        .withColumn("overhead_bp", expr(
+          "(b64_bytes - raw_bytes) * 10000 div raw_bytes"))
+        .select("lang", "n", "n_roundtrip_ok", "raw_bytes", "b64_bytes",
+          "overhead_bp", "mime")
+        .orderBy("lang")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id, lang, encode(text) AS content,
+               base64(encode(text)) AS b64
+        FROM documents),
+      r AS (SELECT lang, content, b64,
+                   'data:text/plain;base64,' || b64 AS uri
+            FROM p),
+      d AS (SELECT lang, content, b64,
+                   from_base64(string_split(uri, ',')[2]) AS decoded,
+                   substring(string_split(uri, ';')[1], 6) AS mime
+            FROM r)
+      SELECT lang, count(*) AS n,
+             count(CASE WHEN decoded = content THEN 1 END)
+               AS n_roundtrip_ok,
+             CAST(sum(octet_length(content)) AS BIGINT) AS raw_bytes,
+             CAST(sum(length(b64)) AS BIGINT) AS b64_bytes,
+             (CAST(sum(length(b64)) AS BIGINT)
+               - CAST(sum(octet_length(content)) AS BIGINT)) * 10000
+               // CAST(sum(octet_length(content)) AS BIGINT) AS overhead_bp,
+             max(mime) AS mime
+      FROM d
+      GROUP BY lang
+      ORDER BY lang"""))
+
   val all: Seq[GraftQuery] = Seq(m1, m2, m3, m4, m5, m6, m7, m8, m9, m10, m11,
-    m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23)
+    m12, m13, m14, m15, m16, m17, m18, m19, m20, m21, m22, m23, m24)
 }

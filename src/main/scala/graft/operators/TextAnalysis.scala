@@ -4060,9 +4060,90 @@ object TextAnalysis {
       ORDER BY log_weight DESC, t.doc_id
       LIMIT 200"""))
 
+  /** FILL-IN-THE-MIDDLE training-example construction (Bavarian et al.,
+    * "Efficient Training of Language Models to Fill in the Middle",
+    * 2022) — the example-construction family's third member (t12 packs,
+    * t19 chunks, this REARRANGES): each document splits into
+    * (prefix, middle, suffix) at hash-derived cut points (a production
+    * run draws them uniformly; the md5-of-doc_id derivation is the
+    * m2/q256 labeled-stand-in discipline for randomness, making the
+    * transform replayable cross-engine) and reassembles in PSM order
+    * prefix ⊕ <MID> ⊕ suffix ⊕ <MID> ⊕ middle — the format the paper
+    * shows teaches infilling "for free". Entirely row-local (one
+    * projection, no shuffle before the audit rollup); the audit proves
+    * the transform is LOSSLESS (every split reassembles to the original
+    * word sequence) and reports the span-length profile per language. */
+  val t67 = GraftQuery(
+    "t67_fim_construction",
+    "FIM (PSM) example construction: hash-derived splits, lossless audit, span profile",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+        .withColumn("n", size(col("ws")))
+        .filter(col("n") >= 12)
+        // cut points: prefix ends at p1 ∈ [20%, 50%), middle ends at
+        // p2 ∈ (p1, n) — both derived from md5(doc_id) so every engine
+        // draws the same "random" split
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("p1", expr("1 + CAST(n * (20 + h % 30) AS BIGINT) div 100"))
+        .withColumn("p2", expr("p1 + 1 + ((n - p1 - 1) * (h div 100 % 100)) div 100"))
+        .withColumn("prefix", expr("slice(ws, 1, CAST(p1 AS INT))"))
+        .withColumn("middle", expr("slice(ws, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT))"))
+        .withColumn("suffix", expr("slice(ws, CAST(p2 + 1 AS INT), CAST(n - p2 AS INT))"))
+        .withColumn("psm", concat_ws(" ",
+          expr("concat_ws(' ', prefix)"), lit("<MID>"),
+          expr("concat_ws(' ', suffix)"), lit("<MID>"),
+          expr("concat_ws(' ', middle)")))
+        .withColumn("lossless", expr(
+          "concat(prefix, middle, suffix) = ws"))
+      d.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("lossless"), true)).as("n_lossless"),
+          sum(expr("size(middle)").cast("long")).as("middle_words"),
+          sum(col("n").cast("long")).as("total_words"),
+          sum(length(col("psm")).cast("long")).as("psm_chars"))
+        .withColumn("middle_bp", expr("middle_words * 10000 div total_words"))
+        .select("lang", "n_docs", "n_lossless", "middle_bp", "psm_chars")
+        .orderBy("lang")
+    },
+    Some("""
+      WITH d0 AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+        FROM documents),
+      d1 AS (SELECT doc_id, lang, ws, len(ws) AS n,
+                    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS h
+             FROM d0 WHERE len(ws) >= 12),
+      d2 AS (SELECT *,
+                    1 + CAST(n * (20 + h % 30) AS BIGINT) // 100 AS p1
+             FROM d1),
+      d3 AS (SELECT *,
+                    p1 + 1 + ((n - p1 - 1) * (h // 100 % 100)) // 100 AS p2
+             FROM d2),
+      d4 AS (SELECT lang, n, ws,
+                    ws[1 : CAST(p1 AS INTEGER)] AS prefix,
+                    ws[CAST(p1 + 1 AS INTEGER) : CAST(p2 AS INTEGER)] AS middle,
+                    ws[CAST(p2 + 1 AS INTEGER) : CAST(n AS INTEGER)] AS suffix
+             FROM d3),
+      d5 AS (SELECT lang, n, ws, middle,
+                    array_to_string(prefix, ' ') || ' <MID> ' ||
+                      array_to_string(suffix, ' ') || ' <MID> ' ||
+                      array_to_string(middle, ' ') AS psm,
+                    list_concat(list_concat(prefix, middle), suffix) AS back
+             FROM d4)
+      SELECT lang, count(*) AS n_docs,
+             count(CASE WHEN back = ws THEN 1 END) AS n_lossless,
+             CAST(sum(len(middle)) AS BIGINT) * 10000
+               // CAST(sum(n) AS BIGINT) AS middle_bp,
+             CAST(sum(length(psm)) AS BIGINT) AS psm_chars
+      FROM d5
+      GROUP BY lang
+      ORDER BY lang"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
     t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54, t55, t56, t57,
-    t58, t59, t60, t61, t62, t63, t64, t65, t66)
+    t58, t59, t60, t61, t62, t63, t64, t65, t66, t67)
 }
