@@ -1260,6 +1260,61 @@ object Sources {
       FROM audit a JOIN served s USING (event_type)
       ORDER BY a.event_type"""))
 
+  /** SQL DELETE FROM + TRUNCATE through the V2 catalog — the row-level
+    * write contract q190's catalog was missing ([[graft.sources
+    * .MemTableImpl]] now implements SupportsDeleteV2): Spark hands the
+    * WHERE clause down as V2 Predicates and the SOURCE applies it to its
+    * own snapshot — no rewrite job, no shuffle, no executor involvement
+    * (the metadata-only delete Delta/Iceberg run when the predicate
+    * aligns with their transaction log; q275's deletion vectors are the
+    * scan-side analog). Exercised with a compound predicate (OR of an
+    * equality and a range — both legs must translate or canDeleteWhere
+    * refuses and Spark errors instead of deleting wrong rows), then
+    * TRUNCATE TABLE on a second table via the same contract's default
+    * (delete-where ALWAYS_TRUE). The read-back aggregate must equal the
+    * oracle's NOT(predicate) recompute, and the truncated table must
+    * read back empty — proven through one union. */
+  val q278 = GraftQuery(
+    "q278_sql_delete_v2",
+    "DELETE FROM / TRUNCATE TABLE through SupportsDeleteV2: source-side predicate, no rewrite job",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val sfx = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.del_$sfx"
+      val tbl2 = s"graft_cat.corpus.trunc_$sfx"
+      val src = table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      src.writeTo(tbl).partitionedBy(col("status")).create()
+      src.writeTo(tbl2).partitionedBy(col("status")).create()
+      s2.sql(s"DELETE FROM $tbl WHERE status = 'F' OR cents < 10000000")
+      s2.sql(s"TRUNCATE TABLE $tbl2")
+      s2.sql(
+        s"""SELECT status, count(*) AS n, sum(cents) AS total_cents,
+                   min(okey) AS first_key
+            FROM $tbl GROUP BY status
+            UNION ALL
+            SELECT 'TRUNCATED', count(*), coalesce(sum(cents), -1),
+                   coalesce(min(okey), -1)
+            FROM $tbl2
+            ORDER BY status""")
+    },
+    Some("""
+      SELECT o_orderstatus AS status, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             min(o_orderkey) AS first_key
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F'
+                 OR CAST(round(o_totalprice * 100) AS BIGINT) < 10000000)
+      GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'TRUNCATED', 0, -1, -1
+      ORDER BY status"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -1385,5 +1440,5 @@ object Sources {
 
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
-    q217, q220, q226, q227, q246, q258, q259, q260)
+    q217, q220, q226, q227, q246, q258, q259, q260, q278)
 }

@@ -80,8 +80,105 @@ object MemTable {
 
 private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: String)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsMetadataColumns {
+    with SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   override def name(): String = s"graft_mem_table($runId)"
+
+  /** SQL `DELETE FROM` (and, via the default truncateTable(),
+    * `TRUNCATE TABLE`) — [[SupportsDeleteV2]], the metadata-only
+    * row-level write contract: Spark hands the WHERE clause down as V2
+    * Predicates and the SOURCE applies it to its own storage, no rewrite
+    * job, no shuffle, no executor involvement (the q275 deletion-vector
+    * read path is the scan-side analog; this is the commit-side one).
+    * Supported predicate algebra: =, <>, <, <=, >, >=, IN, AND, OR, NOT,
+    * ALWAYS_TRUE/FALSE over long/string columns — `canDeleteWhere`
+    * refuses anything else, making Spark surface the unsupported-delete
+    * error instead of deleting the wrong rows. The swap is atomic and
+    * version-bumping, same as commit. */
+  private def resolve(e: org.apache.spark.sql.connector.expressions.Expression,
+      sch: StructType): Option[Either[Int, Any]] = e match {
+    case f: org.apache.spark.sql.connector.expressions.NamedReference
+        if f.fieldNames().length == 1 =>
+      val i = sch.fieldNames.indexOf(f.fieldNames()(0))
+      if (i >= 0) Some(Left(i)) else None
+    case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+      Some(Right(l.value match {
+        case u: UTF8String => u.toString
+        case i: Integer    => i.longValue
+        case v             => v
+      }))
+    case _ => None
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case _                      => None
+  }
+
+  /** Evaluate (eval = Some(row => …)) or just validate (structural pass
+    * with no row) — one recursion serves canDeleteWhere and deleteWhere. */
+  private def compile(p: org.apache.spark.sql.connector.expressions.filter.Predicate,
+      sch: StructType): Option[Array[Any] => Boolean] = {
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    def sub(i: Int) = p.children()(i) match {
+      case q: Predicate => compile(q, sch)
+      case _            => None
+    }
+    p.name() match {
+      case "ALWAYS_TRUE"  => Some(_ => true)
+      case "ALWAYS_FALSE" => Some(_ => false)
+      case "AND" => for (l <- sub(0); r <- sub(1)) yield (row: Array[Any]) => l(row) && r(row)
+      case "OR"  => for (l <- sub(0); r <- sub(1)) yield (row: Array[Any]) => l(row) || r(row)
+      case "NOT" => sub(0).map(f => (row: Array[Any]) => !f(row))
+      case op @ ("=" | "<>" | "!=" | "<" | "<=" | ">" | ">=") =>
+        (resolve(p.children()(0), sch), resolve(p.children()(1), sch)) match {
+          case (Some(Left(i)), Some(Right(v))) =>
+            Some((row: Array[Any]) => cmp(row(i), v).exists(c => op match {
+              case "="          => c == 0
+              case "<>" | "!=" => c != 0
+              case "<"          => c < 0
+              case "<="         => c <= 0
+              case ">"          => c > 0
+              case ">="         => c >= 0
+            }))
+          case _ => None
+        }
+      case "IN" =>
+        resolve(p.children()(0), sch) match {
+          case Some(Left(i)) =>
+            val vals = p.children().drop(1).map(resolve(_, sch))
+            if (vals.forall(_.exists(_.isRight)))
+              Some((row: Array[Any]) =>
+                vals.exists(v => cmp(row(i), v.get.right.get).contains(0)))
+            else None
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean = {
+    val sch = schema()
+    predicates.forall(compile(_, sch).isDefined)
+  }
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    MemTable.store.synchronized {
+      MemTable.store.get(runId).foreach { snap =>
+        val fns = predicates.flatMap(compile(_, snap.schema))
+        require(fns.length == predicates.length,
+          s"MemTable '$runId': unsupported DELETE predicate")
+        // conjunction semantics: a row is deleted when EVERY predicate holds
+        val kept = snap.parts.map { case (k, rs) =>
+          k -> rs.filterNot(r => fns.forall(_(r)))
+        }.filter(_._2.nonEmpty)
+        MemTable.store.put(runId,
+          MemTable.Snapshot(snap.schema, kept, snap.version + 1))
+      }
+    }
 
   /** METADATA COLUMNS ([[SupportsMetadataColumns]]) — the `_metadata`
     * contract file sources expose (file path, mod time), here at table

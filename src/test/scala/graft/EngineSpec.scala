@@ -525,6 +525,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SupportsDeleteV2: supported predicates delete source-side; unsupported ones REFUSE") {
+    import org.apache.spark.sql.functions._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftSparkCatalog")
+    val tbl = s"graft_cat.spec.del_${System.nanoTime()}"
+    s2.range(10)
+      .select(col("id").as("k"), (col("id") % 2).cast("string").as("p"),
+        (col("id") * 100).as("v"))
+      .writeTo(tbl).partitionedBy(col("p")).create()
+    // translatable compound predicate: applied in the source, rows gone
+    s2.sql(s"DELETE FROM $tbl WHERE k < 3 OR v >= 800")
+    assert(s2.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 5L)
+    // untranslatable predicate (expression over a column): canDeleteWhere
+    // must refuse so Spark raises instead of deleting the wrong rows
+    val e = intercept[Exception] {
+      s2.sql(s"DELETE FROM $tbl WHERE k % 2 = 0")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    assert(s2.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 5L,
+      "refused DELETE must not remove any rows")
+    // TRUNCATE rides the same contract's default (ALWAYS_TRUE delete)
+    s2.sql(s"TRUNCATE TABLE $tbl")
+    assert(s2.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 0L)
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
