@@ -116,7 +116,7 @@ object Bench {
     // mechanically self-adjudicating).
     val regressionTag: String = {
       val ledgerFile = new java.io.File("BENCH_LEDGER.json")
-      if (!ledgerFile.isFile || !sfDir.endsWith("sf0.1") || loadStart >= 2.0) ""
+      if (!ledgerFile.isFile || !sfDir.endsWith("sf0.1")) ""
       else {
         val txt = scala.io.Source.fromFile(ledgerFile)
         val ledger = try {
@@ -124,17 +124,27 @@ object Bench {
             .findAllMatchIn(txt.mkString)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         } finally txt.close()
-        val regressed = results.toSeq.collect {
-          case (name, t) if t > 0 && ledger.get(name).exists(l =>
-            t > l * 1.5 && t - l > 0.3) =>
-            name -> (t, ledger(name))
-        }.sortBy(-_._2._1)
-        if (regressed.isEmpty) """"n_regressed":0,"""
+        // entries absent from the ledger are UNGATED — surface the count
+        // regardless of load, so a grown registry can't silently outrun
+        // its own gate
+        val unledgered = results.keysIterator.count(!ledger.contains(_))
+        val unledgeredTag =
+          if (unledgered == 0) "" else s""""n_unledgered":$unledgered,"""
+        // the TIME comparison only speaks on a clean sample (loadStart<2)
+        if (loadStart >= 2.0) unledgeredTag
         else {
-          val shown = regressed.take(10).map { case (n, (t, l)) =>
-            "\"" + n + ":" + f"$t%.2f" + "/" + f"$l%.2f" + "\""
-          }.mkString("[", ",", "]")
-          s""""n_regressed":${regressed.size},"regressed":$shown,"""
+          val regressed = results.toSeq.collect {
+            case (name, t) if t > 0 && ledger.get(name).exists(l =>
+              t > l * 1.5 && t - l > 0.3) =>
+              name -> (t, ledger(name))
+          }.sortBy(-_._2._1)
+          if (regressed.isEmpty) s"""$unledgeredTag"n_regressed":0,"""
+          else {
+            val shown = regressed.take(10).map { case (n, (t, l)) =>
+              "\"" + n + ":" + f"$t%.2f" + "/" + f"$l%.2f" + "\""
+            }.mkString("[", ",", "]")
+            s"""$unledgeredTag"n_regressed":${regressed.size},"regressed":$shown,"""
+          }
         }
       }
     }
