@@ -120,8 +120,21 @@ object Bench {
       else {
         val txt = scala.io.Source.fromFile(ledgerFile)
         val ledger = try {
+          // Scope the parse to the "times" object (ADVICE r10): the flat
+          // regex also ingested numeric _meta fields (cpus, round,
+          // loadavg_start) as ledger entries, and would misparse if the
+          // file's documented evolution ever nests further structure.
+          val whole = txt.mkString
+          val start = whole.indexOf("\"times\"")
+          val body =
+            if (start < 0) ""
+            else {
+              val open = whole.indexOf('{', start)
+              val close = whole.indexOf('}', open)
+              if (open < 0 || close < 0) "" else whole.substring(open + 1, close)
+            }
           """"([^"]+)"\s*:\s*([0-9.]+)""".r
-            .findAllMatchIn(txt.mkString)
+            .findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         } finally txt.close()
         // entries absent from the ledger are UNGATED — surface the count
@@ -133,10 +146,29 @@ object Bench {
         // the TIME comparison only speaks on a clean sample (loadStart<2)
         if (loadStart >= 2.0) unledgeredTag
         else {
-          val regressed = results.toSeq.collect {
-            case (name, t) if t > 0 && ledger.get(name).exists(l =>
-              t > l * 1.5 && t - l > 0.3) =>
-              name -> (t, ledger(name))
+          def over(name: String, t: Double): Boolean =
+            t > 0 && ledger.get(name).exists(l => t > l * 1.5 && t - l > 0.3)
+          val candidates = results.toSeq.filter { case (n, t) => over(n, t) }
+          // Self-confirming gate (VERDICT r10 item 4): a transient
+          // scheduler/GC spike during the two timed runs flags an entry a
+          // clean host can't reproduce (r10 flagged t61 at 2.63s; an idle
+          // re-measure read 0.70s). Before emitting a flag, re-run the
+          // flagged QUERY once more (min-of-3 on flags only) — a poisoned
+          // sample self-silences, a real plan regression reproduces.
+          // Artifact (x_*) builds are memoized and can't re-measure.
+          val regressed = candidates.flatMap { case (name, t) =>
+            val confirmed = SparkEntry.queries.get(name) match {
+              case Some(fn) =>
+                val t0 = System.nanoTime()
+                val t3 = try { fn(spark, sfDir).count()
+                  (System.nanoTime() - t0) / 1e9
+                } catch { case _: Throwable => t }
+                spark.catalog.clearCache()
+                math.min(t, t3)
+              case None => t
+            }
+            if (over(name, confirmed)) Some(name -> (confirmed, ledger(name)))
+            else None
           }.sortBy(-_._2._1)
           if (regressed.isEmpty) s"""$unledgeredTag"n_regressed":0,"""
           else {

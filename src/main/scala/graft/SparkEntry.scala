@@ -40,6 +40,8 @@ object SparkEntry {
     operators.StreamingOps.spoolArtifacts ++ Seq[(String, (SparkSession, String) => Unit)](
       "x_d6_labels_spool" ->
         ((s, d) => { operators.Dedup.clusterLabels(s, d).count(); () }),
+      "x_d2_truth_spool" ->
+        ((s, d) => { operators.Dedup.d2TruthPairs(s, d).count(); () }),
       "x_minhash_sig_spool" ->
         ((s, d) => { operators.Dedup.minhashSigs(s, d).count(); () }),
       "x_ann_unit_spool" ->

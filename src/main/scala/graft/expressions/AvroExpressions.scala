@@ -32,7 +32,22 @@ case class AvroMessageEncode(first: Expression, second: Expression, third: Expre
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
 
-  @transient private lazy val schema = AvroCodec.parse(schemaJson)
+  /** The encoder populates exactly (id: long, name: string, value: long);
+    * any other writer schema would fail per-ROW deep inside the datum
+    * writer (or silently miswrite if names coincide with different
+    * types — ADVICE r10). Validate once at first use and fail fast. */
+  @transient private lazy val schema = {
+    val s = AvroCodec.parse(schemaJson)
+    def fieldType(n: String): Option[Schema.Type] =
+      Option(s.getField(n)).map(_.schema().getType)
+    require(s.getType == Schema.Type.RECORD && s.getFields.size == 3
+        && fieldType("id").contains(Schema.Type.LONG)
+        && fieldType("name").contains(Schema.Type.STRING)
+        && fieldType("value").contains(Schema.Type.LONG),
+      "AvroMessageEncode: writer schema must be a record with exactly " +
+        s"(id: long, name: string, value: long); got: $schemaJson")
+    s
+  }
   @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
 
   override def nullSafeEval(id: Any, name: Any, value: Any): Any = {

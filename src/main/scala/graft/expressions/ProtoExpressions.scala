@@ -30,27 +30,43 @@ private[expressions] object ProtoWire {
     out.write(v.toInt)
   }
 
-  /** Read a varint at `pos`; returns (value, nextPos). */
+  /** Read a varint at `pos`; returns (value, nextPos). Validated against
+    * truncation (the expressions decode ARBITRARY binary columns, not just
+    * self-encoded bytes — ADVICE r10): a varint running past the buffer or
+    * longer than the spec's 10-byte maximum raises a clean decode error
+    * instead of ArrayIndexOutOfBoundsException / an unbounded shift. */
   def readVarint(b: Array[Byte], pos0: Int): (Long, Int) = {
     var pos = pos0
     var shift = 0
     var v = 0L
-    while (true) {
+    while (shift <= 63) {
+      if (pos >= b.length)
+        throw new IllegalArgumentException(
+          s"proto wire: truncated varint at offset $pos0")
       val x = b(pos)
       v |= (x & 0x7FL) << shift
       pos += 1
       if ((x & 0x80) == 0) return (v, pos)
       shift += 7
     }
-    (v, pos) // unreachable
+    throw new IllegalArgumentException(
+      s"proto wire: malformed varint (>10 bytes) at offset $pos0")
   }
 
-  /** Scan the message for the FIRST occurrence of `fieldNo` with the
-    * expected wire type; returns the varint value, or the (offset, len)
-    * of a length-delimited payload encoded as a long (offset << 32 | len),
-    * or -1 when absent. Skips unknown fields per spec. */
+  /** Scan the message for `fieldNo` with the expected wire type; returns
+    * the varint value, or the (offset, len) of a length-delimited payload,
+    * or absent. Skips unknown fields per spec. Per the proto3 spec's
+    * message-merging rule, the LAST occurrence of a non-repeated scalar
+    * field wins (concatenating two serialized messages overwrites fields),
+    * so the whole message is scanned and the final match returned.
+    * Length-delimited payloads are validated against the buffer bound, so
+    * a malformed len can't read past the message (ADVICE r10). */
   def find(b: Array[Byte], fieldNo: Int, wantLenDelimited: Boolean): (Boolean, Long, Int, Int) = {
     var pos = 0
+    var found = false
+    var lastV = 0L
+    var lastOff = 0
+    var lastLen = 0
     while (pos < b.length) {
       val (tag, p1) = readVarint(b, pos)
       val fn = (tag >>> 3).toInt
@@ -58,13 +74,17 @@ private[expressions] object ProtoWire {
       wt match {
         case 0 =>
           val (v, p2) = readVarint(b, p1)
-          if (fn == fieldNo && !wantLenDelimited) return (true, v, 0, 0)
+          if (fn == fieldNo && !wantLenDelimited) { found = true; lastV = v }
           pos = p2
         case 1 => pos = p1 + 8
         case 2 =>
           val (len, p2) = readVarint(b, p1)
-          if (fn == fieldNo && wantLenDelimited)
-            return (true, 0L, p2, len.toInt)
+          if (len < 0 || p2 + len > b.length)
+            throw new IllegalArgumentException(
+              s"proto wire: truncated length-delimited field at offset $pos (len=$len)")
+          if (fn == fieldNo && wantLenDelimited) {
+            found = true; lastOff = p2; lastLen = len.toInt
+          }
           pos = p2 + len.toInt
         case 5 => pos = p1 + 4
         case other =>
@@ -72,7 +92,10 @@ private[expressions] object ProtoWire {
             s"proto wire: unsupported wire type $other at offset $pos")
       }
     }
-    (false, 0L, 0, 0)
+    if (pos > b.length)
+      throw new IllegalArgumentException(
+        s"proto wire: truncated fixed-width field (scan ran to $pos of ${b.length})")
+    (found, lastV, lastOff, lastLen)
   }
 }
 

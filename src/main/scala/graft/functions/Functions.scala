@@ -151,14 +151,17 @@ object Functions {
       expression(id), expression(name), expression(value)))
   }
 
-  /** Decode a varint field from proto wire bytes (NULL when absent). */
+  /** Decode a varint field from proto wire bytes (NULL when absent).
+    * Per the proto3 message-merge rule, the LAST occurrence of the field
+    * wins; truncated/malformed input raises IllegalArgumentException. */
   def protoVarint(bin: Column, fieldNo: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     column(graft.expressions.ProtoVarintField(expression(bin),
       expression(lit(fieldNo))))
   }
 
-  /** Decode a length-delimited string field from proto wire bytes. */
+  /** Decode a length-delimited string field from proto wire bytes (NULL
+    * when absent; last occurrence wins, per the proto3 merge rule). */
   def protoString(bin: Column, fieldNo: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     column(graft.expressions.ProtoStringField(expression(bin),

@@ -132,28 +132,39 @@ object Dedup {
         .orderBy("doc1", "doc2")
   }
 
+  /** d2's exact ground truth (every J ≥ 0.5 pair over doc_id < 3000; the
+    * d3 < 300 slice is pair-free at sf0.1, < 3000 carries 95 pairs),
+    * spooled ONCE per (sf, JVM) via the PPJoin prefix stage at τ = 0.50 —
+    * the prefix pigeonhole is INCLUSIVE at J ≥ τ (overlap ≥ τ·n₁ under
+    * the size bound, and the suffix holds at most ⌈τ·n₁⌉ − 1 tokens),
+    * and the J thresholds are integer-exact (J ≥ 0.5 ⟺ 2·inter ≥ union,
+    * J ≥ 0.6 ⟺ 5·inter ≥ 3·union), so the exact floor needs no sub-τ
+    * margin and keeps prefixes (candidate fan-out) minimal. Split out of
+    * d2 (VERDICT r10 item 3): the twin was ~60% of d2's 5.4-6.3 s; as a
+    * spool it is built once (charged as Bench's x_d2_truth_spool line),
+    * served to BOTH d2's recall gate and the d2x oracle entry. */
+  private[graft] def d2TruthPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val spool = spoolDir(s"d2truth_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(spool, "_SUCCESS"))) {
+      val (raw, sh) = ppJoinPairStage(s, dir, 3000, 50)
+      raw.withColumn("un", col("n1") + col("n2") - col("inter"))
+        .filter(col("inter") * 2 >= col("un"))
+        .select(col("doc1"), col("doc2"), col("inter"), col("un"))
+        .coalesce(1).write.mode("overwrite").parquet(spool)
+      sh.unpersist()
+    }
+    s.read.parquet(spool)
+  }
+
   val d2 = GraftQuery(
     "d2_minhash_lsh",
-    "MinHash(64)+LSH(16×4) full-corpus dedup, recall hash-gated vs the exact d3 truth",
+    "MinHash(64)+LSH(16×4) full-corpus dedup, recall hash-gated vs the exact PPJoin truth",
     (s, dir) => {
       val found = d2Confirmed(s, dir).select("doc1", "doc2")
-      // exact bounded truth over doc_id < 3000 (the d3 <300 slice is
-      // pair-free at sf0.1; <3000 carries 95 J ≥ 0.5 pairs), computed via
-      // the PPJoin prefix stage at τ = 0.50 — the prefix pigeonhole is
-      // INCLUSIVE at J ≥ τ (overlap ≥ τ·n₁ under the size bound, and the
-      // suffix holds at most ⌈τ·n₁⌉ − 1 tokens), and the J thresholds are
-      // integer-exact (J ≥ 0.5 ⟺ 2·inter ≥ union, J ≥ 0.6 ⟺ 5·inter ≥
-      // 3·union), so no sub-τ safety margin is needed — running at the
-      // exact floor keeps prefixes (and candidate fan-out) minimal
-      // (measured 8.2 s → 5.1 s standalone at sf0.1 vs τ = 0.49).
-      val (raw, sh) = ppJoinPairStage(s, dir, 3000, 50)
-      val truth = raw
-        .withColumn("un", col("n1") + col("n2") - col("inter"))
-        .filter(col("inter") * 2 >= col("un"))
+      val truth = d2TruthPairs(s, dir)
         .select(col("doc1"), col("doc2"),
           (col("inter") * 5 >= col("un") * 3).as("high"))
-        .localCheckpoint(true) // eager — releases sh right after
-      sh.unpersist()
       val scored = truth.join(found, Seq("doc1", "doc2"), "left_semi")
       // count(when(...)) — NULL-safe on an empty truth slice (sum → NULL)
       val stats = truth.agg(
@@ -188,6 +199,39 @@ object Dedup {
              TRUE AS high_recall_ok,
              TRUE AS recall50_ok
       FROM truth"""))
+
+  /** The d2 truth twin as its OWN oracle entry (VERDICT r10 item 3): the
+    * PPJoin prefix-filter exact-similarity join at τ = 0.5 over the
+    * doc_id < 3000 slice, every pair hash-checked against DuckDB's
+    * all-pairs recompute. This is the scale path for EXACT τ-thresholded
+    * similarity (prefix pigeonhole bounds candidates by duplicate
+    * density, vs d3's shingle equi-join which explodes on common grams);
+    * d2 leans on the same spooled frame for its recall gate, so the
+    * expensive stage runs once per (sf, JVM). */
+  val d2x = GraftQuery(
+    "d2x_ppjoin_truth",
+    "PPJoin exact τ=0.5 Jaccard pairs over doc_id < 3000 — d2's ground truth, pair-level oracle",
+    (s, dir) => d2TruthPairs(s, dir)
+      .withColumn("jaccard", round(col("inter").cast("double") / col("un"), 4))
+      .select("doc1", "doc2", "inter", "un", "jaccard")
+      .orderBy("doc1", "doc2"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                 FROM documents WHERE doc_id < 3000),
+      sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+             FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc1, doc2, CAST(inter AS BIGINT) AS inter,
+             CAST(na.n + nb.n - inter AS BIGINT) AS un,
+             round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      FROM inter
+      JOIN sizes na ON na.doc_id = doc1
+      JOIN sizes nb ON nb.doc_id = doc2
+      WHERE 2 * inter >= (na.n + nb.n - inter)
+      ORDER BY doc1, doc2"""))
 
   /** Exact n-gram Jaccard near-dup on a bounded subset — the ground truth
     * for d2, fully oracle-checked. The shingle equi-join is O(pairs sharing
@@ -3074,7 +3118,7 @@ object Dedup {
       GROUP BY doc_id, n_words
       ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(d1, d2, d3, d4, d5, d6, d7, d8, d9, d10, d11,
+  val all: Seq[GraftQuery] = Seq(d1, d2, d2x, d3, d4, d5, d6, d7, d8, d9, d10, d11,
     d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
     d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36)
 }

@@ -1315,6 +1315,181 @@ object Sources {
       SELECT 'TRUNCATED', 0, -1, -1
       ORDER BY status"""))
 
+  /** SQL UPDATE through the V2 catalog ([[graft.sources.MemTableImpl]]
+    * now implements SupportsRowLevelOperations) — the GROUP-BASED
+    * copy-on-write rewrite: Spark reads the affected partition groups
+    * through the operation's scan, applies the SET assignments as an
+    * If(cond, updated, original) projection, and the source's commit
+    * swaps EXACTLY the scanned groups for the written rows (the
+    * Iceberg/Delta copy-on-write shape, at partition granularity).
+    * Exercised both ways the planner can go: a partition-pruned UPDATE
+    * (condition carries `status = 'F'`, so only group F is scanned and
+    * rewritten — untouched groups carry over by reference, EngineSpec
+    * pins the identity) that also MOVES matching rows to a new partition
+    * value, then a full-rewrite UPDATE whose condition no partition can
+    * answer. The read-back aggregate must equal the oracle's CASE
+    * recompute of both statements, so a wrong group swap (lost rows,
+    * doubled rows, a group replaced that wasn't scanned) hash-fails. */
+  val q279 = GraftQuery(
+    "q279_sql_update_v2",
+    "SQL UPDATE via SupportsRowLevelOperations: group-based rewrite, pruned + full paths",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tbl =
+        s"graft_cat.corpus.upd_${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .writeTo(tbl).partitionedBy(col("status")).create()
+      // pruned rewrite: only partition F is scanned; qualifying rows MOVE
+      // to partition R (the written group lands outside the scanned set)
+      s2.sql(s"""UPDATE $tbl SET status = 'R', cents = cents + 250
+                 WHERE status = 'F' AND cents >= 10000000""")
+      // full rewrite: no partition answers okey % 7 — every group rescans
+      s2.sql(s"UPDATE $tbl SET cents = cents - 1 WHERE okey % 7 = 0")
+      s2.sql(
+        s"""SELECT status, count(*) AS n, sum(cents) AS total_cents,
+                   min(okey) AS first_key, max(okey) AS last_key
+            FROM $tbl GROUP BY status ORDER BY status""")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      u1 AS (
+        SELECT okey,
+               CASE WHEN status = 'F' AND cents >= 10000000
+                    THEN 'R' ELSE status END AS status,
+               CASE WHEN status = 'F' AND cents >= 10000000
+                    THEN cents + 250 ELSE cents END AS cents
+        FROM t),
+      u2 AS (
+        SELECT okey, status,
+               CASE WHEN okey % 7 = 0 THEN cents - 1 ELSE cents END AS cents
+        FROM u1)
+      SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents,
+             min(okey) AS first_key, max(okey) AS last_key
+      FROM u2 GROUP BY status ORDER BY status"""))
+
+  /** SQL MERGE INTO through the V2 catalog — all three WHEN branches in
+    * one statement over the group-based rewrite: MATCHED rows take the
+    * source's values, NOT MATCHED source rows INSERT into a fresh
+    * partition, and NOT-MATCHED-BY-SOURCE target rows below a threshold
+    * DELETE. The engine has proven this dataflow since r3 (q58/q97/q250
+    * build it from joins); this entry makes it a SQL SURFACE on the
+    * catalog, which is what a user migrating a Delta/Iceberg MERGE
+    * actually types. The ON keys are unique (orderkey), so the statement
+    * is deterministic; the oracle recomputes the merge as the standard
+    * three-way union (inner join / anti source / anti target) and any
+    * mis-swap of groups at commit hash-fails. Scale: MERGE plans a join
+    * between target scan and source — at 100 TB the same statement rides
+    * AQE + runtime group filtering (only matched partitions rewrite). */
+  val q280 = GraftQuery(
+    "q280_sql_merge_v2",
+    "SQL MERGE INTO via SupportsRowLevelOperations: UPDATE + INSERT + NOT-MATCHED-BY-SOURCE DELETE",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.mrg_$tag"
+      val base = table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      base.filter(col("okey") % 3 =!= 0)
+        .writeTo(tbl).partitionedBy(col("status")).create()
+      base.filter(col("okey") % 2 === 0)
+        .select(col("okey"), col("cents"))
+        .createOrReplaceTempView(s"mrg_src_$tag")
+      s2.sql(
+        s"""MERGE INTO $tbl t USING mrg_src_$tag s ON t.okey = s.okey
+            WHEN MATCHED THEN UPDATE SET cents = t.cents + s.cents
+            WHEN NOT MATCHED THEN INSERT (okey, status, cents)
+              VALUES (s.okey, 'N', s.cents)
+            WHEN NOT MATCHED BY SOURCE AND t.cents < 5000000 THEN DELETE""")
+      s2.sql(
+        s"""SELECT status, count(*) AS n, sum(cents) AS total_cents,
+                   min(okey) AS first_key
+            FROM $tbl GROUP BY status ORDER BY status""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      t AS (SELECT * FROM base WHERE okey % 3 <> 0),
+      s AS (SELECT okey, cents FROM base WHERE okey % 2 = 0),
+      merged AS (
+        SELECT t.okey, t.status, t.cents + s.cents AS cents
+        FROM t JOIN s ON t.okey = s.okey
+        UNION ALL
+        SELECT s.okey, 'N', s.cents
+        FROM s LEFT JOIN t ON t.okey = s.okey WHERE t.okey IS NULL
+        UNION ALL
+        SELECT t.okey, t.status, t.cents
+        FROM t LEFT JOIN s ON t.okey = s.okey
+        WHERE s.okey IS NULL AND NOT (t.cents < 5000000))
+      SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents,
+             min(okey) AS first_key
+      FROM merged GROUP BY status ORDER BY status"""))
+
+  /** SQL TIME TRAVEL — `VERSION AS OF n` through the catalog
+    * ([[graft.sources.GraftSparkCatalog]] resolves the version against
+    * the snapshot history every commit now appends to). q116/q142 prove
+    * the bitemporal/merge-on-read DATAFLOW; this is the SQL surface a
+    * lakehouse reader actually types: one query reads the table at its
+    * initial commit AND at head after a DELETE + UPDATE, so the hash
+    * proves (a) history snapshots are immutable (the v1 read is
+    * unaffected by later commits), (b) head reflects every commit, and
+    * (c) the two reads resolve to DIFFERENT pinned snapshots inside one
+    * statement. The oracle recomputes both states from the base table.
+    * A missing version errors cleanly (EngineSpec pins the contract). */
+  val q281 = GraftQuery(
+    "q281_sql_time_travel",
+    "SQL VERSION AS OF: initial snapshot and post-mutation head read in one query",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tbl =
+        s"graft_cat.corpus.tt_${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .writeTo(tbl).partitionedBy(col("status")).create() // publishes v1
+      s2.sql(s"DELETE FROM $tbl WHERE status = 'F'")          // v2
+      s2.sql(s"UPDATE $tbl SET cents = cents + 9 WHERE okey % 5 = 0") // v3
+      s2.sql(
+        s"""SELECT 'v1' AS at_version, status, count(*) AS n,
+                   sum(cents) AS total_cents
+            FROM $tbl VERSION AS OF 1 GROUP BY status
+            UNION ALL
+            SELECT 'head', status, count(*), sum(cents)
+            FROM $tbl GROUP BY status
+            ORDER BY at_version, status""")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'v1' AS at_version, status, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM t GROUP BY status
+        UNION ALL
+        SELECT 'head', status, count(*),
+               CAST(sum(CASE WHEN okey % 5 = 0 THEN cents + 9 ELSE cents END)
+                 AS BIGINT)
+        FROM t WHERE status <> 'F' GROUP BY status)
+      ORDER BY at_version, status"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -1440,5 +1615,5 @@ object Sources {
 
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
-    q217, q220, q226, q227, q246, q258, q259, q260, q278)
+    q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281)
 }

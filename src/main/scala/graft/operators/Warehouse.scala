@@ -4142,7 +4142,11 @@ object Warehouse {
     (s, dir) => {
       val spool = spoolDir(
         s"q275_dv_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(spool, "even", "_SUCCESS"))) {
+      // freshness requires BOTH halves' _SUCCESS markers (ADVICE r10: a
+      // crash between the two writes must rebuild, not serve a half spool)
+      val complete = Seq("even", "odd").forall(h =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(spool, h, "_SUCCESS")))
+      if (!complete) {
         val o = table(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"))
         o.filter(col("o_orderkey") % 2 === 0).orderBy("o_orderkey")

@@ -57,6 +57,35 @@ class GraftSparkCatalog extends TableCatalog {
     }
   }
 
+  /** SQL TIME TRAVEL — `SELECT … FROM t VERSION AS OF n` routes here
+    * (Spark's RelationTimeTravel resolution): resolve the requested
+    * version against the snapshot history and serve a table pinned to
+    * that immutable snapshot. The pinned snapshot is republished under a
+    * version-suffixed runId (`<key>!@v<n>`) so the ordinary scan path
+    * (pruning, pushdown, KeyGroupedPartitioning) serves it unchanged —
+    * idempotent, since snapshots are immutable once published. A missing
+    * version (expired past [[MemTable.historyDepth]], never committed, or
+    * non-numeric) errors cleanly instead of serving the wrong snapshot. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val k = key(ident)
+    if (!MemTable.store.contains(k)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft catalog: VERSION AS OF expects a numeric snapshot version, got '$version'")
+    }
+    MemTable.history.get((k, v)) match {
+      case Some(snap) =>
+        val pinned = s"$k!@v$v"
+        MemTable.store.put(pinned, snap)
+        new MemTableImpl(snap.schema, pinned, partCols.getOrElse(k, ""))
+      case None =>
+        throw new IllegalArgumentException(
+          s"graft catalog: no snapshot version $v for ${ident.name()} " +
+            s"(retained: ${MemTable.history.keys.collect { case (`k`, ver) => ver }.toSeq.sorted.mkString(",")})")
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val k = key(ident)
@@ -64,7 +93,7 @@ class GraftSparkCatalog extends TableCatalog {
     val pc = partitions.headOption
       .map(_.references().head.fieldNames().head).getOrElse("")
     partCols.put(k, pc)
-    MemTable.store.put(k, MemTable.Snapshot(schema, Map.empty, 0L))
+    MemTable.publish(k, MemTable.Snapshot(schema, Map.empty, 0L))
     new MemTableImpl(schema, k, pc)
   }
 

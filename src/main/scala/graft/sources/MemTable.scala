@@ -62,8 +62,26 @@ object MemTable {
   case class Snapshot(schema: StructType, parts: Map[String, Vector[Array[Any]]],
       version: Long = 1L)
 
-  /** Committed state per runId — swapped ONLY by BatchWrite.commit. */
+  /** Committed state per runId — swapped ONLY by a commit-time publish. */
   val store = new scala.collection.concurrent.TrieMap[String, Snapshot]
+
+  /** Version history per (runId, version) — what `VERSION AS OF n`
+    * resolves against (the table-format transaction log, at harness
+    * granularity: every publish retains its snapshot). Bounded: only the
+    * most recent [[historyDepth]] versions per runId are retained, the
+    * way production formats expire old snapshots. */
+  val history = new scala.collection.concurrent.TrieMap[(String, Long), Snapshot]
+  val historyDepth = 64
+
+  /** The single publish point: swaps the serving snapshot AND appends it
+    * to the version history (MemBatchWrite.commit, deleteWhere, and
+    * group-replace commits all land here, so time travel sees every
+    * mutation path). Callers hold `store.synchronized`. */
+  def publish(runId: String, snap: Snapshot): Unit = {
+    store.put(runId, snap)
+    history.put((runId, snap.version), snap)
+    history.remove((runId, snap.version - historyDepth))
+  }
 
   /** Optimistic-concurrency rejection: the writer's base snapshot is no
     * longer current. Thrown from BatchWrite.commit — Spark aborts the
@@ -81,8 +99,20 @@ object MemTable {
 private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: String)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft_mem_table($runId)"
+
+  /** SQL `UPDATE` / `MERGE INTO` (and predicate-refused DELETEs) route
+    * here — see [[MemRowLevelOperation]]. DELETE still prefers the
+    * metadata-only [[org.apache.spark.sql.connector.catalog
+    * .SupportsDeleteV2]] path when `canDeleteWhere` accepts the
+    * predicate (Spark's OptimizeMetadataOnlyDeleteFromTable), exactly the
+    * Delta/Iceberg posture: log-only when possible, rewrite when not. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new MemRowLevelOperation(runId, partCol, info.command())
 
   /** SQL `DELETE FROM` (and, via the default truncateTable(),
     * `TRUNCATE TABLE`) — [[SupportsDeleteV2]], the metadata-only
@@ -175,7 +205,7 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
         val kept = snap.parts.map { case (k, rs) =>
           k -> rs.filterNot(r => fns.forall(_(r)))
         }.filter(_._2.nonEmpty)
-        MemTable.store.put(runId,
+        MemTable.publish(runId,
           MemTable.Snapshot(snap.schema, kept, snap.version + 1))
       }
     }
@@ -192,7 +222,10 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
     new MetadataColumn {
       override def name(): String = "_partition"
       override def dataType(): org.apache.spark.sql.types.DataType = StringType
-      override def isNullable(): Boolean = false
+      // nullable: row-level rewrites NULL the provenance of updated rows
+      // (Spark's nullify-metadata-on-update contract) before handing them
+      // back through the metadata channel
+      override def isNullable(): Boolean = true
       override def comment(): String = "partition value this row was read from"
     },
     new MetadataColumn {
@@ -272,7 +305,101 @@ private[sources] class MemBatchWrite(runId: String, schema: StructType,
           throw new MemTable.CommitConflictException(
             s"MemTable '$runId': base version $exp is stale (current $curVer)")
       }
-      MemTable.store.put(runId, MemTable.Snapshot(schema, merged, curVer + 1))
+      MemTable.publish(runId, MemTable.Snapshot(schema, merged, curVer + 1))
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** GROUP-BASED row-level operations ([[SupportsRowLevelOperations]]) —
+  * the DSv2 contract behind SQL `UPDATE` and `MERGE INTO` when a source
+  * can't delta-encode row changes: Spark REWRITES every affected group
+  * (here: partition; Iceberg/Delta copy-on-write: file) by reading it
+  * through the operation's scan, applying the assignments/merge actions
+  * in the query plan, and writing the survivors back; commit swaps
+  * exactly the scanned groups for the written rows. One operation
+  * instance is shared by the scan and the write — the scan records which
+  * groups it actually planned (post filter-pushdown AND post runtime
+  * group filtering, so a pruned UPDATE only rewrites matching
+  * partitions), and the write's commit replaces precisely that set.
+  * Optimistic concurrency rides the same version pin as q189: the base
+  * version is captured when the operation is created, and a concurrent
+  * commit under the rewrite's feet rejects the publish
+  * ([[MemTable.CommitConflictException]]) instead of silently dropping
+  * the other writer's rows. */
+private[sources] class MemRowLevelOperation(runId: String, partCol: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  /** Groups the operation scan planned LAST (latest wins: runtime group
+    * filtering re-plans the scan with the surviving set). Driver-side
+    * state — planInputPartitions and commit both run on the driver. */
+  @volatile private[sources] var scannedGroups: Set[String] = Set.empty
+  /** Base snapshot version at operation creation — the rewrite's
+    * optimistic-concurrency pin. */
+  private[sources] val baseVersion: Long =
+    MemTable.store.get(runId).map(_.version).getOrElse(0L)
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  /** Require the `_partition` metadata column on rewrite rows. This is
+    * load-bearing twice over: (a) it is the group provenance a
+    * production source routes replacement rows by (Iceberg requires
+    * `_spec_id`/`_partition`/`_file` for exactly this reason), and
+    * (b) Spark's ReplaceDataExec only runs the PROJECTING writing task
+    * (DataAndMetadataWritingSparkTask — strips the `__row_operation`
+    * marker and splits data from metadata) when the operation declares
+    * metadata attributes; without any, the raw rewrite rows reach the
+    * writer with the marker still in ordinal 0. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_partition"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MemScanBuilder(runId, partCol,
+      onPlan = Some(keys => scannedGroups = keys))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new MemReplaceGroupsWrite(runId, info.schema(), partCol,
+            () => scannedGroups, baseVersion)
+      }
+    }
+
+  override def description(): String =
+    s"MemRowLevelOperation($cmd, runId=$runId, groupBy=$partCol)"
+}
+
+/** The ReplaceData commit: swap the scanned groups for the written rows
+  * in ONE atomic publish. Groups the scan never planned are carried over
+  * UNTOUCHED (same Vector instances — EngineSpec pins the identity), and
+  * written rows landing in an unscanned partition (an UPDATE that moves
+  * the partition column) APPEND to it rather than replacing it. */
+private[sources] class MemReplaceGroupsWrite(runId: String, schema: StructType,
+    partCol: String, scanned: () => Set[String], baseVersion: Long)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new MemWriterFactory(schema, partCol)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val written = messages.foldLeft(Map.empty[String, Vector[Array[Any]]]) { (acc, m) =>
+      m.asInstanceOf[MemPartMessage].parts.foldLeft(acc) { case (a, (k, rs)) =>
+        a.updated(k, a.getOrElse(k, Vector.empty) ++ rs)
+      }
+    }
+    MemTable.store.synchronized {
+      val snap = MemTable.store.getOrElse(runId,
+        MemTable.Snapshot(schema, Map.empty, 0L))
+      if (snap.version != baseVersion)
+        throw new MemTable.CommitConflictException(
+          s"MemTable '$runId': row-level rewrite based on version $baseVersion " +
+            s"but a concurrent commit moved it to ${snap.version}")
+      val kept = snap.parts -- scanned()
+      val merged = written.foldLeft(kept) { case (a, (k, rs)) =>
+        a.updated(k, a.getOrElse(k, Vector.empty) ++ rs)
+      }.filter(_._2.nonEmpty)
+      MemTable.publish(runId,
+        MemTable.Snapshot(snap.schema, merged, snap.version + 1))
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -285,6 +412,12 @@ private[sources] class MemWriterFactory(schema: StructType, partCol: String)
     require(partIdx >= 0, s"MemTable: partitionCol '$partCol' not in ${schema.fieldNames.mkString(",")}")
     new DataWriter[InternalRow] {
       private val buf = scala.collection.mutable.Map.empty[String, Vector[Array[Any]]]
+      /** Row-level rewrites deliver (metadata, data) pairs — metadata is
+        * the scanned row's `_partition` provenance (NULL for updated rows
+        * by Spark's nullify-on-update contract). Routing re-derives the
+        * target group from the DATA row's partition column, which is the
+        * correct destination after an update moved it. */
+      override def write(meta: InternalRow, row: InternalRow): Unit = write(row)
       override def write(row: InternalRow): Unit = {
         val vals: Array[Any] = schema.fields.indices.map { i =>
           schema.fields(i).dataType match {
@@ -304,7 +437,8 @@ private[sources] class MemWriterFactory(schema: StructType, partCol: String)
 }
 
 private[sources] class MemScanBuilder(runId: String, partCol: String,
-    columnar: Boolean = false)
+    columnar: Boolean = false,
+    onPlan: Option[Set[String] => Unit] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -420,7 +554,7 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
 
   override def build(): Scan =
     new MemScan(snap, keep, required, partCol, topN, limit, aggSpec, runId,
-      columnar)
+      columnar, onPlan)
 }
 
 private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
@@ -437,7 +571,8 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     required: StructType, partCol: String,
     topN: Option[(Seq[(Int, Boolean)], Int)] = None, limit: Option[Int] = None,
     agg: Option[(Boolean, Seq[(String, Int)])] = None, runId: String = "",
-    columnar: Boolean = false)
+    columnar: Boolean = false,
+    onPlan: Option[Set[String] => Unit] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -584,7 +719,15 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
 
   private def servedRows: Vector[Array[Any]] = servedKeyedRows.map(_._2)
 
-  override def planInputPartitions(): Array[InputPartition] = agg match {
+  override def planInputPartitions(): Array[InputPartition] = {
+    // row-level-operation hook: report which groups this scan serves
+    // (latest call wins — runtime group filtering re-plans with the
+    // narrowed set, and the rewrite commit must replace exactly these)
+    onPlan.foreach(_(planned.map(_._1).toSet))
+    planInputPartitions0()
+  }
+
+  private def planInputPartitions0(): Array[InputPartition] = agg match {
     case Some((grouped, funcs)) =>
       // pre-aggregated slice: identity projection over the agg schema
       val sch = aggSchema(grouped, funcs)

@@ -538,13 +538,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DELETE FROM $tbl WHERE k < 3 OR v >= 800")
     assert(s2.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 5L)
     // untranslatable predicate (expression over a column): canDeleteWhere
-    // must refuse so Spark raises instead of deleting the wrong rows
-    val e = intercept[Exception] {
-      s2.sql(s"DELETE FROM $tbl WHERE k % 2 = 0")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
-    assert(s2.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 5L,
-      "refused DELETE must not remove any rows")
+    // refuses the metadata path, and — now that the table implements
+    // SupportsRowLevelOperations (r11) — Spark falls back to the
+    // group-based REWRITE instead of erroring (the Delta/Iceberg posture:
+    // log-only delete when the predicate translates, rewrite when not).
+    // Remaining rows are k ∈ {3,4,5,6,7}; the rewrite removes 4 and 6.
+    s2.sql(s"DELETE FROM $tbl WHERE k % 2 = 0")
+    assert(s2.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 3L,
+      "untranslatable DELETE must fall back to the row-level rewrite")
+    assert(s2.sql(s"SELECT min(k), max(k) FROM $tbl").collect()(0) match {
+      case r => r.getLong(0) == 3L && r.getLong(1) == 7L
+    })
     // TRUNCATE rides the same contract's default (ALWAYS_TRUE delete)
     s2.sql(s"TRUNCATE TABLE $tbl")
     assert(s2.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 0L)

@@ -50,6 +50,58 @@ class CodecExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(0) == "abc")
   }
 
+  test("proto: last occurrence of a non-repeated field wins (message-merge rule)") {
+    // concatenating two serialized messages must decode as the SECOND
+    // message's fields (proto3 field-overwrite semantics, ADVICE r10)
+    val m1 = ProtoWire_encode(1L, "first", 10L)
+    val m2 = ProtoWire_encode(2L, "second", 20L)
+    val cat = m1 ++ m2
+    assert(ProtoWire.find(cat, 1, wantLenDelimited = false) == ((true, 2L, 0, 0)))
+    val (found, _, off, len) = ProtoWire.find(cat, 2, wantLenDelimited = true)
+    assert(found && new String(cat.slice(off, off + len), "UTF-8") == "second")
+  }
+
+  test("proto: truncated / malformed input raises a clean decode error") {
+    val good = ProtoWire_encode(300L, "abcdef", 0L)
+    // truncated mid-varint
+    intercept[IllegalArgumentException] {
+      ProtoWire.find(good.dropRight(good.length - 1), 1, wantLenDelimited = false)
+    }
+    // length-delimited len running past the buffer
+    intercept[IllegalArgumentException] {
+      ProtoWire.find(good.dropRight(2), 2, wantLenDelimited = true)
+    }
+    // malformed >10-byte varint (continuation bit never clears)
+    intercept[IllegalArgumentException] {
+      ProtoWire.readVarint(Array.fill[Byte](12)(0x80.toByte), 0)
+    }
+  }
+
+  private def ProtoWire_encode(id: Long, name: String, value: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (id != 0L) { ProtoWire.putVarint(out, (1L << 3) | 0); ProtoWire.putVarint(out, id) }
+    val nb = name.getBytes("UTF-8")
+    if (nb.nonEmpty) {
+      ProtoWire.putVarint(out, (2L << 3) | 2)
+      ProtoWire.putVarint(out, nb.length.toLong); out.write(nb, 0, nb.length)
+    }
+    if (value != 0L) { ProtoWire.putVarint(out, (3L << 3) | 0); ProtoWire.putVarint(out, value) }
+    out.toByteArray
+  }
+
+  test("avro: encoder rejects a writer schema that is not (id,name,value)") {
+    import spark.implicits._
+    val bad = """{"type":"record","name":"r","fields":[
+      {"name":"id","type":"string"},{"name":"name","type":"string"},
+      {"name":"value","type":"long"}]}"""
+    val e = intercept[Exception] {
+      Seq((1L, "x", 2L)).toDF("id", "name", "value")
+        .select(avroEncode(col("id"), col("name"), col("value"), bad).as("b"))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("avro: round-trip identity under the writer schema") {
     import spark.implicits._
     val r = Seq((42L, "héllo wörld", -1L)).toDF("id", "name", "value")

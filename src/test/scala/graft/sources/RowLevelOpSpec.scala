@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Contract pins for the group-based row-level operation surface
+  * (SupportsRowLevelOperations on MemTable, q279/q280):
+  *
+  *  - group-granular replace: a partition the operation scan never
+  *    planned carries over UNTOUCHED (same Vector instance) — the commit
+  *    swaps exactly the scanned groups, it does not rebuild the table;
+  *  - optimistic concurrency: a rewrite whose base snapshot moved under
+  *    its feet REJECTS the publish (CommitConflictException) instead of
+  *    silently dropping the concurrent writer's commit;
+  *  - SQL surfaces work end to end (UPDATE / MERGE INTO on tiny frames,
+  *    value-checked here; the registry entries hash the sf-scale runs).
+  */
+class RowLevelOpSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-rlo-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def catSession(): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftSparkCatalog")
+    s2
+  }
+
+  test("pruned UPDATE rewrites only the matching partition; others carry by reference") {
+    val s2 = catSession()
+    val name = s"rlo_prune_${System.nanoTime()}"
+    val tbl = s"graft_cat.spec.$name"
+    val key = s"cat!graft_cat!spec!$name"
+    s2.range(9)
+      .select(col("id").as("k"), (col("id") % 3).cast("string").as("p"),
+        (col("id") * 10).as("v"))
+      .writeTo(tbl).partitionedBy(col("p")).create()
+    val before = MemTable.store(key).parts
+    s2.sql(s"UPDATE $tbl SET v = v + 1 WHERE p = '1'")
+    val after = MemTable.store(key).parts
+    // untouched groups: SAME Vector instances (carried, not rebuilt)
+    assert(after("0") eq before("0"), "partition 0 must carry by reference")
+    assert(after("2") eq before("2"), "partition 2 must carry by reference")
+    // the scanned group was replaced with updated rows
+    assert(after("1").map(r => r(2).asInstanceOf[Long]).sorted ==
+      Vector(11L, 41L, 71L))
+    assert(s2.sql(s"SELECT sum(v) FROM $tbl").collect()(0).getLong(0) ==
+      (0 until 9).map(_ * 10L).sum + 3)
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
+  test("row-level rewrite based on a stale snapshot rejects the publish") {
+    val s2 = catSession()
+    val name = s"rlo_conflict_${System.nanoTime()}"
+    val tbl = s"graft_cat.spec.$name"
+    val key = s"cat!graft_cat!spec!$name"
+    s2.range(4)
+      .select(col("id").as("k"), (col("id") % 2).cast("string").as("p"),
+        (col("id") * 10).as("v"))
+      .writeTo(tbl).partitionedBy(col("p")).create()
+    // the rewrite starts: operation pins the base version and scans
+    val op = new MemRowLevelOperation(key, "p",
+      RowLevelOperation.Command.UPDATE)
+    val scan = op.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    scan.toBatch.planInputPartitions() // records scannedGroups
+    // a concurrent commit moves the snapshot under the rewrite's feet
+    s2.sql(s"DELETE FROM $tbl WHERE k = 0")
+    // the rewrite's commit must now REJECT, leaving the delete intact
+    val write = op.newWriteBuilder(new LogicalWriteInfo {
+      override def queryId(): String = "spec"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        MemTable.store(key).schema
+      override def options(): CaseInsensitiveStringMap =
+        CaseInsensitiveStringMap.empty()
+    }).build().toBatch
+    val msg = MemPartMessage(Map("0" -> Vector(Array[Any](99L, "0", 990L))))
+    intercept[MemTable.CommitConflictException] {
+      write.commit(Array(msg))
+    }
+    assert(s2.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 3L,
+      "rejected rewrite must leave the concurrent commit's state intact")
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
+  test("MERGE INTO: all three WHEN branches, value-checked") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"rlo_merge_${System.nanoTime()}"
+    val tbl = s"graft_cat.spec.$name"
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("k", "p", "v").writeTo(tbl).partitionedBy(col("p")).create()
+    Seq((2L, 5L), (9L, 90L)).toDF("k", "v").createOrReplaceTempView("rlo_src")
+    s2.sql(
+      s"""MERGE INTO $tbl t USING rlo_src s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+          WHEN NOT MATCHED THEN INSERT (k, p, v) VALUES (s.k, 'n', s.v)
+          WHEN NOT MATCHED BY SOURCE AND t.v < 15 THEN DELETE""")
+    val got = s2.sql(s"SELECT k, p, v FROM $tbl ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // k=1 deleted (not matched by source, v<15); k=2 updated 20+5;
+    // k=3 survives (v=30 >= 15); k=9 inserted into partition n
+    assert(got == Seq((2L, "a", 25L), (3L, "b", 30L), (9L, "n", 90L)), got)
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
+  test("VERSION AS OF: snapshots immutable, missing version errors cleanly") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"rlo_tt_${System.nanoTime()}"
+    val tbl = s"graft_cat.spec.$name"
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "p", "v")
+      .writeTo(tbl).partitionedBy(col("p")).create() // v1
+    s2.sql(s"DELETE FROM $tbl WHERE p = 'a'")          // v2
+    s2.sql(s"UPDATE $tbl SET v = v + 1 WHERE k = 2")   // v3
+    assert(s2.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 1")
+      .collect()(0).getLong(0) == 2L)
+    assert(s2.sql(s"SELECT v FROM $tbl VERSION AS OF 2 WHERE k = 2")
+      .collect()(0).getLong(0) == 20L)
+    assert(s2.sql(s"SELECT v FROM $tbl WHERE k = 2")
+      .collect()(0).getLong(0) == 21L)
+    val e = intercept[Exception] {
+      s2.sql(s"SELECT * FROM $tbl VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.contains("no snapshot version 99"), e.getMessage)
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
+  override def afterAll(): Unit = {
+    try spark.stop() finally super.afterAll()
+  }
+}
