@@ -42,6 +42,8 @@ object SparkEntry {
         ((s, d) => { operators.Dedup.clusterLabels(s, d).count(); () }),
       "x_d2_truth_spool" ->
         ((s, d) => { operators.Dedup.d2TruthPairs(s, d).count(); () }),
+      "x_d37_lrs_spool" ->
+        ((s, d) => { operators.Dedup.d37LrsSpool(s, d).count(); () }),
       "x_minhash_sig_spool" ->
         ((s, d) => { operators.Dedup.minhashSigs(s, d).count(); () }),
       "x_ann_unit_spool" ->

@@ -3118,7 +3118,245 @@ object Dedup {
       GROUP BY doc_id, n_words
       ORDER BY doc_id"""))
 
+  /** Order-preserving distributed rank assignment: ids from
+    * `monotonically_increasing_id` after a range-partitioned sort are
+    * globally monotone in the sort order (partition p's rows all precede
+    * partition p+1's), and the input is DISTINCT rows, so equal keys
+    * can't straddle a boundary. The ranks are order-isomorphic rather
+    * than dense — all the suffix-array construction needs — and nothing
+    * ever runs on a single partition (the Window/zipWithIndex traps). */
+  private def opRank(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], out: String): org.apache.spark.sql.DataFrame =
+    df.distinct().orderBy(keys.map(col): _*)
+      .withColumn(out, monotonically_increasing_id())
+
+  /** Per-position LONGEST REPEATED PREFIX over the doc_id < 1500 corpus
+    * slice, capped at 32 words — the suffix-array machinery behind
+    * variable-length maximal repeats (VERDICT r10 item 5, upgrading d36's
+    * fixed-k anchors to the Lee et al. ACL'22 semantics):
+    *
+    *  1. PREFIX DOUBLING, 5 rounds (cap 32 = 2^5): rank_1 = word rank;
+    *     rank_2k = rank of the pair (rank_k(i), rank_k(i+k)), with −1 as
+    *     the beyond-end sentinel so a shorter suffix sorts before every
+    *     extension. Each round is two bounded shuffles (pair join +
+    *     distinct-keys rank assignment) — the d6 iterative pattern,
+    *     log(cap) rounds total, O(n) rows per round at any scale.
+    *  2. SUFFIX-ARRAY NEIGHBORS without a global single-partition sort:
+    *     range-repartition by final rank, lag() within each partition,
+    *     then stitch the partition boundaries by pairing each partition's
+    *     first row with its predecessor's last (two tiny aggregates) —
+    *     the scale-correct neighbor scan.
+    *  3. LCP by BINARY DESCENT over the 6 retained rank tables:
+    *     lcp += k when rank_k matches at offset lcp, for k = 32…1 — the
+    *     classic O(log cap) refinement, here 6 levels of equi-joins
+    *     against the rank frames on (doc, pos+L), length-bounded so
+    *     sentinel padding never counts as matched words.
+    *  4. lrs(position) = max neighbor lcp — exact by the suffix-array
+    *     contiguity property (any consistent alphabet order), which is
+    *     why engine word ranks and the oracle's list sort agree on lcp
+    *     values while disagreeing on tie order.
+    *
+    * Returns (d, i, n_words, lrs). The oracle recomputes the same values
+    * by sorting capped suffix LISTS and taking neighbor common-prefix
+    * lengths — same construction, independent machinery. */
+  private[graft] def d37Lrs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val CAP = 32
+    val toks = table(s, dir, "documents")
+      .filter(col("doc_id") < 1500)
+      .select(col("doc_id").as("d"), words(col("text")).as("ws"))
+      .select(col("d"), size(col("ws")).as("n_words"),
+        posexplode(col("ws")).as(Seq("i0", "w")))
+      .select(col("d"), col("n_words"), (col("i0") + 1).as("i"), col("w"))
+    val vocab = opRank(toks.select("w"), Seq("w"), "rk")
+    // localCheckpoint per round: EAGER and lineage-truncating — without it
+    // the descent's 14 joins over 6 chained rank rounds compose a plan
+    // tree whose mere rendering OOMs the driver (the d25PairStage lesson,
+    // at iterative-algorithm scale)
+    var cur = toks.join(vocab, "w").select(col("d"), col("i"), col("rk"))
+      .localCheckpoint(true)
+    // rank tables per power of two, retained for the LCP descent
+    val tables = scala.collection.mutable.Map[Int, org.apache.spark.sql.DataFrame](1 -> cur)
+    var k = 1
+    while (k < CAP) {
+      val shifted = cur.select(col("d"), (col("i") - k).as("i"),
+        col("rk").as("rk2"))
+      val paired = cur.join(shifted, Seq("d", "i"), "left")
+        .na.fill(-1L, Seq("rk2"))
+      val keys = opRank(paired.select("rk", "rk2"), Seq("rk", "rk2"), "nrk")
+      cur = paired.join(keys, Seq("rk", "rk2"))
+        .select(col("d"), col("i"), col("nrk").as("rk"))
+        .localCheckpoint(true)
+      k *= 2
+      tables(k) = cur
+    }
+    // 2. suffix-array neighbor pairs (range partition + boundary stitch)
+    val sa = cur.repartitionByRange(8, col("rk"), col("d"), col("i"))
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint(true)
+    val wIn = Window.partitionBy("pid").orderBy("rk", "d", "i")
+    val within = sa
+      .withColumn("pd", lag(col("d"), 1).over(wIn))
+      .withColumn("pi", lag(col("i"), 1).over(wIn))
+      .filter(col("pd").isNotNull)
+      .select(col("pd").as("da"), col("pi").as("ia"),
+        col("d").as("db"), col("i").as("ib"))
+    val edges = sa.groupBy("pid")
+      .agg(min(struct(col("rk"), col("d"), col("i"))).as("f"),
+        max(struct(col("rk"), col("d"), col("i"))).as("l"))
+    val boundary = edges.select((col("pid") + 1).as("pid"),
+        col("l.d").as("da"), col("l.i").as("ia"))
+      .join(edges.select(col("pid"), col("f.d").as("db"), col("f.i").as("ib")),
+        "pid")
+      .select("da", "ia", "db", "ib")
+    // 3. LCP binary descent over the retained rank tables. A padded-rank
+    // match at level k means the suffixes are equal AS PADDED strings —
+    // k real words when both sides have ≥ k words left, else the (equal)
+    // remaining lengths — so each step adds min(k, remaining, cap-left),
+    // never crediting sentinel positions as matched words.
+    val sizes = toks.select(col("d"), col("n_words")).distinct()
+      .localCheckpoint(true)
+    var pairs = within.unionByName(boundary)
+      .join(sizes.select(col("d").as("da"), col("n_words").as("na")), "da")
+      .join(sizes.select(col("d").as("db"), col("n_words").as("nb")), "db")
+      .withColumn("lcp", lit(0L))
+      .localCheckpoint(true)
+    var kk = CAP
+    while (kk >= 1) {
+      val rt = tables(kk)
+      pairs = pairs
+        .join(rt.select(col("d").as("da2"),
+          col("i").as("ja"), col("rk").as("ra")),
+          col("da") === col("da2") && col("ja") === col("ia") + col("lcp"), "left")
+        .drop("da2", "ja")
+        .join(rt.select(col("d").as("db2"),
+          col("i").as("jb"), col("rk").as("rb")),
+          col("db") === col("db2") && col("jb") === col("ib") + col("lcp"), "left")
+        .drop("db2", "jb")
+        .withColumn("lcp",
+          when(col("ra").isNotNull && col("rb").isNotNull &&
+            col("ra") === col("rb"),
+            col("lcp") + least(lit(kk.toLong),
+              col("na") - (col("ia") + col("lcp")) + 1,
+              col("nb") - (col("ib") + col("lcp")) + 1,
+              lit(CAP.toLong) - col("lcp"))).otherwise(col("lcp")))
+        .drop("ra", "rb")
+      // lineage-truncate every other level: two levels' 4 joins render
+      // fine, and each checkpoint is a whole Spark job saved
+      if (kk == 8 || kk == 2 || kk == 1) pairs = pairs.localCheckpoint(true)
+      kk /= 2
+    }
+    // 4. lrs = max lcp over the (≤2) adjacent pairs touching a position
+    val perPos = pairs.select(col("da").as("d"), col("ia").as("i"), col("lcp"))
+      .unionByName(pairs.select(col("db").as("d"), col("ib").as("i"), col("lcp")))
+      .groupBy("d", "i").agg(max(col("lcp")).as("lrs"))
+    toks.select("d", "n_words", "i")
+      .join(perPos, Seq("d", "i"), "left")
+      .na.fill(0L, Seq("lrs"))
+      .localCheckpoint(true)
+  }
+
+  /** [[d37Lrs]] spooled once per (sf, JVM) — the suffix array is corpus
+    * state (like the ANN index or the d6 labels): built once, consumed by
+    * d37 and InvariantSpec, charged as Bench's x_d37_lrs_spool line. */
+  private[graft] def d37LrsSpool(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val spool = spoolDir(s"d37lrs_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(spool, "_SUCCESS")))
+      d37Lrs(s, dir).coalesce(1).write.mode("overwrite").parquet(spool)
+    s.read.parquet(spool)
+  }
+
+  /** Variable-length MAXIMAL-REPEAT spans per document (the Lee et al.
+    * exact-substring semantics d36 approximates with fixed-k unions):
+    * every position's longest repeated prefix comes from the real
+    * suffix-array pass ([[d37Lrs]]), spans are the union of the VARIABLE
+    * [i, i+lrs) intervals with lrs ≥ 10, and each doc reports its longest
+    * repeat — information the fixed-k construction cannot produce. The
+    * interval union is the classic running-max-reach gaps-and-islands
+    * (a window over per-doc positions, no self-join). Oracle: DuckDB
+    * rebuilds lrs from scratch by sorting capped suffix LISTS (list
+    * comparison = word-wise lexicographic, matching the engine's
+    * token-rank order up to tie-breaks lcp doesn't see) and taking
+    * neighbor common-prefix lengths — the same construction through
+    * independent machinery, so a wrong rank round, a missed boundary
+    * pair, or an off-by-one in the descent hash-fails. */
+  val d37 = GraftQuery(
+    "d37_maximal_repeat_spans",
+    "Suffix-array maximal repeats (prefix doubling + LCP descent): per-doc variable-length dup spans",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 10
+      val lrs = d37LrsSpool(s, dir).filter(col("lrs") >= K)
+        .withColumn("reach", col("i") + col("lrs"))
+      val byDoc = Window.partitionBy("d").orderBy("i")
+      val prevMax = max(col("reach")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1))
+      val spans = lrs
+        .withColumn("brk", when(prevMax.isNull || col("i") > prevMax, 1L)
+          .otherwise(0L))
+        .withColumn("island", sum(col("brk")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("d", "n_words", "island")
+        .agg((max(col("reach")) - min(col("i"))).as("span_words"))
+      spans.groupBy(col("d").as("doc_id"), col("n_words"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_words")).as("dup_words"),
+          max(col("span_words")).as("max_span"))
+        .select(col("doc_id"), col("n_spans"), col("dup_words"),
+          col("max_span"),
+          expr("dup_words * 10000 div n_words").as("dup_bp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                 FROM documents WHERE doc_id < 1500),
+      sized AS (SELECT doc_id, len(ws) AS n_words, ws FROM w),
+      pos AS (SELECT doc_id, n_words, CAST(i AS BIGINT) AS i,
+                     list_slice(ws, CAST(i AS INTEGER),
+                       CAST(least(i + 31, n_words) AS INTEGER)) AS suf
+              FROM sized, UNNEST(range(1, n_words + 1)) AS t(i)),
+      ord AS (SELECT doc_id, n_words, i, suf,
+                     lag(suf) OVER (ORDER BY suf, doc_id, i) AS psuf,
+                     lead(suf) OVER (ORDER BY suf, doc_id, i) AS nsuf
+              FROM pos),
+      lcps AS (SELECT doc_id, n_words, i,
+        greatest(
+          coalesce(coalesce(nullif(list_position(list_transform(
+            list_zip(suf, psuf), x -> x[1] IS NOT DISTINCT FROM x[2]),
+            false), 0) - 1, least(len(suf), len(psuf))), 0),
+          coalesce(coalesce(nullif(list_position(list_transform(
+            list_zip(suf, nsuf), x -> x[1] IS NOT DISTINCT FROM x[2]),
+            false), 0) - 1, least(len(suf), len(nsuf))), 0))
+          AS lrs
+        FROM ord),
+      keep AS (SELECT doc_id, n_words, i, i + lrs AS reach
+               FROM lcps WHERE lrs >= 10),
+      brk AS (SELECT doc_id, n_words, i, reach,
+                     CASE WHEN max(reach) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            IS NULL THEN 1
+                          WHEN i > max(reach) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                            THEN 1 ELSE 0 END AS brk
+              FROM keep),
+      isl AS (SELECT doc_id, n_words, i, reach,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS UNBOUNDED PRECEDING) AS island
+              FROM brk),
+      spans AS (SELECT doc_id, n_words, island,
+                       max(reach) - min(i) AS span_words
+                FROM isl GROUP BY 1, 2, 3)
+      SELECT doc_id, count(*) AS n_spans,
+             CAST(sum(span_words) AS BIGINT) AS dup_words,
+             CAST(max(span_words) AS BIGINT) AS max_span,
+             CAST(sum(span_words) AS BIGINT) * 10000 // n_words AS dup_bp
+      FROM spans
+      GROUP BY doc_id, n_words
+      ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(d1, d2, d2x, d3, d4, d5, d6, d7, d8, d9, d10, d11,
     d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22, d23, d24, d25,
-    d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36)
+    d26, d27, d28, d29, d30, d31, d32, d33, d34, d35, d36, d37)
 }

@@ -1585,6 +1585,66 @@ class InvariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d37: lrs is exactly maximal — the L-prefix repeats corpus-wide, its (L+1)-extension does not") {
+    // brute-force ground truth over the whole sf0.001 corpus (the d37
+    // slice covers it): for each sampled position with lrs = L, the
+    // length-L prefix must occur >= 2 times corpus-wide, and extending it
+    // by its own next word must be unique — i.e. L could not be one word
+    // longer. Both checks run against raw token arrays, independent of
+    // every suffix-array mechanism under test.
+    val docWords: Map[Long, Array[String]] =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 1500)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val rows = operators.Dedup.d37Lrs(spark, sfDir)
+      .select(col("d"), col("i").cast("long"), col("lrs").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt))
+    assert(rows.nonEmpty && rows.exists(_._3 >= 10),
+      "slice must contain real repeats for the pin to bite")
+    // sample: every 7th position carrying a span-grade repeat + every
+    // 151st position overall (exercises small-L maximality too)
+    val samples = rows.filter(_._3 >= 10).zipWithIndex.collect {
+      case (t, ix) if ix % 7 == 0 => t
+    } ++ rows.zipWithIndex.collect { case (t, ix) if ix % 151 == 0 => t }
+    // gram keys needed per length: the L-prefix (expect >= 2) and the
+    // (L+1)-extension (expect exactly 1)
+    def gram(d: Long, i: Int, len: Int): Option[String] = {
+      val ws = docWords(d)
+      if (len >= 1 && i - 1 + len <= ws.length)
+        Some(ws.slice(i - 1, i - 1 + len).mkString(" "))
+      else None
+    }
+    val wanted: Map[Int, Set[String]] = samples.toSeq
+      .flatMap { case (d, i, l) =>
+        gram(d, i, l).map(l -> _).toSeq ++
+          (if (l < 32) gram(d, i, l + 1).map((l + 1) -> _).toSeq else Nil)
+      }
+      .groupBy(_._1).map { case (l, g) => l -> g.map(_._2).toSet }
+    val counts = scala.collection.mutable.Map.empty[(Int, String), Int]
+    wanted.foreach { case (l, keys) =>
+      docWords.valuesIterator.foreach { ws =>
+        var j = 0
+        while (j + l <= ws.length) {
+          val g = ws.slice(j, j + l).mkString(" ")
+          if (keys(g)) counts((l, g)) = counts.getOrElse((l, g), 0) + 1
+          j += 1
+        }
+      }
+    }
+    samples.foreach { case (d, i, l) =>
+      if (l >= 1) {
+        val g = gram(d, i, l).get
+        assert(counts.getOrElse((l, g), 0) >= 2,
+          s"doc $d pos $i: lrs=$l but its $l-prefix occurs ${counts.getOrElse((l, g), 0)} time(s)")
+      }
+      if (l < 32) gram(d, i, l + 1).foreach { g1 =>
+        assert(counts.getOrElse((l + 1, g1), 0) == 1,
+          s"doc $d pos $i: lrs=$l NOT maximal — its ${l + 1}-extension repeats")
+      }
+    }
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
