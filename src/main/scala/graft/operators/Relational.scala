@@ -3996,6 +3996,131 @@ object Relational {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  /** SQL PIPE syntax (Spark 4's `|>` operator chaining, from the Google
+    * "SQL Has Problems" pipe-syntax proposal): the query reads top-down
+    * as a dataflow — source |> filter |> join |> aggregate |> having
+    * |> order — each stage a complete operator over the previous result,
+    * which is how users already THINK in DataFrame code. Semantics are
+    * identical to the nested classic form (the parser desugars); the
+    * oracle runs the classic form in DuckDB, so equal hashes prove the
+    * desugaring preserves every operator. Post-aggregate `|> WHERE` is
+    * HAVING without the keyword. */
+  val q282 = GraftQuery(
+    "q282_sql_pipe_syntax",
+    "Pipe SQL |>: filter |> join |> aggregate |> having |> order, desugaring hash-proven",
+    (s, dir) => {
+      val s2 = s.newSession()
+      table(s2, dir, "lineitem").createOrReplaceTempView("li_v")
+      table(s2, dir, "orders").createOrReplaceTempView("ord_v")
+      s2.sql(
+        """FROM li_v
+           |> WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |> JOIN ord_v ON l_orderkey = o_orderkey
+           |> WHERE o_orderstatus <> 'F'
+           |> AGGREGATE count(*) AS n,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+              GROUP BY o_orderpriority
+           |> WHERE n > 50
+           |> ORDER BY o_orderpriority""")
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderstatus <> 'F'
+      GROUP BY o_orderpriority
+      HAVING count(*) > 50
+      ORDER BY o_orderpriority"""))
+
+  /** EXECUTE IMMEDIATE — dynamic SQL with injection-safe parameter
+    * binding, the surface migration scripts and reporting harnesses use
+    * when the statement text is assembled at runtime: the query string
+    * lives in a SESSION VARIABLE (built once, reused), positional `?`
+    * markers bind through USING, and a second run rebinds different
+    * arguments against the SAME text — proving the statement is really
+    * parameterized, not interpolated. The two runs' results union into
+    * one frame; the oracle inlines both bindings. */
+  val q283 = GraftQuery(
+    "q283_execute_immediate",
+    "EXECUTE IMMEDIATE over a session-variable statement, rebound twice via USING",
+    (s, dir) => {
+      val s2 = s.newSession()
+      table(s2, dir, "orders").createOrReplaceTempView("ord_v")
+      s2.sql("DECLARE OR REPLACE VARIABLE stmt STRING")
+      s2.sql(
+        """SET VARIABLE stmt =
+             'SELECT ? AS run, o_orderpriority, count(*) AS n,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+              FROM ord_v
+              WHERE o_orderstatus = ? AND o_totalprice > ?
+              GROUP BY o_orderpriority'""")
+      val a = s2.sql("EXECUTE IMMEDIATE stmt USING 'open_big', 'O', 200000.0")
+      val b = s2.sql("EXECUTE IMMEDIATE stmt USING 'final_small', 'F', 50000.0")
+      a.unionByName(b).orderBy("run", "o_orderpriority")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'open_big' AS run, o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'final_small', o_orderpriority, count(*),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
+        GROUP BY o_orderpriority)
+      ORDER BY run, o_orderpriority"""))
+
+  /** SQL-defined TABLE function + correlated LATERAL invocation — the
+    * table-valued tier of q276's scalar SQL functions: a TVF declared in
+    * SQL (CREATE TEMPORARY FUNCTION … RETURNS TABLE … RETURN query) is
+    * analyzer-inlined into each call site like a parameterized view, and
+    * `nation, LATERAL suppstats(n_nationkey)` runs it once per outer
+    * row, its aggregate scoped to THAT invocation's argument (the
+    * correlated-aggregate lateral pattern). Per-nation counts/extremes
+    * differ row to row, so a mis-scoped inline (the aggregate hoisted
+    * global) changes every value and hash-fails; the oracle replays it
+    * as a plain GROUP BY join. Deliberately no ORDER BY…LIMIT inside the
+    * TVF body: Spark 4.1's inliner hoists a body LIMIT above the lateral
+    * correlation (measured: global top-2 instead of per-nation), so the
+    * entry pins the semantics that ARE sound — filters, projections,
+    * aggregates — the parameterized-view contract. */
+  val q284 = GraftQuery(
+    "q284_sql_table_function",
+    "CREATE FUNCTION … RETURNS TABLE + LATERAL: correlated per-nation aggregate, group-by-oracle-proven",
+    (s, dir) => {
+      val s2 = s.newSession()
+      table(s2, dir, "supplier").createOrReplaceTempView("supp_v")
+      table(s2, dir, "nation").createOrReplaceTempView("nat_v")
+      s2.sql(
+        """CREATE TEMPORARY FUNCTION suppstats(nk BIGINT)
+           RETURNS TABLE (n_supp BIGINT, top_cents BIGINT, total_cents BIGINT)
+           RETURN SELECT count(*),
+                         max(CAST(round(s_acctbal * 100) AS BIGINT)),
+                         sum(CAST(round(s_acctbal * 100) AS BIGINT))
+                  FROM supp_v WHERE s_nationkey = nk""")
+      s2.sql(
+        """SELECT n.n_name, f.n_supp, f.top_cents, f.total_cents
+           FROM nat_v n, LATERAL suppstats(n.n_nationkey) f
+           WHERE f.n_supp > 0
+           ORDER BY n.n_name""")
+    },
+    Some("""
+      SELECT n.n_name, CAST(s.n_supp AS BIGINT) AS n_supp,
+             s.top_cents, s.total_cents
+      FROM nation n
+      JOIN (SELECT s_nationkey, count(*) AS n_supp,
+                   CAST(max(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                     AS top_cents,
+                   CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                     AS total_cents
+            FROM supplier GROUP BY s_nationkey) s
+        ON s.s_nationkey = n.n_nationkey
+      ORDER BY n.n_name"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
@@ -4003,5 +4128,5 @@ object Relational {
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
     q182, q185, q196, q202, q204, q210, q211, q213, q215, q219, q221, q222,
     q223, q224, q225, q232, q235, q240, q244, q245, q251, q253, q255, q257,
-    q276, q277)
+    q276, q277, q282, q283, q284)
 }
