@@ -3817,7 +3817,7 @@ object TextAnalysis {
         .orderBy("doc_id", "rank")
     },
     Some("""
-      WITH toks0 AS (
+      WITH toks0 AS MATERIALIZED (
         SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
       lines AS (
         SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -4141,9 +4141,125 @@ object TextAnalysis {
       GROUP BY lang
       ORDER BY lang"""))
 
+  /** In-engine BPE MERGE TRAINING (Sennrich et al. ACL'16) — the learned
+    * tokenizer the text family's counting tiers (t3 whitespace, t20
+    * ngrams) stop short of: learn the first 10 merge rules from the
+    * corpus and audit the token-count reduction each rule buys.
+    *
+    * The split of work is the one production BPE trainers
+    * (subword-nmt, HuggingFace tokenizers) actually use: the CORPUS pass
+    * is distributed (word-type frequencies — the only step that touches
+    * every row; the type table is Zipf-bounded at any corpus size), the
+    * FIT is bounded model state on the driver (like s37's 64×64 Jacobi
+    * or t65's NB table): iterate — count weighted adjacent symbol pairs
+    * (overlapping, the BPE convention), merge the (max-freq,
+    * lexicographically-least) pair, re-apply to the types.
+    *
+    * Merge application is defined as FOUR passes of literal
+    * delimiter-string replacement (`" l r "` → `" lr "` on the
+    * sentinel-spaced symbol string): leftmost non-overlapping per pass —
+    * identical semantics in java.lang.String.replace and DuckDB
+    * replace() — and four passes fully converge for the ≤ 8-symbol
+    * fixture words (a pass merges at least one remaining occurrence;
+    * NOTE this deviates from strictly-greedy BPE on odd runs of a
+    * self-pair ≥ 5, where pass-1's consumed trailing delimiter shifts
+    * which occurrences merge — same deviation both engines, so the hash
+    * still proves the replay). Words restricted to ^[a-z]{2,}$ so
+    * Scala's UTF-16 tie-break order equals DuckDB's byte order, and the
+    * "l r" pair-string tie-break key is order-equal to the (l, r) tuple
+    * because the space sorts below every letter.
+    *
+    * The oracle replays all 10 steps as chained CTEs — same counts, same
+    * argmax, same 4-pass replace — so a wrong merge ORDER anywhere
+    * cascades into different later counts and hash-fails. */
+  val t68 = GraftQuery(
+    "t68_bpe_merge_training",
+    "BPE merge training: 10 learned rules (argmax pair, 4-pass replace), token counts audited per step",
+    (s, dir) => {
+      val types: Array[(String, Long)] = table(s, dir, "documents")
+        .select(explode(words(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      def replace4(str: String, pat: String, rep: String): String = {
+        var x = str
+        var i = 0
+        while (i < 4) { x = x.replace(pat, rep); i += 1 }
+        x
+      }
+      var syms: Array[(String, Long)] =
+        types.map { case (w, f) => (" " + w.mkString(" ") + " ", f) }
+      val rows = (1 to 10).map { k =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        syms.foreach { case (str, f) =>
+          val ls = str.trim.split(" ")
+          var i = 0
+          while (i < ls.length - 1) {
+            counts((ls(i), ls(i + 1))) =
+              counts.getOrElse((ls(i), ls(i + 1)), 0L) + f
+            i += 1
+          }
+        }
+        val ((l, r), f) = counts.minBy { case ((a, b), c) => (-c, s"$a $b") }
+        syms = syms.map { case (str, fq) =>
+          (replace4(str, s" $l $r ", s" $l$r "), fq)
+        }
+        val tokensAfter = syms.iterator
+          .map { case (str, fq) => str.trim.split(" ").length * fq }.sum
+        (k.toLong, l, r, l + r, f, tokensAfter)
+      }
+      s.createDataFrame(rows)
+        .toDF("step", "lhs", "rhs", "merged", "pair_freq", "tokens_after")
+        .orderBy("step")
+    },
+    Some {
+      val steps = (1 to 10).map { k =>
+        s"""p$k AS MATERIALIZED (
+             SELECT ls[CAST(i AS INT)] || ' ' || ls[CAST(i + 1 AS INT)] AS pair,
+                    CAST(sum(freq) AS BIGINT) AS f
+             FROM (SELECT freq, string_split(trim(s), ' ') AS ls FROM s${k - 1}),
+                  UNNEST(range(1, len(ls))) AS u(i)
+             GROUP BY 1),
+           m$k AS MATERIALIZED (SELECT pair, f FROM p$k ORDER BY f DESC, pair LIMIT 1),
+           s$k AS MATERIALIZED (
+             SELECT freq,
+                    replace(replace(replace(replace(s,
+                      ' ' || m$k.pair || ' ', ' ' || replace(m$k.pair, ' ', '') || ' '),
+                      ' ' || m$k.pair || ' ', ' ' || replace(m$k.pair, ' ', '') || ' '),
+                      ' ' || m$k.pair || ' ', ' ' || replace(m$k.pair, ' ', '') || ' '),
+                      ' ' || m$k.pair || ' ', ' ' || replace(m$k.pair, ' ', '') || ' ') AS s
+             FROM s${k - 1}, m$k),
+           r$k AS MATERIALIZED (
+             SELECT CAST($k AS BIGINT) AS step,
+                    string_split(pair, ' ')[1] AS lhs,
+                    string_split(pair, ' ')[2] AS rhs,
+                    replace(pair, ' ', '') AS merged,
+                    f AS pair_freq,
+                    (SELECT CAST(sum(len(string_split(trim(s), ' ')) * freq)
+                       AS BIGINT) FROM s$k) AS tokens_after
+             FROM m$k)"""
+      }.mkString(",\n")
+      val unions = (1 to 10).map(k => s"SELECT * FROM r$k").mkString("\n UNION ALL ")
+      s"""
+      WITH t AS (
+        SELECT word, count(*) AS freq FROM (
+          SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        WHERE regexp_matches(word, '^[a-z]{2,}$$')
+        GROUP BY word),
+      s0 AS MATERIALIZED (
+        SELECT freq,
+               ' ' || array_to_string(list_transform(
+                 generate_series(1, len(word)),
+                 i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS s
+        FROM t),
+      $steps
+      $unions
+      ORDER BY step"""
+    })
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
     t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54, t55, t56, t57,
-    t58, t59, t60, t61, t62, t63, t64, t65, t66, t67)
+    t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68)
 }
