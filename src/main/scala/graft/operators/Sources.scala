@@ -487,7 +487,10 @@ object Sources {
           col("event_type"))
         .write.format("graft.sources.MemTable")
         .option("runId", key).option("partitionCol", "event_type")
-        .mode("append").save()
+        // overwrite = snapshot swap: the round trip is idempotent across
+        // re-runs in one JVM (append semantics would accumulate — r11's
+        // SupportsTruncate split made INSERT INTO a real append)
+        .mode("overwrite").save()
       s.read.format("graft.sources.MemTable")
         .option("runId", key).option("partitionCol", "event_type")
         .load()
@@ -589,8 +592,10 @@ object Sources {
       def write(df: org.apache.spark.sql.DataFrame, expected: Option[Long]): Unit = {
         val w = df.write.format(fmt)
           .option("runId", key).option("partitionCol", "bucket")
+        // full-state replace: each writer computes the complete new
+        // snapshot and overwrites (the connector appends on mode append)
         expected.fold(w)(v => w.option("expectedVersion", v.toString))
-          .mode("append").save()
+          .mode("overwrite").save()
       }
       def readBack() = s.read.format(fmt)
         .option("runId", key).option("partitionCol", "bucket").load()
@@ -824,7 +829,7 @@ object Sources {
         df.write.format(fmt)
           .option("runId", key).option("partitionCol", "bucket")
           .option("primaryKey", "event_id")
-          .mode("append").save()
+          .mode("overwrite").save()
       def readBack() = s.read.format(fmt)
         .option("runId", key).option("partitionCol", "bucket").load()
       def version() = MemTable.store.get(key).map(_.version).getOrElse(0L)
@@ -1490,6 +1495,68 @@ object Sources {
         FROM t WHERE status <> 'F' GROUP BY status)
       ORDER BY at_version, status"""))
 
+  /** SQL ALTER TABLE schema evolution + RENAME through the V2 catalog —
+    * the DDL lifecycle a lakehouse table actually lives (create → rename
+    * into place → widen → backfill → serve): `ADD COLUMNS (bonus
+    * BIGINT)` appends a nullable column with NULL-padded history rows in
+    * one version-bumping publish; a second-generation INSERT writes the
+    * new column; a row-level UPDATE backfills one partition; and the
+    * final read aggregates BOTH generations (count(bonus) counts only
+    * non-nulls — proving old rows really read back as NULL, not zero).
+    * Time travel composes: RowLevelOpSpec pins that `VERSION AS OF` a
+    * pre-alter version serves the OLD schema (schema-per-snapshot, the
+    * Iceberg/Delta contract). The oracle rebuilds both generations with
+    * CASE arithmetic. */
+  val q285 = GraftQuery(
+    "q285_sql_alter_schema_evolution",
+    "ALTER TABLE ADD COLUMNS + RENAME TO: NULL-padded history, 2nd-gen insert, UPDATE backfill",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tmp = s"graft_cat.corpus.evotmp_$tag"
+      val tbl = s"graft_cat.corpus.evo_$tag"
+      val base = table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      base.filter(col("okey") % 2 === 0)
+        .writeTo(tmp).partitionedBy(col("status")).create()
+      // RENAME target resolves within the source table's catalog
+      s2.sql(s"ALTER TABLE $tmp RENAME TO corpus.evo_$tag")
+      s2.sql(s"ALTER TABLE $tbl ADD COLUMNS (bonus BIGINT)")
+      base.filter(col("okey") % 2 =!= 0)
+        .withColumn("bonus", expr("cents div 100"))
+        .createOrReplaceTempView(s"evo_src_$tag")
+      s2.sql(s"INSERT INTO $tbl SELECT okey, status, cents, bonus FROM evo_src_$tag")
+      s2.sql(s"UPDATE $tbl SET bonus = 7 WHERE status = 'F'")
+      s2.sql(
+        s"""SELECT status, count(*) AS n, sum(cents) AS total_cents,
+                   count(bonus) AS n_bonus, sum(coalesce(bonus, 0)) AS total_bonus
+            FROM $tbl GROUP BY status ORDER BY status""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      both_gen AS (
+        SELECT okey, status, cents, CAST(NULL AS BIGINT) AS bonus
+        FROM base WHERE okey % 2 = 0
+        UNION ALL
+        SELECT okey, status, cents, cents // 100
+        FROM base WHERE okey % 2 <> 0),
+      updated AS (
+        SELECT okey, status, cents,
+               CASE WHEN status = 'F' THEN 7 ELSE bonus END AS bonus
+        FROM both_gen)
+      SELECT status, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             count(bonus) AS n_bonus,
+             CAST(sum(coalesce(bonus, 0)) AS BIGINT) AS total_bonus
+      FROM updated GROUP BY status ORDER BY status"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -1615,5 +1682,6 @@ object Sources {
 
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
-    q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281)
+    q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
+    q285)
 }

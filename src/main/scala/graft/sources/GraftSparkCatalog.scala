@@ -97,16 +97,62 @@ class GraftSparkCatalog extends TableCatalog {
     new MemTableImpl(schema, k, pc)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog: ALTER not supported")
+  /** SQL `ALTER TABLE … ADD COLUMNS` — catalog-level SCHEMA EVOLUTION
+    * (the row analog of q227's partition-spec evolution): the new column
+    * is appended nullable, existing rows are padded with NULL in the
+    * same atomic version-bumping publish, and — because the history
+    * retains the pre-alter snapshot — `VERSION AS OF` a pre-alter
+    * version still serves the OLD schema, exactly the
+    * schema-per-snapshot contract Iceberg/Delta readers rely on. Only
+    * top-level nullable long/string adds translate; anything else
+    * refuses loudly rather than corrupting positional rows. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val k = key(ident)
+    if (!MemTable.store.contains(k)) throw new NoSuchTableException(ident)
+    MemTable.store.synchronized {
+      val cur = MemTable.store(k)
+      var schema = cur.schema
+      var parts = cur.parts
+      changes.foreach {
+        case add: TableChange.AddColumn
+            if add.fieldNames().length == 1 &&
+              (add.dataType() == LongType || add.dataType() == StringType) =>
+          require(!schema.fieldNames.contains(add.fieldNames()(0)),
+            s"graft catalog: column ${add.fieldNames()(0)} already exists")
+          schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
+          parts = parts.map { case (p, rs) => p -> rs.map(_ :+ (null: Any)) }
+        case other =>
+          throw new UnsupportedOperationException(
+            s"graft catalog: unsupported ALTER change $other " +
+              "(only top-level nullable long/string ADD COLUMNS)")
+      }
+      MemTable.publish(k, MemTable.Snapshot(schema, parts, cur.version + 1))
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     partCols.remove(key(ident))
     MemTable.store.remove(key(ident)).isDefined
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft catalog: RENAME not supported")
+  /** SQL `ALTER TABLE … RENAME TO` — moves the snapshot, its partition
+    * column, and its retained version history under the new key in one
+    * synchronized swap. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = key(oldIdent)
+    val to = key(newIdent)
+    MemTable.store.synchronized {
+      if (!MemTable.store.contains(from)) throw new NoSuchTableException(oldIdent)
+      if (MemTable.store.contains(to)) throw new TableAlreadyExistsException(newIdent)
+      MemTable.store.put(to, MemTable.store.remove(from).get)
+      partCols.remove(from).foreach(partCols.put(to, _))
+      MemTable.history.keys.filter(_._1 == from).toSeq.foreach { case (_, v) =>
+        MemTable.history.remove((from, v)).foreach(s => MemTable.history.put((to, v), s))
+      }
+    }
+  }
 
   override def tableExists(ident: Identifier): Boolean =
     MemTable.store.contains(key(ident))

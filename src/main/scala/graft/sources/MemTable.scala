@@ -237,7 +237,8 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
   override def schema(): StructType =
     MemTable.store.get(runId).map(_.schema).getOrElse(schema)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MemScanBuilder(runId,
@@ -253,10 +254,17 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
     // write-barrier integrity (q200): a declared primary key makes the
     // COMMIT validate uniqueness across all tasks' rows before publishing
     val pk = Option(info.options.get("primaryKey"))
-    new WriteBuilder {
+    // APPEND by default (SQL INSERT INTO / mode("append") accumulate);
+    // Spark calls truncate() for overwrite-shaped writes (mode
+    // "overwrite", INSERT OVERWRITE) and the commit then REPLACES the
+    // snapshot — the q189/q200 read-modify-write-replace loops ride that.
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var truncated = false
+      override def truncate(): WriteBuilder = { truncated = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new MemBatchWrite(runId, writeSchema, pc, expected, pk)
+          new MemBatchWrite(runId, writeSchema, pc, expected, pk, truncated)
       }
     }
   }
@@ -267,45 +275,56 @@ private[sources] case class MemPartMessage(parts: Map[String, Vector[Array[Any]]
 
 private[sources] class MemBatchWrite(runId: String, schema: StructType,
     partCol: String, expectedVersion: Option[Long] = None,
-    primaryKey: Option[String] = None)
+    primaryKey: Option[String] = None, truncate: Boolean = false)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(schema, partCol)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // merge every task's groups, then publish with ONE map swap — readers
     // see the previous snapshot or the full new one, never a prefix
-    val merged = messages.foldLeft(Map.empty[String, Vector[Array[Any]]]) { (acc, m) =>
+    val incoming = messages.foldLeft(Map.empty[String, Vector[Array[Any]]]) { (acc, m) =>
       m.asInstanceOf[MemPartMessage].parts.foldLeft(acc) { case (a, (k, rs)) =>
         a.updated(k, a.getOrElse(k, Vector.empty) ++ rs)
       }
     }
-    // write-barrier integrity: the driver sees every task's rows at
-    // commit — the ONLY point where cross-task uniqueness is checkable
-    // without a shuffle. A violation rejects the whole commit; nothing
-    // publishes (q81 detects dupes after the fact; this PREVENTS them).
-    primaryKey.foreach { pk =>
-      val idx = schema.fieldNames.indexOf(pk)
-      require(idx >= 0, s"MemTable: primaryKey '$pk' not in schema")
-      val seen = scala.collection.mutable.HashSet.empty[Any]
-      merged.valuesIterator.flatten.foreach { row =>
-        if (!seen.add(row(idx)))
-          throw new MemTable.CommitConflictException(
-            s"MemTable '$runId': primary key violation on $pk = ${row(idx)}")
-      }
-    }
     // single-point conflict check + swap: the task work is already done
     // (that is optimistic concurrency's bet); only the publish is gated.
-    // Commit REPLACES the snapshot (latest-commit-wins, as before) — a
-    // read-modify-write upsert is the WRITER's loop (q189), with the
-    // version pin detecting a concurrent commit under its feet.
+    // APPEND commits merge into the current snapshot (SQL INSERT INTO);
+    // TRUNCATE commits (mode "overwrite") replace it — the latter is the
+    // read-modify-write-replace loop q189 runs, with the version pin
+    // detecting a concurrent commit under its feet.
     MemTable.store.synchronized {
-      val curVer = MemTable.store.get(runId).map(_.version).getOrElse(0L)
+      val cur = MemTable.store.get(runId)
+      val curVer = cur.map(_.version).getOrElse(0L)
       expectedVersion.foreach { exp =>
         if (curVer != exp)
           throw new MemTable.CommitConflictException(
             s"MemTable '$runId': base version $exp is stale (current $curVer)")
       }
-      MemTable.publish(runId, MemTable.Snapshot(schema, merged, curVer + 1))
+      val base =
+        if (truncate) Map.empty[String, Vector[Array[Any]]]
+        else cur.map(_.parts).getOrElse(Map.empty)
+      val merged = incoming.foldLeft(base) { case (a, (k, rs)) =>
+        a.updated(k, a.getOrElse(k, Vector.empty) ++ rs)
+      }
+      // write-barrier integrity: the driver sees every task's rows (and,
+      // for appends, the rows they land next to) at commit — the ONLY
+      // point where cross-task uniqueness is checkable without a
+      // shuffle. A violation rejects the whole commit; nothing publishes
+      // (q81 detects dupes after the fact; this PREVENTS them).
+      primaryKey.foreach { pk =>
+        val pkSchema = cur.map(_.schema).filter(_.nonEmpty).getOrElse(schema)
+        val idx = pkSchema.fieldNames.indexOf(pk)
+        require(idx >= 0, s"MemTable: primaryKey '$pk' not in schema")
+        val seen = scala.collection.mutable.HashSet.empty[Any]
+        merged.valuesIterator.flatten.foreach { row =>
+          if (!seen.add(row(idx)))
+            throw new MemTable.CommitConflictException(
+              s"MemTable '$runId': primary key violation on $pk = ${row(idx)}")
+        }
+      }
+      val outSchema = cur.map(_.schema).filter(_.nonEmpty).getOrElse(schema)
+      MemTable.publish(runId, MemTable.Snapshot(outSchema, merged, curVer + 1))
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -420,7 +439,8 @@ private[sources] class MemWriterFactory(schema: StructType, partCol: String)
       override def write(meta: InternalRow, row: InternalRow): Unit = write(row)
       override def write(row: InternalRow): Unit = {
         val vals: Array[Any] = schema.fields.indices.map { i =>
-          schema.fields(i).dataType match {
+          if (row.isNullAt(i)) null // nullable columns (e.g. post-ALTER adds)
+          else schema.fields(i).dataType match {
             case LongType   => row.getLong(i)
             case StringType => row.getUTF8String(i).toString
             case other      => sys.error(s"MemTable: unsupported type $other")

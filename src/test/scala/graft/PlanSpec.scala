@@ -1229,7 +1229,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       val w = df.write.format("graft.sources.MemTable")
         .option("runId", key).option("partitionCol", "bucket")
       exp.fold(w)(v => w.option("expectedVersion", v.toString))
-        .mode("append").save()
+        .mode("overwrite").save()
     }
     val rows = Seq((1L, "a"), (2L, "b")).toDF("id", "bucket")
     write(rows, None)                       // v1

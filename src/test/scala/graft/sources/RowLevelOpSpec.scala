@@ -134,6 +134,47 @@ class RowLevelOpSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("ALTER TABLE ADD COLUMNS: schema-per-snapshot — VERSION AS OF pre-alter serves the old schema") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"rlo_evo_${System.nanoTime()}"
+    val tbl = s"graft_cat.spec.$name"
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "p", "v")
+      .writeTo(tbl).partitionedBy(col("p")).create()       // v1: (k, p, v)
+    s2.sql(s"ALTER TABLE $tbl ADD COLUMNS (w BIGINT)")       // v2: (k, p, v, w)
+    s2.sql(s"INSERT INTO $tbl VALUES (3, 'a', 30, 300)")     // v3: appends
+    // head: widened schema, old rows NULL-padded, insert appended
+    val head = s2.sql(s"SELECT k, w FROM $tbl ORDER BY k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(head == Seq((1L, -1L), (2L, -1L), (3L, 300L)), head)
+    // pre-alter snapshot still serves the OLD 3-column schema
+    val v1 = s2.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
+    assert(v1.schema.fieldNames.toSeq == Seq("k", "p", "v"), v1.schema)
+    assert(v1.count() == 2L)
+    // unsupported ALTER refuses loudly instead of corrupting rows
+    val e = intercept[Exception] {
+      s2.sql(s"ALTER TABLE $tbl DROP COLUMN v")
+    }
+    assert(e.getMessage.contains("unsupported ALTER"), e.getMessage)
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
+  test("RENAME TO moves the snapshot, partition column, and version history") {
+    val s2 = catSession()
+    import s2.implicits._
+    val a = s"rlo_rnA_${System.nanoTime()}"
+    val b = s"rlo_rnB_${System.nanoTime()}"
+    Seq((1L, "x", 5L)).toDF("k", "p", "v")
+      .writeTo(s"graft_cat.spec.$a").partitionedBy(col("p")).create()
+    s2.sql(s"ALTER TABLE graft_cat.spec.$a RENAME TO spec.$b")
+    assert(s2.sql(s"SELECT v FROM graft_cat.spec.$b").collect()(0).getLong(0) == 5L)
+    // history traveled with the rename
+    assert(s2.sql(s"SELECT count(*) FROM graft_cat.spec.$b VERSION AS OF 1")
+      .collect()(0).getLong(0) == 1L)
+    intercept[Exception] { s2.sql(s"SELECT * FROM graft_cat.spec.$a").collect() }
+    s2.sql(s"DROP TABLE graft_cat.spec.$b")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
