@@ -1557,6 +1557,90 @@ object Sources {
              CAST(sum(coalesce(bonus, 0)) AS BIGINT) AS total_bonus
       FROM updated GROUP BY status ORDER BY status"""))
 
+  /** DELTA-BASED row-level operations (SupportsDelta) — the merge-on-read
+    * WRITE discipline completing the row-level matrix (q279/q280 are the
+    * group-based copy-on-write half): a table that declares a row
+    * identity (`TBLPROPERTIES('deltaIdCol'='okey')` — Iceberg's
+    * identifier-fields) makes Spark plan WriteDelta instead of
+    * ReplaceData, streaming per-ROW actions — DELETE(meta, id),
+    * UPDATE(meta, id, newRow), INSERT(row) — to the source, which applies
+    * exactly those deltas (no group rewrite; the `_partition` metadata
+    * channel routes each action to its source group without a search).
+    * Exercised with the full MoR lifecycle in one entry: a
+    * partition-MOVING UPDATE, an untranslatable-predicate DELETE (falls
+    * through the metadata path to the delta rewrite), and a MERGE with
+    * all three WHEN branches — the same statements the CoW entries run,
+    * so the two disciplines are proven result-identical against the same
+    * style of oracle recompute. At 100 TB this is the write path for
+    * hot tables where rewriting groups is too expensive: deltas are
+    * O(changed rows), compaction amortizes later (q116/q275 are the
+    * matching read paths). */
+  val q286 = GraftQuery(
+    "q286_sql_merge_delta",
+    "SupportsDelta merge-on-read: partition-moving UPDATE + delta DELETE + 3-branch MERGE by row id",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.dlt_$tag"
+      val base = table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      base.filter(col("okey") % 3 =!= 0)
+        .writeTo(tbl).partitionedBy(col("status"))
+        .tableProperty("deltaIdCol", "okey").create()
+      // partition-moving update: delta = (delete from old group, insert
+      // into the new one), routed by the metadata channel
+      s2.sql(s"""UPDATE $tbl SET status = 'R', cents = cents + 250
+                 WHERE status = 'F' AND cents >= 10000000""")
+      // untranslatable predicate: canDeleteWhere refuses, the DELETE
+      // falls through to the delta rewrite (per-row delete actions)
+      s2.sql(s"DELETE FROM $tbl WHERE okey % 7 = 0")
+      base.filter(col("okey") % 2 === 0)
+        .select(col("okey"), col("cents"))
+        .createOrReplaceTempView(s"dlt_src_$tag")
+      s2.sql(
+        s"""MERGE INTO $tbl t USING dlt_src_$tag s ON t.okey = s.okey
+            WHEN MATCHED THEN UPDATE SET cents = t.cents + s.cents
+            WHEN NOT MATCHED THEN INSERT (okey, status, cents)
+              VALUES (s.okey, 'N', s.cents)
+            WHEN NOT MATCHED BY SOURCE AND t.cents < 5000000 THEN DELETE""")
+      s2.sql(
+        s"""SELECT status, count(*) AS n, sum(cents) AS total_cents,
+                   min(okey) AS first_key
+            FROM $tbl GROUP BY status ORDER BY status""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      t0 AS (SELECT * FROM base WHERE okey % 3 <> 0),
+      u1 AS (
+        SELECT okey,
+               CASE WHEN status = 'F' AND cents >= 10000000
+                    THEN 'R' ELSE status END AS status,
+               CASE WHEN status = 'F' AND cents >= 10000000
+                    THEN cents + 250 ELSE cents END AS cents
+        FROM t0),
+      t1 AS (SELECT * FROM u1 WHERE okey % 7 <> 0),
+      s1 AS (SELECT okey, cents FROM base WHERE okey % 2 = 0),
+      merged AS (
+        SELECT t.okey, t.status, t.cents + s.cents AS cents
+        FROM t1 t JOIN s1 s ON t.okey = s.okey
+        UNION ALL
+        SELECT s.okey, 'N', s.cents
+        FROM s1 s LEFT JOIN t1 t ON t.okey = s.okey WHERE t.okey IS NULL
+        UNION ALL
+        SELECT t.okey, t.status, t.cents
+        FROM t1 t LEFT JOIN s1 s ON t.okey = s.okey
+        WHERE s.okey IS NULL AND NOT (t.cents < 5000000))
+      SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents,
+             min(okey) AS first_key
+      FROM merged GROUP BY status ORDER BY status"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -1683,5 +1767,5 @@ object Sources {
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
-    q285)
+    q285, q286)
 }

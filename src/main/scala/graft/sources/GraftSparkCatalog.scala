@@ -52,7 +52,8 @@ class GraftSparkCatalog extends TableCatalog {
     val k = key(ident)
     MemTable.store.get(k) match {
       case Some(snap) =>
-        new MemTableImpl(snap.schema, k, partCols.getOrElse(k, ""))
+        new MemTableImpl(snap.schema, k, partCols.getOrElse(k, ""),
+          GraftSparkCatalog.deltaIdCols.getOrElse(k, ""))
       case None => throw new NoSuchTableException(ident)
     }
   }
@@ -93,8 +94,23 @@ class GraftSparkCatalog extends TableCatalog {
     val pc = partitions.headOption
       .map(_.references().head.fieldNames().head).getOrElse("")
     partCols.put(k, pc)
-    MemTable.publish(k, MemTable.Snapshot(schema, Map.empty, 0L))
-    new MemTableImpl(schema, k, pc)
+    // row-identity opt-in: TBLPROPERTIES('deltaIdCol'='…') switches the
+    // table's row-level operations to the delta (merge-on-read) path.
+    // Row-ID attributes must be NON-NULL (Spark's WriteDelta analyzer
+    // contract), so the declared column's field is stored non-nullable —
+    // which also makes INSERTs enforce it (AssertNotNull in the write).
+    val stored = Option(properties.get("deltaIdCol")).filter(_.nonEmpty) match {
+      case Some(c) =>
+        require(schema.fieldNames.contains(c),
+          s"graft catalog: deltaIdCol '$c' not in schema")
+        GraftSparkCatalog.deltaIdCols.put(k, c)
+        StructType(schema.fields.map(f =>
+          if (f.name == c) f.copy(nullable = false) else f))
+      case None => schema
+    }
+    MemTable.publish(k, MemTable.Snapshot(stored, Map.empty, 0L))
+    new MemTableImpl(stored, k, pc,
+      GraftSparkCatalog.deltaIdCols.getOrElse(k, ""))
   }
 
   /** SQL `ALTER TABLE … ADD COLUMNS` — catalog-level SCHEMA EVOLUTION
@@ -134,6 +150,7 @@ class GraftSparkCatalog extends TableCatalog {
 
   override def dropTable(ident: Identifier): Boolean = {
     partCols.remove(key(ident))
+    GraftSparkCatalog.deltaIdCols.remove(key(ident))
     MemTable.store.remove(key(ident)).isDefined
   }
 
@@ -148,6 +165,8 @@ class GraftSparkCatalog extends TableCatalog {
       if (MemTable.store.contains(to)) throw new TableAlreadyExistsException(newIdent)
       MemTable.store.put(to, MemTable.store.remove(from).get)
       partCols.remove(from).foreach(partCols.put(to, _))
+      GraftSparkCatalog.deltaIdCols.remove(from)
+        .foreach(GraftSparkCatalog.deltaIdCols.put(to, _))
       MemTable.history.keys.filter(_._1 == from).toSeq.foreach { case (_, v) =>
         MemTable.history.remove((from, v)).foreach(s => MemTable.history.put((to, v), s))
       }
@@ -162,4 +181,7 @@ object GraftSparkCatalog {
   /** table key → partition column, shared by every catalog instance in
     * the process (same lifetime as the snapshot store it annotates). */
   val partCols = new scala.collection.concurrent.TrieMap[String, String]
+
+  /** table key → declared row-identity column (delta row-level ops). */
+  val deltaIdCols = new scala.collection.concurrent.TrieMap[String, String]
 }

@@ -96,7 +96,8 @@ object MemTable {
   val runtimePrunes = new scala.collection.concurrent.TrieMap[String, (Int, Int)]
 }
 
-private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: String)
+private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: String,
+    deltaIdCol: String = "")
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
@@ -104,15 +105,21 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
   override def name(): String = s"graft_mem_table($runId)"
 
   /** SQL `UPDATE` / `MERGE INTO` (and predicate-refused DELETEs) route
-    * here — see [[MemRowLevelOperation]]. DELETE still prefers the
-    * metadata-only [[org.apache.spark.sql.connector.catalog
+    * here. A table created with `TBLPROPERTIES('deltaIdCol'='…')` takes
+    * the DELTA (merge-on-read) discipline — per-row actions through
+    * [[MemDeltaRowLevelOperation]]; otherwise the GROUP-BASED
+    * (copy-on-write) rewrite — [[MemRowLevelOperation]]. DELETE still
+    * prefers the metadata-only [[org.apache.spark.sql.connector.catalog
     * .SupportsDeleteV2]] path when `canDeleteWhere` accepts the
     * predicate (Spark's OptimizeMetadataOnlyDeleteFromTable), exactly the
     * Delta/Iceberg posture: log-only when possible, rewrite when not. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new MemRowLevelOperation(runId, partCol, info.command())
+    () =>
+      if (deltaIdCol.nonEmpty)
+        new MemDeltaRowLevelOperation(runId, partCol, deltaIdCol, info.command())
+      else new MemRowLevelOperation(runId, partCol, info.command())
 
   /** SQL `DELETE FROM` (and, via the default truncateTable(),
     * `TRUNCATE TABLE`) — [[SupportsDeleteV2]], the metadata-only
@@ -388,6 +395,158 @@ private[sources] class MemRowLevelOperation(runId: String, partCol: String,
 
   override def description(): String =
     s"MemRowLevelOperation($cmd, runId=$runId, groupBy=$partCol)"
+}
+
+/** DELTA-BASED row-level operations ([[org.apache.spark.sql.connector
+  * .write.SupportsDelta]]) — the merge-on-read WRITE discipline, the
+  * other half of the row-level matrix (group-based = copy-on-write,
+  * q279/q280): instead of rewriting whole groups, Spark plans WriteDelta
+  * and streams per-row actions — DELETE(metadata, rowId),
+  * UPDATE(metadata, rowId, newRow), INSERT(newRow) — to the writer; the
+  * commit applies exactly those deltas to the snapshot. Chosen by Spark
+  * automatically whenever the operation implements this interface (the
+  * table opts in by declaring a row-identity column at CREATE time,
+  * `TBLPROPERTIES('deltaIdCol'='…')` — Iceberg's identifier fields).
+  * Row identity is the declared column; the `_partition` metadata
+  * attribute routes each delete/update to its source group without a
+  * search. The same optimistic version pin as the group path gates the
+  * publish. */
+private[sources] class MemDeltaRowLevelOperation(runId: String, partCol: String,
+    idCol: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.SupportsDelta {
+  private[sources] val baseVersion: Long =
+    MemTable.store.get(runId).map(_.version).getOrElse(0L)
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(idCol))
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_partition"))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MemScanBuilder(runId, partCol)
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder = {
+    // a pure DELETE carries NO row data (schema() is empty) — the row-id
+    // type must come from rowIdSchema, which is present for every command
+    val rowIdSchema = info.rowIdSchema().orElseThrow(() =>
+      new IllegalStateException("MemTable: delta write without a rowId schema"))
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new MemDeltaBatchWrite(runId, info.schema(), rowIdSchema, partCol,
+              idCol, baseVersion)
+        }
+    }
+  }
+  override def description(): String =
+    s"MemDeltaRowLevelOperation($cmd, runId=$runId, rowId=$idCol)"
+}
+
+/** One task's delta actions, in arrival order per kind. Partition keys
+  * come from the `_partition` metadata channel (null → locate by id). */
+private[sources] case class MemDeltaMessage(
+    deletes: Vector[(String, Any)],
+    updates: Vector[(String, Any, Array[Any])],
+    inserts: Vector[Array[Any]]) extends WriterCommitMessage
+
+private[sources] class MemDeltaBatchWrite(runId: String, schema: StructType,
+    rowIdSchema: StructType, partCol: String, idCol: String, baseVersion: Long)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    MemDeltaWriterFactory(schema, rowIdSchema, partCol)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.map(_.asInstanceOf[MemDeltaMessage])
+    MemTable.store.synchronized {
+      val snap = MemTable.store.getOrElse(runId,
+        MemTable.Snapshot(schema, Map.empty, 0L))
+      if (snap.version != baseVersion)
+        throw new MemTable.CommitConflictException(
+          s"MemTable '$runId': delta write based on version $baseVersion " +
+            s"but a concurrent commit moved it to ${snap.version}")
+      val idIdx = snap.schema.fieldNames.indexOf(idCol)
+      require(idIdx >= 0, s"MemTable '$runId': rowId column '$idCol' not in schema")
+      var parts = snap.parts
+      def removeRow(part: String, id: Any): Unit = {
+        val keys = if (part != null) Seq(part) else parts.keys.toSeq
+        keys.foreach { p =>
+          parts.get(p).foreach { rs =>
+            val kept = rs.filterNot(r => r(idIdx) == id)
+            if (kept.length != rs.length)
+              parts = if (kept.isEmpty) parts - p else parts.updated(p, kept)
+          }
+        }
+      }
+      val partIdx = snap.schema.fieldNames.indexOf(partCol)
+      def insertRow(r: Array[Any]): Unit = {
+        val p = r(partIdx).toString
+        parts = parts.updated(p, parts.getOrElse(p, Vector.empty) :+ r)
+      }
+      // removals first (deletes + update-olds), then arrivals — an
+      // update that moves a row between groups never collides with
+      // itself, and MERGE actions are disjoint per row id by contract
+      ms.foreach { m =>
+        m.deletes.foreach { case (p, id) => removeRow(p, id) }
+        m.updates.foreach { case (p, id, _) => removeRow(p, id) }
+      }
+      ms.foreach { m =>
+        m.updates.foreach { case (_, _, r) => insertRow(r) }
+        m.inserts.foreach(insertRow)
+      }
+      MemTable.publish(runId,
+        MemTable.Snapshot(snap.schema, parts, snap.version + 1))
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] case class MemDeltaWriterFactory(schema: StructType,
+    rowIdSchema: StructType, partCol: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new MemDeltaWriter(schema, rowIdSchema, partCol)
+}
+
+private[sources] class MemDeltaWriter(schema: StructType,
+    rowIdSchema: StructType, partCol: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  private val idType = rowIdSchema.fields(0).dataType
+  private var deletes = Vector.empty[(String, Any)]
+  private var updates = Vector.empty[(String, Any, Array[Any])]
+  private var inserts = Vector.empty[Array[Any]]
+
+  private def partOf(meta: InternalRow): String =
+    if (meta == null || meta.numFields == 0 || meta.isNullAt(0)) null
+    else meta.getUTF8String(0).toString
+  private def idOf(id: InternalRow): Any = idType match {
+    case LongType   => id.getLong(0)
+    case StringType => id.getUTF8String(0).toString
+    case other      => sys.error(s"MemTable: unsupported rowId type $other")
+  }
+  private def rowOf(row: InternalRow): Array[Any] =
+    schema.fields.indices.map { i =>
+      if (row.isNullAt(i)) null
+      else schema.fields(i).dataType match {
+        case LongType   => row.getLong(i)
+        case StringType => row.getUTF8String(i).toString
+        case other      => sys.error(s"MemTable: unsupported type $other")
+      }
+    }.toArray
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    deletes :+= ((partOf(meta), idOf(id)))
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    updates :+= ((partOf(meta), idOf(id), rowOf(row)))
+  override def insert(row: InternalRow): Unit = inserts :+= rowOf(row)
+  override def commit(): WriterCommitMessage =
+    MemDeltaMessage(deletes, updates, inserts)
+  override def abort(): Unit = { deletes = Vector.empty; updates = Vector.empty; inserts = Vector.empty }
+  override def close(): Unit = ()
 }
 
 /** The ReplaceData commit: swap the scanned groups for the written rows

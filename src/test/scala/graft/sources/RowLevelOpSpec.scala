@@ -175,6 +175,62 @@ class RowLevelOpSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE graft_cat.spec.$b")
   }
 
+  test("row-level discipline routing: deltaIdCol plans WriteDelta, plain tables ReplaceData") {
+    val s2 = catSession()
+    import s2.implicits._
+    val g = s"rlo_cow_${System.nanoTime()}"
+    val d = s"rlo_mor_${System.nanoTime()}"
+    Seq((1L, "a", 10L)).toDF("k", "p", "v")
+      .writeTo(s"graft_cat.spec.$g").partitionedBy(col("p")).create()
+    Seq((1L, "a", 10L)).toDF("k", "p", "v")
+      .writeTo(s"graft_cat.spec.$d").partitionedBy(col("p"))
+      .tableProperty("deltaIdCol", "k").create()
+    def planOf(tbl: String): String =
+      s2.sql(s"EXPLAIN UPDATE graft_cat.spec.$tbl SET v = v + 1 WHERE k = 1")
+        .collect()(0).getString(0)
+    assert(planOf(g).contains("ReplaceData"), planOf(g))
+    assert(!planOf(g).contains("WriteDelta"))
+    assert(planOf(d).contains("WriteDelta"), planOf(d))
+    assert(!planOf(d).contains("ReplaceData"))
+    s2.sql(s"DROP TABLE graft_cat.spec.$g")
+    s2.sql(s"DROP TABLE graft_cat.spec.$d")
+  }
+
+  test("delta writes: partition-moving update, per-row delete, stale-base rejection") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"rlo_dlt_${System.nanoTime()}"
+    val tbl = s"graft_cat.spec.$name"
+    val key = s"cat!graft_cat!spec!$name"
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("k", "p", "v").writeTo(tbl).partitionedBy(col("p"))
+      .tableProperty("deltaIdCol", "k").create()
+    s2.sql(s"UPDATE $tbl SET p = 'c', v = v + 1 WHERE k = 2") // moves group
+    val parts = MemTable.store(key).parts
+    assert(parts("a").map(_(0)) == Vector(1L) &&
+      parts("c").map(r => (r(0), r(2))) == Vector((2L, 21L)), parts)
+    s2.sql(s"DELETE FROM $tbl WHERE k % 3 = 0") // untranslatable -> delta
+    assert(s2.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 2L)
+    // stale-base rejection on the delta commit path
+    val op = new MemDeltaRowLevelOperation(key, "p", "k",
+      RowLevelOperation.Command.DELETE)
+    s2.sql(s"DELETE FROM $tbl WHERE k = 1") // moves the version under op
+    val write = op.newWriteBuilder(new LogicalWriteInfo {
+      override def queryId(): String = "spec"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        new org.apache.spark.sql.types.StructType()
+      override def rowIdSchema(): java.util.Optional[org.apache.spark.sql.types.StructType] =
+        java.util.Optional.of(new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.LongType, false))
+      override def options(): CaseInsensitiveStringMap =
+        CaseInsensitiveStringMap.empty()
+    }).build().toBatch
+    intercept[MemTable.CommitConflictException] {
+      write.commit(Array(MemDeltaMessage(Vector(("a", 2L)), Vector.empty, Vector.empty)))
+    }
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
