@@ -1058,7 +1058,7 @@ object Sources {
           col("event_type"))
         .write.format("graft.sources.MemTable")
         .option("runId", key).option("partitionCol", "event_type")
-        .mode("append").save()
+        .mode("overwrite").save() // full-state swap (r11: append now appends)
       write(); write() // second commit swaps the snapshot: version 2
       s.read.format("graft.sources.MemTable")
         .option("runId", key).option("partitionCol", "event_type").load()

@@ -27,7 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[WriterCommitMessage]]; the driver-side [[BatchWrite.commit]] merges
   * all messages and publishes the table in ONE reference swap — the
   * Iceberg/Delta snapshot-commit shape (nothing is visible mid-job; a
-  * failed job leaves the previous snapshot intact; latest commit wins).
+  * failed job leaves the previous snapshot intact). APPEND commits merge
+  * into the current snapshot (SQL INSERT INTO); overwrite-shaped writes
+  * route through SupportsTruncate and REPLACE it (r11 split; q189/q200's
+  * full-state read-modify-write loops use overwrite explicitly).
   * In this in-JVM harness the messages carry the rows themselves; a
   * production connector would spill files task-side and ship manifests —
   * the protocol (task message → atomic driver publish) is identical and
@@ -470,32 +473,36 @@ private[sources] class MemDeltaBatchWrite(runId: String, schema: StructType,
             s"but a concurrent commit moved it to ${snap.version}")
       val idIdx = snap.schema.fieldNames.indexOf(idCol)
       require(idIdx >= 0, s"MemTable '$runId': rowId column '$idCol' not in schema")
-      var parts = snap.parts
-      def removeRow(part: String, id: Any): Unit = {
-        val keys = if (part != null) Seq(part) else parts.keys.toSeq
-        keys.foreach { p =>
-          parts.get(p).foreach { rs =>
-            val kept = rs.filterNot(r => r(idIdx) == id)
-            if (kept.length != rs.length)
-              parts = if (kept.isEmpty) parts - p else parts.updated(p, kept)
-          }
-        }
-      }
       val partIdx = snap.schema.fieldNames.indexOf(partCol)
-      def insertRow(r: Array[Any]): Unit = {
-        val p = r(partIdx).toString
-        parts = parts.updated(p, parts.getOrElse(p, Vector.empty) :+ r)
-      }
-      // removals first (deletes + update-olds), then arrivals — an
-      // update that moves a row between groups never collides with
-      // itself, and MERGE actions are disjoint per row id by contract
+      // BULK application — one hash-set pass per partition, O(rows +
+      // actions), not a scan per action (a per-action filterNot measured
+      // 31 s on a 150k-row fixture: the quadratic trap this commit path
+      // must never carry to 100 TB). Removals (deletes + update-olds)
+      // resolve first, then arrivals — an update moving a row between
+      // groups never collides with itself, and MERGE actions are
+      // disjoint per row id by contract.
+      val byPart = scala.collection.mutable.Map.empty[String, scala.collection.mutable.HashSet[Any]]
+      val global = scala.collection.mutable.HashSet.empty[Any]
       ms.foreach { m =>
-        m.deletes.foreach { case (p, id) => removeRow(p, id) }
-        m.updates.foreach { case (p, id, _) => removeRow(p, id) }
+        (m.deletes.iterator ++ m.updates.iterator.map(u => (u._1, u._2)))
+          .foreach { case (p, id) =>
+            if (p == null) global += id
+            else byPart.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += id
+          }
       }
-      ms.foreach { m =>
-        m.updates.foreach { case (_, _, r) => insertRow(r) }
-        m.inserts.foreach(insertRow)
+      var parts: Map[String, Vector[Array[Any]]] = snap.parts.flatMap { case (p, rs) =>
+        val local = byPart.get(p)
+        val kept =
+          if (local.isEmpty && global.isEmpty) rs
+          else rs.filterNot(r => global.contains(r(idIdx)) ||
+            local.exists(_.contains(r(idIdx))))
+        if (kept.isEmpty) None else Some(p -> kept)
+      }
+      val arrivals = ms.iterator.flatMap(m =>
+        m.updates.iterator.map(_._3) ++ m.inserts.iterator)
+        .toVector.groupBy(r => r(partIdx).toString)
+      arrivals.foreach { case (p, rs) =>
+        parts = parts.updated(p, parts.getOrElse(p, Vector.empty) ++ rs)
       }
       MemTable.publish(runId,
         MemTable.Snapshot(snap.schema, parts, snap.version + 1))
