@@ -1641,6 +1641,61 @@ object Sources {
              min(okey) AS first_key
       FROM merged GROUP BY status ORDER BY status"""))
 
+  /** V2 PARTITION-MANAGEMENT DDL — the reference's ENTIRE partition
+    * lifecycle (add_partition / del_partition / list_partitions with
+    * validation, gluettalax.py:428-514) re-expressed as Spark's native
+    * SQL statements over SupportsAtomicPartitionManagement: `ADD
+    * PARTITION` declares an empty catalog object, `PARTITION … RENAME TO
+    * PARTITION` moves the rows AND rewrites their partition-column
+    * values, `TRUNCATE TABLE … PARTITION` drops rows but keeps the
+    * declaration, `DROP PARTITION` removes both, and `SHOW PARTITIONS`
+    * lists declared ∪ populated. The result fuses the final SHOW
+    * PARTITIONS listing with the per-partition data rollup, so the hash
+    * proves BOTH the catalog-object lifecycle (F survives its truncate
+    * as an empty declaration, O is gone, Z exists empty) and the data
+    * movement (P's rows now live under P2 with rewritten values). */
+  val q287 = GraftQuery(
+    "q287_sql_partition_ddl",
+    "ADD/DROP/RENAME/TRUNCATE PARTITION + SHOW PARTITIONS: catalog-object lifecycle, hash-fused with data",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.pdl_$tag"
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .writeTo(tbl).partitionedBy(col("status")).create()
+      s2.sql(s"ALTER TABLE $tbl ADD PARTITION (status = 'Z')")
+      s2.sql(s"ALTER TABLE $tbl PARTITION (status = 'P') RENAME TO PARTITION (status = 'P2')")
+      s2.sql(s"TRUNCATE TABLE $tbl PARTITION (status = 'F')")
+      s2.sql(s"ALTER TABLE $tbl DROP PARTITION (status = 'O')")
+      val partsList = s2.sql(s"SHOW PARTITIONS $tbl")
+        .select(lit("part").as("kind"), col("partition").as("key"),
+          lit(null).cast("long").as("n"), lit(null).cast("long").as("cents"))
+      val data = s2.sql(
+        s"""SELECT 'data' AS kind, status AS key, count(*) AS n,
+                   sum(cents) AS cents
+            FROM $tbl GROUP BY status""")
+      partsList.unionByName(data).orderBy("kind", "key")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'part' AS kind, 'status=F' AS key,
+               CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS cents
+        UNION ALL SELECT 'part', 'status=P2', NULL, NULL
+        UNION ALL SELECT 'part', 'status=Z', NULL, NULL
+        UNION ALL
+        SELECT 'data', 'P2', count(*), CAST(sum(cents) AS BIGINT)
+        FROM t WHERE status = 'P')
+      ORDER BY kind, key"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -1767,5 +1822,5 @@ object Sources {
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
-    q285, q286)
+    q285, q286, q287)
 }

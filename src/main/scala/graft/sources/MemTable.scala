@@ -97,6 +97,14 @@ object MemTable {
     * the LAST runtime `filter()` call per runId — what PlanSpec reads to
     * prove pruning happened at execution, not planning (q217). */
   val runtimePrunes = new scala.collection.concurrent.TrieMap[String, (Int, Int)]
+
+  /** DECLARED partitions per runId (partition-management DDL): value →
+    * properties. A partition exists when it holds rows OR is declared
+    * here — ADD PARTITION registers an empty one, TRUNCATE keeps the
+    * declaration while dropping the rows (the Hive/reference lifecycle:
+    * partitions are catalog objects, not just value groups). */
+  val declaredParts =
+    new scala.collection.concurrent.TrieMap[(String, String), Map[String, String]]
 }
 
 private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: String,
@@ -104,7 +112,8 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsAtomicPartitionManagement {
   override def name(): String = s"graft_mem_table($runId)"
 
   /** SQL `UPDATE` / `MERGE INTO` (and predicate-refused DELETEs) route
@@ -249,6 +258,130 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
+
+  /** V2 PARTITION MANAGEMENT ([[org.apache.spark.sql.connector.catalog
+    * .SupportsAtomicPartitionManagement]]) — the reference's partition
+    * lifecycle (add_partition / del_partition / list_partitions,
+    * gluettalax.py:428-514) as Spark's native DDL: `ALTER TABLE … ADD /
+    * DROP PARTITION`, `… PARTITION (…) RENAME TO PARTITION (…)`,
+    * `TRUNCATE TABLE … PARTITION (…)`, `SHOW PARTITIONS`. Partitions are
+    * catalog OBJECTS: ADD declares an empty one (with properties),
+    * TRUNCATE drops rows but keeps the declaration, DROP removes both,
+    * RENAME moves the rows AND rewrites their partition-column values in
+    * one version-bumping publish (time travel sees every step). The
+    * atomic multi-partition forms validate every identifier BEFORE
+    * mutating anything. */
+  private def identValue(ident: InternalRow): String =
+    ident.getUTF8String(0).toString
+  override def partitionSchema(): StructType =
+    new StructType().add(partCol, StringType, nullable = false)
+
+  override def createPartitions(idents: Array[InternalRow],
+      properties: Array[util.Map[String, String]]): Unit =
+    MemTable.store.synchronized {
+      val vals = idents.map(identValue)
+      val existing = vals.filter(partitionExistsValue)
+      if (existing.nonEmpty)
+        throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
+          name(), idents.toSeq, partitionSchema())
+      vals.zip(properties).foreach { case (v, p) =>
+        import scala.jdk.CollectionConverters._
+        MemTable.declaredParts.put((runId, v), p.asScala.toMap)
+      }
+    }
+
+  override def dropPartitions(idents: Array[InternalRow]): Boolean =
+    MemTable.store.synchronized {
+      val vals = idents.map(identValue)
+      if (!vals.forall(partitionExistsValue)) return false
+      vals.foreach(v => MemTable.declaredParts.remove((runId, v)))
+      MemTable.store.get(runId).foreach { snap =>
+        val kept = snap.parts -- vals
+        if (kept.size != snap.parts.size)
+          MemTable.publish(runId,
+            MemTable.Snapshot(snap.schema, kept, snap.version + 1))
+      }
+      true
+    }
+
+  private def partitionExistsValue(v: String): Boolean =
+    MemTable.declaredParts.contains((runId, v)) ||
+      MemTable.store.get(runId).exists(_.parts.contains(v))
+  override def partitionExists(ident: InternalRow): Boolean =
+    partitionExistsValue(identValue(ident))
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: util.Map[String, String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val v = identValue(ident)
+    if (!partitionExistsValue(v))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+        runId, ident, partitionSchema())
+    MemTable.declaredParts.put((runId, v), properties.asScala.toMap)
+  }
+
+  override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    MemTable.declaredParts.getOrElse((runId, identValue(ident)),
+      Map.empty[String, String]).asJava
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    val all = (MemTable.store.get(runId).map(_.parts.keySet).getOrElse(Set.empty) ++
+      MemTable.declaredParts.keys.collect { case (r, v) if r == runId => v })
+      .toSeq.sorted
+    val filtered =
+      if (names.isEmpty) all
+      else {
+        require(names.sameElements(Array(partCol)),
+          s"MemTable '$runId': unknown partition fields ${names.mkString(",")}")
+        all.filter(_ == identValue(ident))
+      }
+    filtered.map(v => InternalRow(UTF8String.fromString(v))).toArray
+  }
+
+  override def renamePartition(from: InternalRow, to: InternalRow): Boolean =
+    MemTable.store.synchronized {
+      val (f, t) = (identValue(from), identValue(to))
+      if (!partitionExistsValue(f))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+          name(), from, partitionSchema())
+      if (partitionExistsValue(t))
+        throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
+          name(), to, partitionSchema())
+      MemTable.declaredParts.remove((runId, f))
+        .foreach(p => MemTable.declaredParts.put((runId, t), p))
+      MemTable.store.get(runId).foreach { snap =>
+        snap.parts.get(f).foreach { rs =>
+          val i = snap.schema.fieldNames.indexOf(partCol)
+          // rows carry their partition value — rewrite it with the move
+          val moved = rs.map { r =>
+            val c = r.clone(); c(i) = t; c
+          }
+          MemTable.publish(runId, MemTable.Snapshot(snap.schema,
+            (snap.parts - f).updated(t, moved), snap.version + 1))
+        }
+      }
+      true
+    }
+
+  override def truncatePartition(ident: InternalRow): Boolean =
+    MemTable.store.synchronized {
+      val v = identValue(ident)
+      if (!partitionExistsValue(v))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+          runId, ident, partitionSchema())
+      // rows drop; the partition remains a declared catalog object
+      if (!MemTable.declaredParts.contains((runId, v)))
+        MemTable.declaredParts.put((runId, v), Map.empty)
+      MemTable.store.get(runId).foreach { snap =>
+        if (snap.parts.contains(v))
+          MemTable.publish(runId,
+            MemTable.Snapshot(snap.schema, snap.parts - v, snap.version + 1))
+      }
+      true
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MemScanBuilder(runId,

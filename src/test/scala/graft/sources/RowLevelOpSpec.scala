@@ -231,6 +231,36 @@ class RowLevelOpSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("partition DDL contracts: duplicate ADD and missing RENAME error; TRUNCATE keeps the object") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"rlo_pdl_${System.nanoTime()}"
+    val tbl = s"graft_cat.spec.$name"
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "p", "v")
+      .writeTo(tbl).partitionedBy(col("p")).create()
+    // ADD over a populated value refuses (partition objects are unique)
+    intercept[Exception] { s2.sql(s"ALTER TABLE $tbl ADD PARTITION (p = 'a')") }
+    // but IF NOT EXISTS passes through quietly
+    s2.sql(s"ALTER TABLE $tbl ADD IF NOT EXISTS PARTITION (p = 'a')")
+    // RENAME of a missing partition errors; to an existing one errors
+    intercept[Exception] {
+      s2.sql(s"ALTER TABLE $tbl PARTITION (p = 'zz') RENAME TO PARTITION (p = 'q')")
+    }
+    intercept[Exception] {
+      s2.sql(s"ALTER TABLE $tbl PARTITION (p = 'a') RENAME TO PARTITION (p = 'b')")
+    }
+    // TRUNCATE drops rows, keeps the catalog object
+    s2.sql(s"TRUNCATE TABLE $tbl PARTITION (p = 'a')")
+    val parts = s2.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0)).toSeq
+    assert(parts == Seq("p=a", "p=b"), parts)
+    assert(s2.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 1L)
+    // DROP removes the object too
+    s2.sql(s"ALTER TABLE $tbl DROP PARTITION (p = 'a')")
+    assert(s2.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0)).toSeq
+      == Seq("p=b"))
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
