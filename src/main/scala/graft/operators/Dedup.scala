@@ -3163,6 +3163,21 @@ object Dedup {
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val CAP = 32
+    // the build is ~35 SMALL sequential jobs (5 doubling rounds + 6
+    // descent levels + checkpoints) over ≤160k compact rows — task-launch
+    // overhead dominates at the session's 32 shuffle partitions, so scope
+    // them down for the build. Safe ONLY because this body executes
+    // EAGERLY (every stage localCheckpoints) before the conf is restored;
+    // a lazily-returned plan would escape the override.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try d37LrsBuild(s, dir, CAP)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def d37LrsBuild(s: org.apache.spark.sql.SparkSession,
+      dir: String, CAP: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = table(s, dir, "documents")
       .filter(col("doc_id") < 1500)
       .select(col("doc_id").as("d"), words(col("text")).as("ws"))
