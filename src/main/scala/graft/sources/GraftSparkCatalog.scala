@@ -79,7 +79,12 @@ class GraftSparkCatalog extends TableCatalog {
       case Some(snap) =>
         val pinned = s"$k!@v$v"
         MemTable.store.put(pinned, snap)
-        new MemTableImpl(snap.schema, pinned, partCols.getOrElse(k, ""))
+        // READ-ONLY: a time-travel read must never be a write target —
+        // Delta/Iceberg reject writes at pinned versions, and a write
+        // routed here would mutate a phantom snapshot, not the table.
+        // MemTablePinned omits SupportsWrite entirely, so Spark raises
+        // its native "does not support ..." instead of silently writing.
+        new MemTablePinned(snap.schema, pinned, partCols.getOrElse(k, ""))
       case None =>
         throw new IllegalArgumentException(
           s"graft catalog: no snapshot version $v for ${ident.name()} " +
@@ -148,10 +153,24 @@ class GraftSparkCatalog extends TableCatalog {
     loadTable(ident)
   }
 
+  /** DROP purges EVERY per-table structure, not just the serving
+    * snapshot: retained version history (else a recreated table under the
+    * same identifier would serve the dropped incarnation's snapshots via
+    * VERSION AS OF), declared partitions (else SHOW PARTITIONS reports
+    * ghosts and ADD PARTITION of a previously declared value refuses),
+    * and pinned time-travel republications (`key!@v*`). */
   override def dropTable(ident: Identifier): Boolean = {
-    partCols.remove(key(ident))
-    GraftSparkCatalog.deltaIdCols.remove(key(ident))
-    MemTable.store.remove(key(ident)).isDefined
+    val k = key(ident)
+    MemTable.store.synchronized {
+      partCols.remove(k)
+      GraftSparkCatalog.deltaIdCols.remove(k)
+      MemTable.history.keys.filter(_._1 == k).toSeq.foreach(MemTable.history.remove)
+      MemTable.declaredParts.keys.filter(_._1 == k).toSeq
+        .foreach(MemTable.declaredParts.remove)
+      MemTable.store.keys.filter(_.startsWith(s"$k!@v")).toSeq
+        .foreach(MemTable.store.remove)
+      MemTable.store.remove(k).isDefined
+    }
   }
 
   /** SQL `ALTER TABLE … RENAME TO` — moves the snapshot, its partition
@@ -170,6 +189,16 @@ class GraftSparkCatalog extends TableCatalog {
       MemTable.history.keys.filter(_._1 == from).toSeq.foreach { case (_, v) =>
         MemTable.history.remove((from, v)).foreach(s => MemTable.history.put((to, v), s))
       }
+      // declared-empty partitions and their properties travel too; pinned
+      // time-travel caches of the old key are dropped (idempotently
+      // recreated from the migrated history on the next VERSION AS OF)
+      MemTable.declaredParts.keys.filter(_._1 == from).toSeq.foreach {
+        case dk @ (_, v) =>
+          MemTable.declaredParts.remove(dk)
+            .foreach(p => MemTable.declaredParts.put((to, v), p))
+      }
+      MemTable.store.keys.filter(_.startsWith(s"$from!@v")).toSeq
+        .foreach(MemTable.store.remove)
     }
   }
 

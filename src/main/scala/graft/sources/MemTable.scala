@@ -413,6 +413,24 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
   }
 }
 
+/** A pinned time-travel snapshot served READ-ONLY: the full scan surface
+  * (pruning, pushdown, metadata columns) via delegation, but no
+  * [[SupportsWrite]]/row-level/partition-management interfaces at all —
+  * Spark's analyzer rejects any write routed at a `VERSION AS OF` read
+  * with its native unsupported-operation error, matching the Delta/
+  * Iceberg contract that historical snapshots are immutable. */
+private[sources] class MemTablePinned(schema0: StructType, runId: String,
+    partCol: String) extends Table with SupportsRead with SupportsMetadataColumns {
+  private val delegate = new MemTableImpl(schema0, runId, partCol)
+  override def name(): String = s"graft_mem_table($runId, pinned)"
+  override def schema(): StructType = delegate.schema()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def metadataColumns(): Array[MetadataColumn] = delegate.metadataColumns()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+}
+
 private[sources] case class MemPartMessage(parts: Map[String, Vector[Array[Any]]])
     extends WriterCommitMessage
 
@@ -633,7 +651,15 @@ private[sources] class MemDeltaBatchWrite(runId: String, schema: StructType,
       }
       val arrivals = ms.iterator.flatMap(m =>
         m.updates.iterator.map(_._3) ++ m.inserts.iterator)
-        .toVector.groupBy(r => r(partIdx).toString)
+        .toVector.groupBy { r =>
+          val v = r(partIdx)
+          if (v == null)
+            throw new IllegalArgumentException(
+              s"MemTable '$runId': NULL value for partition column " +
+                s"'$partCol' in a delta write arrival " +
+                "(partition values must be non-null)")
+          v.toString
+        }
       arrivals.foreach { case (p, rs) =>
         parts = parts.updated(p, parts.getOrElse(p, Vector.empty) ++ rs)
       }
@@ -745,6 +771,10 @@ private[sources] class MemWriterFactory(schema: StructType, partCol: String)
             case other      => sys.error(s"MemTable: unsupported type $other")
           }
         }.toArray
+        if (vals(partIdx) == null)
+          throw new IllegalArgumentException(
+            s"MemTable: NULL value for partition column '$partCol' " +
+              "(partition values must be non-null)")
         val key = vals(partIdx).toString
         buf(key) = buf.getOrElse(key, Vector.empty) :+ vals
       }

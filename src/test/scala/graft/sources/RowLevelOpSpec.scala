@@ -261,6 +261,113 @@ class RowLevelOpSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("DROP TABLE purges history, declared partitions, and pinned time-travel entries") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"rlo_drop_${System.nanoTime()}"
+    val tbl = s"graft_cat.spec.$name"
+    val key = s"cat!graft_cat!spec!$name"
+    Seq((1L, "a", 10L)).toDF("k", "p", "v")
+      .writeTo(tbl).partitionedBy(col("p")).create()           // v1
+    s2.sql(s"UPDATE $tbl SET v = v + 1 WHERE k = 1")            // v2
+    s2.sql(s"ALTER TABLE $tbl ADD PARTITION (p = 'declared')")
+    // pin v1 (creates the key!@v1 cache entry)
+    assert(s2.sql(s"SELECT v FROM $tbl VERSION AS OF 1").collect()(0).getLong(0) == 10L)
+    s2.sql(s"DROP TABLE $tbl")
+    assert(!MemTable.history.keys.exists(_._1 == key), "history must be purged")
+    assert(!MemTable.declaredParts.keys.exists(_._1 == key), "declaredParts must be purged")
+    assert(!MemTable.store.keys.exists(_.startsWith(s"$key!@v")), "pins must be purged")
+    // a recreated table under the same identifier starts from scratch
+    Seq((9L, "z", 90L)).toDF("k", "p", "v")
+      .writeTo(tbl).partitionedBy(col("p")).create()
+    val e = intercept[Exception] {
+      s2.sql(s"SELECT * FROM $tbl VERSION AS OF 2").collect()
+    }
+    assert(e.getMessage.contains("no snapshot version 2"), e.getMessage)
+    assert(s2.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0)).toSeq
+      == Seq("p=z"))
+    // previously declared value is addable again (no ghost declaration)
+    s2.sql(s"ALTER TABLE $tbl ADD PARTITION (p = 'declared')")
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
+  test("RENAME TO migrates declared partitions and drops stale pins") {
+    val s2 = catSession()
+    import s2.implicits._
+    val a = s"rlo_rnP_${System.nanoTime()}"
+    val b = s"rlo_rnQ_${System.nanoTime()}"
+    val keyA = s"cat!graft_cat!spec!$a"
+    Seq((1L, "x", 5L)).toDF("k", "p", "v")
+      .writeTo(s"graft_cat.spec.$a").partitionedBy(col("p")).create()
+    s2.sql(s"ALTER TABLE graft_cat.spec.$a ADD PARTITION (p = 'empty')")
+    assert(s2.sql(s"SELECT v FROM graft_cat.spec.$a VERSION AS OF 1")
+      .collect()(0).getLong(0) == 5L) // creates a pin under the old key
+    s2.sql(s"ALTER TABLE graft_cat.spec.$a RENAME TO spec.$b")
+    assert(s2.sql(s"SHOW PARTITIONS graft_cat.spec.$b")
+      .collect().map(_.getString(0)).toSeq == Seq("p=empty", "p=x"))
+    assert(!MemTable.declaredParts.keys.exists(_._1 == keyA))
+    assert(!MemTable.store.keys.exists(_.startsWith(s"$keyA!@v")))
+    // pinned reads re-resolve from the MIGRATED history under the new name
+    assert(s2.sql(s"SELECT count(*) FROM graft_cat.spec.$b VERSION AS OF 1")
+      .collect()(0).getLong(0) == 1L)
+    s2.sql(s"DROP TABLE graft_cat.spec.$b")
+  }
+
+  test("time-travel tables are read-only: no SupportsWrite, BATCH_READ only") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"rlo_ttro_${System.nanoTime()}"
+    val tbl = s"graft_cat.spec.$name"
+    Seq((1L, "a", 10L)).toDF("k", "p", "v")
+      .writeTo(tbl).partitionedBy(col("p")).create()
+    val cat = s2.sessionState.catalogManager.catalog("graft_cat")
+      .asInstanceOf[GraftSparkCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("spec"), name)
+    val pinned = cat.loadTable(ident, "1")
+    assert(!pinned.isInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite])
+    assert(!pinned.isInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations])
+    assert(pinned.capabilities().size() == 1 &&
+      pinned.capabilities().contains(
+        org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ))
+    // the read path through the pinned table still serves the snapshot
+    assert(s2.sql(s"SELECT v FROM $tbl VERSION AS OF 1").collect()(0).getLong(0) == 10L)
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
+  test("delta write with NULL partition value raises a clean error naming the column") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"rlo_nullp_${System.nanoTime()}"
+    val tbl = s"graft_cat.spec.$name"
+    Seq((1L, "a", 10L)).toDF("k", "p", "v")
+      .writeTo(tbl).partitionedBy(col("p"))
+      .tableProperty("deltaIdCol", "k").create()
+    Seq((7L, 70L)).toDF("k", "v").createOrReplaceTempView("rlo_null_src")
+    val e = intercept[Exception] {
+      s2.sql(
+        s"""MERGE INTO $tbl t USING rlo_null_src s ON t.k = s.k
+            WHEN NOT MATCHED THEN INSERT (k, p, v)
+              VALUES (s.k, CAST(NULL AS STRING), s.v)""")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("partition column 'p'")),
+      causes(e).map(_.toString).mkString(" | "))
+    // the failed commit must not have published anything
+    assert(s2.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 1L)
+    // the DELTA path (WriteDelta update arrival with a NULL partition)
+    val e2 = intercept[Exception] {
+      s2.sql(s"UPDATE $tbl SET p = CAST(NULL AS STRING) WHERE k = 1")
+    }
+    assert(causes(e2).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("partition column 'p'")),
+      causes(e2).map(_.toString).mkString(" | "))
+    assert(s2.sql(s"SELECT p FROM $tbl WHERE k = 1").collect()(0).getString(0) == "a")
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
