@@ -1696,6 +1696,153 @@ object Sources {
         FROM t WHERE status = 'P')
       ORDER BY kind, key"""))
 
+  /** DURABLE CATALOG PERSISTENCE — the lakehouse property the reference
+    * gets from the Glue Data Catalog (partitions added by one process are
+    * visible to the next, gluettalax.py:444-482) and the VERDICT r11 top
+    * residual gap: a [[graft.sources.GraftSparkCatalog]] configured with
+    * a `warehouse` option spills every commit as parquet + manifest
+    * (transaction-log shape: per-version rows.parquet + meta.json with
+    * schema-at-version and commit ts, one atomic-rename manifest) and
+    * lazily restores the WHOLE table on first reference after a restart.
+    * This entry runs the full lifecycle: create → DELETE → UPDATE →
+    * declare an empty partition, then [[graft.sources.MemTable.evict]]
+    * wipes every in-process structure (the restart), and the result reads
+    * (a) `VERSION AS OF 1` — a PRE-restart version served from disk
+    * history, (b) head — both mutations durable, (c) SHOW PARTITIONS —
+    * the declared catalog object survived. The oracle recomputes all
+    * three states from `orders`, so a lost commit, a history gap, or a
+    * dropped declaration hash-fails. At 100 TB this is the Delta/Iceberg
+    * posture: data files + a bounded log on durable storage, readers
+    * rebuild state lazily from the manifest. */
+  val q288 = GraftQuery(
+    "q288_catalog_durability",
+    "Durable V2 catalog: parquet+manifest spill, restart-surviving head, VERSION AS OF, declared partitions",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_dur",
+        "graft.sources.GraftSparkCatalog")
+      s2.conf.set("spark.sql.catalog.graft_dur.warehouse",
+        "spark-warehouse/graft_catalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_dur.corpus.dur_$tag"
+      val key = s"cat!graft_dur!corpus!dur_$tag"
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .writeTo(tbl).partitionedBy(col("status")).create()     // v1
+      s2.sql(s"DELETE FROM $tbl WHERE status = 'F'")              // v2
+      s2.sql(s"UPDATE $tbl SET cents = cents + 9 WHERE okey % 5 = 0") // v3
+      s2.sql(s"ALTER TABLE $tbl ADD PARTITION (status = 'X')")
+      // ---- process restart: every in-memory structure for the key dies
+      graft.sources.MemTable.evict(key)
+      val states = s2.sql(
+        s"""SELECT 'v1' AS at_state, status, count(*) AS n,
+                   sum(cents) AS total_cents
+            FROM $tbl VERSION AS OF 1 GROUP BY status
+            UNION ALL
+            SELECT 'head', status, count(*), sum(cents)
+            FROM $tbl GROUP BY status""")
+      val parts = s2.sql(s"SHOW PARTITIONS $tbl")
+        .select(lit("parts").as("at_state"),
+          regexp_replace(col("partition"), "^status=", "").as("status"),
+          lit(1L).as("n"), lit(0L).as("total_cents"))
+      // eager checkpoint so the durable table can be dropped before the
+      // (lazy) result frame is consumed by the driver
+      val out = states.unionByName(parts).orderBy("at_state", "status")
+        .localCheckpoint(true)
+      s2.sql(s"DROP TABLE $tbl")
+      out
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'v1' AS at_state, status, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM t GROUP BY status
+        UNION ALL
+        SELECT 'head', status, count(*),
+               CAST(sum(CASE WHEN okey % 5 = 0 THEN cents + 9 ELSE cents END)
+                 AS BIGINT)
+        FROM t WHERE status <> 'F' GROUP BY status
+        UNION ALL
+        SELECT 'parts', status, 1, 0 FROM (
+          SELECT DISTINCT status FROM t WHERE status <> 'F'
+          UNION ALL SELECT 'X'))
+      ORDER BY at_state, status"""))
+
+  /** SQL `TIMESTAMP AS OF` — the other half of Spark's time-travel
+    * surface (q281 landed `VERSION AS OF`): [[graft.sources
+    * .GraftSparkCatalog]] resolves the LATEST snapshot whose commit
+    * timestamp is ≤ the requested instant (Delta's timestamp_expression
+    * contract), against commit timestamps [[graft.sources.MemTable
+    * .publish]] stamps strictly monotone per table. One statement reads
+    * the table at `VERSION AS OF 1`, at `TIMESTAMP AS OF` the v2 commit
+    * instant (must resolve to exactly v2 — after the DELETE, before the
+    * UPDATE), and at head — three DIFFERENT pinned snapshots, all
+    * read-only. The instant is taken from the engine's own commit ledger,
+    * so the entry is deterministic at any wall-clock; the oracle
+    * recomputes all three states from `orders`. A timestamp before the
+    * earliest retained commit errors cleanly (DurableCatalogSpec pins
+    * it). */
+  val q289 = GraftQuery(
+    "q289_sql_timestamp_as_of",
+    "SQL TIMESTAMP AS OF: latest-commit-≤-instant resolution, composed with VERSION AS OF in one statement",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      s2.conf.set("spark.sql.session.timeZone", "UTC")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.tsof_$tag"
+      val key = s"cat!graft_cat!corpus!tsof_$tag"
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .writeTo(tbl).partitionedBy(col("status")).create()     // v1
+      s2.sql(s"DELETE FROM $tbl WHERE status = 'F'")              // v2
+      s2.sql(s"UPDATE $tbl SET cents = cents + 9 WHERE okey % 5 = 0") // v3
+      val v2Micros = graft.sources.MemTable.history((key, 2L)).tsMicros
+      val v2Ts = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(v2Micros / 1000000L,
+          (v2Micros % 1000000L) * 1000L))
+      s2.sql(
+        s"""SELECT 'v1' AS at_state, status, count(*) AS n,
+                   sum(cents) AS total_cents
+            FROM $tbl VERSION AS OF 1 GROUP BY status
+            UNION ALL
+            SELECT 'ts_v2', status, count(*), sum(cents)
+            FROM $tbl TIMESTAMP AS OF '$v2Ts' GROUP BY status
+            UNION ALL
+            SELECT 'head', status, count(*), sum(cents)
+            FROM $tbl GROUP BY status
+            ORDER BY at_state, status""")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'v1' AS at_state, status, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM t GROUP BY status
+        UNION ALL
+        SELECT 'ts_v2', status, count(*), CAST(sum(cents) AS BIGINT)
+        FROM t WHERE status <> 'F' GROUP BY status
+        UNION ALL
+        SELECT 'head', status, count(*),
+               CAST(sum(CASE WHEN okey % 5 = 0 THEN cents + 9 ELSE cents END)
+                 AS BIGINT)
+        FROM t WHERE status <> 'F' GROUP BY status)
+      ORDER BY at_state, status"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -1822,5 +1969,5 @@ object Sources {
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
-    q285, q286, q287)
+    q285, q286, q287, q288, q289)
 }

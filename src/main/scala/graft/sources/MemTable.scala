@@ -61,9 +61,12 @@ class MemTable extends TableProvider {
 object MemTable {
   /** A committed snapshot: schema + rows grouped by partition value.
     * Values are plain JVM types (Long / String) so partitions serialize
-    * to tasks without catalyst internals. */
+    * to tasks without catalyst internals. `tsMicros` is the commit
+    * timestamp [[publish]] stamps (strictly monotone per table) — what
+    * `TIMESTAMP AS OF` resolves against, the same role as Delta's
+    * commit-file modification time / Iceberg's snapshot timestamp. */
   case class Snapshot(schema: StructType, parts: Map[String, Vector[Array[Any]]],
-      version: Long = 1L)
+      version: Long = 1L, tsMicros: Long = 0L)
 
   /** Committed state per runId — swapped ONLY by a commit-time publish. */
   val store = new scala.collection.concurrent.TrieMap[String, Snapshot]
@@ -79,11 +82,34 @@ object MemTable {
   /** The single publish point: swaps the serving snapshot AND appends it
     * to the version history (MemBatchWrite.commit, deleteWhere, and
     * group-replace commits all land here, so time travel sees every
-    * mutation path). Callers hold `store.synchronized`. */
+    * mutation path). Stamps the commit timestamp (strictly monotone per
+    * table, so TIMESTAMP AS OF resolution is unambiguous even for
+    * same-millisecond commits) and spills durably when the owning
+    * catalog declared a warehouse ([[DurableSpill]]). Callers hold
+    * `store.synchronized`. */
   def publish(runId: String, snap: Snapshot): Unit = {
-    store.put(runId, snap)
-    history.put((runId, snap.version), snap)
-    history.remove((runId, snap.version - historyDepth))
+    val prevTs = store.get(runId).map(_.tsMicros).getOrElse(0L)
+    val stamped = snap.copy(
+      tsMicros = math.max(System.currentTimeMillis() * 1000L, prevTs + 1))
+    store.put(runId, stamped)
+    history.put((runId, stamped.version), stamped)
+    val dropped = stamped.version - historyDepth
+    history.remove((runId, dropped))
+    DurableSpill.onPublish(runId, stamped, dropped)
+  }
+
+  /** Restart-simulation seam (and memory-pressure relief): forget every
+    * in-process structure for a table key. A durable table is lazily
+    * reloaded from its warehouse spill on the next catalog reference —
+    * exactly what a new process would do; a memory-only table is gone,
+    * the way the reference's in-process state dies with the CLI. */
+  def evict(runId: String): Unit = store.synchronized {
+    store.remove(runId)
+    store.keys.filter(_.startsWith(s"$runId!@v")).toSeq.foreach(store.remove)
+    history.keys.filter(_._1 == runId).toSeq.foreach(history.remove)
+    declaredParts.keys.filter(_._1 == runId).toSeq.foreach(declaredParts.remove)
+    GraftSparkCatalog.partCols.remove(runId)
+    GraftSparkCatalog.deltaIdCols.remove(runId)
   }
 
   /** Optimistic-concurrency rejection: the writer's base snapshot is no
@@ -288,6 +314,7 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
         import scala.jdk.CollectionConverters._
         MemTable.declaredParts.put((runId, v), p.asScala.toMap)
       }
+      DurableSpill.onMetaChange(runId)
     }
 
   override def dropPartitions(idents: Array[InternalRow]): Boolean =
@@ -301,6 +328,7 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
           MemTable.publish(runId,
             MemTable.Snapshot(snap.schema, kept, snap.version + 1))
       }
+      DurableSpill.onMetaChange(runId)
       true
     }
 
@@ -318,6 +346,7 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
         runId, ident, partitionSchema())
     MemTable.declaredParts.put((runId, v), properties.asScala.toMap)
+    DurableSpill.onMetaChange(runId)
   }
 
   override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] = {
@@ -363,6 +392,7 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
             (snap.parts - f).updated(t, moved), snap.version + 1))
         }
       }
+      DurableSpill.onMetaChange(runId)
       true
     }
 
@@ -380,6 +410,7 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
           MemTable.publish(runId,
             MemTable.Snapshot(snap.schema, snap.parts - v, snap.version + 1))
       }
+      DurableSpill.onMetaChange(runId)
       true
     }
 

@@ -1,0 +1,158 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Contract pins for durable catalog persistence ([[DurableSpill]]) and
+  * TIMESTAMP AS OF resolution:
+  *
+  *  - a table written through a warehouse-configured catalog survives
+  *    [[MemTable.evict]] (the restart simulation): head state, VERSION
+  *    AS OF a pre-restart version, declared partitions, and per-version
+  *    schemas all restore lazily from the parquet+manifest spill;
+  *  - history truncation at [[MemTable.historyDepth]] prunes the version
+  *    directory on disk in the same publish, and a restore serves only
+  *    the retained window;
+  *  - TIMESTAMP AS OF resolves the latest commit ≤ the instant; an
+  *    instant before the earliest retained commit errors cleanly.
+  */
+class DurableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-durable-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_dur_spec").toString
+
+  private def catSession(): SparkSession = {
+    spark // force init so SparkSession.active works inside restores
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft_dur", "graft.sources.GraftSparkCatalog")
+    s2.conf.set("spark.sql.catalog.graft_dur.warehouse", warehouse)
+    s2
+  }
+
+  private def tsOf(key: String, version: Long): String = {
+    val micros = MemTable.history((key, version)).tsMicros
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(micros / 1000000L,
+        (micros % 1000000L) * 1000L))
+  }
+
+  test("restart round trip: head, pre-restart VERSION AS OF, declared partitions, schemas") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"dur_rt_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)).toDF("k", "p", "v")
+      .writeTo(tbl).partitionedBy(col("p")).create()        // v1
+    s2.sql(s"DELETE FROM $tbl WHERE p = 'b'")                 // v2
+    s2.sql(s"UPDATE $tbl SET v = v + 1 WHERE k = 3")          // v3
+    s2.sql(s"ALTER TABLE $tbl ADD COLUMNS (w BIGINT)")        // v4 (schema evo)
+    s2.sql(s"ALTER TABLE $tbl ADD PARTITION (p = 'declared')")
+    val preTs = tsOf(key, 2L)
+
+    MemTable.evict(key) // "process restart"
+    assert(!MemTable.store.contains(key) && !MemTable.history.keys.exists(_._1 == key))
+
+    // head restored from disk: post-update values, widened schema
+    val head = s2.sql(s"SELECT k, v, w FROM $tbl ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSeq
+    assert(head == Seq((1L, 10L, true), (3L, 31L, true)), head)
+    // pre-restart VERSION AS OF serves the old rows AND the old schema
+    val v1 = s2.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
+    assert(v1.schema.fieldNames.toSeq == Seq("k", "p", "v"))
+    assert(v1.count() == 3L)
+    // declared partition survived the restart
+    assert(s2.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0)).toSeq
+      == Seq("p=a", "p=declared"))
+    // TIMESTAMP AS OF a pre-restart commit instant resolves to v2
+    MemTable.evict(key)
+    val atV2 = s2.sql(s"SELECT k, v FROM $tbl TIMESTAMP AS OF '$preTs' ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(atV2 == Seq((1L, 10L), (3L, 30L)), atV2)
+    s2.sql(s"DROP TABLE $tbl")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(warehouse, key.replaceAll("[^A-Za-z0-9_.-]", "_"))),
+      "DROP must remove the durable spill")
+  }
+
+  test("SHOW TABLES lists spilled-but-not-loaded tables") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"dur_ls_${System.nanoTime()}"
+    val key = s"cat!graft_dur!spec!$name"
+    Seq((1L, "a", 10L)).toDF("k", "p", "v")
+      .writeTo(s"graft_dur.spec.$name").partitionedBy(col("p")).create()
+    MemTable.evict(key)
+    val listed = s2.sql("SHOW TABLES IN graft_dur.spec")
+      .collect().map(_.getString(1)).toSeq
+    assert(listed.contains(name), listed)
+    s2.sql(s"DROP TABLE graft_dur.spec.$name")
+  }
+
+  test("history truncation at historyDepth prunes disk and bounds the restore") {
+    catSession() // ensures the graft_dur root is registered
+    val name = s"dur_trunc_${System.nanoTime()}"
+    val key = s"cat!graft_dur!spec!$name"
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("p", org.apache.spark.sql.types.StringType)
+    GraftSparkCatalog.partCols.put(key, "p")
+    val total = MemTable.historyDepth + 6
+    MemTable.store.synchronized {
+      (1 to total).foreach { v =>
+        MemTable.publish(key,
+          MemTable.Snapshot(schema, Map("a" -> Vector(Array[Any](v.toLong, "a"))), v.toLong))
+      }
+    }
+    val dir = java.nio.file.Paths.get(warehouse, key.replaceAll("[^A-Za-z0-9_.-]", "_"))
+    assert(!java.nio.file.Files.exists(dir.resolve("v1")), "expired v1 must be pruned on disk")
+    assert(!java.nio.file.Files.exists(dir.resolve(s"v${total - MemTable.historyDepth}")))
+    assert(java.nio.file.Files.exists(dir.resolve(s"v${total - MemTable.historyDepth + 1}")))
+    MemTable.evict(key)
+    DurableSpill.ensureLoaded(key)
+    val restored = MemTable.history.keys.collect { case (`key`, v) => v }.toSeq.sorted
+    assert(restored.size == MemTable.historyDepth &&
+      restored.head == total - MemTable.historyDepth + 1 && restored.last == total,
+      restored.mkString(","))
+    assert(MemTable.store(key).version == total.toLong)
+    // cleanup
+    DurableSpill.onDrop(key)
+    MemTable.evict(key)
+  }
+
+  test("TIMESTAMP AS OF before the earliest retained commit errors cleanly") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"dur_ts_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    Seq((1L, "a", 10L)).toDF("k", "p", "v")
+      .writeTo(tbl).partitionedBy(col("p")).create()
+    val e = intercept[Exception] {
+      s2.sql(s"SELECT * FROM $tbl TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+    }
+    assert(e.getMessage.contains("no snapshot committed at or before"), e.getMessage)
+    // commit timestamps are strictly monotone per table
+    val key = s"cat!graft_dur!spec!$name"
+    s2.sql(s"UPDATE $tbl SET v = v + 1 WHERE k = 1")
+    val ts = MemTable.history.toSeq.collect { case ((`key`, v), s) => (v, s.tsMicros) }
+      .sortBy(_._1).map(_._2)
+    assert(ts == ts.sorted && ts.distinct == ts, ts.mkString(","))
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
+  override def afterAll(): Unit = {
+    try spark.stop() finally super.afterAll()
+  }
+}
