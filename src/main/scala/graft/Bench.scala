@@ -196,6 +196,15 @@ object Bench {
       // extra map entries counted by n_artifacts and included in "value",
       // so the total accounts for every job the suite runs.
       val filteredTag = if (only.isDefined) """"filtered":true,""" else ""
+      // NON-FINAL label (VERDICT r11 item 4): a sample taken on a busy
+      // host (loadavg_start >= 2 — the same threshold that silences the
+      // regression gate) is self-labeling as contaminated, so a committed
+      // tally carrying one reads as "re-run me on an idle box" instead of
+      // masquerading as a clean measurement (r11 shipped a 5.39s t45 an
+      // idle host measures at ~1.0s, and nothing in the artifact said so).
+      val dirtyTag =
+        if (loadStart >= 2.0) """"dirty_host":true,"gate_silenced":true,"""
+        else ""
       // Failures must be LOUD in the artifact (VERDICT r7 item 4): "value"
       // excludes failed entries, so without this list a wiped suite still
       // yields a plausible-looking total. Bounded so the line stays parseable.
@@ -206,7 +215,7 @@ object Bench {
           val shown = failedNames.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
           s""""n_failed":${failedNames.size},"failed":$shown,"""
         }
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$filteredTag$failedTag$regressionTag"n_queries":${queryResults.size},"n_artifacts":${artifactTimes.size},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg())},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$filteredTag$dirtyTag$failedTag$regressionTag"n_queries":${queryResults.size},"n_artifacts":${artifactTimes.size},"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadavg())},"queries":$qs,"sf":"$sfDir"}"""
     }
     // full per-query detail for humans, one line each (may scroll off the tail)
     results.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"# bench $k ${fmt(v)}") }

@@ -4085,9 +4085,13 @@ object Relational {
     * global) changes every value and hash-fails; the oracle replays it
     * as a plain GROUP BY join. Deliberately no ORDER BY…LIMIT inside the
     * TVF body: Spark 4.1's inliner hoists a body LIMIT above the lateral
-    * correlation (measured: global top-2 instead of per-nation), so the
-    * entry pins the semantics that ARE sound — filters, projections,
-    * aggregates — the parameterized-view contract. */
+    * correlation (measured: the hoisted LIMIT truncates the uncorrelated
+    * source before the sort even applies), so the entry pins the
+    * semantics that ARE sound — filters, projections, aggregates — the
+    * parameterized-view contract. EngineSpec pins today's wrong shape as
+    * an expected-failure contract (r12, VERDICT r11 item 6): a Spark
+    * upgrade that fixes the inliner flips that test loudly — the signal
+    * to unlock ORDER BY…LIMIT bodies here. */
   val q284 = GraftQuery(
     "q284_sql_table_function",
     "CREATE FUNCTION … RETURNS TABLE + LATERAL: correlated per-nation aggregate, group-by-oracle-proven",

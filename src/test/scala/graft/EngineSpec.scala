@@ -555,6 +555,39 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("KNOWN SPARK 4.1 BUG (pinned): TVF body ORDER BY…LIMIT hoists above the LATERAL correlation") {
+    // q284 deliberately excludes ORDER BY…LIMIT from its TVF body because
+    // Spark 4.1's function inliner hoists the body LIMIT above the lateral
+    // correlation: `LATERAL topv(g)` returns the GLOBAL top row filtered by
+    // the correlation instead of each invocation's own top row. This test
+    // asserts TODAY'S WRONG behavior so a Spark upgrade that fixes the
+    // inliner flips it LOUDLY — the signal to unlock body-LIMIT TVFs in
+    // q284 (VERDICT r11 item 6). Correct semantics would be one row per
+    // group: (1, 20), (2, 40).
+    val s2 = spark.newSession()
+    import s2.implicits._
+    Seq((1L, 10L), (1L, 20L), (2L, 30L), (2L, 40L))
+      .toDF("g", "v").createOrReplaceTempView("tvf_lim_src")
+    s2.sql(
+      """CREATE TEMPORARY FUNCTION topv(k BIGINT) RETURNS TABLE (v BIGINT)
+         RETURN SELECT v FROM tvf_lim_src WHERE g = k ORDER BY v DESC LIMIT 1""")
+    val got = s2.sql(
+      """SELECT s.g, f.v FROM (SELECT DISTINCT g FROM tvf_lim_src) s,
+         LATERAL topv(s.g) f ORDER BY s.g, f.v""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val correct = Seq((1L, 20L), (2L, 40L))
+    assert(got != correct,
+      s"Spark's TVF inliner now scopes body LIMIT per-invocation ($got) — " +
+        "the upstream bug is FIXED: unlock ORDER BY…LIMIT bodies in q284 " +
+        "and retire this pin")
+    // today's measured wrong shape (Spark 4.1.2, local[4]): the hoisted
+    // LIMIT 1 truncates the UNCORRELATED source before the per-invocation
+    // ORDER BY even applies — the surviving row is the source's FIRST row
+    // (1, 10), not even the global top — and only the g=1 invocation
+    // matches it. Both symptoms (scope hoist + dropped sort) must vanish
+    // together for the fix signal above to fire.
+    assert(got == Seq((1L, 10L)), s"unexpected bug shape: $got")
+  }
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
