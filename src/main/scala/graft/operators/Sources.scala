@@ -1843,6 +1843,194 @@ object Sources {
         FROM t WHERE status <> 'F' GROUP BY status)
       ORDER BY at_state, status"""))
 
+  /** TABLE HISTORY — the `DESCRIBE HISTORY` surface a Delta/Iceberg user
+    * reads before any time travel: the commit ledger every publish
+    * appends to (version, row/partition counts at that snapshot, and a
+    * strictly-monotone commit-timestamp audit — the property TIMESTAMP
+    * AS OF resolution relies on). The ledger is catalog METADATA, read
+    * the way the Layer A listings read registry state (A3/A5); the
+    * oracle recomputes each version's row and partition counts from
+    * `orders` by replaying the mutations, so a missed version, a wrong
+    * commit's row count, or a non-monotone timestamp hash-fails.
+    * Version 0 is the CREATE TABLE commit (empty snapshot) — the ledger
+    * records the table's whole life, not just its writes. */
+  val q290 = GraftQuery(
+    "q290_table_history",
+    "DESCRIBE HISTORY analog: per-version row/partition counts + monotone commit-ts audit",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.hist_$tag"
+      val key = s"cat!graft_cat!corpus!hist_$tag"
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .writeTo(tbl).partitionedBy(col("status")).create() // v0 create, v1 rows
+      s2.sql(s"DELETE FROM $tbl WHERE status = 'F'")          // v2
+      s2.sql(s"UPDATE $tbl SET cents = cents + 9 WHERE okey % 5 = 0") // v3
+      import s2.implicits._
+      val hist = graft.sources.MemTable.history.toSeq
+        .collect { case ((k, v), snap) if k == key =>
+          (v, snap.parts.valuesIterator.map(_.size.toLong).sum,
+            snap.parts.size.toLong, snap.tsMicros) }
+        .sortBy(_._1)
+      hist.zipWithIndex.map { case ((v, n, p, ts), i) =>
+        (v, n, p, i == 0 || ts > hist(i - 1)._4) }
+        .toDF("version", "n_rows", "n_parts", "ts_after_prev")
+        .orderBy("version")
+    },
+    Some("""
+      WITH t AS (SELECT o_orderstatus AS status FROM orders)
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS version, CAST(0 AS BIGINT) AS n_rows,
+               CAST(0 AS BIGINT) AS n_parts, TRUE AS ts_after_prev
+        UNION ALL
+        SELECT 1, (SELECT count(*) FROM t),
+               (SELECT count(DISTINCT status) FROM t), TRUE
+        UNION ALL
+        SELECT 2, (SELECT count(*) FROM t WHERE status <> 'F'),
+               (SELECT count(DISTINCT status) FROM t WHERE status <> 'F'), TRUE
+        UNION ALL
+        SELECT 3, (SELECT count(*) FROM t WHERE status <> 'F'),
+               (SELECT count(DISTINCT status) FROM t WHERE status <> 'F'), TRUE)
+      ORDER BY version"""))
+
+  /** CTAS FROM TIME TRAVEL — the SHALLOW-CLONE pattern (Delta `CLONE t
+    * VERSION AS OF n`, spelled in portable SQL): `CREATE TABLE …
+    * PARTITIONED BY … AS SELECT * FROM t VERSION AS OF 1` materializes a
+    * pre-mutation snapshot as an INDEPENDENT table through Spark's
+    * CreateTableAsSelect path on the V2 catalog (catalog createTable +
+    * first-commit write, exercising CTAS end to end). The clone is taken
+    * AFTER the base already moved to v2 — proving the pinned read feeds
+    * the write side, not just SELECTs — and the base then mutates AGAIN;
+    * the result reads both tables, so the hash proves the clone froze v1
+    * and later base commits don't leak into it. The oracle recomputes
+    * both states from `orders`. */
+  val q291 = GraftQuery(
+    "q291_ctas_time_travel",
+    "CREATE TABLE AS SELECT ... VERSION AS OF: snapshot clone independent of later base commits",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.ctb_$tag"
+      val clone = s"graft_cat.corpus.ctc_$tag"
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .writeTo(tbl).partitionedBy(col("status")).create()     // v1
+      s2.sql(s"UPDATE $tbl SET cents = cents + 9 WHERE okey % 5 = 0") // v2
+      s2.sql(s"CREATE TABLE $clone PARTITIONED BY (status) AS " +
+        s"SELECT * FROM $tbl VERSION AS OF 1")
+      s2.sql(s"DELETE FROM $tbl WHERE status = 'F'")              // v3: after the clone
+      s2.sql(
+        s"""SELECT 'clone' AS src, status, count(*) AS n, sum(cents) AS total_cents
+            FROM $clone GROUP BY status
+            UNION ALL
+            SELECT 'base', status, count(*), sum(cents)
+            FROM $tbl GROUP BY status
+            ORDER BY src, status""")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'clone' AS src, status, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM t GROUP BY status
+        UNION ALL
+        SELECT 'base', status, count(*),
+               CAST(sum(CASE WHEN okey % 5 = 0 THEN cents + 9 ELSE cents END)
+                 AS BIGINT)
+        FROM t WHERE status <> 'F' GROUP BY status)
+      ORDER BY src, status"""))
+
+  /** NAMESPACE DDL ([[org.apache.spark.sql.connector.catalog
+    * .SupportsNamespaces]]) — the reference's DATABASE concept (every
+    * listed table carries database_name, gluettalax.py:500-514; Glue
+    * groups tables into databases) as Spark's native namespace surface:
+    * CREATE NAMESPACE, ALTER … SET PROPERTIES, SHOW NAMESPACES,
+    * DESCRIBE NAMESPACE, DROP (plain refuses a non-empty namespace with
+    * Spark's SCHEMA_NOT_EMPTY; CASCADE drops the contained tables
+    * through the full per-table purge). A namespace exists when DECLARED
+    * or IMPLIED by a table under it — the declared-or-populated duality
+    * the partition objects (q287) use. The entry fuses the DDL lifecycle
+    * (listing, properties after an ALTER, the refusal, the
+    * post-CASCADE disappearance) with a data rollup from a table living
+    * IN the declared namespace, so both the catalog objects and the data
+    * path under them are hash-proven. */
+  val q292 = GraftQuery(
+    "q292_namespace_ddl",
+    "CREATE/ALTER/SHOW/DESCRIBE/DROP NAMESPACE: declared-or-implied namespaces, CASCADE purge, fused with data",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val ns = s"nsd_$tag"
+      val tbl = s"graft_cat.$ns.orders_t"
+      s2.sql(s"CREATE NAMESPACE graft_cat.$ns")
+      s2.sql(s"ALTER NAMESPACE graft_cat.$ns SET PROPERTIES ('tier' = 'gold')")
+      table(s2, dir, "orders")
+        .select(col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .writeTo(tbl).partitionedBy(col("status")).create()
+      // eager: the namespace (and table) drop CASCADE below must not
+      // empty this leg when the result frame is consumed later
+      val data = s2.sql(
+        s"""SELECT concat('data_', status) AS kind, status AS name,
+                   concat(CAST(count(*) AS STRING), ':',
+                          CAST(sum(cents) AS STRING)) AS detail
+            FROM $tbl GROUP BY status""").localCheckpoint(true)
+      val listed = s2.sql(s"SHOW NAMESPACES IN graft_cat")
+        .filter(col("namespace") === ns).count() == 1
+      val props = s2.sql(s"DESCRIBE NAMESPACE EXTENDED graft_cat.$ns")
+        .filter(col("info_name") === "Properties")
+        .collect().headOption.map(_.getString(1)).getOrElse("")
+      val refused =
+        try { s2.sql(s"DROP NAMESPACE graft_cat.$ns"); false }
+        catch { case e: Exception => e.getMessage.contains("SCHEMA_NOT_EMPTY") }
+      s2.sql(s"DROP NAMESPACE graft_cat.$ns CASCADE")
+      val goneNs = s2.sql(s"SHOW NAMESPACES IN graft_cat")
+        .filter(col("namespace") === ns).count() == 0
+      val goneTbl =
+        try { s2.sql(s"SELECT 1 FROM $tbl").collect(); false }
+        catch { case _: Exception => true }
+      import s2.implicits._
+      val ddl = Seq(
+        ("ns_listed", "ns", listed.toString),
+        ("ns_props", "ns", props),
+        ("drop_nonempty_refused", "ns", refused.toString),
+        ("ns_after_cascade_gone", "ns", goneNs.toString),
+        ("table_after_cascade_gone", "ns", goneTbl.toString))
+        .toDF("kind", "name", "detail")
+      data.unionByName(ddl).orderBy("kind", "name")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'data_' || status AS kind, status AS name,
+               CAST(count(*) AS VARCHAR) || ':' ||
+               CAST(CAST(sum(cents) AS BIGINT) AS VARCHAR) AS detail
+        FROM t GROUP BY status
+        UNION ALL SELECT 'ns_listed', 'ns', 'true'
+        UNION ALL SELECT 'ns_props', 'ns', '((tier,gold))'
+        UNION ALL SELECT 'drop_nonempty_refused', 'ns', 'true'
+        UNION ALL SELECT 'ns_after_cascade_gone', 'ns', 'true'
+        UNION ALL SELECT 'table_after_cascade_gone', 'ns', 'true')
+      ORDER BY kind, name"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -1969,5 +2157,5 @@ object Sources {
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
-    q285, q286, q287, q288, q289)
+    q285, q286, q287, q288, q289, q290, q291, q292)
 }

@@ -1,8 +1,8 @@
 package graft.sources
 
 import java.util
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -23,7 +23,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * keyed `cat!<catalog>!<ns...>!<name>` — one source of truth for both
   * access paths, which is exactly the property a catalog exists to give.
   */
-class GraftSparkCatalog extends TableCatalog {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   /** A `warehouse` option makes the catalog DURABLE: every commit spills
     * parquet + manifest under it and tables restore lazily on first
@@ -249,6 +249,102 @@ class GraftSparkCatalog extends TableCatalog {
     DurableSpill.ensureLoaded(key(ident))
     MemTable.store.contains(key(ident))
   }
+
+  // ------------------------------------------------- SupportsNamespaces
+  // The reference's DATABASE concept (every listed table carries
+  // database_name, gluettalax.py:500-514; Glue "databases" group tables)
+  // as Spark's native namespace DDL: CREATE/DROP NAMESPACE, SHOW
+  // NAMESPACES, DESCRIBE NAMESPACE. A namespace EXISTS when declared
+  // (with properties) or implied by a table living under it — the same
+  // declared-or-populated duality the partition objects use. Declarations
+  // are process-local; durable catalogs re-imply namespaces from their
+  // spilled tables on restart.
+
+  private def nsKey(ns: Seq[String]): (String, Seq[String]) = (catalogName, ns)
+  /** namespaces implied by live tables: every proper prefix of a table's
+    * namespace path. */
+  private def impliedNamespaces(): Set[Seq[String]] = {
+    val prefix = s"cat!$catalogName!"
+    MemTable.store.keys.collect {
+      case k if k.startsWith(prefix) && !k.contains("!@v") =>
+        k.stripPrefix(prefix).split('!').toSeq.dropRight(1)
+    }.filter(_.nonEmpty).toSet
+  }
+  private def namespaceExistsHere(ns: Seq[String]): Boolean =
+    GraftSparkCatalog.namespaces.contains(nsKey(ns)) ||
+      impliedNamespaces().exists(_.startsWith(ns))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val declared = GraftSparkCatalog.namespaces.keys
+      .collect { case (c, ns) if c == catalogName => ns.take(1) }
+    (declared ++ impliedNamespaces().map(_.take(1)))
+      .toSeq.distinct.sortBy(_.mkString(".")).map(_.toArray).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    if (!namespaceExistsHere(namespace.toSeq))
+      throw new NoSuchNamespaceException(catalogName +: namespace)
+    val parent = namespace.toSeq
+    val declared = GraftSparkCatalog.namespaces.keys.collect {
+      case (c, ns) if c == catalogName &&
+        ns.startsWith(parent) && ns.length > parent.length => ns.take(parent.length + 1)
+    }
+    val implied = impliedNamespaces().collect {
+      case ns if ns.startsWith(parent) && ns.length > parent.length =>
+        ns.take(parent.length + 1)
+    }
+    (declared ++ implied).toSeq.distinct.sortBy(_.mkString("."))
+      .map(_.toArray).toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    GraftSparkCatalog.namespaces.get(nsKey(namespace.toSeq)) match {
+      case Some(props) => props.asJava
+      case None if namespaceExistsHere(namespace.toSeq) =>
+        Map.empty[String, String].asJava // implied by tables, no declared props
+      case None => throw new NoSuchNamespaceException(catalogName +: namespace)
+    }
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (namespaceExistsHere(namespace.toSeq))
+      throw new NamespaceAlreadyExistsException(catalogName +: namespace)
+    GraftSparkCatalog.namespaces.put(nsKey(namespace.toSeq), metadata.asScala.toMap)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = {
+    val k = nsKey(namespace.toSeq)
+    if (!namespaceExistsHere(namespace.toSeq))
+      throw new NoSuchNamespaceException(catalogName +: namespace)
+    val cur = GraftSparkCatalog.namespaces.getOrElse(k, Map.empty)
+    val next = changes.foldLeft(cur) {
+      case (m, set: NamespaceChange.SetProperty) =>
+        m.updated(set.property(), set.value())
+      case (m, rm: NamespaceChange.RemoveProperty) => m - rm.property()
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported namespace change $other")
+    }
+    GraftSparkCatalog.namespaces.put(k, next)
+  }
+
+  /** DROP NAMESPACE: plain drop refuses when tables live under it
+    * (Spark's AnalysisException contract); CASCADE drops the tables too,
+    * through [[dropTable]] so every per-table structure purges. */
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val ns = namespace.toSeq
+    if (!namespaceExistsHere(ns)) return false
+    val tables = listTables(namespace)
+    if (tables.nonEmpty && !cascade)
+      throw new NonEmptyNamespaceException(catalogName +: namespace)
+    if (cascade) tables.foreach(dropTable)
+    GraftSparkCatalog.namespaces.remove(nsKey(ns))
+    true
+  }
 }
 
 object GraftSparkCatalog {
@@ -258,4 +354,8 @@ object GraftSparkCatalog {
 
   /** table key → declared row-identity column (delta row-level ops). */
   val deltaIdCols = new scala.collection.concurrent.TrieMap[String, String]
+
+  /** (catalog, namespace path) → declared namespace properties. */
+  val namespaces =
+    new scala.collection.concurrent.TrieMap[(String, Seq[String]), Map[String, String]]
 }
