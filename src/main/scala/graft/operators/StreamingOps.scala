@@ -2735,8 +2735,94 @@ object StreamingOps {
       GROUP BY lang
       ORDER BY lang"""))
 
+  /** STREAMING READ OF A LAKEHOUSE TABLE — `spark.readStream.table(...)`
+    * on the V2 catalog (the Delta-streaming-source shape, closing the
+    * loop between the catalog family and the streaming family): snapshot
+    * VERSIONS are the offsets ([[graft.sources.MemMicroBatchStream]]),
+    * and each micro-batch serves exactly the rows appended between its
+    * start and end versions. Exercised as the incremental-consumer
+    * lifecycle a real pipeline runs: tranche 1 lands at CREATE, an
+    * AvailableNow run drains it; tranche 2 lands via SQL INSERT INTO; a
+    * SECOND run from the SAME checkpoint reads ONLY the increment —
+    * require-guarded by exact tranche row counts, so a from-scratch
+    * re-read (which would match the oracle!) fails the entry. The final
+    * aggregate over both sink tranches hash-matches the batch recompute
+    * of the whole table. Non-append commits in the consumed range refuse
+    * loudly (DurableCatalogSpec pins it) — the Delta
+    * append-only-streaming contract. At 100 TB this is CDC-style
+    * incremental consumption: O(new rows) per trigger, never a re-scan. */
+  val st38 = GraftQuery(
+    "st38_stream_v2_table",
+    "readStream.table on the V2 catalog: snapshot versions as offsets, checkpointed incremental tranches",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val id = runTag()
+      val tbl = s"graft_cat.corpus.stv_$id"
+      val ckpt = spoolDir(s"stv2_ckpt_$id")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt))
+      val sink = s"graft_stream_v2_$id"
+      val base = table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val evenN = base.filter(col("okey") % 2 === 0).count()
+      val oddN = base.filter(col("okey") % 2 === 1).count()
+      base.filter(col("okey") % 2 === 0)
+        .writeTo(tbl).partitionedBy(col("status")).create() // v1: tranche 1
+      // streaming aggregate + Complete memory sink (the st11 recovery
+      // shape): the aggregate's state store is what the checkpoint
+      // recovers, so run 2 emits the FULL aggregate after reading only
+      // its own increment
+      val saved = s2.conf.get("spark.sql.shuffle.partitions")
+      s2.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_STREAM_PARTS", "4"))
+      try {
+        def drain(i: Int): Long = {
+          val q = s2.readStream.table(tbl)
+            .groupBy("status")
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"),
+              max(col("okey")).as("max_key"))
+            .writeStream
+            .format("memory").queryName(s"${sink}_$i")
+            .outputMode(OutputMode.Complete())
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q.recentProgress.map(_.numInputRows).sum
+        }
+        val n1 = drain(1)
+        s2.catalog.dropTempView(s"${sink}_1")
+        base.filter(col("okey") % 2 === 1)
+          .createOrReplaceTempView(s"stv_src_$id")
+        s2.sql(s"INSERT INTO $tbl SELECT okey, status, cents FROM stv_src_$id") // v2
+        val n2 = drain(2)
+        val sinkDf = s2.table(s"${sink}_2")
+        val (rows, schema) = (sinkDf.collect(), sinkDf.schema)
+        s2.catalog.dropTempView(s"${sink}_2")
+        // exact-increment guards: run 1 read tranche 1 whole; run 2 read
+        // EXACTLY tranche 2 (a restart-from-scratch would read both and
+        // still match the oracle — these pins are what prove incremental)
+        require(n1 == evenN,
+          s"st38: run 1 read $n1 rows, expected the $evenN-row create tranche")
+        require(n2 == oddN,
+          s"st38: run 2 read $n2 rows, expected ONLY the $oddN-row increment")
+        s2.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+          .orderBy("status")
+      } finally s2.conf.set("spark.sql.shuffle.partitions", saved)
+    },
+    Some("""
+      SELECT o_orderstatus AS status, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             max(o_orderkey) AS max_key
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY status"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35, st36, st37)
+    st34, st35, st36, st37, st38)
 }

@@ -283,7 +283,7 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
     MemTable.store.get(runId).map(_.schema).getOrElse(schema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   /** V2 PARTITION MANAGEMENT ([[org.apache.spark.sql.connector.catalog
     * .SupportsAtomicPartitionManagement]]) — the reference's partition
@@ -1134,6 +1134,15 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
   override def createReaderFactory(): PartitionReaderFactory =
     new MemReaderFactory(columnar)
 
+  /** STREAMING READ (`spark.readStream.table(...)` on a V2 catalog
+    * table — the Delta-streaming-source shape): snapshot VERSIONS are the
+    * streaming offsets, and each micro-batch serves exactly the rows
+    * appended between its start and end versions. See
+    * [[MemMicroBatchStream]] for the append-only contract. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new MemMicroBatchStream(runId, required)
+
   override def description(): String =
     s"GraftMemScan(runId parts=${snap.parts.size}, planned=${planned.size}, " +
       (if (columnar) "columnar=true, " else "") +
@@ -1144,6 +1153,100 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
       agg.map { case (g, fs) => s", pushedAggregates=${fs.map { case (op, i) =>
         if (i < 0) op else s"$op(${snap.schema.fieldNames(i)})" }.mkString("[", ",", "]")}" +
         (if (g) s" GROUP BY $partCol" else "") }.getOrElse("") + ")"
+}
+
+private[sources] case class MemStreamOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+/** The STREAMING READ of the snapshot store — the contract Delta's
+  * streaming source popularized: a lakehouse table is ALSO an unbounded
+  * stream of its own commits. Snapshot versions are the offsets (they
+  * already serialize, totally order, and survive restarts via the
+  * checkpoint log); a micro-batch (start, end] serves exactly the rows
+  * APPENDED between the two versions — per partition, the slice
+  * `rows[countAt(start)..countAt(end))`, correct because appends only
+  * ever extend a partition's row vector.
+  *
+  * APPEND-ONLY contract (same as Delta without ignoreChanges): a
+  * DELETE/UPDATE between consumed offsets shrinks or rewrites a
+  * partition and the planner REFUSES loudly (a shrink is detected
+  * exactly; an in-place rewrite is the documented blind spot every
+  * count-based incremental reader shares). Offsets expired past
+  * [[MemTable.historyDepth]] also refuse — the stream fell too far
+  * behind the table's retention, Kafka's log-truncation error analog. */
+private[sources] class MemMicroBatchStream(runId: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def currentVersion: Long =
+    MemTable.store.get(runId).map(_.version).getOrElse(0L)
+  /** AvailableNow pins the target at query start: the run drains commits
+    * up to HERE and terminates, even if writers keep committing. */
+  @volatile private var availableTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(currentVersion)
+
+  override def initialOffset(): Offset = MemStreamOffset(0L)
+  override def latestOffset(): Offset =
+    MemStreamOffset(availableTarget.getOrElse(currentVersion))
+  // SupportsTriggerAvailableNow extends SupportsAdmissionControl: no rate
+  // limiting here (a micro-batch is at most historyDepth commits), so the
+  // limit-aware overload serves the same pinned/current target
+  override def latestOffset(startOffset: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+  override def deserializeOffset(json: String): Offset =
+    MemStreamOffset("""\d+""".r.findFirstIn(json).getOrElse(
+      sys.error(s"MemTable '$runId': unparseable stream offset $json")).toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[MemStreamOffset].version
+    val e0 = end.asInstanceOf[MemStreamOffset].version
+    if (e0 <= s0) return Array.empty
+    val endSnap = MemTable.history.getOrElse((runId, e0), sys.error(
+      s"MemTable '$runId': stream end version $e0 not in retained history " +
+        s"(depth ${MemTable.historyDepth}) — the reader fell behind retention"))
+    val startCounts: Map[String, Int] =
+      if (s0 == 0) Map.empty
+      else MemTable.history.get((runId, s0)) match {
+        case Some(snap) => snap.parts.map { case (k, rs) => k -> rs.size }
+        case None => sys.error(
+          s"MemTable '$runId': stream start version $s0 expired from history — " +
+            "restart the stream or raise retention")
+      }
+    // a partition that VANISHED between the offsets is the strongest
+    // non-append signal (DELETE drains it and the empty group drops from
+    // the snapshot) — iterating only end-snapshot partitions would miss it
+    startCounts.keys.find(!endSnap.parts.contains(_)).foreach { gone =>
+      sys.error(
+        s"MemTable '$runId': non-append change between versions $s0 and $e0 " +
+          s"(partition '$gone' vanished) — streaming reads require " +
+          "append-only commits in the consumed range")
+    }
+    val idx = required.fieldNames.map {
+      case "_partition"      => -2
+      case "_commit_version" => -3
+      case n                 => endSnap.schema.fieldNames.indexOf(n)
+    }
+    val types = required.fields.map(_.dataType.typeName)
+    endSnap.parts.toSeq.sortBy(_._1).flatMap { case (k, rs) =>
+      val from = startCounts.getOrElse(k, 0)
+      if (rs.size < from) sys.error(
+        s"MemTable '$runId': non-append change between versions $s0 and $e0 " +
+          s"(partition '$k' shrank ${from}→${rs.size}) — streaming reads " +
+          "require append-only commits in the consumed range")
+      if (rs.size == from) None
+      else Some(MemPart(k, rs.drop(from), idx, types, e0))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MemReaderFactory(false)
 }
 
 /** An already-ordered-and-cut slice (pushed top-N/limit): no partition

@@ -152,6 +152,37 @@ class DurableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("streaming read refuses non-append commits in the consumed range") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftSparkCatalog")
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val name = s"dur_st_${System.nanoTime()}"
+    val tbl = s"graft_cat.spec.$name"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_st_ckpt").toString
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "p", "v")
+      .writeTo(tbl).partitionedBy(col("p")).create()
+    def drain(i: Int): Unit = {
+      val q = s2.readStream.table(tbl)
+        .groupBy("p").agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(s"dur_st_sink_$i")
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain(1) // consumes v1
+    s2.sql(s"DELETE FROM $tbl WHERE p = 'a'") // v2: NON-append
+    s2.sql(s"INSERT INTO $tbl VALUES (3, 'b', 30)") // v3
+    val e = intercept[Exception] { drain(2) }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes(t.getCause)
+    assert(causes(e).exists(m => m != null && m.contains("non-append change")),
+      causes(e).mkString(" | "))
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
