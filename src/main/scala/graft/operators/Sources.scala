@@ -2031,6 +2031,68 @@ object Sources {
         UNION ALL SELECT 'table_after_cascade_gone', 'ns', 'true')
       ORDER BY kind, name"""))
 
+  /** COLUMN DEFAULT VALUES — the schema-level contract that lets a
+    * producer fleet under-specify inserts safely (the ingestion-evolution
+    * companion of q285's ADD COLUMNS): the catalog declares
+    * SUPPORT_COLUMN_DEFAULT_VALUE and persists schema metadata verbatim;
+    * Spark's analyzer (ResolveDefaultColumns) rewrites every
+    * under-specified path from the CURRENT_DEFAULT the parser stamped
+    * into the schema. Exercised on all three insert shapes a user types:
+    * a column-list INSERT that OMITS the defaulted column, a positional
+    * INSERT with the explicit `DEFAULT` keyword, and a fully explicit
+    * value; the rollup separates defaulted from explicit rows
+    * arithmetically (count(flag = 5) vs others), so a default that
+    * failed to apply — or applied where an explicit value should win —
+    * hash-fails against the oracle's CASE recompute. */
+  val q293 = GraftQuery(
+    "q293_column_defaults",
+    "CREATE TABLE … DEFAULT: omitted-column, DEFAULT-keyword, and explicit inserts, analyzer-filled",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.dflt_$tag"
+      s2.sql(
+        s"""CREATE TABLE $tbl (okey BIGINT, status STRING, cents BIGINT,
+            flag BIGINT DEFAULT 5) PARTITIONED BY (status)""")
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView(s"dflt_src_$tag")
+      // (a) column-list insert omitting the defaulted column
+      s2.sql(s"""INSERT INTO $tbl (okey, status, cents)
+                 SELECT okey, status, cents FROM dflt_src_$tag WHERE okey % 3 = 0""")
+      // (b) REORDERED column list, defaulted column still omitted — the
+      // by-name mapping and the default fill must compose
+      s2.sql(s"""INSERT INTO $tbl (cents, status, okey)
+                 SELECT cents, status, okey FROM dflt_src_$tag WHERE okey % 3 = 1""")
+      // (b2) the explicit DEFAULT keyword (VALUES form): one sentinel row
+      s2.sql(s"INSERT INTO $tbl VALUES (-1, 'X', 0, DEFAULT)")
+      // (c) fully explicit value — must NOT be overwritten by the default
+      s2.sql(s"""INSERT INTO $tbl
+                 SELECT okey, status, cents, cents div 100 FROM dflt_src_$tag WHERE okey % 3 = 2""")
+      s2.sql(
+        s"""SELECT status, count(*) AS n,
+                   count(CASE WHEN flag = 5 THEN 1 END) AS n_defaulted,
+                   sum(flag) AS total_flag
+            FROM $tbl GROUP BY status ORDER BY status""")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        UNION ALL SELECT -1, 'X', 0)
+      SELECT status, count(*) AS n,
+             count(CASE WHEN okey % 3 IN (0, 1) OR okey = -1
+                        OR (okey % 3 = 2 AND cents // 100 = 5) THEN 1 END)
+               AS n_defaulted,
+             CAST(sum(CASE WHEN okey % 3 IN (0, 1) OR okey = -1 THEN 5
+                           ELSE cents // 100 END) AS BIGINT) AS total_flag
+      FROM t GROUP BY status ORDER BY status"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -2157,5 +2219,5 @@ object Sources {
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
-    q285, q286, q287, q288, q289, q290, q291, q292)
+    q285, q286, q287, q288, q289, q290, q291, q292, q293)
 }

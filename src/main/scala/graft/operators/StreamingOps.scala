@@ -2821,8 +2821,76 @@ object StreamingOps {
       GROUP BY o_orderstatus
       ORDER BY status"""))
 
+  /** THE FULL LAKEHOUSE PIPE — table → stream → table, both ends V2
+    * catalog tables: st38's versions-as-offsets READ composed with the
+    * new STREAMING_WRITE ([[graft.sources.MemStreamingWrite]]), i.e.
+    * `readStream.table(src).writeStream.toTable(dst)` — the medallion
+    * bronze→silver hop as one statement. The sink's micro-batch commits
+    * are EPOCH-IDEMPOTENT (a committed-epoch ledger skips replays — the
+    * Delta txn-version discipline that turns at-least-once delivery into
+    * exactly-once table state), and the source side recovers offsets
+    * from the checkpoint: tranche 2 flows through a SECOND pipe run from
+    * the SAME checkpoint, require-guarded to move EXACTLY the increment.
+    * The destination is then read back in BATCH and hash-matched to the
+    * batch recompute over the whole source — closing the loop: what
+    * streamed in incrementally equals what a from-scratch batch copy
+    * would have produced. */
+  val st39 = GraftQuery(
+    "st39_stream_table_pipe",
+    "readStream.table -> writeStream.toTable: checkpointed incremental table-to-table pipe, epoch-idempotent sink",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val id = runTag()
+      val src = s"graft_cat.corpus.pipe_src_$id"
+      val dst = s"graft_cat.corpus.pipe_dst_$id"
+      val ckpt = spoolDir(s"pipe_ckpt_$id")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt))
+      val base = table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val evenN = base.filter(col("okey") % 2 === 0).count()
+      val oddN = base.filter(col("okey") % 2 === 1).count()
+      base.filter(col("okey") % 2 === 0)
+        .writeTo(src).partitionedBy(col("status")).create() // src v1
+      s2.sql(s"""CREATE TABLE $dst (okey BIGINT, status STRING, cents BIGINT)
+                 PARTITIONED BY (status)""")
+      def pipe(): Long = {
+        val q = s2.readStream.table(src)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .toTable(dst)
+        q.awaitTermination()
+        q.recentProgress.map(_.numInputRows).sum
+      }
+      val n1 = pipe()
+      base.filter(col("okey") % 2 === 1)
+        .createOrReplaceTempView(s"pipe_src_v_$id")
+      s2.sql(s"INSERT INTO $src SELECT okey, status, cents FROM pipe_src_v_$id")
+      val n2 = pipe()
+      require(n1 == evenN,
+        s"st39: pipe run 1 moved $n1 rows, expected the $evenN-row create tranche")
+      require(n2 == oddN,
+        s"st39: pipe run 2 moved $n2 rows, expected ONLY the $oddN-row increment")
+      s2.sql(
+        s"""SELECT status, count(*) AS n, sum(cents) AS total_cents,
+                   max(okey) AS max_key
+            FROM $dst GROUP BY status ORDER BY status""")
+    },
+    Some("""
+      SELECT o_orderstatus AS status, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             max(o_orderkey) AS max_key
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY status"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35, st36, st37, st38)
+    st34, st35, st36, st37, st38, st39)
 }

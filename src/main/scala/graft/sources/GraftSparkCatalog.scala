@@ -38,6 +38,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   }
   override def name(): String = catalogName
 
+  /** Column DEFAULT values ride Spark's analyzer (ResolveDefaultColumns
+    * rewrites under-specified INSERTs / DEFAULT keywords from the
+    * CURRENT_DEFAULT/EXISTS_DEFAULT metadata the parser stamps into the
+    * schema) — the catalog's whole job is to declare the capability and
+    * persist schema metadata verbatim, which the snapshot store does. */
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCatalogCapability
+      .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def key(ident: Identifier): String =
     (Seq("cat", catalogName) ++ ident.namespace().toSeq :+ ident.name())
       .mkString("!")

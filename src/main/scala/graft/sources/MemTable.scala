@@ -124,6 +124,12 @@ object MemTable {
     * prove pruning happened at execution, not planning (q217). */
   val runtimePrunes = new scala.collection.concurrent.TrieMap[String, (Int, Int)]
 
+  /** Committed streaming epochs per (runId, epochId) — the sink-side
+    * dedup ledger that makes micro-batch commits idempotent under epoch
+    * replay ([[MemStreamingWrite.commit]]). */
+  val committedEpochs =
+    new scala.collection.concurrent.TrieMap[(String, Long), Boolean]
+
   /** DECLARED partitions per runId (partition-management DDL): value →
     * properties. A partition exists when it holds rows OR is declared
     * here — ADD PARTITION registers an empty one, TRUNCATE keeps the
@@ -283,7 +289,8 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
     MemTable.store.get(runId).map(_.schema).getOrElse(schema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   /** V2 PARTITION MANAGEMENT ([[org.apache.spark.sql.connector.catalog
     * .SupportsAtomicPartitionManagement]]) — the reference's partition
@@ -439,9 +446,59 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new MemBatchWrite(runId, writeSchema, pc, expected, pk, truncated)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new MemStreamingWrite(runId, writeSchema, pc)
       }
     }
   }
+}
+
+/** STREAMING WRITE (`writeStream.toTable(...)` into the V2 catalog —
+  * the streaming-ingest half of the lakehouse loop, [[MemMicroBatchStream]]
+  * being the read half): each micro-batch commits through the same
+  * atomic publish as a batch append, and commits are EPOCH-IDEMPOTENT —
+  * Spark may re-deliver an epoch after a failure/restart (its commit-log
+  * write and the sink commit are not atomic together), so the sink
+  * records committed epoch ids per table and silently skips a replay
+  * instead of double-appending. That ledger is exactly Delta's
+  * txn-version / Kafka-sink epoch dedup discipline, and it is what turns
+  * at-least-once delivery into exactly-once table state. */
+private[sources] class MemStreamingWrite(runId: String, schema: StructType,
+    partCol: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    MemStreamingWriterFactory(schema, partCol)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    MemTable.store.synchronized {
+      if (MemTable.committedEpochs.putIfAbsent((runId, epochId), true).isDefined)
+        return // epoch replayed after a restart: already applied, skip
+      val incoming = messages.foldLeft(Map.empty[String, Vector[Array[Any]]]) { (acc, m) =>
+        m.asInstanceOf[MemPartMessage].parts.foldLeft(acc) { case (a, (k, rs)) =>
+          a.updated(k, a.getOrElse(k, Vector.empty) ++ rs)
+        }
+      }
+      val cur = MemTable.store.get(runId)
+      val base = cur.map(_.parts).getOrElse(Map.empty)
+      val merged = incoming.foldLeft(base) { case (a, (k, rs)) =>
+        a.updated(k, a.getOrElse(k, Vector.empty) ++ rs)
+      }
+      val outSchema = cur.map(_.schema).filter(_.nonEmpty).getOrElse(schema)
+      MemTable.publish(runId, MemTable.Snapshot(outSchema, merged,
+        cur.map(_.version).getOrElse(0L) + 1))
+    }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] case class MemStreamingWriterFactory(schema: StructType,
+    partCol: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new MemWriterFactory(schema, partCol).createWriter(partitionId, taskId)
 }
 
 /** A pinned time-travel snapshot served READ-ONLY: the full scan surface
