@@ -2093,6 +2093,83 @@ object Sources {
                            ELSE cents // 100 END) AS BIGINT) AS total_flag
       FROM t GROUP BY status ORDER BY status"""))
 
+  /** ATOMIC REPLACE TABLE AS SELECT ([[org.apache.spark.sql.connector
+    * .catalog.StagingTableCatalog]]) — the all-or-nothing table rewrite a
+    * corpus pipeline runs nightly: the select's write lands on a hidden
+    * STAGING key (invisible to readers and listings) and only the staged
+    * commit publishes it, in one snapshot swap — never the
+    * drop-then-fail-to-recreate window of the non-staged path. Three
+    * contracts in one hash: (a) REPLACE commits version-CONTINUOUSLY, so
+    * `VERSION AS OF 1` still serves the PRE-replace rows (the Delta
+    * REPLACE semantics, composing with q281); (b) the replaced head
+    * serves the new select; (c) a mid-write FAILURE (assert_true blows up
+    * inside the tasks) aborts the staging key and leaves the serving
+    * table byte-identical — audited by re-aggregating the head after the
+    * failed CREATE OR REPLACE and by checking the version didn't move.
+    * The oracle recomputes both states and the audit constants. */
+  val q294 = GraftQuery(
+    "q294_atomic_replace",
+    "REPLACE TABLE AS SELECT via StagingTableCatalog: staged swap, pre-replace time travel, failed-write no-op",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.rpl_$tag"
+      val key = s"cat!graft_cat!corpus!rpl_$tag"
+      val base = table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      base.filter(col("okey") % 2 === 0)
+        .writeTo(tbl).partitionedBy(col("status")).create()   // v1: even half
+      base.createOrReplaceTempView(s"rpl_src_$tag")
+      s2.sql(s"""REPLACE TABLE $tbl PARTITIONED BY (status) AS
+                 SELECT okey, status, cents + 1 AS cents FROM rpl_src_$tag""") // v2: all rows
+      // mid-write failure: assert_true throws inside the write tasks; the
+      // staged key aborts and the serving v2 snapshot must be untouched
+      val failedCleanly =
+        try {
+          s2.sql(s"""CREATE OR REPLACE TABLE $tbl PARTITIONED BY (status) AS
+                     SELECT okey, status, cents FROM rpl_src_$tag
+                     WHERE assert_true(cents < 0) IS NULL""")
+          false
+        } catch { case _: Exception => true }
+      val verAfter = graft.sources.MemTable.store(key).version
+      val noStagingResidue = !graft.sources.MemTable.store.keys
+        .exists(_.startsWith(s"$key!staging!"))
+      val audit = Seq(
+        ("audit", "failed_replace_refused", failedCleanly.compare(false).toLong, 0L),
+        ("audit", "version_still_v2", verAfter, 0L),
+        ("audit", "no_staging_residue", noStagingResidue.compare(false).toLong, 0L))
+      import s2.implicits._
+      s2.sql(
+        s"""SELECT 'v1' AS at_state, status, count(*) AS n,
+                   sum(cents) AS total_cents
+            FROM $tbl VERSION AS OF 1 GROUP BY status
+            UNION ALL
+            SELECT 'head', status, count(*), sum(cents)
+            FROM $tbl GROUP BY status""")
+        .unionByName(audit.toDF("at_state", "status", "n", "total_cents"))
+        .orderBy("at_state", "status")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'v1' AS at_state, status, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM t WHERE okey % 2 = 0 GROUP BY status
+        UNION ALL
+        SELECT 'head', status, count(*), CAST(sum(cents + 1) AS BIGINT)
+        FROM t GROUP BY status
+        UNION ALL SELECT 'audit', 'failed_replace_refused', 1, 0
+        UNION ALL SELECT 'audit', 'version_still_v2', 2, 0
+        UNION ALL SELECT 'audit', 'no_staging_residue', 1, 0)
+      ORDER BY at_state, status"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -2219,5 +2296,5 @@ object Sources {
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
-    q285, q286, q287, q288, q289, q290, q291, q292, q293)
+    q285, q286, q287, q288, q289, q290, q291, q292, q293, q294)
 }

@@ -23,7 +23,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * keyed `cat!<catalog>!<ns...>!<name>` — one source of truth for both
   * access paths, which is exactly the property a catalog exists to give.
   */
-class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catalogName: String = _
   /** A `warehouse` option makes the catalog DURABLE: every commit spills
     * parquet + manifest under it and tables restore lazily on first
@@ -257,6 +258,45 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean = {
     DurableSpill.ensureLoaded(key(ident))
     MemTable.store.contains(key(ident))
+  }
+
+  // ---------------------------------------------- StagingTableCatalog
+  // Atomic CTAS / RTAS / CREATE OR REPLACE: the select's write lands on a
+  // hidden staging key; commit publishes it at the real key in one swap
+  // (REPLACE version-continuously — pre-replace VERSION AS OF survives);
+  // a failed write aborts staging and the serving table is untouched.
+
+  private def stage(k: String, schema: StructType,
+      partitions: Array[Transform]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    val pc = partitions.headOption
+      .map(_.references().head.fieldNames().head).getOrElse("")
+    new MemStagedTable(k, s"$k!staging!${System.nanoTime()}", schema, pc)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    val k = key(ident)
+    DurableSpill.ensureLoaded(k)
+    if (MemTable.store.contains(k)) throw new TableAlreadyExistsException(ident)
+    stage(k, schema, partitions)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    val k = key(ident)
+    DurableSpill.ensureLoaded(k)
+    if (!MemTable.store.contains(k)) throw new NoSuchTableException(ident)
+    stage(k, schema, partitions)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    val k = key(ident)
+    DurableSpill.ensureLoaded(k)
+    stage(k, schema, partitions)
   }
 
   // ------------------------------------------------- SupportsNamespaces

@@ -1212,6 +1212,48 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
         (if (g) s" GROUP BY $partCol" else "") }.getOrElse("") + ")"
 }
 
+/** A STAGED table (atomic CTAS / RTAS / CREATE OR REPLACE through
+  * [[org.apache.spark.sql.connector.catalog.StagingTableCatalog]]): the
+  * CTAS write lands on a hidden STAGING key — invisible to every reader
+  * and listing — and only [[commitStagedChanges]] publishes it at the
+  * real key, in one snapshot swap. A failed write aborts the staging key
+  * and the serving table is untouched: REPLACE TABLE AS SELECT is
+  * all-or-nothing, never the drop-then-fail-to-recreate window the
+  * non-staged path has. REPLACE commits version-CONTINUOUSLY (old
+  * version + 1, history retained), so `VERSION AS OF` a pre-replace
+  * version still serves the old rows — the Delta REPLACE semantics,
+  * composing with q281/q289 time travel. */
+private[sources] class MemStagedTable(realKey: String, stagingKey: String,
+    schema0: StructType, pc: String)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with SupportsWrite {
+  private val delegate = new MemTableImpl(schema0, stagingKey, pc)
+  override def name(): String = s"graft_mem_table($realKey, staged)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    delegate.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = MemTable.store.synchronized {
+    val staged = MemTable.store.remove(stagingKey)
+      .getOrElse(MemTable.Snapshot(schema0, Map.empty, 0L))
+    MemTable.history.keys.filter(_._1 == stagingKey).toSeq
+      .foreach(MemTable.history.remove)
+    val curVer = MemTable.store.get(realKey).map(_.version).getOrElse(0L)
+    GraftSparkCatalog.partCols.put(realKey, pc)
+    MemTable.publish(realKey, MemTable.Snapshot(
+      if (staged.schema.nonEmpty) staged.schema else schema0,
+      staged.parts, curVer + 1))
+  }
+
+  override def abortStagedChanges(): Unit = MemTable.store.synchronized {
+    MemTable.store.remove(stagingKey)
+    MemTable.history.keys.filter(_._1 == stagingKey).toSeq
+      .foreach(MemTable.history.remove)
+  }
+}
+
 private[sources] case class MemStreamOffset(version: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = s"""{"version":$version}"""
