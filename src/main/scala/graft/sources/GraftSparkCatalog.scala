@@ -266,11 +266,25 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   // (REPLACE version-continuously — pre-replace VERSION AS OF survives);
   // a failed write aborts staging and the serving table is untouched.
 
-  private def stage(k: String, schema: StructType,
-      partitions: Array[Transform]): org.apache.spark.sql.connector.catalog.StagedTable = {
+  /** DataFrame `writeTo(...).create()` routes through here too (Spark
+    * prefers the atomic CTAS path once the catalog stages), so the staged
+    * create must honor the same properties as [[createTable]] — the
+    * deltaIdCol opt-in (registered at COMMIT, never by a stage that may
+    * abort) with its non-nullable row-id field. */
+  private def stage(k: String, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
     val pc = partitions.headOption
       .map(_.references().head.fieldNames().head).getOrElse("")
-    new MemStagedTable(k, s"$k!staging!${System.nanoTime()}", schema, pc)
+    val deltaIdCol = Option(properties.get("deltaIdCol")).filter(_.nonEmpty)
+    deltaIdCol.foreach(c => require(schema.fieldNames.contains(c),
+      s"graft catalog: deltaIdCol '$c' not in schema"))
+    val stored = deltaIdCol match {
+      case Some(c) => StructType(schema.fields.map(f =>
+        if (f.name == c) f.copy(nullable = false) else f))
+      case None => schema
+    }
+    new MemStagedTable(k, s"$k!staging!${System.nanoTime()}", stored, pc,
+      deltaIdCol.getOrElse(""))
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
@@ -279,7 +293,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val k = key(ident)
     DurableSpill.ensureLoaded(k)
     if (MemTable.store.contains(k)) throw new TableAlreadyExistsException(ident)
-    stage(k, schema, partitions)
+    stage(k, schema, partitions, properties)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -288,7 +302,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val k = key(ident)
     DurableSpill.ensureLoaded(k)
     if (!MemTable.store.contains(k)) throw new NoSuchTableException(ident)
-    stage(k, schema, partitions)
+    stage(k, schema, partitions, properties)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
@@ -296,7 +310,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
     val k = key(ident)
     DurableSpill.ensureLoaded(k)
-    stage(k, schema, partitions)
+    stage(k, schema, partitions, properties)
   }
 
   // ------------------------------------------------- SupportsNamespaces
@@ -315,7 +329,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   private def impliedNamespaces(): Set[Seq[String]] = {
     val prefix = s"cat!$catalogName!"
     MemTable.store.keys.collect {
-      case k if k.startsWith(prefix) && !k.contains("!@v") =>
+      case k if k.startsWith(prefix) && !k.contains("!@v") &&
+          !k.contains("!staging!") =>
         k.stripPrefix(prefix).split('!').toSeq.dropRight(1)
     }.filter(_.nonEmpty).toSet
   }

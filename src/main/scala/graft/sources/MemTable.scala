@@ -1224,7 +1224,7 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
   * version still serves the old rows — the Delta REPLACE semantics,
   * composing with q281/q289 time travel. */
 private[sources] class MemStagedTable(realKey: String, stagingKey: String,
-    schema0: StructType, pc: String)
+    schema0: StructType, pc: String, deltaIdCol: String = "")
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with SupportsWrite {
   private val delegate = new MemTableImpl(schema0, stagingKey, pc)
@@ -1240,8 +1240,16 @@ private[sources] class MemStagedTable(realKey: String, stagingKey: String,
       .getOrElse(MemTable.Snapshot(schema0, Map.empty, 0L))
     MemTable.history.keys.filter(_._1 == stagingKey).toSeq
       .foreach(MemTable.history.remove)
-    val curVer = MemTable.store.get(realKey).map(_.version).getOrElse(0L)
     GraftSparkCatalog.partCols.put(realKey, pc)
+    if (deltaIdCol.nonEmpty)
+      GraftSparkCatalog.deltaIdCols.put(realKey, deltaIdCol)
+    // a staged CREATE records the table birth the way the non-staged
+    // two-step path does (createTable's empty v0, then the data commit):
+    // the history ledger stays uniform across both creation paths (q290)
+    if (!MemTable.store.contains(realKey))
+      MemTable.publish(realKey, MemTable.Snapshot(
+        if (staged.schema.nonEmpty) staged.schema else schema0, Map.empty, 0L))
+    val curVer = MemTable.store(realKey).version
     MemTable.publish(realKey, MemTable.Snapshot(
       if (staged.schema.nonEmpty) staged.schema else schema0,
       staged.parts, curVer + 1))
