@@ -2170,6 +2170,73 @@ object Sources {
         UNION ALL SELECT 'audit', 'no_staging_residue', 1, 0)
       ORDER BY at_state, status"""))
 
+  /** IDENTITY COLUMNS — connector-assigned surrogate keys at ingest (the
+    * doc_id-assignment problem every corpus pipeline has): `GENERATED
+    * ALWAYS AS IDENTITY (START WITH … INCREMENT BY …)` arrives through
+    * the Column[] create path (the catalog declares
+    * SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS and captures the spec —
+    * the schema conversion strips it), and VALUES are assigned at the
+    * atomic COMMIT — the only point where cross-task sequence allocation
+    * needs no coordination (Delta's identity high-watermark discipline):
+    * NULL arrivals take consecutive watermark+step values in
+    * deterministic (partition, arrival) order, and the watermark derives
+    * from the data so it survives restarts. Two separate INSERTs prove
+    * the watermark continues across commits; the hash pins the id-SET
+    * algebra (min = START, max = START + step·(n−1), all distinct) plus
+    * the data rollup — per-row id assignment is scheduler-order and
+    * deliberately not hashed; GENERATED ALWAYS also refuses an explicit
+    * id insert (folded as an audit row). */
+  val q295 = GraftQuery(
+    "q295_identity_columns",
+    "GENERATED ALWAYS AS IDENTITY: commit-time watermark assignment across two inserts, explicit-insert refusal",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.idn_$tag"
+      s2.sql(
+        s"""CREATE TABLE $tbl (
+              doc_id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 2),
+              status STRING, cents BIGINT) PARTITIONED BY (status)""")
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView(s"idn_src_$tag")
+      s2.sql(s"""INSERT INTO $tbl (status, cents)
+                 SELECT status, cents FROM idn_src_$tag WHERE okey % 2 = 0""")
+      s2.sql(s"""INSERT INTO $tbl (status, cents)
+                 SELECT status, cents FROM idn_src_$tag WHERE okey % 2 = 1""")
+      val refused =
+        try { s2.sql(s"INSERT INTO $tbl VALUES (1, 'X', 0)"); false }
+        catch { case _: Exception => true }
+      s2.sql(
+        s"""SELECT 'data' AS kind, status, count(*) AS n,
+                   sum(cents) AS total_cents
+            FROM $tbl GROUP BY status
+            UNION ALL
+            SELECT 'ids', 'all', count(DISTINCT doc_id), max(doc_id) FROM $tbl
+            UNION ALL
+            SELECT 'audit', 'explicit_insert_refused',
+                   ${if (refused) 1 else 0}, (SELECT min(doc_id) FROM $tbl)
+            ORDER BY kind, status""")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'data' AS kind, status, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM t GROUP BY status
+        UNION ALL
+        SELECT 'ids', 'all', count(*), 100 + 2 * (count(*) - 1) FROM t
+        UNION ALL
+        SELECT 'audit', 'explicit_insert_refused', 1, 100)
+      ORDER BY kind, status"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -2296,5 +2363,5 @@ object Sources {
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
-    q285, q286, q287, q288, q289, q290, q291, q292, q293, q294)
+    q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295)
 }

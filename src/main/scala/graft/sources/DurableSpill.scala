@@ -19,7 +19,8 @@ private[sources] case class DurableManifest(
     versions: Seq[Long],
     partCol: String,
     deltaIdCol: String,
-    declaredParts: Map[String, Map[String, String]])
+    declaredParts: Map[String, Map[String, String]],
+    identityCol: Option[String] = None) // "col:start:step"
 
 /** Per-version sidecar: the schema AT that snapshot (schema evolution
   * means versions differ) and the commit timestamp TIMESTAMP AS OF
@@ -125,7 +126,9 @@ private[sources] object DurableSpill {
     }.toMap
     val m = DurableManifest(key, current, versions,
       GraftSparkCatalog.partCols.getOrElse(key, ""),
-      GraftSparkCatalog.deltaIdCols.getOrElse(key, ""), declared)
+      GraftSparkCatalog.deltaIdCols.getOrElse(key, ""), declared,
+      GraftSparkCatalog.identityCols.get(key)
+        .map { case (c, s, st, ax) => s"$c:$s:$st:$ax" })
     val tmp = dir.resolve("_manifest.json.tmp")
     Files.write(tmp, org.json4s.jackson.Serialization.write(m)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -222,6 +225,11 @@ private[sources] object DurableSpill {
         GraftSparkCatalog.partCols.put(key, m.partCol)
         if (m.deltaIdCol.nonEmpty)
           GraftSparkCatalog.deltaIdCols.put(key, m.deltaIdCol)
+        m.identityCol.map(_.split(':')).collect {
+          case Array(c, s, st, ax) =>
+            GraftSparkCatalog.identityCols.put(key,
+              (c, s.toLong, st.toLong, ax.toBoolean))
+        }
         // current LAST: store presence is the "loaded" latch, and the
         // direct put (not publish) must not restamp ts or respill
         MemTable.history.get((key, m.current))

@@ -45,8 +45,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     * schema) — the catalog's whole job is to declare the capability and
     * persist schema metadata verbatim, which the snapshot store does. */
   override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog.TableCatalogCapability
-      .SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def key(ident: Identifier): String =
     (Seq("cat", catalogName) ++ ident.namespace().toSeq :+ ident.name())
@@ -139,6 +142,35 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     new MemTablePinned(snap.schema, pinned, partCols.getOrElse(k, ""))
   }
 
+  /** IDENTITY COLUMNS arrive only through the Column[] variant (the
+    * schema conversion strips the spec), so it is overridden to capture
+    * the spec before delegating; the actual value assignment happens
+    * connector-side at the atomic commit ([[MemBatchWrite.commit]]) —
+    * the only point where cross-task sequence allocation needs no
+    * coordination. GENERATED ALWAYS AS (expr) stays UNSUPPORTED (no
+    * capability declared): this catalog does not evaluate generation
+    * expressions, and accepting them would serve NULLs silently. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val k = key(ident)
+    columns.filter(_.identityColumnSpec() != null) match {
+      case Array() => GraftSparkCatalog.identityCols.remove(k)
+      case Array(c) =>
+        val spec = c.identityColumnSpec()
+        val pc = partitions.headOption
+          .map(_.references().head.fieldNames().head).getOrElse("")
+        require(c.name() != pc,
+          "graft catalog: the identity column cannot be the partition column")
+        GraftSparkCatalog.identityCols.put(k,
+          (c.name(), spec.getStart, spec.getStep, spec.isAllowExplicitInsert))
+      case more => throw new UnsupportedOperationException(
+        s"graft catalog: at most one identity column (got ${more.length})")
+    }
+    createTable(ident, GraftSparkCatalog.columnsToSchema(columns),
+      partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val k = key(ident)
@@ -214,6 +246,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     MemTable.store.synchronized {
       partCols.remove(k)
       GraftSparkCatalog.deltaIdCols.remove(k)
+      GraftSparkCatalog.identityCols.remove(k)
       MemTable.history.keys.filter(_._1 == k).toSeq.foreach(MemTable.history.remove)
       MemTable.declaredParts.keys.filter(_._1 == k).toSeq
         .foreach(MemTable.declaredParts.remove)
@@ -238,6 +271,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       partCols.remove(from).foreach(partCols.put(to, _))
       GraftSparkCatalog.deltaIdCols.remove(from)
         .foreach(GraftSparkCatalog.deltaIdCols.put(to, _))
+      GraftSparkCatalog.identityCols.remove(from)
+        .foreach(GraftSparkCatalog.identityCols.put(to, _))
       MemTable.history.keys.filter(_._1 == from).toSeq.foreach { case (_, v) =>
         MemTable.history.remove((from, v)).foreach(s => MemTable.history.put((to, v), s))
       }
@@ -418,6 +453,34 @@ object GraftSparkCatalog {
 
   /** table key → declared row-identity column (delta row-level ops). */
   val deltaIdCols = new scala.collection.concurrent.TrieMap[String, String]
+
+  /** Column[] → StructType preserving what the analyzer reads back:
+    * comment and the CURRENT_DEFAULT/EXISTS_DEFAULT metadata keys
+    * ResolveDefaultColumns resolves defaults from (the conversion
+    * CatalogV2Util does internally; it is private[sql], so the two
+    * metadata keys are written here by their documented names). */
+  private[sources] def columnsToSchema(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column]): StructType =
+    StructType(columns.map { c =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      if (c.metadataInJSON() != null)
+        mb.withMetadata(org.apache.spark.sql.types.Metadata.fromJson(c.metadataInJSON()))
+      if (c.comment() != null) mb.putString("comment", c.comment())
+      Option(c.defaultValue()).foreach { d =>
+        mb.putString("CURRENT_DEFAULT", d.getSql())
+        mb.putString("EXISTS_DEFAULT", d.getSql())
+      }
+      org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable(), mb.build())
+    })
+
+  /** table key → (identity column, start, step, allowExplicitInsert) —
+    * connector-assigned sequence values, filled at commit for NULL
+    * arrivals; GENERATED ALWAYS (allowExplicitInsert = false) REJECTS
+    * non-null arrivals at commit, since Spark's analyzer does not
+    * enforce it for V2 connectors. */
+  val identityCols =
+    new scala.collection.concurrent.TrieMap[String, (String, Long, Long, Boolean)]
 
   /** (catalog, namespace path) → declared namespace properties. */
   val namespaces =

@@ -98,6 +98,45 @@ object MemTable {
     DurableSpill.onPublish(runId, stamped, dropped)
   }
 
+  /** IDENTITY value assignment ([[GraftSparkCatalog.identityCols]]) at
+    * the single commit point — the only place cross-task sequence
+    * allocation needs no coordination (the Delta identity-high-watermark
+    * discipline at harness granularity): NULL arrivals in the identity
+    * column take consecutive `high-watermark + step` values in a
+    * DETERMINISTIC order (partition key, then arrival order); explicit
+    * values (GENERATED BY DEFAULT inserts) pass through and advance the
+    * watermark. Caller holds `store.synchronized`. */
+  def fillIdentity(runId: String, schema: StructType,
+      base: Map[String, Vector[Array[Any]]],
+      incoming: Map[String, Vector[Array[Any]]]): Map[String, Vector[Array[Any]]] =
+    GraftSparkCatalog.identityCols.get(runId) match {
+      case None => incoming
+      case Some((colName, start, step, allowExplicit)) =>
+        val idx = schema.fieldNames.indexOf(colName)
+        if (idx < 0) incoming
+        else {
+          if (!allowExplicit)
+            incoming.valuesIterator.flatten.find(_(idx) != null).foreach { r =>
+              throw new IllegalArgumentException(
+                s"MemTable '$runId': identity column '$colName' is GENERATED " +
+                  s"ALWAYS — explicit value ${r(idx)} is not allowed " +
+                  "(use GENERATED BY DEFAULT to permit explicit inserts)")
+            }
+          val existing = (base.valuesIterator ++ incoming.valuesIterator)
+            .flatten.map(_(idx)).collect { case l: Long => l }
+          var watermark = existing.foldLeft(start - step)(math.max)
+          incoming.toSeq.sortBy(_._1).map { case (k, rs) =>
+            k -> rs.map { r =>
+              if (r(idx) != null) r
+              else {
+                watermark += step
+                val c = r.clone(); c(idx) = watermark; c
+              }
+            }
+          }.toMap
+        }
+    }
+
   /** Restart-simulation seam (and memory-pressure relief): forget every
     * in-process structure for a table key. A durable table is lazily
     * reloaded from its warehouse spill on the next catalog reference —
@@ -110,6 +149,7 @@ object MemTable {
     declaredParts.keys.filter(_._1 == runId).toSeq.foreach(declaredParts.remove)
     GraftSparkCatalog.partCols.remove(runId)
     GraftSparkCatalog.deltaIdCols.remove(runId)
+    GraftSparkCatalog.identityCols.remove(runId)
   }
 
   /** Optimistic-concurrency rejection: the writer's base snapshot is no
@@ -482,10 +522,11 @@ private[sources] class MemStreamingWrite(runId: String, schema: StructType,
       }
       val cur = MemTable.store.get(runId)
       val base = cur.map(_.parts).getOrElse(Map.empty)
-      val merged = incoming.foldLeft(base) { case (a, (k, rs)) =>
+      val outSchema = cur.map(_.schema).filter(_.nonEmpty).getOrElse(schema)
+      val filled = MemTable.fillIdentity(runId, outSchema, base, incoming)
+      val merged = filled.foldLeft(base) { case (a, (k, rs)) =>
         a.updated(k, a.getOrElse(k, Vector.empty) ++ rs)
       }
-      val outSchema = cur.map(_.schema).filter(_.nonEmpty).getOrElse(schema)
       MemTable.publish(runId, MemTable.Snapshot(outSchema, merged,
         cur.map(_.version).getOrElse(0L) + 1))
     }
@@ -553,7 +594,9 @@ private[sources] class MemBatchWrite(runId: String, schema: StructType,
       val base =
         if (truncate) Map.empty[String, Vector[Array[Any]]]
         else cur.map(_.parts).getOrElse(Map.empty)
-      val merged = incoming.foldLeft(base) { case (a, (k, rs)) =>
+      val filled = MemTable.fillIdentity(runId,
+        cur.map(_.schema).filter(_.nonEmpty).getOrElse(schema), base, incoming)
+      val merged = filled.foldLeft(base) { case (a, (k, rs)) =>
         a.updated(k, a.getOrElse(k, Vector.empty) ++ rs)
       }
       // write-barrier integrity: the driver sees every task's rows (and,

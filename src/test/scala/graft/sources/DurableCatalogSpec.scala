@@ -183,6 +183,23 @@ class DurableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("identity watermark continues across a restart (derived from restored data)") {
+    val s2 = catSession()
+    val name = s"dur_idn_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    s2.sql(
+      s"""CREATE TABLE $tbl (
+            k BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 5),
+            p STRING, v BIGINT) PARTITIONED BY (p)""")
+    s2.sql(s"INSERT INTO $tbl (p, v) VALUES ('a', 1), ('a', 2)") // k = 10, 15
+    MemTable.evict(key) // restart: identity spec restores from the manifest
+    s2.sql(s"INSERT INTO $tbl (p, v) VALUES ('a', 3)") // k = 20, not 10
+    val ks = s2.sql(s"SELECT k FROM $tbl ORDER BY k").collect().map(_.getLong(0)).toSeq
+    assert(ks == Seq(10L, 15L, 20L), ks)
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
