@@ -2889,8 +2889,84 @@ object StreamingOps {
       GROUP BY o_orderstatus
       ORDER BY status"""))
 
+  /** STREAMING ADMISSION CONTROL on the lakehouse source — the
+    * `maxVersionsPerTrigger` rate limit (Delta's maxFilesPerTrigger at
+    * commit granularity): a stream catching up on a long backlog must
+    * process it in BOUNDED micro-batches, not one giant batch that blows
+    * executor memory and holds the state store hostage — at 100 TB this
+    * is the difference between a smooth backfill and an OOM'd one. The
+    * table accumulates THREE commits before the stream ever starts; with
+    * `maxVersionsPerTrigger = 1` the AvailableNow drain is
+    * require-guarded to have split into exactly one micro-batch per
+    * commit, each carrying exactly that commit's rows (the per-batch
+    * numInputRows sequence equals the per-commit tranche sizes — an
+    * unlimited drain would be one 3-tranche batch and fail the guard).
+    * The final recovered aggregate hash-matches the batch recompute. */
+  val st40 = GraftQuery(
+    "st40_stream_rate_limit",
+    "maxVersionsPerTrigger on the V2 table source: backlog drained one commit per micro-batch",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val id = runTag()
+      val tbl = s"graft_cat.corpus.rl_$id"
+      val ckpt = spoolDir(s"rl_ckpt_$id")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt))
+      val sink = s"graft_stream_rl_$id"
+      val base = table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val sizes = (0 to 2).map(i => base.filter(col("okey") % 3 === i).count())
+      base.filter(col("okey") % 3 === 0)
+        .writeTo(tbl).partitionedBy(col("status")).create()   // commit 1
+      base.filter(col("okey") % 3 === 1)
+        .createOrReplaceTempView(s"rl_src1_$id")
+      s2.sql(s"INSERT INTO $tbl SELECT okey, status, cents FROM rl_src1_$id") // commit 2
+      base.filter(col("okey") % 3 === 2)
+        .createOrReplaceTempView(s"rl_src2_$id")
+      s2.sql(s"INSERT INTO $tbl SELECT okey, status, cents FROM rl_src2_$id") // commit 3
+      val saved = s2.conf.get("spark.sql.shuffle.partitions")
+      s2.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_STREAM_PARTS", "4"))
+      try {
+        val q = s2.readStream
+          .option("maxVersionsPerTrigger", "1")
+          .table(tbl)
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"),
+            max(col("okey")).as("max_key"))
+          .writeStream
+          .format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val batchRows = q.recentProgress.map(_.numInputRows)
+          .filter(_ > 0).toSeq
+        // one micro-batch per data commit, each exactly that commit's rows
+        require(batchRows == sizes,
+          s"st40: per-batch input rows $batchRows != per-commit tranches $sizes " +
+            "— the rate limit did not bound the backlog drain")
+        val sinkDf = s2.table(sink)
+        val (rows, schema) = (sinkDf.collect(), sinkDf.schema)
+        s2.catalog.dropTempView(sink)
+        s2.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+          .orderBy("status")
+      } finally s2.conf.set("spark.sql.shuffle.partitions", saved)
+    },
+    Some("""
+      SELECT o_orderstatus AS status, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             max(o_orderkey) AS max_key
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY status"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35, st36, st37, st38, st39)
+    st34, st35, st36, st37, st38, st39, st40)
 }

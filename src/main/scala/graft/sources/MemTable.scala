@@ -464,7 +464,9 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MemScanBuilder(runId,
       Option(options.get("partitionCol")).getOrElse(partCol),
-      options.getBoolean("columnar", false))
+      options.getBoolean("columnar", false),
+      maxVersionsPerTrigger =
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val writeSchema = info.schema()
@@ -918,7 +920,8 @@ private[sources] class MemWriterFactory(schema: StructType, partCol: String)
 
 private[sources] class MemScanBuilder(runId: String, partCol: String,
     columnar: Boolean = false,
-    onPlan: Option[Set[String] => Unit] = None)
+    onPlan: Option[Set[String] => Unit] = None,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -1034,7 +1037,7 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
 
   override def build(): Scan =
     new MemScan(snap, keep, required, partCol, topN, limit, aggSpec, runId,
-      columnar, onPlan)
+      columnar, onPlan, maxVersionsPerTrigger)
 }
 
 private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
@@ -1052,7 +1055,8 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     topN: Option[(Seq[(Int, Boolean)], Int)] = None, limit: Option[Int] = None,
     agg: Option[(Boolean, Seq[(String, Int)])] = None, runId: String = "",
     columnar: Boolean = false,
-    onPlan: Option[Set[String] => Unit] = None)
+    onPlan: Option[Set[String] => Unit] = None,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -1241,7 +1245,7 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     * [[MemMicroBatchStream]] for the append-only contract. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new MemMicroBatchStream(runId, required)
+    new MemMicroBatchStream(runId, required, maxVersionsPerTrigger)
 
   override def description(): String =
     s"GraftMemScan(runId parts=${snap.parts.size}, planned=${planned.size}, " +
@@ -1326,7 +1330,8 @@ private[sources] case class MemStreamOffset(version: Long)
   * count-based incremental reader shares). Offsets expired past
   * [[MemTable.historyDepth]] also refuse — the stream fell too far
   * behind the table's retention, Kafka's log-truncation error analog. */
-private[sources] class MemMicroBatchStream(runId: String, required: StructType)
+private[sources] class MemMicroBatchStream(runId: String, required: StructType,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -1342,12 +1347,20 @@ private[sources] class MemMicroBatchStream(runId: String, required: StructType)
   override def initialOffset(): Offset = MemStreamOffset(0L)
   override def latestOffset(): Offset =
     MemStreamOffset(availableTarget.getOrElse(currentVersion))
-  // SupportsTriggerAvailableNow extends SupportsAdmissionControl: no rate
-  // limiting here (a micro-batch is at most historyDepth commits), so the
-  // limit-aware overload serves the same pinned/current target
+  // SupportsTriggerAvailableNow extends SupportsAdmissionControl. RATE
+  // LIMITING rides the reader option `maxVersionsPerTrigger` (the
+  // Delta maxFilesPerTrigger shape at version granularity): each
+  // micro-batch advances at most that many commits past its start, so a
+  // stream catching up on a long backlog processes it in bounded bites
+  // instead of one giant batch — under AvailableNow this yields one
+  // batch per N versions until the pinned target is drained.
   override def latestOffset(startOffset: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val target = availableTarget.getOrElse(currentVersion)
+    val s0 = startOffset.asInstanceOf[MemStreamOffset].version
+    MemStreamOffset(
+      maxVersionsPerTrigger.fold(target)(m => math.min(target, s0 + m)))
+  }
   override def deserializeOffset(json: String): Offset =
     MemStreamOffset("""\d+""".r.findFirstIn(json).getOrElse(
       sys.error(s"MemTable '$runId': unparseable stream offset $json")).toLong)

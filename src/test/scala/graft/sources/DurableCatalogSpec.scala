@@ -200,6 +200,24 @@ class DurableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("partition pruning survives the restore (restored partCol drives planning)") {
+    val s2 = catSession()
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    val name = s"dur_prune_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "p", "v")
+      .writeTo(tbl).partitionedBy(col("p")).create()
+    MemTable.evict(key) // restart
+    val df = s2.sql(s"SELECT v FROM $tbl WHERE p = 'b'")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(20L))
+    // the scan planned ONE of three partitions — pruning, not read-and-drop
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("planned=1") && desc.contains("parts=3"), desc)
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
