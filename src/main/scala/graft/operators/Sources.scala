@@ -2237,6 +2237,282 @@ object Sources {
         SELECT 'audit', 'explicit_insert_refused', 1, 100)
       ORDER BY kind, status"""))
 
+  /** CHECK CONSTRAINTS (TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+    * SURVEY r13 candidate (b) closed in-round) — the ANSI table-integrity
+    * surface Spark 4.1 delegates to the connector: the catalog stores
+    * enforced CHECK constraints
+    * ([[graft.sources.GraftSparkCatalog.checkConstraints]]), the analyzer
+    * reads them back from Table.constraints() and plans a CheckInvariant
+    * guard into EVERY write (a violating row fails the write job before
+    * any commit — the lakehouse write-barrier, same family as q200's
+    * primary-key commit gate but declarative and per-row), and `ALTER
+    * TABLE … ADD CONSTRAINT` validates all EXISTING rows with a Spark-side
+    * scan (AddCheckConstraintExec) before the catalog ever sees the
+    * change. The entry runs the whole lifecycle: create-with-CHECK, valid
+    * bulk insert, violating insert refused (and provably uncommitted),
+    * ALTER ADD that existing rows violate refused, satisfiable ALTER ADD
+    * landed, DROP CONSTRAINT lifting the guard (the previously-refused row
+    * then lands). PRIMARY KEY / UNIQUE / FOREIGN KEY refuse at CREATE:
+    * Spark never enforces them, and this catalog refuses what it will not
+    * enforce. */
+  val q296 = GraftQuery(
+    "q296_check_constraints",
+    "CHECK constraints: write-guard enforcement, ALTER ADD existing-row validation, DROP lifts the guard",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.chk_$tag"
+      s2.sql(
+        s"""CREATE TABLE $tbl (okey BIGINT, status STRING, cents BIGINT,
+            CONSTRAINT non_negative CHECK (cents >= 0))
+            PARTITIONED BY (status)""")
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView(s"chk_src_$tag")
+      s2.sql(s"INSERT INTO $tbl SELECT okey, status, cents FROM chk_src_$tag")
+      // write-guard: the violating row fails the job; nothing commits
+      val insertRefused =
+        try { s2.sql(s"INSERT INTO $tbl VALUES (-1, 'X', -5)"); false }
+        catch { case _: Exception => true }
+      // ALTER ADD validates EXISTING rows before the catalog stores it
+      val alterRefused =
+        try {
+          s2.sql(s"ALTER TABLE $tbl ADD CONSTRAINT too_strict CHECK (cents > 100000000)")
+          false
+        } catch { case _: Exception => true }
+      // satisfiable ALTER ADD lands (note: okey <> 0 would be REFUSED here
+      // — the fixture really contains an order with o_orderkey = 0, which
+      // the validation scan found when this entry first tried it)
+      s2.sql(s"ALTER TABLE $tbl ADD CONSTRAINT key_bounded CHECK (okey < 10000000)")
+      // DROP lifts the guard: the same row the first insert refused lands
+      // (it still passes the surviving key_bounded constraint)
+      s2.sql(s"ALTER TABLE $tbl DROP CONSTRAINT non_negative")
+      s2.sql(s"INSERT INTO $tbl VALUES (-1, 'X', -5)")
+      val audit = Seq(
+        ("audit", "violating_insert_refused", insertRefused.compare(false).toLong, 0L),
+        ("audit", "alter_add_validates_existing", alterRefused.compare(false).toLong, 0L))
+      import s2.implicits._
+      s2.sql(
+        s"""SELECT 'data' AS at_state, status, count(*) AS n,
+                   sum(cents) AS total_cents
+            FROM $tbl GROUP BY status""")
+        .unionByName(audit.toDF("at_state", "status", "n", "total_cents"))
+        .orderBy("at_state", "status")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        UNION ALL SELECT 'X', -5)
+      SELECT * FROM (
+        SELECT 'data' AS at_state, status, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM t GROUP BY status
+        UNION ALL SELECT 'audit', 'violating_insert_refused', 1, 0
+        UNION ALL SELECT 'audit', 'alter_add_validates_existing', 1, 0)
+      ORDER BY at_state, status"""))
+
+  /** GENERATED COLUMNS (`GENERATED ALWAYS AS (expr)`,
+    * TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS —
+    * closes the r11 deliberate refusal, SURVEY r13 candidate (a)): Spark
+    * validates the expression at CREATE (deterministic, no subqueries,
+    * non-generated references only) and hands its SQL to the connector;
+    * VALUE synthesis is connector work at the atomic commit
+    * ([[graft.sources.GeneratedColumnEval]] compiles the stored SQL
+    * through Catalyst's own parser + analyzer, so the semantics are
+    * exactly SQL's), under the Delta contract: omitted/NULL arrivals take
+    * the expression's value computed from their own row; an EXPLICIT
+    * arrival is validated against that value and a mismatch rejects the
+    * whole commit — the column can never store a value that contradicts
+    * its declared derivation. Two generated columns (a numeric bucket and
+    * a string tag derived from it) prove expression evaluation and
+    * cross-type synthesis; the rollup GROUPS BY the generated tag, so
+    * every synthesized value participates in the hash; the oracle
+    * recomputes both derivations independently. */
+  val q297 = GraftQuery(
+    "q297_generated_columns",
+    "GENERATED ALWAYS AS (expr): commit-time synthesis, explicit-mismatch rejection, rollup by generated tag",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.gen_$tag"
+      s2.sql(
+        s"""CREATE TABLE $tbl (
+              okey BIGINT, status STRING, cents BIGINT,
+              bucket BIGINT GENERATED ALWAYS AS (cents DIV 10000000),
+              gtag STRING GENERATED ALWAYS AS (
+                CONCAT(status, '#', CAST(cents DIV 10000000 AS STRING))))
+            PARTITIONED BY (status)""")
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView(s"gen_src_$tag")
+      // omitted generated columns: synthesized at commit, row by row
+      s2.sql(s"""INSERT INTO $tbl (okey, status, cents)
+                 SELECT okey, status, cents FROM gen_src_$tag""")
+      // explicit CONSISTENT values pass (the Delta contract)
+      s2.sql(s"INSERT INTO $tbl VALUES (-1, 'X', 12345, 0, 'X#0')")
+      // explicit value contradicting the expression rejects the commit
+      val mismatchRefused =
+        try { s2.sql(s"INSERT INTO $tbl VALUES (-2, 'X', 12345, 7, 'X#0')"); false }
+        catch { case _: Exception => true }
+      s2.sql(
+        s"""SELECT gtag, count(*) AS n, sum(bucket) AS sum_bucket,
+                   sum(cents) AS total_cents
+            FROM $tbl GROUP BY gtag
+            UNION ALL
+            SELECT 'audit:mismatch_refused', ${if (mismatchRefused) 1 else 0}, 0, 0
+            ORDER BY gtag""")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        UNION ALL SELECT 'X', 12345)
+      SELECT * FROM (
+        SELECT concat(status, '#', CAST(cents // 10000000 AS VARCHAR)) AS gtag,
+               count(*) AS n,
+               CAST(sum(cents // 10000000) AS BIGINT) AS sum_bucket,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM t GROUP BY 1
+        UNION ALL SELECT 'audit:mismatch_refused', 1, 0, 0)
+      ORDER BY gtag"""))
+
+  /** STORED PROCEDURES (`CALL`, [[org.apache.spark.sql.connector.catalog
+    * .ProcedureCatalog]] — the surface VERDICT r9-r11 carried as
+    * environment-gated; the connector API ships in this Spark after all,
+    * so r12 lands it): the lakehouse maintenance verbs DDL has no syntax
+    * for, resolved and executed by Spark's analyzer against
+    * [[graft.sources.GraftProcedures]]. The entry runs the real
+    * maintenance lifecycle on a three-commit table: `CALL
+    * system.restore(t, 2)` republishes the retained v2 snapshot as a NEW
+    * commit (version-continuous — the pre-restore head stays readable at
+    * its version, exactly Delta RESTORE / Iceberg rollback_to_snapshot),
+    * then `CALL system.expire_history(t, 2)` prunes retention to the
+    * newest two versions (Iceberg expire_snapshots) after which `VERSION
+    * AS OF` an expired version refuses. Both procedures' RESULT SETS
+    * (restored/new version, row count, removed count, earliest retained)
+    * are fused into the hash alongside the restored head and a
+    * still-retained time-travel read — the oracle recomputes every number
+    * from the tranche arithmetic. */
+  val q298 = GraftQuery(
+    "q298_call_procedures",
+    "CALL procedures: restore to a version (new commit) + expire_history pruning retention, results hashed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.prc_$tag"
+      s2.sql(s"""CREATE TABLE $tbl (okey BIGINT, status STRING, cents BIGINT)
+                 PARTITIONED BY (status)""")
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView(s"prc_src_$tag")
+      // v1..v3: three tranches
+      (0 to 2).foreach(i =>
+        s2.sql(s"""INSERT INTO $tbl
+                   SELECT okey, status, cents FROM prc_src_$tag WHERE okey % 3 = $i"""))
+      val restore = s2.sql(s"CALL graft_cat.system.restore('corpus.prc_$tag', 2)")
+        .collect()(0) // → v4 serves the first two tranches
+      val expire = s2.sql(s"CALL graft_cat.system.expire_history('corpus.prc_$tag', 2)")
+        .collect()(0) // keep {v3, v4}; v0-v2 expire
+      val expiredRefused =
+        try { s2.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 1").collect(); false }
+        catch { case _: Exception => true }
+      val procRows = Seq(
+        ("proc", "restore_new_version", restore.getAs[Long]("new_version"),
+          restore.getAs[Long]("n_rows")),
+        ("proc", "expire_removed", expire.getAs[Long]("removed"),
+          expire.getAs[Long]("earliest_retained")),
+        ("audit", "expired_version_refused",
+          expiredRefused.compare(false).toLong, 0L))
+      import s2.implicits._
+      s2.sql(
+        s"""SELECT 'head' AS at_state, status, count(*) AS n,
+                   sum(cents) AS total_cents
+            FROM $tbl GROUP BY status
+            UNION ALL
+            SELECT 'v3', status, count(*), sum(cents)
+            FROM $tbl VERSION AS OF 3 GROUP BY status""")
+        .unionByName(procRows.toDF("at_state", "status", "n", "total_cents"))
+        .orderBy("at_state", "status")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'head' AS at_state, status, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM t WHERE okey % 3 IN (0, 1) GROUP BY status
+        UNION ALL
+        SELECT 'v3', status, count(*), CAST(sum(cents) AS BIGINT)
+        FROM t GROUP BY status
+        UNION ALL
+        SELECT 'proc', 'restore_new_version', 4,
+               (SELECT count(*) FROM t WHERE okey % 3 IN (0, 1))
+        UNION ALL SELECT 'proc', 'expire_removed', 3, 3
+        UNION ALL SELECT 'audit', 'expired_version_refused', 1, 0)
+      ORDER BY at_state, status"""))
+
+  /** CATALOG-SERVED FUNCTIONS ([[org.apache.spark.sql.connector.catalog
+    * .FunctionCatalog]] — the last major V2 catalog surface this engine
+    * had not implemented): `graft_cat.system.token_count(text)` resolves
+    * through loadFunction → UnboundFunction.bind against the ACTUAL
+    * argument types, then executes on the contract's fast tier — the
+    * magic-method scalar plans a direct codegen `Invoke` per row (no
+    * InternalRow boxing), and the V2 [[org.apache.spark.sql.connector
+    * .catalog.functions.AggregateFunction]] runs the standard two-phase
+    * shape (per-partition `update`, cross-partition `merge`) like a
+    * built-in aggregate. The entry drives BOTH tiers over the documents
+    * corpus — token totals/max per language through the scalar, a
+    * bitwise-OR id mask through the aggregate (associative+commutative
+    * merge, exactly what the partial-aggregation contract requires) — and
+    * the oracle recomputes both with DuckDB's independent tokenizer and
+    * bit_or. A mis-bound type, a broken magic-method signature, or a
+    * wrong merge would each hash-fail. */
+  val q299 = GraftQuery(
+    "q299_catalog_functions",
+    "FunctionCatalog: magic-method scalar + two-phase V2 aggregate over documents, DuckDB-replayed",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      table(s2, dir, "documents").createOrReplaceTempView(s"fn_docs_$tag")
+      s2.sql(
+        s"""SELECT lang, count(*) AS n,
+                   sum(graft_cat.system.token_count(text)) AS total_tokens,
+                   max(graft_cat.system.token_count(text)) AS max_tokens,
+                   graft_cat.system.bit_or_agg(doc_id) AS id_mask
+            FROM fn_docs_$tag
+            GROUP BY lang ORDER BY lang""")
+    },
+    Some("""
+      WITH t AS (
+        SELECT lang, doc_id,
+               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+        FROM documents)
+      SELECT lang, count(*) AS n,
+             CAST(sum(toks) AS BIGINT) AS total_tokens,
+             CAST(max(toks) AS BIGINT) AS max_tokens,
+             bit_or(doc_id) AS id_mask
+      FROM t GROUP BY lang ORDER BY lang"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -2363,5 +2639,6 @@ object Sources {
   val all: Seq[GraftQuery] = Seq(q51, q52, q55, q56, q64, q78, q79, q82, q90,
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
-    q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295)
+    q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296,
+    q297, q298, q299)
 }

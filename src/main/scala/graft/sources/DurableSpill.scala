@@ -20,7 +20,9 @@ private[sources] case class DurableManifest(
     partCol: String,
     deltaIdCol: String,
     declaredParts: Map[String, Map[String, String]],
-    identityCol: Option[String] = None) // "col:start:step"
+    identityCol: Option[String] = None, // "col:start:step:allowExplicit"
+    checkConstraints: Seq[Seq[String]] = Nil, // (name, predicate SQL) pairs
+    generatedCols: Seq[Seq[String]] = Nil) // (name, expression SQL) pairs
 
 /** Per-version sidecar: the schema AT that snapshot (schema evolution
   * means versions differ) and the commit timestamp TIMESTAMP AS OF
@@ -102,6 +104,17 @@ private[sources] object DurableSpill {
         writeManifest(tableDir(root, key), key, snap.version))
     }
 
+  /** History expiry beyond the rolling [[MemTable.historyDepth]] window
+    * (the `expire_history` procedure): delete the dropped version
+    * directories and rewrite the manifest so a restart restores exactly
+    * the surviving retention. */
+  def onExpire(key: String, dropped: Seq[Long], current: Long): Unit =
+    rootOf(key).foreach { root =>
+      val dir = tableDir(root, key)
+      dropped.foreach(v => deleteRecursively(dir.resolve(s"v$v")))
+      writeManifest(dir, key, current)
+    }
+
   /** DROP TABLE in a durable catalog removes the spill too. */
   def onDrop(key: String): Unit =
     rootOf(key).foreach(root => deleteRecursively(tableDir(root, key)))
@@ -128,7 +141,11 @@ private[sources] object DurableSpill {
       GraftSparkCatalog.partCols.getOrElse(key, ""),
       GraftSparkCatalog.deltaIdCols.getOrElse(key, ""), declared,
       GraftSparkCatalog.identityCols.get(key)
-        .map { case (c, s, st, ax) => s"$c:$s:$st:$ax" })
+        .map { case (c, s, st, ax) => s"$c:$s:$st:$ax" },
+      GraftSparkCatalog.checkConstraints.getOrElse(key, Nil)
+        .map { case (n, sql) => Seq(n, sql) },
+      GraftSparkCatalog.generatedCols.getOrElse(key, Nil)
+        .map { case (c, sql) => Seq(c, sql) })
     val tmp = dir.resolve("_manifest.json.tmp")
     Files.write(tmp, org.json4s.jackson.Serialization.write(m)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -230,6 +247,12 @@ private[sources] object DurableSpill {
             GraftSparkCatalog.identityCols.put(key,
               (c, s.toLong, st.toLong, ax.toBoolean))
         }
+        if (m.checkConstraints.nonEmpty)
+          GraftSparkCatalog.checkConstraints.put(key,
+            m.checkConstraints.collect { case Seq(n, sql) => (n, sql) })
+        if (m.generatedCols.nonEmpty)
+          GraftSparkCatalog.generatedCols.put(key,
+            m.generatedCols.collect { case Seq(c, sql) => (c, sql) })
         // current LAST: store presence is the "loaded" latch, and the
         // direct put (not publish) must not restamp ts or respill
         MemTable.history.get((key, m.current))

@@ -24,7 +24,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * access paths, which is exactly the property a catalog exists to give.
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   /** A `warehouse` option makes the catalog DURABLE: every commit spills
     * parquet + manifest under it and tables restore lazily on first
@@ -49,7 +51,43 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      // CHECK constraints: the analyzer compiles Table.constraints() into
+      // CheckInvariant guards on every write plan, and ALTER … ADD
+      // CONSTRAINT validates existing rows with a scan BEFORE alterTable
+      // (AddCheckConstraintExec) — the catalog's job is storage + DDL
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT,
+      // GENERATED ALWAYS AS (expr): the analyzer validates the expression
+      // at CREATE and stores its SQL in column metadata; VALUE synthesis
+      // is the connector's job at commit ([[GeneratedColumnEval]]) — r12
+      // closes what r11 deliberately refused
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+
+  // ------------------------------------------------------ ProcedureCatalog
+  // `CALL graft_cat.system.restore(...)` / `system.expire_history(...)` —
+  // the lakehouse maintenance verbs DDL has no syntax for; SHOW PROCEDURES
+  // and DESCRIBE PROCEDURE ride the same two methods ([[GraftProcedures]]).
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(catalogName, ident)
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(namespace, _))
+    else Array.empty
+
+  // ------------------------------------------------------- FunctionCatalog
+  // catalog-served V2 functions (`SELECT graft_cat.system.token_count(…)`)
+  // — magic-method scalars (codegen direct Invoke) and two-phase
+  // aggregates ([[GraftFunctions]]).
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(ident)
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftFunctions.names.map(Identifier.of(namespace, _))
+    else Array.empty
 
   private def key(ident: Identifier): String =
     (Seq("cat", catalogName) ++ ident.namespace().toSeq :+ ident.name())
@@ -142,14 +180,44 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     new MemTablePinned(snap.schema, pinned, partCols.getOrElse(k, ""))
   }
 
+  /** TABLE CONSTRAINTS arrive only through the [[org.apache.spark.sql
+    * .connector.catalog.TableInfo]] create variant (the default delegates
+    * to the Column[] one and drops them), so it is overridden to capture
+    * the CHECK constraints before delegating. Enforcement is split by
+    * contract: Spark's analyzer reads them back from
+    * [[MemTableImpl.constraints]] and plans a CheckInvariant guard into
+    * every INSERT (a violating row fails the write job before any commit);
+    * only CHECK is accepted — PRIMARY KEY / UNIQUE / FOREIGN KEY are
+    * informational in Spark's model (never enforced) and this catalog
+    * refuses what it will not enforce, the same
+    * refusal-over-wrong-answer posture as q295's generation expressions. */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val k = key(ident)
+    val checks = info.constraints().map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        (c.name(), c.predicateSql())
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: only CHECK constraints are supported " +
+          s"(got: ${other.toDDL})")
+    }
+    val t = createTable(ident, info.columns(), info.partitions(), info.properties())
+    if (checks.nonEmpty) {
+      GraftSparkCatalog.checkConstraints.put(k, checks.toSeq)
+      DurableSpill.onMetaChange(k)
+      return loadTable(ident) // re-serve with constraints visible
+    }
+    t
+  }
+
   /** IDENTITY COLUMNS arrive only through the Column[] variant (the
     * schema conversion strips the spec), so it is overridden to capture
     * the spec before delegating; the actual value assignment happens
     * connector-side at the atomic commit ([[MemBatchWrite.commit]]) —
     * the only point where cross-task sequence allocation needs no
-    * coordination. GENERATED ALWAYS AS (expr) stays UNSUPPORTED (no
-    * capability declared): this catalog does not evaluate generation
-    * expressions, and accepting them would serve NULLs silently. */
+    * coordination. GENERATED ALWAYS AS (expr) columns ride the schema
+    * metadata into the plain variant below (r12: evaluated at commit via
+    * [[GeneratedColumnEval]] — the r11 refusal is closed). */
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
@@ -178,6 +246,25 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     if (MemTable.store.contains(k)) throw new TableAlreadyExistsException(ident)
     val pc = partitions.headOption
       .map(_.references().head.fieldNames().head).getOrElse("")
+    // GENERATED ALWAYS AS (expr): the analyzer validated the expression
+    // (deterministic, no subqueries, non-generated references only) and
+    // left its SQL in the column metadata; capture it and compile NOW —
+    // a CREATE with an expression this engine cannot evaluate (type
+    // mismatch, unsupported function) must fail at CREATE, not at the
+    // first insert. Values are synthesized at the atomic commit
+    // (MemTable.fillGenerated); explicit arrivals are validated there.
+    import org.apache.spark.sql.catalyst.util.GeneratedColumn
+    val gens = schema.fields.toSeq.flatMap(f =>
+      GeneratedColumn.getGenerationExpression(f).map(sql => (f.name, sql)))
+    if (gens.nonEmpty) {
+      gens.foreach { case (c, sql) =>
+        require(c != pc,
+          "graft catalog: a generated column cannot be the partition column")
+        GeneratedColumnEval.compile(schema, sql,
+          schema(schema.fieldIndex(c)).dataType, c)
+      }
+      GraftSparkCatalog.generatedCols.put(k, gens)
+    } else GraftSparkCatalog.generatedCols.remove(k)
     partCols.put(k, pc)
     // row-identity opt-in: TBLPROPERTIES('deltaIdCol'='…') switches the
     // table's row-level operations to the delta (merge-on-read) path.
@@ -216,6 +303,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       val cur = MemTable.store(k)
       var schema = cur.schema
       var parts = cur.parts
+      var schemaChanged = false
+      var metaChanged = false
       changes.foreach {
         case add: TableChange.AddColumn
             if add.fieldNames().length == 1 &&
@@ -224,12 +313,44 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
             s"graft catalog: column ${add.fieldNames()(0)} already exists")
           schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
           parts = parts.map { case (p, rs) => p -> rs.map(_ :+ (null: Any)) }
+          schemaChanged = true
+        // ALTER TABLE … ADD CONSTRAINT … CHECK (…): Spark has ALREADY
+        // validated every existing row with a scan (AddCheckConstraintExec
+        // throws newCheckViolation on the first offender) before calling
+        // here — the catalog just records; future INSERTs are guarded by
+        // the analyzer reading it back from Table.constraints().
+        case ac: TableChange.AddConstraint =>
+          ac.constraint() match {
+            case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+              val curCs = GraftSparkCatalog.checkConstraints.getOrElse(k, Nil)
+              if (curCs.exists(_._1.equalsIgnoreCase(c.name())))
+                throw new IllegalArgumentException(
+                  s"graft catalog: constraint ${c.name()} already exists on ${ident.name()}")
+              GraftSparkCatalog.checkConstraints.put(k, curCs :+ ((c.name(), c.predicateSql())))
+              metaChanged = true
+            case other => throw new UnsupportedOperationException(
+              s"graft catalog: only CHECK constraints are supported (got: ${other.toDDL})")
+          }
+        case dc: TableChange.DropConstraint =>
+          val curCs = GraftSparkCatalog.checkConstraints.getOrElse(k, Nil)
+          if (!curCs.exists(_._1.equalsIgnoreCase(dc.name())) && !dc.ifExists())
+            throw new IllegalArgumentException(
+              s"graft catalog: no constraint ${dc.name()} on ${ident.name()}")
+          GraftSparkCatalog.checkConstraints.put(k,
+            curCs.filterNot(_._1.equalsIgnoreCase(dc.name())))
+          metaChanged = true
         case other =>
           throw new UnsupportedOperationException(
             s"graft catalog: unsupported ALTER change $other " +
-              "(only top-level nullable long/string ADD COLUMNS)")
+              "(only top-level nullable long/string ADD COLUMNS and " +
+              "ADD/DROP CHECK constraints)")
       }
-      MemTable.publish(k, MemTable.Snapshot(schema, parts, cur.version + 1))
+      // constraint DDL is metadata-only (no snapshot, no version bump —
+      // the Delta posture is a protocol commit; at harness granularity
+      // the manifest is the durable carrier); schema changes publish
+      if (schemaChanged)
+        MemTable.publish(k, MemTable.Snapshot(schema, parts, cur.version + 1))
+      else if (metaChanged) DurableSpill.onMetaChange(k)
     }
     loadTable(ident)
   }
@@ -247,6 +368,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       partCols.remove(k)
       GraftSparkCatalog.deltaIdCols.remove(k)
       GraftSparkCatalog.identityCols.remove(k)
+      GraftSparkCatalog.checkConstraints.remove(k)
+      GraftSparkCatalog.generatedCols.remove(k)
       MemTable.history.keys.filter(_._1 == k).toSeq.foreach(MemTable.history.remove)
       MemTable.declaredParts.keys.filter(_._1 == k).toSeq
         .foreach(MemTable.declaredParts.remove)
@@ -273,6 +396,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         .foreach(GraftSparkCatalog.deltaIdCols.put(to, _))
       GraftSparkCatalog.identityCols.remove(from)
         .foreach(GraftSparkCatalog.identityCols.put(to, _))
+      GraftSparkCatalog.checkConstraints.remove(from)
+        .foreach(GraftSparkCatalog.checkConstraints.put(to, _))
+      GraftSparkCatalog.generatedCols.remove(from)
+        .foreach(GraftSparkCatalog.generatedCols.put(to, _))
       MemTable.history.keys.filter(_._1 == from).toSeq.foreach { case (_, v) =>
         MemTable.history.remove((from, v)).foreach(s => MemTable.history.put((to, v), s))
       }
@@ -470,6 +597,14 @@ object GraftSparkCatalog {
         mb.putString("CURRENT_DEFAULT", d.getSql())
         mb.putString("EXISTS_DEFAULT", d.getSql())
       }
+      // GENERATED ALWAYS AS (expr) is a first-class Column field (not
+      // metadata) on the V2 create path — restamp it under the analyzer's
+      // documented metadata key so the stored schema carries it (DESCRIBE
+      // shows it, snapshots persist it, and createTable's capture reads
+      // one representation regardless of the create path)
+      Option(c.generationExpression()).foreach(
+        mb.putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .GENERATION_EXPRESSION_METADATA_KEY, _))
       org.apache.spark.sql.types.StructField(
         c.name(), c.dataType(), c.nullable(), mb.build())
     })
@@ -481,6 +616,18 @@ object GraftSparkCatalog {
     * enforce it for V2 connectors. */
   val identityCols =
     new scala.collection.concurrent.TrieMap[String, (String, Long, Long, Boolean)]
+
+  /** table key → enforced CHECK constraints (name, predicate SQL) in
+    * declaration order — read back by [[MemTableImpl.constraints]], which
+    * is where Spark's analyzer finds them when planning write guards. */
+  val checkConstraints =
+    new scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]
+
+  /** table key → `GENERATED ALWAYS AS (expr)` columns (name, expression
+    * SQL) in schema order — synthesized/validated at the atomic commit
+    * ([[MemTable.fillGenerated]] via [[GeneratedColumnEval]]). */
+  val generatedCols =
+    new scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]
 
   /** (catalog, namespace path) → declared namespace properties. */
   val namespaces =

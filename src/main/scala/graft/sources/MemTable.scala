@@ -137,6 +137,45 @@ object MemTable {
         }
     }
 
+  /** `GENERATED ALWAYS AS (expr)` synthesis at the single commit point
+    * ([[GraftSparkCatalog.generatedCols]] via [[GeneratedColumnEval]]) —
+    * the Delta generated-columns contract: a NULL arrival in a generated
+    * column takes the expression's value computed FROM ITS OWN ROW; an
+    * explicit arrival is VALIDATED against that value and a mismatch
+    * rejects the whole commit (storing a value that contradicts the
+    * declared expression would make the column a lie). Caller holds
+    * `store.synchronized`. */
+  def fillGenerated(runId: String, schema: StructType,
+      incoming: Map[String, Vector[Array[Any]]]): Map[String, Vector[Array[Any]]] =
+    GraftSparkCatalog.generatedCols.get(runId) match {
+      case None => incoming
+      case Some(gens) =>
+        val compiled = gens.flatMap { case (c, sql) =>
+          val idx = schema.fieldNames.indexOf(c)
+          if (idx < 0) None
+          else Some((c, idx,
+            GeneratedColumnEval.compile(schema, sql, schema.fields(idx).dataType, c)))
+        }
+        if (compiled.isEmpty) incoming
+        else incoming.map { case (k, rs) =>
+          k -> rs.map { r =>
+            var out = r
+            compiled.foreach { case (c, idx, eval) =>
+              val expected = eval(out)
+              if (out(idx) == null) {
+                if (out eq r) out = r.clone()
+                out(idx) = expected
+              } else if (out(idx) != expected)
+                throw new IllegalArgumentException(
+                  s"MemTable '$runId': column '$c' is GENERATED ALWAYS AS — " +
+                    s"explicit value ${out(idx)} contradicts the generation " +
+                    s"expression's value $expected for this row")
+            }
+            out
+          }
+        }
+    }
+
   /** Restart-simulation seam (and memory-pressure relief): forget every
     * in-process structure for a table key. A durable table is lazily
     * reloaded from its warehouse spill on the next catalog reference —
@@ -150,6 +189,8 @@ object MemTable {
     GraftSparkCatalog.partCols.remove(runId)
     GraftSparkCatalog.deltaIdCols.remove(runId)
     GraftSparkCatalog.identityCols.remove(runId)
+    GraftSparkCatalog.checkConstraints.remove(runId)
+    GraftSparkCatalog.generatedCols.remove(runId)
   }
 
   /** Optimistic-concurrency rejection: the writer's base snapshot is no
@@ -327,6 +368,19 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
     })
   override def schema(): StructType =
     MemTable.store.get(runId).map(_.schema).getOrElse(schema)
+
+  /** Enforced CHECK constraints ([[GraftSparkCatalog.checkConstraints]]):
+    * Spark's analyzer reads these back on every write plan and compiles a
+    * CheckInvariant guard from the predicate SQL — a violating row fails
+    * the write job in the tasks, before any commit reaches this table. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    GraftSparkCatalog.checkConstraints.getOrElse(runId, Nil).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql).enforced(true)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
@@ -525,7 +579,8 @@ private[sources] class MemStreamingWrite(runId: String, schema: StructType,
       val cur = MemTable.store.get(runId)
       val base = cur.map(_.parts).getOrElse(Map.empty)
       val outSchema = cur.map(_.schema).filter(_.nonEmpty).getOrElse(schema)
-      val filled = MemTable.fillIdentity(runId, outSchema, base, incoming)
+      val filled = MemTable.fillGenerated(runId, outSchema,
+        MemTable.fillIdentity(runId, outSchema, base, incoming))
       val merged = filled.foldLeft(base) { case (a, (k, rs)) =>
         a.updated(k, a.getOrElse(k, Vector.empty) ++ rs)
       }
@@ -596,8 +651,9 @@ private[sources] class MemBatchWrite(runId: String, schema: StructType,
       val base =
         if (truncate) Map.empty[String, Vector[Array[Any]]]
         else cur.map(_.parts).getOrElse(Map.empty)
-      val filled = MemTable.fillIdentity(runId,
-        cur.map(_.schema).filter(_.nonEmpty).getOrElse(schema), base, incoming)
+      val commitSchema = cur.map(_.schema).filter(_.nonEmpty).getOrElse(schema)
+      val filled = MemTable.fillGenerated(runId, commitSchema,
+        MemTable.fillIdentity(runId, commitSchema, base, incoming))
       val merged = filled.foldLeft(base) { case (a, (k, rs)) =>
         a.updated(k, a.getOrElse(k, Vector.empty) ++ rs)
       }

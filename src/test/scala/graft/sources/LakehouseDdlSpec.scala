@@ -1,0 +1,248 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Contract pins for the round-12 catalog surfaces that Spark delegates
+  * to the connector:
+  *
+  *  - CHECK constraints (`SUPPORT_TABLE_CONSTRAINT`): create-time
+  *    declaration, write-side enforcement via the analyzer's
+  *    CheckInvariant guard, ALTER ADD validation of existing rows
+  *    (Spark-side scan), ALTER DROP lifting the guard, and the
+  *    refusal of never-enforced constraint kinds (PRIMARY KEY et al);
+  *  - GENERATED ALWAYS AS (expr) (`SUPPORTS_CREATE_TABLE_WITH_GENERATED_
+  *    COLUMNS`): commit-time synthesis for omitted values, validation of
+  *    explicit values against the expression (mismatch rejects the
+  *    commit), CREATE-time type-mismatch refusal;
+  *  - stored procedures (`ProcedureCatalog` + `CALL`): restore
+  *    republishes a retained snapshot version-continuously,
+  *    expire_history prunes retention (and VERSION AS OF an expired
+  *    version then refuses), SHOW PROCEDURES / DESCRIBE PROCEDURE ride
+  *    the same catalog methods.
+  */
+class LakehouseDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-lakehouse-ddl-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def catSession(): SparkSession = {
+    spark
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft_ddl", "graft.sources.GraftSparkCatalog")
+    s2
+  }
+
+  private val seq = new java.util.concurrent.atomic.AtomicInteger()
+  private def freshName(prefix: String): String =
+    s"${prefix}_${ProcessHandle.current().pid()}_${seq.incrementAndGet()}"
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    super.afterAll()
+  }
+
+  test("CHECK constraint declared at CREATE rejects violating inserts and admits valid ones") {
+    val s2 = catSession()
+    val t = s"graft_ddl.ns.${freshName("chk")}"
+    s2.sql(s"""CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT,
+               CONSTRAINT non_negative CHECK (cents >= 0))
+               PARTITIONED BY (status)""")
+    s2.sql(s"INSERT INTO $t VALUES (1, 'A', 100), (2, 'B', 0)")
+    assert(s2.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2L)
+    val e = intercept[Exception] {
+      s2.sql(s"INSERT INTO $t VALUES (3, 'A', -5)")
+    }
+    assert(e.getMessage.contains("non_negative") ||
+      Option(e.getCause).exists(_.getMessage.contains("non_negative")),
+      s"expected a CHECK violation naming the constraint, got: ${e.getMessage}")
+    // the failed write job must not have committed anything
+    assert(s2.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2L)
+  }
+
+  test("ALTER TABLE ADD CONSTRAINT validates existing rows; DROP CONSTRAINT lifts the guard") {
+    val s2 = catSession()
+    val t = s"graft_ddl.ns.${freshName("chkalt")}"
+    s2.sql(s"CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT) PARTITIONED BY (status)")
+    s2.sql(s"INSERT INTO $t VALUES (1, 'A', 100), (2, 'B', 250)")
+    // a constraint the existing rows violate must refuse at ALTER time
+    val bad = intercept[Exception] {
+      s2.sql(s"ALTER TABLE $t ADD CONSTRAINT too_strict CHECK (cents > 1000)")
+    }
+    assert(bad.getMessage.toLowerCase.contains("check") ||
+      bad.getMessage.contains("too_strict"))
+    // a satisfiable one lands and guards future writes
+    s2.sql(s"ALTER TABLE $t ADD CONSTRAINT positive CHECK (cents > 0)")
+    intercept[Exception] { s2.sql(s"INSERT INTO $t VALUES (3, 'A', 0)") }
+    assert(s2.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 2L)
+    // DROP CONSTRAINT lifts the guard: the same insert now lands
+    s2.sql(s"ALTER TABLE $t DROP CONSTRAINT positive")
+    s2.sql(s"INSERT INTO $t VALUES (3, 'A', 0)")
+    assert(s2.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 3L)
+  }
+
+  test("never-enforced constraint kinds refuse at CREATE") {
+    val s2 = catSession()
+    val t = s"graft_ddl.ns.${freshName("chkpk")}"
+    val e = intercept[Exception] {
+      s2.sql(s"""CREATE TABLE $t (k BIGINT, status STRING,
+                 CONSTRAINT pk PRIMARY KEY (k)) PARTITIONED BY (status)""")
+    }
+    assert(e.getMessage.contains("only CHECK constraints"),
+      s"expected the catalog's refusal, got: ${e.getMessage}")
+  }
+
+  test("GENERATED ALWAYS AS: omitted values synthesized at commit from the row") {
+    val s2 = catSession()
+    val t = s"graft_ddl.ns.${freshName("gen")}"
+    s2.sql(s"""CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT,
+               bucket BIGINT GENERATED ALWAYS AS (cents DIV 100),
+               tag STRING GENERATED ALWAYS AS (CONCAT(status, '-', CAST(cents DIV 100 AS STRING))))
+               PARTITIONED BY (status)""")
+    s2.sql(s"INSERT INTO $t (k, status, cents) VALUES (1, 'A', 250), (2, 'B', 99)")
+    val rows = s2.sql(s"SELECT k, bucket, tag FROM $t ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq((1L, 2L, "A-2"), (2L, 0L, "B-0")))
+  }
+
+  test("GENERATED ALWAYS AS: explicit value contradicting the expression rejects the commit") {
+    val s2 = catSession()
+    val t = s"graft_ddl.ns.${freshName("genx")}"
+    s2.sql(s"""CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT,
+               bucket BIGINT GENERATED ALWAYS AS (cents DIV 100))
+               PARTITIONED BY (status)""")
+    // a CONSISTENT explicit value passes (Delta's contract)
+    s2.sql(s"INSERT INTO $t VALUES (1, 'A', 250, 2)")
+    val e = intercept[Exception] {
+      s2.sql(s"INSERT INTO $t VALUES (2, 'A', 250, 99)")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("GENERATED ALWAYS AS")),
+      s"expected the commit-side mismatch rejection, got: ${chain(e)}")
+    assert(s2.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 1L)
+  }
+
+  test("GENERATED ALWAYS AS: type mismatch between expression and column refuses at CREATE") {
+    val s2 = catSession()
+    val t = s"graft_ddl.ns.${freshName("gent")}"
+    val e = intercept[Exception] {
+      s2.sql(s"""CREATE TABLE $t (k BIGINT, status STRING,
+                 bad BIGINT GENERATED ALWAYS AS (CONCAT(status, '!')))
+                 PARTITIONED BY (status)""")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("has type") || m.contains("GENERATED")),
+      s"expected a type-mismatch refusal, got: ${chain(e)}")
+  }
+
+  test("CALL system.restore republishes a retained version as a new commit") {
+    val s2 = catSession()
+    val name = freshName("rst")
+    val t = s"graft_ddl.ns.$name"
+    s2.sql(s"CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT) PARTITIONED BY (status)")
+    s2.sql(s"INSERT INTO $t VALUES (1, 'A', 100)")                 // v1
+    s2.sql(s"INSERT INTO $t VALUES (2, 'B', 200), (3, 'A', 300)")  // v2
+    val res = s2.sql(s"CALL graft_ddl.system.restore('ns.$name', 1)").collect()
+    assert(res.length == 1)
+    assert(res(0).getAs[Long]("restored_version") == 1L)
+    assert(res(0).getAs[Long]("new_version") == 3L)
+    assert(res(0).getAs[Long]("n_rows") == 1L)
+    // head now serves v1's single row; the pre-restore head stays travelable
+    assert(s2.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 1L)
+    assert(s2.sql(s"SELECT count(*) FROM $t VERSION AS OF 2").head().getLong(0) == 3L)
+  }
+
+  test("CALL system.expire_history prunes retention and expired versions refuse") {
+    val s2 = catSession()
+    val name = freshName("exp")
+    val t = s"graft_ddl.ns.$name"
+    s2.sql(s"CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT) PARTITIONED BY (status)")
+    (1 to 4).foreach(i => s2.sql(s"INSERT INTO $t VALUES ($i, 'A', ${i * 100})")) // v1..v4
+    val res = s2.sql(s"CALL graft_ddl.system.expire_history('ns.$name', 2)").collect()
+    assert(res(0).getAs[Long]("removed") == 3L) // v0 (create), v1, v2
+    assert(res(0).getAs[Long]("earliest_retained") == 3L)
+    val e = intercept[Exception] {
+      s2.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("no snapshot version 1"))
+    assert(s2.sql(s"SELECT count(*) FROM $t VERSION AS OF 3").head().getLong(0) == 3L)
+    assert(s2.sql(s"SELECT count(*) FROM $t").head().getLong(0) == 4L)
+  }
+
+  test("SHOW PROCEDURES and DESCRIBE PROCEDURE ride the catalog methods") {
+    val s2 = catSession()
+    val shownRows = s2.sql("SHOW PROCEDURES IN graft_ddl.system").collect()
+    val shown = shownRows.map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    assert(shown.exists(_.contains("restore")) &&
+      shown.exists(_.contains("expire_history")),
+      s"SHOW PROCEDURES returned: $shown")
+    val desc = s2.sql("DESCRIBE PROCEDURE graft_ddl.system.restore").collect()
+      .map(_.toString).mkString("\n")
+    assert(desc.contains("restore"))
+  }
+
+  test("catalog functions: magic-method scalar and two-phase aggregate resolve and compute") {
+    val s2 = catSession()
+    import s2.implicits._
+    Seq((1L, "one two  three"), (2L, "  "), (4L, "solo"), (8L, null: String))
+      .toDF("id", "txt").createOrReplaceTempView("fn_probe")
+    val rows = s2.sql(
+      """SELECT sum(graft_ddl.system.token_count(txt)) AS toks,
+                graft_ddl.system.bit_or_agg(id) AS mask
+         FROM fn_probe""").collect()
+    assert(rows(0).getLong(0) == 4L) // 3 + 0 + 1 + 0
+    assert(rows(0).getLong(1) == 15L) // 1|2|4|8
+  }
+
+  test("catalog functions: wrong argument type refuses at bind; unknown function refuses") {
+    val s2 = catSession()
+    val e = intercept[Exception] {
+      s2.sql("SELECT graft_ddl.system.token_count(42)").collect()
+    }
+    assert(e.getMessage.contains("token_count") || e.getMessage.contains("CANNOT_RESOLVE"),
+      s"got: ${e.getMessage}")
+    val missing = intercept[Exception] {
+      s2.sql("SELECT graft_ddl.system.no_such_fn(1)").collect()
+    }
+    assert(missing.getMessage.toLowerCase.contains("no_such_fn"))
+  }
+
+  // EXPECTED-FAILURE PIN (upstream limitation, same discipline as the
+  // q284 inliner pin): Spark 4.1's ResolveSessionCatalog implements
+  // DESCRIBE FUNCTION / SHOW FUNCTIONS only for the SESSION catalog — a
+  // V2 FunctionCatalog gets MISSING_CATALOG_ABILITY even though
+  // expression resolution against the same catalog works (the test
+  // above). When a Spark upgrade adds V2 support, this pin flips loudly
+  // and the metadata surface should be asserted positively.
+  test("pin: DESCRIBE FUNCTION on a V2 FunctionCatalog is unsupported in this Spark") {
+    val s2 = catSession()
+    val e = intercept[Exception] {
+      s2.sql("DESCRIBE FUNCTION graft_ddl.system.bit_or_agg").collect()
+    }
+    assert(e.getMessage.contains("MISSING_CATALOG_ABILITY"),
+      "DESCRIBE FUNCTION now resolves V2 catalogs — flip this pin to a " +
+        s"positive assertion (got: ${e.getMessage})")
+  }
+
+  test("unknown procedure refuses with the available list") {
+    val s2 = catSession()
+    val e = intercept[Exception] {
+      s2.sql("CALL graft_ddl.system.vacuum('ns.t')")
+    }
+    // Spark wraps the catalog's refusal in FAILED_TO_LOAD_ROUTINE; the
+    // cause chain must still name the available procedures
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m =>
+      m.contains("not found") && m.contains("expire_history")),
+      s"got: ${chain(e)}")
+  }
+}
