@@ -2513,6 +2513,153 @@ object Sources {
              bit_or(doc_id) AS id_mask
       FROM t GROUP BY lang ORDER BY lang"""))
 
+  /** MERGE … WITH SCHEMA EVOLUTION (TableCapability
+    * .AUTOMATIC_SCHEMA_EVOLUTION) — the upsert-with-drift contract every
+    * long-lived ingestion pipeline eventually needs: a source that grew a
+    * column upserts into a target that lacks it, and the analyzer
+    * (ResolveMergeIntoSchemaEvolution — fires ONLY when the table declares
+    * the capability AND the statement carries the clause) computes the
+    * missing columns and routes them through the catalog's ordinary
+    * `ALTER TABLE ADD COLUMNS` as its own committed version BEFORE
+    * planning the row-level operation. Semantics pinned by the hash:
+    * matched rows take the source's values INCLUDING the new column,
+    * pre-existing unmatched rows get NULL in it, inserted rows carry it —
+    * and because the evolution is a real schema-per-snapshot commit,
+    * `VERSION AS OF` the pre-merge version still serves the THREE-column
+    * schema (audited as a column count). A plain MERGE naming the new
+    * column (no evolution clause) refuses — evolution is opt-in per
+    * statement, never a side effect. */
+  val q300 = GraftQuery(
+    "q300_merge_schema_evolution",
+    "MERGE WITH SCHEMA EVOLUTION: source column auto-added via ALTER, matched/unmatched/inserted semantics hashed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.mse_$tag"
+      s2.sql(s"""CREATE TABLE $tbl (okey BIGINT, status STRING, cents BIGINT)
+                 PARTITIONED BY (status)""")
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderpriority").as("prio"))
+        .createOrReplaceTempView(s"mse_src_$tag")
+      // target: thirds 0 and 1 (no prio column exists yet)
+      s2.sql(s"""INSERT INTO $tbl
+                 SELECT okey, status, cents FROM mse_src_$tag WHERE okey % 3 IN (0, 1)""")
+      // source: thirds 1 and 2, shifted cents, PLUS the prio column the
+      // target lacks — third 1 matches (update), third 2 inserts
+      s2.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t
+            USING (SELECT okey, status, cents + 7 AS cents, prio
+                   FROM mse_src_$tag WHERE okey % 3 IN (1, 2)) s
+            ON t.okey = s.okey
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+      // opt-in per statement: a plain MERGE naming the next drifted
+      // column must refuse, capability or not
+      val plainRefused =
+        try {
+          s2.sql(s"""MERGE INTO $tbl t USING mse_src_$tag s ON t.okey = s.okey
+                     WHEN MATCHED THEN UPDATE SET t.ghost = s.prio""")
+          false
+        } catch { case _: Exception => true }
+      val preEvolutionCols =
+        s2.sql(s"SELECT * FROM $tbl VERSION AS OF 1").schema.fieldNames.length.toLong
+      val audit = Seq(
+        ("audit", "plain_merge_refused", plainRefused.compare(false).toLong, 0L),
+        ("audit", "pre_evolution_n_cols", preEvolutionCols, 0L))
+      import s2.implicits._
+      s2.sql(
+        s"""SELECT coalesce(prio, 'none') AS prio, status, count(*) AS n,
+                   sum(cents) AS total_cents
+            FROM $tbl GROUP BY prio, status""")
+        .unionByName(audit.toDF("prio", "status", "n", "total_cents"))
+        .orderBy("prio", "status")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderpriority AS prio
+        FROM orders)
+      SELECT * FROM (
+        SELECT CASE WHEN okey % 3 = 0 THEN 'none' ELSE prio END AS prio,
+               status, count(*) AS n,
+               CAST(sum(CASE WHEN okey % 3 = 0 THEN cents ELSE cents + 7 END)
+                    AS BIGINT) AS total_cents
+        FROM t GROUP BY 1, 2
+        UNION ALL SELECT 'audit', 'plain_merge_refused', 1, 0
+        UNION ALL SELECT 'audit', 'pre_evolution_n_cols', 3, 0)
+      ORDER BY prio, status"""))
+
+  /** `ALTER TABLE … ALTER COLUMN … SET/DROP DEFAULT` (TableChange
+    * .UpdateColumnDefaultValue) — the lifecycle HALF of the default-value
+    * contract q293 proved at CREATE: a default is CURRENT_DEFAULT
+    * metadata, so changing it is a schema-only commit that retargets
+    * FUTURE under-specified inserts and never rewrites a stored row (the
+    * reason lakehouse formats can flip a fleet-wide default in O(1)).
+    * Three insert waves, one per default regime — declared 5, re-set to
+    * 9, dropped (→ NULL) — land under the same omitted-column INSERT;
+    * the rollup pivots on the filled values, so a default leaking across
+    * regimes (the data-rewrite bug this design rules out) hash-fails.
+    * Schema-per-snapshot composes: VERSION AS OF the first wave still
+    * DESCRIBEs default 5 (audited via the restored snapshot schema). */
+  val q301 = GraftQuery(
+    "q301_alter_column_default",
+    "ALTER COLUMN SET/DROP DEFAULT: three default regimes, metadata-only commits, no row rewrites",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.adf_$tag"
+      s2.sql(s"""CREATE TABLE $tbl (okey BIGINT, status STRING, cents BIGINT,
+                 flag BIGINT DEFAULT 5) PARTITIONED BY (status)""")
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView(s"adf_src_$tag")
+      def wave(third: Int): Unit =
+        s2.sql(s"""INSERT INTO $tbl (okey, status, cents)
+                   SELECT okey, status, cents FROM adf_src_$tag WHERE okey % 3 = $third""")
+      wave(0) // flag = 5 (declared default)
+      s2.sql(s"ALTER TABLE $tbl ALTER COLUMN flag SET DEFAULT 9")
+      wave(1) // flag = 9 (new default; wave 0 rows untouched)
+      s2.sql(s"ALTER TABLE $tbl ALTER COLUMN flag DROP DEFAULT")
+      wave(2) // flag = NULL (no default)
+      // pre-alter snapshot schema still carries the original default
+      val v1Default = s2.sql(s"SELECT * FROM $tbl VERSION AS OF 1").schema
+        .fields.find(_.name == "flag")
+        .flatMap(f => if (f.metadata.contains("CURRENT_DEFAULT"))
+          Some(f.metadata.getString("CURRENT_DEFAULT")) else None)
+        .getOrElse("none")
+      val audit = Seq(
+        ("audit", s"v1_default_$v1Default", 1L, 0L))
+      import s2.implicits._
+      s2.sql(
+        s"""SELECT concat('flag_', coalesce(CAST(flag AS STRING), 'null')) AS regime,
+                   status, count(*) AS n, sum(cents) AS total_cents
+            FROM $tbl GROUP BY 1, status""")
+        .unionByName(audit.toDF("regime", "status", "n", "total_cents"))
+        .orderBy("regime", "status")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT * FROM (
+        SELECT concat('flag_', CASE okey % 3 WHEN 0 THEN '5' WHEN 1 THEN '9'
+                               ELSE 'null' END) AS regime,
+               status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM t GROUP BY 1, 2
+        UNION ALL SELECT 'audit', 'v1_default_5', 1, 0)
+      ORDER BY regime, status"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -2640,5 +2787,5 @@ object Sources {
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
     q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296,
-    q297, q298, q299)
+    q297, q298, q299, q300, q301)
 }

@@ -331,6 +331,29 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
             case other => throw new UnsupportedOperationException(
               s"graft catalog: only CHECK constraints are supported (got: ${other.toDDL})")
           }
+        // ALTER COLUMN … SET/DROP DEFAULT: rewrite the field's
+        // CURRENT_DEFAULT metadata — the value future under-specified
+        // INSERTs resolve to. EXISTS_DEFAULT (what a reader would fill
+        // for rows written before the column existed) is intentionally
+        // untouched: the Spark default-column model separates the two,
+        // which is why changing a default never rewrites data.
+        case ud: TableChange.UpdateColumnDefaultValue
+            if ud.fieldNames().length == 1 =>
+          val cn = ud.fieldNames()(0)
+          val idx = schema.fieldNames.indexOf(cn)
+          require(idx >= 0, s"graft catalog: no column $cn in ${ident.name()}")
+          val f = schema.fields(idx)
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          Option(ud.newCurrentDefault()).map(_.getSql).filter(_.nonEmpty) match {
+            case Some(sql) =>
+              mb.putString("CURRENT_DEFAULT", sql)
+              if (!f.metadata.contains("EXISTS_DEFAULT"))
+                mb.putString("EXISTS_DEFAULT", sql)
+            case None => mb.remove("CURRENT_DEFAULT")
+          }
+          schema = StructType(schema.fields.updated(idx, f.copy(metadata = mb.build())))
+          schemaChanged = true
         case dc: TableChange.DropConstraint =>
           val curCs = GraftSparkCatalog.checkConstraints.getOrElse(k, Nil)
           if (!curCs.exists(_._1.equalsIgnoreCase(dc.name())) && !dc.ifExists())

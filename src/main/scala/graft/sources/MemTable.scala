@@ -384,7 +384,13 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      // MERGE … WITH SCHEMA EVOLUTION: the analyzer computes the missing
+      // source columns and routes them through the catalog's ordinary
+      // ALTER ADD COLUMNS before planning the row-level operation —
+      // opt-in by capability (ResolveMergeIntoSchemaEvolution fires only
+      // when the relation's table declares it)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** V2 PARTITION MANAGEMENT ([[org.apache.spark.sql.connector.catalog
     * .SupportsAtomicPartitionManagement]]) — the reference's partition

@@ -232,6 +232,29 @@ class LakehouseDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"positive assertion (got: ${e.getMessage})")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds the source column; pre-evolution versions keep the old schema") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = freshName("mse")
+    val t = s"graft_ddl.ns.$name"
+    s2.sql(s"CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT) PARTITIONED BY (status)")
+    s2.sql(s"INSERT INTO $t VALUES (1, 'A', 100), (2, 'B', 200)")
+    Seq((1L, "A", 150L, 7L), (3L, "B", 300L, 9L)).toDF("k", "status", "cents", "extra")
+      .createOrReplaceTempView("mse_probe_src")
+    s2.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $t t USING mse_probe_src s ON t.k = s.k
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""")
+    val rows = s2.sql(s"SELECT k, cents, extra FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // matched row updated incl. the new column; untouched row NULL-padded;
+    // unmatched row inserted with it
+    assert(rows.toSeq == Seq((1L, 150L, 7L), (2L, 200L, -1L), (3L, 300L, 9L)))
+    // the evolution was its own schema-per-snapshot commit: the pre-merge
+    // version still serves three columns
+    assert(s2.sql(s"SELECT * FROM $t VERSION AS OF 1").schema.fieldNames.toSeq ==
+      Seq("k", "status", "cents"))
+  }
+
   test("unknown procedure refuses with the available list") {
     val s2 = catSession()
     val e = intercept[Exception] {
