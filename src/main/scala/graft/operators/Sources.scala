@@ -2660,6 +2660,201 @@ object Sources {
         UNION ALL SELECT 'audit', 'v1_default_5', 1, 0)
       ORDER BY regime, status"""))
 
+  /** GRADED PARTITION OVERWRITE ([[org.apache.spark.sql.connector.write
+    * .SupportsOverwriteV2]] + [[org.apache.spark.sql.connector.write
+    * .SupportsDynamicOverwrite]], capabilities OVERWRITE_BY_FILTER /
+    * OVERWRITE_DYNAMIC, with [[graft.sources.MemTable]] now DECLARING its
+    * partitioning so the analyzer accepts `PARTITION (…)` specs) — the
+    * write matrix every partitioned corpus store runs on: STATIC
+    * `INSERT OVERWRITE … PARTITION (status = 'F')` deletes exactly the
+    * rows the spec names (arriving as a null-safe-equality predicate) and
+    * lands the arrivals — the targeted backfill; DYNAMIC overwrite
+    * (partitionOverwriteMode=dynamic) replaces exactly the partitions the
+    * arrivals TOUCH and leaves the rest — the idempotent daily re-run
+    * (Hive's insert-overwrite semantics, Delta's replaceWhere cousin).
+    * One partition rides each mode (F static +1, O dynamic +2) and one
+    * rides neither (P untouched — the leak detector: a full-table
+    * truncate masquerading as either mode would zero it); every commit is
+    * the same atomic publish, so time travel sees all three waves. */
+  val q302 = GraftQuery(
+    "q302_partition_overwrite",
+    "INSERT OVERWRITE: static PARTITION spec + dynamic partition overwrite, untouched partition audited",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.ovw_$tag"
+      s2.sql(s"""CREATE TABLE $tbl (okey BIGINT, cents BIGINT, status STRING)
+                 PARTITIONED BY (status)""")
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderstatus").as("status"))
+        .createOrReplaceTempView(s"ovw_src_$tag")
+      s2.sql(s"INSERT INTO $tbl SELECT okey, cents, status FROM ovw_src_$tag")
+      // STATIC: the PARTITION spec names the vacated rows; the select
+      // supplies only the data columns, the spec fills the partition value
+      s2.sql(s"""INSERT OVERWRITE $tbl PARTITION (status = 'F')
+                 SELECT okey, cents + 1 FROM ovw_src_$tag WHERE status = 'F'""")
+      // DYNAMIC: no spec — exactly the touched partitions (only 'O' here)
+      // are replaced, everything else survives
+      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      s2.sql(s"""INSERT OVERWRITE $tbl
+                 SELECT okey, cents + 2, status FROM ovw_src_$tag WHERE status = 'O'""")
+      s2.sql(
+        s"""SELECT status, count(*) AS n, sum(cents) AS total_cents,
+                   sum(okey) AS key_sum
+            FROM $tbl GROUP BY status ORDER BY status""")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT status, count(*) AS n,
+             CAST(sum(cents + CASE status WHEN 'F' THEN 1 WHEN 'O' THEN 2
+                              ELSE 0 END) AS BIGINT) AS total_cents,
+             CAST(sum(okey) AS BIGINT) AS key_sum
+      FROM t GROUP BY status ORDER BY status"""))
+
+  /** SORTED DATA LAYOUT ([[org.apache.spark.sql.connector.read
+    * .SupportsReportOrdering]] + a `sortedBy` table property) — the
+    * second half of the zero-shuffle story q192 started: SPJ deletes the
+    * EXCHANGES from a co-partitioned join, but Spark still has to SORT
+    * both sides for the merge — unless the data already lives sorted and
+    * the scan says so. Tables created with TBLPROPERTIES('sortedBy'=…)
+    * keep every partition's rows ordered by that column across all
+    * commit paths ([[graft.sources.MemTable.publish]] is the single
+    * choke point — the harness analog of sort-on-write data files,
+    * Iceberg's SORTED BY), and the scan reports the resulting
+    * (partition, sort) ordering. A merge join on exactly those keys then
+    * plans with NO exchange AND NO input sort on either side — the
+    * streaming-zipper plan, pinned by PlanSpec (the only Sort left is
+    * the final output ORDER BY). Both sides pre-aggregate to one row per
+    * (bucket, user) BEFORE the write, so the join consumes scan output
+    * directly — at 100 TB this is the nightly-join pattern where paying
+    * one sort at write time amortizes across every downstream join. */
+  val q303 = GraftQuery(
+    "q303_sorted_table_join",
+    "sortedBy tables + reported ordering: SPJ merge join with zero exchanges and zero input sorts",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      def sideTable(t: String, aggCols: Seq[org.apache.spark.sql.Column]): String = {
+        val tbl = s"graft_cat.spj.srt_${t}_$tag"
+        events(s2, dir).filter(col("event_type") === t)
+          .withColumn("bucket", expr("CAST(user_id % 4 AS STRING)"))
+          .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+          .groupBy("bucket", "user_id")
+          .agg(aggCols.head, aggCols.tail: _*)
+          .writeTo(tbl).tableProperty("sortedBy", "user_id")
+          .partitionedBy(col("bucket")).create()
+        tbl
+      }
+      val clicks = s2.table(sideTable("click",
+        Seq(count(lit(1)).as("n_clicks"))))
+      val purchases = s2.table(sideTable("purchase",
+        Seq(count(lit(1)).as("n_purchases"), sum("cents").as("purchase_cents"))))
+      clicks.hint("merge")
+        .join(purchases, Seq("bucket", "user_id"))
+        .select(col("user_id"), col("n_clicks"), col("n_purchases"),
+          col("purchase_cents"))
+        .orderBy("user_id")
+    },
+    // same logical result as q192, DELIBERATELY: the two entries differ
+    // in the physical contract under test (compute-side rollup + sorted
+    // merge vs sorted-layout scan with both sorts eliminated)
+    Some("""
+      WITH c AS (
+        SELECT user_id, count(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY user_id),
+      p AS (
+        SELECT user_id, count(*) AS n_purchases,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS purchase_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+      SELECT c.user_id, c.n_clicks, p.n_purchases, p.purchase_cents
+      FROM c JOIN p USING (user_id)
+      ORDER BY user_id"""))
+
+  /** CONNECTOR CUSTOM METRICS ([[org.apache.spark.sql.connector.metric
+    * .CustomMetric]]) — the V2 observability contract (Iceberg's
+    * scanned/skipped file counts, Kafka's lag): the scan declares
+    * `graft_rows_served` (task-side, polled row counts summed into SQL
+    * metrics) and `graft_planned_partitions` (driver-side, partitions
+    * surviving pruning); the write declares `graft_rows_written`. The
+    * entry executes a pruned probe (aggregate NOT pushable, so the scan
+    * actually serves rows), then reads the metrics off the executed
+    * BatchScanExec and fuses them into the hash: rows_served must equal
+    * the F-partition row count THE ORACLE COMPUTES INDEPENDENTLY, and
+    * planned_partitions must be exactly 1 — the observability a 100 TB
+    * operator uses to confirm pruning engaged, here made hash-falsifiable
+    * instead of eyeballed in a UI. */
+  val q304 = GraftQuery(
+    "q304_scan_metrics",
+    "connector custom metrics: rows-served and planned-partitions read from the executed scan, oracle-matched",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.met_$tag"
+      s2.sql(s"""CREATE TABLE $tbl (okey BIGINT, cents BIGINT, status STRING)
+                 PARTITIONED BY (status)""")
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderstatus").as("status"))
+        .createOrReplaceTempView(s"met_src_$tag")
+      s2.sql(s"INSERT INTO $tbl SELECT okey, cents, status FROM met_src_$tag")
+      // the probe: partition-pruned to 'F', aggregate NOT pushable
+      // (sum(okey + cents) is no plain-column aggregate), so the scan
+      // serves every F row and the task metric counts them
+      val probe = s2.sql(
+        s"SELECT sum(okey + cents) AS sig FROM $tbl WHERE status = 'F'")
+      probe.collect()
+      // AQE wraps the scan: unwrap adaptive nodes to their final plans
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+        p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan) // materialized stages hide their plan from children
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Seq(b)
+        }.flatten
+      val scan = scans(probe.queryExecution.executedPlan).head
+      val audit = Seq(
+        ("metric", "rows_served", scan.metrics("graft_rows_served").value),
+        ("metric", "planned_partitions",
+          scan.metrics("graft_planned_partitions").value))
+      import s2.implicits._
+      s2.sql(
+        s"""SELECT 'data' AS kind, status, count(*) AS n
+            FROM $tbl GROUP BY status""")
+        .unionByName(audit.toDF("kind", "status", "n"))
+        .orderBy("kind", "status")
+    },
+    Some("""
+      WITH t AS (SELECT o_orderstatus AS status FROM orders)
+      SELECT * FROM (
+        SELECT 'data' AS kind, status, count(*) AS n FROM t GROUP BY status
+        UNION ALL
+        SELECT 'metric', 'rows_served',
+               (SELECT count(*) FROM t WHERE status = 'F')
+        UNION ALL SELECT 'metric', 'planned_partitions', 1)
+      ORDER BY kind, status"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -2787,5 +2982,5 @@ object Sources {
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
     q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296,
-    q297, q298, q299, q300, q301)
+    q297, q298, q299, q300, q301, q302, q303, q304)
 }

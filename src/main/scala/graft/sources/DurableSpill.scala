@@ -22,7 +22,8 @@ private[sources] case class DurableManifest(
     declaredParts: Map[String, Map[String, String]],
     identityCol: Option[String] = None, // "col:start:step:allowExplicit"
     checkConstraints: Seq[Seq[String]] = Nil, // (name, predicate SQL) pairs
-    generatedCols: Seq[Seq[String]] = Nil) // (name, expression SQL) pairs
+    generatedCols: Seq[Seq[String]] = Nil, // (name, expression SQL) pairs
+    sortedBy: Option[String] = None)
 
 /** Per-version sidecar: the schema AT that snapshot (schema evolution
   * means versions differ) and the commit timestamp TIMESTAMP AS OF
@@ -145,7 +146,8 @@ private[sources] object DurableSpill {
       GraftSparkCatalog.checkConstraints.getOrElse(key, Nil)
         .map { case (n, sql) => Seq(n, sql) },
       GraftSparkCatalog.generatedCols.getOrElse(key, Nil)
-        .map { case (c, sql) => Seq(c, sql) })
+        .map { case (c, sql) => Seq(c, sql) },
+      GraftSparkCatalog.sortCols.get(key))
     val tmp = dir.resolve("_manifest.json.tmp")
     Files.write(tmp, org.json4s.jackson.Serialization.write(m)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -253,6 +255,7 @@ private[sources] object DurableSpill {
         if (m.generatedCols.nonEmpty)
           GraftSparkCatalog.generatedCols.put(key,
             m.generatedCols.collect { case Seq(c, sql) => (c, sql) })
+        m.sortedBy.foreach(GraftSparkCatalog.sortCols.put(key, _))
         // current LAST: store presence is the "loaded" latch, and the
         // direct put (not publish) must not restamp ts or respill
         MemTable.history.get((key, m.current))

@@ -280,6 +280,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           if (f.name == c) f.copy(nullable = false) else f))
       case None => schema
     }
+    // sorted data layout opt-in: every commit keeps partitions ordered by
+    // this column (MemTable.publish), and scans report the ordering
+    Option(properties.get("sortedBy")).filter(_.nonEmpty) match {
+      case Some(c) =>
+        require(schema.fieldNames.contains(c),
+          s"graft catalog: sortedBy '$c' not in schema")
+        GraftSparkCatalog.sortCols.put(k, c)
+      case None => GraftSparkCatalog.sortCols.remove(k)
+    }
     MemTable.publish(k, MemTable.Snapshot(stored, Map.empty, 0L))
     new MemTableImpl(stored, k, pc,
       GraftSparkCatalog.deltaIdCols.getOrElse(k, ""))
@@ -393,6 +402,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       GraftSparkCatalog.identityCols.remove(k)
       GraftSparkCatalog.checkConstraints.remove(k)
       GraftSparkCatalog.generatedCols.remove(k)
+      GraftSparkCatalog.sortCols.remove(k)
       MemTable.history.keys.filter(_._1 == k).toSeq.foreach(MemTable.history.remove)
       MemTable.declaredParts.keys.filter(_._1 == k).toSeq
         .foreach(MemTable.declaredParts.remove)
@@ -423,6 +433,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         .foreach(GraftSparkCatalog.checkConstraints.put(to, _))
       GraftSparkCatalog.generatedCols.remove(from)
         .foreach(GraftSparkCatalog.generatedCols.put(to, _))
+      GraftSparkCatalog.sortCols.remove(from)
+        .foreach(GraftSparkCatalog.sortCols.put(to, _))
       MemTable.history.keys.filter(_._1 == from).toSeq.foreach { case (_, v) =>
         MemTable.history.remove((from, v)).foreach(s => MemTable.history.put((to, v), s))
       }
@@ -468,8 +480,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         if (f.name == c) f.copy(nullable = false) else f))
       case None => schema
     }
+    val sortedBy = Option(properties.get("sortedBy")).filter(_.nonEmpty)
+    sortedBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"graft catalog: sortedBy '$c' not in schema"))
     new MemStagedTable(k, s"$k!staging!${System.nanoTime()}", stored, pc,
-      deltaIdCol.getOrElse(""))
+      deltaIdCol.getOrElse(""), sortedBy.getOrElse(""))
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
@@ -651,6 +666,12 @@ object GraftSparkCatalog {
     * ([[MemTable.fillGenerated]] via [[GeneratedColumnEval]]). */
   val generatedCols =
     new scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]
+
+  /** table key → declared sort column (TBLPROPERTIES('sortedBy'='…')):
+    * [[MemTable.publish]] keeps every partition's rows ordered by it on
+    * every commit path, and the scan reports the resulting (partition,
+    * sort) ordering through SupportsReportOrdering. */
+  val sortCols = new scala.collection.concurrent.TrieMap[String, String]
 
   /** (catalog, namespace path) → declared namespace properties. */
   val namespaces =

@@ -89,7 +89,29 @@ object MemTable {
     * `store.synchronized`. */
   def publish(runId: String, snap: Snapshot): Unit = {
     val prevTs = store.get(runId).map(_.tsMicros).getOrElse(0L)
-    val stamped = snap.copy(
+    // SORTED DATA LAYOUT: a table created with TBLPROPERTIES('sortedBy'=…)
+    // keeps every partition's rows ordered by that column across ALL
+    // commit paths (publish is the single choke point) — what makes the
+    // scan's SupportsReportOrdering report truthful, and the harness
+    // analog of sort-on-write data files (Iceberg SORTED BY / Hive
+    // SORTED BY buckets). Cost rides the commit, never the read.
+    val sorted = GraftSparkCatalog.sortCols.get(runId)
+      .flatMap(c => Option(snap.schema.fieldNames.indexOf(c)).filter(_ >= 0))
+      .map { idx =>
+        val ord = new Ordering[Array[Any]] {
+          def compare(a: Array[Any], b: Array[Any]): Int = (a(idx), b(idx)) match {
+            case (null, null)           => 0
+            case (null, _)              => -1
+            case (_, null)              => 1
+            case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+            case (x: String, y: String) => x.compareTo(y)
+            case other => sys.error(s"MemTable: unorderable sort key $other")
+          }
+        }
+        snap.copy(parts = snap.parts.map { case (k, rs) => k -> rs.sorted(ord) })
+      }
+      .getOrElse(snap)
+    val stamped = sorted.copy(
       tsMicros = math.max(System.currentTimeMillis() * 1000L, prevTs + 1))
     store.put(runId, stamped)
     history.put((runId, stamped.version), stamped)
@@ -191,6 +213,7 @@ object MemTable {
     GraftSparkCatalog.identityCols.remove(runId)
     GraftSparkCatalog.checkConstraints.remove(runId)
     GraftSparkCatalog.generatedCols.remove(runId)
+    GraftSparkCatalog.sortCols.remove(runId)
   }
 
   /** Optimistic-concurrency rejection: the writer's base snapshot is no
@@ -293,6 +316,16 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
       case "AND" => for (l <- sub(0); r <- sub(1)) yield (row: Array[Any]) => l(row) && r(row)
       case "OR"  => for (l <- sub(0); r <- sub(1)) yield (row: Array[Any]) => l(row) || r(row)
       case "NOT" => sub(0).map(f => (row: Array[Any]) => !f(row))
+      // null-safe equality — how Spark spells a static PARTITION (p = 'x')
+      // spec when planning the overwrite's delete predicate
+      case "<=>" =>
+        (resolve(p.children()(0), sch), resolve(p.children()(1), sch)) match {
+          case (Some(Left(i)), Some(Right(v))) =>
+            Some((row: Array[Any]) =>
+              if (row(i) == null || v == null) row(i) == null && v == null
+              else cmp(row(i), v).contains(0))
+          case _ => None
+        }
       case op @ ("=" | "<>" | "!=" | "<" | "<=" | ">" | ">=") =>
         (resolve(p.children()(0), sch), resolve(p.children()(1), sch)) match {
           case (Some(Left(i)), Some(Right(v))) =>
@@ -390,7 +423,20 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
       // ALTER ADD COLUMNS before planning the row-level operation —
       // opt-in by capability (ResolveMergeIntoSchemaEvolution fires only
       // when the relation's table declares it)
-      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION,
+      // graded overwrite writes (the partitioned-pipeline write matrix):
+      // predicate overwrite (static INSERT OVERWRITE … PARTITION) and
+      // dynamic partition overwrite (replace exactly the touched
+      // partitions) — V2Writes plans them only when declared
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
+
+  /** Declared partitioning ([[Table.partitioning]]): what makes the
+    * analyzer accept `PARTITION (col = …)` specs on INSERT OVERWRITE and
+    * report the layout in DESCRIBE — identity over the single partition
+    * column, matching the scan's KeyGroupedPartitioning report. */
+  override def partitioning(): Array[Transform] =
+    if (partCol.isEmpty) Array.empty
+    else Array(Expressions.identity(partCol))
 
   /** V2 PARTITION MANAGEMENT ([[org.apache.spark.sql.connector.catalog
     * .SupportsAtomicPartitionManagement]]) — the reference's partition
@@ -537,17 +583,52 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
     // write-barrier integrity (q200): a declared primary key makes the
     // COMMIT validate uniqueness across all tasks' rows before publishing
     val pk = Option(info.options.get("primaryKey"))
-    // APPEND by default (SQL INSERT INTO / mode("append") accumulate);
-    // Spark calls truncate() for overwrite-shaped writes (mode
-    // "overwrite", INSERT OVERWRITE) and the commit then REPLACES the
-    // snapshot — the q189/q200 read-modify-write-replace loops ride that.
+    // APPEND by default (SQL INSERT INTO / mode("append") accumulate).
+    // Overwrite-shaped writes take THREE graded forms, the partitioned-
+    // pipeline write matrix: full truncate (mode "overwrite" on a source
+    // without filter support), PREDICATE overwrite (SupportsOverwriteV2 —
+    // `INSERT OVERWRITE … PARTITION (p = 'x')` deletes exactly the rows
+    // the static spec names, then lands the arrivals: the targeted
+    // backfill), and DYNAMIC partition overwrite (SupportsDynamicOverwrite
+    // — replace exactly the partitions the arrivals TOUCH, leave the rest:
+    // the idempotent daily re-run every partitioned corpus store needs).
     new WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        with org.apache.spark.sql.connector.write.SupportsOverwriteV2
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var truncated = false
+      private var overwriteFns
+          : Option[Array[Array[Any] => Boolean]] = None
+      private var dynamicOverwrite = false
       override def truncate(): WriteBuilder = { truncated = true; this }
+      override def canOverwrite(
+          predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean = {
+        val sch = schema()
+        predicates.forall(compile(_, sch).isDefined)
+      }
+      override def overwrite(
+          predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): WriteBuilder = {
+        val sch = schema()
+        val fns = predicates.flatMap(compile(_, sch))
+        require(fns.length == predicates.length,
+          s"MemTable '$runId': unsupported overwrite predicate")
+        overwriteFns = Some(fns)
+        this
+      }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamicOverwrite = true; this
+      }
       override def build(): Write = new Write {
+        // write-side custom metric (declared here, reported per task by
+        // the DataWriter): rows committed through this write
+        override def supportedCustomMetrics()
+            : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+          new org.apache.spark.sql.connector.metric.CustomSumMetric {
+            override def name(): String = "graft_rows_written"
+            override def description(): String = "rows buffered for the atomic commit"
+          })
         override def toBatch: BatchWrite =
-          new MemBatchWrite(runId, writeSchema, pc, expected, pk, truncated)
+          new MemBatchWrite(runId, writeSchema, pc, expected, pk, truncated,
+            overwriteFns, dynamicOverwrite)
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new MemStreamingWrite(runId, writeSchema, pc)
@@ -628,7 +709,9 @@ private[sources] case class MemPartMessage(parts: Map[String, Vector[Array[Any]]
 
 private[sources] class MemBatchWrite(runId: String, schema: StructType,
     partCol: String, expectedVersion: Option[Long] = None,
-    primaryKey: Option[String] = None, truncate: Boolean = false)
+    primaryKey: Option[String] = None, truncate: Boolean = false,
+    overwriteFns: Option[Array[Array[Any] => Boolean]] = None,
+    dynamicOverwrite: Boolean = false)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(schema, partCol)
@@ -654,9 +737,21 @@ private[sources] class MemBatchWrite(runId: String, schema: StructType,
           throw new MemTable.CommitConflictException(
             s"MemTable '$runId': base version $exp is stale (current $curVer)")
       }
-      val base =
-        if (truncate) Map.empty[String, Vector[Array[Any]]]
-        else cur.map(_.parts).getOrElse(Map.empty)
+      val base: Map[String, Vector[Array[Any]]] =
+        if (truncate) Map.empty
+        else if (dynamicOverwrite)
+          // replace exactly the partitions the arrivals touch
+          cur.map(_.parts).getOrElse(Map.empty) -- incoming.keys
+        else overwriteFns match {
+          case Some(fns) =>
+            // predicate overwrite: rows matching EVERY conjunct vacate
+            // (the static INSERT OVERWRITE … PARTITION spec), groups
+            // emptied by the cut drop like deleteWhere's
+            cur.map(_.parts).getOrElse(Map.empty)
+              .map { case (k, rs) => k -> rs.filterNot(r => fns.forall(_(r))) }
+              .filter(_._2.nonEmpty)
+          case None => cur.map(_.parts).getOrElse(Map.empty)
+        }
       val commitSchema = cur.map(_.schema).filter(_.nonEmpty).getOrElse(schema)
       val filled = MemTable.fillGenerated(runId, commitSchema,
         MemTable.fillIdentity(runId, commitSchema, base, incoming))
@@ -973,6 +1068,12 @@ private[sources] class MemWriterFactory(schema: StructType, partCol: String)
         val key = vals(partIdx).toString
         buf(key) = buf.getOrElse(key, Vector.empty) :+ vals
       }
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
+        new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+          override def name(): String = "graft_rows_written"
+          override def value(): Long = buf.valuesIterator.map(_.size.toLong).sum
+        })
       override def commit(): WriterCommitMessage = MemPartMessage(buf.toMap)
       override def abort(): Unit = buf.clear()
       override def close(): Unit = ()
@@ -1120,7 +1221,8 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     onPlan: Option[Set[String] => Unit] = None,
     maxVersionsPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   // narrowed further by runtime filter() calls — execution-time DPP
   private var keep: Option[Set[String]] = keep0
@@ -1206,6 +1308,62 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     else if (partCol.isEmpty) new UnknownPartitioning(planned.size)
     else new KeyGroupedPartitioning(
       Array(Expressions.identity(partCol)), planned.size)
+
+  /** Reported per-split ordering ([[org.apache.spark.sql.connector.read
+    * .SupportsReportOrdering]]) — the read-side contract that lets Spark
+    * DROP Sort operators it can prove redundant: every split of this scan
+    * serves exactly one partition value, so rows are trivially ordered by
+    * the partition column within each split. Combined with
+    * [[SupportsReportPartitioning]]'s KeyGroupedPartitioning, a
+    * storage-partitioned sort-merge join on the partition column plans
+    * with NO exchange AND NO sort on either side (q192 pins it) — at
+    * 100 TB that is the difference between a streaming zipper over
+    * pre-sorted manifests and re-sorting both inputs. Reported only when
+    * the grouping itself holds (same guard as outputPartitioning) and the
+    * partition column survives in the served schema. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (topN.isDefined || limit.isDefined || agg.isDefined || partCol.isEmpty ||
+        !readSchema().fieldNames.contains(partCol)) Array.empty
+    else {
+      // a declared sortedBy column extends the trivial per-split ordering
+      // (one partition value per split) into (partCol, sortCol) — enough
+      // for a sort-merge join on exactly those keys to drop BOTH sorts
+      val sorted = GraftSparkCatalog.sortCols.get(runId)
+        .filter(readSchema().fieldNames.contains)
+        .map(c => Expressions.sort(Expressions.identity(c),
+          SortDirection.ASCENDING))
+      Array(Expressions.sort(Expressions.identity(partCol),
+        SortDirection.ASCENDING)) ++ sorted
+    }
+
+  /** CONNECTOR CUSTOM METRICS ([[org.apache.spark.sql.connector.metric
+    * .CustomMetric]]) — the observability contract production connectors
+    * ship (Iceberg's scanned-files/skipped-files, Kafka's offsets
+    * lag): the scan DECLARES its metrics here, task readers report
+    * per-task values (polled by Spark's DataSourceRDD and summed into
+    * SQL metrics), and planning-time facts post as driver metrics.
+    * `graft_rows_served` counts rows actually emitted post-pushdown;
+    * `graft_planned_partitions` records how many partition groups
+    * survived pruning — the number an operator watches to confirm
+    * partition pruning engaged at 100 TB (q304 hash-audits both). */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+    new org.apache.spark.sql.connector.metric.CustomSumMetric {
+      override def name(): String = "graft_rows_served"
+      override def description(): String = "rows served by the scan (post-pushdown)"
+    },
+    new org.apache.spark.sql.connector.metric.CustomSumMetric {
+      override def name(): String = "graft_planned_partitions"
+      override def description(): String = "partition groups planned after pruning"
+    })
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
+    new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = "graft_planned_partitions"
+      override def value(): Long = planned.size.toLong
+    })
 
   /** EXACT post-pushdown statistics ([[SupportsReportStatistics]]): row
     * count and bytes for what this scan will actually emit (after
@@ -1333,7 +1491,8 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
   * version still serves the old rows — the Delta REPLACE semantics,
   * composing with q281/q289 time travel. */
 private[sources] class MemStagedTable(realKey: String, stagingKey: String,
-    schema0: StructType, pc: String, deltaIdCol: String = "")
+    schema0: StructType, pc: String, deltaIdCol: String = "",
+    sortedBy: String = "")
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with SupportsWrite {
   private val delegate = new MemTableImpl(schema0, stagingKey, pc)
@@ -1352,6 +1511,8 @@ private[sources] class MemStagedTable(realKey: String, stagingKey: String,
     GraftSparkCatalog.partCols.put(realKey, pc)
     if (deltaIdCol.nonEmpty)
       GraftSparkCatalog.deltaIdCols.put(realKey, deltaIdCol)
+    if (sortedBy.nonEmpty)
+      GraftSparkCatalog.sortCols.put(realKey, sortedBy)
     // a staged CREATE records the table birth the way the non-staged
     // two-step path does (createTable's empty v0, then the data commit):
     // the history ledger stays uniform across both creation paths (q290)
@@ -1564,6 +1725,14 @@ private[sources] class MemReaderFactory(columnar: Boolean = false)
     val (rows, colIdx, colTypes, version) = extract(partition)
     new PartitionReader[InternalRow] {
       private var i = -1
+      // task-side half of the custom-metric contract: Spark polls this
+      // as rows flow and folds the values into the scan's SQL metrics
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
+        new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+          override def name(): String = "graft_rows_served"
+          override def value(): Long = math.min(i + 1, rows.length).toLong
+        })
       override def next(): Boolean = { i += 1; i < rows.length }
       override def get(): InternalRow = {
         val (key, src) = rows(i)

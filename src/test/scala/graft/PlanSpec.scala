@@ -1321,6 +1321,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"$hashEx hash exchanges — storage-partitioned join did not engage\n$p")
   }
 
+  test("q303: sorted-layout SPJ — zero exchanges AND zero input sorts (only the output ORDER BY sorts)") {
+    val p = plan(operators.Sources.q303.build(spark, sfDir))
+    assert(p.contains("SortMergeJoin"), s"expected the SPJ merge join\n$p")
+    val hashEx = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(hashEx == 0,
+      s"$hashEx hash exchanges — storage-partitioned join did not engage\n$p")
+    // reported (bucket, user_id) ordering must satisfy the merge join:
+    // the ONLY Sort left is the final output ORDER BY user_id
+    val sorts = p.linesIterator.count(_.trim.matches("""\(\d+\) Sort"""))
+    assert(sorts == 1,
+      s"$sorts Sort nodes — the sorted-layout report did not eliminate the join's input sorts\n$p")
+  }
+
   test("q195: the MV rewrite fires — the plan reads the summary spool, never orders.parquet") {
     val p = plan(operators.Warehouse.q195.build(spark, sfDir))
     val factScans = p.linesIterator.count(l =>
