@@ -2855,6 +2855,85 @@ object Sources {
         UNION ALL SELECT 'metric', 'planned_partitions', 1)
       ORDER BY kind, status"""))
 
+  /** DSv2 JOIN PUSHDOWN ([[org.apache.spark.sql.connector.read
+    * .SupportsPushDownJoin]], conf spark.sql.optimizer
+    * .datasourceV2JoinPushdown — the deepest read contract in the V2
+    * matrix, shipped for JDBC-class sources): when both sides of an
+    * equi-join scan THIS source, the join itself moves into the
+    * connector and Spark plans ONE BatchScan serving joined rows — the
+    * remote-join posture where the source owns the join and the engine
+    * never shuffles two inputs. Two measured preconditions are part of
+    * the contract this entry documents: the rule requires every filter
+    * FULLY pushed (equi-joins carry inferred IsNotNull filters → the
+    * tables opt into extended v1-filter pushdown), and only INNER
+    * equi-joins translate (everything else refuses and Spark joins
+    * normally — LakehouseDdlSpec pins the LEFT JOIN fallback). The
+    * entry runs a THREE-way join (the second push composes onto the
+    * already-joined builder) plus a WHERE, audits `single_scan` by
+    * counting BatchScans in the executed plan, and hash-matches the
+    * rollup against DuckDB recomputing the joins independently. */
+  val q305 = GraftQuery(
+    "q305_join_pushdown",
+    "DSv2 join pushdown: 3-way equi-join + filter served by ONE scan, audited and oracle-matched",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      s2.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val (ta, tb, tc) = (s"graft_cat.corpus.jpa_$tag",
+        s"graft_cat.corpus.jpb_$tag", s"graft_cat.corpus.jpc_$tag")
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderpriority").as("prio"))
+        .createOrReplaceTempView(s"jp_src_$tag")
+      s2.sql(s"""CREATE TABLE $ta (okey BIGINT, status STRING, cents BIGINT)
+                 PARTITIONED BY (status) TBLPROPERTIES ('extendedPushdown'='true')""")
+      s2.sql(s"""CREATE TABLE $tb (okey BIGINT, status STRING, prio STRING)
+                 PARTITIONED BY (status) TBLPROPERTIES ('extendedPushdown'='true')""")
+      s2.sql(s"""CREATE TABLE $tc (prio STRING, status STRING, prank BIGINT)
+                 PARTITIONED BY (status) TBLPROPERTIES ('extendedPushdown'='true')""")
+      s2.sql(s"INSERT INTO $ta SELECT okey, status, cents FROM jp_src_$tag")
+      s2.sql(s"INSERT INTO $tb SELECT okey, status, prio FROM jp_src_$tag")
+      s2.sql(s"""INSERT INTO $tc SELECT DISTINCT prio, 'X',
+                   CAST(substring(prio, 1, 1) AS BIGINT) FROM jp_src_$tag""")
+      val probe = s2.sql(
+        s"""SELECT b.prio, count(*) AS n, sum(a.cents) AS total_cents,
+                   max(c.prank) AS max_rank
+            FROM $ta a JOIN $tb b ON a.okey = b.okey
+                       JOIN $tc c ON b.prio = c.prio
+            WHERE a.cents >= 10000000
+            GROUP BY b.prio""")
+      val rows = probe.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan)
+          case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => 1
+        }.sum
+      val nScans = scans(probe.queryExecution.executedPlan).toLong
+      import s2.implicits._
+      (rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))) :+
+        (("audit:n_scans", nScans, 0L, 0L)))
+        .toDF("prio", "n", "total_cents", "max_rank")
+        .orderBy("prio")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderstatus AS status, o_orderpriority AS prio,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT * FROM (
+        SELECT prio, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(substring(prio, 1, 1) AS BIGINT) AS max_rank
+        FROM t WHERE cents >= 10000000 GROUP BY prio
+        UNION ALL SELECT 'audit:n_scans', 1, 0, 0)
+      ORDER BY prio"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -2982,5 +3061,5 @@ object Sources {
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
     q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296,
-    q297, q298, q299, q300, q301, q302, q303, q304)
+    q297, q298, q299, q300, q301, q302, q303, q304, q305)
 }

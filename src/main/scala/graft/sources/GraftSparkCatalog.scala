@@ -289,6 +289,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         GraftSparkCatalog.sortCols.put(k, c)
       case None => GraftSparkCatalog.sortCols.remove(k)
     }
+    if (Option(properties.get("extendedPushdown")).exists(_.equalsIgnoreCase("true")))
+      GraftSparkCatalog.extendedPushdown.put(k, true)
+    else GraftSparkCatalog.extendedPushdown.remove(k)
     MemTable.publish(k, MemTable.Snapshot(stored, Map.empty, 0L))
     new MemTableImpl(stored, k, pc,
       GraftSparkCatalog.deltaIdCols.getOrElse(k, ""))
@@ -403,6 +406,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       GraftSparkCatalog.checkConstraints.remove(k)
       GraftSparkCatalog.generatedCols.remove(k)
       GraftSparkCatalog.sortCols.remove(k)
+      GraftSparkCatalog.extendedPushdown.remove(k)
       MemTable.history.keys.filter(_._1 == k).toSeq.foreach(MemTable.history.remove)
       MemTable.declaredParts.keys.filter(_._1 == k).toSeq
         .foreach(MemTable.declaredParts.remove)
@@ -435,6 +439,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         .foreach(GraftSparkCatalog.generatedCols.put(to, _))
       GraftSparkCatalog.sortCols.remove(from)
         .foreach(GraftSparkCatalog.sortCols.put(to, _))
+      GraftSparkCatalog.extendedPushdown.remove(from)
+        .foreach(GraftSparkCatalog.extendedPushdown.put(to, _))
       MemTable.history.keys.filter(_._1 == from).toSeq.foreach { case (_, v) =>
         MemTable.history.remove((from, v)).foreach(s => MemTable.history.put((to, v), s))
       }
@@ -666,6 +672,13 @@ object GraftSparkCatalog {
     * ([[MemTable.fillGenerated]] via [[GeneratedColumnEval]]). */
   val generatedCols =
     new scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]
+
+  /** table key → extended filter pushdown opt-in
+    * (TBLPROPERTIES('extendedPushdown'='true')): the scan accepts and
+    * enforces ALL compilable v1 filters source-side (the JDBC posture),
+    * which is also the precondition for DSv2 join pushdown (equi-joins
+    * carry inferred IsNotNull filters the rule requires fully pushed). */
+  val extendedPushdown = new scala.collection.concurrent.TrieMap[String, Boolean]
 
   /** table key → declared sort column (TBLPROPERTIES('sortedBy'='…')):
     * [[MemTable.publish]] keeps every partition's rows ordered by it on

@@ -214,6 +214,7 @@ object MemTable {
     GraftSparkCatalog.checkConstraints.remove(runId)
     GraftSparkCatalog.generatedCols.remove(runId)
     GraftSparkCatalog.sortCols.remove(runId)
+    GraftSparkCatalog.extendedPushdown.remove(runId)
   }
 
   /** Optimistic-concurrency rejection: the writer's base snapshot is no
@@ -1088,10 +1089,16 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownJoin {
 
-  private val snap = MemTable.store.getOrElse(runId,
+  import org.apache.spark.sql.connector.read.SupportsPushDownJoin
+
+  // joined scans serve a SYNTHETIC snapshot (the join result) — snap and
+  // the effective partition column are vars for exactly that transition
+  private var snap = MemTable.store.getOrElse(runId,
     MemTable.Snapshot(new StructType(), Map.empty))
+  private var effPartCol = partCol
   private var keep: Option[Set[String]] = None // None = all partitions
   private var pushed = Array.empty[Filter]
   private var required: StructType = snap.schema
@@ -1100,6 +1107,122 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
   private var limit: Option[Int] = None
   // (grouped by partCol?, (op, full-schema column index) per aggregate)
   private var aggSpec: Option[(Boolean, Seq[(String, Int)])] = None
+  /** EXTENDED v1-filter acceptance (TBLPROPERTIES('extendedPushdown')):
+    * accepted non-partition filters, enforced row-by-row at plan time. */
+  private var rowFns = Vector.empty[Array[Any] => Boolean]
+
+  /** DSv2 JOIN PUSHDOWN ([[SupportsPushDownJoin]], gated by
+    * spark.sql.optimizer.datasourceV2JoinPushdown) — the deepest read
+    * contract in the V2 matrix: when BOTH sides of an equi-join are
+    * scans of THIS source, the join itself moves into the connector and
+    * Spark plans ONE scan serving joined rows — the JDBC-style remote
+    * join, where the source owns the join and the engine never sees two
+    * inputs. Preconditions measured on this Spark: the rule fires only
+    * when NO residual Filter sits above either holder, and equi-joins
+    * always carry inferred IsNotNull filters — so join pushdown is only
+    * reachable for tables that opted into extended filter pushdown
+    * (which accepts and enforces them source-side). INNER equi-joins
+    * only; anything else refuses and Spark joins normally. On success
+    * this builder's snapshot is REPLACED by the joined result (hash join
+    * over both sides' post-filter rows) and every later pushdown
+    * (pruning, limit, aggregates) operates on the join output. */
+  override def isOtherSideCompatibleForJoin(other: SupportsPushDownJoin): Boolean =
+    other.isInstanceOf[MemScanBuilder]
+
+  override def pushDownJoin(other: SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftReq: Array[SupportsPushDownJoin.ColumnWithAlias],
+      rightReq: Array[SupportsPushDownJoin.ColumnWithAlias],
+      cond: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean = {
+    if (joinType != org.apache.spark.sql.connector.join.JoinType.INNER_JOIN)
+      return false
+    if (!other.isInstanceOf[MemScanBuilder]) return false
+    val that = other.asInstanceOf[MemScanBuilder]
+    val (lSchema, rSchema) = (snap.schema, that.snap.schema)
+    def effName(c: SupportsPushDownJoin.ColumnWithAlias): String =
+      Option(c.alias).getOrElse(c.colName)
+    if (leftReq.exists(c => lSchema.fieldNames.indexOf(c.colName) < 0) ||
+        rightReq.exists(c => rSchema.fieldNames.indexOf(c.colName) < 0))
+      return false
+    // resolve a condition reference: effective (aliased) names first,
+    // original side-schema names as fallback — (isLeft, side ordinal)
+    def resolveRef(name: String): Option[(Boolean, Int)] = {
+      val le = leftReq.indexWhere(c => effName(c) == name)
+      if (le >= 0) return Some((true, lSchema.fieldNames.indexOf(leftReq(le).colName)))
+      val re = rightReq.indexWhere(c => effName(c) == name)
+      if (re >= 0) return Some((false, rSchema.fieldNames.indexOf(rightReq(re).colName)))
+      val lo = lSchema.fieldNames.indexOf(name)
+      val ro = rSchema.fieldNames.indexOf(name)
+      (lo >= 0, ro >= 0) match {
+        case (true, false) => Some((true, lo))
+        case (false, true) => Some((false, ro))
+        case _             => None // absent or ambiguous
+      }
+    }
+    // equi-conjunction extraction: AND-tree of `=` between one column of
+    // each side; anything else refuses the pushdown
+    def equiPairs(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+        : Option[Seq[(Int, Int)]] = p.name() match {
+      case "AND" =>
+        val cs = p.children().collect {
+          case q: org.apache.spark.sql.connector.expressions.filter.Predicate => q
+        }
+        if (cs.length != p.children().length) None
+        else cs.foldLeft(Option(Seq.empty[(Int, Int)])) { (acc, c) =>
+          for (a <- acc; e <- equiPairs(c)) yield a ++ e
+        }
+      case "=" =>
+        (p.children()(0), p.children()(1)) match {
+          case (a: NamedReference, b: NamedReference)
+              if a.fieldNames().length == 1 && b.fieldNames().length == 1 =>
+            (resolveRef(a.fieldNames()(0)), resolveRef(b.fieldNames()(0))) match {
+              case (Some((true, li)), Some((false, ri))) => Some(Seq((li, ri)))
+              case (Some((false, ri)), Some((true, li))) => Some(Seq((li, ri)))
+              case _                                     => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+    equiPairs(cond) match {
+      case Some(pairs) if pairs.nonEmpty =>
+        val lIdx = leftReq.map(c => lSchema.fieldNames.indexOf(c.colName))
+        val rIdx = rightReq.map(c => rSchema.fieldNames.indexOf(c.colName))
+        val outSchema = StructType(
+          leftReq.zip(lIdx).map { case (c, i) =>
+            lSchema.fields(i).copy(name = effName(c)) } ++
+          rightReq.zip(rIdx).map { case (c, i) =>
+            rSchema.fields(i).copy(name = effName(c)) })
+        // hash join over both sides' post-filter rows (driver-side: the
+        // snapshots are driver-resident by construction of this harness;
+        // a remote source would compose its own join query instead)
+        def key(row: Array[Any], idxs: Seq[Int]): Seq[Any] = idxs.map(row(_))
+        val rightByKey = that.currentRows
+          .filter(r => pairs.forall { case (_, ri) => r(ri) != null })
+          .groupBy(r => key(r, pairs.map(_._2)))
+        val joined = currentRows.iterator.flatMap { lr =>
+          if (pairs.exists { case (li, _) => lr(li) == null }) Iterator.empty
+          else rightByKey.getOrElse(key(lr, pairs.map(_._1)), Vector.empty)
+            .iterator.map(rr =>
+              (lIdx.map(lr(_)) ++ rIdx.map(rr(_))).toArray[Any])
+        }.toVector
+        snap = MemTable.Snapshot(outSchema, Map("" -> joined), snap.version)
+        effPartCol = ""
+        required = outSchema
+        keep = None
+        rowFns = Vector.empty
+        true
+      case _ => false
+    }
+  }
+
+  /** This side's rows after every accepted filter — what a pushed-down
+    * join consumes from each input. */
+  private def currentRows: Vector[Array[Any]] =
+    snap.parts.toSeq.sortBy(_._1)
+      .filter { case (k, _) => keep.forall(_.contains(k)) }
+      .iterator.flatMap(_._2).toVector
+      .filter(r => rowFns.forall(_(r)))
 
   /** AGGREGATE pushdown ([[SupportsPushDownAggregates]]) — the read
     * contract that turns a metadata question into a metadata answer: a
@@ -1116,8 +1239,8 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
     val grouped = agg.groupByExpressions() match {
       case Array() => Some(false)
       case Array(nr: NamedReference)
-          if nr.fieldNames().length == 1 && nr.fieldNames()(0) == partCol
-            && partCol.nonEmpty => Some(true)
+          if nr.fieldNames().length == 1 && nr.fieldNames()(0) == effPartCol
+            && effPartCol.nonEmpty => Some(true)
       case _ => None
     }
     def longCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
@@ -1176,13 +1299,63 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
   }
   override def isPartiallyPushed(): Boolean = false // fully ordered + cut
 
+  /** EXTENDED v1-filter compilation, enabled per table via
+    * TBLPROPERTIES('extendedPushdown'='true'): the posture of a source
+    * that fully owns filtering (JDBC pushes everything it can express).
+    * Deliberately opt-in — the default tables keep the partition-only
+    * acceptance so the engine-side Filter plans stay pinned — and
+    * REQUIRED for join pushdown: equi-joins always carry inferred
+    * IsNotNull filters, and the join rule only fires when no residual
+    * Filter remains above the scan. */
+  private def compileV1(f: Filter): Option[Array[Any] => Boolean] = {
+    val sch = snap.schema
+    def idx(c: String): Option[Int] =
+      Option(sch.fieldNames.indexOf(c)).filter(_ >= 0)
+    def cmpv(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
+      case (x: Long, y: Int)      => Some(java.lang.Long.compare(x, y.toLong))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _                      => None
+    }
+    f match {
+      case org.apache.spark.sql.sources.IsNotNull(c) =>
+        idx(c).map(i => (row: Array[Any]) => row(i) != null)
+      case org.apache.spark.sql.sources.IsNull(c) =>
+        idx(c).map(i => (row: Array[Any]) => row(i) == null)
+      case EqualTo(c, v) =>
+        idx(c).map(i => (row: Array[Any]) => cmpv(row(i), v).contains(0))
+      case org.apache.spark.sql.sources.GreaterThan(c, v) =>
+        idx(c).map(i => (row: Array[Any]) => cmpv(row(i), v).exists(_ > 0))
+      case org.apache.spark.sql.sources.GreaterThanOrEqual(c, v) =>
+        idx(c).map(i => (row: Array[Any]) => cmpv(row(i), v).exists(_ >= 0))
+      case org.apache.spark.sql.sources.LessThan(c, v) =>
+        idx(c).map(i => (row: Array[Any]) => cmpv(row(i), v).exists(_ < 0))
+      case org.apache.spark.sql.sources.LessThanOrEqual(c, v) =>
+        idx(c).map(i => (row: Array[Any]) => cmpv(row(i), v).exists(_ <= 0))
+      case In(c, vs) =>
+        idx(c).map(i => (row: Array[Any]) => vs.exists(v => cmpv(row(i), v).contains(0)))
+      case org.apache.spark.sql.sources.And(l, r) =>
+        for (lf <- compileV1(l); rf <- compileV1(r))
+          yield (row: Array[Any]) => lf(row) && rf(row)
+      case org.apache.spark.sql.sources.Or(l, r) =>
+        for (lf <- compileV1(l); rf <- compileV1(r))
+          yield (row: Array[Any]) => lf(row) || rf(row)
+      case org.apache.spark.sql.sources.Not(c) =>
+        compileV1(c).map(cf => (row: Array[Any]) => !cf(row))
+      case _ => None
+    }
+  }
+
+  private def extendedPushdown: Boolean =
+    GraftSparkCatalog.extendedPushdown.getOrElse(runId, false)
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition {
-      case EqualTo(c, _: String) if c == partCol => true
-      case In(c, vs) if c == partCol && vs.forall(_.isInstanceOf[String]) => true
+    val (partAccepted, rest) = filters.partition {
+      case EqualTo(c, _: String) if c == effPartCol => true
+      case In(c, vs) if c == effPartCol && vs.forall(_.isInstanceOf[String]) => true
       case _ => false
     }
-    accepted.foreach {
+    partAccepted.foreach {
       case EqualTo(_, v: String) =>
         keep = Some(keep.getOrElse(snap.parts.keySet.toSet).intersect(Set(v)))
       case In(_, vs) =>
@@ -1190,8 +1363,12 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
           .intersect(vs.map(_.asInstanceOf[String]).toSet))
       case _ =>
     }
-    pushed = accepted
-    rejected // accepted filters are enforced exactly by partition selection
+    val (rowAccepted, rejected) =
+      if (!extendedPushdown) (Array.empty[Filter], rest)
+      else rest.partition(compileV1(_).isDefined)
+    rowFns ++= rowAccepted.flatMap(compileV1)
+    pushed = partAccepted ++ rowAccepted
+    rejected // accepted filters are enforced exactly source-side
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -1199,8 +1376,8 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
     required = requiredSchema
 
   override def build(): Scan =
-    new MemScan(snap, keep, required, partCol, topN, limit, aggSpec, runId,
-      columnar, onPlan, maxVersionsPerTrigger)
+    new MemScan(snap, keep, required, effPartCol, topN, limit, aggSpec, runId,
+      columnar, onPlan, maxVersionsPerTrigger, rowFns)
 }
 
 private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
@@ -1219,7 +1396,8 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     agg: Option[(Boolean, Seq[(String, Int)])] = None, runId: String = "",
     columnar: Boolean = false,
     onPlan: Option[Set[String] => Unit] = None,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    rowFns: Vector[Array[Any] => Boolean] = Vector.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1392,6 +1570,10 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
   private def planned: Seq[(String, Vector[Array[Any]])] =
     snap.parts.toSeq.sortBy(_._1)
       .filter { case (k, _) => keep.forall(_.contains(k)) }
+      .map { case (k, rs) =>
+        // extended-pushdown row filters are enforced source-side, exactly
+        k -> (if (rowFns.isEmpty) rs else rs.filter(r => rowFns.forall(_(r))))
+      }
 
   /** Rows after every pushed clause, each tagged with its partition key
     * (metadata-column provenance survives the cut). Top-N sorts the

@@ -255,6 +255,32 @@ class LakehouseDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("k", "status", "cents"))
   }
 
+  test("DSv2 join pushdown: inner equi-join collapses to one scan; LEFT JOIN falls back") {
+    val s2 = catSession()
+    s2.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    val (na, nb) = (freshName("jpl"), freshName("jpr"))
+    s2.sql(s"""CREATE TABLE graft_ddl.ns.$na (k BIGINT, status STRING, cents BIGINT)
+               PARTITIONED BY (status) TBLPROPERTIES ('extendedPushdown'='true')""")
+    s2.sql(s"""CREATE TABLE graft_ddl.ns.$nb (k BIGINT, status STRING, bonus BIGINT)
+               PARTITIONED BY (status) TBLPROPERTIES ('extendedPushdown'='true')""")
+    s2.sql(s"INSERT INTO graft_ddl.ns.$na VALUES (1,'A',100), (2,'B',200)")
+    s2.sql(s"INSERT INTO graft_ddl.ns.$nb VALUES (1,'A',10), (3,'B',30), (1,'B',40)")
+    val inner = s2.sql(s"""SELECT a.cents, b.bonus FROM graft_ddl.ns.$na a
+                           JOIN graft_ddl.ns.$nb b ON a.k = b.k""")
+    val innerRows = inner.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(innerRows == Set((100L, 10L), (100L, 40L)))
+    val innerPlan = inner.queryExecution.executedPlan.toString
+    assert(innerPlan.linesIterator.count(_.contains("BatchScan")) == 1,
+      s"inner equi-join should be served by ONE pushed-down scan\n$innerPlan")
+    // non-inner joins refuse the pushdown and Spark joins normally
+    val left = s2.sql(s"""SELECT a.k, b.bonus FROM graft_ddl.ns.$na a
+                          LEFT JOIN graft_ddl.ns.$nb b ON a.k = b.k""")
+    assert(left.count() == 3) // k=1 matches twice, k=2 null-extends
+    assert(left.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("BatchScan")) > 1,
+      "LEFT JOIN must fall back to a Spark-side join")
+  }
+
   test("unknown procedure refuses with the available list") {
     val s2 = catSession()
     val e = intercept[Exception] {
