@@ -2934,6 +2934,56 @@ object Sources {
         UNION ALL SELECT 'audit:n_scans', 1, 0, 0)
       ORDER BY prio"""))
 
+  /** OFFSET pushdown ([[org.apache.spark.sql.connector.read
+    * .SupportsPushDownOffset]]) — full source-side PAGINATION, completing
+    * the top-N story (q212/list_runs): `ORDER BY … LIMIT n OFFSET m`
+    * pushes the sort (top-N with n+m rows), the offset skip, and the cut
+    * into the scan — Spark plans NO sort, NO limit, NO offset of its own,
+    * so page 1000 costs the same scan as page 1 (the contract behind the
+    * reference's early-terminating pagination, gluettalax.py:320-323,
+    * now at all three clauses). The hash pins the exact page CONTENT
+    * (deterministic: okey is unique) and an audit asserts the offset
+    * really landed in the scan (`pushedOffset` in the formatted plan) —
+    * row-identical pages with a silently unpushed offset would otherwise
+    * pass. */
+  val q306 = GraftQuery(
+    "q306_offset_pagination",
+    "ORDER BY + LIMIT + OFFSET all pushed: exact page served source-side, pushdown audited",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.pag_$tag"
+      s2.sql(s"""CREATE TABLE $tbl (okey BIGINT, cents BIGINT, status STRING)
+                 PARTITIONED BY (status)""")
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderstatus").as("status"))
+        .createOrReplaceTempView(s"pag_src_$tag")
+      s2.sql(s"INSERT INTO $tbl SELECT okey, cents, status FROM pag_src_$tag")
+      val page = s2.sql(
+        s"""SELECT okey, cents FROM $tbl
+            ORDER BY okey LIMIT 50 OFFSET 100""")
+      val pushed = page.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .contains("pushedOffset=100")
+      import s2.implicits._
+      page.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+        .:+((-1L, if (pushed) 1L else 0L))
+        .toDF("okey", "cents")
+        .orderBy("okey")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT o_orderkey AS okey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100)
+      UNION ALL SELECT -1, 1
+      ORDER BY okey"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -3061,5 +3111,5 @@ object Sources {
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
     q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296,
-    q297, q298, q299, q300, q301, q302, q303, q304, q305)
+    q297, q298, q299, q300, q301, q302, q303, q304, q305, q306)
 }

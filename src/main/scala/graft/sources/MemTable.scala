@@ -1090,6 +1090,7 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownOffset
     with org.apache.spark.sql.connector.read.SupportsPushDownJoin {
 
   import org.apache.spark.sql.connector.read.SupportsPushDownJoin
@@ -1277,6 +1278,17 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
   override def pushLimit(n: Int): Boolean =
     if (aggSpec.isDefined) false else { limit = Some(n); true }
 
+  /** OFFSET pushdown ([[org.apache.spark.sql.connector.read
+    * .SupportsPushDownOffset]]) — the other half of pagination: `LIMIT n
+    * OFFSET m` serves rows [m, m+n) source-side, so page 1000 of a
+    * result costs the same scan as page 1 (the reference's list_runs
+    * pagination, gluettalax.py:320-323, at full fidelity: limit + offset
+    * + order all pushed). Spark pushes the offset AFTER a top-N/limit;
+    * the scan applies it to the already-ordered-and-cut slice. */
+  private var offset: Option[Int] = None
+  override def pushOffset(n: Int): Boolean =
+    if (aggSpec.isDefined) false else { offset = Some(n); true }
+
   /** ORDER BY + LIMIT pushdown ([[SupportsPushDownTopN]]): a connector
     * backed by a sorted index serves top-k without Spark sorting anything
     * — the reference's `list_runs` early-terminating pagination
@@ -1377,7 +1389,7 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
 
   override def build(): Scan =
     new MemScan(snap, keep, required, effPartCol, topN, limit, aggSpec, runId,
-      columnar, onPlan, maxVersionsPerTrigger, rowFns)
+      columnar, onPlan, maxVersionsPerTrigger, rowFns, offset)
 }
 
 private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
@@ -1397,7 +1409,8 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     columnar: Boolean = false,
     onPlan: Option[Set[String] => Unit] = None,
     maxVersionsPerTrigger: Option[Long] = None,
-    rowFns: Vector[Array[Any] => Boolean] = Vector.empty)
+    rowFns: Vector[Array[Any] => Boolean] = Vector.empty,
+    offset: Option[Int] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1482,7 +1495,8 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     * pushed top-N/limit collapses the scan to one slice, so grouping no
     * longer holds — report Unknown(1). */
   override def outputPartitioning(): Partitioning =
-    if (topN.isDefined || limit.isDefined || agg.isDefined) new UnknownPartitioning(1)
+    if (topN.isDefined || limit.isDefined || offset.isDefined || agg.isDefined)
+      new UnknownPartitioning(1)
     else if (partCol.isEmpty) new UnknownPartitioning(planned.size)
     else new KeyGroupedPartitioning(
       Array(Expressions.identity(partCol)), planned.size)
@@ -1582,7 +1596,7 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
   private def servedKeyedRows: Vector[(String, Array[Any])] = {
     val base = planned.iterator
       .flatMap { case (k, rs) => rs.iterator.map((k, _)) }.toVector
-    topN match {
+    val cut = topN match {
       case Some((keys, n)) =>
         val ord = new Ordering[(String, Array[Any])] {
           def compare(ka: (String, Array[Any]), kb: (String, Array[Any])): Int = {
@@ -1601,6 +1615,9 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
         base.sorted(ord).take(n)
       case None => limit.fold(base)(base.take)
     }
+    // pushed OFFSET applies to the ordered-and-cut slice (pagination:
+    // Spark pushes top-N with limit+offset rows, then the offset skip)
+    offset.fold(cut)(cut.drop)
   }
 
   private def servedRows: Vector[Array[Any]] = servedKeyedRows.map(_._2)
@@ -1630,7 +1647,7 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
         case n                 => snap.schema.fieldNames.indexOf(n)
       }
       val types = required.fields.map(_.dataType.typeName)
-      if (topN.isDefined || limit.isDefined)
+      if (topN.isDefined || limit.isDefined || offset.isDefined)
         // ordered slice: one split (the cut result is tiny by construction)
         Array(MemSlicePart(servedKeyedRows, idx, types, snap.version))
       else
@@ -1656,6 +1673,7 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
       topN.map { case (ks, n) => s", pushedTopN=${ks.map { case (i, a) =>
         snap.schema.fieldNames(i) + (if (a) " ASC" else " DESC") }.mkString("[", ",", "]")} LIMIT $n" }.getOrElse("") +
       limit.map(n => s", pushedLimit=$n").getOrElse("") +
+      offset.map(n => s", pushedOffset=$n").getOrElse("") +
       agg.map { case (g, fs) => s", pushedAggregates=${fs.map { case (op, i) =>
         if (i < 0) op else s"$op(${snap.schema.fieldNames(i)})" }.mkString("[", ",", "]")}" +
         (if (g) s" GROUP BY $partCol" else "") }.getOrElse("") + ")"
