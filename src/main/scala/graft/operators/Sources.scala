@@ -2984,6 +2984,133 @@ object Sources {
       UNION ALL SELECT -1, 1
       ORDER BY okey"""))
 
+  /** TABLESAMPLE pushdown ([[org.apache.spark.sql.connector.read
+    * .SupportsPushDownTableSample]]) — the source samples, Spark plans no
+    * Sample operator: at 100 TB the difference between reading 10% of
+    * the blocks and reading all of them to discard 90%. The connector's
+    * scheme is DETERMINISTIC SYSTEMATIC sampling over the first long
+    * column (`(okey + seed) mod 10000 ∈ [lower, upper)·10000`), chosen
+    * precisely so a `REPEATABLE(seed)` sample is exactly reproducible by
+    * any engine — the oracle replays the same arithmetic in SQL and the
+    * hash pins the sampled aggregate VALUE, not just its size. The audit
+    * asserts the plan carries `pushedSample` and NO Sample node. The
+    * aggregate is deliberately non-pushable so the scan really serves
+    * the sampled rows. */
+  val q307 = GraftQuery(
+    "q307_tablesample_pushdown",
+    "TABLESAMPLE REPEATABLE pushed into the scan: systematic sample, exact oracle replay, no Sample node",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.smp_$tag"
+      s2.sql(s"""CREATE TABLE $tbl (okey BIGINT, cents BIGINT, status STRING)
+                 PARTITIONED BY (status)""")
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderstatus").as("status"))
+        .createOrReplaceTempView(s"smp_src_$tag")
+      s2.sql(s"INSERT INTO $tbl SELECT okey, cents, status FROM smp_src_$tag")
+      val probe = s2.sql(
+        s"""SELECT status, count(*) AS n, sum(okey + cents) AS sig
+            FROM $tbl TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+            GROUP BY status""")
+      val rows = probe.collect()
+      val planStr = probe.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pushedNoSample =
+        planStr.contains("pushedSample=[0.0,0.1) seed=42") &&
+          !planStr.contains("Sample ")
+      import s2.implicits._
+      (rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) :+
+        (("audit:pushed_no_sample_node",
+          if (pushedNoSample) 1L else 0L, 0L)))
+        .toDF("status", "n", "sig")
+        .orderBy("status")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        WHERE ((o_orderkey + 42) % 10000 + 10000) % 10000 < 1000)
+      SELECT * FROM (
+        SELECT status, count(*) AS n, CAST(sum(okey + cents) AS BIGINT) AS sig
+        FROM t GROUP BY status
+        UNION ALL SELECT 'audit:pushed_no_sample_node', 1, 0)
+      ORDER BY status"""))
+
+  /** CLUSTERED WRITE DISTRIBUTION ([[org.apache.spark.sql.connector
+    * .write.RequiresDistributionAndOrdering]], opt-in via
+    * TBLPROPERTIES('writeDistribution'='clustered')) — the WRITE-side
+    * planning contract (Iceberg's write distribution modes): the Write
+    * tells Spark rows must arrive clustered by the partition column and
+    * sorted within tasks, Spark plans the exchange + sort BEFORE the
+    * writers, and each task then carries whole partition groups — at
+    * 100 TB the difference between one file per partition per commit and
+    * the every-task-writes-every-partition small-file explosion. The
+    * audit is structural, read from the COMMIT MESSAGES themselves: with
+    * the property, no partition value spans two task messages
+    * (groups-over-tasks == distinct groups); the CONTROL table without
+    * the property demonstrably splits partitions across tasks on the
+    * same insert. Both tables must hold identical data — the
+    * distribution changes the write topology, never the rows. */
+  val q308 = GraftQuery(
+    "q308_clustered_write_distribution",
+    "RequiresDistributionAndOrdering: clustered write keeps partitions task-whole (commit-message audit + control)",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val clustered = s"graft_cat.corpus.cw_$tag"
+      val control = s"graft_cat.corpus.cwc_$tag"
+      s2.sql(s"""CREATE TABLE $clustered (okey BIGINT, cents BIGINT, status STRING)
+                 PARTITIONED BY (status)
+                 TBLPROPERTIES ('writeDistribution'='clustered', 'sortedBy'='okey')""")
+      s2.sql(s"""CREATE TABLE $control (okey BIGINT, cents BIGINT, status STRING)
+                 PARTITIONED BY (status)""")
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderstatus").as("status"))
+        .repartition(4) // several input tasks, statuses mixed in each
+        .createOrReplaceTempView(s"cw_src_$tag")
+      s2.sql(s"INSERT INTO $clustered SELECT okey, cents, status FROM cw_src_$tag")
+      s2.sql(s"INSERT INTO $control SELECT okey, cents, status FROM cw_src_$tag")
+      def shape(name: String): (Int, Int, Int, Int) =
+        graft.sources.MemTable.lastCommitShape(s"cat!graft_cat!corpus!$name")
+      val (cwTasks @ _, _, cwPairs, cwGroups) = shape(s"cw_$tag")
+      val (_, _, ccPairs, ccGroups) = shape(s"cwc_$tag")
+      val audit = Seq(
+        ("audit", "clustered_no_partition_split",
+          (cwPairs == cwGroups).compare(false).toLong, 0L),
+        ("audit", "control_splits_partitions",
+          (ccPairs > ccGroups).compare(false).toLong, 0L))
+      import s2.implicits._
+      s2.sql(
+        s"""SELECT 'data' AS kind, status, count(*) AS n, sum(cents) AS total_cents
+            FROM $clustered GROUP BY status""")
+        .unionByName(audit.toDF("kind", "status", "n", "total_cents"))
+        .orderBy("kind", "status")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'data' AS kind, status, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM t GROUP BY status
+        UNION ALL SELECT 'audit', 'clustered_no_partition_split', 1, 0
+        UNION ALL SELECT 'audit', 'control_splits_partitions', 1, 0)
+      ORDER BY kind, status"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -3111,5 +3238,5 @@ object Sources {
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
     q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296,
-    q297, q298, q299, q300, q301, q302, q303, q304, q305, q306)
+    q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308)
 }

@@ -292,6 +292,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     if (Option(properties.get("extendedPushdown")).exists(_.equalsIgnoreCase("true")))
       GraftSparkCatalog.extendedPushdown.put(k, true)
     else GraftSparkCatalog.extendedPushdown.remove(k)
+    Option(properties.get("writeDistribution")) match {
+      case Some("clustered") =>
+        require(pc.nonEmpty,
+          "graft catalog: writeDistribution=clustered requires PARTITIONED BY")
+        GraftSparkCatalog.writeDistributions.put(k, true)
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft catalog: unsupported writeDistribution '$other' (only: clustered)")
+      case None => GraftSparkCatalog.writeDistributions.remove(k)
+    }
     MemTable.publish(k, MemTable.Snapshot(stored, Map.empty, 0L))
     new MemTableImpl(stored, k, pc,
       GraftSparkCatalog.deltaIdCols.getOrElse(k, ""))
@@ -407,6 +416,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       GraftSparkCatalog.generatedCols.remove(k)
       GraftSparkCatalog.sortCols.remove(k)
       GraftSparkCatalog.extendedPushdown.remove(k)
+      GraftSparkCatalog.writeDistributions.remove(k)
       MemTable.history.keys.filter(_._1 == k).toSeq.foreach(MemTable.history.remove)
       MemTable.declaredParts.keys.filter(_._1 == k).toSeq
         .foreach(MemTable.declaredParts.remove)
@@ -441,6 +451,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         .foreach(GraftSparkCatalog.sortCols.put(to, _))
       GraftSparkCatalog.extendedPushdown.remove(from)
         .foreach(GraftSparkCatalog.extendedPushdown.put(to, _))
+      GraftSparkCatalog.writeDistributions.remove(from)
+        .foreach(GraftSparkCatalog.writeDistributions.put(to, _))
       MemTable.history.keys.filter(_._1 == from).toSeq.foreach { case (_, v) =>
         MemTable.history.remove((from, v)).foreach(s => MemTable.history.put((to, v), s))
       }
@@ -679,6 +691,15 @@ object GraftSparkCatalog {
     * which is also the precondition for DSv2 join pushdown (equi-joins
     * carry inferred IsNotNull filters the rule requires fully pushed). */
   val extendedPushdown = new scala.collection.concurrent.TrieMap[String, Boolean]
+
+  /** table key → clustered-write opt-in
+    * (TBLPROPERTIES('writeDistribution'='clustered')): the table's Write
+    * declares RequiresDistributionAndOrdering, so Spark repartitions by
+    * the partition column (and sorts within tasks) BEFORE rows reach the
+    * writers — each task then writes exactly one partition group, the
+    * Iceberg write-distribution-mode contract that prevents the
+    * every-task-writes-every-partition small-file explosion. */
+  val writeDistributions = new scala.collection.concurrent.TrieMap[String, Boolean]
 
   /** table key → declared sort column (TBLPROPERTIES('sortedBy'='…')):
     * [[MemTable.publish]] keeps every partition's rows ordered by it on

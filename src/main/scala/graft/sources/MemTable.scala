@@ -224,6 +224,14 @@ object MemTable {
   final class CommitConflictException(msg: String)
       extends RuntimeException(msg)
 
+  /** Clustered-write observability: (non-empty task messages, max groups
+    * in any one task, total group-task pairs, distinct groups) of the
+    * LAST batch commit per runId — how q308 proves a declared write
+    * distribution reached the writers (clustered: pairs == distinct, no
+    * partition value spans two tasks). */
+  val lastCommitShape =
+    new scala.collection.concurrent.TrieMap[String, (Int, Int, Int, Int)]
+
   /** Runtime-filter observability: (partitions before, after) recorded by
     * the LAST runtime `filter()` call per runId — what PlanSpec reads to
     * prove pruning happened at execution, not planning (q217). */
@@ -618,21 +626,51 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
       override def overwriteDynamicPartitions(): WriteBuilder = {
         dynamicOverwrite = true; this
       }
-      override def build(): Write = new Write {
-        // write-side custom metric (declared here, reported per task by
-        // the DataWriter): rows committed through this write
-        override def supportedCustomMetrics()
-            : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
-          new org.apache.spark.sql.connector.metric.CustomSumMetric {
-            override def name(): String = "graft_rows_written"
-            override def description(): String = "rows buffered for the atomic commit"
-          })
-        override def toBatch: BatchWrite =
-          new MemBatchWrite(runId, writeSchema, pc, expected, pk, truncated,
-            overwriteFns, dynamicOverwrite)
-        override def toStreaming
-            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new MemStreamingWrite(runId, writeSchema, pc)
+      override def build(): Write = {
+        trait BaseWrite extends Write {
+          // write-side custom metric (declared here, reported per task by
+          // the DataWriter): rows committed through this write
+          override def supportedCustomMetrics()
+              : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+            new org.apache.spark.sql.connector.metric.CustomSumMetric {
+              override def name(): String = "graft_rows_written"
+              override def description(): String = "rows buffered for the atomic commit"
+            })
+          override def toBatch: BatchWrite =
+            new MemBatchWrite(runId, writeSchema, pc, expected, pk, truncated,
+              overwriteFns, dynamicOverwrite)
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new MemStreamingWrite(runId, writeSchema, pc)
+        }
+        // CLUSTERED WRITE DISTRIBUTION (TBLPROPERTIES('writeDistribution'
+        // ='clustered') + [[org.apache.spark.sql.connector.write
+        // .RequiresDistributionAndOrdering]]): the WRITE tells Spark how
+        // rows must arrive — clustered by the partition column, sorted
+        // within tasks by (partition, declared sort column) — and Spark
+        // plans the exchange + sort BEFORE the writers. Each task then
+        // holds exactly one partition group: the Iceberg write-
+        // distribution-mode contract that turns the every-task-writes-
+        // every-partition small-file explosion into one file per
+        // partition per commit (q308 audits it from the commit messages).
+        if (GraftSparkCatalog.writeDistributions.getOrElse(runId, false) &&
+            pc.nonEmpty)
+          new BaseWrite
+              with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+            override def requiredDistribution()
+                : org.apache.spark.sql.connector.distributions.Distribution =
+              org.apache.spark.sql.connector.distributions.Distributions
+                .clustered(Array(Expressions.identity(pc)))
+            override def requiredOrdering(): Array[V2SortOrder] = {
+              val sortCol = GraftSparkCatalog.sortCols.get(runId)
+                .filter(writeSchema.fieldNames.contains)
+              (Array(Expressions.sort(Expressions.identity(pc),
+                SortDirection.ASCENDING)) ++
+                sortCol.map(c => Expressions.sort(Expressions.identity(c),
+                  SortDirection.ASCENDING))).toArray
+            }
+          }
+        else new BaseWrite {}
       }
     }
   }
@@ -717,6 +755,12 @@ private[sources] class MemBatchWrite(runId: String, schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new MemWriterFactory(schema, partCol)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // clustered-write observability: how many tasks actually carried rows
+    // and the widest per-task partition spread (1 == perfectly clustered)
+    val shapes = messages.map(_.asInstanceOf[MemPartMessage].parts).filter(_.nonEmpty)
+    MemTable.lastCommitShape.put(runId,
+      (shapes.length, if (shapes.isEmpty) 0 else shapes.map(_.size).max,
+        shapes.map(_.size).sum, shapes.flatMap(_.keys).distinct.length))
     // merge every task's groups, then publish with ONE map swap — readers
     // see the previous snapshot or the full new one, never a prefix
     val incoming = messages.foldLeft(Map.empty[String, Vector[Array[Any]]]) { (acc, m) =>
@@ -1091,6 +1135,7 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
     with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownOffset
+    with org.apache.spark.sql.connector.read.SupportsPushDownTableSample
     with org.apache.spark.sql.connector.read.SupportsPushDownJoin {
 
   import org.apache.spark.sql.connector.read.SupportsPushDownJoin
@@ -1289,6 +1334,37 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
   override def pushOffset(n: Int): Boolean =
     if (aggSpec.isDefined) false else { offset = Some(n); true }
 
+  /** TABLESAMPLE pushdown ([[org.apache.spark.sql.connector.read
+    * .SupportsPushDownTableSample]]): the source samples, Spark plans no
+    * Sample operator — at 100 TB the difference between reading 10% of
+    * the blocks and reading all of them to throw 90% away. The contract
+    * lets the source choose its sampling scheme; this one uses
+    * DETERMINISTIC SYSTEMATIC sampling over the table's first long
+    * column — keep rows where `(col + seed) mod 10000` falls in
+    * `[lower, upper) · 10000` — so a REPEATABLE(seed) sample is exactly
+    * reproducible by any engine (the oracle replays the same rule in
+    * SQL), row-local, and composable with every other pushdown (the
+    * sample is just another accepted row filter). Sampling WITH
+    * replacement refuses — Spark samples engine-side instead. */
+  private var sample: Option[(Double, Double, Long)] = None
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+      withReplacement: Boolean, seed: Long): Boolean = {
+    if (withReplacement || aggSpec.isDefined) return false
+    val colIdx = snap.schema.fields.indexWhere(_.dataType == LongType)
+    if (colIdx < 0) return false
+    val (lo, hi) = ((lowerBound * 10000).toLong, (upperBound * 10000).toLong)
+    rowFns :+= { (row: Array[Any]) =>
+      row(colIdx) match {
+        case l: Long =>
+          val m = ((l + seed) % 10000 + 10000) % 10000
+          m >= lo && m < hi
+        case _ => false // NULL key rows never sample
+      }
+    }
+    sample = Some((lowerBound, upperBound, seed))
+    true
+  }
+
   /** ORDER BY + LIMIT pushdown ([[SupportsPushDownTopN]]): a connector
     * backed by a sorted index serves top-k without Spark sorting anything
     * — the reference's `list_runs` early-terminating pagination
@@ -1389,7 +1465,7 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
 
   override def build(): Scan =
     new MemScan(snap, keep, required, effPartCol, topN, limit, aggSpec, runId,
-      columnar, onPlan, maxVersionsPerTrigger, rowFns, offset)
+      columnar, onPlan, maxVersionsPerTrigger, rowFns, offset, sample)
 }
 
 private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
@@ -1410,7 +1486,8 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     onPlan: Option[Set[String] => Unit] = None,
     maxVersionsPerTrigger: Option[Long] = None,
     rowFns: Vector[Array[Any] => Boolean] = Vector.empty,
-    offset: Option[Int] = None)
+    offset: Option[Int] = None,
+    sample: Option[(Double, Double, Long)] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1674,6 +1751,8 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
         snap.schema.fieldNames(i) + (if (a) " ASC" else " DESC") }.mkString("[", ",", "]")} LIMIT $n" }.getOrElse("") +
       limit.map(n => s", pushedLimit=$n").getOrElse("") +
       offset.map(n => s", pushedOffset=$n").getOrElse("") +
+      sample.map { case (lo, hi, seed) =>
+        s", pushedSample=[$lo,$hi) seed=$seed" }.getOrElse("") +
       agg.map { case (g, fs) => s", pushedAggregates=${fs.map { case (op, i) =>
         if (i < 0) op else s"$op(${snap.schema.fieldNames(i)})" }.mkString("[", ",", "]")}" +
         (if (g) s" GROUP BY $partCol" else "") }.getOrElse("") + ")"
