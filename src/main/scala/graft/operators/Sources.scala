@@ -3111,6 +3111,67 @@ object Sources {
         UNION ALL SELECT 'audit', 'control_splits_partitions', 1, 0)
       ORDER BY kind, status"""))
 
+  /** CATALOG INTROSPECTION — the read-the-contract-before-relying-on-it
+    * surfaces a lakehouse user runs first: `DESCRIBE TABLE EXTENDED`
+    * (columns + partition info + metadata columns + column defaults),
+    * `SHOW TBLPROPERTIES` (the connector now serves its declared
+    * properties back through Table.properties — sortedBy,
+    * writeDistribution, extendedPushdown, deltaIdCol), and `SHOW CREATE
+    * TABLE` (the round-trippable DDL, incl. the rendered DEFAULT).
+    * The hash pins STABLE facts extracted from each surface — column
+    * name/type pairs, the partition column, the property key-values, and
+    * DDL membership audits — not raw rendering, so Spark formatting
+    * drift can't break it while a genuinely missing fact still does. */
+  val q309 = GraftQuery(
+    "q309_catalog_introspection",
+    "DESCRIBE EXTENDED + SHOW TBLPROPERTIES + SHOW CREATE TABLE: declared contracts read back, fact-pinned",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.intr_$tag"
+      s2.sql(s"""CREATE TABLE $tbl (okey BIGINT, cents BIGINT DEFAULT 7,
+                 status STRING) PARTITIONED BY (status)
+                 TBLPROPERTIES ('sortedBy'='okey', 'writeDistribution'='clustered')""")
+      // columns before the '# Partition Information' break
+      val desc = s2.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val cols = desc.takeWhile(!_._1.startsWith("#"))
+        .filter(_._1.nonEmpty)
+        .map { case (n, t) => ("column", n, t) }
+      val partRow = desc.dropWhile(_._1 != "# Partition Information")
+        .drop(2).headOption.map(p => ("partition", p._1, p._2)).toSeq
+      val props = s2.sql(s"SHOW TBLPROPERTIES $tbl").collect()
+        .map(r => ("property", r.getString(0), r.getString(1)))
+        .filter(p => Set("sortedBy", "writeDistribution").contains(p._2))
+      val ddl = s2.sql(s"SHOW CREATE TABLE $tbl").head().getString(0)
+      val audits = Seq(
+        ("ddl", "renders_default",
+          if (ddl.contains("DEFAULT 7")) "1" else "0"),
+        ("ddl", "renders_partitioning",
+          if (ddl.contains("PARTITIONED BY (status)")) "1" else "0"),
+        ("ddl", "renders_sortedBy_property",
+          if (ddl.contains("'sortedBy' = 'okey'")) "1" else "0"))
+      import s2.implicits._
+      (cols.toSeq ++ partRow ++ props.toSeq ++ audits)
+        .toDF("kind", "name", "value")
+        .orderBy("kind", "name")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        ('column', 'okey', 'bigint'),
+        ('column', 'cents', 'bigint'),
+        ('column', 'status', 'string'),
+        ('partition', 'status', 'string'),
+        ('property', 'sortedBy', 'okey'),
+        ('property', 'writeDistribution', 'clustered'),
+        ('ddl', 'renders_default', '1'),
+        ('ddl', 'renders_partitioning', '1'),
+        ('ddl', 'renders_sortedBy_property', '1'))
+        AS t(kind, name, value)
+      ORDER BY kind, name"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -3238,5 +3299,6 @@ object Sources {
     q123, q128, q129, q143, q187, q189, q190, q192, q194, q200, q212, q216,
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
     q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296,
-    q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308)
+    q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308,
+    q309)
 }

@@ -411,6 +411,20 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
   override def schema(): StructType =
     MemTable.store.get(runId).map(_.schema).getOrElse(schema)
 
+  /** Declared table properties, served back so SHOW TBLPROPERTIES /
+    * SHOW CREATE TABLE / DESCRIBE EXTENDED reflect the contracts a table
+    * opted into — the introspection a user reads before relying on them. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    GraftSparkCatalog.sortCols.get(runId).foreach(m.put("sortedBy", _))
+    if (GraftSparkCatalog.extendedPushdown.getOrElse(runId, false))
+      m.put("extendedPushdown", "true")
+    if (GraftSparkCatalog.writeDistributions.getOrElse(runId, false))
+      m.put("writeDistribution", "clustered")
+    if (deltaIdCol.nonEmpty) m.put("deltaIdCol", deltaIdCol)
+    m
+  }
+
   /** Enforced CHECK constraints ([[GraftSparkCatalog.checkConstraints]]):
     * Spark's analyzer reads these back on every write plan and compiles a
     * CheckInvariant guard from the predicate SQL — a violating row fails
