@@ -2965,8 +2965,87 @@ object StreamingOps {
       GROUP BY o_orderstatus
       ORDER BY status"""))
 
+  /** ROW-granular streaming admission control — `maxRowsPerTrigger` at
+    * TRUE row granularity via COMPOSITE offsets (version, rows-within-
+    * increment): where st40's version-granular limit cannot split one
+    * oversized commit, this one can — a micro-batch may END MID-COMMIT,
+    * with the offset recording exactly how many rows of the next
+    * version's increment are consumed (in the deterministic global
+    * order: partitions sorted by key, arrival order within each — what
+    * makes the split REPLAYABLE from a checkpoint). The fixture commits
+    * tranches of exactly 10 then 7 rows; with budget 6 the AvailableNow
+    * drain is require-guarded to produce batches of exactly [6, 6, 5] —
+    * the middle batch CROSSES the commit boundary (4 rows of tranche 1 +
+    * 2 of tranche 2), which no version-granular reader can express. The
+    * recovered aggregate hash-matches the batch recompute over the same
+    * 17 rows. */
+  val st41 = GraftQuery(
+    "st41_stream_row_rate_limit",
+    "maxRowsPerTrigger with composite offsets: an oversized commit drains in bounded bites, mid-commit splits replayable",
+    (s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val id = runTag()
+      val tbl = s"graft_cat.corpus.rrl_$id"
+      val ckpt = spoolDir(s"rrl_ckpt_$id")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ckpt))
+      val sink = s"graft_stream_rrl_$id"
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView(s"rrl_src_$id")
+      s2.sql(s"""CREATE TABLE $tbl (okey BIGINT, status STRING, cents BIGINT)
+                 PARTITIONED BY (status)""")
+      // two commits of EXACTLY 10 and 7 rows at any scale
+      s2.sql(s"""INSERT INTO $tbl
+                 SELECT okey, status, cents FROM rrl_src_$id
+                 ORDER BY okey LIMIT 10""")
+      s2.sql(s"""INSERT INTO $tbl
+                 SELECT okey, status, cents FROM rrl_src_$id
+                 ORDER BY okey LIMIT 7 OFFSET 10""")
+      val saved = s2.conf.get("spark.sql.shuffle.partitions")
+      s2.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_STREAM_PARTS", "4"))
+      try {
+        val q = s2.readStream
+          .option("maxRowsPerTrigger", "6")
+          .table(tbl)
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"),
+            max(col("okey")).as("max_key"))
+          .writeStream
+          .format("memory").queryName(sink)
+          .outputMode(OutputMode.Complete())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val batchRows = q.recentProgress.map(_.numInputRows)
+          .filter(_ > 0).toSeq
+        // the 17-row backlog drains as 6/6/5 — the middle batch spans the
+        // commit boundary, which only a row-granular offset can express
+        require(batchRows == Seq(6L, 6L, 5L),
+          s"st41: per-batch input rows $batchRows != List(6, 6, 5) " +
+            "— row-granular admission did not split the oversized commit")
+        val sinkDf = s2.table(sink)
+        val (rows, schema) = (sinkDf.collect(), sinkDf.schema)
+        s2.catalog.dropTempView(sink)
+        s2.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+          .orderBy("status")
+      } finally s2.conf.set("spark.sql.shuffle.partitions", saved)
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderstatus AS status, o_orderkey AS okey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders ORDER BY o_orderkey LIMIT 17)
+      SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents,
+             max(okey) AS max_key
+      FROM t GROUP BY status ORDER BY status"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35, st36, st37, st38, st39, st40)
+    st34, st35, st36, st37, st38, st39, st40, st41)
 }

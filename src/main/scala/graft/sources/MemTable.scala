@@ -595,7 +595,9 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
       Option(options.get("partitionCol")).getOrElse(partCol),
       options.getBoolean("columnar", false),
       maxVersionsPerTrigger =
-        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      maxRowsPerTrigger =
+        Option(options.get("maxRowsPerTrigger")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val writeSchema = info.schema()
@@ -1143,7 +1145,8 @@ private[sources] class MemWriterFactory(schema: StructType, partCol: String)
 private[sources] class MemScanBuilder(runId: String, partCol: String,
     columnar: Boolean = false,
     onPlan: Option[Set[String] => Unit] = None,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -1479,7 +1482,8 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
 
   override def build(): Scan =
     new MemScan(snap, keep, required, effPartCol, topN, limit, aggSpec, runId,
-      columnar, onPlan, maxVersionsPerTrigger, rowFns, offset, sample)
+      columnar, onPlan, maxVersionsPerTrigger, rowFns, offset, sample,
+      maxRowsPerTrigger)
 }
 
 private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
@@ -1501,7 +1505,8 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     maxVersionsPerTrigger: Option[Long] = None,
     rowFns: Vector[Array[Any] => Boolean] = Vector.empty,
     offset: Option[Int] = None,
-    sample: Option[(Double, Double, Long)] = None)
+    sample: Option[(Double, Double, Long)] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1755,7 +1760,8 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     * [[MemMicroBatchStream]] for the append-only contract. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new MemMicroBatchStream(runId, required, maxVersionsPerTrigger)
+    new MemMicroBatchStream(runId, required, maxVersionsPerTrigger,
+      maxRowsPerTrigger)
 
   override def description(): String =
     s"GraftMemScan(runId parts=${snap.parts.size}, planned=${planned.size}, " +
@@ -1825,9 +1831,15 @@ private[sources] class MemStagedTable(realKey: String, stagingKey: String,
   }
 }
 
-private[sources] case class MemStreamOffset(version: Long)
+/** Composite streaming offset: `version` commits fully consumed, plus
+  * `rows` rows of version `version + 1`'s increment (in the
+  * deterministic global order: partitions sorted by key, arrival order
+  * within each). `rows = 0` is a clean version boundary — the only shape
+  * the version-granular paths ever produce, so their checkpoints stay
+  * readable. */
+private[sources] case class MemStreamOffset(version: Long, rows: Long = 0L)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"version":$version}"""
+  override def json(): String = s"""{"version":$version,"rows":$rows}"""
 }
 
 /** The STREAMING READ of the snapshot store — the contract Delta's
@@ -1847,7 +1859,8 @@ private[sources] case class MemStreamOffset(version: Long)
   * [[MemTable.historyDepth]] also refuse — the stream fell too far
   * behind the table's retention, Kafka's log-truncation error analog. */
 private[sources] class MemMicroBatchStream(runId: String, required: StructType,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -1870,23 +1883,109 @@ private[sources] class MemMicroBatchStream(runId: String, required: StructType,
   // stream catching up on a long backlog processes it in bounded bites
   // instead of one giant batch — under AvailableNow this yields one
   // batch per N versions until the pinned target is drained.
+  /** Deterministic global order over one version's increment: partitions
+    * sorted by key, arrival order within each — what makes a
+    * ROW-granular offset replayable. Enforces the append-only contract
+    * for the step (shrink/vanish refuse exactly). */
+  private def incrementRows(w: Long): Vector[(String, Array[Any])] = {
+    val cur = MemTable.history.getOrElse((runId, w), sys.error(
+      s"MemTable '$runId': stream version $w not in retained history " +
+        s"(depth ${MemTable.historyDepth}) — the reader fell behind retention"))
+    val prevCounts: Map[String, Int] =
+      if (w <= 1) Map.empty
+      else MemTable.history.get((runId, w - 1)) match {
+        case Some(p) => p.parts.map { case (k, rs) => k -> rs.size }
+        case None => sys.error(
+          s"MemTable '$runId': stream version ${w - 1} expired from history — " +
+            "restart the stream or raise retention")
+      }
+    prevCounts.keys.find(!cur.parts.contains(_)).foreach { gone =>
+      sys.error(
+        s"MemTable '$runId': non-append change at version $w " +
+          s"(partition '$gone' vanished) — streaming reads require " +
+          "append-only commits in the consumed range")
+    }
+    cur.parts.toSeq.sortBy(_._1).iterator.flatMap { case (k, rs) =>
+      val from = prevCounts.getOrElse(k, 0)
+      if (rs.size < from) sys.error(
+        s"MemTable '$runId': non-append change at version $w " +
+          s"(partition '$k' shrank ${from}→${rs.size}) — streaming reads " +
+          "require append-only commits in the consumed range")
+      rs.drop(from).iterator.map((k, _))
+    }.toVector
+  }
+  private def incrementSize(w: Long): Long = incrementRows(w).size.toLong
+
+  // ROW-granular admission control (`maxRowsPerTrigger`, Delta's
+  // homonymous option at true row granularity): a micro-batch may end
+  // MID-INCREMENT — the composite offset records how many rows of the
+  // next version's increment are consumed, so one oversized commit
+  // drains in bounded bites instead of one giant batch. Version-granular
+  // rate limiting (`maxVersionsPerTrigger`, st40) is unchanged.
   override def latestOffset(startOffset: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val target = availableTarget.getOrElse(currentVersion)
-    val s0 = startOffset.asInstanceOf[MemStreamOffset].version
-    MemStreamOffset(
-      maxVersionsPerTrigger.fold(target)(m => math.min(target, s0 + m)))
+    val s0 = startOffset.asInstanceOf[MemStreamOffset]
+    maxRowsPerTrigger match {
+      case None =>
+        MemStreamOffset(
+          maxVersionsPerTrigger.fold(target)(m => math.min(target, s0.version + m)))
+      case Some(budget) =>
+        var v = s0.version
+        var k = s0.rows
+        var left = budget
+        while (v < target && left > 0) {
+          val avail = incrementSize(v + 1) - k
+          if (avail <= left) { left -= avail; v += 1; k = 0L }
+          else { k += left; left = 0L }
+        }
+        MemStreamOffset(v, k)
+    }
   }
-  override def deserializeOffset(json: String): Offset =
-    MemStreamOffset("""\d+""".r.findFirstIn(json).getOrElse(
-      sys.error(s"MemTable '$runId': unparseable stream offset $json")).toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val nums = """-?\d+""".r.findAllIn(json).toSeq
+    if (nums.isEmpty)
+      sys.error(s"MemTable '$runId': unparseable stream offset $json")
+    MemStreamOffset(nums.head.toLong,
+      if (nums.length > 1) nums(1).toLong else 0L)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s0 = start.asInstanceOf[MemStreamOffset].version
-    val e0 = end.asInstanceOf[MemStreamOffset].version
-    if (e0 <= s0) return Array.empty
+    val so = start.asInstanceOf[MemStreamOffset]
+    val eo = end.asInstanceOf[MemStreamOffset]
+    if (eo.version < so.version ||
+        (eo.version == so.version && eo.rows <= so.rows)) return Array.empty
+    if (so.rows != 0 || eo.rows != 0) {
+      // COMPOSITE range (row-granular admission): the batch may begin
+      // and/or end mid-increment; rebuild the exact row window from the
+      // deterministic global increment order
+      val rowsInRange: Vector[(String, Array[Any])] =
+        if (so.version == eo.version)
+          incrementRows(so.version + 1)
+            .slice(so.rows.toInt, eo.rows.toInt)
+        else {
+          val head = incrementRows(so.version + 1).drop(so.rows.toInt)
+          val mid = ((so.version + 2) to eo.version).iterator
+            .flatMap(incrementRows).toVector
+          val tail =
+            if (eo.rows > 0) incrementRows(eo.version + 1).take(eo.rows.toInt)
+            else Vector.empty
+          head ++ mid ++ tail
+        }
+      val schemaVer = if (eo.rows > 0) eo.version + 1 else eo.version
+      val schema = MemTable.history.getOrElse((runId, schemaVer), sys.error(
+        s"MemTable '$runId': stream version $schemaVer not in retained history")).schema
+      val idx = required.fieldNames.map {
+        case "_partition"      => -2
+        case "_commit_version" => -3
+        case n                 => schema.fieldNames.indexOf(n)
+      }
+      return Array(MemSlicePart(rowsInRange, idx,
+        required.fields.map(_.dataType.typeName), schemaVer))
+    }
+    val (s0, e0) = (so.version, eo.version)
     val endSnap = MemTable.history.getOrElse((runId, e0), sys.error(
       s"MemTable '$runId': stream end version $e0 not in retained history " +
         s"(depth ${MemTable.historyDepth}) — the reader fell behind retention"))

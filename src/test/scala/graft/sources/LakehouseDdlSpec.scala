@@ -281,6 +281,60 @@ class LakehouseDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "LEFT JOIN must fall back to a Spark-side join")
   }
 
+  test("differential: extended filter pushdown matches engine-side filtering on 24 random predicates") {
+    val s2 = catSession()
+    val (np, ne) = (freshName("dfp"), freshName("dfe"))
+    // same data, one table filters source-side (extendedPushdown), the
+    // other engine-side — every WHERE must agree, NULLs included
+    for ((n, props) <- Seq((np, ""), (ne, "TBLPROPERTIES ('extendedPushdown'='true')"))) {
+      s2.sql(s"CREATE TABLE graft_ddl.ns.$n (k BIGINT, status STRING, cents BIGINT) PARTITIONED BY (status) $props")
+      s2.sql(s"""INSERT INTO graft_ddl.ns.$n VALUES
+        (1,'A',100),(2,'A',NULL),(3,'B',300),(4,'B',-50),(5,'C',0),
+        (6,'C',NULL),(7,'A',300),(8,'B',100),(9,'C',250),(10,'A',-1)""")
+    }
+    val rnd = new scala.util.Random(7)
+    val cols = Seq("k", "cents")
+    def atom(): String = rnd.nextInt(6) match {
+      case 0 => s"${cols(rnd.nextInt(2))} > ${rnd.nextInt(300) - 50}"
+      case 1 => s"${cols(rnd.nextInt(2))} <= ${rnd.nextInt(300)}"
+      case 2 => s"${cols(rnd.nextInt(2))} = ${rnd.nextInt(10) * 50}"
+      case 3 => s"${cols(rnd.nextInt(2))} IS NULL"
+      case 4 => s"${cols(rnd.nextInt(2))} IS NOT NULL"
+      case 5 => s"status = '${('A' + rnd.nextInt(3)).toChar}'"
+    }
+    def pred(depth: Int): String =
+      if (depth == 0 || rnd.nextInt(3) == 0) atom()
+      else rnd.nextInt(3) match {
+        case 0 => s"(${pred(depth - 1)} AND ${pred(depth - 1)})"
+        case 1 => s"(${pred(depth - 1)} OR ${pred(depth - 1)})"
+        case 2 => s"(NOT ${pred(depth - 1)})"
+      }
+    (1 to 24).foreach { i =>
+      val w = pred(2)
+      val a = s2.sql(s"SELECT k FROM graft_ddl.ns.$np WHERE $w").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      val b = s2.sql(s"SELECT k FROM graft_ddl.ns.$ne WHERE $w").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(a == b, s"predicate #$i '$w': engine-side $a vs pushed $b")
+    }
+  }
+
+  test("differential: generated-column values always equal their expression recomputed over the stored rows") {
+    val s2 = catSession()
+    for ((expr, i) <- Seq(
+        "cents DIV 100", "cents % 7 + k", "greatest(cents - k, 0)",
+        "CAST(least(cents, 250) AS BIGINT)").zipWithIndex) {
+      val n = freshName(s"dgen$i")
+      val t = s"graft_ddl.ns.$n"
+      s2.sql(s"""CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT,
+                 g BIGINT GENERATED ALWAYS AS ($expr)) PARTITIONED BY (status)""")
+      s2.sql(s"""INSERT INTO $t (k, status, cents) VALUES
+        (1,'A',100),(2,'B',333),(3,'A',7),(4,'C',0),(5,'B',999)""")
+      val bad = s2.sql(s"SELECT count(*) FROM $t WHERE g <> ($expr)").head().getLong(0)
+      assert(bad == 0L, s"expression '$expr': $bad rows disagree with their generated value")
+    }
+  }
+
   test("unknown procedure refuses with the available list") {
     val s2 = catSession()
     val e = intercept[Exception] {
