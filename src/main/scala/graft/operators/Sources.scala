@@ -3172,6 +3172,85 @@ object Sources {
         AS t(kind, name, value)
       ORDER BY kind, name"""))
 
+  /** COLUMN LIFECYCLE DDL — `ALTER TABLE … RENAME COLUMN / DROP COLUMN /
+    * ALTER COLUMN … COMMENT` completing the schema-evolution matrix q285
+    * opened with ADD COLUMNS: rename is METADATA-ONLY (rows are
+    * positional; only the schema's field name moves), drop narrows the
+    * schema AND every retained row in the same version-bumping publish,
+    * and — the lakehouse property the hash pins hardest — a DROPPED
+    * column's data REMAINS FULLY READABLE through time travel
+    * (`VERSION AS OF` a pre-drop version serves the wide schema and the
+    * oracle recomputes the dropped column's sum from the source). Guard
+    * rails audited: renaming the partition column refuses, as does
+    * renaming/dropping any column that anchors a declared contract
+    * (sortedBy / deltaIdCol / generation expression — measured: Spark
+    * does not police these for V2 connectors, so the catalog must). */
+  val q310 = GraftQuery(
+    "q310_column_lifecycle_ddl",
+    "RENAME/DROP COLUMN + comment: schema-per-snapshot evolution, dropped data readable via time travel",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftSparkCatalog")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_cat.corpus.clc_$tag"
+      s2.sql(s"""CREATE TABLE $tbl (okey BIGINT, cents BIGINT, extra BIGINT,
+                 status STRING) PARTITIONED BY (status)""")
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100").as("extra"),
+          col("o_orderstatus").as("status"))
+        .createOrReplaceTempView(s"clc_src_$tag")
+      s2.sql(s"INSERT INTO $tbl SELECT okey, cents, extra, status FROM clc_src_$tag") // v1
+      s2.sql(s"ALTER TABLE $tbl RENAME COLUMN extra TO bucket")                       // v2
+      s2.sql(s"ALTER TABLE $tbl ALTER COLUMN bucket COMMENT 'cents in dollars'")      // v3
+      s2.sql(s"ALTER TABLE $tbl DROP COLUMN bucket")                                  // v4
+      val partRenameRefused =
+        try { s2.sql(s"ALTER TABLE $tbl RENAME COLUMN status TO st"); false }
+        catch { case _: Exception => true }
+      val headCols = s2.table(tbl).schema.fieldNames.length.toLong
+      val v1Cols = s2.sql(s"SELECT * FROM $tbl VERSION AS OF 1").schema.fieldNames.toSeq
+      val v3HasComment = s2.sql(s"SELECT * FROM $tbl VERSION AS OF 3").schema
+        .fields.find(_.name == "bucket")
+        .exists(f => f.metadata.contains("comment") &&
+          f.metadata.getString("comment") == "cents in dollars")
+      // the dropped column's data, read back through time travel
+      val droppedSum = s2.sql(
+        s"SELECT sum(extra) FROM $tbl VERSION AS OF 1").head().getLong(0)
+      val audit = Seq(
+        ("audit", "v1_schema_has_extra",
+          v1Cols.contains("extra").compare(false).toLong, 0L),
+        ("audit", "v3_comment_travels", v3HasComment.compare(false).toLong, 0L),
+        ("audit", "head_n_cols", headCols, 0L),
+        ("audit", "partition_rename_refused",
+          partRenameRefused.compare(false).toLong, 0L),
+        ("audit", "dropped_column_sum_via_time_travel", droppedSum, 0L))
+      import s2.implicits._
+      s2.sql(
+        s"""SELECT 'data' AS kind, status, count(*) AS n, sum(cents) AS total_cents
+            FROM $tbl GROUP BY status""")
+        .unionByName(audit.toDF("kind", "status", "n", "total_cents"))
+        .orderBy("kind", "status")
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'data' AS kind, status, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM t GROUP BY status
+        UNION ALL SELECT 'audit', 'v1_schema_has_extra', 1, 0
+        UNION ALL SELECT 'audit', 'v3_comment_travels', 1, 0
+        UNION ALL SELECT 'audit', 'head_n_cols', 3, 0
+        UNION ALL SELECT 'audit', 'partition_rename_refused', 1, 0
+        UNION ALL SELECT 'audit', 'dropped_column_sum_via_time_travel',
+          (SELECT CAST(sum(cents // 100) AS BIGINT) FROM t), 0)
+      ORDER BY kind, status"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -3300,5 +3379,5 @@ object Sources {
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
     q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296,
     q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308,
-    q309)
+    q309, q310)
 }

@@ -335,6 +335,66 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           schema = schema.add(add.fieldNames()(0), add.dataType(), nullable = true)
           parts = parts.map { case (p, rs) => p -> rs.map(_ :+ (null: Any)) }
           schemaChanged = true
+        // ALTER TABLE … RENAME COLUMN: metadata-only — rows are
+        // positional, so only the schema's field name moves; the
+        // partition column and declared per-column contracts refuse
+        // rather than silently detaching from their column
+        case rn: TableChange.RenameColumn if rn.fieldNames().length == 1 =>
+          val from = rn.fieldNames()(0)
+          val idx = schema.fieldNames.indexOf(from)
+          require(idx >= 0, s"graft catalog: no column $from in ${ident.name()}")
+          require(!schema.fieldNames.contains(rn.newName()),
+            s"graft catalog: column ${rn.newName()} already exists")
+          require(from != partCols.getOrElse(k, ""),
+            "graft catalog: cannot rename the partition column")
+          require(!GraftSparkCatalog.sortCols.get(k).contains(from) &&
+            !GraftSparkCatalog.deltaIdCols.get(k).contains(from) &&
+            !GraftSparkCatalog.generatedCols.getOrElse(k, Nil).exists(_._1 == from),
+            s"graft catalog: column $from anchors a declared table contract " +
+              "(sortedBy/deltaIdCol/generated) — drop the contract first")
+          require(!GraftSparkCatalog.generatedCols.getOrElse(k, Nil)
+            .exists(_._2.contains(from)),
+            s"graft catalog: column $from is referenced by a generation expression")
+          schema = StructType(schema.fields.updated(idx,
+            schema.fields(idx).copy(name = rn.newName())))
+          schemaChanged = true
+        // ALTER TABLE … DROP COLUMN: the schema narrows AND every
+        // retained row narrows with it in the same version-bumping
+        // publish — pre-drop versions still serve the wide shape
+        // (schema-per-snapshot, as with ADD)
+        case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+          val dn = del.fieldNames()(0)
+          val idx = schema.fieldNames.indexOf(dn)
+          if (idx < 0) {
+            if (!del.ifExists())
+              throw new IllegalArgumentException(
+                s"graft catalog: no column $dn in ${ident.name()}")
+          } else {
+            require(dn != partCols.getOrElse(k, ""),
+              "graft catalog: cannot drop the partition column")
+            require(!GraftSparkCatalog.sortCols.get(k).contains(dn) &&
+              !GraftSparkCatalog.deltaIdCols.get(k).contains(dn) &&
+              !GraftSparkCatalog.generatedCols.getOrElse(k, Nil).exists(_._1 == dn),
+              s"graft catalog: column $dn anchors a declared table contract " +
+                "(sortedBy/deltaIdCol/generated) — drop the contract first")
+            require(!GraftSparkCatalog.generatedCols.getOrElse(k, Nil)
+              .exists(_._2.contains(dn)),
+              s"graft catalog: column $dn is referenced by a generation expression")
+            schema = StructType(schema.fields.patch(idx, Nil, 1))
+            parts = parts.map { case (p, rs) =>
+              p -> rs.map(r => r.patch(idx, Nil, 1))
+            }
+            schemaChanged = true
+          }
+        case cm: TableChange.UpdateColumnComment if cm.fieldNames().length == 1 =>
+          val cn = cm.fieldNames()(0)
+          val idx = schema.fieldNames.indexOf(cn)
+          require(idx >= 0, s"graft catalog: no column $cn in ${ident.name()}")
+          val f = schema.fields(idx)
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString("comment", cm.newComment())
+          schema = StructType(schema.fields.updated(idx, f.copy(metadata = mb.build())))
+          schemaChanged = true
         // ALTER TABLE … ADD CONSTRAINT … CHECK (…): Spark has ALREADY
         // validated every existing row with a scan (AddCheckConstraintExec
         // throws newCheckViolation on the first offender) before calling
@@ -386,8 +446,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         case other =>
           throw new UnsupportedOperationException(
             s"graft catalog: unsupported ALTER change $other " +
-              "(only top-level nullable long/string ADD COLUMNS and " +
-              "ADD/DROP CHECK constraints)")
+              "(supported: top-level long/string ADD COLUMNS, RENAME/DROP " +
+              "COLUMN, column comments, SET/DROP DEFAULT, ADD/DROP CHECK " +
+              "constraints)")
       }
       // constraint DDL is metadata-only (no snapshot, no version bump —
       // the Delta posture is a protocol commit; at harness granularity

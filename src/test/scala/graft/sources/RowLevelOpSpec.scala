@@ -151,9 +151,14 @@ class RowLevelOpSpec extends AnyFunSuite with BeforeAndAfterAll {
     val v1 = s2.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
     assert(v1.schema.fieldNames.toSeq == Seq("k", "p", "v"), v1.schema)
     assert(v1.count() == 2L)
-    // unsupported ALTER refuses loudly instead of corrupting rows
+    // DROP COLUMN (supported since r12's q310): schema AND rows narrow in
+    // one publish; the dropped data stays readable via time travel
+    s2.sql(s"ALTER TABLE $tbl DROP COLUMN v")
+    assert(s2.table(tbl).schema.fieldNames.toSeq == Seq("k", "p", "w"))
+    assert(s2.sql(s"SELECT sum(v) FROM $tbl VERSION AS OF 1").head().getLong(0) == 30L)
+    // a genuinely unsupported ALTER still refuses loudly
     val e = intercept[Exception] {
-      s2.sql(s"ALTER TABLE $tbl DROP COLUMN v")
+      s2.sql(s"ALTER TABLE $tbl ALTER COLUMN k TYPE STRING")
     }
     assert(e.getMessage.contains("unsupported ALTER"), e.getMessage)
     s2.sql(s"DROP TABLE $tbl")
