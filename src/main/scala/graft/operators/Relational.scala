@@ -4125,6 +4125,47 @@ object Relational {
         ON s.s_nationkey = n.n_nationkey
       ORDER BY n.n_name"""))
 
+  /** MODERN SQL ERGONOMICS — the Spark-4 shorthand surfaces an analyst
+    * coming from DuckDB/BigQuery types on day one, each hash-proven
+    * EQUIVALENT to its classic desugaring (the q282 discipline — syntax
+    * must change nothing but the typing): `GROUP BY ALL` (grouping keys
+    * inferred from the non-aggregate select items), `ORDER BY ALL`
+    * (order by every output column left to right), `SELECT * EXCEPT`
+    * (projection by exclusion — the wide-table idiom), and
+    * `IDENTIFIER(:param)` (injection-safe identifier TEMPLATING: the
+    * table name arrives as a BOUND PARAMETER, not string interpolation —
+    * the q283 parameter discipline extended from values to identifiers).
+    * One statement uses all four; the oracle is the fully classic
+    * spelling. */
+  val q311 = GraftQuery(
+    "q311_modern_sql_ergonomics",
+    "GROUP BY ALL + ORDER BY ALL + SELECT * EXCEPT + IDENTIFIER(): shorthand desugars to the classic forms",
+    (s, dir) => {
+      val s2 = s.newSession()
+      table(s2, dir, "orders").createOrReplaceTempView("erg_ord_v")
+      // the narrow projection by exclusion, through a parameterized
+      // identifier — the table name is a bound parameter, never text glue
+      val narrowed = s2.sql(
+        """SELECT * EXCEPT (o_custkey, o_orderdate)
+           FROM IDENTIFIER(:tbl)""",
+        Map("tbl" -> "erg_ord_v"))
+      narrowed.createOrReplaceTempView("erg_narrow_v")
+      s2.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS total_cents
+           FROM erg_narrow_v
+           GROUP BY ALL
+           ORDER BY ALL""")
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+      ORDER BY o_orderstatus, o_orderpriority, n, total_cents"""))
+
   val all: Seq[GraftQuery] = Seq(q1, q2, q3, q4, q5, q6, q9, q10, q11, q12,
     q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q37, q38, q39,
     q41, q42, q43, q44, q45, q46, q50, q53, q54, q63, q75, q80, q87, q95, q98,
@@ -4132,5 +4173,5 @@ object Relational {
     q146, q147, q148, q152, q153, q155, q156, q158, q160, q161, q170, q174,
     q182, q185, q196, q202, q204, q210, q211, q213, q215, q219, q221, q222,
     q223, q224, q225, q232, q235, q240, q244, q245, q251, q253, q255, q257,
-    q276, q277, q282, q283, q284)
+    q276, q277, q282, q283, q284, q311)
 }
