@@ -8,6 +8,25 @@ object Bench {
     // self-labeling instead of a forensic exercise.
     def loadavg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // Clean-by-construction capture (VERDICT r12 item 3): two rounds
+    // running, the committed round artifact was captured at loadavg
+    // 3.5–3.9 and could only self-disqualify. Before measuring anything,
+    // wait — bounded — for the host to quiesce: up to 4 × 60 s sleeps
+    // while the 1-minute loadavg is ≥ 2. A host that never quiesces
+    // still gets measured (and still self-labels dirty); a host that was
+    // momentarily busy yields a usable round-over-round artifact instead
+    // of a labeled write-off. Opt out with SPARK_GRAFT_NO_QUIESCE=1
+    // (targeted iteration runs shouldn't sleep).
+    if (!sys.env.contains("SPARK_GRAFT_NO_QUIESCE")) {
+      var waited = 0
+      while (loadavg() >= 2.0 && waited < 4) {
+        System.err.println(
+          f"# bench: loadavg ${loadavg()}%.2f >= 2, waiting 60s for quiesce " +
+            s"(${waited + 1}/4)")
+        Thread.sleep(60000)
+        waited += 1
+      }
+    }
     val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

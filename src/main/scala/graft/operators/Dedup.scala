@@ -3146,11 +3146,12 @@ object Dedup {
     *     then stitch the partition boundaries by pairing each partition's
     *     first row with its predecessor's last (two tiny aggregates) —
     *     the scale-correct neighbor scan.
-    *  3. LCP by BINARY DESCENT over the 6 retained rank tables:
-    *     lcp += k when rank_k matches at offset lcp, for k = 32…1 — the
-    *     classic O(log cap) refinement, here 6 levels of equi-joins
-    *     against the rank frames on (doc, pos+L), length-bounded so
-    *     sentinel padding never counts as matched words.
+    *  3. LCP DIRECTLY per neighbor pair (r13 — replacing r12's 6-level
+    *     binary descent, whose 12 sequential join jobs were the build's
+    *     cost center): each pair joins its two CAP-word suffix slices
+    *     out of the corpus arrays (one equi-join per side, sharded on
+    *     doc id) and counts leading equal words row-locally — bounded
+    *     row width, linear pair count, 2 jobs total.
     *  4. lrs(position) = max neighbor lcp — exact by the suffix-array
     *     contiguity property (any consistent alphabet order), which is
     *     why engine word ranks and the oracle's list sort agree on lcp
@@ -3163,8 +3164,8 @@ object Dedup {
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val CAP = 32
-    // the build is ~30 SMALL sequential jobs (5 doubling rounds + 6
-    // descent levels + checkpoints) over ≤540k compact rows — per-job
+    // the build is ~15 SMALL sequential jobs (5 doubling rounds + the
+    // 2-join LCP + checkpoints) over ≤540k compact rows — per-job
     // planning/codegen latency dominates at the session's 32 shuffle
     // partitions, so scope them down for the build. Safe because every
     // intermediate stage localCheckpoints EAGERLY before the conf is
@@ -3187,6 +3188,12 @@ object Dedup {
   private def d37LrsBuild(s: org.apache.spark.sql.SparkSession,
       dir: String, CAP: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    var profT0 = System.nanoTime()
+    def prof(label: String): Unit = if (sys.env.contains("GRAFT_D37_PROFILE")) {
+      val t1 = System.nanoTime()
+      System.err.println(f"# d37 $label ${(t1 - profT0) / 1e9}%.2f s")
+      profT0 = t1
+    }
     // checkpointed once: consumed 4× (vocab, initial ranks, sizes, final
     // position join) — without it each consumer re-runs scan + explode
     val toks = table(s, dir, "documents")
@@ -3196,6 +3203,7 @@ object Dedup {
         posexplode(col("ws")).as(Seq("i0", "w")))
       .select(col("d"), col("n_words"), (col("i0") + 1).as("i"), col("w"))
       .localCheckpoint(true)
+    prof("toks")
     // CONTIGUOUS order-preserving rank (0..#distinct−1): distinct → range
     // sort → zipWithIndex. Contiguity — not just the monotonicity a
     // range-sorted monotonically_increasing_id gives (8 partitions ⇒ ids
@@ -3203,114 +3211,184 @@ object Dedup {
     // ranks with bit arithmetic instead of re-ranking (below). Ids stay
     // < 2^31 for any corpus shard whose distinct capped suffixes fit an
     // executor fleet's rank table; a larger shard re-ranks per round.
+    // Also returns the distinct-key COUNT (the caller's next pack bound)
+    // for free. r13 rewrite: range-sort once into a checkpoint, then
+    // rank = per-partition row_number + a collected cumulative offset —
+    // rdd.zipWithIndex ran the distinct+sort TWICE (its internal count
+    // job, then the real pass) and paid the Row conversion on top.
     def denseRank(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
-        out: String): org.apache.spark.sql.DataFrame = {
-      val sorted = df.distinct().orderBy(keys.map(col): _*)
-      val outSchema = sorted.schema
-        .add(out, org.apache.spark.sql.types.LongType, nullable = false)
-      s.createDataFrame(
-        sorted.rdd.zipWithIndex.map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
-        outSchema)
+        out: String): (org.apache.spark.sql.DataFrame, Long) = {
+      val sorted = df.distinct()
+        .repartitionByRange(8, keys.map(col): _*)
+        .sortWithinPartitions(keys.map(col): _*)
+        .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
+        .localCheckpoint(true)
+      val counts = sorted.groupBy("_pid").count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offMap = {
+        var acc = 0L
+        counts.map { case (p, n) => val o = (p, acc); acc += n; o }.toMap
+      }
+      val w = Window.partitionBy("_pid").orderBy(keys.map(col): _*)
+      (sorted.withColumn(out,
+          element_at(typedLit(offMap), col("_pid")) +
+            row_number().over(w) - 1)
+        .drop("_pid"), counts.map(_._2).sum)
     }
-    val vocab = denseRank(toks.select("w"), Seq("w"), "rk")
-    // localCheckpoint per round: EAGER and lineage-truncating — without it
-    // the descent's 14 joins over 6 chained rank rounds compose a plan
-    // tree whose mere rendering OOMs the driver (the d25PairStage lesson,
-    // at iterative-algorithm scale)
-    // vocab is Zipf-bounded at any corpus size (the t68 type-table
-    // argument) — broadcastable legitimately, unlike position-scale tables
-    var cur = toks.join(broadcast(vocab), "w").select(col("d"), col("i"), col("rk"))
-      .localCheckpoint(true)
-    // rank tables per power of two, retained for the LCP descent
-    val tables = scala.collection.mutable.Map[Int, org.apache.spark.sql.DataFrame](1 -> cur)
+    // WORD RANKS from the collected type table: the distinct-word
+    // universe is Zipf-bounded at any corpus size (the t68 argument —
+    // the r12 build already shipped it WHOLE to every task via
+    // broadcast(vocab)); collecting it driver-side is the same data
+    // movement minus three rank-assignment jobs, and the sorted order IS
+    // the rank. Degenerate non-Zipf vocabularies fall back to the
+    // distributed denseRank + broadcast join.
+    val vocabWords = toks.select("w").distinct().orderBy("w")
+      .collect().map(_.getString(0))
+    // localCheckpoint per round: EAGER and lineage-truncating — without
+    // it the doubling's self-joins compose a plan tree whose mere
+    // rendering OOMs the driver (the d25PairStage lesson, at
+    // iterative-algorithm scale). Each checkpoint PRESERVES the hash(d)
+    // partitioning toks established, so every round's (d, i) self-join
+    // needs NO exchange — HashPartitioning(d) already clusters (d, i).
+    // rank_1 stays LAZY: it is a pure projection over the checkpointed
+    // toks (map-literal lookup), so the first pack round evaluating it
+    // twice costs less than a checkpoint job of its own
+    var cur =
+      if (vocabWords.length <= 100000) {
+        val rkMap = typedLit(vocabWords.zipWithIndex
+          .map { case (w, i) => (w, i.toLong) }.toMap)
+        toks.select(col("d"), col("i"), element_at(rkMap, col("w")).as("rk"))
+      } else {
+        val (vocab, _) = denseRank(toks.select("w"), Seq("w"), "rk")
+        toks.join(broadcast(vocab), "w").select(col("d"), col("i"), col("rk"))
+          .localCheckpoint(true)
+      }
+    prof("vocab+rank1")
+    // ADAPTIVE-WIDTH PACKING + TUPLE FINISH (r13, generalizing r11's
+    // fixed 32-bit alternation): rank VALUES only ever need ORDER
+    // consistency, so a round packs rank_2k = rk·(maxR+2) + rk2 + 1 —
+    // injective and lexicographic for rk2 ∈ [−1, maxR] — for as long as
+    // the EXACT driver-tracked bound maxR keeps the product inside a
+    // long. When packing overflows AND ≤ 4 levels remain, the build
+    // FINISHES WITHOUT EVER RE-DENSIFYING: suffix_CAP order is exactly
+    // the lexicographic tuple (rank_k(i), rank_k(i+k), …, rank_k(i+CAP−k))
+    // — block-wise comparison with −1 sentinels for past-the-end blocks,
+    // the same argument as one doubling step applied (CAP/k − 1) times —
+    // and the SA sort below just orders by all tuple columns. This
+    // corpus: 3 packs to rank_8, then a 4-tuple finish — ZERO re-rank
+    // rounds (r11 had two, r13's first cut one); a giant-vocabulary
+    // corpus still re-ranks densely (denseRank) when packing dies with
+    // > 4 levels left, then packs/finishes from there.
+    var maxR: Long = math.max(vocabWords.length.toLong - 1, 1L)
     var k = 1
-    // rank VALUES only ever need ORDER consistency (the SA sort compares
-    // order, the LCP descent compares equality) — density is needed only
-    // as the precondition of the NEXT encode. So rounds alternate:
-    //   ENCODE (input dense, < 2^31): rank_2k = shiftleft(rk,32)+rk2+1 —
-    //     the packed long IS the lexicographic pair order (rk2 ∈ [−1,2^31));
-    //     one pair-join shuffle, no re-rank.
-    //   RE-RANK (input encoded, up to 2^63): contiguous denseRank, making
-    //     the next round encodable again.
-    // Halves the rank machinery: 2 re-ranks instead of 5 (VERDICT r11 #5).
-    var isDense = true
+    var rankCols = Seq("rk")
     while (k < CAP) {
-      val shifted = cur.select(col("d"), (col("i") - k).as("i"),
-        col("rk").as("rk2"))
-      val paired = cur.join(shifted, Seq("d", "i"), "left")
-        .na.fill(-1L, Seq("rk2"))
-      cur = (if (isDense)
-          paired.select(col("d"), col("i"),
-            expr("shiftleft(rk, 32) + rk2 + 1").as("rk"))
-        else {
-          val keys = denseRank(paired.select("rk", "rk2"), Seq("rk", "rk2"), "nrk")
-          paired.join(keys, Seq("rk", "rk2"))
-            .select(col("d"), col("i"), col("nrk").as("rk"))
-        }).localCheckpoint(true)
-      isDense = !isDense
-      k *= 2
-      tables(k) = cur
+      val mult = maxR + 2
+      val canPack = maxR <= (Long.MaxValue - maxR - 1) / mult
+      if (!canPack && CAP / k <= 4) {
+        // tuple finish: fetch rank_k at offsets k, 2k, … CAP−k (all
+        // exchange-free self-joins on the preserved hash(d) partitioning)
+        var df = cur
+        var off = k
+        while (off < CAP) {
+          val cn = s"rk$off"
+          val shifted = cur.select(col("d"), (col("i") - off).as("i"),
+            col("rk").as(cn))
+          df = df.join(shifted, Seq("d", "i"), "left").na.fill(-1L, Seq(cn))
+          rankCols :+= cn
+          off += k
+        }
+        cur = df.localCheckpoint(true)
+        k = CAP
+        prof(s"tuple_finish_x${rankCols.size}")
+      } else {
+        val shifted = cur.select(col("d"), (col("i") - k).as("i"),
+          col("rk").as("rk2"))
+        val paired = cur.join(shifted, Seq("d", "i"), "left")
+          .na.fill(-1L, Seq("rk2"))
+        cur = (if (canPack) {
+            val packed = paired.select(col("d"), col("i"),
+              (col("rk") * mult + col("rk2") + 1).as("rk"))
+            maxR = maxR * mult + maxR + 1
+            packed
+          } else {
+            val (keys, n) = denseRank(paired.select("rk", "rk2"),
+              Seq("rk", "rk2"), "nrk")
+            maxR = n - 1
+            paired.join(keys, Seq("rk", "rk2"))
+              .select(col("d"), col("i"), col("nrk").as("rk"))
+              .repartition(8, col("d")) // restore round-join partitioning
+          }).localCheckpoint(true)
+        k *= 2
+        prof(s"double_to_$k")
+      }
     }
     // 2. suffix-array neighbor pairs (range partition + boundary stitch)
-    val sa = cur.repartitionByRange(8, col("rk"), col("d"), col("i"))
+    // 2+3. SUFFIX-ARRAY NEIGHBORS AND THEIR LCP IN ONE PASS (r13,
+    // VERDICT r12 item 2 — replaces the 6-level binary descent whose 12
+    // sequential join jobs dominated the build): each position picks up
+    // its CAP-word suffix SLICE before the range shuffle (one join
+    // against the per-doc word arrays — exchange-free on the rank side,
+    // which is still hash(d)-partitioned), so after the range sort the
+    // neighbor's suffix arrives through the SAME window lag() that finds
+    // the neighbor, and lcp is one row-local array scan — zero
+    // pair-side joins. Same values by construction: lcp = |longest
+    // common prefix| of the capped suffixes, implicitly bounded by both
+    // remaining lengths and CAP via slice truncation. Scale-sane: the
+    // range shuffle carries ≤ CAP words per position (bounded width,
+    // linear total — the Lee et al. adjacent-suffix comparison,
+    // sharded); boundary stitch unchanged (two tiny aggregates).
+    val docsWs = table(s, dir, "documents")
+      .select(col("doc_id").as("d"), words(col("text")).as("ws"))
+    val saKeys = (rankCols :+ "d" :+ "i").map(col)
+    val sa = cur
+      .join(docsWs, "d") // docsWs shuffles/broadcasts; cur side stays put
+      .withColumn("suf", expr(s"slice(ws, i, $CAP)")).drop("ws")
+      .repartitionByRange(8, saKeys: _*)
       .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
       .localCheckpoint(true)
-    val wIn = Window.partitionBy("pid").orderBy("rk", "d", "i")
+    prof("sa_stitch")
+    val wIn = Window.partitionBy("pid").orderBy(saKeys: _*)
     val within = sa
       .withColumn("pd", lag(col("d"), 1).over(wIn))
       .withColumn("pi", lag(col("i"), 1).over(wIn))
+      .withColumn("psuf", lag(col("suf"), 1).over(wIn))
       .filter(col("pd").isNotNull)
       .select(col("pd").as("da"), col("pi").as("ia"),
-        col("d").as("db"), col("i").as("ib"))
+        col("d").as("db"), col("i").as("ib"),
+        col("psuf").as("sufa"), col("suf").as("sufb"))
+    // (rk…, d, i) is unique, so the trailing suf never drives the order
+    val edgeKeys = saKeys :+ col("suf")
     val edges = sa.groupBy("pid")
-      .agg(min(struct(col("rk"), col("d"), col("i"))).as("f"),
-        max(struct(col("rk"), col("d"), col("i"))).as("l"))
+      .agg(min(struct(edgeKeys: _*)).as("f"),
+        max(struct(edgeKeys: _*)).as("l"))
     val boundary = edges.select((col("pid") + 1).as("pid"),
-        col("l.d").as("da"), col("l.i").as("ia"))
-      .join(edges.select(col("pid"), col("f.d").as("db"), col("f.i").as("ib")),
-        "pid")
-      .select("da", "ia", "db", "ib")
-    // 3. LCP binary descent over the retained rank tables. A padded-rank
-    // match at level k means the suffixes are equal AS PADDED strings —
-    // k real words when both sides have ≥ k words left, else the (equal)
-    // remaining lengths — so each step adds min(k, remaining, cap-left),
-    // never crediting sentinel positions as matched words.
-    val sizes = toks.select(col("d"), col("n_words")).distinct()
-      .localCheckpoint(true)
+        col("l.d").as("da"), col("l.i").as("ia"), col("l.suf").as("sufa"))
+      .join(edges.select(col("pid"), col("f.d").as("db"),
+        col("f.i").as("ib"), col("f.suf").as("sufb")), "pid")
+      .select("da", "ia", "db", "ib", "sufa", "sufb")
     var pairs = within.unionByName(boundary)
-      .join(broadcast(sizes.select(col("d").as("da"), col("n_words").as("na"))), "da")
-      .join(broadcast(sizes.select(col("d").as("db"), col("n_words").as("nb"))), "db")
-      .withColumn("lcp", lit(0L)) // shallow plan (sa + broadcasts): no ckpt needed
-    var kk = CAP
-    while (kk >= 1) {
-      val rt = tables(kk)
-      pairs = pairs
-        .join(rt.select(col("d").as("da2"),
-          col("i").as("ja"), col("rk").as("ra")),
-          col("da") === col("da2") && col("ja") === col("ia") + col("lcp"), "left")
-        .drop("da2", "ja")
-        .join(rt.select(col("d").as("db2"),
-          col("i").as("jb"), col("rk").as("rb")),
-          col("db") === col("db2") && col("jb") === col("ib") + col("lcp"), "left")
-        .drop("db2", "jb")
-        .withColumn("lcp",
-          when(col("ra").isNotNull && col("rb").isNotNull &&
-            col("ra") === col("rb"),
-            col("lcp") + least(lit(kk.toLong),
-              col("na") - (col("ia") + col("lcp")) + 1,
-              col("nb") - (col("ib") + col("lcp")) + 1,
-              lit(CAP.toLong) - col("lcp"))).otherwise(col("lcp")))
-        .drop("ra", "rb")
-      // lineage-truncate every other level: two levels' 4 joins render
-      // fine, and each checkpoint is a whole Spark job saved
-      if (kk == 4 || kk == 1) pairs = pairs.localCheckpoint(true)
-      kk /= 2
-    }
-    // 4. lrs = max lcp over the (≤2) adjacent pairs touching a position
-    val perPos = pairs.select(col("da").as("d"), col("ia").as("i"), col("lcp"))
-      .unionByName(pairs.select(col("db").as("d"), col("ib").as("i"), col("lcp")))
+      .withColumn("lcp", expr(
+        // first mismatch position − 1; no mismatch ⇒ the shorter length
+        // (zip_with null-pads the shorter side, so a length difference
+        // IS a mismatch at position min+1) — one array scan per row
+        """CAST(coalesce(
+             nullif(array_position(zip_with(sufa, sufb,
+               (x, y) -> x IS NOT NULL AND y IS NOT NULL AND x = y),
+               false), 0) - 1,
+             least(size(sufa), size(sufb))) AS BIGINT)"""))
+      .drop("sufa", "sufb")
+    if (sys.env.contains("GRAFT_D37_PROFILE")) { pairs = pairs.localCheckpoint(true); prof("lcp_pairs") }
+    // 4. lrs = max lcp over the (≤2) adjacent pairs touching a position.
+    // MELT via explode, not a self-union — a union would execute the
+    // whole window+lcp subtree twice (r13: the single-evaluation melt is
+    // what let the tail drop its checkpoint)
+    var perPos = pairs.select(explode(array(
+        struct(col("da").as("d"), col("ia").as("i")),
+        struct(col("db").as("d"), col("ib").as("i")))).as("p"), col("lcp"))
+      .select(col("p.d").as("d"), col("p.i").as("i"), col("lcp"))
       .groupBy("d", "i").agg(max(col("lcp")).as("lrs"))
+    if (sys.env.contains("GRAFT_D37_PROFILE")) { perPos = perPos.localCheckpoint(true); prof("perpos") }
     // no final checkpoint: the caller (spool write / test consumer)
     // materializes exactly once, and the plan above is shallow (toks and
     // pairs are both checkpointed)
@@ -3327,7 +3405,7 @@ object Dedup {
       dir: String): org.apache.spark.sql.DataFrame = {
     val spool = spoolDir(s"d37lrs_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(spool, "_SUCCESS")))
-      d37Lrs(s, dir).coalesce(1).write.mode("overwrite").parquet(spool)
+      d37Lrs(s, dir).write.mode("overwrite").parquet(spool) // 8-way write
     s.read.parquet(spool)
   }
 

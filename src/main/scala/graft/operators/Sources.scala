@@ -3251,6 +3251,101 @@ object Sources {
           (SELECT CAST(sum(cents // 100) AS BIGINT) FROM t), 0)
       ORDER BY kind, status"""))
 
+  /** FILE-BACKED SCANS OF A RESTORED DURABLE TABLE — closing VERDICT
+    * r12's one remaining driver-side data seam: after a restart, a
+    * durable table's snapshot is a [[graft.sources.LazyParts]] MANIFEST
+    * VIEW (partition keys + per-file row/byte stats, no rows), and a
+    * batch scan plans one [[graft.sources.MemFilePart]] per surviving
+    * spilled partition file — the task opens the parquet itself, so the
+    * data moves disk → executor exactly like a FileScan, never through
+    * the driver. The entry proves all of it with hash-asserted audits:
+    * (a) the executed plan self-describes `fileBacked=3 files`, (b)
+    * partition pruning happens at the MANIFEST (a status-filtered read
+    * plans 1 of 3 files), (c) after BOTH reads complete, the driver-side
+    * lazy cache has materialized ZERO partitions, and (d) manifest
+    * statistics served the planner (numRows == the table's real count,
+    * read without opening a file). Aggregation groups by a NON-partition
+    * key on purpose — pushed aggregates would be computed driver-side
+    * and defeat the proof. At 100 TB this is the whole point of a
+    * lakehouse read path: the driver holds manifests, executors hold
+    * data. */
+  val q312 = GraftQuery(
+    "q312_file_backed_restore_scan",
+    "Durable catalog restore serves batch scans from spilled parquet through executors (no driver rehydration)",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_fbr",
+        "graft.sources.GraftSparkCatalog")
+      s2.conf.set("spark.sql.catalog.graft_fbr.warehouse",
+        "spark-warehouse/graft_catalog_fbr")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_fbr.corpus.fbr_$tag"
+      val key = s"cat!graft_fbr!corpus!fbr_$tag"
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .writeTo(tbl).partitionedBy(col("status")).create()
+      // ---- process restart: all in-memory state dies; the next read
+      // restores a manifest-only snapshot over the spilled files
+      graft.sources.MemTable.evict(key)
+      def leg(kind: String, where: String) = s2.sql(
+        s"""SELECT '$kind' AS kind, pmod(okey, 7) AS grp, count(*) AS n,
+                   sum(cents) AS total_cents
+            FROM $tbl $where GROUP BY pmod(okey, 7)""")
+      val full = leg("full", "")
+      val pruned = leg("pruned", "WHERE status = 'O'")
+      def described(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString
+      def plannedOf(desc: String): Long =
+        "planned=(\\d+)".r.findFirstMatchIn(desc)
+          .map(_.group(1).toLong).getOrElse(-1L)
+      val (fullDesc, prunedDesc) = (described(full), described(pruned))
+      // manifest statistics reached the planner: numRows without a read
+      val statRows = full.queryExecution.optimizedPlan.collectLeaves()
+        .flatMap(_.stats.rowCount).headOption.map(_.toLong).getOrElse(-1L)
+      val out = full.unionByName(pruned).localCheckpoint(true)
+      // the probe AFTER both legs executed: zero driver materialization
+      val lazyLeft = graft.sources.MemTable.store(key).parts match {
+        case lp: graft.sources.LazyParts => lp.materializedCount.toLong
+        case _                           => -1L
+      }
+      val audits = Seq(
+        ("audit", 0L, if (fullDesc.contains("fileBacked=3 files")) 1L else 0L),
+        ("audit", 1L, plannedOf(fullDesc)),
+        ("audit", 2L, plannedOf(prunedDesc)),
+        ("audit", 3L, lazyLeft),
+        ("audit", 4L, if (statRows ==
+          graft.sources.MemTable.store(key).parts
+            .asInstanceOf[graft.sources.LazyParts]
+            .fileInfo.valuesIterator.map(_.rows).sum) 1L else 0L))
+      import s2.implicits._
+      val auditDf = audits.toDF("kind", "grp", "n")
+        .withColumn("total_cents", lit(0L))
+      val res = out.unionByName(auditDf).orderBy("kind", "grp")
+        .localCheckpoint(true)
+      s2.sql(s"DROP TABLE $tbl")
+      res
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey AS okey, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'full' AS kind, okey % 7 AS grp, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM t GROUP BY okey % 7
+        UNION ALL
+        SELECT 'pruned', okey % 7, count(*), CAST(sum(cents) AS BIGINT)
+        FROM t WHERE status = 'O' GROUP BY okey % 7
+        UNION ALL SELECT 'audit', 0, 1, 0  -- plan self-describes fileBacked=3
+        UNION ALL SELECT 'audit', 1, 3, 0  -- full read plans all 3 files
+        UNION ALL SELECT 'audit', 2, 1, 0  -- pruned read plans 1 of 3
+        UNION ALL SELECT 'audit', 3, 0, 0  -- driver materialized ZERO parts
+        UNION ALL SELECT 'audit', 4, 1, 0) -- manifest stats fed the planner
+      ORDER BY kind, grp"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -3379,5 +3474,5 @@ object Sources {
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
     q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296,
     q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308,
-    q309, q310)
+    q309, q310, q312)
 }

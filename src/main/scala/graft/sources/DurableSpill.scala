@@ -7,7 +7,6 @@ import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.hadoop.example.ExampleParquetWriter
 import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 
 /** Durable manifest for one table: the transaction-log summary a restart
@@ -26,10 +25,56 @@ private[sources] case class DurableManifest(
     sortedBy: Option[String] = None)
 
 /** Per-version sidecar: the schema AT that snapshot (schema evolution
-  * means versions differ) and the commit timestamp TIMESTAMP AS OF
-  * resolves against. */
+  * means versions differ), the commit timestamp TIMESTAMP AS OF resolves
+  * against, and the version's DATA FILES — one parquet file per
+  * partition group (`parts` rows: partition key, file name, row count,
+  * byte estimate), the manifest-lists-data-files discipline every
+  * lakehouse format uses. The file list is what lets a restart serve
+  * batch scans STRAIGHT FROM THE FILES through executors
+  * ([[LazyParts]] / [[MemFilePart]]) instead of rehydrating rows into
+  * driver memory. */
 private[sources] case class DurableVersionMeta(
-    version: Long, tsMicros: Long, schemaJson: String)
+    version: Long, tsMicros: Long, schemaJson: String,
+    parts: Seq[Seq[String]] = Nil)
+
+/** One spilled partition group: absolute parquet path + the stats the
+  * scan planner needs without opening it. */
+private[graft] case class PartFileInfo(path: String, rows: Long, bytes: Long)
+
+/** The parts map of a RESTORED durable snapshot: partition keys, row
+  * counts, and byte sizes come from the version manifest (metadata-only
+  * — `keySet`/`size`/`contains` never touch a data file), while row
+  * ACCESS materializes that partition's parquet lazily, once, driver-side
+  * — the compatibility path for consumers that genuinely need rows in
+  * the driver (writes appending to the table, pushed top-N/aggregates,
+  * the streaming increment differ). Plain batch scans never call those:
+  * [[graft.sources.MemFilePart]] ships the file path to the task and the
+  * rows go parquet → executor, exactly like a FileScan. */
+private[graft] final class LazyParts(
+    val fileInfo: Map[String, PartFileInfo],
+    schema: StructType)
+    extends scala.collection.immutable.Map[String, Vector[Array[Any]]] {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[Array[Any]]]
+  /** How many partitions a DRIVER-side consumer has materialized — the
+    * probe q312 hash-asserts stays ZERO across a file-backed batch scan. */
+  def materializedCount: Int = cache.size
+  override def get(key: String): Option[Vector[Array[Any]]] =
+    fileInfo.get(key).map { f =>
+      cache.computeIfAbsent(key, _ => DurableSpill.readRows(f.path, schema))
+    }
+  override def iterator: Iterator[(String, Vector[Array[Any]])] =
+    fileInfo.keysIterator.map(k => k -> apply(k))
+  override def removed(key: String): Map[String, Vector[Array[Any]]] =
+    new LazyParts(fileInfo - key, schema)
+  override def updated[V1 >: Vector[Array[Any]]](key: String, value: V1)
+      : scala.collection.immutable.Map[String, V1] =
+    scala.collection.immutable.Map.from[String, V1](iterator).updated(key, value)
+  override def size: Int = fileInfo.size
+  override def contains(key: String): Boolean = fileInfo.contains(key)
+  override def keySet: Set[String] = fileInfo.keySet
+  override def keysIterator: Iterator[String] = fileInfo.keysIterator
+}
 
 /** DURABLE CATALOG PERSISTENCE — the lakehouse property the in-process
   * [[MemTable]] store lacked (VERDICT r11 gap #1): the reference's
@@ -155,55 +200,102 @@ private[sources] object DurableSpill {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  private def parquetType(schema: StructType) = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType => b.addField(
+          Types.optional(PrimitiveTypeName.INT64).named(f.name))
+        case StringType => b.addField(
+          Types.optional(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case other => sys.error(s"DurableSpill: unsupported type $other")
+      }
+    }
+    b.named("snapshot")
+  }
+
+  /** One parquet DATA FILE PER PARTITION GROUP (the lakehouse layout —
+    * a restored scan plans one task per partition file and never routes
+    * the rows through the driver). Returns the version-meta `parts` rows:
+    * (partition key, file name, row count, byte estimate). */
   private def writeVersion(dir: JPath, snap: MemTable.Snapshot): Unit = {
     val vdir = dir.resolve(s"v${snap.version}")
     if (Files.exists(vdir.resolve("meta.json"))) return // snapshots immutable
     Files.createDirectories(vdir)
-    val msgType = {
-      val b = Types.buildMessage()
-      snap.schema.fields.foreach { f =>
-        f.dataType match {
-          case LongType => b.addField(
-            Types.optional(PrimitiveTypeName.INT64).named(f.name))
-          case StringType => b.addField(
-            Types.optional(PrimitiveTypeName.BINARY)
-              .as(LogicalTypeAnnotation.stringType()).named(f.name))
-          case other => sys.error(s"DurableSpill: unsupported type $other")
-        }
-      }
-      b.named("snapshot")
-    }
-    val file = vdir.resolve("rows.parquet")
-    Files.deleteIfExists(file)
-    val writer = ExampleParquetWriter.builder(new HPath(file.toString))
-      .withType(msgType).withConf(new Configuration()).build()
-    try {
-      val factory = new SimpleGroupFactory(msgType)
-      snap.parts.valuesIterator.flatten.foreach { row =>
-        val g = factory.newGroup()
-        snap.schema.fields.iterator.zipWithIndex.foreach { case (f, i) =>
-          if (row(i) != null) f.dataType match {
-            case LongType   => g.add(f.name, row(i).asInstanceOf[Long])
-            case StringType => g.add(f.name, row(i).asInstanceOf[String])
-            case other      => sys.error(s"DurableSpill: unsupported type $other")
+    val msgType = parquetType(snap.schema)
+    val partsMeta = snap.parts.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((key, rows), i) =>
+        val fname = s"p$i.parquet"
+        val file = vdir.resolve(fname)
+        Files.deleteIfExists(file)
+        val writer = ExampleParquetWriter.builder(new HPath(file.toString))
+          .withType(msgType).withConf(new Configuration()).build()
+        var bytes = 0L
+        try {
+          val factory = new SimpleGroupFactory(msgType)
+          rows.foreach { row =>
+            val g = factory.newGroup()
+            snap.schema.fields.iterator.zipWithIndex.foreach { case (f, j) =>
+              bytes += (row(j) match {
+                case s: String => g.add(f.name, s); 8L + 2L * s.length
+                case l: Long   => g.add(f.name, l); 8L
+                case null      => 8L
+                case other => sys.error(s"DurableSpill: unsupported value $other")
+              })
+            }
+            writer.write(g)
           }
-        }
-        writer.write(g)
-      }
-    } finally writer.close()
-    val meta = DurableVersionMeta(snap.version, snap.tsMicros, snap.schema.json)
+        } finally writer.close()
+        Seq(key, fname, rows.size.toString, bytes.toString)
+    }
+    val meta = DurableVersionMeta(snap.version, snap.tsMicros,
+      snap.schema.json, partsMeta)
     Files.write(vdir.resolve("meta.json"),
       org.json4s.jackson.Serialization.write(meta)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Reads one spilled partition file back into plain JVM rows — called
+    * from an EXECUTOR task by [[MemFilePart]]'s reader (the scale path)
+    * and from [[LazyParts]] on the driver (the lazy compatibility path).
+    * parquet-java directly: no nested Spark job either way. */
+  def readRows(path: String, schema: StructType): Vector[Array[Any]] = {
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new HPath(path))
+      .withConf(new Configuration()).build()
+    try {
+      val out = Vector.newBuilder[Array[Any]]
+      var g = reader.read()
+      while (g != null) {
+        out += schema.fields.map { f =>
+          if (g.getFieldRepetitionCount(f.name) == 0) null
+          else f.dataType match {
+            case LongType   => g.getLong(f.name, 0): Any
+            case StringType => g.getString(f.name, 0): Any
+            case other      => sys.error(s"DurableSpill: unsupported type $other")
+          }
+        }
+        g = reader.read()
+      }
+      out.result()
+    } finally reader.close()
   }
 
   // -------------------------------------------------------------- restore
 
   /** Lazy restore: if the key is absent from the in-process store but a
     * durable spill exists, rebuild everything a restart needs — the
-    * retained history (per-version schema + commit ts), current snapshot,
-    * partition/row-id columns, and declared partitions. Idempotent and
-    * cheap when already loaded (one TrieMap hit). */
+    * retained history (per-version schema + commit ts + DATA FILE LIST),
+    * current snapshot, partition/row-id columns, and declared partitions.
+    * METADATA-ONLY: no data file is opened here — each restored
+    * snapshot's parts map is a [[LazyParts]] over the version's spilled
+    * partition files, so a batch scan plans straight against the files
+    * ([[MemFilePart]] per partition, rows read executor-side) and only a
+    * consumer that genuinely needs driver-side rows (a write building on
+    * the current snapshot, a pushed top-N) materializes — per partition,
+    * once. Idempotent and cheap when already loaded (one TrieMap hit). */
   def ensureLoaded(key: String): Unit = {
     if (MemTable.store.contains(key)) return
     rootOf(key).foreach { root =>
@@ -214,29 +306,20 @@ private[sources] object DurableSpill {
         if (MemTable.store.contains(key)) return
         val m = org.json4s.jackson.Serialization.read[DurableManifest](
           new String(Files.readAllBytes(mf), java.nio.charset.StandardCharsets.UTF_8))
-        val spark = SparkSession.active
         m.versions.foreach { v =>
           val vdir = dir.resolve(s"v$v")
           val meta = org.json4s.jackson.Serialization.read[DurableVersionMeta](
             new String(Files.readAllBytes(vdir.resolve("meta.json")),
               java.nio.charset.StandardCharsets.UTF_8))
           val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-          val partIdx = schema.fieldNames.indexOf(m.partCol)
-          val rows = spark.read.parquet(vdir.resolve("rows.parquet").toString)
-            .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
-            .collect()
-          val parts = rows.iterator.map { r =>
-            schema.fields.indices.map { i =>
-              if (r.isNullAt(i)) null
-              else schema.fields(i).dataType match {
-                case LongType   => r.getLong(i)
-                case StringType => r.getString(i)
-                case other      => sys.error(s"DurableSpill: unsupported type $other")
-              }
-            }.toArray[Any]
-          }.toVector.groupBy(r => String.valueOf(r(partIdx)))
+          val files = meta.parts.collect {
+            case Seq(pkey, fname, rows, bytes) =>
+              pkey -> PartFileInfo(vdir.resolve(fname).toAbsolutePath.toString,
+                rows.toLong, bytes.toLong)
+          }.toMap
           MemTable.history.put((key, v),
-            MemTable.Snapshot(schema, parts, v, meta.tsMicros))
+            MemTable.Snapshot(schema, new LazyParts(files, schema), v,
+              meta.tsMicros))
         }
         m.declaredParts.foreach { case (value, props) =>
           MemTable.declaredParts.put((key, value), props)

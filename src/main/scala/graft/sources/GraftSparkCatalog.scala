@@ -349,12 +349,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
             "graft catalog: cannot rename the partition column")
           require(!GraftSparkCatalog.sortCols.get(k).contains(from) &&
             !GraftSparkCatalog.deltaIdCols.get(k).contains(from) &&
+            !GraftSparkCatalog.identityCols.get(k).exists(_._1 == from) &&
             !GraftSparkCatalog.generatedCols.getOrElse(k, Nil).exists(_._1 == from),
             s"graft catalog: column $from anchors a declared table contract " +
-              "(sortedBy/deltaIdCol/generated) — drop the contract first")
+              "(sortedBy/deltaIdCol/identity/generated) — drop the contract first")
           require(!GraftSparkCatalog.generatedCols.getOrElse(k, Nil)
-            .exists(_._2.contains(from)),
+            .exists(g => GraftSparkCatalog.exprReferences(g._2, from)),
             s"graft catalog: column $from is referenced by a generation expression")
+          require(!GraftSparkCatalog.checkConstraints.getOrElse(k, Nil)
+            .exists(c => GraftSparkCatalog.exprReferences(c._2, from)),
+            s"graft catalog: column $from is referenced by a CHECK constraint " +
+              "— drop the constraint first")
           schema = StructType(schema.fields.updated(idx,
             schema.fields(idx).copy(name = rn.newName())))
           schemaChanged = true
@@ -374,12 +379,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
               "graft catalog: cannot drop the partition column")
             require(!GraftSparkCatalog.sortCols.get(k).contains(dn) &&
               !GraftSparkCatalog.deltaIdCols.get(k).contains(dn) &&
+              !GraftSparkCatalog.identityCols.get(k).exists(_._1 == dn) &&
               !GraftSparkCatalog.generatedCols.getOrElse(k, Nil).exists(_._1 == dn),
               s"graft catalog: column $dn anchors a declared table contract " +
-                "(sortedBy/deltaIdCol/generated) — drop the contract first")
+                "(sortedBy/deltaIdCol/identity/generated) — drop the contract first")
             require(!GraftSparkCatalog.generatedCols.getOrElse(k, Nil)
-              .exists(_._2.contains(dn)),
+              .exists(g => GraftSparkCatalog.exprReferences(g._2, dn)),
               s"graft catalog: column $dn is referenced by a generation expression")
+            require(!GraftSparkCatalog.checkConstraints.getOrElse(k, Nil)
+              .exists(c => GraftSparkCatalog.exprReferences(c._2, dn)),
+              s"graft catalog: column $dn is referenced by a CHECK constraint " +
+                "— drop the constraint first")
             schema = StructType(schema.fields.patch(idx, Nil, 1))
             parts = parts.map { case (p, rs) =>
               p -> rs.map(r => r.patch(idx, Nil, 1))
@@ -771,4 +781,19 @@ object GraftSparkCatalog {
   /** (catalog, namespace path) → declared namespace properties. */
   val namespaces =
     new scala.collection.concurrent.TrieMap[(String, Seq[String]), Map[String, String]]
+
+  /** Does a stored expression SQL (generation expression, CHECK
+    * predicate) reference column `col`? Parsed, not substring-matched —
+    * `okey` in an expression must not pin down a column named `k`. An
+    * unparseable expression falls back to the conservative substring
+    * check (refusing a rename is recoverable; silently detaching a
+    * contract is not). */
+  private[sources] def exprReferences(sql: String, col: String): Boolean =
+    try {
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(sql).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last
+        }.contains(col)
+    } catch { case scala.util.control.NonFatal(_) => sql.contains(col) }
 }

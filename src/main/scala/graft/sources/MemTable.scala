@@ -1119,6 +1119,9 @@ private[sources] class MemWriterFactory(schema: StructType, partCol: String)
           else schema.fields(i).dataType match {
             case LongType   => row.getLong(i)
             case StringType => row.getUTF8String(i).toString
+            // semi-structured payload: stored as the opaque (value,
+            // metadata) pair VariantVal IS — no driver-side decode
+            case org.apache.spark.sql.types.VariantType => row.getVariant(i)
             case other      => sys.error(s"MemTable: unsupported type $other")
           }
         }.toArray
@@ -1411,12 +1414,22 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
     * acceptance so the engine-side Filter plans stay pinned — and
     * REQUIRED for join pushdown: equi-joins always carry inferred
     * IsNotNull filters, and the join rule only fires when no residual
-    * Filter remains above the scan. */
-  private def compileV1(f: Filter): Option[Array[Any] => Boolean] = {
+    * Filter remains above the scan.
+    *
+    * Compiled under SQL THREE-VALUED logic (`None` = UNKNOWN): a
+    * comparison against a NULL cell is UNKNOWN, AND/OR follow Kleene
+    * truth tables, and NOT(UNKNOWN) stays UNKNOWN — so a pushed
+    * `col != v` (Not(EqualTo)) correctly EXCLUDES NULL rows exactly as
+    * the engine-side Filter it replaces would. Accepted filters are
+    * dropped from Spark's plan, so a two-valued evaluator here would be
+    * silently wrong, not slow. [[compileV1Top]] resolves UNKNOWN to
+    * no-match only at the top of each pushed conjunct (WHERE semantics). */
+  private def compileV1(f: Filter): Option[Array[Any] => Option[Boolean]] = {
     val sch = snap.schema
     def idx(c: String): Option[Int] =
       Option(sch.fieldNames.indexOf(c)).filter(_ >= 0)
     def cmpv(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (null, _) | (_, null)  => None // NULL comparison → UNKNOWN
       case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
       case (x: Long, y: Int)      => Some(java.lang.Long.compare(x, y.toLong))
       case (x: String, y: String) => Some(x.compareTo(y))
@@ -1424,32 +1437,52 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
     }
     f match {
       case org.apache.spark.sql.sources.IsNotNull(c) =>
-        idx(c).map(i => (row: Array[Any]) => row(i) != null)
+        idx(c).map(i => (row: Array[Any]) => Some(row(i) != null))
       case org.apache.spark.sql.sources.IsNull(c) =>
-        idx(c).map(i => (row: Array[Any]) => row(i) == null)
+        idx(c).map(i => (row: Array[Any]) => Some(row(i) == null))
       case EqualTo(c, v) =>
-        idx(c).map(i => (row: Array[Any]) => cmpv(row(i), v).contains(0))
+        idx(c).map(i => (row: Array[Any]) => cmpv(row(i), v).map(_ == 0))
       case org.apache.spark.sql.sources.GreaterThan(c, v) =>
-        idx(c).map(i => (row: Array[Any]) => cmpv(row(i), v).exists(_ > 0))
+        idx(c).map(i => (row: Array[Any]) => cmpv(row(i), v).map(_ > 0))
       case org.apache.spark.sql.sources.GreaterThanOrEqual(c, v) =>
-        idx(c).map(i => (row: Array[Any]) => cmpv(row(i), v).exists(_ >= 0))
+        idx(c).map(i => (row: Array[Any]) => cmpv(row(i), v).map(_ >= 0))
       case org.apache.spark.sql.sources.LessThan(c, v) =>
-        idx(c).map(i => (row: Array[Any]) => cmpv(row(i), v).exists(_ < 0))
+        idx(c).map(i => (row: Array[Any]) => cmpv(row(i), v).map(_ < 0))
       case org.apache.spark.sql.sources.LessThanOrEqual(c, v) =>
-        idx(c).map(i => (row: Array[Any]) => cmpv(row(i), v).exists(_ <= 0))
+        idx(c).map(i => (row: Array[Any]) => cmpv(row(i), v).map(_ <= 0))
       case In(c, vs) =>
-        idx(c).map(i => (row: Array[Any]) => vs.exists(v => cmpv(row(i), v).contains(0)))
+        // TRUE on any match; else UNKNOWN if any comparison was UNKNOWN
+        // (NULL IN (...) is never FALSE unless the list is empty)
+        idx(c).map { i => (row: Array[Any]) =>
+          val cs = vs.map(v => cmpv(row(i), v).map(_ == 0))
+          if (cs.exists(_.contains(true))) Some(true)
+          else if (cs.exists(_.isEmpty)) None
+          else Some(false)
+        }
       case org.apache.spark.sql.sources.And(l, r) =>
         for (lf <- compileV1(l); rf <- compileV1(r))
-          yield (row: Array[Any]) => lf(row) && rf(row)
+          yield (row: Array[Any]) => (lf(row), rf(row)) match {
+            case (Some(false), _) | (_, Some(false)) => Some(false)
+            case (Some(true), Some(true))            => Some(true)
+            case _                                   => None
+          }
       case org.apache.spark.sql.sources.Or(l, r) =>
         for (lf <- compileV1(l); rf <- compileV1(r))
-          yield (row: Array[Any]) => lf(row) || rf(row)
+          yield (row: Array[Any]) => (lf(row), rf(row)) match {
+            case (Some(true), _) | (_, Some(true)) => Some(true)
+            case (Some(false), Some(false))        => Some(false)
+            case _                                 => None
+          }
       case org.apache.spark.sql.sources.Not(c) =>
-        compileV1(c).map(cf => (row: Array[Any]) => !cf(row))
+        compileV1(c).map(cf => (row: Array[Any]) => cf(row).map(!_))
       case _ => None
     }
   }
+
+  /** A pushed conjunct keeps a row only when it evaluates to TRUE —
+    * UNKNOWN filters out, exactly as WHERE does. */
+  private def compileV1Top(f: Filter): Option[Array[Any] => Boolean] =
+    compileV1(f).map(g => (row: Array[Any]) => g(row).contains(true))
 
   private def extendedPushdown: Boolean =
     GraftSparkCatalog.extendedPushdown.getOrElse(runId, false)
@@ -1470,8 +1503,8 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
     }
     val (rowAccepted, rejected) =
       if (!extendedPushdown) (Array.empty[Filter], rest)
-      else rest.partition(compileV1(_).isDefined)
-    rowFns ++= rowAccepted.flatMap(compileV1)
+      else rest.partition(compileV1Top(_).isDefined)
+    rowFns ++= rowAccepted.flatMap(compileV1Top)
     pushed = partAccepted ++ rowAccepted
     rejected // accepted filters are enforced exactly source-side
   }
@@ -1540,10 +1573,10 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
         vs.collect { case s: String => s }.toSet
     }
     if (allowed.nonEmpty) {
-      val before = planned.size
+      val before = plannedKeys.size
       keep = Some(allowed.foldLeft(
         keep.getOrElse(snap.parts.keySet.toSet))(_ intersect _))
-      MemTable.runtimePrunes.put(runId, (before, planned.size))
+      MemTable.runtimePrunes.put(runId, (before, plannedKeys.size))
     }
   }
 
@@ -1593,9 +1626,9 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
   override def outputPartitioning(): Partitioning =
     if (topN.isDefined || limit.isDefined || offset.isDefined || agg.isDefined)
       new UnknownPartitioning(1)
-    else if (partCol.isEmpty) new UnknownPartitioning(planned.size)
+    else if (partCol.isEmpty) new UnknownPartitioning(plannedKeys.size)
     else new KeyGroupedPartitioning(
-      Array(Expressions.identity(partCol)), planned.size)
+      Array(Expressions.identity(partCol)), plannedKeys.size)
 
   /** Reported per-split ordering ([[org.apache.spark.sql.connector.read
     * .SupportsReportOrdering]]) — the read-side contract that lets Spark
@@ -1650,7 +1683,7 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
     new org.apache.spark.sql.connector.metric.CustomTaskMetric {
       override def name(): String = "graft_planned_partitions"
-      override def value(): Long = planned.size.toLong
+      override def value(): Long = plannedKeys.size.toLong
     })
 
   /** EXACT post-pushdown statistics ([[SupportsReportStatistics]]): row
@@ -1660,7 +1693,23 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     * never choose a broadcast join on its own — with it, a small scan
     * broadcasts with no hint, the production posture for catalog tables
     * whose manifests carry size (q212 pins the hint-free broadcast). */
-  override def estimateStatistics(): Statistics = {
+  override def estimateStatistics(): Statistics = fileBackedPlan match {
+    case Some(lp) =>
+      // manifest statistics (the Iceberg/Delta posture): row and byte
+      // counts come from the spilled version meta — no file is opened
+      val surviving = plannedKeys.map(lp.fileInfo)
+      val nRows = surviving.iterator.map(_.rows).sum
+      val nBytes = surviving.iterator.map(_.bytes).sum
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(nBytes max 1L)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(nRows)
+      }
+    case None => estimateStatistics0()
+  }
+
+  private def estimateStatistics0(): Statistics = {
     val rows = agg match {
       case Some((g, fs)) => aggRows(g, fs)
       case None          => servedRows
@@ -1677,6 +1726,12 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     }
   }
 
+  /** Partition groups surviving pruning — METADATA-ONLY (never touches
+    * row data), so a file-backed restored snapshot can answer it from
+    * its manifest. */
+  private def plannedKeys: Seq[String] =
+    snap.parts.keySet.toSeq.sorted.filter(k => keep.forall(_.contains(k)))
+
   private def planned: Seq[(String, Vector[Array[Any]])] =
     snap.parts.toSeq.sortBy(_._1)
       .filter { case (k, _) => keep.forall(_.contains(k)) }
@@ -1684,6 +1739,23 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
         // extended-pushdown row filters are enforced source-side, exactly
         k -> (if (rowFns.isEmpty) rs else rs.filter(r => rowFns.forall(_(r))))
       }
+
+  /** FILE-BACKED plan eligibility: the snapshot was restored from a
+    * durable spill (its parts map is a [[LazyParts]] manifest view) and
+    * no pushed clause needs rows at PLANNING time — partition pruning
+    * and column pruning both apply file-side. When eligible, the scan
+    * plans one [[MemFilePart]] per surviving partition FILE and the rows
+    * go spilled-parquet → executor task, never through the driver — the
+    * scale posture VERDICT r12 asked for ("durable" must not mean
+    * "rehydrate into the driver"). Pushed top-N/limit/offset/sample/
+    * aggregates/row-filters fall back to the materializing path (they
+    * are computed driver-side over snapshot rows by construction). */
+  private def fileBackedPlan: Option[LazyParts] = snap.parts match {
+    case lp: LazyParts
+        if agg.isEmpty && topN.isEmpty && limit.isEmpty && offset.isEmpty &&
+          sample.isEmpty && rowFns.isEmpty => Some(lp)
+    case _ => None
+  }
 
   /** Rows after every pushed clause, each tagged with its partition key
     * (metadata-column provenance survives the cut). Top-N sorts the
@@ -1722,7 +1794,7 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     // row-level-operation hook: report which groups this scan serves
     // (latest call wins — runtime group filtering re-plans with the
     // narrowed set, and the rewrite commit must replace exactly these)
-    onPlan.foreach(_(planned.map(_._1).toSet))
+    onPlan.foreach(_(plannedKeys.toSet))
     planInputPartitions0()
   }
 
@@ -1746,8 +1818,20 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
       if (topN.isDefined || limit.isDefined || offset.isDefined)
         // ordered slice: one split (the cut result is tiny by construction)
         Array(MemSlicePart(servedKeyedRows, idx, types, snap.version))
-      else
-        planned.map { case (k, rs) => MemPart(k, rs, idx, types, snap.version) }.toArray
+      else fileBackedPlan match {
+        case Some(lp) =>
+          // restored table: one split per surviving partition FILE; the
+          // task opens the spilled parquet itself (rows never driver-side)
+          val fileSchema = snap.schema.json
+          plannedKeys.map { k =>
+            val f = lp.fileInfo(k)
+            MemFilePart(k, f.path, fileSchema, idx, types, snap.version)
+              : InputPartition
+          }.toArray
+        case None =>
+          planned.map { case (k, rs) =>
+            MemPart(k, rs, idx, types, snap.version) }.toArray
+      }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1764,7 +1848,9 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
       maxRowsPerTrigger)
 
   override def description(): String =
-    s"GraftMemScan(runId parts=${snap.parts.size}, planned=${planned.size}, " +
+    s"GraftMemScan(runId parts=${snap.parts.size}, planned=${plannedKeys.size}, " +
+      fileBackedPlan.map(lp => s"fileBacked=${lp.fileInfo.size} files, ")
+        .getOrElse("") +
       (if (columnar) "columnar=true, " else "") +
       s"partCol=$partCol, cols=${required.fieldNames.mkString(",")}" +
       topN.map { case (ks, n) => s", pushedTopN=${ks.map { case (i, a) =>
@@ -1807,6 +1893,18 @@ private[sources] class MemStagedTable(realKey: String, stagingKey: String,
       .getOrElse(MemTable.Snapshot(schema0, Map.empty, 0L))
     MemTable.history.keys.filter(_._1 == stagingKey).toSeq
       .foreach(MemTable.history.remove)
+    // REPLACE is a full table redefinition: purge EVERY per-table
+    // contract the old incarnation declared (as dropTable does), then
+    // register only what THIS staged definition carries — else a
+    // replaced table keeps enforcing the old table's CHECK constraints
+    // and generation expressions against the new schema.
+    GraftSparkCatalog.deltaIdCols.remove(realKey)
+    GraftSparkCatalog.identityCols.remove(realKey)
+    GraftSparkCatalog.checkConstraints.remove(realKey)
+    GraftSparkCatalog.generatedCols.remove(realKey)
+    GraftSparkCatalog.sortCols.remove(realKey)
+    GraftSparkCatalog.extendedPushdown.remove(realKey)
+    GraftSparkCatalog.writeDistributions.remove(realKey)
     GraftSparkCatalog.partCols.put(realKey, pc)
     if (deltaIdCol.nonEmpty)
       GraftSparkCatalog.deltaIdCols.put(realKey, deltaIdCol)
@@ -1959,31 +2057,38 @@ private[sources] class MemMicroBatchStream(runId: String, required: StructType,
         (eo.version == so.version && eo.rows <= so.rows)) return Array.empty
     if (so.rows != 0 || eo.rows != 0) {
       // COMPOSITE range (row-granular admission): the batch may begin
-      // and/or end mid-increment; rebuild the exact row window from the
-      // deterministic global increment order
-      val rowsInRange: Vector[(String, Array[Any])] =
+      // and/or end mid-increment. ONE slice PER CONTRIBUTING VERSION —
+      // each stamped with ITS version and indexed against ITS schema —
+      // so `_commit_version` is exact for every row of a
+      // boundary-spanning batch and a schema evolution inside the range
+      // never indexes an older, narrower row array with a newer schema.
+      val segs: Vector[(Long, Vector[(String, Array[Any])])] =
         if (so.version == eo.version)
-          incrementRows(so.version + 1)
-            .slice(so.rows.toInt, eo.rows.toInt)
+          Vector((so.version + 1,
+            incrementRows(so.version + 1).slice(so.rows.toInt, eo.rows.toInt)))
         else {
-          val head = incrementRows(so.version + 1).drop(so.rows.toInt)
-          val mid = ((so.version + 2) to eo.version).iterator
-            .flatMap(incrementRows).toVector
+          val head = (so.version + 1,
+            incrementRows(so.version + 1).drop(so.rows.toInt))
+          val mid = ((so.version + 2) to eo.version)
+            .map(v => (v, incrementRows(v))).toVector
           val tail =
-            if (eo.rows > 0) incrementRows(eo.version + 1).take(eo.rows.toInt)
+            if (eo.rows > 0)
+              Vector((eo.version + 1,
+                incrementRows(eo.version + 1).take(eo.rows.toInt)))
             else Vector.empty
-          head ++ mid ++ tail
+          (head +: mid) ++ tail
         }
-      val schemaVer = if (eo.rows > 0) eo.version + 1 else eo.version
-      val schema = MemTable.history.getOrElse((runId, schemaVer), sys.error(
-        s"MemTable '$runId': stream version $schemaVer not in retained history")).schema
-      val idx = required.fieldNames.map {
-        case "_partition"      => -2
-        case "_commit_version" => -3
-        case n                 => schema.fieldNames.indexOf(n)
-      }
-      return Array(MemSlicePart(rowsInRange, idx,
-        required.fields.map(_.dataType.typeName), schemaVer))
+      return segs.filter(_._2.nonEmpty).map { case (v, rows) =>
+        val schema = MemTable.history.getOrElse((runId, v), sys.error(
+          s"MemTable '$runId': stream version $v not in retained history")).schema
+        val idx = required.fieldNames.map {
+          case "_partition"      => -2
+          case "_commit_version" => -3
+          case n                 => schema.fieldNames.indexOf(n)
+        }
+        MemSlicePart(rows, idx, required.fields.map(_.dataType.typeName), v)
+          : InputPartition
+      }.toArray
     }
     val (s0, e0) = (so.version, eo.version)
     val endSnap = MemTable.history.getOrElse((runId, e0), sys.error(
@@ -2034,6 +2139,20 @@ private[sources] case class MemSlicePart(rows: Vector[(String, Array[Any])],
     colIdx: Array[Int], colTypes: Array[String], version: Long = 1L)
     extends InputPartition
 
+/** A FILE-BACKED split of a restored durable table: carries the spilled
+  * partition file's PATH (plus the file schema to decode it), never the
+  * rows — the reader opens the parquet inside the executor task, so a
+  * restart-then-scan moves data disk → executor exactly like a FileScan.
+  * Keeps [[HasPartitionKey]], so storage-partitioned joins co-locate
+  * file-backed and in-memory tables alike. */
+private[sources] case class MemFilePart(key: String, path: String,
+    fileSchemaJson: String, colIdx: Array[Int], colTypes: Array[String],
+    version: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(UTF8String.fromString(key))
+}
+
 private[sources] class MemReaderFactory(columnar: Boolean = false)
     extends PartitionReaderFactory {
 
@@ -2044,7 +2163,13 @@ private[sources] class MemReaderFactory(columnar: Boolean = false)
       case p: MemPart =>
         (p.rows.map((p.key, _)), p.colIdx, p.colTypes, p.version)
       case p: MemSlicePart => (p.rows, p.colIdx, p.colTypes, p.version)
-      case other           => sys.error(s"MemTable: unexpected split $other")
+      case p: MemFilePart =>
+        // TASK-SIDE file read: the split carried a path, not rows
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(p.fileSchemaJson).asInstanceOf[StructType]
+        (DurableSpill.readRows(p.path, schema).map((p.key, _)),
+          p.colIdx, p.colTypes, p.version)
+      case other => sys.error(s"MemTable: unexpected split $other")
     }
 
   /** VECTORIZED READ PATH ([[supportColumnarReads]]) — the throughput
@@ -2134,9 +2259,10 @@ private[sources] class MemReaderFactory(columnar: Boolean = false)
             case -3 => version                    // _commit_version
             case k if src(k) == null => null      // NULL agg over empty input
             case k => colTypes(j) match {
-              case "long"   => src(k).asInstanceOf[Long]
-              case "string" => UTF8String.fromString(src(k).asInstanceOf[String])
-              case other    => sys.error(s"MemTable: unsupported read type $other")
+              case "long"    => src(k).asInstanceOf[Long]
+              case "string"  => UTF8String.fromString(src(k).asInstanceOf[String])
+              case "variant" => src(k) // VariantVal rides InternalRow as-is
+              case other     => sys.error(s"MemTable: unsupported read type $other")
             }
           }
         })

@@ -335,6 +335,81 @@ class LakehouseDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("three-valued pushed filters: NOT/OR over NULL cells match engine-side semantics") {
+    val s2 = catSession()
+    val (np, ne) = (freshName("tvlp"), freshName("tvle"))
+    for ((n, props) <- Seq((np, ""), (ne, "TBLPROPERTIES ('extendedPushdown'='true')"))) {
+      s2.sql(s"CREATE TABLE graft_ddl.ns.$n (k BIGINT, status STRING, cents BIGINT) PARTITIONED BY (status) $props")
+      s2.sql(s"""INSERT INTO graft_ddl.ns.$n VALUES
+        (1,'A',100),(2,'A',NULL),(3,'B',300),(4,'B',NULL),(5,'C',0)""")
+    }
+    // shapes where the optimizer does NOT infer a rescuing IsNotNull
+    // (disjunctions keep every branch null-tolerant) — a two-valued
+    // source evaluator wrongly INCLUDES the NULL rows for each of these
+    val preds = Seq(
+      "cents != 100 OR k > 9",
+      "(NOT cents = 100) OR k > 9",
+      "NOT (cents = 100 OR k > 3)",
+      "cents NOT IN (100, 300) OR k > 9",
+      "NOT (cents = 100 AND k < 3) OR k > 9")
+    preds.foreach { w =>
+      val a = s2.sql(s"SELECT k FROM graft_ddl.ns.$np WHERE $w").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      val b = s2.sql(s"SELECT k FROM graft_ddl.ns.$ne WHERE $w").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(a == b, s"predicate '$w': engine-side $a vs pushed $b")
+      assert(!b.contains(2L) || a.contains(2L),
+        s"predicate '$w': pushed side admitted a NULL row the engine excluded")
+    }
+  }
+
+  test("RENAME/DROP COLUMN refuse under CHECK-constraint and identity anchors; substring near-misses allowed") {
+    val s2 = catSession()
+    val t = s"graft_ddl.ns.${freshName("colguard")}"
+    s2.sql(s"""CREATE TABLE $t (id BIGINT GENERATED ALWAYS AS IDENTITY,
+               k BIGINT, okey BIGINT, status STRING, cents BIGINT,
+               CONSTRAINT pos_cents CHECK (cents >= 0))
+               PARTITIONED BY (status)""")
+    // CHECK-referenced column: dropping would leave an unresolvable guard
+    val e1 = intercept[Exception] { s2.sql(s"ALTER TABLE $t DROP COLUMN cents") }
+    assert(e1.getMessage.contains("CHECK constraint"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      s2.sql(s"ALTER TABLE $t RENAME COLUMN cents TO pennies") }
+    assert(e2.getMessage.contains("CHECK constraint"), e2.getMessage)
+    // identity column: renaming would silently no-op the sequence fill
+    val e3 = intercept[Exception] {
+      s2.sql(s"ALTER TABLE $t RENAME COLUMN id TO row_id") }
+    assert(e3.getMessage.contains("identity"), e3.getMessage)
+    // `k` is a SUBSTRING of `okey` in no stored expression sense: the
+    // parsed-reference guard must allow touching it
+    s2.sql(s"ALTER TABLE $t RENAME COLUMN k TO kk")
+    s2.sql(s"ALTER TABLE $t DROP COLUMN kk")
+    assert(!s2.table(t).schema.fieldNames.contains("kk"))
+    // after DROP CONSTRAINT the column is free
+    s2.sql(s"ALTER TABLE $t DROP CONSTRAINT pos_cents")
+    s2.sql(s"ALTER TABLE $t DROP COLUMN cents")
+    assert(!s2.table(t).schema.fieldNames.contains("cents"))
+  }
+
+  test("REPLACE TABLE purges the old incarnation's CHECK/generated contracts") {
+    val s2 = catSession()
+    val t = s"graft_ddl.ns.${freshName("replmeta")}"
+    s2.sql(s"""CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT,
+               g BIGINT GENERATED ALWAYS AS (cents DIV 100),
+               CONSTRAINT pos_cents CHECK (cents >= 0))
+               PARTITIONED BY (status)""")
+    s2.sql(s"INSERT INTO $t (k, status, cents) VALUES (1, 'A', 100)")
+    // new incarnation: same column names, NO constraints, NO generation
+    s2.sql(s"""REPLACE TABLE $t USING graft PARTITIONED BY (status)
+               AS SELECT 1L AS k, 'A' AS status, 100L AS cents, 7L AS g""")
+    // a write that violates the OLD check and contradicts the OLD
+    // generation expression must now be admitted
+    s2.sql(s"INSERT INTO $t VALUES (2, 'B', -500, 99)")
+    val rows = s2.sql(s"SELECT k, cents, g FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 100L, 7L), (2L, -500L, 99L)))
+  }
+
   test("unknown procedure refuses with the available list") {
     val s2 = catSession()
     val e = intercept[Exception] {
