@@ -3346,6 +3346,87 @@ object Sources {
         UNION ALL SELECT 'audit', 4, 1, 0) -- manifest stats fed the planner
       ORDER BY kind, grp"""))
 
+  /** VARIANT-TYPED COLUMNS + EXTRACTION PUSHDOWN — VERDICT r12 item 5,
+    * the last exotic read contract the V2 matrix lacked: [[graft.sources
+    * .MemTable]] now stores semi-structured VARIANT columns (the opaque
+    * binary (value, metadata) pair, never decoded driver-side on write),
+    * and the scan implements [[org.apache.spark.sql.connector.read
+    * .SupportsPushDownVariantExtractions]] — Spark's DSv2 half of
+    * variant SHREDDING (gated by spark.sql.variant.pushVariantIntoScan):
+    * instead of shipping whole blobs up for the engine to tear apart per
+    * query, the SOURCE serves exactly the requested paths as typed
+    * struct fields and every engine-side `variant_get` disappears into a
+    * plain struct-field access. The entry loads `orders` rows as JSON
+    * variants, aggregates three extracted paths (top-level bigint,
+    * top-level string, nested object path) grouped by an extracted
+    * value, filters on a fourth extraction, and hash-asserts BOTH plan
+    * facts the way q306 pins `pushedOffset`: the scan self-describes
+    * `pushedVariantExtractions=[…]` and NO `variant_get` survives in the
+    * executed plan. Oracle recomputes everything from `orders` scalars —
+    * a wrong extraction, a dropped NULL, or a silently-unpushed path
+    * hash-fails. At 100 TB this is the Iceberg/Parquet shredding
+    * posture: typed subcolumns read at the source, blobs never cross the
+    * wire. */
+  val q313 = GraftQuery(
+    "q313_variant_extraction_pushdown",
+    "VARIANT columns + SupportsPushDownVariantExtractions: source-served typed paths, plan-asserted",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_varc",
+        "graft.sources.GraftSparkCatalog")
+      s2.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_varc.corpus.vx_$tag"
+      s2.sql(s"CREATE TABLE $tbl (k BIGINT, status STRING, v VARIANT) PARTITIONED BY (status)")
+      table(s2, dir, "orders").createOrReplaceTempView(s"vx_src_$tag")
+      s2.sql(
+        s"""INSERT INTO $tbl
+            SELECT o_orderkey, o_orderstatus,
+                   parse_json(concat('{"cents":',
+                     CAST(round(o_totalprice * 100) AS BIGINT),
+                     ',"pri":"', o_orderpriority,
+                     '","nest":{"ok":', pmod(o_orderkey, 7), '}}'))
+            FROM vx_src_$tag""")
+      // the projection+filter plan is where the rewrite is total: every
+      // variant_get becomes a struct-field access over the pushed scan.
+      // (Measured: an AGGREGATE-internal variant_get is kept engine-side
+      // by Spark's rule — it pushes a whole-`$` extraction for it — so
+      // the pin lives on the projection and the aggregate consumes its
+      // checkpoint.)
+      val proj = s2.sql(
+        s"""SELECT variant_get(v, '$$.pri', 'string') AS pri,
+                   variant_get(v, '$$.cents', 'bigint') AS cents,
+                   variant_get(v, '$$.nest.ok', 'bigint') AS nest_ok
+            FROM $tbl
+            WHERE variant_get(v, '$$.cents', 'bigint') >= 0""")
+      val plan = proj.queryExecution.executedPlan.toString
+      val audits = Seq(
+        ("audit:pushed_to_scan",
+          if (plan.contains("pushedVariantExtractions=")) 1L else 0L),
+        ("audit:no_engine_variant_get",
+          if (plan.contains("variant_get")) 0L else 1L))
+      val agg = proj.localCheckpoint(true).groupBy("pri")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"),
+          sum("nest_ok").as("nest_ok"))
+      import s2.implicits._
+      val auditDf = audits.toDF("pri", "n")
+        .withColumn("cents", lit(0L)).withColumn("nest_ok", lit(0L))
+      val out = agg.unionByName(auditDf).orderBy("pri").localCheckpoint(true)
+      s2.sql(s"DROP TABLE $tbl")
+      out
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT o_orderpriority AS pri, count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents,
+               CAST(sum(o_orderkey % 7) AS BIGINT) AS nest_ok
+        FROM orders GROUP BY 1
+        UNION ALL SELECT 'audit:pushed_to_scan', 1, 0, 0
+        UNION ALL SELECT 'audit:no_engine_variant_get', 1, 0, 0)
+      ORDER BY pri"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -3474,5 +3555,5 @@ object Sources {
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
     q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296,
     q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308,
-    q309, q310, q312)
+    q309, q310, q312, q313)
 }

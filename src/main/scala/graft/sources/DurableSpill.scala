@@ -117,6 +117,11 @@ private[sources] object DurableSpill {
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
 
+  /** Whether a key lives under a durable (warehouse-backed) catalog —
+    * used by createTable to refuse column types the spill format cannot
+    * carry yet, at CREATE time instead of mid-commit. */
+  def isDurable(key: String): Boolean = rootOf(key).isDefined
+
   private def rootOf(key: String): Option[String] = {
     val segs = key.split('!')
     if (segs.length >= 2 && segs(0) == "cat") roots.get(segs(1)) else None

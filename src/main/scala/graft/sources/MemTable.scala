@@ -1156,7 +1156,58 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
     with SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownOffset
     with org.apache.spark.sql.connector.read.SupportsPushDownTableSample
-    with org.apache.spark.sql.connector.read.SupportsPushDownJoin {
+    with org.apache.spark.sql.connector.read.SupportsPushDownJoin
+    with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
+
+  /** VARIANT-EXTRACTION PUSHDOWN ([[org.apache.spark.sql.connector.read
+    * .SupportsPushDownVariantExtractions]], gated by
+    * spark.sql.variant.pushVariantIntoScan) — the DSv2 half of variant
+    * SHREDDING: instead of shipping whole semi-structured blobs up for
+    * the engine to tear apart per query, the SOURCE serves just the
+    * requested paths, each as a typed struct field. Measured contract on
+    * this Spark (VariantProbeSpec documents it): the rule offers one
+    * extraction per requested (column, path, type); for every ACCEPTED
+    * column the scan's readSchema must replace the variant column with
+    * struct<"0": t0, "1": t1, …> — field i carrying the i-th accepted
+    * extraction's VariantMetadata — and the plan's variant_get calls
+    * become plain GetStructField over the scan output. Extraction values
+    * are synthesized at PLAN time over the snapshot rows (driver-side:
+    * the snapshots are driver-resident by construction of this harness —
+    * the q305 join-pushdown precedent; a remote source would extract in
+    * its own storage layer) via the same Catalyst VariantGet the engine
+    * would have used, so semantics are identical by construction. */
+  private var variantExs: Map[String,
+    Seq[org.apache.spark.sql.connector.read.VariantExtraction]] = Map.empty
+
+  override def pushVariantExtractions(
+      extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
+      : Array[Boolean] = {
+    val flags = extractions.map { e =>
+      e.columnName().length == 1 && {
+        val i = snap.schema.fieldNames.indexOf(e.columnName()(0))
+        i >= 0 &&
+          snap.schema.fields(i).dataType == org.apache.spark.sql.types.VariantType
+      }
+    }
+    val accepted = extractions.zip(flags).filter(_._2).map(_._1)
+    variantExs = accepted.groupBy(_.columnName()(0)).map { case (c, es) =>
+      c -> es.toSeq
+    }
+    // readSchema must expose the rewritten struct shape immediately —
+    // the rule resolves the rewritten plan against it
+    required = StructType(required.fields.map { f =>
+      variantExs.get(f.name) match {
+        case Some(es) => f.copy(dataType = StructType(es.zipWithIndex.map {
+          case (e, i) => org.apache.spark.sql.types.StructField(
+            i.toString, e.expectedDataType(), nullable = true,
+            metadata = e.metadata())
+        }.toArray))
+        case None => f
+      }
+    })
+    flags
+  }
+
 
   import org.apache.spark.sql.connector.read.SupportsPushDownJoin
 
@@ -1510,13 +1561,16 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    if (sys.env.contains("GRAFT_VARIANT_PROBE"))
+      System.err.println(s"# prune ${requiredSchema.json}")
     required = requiredSchema
+  }
 
   override def build(): Scan =
     new MemScan(snap, keep, required, effPartCol, topN, limit, aggSpec, runId,
       columnar, onPlan, maxVersionsPerTrigger, rowFns, offset, sample,
-      maxRowsPerTrigger)
+      maxRowsPerTrigger, variantExs)
 }
 
 private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
@@ -1539,7 +1593,9 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     rowFns: Vector[Array[Any] => Boolean] = Vector.empty,
     offset: Option[Int] = None,
     sample: Option[(Double, Double, Long)] = None,
-    maxRowsPerTrigger: Option[Long] = None)
+    maxRowsPerTrigger: Option[Long] = None,
+    variantExs: Map[String,
+      Seq[org.apache.spark.sql.connector.read.VariantExtraction]] = Map.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1798,6 +1854,47 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     planInputPartitions0()
   }
 
+  /** Accepted variant extractions, compiled: rewrites a snapshot row so
+    * the variant column carries the struct of extracted paths the
+    * rewritten read schema promises (null variant → null struct, which
+    * GetStructField null-propagates exactly like variant_get). Values
+    * come from the same Catalyst VariantGet the engine would have
+    * planned — identical semantics by construction. Runs at PLAN time
+    * over the driver-resident snapshot (the q305 join-pushdown
+    * precedent). */
+  private lazy val variantXform: Option[Array[Any] => Array[Any]] =
+    if (variantExs.isEmpty) None
+    else {
+      val evs: Seq[(Int, Array[Any] => Any)] =
+        variantExs.toSeq.map { case (cname, es) =>
+          val vIdx = snap.schema.fieldNames.indexOf(cname)
+          val gets = es.map { e =>
+            val vm = org.apache.spark.sql.execution.datasources.VariantMetadata
+              .fromMetadata(e.metadata())
+            new org.apache.spark.sql.catalyst.expressions.variant.VariantGet(
+              org.apache.spark.sql.catalyst.expressions.BoundReference(
+                0, org.apache.spark.sql.types.VariantType, nullable = true),
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                UTF8String.fromString(vm.path), StringType),
+              e.expectedDataType(), vm.failOnError, Some(vm.timeZoneId))
+          }
+          vIdx -> { (row: Array[Any]) =>
+            row(vIdx) match {
+              case null => null
+              case v =>
+                val in = InternalRow(v)
+                new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(gets.map(_.eval(in)).toArray)
+            }
+          }
+        }
+      Some { r =>
+        val c = r.clone()
+        evs.foreach { case (i, f) => c(i) = f(r) }
+        c
+      }
+    }
+
   private def planInputPartitions0(): Array[InputPartition] = agg match {
     case Some((grouped, funcs)) =>
       // pre-aggregated slice: identity projection over the agg schema
@@ -1815,9 +1912,14 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
         case n                 => snap.schema.fieldNames.indexOf(n)
       }
       val types = required.fields.map(_.dataType.typeName)
+      val xf = variantXform
+      def vx(rs: Vector[Array[Any]]): Vector[Array[Any]] =
+        xf.fold(rs)(f => rs.map(f))
       if (topN.isDefined || limit.isDefined || offset.isDefined)
         // ordered slice: one split (the cut result is tiny by construction)
-        Array(MemSlicePart(servedKeyedRows, idx, types, snap.version))
+        Array(MemSlicePart(
+          servedKeyedRows.map { case (k, r) => (k, xf.fold(r)(_(r))) },
+          idx, types, snap.version))
       else fileBackedPlan match {
         case Some(lp) =>
           // restored table: one split per surviving partition FILE; the
@@ -1830,7 +1932,7 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
           }.toArray
         case None =>
           planned.map { case (k, rs) =>
-            MemPart(k, rs, idx, types, snap.version) }.toArray
+            MemPart(k, vx(rs), idx, types, snap.version) }.toArray
       }
   }
 
@@ -1861,7 +1963,12 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
         s", pushedSample=[$lo,$hi) seed=$seed" }.getOrElse("") +
       agg.map { case (g, fs) => s", pushedAggregates=${fs.map { case (op, i) =>
         if (i < 0) op else s"$op(${snap.schema.fieldNames(i)})" }.mkString("[", ",", "]")}" +
-        (if (g) s" GROUP BY $partCol" else "") }.getOrElse("") + ")"
+        (if (g) s" GROUP BY $partCol" else "") }.getOrElse("") +
+      (if (variantExs.isEmpty) "" else s", pushedVariantExtractions=" +
+        variantExs.toSeq.sortBy(_._1).map { case (c, es) =>
+          c + es.map(e => org.apache.spark.sql.execution.datasources
+            .VariantMetadata.fromMetadata(e.metadata()).path)
+            .mkString("{", ",", "}") }.mkString("[", ",", "]")) + ")"
 }
 
 /** A STAGED table (atomic CTAS / RTAS / CREATE OR REPLACE through
@@ -2262,6 +2369,7 @@ private[sources] class MemReaderFactory(columnar: Boolean = false)
               case "long"    => src(k).asInstanceOf[Long]
               case "string"  => UTF8String.fromString(src(k).asInstanceOf[String])
               case "variant" => src(k) // VariantVal rides InternalRow as-is
+              case "struct"  => src(k) // pushed variant extractions (plan-built)
               case other     => sys.error(s"MemTable: unsupported read type $other")
             }
           }

@@ -33,10 +33,28 @@ class VariantProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"""INSERT INTO $t SELECT 2L, 'B', parse_json('{"a": 9}')""")
     val df = s2.sql(
       s"SELECT k, variant_get(v, '$$.a', 'bigint') AS a FROM $t ORDER BY k")
-    df.explain(true)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedVariantExtractions="),
+      s"extraction should be pushed to the scan\n$plan")
+    assert(!plan.contains("variant_get"),
+      s"no engine-side variant_get should remain\n$plan")
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    info(s"rows=$rows")
-    info("plan=" + df.queryExecution.executedPlan.toString.take(2000))
     assert(rows == Seq((1L, 7L), (2L, 9L)))
+    // nested path + string target + NULL variant row in one projection
+    s2.sql(s"INSERT INTO $t SELECT 3L, 'A', CAST(NULL AS VARIANT)")
+    val df2 = s2.sql(
+      s"""SELECT k, variant_get(v, '$$.b.c', 'string') AS c,
+                 variant_get(v, '$$.a', 'bigint') AS a
+          FROM $t ORDER BY k""")
+    assert(df2.queryExecution.executedPlan.toString
+      .contains("pushedVariantExtractions="))
+    val rows2 = df2.collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSeq
+    assert(rows2 == Seq((1L, "x", 7L), (2L, null, 9L), (3L, null, -1L)))
+    // a filter ON an extracted path composes with the pushdown
+    val df3 = s2.sql(
+      s"SELECT k FROM $t WHERE variant_get(v, '$$.a', 'bigint') > 8")
+    assert(df3.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 }
