@@ -117,11 +117,6 @@ private[sources] object DurableSpill {
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
 
-  /** Whether a key lives under a durable (warehouse-backed) catalog —
-    * used by createTable to refuse column types the spill format cannot
-    * carry yet, at CREATE time instead of mid-commit. */
-  def isDurable(key: String): Boolean = rootOf(key).isDefined
-
   private def rootOf(key: String): Option[String] = {
     val segs = key.split('!')
     if (segs.length >= 2 && segs(0) == "cat") roots.get(segs(1)) else None
@@ -214,6 +209,13 @@ private[sources] object DurableSpill {
         case StringType => b.addField(
           Types.optional(PrimitiveTypeName.BINARY)
             .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        // a VARIANT cell is the opaque (value, metadata) byte pair —
+        // spilled as two raw binary fields, reassembled on read
+        case org.apache.spark.sql.types.VariantType =>
+          b.addField(Types.optional(PrimitiveTypeName.BINARY)
+            .named(s"${f.name}__variant_value"))
+          b.addField(Types.optional(PrimitiveTypeName.BINARY)
+            .named(s"${f.name}__variant_metadata"))
         case other => sys.error(s"DurableSpill: unsupported type $other")
       }
     }
@@ -245,6 +247,14 @@ private[sources] object DurableSpill {
               bytes += (row(j) match {
                 case s: String => g.add(f.name, s); 8L + 2L * s.length
                 case l: Long   => g.add(f.name, l); 8L
+                case v: org.apache.spark.unsafe.types.VariantVal =>
+                  g.add(s"${f.name}__variant_value",
+                    org.apache.parquet.io.api.Binary
+                      .fromConstantByteArray(v.getValue))
+                  g.add(s"${f.name}__variant_metadata",
+                    org.apache.parquet.io.api.Binary
+                      .fromConstantByteArray(v.getMetadata))
+                  v.getValue.length.toLong + v.getMetadata.length
                 case null      => 8L
                 case other => sys.error(s"DurableSpill: unsupported value $other")
               })
@@ -275,8 +285,14 @@ private[sources] object DurableSpill {
       var g = reader.read()
       while (g != null) {
         out += schema.fields.map { f =>
-          if (g.getFieldRepetitionCount(f.name) == 0) null
-          else f.dataType match {
+          f.dataType match {
+            case org.apache.spark.sql.types.VariantType =>
+              if (g.getFieldRepetitionCount(s"${f.name}__variant_value") == 0)
+                null
+              else new org.apache.spark.unsafe.types.VariantVal(
+                g.getBinary(s"${f.name}__variant_value", 0).getBytes,
+                g.getBinary(s"${f.name}__variant_metadata", 0).getBytes): Any
+            case _ if g.getFieldRepetitionCount(f.name) == 0 => null
             case LongType   => g.getLong(f.name, 0): Any
             case StringType => g.getString(f.name, 0): Any
             case other      => sys.error(s"DurableSpill: unsupported type $other")

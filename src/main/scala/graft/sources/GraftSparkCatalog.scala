@@ -244,15 +244,6 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val k = key(ident)
     DurableSpill.ensureLoaded(k)
     if (MemTable.store.contains(k)) throw new TableAlreadyExistsException(ident)
-    // the durable spill's parquet layout carries long/string only — a
-    // VARIANT column in a durable catalog must refuse at CREATE, not
-    // die mid-commit inside the spill writer
-    if (DurableSpill.isDurable(k) &&
-        schema.fields.exists(_.dataType ==
-          org.apache.spark.sql.types.VariantType))
-      throw new UnsupportedOperationException(
-        "graft catalog: VARIANT columns are not supported in a durable " +
-          "(warehouse-backed) catalog yet — use a memory catalog")
     val pc = partitions.headOption
       .map(_.references().head.fieldNames().head).getOrElse("")
     // GENERATED ALWAYS AS (expr): the analyzer validated the expression

@@ -1809,7 +1809,7 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
   private def fileBackedPlan: Option[LazyParts] = snap.parts match {
     case lp: LazyParts
         if agg.isEmpty && topN.isEmpty && limit.isEmpty && offset.isEmpty &&
-          sample.isEmpty && rowFns.isEmpty => Some(lp)
+          sample.isEmpty && rowFns.isEmpty && variantExs.isEmpty => Some(lp)
     case _ => None
   }
 

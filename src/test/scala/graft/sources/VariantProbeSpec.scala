@@ -57,4 +57,36 @@ class VariantProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SELECT k FROM $t WHERE variant_get(v, '$$.a', 'bigint') > 8")
     assert(df3.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("variant survives the durable spill: evict, restore, file-backed read, extraction fallback") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft_vdur", "graft.sources.GraftSparkCatalog")
+    s2.conf.set("spark.sql.catalog.graft_vdur.warehouse",
+      java.nio.file.Files.createTempDirectory("graft_vdur").toString)
+    s2.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
+    val name = s"vdur_${ProcessHandle.current().pid()}"
+    val t = s"graft_vdur.ns.$name"
+    val key = s"cat!graft_vdur!ns!$name"
+    s2.sql(s"CREATE TABLE $t (k BIGINT, status STRING, v VARIANT) PARTITIONED BY (status)")
+    s2.sql(s"""INSERT INTO $t SELECT 1L, 'A', parse_json('{"a": 7}')""")
+    s2.sql(s"INSERT INTO $t SELECT 2L, 'B', CAST(NULL AS VARIANT)")
+    graft.sources.MemTable.evict(key)
+    // plain read of the restored table is FILE-BACKED — with shredding
+    // OFF, since ANY variant reference (even to_json) otherwise pushes a
+    // whole-$ extraction and takes the materializing fallback
+    s2.conf.set("spark.sql.variant.pushVariantIntoScan", "false")
+    val raw = s2.sql(s"SELECT k, to_json(v) AS j FROM $t ORDER BY k")
+    assert(raw.queryExecution.executedPlan.toString.contains("fileBacked="),
+      raw.queryExecution.executedPlan.toString)
+    assert(raw.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, """{"a":7}"""), (2L, null)))
+    // extraction pushdown on a restored snapshot falls back to the
+    // materializing path (correctness over the file-backed marker)
+    s2.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
+    val ex = s2.sql(s"SELECT k, variant_get(v, '$$.a', 'bigint') AS a FROM $t ORDER BY k")
+    assert(ex.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq ==
+      Seq((1L, 7L), (2L, -1L)))
+    s2.sql(s"DROP TABLE $t")
+  }
 }
