@@ -3185,6 +3185,37 @@ object Dedup {
     }
   }
 
+  /** Contiguous order-preserving rank (0..#distinct−1) over arbitrary
+    * key tuples, plus the distinct-key COUNT (the caller's next pack
+    * bound) for free — the giant-vocabulary fallback of the d37 build
+    * (DedupUnitSpec pins contiguity/order directly, since the test
+    * corpus's 31-word vocabulary never exercises it end-to-end).
+    * r13 rewrite: range-sort once into a checkpoint, then rank =
+    * per-partition row_number + a collected cumulative offset —
+    * rdd.zipWithIndex ran the distinct+sort TWICE (its internal count
+    * job, then the real pass) and paid the Row conversion on top. */
+  private[graft] def denseRankBy(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], out: String)
+      : (org.apache.spark.sql.DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val sorted = df.distinct()
+      .repartitionByRange(8, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint(true)
+    val counts = sorted.groupBy("_pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offMap = {
+      var acc = 0L
+      counts.map { case (p, n) => val o = (p, acc); acc += n; o }.toMap
+    }
+    val w = Window.partitionBy("_pid").orderBy(keys.map(col): _*)
+    (sorted.withColumn(out,
+        element_at(typedLit(offMap), col("_pid")) +
+          row_number().over(w) - 1)
+      .drop("_pid"), counts.map(_._2).sum)
+  }
+
   private def d37LrsBuild(s: org.apache.spark.sql.SparkSession,
       dir: String, CAP: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -3211,30 +3242,8 @@ object Dedup {
     // ranks with bit arithmetic instead of re-ranking (below). Ids stay
     // < 2^31 for any corpus shard whose distinct capped suffixes fit an
     // executor fleet's rank table; a larger shard re-ranks per round.
-    // Also returns the distinct-key COUNT (the caller's next pack bound)
-    // for free. r13 rewrite: range-sort once into a checkpoint, then
-    // rank = per-partition row_number + a collected cumulative offset —
-    // rdd.zipWithIndex ran the distinct+sort TWICE (its internal count
-    // job, then the real pass) and paid the Row conversion on top.
     def denseRank(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
-        out: String): (org.apache.spark.sql.DataFrame, Long) = {
-      val sorted = df.distinct()
-        .repartitionByRange(8, keys.map(col): _*)
-        .sortWithinPartitions(keys.map(col): _*)
-        .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
-        .localCheckpoint(true)
-      val counts = sorted.groupBy("_pid").count().collect()
-        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      val offMap = {
-        var acc = 0L
-        counts.map { case (p, n) => val o = (p, acc); acc += n; o }.toMap
-      }
-      val w = Window.partitionBy("_pid").orderBy(keys.map(col): _*)
-      (sorted.withColumn(out,
-          element_at(typedLit(offMap), col("_pid")) +
-            row_number().over(w) - 1)
-        .drop("_pid"), counts.map(_._2).sum)
-    }
+        out: String): (org.apache.spark.sql.DataFrame, Long) = denseRankBy(df, keys, out)
     // WORD RANKS from the collected type table: the distinct-word
     // universe is Zipf-bounded at any corpus size (the t68 argument —
     // the r12 build already shipped it WHOLE to every task via
