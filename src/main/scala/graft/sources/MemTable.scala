@@ -1752,7 +1752,9 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
   override def estimateStatistics(): Statistics = fileBackedPlan match {
     case Some(lp) =>
       // manifest statistics (the Iceberg/Delta posture): row and byte
-      // counts come from the spilled version meta — no file is opened
+      // counts come from the spilled version meta — no file is opened.
+      // With accepted row filters these are PRE-filter upper bounds,
+      // exactly what a parquet scan's stats are under PushedFilters.
       val surviving = plannedKeys.map(lp.fileInfo)
       val nRows = surviving.iterator.map(_.rows).sum
       val nBytes = surviving.iterator.map(_.bytes).sum
@@ -1809,7 +1811,7 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
   private def fileBackedPlan: Option[LazyParts] = snap.parts match {
     case lp: LazyParts
         if agg.isEmpty && topN.isEmpty && limit.isEmpty && offset.isEmpty &&
-          sample.isEmpty && rowFns.isEmpty && variantExs.isEmpty => Some(lp)
+          sample.isEmpty && variantExs.isEmpty => Some(lp)
     case _ => None
   }
 
@@ -1923,12 +1925,15 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
       else fileBackedPlan match {
         case Some(lp) =>
           // restored table: one split per surviving partition FILE; the
-          // task opens the spilled parquet itself (rows never driver-side)
+          // task opens the spilled parquet itself (rows never
+          // driver-side) and enforces any accepted row filters THERE —
+          // extended pushdown composes with the file-backed path the
+          // way PushedFilters reach a parquet reader
           val fileSchema = snap.schema.json
           plannedKeys.map { k =>
             val f = lp.fileInfo(k)
-            MemFilePart(k, f.path, fileSchema, idx, types, snap.version)
-              : InputPartition
+            MemFilePart(k, f.path, fileSchema, idx, types, snap.version,
+              rowFns): InputPartition
           }.toArray
         case None =>
           planned.map { case (k, rs) =>
@@ -2254,7 +2259,8 @@ private[sources] case class MemSlicePart(rows: Vector[(String, Array[Any])],
   * file-backed and in-memory tables alike. */
 private[sources] case class MemFilePart(key: String, path: String,
     fileSchemaJson: String, colIdx: Array[Int], colTypes: Array[String],
-    version: Long)
+    version: Long,
+    rowFns: Vector[Array[Any] => Boolean] = Vector.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     InternalRow(UTF8String.fromString(key))
@@ -2271,10 +2277,12 @@ private[sources] class MemReaderFactory(columnar: Boolean = false)
         (p.rows.map((p.key, _)), p.colIdx, p.colTypes, p.version)
       case p: MemSlicePart => (p.rows, p.colIdx, p.colTypes, p.version)
       case p: MemFilePart =>
-        // TASK-SIDE file read: the split carried a path, not rows
+        // TASK-SIDE file read: the split carried a path, not rows;
+        // accepted pushed filters are enforced here, exactly
         val schema = org.apache.spark.sql.types.DataType
           .fromJson(p.fileSchemaJson).asInstanceOf[StructType]
-        (DurableSpill.readRows(p.path, schema).map((p.key, _)),
+        (DurableSpill.readRows(p.path, schema)
+          .filter(r => p.rowFns.forall(_(r))).map((p.key, _)),
           p.colIdx, p.colTypes, p.version)
       case other => sys.error(s"MemTable: unexpected split $other")
     }

@@ -200,6 +200,25 @@ class DurableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("extended pushdown stays file-backed after a restore: accepted filters run in the task, three-valued") {
+    val s2 = catSession()
+    val name = s"dur_fbf_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    s2.sql(s"""CREATE TABLE $tbl (k BIGINT, p STRING, cents BIGINT)
+               PARTITIONED BY (p) TBLPROPERTIES ('extendedPushdown'='true')""")
+    s2.sql(s"INSERT INTO $tbl VALUES (1,'a',100),(2,'a',NULL),(3,'b',300),(4,'b',NULL)")
+    MemTable.evict(key) // restart
+    // a disjunctive NOT shape (no rescuing IsNotNull inference): the
+    // compiled three-valued filter must EXCLUDE the NULL rows, and the
+    // plan must stay file-backed — the filter ships to the task
+    val df = s2.sql(s"SELECT k FROM $tbl WHERE cents != 100 OR k > 9")
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("fileBacked="), desc)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L))
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   test("partition pruning survives the restore (restored partCol drives planning)") {
     val s2 = catSession()
     import s2.implicits._
