@@ -1701,7 +1701,8 @@ object Sources {
     * visible to the next, gluettalax.py:444-482) and the VERDICT r11 top
     * residual gap: a [[graft.sources.GraftSparkCatalog]] configured with
     * a `warehouse` option spills every commit as parquet + manifest
-    * (transaction-log shape: per-version rows.parquet + meta.json with
+    * (transaction-log shape: per-version per-partition parquet data
+    * files + meta.json with
     * schema-at-version and commit ts, one atomic-rename manifest) and
     * lazily restores the WHOLE table on first reference after a restart.
     * This entry runs the full lifecycle: create → DELETE → UPDATE →

