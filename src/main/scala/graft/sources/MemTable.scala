@@ -1811,9 +1811,23 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
   private def fileBackedPlan: Option[LazyParts] = snap.parts match {
     case lp: LazyParts
         if agg.isEmpty && topN.isEmpty && limit.isEmpty && offset.isEmpty &&
-          sample.isEmpty && variantExs.isEmpty => Some(lp)
+          sample.isEmpty => Some(lp)
     case _ => None
   }
+
+  /** Accepted variant extractions in SHIPPABLE form — (column index in
+    * the file schema, per-field (path, targetType json, failOnError,
+    * timeZoneId)) — so a file-backed split can rebuild the VariantGet
+    * evaluators INSIDE the task and extraction rides the executor-side
+    * read like every other pushed clause. */
+  private def variantSpecs: Seq[(Int, Seq[(String, String, Boolean, String)])] =
+    variantExs.toSeq.map { case (cname, es) =>
+      snap.schema.fieldNames.indexOf(cname) -> es.map { e =>
+        val vm = org.apache.spark.sql.execution.datasources.VariantMetadata
+          .fromMetadata(e.metadata())
+        (vm.path, e.expectedDataType().json, vm.failOnError, vm.timeZoneId)
+      }
+    }
 
   /** Rows after every pushed clause, each tagged with its partition key
     * (metadata-column provenance survives the cut). Top-N sorts the
@@ -1930,10 +1944,11 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
           // extended pushdown composes with the file-backed path the
           // way PushedFilters reach a parquet reader
           val fileSchema = snap.schema.json
+          val vspecs = variantSpecs
           plannedKeys.map { k =>
             val f = lp.fileInfo(k)
             MemFilePart(k, f.path, fileSchema, idx, types, snap.version,
-              rowFns): InputPartition
+              rowFns, vspecs): InputPartition
           }.toArray
         case None =>
           planned.map { case (k, rs) =>
@@ -2260,7 +2275,10 @@ private[sources] case class MemSlicePart(rows: Vector[(String, Array[Any])],
 private[sources] case class MemFilePart(key: String, path: String,
     fileSchemaJson: String, colIdx: Array[Int], colTypes: Array[String],
     version: Long,
-    rowFns: Vector[Array[Any] => Boolean] = Vector.empty)
+    rowFns: Vector[Array[Any] => Boolean] = Vector.empty,
+    // (file-schema column index, per-field (path, type json, failOnError,
+    // timeZoneId)) — accepted variant extractions, evaluated in the task
+    variantSpecs: Seq[(Int, Seq[(String, String, Boolean, String)])] = Nil)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     InternalRow(UTF8String.fromString(key))
@@ -2278,12 +2296,41 @@ private[sources] class MemReaderFactory(columnar: Boolean = false)
       case p: MemSlicePart => (p.rows, p.colIdx, p.colTypes, p.version)
       case p: MemFilePart =>
         // TASK-SIDE file read: the split carried a path, not rows;
-        // accepted pushed filters are enforced here, exactly
+        // accepted pushed filters AND variant extractions are enforced
+        // here, exactly — the evaluators rebuild from shippable specs
         val schema = org.apache.spark.sql.types.DataType
           .fromJson(p.fileSchemaJson).asInstanceOf[StructType]
-        (DurableSpill.readRows(p.path, schema)
-          .filter(r => p.rowFns.forall(_(r))).map((p.key, _)),
-          p.colIdx, p.colTypes, p.version)
+        val vEvs: Seq[(Int, Array[Any] => Any)] = p.variantSpecs.map {
+          case (vIdx, fields) =>
+            val gets = fields.map { case (path, dtJson, failOnError, tz) =>
+              new org.apache.spark.sql.catalyst.expressions.variant.VariantGet(
+                org.apache.spark.sql.catalyst.expressions.BoundReference(
+                  0, org.apache.spark.sql.types.VariantType, nullable = true),
+                org.apache.spark.sql.catalyst.expressions.Literal(
+                  UTF8String.fromString(path), StringType),
+                org.apache.spark.sql.types.DataType.fromJson(dtJson),
+                failOnError, Some(tz))
+            }
+            vIdx -> { (row: Array[Any]) =>
+              row(vIdx) match {
+                case null => null
+                case v =>
+                  val in = InternalRow(v)
+                  new org.apache.spark.sql.catalyst.expressions
+                    .GenericInternalRow(gets.map(_.eval(in)).toArray)
+              }
+            }
+        }
+        val rows0 = DurableSpill.readRows(p.path, schema)
+          .filter(r => p.rowFns.forall(_(r)))
+        val rows =
+          if (vEvs.isEmpty) rows0
+          else rows0.map { r =>
+            val c = r.clone()
+            vEvs.foreach { case (i, f) => c(i) = f(r) }
+            c
+          }
+        (rows.map((p.key, _)), p.colIdx, p.colTypes, p.version)
       case other => sys.error(s"MemTable: unexpected split $other")
     }
 

@@ -58,7 +58,7 @@ class VariantProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df3.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
-  test("variant survives the durable spill: evict, restore, file-backed read, extraction fallback") {
+  test("variant survives the durable spill: evict, restore, file-backed read, task-side extraction") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.catalog.graft_vdur", "graft.sources.GraftSparkCatalog")
     s2.conf.set("spark.sql.catalog.graft_vdur.warehouse",
@@ -72,21 +72,30 @@ class VariantProbeSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"INSERT INTO $t SELECT 2L, 'B', CAST(NULL AS VARIANT)")
     graft.sources.MemTable.evict(key)
     // plain read of the restored table is FILE-BACKED — with shredding
-    // OFF, since ANY variant reference (even to_json) otherwise pushes a
-    // whole-$ extraction and takes the materializing fallback
+    // OFF first, pinning the no-extraction path in isolation (ANY
+    // variant reference, even to_json, otherwise pushes a whole-$
+    // extraction)
     s2.conf.set("spark.sql.variant.pushVariantIntoScan", "false")
     val raw = s2.sql(s"SELECT k, to_json(v) AS j FROM $t ORDER BY k")
     assert(raw.queryExecution.executedPlan.toString.contains("fileBacked="),
       raw.queryExecution.executedPlan.toString)
     assert(raw.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, """{"a":7}"""), (2L, null)))
-    // extraction pushdown on a restored snapshot falls back to the
-    // materializing path (correctness over the file-backed marker)
+    // extraction pushdown on a restored snapshot STAYS file-backed: the
+    // shippable specs rebuild the VariantGet evaluators inside the task
     s2.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
     val ex = s2.sql(s"SELECT k, variant_get(v, '$$.a', 'bigint') AS a FROM $t ORDER BY k")
+    val exDesc = ex.queryExecution.executedPlan.toString
+    assert(exDesc.contains("fileBacked=") &&
+      exDesc.contains("pushedVariantExtractions="), exDesc)
     assert(ex.collect().map(r =>
       (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq ==
       Seq((1L, 7L), (2L, -1L)))
+    // and the driver-side lazy cache stayed empty across both reads
+    graft.sources.MemTable.store(key).parts match {
+      case lp: graft.sources.LazyParts => assert(lp.materializedCount == 0)
+      case other => fail(s"expected a LazyParts snapshot, got $other")
+    }
     s2.sql(s"DROP TABLE $t")
   }
 }
