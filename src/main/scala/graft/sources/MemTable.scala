@@ -68,6 +68,17 @@ object MemTable {
   case class Snapshot(schema: StructType, parts: Map[String, Vector[Array[Any]]],
       version: Long = 1L, tsMicros: Long = 0L)
 
+  /** Spark's StringType ordering is UTF8String BINARY order (UTF-8 byte
+    * comparison = code-POINT order); Java `String.compareTo` is UTF-16
+    * code-UNIT order — the two disagree for supplementary characters
+    * (U+FFFF sorts above U+10000 in UTF-16, below it in UTF-8). Every
+    * connector-side comparison that stands in for an engine comparison
+    * (pushed filters, pushed top-N, sorted-layout ordering claims,
+    * DELETE predicates) must use THIS, or results diverge silently on
+    * non-BMP data. */
+  def cmpString(x: String, y: String): Int =
+    UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
+
   /** Committed state per runId — swapped ONLY by a commit-time publish. */
   val store = new scala.collection.concurrent.TrieMap[String, Snapshot]
 
@@ -104,7 +115,7 @@ object MemTable {
             case (null, _)              => -1
             case (_, null)              => 1
             case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
-            case (x: String, y: String) => x.compareTo(y)
+            case (x: String, y: String) => MemTable.cmpString(x, y)
             case other => sys.error(s"MemTable: unorderable sort key $other")
           }
         }
@@ -306,7 +317,7 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
 
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) => Some(MemTable.cmpString(x, y))
     case _                      => None
   }
 
@@ -1483,7 +1494,7 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
       case (null, _) | (_, null)  => None // NULL comparison → UNKNOWN
       case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
       case (x: Long, y: Int)      => Some(java.lang.Long.compare(x, y.toLong))
-      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: String, y: String) => Some(MemTable.cmpString(x, y))
       case _                      => None
     }
     f match {
@@ -1561,11 +1572,8 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def pruneColumns(requiredSchema: StructType): Unit = {
-    if (sys.env.contains("GRAFT_VARIANT_PROBE"))
-      System.err.println(s"# prune ${requiredSchema.json}")
+  override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  }
 
   override def build(): Scan =
     new MemScan(snap, keep, required, effPartCol, topN, limit, aggSpec, runId,
@@ -1844,7 +1852,7 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
             keys.foreach { case (i, asc) =>
               val c = (a(i), b(i)) match {
                 case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
-                case (x: String, y: String) => x.compareTo(y)
+                case (x: String, y: String) => MemTable.cmpString(x, y)
                 case other                  => sys.error(s"MemTable: unorderable $other")
               }
               if (c != 0) return if (asc) c else -c

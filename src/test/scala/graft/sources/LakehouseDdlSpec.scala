@@ -363,6 +363,31 @@ class LakehouseDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pushed string comparisons follow Spark's UTF-8 binary order, not UTF-16 (non-BMP differential)") {
+    val s2 = catSession()
+    import s2.implicits._
+    val (np, ne) = (freshName("u8p"), freshName("u8e"))
+    // U+FFFF vs U+10000: UTF-16 code-unit order puts U+FFFF ABOVE the
+    // surrogate pair; UTF-8 byte order (= code-point order, what Spark
+    // compares) puts it BELOW — a Java String.compareTo in the pushed
+    // filter silently drops/keeps the wrong rows
+    val supp = new String(Character.toChars(0x10000))
+    for ((n, props) <- Seq((np, ""), (ne, "TBLPROPERTIES ('extendedPushdown'='true')"))) {
+      s2.sql(s"CREATE TABLE graft_ddl.ns.$n (k BIGINT, status STRING, w STRING) PARTITIONED BY (status) $props")
+      Seq((1L, "A", "\uFFFF"), (2L, "A", supp), (3L, "B", "z"))
+        .toDF("k", "status", "w").createOrReplaceTempView(s"u8src_$n")
+      s2.sql(s"INSERT INTO graft_ddl.ns.$n SELECT * FROM u8src_$n")
+    }
+    for (op <- Seq("<", ">", "<=", ">=")) {
+      def ks(n: String): Seq[Long] =
+        s2.table(s"graft_ddl.ns.$n")
+          .where(org.apache.spark.sql.functions
+            .expr(s"w $op '$supp'")).select("k")
+          .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ks(np) == ks(ne), s"op $op: engine ${ks(np)} vs pushed ${ks(ne)}")
+    }
+  }
+
   test("RENAME/DROP COLUMN refuse under CHECK-constraint and identity anchors; substring near-misses allowed") {
     val s2 = catSession()
     val t = s"graft_ddl.ns.${freshName("colguard")}"
