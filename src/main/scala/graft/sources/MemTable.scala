@@ -322,41 +322,59 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
   }
 
   /** Evaluate (eval = Some(row => …)) or just validate (structural pass
-    * with no row) — one recursion serves canDeleteWhere and deleteWhere. */
+    * with no row) — one recursion serves canDeleteWhere, deleteWhere,
+    * and predicate overwrite. THREE-VALUED (None = UNKNOWN, Kleene
+    * AND/OR, NOT(UNKNOWN) = UNKNOWN), same discipline as the pushed
+    * read filters: a `DELETE WHERE NOT (col = v)` must KEEP rows with a
+    * NULL col exactly as the engine would — a two-valued NOT here
+    * silently deletes them. */
   private def compile(p: org.apache.spark.sql.connector.expressions.filter.Predicate,
-      sch: StructType): Option[Array[Any] => Boolean] = {
+      sch: StructType): Option[Array[Any] => Option[Boolean]] = {
     import org.apache.spark.sql.connector.expressions.filter.Predicate
     def sub(i: Int) = p.children()(i) match {
       case q: Predicate => compile(q, sch)
       case _            => None
     }
     p.name() match {
-      case "ALWAYS_TRUE"  => Some(_ => true)
-      case "ALWAYS_FALSE" => Some(_ => false)
-      case "AND" => for (l <- sub(0); r <- sub(1)) yield (row: Array[Any]) => l(row) && r(row)
-      case "OR"  => for (l <- sub(0); r <- sub(1)) yield (row: Array[Any]) => l(row) || r(row)
-      case "NOT" => sub(0).map(f => (row: Array[Any]) => !f(row))
+      case "ALWAYS_TRUE"  => Some(_ => Some(true))
+      case "ALWAYS_FALSE" => Some(_ => Some(false))
+      case "AND" => for (l <- sub(0); r <- sub(1))
+        yield (row: Array[Any]) => (l(row), r(row)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true))            => Some(true)
+          case _                                   => None
+        }
+      case "OR" => for (l <- sub(0); r <- sub(1))
+        yield (row: Array[Any]) => (l(row), r(row)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false))        => Some(false)
+          case _                                 => None
+        }
+      case "NOT" => sub(0).map(f => (row: Array[Any]) => f(row).map(!_))
       // null-safe equality — how Spark spells a static PARTITION (p = 'x')
-      // spec when planning the overwrite's delete predicate
+      // spec when planning the overwrite's delete predicate; two-valued
+      // by definition
       case "<=>" =>
         (resolve(p.children()(0), sch), resolve(p.children()(1), sch)) match {
           case (Some(Left(i)), Some(Right(v))) =>
-            Some((row: Array[Any]) =>
+            Some((row: Array[Any]) => Some(
               if (row(i) == null || v == null) row(i) == null && v == null
-              else cmp(row(i), v).contains(0))
+              else cmp(row(i), v).contains(0)))
           case _ => None
         }
       case op @ ("=" | "<>" | "!=" | "<" | "<=" | ">" | ">=") =>
         (resolve(p.children()(0), sch), resolve(p.children()(1), sch)) match {
           case (Some(Left(i)), Some(Right(v))) =>
-            Some((row: Array[Any]) => cmp(row(i), v).exists(c => op match {
-              case "="          => c == 0
-              case "<>" | "!=" => c != 0
-              case "<"          => c < 0
-              case "<="         => c <= 0
-              case ">"          => c > 0
-              case ">="         => c >= 0
-            }))
+            Some((row: Array[Any]) =>
+              if (row(i) == null || v == null) None // NULL comparison → UNKNOWN
+              else cmp(row(i), v).map(c => op match {
+                case "="         => c == 0
+                case "<>" | "!=" => c != 0
+                case "<"         => c < 0
+                case "<="        => c <= 0
+                case ">"         => c > 0
+                case ">="        => c >= 0
+              }))
           case _ => None
         }
       case "IN" =>
@@ -364,8 +382,14 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
           case Some(Left(i)) =>
             val vals = p.children().drop(1).map(resolve(_, sch))
             if (vals.forall(_.exists(_.isRight)))
-              Some((row: Array[Any]) =>
-                vals.exists(v => cmp(row(i), v.get.right.get).contains(0)))
+              Some { (row: Array[Any]) =>
+                val cs = vals.map(v =>
+                  if (row(i) == null || v.get.right.get == null) None
+                  else cmp(row(i), v.get.right.get).map(_ == 0))
+                if (cs.exists(_.contains(true))) Some(true)
+                else if (cs.exists(_.isEmpty)) None
+                else Some(false)
+              }
             else None
           case _ => None
         }
@@ -373,17 +397,24 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
     }
   }
 
+  /** A row MATCHES a delete/overwrite predicate only when it evaluates
+    * TRUE — UNKNOWN keeps the row, exactly as the engine's WHERE would. */
+  private def compileTop(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate,
+      sch: StructType): Option[Array[Any] => Boolean] =
+    compile(p, sch).map(g => (row: Array[Any]) => g(row).contains(true))
+
   override def canDeleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean = {
     val sch = schema()
-    predicates.forall(compile(_, sch).isDefined)
+    predicates.forall(compileTop(_, sch).isDefined)
   }
 
   override def deleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
     MemTable.store.synchronized {
       MemTable.store.get(runId).foreach { snap =>
-        val fns = predicates.flatMap(compile(_, snap.schema))
+        val fns = predicates.flatMap(compileTop(_, snap.schema))
         require(fns.length == predicates.length,
           s"MemTable '$runId': unsupported DELETE predicate")
         // conjunction semantics: a row is deleted when EVERY predicate holds
@@ -639,12 +670,12 @@ private[sources] class MemTableImpl(schema: StructType, runId: String, partCol: 
       override def canOverwrite(
           predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean = {
         val sch = schema()
-        predicates.forall(compile(_, sch).isDefined)
+        predicates.forall(compileTop(_, sch).isDefined)
       }
       override def overwrite(
           predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): WriteBuilder = {
         val sch = schema()
-        val fns = predicates.flatMap(compile(_, sch))
+        val fns = predicates.flatMap(compileTop(_, sch))
         require(fns.length == predicates.length,
           s"MemTable '$runId': unsupported overwrite predicate")
         overwriteFns = Some(fns)

@@ -388,6 +388,27 @@ class LakehouseDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("DELETE/overwrite predicates are three-valued: NOT/NOT-IN over NULL cells keep the rows") {
+    val s2 = catSession()
+    val t = s"graft_ddl.ns.${freshName("del3vl")}"
+    s2.sql(s"CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT) PARTITIONED BY (status)")
+    s2.sql(s"INSERT INTO $t VALUES (1,'A',100),(2,'A',NULL),(3,'B',300),(4,'B',NULL)")
+    // NULL <> 100 is UNKNOWN: the engine keeps rows 2 and 4; a
+    // two-valued source-side NOT would silently delete them
+    s2.sql(s"DELETE FROM $t WHERE NOT (cents = 100)")
+    assert(s2.sql(s"SELECT k FROM $t ORDER BY k").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L, 4L))
+    s2.sql(s"DELETE FROM $t WHERE cents NOT IN (100, 300)")
+    assert(s2.sql(s"SELECT k FROM $t ORDER BY k").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L, 4L)) // NULLs survive NOT IN too
+    // and a predicate OVERWRITE with a NOT shape replaces only TRUE rows
+    s2.sql(s"INSERT INTO $t VALUES (5,'B',500)")
+    s2.sql(s"""INSERT INTO $t REPLACE WHERE NOT (cents <=> 100) AND status = 'B'
+               VALUES (9,'B',900)""")
+    assert(s2.sql(s"SELECT k FROM $t ORDER BY k").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L, 9L)) // k=4 (NULL, B): <=> is two-valued, so it IS replaced
+  }
+
   test("RENAME/DROP COLUMN refuse under CHECK-constraint and identity anchors; substring near-misses allowed") {
     val s2 = catSession()
     val t = s"graft_ddl.ns.${freshName("colguard")}"
