@@ -1262,7 +1262,8 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
   private var pushed = Array.empty[Filter]
   private var required: StructType = snap.schema
   // (full-schema column index, ascending?) per sort key + row budget
-  private var topN: Option[(Seq[(Int, Boolean)], Int)] = None
+  // (full-schema column index, ascending?, nulls first?) per sort key
+  private var topN: Option[(Seq[(Int, Boolean, Boolean)], Int)] = None
   private var limit: Option[Int] = None
   // (grouped by partCol?, (op, full-schema column index) per aggregate)
   private var aggSpec: Option[(Boolean, Seq[(String, Int)])] = None
@@ -1492,7 +1493,9 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
         case nr: NamedReference if nr.fieldNames().length == 1 =>
           val idx = snap.schema.fieldNames.indexOf(nr.fieldNames()(0))
           if (idx < 0) return false
-          (idx, o.direction() == SortDirection.ASCENDING)
+          (idx, o.direction() == SortDirection.ASCENDING,
+            o.nullOrdering() ==
+              org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST)
         case _ => return false
       }
     }
@@ -1624,7 +1627,7 @@ private[sources] case class MemPart(key: String, rows: Vector[Array[Any]],
 
 private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String]],
     required: StructType, partCol: String,
-    topN: Option[(Seq[(Int, Boolean)], Int)] = None, limit: Option[Int] = None,
+    topN: Option[(Seq[(Int, Boolean, Boolean)], Int)] = None, limit: Option[Int] = None,
     agg: Option[(Boolean, Seq[(String, Int)])] = None, runId: String = "",
     columnar: Boolean = false,
     onPlan: Option[Set[String] => Unit] = None,
@@ -1700,12 +1703,17 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
       // sum/min/max = NULL (a global aggregate over an empty snapshot, or
       // after every partition was runtime-pruned, must emit the NULL row —
       // .min/.max on an empty iterator would throw instead)
+      // NULL cells are SKIPPED, never coerced (SQL aggregate semantics —
+      // `null.asInstanceOf[Long]` silently unboxes to 0, which poisons
+      // min/max and turns an all-NULL group's NULL into 0)
+      def longs(i: Int): Vector[Long] =
+        rs.iterator.map(_(i)).filter(_ != null)
+          .map(_.asInstanceOf[Long]).toVector
       val vals: Seq[Any] = funcs.map {
-        case ("count_star", _)         => rs.size.toLong
-        case (_, _) if rs.isEmpty      => null
-        case ("sum", i) => rs.iterator.map(_(i).asInstanceOf[Long]).sum
-        case ("min", i) => rs.iterator.map(_(i).asInstanceOf[Long]).min
-        case ("max", i) => rs.iterator.map(_(i).asInstanceOf[Long]).max
+        case ("count_star", _) => rs.size.toLong
+        case ("sum", i) => val v = longs(i); if (v.isEmpty) null else v.sum
+        case ("min", i) => val v = longs(i); if (v.isEmpty) null else v.min
+        case ("max", i) => val v = longs(i); if (v.isEmpty) null else v.max
         case (op, _)    => sys.error(s"MemTable: unknown pushed aggregate $op")
       }
       ((if (grouped) Seq[Any](k) else Seq.empty[Any]) ++ vals).toArray
@@ -1880,13 +1888,23 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
         val ord = new Ordering[(String, Array[Any])] {
           def compare(ka: (String, Array[Any]), kb: (String, Array[Any])): Int = {
             val (a, b) = (ka._2, kb._2)
-            keys.foreach { case (i, asc) =>
+            keys.foreach { case (i, asc, nullsFirst) =>
+              // honor the PUSHED null ordering (a null sort key is data,
+              // not an error — ORDER BY x DESC NULLS LAST is a plan fact)
               val c = (a(i), b(i)) match {
+                case (null, null)           => 0
+                case (null, _)              => if (nullsFirst) -1 else 1
+                case (_, null)              => if (nullsFirst) 1 else -1
                 case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
                 case (x: String, y: String) => MemTable.cmpString(x, y)
                 case other                  => sys.error(s"MemTable: unorderable $other")
               }
-              if (c != 0) return if (asc) c else -c
+              // null position is absolute, not flipped with direction —
+              // the pushed NullOrdering already encodes the final intent
+              if (c != 0) return (a(i), b(i)) match {
+                case (null, _) | (_, null) => c
+                case _                     => if (asc) c else -c
+              }
             }
             0
           }
@@ -2014,8 +2032,9 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
         .getOrElse("") +
       (if (columnar) "columnar=true, " else "") +
       s"partCol=$partCol, cols=${required.fieldNames.mkString(",")}" +
-      topN.map { case (ks, n) => s", pushedTopN=${ks.map { case (i, a) =>
-        snap.schema.fieldNames(i) + (if (a) " ASC" else " DESC") }.mkString("[", ",", "]")} LIMIT $n" }.getOrElse("") +
+      topN.map { case (ks, n) => s", pushedTopN=${ks.map { case (i, a, nf) =>
+        snap.schema.fieldNames(i) + (if (a) " ASC" else " DESC") +
+          (if (nf) " NULLS FIRST" else " NULLS LAST") }.mkString("[", ",", "]")} LIMIT $n" }.getOrElse("") +
       limit.map(n => s", pushedLimit=$n").getOrElse("") +
       offset.map(n => s", pushedOffset=$n").getOrElse("") +
       sample.map { case (lo, hi, seed) =>

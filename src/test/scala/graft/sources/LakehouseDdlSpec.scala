@@ -409,6 +409,46 @@ class LakehouseDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Seq(1L, 2L, 9L)) // k=4 (NULL, B): <=> is two-valued, so it IS replaced
   }
 
+  test("pushed aggregates skip NULL cells and serve NULL for all-NULL groups") {
+    val s2 = catSession()
+    val t = s"graft_ddl.ns.${freshName("aggnull")}"
+    s2.sql(s"CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT) PARTITIONED BY (status)")
+    s2.sql(s"""INSERT INTO $t VALUES
+      (1,'A',100),(2,'A',NULL),(3,'A',-5),(4,'B',NULL),(5,'B',NULL)""")
+    val df = s2.sql(
+      s"""SELECT status, count(*) AS n, min(cents) AS mn, max(cents) AS mx,
+                 sum(cents) AS sm
+          FROM $t GROUP BY status ORDER BY status""")
+    assert(df.queryExecution.executedPlan.toString.contains("pushedAggregates="),
+      df.queryExecution.executedPlan.toString)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    // A: NULL skipped (min -5, not 0-coerced); B: all-NULL group → NULLs
+    assert(rows == Seq(
+      ("A", 3L, Some(-5L), Some(100L), Some(95L)),
+      ("B", 2L, None, None, None)), rows.toString)
+  }
+
+  test("pushed top-N honors the pushed null ordering over nullable sort keys") {
+    val s2 = catSession()
+    val t = s"graft_ddl.ns.${freshName("topnull")}"
+    s2.sql(s"CREATE TABLE $t (k BIGINT, status STRING, cents BIGINT) PARTITIONED BY (status)")
+    s2.sql(s"INSERT INTO $t VALUES (1,'A',100),(2,'A',NULL),(3,'B',300),(4,'B',NULL),(5,'B',50)")
+    def topK(order: String): Seq[Long] = {
+      val df = s2.sql(s"SELECT k FROM $t ORDER BY $order LIMIT 3")
+      assert(df.queryExecution.executedPlan.toString.contains("pushedTopN="),
+        df.queryExecution.executedPlan.toString)
+      df.collect().map(_.getLong(0)).toSeq
+    }
+    // Spark defaults: ASC = NULLS FIRST, DESC = NULLS LAST
+    assert(topK("cents DESC") == Seq(3L, 1L, 5L))
+    assert(topK("cents ASC NULLS LAST") == Seq(5L, 1L, 3L))
+    assert(topK("cents ASC").toSet == Set(2L, 4L, 5L)) // two NULL rows tie ahead of 50
+    assert(topK("cents DESC NULLS FIRST").toSet == Set(2L, 4L, 3L))
+  }
+
   test("RENAME/DROP COLUMN refuse under CHECK-constraint and identity anchors; substring near-misses allowed") {
     val s2 = catSession()
     val t = s"graft_ddl.ns.${freshName("colguard")}"
