@@ -1575,7 +1575,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("q212: ORDER BY+LIMIT is served BY the connector — pushedTopN in the scan, no Sort over it") {
     val p = plan(operators.Sources.q212.build(spark, sfDir))
-    assert(p.contains("pushedTopN=[cents DESC,user_id ASC] LIMIT 10"),
+    assert(p.contains(
+      "pushedTopN=[cents DESC NULLS LAST,user_id ASC NULLS FIRST] LIMIT 10"),
       s"top-N did not push into the MemTable scan\n$p")
     // the only Sorts are the final presentation ORDER BY (partial + global
     // under exchange); the pushed cut itself adds none over the mem scan
