@@ -79,6 +79,15 @@ object MemTable {
   def cmpString(x: String, y: String): Int =
     UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
 
+  /** Per-partition row counts WITHOUT materializing rows: a restored
+    * (file-backed) snapshot answers from its manifest — what lets the
+    * streaming planner diff versions of a restored table while the data
+    * stays on disk. */
+  def partCounts(snap: Snapshot): Map[String, Int] = snap.parts match {
+    case lp: LazyParts => lp.fileInfo.map { case (k, f) => k -> f.rows.toInt }
+    case m             => m.map { case (k, rs) => k -> rs.size }
+  }
+
   /** Committed state per runId — swapped ONLY by a commit-time publish. */
   val store = new scala.collection.concurrent.TrieMap[String, Snapshot]
 
@@ -2170,34 +2179,51 @@ private[sources] class MemMicroBatchStream(runId: String, required: StructType,
     * sorted by key, arrival order within each — what makes a
     * ROW-granular offset replayable. Enforces the append-only contract
     * for the step (shrink/vanish refuse exactly). */
-  private def incrementRows(w: Long): Vector[(String, Array[Any])] = {
-    val cur = MemTable.history.getOrElse((runId, w), sys.error(
+  private def snapAt(w: Long): MemTable.Snapshot =
+    MemTable.history.getOrElse((runId, w), sys.error(
       s"MemTable '$runId': stream version $w not in retained history " +
         s"(depth ${MemTable.historyDepth}) — the reader fell behind retention"))
-    val prevCounts: Map[String, Int] =
-      if (w <= 1) Map.empty
-      else MemTable.history.get((runId, w - 1)) match {
-        case Some(p) => p.parts.map { case (k, rs) => k -> rs.size }
-        case None => sys.error(
-          s"MemTable '$runId': stream version ${w - 1} expired from history — " +
-            "restart the stream or raise retention")
-      }
-    prevCounts.keys.find(!cur.parts.contains(_)).foreach { gone =>
+  private def prevCountsOf(w: Long): Map[String, Int] =
+    if (w <= 1) Map.empty
+    else MemTable.history.get((runId, w - 1)) match {
+      case Some(p) => MemTable.partCounts(p)
+      case None => sys.error(
+        s"MemTable '$runId': stream version ${w - 1} expired from history — " +
+          "restart the stream or raise retention")
+    }
+  private def checkAppendOnly(w: Long, prevCounts: Map[String, Int],
+      curCounts: Map[String, Int]): Unit = {
+    prevCounts.keys.find(!curCounts.contains(_)).foreach { gone =>
       sys.error(
         s"MemTable '$runId': non-append change at version $w " +
           s"(partition '$gone' vanished) — streaming reads require " +
           "append-only commits in the consumed range")
     }
-    cur.parts.toSeq.sortBy(_._1).iterator.flatMap { case (k, rs) =>
+    curCounts.foreach { case (k, n) =>
       val from = prevCounts.getOrElse(k, 0)
-      if (rs.size < from) sys.error(
+      if (n < from) sys.error(
         s"MemTable '$runId': non-append change at version $w " +
-          s"(partition '$k' shrank ${from}→${rs.size}) — streaming reads " +
+          s"(partition '$k' shrank ${from}→$n) — streaming reads " +
           "require append-only commits in the consumed range")
-      rs.drop(from).iterator.map((k, _))
+    }
+  }
+  private def incrementRows(w: Long): Vector[(String, Array[Any])] = {
+    val cur = snapAt(w)
+    val prevCounts = prevCountsOf(w)
+    checkAppendOnly(w, prevCounts, MemTable.partCounts(cur))
+    cur.parts.toSeq.sortBy(_._1).iterator.flatMap { case (k, rs) =>
+      rs.drop(prevCounts.getOrElse(k, 0)).iterator.map((k, _))
     }.toVector
   }
-  private def incrementSize(w: Long): Long = incrementRows(w).size.toLong
+  /** Size of one version's increment, METADATA-ONLY (manifest counts for
+    * a restored table — admission control never touches a data file). */
+  private def incrementSize(w: Long): Long = {
+    val curCounts = MemTable.partCounts(snapAt(w))
+    val prevCounts = prevCountsOf(w)
+    checkAppendOnly(w, prevCounts, curCounts)
+    curCounts.iterator.map { case (k, n) =>
+      (n - prevCounts.getOrElse(k, 0)).toLong }.sum
+  }
 
   // ROW-granular admission control (`maxRowsPerTrigger`, Delta's
   // homonymous option at true row granularity): a micro-batch may end
@@ -2282,15 +2308,16 @@ private[sources] class MemMicroBatchStream(runId: String, required: StructType,
     val startCounts: Map[String, Int] =
       if (s0 == 0) Map.empty
       else MemTable.history.get((runId, s0)) match {
-        case Some(snap) => snap.parts.map { case (k, rs) => k -> rs.size }
+        case Some(snap) => MemTable.partCounts(snap)
         case None => sys.error(
           s"MemTable '$runId': stream start version $s0 expired from history — " +
             "restart the stream or raise retention")
       }
+    val endCounts = MemTable.partCounts(endSnap)
     // a partition that VANISHED between the offsets is the strongest
     // non-append signal (DELETE drains it and the empty group drops from
     // the snapshot) — iterating only end-snapshot partitions would miss it
-    startCounts.keys.find(!endSnap.parts.contains(_)).foreach { gone =>
+    startCounts.keys.find(!endCounts.contains(_)).foreach { gone =>
       sys.error(
         s"MemTable '$runId': non-append change between versions $s0 and $e0 " +
           s"(partition '$gone' vanished) — streaming reads require " +
@@ -2302,14 +2329,25 @@ private[sources] class MemMicroBatchStream(runId: String, required: StructType,
       case n                 => endSnap.schema.fieldNames.indexOf(n)
     }
     val types = required.fields.map(_.dataType.typeName)
-    endSnap.parts.toSeq.sortBy(_._1).flatMap { case (k, rs) =>
+    endCounts.toSeq.sortBy(_._1).flatMap { case (k, n) =>
       val from = startCounts.getOrElse(k, 0)
-      if (rs.size < from) sys.error(
+      if (n < from) sys.error(
         s"MemTable '$runId': non-append change between versions $s0 and $e0 " +
-          s"(partition '$k' shrank ${from}→${rs.size}) — streaming reads " +
+          s"(partition '$k' shrank ${from}→$n) — streaming reads " +
           "require append-only commits in the consumed range")
-      if (rs.size == from) None
-      else Some(MemPart(k, rs.drop(from), idx, types, e0))
+      if (n == from) None
+      else endSnap.parts match {
+        // RESTORED table: the increment is a row RANGE of the end
+        // version's spilled partition file — counts came from manifests,
+        // the rows go disk → executor task, and the driver-side lazy
+        // cache never fills (appends only ever extend the vector, so the
+        // file's row order IS the commit order)
+        case lp: LazyParts =>
+          Some(MemFilePart(k, lp.fileInfo(k).path, endSnap.schema.json,
+            idx, types, e0, skip = from, takeN = n - from))
+        case parts =>
+          Some(MemPart(k, parts(k).drop(from), idx, types, e0))
+      }
     }.toArray
   }
 
@@ -2336,7 +2374,10 @@ private[sources] case class MemFilePart(key: String, path: String,
     rowFns: Vector[Array[Any] => Boolean] = Vector.empty,
     // (file-schema column index, per-field (path, type json, failOnError,
     // timeZoneId)) — accepted variant extractions, evaluated in the task
-    variantSpecs: Seq[(Int, Seq[(String, String, Boolean, String)])] = Nil)
+    variantSpecs: Seq[(Int, Seq[(String, String, Boolean, String)])] = Nil,
+    // row RANGE within the file (streaming increments of a restored
+    // table): positions [skip, skip + takeN); takeN < 0 = to the end
+    skip: Int = 0, takeN: Int = -1)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     InternalRow(UTF8String.fromString(key))
@@ -2379,8 +2420,12 @@ private[sources] class MemReaderFactory(columnar: Boolean = false)
               }
             }
         }
-        val rows0 = DurableSpill.readRows(p.path, schema)
-          .filter(r => p.rowFns.forall(_(r)))
+        val ranged = {
+          val all = DurableSpill.readRows(p.path, schema)
+          if (p.skip == 0 && p.takeN < 0) all
+          else all.slice(p.skip, if (p.takeN < 0) all.size else p.skip + p.takeN)
+        }
+        val rows0 = ranged.filter(r => p.rowFns.forall(_(r)))
         val rows =
           if (vEvs.isEmpty) rows0
           else rows0.map { r =>

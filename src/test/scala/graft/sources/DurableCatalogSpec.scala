@@ -200,6 +200,41 @@ class DurableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("streaming a restored table stays file-backed: manifest counts plan, file ranges serve, driver cache stays empty") {
+    val s2 = catSession()
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val name = s"dur_stfb_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stfb_ckpt").toString
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "p", "v")
+      .writeTo(tbl).partitionedBy(col("p")).create()      // v1
+    s2.sql(s"INSERT INTO $tbl VALUES (3, 'a', 30), (4, 'c', 40)") // v2
+    MemTable.evict(key) // restart: the stream must drain from the spill
+    val q = s2.readStream.table(tbl)
+      .groupBy("p").agg(sum("v").as("sv"))
+      .writeStream.format("memory").queryName(s"dur_stfb_sink")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = s2.sql("SELECT p, sv FROM dur_stfb_sink ORDER BY p").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 40L), ("b", 20L), ("c", 40L)))
+    // the drain planned from MANIFEST counts and served FILE ranges:
+    // no version's partitions were materialized into the driver
+    Seq(1L, 2L).foreach { v =>
+      MemTable.history((key, v)).parts match {
+        case lp: LazyParts => assert(lp.materializedCount == 0,
+          s"version $v materialized ${lp.materializedCount} partitions")
+        case other => fail(s"expected LazyParts at v$v, got $other")
+      }
+    }
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   test("extended pushdown stays file-backed after a restore: accepted filters run in the task, three-valued") {
     val s2 = catSession()
     val name = s"dur_fbf_${System.nanoTime()}"
