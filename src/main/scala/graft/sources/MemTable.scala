@@ -2207,14 +2207,6 @@ private[sources] class MemMicroBatchStream(runId: String, required: StructType,
           "require append-only commits in the consumed range")
     }
   }
-  private def incrementRows(w: Long): Vector[(String, Array[Any])] = {
-    val cur = snapAt(w)
-    val prevCounts = prevCountsOf(w)
-    checkAppendOnly(w, prevCounts, MemTable.partCounts(cur))
-    cur.parts.toSeq.sortBy(_._1).iterator.flatMap { case (k, rs) =>
-      rs.drop(prevCounts.getOrElse(k, 0)).iterator.map((k, _))
-    }.toVector
-  }
   /** Size of one version's increment, METADATA-ONLY (manifest counts for
     * a restored table — admission control never touches a data file). */
   private def incrementSize(w: Long): Long = {
@@ -2268,38 +2260,60 @@ private[sources] class MemMicroBatchStream(runId: String, required: StructType,
         (eo.version == so.version && eo.rows <= so.rows)) return Array.empty
     if (so.rows != 0 || eo.rows != 0) {
       // COMPOSITE range (row-granular admission): the batch may begin
-      // and/or end mid-increment. ONE slice PER CONTRIBUTING VERSION —
-      // each stamped with ITS version and indexed against ITS schema —
-      // so `_commit_version` is exact for every row of a
+      // and/or end mid-increment. Splits are planned PER CONTRIBUTING
+      // VERSION — each stamped with ITS version and indexed against ITS
+      // schema, so `_commit_version` is exact for every row of a
       // boundary-spanning batch and a schema evolution inside the range
-      // never indexes an older, narrower row array with a newer schema.
-      val segs: Vector[(Long, Vector[(String, Array[Any])])] =
-        if (so.version == eo.version)
-          Vector((so.version + 1,
-            incrementRows(so.version + 1).slice(so.rows.toInt, eo.rows.toInt)))
-        else {
-          val head = (so.version + 1,
-            incrementRows(so.version + 1).drop(so.rows.toInt))
-          val mid = ((so.version + 2) to eo.version)
-            .map(v => (v, incrementRows(v))).toVector
-          val tail =
-            if (eo.rows > 0)
-              Vector((eo.version + 1,
-                incrementRows(eo.version + 1).take(eo.rows.toInt)))
-            else Vector.empty
-          (head +: mid) ++ tail
-        }
-      return segs.filter(_._2.nonEmpty).map { case (v, rows) =>
-        val schema = MemTable.history.getOrElse((runId, v), sys.error(
-          s"MemTable '$runId': stream version $v not in retained history")).schema
+      // never indexes an older, narrower row array with a newer schema —
+      // and PER PARTITION, from COUNTS alone: a global window [lo, hi)
+      // of version v's increment (the deterministic order: partitions
+      // sorted by key, arrival order within each) maps to per-partition
+      // sub-ranges by pure arithmetic over the per-partition increment
+      // sizes. A restored table therefore serves even a MID-COMMIT batch
+      // as spilled-file row ranges read in executor tasks; an in-memory
+      // table slices its vectors the same way.
+      def windowParts(v: Long, lo: Long, hi: Long): Seq[InputPartition] = {
+        if (hi <= lo) return Nil
+        val snap = snapAt(v)
+        val prev = prevCountsOf(v)
+        val curCounts = MemTable.partCounts(snap)
+        checkAppendOnly(v, prev, curCounts)
         val idx = required.fieldNames.map {
           case "_partition"      => -2
           case "_commit_version" => -3
-          case n                 => schema.fieldNames.indexOf(n)
+          case n                 => snap.schema.fieldNames.indexOf(n)
         }
-        MemSlicePart(rows, idx, required.fields.map(_.dataType.typeName), v)
-          : InputPartition
-      }.toArray
+        val types = required.fields.map(_.dataType.typeName)
+        var off = 0L
+        val out = Seq.newBuilder[InputPartition]
+        curCounts.toSeq.sortBy(_._1).foreach { case (k, n) =>
+          val from = prev.getOrElse(k, 0)
+          val incr = (n - from).toLong
+          val segLo = math.max(lo - off, 0L)
+          val segHi = math.min(hi - off, incr)
+          if (segHi > segLo) {
+            val (s, t) = (from + segLo.toInt, (segHi - segLo).toInt)
+            snap.parts match {
+              case lp: LazyParts =>
+                out += MemFilePart(k, lp.fileInfo(k).path, snap.schema.json,
+                  idx, types, v, skip = s, takeN = t)
+              case parts =>
+                out += MemPart(k, parts(k).slice(s, s + t), idx, types, v)
+            }
+          }
+          off += incr
+        }
+        out.result()
+      }
+      val segs: Seq[(Long, Long, Long)] = // (version, window lo, hi)
+        if (so.version == eo.version)
+          Seq((so.version + 1, so.rows, eo.rows))
+        else
+          Seq((so.version + 1, so.rows, Long.MaxValue)) ++
+            ((so.version + 2) to eo.version).map(v => (v, 0L, Long.MaxValue)) ++
+            (if (eo.rows > 0) Seq((eo.version + 1, 0L, eo.rows)) else Nil)
+      return segs.flatMap { case (v, lo, hi) =>
+        windowParts(v, lo, math.min(hi, incrementSize(v))) }.toArray
     }
     val (s0, e0) = (so.version, eo.version)
     val endSnap = MemTable.history.getOrElse((runId, e0), sys.error(

@@ -235,6 +235,40 @@ class DurableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("row-granular admission over a restored table plans mid-commit batches from manifest counts, file-backed") {
+    val s2 = catSession()
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val name = s"dur_strr_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_strr_ckpt").toString
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)).toDF("k", "p", "v")
+      .writeTo(tbl).partitionedBy(col("p")).create()      // v1: 3 rows
+    s2.sql(s"INSERT INTO $tbl VALUES (4, 'c', 40), (5, 'a', 50)") // v2: 2 rows
+    MemTable.evict(key) // restart
+    // budget 2/trigger over 5 rows: batches [2,2,1] — the second CROSSES
+    // the v1/v2 commit boundary mid-increment, all planned from counts
+    val q = s2.readStream.option("maxRowsPerTrigger", "2").table(tbl)
+      .groupBy().agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("dur_strr_sink")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val row = s2.sql("SELECT sv, n FROM dur_strr_sink").head()
+    assert((row.getLong(0), row.getLong(1)) == (150L, 5L))
+    Seq(1L, 2L).foreach { v =>
+      MemTable.history((key, v)).parts match {
+        case lp: LazyParts => assert(lp.materializedCount == 0,
+          s"version $v materialized ${lp.materializedCount} partitions")
+        case other => fail(s"expected LazyParts at v$v, got $other")
+      }
+    }
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   test("extended pushdown stays file-backed after a restore: accepted filters run in the task, three-valued") {
     val s2 = catSession()
     val name = s"dur_fbf_${System.nanoTime()}"
