@@ -3306,20 +3306,24 @@ object Sources {
       val statRows = full.queryExecution.optimizedPlan.collectLeaves()
         .flatMap(_.stats.rowCount).headOption.map(_.toLong).getOrElse(-1L)
       val out = full.unionByName(pruned).localCheckpoint(true)
-      // the probe AFTER both legs executed: zero driver materialization
-      val lazyLeft = graft.sources.MemTable.store(key).parts match {
-        case lp: graft.sources.LazyParts => lp.materializedCount.toLong
-        case _                           => -1L
-      }
+      // the probe AFTER both legs executed: zero driver materialization;
+      // manifest row total probed through the same guarded match (ADVICE
+      // r13: a restore regressing to a materialized Map must hash-fail
+      // via the -1 sentinel, not die on a ClassCastException)
+      val (lazyLeft, manifestRows) =
+        graft.sources.MemTable.store(key).parts match {
+          case lp: graft.sources.LazyParts =>
+            (lp.materializedCount.toLong,
+              lp.fileInfo.valuesIterator.map(_.rows).sum)
+          case _ => (-1L, -1L)
+        }
       val audits = Seq(
         ("audit", 0L, if (fullDesc.contains("fileBacked=3 files")) 1L else 0L),
         ("audit", 1L, plannedOf(fullDesc)),
         ("audit", 2L, plannedOf(prunedDesc)),
         ("audit", 3L, lazyLeft),
-        ("audit", 4L, if (statRows ==
-          graft.sources.MemTable.store(key).parts
-            .asInstanceOf[graft.sources.LazyParts]
-            .fileInfo.valuesIterator.map(_.rows).sum) 1L else 0L))
+        ("audit", 4L, if (statRows == manifestRows && manifestRows >= 0) 1L
+          else 0L))
       import s2.implicits._
       val auditDf = audits.toDF("kind", "grp", "n")
         .withColumn("total_cents", lit(0L))

@@ -337,6 +337,17 @@ private[sources] object DurableSpill {
             new String(Files.readAllBytes(vdir.resolve("meta.json")),
               java.nio.charset.StandardCharsets.UTF_8))
           val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+          // ADVICE r13: a pre-r13 spill has no `parts` list (its data is a
+          // single v<N>/rows.parquet) — json4s fills Nil and the table
+          // would silently restore EMPTY. Fail loudly instead: silent
+          // data loss is the one outcome a durability layer may never
+          // choose on behalf of the user.
+          if (meta.parts.isEmpty && Files.exists(vdir.resolve("rows.parquet")))
+            sys.error(
+              s"DurableSpill: '$key' v$v is a pre-r13 single-file spill " +
+                "(rows.parquet with no parts manifest); this build reads " +
+                "per-partition p<i>.parquet spills — recreate the table " +
+                "or migrate the spill directory")
           val files = meta.parts.collect {
             case Seq(pkey, fname, rows, bytes) =>
               pkey -> PartFileInfo(vdir.resolve(fname).toAbsolutePath.toString,

@@ -784,7 +784,9 @@ object GraftSparkCatalog {
 
   /** Does a stored expression SQL (generation expression, CHECK
     * predicate) reference column `col`? Parsed, not substring-matched —
-    * `okey` in an expression must not pin down a column named `k`. An
+    * `okey` in an expression must not pin down a column named `k` — and
+    * CASE-INSENSITIVE, matching Spark's default resolver (ADVICE r13:
+    * `CHECK (Cents >= 0)` must block a rename of `cents`). An
     * unparseable expression falls back to the conservative substring
     * check (refusing a rename is recoverable; silently detaching a
     * contract is not). */
@@ -794,6 +796,10 @@ object GraftSparkCatalog {
         .parseExpression(sql).collect {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
             a.nameParts.last
-        }.contains(col)
-    } catch { case scala.util.control.NonFatal(_) => sql.contains(col) }
+        }.exists(_.equalsIgnoreCase(col))
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        sql.toLowerCase(java.util.Locale.ROOT)
+          .contains(col.toLowerCase(java.util.Locale.ROOT))
+    }
 }
