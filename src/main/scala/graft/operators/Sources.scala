@@ -3432,6 +3432,106 @@ object Sources {
         UNION ALL SELECT 'audit:no_engine_variant_get', 1, 0, 0)
       ORDER BY pri"""))
 
+  /** PARQUET-READER-LEVEL PUSHDOWN ON FILE-BACKED RESTORE SCANS —
+    * VERDICT r13 item 2 (the gap between "executors read the file" and
+    * "executors read only the needed row groups"): a restored durable
+    * table's task-side read now skips whole ROW GROUPS whose chunk
+    * statistics prove an accepted filter matches no row, and decodes
+    * only the referenced COLUMNS ([[graft.sources.DurableSpill
+    * .readRowsSelective]]). The table spills with small row groups
+    * (forced via the row-group-size knob so harness row counts produce a
+    * multi-group layout — production keeps parquet's 128 MiB default)
+    * and sorts each partition by `okey` (`sortedBy`), so chunk min/max
+    * are tight key ranges — the sort-on-write + min/max-skipping
+    * discipline every lakehouse uses. After a restart, a full scan reads
+    * every group of every partition file, and a `WHERE okey <= K` scan
+    * provably skips groups: the audits hash-assert (a) the layout is
+    * multi-group, (b) the full leg skipped nothing, (c) the pruned leg
+    * decoded ≥1 and skipped ≥1 group, (d) it decoded strictly fewer
+    * groups than the full leg, and (e) read+skipped still covers the
+    * same group universe (pruning is skipping, not forgetting). Row
+    * CORRECTNESS is separately guaranteed by the task-side row filters —
+    * pruning can only remove groups the filter would have emptied — and
+    * the oracle recomputes both legs from `orders`. At 100 TB this is
+    * why a selective query on a sorted restored table costs one row
+    * group per file, not the file. */
+  val q314 = GraftQuery(
+    "q314_rowgroup_pruning",
+    "File-backed restore scans skip row groups by chunk statistics and decode only referenced columns",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_rgp",
+        "graft.sources.GraftSparkCatalog")
+      s2.conf.set("spark.sql.catalog.graft_rgp.warehouse",
+        "spark-warehouse/graft_catalog_rgp")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_rgp.corpus.rgp_$tag"
+      val key = s"cat!graft_rgp!corpus!rgp_$tag"
+      val prevRg = graft.sources.DurableSpill.spillRowGroupBytes
+      graft.sources.DurableSpill.spillRowGroupBytes = 4L << 10
+      try {
+        table(s2, dir, "orders")
+          .select(col("o_orderkey").as("okey"),
+            col("o_orderstatus").as("status"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .writeTo(tbl).partitionedBy(col("status"))
+          .tableProperty("extendedPushdown", "true")
+          .tableProperty("sortedBy", "okey")
+          .create()
+      } finally graft.sources.DurableSpill.spillRowGroupBytes = prevRg
+      // ---- process restart: the next reads plan against spilled files
+      graft.sources.MemTable.evict(key)
+      val tKey = graft.sources.DurableSpill.tallyKeyOf(key)
+      def tallies(): (Long, Long) =
+        graft.sources.DurableSpill.groupTallies.get(tKey)
+          .map(t => (t._1.get, t._2.get)).getOrElse((0L, 0L))
+      def leg(kind: String, where: String) = {
+        graft.sources.DurableSpill.groupTallies.remove(tKey)
+        val df = s2.sql(
+          s"""SELECT '$kind' AS kind, pmod(okey, 7) AS grp, count(*) AS n,
+                     sum(cents) AS total_cents
+              FROM $tbl $where GROUP BY pmod(okey, 7)""")
+          .localCheckpoint(true) // execute NOW, tallies read after
+        (df, tallies())
+      }
+      val (full, (rF, sF)) = leg("full", "")
+      val (pruned, (rP, sP)) = leg("pruned", "WHERE okey <= 400")
+      val audits = Seq(
+        ("audit", 0L, if (rF >= 2) 1L else 0L), // multi-group layout
+        ("audit", 1L, if (sF == 0) 1L else 0L), // full scan skips nothing
+        ("audit", 2L, if (rP >= 1) 1L else 0L), // pruned leg still reads
+        ("audit", 3L, if (sP >= 1) 1L else 0L), // ...and SKIPS groups
+        ("audit", 4L, if (rP < rF) 1L else 0L), // strictly fewer decoded
+        ("audit", 5L, if (rP + sP == rF) 1L else 0L)) // same universe
+      import s2.implicits._
+      val auditDf = audits.toDF("kind", "grp", "n")
+        .withColumn("total_cents", lit(0L))
+      val res = full.unionByName(pruned).unionByName(auditDf)
+        .orderBy("kind", "grp").localCheckpoint(true)
+      s2.sql(s"DROP TABLE $tbl")
+      res
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey AS okey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'full' AS kind, okey % 7 AS grp, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM t GROUP BY okey % 7
+        UNION ALL
+        SELECT 'pruned', okey % 7, count(*), CAST(sum(cents) AS BIGINT)
+        FROM t WHERE okey <= 400 GROUP BY okey % 7
+        UNION ALL SELECT 'audit', 0, 1, 0  -- spill layout is multi-group
+        UNION ALL SELECT 'audit', 1, 1, 0  -- full leg skipped nothing
+        UNION ALL SELECT 'audit', 2, 1, 0  -- pruned leg decoded >= 1
+        UNION ALL SELECT 'audit', 3, 1, 0  -- pruned leg SKIPPED >= 1
+        UNION ALL SELECT 'audit', 4, 1, 0  -- strictly fewer than full
+        UNION ALL SELECT 'audit', 5, 1, 0) -- read+skipped = group universe
+      ORDER BY kind, grp"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -3560,5 +3660,5 @@ object Sources {
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
     q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296,
     q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308,
-    q309, q310, q312, q313)
+    q309, q310, q312, q313, q314)
 }

@@ -22,7 +22,12 @@ private[sources] case class DurableManifest(
     identityCol: Option[String] = None, // "col:start:step:allowExplicit"
     checkConstraints: Seq[Seq[String]] = Nil, // (name, predicate SQL) pairs
     generatedCols: Seq[Seq[String]] = Nil, // (name, expression SQL) pairs
-    sortedBy: Option[String] = None)
+    sortedBy: Option[String] = None,
+    // TBLPROPERTIES('extendedPushdown') must survive a restart: losing it
+    // silently turns accepted (source-enforced) filters back into engine
+    // filters — correct but a different contract than the user declared,
+    // and the file-backed stats pruning rides on acceptance
+    extendedPushdown: Boolean = false)
 
 /** Per-version sidecar: the schema AT that snapshot (schema evolution
   * means versions differ), the commit timestamp TIMESTAMP AS OF resolves
@@ -40,6 +45,19 @@ private[sources] case class DurableVersionMeta(
 /** One spilled partition group: absolute parquet path + the stats the
   * scan planner needs without opening it. */
 private[graft] case class PartFileInfo(path: String, rows: Long, bytes: Long)
+
+/** One SHIPPABLE row-group pruning conjunct derived from an accepted
+  * pushed filter: `col <op> value(s)` over a long or string column
+  * (`op` ∈ eq/gt/ge/lt/le/isnull/notnull; `eq` with several values is a
+  * pushed IN). Used only to SKIP row groups whose column-chunk
+  * statistics prove no row can evaluate TRUE — the full filter is still
+  * enforced row-by-row in the task ([[MemFilePart]].rowFns), so pruning
+  * is a pure I/O saving and can only be conservative, never wrong.
+  * String bounds compare in UTF-8 binary order ([[MemTable.cmpString]]'s
+  * contract) — parquet's BINARY(STRING) statistics use unsigned byte
+  * order, which is the same order. */
+private[graft] case class StatsPred(col: String, op: String,
+    longs: Seq[Long] = Nil, strs: Seq[String] = Nil)
 
 /** The parts map of a RESTORED durable snapshot: partition keys, row
   * counts, and byte sizes come from the version manifest (metadata-only
@@ -111,7 +129,7 @@ private[graft] final class LazyParts(
   * History expiry (MemTable.historyDepth) prunes the version directory
   * on disk in the same publish, so the durable log is bounded exactly
   * like the in-memory one. */
-private[sources] object DurableSpill {
+private[graft] object DurableSpill {
   /** catalog name → warehouse root (registered by
     * [[GraftSparkCatalog.initialize]] when a `warehouse` option is set).
     * Keys are `cat!<catalog>!<ns…>!<name>`, so ownership is derived by
@@ -121,12 +139,132 @@ private[sources] object DurableSpill {
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
 
+  /** Spill data files' parquet row-group size. Parquet's 128 MiB default
+    * — the unit of [[readRowsSelective]]'s skipping, so at scale a
+    * selective filter or a streaming row range pays one row group, not
+    * the file. Mutable only so the pruning pins (q314,
+    * DurableCatalogSpec) can force multi-group files at harness row
+    * counts; production leaves it alone. */
+  @volatile var spillRowGroupBytes: Long = 128L << 20
+
+  /** LOCAL-MODE observability for the selective read path: per-table
+    * tallies of row groups (decoded, skipped), keyed by the spill
+    * directory name two levels above the data file. Under local[*] the
+    * tasks share this JVM, so the q314 audit can read its own table's
+    * tally after a scan; on a real cluster these would be task metrics —
+    * nothing at runtime gates on them. */
+  val groupTallies = new scala.collection.concurrent.TrieMap[
+    String, (java.util.concurrent.atomic.AtomicLong,
+             java.util.concurrent.atomic.AtomicLong)]
+  private def tallyOf(path: String) = {
+    val p = Paths.get(path).toAbsolutePath
+    val key = Option(p.getParent).flatMap(v => Option(v.getParent))
+      .map(_.getFileName.toString).getOrElse("?")
+    groupTallies.getOrElseUpdate(key,
+      (new java.util.concurrent.atomic.AtomicLong,
+       new java.util.concurrent.atomic.AtomicLong))
+  }
+
+  /** Accepted-filter → row-group-pruning conjuncts ([[StatsPred]]): each
+    * TOP-LEVEL conjunct that is a plain comparison against non-null
+    * long/string literals becomes one pruning predicate; anything else
+    * (OR, NOT, unsupported types) contributes nothing — the row-level
+    * enforcement in the task is unconditional either way. */
+  private[sources] def statsPredsOf(
+      f: org.apache.spark.sql.sources.Filter): Seq[StatsPred] = {
+    import org.apache.spark.sql.sources._
+    def lit(op: String, c: String, v: Any): Seq[StatsPred] = v match {
+      case l: Long   => Seq(StatsPred(c, op, longs = Seq(l)))
+      case i: Int    => Seq(StatsPred(c, op, longs = Seq(i.toLong)))
+      case s: String => Seq(StatsPred(c, op, strs = Seq(s)))
+      case _         => Nil
+    }
+    f match {
+      case And(l, r)              => statsPredsOf(l) ++ statsPredsOf(r)
+      case EqualTo(c, v)          => lit("eq", c, v)
+      case EqualNullSafe(c, v) if v != null => lit("eq", c, v)
+      case GreaterThan(c, v)      => lit("gt", c, v)
+      case GreaterThanOrEqual(c, v) => lit("ge", c, v)
+      case LessThan(c, v)         => lit("lt", c, v)
+      case LessThanOrEqual(c, v)  => lit("le", c, v)
+      case IsNull(c)              => Seq(StatsPred(c, "isnull"))
+      case IsNotNull(c)           => Seq(StatsPred(c, "notnull"))
+      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+        Seq(StatsPred(c, "eq", longs = vs.toSeq.map(_.asInstanceOf[Long])))
+      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        Seq(StatsPred(c, "eq", strs = vs.toSeq.map(_.asInstanceOf[String])))
+      case _ => Nil
+    }
+  }
+
+  /** Can this row group be skipped because `p` provably evaluates TRUE
+    * for none of its rows? Conservative on missing statistics. A pushed
+    * conjunct keeps a row only when TRUE (UNKNOWN filters out), so NULL
+    * cells never match a value comparison — an all-null chunk drops. */
+  private def canDrop(
+      p: StatsPred,
+      b: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val cc = b.getColumns.asScala.find { c =>
+      val path = c.getPath.asScala.toSeq
+      path.length == 1 && path.head == p.col
+    }.orNull
+    if (cc == null) return false
+    val st = cc.getStatistics
+    if (st == null || st.isEmpty) return false
+    val allNull = st.isNumNullsSet && st.getNumNulls == b.getRowCount
+    p.op match {
+      case "isnull"  => st.isNumNullsSet && st.getNumNulls == 0
+      case "notnull" => allNull
+      case _ =>
+        if (allNull) return true // value comparisons never match NULL
+        if (!st.hasNonNullValue) return false
+        if (p.longs.nonEmpty) {
+          val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+            case (a: java.lang.Long, b2: java.lang.Long) =>
+              (a.longValue, b2.longValue)
+            case _ => return false
+          }
+          p.op match {
+            case "eq" => p.longs.forall(v => v < mn || v > mx)
+            case "gt" => mx <= p.longs.head
+            case "ge" => mx < p.longs.head
+            case "lt" => mn >= p.longs.head
+            case "le" => mn > p.longs.head
+            case _    => false
+          }
+        } else if (p.strs.nonEmpty) {
+          // chunk statistics order BINARY(STRING) by unsigned bytes =
+          // UTF-8 binary order = the engine's StringType order; a
+          // truncated bound only widens [mn, mx], staying conservative
+          import org.apache.spark.unsafe.types.UTF8String
+          val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+            case (a: org.apache.parquet.io.api.Binary,
+                  b2: org.apache.parquet.io.api.Binary) =>
+              (UTF8String.fromBytes(a.getBytes), UTF8String.fromBytes(b2.getBytes))
+            case _ => return false
+          }
+          val us = p.strs.map(UTF8String.fromString)
+          p.op match {
+            case "eq" => us.forall(v => v.compareTo(mn) < 0 || v.compareTo(mx) > 0)
+            case "gt" => mx.compareTo(us.head) <= 0
+            case "ge" => mx.compareTo(us.head) < 0
+            case "lt" => mn.compareTo(us.head) >= 0
+            case "le" => mn.compareTo(us.head) > 0
+            case _    => false
+          }
+        } else false
+    }
+  }
+
   private def rootOf(key: String): Option[String] = {
     val segs = key.split('!')
     if (segs.length >= 2 && segs(0) == "cat") roots.get(segs(1)) else None
   }
   private def safe(key: String): String =
     key.replaceAll("[^A-Za-z0-9_.-]", "_")
+  /** The [[groupTallies]] key for a table key — the spill dir name. */
+  private[graft] def tallyKeyOf(key: String): String = safe(key)
   private def tableDir(root: String, key: String): JPath =
     Paths.get(root, safe(key))
 
@@ -196,7 +334,8 @@ private[sources] object DurableSpill {
         .map { case (n, sql) => Seq(n, sql) },
       GraftSparkCatalog.generatedCols.getOrElse(key, Nil)
         .map { case (c, sql) => Seq(c, sql) },
-      GraftSparkCatalog.sortCols.get(key))
+      GraftSparkCatalog.sortCols.get(key),
+      GraftSparkCatalog.extendedPushdown.getOrElse(key, false))
     val tmp = dir.resolve("_manifest.json.tmp")
     Files.write(tmp, org.json4s.jackson.Serialization.write(m)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -241,7 +380,8 @@ private[sources] object DurableSpill {
         val file = vdir.resolve(fname)
         Files.deleteIfExists(file)
         val writer = ExampleParquetWriter.builder(new HPath(file.toString))
-          .withType(msgType).withConf(new Configuration()).build()
+          .withType(msgType).withConf(new Configuration())
+          .withRowGroupSize(spillRowGroupBytes).build()
         var bytes = 0L
         try {
           val factory = new SimpleGroupFactory(msgType)
@@ -288,23 +428,123 @@ private[sources] object DurableSpill {
       val out = Vector.newBuilder[Array[Any]]
       var g = reader.read()
       while (g != null) {
-        out += schema.fields.map { f =>
-          f.dataType match {
-            case org.apache.spark.sql.types.VariantType =>
-              if (g.getFieldRepetitionCount(s"${f.name}__variant_value") == 0)
-                null
-              else new org.apache.spark.unsafe.types.VariantVal(
-                g.getBinary(s"${f.name}__variant_value", 0).getBytes,
-                g.getBinary(s"${f.name}__variant_metadata", 0).getBytes): Any
-            case _ if g.getFieldRepetitionCount(f.name) == 0 => null
-            case LongType   => g.getLong(f.name, 0): Any
-            case StringType => g.getString(f.name, 0): Any
-            case other      => sys.error(s"DurableSpill: unsupported type $other")
-          }
-        }
+        out += schema.fields.map(f => decodeField(g, f))
         g = reader.read()
       }
       out.result()
+    } finally reader.close()
+  }
+
+  private def decodeField(g: org.apache.parquet.example.data.Group,
+      f: org.apache.spark.sql.types.StructField): Any = f.dataType match {
+    case org.apache.spark.sql.types.VariantType =>
+      if (g.getFieldRepetitionCount(s"${f.name}__variant_value") == 0) null
+      else new org.apache.spark.unsafe.types.VariantVal(
+        g.getBinary(s"${f.name}__variant_value", 0).getBytes,
+        g.getBinary(s"${f.name}__variant_metadata", 0).getBytes)
+    case _ if g.getFieldRepetitionCount(f.name) == 0 => null
+    case LongType   => g.getLong(f.name, 0)
+    case StringType => g.getString(f.name, 0)
+    case other      => sys.error(s"DurableSpill: unsupported type $other")
+  }
+
+  /** TASK-SIDE SELECTIVE READ — the reader-level pushdown of a
+    * file-backed scan (VERDICT r13 item 2): decodes ONLY the `wanted`
+    * columns (parquet reads just those column chunks), SKIPS row groups
+    * whose chunk statistics prove an accepted filter conjunct matches no
+    * row ([[StatsPred]]), and SKIPS row groups wholly outside the
+    * requested row range [skip, skip+takeN) (takeN < 0 = to the end —
+    * the streaming-increment window of a restored table). Returned rows
+    * are full-schema-width with un-wanted slots null, so the split's
+    * column indices, row filters, and variant evaluators keep their
+    * full-schema positions. A projection needing NO stored column
+    * (count-style reads) decodes zero pages: row multiplicity comes from
+    * block row counts alone. Row-group decode/skip tallies land in
+    * [[groupTallies]] (local-mode probe). */
+  def readRowsSelective(path: String, schema: StructType,
+      wanted: Option[Set[String]], preds: Seq[StatsPred],
+      skip: Long, takeN: Long): Vector[Array[Any]] = {
+    import scala.jdk.CollectionConverters._
+    val width = schema.fields.length
+    val hi = if (takeN < 0) Long.MaxValue else skip + takeN
+    val tally = tallyOf(path)
+    // None = every column; Some(empty) = count-only (zero pages decoded)
+    val wantedFields: Seq[org.apache.spark.sql.types.StructField] =
+      wanted match {
+        case None     => schema.fields.toSeq
+        case Some(ws) => schema.fields.toSeq.filter(f => ws(f.name))
+      }
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new HPath(path), new Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      if (wantedFields.isEmpty && preds.isEmpty) {
+        // count-only: no pages, rows materialize from block metadata
+        var pos = 0L
+        val out = Vector.newBuilder[Array[Any]]
+        reader.getRowGroups.asScala.foreach { b =>
+          val n = b.getRowCount
+          val take = math.min(pos + n, hi) - math.max(pos, skip)
+          var i = 0L
+          while (i < take) { out += new Array[Any](width); i += 1 }
+          tally._2.incrementAndGet()
+          pos += n
+        }
+        out.result()
+      } else {
+        require(wantedFields.nonEmpty,
+          "readRowsSelective: stats predicates without their referenced columns")
+        val fileType = reader.getFooter.getFileMetaData.getSchema
+        val fileFieldNames: Seq[String] = wantedFields.flatMap { f =>
+          f.dataType match {
+            case org.apache.spark.sql.types.VariantType =>
+              Seq(s"${f.name}__variant_value", s"${f.name}__variant_metadata")
+            case _ => Seq(f.name)
+          }
+        }
+        val reqType =
+          if (fileFieldNames.length == fileType.getFieldCount) fileType
+          else {
+            val fields: java.util.List[org.apache.parquet.schema.Type] =
+              fileFieldNames.map(n =>
+                fileType.getType(Array(n): _*)).asJava
+            new org.apache.parquet.schema.MessageType("snapshot", fields)
+          }
+        reader.setRequestedSchema(reqType)
+        val fullIdx = schema.fieldNames.zipWithIndex.toMap
+        val slots = wantedFields.map(f => (fullIdx(f.name), f))
+        var pos = 0L
+        val out = Vector.newBuilder[Array[Any]]
+        reader.getRowGroups.asScala.foreach { b =>
+          val n = b.getRowCount
+          val overlaps = pos < hi && pos + n > skip
+          if (!overlaps || preds.exists(canDrop(_, b))) {
+            reader.skipNextRowGroup()
+            tally._2.incrementAndGet()
+          } else {
+            tally._1.incrementAndGet()
+            val pages = reader.readNextRowGroup()
+            val columnIO = new org.apache.parquet.io.ColumnIOFactory()
+              .getColumnIO(reqType, fileType)
+            val rr = columnIO.getRecordReader(pages,
+              new org.apache.parquet.example.data.simple.convert
+                .GroupRecordConverter(reqType))
+            var i = 0L
+            while (i < n) {
+              val g = rr.read()
+              val p = pos + i
+              if (p >= skip && p < hi) {
+                val arr = new Array[Any](width)
+                slots.foreach { case (j, f) => arr(j) = decodeField(g, f) }
+                out += arr
+              }
+              i += 1
+            }
+          }
+          pos += n
+        }
+        out.result()
+      }
     } finally reader.close()
   }
 
@@ -375,6 +615,8 @@ private[sources] object DurableSpill {
           GraftSparkCatalog.generatedCols.put(key,
             m.generatedCols.collect { case Seq(c, sql) => (c, sql) })
         m.sortedBy.foreach(GraftSparkCatalog.sortCols.put(key, _))
+        if (m.extendedPushdown)
+          GraftSparkCatalog.extendedPushdown.put(key, true)
         // current LAST: store presence is the "loaded" latch, and the
         // direct put (not publish) must not restamp ts or respill
         MemTable.history.get((key, m.current))

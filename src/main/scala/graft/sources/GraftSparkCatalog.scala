@@ -572,8 +572,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val sortedBy = Option(properties.get("sortedBy")).filter(_.nonEmpty)
     sortedBy.foreach(c => require(schema.fieldNames.contains(c),
       s"graft catalog: sortedBy '$c' not in schema"))
+    // property PARITY with the non-staged path (r14): a CTAS-declared
+    // extendedPushdown was silently dropped here — the created table
+    // then rejected the very filters the user opted into pushing
+    val extPush = Option(properties.get("extendedPushdown"))
+      .exists(_.equalsIgnoreCase("true"))
     new MemStagedTable(k, s"$k!staging!${System.nanoTime()}", stored, pc,
-      deltaIdCol.getOrElse(""), sortedBy.getOrElse(""))
+      deltaIdCol.getOrElse(""), sortedBy.getOrElse(""), extPush)
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,

@@ -306,6 +306,122 @@ class DurableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("selective spill read: row ranges, stats pruning, and projection decode only what they must") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"dur_rg_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    val prevRg = DurableSpill.spillRowGroupBytes
+    DurableSpill.spillRowGroupBytes = 2L << 10 // multi-group at 2000 rows
+    try {
+      (1L to 2000L).map(i => (i, "a", i * 10L)).toDF("k", "p", "v")
+        .coalesce(1).sortWithinPartitions("k")
+        .writeTo(tbl).partitionedBy(col("p"))
+        .tableProperty("sortedBy", "k").create()
+    } finally DurableSpill.spillRowGroupBytes = prevRg
+    MemTable.evict(key) // restart
+    DurableSpill.ensureLoaded(key)
+    val (path, schema) = MemTable.store(key).parts match {
+      case lp: LazyParts =>
+        (lp.fileInfo.values.head.path, MemTable.store(key).schema)
+      case other => fail(s"restore was not file-backed: $other")
+    }
+    val tKey = DurableSpill.tallyKeyOf(key)
+    def tallies(): (Long, Long) = DurableSpill.groupTallies.get(tKey)
+      .map(t => (t._1.get, t._2.get)).getOrElse((0L, 0L))
+
+    // (a) a row RANGE near the tail decodes only its overlapping groups
+    DurableSpill.groupTallies.remove(tKey)
+    val ranged = DurableSpill.readRowsSelective(path, schema, None, Nil,
+      skip = 1500L, takeN = 100L)
+    assert(ranged.map(_(0).asInstanceOf[Long]) == (1501L to 1600L).toVector)
+    val (rRange, sRange) = tallies()
+    assert(rRange >= 1 && sRange >= 1 && rRange < rRange + sRange,
+      s"range read decoded $rRange of ${rRange + sRange} groups")
+
+    // (b) stats pruning: k <= 10 drops every group whose min exceeds it;
+    // surviving groups still return ALL their rows (the row filter is
+    // the task's job — pruning may only remove provably-empty groups)
+    DurableSpill.groupTallies.remove(tKey)
+    val pruned = DurableSpill.readRowsSelective(path, schema,
+      Some(Set("k")), Seq(StatsPred("k", "le", longs = Seq(10L))), 0L, -1L)
+    val ks = pruned.map(_(0).asInstanceOf[Long])
+    assert((1L to 10L).forall(ks.contains), "a matching row was lost")
+    assert(ks.size < 2000, "stats pruning removed no group")
+    val (rP, sP) = tallies()
+    assert(sP >= 1 && rP >= 1, s"read=$rP skipped=$sP")
+
+    // (c) projection: un-wanted slots stay null, wanted values exact
+    assert(pruned.forall(r => r(1) == null && r(2) == null),
+      "un-projected columns were decoded")
+
+    // (d) count-only (no columns wanted): zero groups decoded, row
+    // multiplicity from block metadata alone
+    DurableSpill.groupTallies.remove(tKey)
+    val counted = DurableSpill.readRowsSelective(path, schema,
+      Some(Set.empty), Nil, 0L, -1L)
+    assert(counted.size == 2000 && counted.forall(_.forall(_ == null)))
+    val (rC, sC) = tallies()
+    assert(rC == 0 && sC >= 1, s"count-only decoded $rC groups")
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
+  test("CTAS keeps extendedPushdown and it survives the restart (staged-create property parity)") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"dur_ctasep_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    Seq((1L, "a", 100L), (2L, "a", 200L), (3L, "b", 300L)).toDF("k", "p", "cents")
+      .writeTo(tbl).partitionedBy(col("p"))
+      .tableProperty("extendedPushdown", "true").create()
+    // the staged-CTAS path used to drop the property silently (r14)
+    assert(GraftSparkCatalog.extendedPushdown.get(key).contains(true),
+      "CTAS dropped extendedPushdown")
+    MemTable.evict(key) // restart — acceptance must come back from the manifest
+    DurableSpill.ensureLoaded(key)
+    assert(GraftSparkCatalog.extendedPushdown.get(key).contains(true),
+      "restore dropped extendedPushdown")
+    // and the accepted filter actually runs: NULL-free differential
+    val got = s2.sql(s"SELECT k FROM $tbl WHERE cents > 150")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 3L))
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
+  test("pre-r13 single-file spill fails loudly instead of restoring empty") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"dur_legacy_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    Seq((1L, "a", 10L)).toDF("k", "p", "v")
+      .writeTo(tbl).partitionedBy(col("p")).create()
+    MemTable.evict(key)
+    // doctor the spill into the pre-r13 layout: strip the parts list
+    // from one version meta and plant its single-file rows.parquet
+    val dir = java.nio.file.Paths.get(warehouse, DurableSpill.tallyKeyOf(key))
+    val v1 = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.filter(_.getFileName.toString.startsWith("v"))
+        .toSeq.maxBy(_.getFileName.toString.stripPrefix("v").toLong)
+      finally s.close()
+    }
+    val meta = v1.resolve("meta.json")
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val m = org.json4s.jackson.Serialization.read[DurableVersionMeta](
+      new String(java.nio.file.Files.readAllBytes(meta), "UTF-8"))
+    java.nio.file.Files.write(meta, org.json4s.jackson.Serialization
+      .write(m.copy(parts = Nil)).getBytes("UTF-8"))
+    java.nio.file.Files.write(v1.resolve("rows.parquet"), Array.empty[Byte])
+    val e = intercept[RuntimeException](DurableSpill.ensureLoaded(key))
+    assert(e.getMessage.contains("pre-r13"), e.getMessage)
+    // clean up so later suites' SHOW TABLES don't trip on the doctored spill
+    DurableSpill.onDrop(key)
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
