@@ -90,6 +90,12 @@ object Bench {
         .foreach { case (_, build) =>
           try build(spark, warmSf) catch { case _: Throwable => () } }
     spark.catalog.clearCache()
+    // Mid-run contamination sampling (VERDICT r13 item 1b): loadavg is
+    // read BETWEEN entries, so a co-tenant that arrives after a clean
+    // start still labels the artifact (r13's committed bench started at
+    // 0.975 and degraded mid-flight — nothing in the artifact said so).
+    var midMax = 0.0
+    def sampleMid(): Unit = midMax = math.max(midMax, loadavg())
     val artifactTimes = SparkEntry.artifacts
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, build) =>
@@ -98,6 +104,7 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: $e"); false
         }
+        sampleMid()
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     spark.catalog.clearCache()
@@ -123,6 +130,7 @@ object Bench {
       // runs) keeps each query's warm-cache second run intact while
       // bounding session-wide growth.
       spark.catalog.clearCache()
+      sampleMid()
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val results = (artifactTimes ++ queryResults).toMap
@@ -174,9 +182,11 @@ object Bench {
           // scheduler/GC spike during the two timed runs flags an entry a
           // clean host can't reproduce (r10 flagged t61 at 2.63s; an idle
           // re-measure read 0.70s). Before emitting a flag, re-run the
-          // flagged QUERY once more (min-of-3 on flags only) — a poisoned
+          // flagged entry once more (min-of-3 on flags only) — a poisoned
           // sample self-silences, a real plan regression reproduces.
-          // Artifact (x_*) builds are memoized and can't re-measure.
+          // Artifact (x_*) builds re-measure too (VERDICT r13 item 1a):
+          // their memo is EVICTED first, so the rebuild pays first-build
+          // cost exactly like the flagged line did.
           val regressed = candidates.flatMap { case (name, t) =>
             val confirmed = SparkEntry.queries.get(name) match {
               case Some(fn) =>
@@ -186,7 +196,17 @@ object Bench {
                 } catch { case _: Throwable => t }
                 spark.catalog.clearCache()
                 math.min(t, t3)
-              case None => t
+              case None => SparkEntry.artifacts.find(_._1 == name) match {
+                case Some((_, build)) =>
+                  SparkEntry.evictArtifact(name, sfDir)
+                  val t0 = System.nanoTime()
+                  val t3 = try { build(spark, sfDir)
+                    (System.nanoTime() - t0) / 1e9
+                  } catch { case _: Throwable => t }
+                  spark.catalog.clearCache()
+                  math.min(t, t3)
+                case None => t
+              }
             }
             if (over(name, confirmed)) Some(name -> (confirmed, ledger(name)))
             else None
@@ -223,8 +243,14 @@ object Bench {
       // tally carrying one reads as "re-run me on an idle box" instead of
       // masquerading as a clean measurement (r11 shipped a 5.39s t45 an
       // idle host measures at ~1.0s, and nothing in the artifact said so).
+      // dirty_mid (VERDICT r13 item 1b): any BETWEEN-entries loadavg
+      // sample ≥ 2 labels the artifact as mid-run contaminated, with the
+      // worst observed value — the r13 failure mode (clean start, noisy
+      // flight) becomes self-labeling like start contamination is.
       val dirtyTag =
         if (loadStart >= 2.0) """"dirty_host":true,"gate_silenced":true,"""
+        else if (midMax >= 2.0)
+          f""""dirty_mid":true,"max_loadavg_mid":$midMax%.2f,"""
         else ""
       // Failures must be LOUD in the artifact (VERDICT r7 item 4): "value"
       // excludes failed entries, so without this list a wiped suite still

@@ -58,4 +58,20 @@ object SparkEntry {
         ((s, d) => { operators.Similarity.pcaModel(s, d); () }),
       "x_compaction_spool" ->
         ((s, d) => { operators.Warehouse.compactionSpools(s, d); () }))
+
+  /** Evict one artifact's memo so Bench's min-of-3 self-confirmation can
+    * re-measure a flagged x_* line with FIRST-BUILD semantics (VERDICT
+    * r13 item 1: the gate used to exempt artifacts — "memoized, can't
+    * re-measure" — so a contaminated 8× artifact flag could never
+    * self-silence the way query flags do). Trained models evict alone
+    * (their input spools are separate x_* lines built earlier), so the
+    * rebuild measures exactly the work the original line charged. */
+  def evictArtifact(name: String, dir: String): Unit =
+    if (name.startsWith("x_spool_"))
+      operators.StreamingOps.evictSpoolArtifact(name, dir)
+    else if (name == "x_compaction_spool")
+      operators.Warehouse.evictCompactionSpools(dir)
+    else if (name.startsWith("x_ann_"))
+      operators.Similarity.evictArtifact(name, dir)
+    else operators.Dedup.evictArtifact(name, dir)
 }

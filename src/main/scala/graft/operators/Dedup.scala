@@ -3407,6 +3407,20 @@ object Dedup {
     out
   }
 
+  /** Spool-memo evictors for Bench's flagged-artifact re-measure
+    * (VERDICT r13 item 1): deleting the spool restores FIRST-BUILD
+    * semantics for exactly one rebuild. */
+  private[graft] def evictArtifact(name: String, dir: String): Unit = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    name match {
+      case "x_d6_labels_spool"   => evictSpool(s"d6labels_$safe")
+      case "x_d2_truth_spool"    => evictSpool(s"d2truth_$safe")
+      case "x_d37_lrs_spool"     => evictSpool(s"d37lrs_$safe")
+      case "x_minhash_sig_spool" => evictSpool(s"mhsig_$safe")
+      case _                     => ()
+    }
+  }
+
   /** [[d37Lrs]] spooled once per (sf, JVM) — the suffix array is corpus
     * state (like the ANN index or the d6 labels): built once, consumed by
     * d37 and InvariantSpec, charged as Bench's x_d37_lrs_spool line. */

@@ -3187,6 +3187,21 @@ object Similarity {
       order.map(i => (0 until n).map(k => v(k)(i)).toArray).toArray)
   }
 
+  /** Memo evictors for Bench's flagged-artifact re-measure (VERDICT r13
+    * item 1). Evicting a trained model leaves its INPUT spool alone, so
+    * the rebuild measures the same work the original x_* line did (the
+    * unit spool is its own line, built first). */
+  private[graft] def evictArtifact(name: String, dir: String): Unit =
+    name match {
+      case "x_ann_unit_spool" =>
+        evictSpool(s"ann_unit_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+      case "x_ann_kmeans_train" => modelCache.remove("coarse:" + dir); ()
+      case "x_ann_pq_train"     => modelCache.remove("pq8:" + dir); ()
+      case "x_ann_ivfpq_train"  => modelCache.remove("pq9:" + dir); ()
+      case "x_ann_pca_train"    => modelCache.remove("pca:" + dir); ()
+      case _                    => ()
+    }
+
   /** s37's eigendecomposition — model state memoized per (sf, JVM) like
     * centroids/codebooks, charged as the x_ann_pca_train bench line. */
   private[graft] def pcaModel(s: org.apache.spark.sql.SparkSession, dir: String)

@@ -1270,6 +1270,19 @@ object StreamingOps {
     "x_spool_st37inc" ->
       ((s: SparkSession, d: String) => { st37Spool(s, d); () }))
 
+  /** Spool-memo evictors for Bench's flagged-artifact re-measure
+    * (VERDICT r13 item 1) — one per x_spool_* line, matching each
+    * builder's own spool-name mangling. */
+  private[graft] def evictSpoolArtifact(name: String, dir: String): Unit =
+    name.stripPrefix("x_spool_") match {
+      case "st18dlq" =>
+        evictSpool(s"st18_dlq_src_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      case "st37inc" =>
+        evictSpool(s"st37inc_${dir.replaceAll("[^a-zA-Z0-9.]", "_")}")
+      case k =>
+        evictSpool(s"replay_${k}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    }
+
   /** st18's corrupted-JSON text spool (q79's poison shape). Keyed by sf
     * dir via the spool name; built once per (sf, JVM) — the _SUCCESS
     * marker Spark's own text committer writes is the guard. */

@@ -995,6 +995,15 @@ object Warehouse {
     * SparkEntry.artifacts so Bench charges the writes explicitly —
     * min-of-2 would otherwise discard q106's building first run and time
     * only the read-side audit (the r6 hidden-cost pattern). */
+  /** Memo evictor for Bench's flagged-artifact re-measure (VERDICT r13
+    * item 1): both layout spools go, so the rebuild re-pays both writes
+    * exactly like the first build. */
+  private[graft] def evictCompactionSpools(dir: String): Unit = {
+    val safe = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    evictSpool(s"compact_small_$safe")
+    evictSpool(s"compact_big_$safe")
+  }
+
   private[graft] def compactionSpools(s: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) = {
     val smallDir = spoolDir(s"compact_small_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")

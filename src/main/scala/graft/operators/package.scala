@@ -35,6 +35,13 @@ package object operators {
   def spoolDir(name: String): String =
     spoolRoot.resolve(name).toString
 
+  /** Delete one spool so its next builder run does the work again —
+    * Bench's flagged-artifact re-measure (VERDICT r13 item 1) needs
+    * FIRST-BUILD semantics, and a _SUCCESS-guarded memo otherwise
+    * short-circuits the re-measure into a no-op. */
+  def evictSpool(name: String): Unit =
+    deleteRecursively(spoolRoot.resolve(name))
+
   private lazy val spoolRoot: java.nio.file.Path = {
     // Prefer tmpfs (/dev/shm) when present: spools and streaming
     // checkpoints are ephemeral by construction (removed on JVM exit), and
