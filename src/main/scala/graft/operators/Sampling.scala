@@ -916,6 +916,121 @@ object Sampling {
       FROM noised
       ORDER BY cell"""))
 
+  /** AMS "TUG-OF-WAR" SKETCH for join-size estimation — the sketch
+    * family's FREQUENCY-MOMENT member (Alon, Matias & Szegedy STOC'96;
+    * join sizes per Alon, Gibbons, Matias & Szegedy PODS'99), the one
+    * every cost-based optimizer wants and none of the covered sketches
+    * provides: KMV/HLL estimate DISTINCT counts, CMS point frequencies —
+    * F₂ = Σ f_v² (self-join size) and the inner product Σ f_v·g_v (join
+    * size between two relations on a shared key) need the tug-of-war
+    * construction. Each of 25 sketches draws a ±1 sign per key from a
+    * deterministic md5 bit (the engine's replayable stand-in for 4-wise
+    * independence, the q134/d12 discipline) and sums signs over ROWS —
+    * Z_i = Σ_v f_v·s_i(v) — so Z_i² estimates F₂ unbiasedly and
+    * Z_i^A·Z_i^B estimates the A⋈B size; 5 groups of 5 average
+    * (integer floor, sign-split so Spark `div` and DuckDB `//` agree on
+    * negatives) and the lower median over groups tames the variance —
+    * the textbook median-of-means. One pass over `events` computes all
+    * 75 counters (click sketch, purchase sketch, all-rows sketch share
+    * the sign column) with map-side combine: the shuffle carries 25
+    * rows per partition, never a key. Exact truths (Σ cn², Σ ca·cb)
+    * ride along q134-style and the error lands in integer basis points.
+    * At 100 TB this is how "how big would this join be?" gets answered
+    * without running the join — two fixed-size sketch vectors meet on
+    * the driver while the fact table is read once, map-side. */
+  val q315 = GraftQuery(
+    "q315_ams_join_size_sketch",
+    "AMS tug-of-war sketches: self-join size (F2) and click⋈purchase join size estimated from 25 ±1-sign counters",
+    (s, dir) => {
+      val S = 25
+      val ev = events(s, dir)
+        .select(col("user_id").cast("string").as("u"), col("event_type").as("et"))
+      // one fact pass: per (sketch i) the three sign-sums, partials
+      // combined map-side (25 integers per partition cross the wire)
+      val sk = ev
+        .withColumn("i", explode(expr(s"sequence(0L, ${S - 1}L)")))
+        .withColumn("sgn", expr(
+          "1 - 2 * pmod(CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', u)), 1, 15), 16, 10) AS BIGINT), 2)"))
+        .groupBy("i").agg(
+          sum(when(col("et") === "click", col("sgn")).otherwise(0L)).as("za"),
+          sum(when(col("et") === "purchase", col("sgn")).otherwise(0L)).as("zb"),
+          sum(col("sgn")).as("zall"))
+      val grp = sk.withColumn("g", expr("i div 5"))
+        .groupBy("g").agg(sum(expr("zall * zall")).as("sa"),
+          sum(expr("za * zb")).as("sab"))
+      // lower median (rank 3 of 5) of the per-group sums, then the
+      // mean's div 5 — sign-split so truncation matches DuckDB's floor
+      def med(c: String) = grp
+        .withColumn("rk", row_number().over(Window.orderBy(col(c))))
+        .filter(col("rk") === 3).select(col(c)).head().getLong(0)
+      val (saMed, sabMed) = (med("sa"), med("sab"))
+      def div5(v: Long): Long = if (v >= 0) v / 5 else -((-v) / 5)
+      val fu = ev.groupBy("u").agg(
+        sum(when(col("et") === "click", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("et") === "purchase", 1L).otherwise(0L)).as("cb"),
+        count(lit(1)).as("cn"))
+      val ex = fu.agg(sum(expr("cn * cn")).as("ex_self"),
+        sum(expr("ca * cb")).as("ex_ab")).head()
+      val (exSelf, exAb) = (ex.getLong(0), ex.getLong(1))
+      import s.implicits._
+      Seq(
+        ("clicks_x_purchases", div5(sabMed), exAb),
+        ("selfjoin_users", div5(saMed), exSelf))
+        .toDF("leg", "est", "exact")
+        .withColumn("rel_err_bp",
+          expr("abs(est - exact) * 10000 div greatest(exact, 1)"))
+        .orderBy("leg")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT CAST(user_id AS VARCHAR) AS u, event_type AS et FROM events),
+      sk AS (
+        SELECT i,
+          SUM(CASE WHEN et = 'click' THEN sgn ELSE 0 END) AS za,
+          SUM(CASE WHEN et = 'purchase' THEN sgn ELSE 0 END) AS zb,
+          SUM(sgn) AS zall
+        FROM (
+          SELECT et, i,
+                 1 - 2 * (CAST(concat('0x',
+                   substr(md5(concat(CAST(i AS VARCHAR), ':', u)), 1, 15))
+                   AS BIGINT) % 2) AS sgn
+          FROM ev, range(25) t(i))
+        GROUP BY i),
+      g AS (
+        SELECT i // 5 AS g, SUM(zall * zall) AS sa, SUM(za * zb) AS sab
+        FROM sk GROUP BY 1),
+      meds AS (
+        SELECT
+          (SELECT sa FROM (
+            SELECT sa, row_number() OVER (ORDER BY sa) AS rk FROM g)
+           WHERE rk = 3) AS sa_med,
+          (SELECT sab FROM (
+            SELECT sab, row_number() OVER (ORDER BY sab) AS rk FROM g)
+           WHERE rk = 3) AS sab_med),
+      fu AS (
+        SELECT u,
+               SUM(CASE WHEN et = 'click' THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END) AS cb,
+               count(*) AS cn
+        FROM ev GROUP BY u),
+      ex AS (
+        SELECT CAST(SUM(cn * cn) AS BIGINT) AS ex_self,
+               CAST(SUM(ca * cb) AS BIGINT) AS ex_ab
+        FROM fu),
+      est AS (
+        SELECT 'clicks_x_purchases' AS leg,
+               CASE WHEN sab_med >= 0 THEN sab_med // 5
+                    ELSE -((-sab_med) // 5) END AS est,
+               (SELECT ex_ab FROM ex) AS exact
+        FROM meds
+        UNION ALL
+        SELECT 'selfjoin_users', sa_med // 5, (SELECT ex_self FROM ex)
+        FROM meds)
+      SELECT leg, CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact,
+             CAST(abs(est - exact) * 10000 // greatest(exact, 1) AS BIGINT)
+               AS rel_err_bp
+      FROM est ORDER BY leg"""))
+
   val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62, q100, q134, q139, q151,
-    q166, q171, q193, q228, q241, q256)
+    q166, q171, q193, q228, q241, q256, q315)
 }
