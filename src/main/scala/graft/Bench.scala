@@ -90,12 +90,43 @@ object Bench {
         .foreach { case (_, build) =>
           try build(spark, warmSf) catch { case _: Throwable => () } }
     spark.catalog.clearCache()
-    // Mid-run contamination sampling (VERDICT r13 item 1b): loadavg is
-    // read BETWEEN entries, so a co-tenant that arrives after a clean
-    // start still labels the artifact (r13's committed bench started at
-    // 0.975 and degraded mid-flight — nothing in the artifact said so).
-    var midMax = 0.0
-    def sampleMid(): Unit = midMax = math.max(midMax, loadavg())
+    // Mid-run contamination sampling (VERDICT r13 item 1b): a co-tenant
+    // that arrives after a clean start must label the artifact (r13's
+    // committed bench started at 0.975 and degraded mid-flight — nothing
+    // in the artifact said so). Loadavg alone cannot discriminate here:
+    // the bench's OWN local[32] work drives the 1-minute loadavg past
+    // any idle threshold (a first cut labeled an idle-host run dirty at
+    // "3.92"). Instead measure FOREIGN CPU directly: between entries,
+    // delta(/proc/stat busy jiffies across all cpus) minus delta(this
+    // JVM's process CPU) = core-seconds someone else burned. An idle
+    // host's background hum is a few percent of one core; a real
+    // co-tenant (another build, another bench) burns whole cores.
+    def procCpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean =>
+          b.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    def busyCoreSec(): Double = try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = l.trim.split("\\s+").drop(1).map(_.toDouble)
+      // user+nice+system+irq+softirq+steal (skip idle f(3) and iowait
+      // f(4)); USER_HZ = 100 on linux
+      (f.take(3).sum + f.drop(5).take(3).sum) / 100.0
+    } catch { case _: Throwable => -1.0 }
+    val (cpu0, busy0, wall0) = (procCpuSec(), busyCoreSec(), System.nanoTime())
+    var foreignMaxRate = 0.0 // worst foreign cores observed in one interval
+    var lastCpu = cpu0; var lastBusy = busy0; var lastWall = wall0
+    def sampleMid(): Unit =
+      if (lastCpu >= 0 && lastBusy >= 0) {
+        val (c, b, w) = (procCpuSec(), busyCoreSec(), System.nanoTime())
+        val dt = (w - lastWall) / 1e9
+        if (dt > 0.5) { // skip sub-second intervals: jiffy granularity noise
+          val foreign = math.max(0.0, (b - lastBusy) - (c - lastCpu))
+          foreignMaxRate = math.max(foreignMaxRate, foreign / dt)
+          lastCpu = c; lastBusy = b; lastWall = w
+        }
+      }
     val artifactTimes = SparkEntry.artifacts
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, build) =>
@@ -243,14 +274,21 @@ object Bench {
       // tally carrying one reads as "re-run me on an idle box" instead of
       // masquerading as a clean measurement (r11 shipped a 5.39s t45 an
       // idle host measures at ~1.0s, and nothing in the artifact said so).
-      // dirty_mid (VERDICT r13 item 1b): any BETWEEN-entries loadavg
-      // sample ≥ 2 labels the artifact as mid-run contaminated, with the
-      // worst observed value — the r13 failure mode (clean start, noisy
-      // flight) becomes self-labeling like start contamination is.
+      // dirty_mid (VERDICT r13 item 1b): foreign CPU ≥ half a core
+      // sustained over some between-entries interval labels the artifact
+      // as mid-run contaminated, with the worst observed foreign-core
+      // rate and the whole-run foreign total — the r13 failure mode
+      // (clean start, noisy flight) becomes self-labeling like start
+      // contamination is, without mislabeling the bench's own load.
+      val foreignTotal =
+        if (cpu0 < 0 || busy0 < 0) -1.0
+        else math.max(0.0,
+          (busyCoreSec() - busy0) - (procCpuSec() - cpu0))
       val dirtyTag =
         if (loadStart >= 2.0) """"dirty_host":true,"gate_silenced":true,"""
-        else if (midMax >= 2.0)
-          f""""dirty_mid":true,"max_loadavg_mid":$midMax%.2f,"""
+        else if (foreignMaxRate >= 0.5)
+          f""""dirty_mid":true,"max_foreign_cores":$foreignMaxRate%.2f,""" +
+            f""""foreign_core_sec":$foreignTotal%.1f,"""
         else ""
       // Failures must be LOUD in the artifact (VERDICT r7 item 4): "value"
       // excludes failed entries, so without this list a wiped suite still

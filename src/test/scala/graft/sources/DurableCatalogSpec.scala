@@ -367,6 +367,44 @@ class DurableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("string stats pruning compares in UTF-8 binary order (non-BMP rows never lost)") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"dur_rgs_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    // U+FFFF sorts ABOVE U+10000 in UTF-16 code units but BELOW it in
+    // UTF-8 bytes (Spark's order) — a UTF-16 comparison against the
+    // chunk max would judge the tail group's range as entirely below
+    // the bound and WRONGLY drop the U+10000 row
+    val special = Seq("￿", "𐀀") // U+FFFF, U+10000
+    val rows = (1L to 600L).map(i => (i, "a", f"a$i%04d")) ++
+      special.zipWithIndex.map { case (v, i) => (601L + i, "a", v) }
+    val prevRg = DurableSpill.spillRowGroupBytes
+    DurableSpill.spillRowGroupBytes = 2L << 10
+    try rows.toDF("k", "p", "s")
+      .coalesce(1).writeTo(tbl).partitionedBy(col("p"))
+      .tableProperty("sortedBy", "s").create()
+    finally DurableSpill.spillRowGroupBytes = prevRg
+    MemTable.evict(key)
+    DurableSpill.ensureLoaded(key)
+    val (path, schema) = MemTable.store(key).parts match {
+      case lp: LazyParts =>
+        (lp.fileInfo.values.head.path, MemTable.store(key).schema)
+      case other => fail(s"restore was not file-backed: $other")
+    }
+    val tKey = DurableSpill.tallyKeyOf(key)
+    DurableSpill.groupTallies.remove(tKey)
+    val kept = DurableSpill.readRowsSelective(path, schema, Some(Set("s")),
+      Seq(StatsPred("s", "ge", strs = Seq("￿"))), 0L, -1L)
+    val ss = kept.map(_(2).asInstanceOf[String])
+    special.foreach(v =>
+      assert(ss.contains(v), s"pruning lost U+${v.codePointAt(0)}%X"))
+    val skipped = DurableSpill.groupTallies.get(tKey).map(_._2.get).getOrElse(0L)
+    assert(skipped >= 1, "no group skipped — the pin proved nothing")
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   test("CTAS keeps extendedPushdown and it survives the restart (staged-create property parity)") {
     val s2 = catSession()
     import s2.implicits._
