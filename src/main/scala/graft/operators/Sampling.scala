@@ -931,9 +931,10 @@ object Sampling {
     * (integer floor, sign-split so Spark `div` and DuckDB `//` agree on
     * negatives) and the lower median over groups tames the variance —
     * the textbook median-of-means. One pass over `events` computes all
-    * 75 counters (click sketch, purchase sketch, all-rows sketch share
-    * the sign column) with map-side combine: the shuffle carries 25
-    * rows per partition, never a key. Exact truths (Σ cn², Σ ca·cb)
+    * 75 counters in a single hash aggregate — ONE md5 per row feeds all
+    * 25 sketches (sign i = digest bit i) and the click/purchase/all
+    * sketches share it — with map-side combine: 75 longs per partition
+    * cross the wire, never a key, no explode. Exact truths (Σ cn², Σ ca·cb)
     * ride along q134-style and the error lands in integer basis points.
     * At 100 TB this is how "how big would this join be?" gets answered
     * without running the join — two fixed-size sketch vectors meet on
@@ -945,25 +946,30 @@ object Sampling {
       val S = 25
       val ev = events(s, dir)
         .select(col("user_id").cast("string").as("u"), col("event_type").as("et"))
-      // one fact pass: per (sketch i) the three sign-sums, partials
-      // combined map-side (25 integers per partition cross the wire)
-      val sk = ev
-        .withColumn("i", explode(expr(s"sequence(0L, ${S - 1}L)")))
-        .withColumn("sgn", expr(
-          "1 - 2 * pmod(CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', u)), 1, 15), 16, 10) AS BIGINT), 2)"))
-        .groupBy("i").agg(
-          sum(when(col("et") === "click", col("sgn")).otherwise(0L)).as("za"),
-          sum(when(col("et") === "purchase", col("sgn")).otherwise(0L)).as("zb"),
-          sum(col("sgn")).as("zall"))
-      val grp = sk.withColumn("g", expr("i div 5"))
-        .groupBy("g").agg(sum(expr("zall * zall")).as("sa"),
-          sum(expr("za * zb")).as("sab"))
-      // lower median (rank 3 of 5) of the per-group sums, then the
-      // mean's div 5 — sign-split so truncation matches DuckDB's floor
-      def med(c: String) = grp
-        .withColumn("rk", row_number().over(Window.orderBy(col(c))))
-        .filter(col("rk") === 3).select(col(c)).head().getLong(0)
-      val (saMed, sabMed) = (med("sa"), med("sab"))
+      // ONE md5 per row serves all 25 sketches (sign i = bit i of the
+      // 60-bit digest — the q134 bit-budget discipline; a first cut
+      // hashed per (row, sketch) and cost 25× the digests plus an
+      // explode shuffle) and ONE single-pass hash aggregate computes
+      // all 75 counters — partials combine map-side, 75 longs per
+      // partition cross the wire, no explode, no key shuffle
+      val evh = ev.withColumn("h", expr(
+        "CAST(conv(substring(md5(u), 1, 15), 16, 10) AS BIGINT)"))
+      val aggCols = (0 until S).flatMap { i =>
+        val sgn = s"(1 - 2 * ((h >> $i) & 1))"
+        Seq(expr(s"sum(CASE WHEN et = 'click' THEN $sgn ELSE 0 END)").as(s"za$i"),
+          expr(s"sum(CASE WHEN et = 'purchase' THEN $sgn ELSE 0 END)").as(s"zb$i"),
+          expr(s"sum($sgn)").as(s"zl$i"))
+      }
+      val z = evh.agg(aggCols.head, aggCols.tail: _*).head()
+      def zv(p: String, i: Int): Long = z.getLong(z.fieldIndex(s"$p$i"))
+      // 5 groups of 5: per-group sums of the per-sketch estimates, lower
+      // median (rank 3 of 5) over groups, then the mean's div 5 —
+      // sign-split so truncation matches DuckDB's floor on negatives
+      def groupSums(f: Int => Long): Seq[Long] =
+        (0 until 5).map(g => (0 until 5).map(j => f(5 * g + j)).sum)
+      def lowerMedian(vs: Seq[Long]): Long = vs.sorted.apply(2)
+      val saMed = lowerMedian(groupSums(i => { val v = zv("zl", i); v * v }))
+      val sabMed = lowerMedian(groupSums(i => zv("za", i) * zv("zb", i)))
       def div5(v: Long): Long = if (v >= 0) v / 5 else -((-v) / 5)
       val fu = ev.groupBy("u").agg(
         sum(when(col("et") === "click", 1L).otherwise(0L)).as("ca"),
@@ -990,11 +996,10 @@ object Sampling {
           SUM(CASE WHEN et = 'purchase' THEN sgn ELSE 0 END) AS zb,
           SUM(sgn) AS zall
         FROM (
-          SELECT et, i,
-                 1 - 2 * (CAST(concat('0x',
-                   substr(md5(concat(CAST(i AS VARCHAR), ':', u)), 1, 15))
-                   AS BIGINT) % 2) AS sgn
-          FROM ev, range(25) t(i))
+          SELECT et, i, 1 - 2 * ((h >> i) & 1) AS sgn
+          FROM (SELECT et, CAST(concat('0x', substr(md5(u), 1, 15))
+                  AS BIGINT) AS h FROM ev),
+               range(25) t(i))
         GROUP BY i),
       g AS (
         SELECT i // 5 AS g, SUM(zall * zall) AS sa, SUM(za * zb) AS sab
