@@ -1036,6 +1036,92 @@ object Sampling {
                AS rel_err_bp
       FROM est ORDER BY leg"""))
 
+  /** RENDEZVOUS (HIGHEST-RANDOM-WEIGHT) SHARDING — Thaler & Ravishankar
+    * (IEEE/ACM ToN 1998), the named assignment scheme behind "add a
+    * shard, move only what the new shard wins": each (key, shard) pair
+    * draws a deterministic weight (md5, the engine's replayable hash
+    * discipline) and the key lives on the argmax shard. Going N → N+1
+    * shards, a key MOVES IFF the new shard's weight beats all N old ones
+    * — so the set of moved keys IS the set claimed by the new shard,
+    * exactly (the minimal-disruption property consistent-hashing rings
+    * approximate with virtual nodes; HRW gives it per-key exactly, no
+    * ring, no vnode tuning). The entry assigns `documents` to 8 shards
+    * and then 9, reports per-shard occupancy (balance: md5 weights are
+    * uniform, so shards land within a few percent of N/8), and
+    * hash-asserts the structural property: moved(8→9) == claimed-by-
+    * shard-8(9), with the moved fraction in integer basis points riding
+    * along (≈ 1/9 of the corpus — resharding cost follows the CLUSTER
+    * GROWTH, not the corpus). Everything is ROW-LOCAL (a 9-element
+    * array argmax inside the projection — no explode, no shuffle before
+    * the occupancy count), so at 100 TB assignment rides the scan and
+    * the only exchange is the ≤9-row audit aggregation. */
+  val q316 = GraftQuery(
+    "q316_rendezvous_sharding",
+    "HRW/rendezvous sharding: argmax-weight shard assignment; adding a 9th shard moves exactly the keys it wins",
+    (s, dir) => {
+      // per-doc weights for shards 0..8: one md5 per (doc, shard), all
+      // row-local; argmax via array_position(max) — md5 collisions at
+      // 60 bits would need ~2^30 shards to matter, and the oracle
+      // replays the identical construction either way
+      val weights = expr("""
+        transform(sequence(0, 8), sh ->
+          CAST(conv(substring(md5(concat(CAST(sh AS STRING), ':',
+            CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT))""")
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), weights.as("w"))
+        .withColumn("shard8",
+          expr("CAST(array_position(slice(w, 1, 8), array_max(slice(w, 1, 8))) AS BIGINT) - 1"))
+        .withColumn("shard9",
+          expr("CAST(array_position(w, array_max(w)) AS BIGINT) - 1"))
+      val occupancy = docs.groupBy("shard8").count()
+        .select(concat(lit("shard_"), col("shard8")).as("k"),
+          col("count").as("v"))
+      val audit = docs.agg(
+          sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L)).as("moved"),
+          sum(when(col("shard9") === 8L, 1L).otherwise(0L)).as("claimed"),
+          count(lit(1)).as("total"))
+        .select(
+          expr("IF(moved = claimed, 1L, 0L)").as("minimal_disruption"),
+          col("moved"), col("total"))
+      import s.implicits._
+      occupancy.unionByName(audit.selectExpr(
+        "'audit_minimal_disruption' AS k", "minimal_disruption AS v")
+        .unionByName(audit.selectExpr("'audit_moved_bp' AS k",
+          "moved * 10000 div total AS v")))
+        .orderBy("k")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id,
+               list_transform([0,1,2,3,4,5,6,7,8], sh ->
+                 CAST(concat('0x', substr(md5(concat(CAST(sh AS VARCHAR),
+                   ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)) AS w
+        FROM documents),
+      assigned AS (
+        SELECT doc_id,
+               list_position(w[1:8], list_max(w[1:8])) - 1 AS shard8,
+               list_position(w, list_max(w)) - 1 AS shard9
+        FROM docs),
+      occ AS (
+        SELECT concat('shard_', CAST(shard8 AS VARCHAR)) AS k,
+               count(*) AS v
+        FROM assigned GROUP BY shard8),
+      aud AS (
+        SELECT CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS moved,
+               CAST(SUM(CASE WHEN shard9 = 8 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS claimed,
+               count(*) AS total
+        FROM assigned)
+      SELECT k, CAST(v AS BIGINT) AS v FROM (
+        SELECT k, v FROM occ
+        UNION ALL
+        SELECT 'audit_minimal_disruption',
+               CASE WHEN moved = claimed THEN 1 ELSE 0 END FROM aud
+        UNION ALL
+        SELECT 'audit_moved_bp', moved * 10000 // total FROM aud)
+      ORDER BY k"""))
+
   val all: Seq[GraftQuery] = Seq(q47, q48, q49, q62, q100, q134, q139, q151,
-    q166, q171, q193, q228, q241, q256, q315)
+    q166, q171, q193, q228, q241, q256, q315, q316)
 }
