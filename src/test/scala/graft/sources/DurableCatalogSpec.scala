@@ -269,6 +269,46 @@ class DurableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("a row-granular streaming batch decodes only its row window's groups (VERDICT r13 item 2 done-criterion)") {
+    val s2 = catSession()
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val name = s"dur_strg_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_strg_ckpt").toString
+    val prevRg = DurableSpill.spillRowGroupBytes
+    DurableSpill.spillRowGroupBytes = 2L << 10 // ~190-row groups
+    try {
+      (1L to 600L).map(i => (i, "a", i)).toDF("k", "p", "v")
+        .coalesce(1).writeTo(tbl).partitionedBy(col("p")).create() // v1
+      (601L to 900L).map(i => (i, "a", i)).toDF("k", "p", "v")
+        .coalesce(1).writeTo(tbl).append()                          // v2
+    } finally DurableSpill.spillRowGroupBytes = prevRg
+    MemTable.evict(key) // restart
+    val tKey = DurableSpill.tallyKeyOf(key)
+    DurableSpill.groupTallies.remove(tKey)
+    // 100-row batches over 900 rows: every batch is a row WINDOW of a
+    // multi-group version file — the task must decode only the groups
+    // its window overlaps, never the whole file
+    val q = s2.readStream.option("maxRowsPerTrigger", "100").table(tbl)
+      .groupBy().agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("dur_strg_sink")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val row = s2.sql("SELECT sv, n FROM dur_strg_sink").head()
+    assert((row.getLong(0), row.getLong(1)) == (405450L, 900L))
+    val (read, skipped) = DurableSpill.groupTallies.get(tKey)
+      .map(t => (t._1.get, t._2.get)).getOrElse((0L, 0L))
+    assert(read >= 1, "no file-backed group decoded — not file-backed?")
+    assert(skipped >= 1,
+      s"row-windowed batches decoded every group (read=$read skipped=$skipped)")
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   test("extended pushdown stays file-backed after a restore: accepted filters run in the task, three-valued") {
     val s2 = catSession()
     val name = s"dur_fbf_${System.nanoTime()}"
