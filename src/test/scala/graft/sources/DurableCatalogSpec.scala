@@ -445,6 +445,86 @@ class DurableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("stats-pruning differential: 60 seeded conjuncts over NULL-bearing data never change the filtered rows") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"dur_rgd_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    // NULL-bearing long AND string columns; sortedBy k puts the null
+    // keys first, so the leading groups are null-heavy — exactly where
+    // a two-valued canDrop would go wrong
+    val rows = (1L to 800L).map { i =>
+      val k: java.lang.Long = if (i % 7 == 0) null else java.lang.Long.valueOf(i)
+      val sv: String = if (i % 11 == 0) null else f"s$i%04d"
+      (i, "a", k, sv)
+    }
+    val prevRg = DurableSpill.spillRowGroupBytes
+    DurableSpill.spillRowGroupBytes = 2L << 10
+    try rows.toDF("id", "p", "k", "s")
+      .coalesce(1).writeTo(tbl).partitionedBy(col("p"))
+      .tableProperty("sortedBy", "k").create()
+    finally DurableSpill.spillRowGroupBytes = prevRg
+    MemTable.evict(key)
+    DurableSpill.ensureLoaded(key)
+    val (path, schema) = MemTable.store(key).parts match {
+      case lp: LazyParts =>
+        (lp.fileInfo.values.head.path, MemTable.store(key).schema)
+      case other => fail(s"restore was not file-backed: $other")
+    }
+    // pruning may only remove rows the conjunct's TRUE-only filter
+    // would have removed anyway — mirror the filter semantics here
+    def matches(p: StatsPred)(r: Array[Any]): Boolean = {
+      val v = r(schema.fieldIndex(p.col))
+      p.op match {
+        case "isnull"  => v == null
+        case "notnull" => v != null
+        case _ if v == null => false // UNKNOWN = no-match
+        case "eq" =>
+          if (p.longs.nonEmpty) p.longs.contains(v.asInstanceOf[Long])
+          else p.strs.exists(x => MemTable.cmpString(v.asInstanceOf[String], x) == 0)
+        case op =>
+          val c =
+            if (p.longs.nonEmpty)
+              java.lang.Long.compare(v.asInstanceOf[Long], p.longs.head)
+            else MemTable.cmpString(v.asInstanceOf[String], p.strs.head)
+          op match {
+            case "gt" => c > 0
+            case "ge" => c >= 0
+            case "lt" => c < 0
+            case "le" => c <= 0
+          }
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    val full = DurableSpill.readRowsSelective(path, schema, None, Nil, 0L, -1L)
+    val tKey = DurableSpill.tallyKeyOf(key)
+    DurableSpill.groupTallies.remove(tKey)
+    (1 to 60).foreach { trial =>
+      val col0 = if (rnd.nextBoolean()) "k" else "s"
+      val op = Seq("eq", "gt", "ge", "lt", "le", "isnull", "notnull")(rnd.nextInt(7))
+      def lv = rnd.nextLong(900L) + 1L
+      def sv0 = f"s${rnd.nextLong(900L) + 1L}%04d"
+      val pred =
+        if (op == "isnull" || op == "notnull") StatsPred(col0, op)
+        else if (op == "eq" && rnd.nextBoolean()) // IN-shaped multi-value
+          (if (col0 == "k") StatsPred(col0, op, longs = Seq.fill(3)(lv))
+           else StatsPred(col0, op, strs = Seq.fill(3)(sv0)))
+        else if (col0 == "k") StatsPred(col0, op, longs = Seq(lv))
+        else StatsPred(col0, op, strs = Seq(sv0))
+      val expect = full.filter(matches(pred)).map(_(0).asInstanceOf[Long])
+      val got = DurableSpill
+        .readRowsSelective(path, schema, None, Seq(pred), 0L, -1L)
+        .filter(matches(pred)).map(_(0).asInstanceOf[Long])
+      assert(got == expect,
+        s"trial $trial $pred: pruning changed the filtered rows " +
+          s"(${expect.size} -> ${got.size})")
+    }
+    val skipped = DurableSpill.groupTallies.get(tKey).map(_._2.get).getOrElse(0L)
+    assert(skipped >= 1, "60 conjuncts skipped nothing — differential vacuous")
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   test("CTAS keeps extendedPushdown and it survives the restart (staged-create property parity)") {
     val s2 = catSession()
     import s2.implicits._
