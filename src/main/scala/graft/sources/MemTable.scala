@@ -2121,6 +2121,12 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
       offset.map(n => s", pushedOffset=$n").getOrElse("") +
       sample.map { case (lo, hi, seed) =>
         s", pushedSample=[$lo,$hi) seed=$seed" }.getOrElse("") +
+      // accepted non-partition filters are DROPPED from Spark's plan, so
+      // the scan must self-describe them or the executed plan lies about
+      // what filtered the rows (file-backed scans also prune row groups
+      // from these — q314)
+      (if (rowFilters.isEmpty) ""
+       else s", pushedRowFilters=${rowFilters.mkString("[", ",", "]")}") +
       agg.map { case (g, fs) => s", pushedAggregates=${fs.map { case (op, i) =>
         if (i < 0) op else s"$op(${snap.schema.fieldNames(i)})" }.mkString("[", ",", "]")}" +
         (if (g) s" GROUP BY $partCol" else "") }.getOrElse("") +

@@ -1896,6 +1896,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a join whose right side is not provably unique must survive\n$p3")
   }
 
+  test("q315: the 75-counter sketch pass is one hash-aggregate pair over one scan — no explode, no key shuffle") {
+    import org.apache.spark.sql.functions._
+    // the sketch pass exactly as q315 builds it (the entry's returned
+    // frame is driver-assembled, so the pass is reconstructed here)
+    val ev = operators.events(spark, sfDir)
+      .select(col("user_id").cast("string").as("u"),
+        col("event_type").as("et"))
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(u), 1, 15), 16, 10) AS BIGINT)"))
+    val aggCols = (0 until 25).flatMap { i =>
+      val sgn = s"(1 - 2 * ((h >> $i) & 1))"
+      Seq(expr(s"sum(CASE WHEN et = 'click' THEN $sgn ELSE 0 END)").as(s"za$i"),
+        expr(s"sum(CASE WHEN et = 'purchase' THEN $sgn ELSE 0 END)").as(s"zb$i"),
+        expr(s"sum($sgn)").as(s"zl$i"))
+    }
+    val df = ev.agg(aggCols.head, aggCols.tail: _*)
+    val p = plan(df)
+    assert(!p.contains("Generate"), "the sketch must not explode rows")
+    val aggs = p.linesIterator.count(_.trim.matches("""\(\d+\) HashAggregate( .*)?"""))
+    assert(aggs == 2, s"$aggs HashAggregate nodes — expected partial+final\n$p")
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange( .*)?"""))
+    assert(exchanges == 1,
+      s"$exchanges Exchanges — 75 counters must cross the wire once\n$p")
+    // codegen markers only stamp the FINAL AQE plan — execute, then
+    // check for the `*(n)` whole-stage prefix on both aggregates
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.linesIterator.count(_.contains("*(")) >= 2,
+      s"sketch pass fell out of whole-stage codegen\n${fin.take(1500)}")
+  }
+
+  test("q316: rendezvous assignment is row-local — no explode, no join before the audit aggregates") {
+    val p = plan(operators.Sampling.q316.build(spark, sfDir))
+    assert(!p.contains("Generate"), "HRW argmax must stay a row-local array op")
+    val joins = p.linesIterator.count(l => l.trim.matches("""\(\d+\) \w*Join\w*( .*)?"""))
+    assert(joins == 0, s"$joins Join nodes in a row-local assignment\n$p")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }

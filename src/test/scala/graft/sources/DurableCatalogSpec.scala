@@ -324,6 +324,9 @@ class DurableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = s2.sql(s"SELECT k FROM $tbl WHERE cents != 100 OR k > 9")
     val desc = df.queryExecution.executedPlan.toString
     assert(desc.contains("fileBacked="), desc)
+    // the accepted filter is dropped from Spark's plan, so the scan must
+    // self-describe it (plan-audit observability, r14)
+    assert(desc.contains("pushedRowFilters="), desc)
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L))
     s2.sql(s"DROP TABLE $tbl")
   }
