@@ -40,10 +40,14 @@ case class DotProduct(left: Expression, right: Expression)
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
-  // dimension mismatch yields null (matching the aggregate(zip_with(...))
-  // formulation this replaces — a silent truncated dot product would give
-  // plausible-but-wrong similarities), so the result is nullable even for
-  // non-null inputs
+  // dimension mismatch OR a NULL element yields null, matching the
+  // aggregate(zip_with(...)) formulation this replaces exactly: zip_with's
+  // multiply maps a null element to null and the running + then poisons
+  // the whole sum. The r14 audit found the original loop read null slots
+  // as 0.0 (ArrayData.getFloat on a null element returns the primitive
+  // default) — a silently-shrunk dot product, the plausible-but-wrong
+  // similarity this comment always warned about. Nullable even for
+  // non-null inputs.
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -56,6 +60,7 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -79,9 +84,15 @@ case class DotProduct(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
          |    $acc += (${get(a, left)}) * (${get(b, right)});
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })

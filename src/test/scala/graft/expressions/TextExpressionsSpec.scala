@@ -78,6 +78,24 @@ class TextExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().head.isNullAt(0))
   }
 
+  test("dot product: a NULL element poisons the result, matching aggregate(zip_with) exactly (r14 audit)") {
+    import spark.implicits._
+    // the engine formulation this Expression replaces: zip_with's multiply
+    // maps the null slot to null and the running + poisons the sum
+    val df = Seq(
+        (Array[java.lang.Float](1.0f, null, 3.0f), Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+        (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f, 4.0f)))
+      .toDF("a", "b")
+      .select(dotProduct(col("a"), col("b")).as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v)").as("engine"))
+    val rows = df.collect()
+    // null-bearing: both NULL (the pre-audit loop read the null slot as
+    // 0.0 and served a silently-shrunk 10.0)
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    // clean: both exact
+    assert(rows(1).getDouble(0) == 11.0 && rows(1).getDouble(1) == 11.0)
+  }
+
   test("minhash null result survives a non-nullable input column") {
     import spark.implicits._
     // coalesce makes the text column non-nullable; the expression must
