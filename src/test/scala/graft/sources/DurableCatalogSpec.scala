@@ -551,6 +551,38 @@ class DurableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("a filtered streaming read of an extendedPushdown table filters exactly (NULL excluded)") {
+    // Today Spark keeps the WHERE engine-side for micro-batch reads; if
+    // an upgrade starts pushing filters into the streaming ScanBuilder,
+    // the stream planner must enforce them (it currently does not see
+    // rowFns) — this differential flips loudly in that world instead of
+    // letting accepted-but-unenforced filters serve extra rows silently
+    val s2 = catSession()
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val name = s"dur_sfil_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sfil_ckpt").toString
+    s2.sql(s"""CREATE TABLE $tbl (k BIGINT, p STRING, cents BIGINT)
+               PARTITIONED BY (p) TBLPROPERTIES ('extendedPushdown'='true')""")
+    s2.sql(s"INSERT INTO $tbl VALUES (1,'a',100),(2,'a',200),(3,'b',300),(4,'b',NULL)")
+    MemTable.evict(key) // restored + file-backed, the hardest variant
+    val q = s2.readStream.table(tbl)
+      .where("cents > 150") // NULL row must be excluded (three-valued)
+      .groupBy().agg(sum("k").as("sk"), count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(s"sink_$name")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val row = s2.sql(s"SELECT sk, n FROM sink_$name").head()
+    assert((row.getLong(0), row.getLong(1)) == (5L, 2L),
+      s"filtered stream served (${row.getLong(0)}, ${row.getLong(1)}) — " +
+        "accepted-but-unenforced filter?")
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   test("pre-r13 single-file spill fails loudly instead of restoring empty") {
     val s2 = catSession()
     import s2.implicits._
