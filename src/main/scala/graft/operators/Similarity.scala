@@ -3097,30 +3097,68 @@ object Similarity {
     * in row count. */
   val s35 = GraftQuery(
     "s35_covariance_matrix",
-    "Upper-triangle Gram + covariance numerators in exact milli units, row-local pair expansion",
+    "Upper-triangle Gram + covariance numerators in exact milli units, per-partition outer-product accumulation",
     (s, dir) => {
+      import s.implicits._
       val milli = table(s, dir, "embeddings").select(expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-        .as("m"))
-      val prods = milli.select(explode(expr(
-          """flatten(transform(m, (xi, i0) ->
-               transform(slice(m, i0 + 1, size(m) - i0), (xj, j0) ->
-                 struct(CAST(i0 + 1 AS BIGINT) AS i,
-                        CAST(i0 + j0 + 1 AS BIGINT) AS j,
-                        xi * xj AS p))))""")).as("t"))
-        .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
-        .groupBy("i", "j")
-        .agg(count(lit(1)).as("n"), sum("p").as("sxy"))
-      val dimSums = milli
-        .select(posexplode(col("m")).as(Seq("d0", "xm")))
-        .groupBy((col("d0") + 1).cast("long").as("dim"))
-        .agg(sum("xm").as("sx"))
-      prods
-        .join(broadcast(dimSums.select(col("dim").as("i"), col("sx").as("sx_i"))), Seq("i"))
-        .join(broadcast(dimSums.select(col("dim").as("j"), col("sx").as("sx_j"))), Seq("j"))
-        .select(col("i"), col("j"), col("n"), col("sxy"),
-          (col("n") * col("sxy") - col("sx_i") * col("sx_j")).as("cov_num"))
-        .orderBy("i", "j")
+        .as("m")).as[Array[Long]]
+      // The MLlib RowMatrix.computeGramianMatrix shape (r14 rewrite of
+      // the explode form, which shuffled 2080 structs per ROW): each
+      // partition accumulates the upper-triangle outer products and the
+      // dimension sums into fixed-size arrays, so what crosses the wire
+      // is ONE (n, gram[2080], sx[64]) summary per partition — at 100 TB
+      // the Gram cost is the scan, not the exchange. This is the one
+      // legitimate mapPartitions tier: a per-partition dense-matrix
+      // accumulator no Column expression expresses without exploding.
+      val parts = milli.mapPartitions { it =>
+        var dim = -1
+        var gram: Array[Long] = null
+        var sx: Array[Long] = null
+        var n = 0L
+        it.foreach { m =>
+          if (dim < 0) {
+            dim = m.length
+            gram = new Array[Long](dim * (dim + 1) / 2)
+            sx = new Array[Long](dim)
+          }
+          var i = 0
+          var k = 0
+          while (i < dim) {
+            sx(i) += m(i)
+            var j = i
+            while (j < dim) { gram(k) += m(i) * m(j); j += 1; k += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty else Iterator((n, gram, sx))
+      }
+      val (nTot, gram, sx) = parts.reduce { (a, b) =>
+        val g = a._2.clone()
+        var k = 0
+        while (k < g.length) { g(k) += b._2(k); k += 1 }
+        val x = a._3.clone()
+        var d = 0
+        while (d < x.length) { x(d) += b._3(d); d += 1 }
+        (a._1 + b._1, g, x)
+      }
+      val dim = sx.length
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long)]
+      var i = 0
+      var k = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) {
+          val sxy = gram(k)
+          out += ((i + 1L, j + 1L, nTot, sxy, nTot * sxy - sx(i) * sx(j)))
+          j += 1
+          k += 1
+        }
+        i += 1
+      }
+      out.toSeq.toDF("i", "j", "n", "sxy", "cov_num").orderBy("i", "j")
     },
     Some("""
       WITH m AS (
