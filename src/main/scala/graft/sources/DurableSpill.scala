@@ -63,11 +63,13 @@ private[graft] case class StatsPred(col: String, op: String,
   * counts, and byte sizes come from the version manifest (metadata-only
   * — `keySet`/`size`/`contains` never touch a data file), while row
   * ACCESS materializes that partition's parquet lazily, once, driver-side
-  * — the compatibility path for consumers that genuinely need rows in
-  * the driver (writes appending to the table, pushed top-N/aggregates,
-  * the streaming increment differ). Plain batch scans never call those:
-  * [[graft.sources.MemFilePart]] ships the file path to the task and the
-  * rows go parquet → executor, exactly like a FileScan. */
+  * — since r14 the compatibility path for WRITES building on the
+  * snapshot only (pushed top-N/limit/offset/sample/join REFUSE on a
+  * restored table, pushed aggregates answer from manifest counts +
+  * footer stats, and streaming increments map to file row ranges).
+  * Plain batch scans never call those: [[graft.sources.MemFilePart]]
+  * ships the file path to the task and the rows go parquet → executor,
+  * exactly like a FileScan. */
 private[graft] final class LazyParts(
     val fileInfo: Map[String, PartFileInfo],
     schema: StructType)
@@ -545,6 +547,46 @@ private[graft] object DurableSpill {
         }
         out.result()
       }
+    } finally reader.close()
+  }
+
+  /** Footer-only MIN/MAX of a LONG column, merged across one spilled
+    * file's row groups — what lets a pushed aggregate over a RESTORED
+    * table answer from metadata IO alone: the driver reads footers
+    * (~KB), never a row (the spill writer does not truncate chunk
+    * statistics, so long bounds are exact values, not bounds-of-bounds).
+    * None = statistics unusable (caller must refuse the pushdown);
+    * Some(None) = provably all-NULL (the aggregate serves NULL — the r13
+    * NULL-unboxing discipline); Some(Some((min, max))) = exact. */
+  def footerLongMinMax(path: String, col: String): Option[Option[(Long, Long)]] = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new HPath(path), new Configuration()))
+    try {
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var any = false
+      for (b <- reader.getRowGroups.asScala) {
+        val cc = b.getColumns.asScala.find { c =>
+          val p = c.getPath.asScala.toSeq
+          p.length == 1 && p.head == col
+        }.orNull
+        if (cc == null) return None
+        val st = cc.getStatistics
+        if (st == null || st.isEmpty) return None
+        if (st.hasNonNullValue) {
+          (st.genericGetMin, st.genericGetMax) match {
+            case (a: java.lang.Long, b2: java.lang.Long) =>
+              if (a < mn) mn = a
+              if (b2 > mx) mx = b2
+              any = true
+            case _ => return None
+          }
+        } else if (!(st.isNumNullsSet && st.getNumNulls == b.getRowCount))
+          return None // cannot prove the chunk all-NULL — refuse
+      }
+      Some(if (any) Some((mn, mx)) else None)
     } finally reader.close()
   }
 

@@ -1819,11 +1819,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("cell"), s"no time-cell join key\n$p")
   }
 
-  test("s35: pair expansion is row-local — no self-join, dimension sums broadcast back") {
+  test("s35: the Gram pass is per-partition accumulation — result is bounded model state, no join, no explode") {
+    // r14 shape: mapPartitions accumulates the upper triangle into one
+    // fixed-size summary per partition (the RowMatrix.computeGramianMatrix
+    // pattern); the returned frame is the 2080-row model-state output, so
+    // the plan must be a LocalTableScan — any Join/Generate here means the
+    // explode-per-row shape crept back
     val p = plan(operators.Similarity.s35.build(spark, sfDir))
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"covariance pairs must come from a row-local lambda, not a vec_id self-join\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"dim sums should broadcast\n$p")
+    assert(p.contains("LocalTableScan"),
+      s"expected the driver-assembled bounded result\n$p")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      s"covariance must not join or explode\n$p")
   }
 
   test("q240: the global gate broadcasts and the NOT EXISTS is an anti join") {

@@ -583,6 +583,82 @@ class DurableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("pushed aggregates over a restored table answer from manifest counts + footer stats (zero rows touched)") {
+    val s2 = catSession()
+    val name = s"dur_magg_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    s2.sql(s"""CREATE TABLE $tbl (k BIGINT, status STRING, cents BIGINT)
+               PARTITIONED BY (status)""")
+    s2.sql(s"""INSERT INTO $tbl VALUES
+      (1,'a',100),(2,'a',NULL),(3,'a',-5),(4,'b',NULL),(5,'b',NULL)""")
+    MemTable.evict(key) // restart
+    val tKey = DurableSpill.tallyKeyOf(key)
+    DurableSpill.groupTallies.remove(tKey)
+    val df = s2.sql(
+      s"""SELECT status, count(*) AS n, min(cents) AS mn, max(cents) AS mx
+          FROM $tbl GROUP BY status ORDER BY status""")
+    assert(df.queryExecution.executedPlan.toString.contains("pushedAggregates="),
+      df.queryExecution.executedPlan.toString)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    // NULL skipped in bounds (min -5, never 0-coerced); all-NULL → NULL
+    assert(rows == Seq(("a", 3L, Some(-5L), Some(100L)),
+      ("b", 2L, None, None)), rows)
+    // global shape too
+    val g = s2.sql(s"SELECT count(*), min(cents), max(cents) FROM $tbl").head()
+    assert((g.getLong(0), g.getLong(1), g.getLong(2)) == (5L, -5L, 100L))
+    // ZERO rows touched: no driver materialization, no data-page reads
+    MemTable.store(key).parts match {
+      case lp: LazyParts => assert(lp.materializedCount == 0,
+        s"pushed aggregate materialized ${lp.materializedCount} partitions")
+      case other => fail(s"expected LazyParts, got $other")
+    }
+    assert(DurableSpill.groupTallies.get(tKey).isEmpty,
+      "a metadata-served aggregate decoded data pages")
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
+  test("SUM / top-N / LIMIT on a restored table refuse pushdown and run engine-side over the file-backed scan") {
+    val s2 = catSession()
+    val name = s"dur_mref_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    s2.sql(s"""CREATE TABLE $tbl (k BIGINT, status STRING, cents BIGINT)
+               PARTITIONED BY (status)""")
+    s2.sql(s"""INSERT INTO $tbl VALUES
+      (1,'a',100),(2,'a',NULL),(3,'a',-5),(4,'b',NULL),(5,'b',NULL)""")
+    MemTable.evict(key) // restart
+    // SUM needs row data → the pushdown refuses and the ENGINE aggregates
+    // over the file-backed scan (executors decode only `cents`)
+    val sm = s2.sql(s"SELECT status, sum(cents) AS sm FROM $tbl GROUP BY status ORDER BY status")
+    val smDesc = sm.queryExecution.executedPlan.toString
+    assert(!smDesc.contains("pushedAggregates="), smDesc)
+    assert(smDesc.contains("fileBacked="), smDesc)
+    val smRows = sm.collect().map(r => (r.getString(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    assert(smRows == Seq(("a", Some(95L)), ("b", None)), smRows)
+    // top-N refuses too: Spark plans TakeOrderedAndProject over the
+    // file-backed scan; before r14 this rehydrated the table driver-side
+    val tn = s2.sql(s"SELECT k FROM $tbl ORDER BY cents DESC NULLS LAST LIMIT 2")
+    val tnDesc = tn.queryExecution.executedPlan.toString
+    assert(!tnDesc.contains("pushedTopN"), tnDesc)
+    assert(tnDesc.contains("fileBacked="), tnDesc)
+    assert(tn.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val lm = s2.sql(s"SELECT k FROM $tbl LIMIT 5")
+    val lmDesc = lm.queryExecution.executedPlan.toString
+    assert(!lmDesc.contains("pushedLimit"), lmDesc)
+    assert(lm.count() == 5)
+    // and through it all the driver's lazy cache stayed EMPTY
+    MemTable.store(key).parts match {
+      case lp: LazyParts => assert(lp.materializedCount == 0,
+        s"refused pushdowns still materialized ${lp.materializedCount}")
+      case other => fail(s"expected LazyParts, got $other")
+    }
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   test("pre-r13 single-file spill fails loudly instead of restoring empty") {
     val s2 = catSession()
     import s2.implicits._
