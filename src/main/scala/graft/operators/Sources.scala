@@ -3532,6 +3532,106 @@ object Sources {
         UNION ALL SELECT 'audit', 5, 1, 0) -- read+skipped = group universe
       ORDER BY kind, grp"""))
 
+  /** METADATA-SERVED AGGREGATES ON A RESTORED TABLE — the r14 close of
+    * q312's one documented fallback ("pushed aggregates materialize
+    * driver-side"): a pushed COUNT/MIN/MAX over a file-backed snapshot
+    * now answers from the MANIFEST (row counts) and the parquet FOOTERS
+    * (exact long min/max, gathered at acceptance; all-NULL files serve
+    * NULL), so the most common query against a restored table —
+    * `count(*)` — touches zero rows and zero data pages; a shape the
+    * metadata cannot serve exactly (SUM) REFUSES the pushdown and Spark
+    * aggregates engine-side over the file-backed scan, where the
+    * selective reader decodes only the referenced column. The entry runs
+    * both legs on a restored NULL-bearing table and hash-asserts the
+    * whole contract: the pushed leg's plan self-describes
+    * `pushedAggregates=` with NO engine aggregate, the refused leg plans
+    * a normal aggregate over a `fileBacked=` scan, the pushed leg
+    * decoded ZERO data pages (group tallies empty before the sum leg
+    * runs), and the driver's lazy cache holds ZERO partitions after
+    * everything. At 100 TB this is the catalog-statistics posture: a
+    * metadata question gets a metadata answer, and "needs the data"
+    * means executors, never the driver. */
+  val q317 = GraftQuery(
+    "q317_metadata_aggregates",
+    "Pushed COUNT/MIN/MAX over a restored table answer from manifest + footers; SUM refuses and runs engine-side, file-backed",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_mag",
+        "graft.sources.GraftSparkCatalog")
+      s2.conf.set("spark.sql.catalog.graft_mag.warehouse",
+        "spark-warehouse/graft_catalog_mag")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_mag.corpus.mag_$tag"
+      val key = s"cat!graft_mag!corpus!mag_$tag"
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          expr("""CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END""").as("c"))
+        .writeTo(tbl).partitionedBy(col("status")).create()
+      // ---- process restart
+      graft.sources.MemTable.evict(key)
+      val tKey = graft.sources.DurableSpill.tallyKeyOf(key)
+      graft.sources.DurableSpill.groupTallies.remove(tKey)
+      val pushed0 = s2.sql(
+        s"""SELECT 'pushed' AS kind, status, count(*) AS n,
+                   min(c) AS lo, max(c) AS hi
+            FROM $tbl GROUP BY status""")
+      // plan captured BEFORE the checkpoint replaces it with the
+      // checkpointed relation (the q312 described-then-execute order)
+      val pushedDesc = pushed0.queryExecution.executedPlan.toString
+      val pushed = pushed0.localCheckpoint(true)
+      // probe BETWEEN legs: the pushed leg must have decoded nothing
+      val pushedTouchedPages =
+        graft.sources.DurableSpill.groupTallies.contains(tKey)
+      val engine0 = s2.sql(
+        s"""SELECT 'sum' AS kind, status, 0L AS n, sum(c) AS lo, 0L AS hi
+            FROM $tbl GROUP BY status""")
+      val engineDesc = engine0.queryExecution.executedPlan.toString
+      val engine = engine0.localCheckpoint(true)
+      val lazyLeft = graft.sources.MemTable.store(key).parts match {
+        case lp: graft.sources.LazyParts => lp.materializedCount.toLong
+        case _                           => -1L
+      }
+      val audits = Seq(
+        ("audit", "agg_pushed",
+          if (pushedDesc.contains("pushedAggregates=")) 1L else 0L),
+        ("audit", "no_engine_agg_on_pushed_leg",
+          if (pushedDesc.contains("HashAggregate")) 0L else 1L),
+        ("audit", "pushed_leg_decoded_zero_pages",
+          if (pushedTouchedPages) 0L else 1L),
+        ("audit", "sum_refused_file_backed",
+          if (!engineDesc.contains("pushedAggregates=") &&
+            engineDesc.contains("fileBacked=")) 1L else 0L),
+        ("audit", "driver_materialized_zero", if (lazyLeft == 0) 1L else 0L))
+      import s2.implicits._
+      val auditDf = audits.toDF("kind", "status", "n")
+        .withColumn("lo", lit(0L)).withColumn("hi", lit(0L))
+      val res = pushed.unionByName(engine).unionByName(auditDf)
+        .orderBy("kind", "status").localCheckpoint(true)
+      s2.sql(s"DROP TABLE $tbl")
+      res
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderstatus AS status,
+               CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS c
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'pushed' AS kind, status, count(*) AS n,
+               min(c) AS lo, max(c) AS hi
+        FROM t GROUP BY status
+        UNION ALL
+        SELECT 'sum', status, 0, CAST(sum(c) AS BIGINT), 0
+        FROM t GROUP BY status
+        UNION ALL SELECT 'audit', 'agg_pushed', 1, 0, 0
+        UNION ALL SELECT 'audit', 'no_engine_agg_on_pushed_leg', 1, 0, 0
+        UNION ALL SELECT 'audit', 'pushed_leg_decoded_zero_pages', 1, 0, 0
+        UNION ALL SELECT 'audit', 'sum_refused_file_backed', 1, 0, 0
+        UNION ALL SELECT 'audit', 'driver_materialized_zero', 1, 0, 0)
+      ORDER BY kind, status"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -3660,5 +3760,5 @@ object Sources {
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
     q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296,
     q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308,
-    q309, q310, q312, q313, q314)
+    q309, q310, q312, q313, q314, q317)
 }
