@@ -3468,18 +3468,17 @@ object Sources {
       val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
       val tbl = s"graft_rgp.corpus.rgp_$tag"
       val key = s"cat!graft_rgp!corpus!rgp_$tag"
-      val prevRg = graft.sources.DurableSpill.spillRowGroupBytes
-      graft.sources.DurableSpill.spillRowGroupBytes = 4L << 10
-      try {
-        table(s2, dir, "orders")
-          .select(col("o_orderkey").as("okey"),
-            col("o_orderstatus").as("status"),
-            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-          .writeTo(tbl).partitionedBy(col("status"))
-          .tableProperty("extendedPushdown", "true")
-          .tableProperty("sortedBy", "okey")
-          .create()
-      } finally graft.sources.DurableSpill.spillRowGroupBytes = prevRg
+      // small row groups DECLARED PER TABLE (ADVICE r14: the global knob
+      // would silently resize any concurrently created durable table)
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .writeTo(tbl).partitionedBy(col("status"))
+        .tableProperty("extendedPushdown", "true")
+        .tableProperty("sortedBy", "okey")
+        .tableProperty("spillRowGroupBytes", (4L << 10).toString)
+        .create()
       // ---- process restart: the next reads plan against spilled files
       graft.sources.MemTable.evict(key)
       val tKey = graft.sources.DurableSpill.tallyKeyOf(key)

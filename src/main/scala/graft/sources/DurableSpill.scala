@@ -27,7 +27,13 @@ private[sources] case class DurableManifest(
     // silently turns accepted (source-enforced) filters back into engine
     // filters — correct but a different contract than the user declared,
     // and the file-backed stats pruning rides on acceptance
-    extendedPushdown: Boolean = false)
+    extendedPushdown: Boolean = false,
+    // per-table spill-layout knobs (TBLPROPERTIES('spillRowGroupBytes'/
+    // 'spillPageRows')) — write-side properties, persisted so commits
+    // AFTER a restart keep the declared layout (the extendedPushdown
+    // parity discipline, applied to the write path)
+    spillRowGroupBytes: Option[Long] = None,
+    spillPageRows: Option[Int] = None)
 
 /** Per-version sidecar: the schema AT that snapshot (schema evolution
   * means versions differ), the commit timestamp TIMESTAMP AS OF resolves
@@ -141,13 +147,24 @@ private[graft] object DurableSpill {
 
   private implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
 
-  /** Spill data files' parquet row-group size. Parquet's 128 MiB default
-    * — the unit of [[readRowsSelective]]'s skipping, so at scale a
-    * selective filter or a streaming row range pays one row group, not
-    * the file. Mutable only so the pruning pins (q314,
-    * DurableCatalogSpec) can force multi-group files at harness row
-    * counts; production leaves it alone. */
+  /** Spill data files' DEFAULT parquet row-group size. Parquet's 128 MiB
+    * default — the unit of [[readRowsSelective]]'s group skipping, so at
+    * scale a selective filter or a streaming row range pays one row
+    * group, not the file. Mutable only so single-threaded spec pins can
+    * force multi-group files at harness row counts; a registry entry
+    * that needs a small-group layout declares it PER TABLE via
+    * TBLPROPERTIES('spillRowGroupBytes') instead (ADVICE r14: mutating
+    * this global around a CTAS would silently resize any concurrently
+    * created durable table). */
   @volatile var spillRowGroupBytes: Long = 128L << 20
+
+  /** Per-table overrides of the spill write layout, registered from
+    * TBLPROPERTIES at create/commit and persisted in the manifest:
+    * table key → row-group byte target / page row-count limit. The page
+    * row limit is what gives one row group MANY pages, the unit of the
+    * column-index (page-level) skipping tier below row groups. */
+  val spillRowGroupBytesFor = new scala.collection.concurrent.TrieMap[String, Long]
+  val spillPageRowsFor = new scala.collection.concurrent.TrieMap[String, Int]
 
   /** LOCAL-MODE observability for the selective read path: per-table
     * tallies of row groups (decoded, skipped), keyed by the spill
@@ -158,6 +175,24 @@ private[graft] object DurableSpill {
   val groupTallies = new scala.collection.concurrent.TrieMap[
     String, (java.util.concurrent.atomic.AtomicLong,
              java.util.concurrent.atomic.AtomicLong)]
+
+  /** Page-level observability for the column-index tier: per-table
+    * (data pages decoded, data pages skipped) — counted ONLY for row
+    * groups where page filtering actually engaged, over the columns the
+    * read decodes, so `decoded + skipped` is the page population of the
+    * page-filtered groups. Same local-mode contract as [[groupTallies]]:
+    * probes read it, nothing at runtime gates on it. */
+  val pageTallies = new scala.collection.concurrent.TrieMap[
+    String, (java.util.concurrent.atomic.AtomicLong,
+             java.util.concurrent.atomic.AtomicLong)]
+  private def pageTallyOf(path: String) = {
+    val p = Paths.get(path).toAbsolutePath
+    val key = Option(p.getParent).flatMap(v => Option(v.getParent))
+      .map(_.getFileName.toString).getOrElse("?")
+    pageTallies.getOrElseUpdate(key,
+      (new java.util.concurrent.atomic.AtomicLong,
+       new java.util.concurrent.atomic.AtomicLong))
+  }
   private def tallyOf(path: String) = {
     val p = Paths.get(path).toAbsolutePath
     val key = Option(p.getParent).flatMap(v => Option(v.getParent))
@@ -278,7 +313,7 @@ private[graft] object DurableSpill {
   def onPublish(key: String, snap: MemTable.Snapshot, droppedVersion: Long): Unit =
     rootOf(key).foreach { root =>
       val dir = tableDir(root, key)
-      writeVersion(dir, snap)
+      writeVersion(dir, key, snap)
       if (droppedVersion >= 0)
         deleteRecursively(dir.resolve(s"v$droppedVersion"))
       writeManifest(dir, key, snap.version)
@@ -305,9 +340,17 @@ private[graft] object DurableSpill {
       writeManifest(dir, key, current)
     }
 
-  /** DROP TABLE in a durable catalog removes the spill too. */
-  def onDrop(key: String): Unit =
+  /** DROP TABLE in a durable catalog removes the spill too — and the
+    * local-mode tallies keyed by the spill dir name (ADVICE r14: a
+    * long-lived JVM creating many uniquely-named tables otherwise grows
+    * the TrieMaps unboundedly), and the per-table write knobs. */
+  def onDrop(key: String): Unit = {
     rootOf(key).foreach(root => deleteRecursively(tableDir(root, key)))
+    groupTallies.remove(safe(key))
+    pageTallies.remove(safe(key))
+    spillRowGroupBytesFor.remove(key)
+    spillPageRowsFor.remove(key)
+  }
 
   /** RENAME in a durable catalog: full respill under the new key (the
     * retained history is small by [[MemTable.historyDepth]] bound), then
@@ -315,10 +358,14 @@ private[graft] object DurableSpill {
   def onRename(from: String, to: String): Unit =
     rootOf(to).foreach { root =>
       val dir = tableDir(root, to)
+      spillRowGroupBytesFor.remove(from).foreach(spillRowGroupBytesFor.put(to, _))
+      spillPageRowsFor.remove(from).foreach(spillPageRowsFor.put(to, _))
       MemTable.history.toSeq.collect { case ((k, _), snap) if k == to => snap }
-        .sortBy(_.version).foreach(writeVersion(dir, _))
+        .sortBy(_.version).foreach(writeVersion(dir, to, _))
       MemTable.store.get(to).foreach(snap => writeManifest(dir, to, snap.version))
       rootOf(from).foreach(r => deleteRecursively(tableDir(r, from)))
+      groupTallies.remove(safe(from))
+      pageTallies.remove(safe(from))
     }
 
   private def writeManifest(dir: JPath, key: String, current: Long): Unit = {
@@ -337,7 +384,9 @@ private[graft] object DurableSpill {
       GraftSparkCatalog.generatedCols.getOrElse(key, Nil)
         .map { case (c, sql) => Seq(c, sql) },
       GraftSparkCatalog.sortCols.get(key),
-      GraftSparkCatalog.extendedPushdown.getOrElse(key, false))
+      GraftSparkCatalog.extendedPushdown.getOrElse(key, false),
+      spillRowGroupBytesFor.get(key),
+      spillPageRowsFor.get(key))
     val tmp = dir.resolve("_manifest.json.tmp")
     Files.write(tmp, org.json4s.jackson.Serialization.write(m)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -371,19 +420,24 @@ private[graft] object DurableSpill {
     * a restored scan plans one task per partition file and never routes
     * the rows through the driver). Returns the version-meta `parts` rows:
     * (partition key, file name, row count, byte estimate). */
-  private def writeVersion(dir: JPath, snap: MemTable.Snapshot): Unit = {
+  private def writeVersion(dir: JPath, key: String, snap: MemTable.Snapshot): Unit = {
     val vdir = dir.resolve(s"v${snap.version}")
     if (Files.exists(vdir.resolve("meta.json"))) return // snapshots immutable
     Files.createDirectories(vdir)
     val msgType = parquetType(snap.schema)
+    // per-table layout knobs win over the process defaults (ADVICE r14:
+    // no global mutation around a single table's CTAS)
+    val rgBytes = spillRowGroupBytesFor.getOrElse(key, spillRowGroupBytes)
+    val pageRows = spillPageRowsFor.get(key)
     val partsMeta = snap.parts.toSeq.sortBy(_._1).zipWithIndex.map {
-      case ((key, rows), i) =>
+      case ((pkey, rows), i) =>
         val fname = s"p$i.parquet"
         val file = vdir.resolve(fname)
         Files.deleteIfExists(file)
-        val writer = ExampleParquetWriter.builder(new HPath(file.toString))
+        val b0 = ExampleParquetWriter.builder(new HPath(file.toString))
           .withType(msgType).withConf(new Configuration())
-          .withRowGroupSize(spillRowGroupBytes).build()
+          .withRowGroupSize(rgBytes)
+        val writer = pageRows.fold(b0)(b0.withPageRowCountLimit).build()
         var bytes = 0L
         try {
           val factory = new SimpleGroupFactory(msgType)
@@ -408,7 +462,7 @@ private[graft] object DurableSpill {
             writer.write(g)
           }
         } finally writer.close()
-        Seq(key, fname, rows.size.toString, bytes.toString)
+        Seq(pkey, fname, rows.size.toString, bytes.toString)
     }
     val meta = DurableVersionMeta(snap.version, snap.tsMicros,
       snap.schema.json, partsMeta)
@@ -659,6 +713,8 @@ private[graft] object DurableSpill {
         m.sortedBy.foreach(GraftSparkCatalog.sortCols.put(key, _))
         if (m.extendedPushdown)
           GraftSparkCatalog.extendedPushdown.put(key, true)
+        m.spillRowGroupBytes.foreach(spillRowGroupBytesFor.put(key, _))
+        m.spillPageRows.foreach(spillPageRowsFor.put(key, _))
         // current LAST: store presence is the "loaded" latch, and the
         // direct put (not publish) must not restamp ts or respill
         MemTable.history.get((key, m.current))

@@ -292,6 +292,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     if (Option(properties.get("extendedPushdown")).exists(_.equalsIgnoreCase("true")))
       GraftSparkCatalog.extendedPushdown.put(k, true)
     else GraftSparkCatalog.extendedPushdown.remove(k)
+    // per-table spill write layout (ADVICE r14: a property, not a global)
+    GraftSparkCatalog.registerSpillLayout(k,
+      GraftSparkCatalog.parseSpillLayout(properties))
     Option(properties.get("writeDistribution")) match {
       case Some("clustered") =>
         require(pc.nonEmpty,
@@ -578,7 +581,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val extPush = Option(properties.get("extendedPushdown"))
       .exists(_.equalsIgnoreCase("true"))
     new MemStagedTable(k, s"$k!staging!${System.nanoTime()}", stored, pc,
-      deltaIdCol.getOrElse(""), sortedBy.getOrElse(""), extPush)
+      deltaIdCol.getOrElse(""), sortedBy.getOrElse(""), extPush,
+      GraftSparkCatalog.parseSpillLayout(properties))
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
@@ -786,6 +790,39 @@ object GraftSparkCatalog {
   /** (catalog, namespace path) → declared namespace properties. */
   val namespaces =
     new scala.collection.concurrent.TrieMap[(String, Seq[String]), Map[String, String]]
+
+  /** TBLPROPERTIES('spillRowGroupBytes'/'spillPageRows') — the durable
+    * spill's per-table write layout (row-group byte target, page
+    * row-count limit). Validated at declaration: a malformed CREATE must
+    * fail at CREATE, not silently write the default layout. */
+  private[sources] def parseSpillLayout(
+      properties: java.util.Map[String, String]): (Option[Long], Option[Int]) = {
+    def pos(name: String): Option[Long] =
+      Option(properties.get(name)).filter(_.nonEmpty).map { s =>
+        val v = try s.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft catalog: $name must be a positive integer, got '$s'")
+        }
+        require(v > 0, s"graft catalog: $name must be positive, got $v")
+        v
+      }
+    (pos("spillRowGroupBytes"), pos("spillPageRows").map(_.toInt))
+  }
+
+  /** Registers (or clears) a table's declared spill write layout — the
+    * shared tail of the create and staged-commit paths, so both stay in
+    * property parity (the r14 extendedPushdown lesson). */
+  private[sources] def registerSpillLayout(
+      k: String, layout: (Option[Long], Option[Int])): Unit = {
+    layout._1 match {
+      case Some(v) => DurableSpill.spillRowGroupBytesFor.put(k, v)
+      case None    => DurableSpill.spillRowGroupBytesFor.remove(k)
+    }
+    layout._2 match {
+      case Some(v) => DurableSpill.spillPageRowsFor.put(k, v)
+      case None    => DurableSpill.spillPageRowsFor.remove(k)
+    }
+  }
 
   /** Does a stored expression SQL (generation expression, CHECK
     * predicate) reference column `col`? Parsed, not substring-matched —

@@ -2250,7 +2250,8 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
   * composing with q281/q289 time travel. */
 private[sources] class MemStagedTable(realKey: String, stagingKey: String,
     schema0: StructType, pc: String, deltaIdCol: String = "",
-    sortedBy: String = "", extendedPushdown: Boolean = false)
+    sortedBy: String = "", extendedPushdown: Boolean = false,
+    spillLayout: (Option[Long], Option[Int]) = (None, None))
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with SupportsWrite {
   private val delegate = new MemTableImpl(schema0, stagingKey, pc)
@@ -2285,6 +2286,10 @@ private[sources] class MemStagedTable(realKey: String, stagingKey: String,
       GraftSparkCatalog.sortCols.put(realKey, sortedBy)
     if (extendedPushdown)
       GraftSparkCatalog.extendedPushdown.put(realKey, true)
+    // the declared spill write layout must land BEFORE the publishes
+    // below spill the staged rows — and a REPLACE without the properties
+    // clears the old incarnation's layout (the purge discipline above)
+    GraftSparkCatalog.registerSpillLayout(realKey, spillLayout)
     // a staged CREATE records the table birth the way the non-staged
     // two-step path does (createTable's empty v0, then the data commit):
     // the history ledger stays uniform across both creation paths (q290)
