@@ -3631,6 +3631,122 @@ object Sources {
         UNION ALL SELECT 'audit', 'driver_materialized_zero', 1, 0, 0)
       ORDER BY kind, status"""))
 
+  /** PAGE-LEVEL (COLUMN-INDEX) SKIPPING + DICTIONARY FILTERING — the
+    * reader tier BELOW q314's row groups (VERDICT r14 item 2, explicitly
+    * activated): with production's 128 MiB row groups, a selective
+    * predicate inside one surviving group still decoded the whole group;
+    * now the parquet COLUMN INDEX (per-page min/max/null counts, written
+    * by the spill by default) prunes individual DATA PAGES, and a
+    * DICTIONARY probe drops a whole group when an equality's value is
+    * inside the chunk's [min, max] but absent from its dictionary — the
+    * needle-on-a-low-cardinality-column case statistics can never catch.
+    * The table spills ONE row group per partition (default byte target)
+    * of MANY 50-row pages (TBLPROPERTIES('spillPageRows'), the per-table
+    * layout knob), sorted by `okey`. After a restart: a full scan
+    * engages no page machinery at all; `WHERE okey <= K` decodes ≥1 and
+    * skips ≥1 PAGE inside the surviving groups (fewer pages than the
+    * groups contain — the q314 audit, one level down); `WHERE pri =
+    * '3-AAA'` (between '1-URGENT' and '5-LOW' in binary order, never a
+    * real priority) decodes ZERO groups and ZERO pages: the dictionary
+    * answered from one dictionary page per group. Rows are separately
+    * exact (task row filters enforce; the oracle recomputes every leg
+    * from `orders`). At 100 TB this is the difference between decoding
+    * 128 MiB per surviving group and ~1 MiB per matching page — and
+    * between scanning a corpus for a nonexistent key and touching only
+    * its dictionaries. */
+  val q318 = GraftQuery(
+    "q318_page_dictionary_pruning",
+    "File-backed scans skip data pages by column-index bounds and whole groups by dictionary probes",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_pgp",
+        "graft.sources.GraftSparkCatalog")
+      s2.conf.set("spark.sql.catalog.graft_pgp.warehouse",
+        "spark-warehouse/graft_catalog_pgp")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_pgp.corpus.pgp_$tag"
+      val key = s"cat!graft_pgp!corpus!pgp_$tag"
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("pri"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .writeTo(tbl).partitionedBy(col("status"))
+        .tableProperty("extendedPushdown", "true")
+        .tableProperty("sortedBy", "okey")
+        .tableProperty("spillPageRows", "50")
+        .create()
+      // ---- process restart: reads plan against the spilled files
+      graft.sources.MemTable.evict(key)
+      val tKey = graft.sources.DurableSpill.tallyKeyOf(key)
+      def groups(): (Long, Long) =
+        graft.sources.DurableSpill.groupTallies.get(tKey)
+          .map(t => (t._1.get, t._2.get)).getOrElse((0L, 0L))
+      def pages(): (Long, Long) =
+        graft.sources.DurableSpill.pageTallies.get(tKey)
+          .map(t => (t._1.get, t._2.get)).getOrElse((0L, 0L))
+      def clear(): Unit = {
+        graft.sources.DurableSpill.groupTallies.remove(tKey)
+        graft.sources.DurableSpill.pageTallies.remove(tKey)
+      }
+      def leg(kind: String, where: String) = {
+        clear()
+        val df = s2.sql(
+          s"""SELECT '$kind' AS kind, pmod(okey, 7) AS grp, count(*) AS n,
+                     sum(cents) AS total_cents
+              FROM $tbl $where GROUP BY pmod(okey, 7)""")
+          .localCheckpoint(true) // execute NOW, tallies read after
+        (df, groups(), pages())
+      }
+      val (full, _, (fPr, fPs)) = leg("full", "")
+      val noPageMachineryOnFull =
+        fPr == 0L && fPs == 0L &&
+          !graft.sources.DurableSpill.pageTallies.contains(tKey)
+      val (paged, (gR, _), (pR, pS)) = leg("paged", "WHERE okey <= 400")
+      clear()
+      val dict0 = s2.sql(
+        s"""SELECT 'dict' AS kind, 0L AS grp, count(*) AS n, 0L AS total_cents
+            FROM $tbl WHERE pri = '3-AAA'""").localCheckpoint(true)
+      val ((dR, _), (dPr, _)) = (groups(), pages())
+      val audits = Seq(
+        ("audit", 0L, if (noPageMachineryOnFull) 1L else 0L),
+        ("audit", 1L, if (pR >= 1) 1L else 0L), // pages decoded >= 1
+        ("audit", 2L, if (pS >= 1) 1L else 0L), // pages SKIPPED >= 1
+        ("audit", 3L, if (gR >= 1) 1L else 0L), // groups survived (page-level win)
+        ("audit", 4L, if (dR == 0) 1L else 0L), // dictionary dropped every group
+        ("audit", 5L, if (dPr == 0) 1L else 0L)) // ...decoding zero data pages
+      import s2.implicits._
+      val auditDf = audits.toDF("kind", "grp", "n")
+        .withColumn("total_cents", lit(0L))
+      val res = full.unionByName(paged).unionByName(dict0).unionByName(auditDf)
+        .orderBy("kind", "grp").localCheckpoint(true)
+      s2.sql(s"DROP TABLE $tbl")
+      res
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey AS okey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'full' AS kind, okey % 7 AS grp, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM t GROUP BY okey % 7
+        UNION ALL
+        SELECT 'paged', okey % 7, count(*), CAST(sum(cents) AS BIGINT)
+        FROM t WHERE okey <= 400 GROUP BY okey % 7
+        UNION ALL
+        SELECT 'dict', 0, count(*), 0
+        FROM orders WHERE o_orderpriority = '3-AAA'
+        UNION ALL SELECT 'audit', 0, 1, 0  -- full scan: no page machinery
+        UNION ALL SELECT 'audit', 1, 1, 0  -- paged leg decoded >= 1 page
+        UNION ALL SELECT 'audit', 2, 1, 0  -- paged leg SKIPPED >= 1 page
+        UNION ALL SELECT 'audit', 3, 1, 0  -- groups survived: the win was page-level
+        UNION ALL SELECT 'audit', 4, 1, 0  -- dict probe decoded zero groups
+        UNION ALL SELECT 'audit', 5, 1, 0) -- ...and zero data pages
+      ORDER BY kind, grp"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -3759,5 +3875,5 @@ object Sources {
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
     q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296,
     q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308,
-    q309, q310, q312, q313, q314, q317)
+    q309, q310, q312, q313, q314, q317, q318)
 }

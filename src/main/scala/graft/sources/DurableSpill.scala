@@ -234,6 +234,47 @@ private[graft] object DurableSpill {
     }
   }
 
+  /** Shared three-valued bounds test: can a predicate match NO value in
+    * [mn, mx]? Used at BOTH granularities — column-chunk statistics (row
+    * groups) and column-index entries (pages). Bounds may be truncated
+    * (page-level string bounds are, at parquet's 64-byte column-index
+    * truncation): truncation only WIDENS [mn, mx], so the test stays
+    * conservative. */
+  private def dropByLongBounds(p: StatsPred, mn: Long, mx: Long): Boolean =
+    p.op match {
+      case "eq" => p.longs.forall(v => v < mn || v > mx)
+      case "gt" => mx <= p.longs.head
+      case "ge" => mx < p.longs.head
+      case "lt" => mn >= p.longs.head
+      case "le" => mn > p.longs.head
+      case _    => false
+    }
+  private def dropByStrBounds(p: StatsPred,
+      mn: org.apache.spark.unsafe.types.UTF8String,
+      mx: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val us = p.strs.map(UTF8String.fromString)
+    p.op match {
+      case "eq" => us.forall(v => v.compareTo(mn) < 0 || v.compareTo(mx) > 0)
+      case "gt" => mx.compareTo(us.head) <= 0
+      case "ge" => mx.compareTo(us.head) < 0
+      case "lt" => mn.compareTo(us.head) >= 0
+      case "le" => mn.compareTo(us.head) > 0
+      case _    => false
+    }
+  }
+
+  /** The named column's chunk metadata in a row group (top-level columns
+    * only — the spill schema is flat). */
+  private def chunkOf(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      col: String): org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = {
+    import scala.jdk.CollectionConverters._
+    b.getColumns.asScala.find { c =>
+      val path = c.getPath.asScala.toSeq
+      path.length == 1 && path.head == col
+    }.orNull
+  }
+
   /** Can this row group be skipped because `p` provably evaluates TRUE
     * for none of its rows? Conservative on missing statistics. A pushed
     * conjunct keeps a row only when TRUE (UNKNOWN filters out), so NULL
@@ -241,11 +282,7 @@ private[graft] object DurableSpill {
   private def canDrop(
       p: StatsPred,
       b: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean = {
-    import scala.jdk.CollectionConverters._
-    val cc = b.getColumns.asScala.find { c =>
-      val path = c.getPath.asScala.toSeq
-      path.length == 1 && path.head == p.col
-    }.orNull
+    val cc = chunkOf(b, p.col)
     if (cc == null) return false
     val st = cc.getStatistics
     if (st == null || st.isEmpty) return false
@@ -257,38 +294,22 @@ private[graft] object DurableSpill {
         if (allNull) return true // value comparisons never match NULL
         if (!st.hasNonNullValue) return false
         if (p.longs.nonEmpty) {
-          val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+          (st.genericGetMin, st.genericGetMax) match {
             case (a: java.lang.Long, b2: java.lang.Long) =>
-              (a.longValue, b2.longValue)
-            case _ => return false
-          }
-          p.op match {
-            case "eq" => p.longs.forall(v => v < mn || v > mx)
-            case "gt" => mx <= p.longs.head
-            case "ge" => mx < p.longs.head
-            case "lt" => mn >= p.longs.head
-            case "le" => mn > p.longs.head
-            case _    => false
+              dropByLongBounds(p, a.longValue, b2.longValue)
+            case _ => false
           }
         } else if (p.strs.nonEmpty) {
           // chunk statistics order BINARY(STRING) by unsigned bytes =
           // UTF-8 binary order = the engine's StringType order; a
           // truncated bound only widens [mn, mx], staying conservative
           import org.apache.spark.unsafe.types.UTF8String
-          val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+          (st.genericGetMin, st.genericGetMax) match {
             case (a: org.apache.parquet.io.api.Binary,
                   b2: org.apache.parquet.io.api.Binary) =>
-              (UTF8String.fromBytes(a.getBytes), UTF8String.fromBytes(b2.getBytes))
-            case _ => return false
-          }
-          val us = p.strs.map(UTF8String.fromString)
-          p.op match {
-            case "eq" => us.forall(v => v.compareTo(mn) < 0 || v.compareTo(mx) > 0)
-            case "gt" => mx.compareTo(us.head) <= 0
-            case "ge" => mx.compareTo(us.head) < 0
-            case "lt" => mn.compareTo(us.head) >= 0
-            case "le" => mn.compareTo(us.head) > 0
-            case _    => false
+              dropByStrBounds(p, UTF8String.fromBytes(a.getBytes),
+                UTF8String.fromBytes(b2.getBytes))
+            case _ => false
           }
         } else false
     }
@@ -505,103 +526,364 @@ private[graft] object DurableSpill {
   }
 
   /** TASK-SIDE SELECTIVE READ — the reader-level pushdown of a
-    * file-backed scan (VERDICT r13 item 2): decodes ONLY the `wanted`
-    * columns (parquet reads just those column chunks), SKIPS row groups
-    * whose chunk statistics prove an accepted filter conjunct matches no
-    * row ([[StatsPred]]), and SKIPS row groups wholly outside the
-    * requested row range [skip, skip+takeN) (takeN < 0 = to the end —
-    * the streaming-increment window of a restored table). Returned rows
-    * are full-schema-width with un-wanted slots null, so the split's
-    * column indices, row filters, and variant evaluators keep their
-    * full-schema positions. A projection needing NO stored column
-    * (count-style reads) decodes zero pages: row multiplicity comes from
-    * block row counts alone. Row-group decode/skip tallies land in
-    * [[groupTallies]] (local-mode probe). */
+    * file-backed scan (VERDICT r13 item 2, streamed + page-granular in
+    * r15): decodes ONLY the `wanted` columns (parquet reads just those
+    * column chunks), SKIPS row groups whose chunk statistics prove an
+    * accepted filter conjunct matches no row ([[StatsPred]]), SKIPS row
+    * groups wholly outside the requested row range [skip, skip+takeN)
+    * (takeN < 0 = to the end — the streaming-increment window of a
+    * restored table), and within a surviving row group SKIPS data PAGES
+    * the parquet column index (per-page min/max/null counts) proves
+    * empty — plus whole groups whose dictionary proves an equality can
+    * never match. Rows are emitted through an ITERATOR that holds at
+    * most ONE row group's pages at a time (VERDICT r14 item 3: a task
+    * streams its input, never buffers the file), full-schema-width with
+    * un-wanted slots null, so the split's column indices, row filters,
+    * and variant evaluators keep their full-schema positions. A
+    * projection needing NO stored column (count-style reads) decodes
+    * zero pages: row multiplicity comes from block row counts alone.
+    * Row-group decode/skip tallies land in [[groupTallies]], page
+    * decode/skip tallies (for page-filtered groups) in [[pageTallies]]
+    * (local-mode probes). */
+  def readRowsSelectiveIter(path: String, schema: StructType,
+      wanted: Option[Set[String]], preds: Seq[StatsPred],
+      skip: Long, takeN: Long): SelectiveRows =
+    new SelectiveRows(path, schema, wanted, preds, skip, takeN)
+
+  /** Driver-side / spec convenience: the fully drained iterator. */
   def readRowsSelective(path: String, schema: StructType,
       wanted: Option[Set[String]], preds: Seq[StatsPred],
       skip: Long, takeN: Long): Vector[Array[Any]] = {
+    val it = readRowsSelectiveIter(path, schema, wanted, preds, skip, takeN)
+    try {
+      val out = Vector.newBuilder[Array[Any]]
+      while (it.hasNext) out += it.next()
+      out.result()
+    } finally it.close()
+  }
+
+  /** The streaming selective reader (see [[readRowsSelectiveIter]]).
+    * Lifecycle: opens the parquet footer at construction, loads pages
+    * one row group at a time as the consumer drains, releases each
+    * group's pages when its rows are exhausted, and closes the file on
+    * exhaustion or [[close]] (the task reader's close hook — early
+    * termination like LIMIT must not leak the stream). */
+  final class SelectiveRows private[DurableSpill] (
+      path: String, schema: StructType, wanted: Option[Set[String]],
+      preds: Seq[StatsPred], skip: Long, takeN: Long)
+      extends Iterator[Array[Any]] with AutoCloseable {
     import scala.jdk.CollectionConverters._
-    val width = schema.fields.length
-    val hi = if (takeN < 0) Long.MaxValue else skip + takeN
-    val tally = tallyOf(path)
+
+    private val width = schema.fields.length
+    private val hi = if (takeN < 0) Long.MaxValue else skip + takeN
+    private val tally = tallyOf(path)
     // None = every column; Some(empty) = count-only (zero pages decoded)
-    val wantedFields: Seq[org.apache.spark.sql.types.StructField] =
+    private val wantedFields: Seq[org.apache.spark.sql.types.StructField] =
       wanted match {
         case None     => schema.fields.toSeq
         case Some(ws) => schema.fields.toSeq.filter(f => ws(f.name))
       }
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new HPath(path), new Configuration())
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      if (wantedFields.isEmpty && preds.isEmpty) {
-        // count-only: no pages, rows materialize from block metadata
-        var pos = 0L
-        val out = Vector.newBuilder[Array[Any]]
-        reader.getRowGroups.asScala.foreach { b =>
-          val n = b.getRowCount
-          val take = math.min(pos + n, hi) - math.max(pos, skip)
-          var i = 0L
-          while (i < take) { out += new Array[Any](width); i += 1 }
+    private val countOnly = wantedFields.isEmpty && preds.isEmpty
+    require(wantedFields.nonEmpty || preds.isEmpty,
+      "readRowsSelective: stats predicates without their referenced columns")
+
+    private val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new HPath(path), new Configuration()))
+    private val blocks = reader.getRowGroups.asScala.toIndexedSeq
+    private val fileType = reader.getFooter.getFileMetaData.getSchema
+    // the file-level names the wanted fields decode (a VARIANT field
+    // spills as its (value, metadata) binary pair)
+    private val fileFieldNames: Seq[String] = wantedFields.flatMap { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.VariantType =>
+          Seq(s"${f.name}__variant_value", s"${f.name}__variant_metadata")
+        case _ => Seq(f.name)
+      }
+    }
+    private val reqType =
+      if (countOnly) fileType
+      else if (fileFieldNames.length == fileType.getFieldCount) fileType
+      else {
+        val fields: java.util.List[org.apache.parquet.schema.Type] =
+          fileFieldNames.map(n => fileType.getType(Array(n): _*)).asJava
+        new org.apache.parquet.schema.MessageType("snapshot", fields)
+      }
+    if (!countOnly) reader.setRequestedSchema(reqType)
+    private val slots = {
+      val fullIdx = schema.fieldNames.zipWithIndex.toMap
+      wantedFields.map(f => (fullIdx(f.name), f))
+    }
+
+    private var closed = false
+    private var bi = 0       // next block ordinal
+    private var pos = 0L     // file row position of blocks(bi)
+    private var cur: Iterator[Array[Any]] = Iterator.empty
+    private var curStore: org.apache.parquet.column.page.PageReadStore = null
+
+    override def hasNext: Boolean = {
+      if (closed && !cur.hasNext) return false
+      while (!cur.hasNext && !closed && bi < blocks.length) advance()
+      val h = cur.hasNext
+      if (!h) close()
+      h
+    }
+
+    override def next(): Array[Any] = {
+      if (!hasNext) throw new NoSuchElementException("SelectiveRows")
+      cur.next()
+    }
+
+    override def close(): Unit = if (!closed) {
+      closed = true
+      releaseStore()
+      try reader.close() catch { case _: Throwable => () }
+    }
+
+    private def releaseStore(): Unit = if (curStore != null) {
+      try curStore.close() catch { case _: Throwable => () }
+      curStore = null
+    }
+
+    /** Processes the next row group: skip (row range / chunk stats /
+      * dictionary), full decode, or page-filtered decode. */
+    private def advance(): Unit = {
+      releaseStore()
+      val idx = bi
+      val b = blocks(idx)
+      val start = pos
+      val n = b.getRowCount
+      bi += 1
+      pos += n
+      val overlaps = start < hi && start + n > skip
+      if (!overlaps || preds.exists(canDrop(_, b))) {
+        tally._2.incrementAndGet()
+        return
+      }
+      if (countOnly) {
+        // no pages: rows materialize from block metadata alone
+        tally._2.incrementAndGet()
+        val emit = math.min(start + n, hi) - math.max(start, skip)
+        cur = new Iterator[Array[Any]] {
+          private var left = emit
+          override def hasNext: Boolean = left > 0
+          override def next(): Array[Any] = { left -= 1; new Array[Any](width) }
+        }
+        return
+      }
+      // DICTIONARY tier: an equality/IN over a fully dictionary-encoded
+      // chunk whose dictionary contains NONE of the sought values can
+      // never match — drop the group reading only its dictionary page,
+      // the case chunk min/max can't catch (value inside [min, max] but
+      // absent — the classic needle probe on a low-cardinality column)
+      if (preds.exists(dictDrop(b, _))) {
+        tally._2.incrementAndGet()
+        return
+      }
+      // PAGE tier: evaluate the column index (per-page min/max/null
+      // counts) and the row window at page granularity
+      val windowPartial = skip > start || hi < start + n
+      val ranges: Option[
+        org.apache.parquet.internal.filter2.columnindex.RowRanges] =
+        if (preds.nonEmpty || windowPartial) pageRanges(b, start, n)
+        else None
+      ranges match {
+        case Some(rr) if rr.rowCount == 0 =>
+          // every page provably empty — the group skips after all
           tally._2.incrementAndGet()
-          pos += n
-        }
-        out.result()
-      } else {
-        require(wantedFields.nonEmpty,
-          "readRowsSelective: stats predicates without their referenced columns")
-        val fileType = reader.getFooter.getFileMetaData.getSchema
-        val fileFieldNames: Seq[String] = wantedFields.flatMap { f =>
-          f.dataType match {
-            case org.apache.spark.sql.types.VariantType =>
-              Seq(s"${f.name}__variant_value", s"${f.name}__variant_metadata")
-            case _ => Seq(f.name)
-          }
-        }
-        val reqType =
-          if (fileFieldNames.length == fileType.getFieldCount) fileType
-          else {
-            val fields: java.util.List[org.apache.parquet.schema.Type] =
-              fileFieldNames.map(n =>
-                fileType.getType(Array(n): _*)).asJava
-            new org.apache.parquet.schema.MessageType("snapshot", fields)
-          }
-        reader.setRequestedSchema(reqType)
-        val fullIdx = schema.fieldNames.zipWithIndex.toMap
-        val slots = wantedFields.map(f => (fullIdx(f.name), f))
-        var pos = 0L
-        val out = Vector.newBuilder[Array[Any]]
-        reader.getRowGroups.asScala.foreach { b =>
-          val n = b.getRowCount
-          val overlaps = pos < hi && pos + n > skip
-          if (!overlaps || preds.exists(canDrop(_, b))) {
-            reader.skipNextRowGroup()
-            tally._2.incrementAndGet()
-          } else {
-            tally._1.incrementAndGet()
-            val pages = reader.readNextRowGroup()
-            val columnIO = new org.apache.parquet.io.ColumnIOFactory()
-              .getColumnIO(reqType, fileType)
-            val rr = columnIO.getRecordReader(pages,
-              new org.apache.parquet.example.data.simple.convert
-                .GroupRecordConverter(reqType))
-            var i = 0L
-            while (i < n) {
-              val g = rr.read()
-              val p = pos + i
-              if (p >= skip && p < hi) {
-                val arr = new Array[Any](width)
-                slots.foreach { case (j, f) => arr(j) = decodeField(g, f) }
-                out += arr
-              }
-              i += 1
+          tallyPages(b, n, rr)
+        case Some(rr) if rr.rowCount < n =>
+          tally._1.incrementAndGet()
+          tallyPages(b, n, rr)
+          val store = reader.readFilteredRowGroup(idx, rr)
+          curStore = store
+          cur = rowsOf(store, start)
+        case _ =>
+          tally._1.incrementAndGet()
+          val store = reader.readRowGroup(idx)
+          curStore = store
+          cur = rowsOf(store, start)
+      }
+    }
+
+    /** Lazily materialized rows of one (possibly page-filtered) row
+      * group. Absolute row positions come from the store's row indexes
+      * when pages were filtered (rows are non-contiguous then), else
+      * from the running offset — the [skip, hi) window check stays
+      * row-exact either way. */
+    private def rowsOf(store: org.apache.parquet.column.page.PageReadStore,
+        start: Long): Iterator[Array[Any]] = {
+      val total = store.getRowCount
+      val rowIdx: java.util.PrimitiveIterator.OfLong =
+        store.getRowIndexes.orElse(null)
+      val columnIO = new org.apache.parquet.io.ColumnIOFactory()
+        .getColumnIO(reqType, fileType)
+      val rr = columnIO.getRecordReader(store,
+        new org.apache.parquet.example.data.simple.convert
+          .GroupRecordConverter(reqType))
+      new Iterator[Array[Any]] {
+        private var i = 0L
+        private var staged: Array[Any] = null
+        private def fetch(): Unit = {
+          while (staged == null && i < total) {
+            val g = rr.read()
+            val p = start + (if (rowIdx != null) rowIdx.nextLong() else i)
+            i += 1
+            if (g != null && p >= skip && p < hi) {
+              val arr = new Array[Any](width)
+              slots.foreach { case (j, f) => arr(j) = decodeField(g, f) }
+              staged = arr
             }
           }
-          pos += n
         }
-        out.result()
+        override def hasNext: Boolean = { fetch(); staged != null }
+        override def next(): Array[Any] = {
+          fetch()
+          if (staged == null) throw new NoSuchElementException
+          val r = staged; staged = null; r
+        }
       }
-    } finally reader.close()
+    }
+
+    /** Per-page pruning ranges for one row group: every predicate
+      * column's column index contributes the pages it can NOT prove
+      * empty, the row window drops pages wholly outside [skip, hi), and
+      * the per-column range sets intersect (conjunction). None = no
+      * usable index anywhere (full decode). The same three-valued
+      * discipline as the chunk tier, one level down. */
+    private def pageRanges(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+        start: Long, n: Long)
+        : Option[org.apache.parquet.internal.filter2.columnindex.RowRanges] = {
+      import org.apache.parquet.internal.filter2.columnindex.RowRanges
+      var acc: RowRanges = null
+      def contribute(col: String, p: Option[StatsPred]): Unit = {
+        val cc = chunkOf(b, col)
+        if (cc == null) return
+        val oi = try reader.readOffsetIndex(cc) catch { case _: Throwable => null }
+        if (oi == null) return
+        val ci = try reader.readColumnIndex(cc) catch { case _: Throwable => null }
+        if (ci == null && p.isDefined) return // window-only needs no index
+        val matching = (0 until oi.getPageCount).filter { k =>
+          val first = oi.getFirstRowIndex(k)
+          val last = oi.getLastRowIndex(k, n)
+          val winOk = start + first < hi && start + last >= skip
+          winOk && !p.exists(pageDrop(_, ci, k, last - first + 1))
+        }
+        val rr = RowRanges.create(n,
+          java.util.Arrays.stream(matching.toArray).iterator(), oi)
+        acc = if (acc == null) rr else RowRanges.intersection(acc, rr)
+      }
+      preds.foreach(p => contribute(p.col, Some(p)))
+      if (acc == null)
+        // no predicate had a usable index — the row window can still
+        // prune pages through any decoded column's offset index
+        contribute(fileFieldNames.head, None)
+      Option(acc)
+    }
+
+    /** Can page `k` of this column index match no row of predicate `p`?
+      * Mirrors [[canDrop]] at page granularity; page string bounds ARE
+      * truncated (64-byte column-index truncation), which only widens
+      * them — still conservative. */
+    private def pageDrop(p: StatsPred,
+        ci: org.apache.parquet.internal.column.columnindex.ColumnIndex,
+        k: Int, pageRows: Long): Boolean = {
+      val nullPage =
+        ci.getNullPages != null && k < ci.getNullPages.size &&
+          ci.getNullPages.get(k)
+      val nullCount: java.lang.Long =
+        if (ci.getNullCounts != null && k < ci.getNullCounts.size)
+          ci.getNullCounts.get(k)
+        else null
+      p.op match {
+        case "isnull"  => nullCount != null && nullCount.longValue == 0L
+        case "notnull" => nullPage
+        case _ =>
+          if (nullPage) return true // value comparisons never match NULL
+          def bytesAt(l: java.util.List[java.nio.ByteBuffer]): Array[Byte] = {
+            if (l == null || k >= l.size) return null
+            val bb = l.get(k)
+            if (bb == null) return null
+            val a = new Array[Byte](bb.remaining())
+            bb.duplicate().get(a)
+            a
+          }
+          val mnB = bytesAt(ci.getMinValues)
+          val mxB = bytesAt(ci.getMaxValues)
+          if (mnB == null || mxB == null) return false
+          if (p.longs.nonEmpty) {
+            if (mnB.length != 8 || mxB.length != 8) return false
+            def le(a: Array[Byte]): Long =
+              java.nio.ByteBuffer.wrap(a)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+            dropByLongBounds(p, le(mnB), le(mxB))
+          } else if (p.strs.nonEmpty) {
+            import org.apache.spark.unsafe.types.UTF8String
+            dropByStrBounds(p, UTF8String.fromBytes(mnB),
+              UTF8String.fromBytes(mxB))
+          } else false
+      }
+    }
+
+    /** Dictionary-based group drop: only for equality/IN, only when the
+      * chunk's encoding stats PROVE every data page is
+      * dictionary-encoded (a fallback-to-plain page could hold values
+      * outside the dictionary). NULLs are immaterial — an equality never
+      * matches NULL. */
+    private def dictDrop(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+        p: StatsPred): Boolean = {
+      if (p.op != "eq") return false
+      val cc = chunkOf(b, p.col)
+      if (cc == null) return false
+      val es = cc.getEncodingStats
+      if (es == null || !es.hasDictionaryPages || es.hasNonDictionaryEncodedPages)
+        return false
+      try {
+        val store: org.apache.parquet.column.page.DictionaryPageReadStore =
+          reader.getDictionaryReader(b)
+        val desc = fileType.getColumnDescription(Array(p.col))
+        val page = store.readDictionaryPage(desc)
+        if (page == null) return false
+        val dict = page.getEncoding.initDictionary(desc, page)
+        if (p.longs.nonEmpty) {
+          val sought = p.longs.toSet
+          !(0 to dict.getMaxId).exists(i => sought.contains(dict.decodeToLong(i)))
+        } else if (p.strs.nonEmpty) {
+          import org.apache.spark.unsafe.types.UTF8String
+          val sought = p.strs.map(UTF8String.fromString).toSet
+          !(0 to dict.getMaxId).exists(i =>
+            sought.contains(UTF8String.fromBytes(dict.decodeToBinary(i).getBytes)))
+        } else false
+      } catch { case _: Throwable => false }
+    }
+
+    /** Page decode/skip tallies for a page-filtered group, over the
+      * decoded columns: a page counts DECODED when it overlaps the final
+      * row ranges (exactly parquet's own filtered-page selection rule),
+      * SKIPPED otherwise. */
+    private def tallyPages(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+        n: Long,
+        rr: org.apache.parquet.internal.filter2.columnindex.RowRanges): Unit = {
+      val pt = pageTallyOf(path)
+      fileFieldNames.foreach { col =>
+        val cc = chunkOf(b, col)
+        if (cc != null) {
+          val oi = try reader.readOffsetIndex(cc) catch { case _: Throwable => null }
+          if (oi != null) {
+            var read = 0
+            val pages = oi.getPageCount
+            var k = 0
+            while (k < pages) {
+              if (rr.isOverlapping(oi.getFirstRowIndex(k), oi.getLastRowIndex(k, n)))
+                read += 1
+              k += 1
+            }
+            pt._1.addAndGet(read.toLong)
+            pt._2.addAndGet((pages - read).toLong)
+          }
+        }
+      }
+    }
   }
 
   /** Footer-only MIN/MAX of a LONG column, merged across one spilled

@@ -691,6 +691,222 @@ class DurableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     DurableSpill.onDrop(key)
   }
 
+  test("page-level pruning: the column index drops pages inside a surviving row group (rows never lost)") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"dur_pg_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    // ONE row group (default 128 MiB target), MANY pages (50 rows each,
+    // declared per table) — the layout where group-granular skipping is
+    // powerless and only the column index can save the decode
+    (1L to 2000L).map(i => (i, "a", i * 10L)).toDF("k", "p", "v")
+      .coalesce(1).sortWithinPartitions("k")
+      .writeTo(tbl).partitionedBy(col("p"))
+      .tableProperty("sortedBy", "k")
+      .tableProperty("spillPageRows", "50").create()
+    MemTable.evict(key) // restart
+    DurableSpill.ensureLoaded(key)
+    val (path, schema) = MemTable.store(key).parts match {
+      case lp: LazyParts =>
+        (lp.fileInfo.values.head.path, MemTable.store(key).schema)
+      case other => fail(s"restore was not file-backed: $other")
+    }
+    val tKey = DurableSpill.tallyKeyOf(key)
+    def groups(): (Long, Long) = DurableSpill.groupTallies.get(tKey)
+      .map(t => (t._1.get, t._2.get)).getOrElse((0L, 0L))
+    def pages(): (Long, Long) = DurableSpill.pageTallies.get(tKey)
+      .map(t => (t._1.get, t._2.get)).getOrElse((0L, 0L))
+
+    // (a) an unfiltered full read engages NO page filtering at all
+    DurableSpill.groupTallies.remove(tKey)
+    DurableSpill.pageTallies.remove(tKey)
+    val full = DurableSpill.readRowsSelective(path, schema, None, Nil, 0L, -1L)
+    assert(full.size == 2000)
+    assert(groups() == ((1L, 0L)), s"layout not single-group: ${groups()}")
+    assert(DurableSpill.pageTallies.get(tKey).isEmpty,
+      "a full read paid the page-filter machinery")
+
+    // (b) a selective predicate inside the one surviving group decodes
+    // only its matching pages — and loses no matching row
+    DurableSpill.groupTallies.remove(tKey)
+    DurableSpill.pageTallies.remove(tKey)
+    val pruned = DurableSpill.readRowsSelective(path, schema, Some(Set("k")),
+      Seq(StatsPred("k", "le", longs = Seq(100L))), 0L, -1L)
+    val ks = pruned.map(_(0).asInstanceOf[Long])
+    assert((1L to 100L).forall(ks.contains), "page pruning lost a matching row")
+    assert(groups()._1 == 1L, s"group tallies off: ${groups()}")
+    val (pr, ps) = pages()
+    assert(pr >= 1 && ps >= 1,
+      s"page tier did not engage: read=$pr skipped=$ps")
+    assert(ks.size < 2000, "page pruning removed nothing")
+
+    // (c) a streaming ROW RANGE prunes pages too (not just whole groups)
+    DurableSpill.pageTallies.remove(tKey)
+    val ranged = DurableSpill.readRowsSelective(path, schema, None, Nil,
+      skip = 1500L, takeN = 100L)
+    assert(ranged.map(_(0).asInstanceOf[Long]) == (1501L to 1600L).toVector)
+    val (rr2, rs2) = pages()
+    assert(rr2 >= 1 && rs2 >= 1,
+      s"row-range page pruning did not engage: read=$rr2 skipped=$rs2")
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
+  test("dictionary filtering drops a group the min/max cannot (needle inside the bounds, absent from the dictionary)") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"dur_dict_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    // s alternates 'aa'/'zz': chunk bounds [aa, zz] CONTAIN 'mm', so
+    // statistics keep the group — only the dictionary can prove absence
+    (1L to 500L).map(i => (i, "a", if (i % 2 == 0) "aa" else "zz"))
+      .toDF("k", "p", "s").coalesce(1)
+      .writeTo(tbl).partitionedBy(col("p")).create()
+    MemTable.evict(key) // restart
+    DurableSpill.ensureLoaded(key)
+    val (path, schema) = MemTable.store(key).parts match {
+      case lp: LazyParts =>
+        (lp.fileInfo.values.head.path, MemTable.store(key).schema)
+      case other => fail(s"restore was not file-backed: $other")
+    }
+    val tKey = DurableSpill.tallyKeyOf(key)
+    def groups(): (Long, Long) = DurableSpill.groupTallies.get(tKey)
+      .map(t => (t._1.get, t._2.get)).getOrElse((0L, 0L))
+    // needle probe: zero groups decoded, zero rows served
+    DurableSpill.groupTallies.remove(tKey)
+    val missed = DurableSpill.readRowsSelective(path, schema, Some(Set("s")),
+      Seq(StatsPred("s", "eq", strs = Seq("mm"))), 0L, -1L)
+    assert(missed.isEmpty, s"dictionary-missed probe served ${missed.size} rows")
+    assert(groups() == ((0L, 1L)),
+      s"dictionary did not drop the group: ${groups()}")
+    // IN with one present value must NOT drop (conservative)
+    DurableSpill.groupTallies.remove(tKey)
+    val hit = DurableSpill.readRowsSelective(path, schema, Some(Set("s")),
+      Seq(StatsPred("s", "eq", strs = Seq("mm", "zz"))), 0L, -1L)
+    assert(hit.size == 500, "a present dictionary value was dropped")
+    assert(groups()._1 == 1L, s"hit probe skipped the group: ${groups()}")
+    // long dictionaries too: v cycles {7, 9}; eq 8 inside [7, 9]
+    val name2 = s"dur_dictl_${System.nanoTime()}"
+    val tbl2 = s"graft_dur.spec.$name2"
+    val key2 = s"cat!graft_dur!spec!$name2"
+    (1L to 500L).map(i => (i, "a", if (i % 2 == 0) 7L else 9L))
+      .toDF("k", "p", "v").coalesce(1)
+      .writeTo(tbl2).partitionedBy(col("p")).create()
+    MemTable.evict(key2)
+    DurableSpill.ensureLoaded(key2)
+    val (path2, schema2) = MemTable.store(key2).parts match {
+      case lp: LazyParts =>
+        (lp.fileInfo.values.head.path, MemTable.store(key2).schema)
+      case other => fail(s"restore was not file-backed: $other")
+    }
+    val tKey2 = DurableSpill.tallyKeyOf(key2)
+    DurableSpill.groupTallies.remove(tKey2)
+    val missedL = DurableSpill.readRowsSelective(path2, schema2, Some(Set("v")),
+      Seq(StatsPred("v", "eq", longs = Seq(8L))), 0L, -1L)
+    assert(missedL.isEmpty && DurableSpill.groupTallies.get(tKey2)
+      .exists(t => t._1.get == 0L && t._2.get == 1L),
+      "long dictionary did not drop the 8-needle group")
+    s2.sql(s"DROP TABLE $tbl")
+    s2.sql(s"DROP TABLE $tbl2")
+  }
+
+  test("page-pruning differential: seeded conjuncts over NULL-bearing multi-page groups never change the filtered rows") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"dur_pgd_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    // one group, ~20 pages of 40 rows; NULL-bearing long AND string
+    // columns sorted by k so leading pages are null-heavy — the
+    // page-level analog of the r14 chunk differential
+    val rows = (1L to 800L).map { i =>
+      val k: java.lang.Long = if (i % 7 == 0) null else java.lang.Long.valueOf(i)
+      val sv: String = if (i % 11 == 0) null else f"s$i%04d"
+      (i, "a", k, sv)
+    }
+    rows.toDF("id", "p", "k", "s")
+      .coalesce(1).writeTo(tbl).partitionedBy(col("p"))
+      .tableProperty("sortedBy", "k")
+      .tableProperty("spillPageRows", "40").create()
+    MemTable.evict(key)
+    DurableSpill.ensureLoaded(key)
+    val (path, schema) = MemTable.store(key).parts match {
+      case lp: LazyParts =>
+        (lp.fileInfo.values.head.path, MemTable.store(key).schema)
+      case other => fail(s"restore was not file-backed: $other")
+    }
+    def matches(p: StatsPred)(r: Array[Any]): Boolean = {
+      val v = r(schema.fieldIndex(p.col))
+      p.op match {
+        case "isnull"  => v == null
+        case "notnull" => v != null
+        case _ if v == null => false
+        case "eq" =>
+          if (p.longs.nonEmpty) p.longs.contains(v.asInstanceOf[Long])
+          else p.strs.exists(x => MemTable.cmpString(v.asInstanceOf[String], x) == 0)
+        case op =>
+          val c =
+            if (p.longs.nonEmpty)
+              java.lang.Long.compare(v.asInstanceOf[Long], p.longs.head)
+            else MemTable.cmpString(v.asInstanceOf[String], p.strs.head)
+          op match {
+            case "gt" => c > 0
+            case "ge" => c >= 0
+            case "lt" => c < 0
+            case "le" => c <= 0
+          }
+      }
+    }
+    val rnd = new scala.util.Random(271828)
+    val full = DurableSpill.readRowsSelective(path, schema, None, Nil, 0L, -1L)
+    val tKey = DurableSpill.tallyKeyOf(key)
+    DurableSpill.pageTallies.remove(tKey)
+    (1 to 60).foreach { trial =>
+      val col0 = if (rnd.nextBoolean()) "k" else "s"
+      val op = Seq("eq", "gt", "ge", "lt", "le", "isnull", "notnull")(rnd.nextInt(7))
+      def lv = rnd.nextLong(900L) + 1L
+      def sv0 = f"s${rnd.nextLong(900L) + 1L}%04d"
+      val pred =
+        if (op == "isnull" || op == "notnull") StatsPred(col0, op)
+        else if (op == "eq" && rnd.nextBoolean())
+          (if (col0 == "k") StatsPred(col0, op, longs = Seq.fill(3)(lv))
+           else StatsPred(col0, op, strs = Seq.fill(3)(sv0)))
+        else if (col0 == "k") StatsPred(col0, op, longs = Seq(lv))
+        else StatsPred(col0, op, strs = Seq(sv0))
+      val expect = full.filter(matches(pred)).map(_(0).asInstanceOf[Long])
+      val got = DurableSpill
+        .readRowsSelective(path, schema, None, Seq(pred), 0L, -1L)
+        .filter(matches(pred)).map(_(0).asInstanceOf[Long])
+      assert(got == expect,
+        s"trial $trial $pred: page pruning changed the filtered rows " +
+          s"(${expect.size} -> ${got.size})")
+    }
+    val skipped = DurableSpill.pageTallies.get(tKey).map(_._2.get).getOrElse(0L)
+    assert(skipped >= 1, "60 conjuncts skipped no page — differential vacuous")
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
+  test("early-terminated file-backed scans close their streams (LIMIT leaks nothing)") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"dur_lim_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    (1L to 2000L).map(i => (i, "a", i * 10L)).toDF("k", "p", "v")
+      .coalesce(1).writeTo(tbl).partitionedBy(col("p"))
+      .tableProperty("spillPageRows", "50").create()
+    MemTable.evict(key)
+    // LIMIT refuses pushdown on a restored table → CollectLimit stops the
+    // task early, mid-iterator; the reader's close hook must release the
+    // parquet stream. 40 early-terminated scans: a leak would hold 40
+    // open file handles (and on some platforms exhaust them loudly).
+    (1 to 40).foreach { _ =>
+      assert(s2.sql(s"SELECT k FROM $tbl LIMIT 3").collect().length == 3)
+    }
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   override def afterAll(): Unit = {
     try spark.stop() finally super.afterAll()
   }
