@@ -3747,6 +3747,115 @@ object Sources {
         UNION ALL SELECT 'audit', 5, 1, 0) -- ...and zero data pages
       ORDER BY kind, grp"""))
 
+  /** STRING FOOTER MIN/MAX ON RESTORED TABLES — VERDICT r14 item 4 (the
+    * non-long footer tier): pushed MIN/MAX over a restored table's
+    * STRING column now answers from parquet chunk statistics exactly
+    * like the long tier (q317), closing the "refuses to the engine-side
+    * scan" gap for the common catalog-statistics shapes. The spill
+    * writer leaves chunk statistics UNTRUNCATED (unlike the 64-byte
+    * column-index bounds, which prune but never serve), so the footer
+    * bounds are exact values; bounds merge across partition files in
+    * UTF-8 BINARY order — pinned here by >64-byte values and a
+    * U+FFFF-vs-U+10000 pair whose order flips between UTF-16 code units
+    * and UTF-8 bytes, and by an all-NULL partition that must serve NULL.
+    * The entry runs the same aggregate twice — pushed (footer-served,
+    * plan self-describes `pushedAggregates=`, zero data pages decoded,
+    * zero driver partitions) and engine-side (a non-pushable residual
+    * predicate forces the refusal, so the aggregate runs over the
+    * file-backed scan) — and the DuckDB oracle recomputes both legs:
+    * three independent computations of the same min/max must agree to
+    * the hash. At 100 TB this is `min(url)`/`max(dt)` on a restored
+    * catalog table answered from ~KB of footers instead of a scan. */
+  val q319 = GraftQuery(
+    "q319_string_footer_minmax",
+    "Pushed string MIN/MAX over a restored table serve exact footer bounds; engine and oracle replays agree",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_smm",
+        "graft.sources.GraftSparkCatalog")
+      s2.conf.set("spark.sql.catalog.graft_smm.warehouse",
+        "spark-warehouse/graft_catalog_smm")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_smm.corpus.smm_$tag"
+      val key = s"cat!graft_smm!corpus!smm_$tag"
+      val svExpr = """CASE WHEN o_orderstatus = 'P' THEN NULL
+        WHEN o_orderkey % 97 = 0 THEN concat('￿', repeat('y', 70))
+        WHEN o_orderkey % 97 = 1 THEN concat('𐀀', repeat('y', 70))
+        ELSE concat(o_orderpriority, '-', repeat('x', 80)) END"""
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          col("o_orderstatus").as("status"), expr(svExpr).as("sv"))
+        .writeTo(tbl).partitionedBy(col("status")).create()
+      // ---- process restart
+      graft.sources.MemTable.evict(key)
+      val tKey = graft.sources.DurableSpill.tallyKeyOf(key)
+      graft.sources.DurableSpill.groupTallies.remove(tKey)
+      val pushed0 = s2.sql(
+        s"""SELECT 'pushed' AS kind, status, count(*) AS n,
+                   min(sv) AS lo, max(sv) AS hi
+            FROM $tbl GROUP BY status""")
+      val pushedDesc = pushed0.queryExecution.executedPlan.toString
+      val pushed = pushed0.localCheckpoint(true)
+      val pushedTouchedPages =
+        graft.sources.DurableSpill.groupTallies.contains(tKey)
+      // a residual non-pushed predicate (okey >= 0, vacuously true)
+      // blocks aggregate pushdown → the ENGINE aggregates over the
+      // file-backed scan: the differential leg
+      val engine0 = s2.sql(
+        s"""SELECT 'engine' AS kind, status, count(*) AS n,
+                   min(sv) AS lo, max(sv) AS hi
+            FROM $tbl WHERE okey >= 0 GROUP BY status""")
+      val engineDesc = engine0.queryExecution.executedPlan.toString
+      val engine = engine0.localCheckpoint(true)
+      val lazyLeft = graft.sources.MemTable.store(key).parts match {
+        case lp: graft.sources.LazyParts => lp.materializedCount.toLong
+        case _                           => -1L
+      }
+      val audits = Seq(
+        ("audit", "agg_pushed",
+          if (pushedDesc.contains("pushedAggregates=")) 1L else 0L),
+        ("audit", "no_engine_agg_on_pushed_leg",
+          if (pushedDesc.contains("HashAggregate")) 0L else 1L),
+        ("audit", "pushed_leg_decoded_zero_pages",
+          if (pushedTouchedPages) 0L else 1L),
+        ("audit", "engine_leg_file_backed",
+          if (!engineDesc.contains("pushedAggregates=") &&
+            engineDesc.contains("fileBacked=")) 1L else 0L),
+        ("audit", "driver_materialized_zero", if (lazyLeft == 0) 1L else 0L))
+      import s2.implicits._
+      val auditDf = audits.toDF("kind", "status", "n")
+        .withColumn("lo", lit(null).cast("string"))
+        .withColumn("hi", lit(null).cast("string"))
+      val res = pushed.unionByName(engine).unionByName(auditDf)
+        .orderBy("kind", "status").localCheckpoint(true)
+      s2.sql(s"DROP TABLE $tbl")
+      res
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderstatus AS status,
+               CASE WHEN o_orderstatus = 'P' THEN NULL
+                    WHEN o_orderkey % 97 = 0
+                      THEN concat(chr(65535), repeat('y', 70))
+                    WHEN o_orderkey % 97 = 1
+                      THEN concat(chr(65536), repeat('y', 70))
+                    ELSE concat(o_orderpriority, '-', repeat('x', 80)) END AS sv
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'pushed' AS kind, status, count(*) AS n,
+               min(sv) AS lo, max(sv) AS hi
+        FROM t GROUP BY status
+        UNION ALL
+        SELECT 'engine', status, count(*), min(sv), max(sv)
+        FROM t GROUP BY status
+        UNION ALL SELECT 'audit', 'agg_pushed', 1, NULL, NULL
+        UNION ALL SELECT 'audit', 'no_engine_agg_on_pushed_leg', 1, NULL, NULL
+        UNION ALL SELECT 'audit', 'pushed_leg_decoded_zero_pages', 1, NULL, NULL
+        UNION ALL SELECT 'audit', 'engine_leg_file_backed', 1, NULL, NULL
+        UNION ALL SELECT 'audit', 'driver_materialized_zero', 1, NULL, NULL)
+      ORDER BY kind, status"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -3875,5 +3984,5 @@ object Sources {
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
     q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296,
     q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308,
-    q309, q310, q312, q313, q314, q317, q318)
+    q309, q310, q312, q313, q314, q317, q318, q319)
 }

@@ -926,6 +926,54 @@ private[graft] object DurableSpill {
     } finally reader.close()
   }
 
+  /** Footer-only MIN/MAX of a STRING column (VERDICT r14 item 4 — the
+    * non-long footer tier): same contract as [[footerLongMinMax]], with
+    * the string discipline on top — bounds merge in UTF-8 BINARY order
+    * (parquet's unsigned-byte BINARY(STRING) statistics order ==
+    * UTF8String order == the engine's StringType order, non-BMP
+    * included), and the spill writer leaves CHUNK statistics untruncated
+    * (parquet's statistics truncate length defaults to unbounded —
+    * unlike the 64-byte COLUMN-INDEX truncation, which is why pages
+    * prune but never serve), so the bounds are exact VALUES, not
+    * bounds-of-bounds. DurableCatalogSpec pins the exactness with
+    * >64-byte and non-BMP values: if a parquet upgrade ever starts
+    * truncating chunk statistics, the differential flips loudly and
+    * this must refuse instead. */
+  def footerStringMinMax(path: String, col: String)
+      : Option[Option[(String, String)]] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.unsafe.types.UTF8String
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new HPath(path), new Configuration()))
+    try {
+      var mn: UTF8String = null
+      var mx: UTF8String = null
+      for (b <- reader.getRowGroups.asScala) {
+        val cc = b.getColumns.asScala.find { c =>
+          val p = c.getPath.asScala.toSeq
+          p.length == 1 && p.head == col
+        }.orNull
+        if (cc == null) return None
+        val st = cc.getStatistics
+        if (st == null || st.isEmpty) return None
+        if (st.hasNonNullValue) {
+          (st.genericGetMin, st.genericGetMax) match {
+            case (a: org.apache.parquet.io.api.Binary,
+                  b2: org.apache.parquet.io.api.Binary) =>
+              val lo = UTF8String.fromBytes(a.getBytes)
+              val hi = UTF8String.fromBytes(b2.getBytes)
+              if (mn == null || lo.compareTo(mn) < 0) mn = lo
+              if (mx == null || hi.compareTo(mx) > 0) mx = hi
+            case _ => return None
+          }
+        } else if (!(st.isNumNullsSet && st.getNumNulls == b.getRowCount))
+          return None // cannot prove the chunk all-NULL — refuse
+      }
+      Some(if (mn != null) Some((mn.toString, mx.toString)) else None)
+    } finally reader.close()
+  }
+
   // -------------------------------------------------------------- restore
 
   /** Lazy restore: if the key is absent from the in-process store but a

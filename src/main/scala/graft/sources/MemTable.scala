@@ -1471,18 +1471,27 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
             && effPartCol.nonEmpty => Some(true)
       case _ => None
     }
-    def longCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
+    // SUM must stay numeric; MIN/MAX also serve strings (UTF8String
+    // binary order — the same order the footer statistics merge in)
+    def aggCol(e: org.apache.spark.sql.connector.expressions.Expression,
+        allowString: Boolean): Option[Int] =
       e match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
           val i = snap.schema.fieldNames.indexOf(nr.fieldNames()(0))
-          if (i >= 0 && snap.schema.fields(i).dataType == LongType) Some(i) else None
+          if (i < 0) None
+          else snap.schema.fields(i).dataType match {
+            case LongType                  => Some(i)
+            case StringType if allowString => Some(i)
+            case _                         => None
+          }
         case _ => None
       }
     val funcs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(("count_star", -1))
-      case m: Min => longCol(m.column()).map(("min", _))
-      case m: Max => longCol(m.column()).map(("max", _))
-      case s: Sum if !s.isDistinct => longCol(s.column()).map(("sum", _))
+      case m: Min => aggCol(m.column(), allowString = true).map(("min", _))
+      case m: Max => aggCol(m.column(), allowString = true).map(("max", _))
+      case s: Sum if !s.isDistinct =>
+        aggCol(s.column(), allowString = false).map(("sum", _))
       case _ => None
     }
     for (g <- grouped; fs <- if (funcs.forall(_.isDefined)) Some(funcs.flatten) else None)
@@ -1491,11 +1500,12 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
 
   /** Pushed-aggregate answers for a RESTORED table, gathered at
     * acceptance: per partition file, per referenced column, the exact
-    * footer (min, max) — or None when the file proves all-NULL. Counts
-    * come from the manifest. The map rides into [[MemScan]] so aggRows
-    * serves the whole aggregate without touching a row. */
+    * footer (min, max) — Long or String by column type — or None when
+    * the file proves all-NULL. Counts come from the manifest. The map
+    * rides into [[MemScan]] so aggRows serves the whole aggregate
+    * without touching a row. */
   private var lazyAggStats:
-    Option[Map[String, Map[Int, Option[(Long, Long)]]]] = None
+    Option[Map[String, Map[Int, Option[(Any, Any)]]]] = None
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     snap.parts match {
@@ -1526,9 +1536,19 @@ private[sources] class MemScanBuilder(runId: String, partCol: String,
             case (op, i) if op != "count_star" => i
           }.distinct
           val stats = lp.fileInfo.map { case (k, f) =>
-            k -> cols.flatMap(i => DurableSpill
-              .footerLongMinMax(f.path, snap.schema.fieldNames(i))
-              .map(i -> _)).toMap
+            k -> cols.flatMap { i =>
+              val field = snap.schema.fields(i)
+              val bounds: Option[Option[(Any, Any)]] = field.dataType match {
+                case LongType => DurableSpill
+                  .footerLongMinMax(f.path, field.name)
+                  .map(_.map { case (a, b) => (a: Any, b: Any) })
+                case StringType => DurableSpill
+                  .footerStringMinMax(f.path, field.name)
+                  .map(_.map { case (a, b) => (a: Any, b: Any) })
+                case _ => None
+              }
+              bounds.map(i -> _)
+            }.toMap
           }
           if (stats.valuesIterator.forall(_.size == cols.size)) {
             aggSpec = Some((g, fs))
@@ -1764,7 +1784,7 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     variantExs: Map[String,
       Seq[org.apache.spark.sql.connector.read.VariantExtraction]] = Map.empty,
     rowFilters: Seq[Filter] = Nil,
-    lazyAggStats: Option[Map[String, Map[Int, Option[(Long, Long)]]]] = None)
+    lazyAggStats: Option[Map[String, Map[Int, Option[(Any, Any)]]]] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1807,11 +1827,19 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
 
   /** Complete aggregate pushdown replaces the read schema wholesale:
     * Spark expects grouping columns FIRST, then one column per aggregate
-    * (V2ScanRelationPushDown pairs them positionally). */
+    * (V2ScanRelationPushDown pairs them positionally). MIN/MAX keep the
+    * source column's type (string min/max serve strings); COUNT/SUM are
+    * long. */
   private def aggSchema(grouped: Boolean, funcs: Seq[(String, Int)]): StructType =
     funcs.zipWithIndex.foldLeft(
       if (grouped) new StructType().add(partCol, StringType)
-      else new StructType()) { case (st, ((op, _), i)) => st.add(s"agg_${op}_$i", LongType) }
+      else new StructType()) { case (st, ((op, c), i)) =>
+      val dt = op match {
+        case "min" | "max" if c >= 0 => snap.schema.fields(c).dataType
+        case _                       => LongType
+      }
+      st.add(s"agg_${op}_$i", dt)
+    }
 
   override def readSchema(): StructType = agg match {
     case Some((grouped, funcs)) => aggSchema(grouped, funcs)
@@ -1830,6 +1858,15 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
     (snap.parts, lazyAggStats) match {
       case (lp: LazyParts, Some(stats)) =>
         val ks = plannedKeys
+        // bound comparison by COLUMN type: longs numerically, strings in
+        // UTF8String binary order (the order the footers merged in)
+        def cmpVal(i: Int, a: Any, b: Any): Int =
+          snap.schema.fields(i).dataType match {
+            case LongType =>
+              java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+            case _ =>
+              MemTable.cmpString(a.asInstanceOf[String], b.asInstanceOf[String])
+          }
         def statOf(k: String, i: Int, wantMin: Boolean): Any =
           stats(k)(i) match {
             case None           => null // provably all-NULL file
@@ -1849,8 +1886,12 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
           case (op @ ("min" | "max"), i) =>
             val bounds = ks.flatMap(k => stats(k)(i))
             if (bounds.isEmpty) null
-            else if (op == "min") bounds.iterator.map(_._1).min
-            else bounds.iterator.map(_._2).max
+            else if (op == "min")
+              bounds.iterator.map(_._1).reduce((a, b) =>
+                if (cmpVal(i, a, b) <= 0) a else b)
+            else
+              bounds.iterator.map(_._2).reduce((a, b) =>
+                if (cmpVal(i, a, b) >= 0) a else b)
           case (op, _) => sys.error(s"MemTable: unservable lazy agg $op")
         }
         return Vector(vals.toArray)
@@ -1869,11 +1910,25 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
       def longs(i: Int): Vector[Long] =
         rs.iterator.map(_(i)).filter(_ != null)
           .map(_.asInstanceOf[Long]).toVector
+      // string MIN/MAX in UTF8String binary order (engine semantics)
+      def strMinMax(i: Int, wantMin: Boolean): Any = {
+        val v = rs.iterator.map(_(i)).filter(_ != null)
+          .map(_.asInstanceOf[String]).toVector
+        if (v.isEmpty) null
+        else v.reduce((a, b) =>
+          if ((MemTable.cmpString(a, b) <= 0) == wantMin) a else b)
+      }
+      def isStr(i: Int): Boolean =
+        snap.schema.fields(i).dataType == org.apache.spark.sql.types.StringType
       val vals: Seq[Any] = funcs.map {
         case ("count_star", _) => rs.size.toLong
         case ("sum", i) => val v = longs(i); if (v.isEmpty) null else v.sum
-        case ("min", i) => val v = longs(i); if (v.isEmpty) null else v.min
-        case ("max", i) => val v = longs(i); if (v.isEmpty) null else v.max
+        case ("min", i) =>
+          if (isStr(i)) strMinMax(i, wantMin = true)
+          else { val v = longs(i); if (v.isEmpty) null else v.min }
+        case ("max", i) =>
+          if (isStr(i)) strMinMax(i, wantMin = false)
+          else { val v = longs(i); if (v.isEmpty) null else v.max }
         case (op, _)    => sys.error(s"MemTable: unknown pushed aggregate $op")
       }
       ((if (grouped) Seq[Any](k) else Seq.empty[Any]) ++ vals).toArray

@@ -887,6 +887,55 @@ class DurableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("pushed string MIN/MAX over a restored table serves exact footer values (>64-byte, non-BMP, all-NULL pinned)") {
+    val s2 = catSession()
+    val name = s"dur_smm_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    // values longer than the 64-byte column-index truncation: if chunk
+    // statistics ever start truncating too (a parquet default change),
+    // the served min/max would be a prefix and this differential flips.
+    // U+FFFF vs U+10000 pins the merge order: UTF-8 binary (F0 > EF),
+    // not UTF-16 code units (where U+FFFF would wrongly win the max).
+    val pad = "x" * 80
+    val loVal = s"aa$pad"
+    val bmpHi = "￿" + pad          // EF BF BF ...
+    val astral = new String(Character.toChars(0x10000)) + pad // F0 90 80 80 ...
+    s2.sql(s"""CREATE TABLE $tbl (k BIGINT, p STRING, sv STRING)
+               PARTITIONED BY (p)""")
+    val lit = (s: String) => "'" + s + "'"
+    s2.sql(s"""INSERT INTO $tbl VALUES
+      (1, 'a', ${lit(loVal)}), (2, 'a', ${lit(bmpHi)}),
+      (3, 'b', ${lit(astral)}), (4, 'b', ${lit("mm" + pad)}),
+      (5, 'c', NULL), (6, 'c', NULL)""")
+    MemTable.evict(key) // restart
+    val tKey = DurableSpill.tallyKeyOf(key)
+    DurableSpill.groupTallies.remove(tKey)
+    val df = s2.sql(
+      s"""SELECT p, count(*) AS n, min(sv) AS lo, max(sv) AS hi
+          FROM $tbl GROUP BY p ORDER BY p""")
+    assert(df.queryExecution.executedPlan.toString.contains("pushedAggregates="),
+      df.queryExecution.executedPlan.toString)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1),
+      Option(r.getString(2)), Option(r.getString(3)))).toSeq
+    assert(rows == Seq(
+      ("a", 2L, Some(loVal), Some(bmpHi)),
+      ("b", 2L, Some("mm" + pad), Some(astral)),
+      ("c", 2L, None, None)), rows)
+    // the global merge picks the astral max ACROSS files (binary order)
+    val g = s2.sql(s"SELECT min(sv), max(sv), count(*) FROM $tbl").head()
+    assert((g.getString(0), g.getString(1), g.getLong(2)) ==
+      ((loVal, astral, 6L)))
+    // served from footers alone: zero data pages, zero driver partitions
+    assert(DurableSpill.groupTallies.get(tKey).isEmpty,
+      "a footer-served string aggregate decoded data pages")
+    MemTable.store(key).parts match {
+      case lp: LazyParts => assert(lp.materializedCount == 0)
+      case other => fail(s"expected LazyParts, got $other")
+    }
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   test("early-terminated file-backed scans close their streams (LIMIT leaks nothing)") {
     val s2 = catSession()
     import s2.implicits._
