@@ -3057,8 +3057,145 @@ object StreamingOps {
              max(okey) AS max_key
       FROM t GROUP BY status ORDER BY status"""))
 
+  /** st42's DGIM state: stream position plus the logarithmic bucket list
+    * (newest first, sizes nondecreasing toward the tail — powers of two,
+    * at most two per size). Memory is O(log² W) per key REGARDLESS of
+    * stream length: the whole point. */
+  case class DgimEvent(event_type: String, ts: java.sql.Timestamp,
+      event_id: Long, bit: Int)
+  case class DgimBucket(end: Long, size: Long)
+  case class DgimState(pos: Long, buckets: List[DgimBucket])
+  case class DgimEmit(event_type: String, n_seen: Long, est: Long,
+      n_buckets: Int)
+
+  /** DGIM SLIDING-WINDOW COUNTING (Datar, Gionis, Indyk & Motwani,
+    * "Maintaining stream statistics over sliding windows", SICOMP 2002):
+    * "how many 1s in the LAST W elements of this stream?" answered with
+    * O(log² W) state instead of a W-element ring buffer — the canonical
+    * sliding-window sketch the watermark/window operators don't cover
+    * (they window by TIME; DGIM windows by COUNT). Exponentially sized
+    * buckets (≤2 per power-of-two size; a third triggers a cascade merge
+    * of the two oldest) record the positions of recent 1s; expired
+    * buckets fall off; the estimate counts every full bucket plus HALF
+    * the straddling oldest, provably within 50% of truth. Here each
+    * event_type's event stream (ordered by ts, event_id) feeds bit =
+    * [event_id % 3 = 0], W = 256, via mapGroupsWithState — per-key state
+    * is the bucket list, never the events. The entry audits, per key:
+    * the stream position equals the batch count (nothing dropped), the
+    * estimate is within the 50% bound of the EXACT last-256 count (the
+    * batch window recompute the oracle replays), and the bucket list
+    * stayed ≤ 2·log2-bound. At 100 TB per-key "rate over the last N
+    * requests" questions keep O(log² N) state per key instead of N —
+    * the difference between a state store that fits and one that spills. */
+  val st42 = GraftQuery(
+    "st42_dgim_window_count",
+    "DGIM sliding-window bit counting (W=256, log^2 buckets): 50%-bound audit vs the exact window recompute",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+      val W = 256L
+      def us(t: java.sql.Timestamp): Long =
+        t.getTime * 1000 + (t.getNanos / 1000) % 1000
+      def step(key: String, input: Iterator[DgimEvent],
+          state: GroupState[DgimState]): DgimEmit = {
+        val evs = input.toSeq.sortBy(e => (us(e.ts), e.event_id))
+        var st0 = state.getOption.getOrElse(DgimState(0L, Nil))
+        var pos = st0.pos
+        var bks = st0.buckets
+        evs.foreach { e =>
+          pos += 1
+          if (e.bit == 1) {
+            bks = DgimBucket(pos, 1L) :: bks
+            // cascade: a third bucket of some size merges the two OLDEST
+            // of that size into one of twice the size (end = the newer's)
+            var changed = true
+            while (changed) {
+              changed = false
+              bks.groupBy(_.size).find(_._2.size >= 3).foreach { case (sz, _) =>
+                val idxs = bks.zipWithIndex.collect {
+                  case (b, i) if b.size == sz => i
+                }
+                val (i1, i2) = (idxs(idxs.length - 2), idxs(idxs.length - 1))
+                val merged = DgimBucket(bks(i1).end, sz * 2)
+                bks = bks.zipWithIndex.flatMap {
+                  case (_, i) if i == i2 => Nil
+                  case (_, i) if i == i1 => List(merged)
+                  case (b, _)            => List(b)
+                }
+                changed = true
+              }
+            }
+          }
+          if (bks.nonEmpty && bks.last.end <= pos - W)
+            bks = bks.filter(_.end > pos - W)
+        }
+        val est =
+          if (bks.isEmpty) 0L
+          else {
+            val oldest = bks.last
+            bks.init.iterator.map(_.size).sum +
+              (if (oldest.size == 1L) 1L else oldest.size / 2)
+          }
+        state.update(DgimState(pos, bks))
+        DgimEmit(key, pos, est, bks.length)
+      }
+      val streamed = replay(s, "events5", dir,
+        src => src
+          .select(col("event_type"), col("ts"), col("event_id"),
+            when(pmod(col("event_id"), lit(3)) === 0, 1).otherwise(0).as("bit"))
+          .as[(String, java.sql.Timestamp, Long, Int)]
+          .map(r => DgimEvent(r._1, r._2, r._3, r._4))
+          .groupByKey(_.event_type)
+          .mapGroupsWithState(GroupStateTimeout.NoTimeout())(step)
+          .toDF(),
+        OutputMode.Update())
+        // multi-batch delivery emits one row per (key, batch); the final
+        // state rides the row with the largest stream position
+        .groupBy("event_type")
+        .agg(max(struct(col("n_seen"), col("est"), col("n_buckets"))).as("f"))
+        .select(col("event_type"), col("f.n_seen").as("n_seen"),
+          col("f.est").as("est"), col("f.n_buckets").as("n_buckets"))
+      // exact window recompute (batch): the last W events per key
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(desc("ts"), desc("event_id"))
+      val exact = ev5(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          when(pmod(col("event_id"), lit(3)) === 0, 1L).otherwise(0L).as("bit"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("rn") <= W, col("bit")).otherwise(0L)).as("exact_ones"))
+      streamed.join(exact, "event_type")
+        .select(col("event_type"), col("n_events"), col("exact_ones"),
+          when(col("n_seen") === col("n_events"), 1L).otherwise(0L)
+            .as("saw_all"),
+          // the DGIM guarantee: |est - exact| <= exact/2 (50%)
+          when(abs(col("est") - col("exact_ones")) * 2 <= col("exact_ones"),
+            1L).otherwise(0L).as("est_ok"),
+          // <= 2 buckets per size over <= log2(2W)+1 = 10 sizes
+          when(col("n_buckets") <= 20, 1L).otherwise(0L).as("buckets_ok"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type,
+               CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS b,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                           event_id DESC) AS rn
+        FROM events)
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(CASE WHEN rn <= 256 THEN b ELSE 0 END) AS BIGINT)
+               AS exact_ones,
+             CAST(1 AS BIGINT) AS saw_all,
+             CAST(1 AS BIGINT) AS est_ok,
+             CAST(1 AS BIGINT) AS buckets_ok
+      FROM e
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[GraftQuery] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
     st22, st23, st24, st25, st26, st27, st28, st29, st30, st31, st32, st33,
-    st34, st35, st36, st37, st38, st39, st40, st41)
+    st34, st35, st36, st37, st38, st39, st40, st41, st42)
 }

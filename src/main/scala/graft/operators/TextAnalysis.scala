@@ -4257,9 +4257,130 @@ object TextAnalysis {
       ORDER BY step"""
     })
 
+  /** AHO–CORASICK MULTI-PATTERN SCAN (Aho & Corasick, CACM 1975) — the
+    * blocklist/PII-term primitive at corpus scale: a single automaton
+    * pass over each document counts EVERY pattern's occurrences at once,
+    * O(text + matches) regardless of how many patterns the list holds —
+    * against P per-pattern scans (or P `LIKE`s), the difference between
+    * reading 100 TB once and reading it P times. The blocklist is
+    * derived deterministically from the corpus (the 12 most frequent
+    * `[a-z]{4,12}` tokens whose FIRST character never recurs inside the
+    * token — that property makes self-overlapping occurrences
+    * impossible, so the oracle's replace-based substring count is
+    * exactly the automaton's match count). The automaton (goto trie +
+    * BFS failure links + output counts collapsed through the fail
+    * chain) builds once on the driver (~150 nodes) and rides the task
+    * closure; the scan is mapPartitions (genuinely imperative per-char
+    * state-machine work — the documented last-resort tier, like t31's
+    * Misra-Gries pass), and only 12 aggregate rows ever shuffle.
+    * Patterns that are substrings of other patterns are counted at
+    * every end position through the fail chain — the property a naive
+    * trie-only matcher silently loses. */
+  val t69 = GraftQuery(
+    "t69_aho_corasick",
+    "Aho-Corasick blocklist scan: one automaton pass counts all patterns' occurrences, per-pattern doc/occurrence totals",
+    (s, dir) => {
+      import s.implicits._
+      val pats: Array[String] = table(s, dir, "documents")
+        .select(explode(words(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]{4,12}$"))
+        .filter(expr("instr(substring(w, 2), substring(w, 1, 1))") === 0)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("w")).limit(12)
+        .collect().map(_.getString(0))
+      // --- automaton build (driver-side; ~sum(|pattern|) nodes) ---
+      val children = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.Map.empty[Char, Int])
+      val ends = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+      pats.zipWithIndex.foreach { case (p, pi) =>
+        var v = 0
+        p.foreach { c =>
+          v = children(v).getOrElseUpdate(c, {
+            children += scala.collection.mutable.Map.empty[Char, Int]
+            ends += Nil
+            children.length - 1
+          })
+        }
+        ends(v) = pi :: ends(v)
+      }
+      val n = children.length
+      val fail = new Array[Int](n)
+      val outs: Array[List[Int]] = ends.toArray
+      val queue = scala.collection.mutable.Queue.empty[Int]
+      children(0).valuesIterator.foreach(queue.enqueue(_))
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        children(v).foreach { case (c, u) =>
+          var f = fail(v)
+          while (f != 0 && !children(f).contains(c)) f = fail(f)
+          fail(u) = if (children(f).contains(c) && children(f)(c) != u)
+            children(f)(c) else 0
+          outs(u) = outs(u) ++ outs(fail(u)) // fail-chain outputs collapse
+          queue.enqueue(u)
+        }
+      }
+      val goto: Array[Map[Char, Int]] = children.map(_.toMap).toArray
+      val failA = fail
+      val outsA: Array[Array[Int]] = outs.map(_.toArray)
+      val nPats = pats.length
+      // --- one pass per doc, all patterns at once ---
+      val perDoc = table(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, t) =>
+            val counts = new Array[Long](nPats)
+            var st = 0
+            var i = 0
+            while (i < t.length) {
+              val c = t.charAt(i)
+              while (st != 0 && !goto(st).contains(c)) st = failA(st)
+              st = goto(st).getOrElse(c, 0)
+              val os = outsA(st)
+              var j = 0
+              while (j < os.length) { counts(os(j)) += 1; j += 1 }
+              i += 1
+            }
+            (id, counts)
+          }
+        }
+        .flatMap { case (id, cs) =>
+          cs.iterator.zipWithIndex.collect {
+            case (c, pi) if c > 0 => (id, pi, c)
+          }
+        }
+        .toDF("doc_id", "pi", "occ")
+      val patDf = pats.zipWithIndex.map { case (p, i) => (i, p) }
+        .toSeq.toDF("pi", "pat")
+      perDoc.join(broadcast(patDf), "pi")
+        .groupBy("pat")
+        .agg(count(lit(1)).as("n_docs"), sum("occ").as("n_occ"))
+        .orderBy("pat")
+    },
+    Some("""
+      WITH p AS (
+        SELECT word AS pat FROM (
+          SELECT word, count(*) AS n FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+          WHERE regexp_matches(word, '^[a-z]{4,12}$')
+            AND instr(substr(word, 2), substr(word, 1, 1)) = 0
+          GROUP BY word)
+        ORDER BY n DESC, word LIMIT 12),
+      d AS (SELECT doc_id, lower(text) AS t FROM documents),
+      hits AS (
+        SELECT p.pat,
+               (length(d.t) - length(replace(d.t, p.pat, ''))) // length(p.pat)
+                 AS occ
+        FROM d CROSS JOIN p)
+      SELECT pat, count(*) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ
+      FROM hits WHERE occ > 0
+      GROUP BY pat
+      ORDER BY pat"""))
+
   val all: Seq[GraftQuery] = Seq(t1, t2, t3, t4, t5, t6, t7, t8, t9, t10, t11,
     t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26,
     t27, t28, t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41,
     t42, t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t54, t55, t56, t57,
-    t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68)
+    t58, t59, t60, t61, t62, t63, t64, t65, t66, t67, t68, t69)
 }
