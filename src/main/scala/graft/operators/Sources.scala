@@ -3856,6 +3856,108 @@ object Sources {
         UNION ALL SELECT 'audit', 'driver_materialized_zero', 1, NULL, NULL)
       ORDER BY kind, status"""))
 
+  /** BLOOM-FILTER GROUP SKIPPING — the last rung of the spill reader's
+    * skip ladder (groups by chunk stats → pages by column index →
+    * dictionaries → BLOOM FILTERS): a needle equality on a
+    * HIGH-CARDINALITY column defeats every other tier — the value sits
+    * inside [min, max] (stats keep), inside every page's bounds (pages
+    * keep), and the column's cardinality makes dictionaries fall back —
+    * but a parquet bloom filter answers "provably absent" from a few KB,
+    * with no false negatives (a false positive merely fails to skip;
+    * rows are enforced by the task filters regardless).
+    * `TBLPROPERTIES('spillBloomFilterColumns')` declares the columns
+    * (manifest-persisted like the other layout knobs); the spill writes
+    * the filter AND disables dictionary encoding on them — the
+    * documented high-cardinality pairing, which also makes the tier
+    * attribution here airtight: `uk = 401` (odd needle in an all-even
+    * column, inside every group's bounds at every scale) and
+    * `sv = 'u1x'` (non-digit tail in a digit-tailed column) can ONLY be
+    * skipped by the bloom probe, tallied separately. A present value
+    * must NOT drop (conservative leg reads ≥ 1 group). At 100 TB this
+    * is the point lookup on a key column: zero data pages touched
+    * across the whole corpus for a key that does not exist. */
+  val q320 = GraftQuery(
+    "q320_bloom_pruning",
+    "Parquet bloom filters on spill columns: an in-bounds absent needle skips every group from the filter alone",
+    (s, dir) => {
+      import org.apache.spark.sql.functions._
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.graft_blm",
+        "graft.sources.GraftSparkCatalog")
+      s2.conf.set("spark.sql.catalog.graft_blm.warehouse",
+        "spark-warehouse/graft_catalog_blm")
+      val tag = s"${ProcessHandle.current().pid()}_${occSeq.incrementAndGet()}"
+      val tbl = s"graft_blm.corpus.blm_$tag"
+      val key = s"cat!graft_blm!corpus!blm_$tag"
+      table(s2, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          col("o_orderstatus").as("status"),
+          expr("o_orderkey * 2").as("uk"),
+          expr("concat('u', o_orderkey)").as("sv"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .writeTo(tbl).partitionedBy(col("status"))
+        .tableProperty("extendedPushdown", "true")
+        .tableProperty("spillBloomFilterColumns", "uk,sv")
+        .create()
+      // ---- process restart
+      graft.sources.MemTable.evict(key)
+      val tKey = graft.sources.DurableSpill.tallyKeyOf(key)
+      def groups(): (Long, Long) =
+        graft.sources.DurableSpill.groupTallies.get(tKey)
+          .map(t => (t._1.get, t._2.get)).getOrElse((0L, 0L))
+      def blooms(): Long =
+        graft.sources.DurableSpill.bloomTallies.get(tKey)
+          .map(_.get).getOrElse(0L)
+      def clear(): Unit = {
+        graft.sources.DurableSpill.groupTallies.remove(tKey)
+        graft.sources.DurableSpill.bloomTallies.remove(tKey)
+      }
+      def leg(kind: String, where: String) = {
+        clear()
+        val df = s2.sql(
+          s"""SELECT '$kind' AS kind, count(*) AS n, sum(cents) AS total_cents
+              FROM $tbl $where""").localCheckpoint(true)
+        (df, groups(), blooms())
+      }
+      val (full, (fR, _), fB) = leg("full", "")
+      val (nl, (lR, _), lB) = leg("needle_long", "WHERE uk = 401")
+      val (ns, (sR, _), sB) = leg("needle_str", "WHERE sv = 'u1x'")
+      val (ctl, (cR, _), _) = leg("present", "WHERE uk = 2")
+      val audits = Seq(
+        ("audit_0_full_no_bloom", if (fR >= 1 && fB == 0) 1L else 0L),
+        ("audit_1_long_all_bloom", if (lR == 0 && lB >= 1) 1L else 0L),
+        ("audit_2_str_all_bloom", if (sR == 0 && sB >= 1) 1L else 0L),
+        ("audit_3_present_reads", if (cR >= 1) 1L else 0L))
+      import s2.implicits._
+      val auditDf = audits.toDF("kind", "n").withColumn("total_cents", lit(0L))
+      val res = full.unionByName(nl).unionByName(ns).unionByName(ctl)
+        .unionByName(auditDf).orderBy("kind").localCheckpoint(true)
+      s2.sql(s"DROP TABLE $tbl")
+      res
+    },
+    Some("""
+      WITH t AS (
+        SELECT o_orderkey AS okey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'full' AS kind, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total_cents FROM t
+        UNION ALL
+        SELECT 'needle_long', count(*), CAST(sum(cents) AS BIGINT)
+        FROM t WHERE okey * 2 = 401
+        UNION ALL
+        SELECT 'needle_str', count(*), CAST(sum(cents) AS BIGINT) FROM t
+        WHERE concat('u', okey) = 'u1x'
+        UNION ALL
+        SELECT 'present', count(*),
+               CAST(sum(cents) AS BIGINT) FROM t WHERE okey * 2 = 2
+        UNION ALL SELECT 'audit_0_full_no_bloom', 1, 0
+        UNION ALL SELECT 'audit_1_long_all_bloom', 1, 0
+        UNION ALL SELECT 'audit_2_str_all_bloom', 1, 0
+        UNION ALL SELECT 'audit_3_present_reads', 1, 0)
+      ORDER BY kind"""))
+
   /** Writer schema shared by the Avro codec entries. */
   private val avroWriterSchema = """{"type":"record","name":"order_evt","fields":[
     {"name":"id","type":"long"},{"name":"name","type":"string"},
@@ -3984,5 +4086,5 @@ object Sources {
     q217, q220, q226, q227, q246, q258, q259, q260, q278, q279, q280, q281,
     q285, q286, q287, q288, q289, q290, q291, q292, q293, q294, q295, q296,
     q297, q298, q299, q300, q301, q302, q303, q304, q305, q306, q307, q308,
-    q309, q310, q312, q313, q314, q317, q318, q319)
+    q309, q310, q312, q313, q314, q317, q318, q319, q320)
 }

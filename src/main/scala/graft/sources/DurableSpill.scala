@@ -33,7 +33,11 @@ private[sources] case class DurableManifest(
     // AFTER a restart keep the declared layout (the extendedPushdown
     // parity discipline, applied to the write path)
     spillRowGroupBytes: Option[Long] = None,
-    spillPageRows: Option[Int] = None)
+    spillPageRows: Option[Int] = None,
+    // TBLPROPERTIES('spillBloomFilterColumns') — columns that spill with
+    // a parquet bloom filter (and WITHOUT dictionary encoding: bloom is
+    // the high-cardinality equality tier, the documented pairing)
+    spillBloomCols: Seq[String] = Nil)
 
 /** Per-version sidecar: the schema AT that snapshot (schema evolution
   * means versions differ), the commit timestamp TIMESTAMP AS OF resolves
@@ -165,6 +169,7 @@ private[graft] object DurableSpill {
     * column-index (page-level) skipping tier below row groups. */
   val spillRowGroupBytesFor = new scala.collection.concurrent.TrieMap[String, Long]
   val spillPageRowsFor = new scala.collection.concurrent.TrieMap[String, Int]
+  val spillBloomColsFor = new scala.collection.concurrent.TrieMap[String, Seq[String]]
 
   /** LOCAL-MODE observability for the selective read path: per-table
     * tallies of row groups (decoded, skipped), keyed by the spill
@@ -192,6 +197,20 @@ private[graft] object DurableSpill {
     pageTallies.getOrElseUpdate(key,
       (new java.util.concurrent.atomic.AtomicLong,
        new java.util.concurrent.atomic.AtomicLong))
+  }
+
+  /** Row groups dropped by a BLOOM FILTER probe specifically — the
+    * attribution tally that lets q320 prove the skip came from the
+    * bloom tier (stats and pages cannot drop an in-bounds needle, and
+    * bloom columns spill without dictionaries). */
+  val bloomTallies = new scala.collection.concurrent.TrieMap[
+    String, java.util.concurrent.atomic.AtomicLong]
+  private def bloomTallyOf(path: String) = {
+    val p = Paths.get(path).toAbsolutePath
+    val key = Option(p.getParent).flatMap(v => Option(v.getParent))
+      .map(_.getFileName.toString).getOrElse("?")
+    bloomTallies.getOrElseUpdate(key,
+      new java.util.concurrent.atomic.AtomicLong)
   }
   private def tallyOf(path: String) = {
     val p = Paths.get(path).toAbsolutePath
@@ -369,8 +388,10 @@ private[graft] object DurableSpill {
     rootOf(key).foreach(root => deleteRecursively(tableDir(root, key)))
     groupTallies.remove(safe(key))
     pageTallies.remove(safe(key))
+    bloomTallies.remove(safe(key))
     spillRowGroupBytesFor.remove(key)
     spillPageRowsFor.remove(key)
+    spillBloomColsFor.remove(key)
   }
 
   /** RENAME in a durable catalog: full respill under the new key (the
@@ -381,6 +402,7 @@ private[graft] object DurableSpill {
       val dir = tableDir(root, to)
       spillRowGroupBytesFor.remove(from).foreach(spillRowGroupBytesFor.put(to, _))
       spillPageRowsFor.remove(from).foreach(spillPageRowsFor.put(to, _))
+      spillBloomColsFor.remove(from).foreach(spillBloomColsFor.put(to, _))
       MemTable.history.toSeq.collect { case ((k, _), snap) if k == to => snap }
         .sortBy(_.version).foreach(writeVersion(dir, to, _))
       MemTable.store.get(to).foreach(snap => writeManifest(dir, to, snap.version))
@@ -407,7 +429,8 @@ private[graft] object DurableSpill {
       GraftSparkCatalog.sortCols.get(key),
       GraftSparkCatalog.extendedPushdown.getOrElse(key, false),
       spillRowGroupBytesFor.get(key),
-      spillPageRowsFor.get(key))
+      spillPageRowsFor.get(key),
+      spillBloomColsFor.getOrElse(key, Nil))
     val tmp = dir.resolve("_manifest.json.tmp")
     Files.write(tmp, org.json4s.jackson.Serialization.write(m)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -450,6 +473,7 @@ private[graft] object DurableSpill {
     // no global mutation around a single table's CTAS)
     val rgBytes = spillRowGroupBytesFor.getOrElse(key, spillRowGroupBytes)
     val pageRows = spillPageRowsFor.get(key)
+    val bloomCols = spillBloomColsFor.getOrElse(key, Nil)
     val partsMeta = snap.parts.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((pkey, rows), i) =>
         val fname = s"p$i.parquet"
@@ -458,7 +482,13 @@ private[graft] object DurableSpill {
         val b0 = ExampleParquetWriter.builder(new HPath(file.toString))
           .withType(msgType).withConf(new Configuration())
           .withRowGroupSize(rgBytes)
-        val writer = pageRows.fold(b0)(b0.withPageRowCountLimit).build()
+        val b1 = pageRows.fold(b0)(b0.withPageRowCountLimit)
+        // bloom columns: write the filter AND disable dictionary encoding
+        // — bloom is the HIGH-cardinality equality tier (a dictionary
+        // already answers membership exactly when it fits)
+        val b2 = bloomCols.foldLeft(b1)((b, c) =>
+          b.withBloomFilterEnabled(c, true).withDictionaryEncoding(c, false))
+        val writer = b2.build()
         var bytes = 0L
         try {
           val factory = new SimpleGroupFactory(msgType)
@@ -680,6 +710,14 @@ private[graft] object DurableSpill {
         tally._2.incrementAndGet()
         return
       }
+      // BLOOM tier: the high-cardinality complement of the dictionary —
+      // an equality whose value the chunk's bloom filter proves absent
+      // (no false negatives; a false positive merely fails to skip)
+      if (preds.exists(bloomDrop(b, _))) {
+        tally._2.incrementAndGet()
+        bloomTallyOf(path).incrementAndGet()
+        return
+      }
       // PAGE tier: evaluate the column index (per-page min/max/null
       // counts) and the row window at page granularity
       val windowPartial = skip > start || hi < start + n
@@ -854,6 +892,30 @@ private[graft] object DurableSpill {
           !(0 to dict.getMaxId).exists(i =>
             sought.contains(UTF8String.fromBytes(dict.decodeToBinary(i).getBytes)))
         } else false
+      } catch { case _: Throwable => false }
+    }
+
+    /** Bloom-filter group drop: equality/IN only — the value set is
+      * provably absent when the chunk's bloom filter reports every
+      * sought hash missing (bloom filters have no false negatives; a
+      * false positive only fails to skip, never loses a row). The tier
+      * below dictionaries: it answers when cardinality made the
+      * dictionary fall back to plain pages (bloom spill columns disable
+      * dictionaries outright). */
+    private def bloomDrop(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+        p: StatsPred): Boolean = {
+      if (p.op != "eq") return false
+      val cc = chunkOf(b, p.col)
+      if (cc == null) return false
+      try {
+        val bf = reader.readBloomFilter(cc)
+        if (bf == null) return false
+        if (p.longs.nonEmpty)
+          p.longs.forall(v => !bf.findHash(bf.hash(v)))
+        else if (p.strs.nonEmpty)
+          p.strs.forall(v => !bf.findHash(bf.hash(
+            org.apache.parquet.io.api.Binary.fromString(v))))
+        else false
       } catch { case _: Throwable => false }
     }
 
@@ -1045,6 +1107,8 @@ private[graft] object DurableSpill {
           GraftSparkCatalog.extendedPushdown.put(key, true)
         m.spillRowGroupBytes.foreach(spillRowGroupBytesFor.put(key, _))
         m.spillPageRows.foreach(spillPageRowsFor.put(key, _))
+        if (m.spillBloomCols.nonEmpty)
+          spillBloomColsFor.put(key, m.spillBloomCols)
         // current LAST: store presence is the "loaded" latch, and the
         // direct put (not publish) must not restamp ts or respill
         MemTable.history.get((key, m.current))

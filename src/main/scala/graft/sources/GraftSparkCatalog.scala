@@ -293,8 +293,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       GraftSparkCatalog.extendedPushdown.put(k, true)
     else GraftSparkCatalog.extendedPushdown.remove(k)
     // per-table spill write layout (ADVICE r14: a property, not a global)
-    GraftSparkCatalog.registerSpillLayout(k,
-      GraftSparkCatalog.parseSpillLayout(properties))
+    val spillLayout = GraftSparkCatalog.parseSpillLayout(properties)
+    spillLayout._3.foreach(c => require(schema.fieldNames.contains(c),
+      s"graft catalog: spillBloomFilterColumns '$c' not in schema"))
+    GraftSparkCatalog.registerSpillLayout(k, spillLayout)
     Option(properties.get("writeDistribution")) match {
       case Some("clustered") =>
         require(pc.nonEmpty,
@@ -580,9 +582,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     // then rejected the very filters the user opted into pushing
     val extPush = Option(properties.get("extendedPushdown"))
       .exists(_.equalsIgnoreCase("true"))
+    val spillLayout = GraftSparkCatalog.parseSpillLayout(properties)
+    spillLayout._3.foreach(c => require(schema.fieldNames.contains(c),
+      s"graft catalog: spillBloomFilterColumns '$c' not in schema"))
     new MemStagedTable(k, s"$k!staging!${System.nanoTime()}", stored, pc,
-      deltaIdCol.getOrElse(""), sortedBy.getOrElse(""), extPush,
-      GraftSparkCatalog.parseSpillLayout(properties))
+      deltaIdCol.getOrElse(""), sortedBy.getOrElse(""), extPush, spillLayout)
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
@@ -791,12 +795,15 @@ object GraftSparkCatalog {
   val namespaces =
     new scala.collection.concurrent.TrieMap[(String, Seq[String]), Map[String, String]]
 
-  /** TBLPROPERTIES('spillRowGroupBytes'/'spillPageRows') — the durable
-    * spill's per-table write layout (row-group byte target, page
-    * row-count limit). Validated at declaration: a malformed CREATE must
-    * fail at CREATE, not silently write the default layout. */
+  /** TBLPROPERTIES('spillRowGroupBytes'/'spillPageRows'/
+    * 'spillBloomFilterColumns') — the durable spill's per-table write
+    * layout (row-group byte target, page row-count limit,
+    * bloom-filtered columns). Validated at declaration: a malformed
+    * CREATE must fail at CREATE, not silently write the default
+    * layout. */
   private[sources] def parseSpillLayout(
-      properties: java.util.Map[String, String]): (Option[Long], Option[Int]) = {
+      properties: java.util.Map[String, String])
+      : (Option[Long], Option[Int], Seq[String]) = {
     def pos(name: String): Option[Long] =
       Option(properties.get(name)).filter(_.nonEmpty).map { s =>
         val v = try s.toLong catch {
@@ -806,14 +813,19 @@ object GraftSparkCatalog {
         require(v > 0, s"graft catalog: $name must be positive, got $v")
         v
       }
-    (pos("spillRowGroupBytes"), pos("spillPageRows").map(_.toInt))
+    val bloom = Option(properties.get("spillBloomFilterColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    (pos("spillRowGroupBytes"), pos("spillPageRows").map(_.toInt), bloom)
   }
 
   /** Registers (or clears) a table's declared spill write layout — the
     * shared tail of the create and staged-commit paths, so both stay in
-    * property parity (the r14 extendedPushdown lesson). */
+    * property parity (the r14 extendedPushdown lesson). The bloom
+    * columns are validated against the schema by the callers (both have
+    * it in hand). */
   private[sources] def registerSpillLayout(
-      k: String, layout: (Option[Long], Option[Int])): Unit = {
+      k: String, layout: (Option[Long], Option[Int], Seq[String])): Unit = {
     layout._1 match {
       case Some(v) => DurableSpill.spillRowGroupBytesFor.put(k, v)
       case None    => DurableSpill.spillRowGroupBytesFor.remove(k)
@@ -822,6 +834,8 @@ object GraftSparkCatalog {
       case Some(v) => DurableSpill.spillPageRowsFor.put(k, v)
       case None    => DurableSpill.spillPageRowsFor.remove(k)
     }
+    if (layout._3.nonEmpty) DurableSpill.spillBloomColsFor.put(k, layout._3)
+    else DurableSpill.spillBloomColsFor.remove(k)
   }
 
   /** Does a stored expression SQL (generation expression, CHECK

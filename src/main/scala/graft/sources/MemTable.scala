@@ -2306,7 +2306,7 @@ private[sources] class MemScan(snap: MemTable.Snapshot, keep0: Option[Set[String
 private[sources] class MemStagedTable(realKey: String, stagingKey: String,
     schema0: StructType, pc: String, deltaIdCol: String = "",
     sortedBy: String = "", extendedPushdown: Boolean = false,
-    spillLayout: (Option[Long], Option[Int]) = (None, None))
+    spillLayout: (Option[Long], Option[Int], Seq[String]) = (None, None, Nil))
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with SupportsWrite {
   private val delegate = new MemTableImpl(schema0, stagingKey, pc)

@@ -936,6 +936,79 @@ class DurableCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     s2.sql(s"DROP TABLE $tbl")
   }
 
+  test("bloom-filter columns: an in-bounds absent equality skips the group; present values never drop") {
+    val s2 = catSession()
+    import s2.implicits._
+    val name = s"dur_blm_${System.nanoTime()}"
+    val tbl = s"graft_dur.spec.$name"
+    val key = s"cat!graft_dur!spec!$name"
+    // uk all-even: an odd needle sits inside [min, max] (stats keep),
+    // inside every page's bounds (pages keep), and the column spills
+    // WITHOUT a dictionary — only the bloom filter can prove absence
+    (1L to 500L).map(i => (i, "a", i * 2, s"u$i")).toDF("k", "p", "uk", "sv")
+      .coalesce(1).writeTo(tbl).partitionedBy(col("p"))
+      .tableProperty("spillBloomFilterColumns", "uk,sv").create()
+    MemTable.evict(key)
+    DurableSpill.ensureLoaded(key)
+    assert(DurableSpill.spillBloomColsFor.get(key).contains(Seq("uk", "sv")),
+      "bloom columns did not survive the restart (manifest parity)")
+    val (path, schema) = MemTable.store(key).parts match {
+      case lp: LazyParts =>
+        (lp.fileInfo.values.head.path, MemTable.store(key).schema)
+      case other => fail(s"restore was not file-backed: $other")
+    }
+    // the write honored the pairing: no dictionary pages on a bloom col
+    locally {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path),
+          new org.apache.hadoop.conf.Configuration()))
+      try {
+        import scala.jdk.CollectionConverters._
+        val cc = r.getRowGroups.asScala.head.getColumns.asScala
+          .find(_.getPath.asScala.toSeq == Seq("uk")).get
+        assert(cc.getEncodingStats == null ||
+          !cc.getEncodingStats.hasDictionaryPages,
+          "bloom column still wrote a dictionary")
+        assert(r.readBloomFilter(cc) != null, "no bloom filter written")
+      } finally r.close()
+    }
+    val tKey = DurableSpill.tallyKeyOf(key)
+    def groups(): (Long, Long) = DurableSpill.groupTallies.get(tKey)
+      .map(t => (t._1.get, t._2.get)).getOrElse((0L, 0L))
+    def blooms(): Long =
+      DurableSpill.bloomTallies.get(tKey).map(_.get).getOrElse(0L)
+    def clear(): Unit = {
+      DurableSpill.groupTallies.remove(tKey)
+      DurableSpill.bloomTallies.remove(tKey)
+    }
+    // long needle 401: absent, in bounds → bloom skips the group
+    clear()
+    val missL = DurableSpill.readRowsSelective(path, schema, Some(Set("uk")),
+      Seq(StatsPred("uk", "eq", longs = Seq(401L))), 0L, -1L)
+    assert(missL.isEmpty && groups() == ((0L, 1L)) && blooms() == 1L,
+      s"long needle: rows=${missL.size} groups=${groups()} blooms=${blooms()}")
+    // string needle 'u1x': absent, inside [u1, u99] binary bounds
+    clear()
+    val missS = DurableSpill.readRowsSelective(path, schema, Some(Set("sv")),
+      Seq(StatsPred("sv", "eq", strs = Seq("u1x"))), 0L, -1L)
+    assert(missS.isEmpty && groups() == ((0L, 1L)) && blooms() == 1L,
+      s"string needle: rows=${missS.size} groups=${groups()} blooms=${blooms()}")
+    // present value: the probe must NOT drop (no false negatives)
+    clear()
+    val hit = DurableSpill.readRowsSelective(path, schema, Some(Set("uk")),
+      Seq(StatsPred("uk", "eq", longs = Seq(2L))), 0L, -1L)
+    assert(hit.size == 500 && groups()._1 == 1L && blooms() == 0L,
+      s"present value dropped: rows=${hit.size} groups=${groups()}")
+    // IN with one present value keeps the group too
+    clear()
+    val hitIn = DurableSpill.readRowsSelective(path, schema, Some(Set("uk")),
+      Seq(StatsPred("uk", "eq", longs = Seq(401L, 2L))), 0L, -1L)
+    assert(hitIn.size == 500 && groups()._1 == 1L,
+      "IN with a present member was dropped")
+    s2.sql(s"DROP TABLE $tbl")
+  }
+
   test("early-terminated file-backed scans close their streams (LIMIT leaks nothing)") {
     val s2 = catSession()
     import s2.implicits._
