@@ -1490,9 +1490,17 @@ object Similarity {
       val rev = directed.select(col("id2").as("id1"), col("id1").as("id2"))
       val mutual = directed.join(rev, Seq("id1", "id2"))
         .filter(col("id1") < col("id2"))
+      // Pin the graph-shaped frames (the d6/s22/s27 loop discipline):
+      // edges feeds every iteration's contribution join, deg every
+      // iteration's rebuild, and ranks-round-i is referenced by round
+      // i+1 — unpinned, the all-pairs kNN build re-plans under each
+      // reference and the unrolled plan was 5,344 formatted lines / 310
+      // Exchange nodes. Both pins are graph-sized (≤ 6 edges, 1 deg row
+      // per node), bounded at any corpus scale by the top-3 kNN cap.
       val edges = mutual.select(col("id1").as("src"), col("id2").as("dst"))
         .union(mutual.select(col("id2").as("src"), col("id1").as("dst")))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .persist()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
       val nRow = broadcast(deg.agg(count(lit(1)).as("n")))
       var ranks = deg.crossJoin(nRow)
         .select(col("src").as("id"), col("deg"), col("n"),
@@ -1507,6 +1515,7 @@ object Similarity {
           .select(col("src").as("id"), col("deg"), col("n"),
             (lit(0.15) / col("n") +
               lit(0.85) * coalesce(col("csum"), lit(0.0))).as("r"))
+          .persist()
       }
       ranks.select(col("id").as("vec_id"), col("deg").as("degree"),
         round(col("r"), 8).as("pagerank"))
@@ -2364,8 +2373,17 @@ object Similarity {
           directed.select(col("id2").as("id1"), col("id1").as("id2")),
           Seq("id1", "id2"))
         .filter(col("id1") < col("id2"))
+      // Pin the graph and each round's label frame (the d6/s22 loop
+      // discipline the docstring already claims): without the pins the
+      // expensive kNN-graph build is re-planned/re-executed under every
+      // round's two references and labels-round-i re-evaluates once per
+      // downstream consumer — the unrolled plan was 3,935 formatted lines
+      // / 222 Exchange nodes; pinned it is one edges job plus three
+      // bounded rounds. Both frames are vocabulary-sized (≤ 2·3 edges per
+      // node, one row per node), so the pins are tiny at any scale.
       val edges = mutual.select(col("id1").as("src"), col("id2").as("dst"))
         .unionByName(mutual.select(col("id2").as("src"), col("id1").as("dst")))
+        .persist()
       var labels = emb.select(col("vec_id").as("node"),
         col("vec_id").as("comm"))
       val wVote = Window.partitionBy("src").orderBy(desc("v"), col("nc"))
@@ -2380,6 +2398,7 @@ object Similarity {
         labels = labels
           .join(winners, labels("node") === winners("src"), "left")
           .select(col("node"), coalesce(col("nc"), col("comm")).as("comm"))
+          .persist()
       }
       labels.groupBy("comm")
         .agg(count(lit(1)).as("n_members"),
