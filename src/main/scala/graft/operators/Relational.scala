@@ -1342,12 +1342,24 @@ object Relational {
       val flagged = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      val perOrder = flagged.groupBy("l_orderkey")
+      // Two-level aggregation instead of the double countDistinct: two
+      // DISTINCT aggregates over one groupBy plan through an Expand that
+      // doubles every joined row before the exchange. Aggregating per
+      // (order, supplier) first — partial map-side agg applies — then
+      // per order shuffles each distinct pair once and needs no Expand:
+      // n_supp = count of supplier groups, a supplier is late iff any of
+      // its lines is, and the order's late-line total is the sum of the
+      // per-supplier late-line counts. Identical values by construction
+      // (the oracle replays the textbook correlated form regardless).
+      val perSupp = flagged.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(col("late")).as("late_any"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("late_lines"))
+      val perOrder = perSupp.groupBy("l_orderkey")
         .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
-          min(when(col("late"), col("l_suppkey"))).as("late_supp"),
-          sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lines"))
+          count(lit(1)).as("n_supp"),
+          count(when(col("late_any"), true)).as("n_late_supp"),
+          min(when(col("late_any"), col("l_suppkey"))).as("late_supp"),
+          sum(col("late_lines")).as("n_late_lines"))
         .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
       val counts = perOrder.groupBy(col("late_supp").as("s_suppkey"))
         .agg(sum(col("n_late_lines")).as("numwait"))
@@ -2263,19 +2275,39 @@ object Relational {
     "q160_market_basket",
     "A-priori pair mining: frequent co-ordered part pairs, support + integer-bp lift",
     (s, dir) => {
+      // baskets and itemSup are pinned: itemSup alone has three consumers
+      // (the prune bar, sup1, sup2) and baskets two (itemSup, the pair
+      // stage) — unpinned, the lineitem scan + distinct re-planned under
+      // five references (40-Exchange formatted plan). Both frames are the
+      // §8 "lightweight proxy" of this job — (okey, pkey) 16-byte rows
+      // and the per-part support table — exactly what one pins.
       val baskets = table(s, dir, "lineitem")
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
         .distinct()
+        .persist()
       val itemSup = baskets.groupBy("pkey")
         .agg(count(lit(1)).as("sup"))
+        .persist()
       val frequent = itemSup.filter(col("sup") >= 10)
       val pruned = baskets.join(broadcast(frequent.select("pkey")), Seq("pkey"),
         "left_semi")
-      val nOrders = table(s, dir, "orders").select("o_orderkey").distinct()
+      // count(*) — o_orderkey is the PK; the oracle has always counted
+      // rows, and the previous distinct() bought an exchange for nothing
+      val nOrders = table(s, dir, "orders")
         .agg(count(lit(1)).as("n_orders"))
-      val a = pruned.select(col("okey"), col("pkey").as("p1"))
-      val b = pruned.select(col("okey"), col("pkey").as("p2"))
-      val pairs = a.join(b, Seq("okey")).filter(col("p1") < col("p2"))
+      // within-basket pairing IN PLACE (the O(n·k²) explode the docstring
+      // promises): one exchange keyed by order nests each basket's sorted
+      // frequent parts, combination structs generate row-locally, and the
+      // pair aggregate is the only other exchange — the previous
+      // a⋈b self-join shuffled the pruned frame TWICE and paid a join to
+      // produce the identical (p1 < p2) pair set.
+      val pairs = pruned.groupBy("okey")
+        .agg(sort_array(collect_list(col("pkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps,
+               (x, i) -> transform(slice(ps, i + 2, size(ps)),
+                 y -> struct(x AS p1, y AS p2))))""")).as("p"))
+        .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
         .groupBy("p1", "p2").agg(count(lit(1)).as("pair_sup"))
         .filter(col("pair_sup") >= 3)
       pairs
