@@ -10,6 +10,7 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val names = args.drop(2).toSet
+    val sel: String => Boolean = if (names.isEmpty) _ => true else names
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +21,7 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter { case (n, _) => names(n) }.foreach {
+    SparkEntry.queries.filter { case (n, _) => sel(n) }.toSeq.sortBy(_._1).foreach {
       case (name, fn) =>
         try {
           val df = fn(spark, sfDir)

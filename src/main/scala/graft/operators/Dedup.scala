@@ -908,16 +908,24 @@ object Dedup {
         .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
       val h = sh.select(col("doc_id"),
         expr(s"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $MhP").as("h32"))
-      // per-(doc, permutation) minima: the explode runs pre-aggregation
-      // with map-side combine (d7's vote shape) — the shuffle carries
-      // ≤ 16 rows per doc, not 16 rows per shingle
-      // j as BIGINT: the permutation arithmetic below overflows INT range
-      h.select(col("doc_id"), col("h32"),
-          explode(sequence(lit(0L), lit(15L))).as("j"))
-        .groupBy("doc_id", "j")
-        .agg(min(expr(
-          s"(((1103515245 * (j + 1) + 12345) % $MhA) * h32 + ((12345 * (j + 7) + 6789) % $MhA)) % $MhP"))
-          .as("m"))
+      // 16 min-aggregates in ONE grouped pass instead of exploding every
+      // shingle ×16 ahead of the aggregate: the affine coefficients
+      // a_j/b_j are compile-time constants, so each shingle row updates
+      // 16 agg buffers directly — the old explode pushed 16× the row
+      // volume through the hash aggregate to reach the identical
+      // per-(doc, j) minima, which it then unpivots back out. Same
+      // shuffle (≤ 16 rows per doc), 1/16th the pre-agg input.
+      val minCols = (0 until 16).map { j =>
+        val aj = (1103515245L * (j + 1) + 12345L) % MhA
+        val bj = (12345L * (j + 7) + 6789L) % MhA
+        min(expr(s"($aj * h32 + $bj) % $MhP")).as(s"m$j")
+      }
+      h.groupBy("doc_id")
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"),
+          posexplode(array((0 until 16).map(j => col(s"m$j")): _*)))
+        .toDF("doc_id", "j", "m")
+        .select(col("doc_id"), col("j").cast("long").as("j"), col("m"))
         .coalesce(1).write.mode("overwrite").parquet(spool)
     }
     s.read.parquet(spool)
@@ -1942,9 +1950,14 @@ object Dedup {
       // could only add a candidate, never distort a count
       val g = sh.withColumn("gh", expr(
         "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"))
-      val dfreq = g.groupBy("gh").agg(count(lit(1)).as("df"))
+      // document frequency as a whole-partition window over gh: the old
+      // groupBy(gh)+join-back planned TWO gh exchanges (agg side + probe
+      // side of a sort-merge join) and evaluated g — an md5 per shingle —
+      // under both branches; the window form pays one gh exchange, one
+      // sort, one md5 pass, and attaches the identical per-row count
       val byDoc = Window.partitionBy("doc_id")
-      val tr = g.join(dfreq, "gh")
+      val tr = g
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("gh")))
         .withColumn("pos", row_number().over(byDoc.orderBy("df", "gh")))
         .withColumn("n", count(lit(1)).over(byDoc))
       // prefix: pos ≤ n − ⌈τ·n⌉ + 1; size bound τ·max ≤ 100·min

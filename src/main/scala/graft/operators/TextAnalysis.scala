@@ -1210,8 +1210,14 @@ object TextAnalysis {
             """transform(sequence(1, greatest(size(ws) - 4, 0)),
                i -> CAST(conv(substring(md5(concat_ws(' ', slice(ws, i, 5))), 1, 15), 16, 10) AS BIGINT))""")))
             .as("gh"))
-      val docFreq = grams.groupBy("gh").agg(count(lit(1)).as("n_docs"))
-      grams.join(docFreq, "gh")
+      // document frequency via a whole-partition window over gh: the
+      // groupBy(gh)+join-back form planned two gh exchanges (agg + probe
+      // side of the join) and re-evaluated the md5-explode scan under
+      // both branches; the window attaches the identical per-row count
+      // for one gh exchange and one gram pass
+      grams
+        .withColumn("n_docs",
+          count(lit(1)).over(Window.partitionBy("gh")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_grams"))
@@ -1837,8 +1843,12 @@ object TextAnalysis {
             """transform(sequence(1, greatest(size(ws) - 4, 0)),
                i -> CAST(conv(substring(md5(concat_ws(' ', slice(ws, i, 5))), 1, 15), 16, 10) AS BIGINT))""")))
             .as("gh"))
-      val firstOwner = grams.groupBy("gh").agg(min(col("doc_id")).as("first_doc"))
-      grams.join(firstOwner, "gh")
+      // first owner via a whole-partition window over gh (the t24
+      // rewrite): one gh exchange and one md5-explode pass instead of
+      // groupBy(gh)+join-back's two of each
+      grams
+        .withColumn("first_doc",
+          min(col("doc_id")).over(Window.partitionBy("gh")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel_grams"))
