@@ -1158,13 +1158,19 @@ object Similarity {
         col("embedding").as("e1"), col("nrm").as("n1"))
       val b = emb.select(col("label"), col("vec_id").as("id2"),
         col("embedding").as("e2"), col("nrm").as("n2"))
-      val w = Window.partitionBy("id1").orderBy(desc("sim"), col("id2"))
-      val directed = a.join(b, Seq("label"))
+      // grouped top-3 through the bounded-heap operator (q114's
+      // GroupedTopK) instead of Window(row_number)+filter: the window
+      // form fully SORTS every id1 partition of the cell-local all-pairs
+      // frame; the heap keeps ≤3 rows per (id1, input partition) BEFORE
+      // the exchange, so the shuffle carries O(k·partitions) rows per
+      // node, never the cell fan-out. Identical row set — the heap
+      // comparator is exactly the (sim DESC, id2) row_number order.
+      val sims = a.join(b, Seq("label"))
         .filter(col("id1") =!= col("id2"))
         .select(col("id1"), col("id2"),
           (dotProduct(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      val directed = graft.plans.GroupedTopK.topKPerGroup(sims,
+          Seq(col("id1")), Seq(col("sim").desc, col("id2")), 3)
         .select("id1", "id2", "sim")
       val rev = directed.select(col("id2").as("id1"), col("id1").as("id2"))
       directed.join(rev, Seq("id1", "id2"))
@@ -1479,13 +1485,15 @@ object Similarity {
         col("embedding").as("e1"), col("nrm").as("n1"))
       val b = emb.select(col("label"), col("vec_id").as("id2"),
         col("embedding").as("e2"), col("nrm").as("n2"))
-      val w = Window.partitionBy("id1").orderBy(desc("sim"), col("id2"))
-      val directed = a.join(b, Seq("label"))
+      // bounded-heap grouped top-3 (q114's GroupedTopK) — no per-node
+      // sort of the cell all-pairs frame, ≤3 rows per (node, partition)
+      // cross the exchange; identical row set (the s15 rewrite)
+      val sims = a.join(b, Seq("label"))
         .filter(col("id1") =!= col("id2"))
         .select(col("id1"), col("id2"),
           (dotProduct(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      val directed = graft.plans.GroupedTopK.topKPerGroup(sims,
+          Seq(col("id1")), Seq(col("sim").desc, col("id2")), 3)
         .select("id1", "id2")
       val rev = directed.select(col("id2").as("id1"), col("id1").as("id2"))
       val mutual = directed.join(rev, Seq("id1", "id2"))
@@ -1734,13 +1742,15 @@ object Similarity {
         col("embedding").as("e1"), col("nrm").as("n1"))
       val b = emb.select(col("label"), col("vec_id").as("id2"),
         col("embedding").as("e2"), col("nrm").as("n2"))
-      val wd = Window.partitionBy("id1").orderBy(desc("sim"), col("id2"))
-      val edges = a.join(b, Seq("label"))
+      // bounded-heap grouped top-3 (q114's GroupedTopK) — no per-node
+      // sort of the cell all-pairs frame, ≤3 rows per (node, partition)
+      // cross the exchange; identical row set (the s15 rewrite)
+      val simsAll = a.join(b, Seq("label"))
         .filter(col("id1") =!= col("id2"))
         .select(col("id1"), col("id2"),
           (dotProduct(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"))
-        .withColumn("rank", row_number().over(wd))
-        .filter(col("rank") <= 3)
+      val edges = graft.plans.GroupedTopK.topKPerGroup(simsAll,
+          Seq(col("id1")), Seq(col("sim").desc, col("id2")), 3)
         .select("id1", "id2")
         .persist()
       val qv = emb.filter(col("vec_id") < 10)
@@ -2361,13 +2371,15 @@ object Similarity {
         col("embedding").as("e1"), col("nrm").as("n1"))
       val b = emb.select(col("label"), col("vec_id").as("id2"),
         col("embedding").as("e2"), col("nrm").as("n2"))
-      val wK = Window.partitionBy("id1").orderBy(desc("sim"), col("id2"))
-      val directed = a.join(b, Seq("label"))
+      // bounded-heap grouped top-3 (q114's GroupedTopK) — no per-node
+      // sort of the cell all-pairs frame, ≤3 rows per (node, partition)
+      // cross the exchange; identical row set (the s15 rewrite)
+      val sims = a.join(b, Seq("label"))
         .filter(col("id1") =!= col("id2"))
         .select(col("id1"), col("id2"),
           (dotProduct(col("e1"), col("e2")) / (col("n1") * col("n2"))).as("sim"))
-        .withColumn("rank", row_number().over(wK))
-        .filter(col("rank") <= 3)
+      val directed = graft.plans.GroupedTopK.topKPerGroup(sims,
+          Seq(col("id1")), Seq(col("sim").desc, col("id2")), 3)
         .select("id1", "id2")
       val mutual = directed.join(
           directed.select(col("id2").as("id1"), col("id1").as("id2")),
