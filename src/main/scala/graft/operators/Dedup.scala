@@ -1365,9 +1365,13 @@ object Dedup {
                i -> CAST(conv(substring(md5(concat_ws(' ', slice(ws, i, 3))), 1, 15), 16, 10) AS BIGINT))""")))
             .as("gh"))
         .persist()
-      val df = g.groupBy("gh").agg(count(lit(1)).as("df"))
+      // document frequency via a whole-partition window over gh (the
+      // ppJoinPairStage/t24 rewrite): the groupBy(gh)+join-back form
+      // planned two gh exchanges (agg + probe side of a sort-merge join);
+      // the window attaches the identical per-row count for one
       val byDoc = Window.partitionBy("doc_id")
-      val tr = g.join(df, "gh")
+      val tr = g
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("gh")))
         .withColumn("pos", row_number().over(byDoc.orderBy("df", "gh")))
         .withColumn("n", count(lit(1)).over(byDoc))
       val pre = tr.filter(col("pos") <= expr("n - ((6*n + 9) div 10) + 1"))

@@ -3811,12 +3811,22 @@ object TextAnalysis {
       val toks = lines.select(col("doc_id"), col("pos"),
           explode(expr("array_distinct(split(line, ' '))")).as("w"))
         .filter(length(col("w")) > 0)
-      val centrality = toks.as("a")
-        .join(toks.as("b"),
-          col("a.doc_id") === col("b.doc_id") && col("a.w") === col("b.w") &&
-            col("a.pos") =!= col("b.pos"))
-        .groupBy(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"))
-        .agg(count(lit(1)).as("score"))
+      // centrality WITHOUT the token self-join: a line's shared-token
+      // score is sum over its tokens of (lines-in-doc containing the
+      // token − 1) — exactly the partner count the (doc, w)-keyed
+      // self-join produced per row, so the per-(doc, pos) sums are
+      // identical (a token unique to one line contributes 0 either way;
+      // all-zero lines surface with score 0 where the inner join dropped
+      // them, which the downstream left-join coalesce already mapped to
+      // 0). One (doc, w) window + one aggregate replaces the quadratic
+      // within-doc token fan-out — the difference between O(tokens) and
+      // O(Σ c_w²) rows at corpus scale.
+      val centrality = toks
+        .withColumn("cw",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id", "w")))
+        .groupBy("doc_id", "pos")
+        .agg(sum(col("cw") - 1).as("score"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(desc("score"), col("pos"))
       lines.join(centrality, Seq("doc_id", "pos"), "left")
