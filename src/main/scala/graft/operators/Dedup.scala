@@ -3083,9 +3083,14 @@ object Dedup {
           s"""transform(sequence(1, size(ws) - ${K - 1}),
               i -> CAST(conv(substring(md5(concat_ws(' ', slice(ws, i, $K))), 1, 15), 16, 10) AS BIGINT))""")))
         .toDF("doc_id", "n_words", "i", "gh")
-      val dupG = grams.groupBy("gh").agg(count(lit(1)).as("occ"))
-        .filter(col("occ") >= 2).select("gh")
-      val dupPos = grams.join(dupG, "gh").select("doc_id", "n_words", "i")
+      // corpus-wide occurrence via a whole-partition window over gh (the
+      // d17/t24 rewrite): the groupBy(gh)+join-back form planned two gh
+      // exchanges and ran the md5 window-digest explode under both
+      // branches; the window marks duplicated windows in one pass
+      val dupPos = grams
+        .withColumn("occ", count(lit(1)).over(Window.partitionBy("gh")))
+        .filter(col("occ") >= 2)
+        .select("doc_id", "n_words", "i")
       // gaps-and-islands: windows at i and i' overlap into one span when
       // i' ≤ i + K; island id = running count of gap-breaks per doc
       val byDoc = Window.partitionBy("doc_id").orderBy("i")

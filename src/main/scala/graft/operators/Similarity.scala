@@ -2165,18 +2165,25 @@ object Similarity {
         java.lang.Long.parseLong(hex.substring(0, 15), 16) / scale - 0.5
       }
       val planes = Array.tabulate(L * bits, dims)(u)
-      val planesCol = array(planes.map(p => array(p.map(v => lit(v)).toSeq: _*)).toSeq: _*)
+      // bucket bits as UNROLLED codegen'd DotProducts over literal plane
+      // arrays (the centroidSims discipline): the previous
+      // aggregate(sequence...) HOF evaluated every plane dot product
+      // through an interpreted lambda per row, outside whole-stage
+      // codegen, and carried the full L·bits plane matrix as a per-row
+      // column. Bit j of table t contributes 2^(bits-1-j) — identical
+      // integer bucket. emb is pinned: four consumers (corpus index,
+      // probes, query vectors, rerank side) otherwise recompute the
+      // bucketing and norms per reference.
       def bucket(t: Int) =
-        aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-          (acc, j) => acc * 2 + when(
-            dotProduct(element_at(col("planes"), lit(t * bits) + j + 1), col("embedding")) > 0,
-            lit(1L)).otherwise(lit(0L)))
+        (0 until bits).map { j =>
+          when(dotProduct(array(planes(t * bits + j).map(lit).toSeq: _*),
+            col("embedding")) > 0, lit(1L << (bits - 1 - j))).otherwise(lit(0L))
+        }.reduce(_ + _)
       val emb = table(s, dir, "embeddings")
-        .withColumn("planes", planesCol)
         .withColumn("tb", array((0 until L).map(t =>
           struct(lit(t).as("t"), bucket(t).as("b"))): _*))
-        .drop("planes")
         .withColumn("nrm", l2Norm(col("embedding")))
+        .persist()
       val corpusIdx = emb
         .select(col("vec_id"), explode(col("tb")).as("e"))
         .select(col("vec_id"), col("e.t").as("t"), col("e.b").as("bucket"))
