@@ -943,10 +943,18 @@ object Dedup {
           .groupBy("doc_id", "band")
           .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("m")))),
             x => x("m").cast("string")), ":").as("bucket"))
-        val cand = sig.as("a").join(sig.as("b"),
-            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        // candidate pairs via bucket grouping, not a self-join (the d2
+        // pattern): the sig subtree is evaluated once and pair fan-out
+        // happens inside each (band, bucket) group — the self-join
+        // shuffled the signature frame twice and re-ran the spool read +
+        // banding aggregate under both sides
+        val cand = sig.groupBy("band", "bucket")
+          .agg(collect_list(col("doc_id")).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(flatten(transform(col("ids"),
+            x => transform(filter(col("ids"), y => y > x),
+              y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
+          .select(col("p.doc1"), col("p.doc2"))
           .distinct()
         cand
           .join(m.select(col("doc_id").as("doc1"), col("j"), col("m").as("ma")), Seq("doc1"))
@@ -1448,10 +1456,18 @@ object Dedup {
           .groupBy("doc_id", "band")
           .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("m")))),
             x => x("m").cast("string")), ":").as("bucket"))
-        val cand = sig.as("a").join(sig.as("b"),
-            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        // candidate pairs via bucket grouping, not a self-join (the d2
+        // pattern): the sig subtree is evaluated once and pair fan-out
+        // happens inside each (band, bucket) group — the self-join
+        // shuffled the signature frame twice and re-ran the spool read +
+        // banding aggregate under both sides
+        val cand = sig.groupBy("band", "bucket")
+          .agg(collect_list(col("doc_id")).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(flatten(transform(col("ids"),
+            x => transform(filter(col("ids"), y => y > x),
+              y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
+          .select(col("p.doc1"), col("p.doc2"))
           .distinct()
         // persisted: the shingle explode feeds sizes + BOTH truth-join
         // sides (d17's 4-subtree argument on the bounded slice)
@@ -2081,10 +2097,18 @@ object Dedup {
           .groupBy("doc_id", "band")
           .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("m")))),
             x => x("m").cast("string")), ":").as("bucket"))
-        val cand = sig.as("a").join(sig.as("b"),
-            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        // candidate pairs via bucket grouping, not a self-join (the d2
+        // pattern): the sig subtree is evaluated once and pair fan-out
+        // happens inside each (band, bucket) group — the self-join
+        // shuffled the signature frame twice and re-ran the spool read +
+        // banding aggregate under both sides
+        val cand = sig.groupBy("band", "bucket")
+          .agg(collect_list(col("doc_id")).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(flatten(transform(col("ids"),
+            x => transform(filter(col("ids"), y => y > x),
+              y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
+          .select(col("p.doc1"), col("p.doc2"))
           .distinct()
         cand
           .join(m.select(col("doc_id").as("doc1"), col("j"), col("m").as("ma")), Seq("doc1"))
