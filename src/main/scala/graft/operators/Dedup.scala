@@ -106,15 +106,10 @@ object Dedup {
             element_at(col("sig"), 4 * b + 3), element_at(col("sig"), 4 * b + 4))): _*)))
         .toDF("doc_id", "band", "bucket")
       // candidate pairs via bucket grouping, NOT a self-join: upstream is
-      // evaluated once, pair fan-out happens inside each bucket
-      val cand = buckets.groupBy("band", "bucket")
-        .agg(collect_list(col("doc_id")).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(flatten(transform(col("ids"),
-          x => transform(filter(col("ids"), y => y > x),
-            y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
-        .select(col("p.doc1"), col("p.doc2"))
-        .distinct()
+      // evaluated once, pair fan-out happens inside each bucket — chunked
+      // per doc1 (see bandingCandidates) so a degenerate bucket cannot
+      // blow a single task row at corpus scale
+      val cand = bandingCandidates(buckets)
       // no broadcast hint on the candidate side: candidate count scales with
       // TRUE duplicate density, so a crawl-heavy corpus (30%+ dup rate) can
       // outgrow any fixed broadcast threshold. AQE sees the real post-LSH
@@ -931,6 +926,28 @@ object Dedup {
     s.read.parquet(spool)
   }
 
+  /** Distinct candidate pairs from a banded-signature frame (doc_id, band,
+    * bucket): group per (band, bucket), then pair every doc against the
+    * LATER entries of the group's sorted id array. The sig subtree is
+    * evaluated once and pair fan-out happens inside each group — the old
+    * self-join shuffled the signature frame twice and re-ran the spool
+    * read + banding aggregate under both sides. Fan-out is CHUNKED per
+    * doc1 (ADVICE r15): posexplode emits one row per (bucket, doc1) whose
+    * partner list is the sorted tail — O(m) per row — instead of
+    * materializing all O(m²) pair structs inside a single row, so a
+    * degenerate bucket (many identical docs) cannot blow one task row's
+    * memory at corpus scale. Ids are unique per bucket (sig groups by
+    * (doc_id, band)), so the sorted positional tail is exactly the
+    * {y : y > x} value filter it replaces — identical pair set. */
+  private def bandingCandidates(sig: DataFrame): DataFrame =
+    sig.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc1")))
+      .select(col("doc1"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc2"))
+      .distinct()
+
   val d12 = {
     val P = MhP
     val A = MhA
@@ -943,19 +960,7 @@ object Dedup {
           .groupBy("doc_id", "band")
           .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("m")))),
             x => x("m").cast("string")), ":").as("bucket"))
-        // candidate pairs via bucket grouping, not a self-join (the d2
-        // pattern): the sig subtree is evaluated once and pair fan-out
-        // happens inside each (band, bucket) group — the self-join
-        // shuffled the signature frame twice and re-ran the spool read +
-        // banding aggregate under both sides
-        val cand = sig.groupBy("band", "bucket")
-          .agg(collect_list(col("doc_id")).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(flatten(transform(col("ids"),
-            x => transform(filter(col("ids"), y => y > x),
-              y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
-          .select(col("p.doc1"), col("p.doc2"))
-          .distinct()
+        val cand = bandingCandidates(sig)
         cand
           .join(m.select(col("doc_id").as("doc1"), col("j"), col("m").as("ma")), Seq("doc1"))
           .join(m.select(col("doc_id").as("doc2"), col("j"), col("m").as("mb")), Seq("doc2", "j"))
@@ -1456,19 +1461,7 @@ object Dedup {
           .groupBy("doc_id", "band")
           .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("m")))),
             x => x("m").cast("string")), ":").as("bucket"))
-        // candidate pairs via bucket grouping, not a self-join (the d2
-        // pattern): the sig subtree is evaluated once and pair fan-out
-        // happens inside each (band, bucket) group — the self-join
-        // shuffled the signature frame twice and re-ran the spool read +
-        // banding aggregate under both sides
-        val cand = sig.groupBy("band", "bucket")
-          .agg(collect_list(col("doc_id")).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(flatten(transform(col("ids"),
-            x => transform(filter(col("ids"), y => y > x),
-              y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
-          .select(col("p.doc1"), col("p.doc2"))
-          .distinct()
+        val cand = bandingCandidates(sig)
         // persisted: the shingle explode feeds sizes + BOTH truth-join
         // sides (d17's 4-subtree argument on the bounded slice)
         val sh = table(s, dir, "documents")
@@ -2097,19 +2090,7 @@ object Dedup {
           .groupBy("doc_id", "band")
           .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("m")))),
             x => x("m").cast("string")), ":").as("bucket"))
-        // candidate pairs via bucket grouping, not a self-join (the d2
-        // pattern): the sig subtree is evaluated once and pair fan-out
-        // happens inside each (band, bucket) group — the self-join
-        // shuffled the signature frame twice and re-ran the spool read +
-        // banding aggregate under both sides
-        val cand = sig.groupBy("band", "bucket")
-          .agg(collect_list(col("doc_id")).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(flatten(transform(col("ids"),
-            x => transform(filter(col("ids"), y => y > x),
-              y => struct(x.as("doc1"), y.as("doc2")))))).as("p"))
-          .select(col("p.doc1"), col("p.doc2"))
-          .distinct()
+        val cand = bandingCandidates(sig)
         cand
           .join(m.select(col("doc_id").as("doc1"), col("j"), col("m").as("ma")), Seq("doc1"))
           .join(m.select(col("doc_id").as("doc2"), col("j"), col("m").as("mb")), Seq("doc2", "j"))
@@ -3206,6 +3187,16 @@ object Dedup {
     * Returns (d, i, n_words, lrs). The oracle recomputes the same values
     * by sorting capped suffix LISTS and taking neighbor common-prefix
     * lengths — same construction, independent machinery. */
+  /** Build parallelism for the d37 suffix-array pipeline. The spool content
+    * is partition-count-invariant (r15 audit), so the count is a deployment
+    * knob, not a semantic one: production sets spark.graft.d37.parts (or
+    * GRAFT_D37_PARTS) to its shard's core count; the local default (8)
+    * keeps the build's ~30 tiny sequential jobs below the per-job
+    * planning/codegen floor that dominates at 32 shuffle partitions. */
+  private[graft] def d37Parts(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("spark.graft.d37.parts")
+      .orElse(sys.env.get("GRAFT_D37_PARTS")).map(_.toInt).getOrElse(8)
+
   private[graft] def d37Lrs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -3219,7 +3210,7 @@ object Dedup {
     // frames) executes lazily under session confs.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", d37Parts(s).toString)
     // AQE re-plans every exchange at runtime — the right call on real
     // data volumes, pure per-stage latency on this build's ~30 tiny
     // sequential jobs whose partition counts are already pinned to 8
@@ -3241,11 +3232,11 @@ object Dedup {
     * rdd.zipWithIndex ran the distinct+sort TWICE (its internal count
     * job, then the real pass) and paid the Row conversion on top. */
   private[graft] def denseRankBy(df: org.apache.spark.sql.DataFrame,
-      keys: Seq[String], out: String)
+      keys: Seq[String], out: String, parts: Int = 8)
       : (org.apache.spark.sql.DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     val sorted = df.distinct()
-      .repartitionByRange(8, keys.map(col): _*)
+      .repartitionByRange(parts, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
       .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
       .localCheckpoint(true)
@@ -3265,6 +3256,7 @@ object Dedup {
   private def d37LrsBuild(s: org.apache.spark.sql.SparkSession,
       dir: String, CAP: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val parts = d37Parts(s)
     var profT0 = System.nanoTime()
     def prof(label: String): Unit = if (sys.env.contains("GRAFT_D37_PROFILE")) {
       val t1 = System.nanoTime()
@@ -3274,7 +3266,7 @@ object Dedup {
     // checkpointed once: consumed 4× (vocab, initial ranks, sizes, final
     // position join) — without it each consumer re-runs scan + explode
     val toks = table(s, dir, "documents")
-      .repartition(8, col("doc_id")) // one parquet file = one scan task; spread the explode
+      .repartition(parts, col("doc_id")) // one parquet file = one scan task; spread the explode
       .select(col("doc_id").as("d"), words(col("text")).as("ws"))
       .select(col("d"), size(col("ws")).as("n_words"),
         posexplode(col("ws")).as(Seq("i0", "w")))
@@ -3289,7 +3281,8 @@ object Dedup {
     // < 2^31 for any corpus shard whose distinct capped suffixes fit an
     // executor fleet's rank table; a larger shard re-ranks per round.
     def denseRank(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
-        out: String): (org.apache.spark.sql.DataFrame, Long) = denseRankBy(df, keys, out)
+        out: String): (org.apache.spark.sql.DataFrame, Long) =
+      denseRankBy(df, keys, out, parts)
     // WORD RANKS from the collected type table: the distinct-word
     // universe is Zipf-bounded at any corpus size (the t68 argument —
     // the r12 build already shipped it WHOLE to every task via
@@ -3372,7 +3365,7 @@ object Dedup {
             maxR = n - 1
             paired.join(keys, Seq("rk", "rk2"))
               .select(col("d"), col("i"), col("nrk").as("rk"))
-              .repartition(8, col("d")) // restore round-join partitioning
+              .repartition(parts, col("d")) // restore round-join partitioning
           }).localCheckpoint(true)
         k *= 2
         prof(s"double_to_$k")
@@ -3399,7 +3392,7 @@ object Dedup {
     val sa = cur
       .join(docsWs, "d") // docsWs shuffles/broadcasts; cur side stays put
       .withColumn("suf", expr(s"slice(ws, i, $CAP)")).drop("ws")
-      .repartitionByRange(8, saKeys: _*)
+      .repartitionByRange(parts, saKeys: _*)
       .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
       .localCheckpoint(true)
     prof("sa_stitch")

@@ -1356,6 +1356,11 @@ object Relational {
           sum(when(col("late"), 1L).otherwise(0L)).as("late_lines"))
       val perOrder = perSupp.groupBy("l_orderkey")
         .agg(
+          // count(lit(1)) over the per-supplier groups assumes l_suppkey
+          // NOT NULL (TPC-H guarantees it): the countDistinct(l_suppkey)
+          // this replaces excluded NULL keys, while a row-count counts a
+          // NULL-suppkey group — filter null keys first if this shape is
+          // ever reused over a nullable key (ADVICE r15)
           count(lit(1)).as("n_supp"),
           count(when(col("late_any"), true)).as("n_late_supp"),
           min(when(col("late_any"), col("l_suppkey"))).as("late_supp"),

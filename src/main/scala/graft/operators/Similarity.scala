@@ -343,20 +343,25 @@ object Similarity {
     "s6_quantized_cosine",
     "Int8 scalar-quantized cosine top-3 (4× memory/scan reduction; integer-exact)",
     (s, dir) => {
+      // codes stay exact small integers IN DOUBLE (|q_i| ≤ 127: every
+      // product ≤ 127², norms ≤ 64·127², dots well under 2^53 — the same
+      // values the former BIGINT arithmetic produced, bit-for-bit), so the
+      // per-(query × corpus-row) dot product and the per-row norm both run
+      // through the codegen'd DotProduct expression instead of interpreted
+      // aggregate(zip_with(...)) / aggregate(...) lambdas
       val qz = table(s, dir, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"), x =>
             floor(greatest(lit(-1.0), least(lit(1.0), x.cast("double"))) * 127 + 0.5)
-              .cast("long")).as("code"))
-        .withColumn("qn", aggregate(col("code"), lit(0L), (a, x) => a + x * x))
+              .cast("double")).as("code"))
+        .withColumn("qn", dotProduct(col("code"), col("code")))
       val q = qz.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("code").as("qc"), col("qn").as("qqn"))
       val sims = broadcast(q).crossJoin(qz)
         .filter(col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id"),
-          (aggregate(zip_with(col("qc"), col("code"), (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x).cast("double")
-            / sqrt(col("qqn").cast("double") * col("qn").cast("double"))).as("qsim"))
+          (dotProduct(col("qc"), col("code"))
+            / sqrt(col("qqn") * col("qn"))).as("qsim"))
       val w = Window.partitionBy("query_id").orderBy(desc("qsim"), col("vec_id"))
       sims.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
@@ -462,17 +467,40 @@ object Similarity {
   // PQ codebook plumbing shared by s8 (raw unit subvectors) and s9
   // (residual subvectors): literal codebook column, per-subspace distance
   // table, argmin code. cb(j)(k) = the k-th centroid of subspace j.
-  private def cbsCol(cb: Array[Array[Array[Double]]]) =
-    array(cb.map(jc => array(jc.map(kc => array(kc.map(lit): _*)): _*)): _*)
+  // The codebook is a COMPILE-TIME LITERAL, so the per-subspace distance
+  // table is fully unrolled (the centroidSims discipline): a CASE on j
+  // selects the subspace branch and each of its K distances is a
+  // codegen'd chain of D multiply-adds — the former HOF form
+  // (`transform(..., aggregate(zip_with(...)))`) evaluated its (a−b)²
+  // lambda interpreted per element, per centroid, per row, on the
+  // corpus-sized encode pass. Accumulation order is identical:
+  // 0.0 + d₀ + d₁ + … left-to-right (0.0 + d₀ ≡ d₀ in IEEE 754), so
+  // distances — and therefore codes and ADC scores — are bit-identical.
   private def pqDistsCol(cb: Array[Array[Array[Double]]],
-      sv: org.apache.spark.sql.Column) =
-    transform(element_at(cbsCol(cb), col("j") + 1),
-      c => aggregate(zip_with(sv, c, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
+      sv: org.apache.spark.sql.Column) = {
+    def dist(kc: Array[Double]) =
+      kc.zipWithIndex.map { case (c, i) =>
+        val d = element_at(sv, i + 1) - lit(c)
+        d * d
+      }.reduceLeft(_ + _)
+    val bySub = cb.map(jc => array(jc.map(dist): _*))
+    bySub.zipWithIndex.tail
+      .foldLeft(when(col("j") === 0, bySub(0))) {
+        case (acc, (arr, j)) => acc.when(col("j") === j, arr)
+      }
+  }
   private def pqCodeCol(cb: Array[Array[Array[Double]]]) = {
     val d = pqDistsCol(cb, col("sv"))
     array_position(d, array_min(d)).cast("int")
   }
+  /** ADC score = Σⱼ luts[j][codes[j]] — unrolled to M codegen'd
+    * element_at lookups (the lambda of the former aggregate(zip_with(...))
+    * ran interpreted per candidate row); same left-to-right sum. */
+  private def adcSum(codes: org.apache.spark.sql.Column,
+      luts: org.apache.spark.sql.Column, m: Int) =
+    (0 until m).map(j =>
+      element_at(element_at(luts, j + 1), element_at(codes, j + 1)))
+      .reduceLeft(_ + _)
 
   /** IVF with a TRAINED coarse quantizer — the production fix for s5's
     * recall caveat: k-means-learned cells follow the data's geometry, so
@@ -594,8 +622,7 @@ object Similarity {
       val scored = broadcast(luts).crossJoin(coded)
         .filter(col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id"),
-          aggregate(zip_with(col("codes"), col("luts"),
-            (c, lut) => element_at(lut, c)), lit(0.0), (acc, x) => acc + x).as("adc"))
+          adcSum(col("codes"), col("luts"), 8).as("adc"))
       // ADC SHORTLIST (top-32 of the corpus by table lookups) + exact
       // rerank of just the shortlist — the production PQ pipeline: the
       // compressed scan prunes 99.7% of the corpus, original vectors are
@@ -733,8 +760,7 @@ object Similarity {
     val scored = broadcast(luts).join(coded, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        aggregate(zip_with(col("codes"), col("luts"),
-          (c, lut) => element_at(lut, c)), lit(0.0), (acc, x) => acc + x).as("adc"))
+        adcSum(col("codes"), col("luts"), 8).as("adc"))
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
     val shortlist = scored.withColumn("arank", row_number().over(w))
       .filter(col("arank") <= 32)
@@ -1518,12 +1544,19 @@ object Similarity {
           .join(ranks.select(col("id"), (col("r") / col("deg")).as("c")),
             col("src") === col("id"))
           .groupBy("dst").agg(sum(col("c")).as("csum"))
+        val prev = ranks
         ranks = deg.crossJoin(nRow)
           .join(contrib, col("src") === col("dst"), "left")
           .select(col("src").as("id"), col("deg"), col("n"),
             (lit(0.15) / col("n") +
               lit(0.85) * coalesce(col("csum"), lit(0.0))).as("r"))
           .persist()
+        // release round i−1 once round i is materialized (ADVICE r15):
+        // without the eager count the pins would accumulate one frame per
+        // iteration for the whole query, relying on the bench's per-query
+        // clearCache; the count is a node-count-sized job
+        ranks.count()
+        prev.unpersist()
       }
       ranks.select(col("id").as("vec_id"), col("deg").as("degree"),
         round(col("r"), 8).as("pagerank"))
@@ -1592,16 +1625,21 @@ object Similarity {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         .withColumn("scale",
           expr("greatest(aggregate(e, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x))), CAST(1e-12 AS DOUBLE)) / 127.0"))
-        .withColumn("c", expr("transform(e, x -> CAST(round(x / scale) AS BIGINT))"))
+        // codes kept as exact small integers IN DOUBLE (|c_i| ≤ 127, so
+        // every product ≤ 127² and the 64-term sum < 2^53 — bit-identical
+        // to the former BIGINT accumulation) so both per-pair dot products
+        // below run through the codegen'd DotProduct expression instead of
+        // an interpreted aggregate(zip_with(...)) lambda — this projection
+        // is the per-(query × corpus-row) hot path
+        .withColumn("c", expr("transform(e, x -> round(x / scale))"))
       val q = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("e").as("qe"),
           col("scale").as("qs"), col("c").as("qc"))
       val scored = broadcast(q).crossJoin(emb)
         .filter(col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id"),
-          expr("aggregate(zip_with(qe, e, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
-            .as("exact_dot"),
-          (expr("aggregate(zip_with(qc, c, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          dotProduct(col("qe"), col("e")).as("exact_dot"),
+          (dotProduct(col("qc"), col("c"))
             * col("qs") * col("scale")).as("int8_dot"))
       val we = Window.partitionBy("query_id").orderBy(desc("exact_dot"), col("vec_id"))
       val wq = Window.partitionBy("query_id").orderBy(desc("int8_dot"), col("vec_id"))
@@ -2414,10 +2452,15 @@ object Similarity {
           .withColumn("rk", row_number().over(wVote))
           .filter(col("rk") === 1)
           .select(col("src"), col("nc"))
+        val prev = labels
         labels = labels
           .join(winners, labels("node") === winners("src"), "left")
           .select(col("node"), coalesce(col("nc"), col("comm")).as("comm"))
           .persist()
+        // release round i−1 once round i is materialized (ADVICE r15, the
+        // s19 discipline); the count is a node-count-sized job
+        labels.count()
+        prev.unpersist()
       }
       labels.groupBy("comm")
         .agg(count(lit(1)).as("n_members"),
@@ -2493,10 +2536,17 @@ object Similarity {
     "s28_silhouette",
     "Simplified silhouette per label in exact integer bp: rational centroids, no sqrt, no float sums",
     (s, dir) => {
+      // sxx is per-vector and scc per-centroid: computed ON those frames
+      // (corpus + k rows) instead of inside the k-way broadcast crossJoin,
+      // which recomputed both k× / n× per pair (guide §1.2 — the r15 slow
+      // list charged s28 three 64-term interpreted aggregates per pair;
+      // only the genuinely pairwise sxc remains there)
       val vecs = table(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> CAST(round(x * 100) AS BIGINT))")
             .as("xi"))
+        .withColumn("sxx", expr(
+          "aggregate(transform(xi, x -> x * x), 0L, (a, x) -> a + x)"))
       val cents = vecs
         .select(col("label").as("clabel"), posexplode(col("xi")))
         .groupBy("clabel", "pos")
@@ -2505,14 +2555,12 @@ object Similarity {
         .agg(expr(
           "transform(sort_array(collect_list(struct(pos, num))), p -> p.num)")
           .as("cnum"))
+        .withColumn("scc", expr(
+          "aggregate(transform(cnum, c -> c * c), 0L, (a, x) -> a + x)"))
       val scored = vecs.crossJoin(broadcast(cents))
-        .withColumn("sxx", expr(
-          "aggregate(transform(xi, x -> x * x), 0L, (a, x) -> a + x)"))
         .withColumn("sxc", expr(
           """aggregate(zip_with(xi, cnum, (x, c) -> x * c),
              0L, (a, x) -> a + x)"""))
-        .withColumn("scc", expr(
-          "aggregate(transform(cnum, c -> c * c), 0L, (a, x) -> a + x)"))
         .withColumn("d2", expr("cnt * cnt * sxx - 2 * cnt * sxc + scc"))
       val w = Window.partitionBy("vec_id")
       val sil = scored
@@ -3041,16 +3089,18 @@ object Similarity {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         .withColumn("scale",
           expr("greatest(aggregate(e, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x))), CAST(1e-12 AS DOUBLE)) / 127.0"))
-        .withColumn("c", expr("transform(e, x -> CAST(round(x / scale) AS BIGINT))"))
+        // exact small integers in double (|c_i| ≤ 127, sums < 2^53): both
+        // per-pair dots go through the codegen'd DotProduct instead of the
+        // interpreted aggregate(zip_with(...)) lambdas (the s20 rewrite)
+        .withColumn("c", expr("transform(e, x -> round(x / scale))"))
       val q = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("e").as("qe"),
           col("scale").as("qs"), col("c").as("qc"))
       val scored = broadcast(q).crossJoin(emb)
         .filter(col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id"),
-          expr("aggregate(zip_with(qe, e, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
-            .as("exact_dot"),
-          (expr("aggregate(zip_with(qc, c, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          dotProduct(col("qe"), col("e")).as("exact_dot"),
+          (dotProduct(col("qc"), col("c"))
             * col("qs") * col("scale")).as("int8_dot"))
       val we = Window.partitionBy("query_id").orderBy(desc("exact_dot"), col("vec_id"))
       val top = scored

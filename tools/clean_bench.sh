@@ -4,6 +4,7 @@
 # Usage: clean_bench.sh <ONLY-list> <logfile> [attempts] [sfdir]
 set -u
 ONLY="$1"; LOG="$2"; N="${3:-5}"; SF="${4:-/root/testdata/sf0.1}"
+CPUS="${SPARK_GRAFT_CPUS:-32}"
 busy() { awk '/^cpu /{print ($2+$3+$4+$7+$8+$9)/100}' /proc/stat; }
 for a in $(seq 1 "$N"); do
   # wait (bounded) for foreign-quiet before each attempt
@@ -14,7 +15,7 @@ for a in $(seq 1 "$N"); do
     sleep 12
   done
   SPARK_GRAFT_NO_QUIESCE=1 SPARK_GRAFT_ONLY="$ONLY" SPARK_GRAFT_SF_DIR="$SF" \
-    SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" > "$LOG.$a" 2>&1
+    SPARK_GRAFT_CPUS="$CPUS" sbt -batch "runMain graft.Bench" > "$LOG.$a" 2>&1
   line=$(grep '"metric"' "$LOG.$a" | tail -1)
   echo "# attempt $a: $line"
   if ! echo "$line" | grep -qE '"dirty_(host|mid)"'; then
