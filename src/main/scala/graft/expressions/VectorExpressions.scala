@@ -101,3 +101,89 @@ case class DotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Squared L2 distance of two numeric arrays, accumulated in double
+  * left-to-right — the codegen'd replacement for the interpreted
+  * `aggregate(zip_with(a, b, (x, y) -> (x − y) * (x − y)), 0.0, +)` HOF
+  * in the distance hot paths (s10 outlier screen, s37 reconstruction
+  * error). Same accumulation order as the HOF form (0.0 + d₀ ≡ d₀ in
+  * IEEE 754), same null semantics as [[DotProduct]]: dimension mismatch
+  * or a NULL element yields null, exactly like zip_with's null padding
+  * poisoning the running sum. */
+case class L2DistanceSquared(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"l2_distance_squared requires array<float|double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      def get(arr: String, e: Expression) =
+        if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    double $d = (${get(a, left)}) - (${get(b, right)});
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

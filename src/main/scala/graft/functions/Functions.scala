@@ -109,6 +109,15 @@ object Functions {
   /** L2 norm of a numeric-array column (double). */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
+  /** Squared L2 distance of two numeric-array columns, accumulated in
+    * double left-to-right — codegen'd replacement for the interpreted
+    * `aggregate(zip_with(a, b, (x, y) -> (x−y)*(x−y)), 0.0, +)` form,
+    * value- and null-identical to it. */
+  def l2Sq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.expressions.L2DistanceSquared(expression(a), expression(b)))
+  }
+
   /** Cosine similarity of two float-array columns (double). */
   def cosine(a: Column, b: Column): Column = dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.Functions.{cosine, dotProduct, l2Norm}
+import graft.functions.Functions.{cosine, dotProduct, l2Norm, l2Sq}
 
 /** Similarity search over the `embeddings` table (Array[Float], dim 64).
   *
@@ -828,8 +828,10 @@ object Similarity {
       // boundary is insensitive to 1e-13 cross-engine float noise
       emb.crossJoin(broadcast(mean))
         .select(col("vec_id"),
-          round(sqrt(aggregate(zip_with(col("e"), col("m"), (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x)), 4).as("dist"))
+          // codegen'd L2DistanceSquared replaces the interpreted
+          // aggregate(zip_with(...)) lambda on this full-corpus pass;
+          // identical left-to-right double accumulation
+          round(sqrt(l2Sq(col("e"), col("m"))), 4).as("dist"))
         .orderBy(desc("dist"), col("vec_id"))
         .limit(20)
     },
@@ -3369,26 +3371,29 @@ object Similarity {
       val trace = eig.sum
       val topMass = eig.take(K).sum
       val varCapturedOk = topMass >= 0.15 * trace
-      val vCols = array(vecs.take(K).map(row =>
-        array(row.map(x => lit(x)): _*)): _*)
       val mean = table(s, dir, "embeddings")
         .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
         .agg(array((0 until n).map(i => avg(element_at(col("e"), i + 1))): _*).as("mu"))
+      // the eigenvector matrix is a compile-time literal (driver Jacobi),
+      // so the corpus projection pass unrolls into codegen: proj_k = K
+      // DotProducts against literal arrays, recon_i = K literal
+      // multiply-adds per dim, err/tot via L2DistanceSquared/DotProduct —
+      // the former transform/aggregate/zip_with HOFs evaluated ~K·n
+      // interpreted lambda calls per row. Accumulation order identical
+      // (left-to-right, 0.0 + d₀ ≡ d₀), so `explained` is bit-identical.
       val stats = table(s, dir, "embeddings")
         .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
         .crossJoin(broadcast(mean))
         .withColumn("c", zip_with(col("e"), col("mu"), (a, b) => a - b))
-        .withColumn("vs", vCols)
-        // proj_k = <c, v_k>; x̂ = Σ proj_k·v_k; both row-local
-        .withColumn("proj", expr(
-          "transform(vs, v -> aggregate(zip_with(c, v, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"))
-        .withColumn("recon", expr(
-          s"""transform(sequence(1, $n), i ->
-                aggregate(zip_with(proj, vs, (p, v) -> p * element_at(v, i)),
-                  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"""))
+        .withColumn("proj", array(vecs.take(K).map(row =>
+          dotProduct(col("c"), array(row.map(x => lit(x)): _*))): _*))
+        .withColumn("recon", array((0 until n).map(i =>
+          (0 until K).map(k =>
+            element_at(col("proj"), k + 1) * lit(vecs(k)(i)))
+            .reduceLeft(_ + _)): _*))
         .select(
-          expr("aggregate(zip_with(c, recon, (a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("err"),
-          expr("aggregate(c, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)").as("tot"))
+          l2Sq(col("c"), col("recon")).as("err"),
+          dotProduct(col("c"), col("c")).as("tot"))
         .agg(count(lit(1)).as("n_vectors"), sum("err").as("serr"), sum("tot").as("stot"))
         .select(col("n_vectors"),
           (lit(1.0) - col("serr") / col("stot")).as("explained"))

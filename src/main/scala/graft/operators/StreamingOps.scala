@@ -2779,8 +2779,12 @@ object StreamingOps {
       val base = table(s2, dir, "orders")
         .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-      val evenN = base.filter(col("okey") % 2 === 0).count()
-      val oddN = base.filter(col("okey") % 2 === 1).count()
+      // both tranche sizes from ONE parity-grouped scan (guide §1.2) —
+      // the two filtered count() jobs each re-scanned orders
+      val parCounts = base.groupBy((col("okey") % 2).cast("long").as("par"))
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val evenN = parCounts.getOrElse(0L, 0L)
+      val oddN = parCounts.getOrElse(1L, 0L)
       base.filter(col("okey") % 2 === 0)
         .writeTo(tbl).partitionedBy(col("status")).create() // v1: tranche 1
       // streaming aggregate + Complete memory sink (the st11 recovery
@@ -2863,8 +2867,11 @@ object StreamingOps {
       val base = table(s2, dir, "orders")
         .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-      val evenN = base.filter(col("okey") % 2 === 0).count()
-      val oddN = base.filter(col("okey") % 2 === 1).count()
+      // one parity-grouped scan instead of two filtered counts (guide §1.2)
+      val parCounts = base.groupBy((col("okey") % 2).cast("long").as("par"))
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val evenN = parCounts.getOrElse(0L, 0L)
+      val oddN = parCounts.getOrElse(1L, 0L)
       base.filter(col("okey") % 2 === 0)
         .writeTo(src).partitionedBy(col("status")).create() // src v1
       s2.sql(s"""CREATE TABLE $dst (okey BIGINT, status STRING, cents BIGINT)
@@ -2930,7 +2937,11 @@ object StreamingOps {
       val base = table(s2, dir, "orders")
         .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-      val sizes = (0 to 2).map(i => base.filter(col("okey") % 3 === i).count())
+      // all three tranche sizes from ONE mod-grouped scan (guide §1.2) —
+      // the three filtered count() jobs each re-scanned orders
+      val modCounts = base.groupBy((col("okey") % 3).cast("long").as("m"))
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sizes = (0 to 2).map(i => modCounts.getOrElse(i.toLong, 0L))
       base.filter(col("okey") % 3 === 0)
         .writeTo(tbl).partitionedBy(col("status")).create()   // commit 1
       base.filter(col("okey") % 3 === 1)

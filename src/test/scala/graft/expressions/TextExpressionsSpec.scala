@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
-import graft.functions.Functions.{minhashSignature, shingleJaccard, simhash64, dotProduct}
+import graft.functions.Functions.{minhashSignature, shingleJaccard, simhash64, dotProduct, l2Sq}
 
 /** Edge cases for the native text/vector expressions (the oracle checks
   * cover the happy path at corpus scale).
@@ -94,6 +94,25 @@ class TextExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
     // clean: both exact
     assert(rows(1).getDouble(0) == 11.0 && rows(1).getDouble(1) == 11.0)
+  }
+
+  test("l2 squared distance: known value, mismatch null, null-element poisoning, HOF parity") {
+    import spark.implicits._
+    val df = Seq(
+        (Array[java.lang.Double](1.0, 2.0, 3.0), Array[java.lang.Double](2.0, 0.0, 3.0)),
+        (Array[java.lang.Double](1.0, null, 3.0), Array[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+      .select(l2Sq(col("a"), col("b")).as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (s, v) -> s + v)").as("engine"))
+    val rows = df.collect()
+    // (1-2)^2 + (2-0)^2 + (3-3)^2 = 5, both paths
+    assert(rows(0).getDouble(0) == 5.0 && rows(0).getDouble(1) == 5.0)
+    // a null element poisons both paths identically
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    // dimension mismatch is null, not a truncated value
+    val mm = Seq((Array(1.0, 2.0, 3.0), Array(1.0)))
+      .toDF("a", "b").select(l2Sq(col("a"), col("b")).as("d"))
+    assert(mm.collect().head.isNullAt(0))
   }
 
   test("minhash null result survives a non-nullable input column") {
